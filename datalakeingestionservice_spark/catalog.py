@@ -1,0 +1,68 @@
+"""Lake catalog: the test-data tables as DataFrames / temp views.
+
+The reference has no catalog at all — schema is inferred per run from whatever
+the RDBMS returns (`ParquetWriterService.cs:34-38`, see SURVEY.md section 1.3).
+Our engine reads lake parquet directly; `spark.read.parquet` recovers the
+footer schema and Catalyst gets filter pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.session import prepare_session
+
+#: Driver-generated tables (TESTDATA.md). TPC-H-ish star schema + extension tables.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: Columns stored as TIMESTAMP(NANOS) parquet (unreadable as timestamps by
+#: Spark) — read as long via `nanosAsLong` and converted to microseconds here.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Plain parquet scan — pushdown/pruning-friendly."""
+    prepare_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANOS_TS_COLS.get(name, ()):
+        field = dict(zip(df.schema.fieldNames(), df.schema.fields))
+        if col in field and field[col].dataType.simpleString() == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register every table as a temp view for the ``spark.sql`` entry point."""
+    prepare_session(spark)
+    for name in tables:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Env:
+    """Per-query helper handed to query callables: session prep + table access."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = prepare_session(spark)
+        self.sf_dir = sf_dir
+
+    def t(self, name: str) -> DataFrame:
+        return table(self.spark, self.sf_dir, name)
+
+    def sql(self, query: str, **kwargs) -> DataFrame:
+        register_views(self.spark, self.sf_dir)
+        return self.spark.sql(query, **kwargs)

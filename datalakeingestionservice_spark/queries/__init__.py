@@ -1,0 +1,31 @@
+"""Query registry: every operator from SURVEY.md section 2 as a named query.
+
+Each entry pairs a Spark implementation (DataFrame/Spark SQL) with an ANSI-SQL
+oracle string executable by DuckDB over the same parquet tables. The driver
+compares them at sf0.01 (row count + schema + order-insensitive value hash).
+"""
+
+from datalakeingestionservice_spark.queries.registry import (
+    QUERIES,
+    Query,
+    headline_queries,
+    oracle_sql_map,
+    query_map,
+    register,
+)
+
+# Importing the modules populates the registry.
+from datalakeingestionservice_spark.queries import relational  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import events as _events  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import text as _text  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import vectors as _vectors  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import ingest as _ingest  # noqa: E402,F401
+
+__all__ = [
+    "QUERIES",
+    "Query",
+    "register",
+    "query_map",
+    "oracle_sql_map",
+    "headline_queries",
+]

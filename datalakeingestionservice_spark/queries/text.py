@@ -1,0 +1,521 @@
+"""Text-analysis and deduplication operators over `documents` (SURVEY.md C1/C2/C5).
+
+LLM-training-data-pipeline ops the reference lacks entirely: exact dedup,
+n-gram Jaccard near-dup, MinHash LSH, fingerprinting, token statistics,
+quality scoring, language-ID heuristics. Everything except the LSH model is
+expressed in engine-portable SQL semantics so DuckDB verifies it exactly.
+
+Scale posture: all dedup paths avoid O(n^2) — exact dedup is a hash groupBy on
+the text (or fingerprint) key; near-dup goes through shingle inverted-index
+joins or LSH banding, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.catalog import Env
+from datalakeingestionservice_spark.queries.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# q40 — corpus statistics per language.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_doc_lang_stats",
+    tags=("text", "groupby"),
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q40_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile."""
+    env = Env(spark, sf_dir)
+    return (
+        env.t("documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — per-document token statistics (whitespace tokenization).
+# ---------------------------------------------------------------------------
+@register(
+    "q41_doc_token_stats",
+    headline=True,
+    tags=("text", "tokenize"),
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS len_chars,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_token_len,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q41_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity + stopword ratio, all with built-in
+    higher-order array functions (zero Python in the hot path)."""
+    env = Env(spark, sf_dir)
+    stop_array = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = F.split(F.col("text"), " ")
+    return (
+        env.t("documents")
+        .select(
+            "doc_id",
+            F.size(words).alias("n_tokens"),
+            F.length("text").alias("len_chars"),
+            F.round(
+                F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+                / F.size(words),
+                4,
+            ).alias("avg_token_len"),
+            F.size(F.array_distinct(words)).alias("n_unique_tokens"),
+            F.round(
+                F.expr(
+                    f"size(filter(split(text, ' '), w -> w IN ({stop_array})))"
+                ).cast("double")
+                / F.size(words),
+                4,
+            ).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — document quality scoring.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_doc_quality_score",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS diversity
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(diversity, 4) AS diversity,
+       round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * least(stop_ratio * 5.0, 1.0)
+             + 0.3 * diversity, 4) AS quality_score
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q42_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length, stopword presence, and lexical
+    diversity — the filter stage of a training-data pipeline."""
+    env = Env(spark, sf_dir)
+    stop_array = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = F.split(F.col("text"), " ")
+    base = env.t("documents").select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_tokens"),
+        (
+            F.expr(
+                f"size(filter(split(text, ' '), w -> w IN ({stop_array})))"
+            ).cast("double")
+            / F.size(words)
+        ).alias("stop_ratio_raw"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "diversity_raw"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("stop_ratio_raw", 4).alias("stop_ratio"),
+        F.round("diversity_raw", 4).alias("diversity"),
+        F.round(
+            0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+            + 0.3 * F.least(F.col("stop_ratio_raw") * 5.0, F.lit(1.0))
+            + 0.3 * F.col("diversity_raw"),
+            4,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q43 — document fingerprinting (sha256 of normalized text).
+# ---------------------------------------------------------------------------
+@register(
+    "q43_doc_fingerprint",
+    tags=("text", "dedup", "hash"),
+    oracle="""
+SELECT doc_id,
+       sha256(lower(trim(text))) AS fingerprint,
+       substr(sha256(lower(trim(text))), 1, 8) AS shard_key
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q43_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint: the exact-dedup key at 100 TB (dedup on
+    a 32-byte hash, never on the raw text). sha256 hex matches across engines."""
+    env = Env(spark, sf_dir)
+    fp = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return (
+        env.t("documents")
+        .select(
+            "doc_id",
+            fp.alias("fingerprint"),
+            F.substring(fp, 1, 8).alias("shard_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — exact deduplication (hash groupBy, deterministic survivor).
+# ---------------------------------------------------------------------------
+@register(
+    "q44_exact_dedup",
+    headline=True,
+    tags=("text", "dedup"),
+    oracle="""
+WITH dup_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       length(text) AS text_len
+FROM dup_corpus
+GROUP BY text
+ORDER BY keep_id
+""",
+)
+def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (min doc_id) — NOT
+    dropDuplicates, whose survivor is partition-order-dependent. The duplicated
+    corpus is constructed in-query (every 5th doc re-inserted under a new id)
+    so the op provably collapses real duplicates."""
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dups)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", F.length("text").alias("text_len"))
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — n-gram Jaccard near-duplicate pairs (inverted-index join, no O(n^2)).
+# ---------------------------------------------------------------------------
+@register(
+    "q45_ngram_jaccard_neardup",
+    headline=True,
+    tags=("text", "dedup", "similarity"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM words WHERE len(w) >= 3
+  )
+),
+doc_sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM pair_common p
+JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def q45_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over 3-word shingles via an inverted-index self-join:
+    candidate pairs only where a shingle co-occurs, so cost is driven by
+    posting-list sizes, not |docs|^2. At 100 TB the same plan holds with
+    frequent-shingle pruning (drop shingles with huge posting lists)."""
+    env = Env(spark, sf_dir)
+    docs = env.t("documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    shingles = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    doc_sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = doc_sizes.alias("sa")
+    sb = doc_sizes.alias("sb")
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        pair_common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jaccard >= 0.5)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — MinHash LSH near-dup candidates (pyspark.ml; model-specific hashes =>
+# rows-only check; the exact-Jaccard twin q45 carries the value oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "q46_minhash_lsh_neardup",
+    oracle=None,
+    tags=("text", "dedup", "lsh", "ml"),
+)
+def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH over shingle sets: the sub-quadratic scale path for fuzzy
+    dedup (banding via approxSimilarityJoin). Seeded => deterministic run-to-run
+    on the same Spark version, but hash family is engine-specific => no SQL
+    oracle; correctness of the *semantics* is pinned by q45's exact Jaccard."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, Tokenizer
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
+    grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(tokens)
+    grams = grams.filter(F.size("shingles") > 0)
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+    ).fit(grams)
+    vectors = cv.transform(grams).select("doc_id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(vectors)
+    pairs = lsh.approxSimilarityJoin(vectors, vectors, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — language-ID heuristic + confusion profile.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_langid_heuristic",
+    tags=("text", "langid"),
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_wlen
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN stop_ratio >= 0.08 THEN 'en'
+              WHEN avg_wlen >= 5.5 THEN 'de'
+              ELSE 'other' END AS lang_pred
+  FROM feats
+)
+SELECT lang, lang_pred, count(*) AS n_docs
+FROM pred
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+""",
+)
+def q47_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-threshold language-ID (stopword ratio, mean word length) plus
+    the confusion matrix against the labeled lang column. On synthetic text the
+    accuracy is meaningless; the operator shape (featurize -> classify ->
+    evaluate) is what scales to a real fastText-style scorer via pandas UDF."""
+    env = Env(spark, sf_dir)
+    stop_array = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = F.split(F.col("text"), " ")
+    feats = env.t("documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.expr(
+                f"size(filter(split(text, ' '), w -> w IN ({stop_array})))"
+            ).cast("double")
+            / F.size(words)
+        ).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / F.size(words)
+        ).alias("avg_wlen"),
+    )
+    pred = feats.select(
+        "lang",
+        F.when(F.col("stop_ratio") >= 0.08, F.lit("en"))
+        .when(F.col("avg_wlen") >= 5.5, F.lit("de"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — SimHash (64-bit) fingerprints via engine-portable arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "q48_simhash",
+    tags=("text", "dedup", "hash"),
+    oracle="""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, tok,
+         -- 16-bit token hash from sha256 hex (engine-portable):
+         (strpos('0123456789abcdef', substr(sha256(tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(sha256(tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(sha256(tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256(tok), 4, 1)) - 1) AS h
+  FROM tokens
+),
+votes AS (
+  SELECT doc_id, b.bit AS bit,
+         sum(CASE WHEN (h // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM bits CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash16
+FROM votes
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over distinct tokens: per-bit majority vote of token-hash bits.
+    Token hash = first 16 bits of sha256 hex, so Spark and DuckDB agree bit-for-
+    bit. (Production width is 64 bits via xxhash64; 16 here keeps the oracle
+    arithmetic in exact-int range in both engines.)"""
+    env = Env(spark, sf_dir)
+    tokens = (
+        env.t("documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    hexmap = "0123456789abcdef"
+    sha = F.sha2(F.col("tok"), 256)
+
+    def nib(i: int) -> F.Column:
+        return F.instr(F.lit(hexmap), F.substring(sha, i, 1)) - 1
+
+    h = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    bits = tokens.select("doc_id", h.alias("h"))
+    bit_idx = spark.range(0, 16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        bits.crossJoin(F.broadcast(bit_idx))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("h").cast("long") / F.pow(2, F.col("bit")).cast("long"))
+                    .cast("long") % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0, F.pow(2, F.col("bit")).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("simhash16")
+        )
+        .orderBy("doc_id")
+    )
