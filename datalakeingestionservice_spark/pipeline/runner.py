@@ -1,0 +1,171 @@
+"""Dataset job runner — the engine's `run_dataset` entry point (SURVEY.md A16/A17).
+
+Stage flow (reference `DataPipeline.cs:20-26` chain, Spark-first):
+
+  extract (lazy) -> transform (lazy) -> write parquet (THE action)
+  -> CTL from commit metadata -> atomic publish
+
+Extraction/transformation failures are plan-construction failures (cheap,
+immediate); execution failures surface at the write. Critical errors
+short-circuit the remaining stages (`BasePipelineHandler.cs:27-36` contract).
+
+The 0-row edge the reference fumbles (writes nothing, then the upload stage
+fails with "No Parquet data" — `ParquetWriterService.cs:24-28`,
+`UploadHandler.cs:24-32`) is resolved deliberately: an empty result still
+commits a valid empty parquet file + a CTL with RecordCount=0.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from datalakeingestionservice_spark.config.models import DatasetConfiguration
+from datalakeingestionservice_spark.pipeline.context import (
+    ErrorSeverity,
+    PipelineContext,
+    PipelineResult,
+    StageMetrics,
+)
+from datalakeingestionservice_spark.pipeline.transform import apply_transformations
+from datalakeingestionservice_spark.session import prepare_session
+from datalakeingestionservice_spark.sinks.ctl import generate_ctl, write_ctl
+from datalakeingestionservice_spark.sinks.parquet_sink import write_parquet
+from datalakeingestionservice_spark.sinks.publish import publish_directory
+from datalakeingestionservice_spark.sources.registry import extract
+
+logger = logging.getLogger(__name__)
+
+
+def render_file_name(pattern: str, dataset_id: str, now: datetime) -> str:
+    """`{datasetId}` + `{date:...}`/`{time:...}` tokens
+    (`DataIngestionJob.cs:161-169`); .NET-style yyyyMMdd/HHmmss only."""
+    out = pattern.replace("{datasetId}", dataset_id)
+    out = out.replace("{date:yyyyMMdd}", now.strftime("%Y%m%d"))
+    out = out.replace("{time:HHmmss}", now.strftime("%H%M%S"))
+    return out
+
+
+def run_dataset(
+    spark: SparkSession,
+    config: DatasetConfiguration,
+    environment: str = "Development",
+    sql_dir: str | None = None,
+    staging_root: str | None = None,
+    now: datetime | None = None,
+) -> PipelineResult:
+    """Execute one dataset ingestion end-to-end. Returns a result object; never
+    raises for stage failures (they land in `result.errors`, reference
+    contract)."""
+    prepare_session(spark)
+    ctx = PipelineContext(config=config, environment=environment)
+    now = now or datetime.now(timezone.utc)
+
+    # --- stage 1+2: build the lazy plan (extract + transform) ----------------
+    t0 = time.perf_counter()
+    try:
+        df = extract(spark, config.source, sql_dir=sql_dir)
+        df = apply_transformations(df, config.transformations, environment)
+        ctx.df = df
+    except Exception as exc:
+        ctx.add_error("Extraction", ErrorSeverity.CRITICAL, str(exc), exc)
+    ctx.metrics.append(StageMetrics("PlanBuild", time.perf_counter() - t0))
+
+    rows = None
+    if not ctx.has_critical:
+        # --- stage 3: the single action — write parquet to staging ----------
+        base = config.upload.base_path or "/tmp/dlis-output"
+        rel = config.upload.relative_path.strip("/").replace("\\", "/")
+        file_name = render_file_name(
+            config.parquet.file_name_pattern, config.dataset_id, now
+        ).removesuffix(".parquet")
+        final_dir = os.path.join(base, rel, file_name)
+        staging = os.path.join(
+            staging_root or os.path.join(base, ".staging"),
+            f"{config.dataset_id}-{uuid.uuid4().hex[:8]}",
+        )
+        t0 = time.perf_counter()
+        try:
+            write_result = write_parquet(
+                ctx.df,
+                staging,
+                compression=config.parquet.compression_codec,
+                row_group_size=config.parquet.row_group_size,
+                enable_statistics=config.parquet.enable_statistics,
+                single_file=config.parquet.single_file,
+                partition_by=config.parquet.partition_by or None,
+            )
+            rows = write_result.rows
+            ctx.metrics.append(
+                StageMetrics(
+                    "ParquetWrite",
+                    time.perf_counter() - t0,
+                    rows=write_result.rows,
+                    bytes=write_result.total_bytes,
+                )
+            )
+        except Exception as exc:
+            ctx.add_error("ParquetGeneration", ErrorSeverity.CRITICAL, str(exc), exc)
+            ctx.metrics.append(StageMetrics("ParquetWrite", time.perf_counter() - t0))
+
+    if not ctx.has_critical:
+        # --- stage 4: CTL from commit metadata -------------------------------
+        t0 = time.perf_counter()
+        try:
+            record = generate_ctl(
+                dataset_id=config.dataset_id,
+                source=config.source.type,
+                record_count=write_result.rows,
+                files=write_result.files,
+                now=now,
+            )
+            # Underscore prefix: Spark/Hadoop readers ignore `_*` files, so the
+            # control file can live beside the part-files it describes.
+            ctl_path = write_ctl(
+                record, os.path.join(staging, f"_{record.dataset_name}.ctl")
+            )
+            ctx.ctl_path = ctl_path
+        except Exception as exc:
+            ctx.add_error("CtlGeneration", ErrorSeverity.CRITICAL, str(exc), exc)
+        ctx.metrics.append(StageMetrics("CtlGeneration", time.perf_counter() - t0))
+
+    if not ctx.has_critical:
+        # --- stage 5: atomic publish ----------------------------------------
+        t0 = time.perf_counter()
+        try:
+            published = publish_directory(
+                staging,
+                final_dir,
+                overwrite=config.upload.overwrite_existing,
+                keep_local_copy=config.upload.keep_local_copy,
+                local_copy_path=config.upload.local_copy_path,
+            )
+            ctx.output_dir = published
+            ctx.ctl_path = os.path.join(
+                published, os.path.basename(ctx.ctl_path)
+            )
+        except Exception as exc:
+            ctx.add_error("Upload", ErrorSeverity.CRITICAL, str(exc), exc)
+        ctx.metrics.append(StageMetrics("Publish", time.perf_counter() - t0))
+
+    success = not ctx.has_critical
+    if not success:
+        logger.error(
+            "dataset %s failed: %s",
+            config.dataset_id,
+            [(e.stage, e.message) for e in ctx.errors],
+        )
+    return PipelineResult(
+        success=success,
+        dataset_id=config.dataset_id,
+        output_dir=ctx.output_dir,
+        ctl_path=ctx.ctl_path if success else None,
+        rows=rows,
+        errors=ctx.errors,
+        metrics=ctx.metrics,
+    )

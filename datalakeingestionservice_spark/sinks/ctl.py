@@ -1,0 +1,107 @@
+"""CTL control-file sink (SURVEY.md A12), generalized to distributed output.
+
+Reference contract (`CtlGenerationHandler.cs:43-103`, `CtlWriterService.cs:20-64`):
+a CSV with header ``RecordCount,RefDate,Checksum,Timestamp,DatasetName,Source``
+and one row — row count, ISO-8601 dates, lower-hex SHA256 of the Parquet
+bytes, ``{datasetId}_{yyyyMMddHHmmss}`` dataset name, RFC-4180 escaping.
+
+The reference hashes its single in-memory byte buffer. Distributed output is
+many part-files, so (SURVEY.md section 4.3.1): each committed part-file is
+hashed, then the combined checksum is the sha256 of the sorted
+``name:hash`` lines. With exactly one part-file the checksum degrades to that
+file's plain sha256 — byte-parity with the reference's single-file semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+
+@dataclass
+class CtlRecord:
+    record_count: int
+    ref_date: str
+    checksum: str
+    timestamp: str
+    dataset_name: str
+    source: str
+
+    HEADER = "RecordCount,RefDate,Checksum,Timestamp,DatasetName,Source"
+
+    def to_csv(self) -> str:
+        row = ",".join(
+            _escape(str(v))
+            for v in (
+                self.record_count,
+                self.ref_date,
+                self.checksum,
+                self.timestamp,
+                self.dataset_name,
+                self.source,
+            )
+        )
+        return f"{self.HEADER}\n{row}\n"
+
+
+def _escape(field: str) -> str:
+    """RFC-4180 (`CtlWriterService.cs:52-64`): quote when the field contains
+    comma/quote/newline; double embedded quotes."""
+    if any(ch in field for ch in (",", '"', "\n", "\r")):
+        return '"' + field.replace('"', '""') + '"'
+    return field
+
+
+def _sha256_file(path: str, chunk: int = 1 << 20) -> str:
+    digest = hashlib.sha256()
+    with open(path, "rb") as fh:
+        while True:
+            block = fh.read(chunk)
+            if not block:
+                break
+            digest.update(block)
+    return digest.hexdigest()
+
+
+def combined_checksum(files: list[str]) -> str:
+    """Deterministic checksum over multi-part output (order-independent)."""
+    if not files:
+        return hashlib.sha256(b"").hexdigest()
+    if len(files) == 1:
+        return _sha256_file(files[0])
+    lines = sorted(
+        f"{os.path.basename(path)}:{_sha256_file(path)}" for path in files
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+def generate_ctl(
+    dataset_id: str,
+    source: str,
+    record_count: int,
+    files: list[str],
+    ref_date: datetime | None = None,
+    now: datetime | None = None,
+) -> CtlRecord:
+    now = now or datetime.now(timezone.utc)
+    ref = ref_date or now
+    return CtlRecord(
+        record_count=record_count,
+        ref_date=ref.strftime("%Y-%m-%dT%H:%M:%S"),
+        checksum=combined_checksum(files),
+        timestamp=now.strftime("%Y-%m-%dT%H:%M:%S"),
+        dataset_name=f"{dataset_id}_{now.strftime('%Y%m%d%H%M%S')}",
+        source=source,
+    )
+
+
+def write_ctl(record: CtlRecord, path: str) -> str:
+    """Write the control file (small, driver-side — no Spark job needed)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8", newline="") as fh:
+        fh.write(record.to_csv())
+    os.replace(tmp, path)  # atomic, like the reference's temp+move (A13)
+    return path

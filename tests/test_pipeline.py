@@ -1,0 +1,125 @@
+"""End-to-end pipeline: extract -> transform -> parquet -> CTL -> publish."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from datalakeingestionservice_spark.catalog import register_views
+from datalakeingestionservice_spark.config import DatasetConfiguration
+from datalakeingestionservice_spark.pipeline import run_dataset
+from datalakeingestionservice_spark.sinks.ctl import CtlRecord, combined_checksum
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load_fixture(tmp_path, **overrides) -> DatasetConfiguration:
+    raw = json.load(open(os.path.join(FIXTURES, "dataset-trades-lake.json")))
+    raw["upload"]["fileSystemConfig"]["basePath"] = str(tmp_path / "lake")
+    raw.update(overrides)
+    return DatasetConfiguration.from_dict(raw)
+
+
+def test_run_dataset_end_to_end(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    cfg = _load_fixture(tmp_path)
+    result = run_dataset(spark, cfg, environment="Development")
+
+    assert result.success, [e.message for e in result.errors]
+    assert result.rows and result.rows > 0
+    assert os.path.isdir(result.output_dir)
+    assert "trades/daily" in result.output_dir
+
+    # Transform chain applied: ColumnMapping ran after DataCleansing (order).
+    out = spark.read.parquet(result.output_dir)
+    assert "TradeId" in out.columns
+    assert out.count() == result.rows
+
+    # singleFile parity mode -> exactly one part file.
+    parts = [f for f in os.listdir(result.output_dir) if f.endswith(".parquet")]
+    assert len(parts) == 1
+
+    # CTL: parseable, correct count, checksum == sha256 of the single part.
+    ctl_text = open(result.ctl_path).read()
+    header, row = ctl_text.strip().split("\n")
+    assert header == CtlRecord.HEADER
+    fields = row.split(",")
+    assert int(fields[0]) == result.rows
+    part_path = os.path.join(result.output_dir, parts[0])
+    assert fields[2] == hashlib.sha256(open(part_path, "rb").read()).hexdigest()
+    assert os.path.basename(result.ctl_path).startswith("_trades-lake_")
+    assert fields[4].startswith("trades-lake_")
+    assert fields[5] == "Sql"
+
+    # No staging residue.
+    staging_root = os.path.join(str(tmp_path / "lake"), ".staging")
+    assert not os.path.isdir(staging_root) or os.listdir(staging_root) == []
+
+
+def test_run_dataset_zero_rows_still_publishes(spark, sf_dir, tmp_path):
+    """Deliberate contract: empty result -> valid empty parquet + CTL count 0
+    (the reference fails its upload stage in this case; SURVEY.md section 5)."""
+    register_views(spark, sf_dir)
+    cfg = _load_fixture(tmp_path)
+    cfg.source.parameters = {"StartDate": "2050-01-01", "EndDate": "2050-01-02"}
+    result = run_dataset(spark, cfg, environment="Development")
+    assert result.success
+    assert result.rows == 0
+    assert spark.read.parquet(result.output_dir).count() == 0
+    assert open(result.ctl_path).read().splitlines()[1].startswith("0,")
+
+
+def test_run_dataset_env_gating_skips_steps(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    cfg = _load_fixture(tmp_path)
+    # DataCleansing is gated to Development/Production; in Staging it must not
+    # run, but ColumnMapping (ungated) must.
+    result = run_dataset(spark, cfg, environment="Staging")
+    assert result.success
+    out = spark.read.parquet(result.output_dir)
+    assert "TradeId" in out.columns
+
+
+def test_run_dataset_overwrite_false_fails_cleanly(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    cfg = _load_fixture(tmp_path)
+    first = run_dataset(spark, cfg, environment="Development")
+    assert first.success
+    cfg.upload.overwrite_existing = False
+    # Same logical timestamp -> same output dir -> must fail at Upload stage.
+    from datetime import datetime, timezone
+
+    now = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    cfg2 = _load_fixture(tmp_path)
+    cfg2.upload.overwrite_existing = True
+    a = run_dataset(spark, cfg2, environment="Development", now=now)
+    cfg2.upload.overwrite_existing = False
+    b = run_dataset(spark, cfg2, environment="Development", now=now)
+    assert a.success and not b.success
+    assert any(e.stage == "Upload" for e in b.errors)
+
+
+def test_run_dataset_unknown_source_is_critical(spark, tmp_path):
+    cfg = _load_fixture(tmp_path)
+    cfg.source.type = "Mongo"
+    result = run_dataset(spark, cfg)
+    assert not result.success
+    assert result.errors[0].stage == "Extraction"
+    assert "Unsupported source type" in result.errors[0].message
+
+
+def test_combined_checksum_multi_part(tmp_path):
+    a = tmp_path / "part-0.parquet"
+    b = tmp_path / "part-1.parquet"
+    a.write_bytes(b"aaa")
+    b.write_bytes(b"bbb")
+    expected_lines = sorted(
+        f"{p.name}:{hashlib.sha256(p.read_bytes()).hexdigest()}" for p in (a, b)
+    )
+    expected = hashlib.sha256("\n".join(expected_lines).encode()).hexdigest()
+    assert combined_checksum([str(a), str(b)]) == expected
+    # Order-independence:
+    assert combined_checksum([str(b), str(a)]) == expected
+    # Single file degrades to the file's own sha256 (reference parity):
+    assert combined_checksum([str(a)]) == hashlib.sha256(b"aaa").hexdigest()

@@ -1,0 +1,81 @@
+"""Source factory dispatch + extraction-type routing (SURVEY.md A1-A6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datalakeingestionservice_spark.catalog import register_views
+from datalakeingestionservice_spark.config.models import SourceConfig
+from datalakeingestionservice_spark.sources import SourceError, extract
+from datalakeingestionservice_spark.sources.query_templates import (
+    get_query_template,
+    register_query_template,
+)
+
+
+def test_parquet_source(spark, sf_dir):
+    src = SourceConfig(type="Parquet", path=f"{sf_dir}/nation.parquet")
+    assert extract(spark, src).count() > 0
+
+
+def test_inline_sql_with_named_params(spark, sf_dir):
+    register_views(spark, sf_dir)
+    src = SourceConfig(
+        type="Sql",
+        extraction_type="Inline",
+        query="SELECT count(*) AS n FROM nation WHERE n_nationkey < :k",
+        parameters={"k": "5"},  # string -> int coercion (A5)
+    )
+    assert extract(spark, src).collect()[0].n == 5
+
+
+def test_stored_procedure_template(spark, sf_dir):
+    register_views(spark, sf_dir)
+    src = SourceConfig(
+        type="SqlServer",  # reference alias -> native SQL path
+        extraction_type="StoredProcedure",
+        procedure_name="dbo.sp_GetDailyTrades",
+        parameters={"StartDate": "1997-01-01", "EndDate": "1997-12-31"},
+    )
+    df = extract(spark, src)
+    assert "trade_id" in df.columns
+    assert df.count() > 0
+
+
+def test_package_template_case_insensitive(spark, sf_dir):
+    register_views(spark, sf_dir)
+    src = SourceConfig(
+        type="Oracle",
+        extraction_type="Package",
+        package_name="hr_pkg",
+        procedure_name="get_employee_data",
+        parameters={"p_department_id": "0", "p_active_only": "Y"},
+    )
+    df = extract(spark, src)
+    assert df.columns[0] == "employee_id"
+    assert df.count() > 0
+
+
+def test_sql_file_extraction(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    (tmp_path / "q.sql").write_text("SELECT r_name FROM region ORDER BY r_name")
+    src = SourceConfig(type="Sql", extraction_type="Query", sql_file_path="q.sql")
+    df = extract(spark, src, sql_dir=str(tmp_path))
+    assert df.count() > 0
+
+
+def test_unknown_type_and_missing_template_raise(spark):
+    with pytest.raises(SourceError, match="Unsupported source type"):
+        extract(spark, SourceConfig(type="Mongo"))
+    with pytest.raises(KeyError, match="no query template"):
+        get_query_template("dbo.sp_Missing")
+
+
+def test_register_custom_template(spark, sf_dir):
+    register_views(spark, sf_dir)
+    register_query_template("dbo.sp_RegionCount", "SELECT count(*) AS n FROM region")
+    src = SourceConfig(
+        type="Sql", extraction_type="StoredProcedure",
+        procedure_name="DBO.SP_REGIONCOUNT",
+    )
+    assert extract(spark, src).collect()[0].n > 0
