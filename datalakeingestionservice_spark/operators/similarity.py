@@ -1,0 +1,121 @@
+"""Vector similarity operators (SURVEY.md C3/C4): exact cosine, top-k,
+blocked near-dup, IVF coarse quantization, sign-random-projection LSH.
+
+All vector math is built-in higher-order functions (`zip_with` + `aggregate`)
+over `array<float>` columns — JVM-side, codegen-friendly, no Python in the hot
+path. Exact brute force is the correctness baseline; IVF and LSH are the scale
+paths (cell/bucket blocking turns corpus-quadratic work into per-block work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Double-precision dot product of two float arrays (sequential fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k nearest neighbors of a (broadcast) query vector.
+
+    The orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+    then a k-row merge on the driver — no global sort, no full shuffle.
+    """
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            cosine(vec_col, query_vec_col).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def blocked_neardup(
+    emb: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs within blocks (label/LSH bucket/IVF cell).
+
+    Per-block quadratic instead of corpus-quadratic; the block column at
+    production scale comes from `lsh_bucket` or `ivf_assign` below.
+    """
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids).
+
+    IVF coarse quantization: queries then probe one (or a few) cells instead
+    of the corpus. Ties broken on centroid id for determinism.
+    """
+    cos = cosine(vec_col, centroid_vec_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cos_sim"), F.asc(centroid_id_col)
+    )
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, centroid_id_col, cos.alias("cos_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-random-projection LSH bucket id from fixed hyperplanes.
+
+    len(planes) sign bits -> 2^n buckets; similar vectors collide, candidate
+    generation becomes a bucket equi-join (one small-key shuffle).
+    """
+    bucket: Column = F.lit(0).cast("long")
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        bit = (dot(vec_col, plane) >= 0).cast("long")
+        bucket = bucket + bit * (2**i)
+    return emb.withColumn(out_col, bucket)

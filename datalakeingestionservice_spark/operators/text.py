@@ -1,0 +1,64 @@
+"""Text-analysis operators (SURVEY.md C5): token stats, quality scoring,
+language-ID features — all built-in column expressions (no UDFs).
+
+The expression builders return Columns so callers compose them into a single
+select (one codegen stage) rather than stacking withColumn projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def n_tokens(text_col: str = "text") -> Column:
+    return F.size(words(text_col))
+
+
+def stopword_count(text_col: str = "text", stopwords=STOPWORDS) -> Column:
+    stop_array = ", ".join(f"'{w}'" for w in stopwords)
+    return F.expr(f"size(filter(split({text_col}, ' '), w -> w IN ({stop_array})))")
+
+
+def stopword_ratio(text_col: str = "text", stopwords=STOPWORDS) -> Column:
+    return stopword_count(text_col, stopwords).cast("double") / n_tokens(text_col)
+
+
+def lexical_diversity(text_col: str = "text") -> Column:
+    """distinct tokens / tokens — crude type-token ratio."""
+    return F.size(F.array_distinct(words(text_col))).cast("double") / n_tokens(
+        text_col
+    )
+
+
+def avg_token_len(text_col: str = "text") -> Column:
+    return F.length(
+        F.regexp_replace(F.col(text_col), " ", "")
+    ).cast("double") / n_tokens(text_col)
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality signal: length, stopword presence, diversity —
+    the filter stage of a training-data pipeline."""
+    return (
+        0.4 * F.least(n_tokens(text_col) / 50.0, F.lit(1.0))
+        + 0.3 * F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
+        + 0.3 * lexical_diversity(text_col)
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        id_col,
+        n_tokens(text_col).alias("n_tokens"),
+        F.length(text_col).alias("len_chars"),
+        F.round(avg_token_len(text_col), 4).alias("avg_token_len"),
+        F.size(F.array_distinct(words(text_col))).alias("n_unique_tokens"),
+        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+    )

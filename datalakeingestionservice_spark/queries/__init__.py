@@ -16,6 +16,7 @@ from datalakeingestionservice_spark.queries.registry import (
 
 # Importing the modules populates the registry.
 from datalakeingestionservice_spark.queries import relational  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import advanced as _advanced  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import events as _events  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import text as _text  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import vectors as _vectors  # noqa: E402,F401

@@ -16,9 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalakeingestionservice_spark.catalog import Env
+from datalakeingestionservice_spark.operators.dedup import (
+    dup_groups,
+    jaccard_pairs,
+    minhash_neardup_pairs,
+    simhash16,
+    word_shingles,
+)
+from datalakeingestionservice_spark.operators.text import STOPWORDS, token_stats
 from datalakeingestionservice_spark.queries.registry import register
 
-STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
@@ -82,30 +89,7 @@ def q41_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + lexical-diversity + stopword ratio, all with built-in
     higher-order array functions (zero Python in the hot path)."""
     env = Env(spark, sf_dir)
-    stop_array = ", ".join(f"'{w}'" for w in STOPWORDS)
-    words = F.split(F.col("text"), " ")
-    return (
-        env.t("documents")
-        .select(
-            "doc_id",
-            F.size(words).alias("n_tokens"),
-            F.length("text").alias("len_chars"),
-            F.round(
-                F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
-                / F.size(words),
-                4,
-            ).alias("avg_token_len"),
-            F.size(F.array_distinct(words)).alias("n_unique_tokens"),
-            F.round(
-                F.expr(
-                    f"size(filter(split(text, ' '), w -> w IN ({stop_array})))"
-                ).cast("double")
-                / F.size(words),
-                4,
-            ).alias("stopword_ratio"),
-        )
-        .orderBy("doc_id")
-    )
+    return token_stats(env.t("documents")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -232,16 +216,10 @@ def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return (
-        docs.unionByName(dups)
-        .groupBy("text")
-        .agg(
-            F.min("doc_id").alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .select("keep_id", "n_copies", F.length("text").alias("text_len"))
-        .orderBy("keep_id")
-    )
+    groups = dup_groups(docs.unionByName(dups), keys=["text"], id_col="doc_id")
+    return groups.select(
+        "keep_id", "n_copies", F.length("text").alias("text_len")
+    ).orderBy("keep_id")
 
 
 # ---------------------------------------------------------------------------
@@ -287,48 +265,11 @@ def q45_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list sizes, not |docs|^2. At 100 TB the same plan holds with
     frequent-shingle pruning (drop shingles with huge posting lists)."""
     env = Env(spark, sf_dir)
-    docs = env.t("documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
-    shingles = (
-        words.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', slice(w, i, 3)))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    doc_sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    pair_common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = doc_sizes.alias("sa")
-    sb = doc_sizes.alias("sb")
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
-    )
-    return (
-        pair_common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jaccard >= 0.5)
-        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    shingles = word_shingles(env.t("documents"), "doc_id", "text", n=3)
+    pairs = jaccard_pairs(shingles, id_col="doc_id", threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -345,30 +286,13 @@ def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (banding via approxSimilarityJoin). Seeded => deterministic run-to-run
     on the same Spark version, but hash family is engine-specific => no SQL
     oracle; correctness of the *semantics* is pinned by q45's exact Jaccard."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, Tokenizer
-
     env = Env(spark, sf_dir)
-    docs = env.t("documents").select("doc_id", "text")
-    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
-    grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(tokens)
-    grams = grams.filter(F.size("shingles") > 0)
-    cv = CountVectorizer(
-        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
-    ).fit(grams)
-    vectors = cv.transform(grams).select("doc_id", "features")
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
-    ).fit(vectors)
-    pairs = lsh.approxSimilarityJoin(vectors, vectors, 0.6, distCol="jaccard_dist")
-    return (
-        pairs.select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .orderBy("doc_a", "doc_b")
+    pairs = minhash_neardup_pairs(
+        env.t("documents"), n=3, num_hash_tables=8, max_distance=0.6, seed=42
     )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard_sim", 4).alias("jaccard_sim")
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -478,44 +402,4 @@ def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit. (Production width is 64 bits via xxhash64; 16 here keeps the oracle
     arithmetic in exact-int range in both engines.)"""
     env = Env(spark, sf_dir)
-    tokens = (
-        env.t("documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-    )
-    hexmap = "0123456789abcdef"
-    sha = F.sha2(F.col("tok"), 256)
-
-    def nib(i: int) -> F.Column:
-        return F.instr(F.lit(hexmap), F.substring(sha, i, 1)) - 1
-
-    h = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
-    bits = tokens.select("doc_id", h.alias("h"))
-    bit_idx = spark.range(0, 16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        bits.crossJoin(F.broadcast(bit_idx))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("h").cast("long") / F.pow(2, F.col("bit")).cast("long"))
-                    .cast("long") % 2
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias("vote")
-        )
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("vote") > 0, F.pow(2, F.col("bit")).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("simhash16")
-        )
-        .orderBy("doc_id")
-    )
+    return simhash16(env.t("documents"), "doc_id", "text").orderBy("doc_id")

@@ -17,23 +17,19 @@ from pyspark.sql import functions as F
 from datalakeingestionservice_spark.catalog import Env
 from datalakeingestionservice_spark.queries.registry import register
 
-#: DuckDB-side double dot product of two float lists (sequential fold order).
+from datalakeingestionservice_spark.operators.similarity import (
+    cosine as _cosine,
+    dot as _dot,
+    ivf_assign,
+    lsh_bucket,
+)
+
+#: DuckDB-side double dot product of two float lists (sequential fold order) —
+#: mirrors operators.similarity.dot exactly.
 _DUCK_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}),"
     " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 )
-
-
-def _dot(a: str | Column, b: str | Column) -> Column:
-    """Spark-side double dot product via zip_with + aggregate (sequential fold)."""
-    prods = F.zip_with(
-        a, b, lambda x, y: x.cast("double") * y.cast("double")
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _cosine(a: str | Column, b: str | Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def _duck_cosine(a: str, b: str) -> str:
@@ -159,16 +155,7 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    cos = _cosine("embedding", "cv")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "label", "cid", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    assigned = ivf_assign(emb, centroids)
     return (
         assigned.groupBy("cid")
         .agg(
@@ -235,13 +222,9 @@ def q53_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic literals, so DuckDB reproduces the bucketing exactly."""
     env = Env(spark, sf_dir)
     emb = env.t("embeddings")
-    bucket: Column = F.lit(0).cast("long")
-    for i, row in enumerate(_hyperplanes()):
-        plane = F.array(*[F.lit(v) for v in row])
-        bit = (_dot("embedding", plane) >= 0).cast("long")
-        bucket = bucket + bit * (2**i)
     return (
-        emb.select("vec_id", bucket.alias("bucket"))
+        lsh_bucket(emb, _hyperplanes())
+        .select("vec_id", "bucket")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec"))
         .orderBy("bucket")

@@ -1,0 +1,123 @@
+"""Unit tests for the operators library (dedup / similarity / text)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    word_shingles,
+)
+from datalakeingestionservice_spark.operators.similarity import (
+    blocked_neardup,
+    cosine,
+    cosine_topk,
+    ivf_assign,
+    lsh_bucket,
+)
+from datalakeingestionservice_spark.operators.text import quality_score, token_stats
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "x"), (5, "y")], ["id", "k"]
+    )
+    out = exact_dedup(df, keys=["k"], tiebreaker="id")
+    assert {(r.k, r.id) for r in out.collect()} == {("x", 1), ("y", 5)}
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([("  Hello World ",), ("hello world",)], ["text"])
+    fps = [r.fingerprint for r in fingerprint(df, "text").collect()]
+    assert fps[0] == fps[1] and len(fps[0]) == 64
+
+
+def test_word_shingles_and_pruning(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y")], ["doc_id", "text"]
+    )
+    sh = word_shingles(df, "doc_id", "text", n=3)
+    got = {(r.doc_id, r.shingle) for r in sh.collect()}
+    assert got == {(1, "a b c"), (1, "b c d"), (2, "a b c"), (2, "b c e")}
+    # doc 3 has < 3 words -> no shingles; pruning drops 'a b c' (df=2) at freq 1:
+    pruned = word_shingles(df, "doc_id", "text", n=3, max_shingle_freq=1)
+    assert "a b c" not in {r.shingle for r in pruned.collect()}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    sh = word_shingles(df, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, threshold=0.0).collect()
+    # shingle sets: {abc, bcd} vs {abc, bce}: |inter|=1, |union|=3
+    assert len(pairs) == 1
+    assert pairs[0].doc_a == 1 and pairs[0].doc_b == 2
+    assert abs(pairs[0].jaccard - 1 / 3) < 1e-12
+
+
+def test_cosine_and_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], ["qv"])
+    top = cosine_topk(emb, q, k=2).collect()
+    assert [r.vec_id for r in top] == [1, 3]
+    assert abs(top[0].cos_sim - 1.0) < 1e-12
+    assert abs(top[1].cos_sim - 0.7071067811865475) < 1e-9
+
+
+def test_blocked_neardup_respects_blocks(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [1.0, 0.001], "a"),
+            (3, [1.0, 0.0], "b"),  # identical to 1 but different block
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    pairs = blocked_neardup(emb, block_col="label", threshold=0.99).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 2)}
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.9, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cid", "cv"]
+    )
+    got = {r.vec_id: r.cid for r in ivf_assign(emb, cents).collect()}
+    assert got == {10: 0, 11: 1, 12: 0}
+
+
+def test_lsh_bucket_identical_vectors_collide(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.8]), (2, [0.5, -0.2, 0.8]), (3, [-0.5, 0.2, -0.8])],
+        ["vec_id", "embedding"],
+    )
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    rows = {r.vec_id: r.bucket for r in lsh_bucket(emb, planes).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]  # opposite vector flips every sign bit
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    row = token_stats(df).collect()[0]
+    assert row.n_tokens == 6
+    assert row.n_unique_tokens == 5
+    assert row.stopword_ratio == pytest.approx(3 / 6, abs=1e-4)  # the, on, the
+    q = df.select(quality_score("text").alias("q")).collect()[0].q
+    assert 0.0 <= q <= 1.0
