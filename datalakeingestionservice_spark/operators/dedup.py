@@ -96,13 +96,27 @@ def word_shingles(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over shingle posting lists via inverted-index self-join.
 
     Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
     Only pairs sharing at least one shingle are ever considered.
+
+    Plan shape: the per-doc size table is broadcast back onto the candidate
+    pairs (one row per doc — KBs even at millions of docs). The posting list
+    feeds the self-join twice plus the size aggregate and Spark does not reuse
+    exchanges across aliased self-join branches; measured locally, recomputing
+    the explode+distinct subtree is cheaper than persisting it (cache
+    materialization is a barrier and cached plans bypass AQE), so `persist`
+    defaults off — flip it on when the shingle explode is the dominant cost
+    (large corpora, wide shingles).
     """
+    if persist:
+        shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shingles.alias("a"), shingles.alias("b")
     common = (
@@ -122,8 +136,8 @@ def jaccard_pairs(
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
     )
     return (
-        common.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
