@@ -22,6 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -119,4 +120,106 @@ def decode_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         batch_decode, schema=FEATURE_SCHEMA
+    )
+
+
+#: Output schema of the resize stage: payload out, target dims recorded.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage: binary in -> binary out at (width, height).
+
+    The stand-in "codec" derives a deterministic resized payload (sha256 of
+    payload + target dims, truncated to a dim-proportional length) so the
+    plumbing — binary-to-binary columnar transfer, output size scaling with
+    target dims — is exercised without Pillow. A real kernel swaps in via the
+    same signature.
+    """
+
+    def batch_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = max(8, (width * height) // 1024)
+        for pdf in batches:
+            ids, payloads = [], []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                seed = hashlib.sha256(raw + f"{width}x{height}".encode()).digest()
+                resized = (seed * (out_len // len(seed) + 1))[:out_len]
+                ids.append(item_id)
+                payloads.append(resized)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batch_resize, schema=RESIZE_SCHEMA
+    )
+
+
+#: Frame-sample output: one row per sampled frame (explode-shaped).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: 1 input row -> N frame
+    rows (every_n-th frame, capped at max_frames).
+
+    The stand-in treats the payload as a concatenation of fixed-size "frames"
+    (64-byte chunks); a real decoder (decord/ffmpeg) replaces the chunker
+    only. mapInPandas handles the 1->N fan-out natively — output batches need
+    not align with input rows.
+    """
+    frame_size = 64
+
+    def batch_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_sha": [], "frame_bytes": []}
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = max(len(raw) // frame_size, 1)
+                taken = 0
+                for idx in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    frame = raw[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(item_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+                    out["frame_bytes"].append(len(frame))
+                    taken += 1
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batch_sample, schema=FRAME_SCHEMA
     )

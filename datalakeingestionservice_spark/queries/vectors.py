@@ -294,3 +294,27 @@ def q55_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_features(blobs, id_col="doc_id", payload_col="payload").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — multimodal frame sampling (1 -> N fan-out through mapInPandas).
+# ---------------------------------------------------------------------------
+@register(
+    "q57_multimodal_frame_sample",
+    oracle=None,
+    tags=("multimodal", "pandas-udf", "video"),
+)
+def q57_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each binary payload fans out to every-10th
+    'frame' row (capped), via mapInPandas — output batches decoupled from
+    input rows. Chunker is the deterministic codec stand-in
+    (operators/multimodal.py); the fan-out plumbing is real."""
+    from datalakeingestionservice_spark.operators.multimodal import sample_frames
+
+    env = Env(spark, sf_dir)
+    blobs = env.t("documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames(blobs, every_n=2, max_frames=4).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -32,6 +32,7 @@ def test_driver_contract_shapes():
         "q22_approx_aggregates",
         "q46_minhash_lsh_neardup",
         "q55_multimodal_decode_features",
+        "q57_multimodal_frame_sample",
     }
 
 
