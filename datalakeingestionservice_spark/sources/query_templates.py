@@ -50,15 +50,22 @@ register_query_template(
 register_query_template(
     "HR_PKG.GET_EMPLOYEE_DATA",
     # dataset-hr-oracle.json params p_department_id (0 = all), p_active_only.
-    # customer plays the employee table (FIXTURES.md F2 mapping).
+    # customer plays the employee table (FIXTURES.md F2 mapping); column names
+    # match the dataset's requiredColumns contract (EMPLOYEE_ID, EMAIL,
+    # HIRE_DATE — dataset-hr-oracle.json:38) so the reference config's
+    # DataValidation step passes unmodified.
     """
-    SELECT c_custkey     AS employee_id,
-           c_name        AS full_name,
-           c_nationkey   AS department_id,
-           c_mktsegment  AS segment,
-           round(c_acctbal, 2) AS balance
+    SELECT c_custkey     AS EMPLOYEE_ID,
+           c_name        AS FULL_NAME,
+           lower(replace(c_name, '#', '')) || '@corp.example.com' AS EMAIL,
+           timestampadd(DAY, CAST(c_custkey % 3650 AS INT),
+                        TIMESTAMP '2010-01-01 00:00:00') AS HIRE_DATE,
+           c_nationkey   AS DEPARTMENT_ID,
+           CASE WHEN c_acctbal >= 0 THEN 'Y' ELSE 'N' END AS ACTIVE_FLAG,
+           round(c_acctbal, 2) AS BALANCE
     FROM customer
     WHERE (:p_department_id = 0 OR c_nationkey = :p_department_id)
-    ORDER BY employee_id
+      AND (:p_active_only <> 'Y' OR c_acctbal >= 0)
+    ORDER BY EMPLOYEE_ID
     """,
 )

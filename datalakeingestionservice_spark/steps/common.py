@@ -75,7 +75,10 @@ class DataValidationStep(BaseStep):
 
     def apply(self, df: DataFrame) -> DataFrame:
         required = self.config.get("requiredColumns") or []
-        missing = [c for c in required if c not in df.columns]
+        # Case-insensitive like the reference (.NET DataColumnCollection
+        # lookups ignore case).
+        present = {c.lower() for c in df.columns}
+        missing = [c for c in required if c.lower() not in present]
         if missing:
             raise SchemaValidationError(
                 f"Required columns missing: {missing}; present: {df.columns}"

@@ -52,7 +52,7 @@ def test_package_template_case_insensitive(spark, sf_dir):
         parameters={"p_department_id": "0", "p_active_only": "Y"},
     )
     df = extract(spark, src)
-    assert df.columns[0] == "employee_id"
+    assert df.columns[0] == "EMPLOYEE_ID"
     assert df.count() > 0
 
 
