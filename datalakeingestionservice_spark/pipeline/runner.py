@@ -36,7 +36,10 @@ from datalakeingestionservice_spark.pipeline.transform import apply_transformati
 from datalakeingestionservice_spark.session import prepare_session
 from datalakeingestionservice_spark.sinks.ctl import generate_ctl, write_ctl
 from datalakeingestionservice_spark.sinks.parquet_sink import write_parquet
-from datalakeingestionservice_spark.sinks.publish import publish_directory
+from datalakeingestionservice_spark.sinks.publish import (
+    publish_directory,
+    with_retry,
+)
 from datalakeingestionservice_spark.sources.registry import extract
 
 logger = logging.getLogger(__name__)
@@ -138,13 +141,19 @@ def run_dataset(
         # --- stage 5: atomic publish ----------------------------------------
         t0 = time.perf_counter()
         try:
-            published = publish_directory(
+            publish = lambda: publish_directory(  # noqa: E731
                 staging,
                 final_dir,
                 overwrite=config.upload.overwrite_existing,
                 keep_local_copy=config.upload.keep_local_copy,
                 local_copy_path=config.upload.local_copy_path,
             )
+            if config.upload.enable_retry:
+                published = with_retry(
+                    publish, max_retries=config.upload.max_retries
+                )
+            else:
+                published = publish()
             ctx.output_dir = published
             ctx.ctl_path = os.path.join(
                 published, os.path.basename(ctx.ctl_path)

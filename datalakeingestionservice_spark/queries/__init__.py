@@ -22,6 +22,7 @@ from datalakeingestionservice_spark.queries import text as _text  # noqa: E402,F
 from datalakeingestionservice_spark.queries import vectors as _vectors  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import ingest as _ingest  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import timeseries as _timeseries  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import collections as _collections  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

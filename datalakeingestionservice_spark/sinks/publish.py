@@ -24,6 +24,31 @@ class PublishError(Exception):
     pass
 
 
+def with_retry(fn, max_retries: int = 3, backoff_seconds: float = 0.5):
+    """Bounded-retry wrapper for transient destination failures.
+
+    The reference declares `enableRetry`/`maxRetries` config but ships no
+    retry loop (SURVEY.md section 4.1); here the declared contract is honored.
+    Retries only OSError-family failures (transient I/O); logic errors
+    (PublishError on existing destination) fail immediately.
+    """
+    import time
+
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except OSError as exc:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            logger.warning(
+                "publish attempt %d/%d failed (%s); retrying",
+                attempt, max_retries, exc,
+            )
+            time.sleep(backoff_seconds * (2 ** (attempt - 1)))
+
+
 def publish_directory(
     staging_dir: str,
     final_dir: str,
