@@ -23,6 +23,7 @@ from datalakeingestionservice_spark.queries import vectors as _vectors  # noqa: 
 from datalakeingestionservice_spark.queries import ingest as _ingest  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import timeseries as _timeseries  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import collections as _collections  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import ml as _ml  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",
