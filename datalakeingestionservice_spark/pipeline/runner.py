@@ -34,7 +34,17 @@ from datalakeingestionservice_spark.pipeline.context import (
 )
 from datalakeingestionservice_spark.pipeline.transform import apply_transformations
 from datalakeingestionservice_spark.session import prepare_session
-from datalakeingestionservice_spark.sinks.ctl import generate_ctl, write_ctl
+from datalakeingestionservice_spark.sinks.ctl import (
+    combined_checksum_distributed,
+    generate_ctl,
+    write_ctl,
+    write_ctl_hadoop,
+)
+from datalakeingestionservice_spark.sinks.destinations import (
+    DestinationError,
+    is_remote,
+    resolve_destination,
+)
 from datalakeingestionservice_spark.sinks.parquet_sink import write_parquet
 from datalakeingestionservice_spark.sinks.publish import (
     publish_directory,
@@ -80,20 +90,37 @@ def run_dataset(
     ctx.metrics.append(StageMetrics("PlanBuild", time.perf_counter() - t0))
 
     rows = None
+    remote = False
     if not ctx.has_critical:
-        # --- stage 3: the single action — write parquet to staging ----------
-        base = config.upload.base_path or "/tmp/dlis-output"
-        rel = config.upload.relative_path.strip("/").replace("\\", "/")
+        # --- stage 3: the single action — write parquet ----------------------
+        # Local destinations stage + atomically rename; remote (abfss/s3a/...)
+        # destinations are written directly — object stores have no atomic
+        # rename, the committer provides task-level atomicity and the CTL file
+        # marks run-level completion (readers gate on its presence).
+        try:
+            base = resolve_destination(config.upload)
+        except DestinationError as exc:
+            ctx.add_error("Upload", ErrorSeverity.CRITICAL, str(exc), exc)
+            base = None
+    if not ctx.has_critical:
+        remote = is_remote(base)
         file_name = render_file_name(
             config.parquet.file_name_pattern, config.dataset_id, now
         ).removesuffix(".parquet")
-        final_dir = os.path.join(base, rel, file_name)
-        staging = os.path.join(
-            staging_root or os.path.join(base, ".staging"),
-            f"{config.dataset_id}-{uuid.uuid4().hex[:8]}",
-        )
+        if remote:
+            final_dir = f"{base.rstrip('/')}/{file_name}"
+            staging = final_dir  # direct write
+        else:
+            final_dir = os.path.join(base, file_name)
+            staging = os.path.join(
+                staging_root or os.path.join(config.upload.base_path or base, ".staging"),
+                f"{config.dataset_id}-{uuid.uuid4().hex[:8]}",
+            )
         t0 = time.perf_counter()
         try:
+            write_mode = "overwrite"
+            if remote and not config.upload.overwrite_existing:
+                write_mode = "errorifexists"
             write_result = write_parquet(
                 ctx.df,
                 staging,
@@ -102,6 +129,7 @@ def run_dataset(
                 enable_statistics=config.parquet.enable_statistics,
                 single_file=config.parquet.single_file,
                 partition_by=config.parquet.partition_by or None,
+                mode=write_mode,
             )
             rows = write_result.rows
             ctx.metrics.append(
@@ -120,46 +148,63 @@ def run_dataset(
         # --- stage 4: CTL from commit metadata -------------------------------
         t0 = time.perf_counter()
         try:
+            checksum = None
+            if remote:
+                # Executors hash the committed files; bytes never hit the driver.
+                checksum = combined_checksum_distributed(
+                    spark, write_result.files
+                )
             record = generate_ctl(
                 dataset_id=config.dataset_id,
                 source=config.source.type,
                 record_count=write_result.rows,
                 files=write_result.files,
                 now=now,
+                checksum=checksum,
             )
             # Underscore prefix: Spark/Hadoop readers ignore `_*` files, so the
             # control file can live beside the part-files it describes.
-            ctl_path = write_ctl(
-                record, os.path.join(staging, f"_{record.dataset_name}.ctl")
-            )
-            ctx.ctl_path = ctl_path
+            if remote:
+                ctx.ctl_path = write_ctl_hadoop(
+                    spark,
+                    record,
+                    f"{staging.rstrip('/')}/_{record.dataset_name}.ctl",
+                )
+            else:
+                ctx.ctl_path = write_ctl(
+                    record, os.path.join(staging, f"_{record.dataset_name}.ctl")
+                )
         except Exception as exc:
             ctx.add_error("CtlGeneration", ErrorSeverity.CRITICAL, str(exc), exc)
         ctx.metrics.append(StageMetrics("CtlGeneration", time.perf_counter() - t0))
 
     if not ctx.has_critical:
-        # --- stage 5: atomic publish ----------------------------------------
+        # --- stage 5: atomic publish (local only; remote wrote in place and
+        # the CTL's existence is the completion marker) ------------------------
         t0 = time.perf_counter()
-        try:
-            publish = lambda: publish_directory(  # noqa: E731
-                staging,
-                final_dir,
-                overwrite=config.upload.overwrite_existing,
-                keep_local_copy=config.upload.keep_local_copy,
-                local_copy_path=config.upload.local_copy_path,
-            )
-            if config.upload.enable_retry:
-                published = with_retry(
-                    publish, max_retries=config.upload.max_retries
+        if remote:
+            ctx.output_dir = final_dir
+        else:
+            try:
+                publish = lambda: publish_directory(  # noqa: E731
+                    staging,
+                    final_dir,
+                    overwrite=config.upload.overwrite_existing,
+                    keep_local_copy=config.upload.keep_local_copy,
+                    local_copy_path=config.upload.local_copy_path,
                 )
-            else:
-                published = publish()
-            ctx.output_dir = published
-            ctx.ctl_path = os.path.join(
-                published, os.path.basename(ctx.ctl_path)
-            )
-        except Exception as exc:
-            ctx.add_error("Upload", ErrorSeverity.CRITICAL, str(exc), exc)
+                if config.upload.enable_retry:
+                    published = with_retry(
+                        publish, max_retries=config.upload.max_retries
+                    )
+                else:
+                    published = publish()
+                ctx.output_dir = published
+                ctx.ctl_path = os.path.join(
+                    published, os.path.basename(ctx.ctl_path)
+                )
+            except Exception as exc:
+                ctx.add_error("Upload", ErrorSeverity.CRITICAL, str(exc), exc)
         ctx.metrics.append(StageMetrics("Publish", time.perf_counter() - t0))
 
     success = not ctx.has_critical

@@ -77,6 +77,29 @@ def combined_checksum(files: list[str]) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
+def combined_checksum_distributed(spark, files: list[str]) -> str:
+    """Remote twin of `combined_checksum`: per-file sha256 computed by
+    executors via the binaryFile source (file bytes never pass the driver),
+    then combined exactly like the local path. One row per part-file comes
+    back to the driver — KBs at any data scale."""
+    if not files:
+        return hashlib.sha256(b"").hexdigest()
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.format("binaryFile")
+        .load(files)
+        .select("path", F.sha2("content", 256).alias("sha"))
+        .collect()
+    )
+    if len(rows) == 1:
+        return rows[0].sha
+    lines = sorted(
+        f"{os.path.basename(r.path)}:{r.sha}" for r in rows
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
 def generate_ctl(
     dataset_id: str,
     source: str,
@@ -84,13 +107,14 @@ def generate_ctl(
     files: list[str],
     ref_date: datetime | None = None,
     now: datetime | None = None,
+    checksum: str | None = None,
 ) -> CtlRecord:
     now = now or datetime.now(timezone.utc)
     ref = ref_date or now
     return CtlRecord(
         record_count=record_count,
         ref_date=ref.strftime("%Y-%m-%dT%H:%M:%S"),
-        checksum=combined_checksum(files),
+        checksum=checksum if checksum is not None else combined_checksum(files),
         timestamp=now.strftime("%Y-%m-%dT%H:%M:%S"),
         dataset_name=f"{dataset_id}_{now.strftime('%Y%m%d%H%M%S')}",
         source=source,
@@ -105,3 +129,20 @@ def write_ctl(record: CtlRecord, path: str) -> str:
         fh.write(record.to_csv())
     os.replace(tmp, path)  # atomic, like the reference's temp+move (A13)
     return path
+
+
+def write_ctl_hadoop(spark, record: CtlRecord, uri: str) -> str:
+    """Write the control file to any Hadoop-filesystem URI (abfss://, s3a://,
+    hdfs://, file://) via the JVM FileSystem API — the remote-destination
+    twin of `write_ctl`. The CTL is bytes-small, so a driver-side stream
+    write is correct at any scale."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(conf)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(record.to_csv().encode("utf-8")))
+    finally:
+        out.close()
+    return uri

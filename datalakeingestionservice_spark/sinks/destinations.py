@@ -53,10 +53,23 @@ def _s3_base(upload: UploadConfig) -> str:
     return f"{uri}/{rel}" if rel else uri
 
 
+def _hadoop_base(upload: UploadConfig) -> str:
+    """Generic Hadoop-FS destination: basePath is a full URI of any scheme
+    Spark's Hadoop conf knows (hdfs://, file://, gs://, ...)."""
+    if "://" not in (upload.base_path or ""):
+        raise DestinationError(
+            "Hadoop provider requires a full URI basePath (scheme://...)"
+        )
+    rel = (upload.relative_path or "").strip("/").replace("\\", "/")
+    base = upload.base_path.rstrip("/")
+    return f"{base}/{rel}" if rel else base
+
+
 DESTINATION_REGISTRY: dict[str, Callable[[UploadConfig], str]] = {
     "filesystem": _filesystem_base,
     "azureblob": _azure_blob_base,
     "s3": _s3_base,
+    "hadoop": _hadoop_base,
 }
 
 

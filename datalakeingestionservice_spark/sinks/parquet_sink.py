@@ -83,10 +83,32 @@ def write_parquet(
     writer.parquet(path)
 
     rows = int(observation.get["rows"])
-    files = sorted(
-        f
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    )
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    if "://" in path:
+        listed = _hadoop_list_parquet(df.sparkSession, path)
+        files = sorted(p for p, _ in listed)
+        total_bytes = sum(size for _, size in listed)
+    else:
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        )
+        total_bytes = sum(os.path.getsize(f) for f in files)
     return WriteResult(path=path, rows=rows, files=files, total_bytes=total_bytes)
+
+
+def _hadoop_list_parquet(spark, directory: str) -> list[tuple[str, int]]:
+    """Recursive (path, size) listing of *.parquet under a Hadoop FS URI —
+    the remote twin of the local glob (works for abfss/s3a/hdfs/file)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = root.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        if p.endswith(".parquet"):
+            out.append((p, int(status.getLen())))
+    return out

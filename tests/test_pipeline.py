@@ -109,6 +109,47 @@ def test_run_dataset_unknown_source_is_critical(spark, tmp_path):
     assert "Unsupported source type" in result.errors[0].message
 
 
+def test_run_dataset_remote_destination_direct_write(spark, sf_dir, tmp_path):
+    """Remote (URI) destinations: direct write, executor-side checksums,
+    Hadoop-FS CTL — exercised via file:// (same code path as abfss/s3a)."""
+    register_views(spark, sf_dir)
+    cfg = _load_fixture(tmp_path)
+    cfg.upload.provider = "Hadoop"
+    cfg.upload.base_path = f"file://{tmp_path}/remote-lake"
+    cfg.upload.relative_path = "trades/daily"
+
+    result = run_dataset(spark, cfg, environment="Development")
+    assert result.success, [e.message for e in result.errors]
+    assert result.output_dir.startswith("file://")
+
+    out = spark.read.parquet(result.output_dir)
+    assert out.count() == result.rows and result.rows > 0
+
+    local_dir = result.output_dir.removeprefix("file://")
+    parts = [f for f in os.listdir(local_dir) if f.endswith(".parquet")]
+    ctls = [f for f in os.listdir(local_dir) if f.endswith(".ctl")]
+    assert len(parts) == 1 and len(ctls) == 1
+    header, row = open(os.path.join(local_dir, ctls[0])).read().strip().split("\n")
+    fields = row.split(",")
+    assert int(fields[0]) == result.rows
+    # Distributed checksum == local sha256 of the single part file:
+    part_sha = hashlib.sha256(
+        open(os.path.join(local_dir, parts[0]), "rb").read()
+    ).hexdigest()
+    assert fields[2] == part_sha
+
+    # errorifexists honored when overwrite is off:
+    from datetime import datetime, timezone
+
+    cfg.upload.overwrite_existing = False
+    now = datetime(2026, 2, 2, tzinfo=timezone.utc)
+    first = run_dataset(spark, cfg, environment="Development", now=now)
+    assert first.success
+    again = run_dataset(spark, cfg, environment="Development", now=now)
+    assert not again.success
+    assert again.errors[0].stage == "ParquetGeneration"
+
+
 def test_combined_checksum_multi_part(tmp_path):
     a = tmp_path / "part-0.parquet"
     b = tmp_path / "part-1.parquet"
