@@ -121,3 +121,24 @@ def test_token_stats_and_quality(spark):
     assert row.stopword_ratio == pytest.approx(3 / 6, abs=1e-4)  # the, on, the
     q = df.select(quality_score("text").alias("q")).collect()[0].q
     assert 0.0 <= q <= 1.0
+
+
+def test_connected_components_chain_and_isolated(spark):
+    from datalakeingestionservice_spark.operators.graph import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+        ["doc_id", "text"],
+    )
+    surv = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+    assert surv == {1, 10, 20, 99}  # component reps + untouched node
