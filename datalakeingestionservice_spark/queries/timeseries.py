@@ -139,6 +139,107 @@ def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q72 — gap filling: last observation carried forward (IGNORE NULLS window).
+# ---------------------------------------------------------------------------
+@register(
+    "q72_gap_fill_locf",
+    tags=("timeseries", "window", "ignore-nulls"),
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+  FROM events
+),
+filled AS (
+  SELECT user_id, event_id,
+         purchase_value,
+         last_value(purchase_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+  FROM sparse
+)
+SELECT user_id,
+       count(*) AS n_events,
+       count(purchase_value) AS n_purchases,
+       round(sum(coalesce(last_purchase_value, 0.0)), 2) AS locf_sum
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q72_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: sparse purchase values propagated
+    over every subsequent event with last_value(... IGNORE NULLS) — the
+    canonical time-series gap-fill, one window shuffle."""
+    env = Env(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    sparse = env.t("events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = sparse.withColumn(
+        "last_purchase_value",
+        F.last("purchase_value", ignorenulls=True).over(w),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("purchase_value").alias("n_purchases"),
+            F.round(
+                F.sum(F.coalesce("last_purchase_value", F.lit(0.0))), 2
+            ).alias("locf_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — edit-distance similarity (levenshtein).
+# ---------------------------------------------------------------------------
+@register(
+    "q73_levenshtein",
+    tags=("string", "similarity", "scalar"),
+    oracle="""
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       levenshtein(a.s_name, b.s_name) AS edit_dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+ORDER BY supp_a, supp_b
+""",
+)
+def q73_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical supplier names by edit distance — the string-similarity
+    scalar (exact integer parity across engines). Pairwise here (small dim
+    table); at scale the same scalar runs on LSH/blocking candidates only."""
+    env = Env(spark, sf_dir)
+    supp = env.t("supplier")
+    a, b = supp.alias("a"), supp.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .filter(dist <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("supp_a", "supp_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q56 — salted aggregation (skew-resilient two-phase sum).
 # ---------------------------------------------------------------------------
 @register(

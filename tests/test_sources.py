@@ -79,3 +79,24 @@ def test_register_custom_template(spark, sf_dir):
         procedure_name="DBO.SP_REGIONCOUNT",
     )
     assert extract(spark, src).collect()[0].n > 0
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    (tmp_path / "data.csv").write_text("id,name\n1,alpha\n2,beta\n")
+    src = SourceConfig(type="Csv", path=str(tmp_path / "data.csv"))
+    rows = {r.id: r.name for r in extract(spark, src).collect()}
+    assert rows == {1: "alpha", 2: "beta"}
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    (tmp_path / "data.json").write_text(
+        '{"id": 1, "v": 1.5}\n{"id": 2, "v": 2.5}\n'
+    )
+    src = SourceConfig(type="Json", path=str(tmp_path / "data.json"))
+    rows = {r.id: r.v for r in extract(spark, src).collect()}
+    assert rows == {1: 1.5, 2: 2.5}
+
+
+def test_jdbc_source_requires_url(spark):
+    with pytest.raises(SourceError, match="url"):
+        extract(spark, SourceConfig(type="Jdbc", parameters={}))
