@@ -25,6 +25,7 @@ from datalakeingestionservice_spark.queries import timeseries as _timeseries  # 
 from datalakeingestionservice_spark.queries import collections as _collections  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import ml as _ml  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import graph as _graph  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import misc as _misc  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

@@ -1,0 +1,162 @@
+"""Remaining SQL-surface corners: interval RANGE frames, null-safe semantics,
+conditional/boolean aggregates, unpivot."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.catalog import Env
+from datalakeingestionservice_spark.queries.registry import register
+
+
+# ---------------------------------------------------------------------------
+# q74 — time-interval RANGE window (rolling 1-hour activity).
+# ---------------------------------------------------------------------------
+@register(
+    "q74_rolling_time_window",
+    tags=("window", "range", "timeseries"),
+    oracle="""
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS events_last_hour,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+         AS value_last_hour
+FROM events
+WHERE user_id < 30
+ORDER BY user_id, event_id
+""",
+)
+def q74_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour window via a time-interval RANGE frame — the
+    sliding aggregate without self-joins or window explosion."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        SELECT user_id, event_id,
+               count(*) OVER w AS events_last_hour,
+               round(sum(value) OVER w, 2) AS value_last_hour
+        FROM events
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — null-safe equality + try_cast + conditional/boolean aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "q75_null_semantics",
+    tags=("null", "scalar", "agg"),
+    oracle="""
+WITH flagged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS status_n,
+         TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'oops'
+                       ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS maybe_key
+  FROM orders WHERE o_orderkey <= 1000
+)
+SELECT status_n,
+       count(*) AS n,
+       count(maybe_key) AS n_castable,
+       count_if(maybe_key IS NULL) AS n_uncastable,
+       bool_and(o_orderkey > 0) AS all_positive,
+       bool_or(o_orderkey > 990) AS any_large
+FROM flagged JOIN orders USING (o_orderkey)
+GROUP BY status_n
+ORDER BY status_n NULLS FIRST
+""",
+)
+def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast (error -> NULL, never job failure), grouping by a nullable
+    key, count_if / bool_and / bool_or aggregates."""
+    env = Env(spark, sf_dir)
+    flagged = (
+        env.t("orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status_n"),
+            F.try_to_number(
+                F.when(F.col("o_orderkey") % 5 == 0, F.lit("oops")).otherwise(
+                    F.col("o_orderkey").cast("string")
+                ),
+                F.lit("999999999999"),
+            )
+            .cast("bigint")
+            .alias("maybe_key"),
+        )
+    )
+    return (
+        flagged.join(env.t("orders"), "o_orderkey")
+        .groupBy("status_n")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("maybe_key").alias("n_castable"),
+            F.count_if(F.col("maybe_key").isNull()).alias("n_uncastable"),
+            F.bool_and(F.col("o_orderkey") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderkey") > 990).alias("any_large"),
+        )
+        .orderBy(F.col("status_n").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — unpivot (wide -> long).
+# ---------------------------------------------------------------------------
+@register(
+    "q76_unpivot",
+    tags=("unpivot", "reshape"),
+    oracle="""
+WITH wide AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS pending
+  FROM orders GROUP BY 1
+)
+SELECT yr, status, total FROM (
+  SELECT yr, 'filled' AS status, filled AS total FROM wide
+  UNION ALL SELECT yr, 'open_', open_ FROM wide
+  UNION ALL SELECT yr, 'pending', pending FROM wide
+)
+ORDER BY yr, status
+""",
+)
+def q76_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape with the native unpivot operator (single pass, no
+    N-way self-union)."""
+    env = Env(spark, sf_dir)
+
+    def status_sum(status: str) -> F.Column:
+        return F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == status, F.col("o_totalprice")
+                ).otherwise(0.0)
+            ),
+            2,
+        )
+
+    wide = (
+        env.t("orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            status_sum("F").alias("filled"),
+            status_sum("O").alias("open_"),
+            status_sum("P").alias("pending"),
+        )
+    )
+    return (
+        wide.unpivot(
+            "yr", ["filled", "open_", "pending"], "status", "total"
+        )
+        .orderBy("yr", "status")
+    )

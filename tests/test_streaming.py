@@ -93,3 +93,40 @@ def test_stream_ingest_sink_commits_parquet_and_ctl(spark, events_dir, tmp_path)
     n_rows = int(row.split(",")[0])
     assert n_rows == spark.read.parquet(batch_dir).count()
     assert row.split(",")[5] == "Stream"
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, events_dir, tmp_path):
+    """Stream-static join: each micro-batch joins the latest static dim —
+    the streaming lookup-enrichment pattern (reference A22, streaming form)."""
+    from pyspark.sql import functions as F
+
+    user_dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).alias("cohort"),
+    )
+    stream = (
+        read_events_stream(spark, events_dir)
+        .join(user_dim, "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt-enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.cohort: (r.n, r.v) for r in spark.sql("SELECT * FROM enrich_test").collect()}
+
+    from datalakeingestionservice_spark.catalog import table
+    batch = (
+        table(spark, sf_dir, "events")
+        .join(user_dim, "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    expected = {r.cohort: (r.n, r.v) for r in batch.collect()}
+    assert got == expected
