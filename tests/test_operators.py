@@ -142,3 +142,37 @@ def test_connected_components_chain_and_isolated(spark):
     )
     surv = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
     assert surv == {1, 10, 20, 99}  # component reps + untouched node
+
+
+def test_quality_expectations_and_audits(spark):
+    from datalakeingestionservice_spark.operators.quality import (
+        check_expectations,
+        check_referential,
+        check_unique_key,
+        expect_not_null,
+        expect_range,
+        profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 3.0), (4, None)], ["k", "v"]
+    )
+    checks = {
+        r.expectation: r.n_violations
+        for r in check_expectations(
+            df, [expect_not_null("v"), expect_range("v", 0.0, 100.0)]
+        ).collect()
+    }
+    assert checks["not_null(v)"] == 1
+    assert checks["range(v,0.0,100.0)"] == 2  # -5.0 and the NULL
+
+    uniq = check_unique_key(df, ["k"]).collect()[0]
+    assert (uniq.n_keys, uniq.n_duplicate_keys, uniq.n_excess_rows) == (3, 1, 1)
+
+    parent = spark.createDataFrame([(1,), (2,)], ["k"])
+    fk = check_referential(df, parent, "k", "k").collect()[0]
+    assert (fk.n_child_rows, fk.n_orphans) == (4, 1)
+
+    prof = {r.column: r for r in profile(df).collect()}
+    assert prof["v"].n_nulls == 1
+    assert prof["v"].min_value == "-5.0" and prof["v"].max_value == "10.0"
