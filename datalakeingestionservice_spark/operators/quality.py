@@ -87,7 +87,8 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
         row.select(
             F.lit(e.name).alias("expectation"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__v_{e.name}").alias("n_violations"),
+            # Backticks: expectation names may contain dots/parens.
+            F.col(f"`__v_{e.name}`").alias("n_violations"),
         )
         for e in expectations
     ]
