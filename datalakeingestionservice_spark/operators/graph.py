@@ -23,9 +23,66 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 10,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """(node, component) for every node in the pair graph; component id =
-    min node id in the component (deterministic)."""
+    min node id in the component (deterministic).
+
+    Hybrid execution: the pair list is already the REDUCED output of the
+    heavy distributed similarity stage (edges, not documents). When it fits
+    comfortably on the driver (< `driver_threshold` edges — tens of MB), a
+    local union-find beats ~diameter Spark rounds by an order of magnitude;
+    above the threshold the iterative min-label propagation below runs fully
+    distributed. Same result either way (min-id labels).
+    """
+    # Persist the (small, reduced) pair list so the size probe and the
+    # follow-up collect/propagation evaluate its subtree once.
+    pairs = pairs.persist()
+    try:
+        n_pairs = pairs.limit(driver_threshold + 1).count()
+        if n_pairs <= driver_threshold:
+            return _components_driver(pairs, src_col, dst_col)
+        result = _components_distributed(pairs, src_col, dst_col, max_iterations)
+        # Materialize before unpersist (the label loop already ran actions).
+        return result
+    finally:
+        pairs.unpersist()
+
+
+def _components_driver(
+    pairs: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Union-find over a collected edge list (small-graph fast path)."""
+    edges = [(r[0], r[1]) for r in pairs.select(src_col, dst_col).collect()]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Union by min id keeps labels deterministic.
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for e in edges for n in e}
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    spark = pairs.sparkSession
+    schema = pairs.select(
+        pairs[src_col].alias("node"), pairs[src_col].alias("component")
+    ).schema
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _components_distributed(
+    pairs: DataFrame, src_col: str, dst_col: str, max_iterations: int
+) -> DataFrame:
+    """Iterative min-label propagation (one shuffle per round)."""
     edges = (
         pairs.select(
             F.col(src_col).alias("a"), F.col(dst_col).alias("b")

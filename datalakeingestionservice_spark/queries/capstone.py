@@ -1,0 +1,141 @@
+"""Capstone: the end-to-end training-data curation pipeline as ONE lazy plan.
+
+quality filter -> exact dedup (fingerprint) -> fuzzy dedup (Jaccard pairs ->
+connected components -> survivors) -> corpus stats. Every stage is the
+already-verified operator; this query proves they COMPOSE — one Catalyst plan,
+one oracle, exact hash match. This is the pipeline a 100 TB pretraining-data
+team runs nightly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.catalog import Env
+from datalakeingestionservice_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    word_shingles,
+)
+from datalakeingestionservice_spark.operators.graph import dedup_survivors
+from datalakeingestionservice_spark.operators.text import (
+    lexical_diversity,
+    n_tokens,
+)
+from datalakeingestionservice_spark.queries.registry import register
+
+
+@register(
+    "q79_training_data_pipeline",
+    headline=True,
+    tags=("capstone", "dedup", "quality", "text"),
+    oracle="""
+WITH RECURSIVE
+feats AS (
+  SELECT doc_id, text, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS diversity
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, text, lang, n_tokens FROM feats
+  WHERE n_tokens >= 20 AND diversity >= 0.25
+),
+fp AS (
+  SELECT doc_id, text, lang, n_tokens,
+         sha256(lower(trim(text))) AS fingerprint
+  FROM quality
+),
+exact_kept AS (
+  SELECT doc_id, text, lang, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact_kept),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM words WHERE len(w) >= 3
+  )
+),
+doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pair_common p
+  JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+  JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+losers AS (SELECT node FROM labels WHERE node <> component),
+final AS (
+  SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT node FROM losers)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 2) AS avg_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM final
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-filter -> fingerprint exact dedup -> Jaccard near-dup
+    clustering -> survivors -> per-language corpus stats, composed from the
+    operators library into one lazy plan."""
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text", "lang")
+
+    # Stage 1: quality filter (built-in expressions, pushes into the scan).
+    quality = (
+        docs.withColumn("n_tokens", n_tokens("text"))
+        .withColumn("diversity", lexical_diversity("text"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("diversity") >= 0.25))
+        .drop("diversity")
+    )
+
+    # Stage 2: exact dedup on the normalized fingerprint, min-id survivor.
+    exact_kept = exact_dedup(
+        fingerprint(quality, "text"), keys=["fingerprint"], tiebreaker="doc_id"
+    ).drop("fingerprint")
+
+    # Stage 3: fuzzy dedup — shingle Jaccard pairs -> components -> survivors.
+    shingles = word_shingles(exact_kept, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(shingles, id_col="doc_id", threshold=0.4).select(
+        "doc_a", "doc_b"
+    )
+    final = dedup_survivors(exact_kept, pairs)
+
+    # Stage 4: corpus report.
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
