@@ -15,19 +15,20 @@ from datalakeingestionservice_spark.sinks.parquet_sink import write_parquet
 
 
 @pytest.fixture(scope="module")
-def warehouse_spark(tmp_path_factory):
-    """Session with a disposable warehouse for saveAsTable."""
-    from datalakeingestionservice_spark.session import build_session
+def warehouse_spark(spark):
+    """The shared session, with any leftover test tables fully removed.
 
-    wh = tmp_path_factory.mktemp("warehouse")
-    spark = build_session(
-        "layout-tests",
-        extra_confs={
-            "spark.sql.warehouse.dir": str(wh),
-            "spark.ui.enabled": "false",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    (A second build_session can't set its own warehouse dir — getOrCreate
+    returns the existing singleton — so clean the default warehouse instead:
+    drop the catalog entries AND their directories; a location surviving
+    without its catalog entry fails saveAsTable with LOCATION_ALREADY_EXISTS.)
+    """
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for table in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
     yield spark
 
 
