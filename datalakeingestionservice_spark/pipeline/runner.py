@@ -91,6 +91,7 @@ def run_dataset(
 
     rows = None
     remote = False
+    staging = None
     if not ctx.has_critical:
         # --- stage 3: the single action — write parquet ----------------------
         # Local destinations stage + atomically rename; remote (abfss/s3a/...)
@@ -208,6 +209,12 @@ def run_dataset(
         ctx.metrics.append(StageMetrics("Publish", time.perf_counter() - t0))
 
     success = not ctx.has_critical
+    if not success and staging and not remote and os.path.isdir(staging):
+        # Failed run: remove staging residue (reference cleans its temp file
+        # on failure too — FileSystemUploadProvider.cs:99-104).
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     if not success:
         logger.error(
             "dataset %s failed: %s",

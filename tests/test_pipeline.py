@@ -164,3 +164,25 @@ def test_combined_checksum_multi_part(tmp_path):
     assert combined_checksum([str(b), str(a)]) == expected
     # Single file degrades to the file's own sha256 (reference parity):
     assert combined_checksum([str(a)]) == hashlib.sha256(b"aaa").hexdigest()
+
+
+def test_failed_publish_cleans_staging(spark, sf_dir, tmp_path):
+    """CTL written, then publish fails (destination exists, overwrite off):
+    staging residue must be removed (reference temp-cleanup parity)."""
+    from datetime import datetime, timezone
+
+    register_views(spark, sf_dir)
+    now = datetime(2026, 3, 3, tzinfo=timezone.utc)
+    cfg = _load_fixture(tmp_path)
+    staging_root = str(tmp_path / "stage")
+    first = run_dataset(
+        spark, cfg, environment="Development", now=now, staging_root=staging_root
+    )
+    assert first.success
+    cfg2 = _load_fixture(tmp_path)
+    cfg2.upload.overwrite_existing = False
+    second = run_dataset(
+        spark, cfg2, environment="Development", now=now, staging_root=staging_root
+    )
+    assert not second.success
+    assert os.listdir(staging_root) == []  # no leaked staging dirs
