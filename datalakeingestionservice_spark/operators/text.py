@@ -53,6 +53,46 @@ def quality_score(text_col: str = "text") -> Column:
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation op of an LLM data pipeline.
+
+    One row per chunk: (id, chunk_idx, chunk_text, n_chunk_tokens). Stride =
+    chunk_tokens - overlap_tokens; the final partial chunk is kept. Pure
+    higher-order array expressions (sequence + slice + explode): fan-out
+    happens executor-side with no Python, so a 100 TB corpus chunks at scan
+    speed.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    # Chunk start positions: 1, 1+stride, ... while start <= max(n - overlap, 1)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap_tokens), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(w, s, chunk_tokens)),
+    )
+    exploded = df.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).alias("n_chunk_tokens"),
+    )
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return df.select(
         id_col,

@@ -296,6 +296,46 @@ def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q84 — context-window chunking (overlapping token windows).
+# ---------------------------------------------------------------------------
+@register(
+    "q84_text_chunking",
+    tags=("text", "chunking", "llm"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200
+),
+starts AS (
+  SELECT doc_id, toks,
+         range(1, greatest(len(toks) - 16, 1) + 1, 48) AS start_list
+  FROM w
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, len(start_list))) AS chunk_idx,
+         unnest(list_transform(start_list,
+                               s -> array_to_string(toks[s:s+63], ' '))) AS chunk_text
+  FROM starts
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text,
+       len(string_split(chunk_text, ' ')) AS n_chunk_tokens
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q84_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap (stride 48) — the context-window
+    prep op; executor-side fan-out via sequence+slice+posexplode, no Python."""
+    from datalakeingestionservice_spark.operators.text import chunk_text
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").filter(F.col("doc_id") < 200)
+    return chunk_text(docs, chunk_tokens=64, overlap_tokens=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q47 — language-ID heuristic + confusion profile.
 # ---------------------------------------------------------------------------
 @register(

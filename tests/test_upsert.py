@@ -56,3 +56,22 @@ def test_merge_partition_filter_scopes_rewrite(spark, tmp_path):
     assert stats["after"] == 4
     rows = {r.id: r.name for r in spark.read.parquet(path).collect()}
     assert rows[1] == "A!" and rows[3] == "c" and rows[4] == "d"
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from datalakeingestionservice_spark.operators.compaction import compact
+
+    path = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(20).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    stats = compact(spark, path, target_file_bytes=10**9)  # everything -> 1 file
+    assert stats["compacted"] and stats["files_before"] == 20
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert {r.id for r in after.collect()} == set(range(10_000))
+
+    # Idempotent no-op below the threshold:
+    stats2 = compact(spark, path, target_file_bytes=10**9)
+    assert not stats2["compacted"] and stats2["files_after"] == 1
