@@ -47,10 +47,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:
-    """Register every table as a temp view for the ``spark.sql`` entry point."""
+    """Register every table as a temp view for the ``spark.sql`` entry point.
+
+    Idempotent per (session, sf_dir): repeat calls for the same lake dir skip
+    the re-read of 10 parquet footers (a session-conf tag tracks the dir, so
+    switching sf_dir still re-registers).
+    """
     prepare_session(spark)
+    tag_key = "spark.dlis.registeredViewsDir"
+    try:
+        if spark.conf.get(tag_key, None) == sf_dir:
+            return
+    except Exception:
+        pass
     for name in tables:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(tag_key, sf_dir)
 
 
 class Env:
