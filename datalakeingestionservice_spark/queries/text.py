@@ -296,6 +296,48 @@ def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q85 — BPE-style regex pre-tokenization (token counting beyond whitespace).
+# ---------------------------------------------------------------------------
+@register(
+    "q85_bpe_pretokenize",
+    tags=("text", "tokenize", "llm"),
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(list_distinct(regexp_extract_all(text,
+           ' ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS n_unique_bpe,
+       regexp_extract_all(text, ' ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^A-Za-z0-9 ]+')[3]
+         AS third_token
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def q85_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenization: the space-prefixed word/number/punct
+    regex split that precedes BPE merges — token counting that tracks real
+    tokenizer behavior far better than whitespace. Pure regexp_extract_all
+    (JVM regex), pattern restricted to the RE2-compatible subset so the
+    DuckDB oracle matches token-for-token."""
+    env = Env(spark, sf_dir)
+    pattern = " ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    toks = F.expr(f"regexp_extract_all(text, '{pattern}', 0)")
+    return (
+        env.t("documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_bpe_tokens"),
+            F.size(F.split("text", " ")).alias("n_ws_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+            F.element_at(toks, 3).alias("third_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q84 — context-window chunking (overlapping token windows).
 # ---------------------------------------------------------------------------
 @register(

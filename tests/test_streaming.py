@@ -130,3 +130,95 @@ def test_stream_static_join_enrichment(spark, sf_dir, events_dir, tmp_path):
     )
     expected = {r.cohort: (r.n, r.v) for r in batch.collect()}
     assert got == expected
+
+
+def test_stream_stream_join_within_time_bound(spark, sf_dir, events_dir, tmp_path):
+    """Stream-stream inner join: each signup joined to purchases by the same
+    user within 1h after it — watermarks on BOTH sides bound the join state."""
+    from pyspark.sql import functions as F
+
+    base = read_events_stream(spark, events_dir)
+    signups = (
+        base.filter("event_type = 'signup'")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("s_id"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, events_dir)
+        .filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.s_id, r.p_id) for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+
+    # Batch twin over the same data:
+    from datalakeingestionservice_spark.catalog import table
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter("event_type = 'signup'").selectExpr(
+        "user_id s_user", "ts s_ts", "event_id s_id"
+    )
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "ts p_ts", "event_id p_id"
+    )
+    expected = {
+        (r.s_id, r.p_id)
+        for r in s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids across micro-batch
+    retries are suppressed while state stays watermark-bounded."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        read_events_stream(spark, events_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dropdup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt-dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT count(*) n, count(DISTINCT event_id) d FROM dropdup_test"
+    ).collect()[0]
+    assert rows.n == rows.d  # no duplicate ids emitted
+    assert rows.n > 0
