@@ -1,0 +1,187 @@
+"""Oracle fuzzer: random engine-portable SQL, executed by BOTH Spark and
+DuckDB, results compared exactly.
+
+Hand-written queries cover the operators we thought of; the fuzzer sweeps the
+combinatorial space around them (predicate shapes x groupings x aggregates x
+ordering x limits) and catches expression-semantics drift between engines.
+
+Usage: python tools/fuzz_correctness.py [n_cases] [seed] [sf_dir]
+Every case prints its seed on failure — re-run with that seed to reproduce.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_correctness import duck_connection, rows_key  # noqa: E402
+
+#: Engine-portability rule learned from fuzzing: round() on INTEGER columns
+#: diverges (Spark keeps the integer type, DuckDB promotes to DOUBLE — same
+#: value, different type/repr), so round-style aggregates draw only from
+#: DOUBLE columns; integer columns use un-rounded aggregates.
+DOUBLE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+NUMERIC_COLS = DOUBLE_COLS + INT_COLS
+STRING_COLS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
+GROUP_EXPRS = [
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("CAST(year(l_shipdate) AS INTEGER)", "ship_year"),
+    ("CAST(month(l_shipdate) AS INTEGER)", "ship_month"),
+    ("CAST(l_linenumber % 3 AS INTEGER)", "line_mod"),
+    ("CAST(l_quantity AS INTEGER) % 10", "qty_mod"),
+]
+#: (template, column pool) aggregate builders.
+AGGS = [
+    ("count(*)", None),
+    ("count(DISTINCT {c})", NUMERIC_COLS),
+    ("round(sum({c}), 2)", DOUBLE_COLS),
+    ("round(avg({c}), 2)", DOUBLE_COLS),
+    ("round(min({c}), 4)", DOUBLE_COLS),
+    ("round(max({c}), 4)", DOUBLE_COLS),
+    ("min({c})", INT_COLS),
+    ("max({c})", INT_COLS),
+    ("sum(CASE WHEN {c} > 10 THEN 1 ELSE 0 END)", NUMERIC_COLS),
+]
+_NUM_BOUNDS = {
+    "l_quantity": (1, 50), "l_extendedprice": (900, 100000),
+    "l_discount": (0, 0.1), "l_tax": (0, 0.08), "l_orderkey": (1, 15000),
+    "l_partkey": (1, 2000), "l_suppkey": (1, 100), "l_linenumber": (1, 7),
+}
+
+
+def _predicate(rng: random.Random) -> str:
+    kind = rng.randrange(5)
+    if kind == 0:
+        col = rng.choice(list(STRING_COLS))
+        value = rng.choice(STRING_COLS[col])
+        op = rng.choice(["=", "<>"])
+        return f"{col} {op} '{value}'"
+    if kind == 1:
+        col = rng.choice(NUMERIC_COLS)
+        lo, hi = _NUM_BOUNDS[col]
+        v = round(rng.uniform(lo, hi), 2)
+        op = rng.choice(["<", "<=", ">", ">="])
+        return f"{col} {op} {v}"
+    if kind == 2:
+        col = rng.choice(NUMERIC_COLS)
+        lo, hi = _NUM_BOUNDS[col]
+        a = round(rng.uniform(lo, hi), 2)
+        b = round(rng.uniform(lo, hi), 2)
+        lo_v, hi_v = min(a, b), max(a, b)
+        return f"{col} BETWEEN {lo_v} AND {hi_v}"
+    if kind == 3:
+        year = rng.randrange(1995, 2002)
+        op = rng.choice(["<", ">="])
+        return f"l_shipdate {op} TIMESTAMP '{year}-06-01 00:00:00'"
+    col = rng.choice(list(STRING_COLS))
+    values = rng.sample(STRING_COLS[col], k=rng.randrange(1, len(STRING_COLS[col]) + 1))
+    vals = ", ".join(f"'{v}'" for v in values)
+    return f"{col} IN ({vals})"
+
+
+def generate_case(rng: random.Random) -> str:
+    where_parts = [_predicate(rng) for _ in range(rng.randrange(1, 4))]
+    joiner = " AND " if rng.random() < 0.7 else " OR "
+    where = joiner.join(where_parts)
+
+    if rng.random() < 0.65:
+        # Aggregation query.
+        groups = rng.sample(GROUP_EXPRS, k=rng.randrange(1, 3))
+        group_sql = ", ".join(expr for expr, _ in groups)
+        group_aliases = ", ".join(
+            f"{expr} AS {alias}" for expr, alias in groups
+        )
+        aggs = []
+        for i in range(rng.randrange(1, 4)):
+            template, cols = rng.choice(AGGS)
+            col = rng.choice(cols) if cols else rng.choice(NUMERIC_COLS)
+            aggs.append(template.format(c=col) + f" AS agg_{i}")
+        order = ", ".join(alias for _, alias in groups)
+        return (
+            f"SELECT {group_aliases}, {', '.join(aggs)} FROM lineitem "
+            f"WHERE {where} GROUP BY {group_sql} ORDER BY {order}"
+        )
+
+    # Projection query with deterministic order + limit. Scaled projections
+    # round at 4 dp: inputs carry <=2 decimals and the multiplier 2, so the
+    # product has <=4 decimals and round-4 is exact in both engines. Rounding
+    # at 2 hits exact .005 boundaries where Spark (BigDecimal shortest-repr,
+    # HALF_UP) and DuckDB (scale + llround) legitimately disagree — found by
+    # this fuzzer, avoided in every curated query the same way.
+    n_cols = rng.randrange(2, 5)
+    cols = rng.sample(NUMERIC_COLS, k=n_cols)
+    proj = ", ".join(
+        f"round({c} * {round(rng.uniform(0.5, 2.0), 2)}, 4) AS p_{i}"
+        if rng.random() < 0.5 and c in DOUBLE_COLS
+        else c
+        for i, c in enumerate(cols)
+    )
+    limit = rng.choice([50, 200, 1000])
+    # ORDER BY every output column (positionally): (l_orderkey, l_linenumber)
+    # is NOT unique in this data, so a prefix sort + LIMIT would cut a
+    # nondeterministic row set; with a total order over all outputs, any
+    # remaining ties are rows identical in every compared column.
+    order = ", ".join(str(i + 1) for i in range(2 + n_cols))
+    return (
+        f"SELECT l_orderkey, l_linenumber, {proj} FROM lineitem "
+        f"WHERE {where} ORDER BY {order} LIMIT {limit}"
+    )
+
+
+def run_fuzz(n_cases: int = 100, seed: int = 42, sf_dir: str = "/root/testdata/sf0.001",
+             spark=None, verbose: bool = True) -> list[tuple[int, str, str]]:
+    """Returns list of (case_seed, sql, problem) for failing cases."""
+    from datalakeingestionservice_spark.catalog import register_views
+    from datalakeingestionservice_spark.session import build_session
+
+    spark = spark or build_session("fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, sf_dir)
+    con = duck_connection(sf_dir)
+
+    failures: list[tuple[int, str, str]] = []
+    master = random.Random(seed)
+    for i in range(n_cases):
+        case_seed = master.randrange(2**31)
+        sql = generate_case(random.Random(case_seed))
+        problem = None
+        try:
+            sdf = spark.sql(sql)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            problem = f"spark error: {exc}"
+            s_cols = s_rows = None
+        if problem is None:
+            try:
+                res = con.execute(sql)
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+            except Exception as exc:
+                problem = f"duckdb error: {exc}"
+        if problem is None:
+            if len(s_rows) != len(d_rows):
+                problem = f"rows spark={len(s_rows)} duck={len(d_rows)}"
+            elif rows_key(s_rows, s_cols) != rows_key(d_rows, d_cols):
+                problem = "values differ"
+        if problem:
+            failures.append((case_seed, sql, problem))
+            if verbose:
+                print(f"FAIL seed={case_seed}: {problem}\n  {sql}")
+        elif verbose and i % 25 == 0:
+            print(f"... {i}/{n_cases} ok")
+    if verbose:
+        print(f"\n{n_cases - len(failures)}/{n_cases} cases passed")
+    return failures
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    sys.exit(1 if run_fuzz(n, seed, sf) else 0)
