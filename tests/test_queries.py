@@ -67,3 +67,33 @@ def test_broadcast_join_in_lookup_plan(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def _plan(spark, sf_dir, name):
+    df = QUERIES[name].spark_fn(spark, sf_dir)
+    df.count()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q50_cosine_topk")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
+
+
+def test_jaccard_join_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q45_ngram_jaccard_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pushdown_reaches_scan_on_flagship_extract(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_daily_trades")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # Column pruning: untouched wide columns never read.
+    assert "l_comment" not in plan and "l_tax" not in plan

@@ -84,7 +84,44 @@ def _predicate(rng: random.Random) -> str:
     return f"{col} IN ({vals})"
 
 
+_JOIN_AGGS = [
+    ("count(*)", None),
+    ("round(sum(o_totalprice), 2)", None),
+    ("round(avg(c_acctbal), 2)", None),
+    ("count(DISTINCT o_custkey)", None),
+    ("min(o_orderkey)", None),
+    ("max(c_custkey)", None),
+]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _join_case(rng: random.Random) -> str:
+    """customer x orders join family (inner/left), grouped aggregate."""
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    seg = rng.sample(_SEGMENTS, k=rng.randrange(1, 3))
+    seg_list = ", ".join(f"'{s}'" for s in seg)
+    preds = [f"c.c_mktsegment IN ({seg_list})"]
+    if rng.random() < 0.5:
+        preds.append(f"c.c_acctbal > {round(rng.uniform(-500, 8000), 2)}")
+    where = " AND ".join(preds)
+    group = rng.choice(
+        ["c.c_mktsegment", "c.c_nationkey", "o.o_orderstatus", "o.o_orderpriority"]
+    )
+    aggs = ", ".join(
+        f"{rng.choice(_JOIN_AGGS)[0]} AS agg_{i}" for i in range(rng.randrange(1, 3))
+    )
+    # LEFT JOIN makes o.* nullable; group keys from o need NULLS FIRST parity
+    # (both engines default differently for DESC) -> keep ASC NULLS FIRST.
+    return (
+        f"SELECT {group} AS grp, {aggs} "
+        f"FROM customer c {how} orders o ON c.c_custkey = o.o_custkey "
+        f"WHERE {where} GROUP BY {group} ORDER BY grp ASC NULLS FIRST"
+    )
+
+
 def generate_case(rng: random.Random) -> str:
+    if rng.random() < 0.2:
+        return _join_case(rng)
     where_parts = [_predicate(rng) for _ in range(rng.randrange(1, 4))]
     joiner = " AND " if rng.random() < 0.7 else " OR "
     where = joiner.join(where_parts)
