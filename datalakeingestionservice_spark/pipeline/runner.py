@@ -208,6 +208,37 @@ def run_dataset(
                 ctx.add_error("Upload", ErrorSeverity.CRITICAL, str(exc), exc)
         ctx.metrics.append(StageMetrics("Publish", time.perf_counter() - t0))
 
+    if not ctx.has_critical and ctx.output_dir and not remote:
+        # Run report beside the data (reference analog: notifications payload +
+        # job metadata). JSON, `_`-prefixed so table readers skip it.
+        try:
+            import json
+
+            report = {
+                "datasetId": config.dataset_id,
+                "environment": environment,
+                "rows": rows,
+                "success": True,
+                "startedAt": now.strftime("%Y-%m-%dT%H:%M:%S"),
+                "stages": [
+                    {
+                        "stage": m.stage,
+                        "durationSeconds": round(m.duration_seconds, 3),
+                        "rows": m.rows,
+                        "bytes": m.bytes,
+                    }
+                    for m in ctx.metrics
+                ],
+            }
+            with open(
+                os.path.join(ctx.output_dir, "_run_report.json"),
+                "w",
+                encoding="utf-8",
+            ) as fh:
+                json.dump(report, fh, indent=2)
+        except OSError as exc:  # non-fatal, like keepLocalCopy
+            logger.warning("run report write failed (non-fatal): %s", exc)
+
     success = not ctx.has_critical
     if not success and staging and not remote and os.path.isdir(staging):
         # Failed run: remove staging residue (reference cleans its temp file

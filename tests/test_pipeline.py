@@ -186,3 +186,20 @@ def test_failed_publish_cleans_staging(spark, sf_dir, tmp_path):
     )
     assert not second.success
     assert os.listdir(staging_root) == []  # no leaked staging dirs
+
+
+def test_run_report_written(spark, sf_dir, tmp_path):
+    import json as _json
+
+    register_views(spark, sf_dir)
+    cfg = _load_fixture(tmp_path)
+    result = run_dataset(spark, cfg, environment="Development")
+    assert result.success
+    report_path = os.path.join(result.output_dir, "_run_report.json")
+    report = _json.load(open(report_path))
+    assert report["datasetId"] == "trades-lake"
+    assert report["rows"] == result.rows
+    stages = {s["stage"] for s in report["stages"]}
+    assert {"PlanBuild", "ParquetWrite", "CtlGeneration", "Publish"} <= stages
+    # Report is `_`-prefixed: table readers skip it.
+    assert spark.read.parquet(result.output_dir).count() == result.rows
