@@ -59,3 +59,42 @@ def test_stateful_dedup_emits_each_key_once_across_batches(spark, sf_dir, tmp_pa
         assert len(after) == 5  # unchanged — no re-emissions
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def test_stateful_dedup_with_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """Same stateful dedup on the RocksDB state store provider — the
+    production store for large state (off-heap, incremental checkpoints)."""
+    import shutil
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = dedup_events_stream(
+            read_events_stream(spark, str(src)).filter("event_id < 300")
+        )
+        _run_to_parquet(
+            spark, stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        rows = spark.read.parquet(str(tmp_path / "out")).collect()
+        assert {r.dedup_key for r in rows} == {
+            "click", "error", "purchase", "signup", "view",
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
