@@ -186,6 +186,48 @@ def minhash_neardup_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded sub-quadratically.
+
+    Pigeonhole: a 16-bit hash split into 4 bands guarantees any pair within
+    Hamming distance 3 shares at least one intact band, so candidates come
+    from an equi-join on (band_idx, band_value) — the bitwise analog of
+    MinHash banding. Exact Hamming (popcount of XOR) filters candidates.
+    """
+    hashes = simhash16(df, id_col, text_col)
+    band_idx = df.sparkSession.range(0, 4).select(
+        F.col("id").cast("int").alias("band")
+    )
+    banded = hashes.crossJoin(F.broadcast(band_idx)).select(
+        id_col,
+        "simhash16",
+        "band",
+        F.expr("(simhash16 >> (band * 4)) & 15").alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.expr("bit_count(a.simhash16 ^ b.simhash16)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash from sha256 token hashes (engine-portable arithmetic;
     production width is 64 via xxhash64 — same plan shape)."""

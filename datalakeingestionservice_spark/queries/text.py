@@ -295,6 +295,80 @@ def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+#: DuckDB SimHash16 computation (mirrors operators.dedup.simhash16) — shared
+#: by q48 (fingerprints) and q88 (Hamming-band near-dup join).
+_SIMHASH_SQL = """
+tokens AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, tok,
+         (strpos('0123456789abcdef', substr(sha256(tok), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(sha256(tok), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(sha256(tok), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256(tok), 4, 1)) - 1) AS h
+  FROM tokens
+),
+votes AS (
+  SELECT doc_id, b.bit AS bit,
+         sum(CASE WHEN (h // CAST(pow(2, b.bit) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM bits CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+simhashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash16
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q88 — SimHash Hamming-band near-dup join.
+# ---------------------------------------------------------------------------
+@register(
+    "q88_simhash_neardup",
+    tags=("text", "dedup", "hash", "lsh"),
+    oracle=f"""
+WITH
+{_SIMHASH_SQL},
+banded AS (
+  SELECT s.doc_id, s.simhash16, b.band,
+         (s.simhash16 >> (b.band * 4)) & 15 AS band_val
+  FROM simhashes s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+FROM candidates
+WHERE hamming <= 1
+ORDER BY doc_a, doc_b
+""",
+)
+def q88_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup join: 4 bands of 4 bits — pigeonhole
+    guarantees distance<=3 pairs collide in >=1 band, so candidates come from
+    a band equi-join (the bitwise analog of MinHash banding), then exact
+    popcount(XOR) filters."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    env = Env(spark, sf_dir)
+    pairs = simhash_neardup_pairs(env.t("documents"), max_hamming=1)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # q85 — BPE-style regex pre-tokenization (token counting beyond whitespace).
 # ---------------------------------------------------------------------------
