@@ -169,6 +169,72 @@ def q52_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q89 — IVF probe-k search with exact re-ranking (the full ANN query path).
+# ---------------------------------------------------------------------------
+@register(
+    "q89_ivf_probe_rank",
+    tags=("vectors", "ann", "ivf", "topk"),
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe_cells AS (
+  SELECT cid FROM centroids CROSS JOIN q
+  ORDER BY {_duck_cosine('cv', 'qv')} DESC, cid
+  LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                                       c.cid) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_id, a.cid AS cell,
+       round({_duck_cosine('a.embedding', 'q.qv')}, 4) AS cos_sim
+FROM assigned a
+JOIN probe_cells p ON a.cid = p.cid
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""",
+)
+def q89_ivf_probe_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF ANN query: rank centroids against the query, probe the
+    top-2 cells (~n/4 of the corpus), exact-rank only within them. Recall
+    tunes with probe count; cost is cells-probed, not corpus size."""
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .orderBy(F.desc(_cosine("cv", "qv")), F.asc("cid"))
+        .limit(2)
+        .select("cid")
+    )
+    assigned = ivf_assign(emb, centroids)
+    return (
+        assigned.join(F.broadcast(probe_cells), "cid")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            F.round(_cosine("embedding", "qv"), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q53 — random-hyperplane LSH bucketing (deterministic planes => oracle-able).
 # ---------------------------------------------------------------------------
 def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:

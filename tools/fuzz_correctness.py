@@ -152,12 +152,54 @@ def _window_case(rng: random.Random) -> str:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_case(rng: random.Random) -> str:
+    """events family: timestamp truncation/extraction + JSON access."""
+    group = rng.choice(
+        [
+            "CAST(date_trunc('day', ts) AS DATE)",
+            "CAST(hour(ts) AS INTEGER)",
+            "CAST(dayofmonth(ts) AS INTEGER)",
+            "event_type",
+            "CAST(json_extract_string_portable(props) AS BIGINT) % 10",
+        ]
+    )
+    # Portable JSON accessor differs per engine; substitute below.
+    preds = []
+    types = rng.sample(_EVENT_TYPES, k=rng.randrange(1, 3))
+    preds.append("event_type IN (" + ", ".join(f"'{t}'" for t in types) + ")")
+    if rng.random() < 0.5:
+        day = rng.randrange(2, 29)
+        op = rng.choice(["<", ">="])
+        preds.append(f"ts {op} TIMESTAMP '2024-01-{day:02d} 00:00:00'")
+    if rng.random() < 0.4:
+        preds.append(f"value > {round(rng.uniform(1, 150), 2)}")
+    aggs = ["count(*) AS n", "round(sum(value), 2) AS total"]
+    if rng.random() < 0.5:
+        aggs.append("count(DISTINCT user_id) AS n_users")
+    sql = (
+        f"SELECT {group} AS grp, {', '.join(aggs)} FROM events "
+        f"WHERE {' AND '.join(preds)} GROUP BY {group} "
+        f"ORDER BY grp NULLS FIRST"
+    )
+    return sql
+
+
+#: json accessor spellings per engine (same semantics).
+_JSON_SPARK = "get_json_object(props, '$.k')"
+_JSON_DUCK = "json_extract_string(props, '$.k')"
+
+
 def generate_case(rng: random.Random) -> str:
     roll = rng.random()
     if roll < 0.15:
         return _join_case(rng)
     if roll < 0.3:
         return _window_case(rng)
+    if roll < 0.45:
+        return _events_case(rng)
     where_parts = [_predicate(rng) for _ in range(rng.randrange(1, 4))]
     joiner = " AND " if rng.random() < 0.7 else " OR "
     where = joiner.join(where_parts)
@@ -222,9 +264,11 @@ def run_fuzz(n_cases: int = 100, seed: int = 42, sf_dir: str = "/root/testdata/s
     for i in range(n_cases):
         case_seed = master.randrange(2**31)
         sql = generate_case(random.Random(case_seed))
+        spark_sql = sql.replace("json_extract_string_portable(props)", _JSON_SPARK)
+        duck_sql = sql.replace("json_extract_string_portable(props)", _JSON_DUCK)
         problem = None
         try:
-            sdf = spark.sql(sql)
+            sdf = spark.sql(spark_sql)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
@@ -232,7 +276,7 @@ def run_fuzz(n_cases: int = 100, seed: int = 42, sf_dir: str = "/root/testdata/s
             s_cols = s_rows = None
         if problem is None:
             try:
-                res = con.execute(sql)
+                res = con.execute(duck_sql)
                 d_cols = [d[0] for d in res.description]
                 d_rows = res.fetchall()
             except Exception as exc:
