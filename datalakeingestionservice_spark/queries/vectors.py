@@ -298,6 +298,123 @@ def q53_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q90 — product quantization: encode + asymmetric-distance ranking.
+# ---------------------------------------------------------------------------
+_PQ_DUCK_SUBDOT = (
+    "list_sum(list_transform(list_zip({a}[{lo}:{hi}], {b}[{lo}:{hi}]),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+@register(
+    "q90_product_quantization",
+    tags=("vectors", "ann", "pq"),
+    oracle=f"""
+WITH codebook AS (
+  SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 4
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+encoded AS (
+  SELECT vec_id, c1, c2 FROM (
+    SELECT e.vec_id AS vec_id, cb1.code AS c1, cb2.code AS c2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_PQ_DUCK_SUBDOT.format(a='e.embedding', b='cb1.embedding', lo=1, hi=32)} DESC,
+                      cb1.code
+           ) AS rn1,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb1.code
+             ORDER BY {_PQ_DUCK_SUBDOT.format(a='e.embedding', b='cb2.embedding', lo=33, hi=64)} DESC,
+                      cb2.code
+           ) AS rn2
+    FROM embeddings e
+    CROSS JOIN codebook cb1 CROSS JOIN codebook cb2
+  ) WHERE rn1 = 1 AND rn2 = 1
+),
+adc AS (
+  SELECT enc.vec_id AS vec_id, enc.c1 AS c1, enc.c2 AS c2,
+         round({_PQ_DUCK_SUBDOT.format(a='cb1.embedding', b='q.qv', lo=1, hi=32)}
+               + {_PQ_DUCK_SUBDOT.format(a='cb2.embedding', b='q.qv', lo=33, hi=64)}, 4)
+           AS approx_dot
+  FROM encoded enc
+  JOIN codebook cb1 ON enc.c1 = cb1.code
+  JOIN codebook cb2 ON enc.c2 = cb2.code
+  CROSS JOIN q
+)
+SELECT c1, c2, count(*) AS n_vectors, round(avg(approx_dot), 4) AS avg_approx_dot
+FROM adc
+GROUP BY c1, c2
+ORDER BY c1, c2
+""",
+)
+def q90_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim vectors split into two 32-dim subspaces,
+    each encoded to its nearest of 4 sub-codebook entries (here: subvectors of
+    vecs 0-3 as the deterministic 'trained' codebook) — 2 bytes per vector.
+    Query-time ADC: the query's dot with each codeword is computed ONCE (a
+    16-entry table), then every vector's approximate score is a 2-term table
+    lookup — memory-bandwidth search over compressed codes. Output: code-cell
+    occupancy + mean approximate score per cell."""
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings")
+    sub1 = lambda c: F.slice(F.col(c), 1, 32)  # noqa: E731
+    sub2 = lambda c: F.slice(F.col(c), 33, 32)  # noqa: E731
+
+    codebook = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    cb1 = codebook.select("code", sub1("cv").alias("cw1"))
+    cb2 = codebook.select(F.col("code").alias("code2"), sub2("cv").alias("cw2"))
+
+    from pyspark.sql.window import Window
+
+    scored = (
+        emb.crossJoin(F.broadcast(cb1))
+        .crossJoin(F.broadcast(cb2))
+        .select(
+            "vec_id",
+            "code",
+            "code2",
+            _dot(sub1("embedding"), F.col("cw1")).alias("d1"),
+            _dot(sub2("embedding"), F.col("cw2")).alias("d2"),
+        )
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.desc("d1"), F.asc("code"))
+    w2 = Window.partitionBy("vec_id", "code").orderBy(
+        F.desc("d2"), F.asc("code2")
+    )
+    encoded = (
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter((F.col("rn1") == 1) & (F.col("rn2") == 1))
+        .select("vec_id", F.col("code").alias("c1"), F.col("code2").alias("c2"))
+    )
+    # ADC table: query dot each codeword (broadcast; 16 entries at 4x4 codes).
+    adc1 = cb1.crossJoin(F.broadcast(q)).select(
+        "code", _dot("cw1", sub1("qv")).alias("t1")
+    )
+    adc2 = cb2.crossJoin(F.broadcast(q)).select(
+        "code2", _dot("cw2", sub2("qv")).alias("t2")
+    )
+    return (
+        encoded.join(F.broadcast(adc1), encoded.c1 == adc1.code)
+        .join(F.broadcast(adc2), encoded.c2 == adc2.code2)
+        .select(
+            "vec_id", "c1", "c2",
+            F.round(F.col("t1") + F.col("t2"), 4).alias("approx_dot"),
+        )
+        .groupBy("c1", "c2")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("approx_dot"), 4).alias("avg_approx_dot"),
+        )
+        .orderBy("c1", "c2")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q54 — multimodal metadata over opaque binary payloads.
 # ---------------------------------------------------------------------------
 @register(
