@@ -65,6 +65,32 @@ def register_views(
     spark.conf.set(tag_key, sf_dir)
 
 
+def register_compat_views(spark: SparkSession, sf_dir: str) -> None:
+    """Reference-schema compatibility views over the lake tables.
+
+    `Trades` realizes FIXTURES.md F1 (the schema the reference's shipped
+    GetDailyTrades.sql selects from), derived from lineitem with trade dates
+    shifted +27 years so the reference configs' 2024-2025 parameter windows
+    select data. Lets reference SQL files run verbatim (via the T-SQL shim).
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW Trades AS
+        SELECT l_orderkey * 10 + l_linenumber            AS TradeId,
+               l_shipdate + INTERVAL 27 YEARS            AS TradeDate,
+               concat(l_returnflag, l_linestatus)        AS Symbol,
+               l_quantity                                AS Quantity,
+               l_extendedprice                           AS Price,
+               round(l_quantity * l_extendedprice, 2)    AS TotalAmount,
+               CASE WHEN l_discount > 0.05 THEN 'SELL' ELSE 'BUY' END AS TradeType,
+               l_suppkey                                 AS AccountId,
+               l_shipdate + INTERVAL 27 YEARS            AS CreatedAt
+        FROM lineitem
+        """
+    )
+
+
 class Env:
     """Per-query helper handed to query callables: session prep + table access."""
 

@@ -73,6 +73,7 @@ def read_sql(
     spark: SparkSession,
     source: SourceConfig,
     sql_dir: str | None = None,
+    dialect: str | None = None,
     **_,
 ) -> DataFrame:
     """The reference's whole extraction surface, executed natively.
@@ -109,6 +110,12 @@ def read_sql(
         sql = get_query_template(f"{source.package_name}.{source.procedure_name}")
     else:
         raise SourceError(f"Unknown extractionType: {source.extraction_type!r}")
+
+    if dialect == "tsql" or (source.type or "").lower() == "sqlserver":
+        # SqlServer-typed sources carry T-SQL artifacts (@params, dbo., TOP).
+        from datalakeingestionservice_spark.sources.dialect import tsql_to_spark
+
+        sql = tsql_to_spark(sql)
 
     args = _sql_args(source)
     return spark.sql(sql, args=args) if args else spark.sql(sql)

@@ -72,3 +72,27 @@ def test_reference_cron_expressions_parse(reference_configs):
     for cfg in reference_configs.values():
         if cfg.cron_expression:
             CronSchedule(cfg.cron_expression)  # must not raise
+
+
+def test_reference_sql_file_runs_verbatim(spark, sf_dir, tmp_path, reference_configs):
+    """dataset-trades-query.json + its GetDailyTrades.sql T-SQL file run
+    as shipped: @params and dbo. schema handled by the dialect shim, the
+    Trades compat view satisfies the schema, the config's own 2024-2025
+    parameter window selects data."""
+    from datalakeingestionservice_spark.catalog import register_compat_views
+
+    register_compat_views(spark, sf_dir)
+    cfg = reference_configs["trades-daily-query"]
+    cfg.upload.base_path = str(tmp_path / "lake")
+
+    result = run_dataset(
+        spark, cfg, environment="Production",
+        sql_dir=os.path.join(REFERENCE_DATASETS, "SqlFiles"),
+    )
+    assert result.success, [(e.stage, e.message) for e in result.errors]
+    assert result.rows > 0
+    out = spark.read.parquet(result.output_dir)
+    assert out.columns == [
+        "TradeId", "TradeDate", "Symbol", "Quantity", "Price",
+        "TotalAmount", "TradeType", "AccountId", "CreatedAt",
+    ]

@@ -100,3 +100,17 @@ def test_json_source_roundtrip(spark, tmp_path):
 def test_jdbc_source_requires_url(spark):
     with pytest.raises(SourceError, match="url"):
         extract(spark, SourceConfig(type="Jdbc", parameters={}))
+
+
+def test_tsql_dialect_shim():
+    from datalakeingestionservice_spark.sources.dialect import tsql_to_spark
+
+    out = tsql_to_spark(
+        "SELECT TOP 5 [Trade Id], Price FROM dbo.Trades "
+        "WHERE TradeDate BETWEEN @StartDate AND @EndDate"
+    )
+    assert ":StartDate" in out and ":EndDate" in out and "@" not in out
+    assert "dbo." not in out
+    assert "`Trade Id`" in out
+    assert out.rstrip().endswith("LIMIT 5")
+    assert "TOP" not in out.upper().replace("LIMIT", "")
