@@ -192,6 +192,37 @@ _JSON_SPARK = "get_json_object(props, '$.k')"
 _JSON_DUCK = "json_extract_string(props, '$.k')"
 
 
+def _text_case(rng: random.Random) -> str:
+    """documents family: portable string scalar functions."""
+    exprs = rng.sample(
+        [
+            "length(text) AS e_len",
+            "upper(substr(text, 1, 12)) AS e_upper",
+            "reverse(substr(text, 1, 8)) AS e_rev",
+            "replace(substr(text, 1, 30), ' ', '_') AS e_repl",
+            f"position('{rng.choice(['scan', 'join', 'row', 'data'])}' IN text) AS e_pos",
+            "NTOK_PORTABLE(text) AS e_ntok",
+            "lower(lang) AS e_lang",
+            f"CASE WHEN length(text) > {rng.randrange(100, 400)} THEN 'long' ELSE 'short' END AS e_bucket",
+            "substr(SHA256HEX_PORTABLE(text), 1, 12) AS e_sha",
+            f"lpad(CAST(doc_id AS STRING), {rng.randrange(6, 12)}, '0') AS e_pad",
+        ],
+        k=rng.randrange(2, 5),
+    )
+    preds = []
+    if rng.random() < 0.6:
+        preds.append(f"lang IN ('{rng.choice(['en', 'de', 'es', 'fr', 'zh'])}', 'en')")
+    if rng.random() < 0.5:
+        preds.append(f"n_chars BETWEEN {rng.randrange(50, 200)} AND {rng.randrange(250, 600)}")
+    if rng.random() < 0.3:
+        preds.append(f"text LIKE '%{rng.choice(['the', 'scan', 'merge'])}%'")
+    where = " AND ".join(preds) if preds else "doc_id >= 0"
+    return (
+        f"SELECT doc_id, {', '.join(exprs)} FROM documents "
+        f"WHERE {where} ORDER BY doc_id"
+    )
+
+
 def generate_case(rng: random.Random) -> str:
     roll = rng.random()
     if roll < 0.15:
@@ -200,6 +231,8 @@ def generate_case(rng: random.Random) -> str:
         return _window_case(rng)
     if roll < 0.45:
         return _events_case(rng)
+    if roll < 0.58:
+        return _text_case(rng)
     where_parts = [_predicate(rng) for _ in range(rng.randrange(1, 4))]
     joiner = " AND " if rng.random() < 0.7 else " OR "
     where = joiner.join(where_parts)
@@ -264,8 +297,15 @@ def run_fuzz(n_cases: int = 100, seed: int = 42, sf_dir: str = "/root/testdata/s
     for i in range(n_cases):
         case_seed = master.randrange(2**31)
         sql = generate_case(random.Random(case_seed))
-        spark_sql = sql.replace("json_extract_string_portable(props)", _JSON_SPARK)
-        duck_sql = sql.replace("json_extract_string_portable(props)", _JSON_DUCK)
+        spark_sql, duck_sql = sql, sql
+        for marker, spark_form, duck_form in (
+            ("json_extract_string_portable(props)", _JSON_SPARK, _JSON_DUCK),
+            ("NTOK_PORTABLE(text)", "size(split(text, ' '))",
+             "len(string_split(text, ' '))"),
+            ("SHA256HEX_PORTABLE(text)", "sha2(text, 256)", "sha256(text)"),
+        ):
+            spark_sql = spark_sql.replace(marker, spark_form)
+            duck_sql = duck_sql.replace(marker, duck_form)
         problem = None
         try:
             sdf = spark.sql(spark_sql)
