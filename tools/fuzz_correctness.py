@@ -97,8 +97,27 @@ _JOIN_AGGS = [
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 
+def _three_way_join_case(rng: random.Random) -> str:
+    """nation x customer x orders chain with mixed-level predicates."""
+    nk = rng.randrange(5, 25)
+    status = rng.choice(["F", "O", "P"])
+    group = rng.choice(["n.n_name", "c.c_mktsegment", "o.o_orderpriority"])
+    return (
+        f"SELECT {group} AS grp, count(*) AS n, "
+        f"round(sum(o.o_totalprice), 2) AS total, "
+        f"count(DISTINCT c.c_custkey) AS n_cust "
+        f"FROM nation n "
+        f"JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        f"JOIN orders o ON o.o_custkey = c.c_custkey "
+        f"WHERE n.n_nationkey < {nk} AND o.o_orderstatus = '{status}' "
+        f"GROUP BY {group} ORDER BY grp"
+    )
+
+
 def _join_case(rng: random.Random) -> str:
     """customer x orders join family (inner/left), grouped aggregate."""
+    if rng.random() < 0.35:
+        return _three_way_join_case(rng)
     how = rng.choice(["JOIN", "LEFT JOIN"])
     seg = rng.sample(_SEGMENTS, k=rng.randrange(1, 3))
     seg_list = ", ".join(f"'{s}'" for s in seg)
