@@ -109,6 +109,48 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q91 — aggregate-as-window (per-row group median without collapsing rows).
+# ---------------------------------------------------------------------------
+@register(
+    "q91_median_over_window",
+    tags=("window", "percentile", "agg-as-window"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS price,
+       round(quantile_disc(o_totalprice, 0.5) OVER (PARTITION BY o_custkey), 2)
+         AS cust_median,
+       CASE WHEN o_totalprice >= quantile_disc(o_totalprice, 0.5)
+                                  OVER (PARTITION BY o_custkey)
+            THEN 1 ELSE 0 END AS above_median
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q91_median_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group medians attached to every row (aggregate used as a window
+    function, full-partition frame) — flags orders above their customer's
+    median without a groupBy+join round trip. percentile_disc keeps the value
+    an actual element, so engines agree exactly."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                     OVER (PARTITION BY o_custkey), 2) AS cust_median,
+               CASE WHEN o_totalprice >=
+                         percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                         OVER (PARTITION BY o_custkey)
+                    THEN 1 ELSE 0 END AS above_median
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q76 — unpivot (wide -> long).
 # ---------------------------------------------------------------------------
 @register(

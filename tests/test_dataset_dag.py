@@ -85,3 +85,53 @@ def test_scheduler_orders_dag_by_cron(spark):
         got = sched.run_pending(datetime(2026, 1, 1, 9, minute, 0))
         assert got == expect
     assert fired == ["bronze", "silver", "bronze"]
+
+
+def test_concurrent_dataset_runs_are_isolated(spark, sf_dir, tmp_path):
+    """Three datasets ingesting concurrently on one session (Spark schedules
+    jobs from multiple threads): outputs, CTLs, and row counts must not
+    cross-contaminate — the reference's concurrent-across-datasets model."""
+    import threading
+
+    register_views(spark, sf_dir)
+    results = {}
+
+    def make_cfg(ds_id, status):
+        return DatasetConfiguration(
+            dataset_id=ds_id,
+            source=SourceConfig(
+                type="Sql", extraction_type="Inline",
+                query=f"SELECT o_orderkey, o_totalprice FROM orders "
+                      f"WHERE o_orderstatus = '{status}'",
+            ),
+            parquet=ParquetConfig(file_name_pattern=f"{ds_id}.parquet"),
+            upload=UploadConfig(
+                provider="FileSystem", base_path=str(tmp_path / "lake"),
+                relative_path=f"{ds_id}/", overwrite_existing=True,
+            ),
+        )
+
+    def run(ds_id, status):
+        results[ds_id] = run_dataset(
+            spark, make_cfg(ds_id, status), environment="Production"
+        )
+
+    threads = [
+        threading.Thread(target=run, args=(f"ds-{s}", s)) for s in "FOP"
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+
+    expected = {
+        s: spark.sql(
+            f"SELECT count(*) n FROM orders WHERE o_orderstatus = '{s}'"
+        ).collect()[0].n
+        for s in "FOP"
+    }
+    for s in "FOP":
+        r = results[f"ds-{s}"]
+        assert r.success, [e.message for e in r.errors]
+        assert r.rows == expected[s]
+        assert spark.read.parquet(r.output_dir).count() == expected[s]
