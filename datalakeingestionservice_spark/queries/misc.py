@@ -109,6 +109,57 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q92 — SCD Type 2 history build (validity intervals from change events).
+# ---------------------------------------------------------------------------
+@register(
+    "q92_scd2_intervals",
+    tags=("scd2", "window", "cdc"),
+    oracle="""
+WITH changes AS (
+  SELECT user_id, ts, event_type, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND user_id < 40
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+         AS valid_to,
+       event_type AS state,
+       round(value, 2) AS state_value,
+       CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes
+ORDER BY user_id, valid_from
+""",
+)
+def q92_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: change events become half-open
+    validity intervals via lead() — open intervals get the sentinel end date
+    and an is_current flag. The history-table build every warehouse ingests
+    CDC through, one window shuffle."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH changes AS (
+          SELECT user_id, ts, event_type, value,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+          FROM events
+          WHERE event_type IN ('signup', 'purchase') AND user_id < 40
+        )
+        SELECT user_id,
+               date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS valid_from,
+               coalesce(date_format(next_ts, 'yyyy-MM-dd HH:mm:ss'),
+                        '9999-12-31 00:00:00') AS valid_to,
+               event_type AS state,
+               round(value, 2) AS state_value,
+               CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM changes
+        ORDER BY user_id, valid_from
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q91 — aggregate-as-window (per-row group median without collapsing rows).
 # ---------------------------------------------------------------------------
 @register(
