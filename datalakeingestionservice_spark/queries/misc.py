@@ -109,6 +109,93 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q93 — equal-width histogram.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_histogram",
+    tags=("histogram", "agg", "analytics"),
+    oracle="""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS INTEGER), 9)
+           AS bin
+  FROM orders CROSS JOIN bounds
+)
+SELECT bin, count(*) AS n
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def q93_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bin histogram: data-derived bounds via a broadcast
+    scalar aggregate, binning as pure arithmetic — the distribution profile
+    at any scale (two passes: bounds, then counts)."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH bounds AS (
+          SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+        ),
+        binned AS (
+          SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS INT), 9)
+                   AS bin
+          FROM orders CROSS JOIN bounds
+        )
+        SELECT bin, count(*) AS n
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — calendar spine + activity gap detection.
+# ---------------------------------------------------------------------------
+@register(
+    "q94_calendar_gaps",
+    tags=("timeseries", "spine", "explode"),
+    oracle="""
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS day
+),
+activity AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+)
+SELECT s.day AS day,
+       CASE WHEN a.day IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s LEFT JOIN activity a ON s.day = a.day
+ORDER BY day
+""",
+)
+def q94_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine (sequence + explode) left-joined to observed
+    activity days — finds silent days that pure aggregation can't see
+    (missing groups don't exist to aggregate). The completeness-check pattern
+    for any time-partitioned feed."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH spine AS (
+          SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',
+                                  INTERVAL 1 DAY)) AS day
+        ),
+        activity AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+        )
+        SELECT s.day AS day,
+               CASE WHEN a.day IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM spine s LEFT JOIN activity a ON s.day = a.day
+        ORDER BY day
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q92 — SCD Type 2 history build (validity intervals from change events).
 # ---------------------------------------------------------------------------
 @register(
