@@ -295,6 +295,61 @@ def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# ---------------------------------------------------------------------------
+# q95 — deterministic train/val/test split by content hash.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_hash_split",
+    tags=("text", "sampling", "split", "llm"),
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         strpos('0123456789abcdef', substr(sha256(lower(trim(text))), 1, 1)) - 1
+           AS bucket16
+  FROM documents
+),
+split AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket16 < 12 THEN 'train'
+              WHEN bucket16 < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT lang, split, count(*) AS n_docs
+FROM split
+GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def q95_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 75/12.5/12.5 train/val/test split keyed on the CONTENT
+    fingerprint, not row position: stable under reshuffles, re-ingestion, and
+    corpus growth, and duplicate texts always land in the same split (no
+    train/test leakage through near-copies of the exact kind dedup catches).
+    The first fingerprint nibble gives 16 uniform buckets -> 12/2/2."""
+    env = Env(spark, sf_dir)
+    bucket16 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 1),
+        )
+        - 1
+    )
+    assigned = env.t("documents").select(
+        "doc_id",
+        "lang",
+        F.when(bucket16 < 12, F.lit("train"))
+        .when(bucket16 < 14, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
 #: DuckDB SimHash16 computation (mirrors operators.dedup.simhash16) — shared
 #: by q48 (fingerprints) and q88 (Hamming-band near-dup join).
 _SIMHASH_SQL = """

@@ -222,3 +222,74 @@ def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
     ).collect()[0]
     assert rows.n == rows.d  # no duplicate ids emitted
     assert rows.n > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Direct watermark-semantics proof: after the watermark passes a
+    window's end, a late event for that window is dropped — its finalized
+    aggregate does not change across micro-batches."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datalakeingestionservice_spark.streaming import tumbling_aggregate
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_events(name, rows):
+        # Same physical layout as the driver's events table (ns timestamps).
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [10.0] * len(rows),
+                "props": ['{"k": 1}'] * len(rows),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+
+    def run_batch():
+        stream = tumbling_aggregate(
+            read_events_stream(spark, str(src)),
+            window_duration="10 minutes",
+            watermark="10 minutes",
+        )
+
+        def sink(batch_df, batch_id):
+            if batch_df.count() > 0:
+                batch_df.write.mode("append").parquet(str(tmp_path / "out"))
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Batch 1: two events in the 10:00 window, then one at 11:00 that pushes
+    # the watermark to 10:50 — far past the 10:00 window's end (10:10).
+    write_events("b1.parquet", [
+        (1, "2024-01-01 10:01:00"),
+        (2, "2024-01-01 10:05:00"),
+        (3, "2024-01-01 11:00:00"),
+    ])
+    run_batch()
+    finalized = {
+        (str(r.window_start), r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert ("2024-01-01 10:00:00", 2) in finalized  # window closed with 2 events
+
+    # Batch 2: a LATE event for the closed 10:00 window + a fresh on-time one.
+    write_events("b2.parquet", [
+        (4, "2024-01-01 10:06:00"),   # late: watermark is already 10:50
+        (5, "2024-01-01 12:00:00"),   # advances watermark further
+    ])
+    run_batch()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    counts_1000 = [r.n_events for r in rows if str(r.window_start) == "2024-01-01 10:00:00"]
+    assert counts_1000 == [2]  # late event DROPPED: no re-emission, no update
