@@ -242,6 +242,27 @@ def _text_case(rng: random.Random) -> str:
     )
 
 
+def _array_case(rng: random.Random) -> str:
+    """embeddings family: grouped aggregates over array-derived scalars."""
+    derived = rng.sample(
+        [
+            "ARRLEN_PORTABLE(embedding) AS dim",
+            "round(CAST(ELEM1_PORTABLE(embedding) AS DOUBLE), 4) AS first_e",
+            "round(CAST(ARRMIN_PORTABLE(embedding) AS DOUBLE), 4) AS min_e",
+            "round(CAST(ARRMAX_PORTABLE(embedding) AS DOUBLE), 4) AS max_e",
+            "NPOS_PORTABLE(embedding) AS n_pos",
+        ],
+        k=rng.randrange(1, 4),
+    )
+    vec_cap = rng.choice([200, 400, 500])
+    label_max = rng.randrange(3, 10)
+    return (
+        f"SELECT vec_id, label, {', '.join(derived)} FROM embeddings "
+        f"WHERE vec_id < {vec_cap} AND label <= {label_max} "
+        f"ORDER BY vec_id"
+    )
+
+
 def generate_case(rng: random.Random) -> str:
     roll = rng.random()
     if roll < 0.15:
@@ -250,8 +271,10 @@ def generate_case(rng: random.Random) -> str:
         return _window_case(rng)
     if roll < 0.45:
         return _events_case(rng)
-    if roll < 0.58:
+    if roll < 0.55:
         return _text_case(rng)
+    if roll < 0.62:
+        return _array_case(rng)
     where_parts = [_predicate(rng) for _ in range(rng.randrange(1, 4))]
     joiner = " AND " if rng.random() < 0.7 else " OR "
     where = joiner.join(where_parts)
@@ -322,6 +345,16 @@ def run_fuzz(n_cases: int = 100, seed: int = 42, sf_dir: str = "/root/testdata/s
             ("NTOK_PORTABLE(text)", "size(split(text, ' '))",
              "len(string_split(text, ' '))"),
             ("SHA256HEX_PORTABLE(text)", "sha2(text, 256)", "sha256(text)"),
+            ("ARRLEN_PORTABLE(embedding)", "size(embedding)", "len(embedding)"),
+            ("ARRMIN_PORTABLE(embedding)", "array_min(embedding)",
+             "list_min(embedding)"),
+            ("ARRMAX_PORTABLE(embedding)", "array_max(embedding)",
+             "list_max(embedding)"),
+            ("ELEM1_PORTABLE(embedding)", "element_at(embedding, 1)",
+             "embedding[1]"),
+            ("NPOS_PORTABLE(embedding)",
+             "size(filter(embedding, x -> x > 0))",
+             "len(list_filter(embedding, x -> x > 0))"),
         ):
             spark_sql = spark_sql.replace(marker, spark_form)
             duck_sql = duck_sql.replace(marker, duck_form)
