@@ -109,6 +109,56 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q96 — ratio-to-report (percent of total / percent of group).
+# ---------------------------------------------------------------------------
+@register(
+    "q96_percent_of_total",
+    tags=("window", "ratio", "analytics"),
+    oracle="""
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+         sum(o.o_totalprice) AS revenue
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, n.n_name
+)
+SELECT segment, nation,
+       round(revenue, 2) AS revenue,
+       round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total,
+       round(100.0 * revenue / sum(revenue) OVER (PARTITION BY segment), 4)
+         AS pct_of_segment
+FROM seg
+ORDER BY segment, nation
+""",
+)
+def q96_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (segment, nation) revenue as a share of the
+    grand total (empty OVER()) and of its segment — the BI contribution
+    breakdown, two window frames over one aggregated input."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH seg AS (
+          SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+                 sum(o.o_totalprice) AS revenue
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, n.n_name
+        )
+        SELECT segment, nation,
+               round(revenue, 2) AS revenue,
+               round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total,
+               round(100.0 * revenue / sum(revenue) OVER (PARTITION BY segment), 4)
+                 AS pct_of_segment
+        FROM seg
+        ORDER BY segment, nation
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q93 — equal-width histogram.
 # ---------------------------------------------------------------------------
 @register(

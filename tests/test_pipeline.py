@@ -235,3 +235,17 @@ def test_ingest_throughput_beats_reference_floor(spark, tmp_path):
     wall = time.perf_counter() - t0
     assert result.success and result.rows == 600_000
     assert result.rows / wall > 19_400, f"{result.rows / wall:,.0f} rows/s"
+
+
+def test_unknown_transformation_type_is_critical(spark, sf_dir, tmp_path):
+    register_views(spark, sf_dir)
+    cfg = _load_fixture(tmp_path)
+    from datalakeingestionservice_spark.config.models import TransformationConfig
+
+    cfg.transformations.append(
+        TransformationConfig(type="NotARealStep", order=99, config={})
+    )
+    result = run_dataset(spark, cfg)
+    assert not result.success
+    assert result.errors[0].stage == "Extraction"  # plan-build failure bucket
+    assert "Unknown transformation step" in result.errors[0].message
