@@ -109,6 +109,54 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q97 — cumulative distinct count (running COUNT(DISTINCT) via first-seen flags).
+# ---------------------------------------------------------------------------
+@register(
+    "q97_cumulative_distinct",
+    tags=("window", "distinct", "composition"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+  WHERE user_id < 30
+)
+SELECT user_id, event_id,
+       sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, event_id
+""",
+)
+def q97_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — unsupported as a window aggregate in Spark —
+    composed from primitives: flag each (user, type)'s first occurrence, then
+    running-sum the flags. Two window passes, same shuffle key."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS is_first
+          FROM events
+          WHERE user_id < 30
+        )
+        SELECT user_id, event_id,
+               sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS distinct_types_so_far
+        FROM flagged
+        ORDER BY user_id, event_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q96 — ratio-to-report (percent of total / percent of group).
 # ---------------------------------------------------------------------------
 @register(
