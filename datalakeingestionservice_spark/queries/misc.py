@@ -109,6 +109,107 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q98 — snapshot diff (added / removed / changed rows between table versions).
+# ---------------------------------------------------------------------------
+@register(
+    "q98_snapshot_diff",
+    tags=("diff", "cdc", "outer-join"),
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+snap_b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_orderstatus <> b.o_orderstatus OR a.price <> b.price
+              THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+GROUP BY 1
+ORDER BY change_type
+""",
+)
+def q98_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff: two snapshots full-outer-joined on the key, rows
+    classified added/removed/changed/unchanged — the audit between any two
+    ingestion runs (here: a later date window + synthetic status mutations
+    play the new version). One shuffle on the key."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH snap_a AS (
+          SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ),
+        snap_b AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+                 round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        )
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_orderstatus <> b.o_orderstatus OR a.price <> b.price
+                      THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               count(*) AS n
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+        GROUP BY 1
+        ORDER BY change_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — weighted aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "q99_weighted_metrics",
+    tags=("agg", "weighted"),
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+         AS qty_weighted_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS discounted_revenue,
+       round(sum(l_quantity), 2) AS total_weight
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q99_weighted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price: sum(w*x)/sum(w) — the weighted-mean
+    shape every pricing/quality rollup needs (plain avg() would weight each
+    line equally regardless of volume)."""
+    env = Env(spark, sf_dir)
+    return (
+        env.t("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("qty_weighted_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("discounted_revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q97 — cumulative distinct count (running COUNT(DISTINCT) via first-seen flags).
 # ---------------------------------------------------------------------------
 @register(
