@@ -201,6 +201,57 @@ def q33_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q101 — retention cohort matrix.
+# ---------------------------------------------------------------------------
+@register(
+    "q101_retention_cohorts",
+    tags=("events", "cohort", "retention", "analytics"),
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id AS user_id, c.cohort_week AS cohort_week,
+         CAST(date_diff('day', c.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INTEGER)
+           AS week_offset
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+  WHERE e.ts >= CAST(c.cohort_week AS TIMESTAMP)
+)
+SELECT cohort_week, week_offset, count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users cohorted by signup week, counted once per
+    (cohort, weeks-since-signup) they were active in — the product-analytics
+    staple. Two shuffles: cohort min-agg, then the distinct activity count."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH cohorts AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        activity AS (
+          SELECT DISTINCT e.user_id, c.cohort_week,
+                 CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE),
+                               c.cohort_week) / 7 AS INT) AS week_offset
+          FROM events e JOIN cohorts c ON e.user_id = c.user_id
+          WHERE e.ts >= CAST(c.cohort_week AS TIMESTAMP)
+        )
+        SELECT cohort_week, week_offset, count(*) AS n_active_users
+        FROM activity
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q34 — event funnel: per-user earliest signup -> first purchase conversion.
 # ---------------------------------------------------------------------------
 @register(
