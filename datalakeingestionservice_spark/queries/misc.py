@@ -109,6 +109,88 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q102 — inline VALUES lookup table (literal dimension join).
+# ---------------------------------------------------------------------------
+@register(
+    "q102_values_lookup",
+    tags=("values", "join", "lookup"),
+    oracle="""
+SELECT labels.label AS status_label,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN (VALUES ('F', 'Filled'), ('O', 'Open'), ('P', 'Pending'))
+     AS labels(code, label)
+  ON o.o_orderstatus = labels.code
+GROUP BY labels.label
+ORDER BY status_label
+""",
+)
+def q102_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table as a join dimension — code->label mappings without
+    any external table (broadcast by construction; constant-folded literals)."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        SELECT labels.label AS status_label,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN (VALUES ('F', 'Filled'), ('O', 'Open'), ('P', 'Pending'))
+             AS labels(code, label)
+          ON o.o_orderstatus = labels.code
+        GROUP BY labels.label
+        ORDER BY status_label
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — null-safe comparison (IS DISTINCT FROM).
+# ---------------------------------------------------------------------------
+@register(
+    "q103_null_safe_compare",
+    tags=("null", "semantics", "scalar"),
+    oracle="""
+WITH pairs AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderstatus END AS s1,
+         CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_orderstatus END AS s2
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT
+  count_if(s1 IS NOT DISTINCT FROM s2) AS null_safe_equal,
+  count_if(s1 = s2) AS plain_equal,
+  count_if(s1 IS DISTINCT FROM s2) AS null_safe_different,
+  count(*) AS n
+FROM pairs
+""",
+)
+def q103_null_safe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] DISTINCT FROM vs plain equality under NULLs: null-safe
+    equality treats NULL=NULL as true and NULL=value as false, where `=`
+    yields UNKNOWN (dropped by count_if) — the join-key comparison you want
+    for nullable CDC keys."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH pairs AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderstatus END AS s1,
+                 CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_orderstatus END AS s2
+          FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT
+          count_if(s1 <=> s2) AS null_safe_equal,
+          count_if(s1 = s2) AS plain_equal,
+          count_if(NOT (s1 <=> s2)) AS null_safe_different,
+          count(*) AS n
+        FROM pairs
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q98 — snapshot diff (added / removed / changed rows between table versions).
 # ---------------------------------------------------------------------------
 @register(
