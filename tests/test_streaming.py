@@ -293,3 +293,31 @@ def test_watermark_drops_late_data(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     counts_1000 = [r.n_events for r in rows if str(r.window_start) == "2024-01-01 10:00:00"]
     assert counts_1000 == [2]  # late event DROPPED: no re-emission, no update
+
+
+def test_max_files_per_trigger_paces_batches(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger=1: N source files -> N micro-batches (ingest pacing
+    under backlog — availableNow drains in bounded batches, not one giant one)."""
+    import shutil
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        shutil.copy(f"{sf_dir}/events.parquet", src / f"f{i}.parquet")
+
+    batch_ids = []
+
+    def sink(batch_df, batch_id):
+        batch_ids.append((batch_id, batch_df.count()))
+
+    q = (
+        read_events_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batch_ids) == 3
+    assert all(n == 1000 for _, n in batch_ids)  # one file per batch
