@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalakeingestionservice_spark.catalog import Env
+from datalakeingestionservice_spark.catalog import Env, register_views
 from datalakeingestionservice_spark.operators.dedup import (
     jaccard_pairs,
     word_shingles,
@@ -106,6 +106,67 @@ def q70_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — PageRank (2 unrolled iterations) over the near-dup graph.
+# ---------------------------------------------------------------------------
+_PR_SQL_BODY = """
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n_total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+pr0 AS (
+  SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN n_total
+),
+pr1 AS (
+  SELECT nodes.node AS node,
+         0.15 / n_total.n + 0.85 * coalesce(sum(pr0.pr / deg.d), 0.0) AS pr
+  FROM nodes
+  CROSS JOIN n_total
+  LEFT JOIN edges ON edges.dst = nodes.node
+  LEFT JOIN pr0 ON pr0.node = edges.src
+  LEFT JOIN deg ON deg.node = edges.src
+  GROUP BY nodes.node, n_total.n
+),
+pr2 AS (
+  SELECT nodes.node AS node,
+         0.15 / n_total.n + 0.85 * coalesce(sum(pr1.pr / deg.d), 0.0) AS pr
+  FROM nodes
+  CROSS JOIN n_total
+  LEFT JOIN edges ON edges.dst = nodes.node
+  LEFT JOIN pr1 ON pr1.node = edges.src
+  LEFT JOIN deg ON deg.node = edges.src
+  GROUP BY nodes.node, n_total.n
+)
+SELECT node, round(pr, 8) AS pagerank
+FROM pr2
+ORDER BY node
+"""
+
+
+@register(
+    "q104_pagerank",
+    tags=("graph", "iterative", "pagerank"),
+    oracle=f"""
+WITH
+{_PAIRS_SQL},
+{_PR_SQL_BODY}
+""",
+)
+def q104_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, two power iterations unrolled (d=0.85), over the undirected
+    near-dup graph: rank mass flows along pr/degree edges — the canonical
+    iterative graph workload as pure joins+aggregations (each iteration is
+    one shuffle; a driver loop generalizes it, exactly like k-means q67).
+    Identical algebra in the DuckDB oracle, exact to 8 dp."""
+    env = Env(spark, sf_dir)
+    register_views(env.spark, sf_dir)
+    _spark_pairs(env).createOrReplaceTempView("pairs")
+    return env.spark.sql(f"WITH {_PR_SQL_BODY}")
 
 
 # ---------------------------------------------------------------------------
