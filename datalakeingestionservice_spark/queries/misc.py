@@ -109,6 +109,50 @@ def q75_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q105 — top-k WITH TIES (rank cut, not row_number cut).
+# ---------------------------------------------------------------------------
+@register(
+    "q105_topk_with_ties",
+    tags=("topk", "rank", "ties"),
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         count(*) AS n_lines,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC) AS rnk
+  FROM lineitem
+  GROUP BY l_returnflag, l_quantity
+)
+SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS quantity, n_lines,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked
+WHERE rnk <= 3
+ORDER BY l_returnflag, rnk, quantity
+""",
+)
+def q105_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent quantities per return flag, KEEPING ties: rank()
+    cut admits every value tied at the boundary (row_number would drop
+    arbitrary tied rows — the subtle top-k correctness difference)."""
+    env = Env(spark, sf_dir)
+    return env.sql(
+        """
+        WITH ranked AS (
+          SELECT l_returnflag, l_quantity,
+                 count(*) AS n_lines,
+                 rank() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC) AS rnk
+          FROM lineitem
+          GROUP BY l_returnflag, l_quantity
+        )
+        SELECT l_returnflag, CAST(l_quantity AS INT) AS quantity, n_lines,
+               CAST(rnk AS INT) AS rnk
+        FROM ranked
+        WHERE rnk <= 3
+        ORDER BY l_returnflag, rnk, quantity
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q102 — inline VALUES lookup table (literal dimension join).
 # ---------------------------------------------------------------------------
 @register(
