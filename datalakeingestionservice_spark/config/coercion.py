@@ -11,7 +11,15 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Any
 
-_DATE_FORMATS = ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S")
+_DATE_FORMATS = (
+    "%Y-%m-%d",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S",
+    # Microsecond variants: watermarks written by pipeline/incremental.py use
+    # '%Y-%m-%d %H:%M:%S.%f', so they must round-trip as typed datetimes.
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S.%f",
+)
 _BOOL_STRINGS = {"true": True, "false": False}
 
 

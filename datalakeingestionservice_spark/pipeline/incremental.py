@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -71,11 +71,19 @@ def run_incremental(
     """One incremental run: bind the stored watermark as the extraction
     parameter, ingest, then advance the watermark from the committed output."""
     previous = store.get(config.dataset_id, initial_watermark)
-    config.source.parameters = {
-        **(config.source.parameters or {}),
-        watermark_param: previous,
-    }
-    result = run_dataset(spark, config, environment=environment, **run_kwargs)
+    # Bind the watermark on a per-run copy: the shared DatasetConfiguration
+    # (often reused across cron fires and datasets) is never mutated.
+    bound = replace(
+        config,
+        source=replace(
+            config.source,
+            parameters={
+                **(config.source.parameters or {}),
+                watermark_param: previous,
+            },
+        ),
+    )
+    result = run_dataset(spark, bound, environment=environment, **run_kwargs)
 
     new_watermark = previous
     if result.success and result.rows and result.output_dir:

@@ -24,7 +24,7 @@ _FIELD_RANGES = [
     (0, 23),  # hour
     (1, 31),  # day of month
     (1, 12),  # month
-    (0, 7),   # day of week (Quartz 1-7 SUN-SAT or 0-6; both accepted, mod 7)
+    (0, 6),   # day of week (internal Sun=0..Sat=6; see _atom_value for input)
 ]
 
 _DOW_NAMES = {"sun": 0, "mon": 1, "tue": 2, "wed": 3, "thu": 4, "fri": 5, "sat": 6}
@@ -45,9 +45,16 @@ def _atom_value(token: str, idx: int) -> int:
     if idx == 4 and token in _MON_NAMES:
         return _MON_NAMES[token]
     try:
-        return int(token)
+        v = int(token)
     except ValueError:
         raise CronParseError(f"bad cron atom: {token!r}") from None
+    if idx == 5:
+        # Quartz convention (JobSchedulingService.cs triggers): numeric dow is
+        # 1-7 = SUN-SAT; 0 is also accepted as SUN. Internal form is Sun=0.
+        if not 0 <= v <= 7:
+            raise CronParseError(f"day-of-week out of range: {token!r}")
+        return 0 if v == 0 else v - 1
+    return v
 
 
 def _parse_field(field_text: str, idx: int) -> set[int]:
@@ -71,7 +78,7 @@ def _parse_field(field_text: str, idx: int) -> set[int]:
             start = _atom_value(part, idx)
             end = hi if has_step else start
         for v in range(start, end + 1, step):
-            allowed.add(v % 7 if idx == 5 else v)
+            allowed.add(v)
     if not allowed:
         raise CronParseError(f"empty cron field: {field_text!r}")
     return allowed

@@ -164,7 +164,7 @@ def q25_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
        count(*) AS n,
-       sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS n_with_key
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_key
 FROM events
 WHERE event_id < 500
 GROUP BY 1

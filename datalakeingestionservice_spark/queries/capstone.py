@@ -92,7 +92,7 @@ final AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 2) AS avg_tokens,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM final

@@ -193,7 +193,7 @@ labels AS (
 ),
 losers AS (SELECT node FROM labels WHERE node <> component)
 SELECT count(*) AS n_survivors,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(DISTINCT lang) AS n_langs
 FROM documents
 WHERE doc_id NOT IN (SELECT node FROM losers)

@@ -64,7 +64,7 @@ WITH flagged AS (
 SELECT status_n,
        count(*) AS n,
        count(maybe_key) AS n_castable,
-       count_if(maybe_key IS NULL) AS n_uncastable,
+       CAST(count_if(maybe_key IS NULL) AS BIGINT) AS n_uncastable,
        bool_and(o_orderkey > 0) AS all_positive,
        bool_or(o_orderkey > 990) AS any_large
 FROM flagged JOIN orders USING (o_orderkey)
@@ -203,9 +203,9 @@ WITH pairs AS (
   FROM orders WHERE o_orderkey <= 2000
 )
 SELECT
-  count_if(s1 IS NOT DISTINCT FROM s2) AS null_safe_equal,
-  count_if(s1 = s2) AS plain_equal,
-  count_if(s1 IS DISTINCT FROM s2) AS null_safe_different,
+  CAST(count_if(s1 IS NOT DISTINCT FROM s2) AS BIGINT) AS null_safe_equal,
+  CAST(count_if(s1 = s2) AS BIGINT) AS plain_equal,
+  CAST(count_if(s1 IS DISTINCT FROM s2) AS BIGINT) AS null_safe_different,
   count(*) AS n
 FROM pairs
 """,
@@ -351,9 +351,9 @@ WITH flagged AS (
   WHERE user_id < 30
 )
 SELECT user_id, event_id,
-       sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS distinct_types_so_far
+       CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
 FROM flagged
 ORDER BY user_id, event_id
 """,

@@ -63,15 +63,15 @@ def q77_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH exp AS (
   SELECT count(*) AS n,
-         count_if(NOT (o_totalprice > 0) OR o_totalprice IS NULL) AS v_price,
-         count_if(o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL) AS v_status,
-         count_if(o_custkey IS NULL) AS v_cust
+         CAST(count_if(NOT (o_totalprice > 0) OR o_totalprice IS NULL) AS BIGINT) AS v_price,
+         CAST(count_if(o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL) AS BIGINT) AS v_status,
+         CAST(count_if(o_custkey IS NULL) AS BIGINT) AS v_cust
   FROM orders
 ),
 uniq AS (
   SELECT count(*) AS n_keys,
-         count_if(c > 1) AS n_duplicate_keys,
-         coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS n_excess_rows
+         CAST(count_if(c > 1) AS BIGINT) AS n_duplicate_keys,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_excess_rows
   FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
 ),
 fk AS (

@@ -423,7 +423,7 @@ def q90_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        count(*) AS n_blobs,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        count(DISTINCT sha256(text)) AS n_unique_blobs,
        round(avg(octet_length(encode(text))), 2) AS avg_bytes
 FROM documents

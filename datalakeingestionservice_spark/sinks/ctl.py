@@ -100,6 +100,20 @@ def combined_checksum_distributed(spark, files: list[str]) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
+def _roundtrip(dt: datetime) -> str:
+    """.NET round-trip ("o") format (`CtlGenerationHandler.cs:70-72` uses
+    `DateTime.ToString("o")`): 7-digit fractional seconds, 'Z' for UTC.
+    Python datetimes carry microseconds (6 digits) — padded with a trailing
+    zero to the reference's 7. Naive datetimes get no designator, matching
+    DateTimeKind.Unspecified."""
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + "0"
+    if dt.tzinfo is not None and dt.utcoffset() == timezone.utc.utcoffset(None):
+        return base + "Z"
+    if dt.tzinfo is not None:
+        return base + dt.strftime("%z")[:3] + ":" + dt.strftime("%z")[3:]
+    return base
+
+
 def generate_ctl(
     dataset_id: str,
     source: str,
@@ -113,9 +127,9 @@ def generate_ctl(
     ref = ref_date or now
     return CtlRecord(
         record_count=record_count,
-        ref_date=ref.strftime("%Y-%m-%dT%H:%M:%S"),
+        ref_date=_roundtrip(ref),
         checksum=checksum if checksum is not None else combined_checksum(files),
-        timestamp=now.strftime("%Y-%m-%dT%H:%M:%S"),
+        timestamp=_roundtrip(now),
         dataset_name=f"{dataset_id}_{now.strftime('%Y%m%d%H%M%S')}",
         source=source,
     )

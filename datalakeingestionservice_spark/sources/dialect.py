@@ -9,6 +9,10 @@ should be rewritten as a query template instead.
 - ``dbo.Name``   -> ``Name``        (schema qualifier; lake views are flat)
 - ``TOP n``      -> trailing ``LIMIT n``
 - ``[Name]``     -> ```Name```      (quoted identifiers)
+
+Substitutions are token-aware: string literals (``'a@b.com'``, with ``''``
+escapes) and comments (``--`` and ``/* */``) pass through untouched, so an
+email address or a bracket inside a literal is never rewritten.
 """
 
 from __future__ import annotations
@@ -20,15 +24,46 @@ _SCHEMA = re.compile(r"\bdbo\.", re.IGNORECASE)
 _TOP = re.compile(r"\bSELECT\s+TOP\s+(\d+)\s", re.IGNORECASE)
 _BRACKET = re.compile(r"\[([A-Za-z_][\w ]*)\]")
 
+# Single-quoted literal (with '' escape), line comment, or block comment.
+_OPAQUE = re.compile(
+    r"'(?:[^']|'')*'"
+    r"|--[^\n]*"
+    r"|/\*.*?\*/",
+    re.DOTALL,
+)
+
+
+def _segments(sql: str):
+    """Yield (is_code, start_offset, text) alternating code / opaque spans."""
+    last = 0
+    for m in _OPAQUE.finditer(sql):
+        if m.start() > last:
+            yield True, last, sql[last:m.start()]
+        yield False, m.start(), m.group(0)
+        last = m.end()
+    if last < len(sql):
+        yield True, last, sql[last:]
+
 
 def tsql_to_spark(sql: str) -> str:
     """Translate the supported T-SQL subset to Spark SQL."""
-    out = _PARAM.sub(r":\1", sql)
-    out = _SCHEMA.sub("", out)
-    out = _BRACKET.sub(r"`\1`", out)
-    top = _TOP.search(out)
-    if top:
-        n = top.group(1)
-        out = _TOP.sub("SELECT ", out, count=1).rstrip().rstrip(";")
-        out = f"{out}\nLIMIT {n}"
+    parts = []
+    for is_code, _, text in _segments(sql):
+        if is_code:
+            text = _PARAM.sub(r":\1", text)
+            text = _SCHEMA.sub("", text)
+            text = _BRACKET.sub(r"`\1`", text)
+        parts.append(text)
+    out = "".join(parts)
+
+    # TOP n -> trailing LIMIT n (first occurrence, code segments only).
+    for is_code, start, text in _segments(out):
+        if not is_code:
+            continue
+        m = _TOP.search(text)
+        if m:
+            n = m.group(1)
+            out = out[: start + m.start()] + "SELECT " + out[start + m.end():]
+            out = out.rstrip().rstrip(";") + f"\nLIMIT {n}"
+            break
     return out

@@ -196,11 +196,15 @@ class DataEncryptionStep(BaseStep):
         for col in columns:
             if col not in df.columns:
                 continue
+            # Key/mode passed as literal parameters, never interpolated into
+            # parsed SQL text: a quote in the key can't break or inject the
+            # expression, and the plan string holds a parameter, not a
+            # hand-spliced fragment.
             df = df.withColumn(
                 col,
                 F.base64(
-                    F.expr(
-                        f"aes_encrypt(CAST({col} AS STRING), '{key}', '{mode}')"
+                    F.aes_encrypt(
+                        F.col(col).cast("string"), F.lit(key), F.lit(mode)
                     )
                 ),
             )

@@ -78,3 +78,18 @@ def test_incremental_advances_then_drains(spark, sf_dir, tmp_path, incr_config):
     )
     assert r3.result.success
     assert 0 < r3.result.rows < r1.result.rows
+
+    # The shared config is never mutated: binding happens on a per-run copy.
+    assert "Watermark" not in (incr_config.source.parameters or {})
+
+
+def test_watermark_microseconds_coerce_roundtrip():
+    """Advanced watermarks ('%Y-%m-%d %H:%M:%S.%f') parse as typed datetimes,
+    not raw strings relying on Spark's implicit cast."""
+    import datetime as dt
+
+    from datalakeingestionservice_spark.config.coercion import coerce_value
+
+    v = coerce_value("2024-01-20 10:30:00.123456")
+    assert isinstance(v, dt.datetime)
+    assert v.microsecond == 123456

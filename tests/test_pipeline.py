@@ -166,6 +166,27 @@ def test_combined_checksum_multi_part(tmp_path):
     assert combined_checksum([str(a)]) == hashlib.sha256(b"aaa").hexdigest()
 
 
+def test_ctl_roundtrip_timestamp_format(tmp_path):
+    """CTL RefDate/Timestamp use .NET round-trip ("o") format — 7-digit
+    fractional seconds + 'Z' for UTC (CtlGenerationHandler.cs:70-72)."""
+    from datetime import datetime, timezone
+
+    from datalakeingestionservice_spark.sinks.ctl import generate_ctl
+
+    f = tmp_path / "p.parquet"
+    f.write_bytes(b"x")
+    now = datetime(2026, 2, 2, 12, 34, 56, 123456, tzinfo=timezone.utc)
+    rec = generate_ctl("ds", "src", 1, [str(f)], now=now)
+    assert rec.timestamp == "2026-02-02T12:34:56.1234560Z"
+    assert rec.ref_date == rec.timestamp
+    # Naive datetimes (DateTimeKind.Unspecified) carry no zone designator.
+    rec2 = generate_ctl(
+        "ds", "src", 1, [str(f)], now=now,
+        ref_date=datetime(2026, 2, 2, 0, 0, 0),
+    )
+    assert rec2.ref_date == "2026-02-02T00:00:00.0000000"
+
+
 def test_failed_publish_cleans_staging(spark, sf_dir, tmp_path):
     """CTL written, then publish fails (destination exists, overwrite off):
     staging residue must be removed (reference temp-cleanup parity)."""
