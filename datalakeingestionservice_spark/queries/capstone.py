@@ -64,10 +64,15 @@ shingles AS (
     FROM words WHERE len(w) >= 3
   )
 ),
-doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+sh_freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+pruned AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN sh_freq f USING (shingle) WHERE f.df <= 20
+),
+doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
 pair_common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b
+  FROM pruned a JOIN pruned b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -121,7 +126,17 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("fingerprint")
 
     # Stage 3: fuzzy dedup — shingle Jaccard pairs -> components -> survivors.
-    shingles = word_shingles(exact_kept, "doc_id", "text", n=3)
+    # Stop-shingle pruning ON: a shingle in > max_shingle_freq docs feeds the
+    # candidate join quadratically while carrying no similarity signal; at
+    # 100 TB an unpruned ubiquitous shingle is the job-killer. Safety
+    # condition: the threshold must exceed the largest duplicate-cluster size
+    # (a k-doc cluster's shared shingles have df = k). 20 clears this corpus's
+    # clusters with margin — measured pair recall vs unpruned is 1.0 at sf0.1
+    # (tests/test_operators.py::test_stop_shingle_pruning_recall pins both
+    # the rule and the failure mode below it).
+    shingles = word_shingles(
+        exact_kept, "doc_id", "text", n=3, max_shingle_freq=20
+    )
     pairs = jaccard_pairs(shingles, id_col="doc_id", threshold=0.4).select(
         "doc_a", "doc_b"
     )

@@ -48,6 +48,43 @@ def test_word_shingles_and_pruning(spark):
     assert "a b c" not in {r.shingle for r in pruned.collect()}
 
 
+def test_stop_shingle_pruning_recall(spark, sf_dir):
+    """Stop-shingle pruning safety condition: `max_shingle_freq` must exceed
+    the largest duplicate-cluster size. Shingles shared by a whole k-doc dup
+    cluster have df = k, so a threshold below k prunes exactly the evidence
+    the pairs need (this testdata has a 4-doc cluster: 8/12/120/360). Above
+    the cluster size, pruning drops only signal-free ubiquitous shingles and
+    pair recall is total. q79 sets 20 at sf0.1 — measured recall 1.0 there."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    full_sh = word_shingles(docs, "doc_id", "text", n=3)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(full_sh, threshold=0.4).collect()
+    }
+    assert full, "anchor must be non-empty for recall to mean anything"
+
+    # Safe threshold (>= max cluster size 4): pruning engaged, recall 1.0.
+    safe_sh = word_shingles(docs, "doc_id", "text", n=3, max_shingle_freq=4)
+    assert safe_sh.count() < full_sh.count()  # actually dropped postings
+    safe = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(safe_sh, threshold=0.4).collect()
+    }
+    assert len(full & safe) / len(full) >= 0.99
+
+    # Below the cluster size the documented failure mode appears: the 4-doc
+    # cluster's shared shingles (df=4 > 3) vanish and its pairs are lost.
+    tight_sh = word_shingles(docs, "doc_id", "text", n=3, max_shingle_freq=3)
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(tight_sh, threshold=0.4).collect()
+    }
+    assert (8, 120) in full and (8, 120) not in tight
+
+
 def test_jaccard_pairs_exact_value(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
