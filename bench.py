@@ -27,9 +27,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # Warm the session (JVM classloading, codegen cache) outside the timings.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Untimed pass of the first headline query: warms the parquet reader,
+    # catalog views, and whole-stage-codegen compiler so the first TIMED query
+    # measures its plan, not JVM startup (round-1 q01 was ~2.8 s of warm-up).
+    queries = headline_queries()
+    first = next(iter(queries.values()))
+    first.spark_fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name, query in headline_queries().items():
+    for name, query in queries.items():
         t0 = time.perf_counter()
         df = query.spark_fn(spark, sf_dir)
         df.count()

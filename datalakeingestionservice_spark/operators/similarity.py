@@ -9,7 +9,7 @@ paths (cell/bucket blocking turns corpus-quadratic work into per-block work).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -88,17 +88,32 @@ def ivf_assign(
 
     IVF coarse quantization: queries then probe one (or a few) cells instead
     of the corpus. Ties broken on centroid id for determinism.
+
+    Argmin as ONE aggregate (`min_by` over a (-cos, cid) ordering struct),
+    not a per-vector `row_number` window. The window shape EXCHANGES all
+    |vectors| x |centroids| candidate rows, then sorts them per partition; the
+    aggregate gets map-side partial combine, so only |vectors| rows cross the
+    wire. (Spark lowers struct-ordered min_by to SortAggregate — the residual
+    sort is local, pre-combine, on the single id key.)
     """
     cos = cosine(vec_col, centroid_vec_col)
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("cos_sim"), F.asc(centroid_id_col)
+    order = F.struct(
+        (-F.col("cos_sim")).alias("neg_cos"), F.col(centroid_id_col)
+    )
+    best = F.min_by(
+        F.struct(F.col(centroid_id_col), F.col("cos_sim")), order
     )
     return (
         emb.crossJoin(F.broadcast(centroids))
         .select(id_col, vec_col, centroid_id_col, cos.alias("cos_sim"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .groupBy(id_col)
+        .agg(F.first(vec_col).alias(vec_col), best.alias("__best"))
+        .select(
+            id_col,
+            vec_col,
+            F.col(f"__best.{centroid_id_col}"),
+            F.col("__best.cos_sim"),
+        )
     )
 
 

@@ -285,7 +285,10 @@ def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH over shingle sets: the sub-quadratic scale path for fuzzy
     dedup (banding via approxSimilarityJoin). Seeded => deterministic run-to-run
     on the same Spark version, but hash family is engine-specific => no SQL
-    oracle; correctness of the *semantics* is pinned by q45's exact Jaccard."""
+    oracle; correctness of the *semantics* is pinned by q45's exact Jaccard.
+    Candidate recall vs the q45 anchor: measured 1.0 at sf0.001 and sf0.1 for
+    numHashTables in {4,8,16}; pinned >= 0.95 in pytest
+    (tests/test_operators.py::test_minhash_recall_vs_exact_anchor)."""
     env = Env(spark, sf_dir)
     pairs = minhash_neardup_pairs(
         env.t("documents"), n=3, num_hash_tables=8, max_distance=0.6, seed=42
