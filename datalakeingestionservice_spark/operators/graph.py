@@ -100,12 +100,16 @@ def _components_distributed(
         .withColumn("label", F.col("node"))
     )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint: truncate lineage each round — without it, round k
+        # re-executes all k-1 prior joins (O(iter^2) work and an
+        # ever-deepening plan for Catalyst to re-analyze).
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -114,6 +118,7 @@ def _components_distributed(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.alias("u")
@@ -124,7 +129,16 @@ def _components_distributed(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Min-label propagation needs O(component diameter) rounds. Hitting
+        # the cap means some label is still moving — returning it would be
+        # silently wrong (split components => duplicate survivors kept).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (graph diameter exceeds it)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -128,8 +128,9 @@ def read_jdbc(spark: SparkSession, source: SourceConfig, **_) -> DataFrame:
     Where the reference loads the whole result set on one thread
     (`SqlServerDataSource.cs:61-62`), a partitioned JDBC read splits on
     `partitionColumn` bounds so N executors stream N ranges concurrently.
-    Requires the JDBC driver jar on the classpath; untestable in this
-    container (no database), config-validated only.
+    Requires the JDBC driver jar on the classpath; exercised live against
+    embedded Derby (ships in Spark's jars) in tests/test_jdbc.py — dbtable
+    scan, database-side query execution, and the partitioned parallel read.
     """
     params = dict(source.parameters or {})
     url = params.pop("url", None) or source.connection_string_key

@@ -1,0 +1,127 @@
+"""Plan-regression tests: the 100 TB-shaped physical plans the headline
+queries were tuned to must not silently regress.
+
+Asserted properties (VERDICT r1 item 5):
+- filters reach the parquet scan (`PushedFilters` non-empty) where the query
+  filters on scannable columns;
+- dimension joins broadcast (q03/q05/q13) — a SortMergeJoin on a dim table
+  would shuffle the fact side for nothing;
+- no CartesianProduct anywhere; BroadcastNestedLoopJoin only in the two
+  queries that cross-join a broadcast constant-sized frame (q50's query
+  vector, q38's 124-row rate spine);
+- q50's top-k compiles to TakeOrderedAndProject (per-partition heap + k-row
+  driver merge), never a global Sort;
+- every headline plan contains WholeStageCodegen spans — printed as '*(n)'
+  in the final adaptive plan — i.e. expressions stayed JVM-side.
+
+Plans are inspected at sf0.001 — plan SHAPE is scale-invariant here because
+every broadcast in these queries is statically declared (F.broadcast), not
+size-estimated.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from datalakeingestionservice_spark.queries import headline_queries
+
+# Queries allowed to contain BroadcastNestedLoopJoin: cross joins against
+# broadcast frames whose size is a small CONSTANT (independent of data scale).
+_BNLJ_ALLOWED = {
+    "q50_cosine_topk",  # corpus x broadcast(single query vector)
+    "q38_asof_join",  # distinct event types x broadcast(124-row rate spine)
+}
+
+# (query, minimum number of scans with non-empty PushedFilters).
+_PUSHDOWN_EXPECTED = {
+    "q01_pricing_summary": 1,  # l_shipdate range predicate
+    "q03_shipping_priority": 3,  # c_mktsegment + two date predicates
+    "q05_local_supplier_volume": 2,  # region name + order date range
+    "q13_broadcast_lookup": 1,
+    "q45_ngram_jaccard_neardup": 1,  # size(words) >= n on both join branches
+}
+
+_BROADCAST_JOIN_EXPECTED = {
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q13_broadcast_lookup",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """FINAL adaptive plans: each query is executed so AQE materializes its
+    runtime plan (pre-execution strings carry neither the final join strategy
+    nor WholeStageCodegen spans)."""
+    out = {}
+    for name, q in headline_queries().items():
+        df = q.spark_fn(spark, sf_dir)
+        # collect() (not count()) — count() builds and runs a DIFFERENT plan,
+        # leaving this one un-finalized. Output sizes are small at sf0.001.
+        df.collect()
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def _pushed_nonempty(plan: str) -> int:
+    return sum(
+        1
+        for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        if m.strip()
+    )
+
+
+def test_no_cartesian_product(plans):
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+
+
+def test_nested_loop_joins_only_on_broadcast_constants(plans):
+    for name, plan in plans.items():
+        if name in _BNLJ_ALLOWED:
+            continue
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_filters_pushed_to_scan(plans):
+    for name, n_min in _PUSHDOWN_EXPECTED.items():
+        assert _pushed_nonempty(plans[name]) >= n_min, (
+            f"{name}: expected >= {n_min} scans with PushedFilters"
+        )
+
+
+def test_dimension_joins_broadcast(plans):
+    for name in _BROADCAST_JOIN_EXPECTED:
+        plan = plans[name]
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: dimension join regressed to SortMergeJoin"
+        )
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    plan = plans["q50_cosine_topk"]
+    assert "TakeOrderedAndProject" in plan
+    # The only acceptable Sort is none at all: top-k never globally sorts.
+    assert "\n+- Sort" not in plan and "Sort [" not in plan.replace(
+        "TakeOrderedAndProject", ""
+    ), "q50 plan acquired a global sort"
+
+
+def test_whole_stage_codegen_everywhere(plans):
+    for name, plan in plans.items():
+        # Codegen spans print as '*(n) Operator' in the simple plan string.
+        assert re.search(r"\*\(\d+\)", plan), (
+            f"{name}: no WholeStageCodegen span — expressions left the JVM "
+            "or fell to interpreted mode"
+        )
+
+
+def test_capstone_self_join_is_not_broadcast(plans):
+    """q79's shingle self-join is big-big: it must be a shuffle join
+    (SortMergeJoin/ShuffledHashJoin), NOT a broadcast — broadcasting a
+    data-proportional posting list OOMs executors at scale."""
+    plan = plans["q79_training_data_pipeline"]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
