@@ -175,3 +175,44 @@ def q83_having_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — salted skew join: identical output to the plain equi-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q106_salted_skew_join",
+    tags=("join", "skew", "scale"),
+    oracle="""
+SELECT s.s_nationkey AS s_nationkey,
+       count(*) AS n_lines,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def q106_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate join (operators/skew.py): the fact side is salted,
+    the supplier side replicated per salt, so one hot l_suppkey spreads over
+    n_salts shuffle tasks instead of one straggler. The oracle is the PLAIN
+    join — salting must not change a single output row."""
+    from datalakeingestionservice_spark.operators.skew import salted_join
+
+    env = Env(spark, sf_dir)
+    lineitem = env.t("lineitem").select("l_suppkey", "l_quantity", "l_extendedprice")
+    supplier = env.t("supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(lineitem, supplier, on="l_suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("s_nationkey")
+    )

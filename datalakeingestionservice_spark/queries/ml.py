@@ -198,3 +198,94 @@ def q69_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — two chained k-means iterations (update feeds the next assignment).
+# ---------------------------------------------------------------------------
+@register(
+    "q107_kmeans_two_steps",
+    tags=("ml", "iterative", "vectors"),
+    oracle="""
+WITH pts AS (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, pos, v AS cv FROM pts WHERE vec_id < 4),
+s1 AS (
+  SELECT p.vec_id AS vec_id, c.cid AS cid, sum(p.v * c.cv) AS score
+  FROM pts p JOIN c0 c USING (pos) GROUP BY p.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM s1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cid AS cid, p.pos AS pos, avg(p.v) AS cv
+  FROM pts p JOIN a1 ON p.vec_id = a1.vec_id
+  GROUP BY a1.cid, p.pos
+),
+s2 AS (
+  SELECT p.vec_id AS vec_id, c.cid AS cid, sum(p.v * c.cv) AS score
+  FROM pts p JOIN c1 c USING (pos) GROUP BY p.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid, score FROM (
+    SELECT vec_id, cid, score,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM s2
+  ) WHERE rn = 1
+)
+SELECT cid, count(*) AS n_members, round(avg(score), 6) AS avg_score
+FROM a2 GROUP BY cid ORDER BY cid
+""",
+)
+def q107_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained Lloyd iterations entirely in exploded-coordinate form:
+    assignment is a broadcast join on dimension position + one (vec, cid)
+    aggregate (never a |vectors| x |vectors| product), the centroid update is
+    a (cid, pos) mean, and iteration 2 consumes iteration 1's OUTPUT — the
+    EM-style loop PageRank (q103) pins for graphs, here for vector
+    clustering. At 100 TB: pts scale linearly (rows x dims), centroids stay
+    broadcast-sized, every stage is a hash-aggregate."""
+    env = Env(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    pts = env.t("embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+        return (
+            pts.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.col("v") * F.col("cv")).alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "score")
+        )
+
+    c0 = pts.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("cv")
+    )
+    a1 = assign(c0)
+    c1 = (
+        pts.join(a1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("cv"))
+    )
+    a2 = assign(c1)
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("cid")
+    )

@@ -181,6 +181,32 @@ def test_lsh_bucket_identical_vectors_collide(spark):
     assert rows[1] != rows[3]  # opposite vector flips every sign bit
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Salting only routes rows — output must equal the unsalted join,
+    including unmatched-left behavior and rows under a hot key."""
+    from datalakeingestionservice_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10.0)] * 50 + [(2, 1.0), (3, 2.0), (9, 5.0)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b")], ["k", "name"])
+
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.name)
+            for r in salted_join(fact, dim, on="k", n_salts=4, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.name) for r in fact.join(dim, "k", how).collect()
+        )
+        assert got == want, how
+
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(fact, dim, on="k", how="full")
+    with pytest.raises(ValueError, match="ambiguous"):
+        salted_join(fact, fact, on="k")
+
+
 def test_token_stats_and_quality(spark):
     df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
     row = token_stats(df).collect()[0]
