@@ -171,6 +171,88 @@ def _window_case(rng: random.Random) -> str:
     )
 
 
+def _range_window_case(rng: random.Random) -> str:
+    """RANGE-frame window family: value-based frames over a numeric ORDER BY.
+
+    RANGE frames include PEER rows (equal order keys), so the aggregate is
+    deterministic even where the order key ties — no total order needed for
+    the frame itself; the outer ORDER BY still totals over output columns.
+    """
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 10"])
+    span = rng.choice([2, 5, 10, 100])
+    okey = rng.choice(["l_orderkey", "l_partkey"])
+    fn = rng.choice(
+        [
+            f"round(sum(l_quantity) OVER (PARTITION BY {part} ORDER BY {okey} "
+            f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW), 2)",
+            f"count(*) OVER (PARTITION BY {part} ORDER BY {okey} "
+            f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)",
+            f"min(l_linenumber) OVER (PARTITION BY {part} ORDER BY {okey} "
+            f"RANGE BETWEEN {span} PRECEDING AND {span} FOLLOWING)",
+            f"max(l_suppkey) OVER (PARTITION BY {part} ORDER BY {okey} "
+            f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        ]
+    )
+    where = _predicate(rng)
+    return (
+        f"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        f"{fn} AS w FROM lineitem WHERE {where} "
+        f"ORDER BY {_UNIQUE_ORDER} LIMIT 2000"
+    )
+
+
+def _deep_join_case(rng: random.Random) -> str:
+    """5-table chain: region -> nation -> customer -> orders -> lineitem."""
+    rk = rng.randrange(1, 5)
+    status = rng.choice(["F", "O", "P"])
+    qty = rng.randrange(5, 45)
+    group = rng.choice(["r.r_name", "n.n_name", "o.o_orderpriority"])
+    having = (
+        f"HAVING count(*) >= {rng.randrange(1, 4)} "
+        if rng.random() < 0.4
+        else ""
+    )
+    return (
+        f"SELECT {group} AS grp, count(*) AS n, "
+        f"round(sum(l.l_extendedprice), 2) AS revenue, "
+        f"count(DISTINCT o.o_orderkey) AS n_orders "
+        f"FROM region r "
+        f"JOIN nation n ON n.n_regionkey = r.r_regionkey "
+        f"JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        f"JOIN orders o ON o.o_custkey = c.c_custkey "
+        f"JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE r.r_regionkey < {rk} AND o.o_orderstatus = '{status}' "
+        f"AND l.l_quantity > {qty} "
+        f"GROUP BY {group} {having}ORDER BY grp"
+    )
+
+
+def _rollup_case(rng: random.Random) -> str:
+    """ROLLUP family: subtotal rows (NULL-filled keys) must match exactly.
+
+    grouping() disambiguates real NULLs from subtotal NULLs in both engines;
+    ordering totals over (grouping levels, keys) with NULLS FIRST parity.
+
+    Divergence class found by this family (FUZZ.md #5): over an EMPTY input
+    relation DuckDB emits the grand-total grouping-set row (count 0, SQL
+    standard — same as a global aggregate), Spark emits NO rows for any
+    grouping set. Portable spelling: `HAVING count(*) > 0`, a no-op on every
+    non-empty group and a normalizer on the empty-input grand row.
+    """
+    a, b = rng.sample(["l_returnflag", "l_linestatus"], k=2)
+    where = _predicate(rng)
+    return (
+        f"SELECT {a} AS ga, {b} AS gb, "
+        f"CAST(grouping({a}) AS INTEGER) AS lv_a, "
+        f"CAST(grouping({b}) AS INTEGER) AS lv_b, "
+        f"count(*) AS n, round(sum(l_quantity), 2) AS qty "
+        f"FROM lineitem WHERE {where} "
+        f"GROUP BY ROLLUP ({a}, {b}) "
+        f"HAVING count(*) > 0 "
+        f"ORDER BY lv_a, lv_b, ga NULLS FIRST, gb NULLS FIRST"
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -265,15 +347,21 @@ def _array_case(rng: random.Random) -> str:
 
 def generate_case(rng: random.Random) -> str:
     roll = rng.random()
-    if roll < 0.15:
+    if roll < 0.13:
         return _join_case(rng)
-    if roll < 0.3:
+    if roll < 0.24:
         return _window_case(rng)
-    if roll < 0.45:
+    if roll < 0.33:
+        return _range_window_case(rng)
+    if roll < 0.40:
+        return _deep_join_case(rng)
+    if roll < 0.46:
+        return _rollup_case(rng)
+    if roll < 0.58:
         return _events_case(rng)
-    if roll < 0.55:
+    if roll < 0.66:
         return _text_case(rng)
-    if roll < 0.62:
+    if roll < 0.72:
         return _array_case(rng)
     where_parts = [_predicate(rng) for _ in range(rng.randrange(1, 4))]
     joiner = " AND " if rng.random() < 0.7 else " OR "
