@@ -1,0 +1,113 @@
+"""Lake table-format queries (q113): versioned MERGE + time-travel diff.
+
+Exercises `sinks/versioned.py` end-to-end on driver-checked data: create a
+versioned table from `orders`, apply a deterministic MERGE (updates, deletes,
+inserts), then diff snapshot v2 against snapshot v1 with semi/anti joins —
+the audit a lake team runs after every DML commit. The oracle recomputes the
+expected diff directly from `orders`, so the whole commit protocol (manifest
+claim, copy-on-write merge, time travel) sits behind a value-checked query.
+
+The reference delegates DML to its RDBMS (`SqlServerDataSource.cs:83-90`);
+this is the lake-native replacement.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.catalog import Env
+from datalakeingestionservice_spark.queries.registry import register
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+
+@register(
+    "q113_versioned_merge_diff",
+    tags=("lake", "dml", "merge", "time-travel"),
+    oracle="""
+WITH upd AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0),
+del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 1),
+ins AS (
+  SELECT o_orderkey + 1000000000 AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 10 = 2
+),
+v2_prices AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 10 <> 1
+  UNION ALL SELECT p FROM ins
+)
+SELECT (SELECT count(*) FROM orders) AS v1_rows,
+       (SELECT count(*) FROM v2_prices) AS v2_rows,
+       (SELECT count(*) FROM upd) AS n_updated,
+       (SELECT count(*) FROM del) AS n_deleted,
+       (SELECT count(*) FROM ins) AS n_inserted,
+       (SELECT CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v2_prices) AS v2_total_price
+""",
+)
+def q113_versioned_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table MERGE with time-travel audit: v1 = orders snapshot;
+    MERGE bumps price +10.00 on keys %10==0, deletes keys %10==1, inserts
+    same-price clones (key+1e9) of keys %10==2 -> v2. (+10.00 and clones keep
+    prices at 2 decimals: multiplying a 2dp price lands on .005 rounding
+    boundaries where Spark's HALF_UP and DuckDB's llround diverge — FUZZ.md
+    rule 2.) The returned diff is
+    computed FROM THE SNAPSHOTS (anti-join for deletes/inserts, equi-join +
+    price inequality for updates), not from the merge inputs — it proves
+    create/commit/merge/time-travel round-trip through the manifest layer."""
+    env = Env(spark, sf_dir)
+    orders = env.t("orders")
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlis_versioned_{uuid.uuid4().hex}"
+    )
+    t = VersionedTable.create(spark, root, orders)
+
+    k = F.col("o_orderkey")
+    updates = (
+        orders.filter(k % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("is_delete", F.lit(False))
+        .unionByName(
+            orders.filter(k % 10 == 1).withColumn("is_delete", F.lit(True))
+        )
+        .unionByName(
+            orders.filter(k % 10 == 2)
+            .withColumn("o_orderkey", k + 1_000_000_000)
+            .withColumn("is_delete", F.lit(False))
+        )
+    )
+    t.merge(updates, ["o_orderkey"], delete_col="is_delete")
+
+    v1 = t.read(version=1).select("o_orderkey", "o_totalprice")
+    v2 = t.read(version=2).select("o_orderkey", "o_totalprice")
+
+    deleted = v1.join(v2, "o_orderkey", "left_anti")
+    inserted = v2.join(v1, "o_orderkey", "left_anti")
+    updated = (
+        v1.alias("a")
+        .join(v2.alias("b"), "o_orderkey")
+        .filter(F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+
+    return (
+        v1.agg(F.count(F.lit(1)).alias("v1_rows"))
+        .crossJoin(v2.agg(F.count(F.lit(1)).alias("v2_rows")))
+        .crossJoin(updated.agg(F.count(F.lit(1)).alias("n_updated")))
+        .crossJoin(deleted.agg(F.count(F.lit(1)).alias("n_deleted")))
+        .crossJoin(inserted.agg(F.count(F.lit(1)).alias("n_inserted")))
+        .crossJoin(
+            # Exact decimal summation, then one cast: a plain double sum is
+            # accumulation-order-dependent and diverges cross-engine.
+            v2.agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("v2_total_price")
+            )
+        )
+    )
