@@ -46,6 +46,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # The driver-generated events table carries TIMESTAMP(NANOS) parquet, which
     # Spark's reader rejects by default; read as long and convert in catalog.table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource readers implementing pushFilters error out unless
+    # pushdown is explicitly enabled (sources/python_datasource.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
