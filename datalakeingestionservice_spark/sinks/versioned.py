@@ -110,7 +110,10 @@ class VersionedTable:
     # -- creation ----------------------------------------------------------
     @staticmethod
     def create(
-        spark: SparkSession, root: str, df: DataFrame
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        summary: dict | None = None,
     ) -> "VersionedTable":
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
@@ -121,6 +124,7 @@ class VersionedTable:
             files=(data_dir,),
             schema_ddl=df.schema.simpleString(),
             expected_parent=0,
+            summary=summary,
         )
         return table
 
@@ -172,7 +176,12 @@ class VersionedTable:
         return self.spark.read.parquet(*paths)
 
     # -- writes ------------------------------------------------------------
-    def append(self, df: DataFrame, max_retries: int = 3) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 3,
+        summary: dict | None = None,
+    ) -> int:
         """Append-only commit. Appends commute, so a version conflict is
         rebased automatically: re-read the new latest manifest and retry
         (the already-written data dir is reused — no rewrite)."""
@@ -186,6 +195,7 @@ class VersionedTable:
                     files=self.manifest(parent).files + (data_dir,),
                     schema_ddl=df.schema.simpleString(),
                     expected_parent=parent,
+                    summary=summary,
                 )
             except ConcurrentCommitError:
                 attempt += 1
@@ -296,6 +306,7 @@ class VersionedTable:
         files: tuple[str, ...],
         schema_ddl: str,
         expected_parent: int,
+        summary: dict | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1.
 
@@ -310,7 +321,7 @@ class VersionedTable:
             files=files,
             schema_ddl=schema_ddl,
             committed_at=datetime.now(timezone.utc).isoformat(),
-            summary={"n_files": len(files)},
+            summary={"n_files": len(files), **(summary or {})},
         )
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")

@@ -133,7 +133,9 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(
         self, start: dict, end: dict
     ) -> Iterator[tuple]:
-        return [gen_row(i) for i in range(start["next"], end["next"])]
+        # This path (checkpoint replay) REQUIRES an iterator, unlike read()
+        # whose result must be copyable — asymmetric but enforced by Spark.
+        return iter([gen_row(i) for i in range(start["next"], end["next"])])
 
 
 class _FileCommit(WriterCommitMessage):

@@ -1,0 +1,104 @@
+"""Exactly-once streaming into the versioned table
+(streaming/versioned_sink.py): one version per epoch, idempotent replay,
+checkpoint restart without duplicates."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+from datalakeingestionservice_spark.sources.python_datasource import register
+from datalakeingestionservice_spark.streaming.versioned_sink import (
+    make_versioned_batch_committer,
+    start_versioned_append_stream,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _events_stream(spark, rows_per_batch=40):
+    return (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", rows_per_batch)
+        .load()
+    )
+
+
+def _wait_for_versions(spark, root, n, timeout_s=90):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            t = VersionedTable(spark, root)
+            if t.latest_version() >= n:
+                return t
+        except Exception:
+            pass
+        time.sleep(0.5)
+    raise TimeoutError(f"table at {root} never reached version {n}")
+
+
+def test_stream_commits_one_version_per_epoch(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    q = start_versioned_append_stream(
+        _events_stream(spark), root, str(tmp_path / "ckpt"), "s1"
+    )
+    try:
+        t = _wait_for_versions(spark, root, 3)
+    finally:
+        q.stop()
+    versions = VersionedTable(spark, root).versions()
+    epochs = [m.summary.get("epoch") for m in versions]
+    assert epochs == sorted(epochs)  # one version per epoch, in order
+    assert len(set(epochs)) == len(epochs)
+    # Contiguous rows, no gaps/dupes: batch k covers ids [40k, 40k+40).
+    n_versions = len(versions)
+    rows = VersionedTable(spark, root).read(version=n_versions).collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == list(range(n_versions * 40))
+
+
+def test_committer_is_idempotent_per_epoch(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    commit = make_versioned_batch_committer(root, "s1")
+    batch = spark.createDataFrame([(1, "a")], "id bigint, v string")
+
+    commit(batch, 0)  # creates the table
+    commit(batch, 0)  # replay of epoch 0: must be a no-op
+    commit(batch, 1)
+    commit(batch, 1)  # replay of epoch 1: no-op
+    t = VersionedTable(spark, root)
+    assert t.latest_version() == 2
+    assert t.read().count() == 2  # one row per distinct epoch
+
+
+def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = start_versioned_append_stream(
+        _events_stream(spark), root, ckpt, "s1"
+    )
+    try:
+        _wait_for_versions(spark, root, 2)
+    finally:
+        q1.stop()
+    v_before = VersionedTable(spark, root).latest_version()
+
+    # Restart from the same checkpoint: offsets resume, epochs continue.
+    q2 = start_versioned_append_stream(
+        _events_stream(spark), root, ckpt, "s1"
+    )
+    try:
+        _wait_for_versions(spark, root, v_before + 2)
+    finally:
+        q2.stop()
+
+    t = VersionedTable(spark, root)
+    rows = t.read().collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate events after restart"
+    assert sorted(ids) == list(range(len(ids))), "gap in resumed stream"
