@@ -1,4 +1,5 @@
-"""Lake table-format queries (q113): versioned MERGE + time-travel diff.
+"""Lake table-format queries (q113, q115): versioned MERGE + time-travel
+diff; stats-based data skipping.
 
 Exercises `sinks/versioned.py` end-to-end on driver-checked data: create a
 versioned table from `orders`, apply a deterministic MERGE (updates, deletes,
@@ -109,5 +110,83 @@ def q113_versioned_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("v2_total_price")
             )
+        )
+    )
+
+
+@register(
+    "q115_versioned_data_skipping",
+    tags=("lake", "data-skipping", "stats", "pruning"),
+    oracle="""
+WITH yr AS (
+  SELECT DISTINCT CAST(date_part('year', l_shipdate) AS BIGINT) AS y
+  FROM lineitem
+),
+mx AS (SELECT max(y) - 2 AS cy FROM yr),
+hit AS (
+  SELECT l_extendedprice FROM lineitem, mx
+  WHERE CAST(date_part('year', l_shipdate) AS BIGINT) >= cy
+)
+SELECT
+  (SELECT count(*) FROM hit) AS n_rows,
+  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+   FROM hit) AS sum_price,
+  (SELECT count(*) FROM yr, mx WHERE y >= cy) AS n_dirs_scanned,
+  (SELECT count(*) FROM yr, mx WHERE y < cy) AS n_dirs_skipped
+""",
+)
+def q115_versioned_data_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stats-based data skipping through the versioned table: lineitem is
+    committed one ship-year per append (one data dir each), then a
+    predicated read for the last three years consults the manifest's
+    footer-harvested min/max stats and skips every older dir WITHOUT
+    planning a scan over it. The query returns both the aggregate over the
+    pruned read (proves pruning lost no rows — the oracle recomputes it
+    from raw lineitem) and the scanned/skipped dir counts from prune_info
+    (proves pruning actually happened — the oracle derives the expected
+    counts from the distinct ship years). This is the manifest-level
+    file-skipping Delta/Iceberg do; the reference has no analog (its RDBMS
+    prunes via indexes server-side, `SqlServerDataSource.cs:20-73`)."""
+    env = Env(spark, sf_dir)
+    lineitem = env.t("lineitem")
+
+    # One data dir per ship-year (collect is over ~7 year values, metadata
+    # scale; at 100 TB the same loop is "commit per ingest batch").
+    years = sorted(
+        r.y
+        for r in lineitem.select(
+            F.year("l_shipdate").alias("y")
+        ).distinct().collect()
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlis_skipping_{uuid.uuid4().hex}"
+    )
+    t = VersionedTable.create(
+        spark, root, lineitem.filter(F.year("l_shipdate") == years[0])
+    )
+    for y in years[1:]:
+        t.append(lineitem.filter(F.year("l_shipdate") == y))
+
+    import datetime as dt
+
+    cutoff_year = years[-1] - 2
+    predicates = [("l_shipdate", ">=", dt.datetime(cutoff_year, 1, 1))]
+    pruned = t.read(predicates=predicates)
+    info = t.prune_info(predicates)
+
+    return (
+        pruned.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn(
+            "n_dirs_scanned", F.lit(info["n_scanned"]).cast("long")
+        )
+        .withColumn(
+            "n_dirs_skipped", F.lit(info["n_skipped"]).cast("long")
         )
     )

@@ -24,14 +24,22 @@ size. Reads fan out to `spark.read.parquet(dirs...)`, preserving pushdown /
 pruning / split planning. merge() is copy-on-write at snapshot granularity
 (rewrite-what-you-read); partition-scoped merges bound the rewrite exactly as
 `operators/upsert.py` documents.
+
+Data skipping: every commit records per-data-dir column min/max/null-count
+stats harvested from the parquet FOOTERS of the files it wrote (no data
+scan), and `read(predicates=...)` drops whole data dirs the stats prove
+empty before Spark plans the scan — the manifest-level twin of parquet's
+row-group pruning, same design as Delta/Iceberg file stats.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import glob
 import json
 import os
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -50,6 +58,136 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 
+# -- data-skipping statistics (parquet footers -> manifest) -----------------
+#
+# Per data-dir, per top-level column: min / max / null count, harvested from
+# the parquet FOOTERS of the files just written — zero data scan, the same
+# source Delta/Iceberg use for their file-level stats. At 100 TB the
+# manifest stays KB-scale (one entry per data dir, not per row), and a
+# selective predicate skips whole directories before Spark even plans the
+# scan — the coarse-grained twin of parquet's own row-group pruning.
+
+def _stat_jsonable(v):
+    """Footer stat value -> JSON-storable form that preserves ORDER.
+
+    Dates/timestamps become ISO-8601 strings (lexicographic == chronologic
+    for fixed-format ISO); types without an order-faithful JSON form
+    (bytes, Decimal) are dropped -> the column just isn't prunable."""
+    if isinstance(v, bool) or v is None:
+        return None  # parquet bool stats are useless for pruning
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _collect_dir_stats(abs_dir: str) -> dict:
+    """Aggregate row-group footer stats across all parquet files in a dir.
+
+    Returns {"rows": n, "columns": {col: {"min":…, "max":…, "nulls": n}}}.
+    A column appears only if EVERY row group carried usable min/max (or was
+    all-null) — partial stats can't prove absence, so they're discarded."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    broken: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(abs_dir, "*.parquet"))):
+        md = pq.ParquetFile(path).metadata
+        rows += md.num_rows
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                name = col.path_in_schema
+                if "." in name or name in broken:
+                    continue  # nested leaves aren't prunable columns
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    broken.add(name)
+                    continue
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                if st.null_count == rg.num_rows:
+                    continue  # all-null group: no min/max to contribute
+                if not st.has_min_max:
+                    broken.add(name)
+                    continue
+                lo, hi = _stat_jsonable(st.min), _stat_jsonable(st.max)
+                if lo is None or hi is None:
+                    broken.add(name)
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    columns = {}
+    for name, n_null in nulls.items():
+        if name in broken:
+            continue
+        entry: dict = {"nulls": n_null}
+        if name in mins:
+            entry["min"] = mins[name]
+            entry["max"] = maxs[name]
+        columns[name] = entry
+    return {"rows": rows, "columns": columns}
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
+    """False only when the stats PROVE no row in the dir satisfies every
+    predicate (conjunction). Missing stats always mean 'may match' —
+    pruning must never be load-bearing for correctness."""
+    if not dir_stats:
+        return True
+    for col, op, val in predicates:
+        cs = dir_stats.get("columns", {}).get(col)
+        if cs is None:
+            continue
+        if "min" not in cs:
+            # Column has stats but no min/max => every value is NULL in
+            # this dir, and no comparison predicate matches NULL.
+            if cs["nulls"] >= dir_stats.get("rows", 0) > 0:
+                return False
+            continue
+        v = _stat_jsonable(val)
+        if v is None:
+            continue
+        lo, hi = cs["min"], cs["max"]
+        try:
+            if op == "=" and not (lo <= v <= hi):
+                return False
+            if op == "<" and not (lo < v):
+                return False
+            if op == "<=" and not (lo <= v):
+                return False
+            if op == ">" and not (hi > v):
+                return False
+            if op == ">=" and not (hi >= v):
+                return False
+        except TypeError:
+            continue  # cross-type comparison: can't prove, keep the dir
+    return True
+
+
+def _predicates_to_column(predicates: list[tuple]) -> Column:
+    ops = {
+        "=": Column.__eq__,
+        "<": Column.__lt__,
+        "<=": Column.__le__,
+        ">": Column.__gt__,
+        ">=": Column.__ge__,
+    }
+    cond = F.lit(True)
+    for col, op, val in predicates:
+        if op not in ops:
+            raise ValueError(f"unsupported op {op!r}; one of {_PRUNE_OPS}")
+        cond = cond & ops[op](F.col(col), F.lit(val))
+    return cond
+
+
 @dataclass(frozen=True)
 class Manifest:
     version: int
@@ -58,6 +196,7 @@ class Manifest:
     schema_ddl: str
     committed_at: str
     summary: dict
+    stats: dict = field(default_factory=dict)  # data dir -> footer stats
 
     def to_json(self) -> str:
         return json.dumps(
@@ -68,6 +207,7 @@ class Manifest:
                 "schema_ddl": self.schema_ddl,
                 "committed_at": self.committed_at,
                 "summary": self.summary,
+                "stats": self.stats,
             },
             indent=2,
             sort_keys=True,
@@ -83,6 +223,7 @@ class Manifest:
             schema_ddl=d["schema_ddl"],
             committed_at=d["committed_at"],
             summary=d.get("summary", {}),
+            stats=d.get("stats", {}),
         )
 
 
@@ -125,6 +266,7 @@ class VersionedTable:
             schema_ddl=df.schema.simpleString(),
             expected_parent=0,
             summary=summary,
+            stats={data_dir: table._dir_stats(data_dir)},
         )
         return table
 
@@ -170,10 +312,48 @@ class VersionedTable:
         )
 
     # -- reads -------------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        predicates: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot. With `predicates` — a conjunction of
+        (column, op, literal) triples, op in =,<,<=,>,>= — data dirs whose
+        manifest stats prove them empty for the predicate are skipped
+        BEFORE Spark plans the scan, and the same predicate is applied as
+        a filter, so results are identical to an unpruned read + filter."""
         m = self.manifest(version)
-        paths = [os.path.join(self.root, rel) for rel in m.files]
-        return self.spark.read.parquet(*paths)
+        rels = list(m.files)
+        if predicates:
+            rels = [
+                rel for rel in rels
+                if _dir_may_match(m.stats.get(rel, {}), predicates)
+            ]
+        if not rels:
+            return self.spark.createDataFrame([], m.schema_ddl)
+        paths = [os.path.join(self.root, rel) for rel in rels]
+        df = self.spark.read.parquet(*paths)
+        if predicates:
+            df = df.filter(_predicates_to_column(predicates))
+        return df
+
+    def prune_info(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> dict:
+        """Which data dirs a predicated read would scan vs skip."""
+        m = self.manifest(version)
+        kept, skipped = [], []
+        for rel in m.files:
+            (kept if _dir_may_match(m.stats.get(rel, {}), predicates)
+             else skipped).append(rel)
+        return {
+            "scanned": kept,
+            "skipped": skipped,
+            "n_scanned": len(kept),
+            "n_skipped": len(skipped),
+        }
 
     # -- writes ------------------------------------------------------------
     def append(
@@ -186,16 +366,19 @@ class VersionedTable:
         rebased automatically: re-read the new latest manifest and retry
         (the already-written data dir is reused — no rewrite)."""
         data_dir = self._write_data(df)
+        new_stats = self._dir_stats(data_dir)
         attempt = 0
         while True:
             parent = self.latest_version()
+            pm = self.manifest(parent)
             try:
                 return self._commit(
                     operation="append",
-                    files=self.manifest(parent).files + (data_dir,),
+                    files=pm.files + (data_dir,),
                     schema_ddl=df.schema.simpleString(),
                     expected_parent=parent,
                     summary=summary,
+                    stats={**pm.stats, data_dir: new_stats},
                 )
             except ConcurrentCommitError:
                 attempt += 1
@@ -212,6 +395,7 @@ class VersionedTable:
             files=(data_dir,),
             schema_ddl=df.schema.simpleString(),
             expected_parent=parent,
+            stats={data_dir: self._dir_stats(data_dir)},
         )
 
     def merge(
@@ -250,6 +434,7 @@ class VersionedTable:
             files=(data_dir,),
             schema_ddl=merged.schema.simpleString(),
             expected_parent=parent,
+            stats={data_dir: self._dir_stats(data_dir)},
         )
 
     def delete_where(self, predicate: Column) -> int:
@@ -262,6 +447,7 @@ class VersionedTable:
             files=(data_dir,),
             schema_ddl=kept.schema.simpleString(),
             expected_parent=parent,
+            stats={data_dir: self._dir_stats(data_dir)},
         )
 
     # -- maintenance -------------------------------------------------------
@@ -297,8 +483,21 @@ class VersionedTable:
     # -- internals ---------------------------------------------------------
     def _write_data(self, df: DataFrame) -> str:
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
+        # Spark still defaults timestamps to INT96, which carries NO footer
+        # min/max — write TIMESTAMP_MICROS so timestamp columns are prunable.
+        conf_key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(conf_key)
+        self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("errorifexists").parquet(
+                os.path.join(self.root, rel)
+            )
+        finally:
+            self.spark.conf.set(conf_key, prev)
         return rel
+
+    def _dir_stats(self, rel: str) -> dict:
+        return _collect_dir_stats(os.path.join(self.root, rel))
 
     def _commit(
         self,
@@ -307,6 +506,7 @@ class VersionedTable:
         schema_ddl: str,
         expected_parent: int,
         summary: dict | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1.
 
@@ -322,6 +522,7 @@ class VersionedTable:
             schema_ddl=schema_ddl,
             committed_at=datetime.now(timezone.utc).isoformat(),
             summary={"n_files": len(files), **(summary or {})},
+            stats=stats or {},
         )
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")

@@ -149,3 +149,123 @@ def test_uncommitted_data_invisible_to_readers(spark, root):
 def test_open_non_table_raises(spark, tmp_path):
     with pytest.raises(NoSuchVersionError):
         VersionedTable(spark, str(tmp_path / "nope"))
+
+
+# -- data-skipping stats ----------------------------------------------------
+
+
+def _ranged(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.lit(tag).alias("val"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+
+
+@pytest.fixture()
+def banded(spark, root):
+    """Three appends with disjoint id bands: [0,10), [10,20), [20,30)."""
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 10, "lo"))
+    t.append(_ranged(spark, 10, 20, "mid"))
+    t.append(_ranged(spark, 20, 30, "hi"))
+    return t
+
+
+def test_manifest_records_footer_stats(spark, banded):
+    m = banded.manifest()
+    assert len(m.stats) == 3
+    for rel in m.files:
+        cols = m.stats[rel]["columns"]
+        assert cols["id"]["nulls"] == 0
+        assert cols["id"]["max"] - cols["id"]["min"] == 9
+        assert m.stats[rel]["rows"] == 10
+
+
+def test_pruned_read_equals_filter(spark, banded):
+    for preds in (
+        [("id", ">=", 20)],
+        [("id", "<", 10)],
+        [("id", "=", 15)],
+        [("id", ">", 5), ("id", "<=", 12)],
+        [("score", ">=", 30.0)],
+        [("val", "=", "mid")],
+    ):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _predicates_to_column,
+        )
+
+        expect = sorted(
+            r.id for r in banded.read().filter(
+                _predicates_to_column(preds)
+            ).collect()
+        )
+        got = sorted(r.id for r in banded.read(predicates=preds).collect())
+        assert got == expect, preds
+
+
+def test_prune_info_counts(spark, banded):
+    info = banded.prune_info([("id", ">=", 20)])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 2
+    info = banded.prune_info([("id", "=", 15)])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 2
+    info = banded.prune_info([("val", "=", "mid")])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 2
+    # Contradictory conjunction proves every dir empty.
+    info = banded.prune_info([("id", ">", 100)])
+    assert info["n_scanned"] == 0 and info["n_skipped"] == 3
+
+
+def test_all_pruned_returns_empty_with_schema(spark, banded):
+    df = banded.read(predicates=[("id", ">", 100)])
+    assert df.count() == 0
+    assert df.columns == ["id", "val", "score"]
+
+
+def test_all_null_dir_is_pruned(spark, root):
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a")], "id bigint, v string"),
+    )
+    t.append(
+        spark.createDataFrame([(None, "x"), (None, "y")], "id bigint, v string")
+    )
+    # No comparison predicate matches NULL, so the all-null dir is skipped.
+    info = t.prune_info([("id", ">=", 0)])
+    assert info["n_skipped"] == 1
+    assert [r.id for r in t.read(predicates=[("id", ">=", 0)]).collect()] == [1]
+
+
+def test_timestamp_pruning(spark, root):
+    import datetime as dt
+
+    def day(d):
+        return spark.createDataFrame(
+            [(d, dt.datetime(2024, 1, d, 12, 0))], "id int, ts timestamp"
+        )
+
+    t = VersionedTable.create(spark, root, day(1))
+    t.append(day(2))
+    t.append(day(3))
+    preds = [("ts", ">=", dt.datetime(2024, 1, 3))]
+    assert t.prune_info(preds)["n_skipped"] == 2
+    assert [r.id for r in t.read(predicates=preds).collect()] == [3]
+
+
+def test_unknown_column_predicate_keeps_all_dirs(spark, banded):
+    # A column with no stats can never prove absence — nothing is pruned.
+    info = banded.prune_info([("nope", ">=", 0)])
+    assert info["n_skipped"] == 0
+
+
+def test_merge_refreshes_stats(spark, banded):
+    banded.merge(
+        spark.createDataFrame(
+            [(100, "new", 1.0)], "id bigint, val string, score double"
+        ),
+        ["id"],
+    )
+    m = banded.manifest()
+    assert len(m.stats) == 1  # copy-on-write: one fresh dir, fresh stats
+    only = m.stats[m.files[0]]
+    assert only["columns"]["id"]["max"] == 100
