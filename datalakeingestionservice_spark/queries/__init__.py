@@ -33,6 +33,7 @@ from datalakeingestionservice_spark.queries import arrays_bits as _arrays_bits  
 from datalakeingestionservice_spark.queries import parity as _parity  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import curation as _curation  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import lake as _lake  # noqa: E402,F401
+from datalakeingestionservice_spark.queries import layout as _layout  # noqa: E402,F401
 from datalakeingestionservice_spark.queries import pyds as _pyds  # noqa: E402,F401
 
 __all__ = [
