@@ -190,3 +190,60 @@ def q115_versioned_data_skipping(
             "n_dirs_skipped", F.lit(info["n_skipped"]).cast("long")
         )
     )
+
+
+@register(
+    "q117_change_feed",
+    tags=("lake", "cdc", "change-feed"),
+    oracle="""
+WITH v2_ins AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+),
+v3_del AS (
+  SELECT o_totalprice FROM orders WHERE o_totalprice < 50000.0
+)
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         count(*) AS n_rows,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+  FROM v2_ins
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'delete', count(*),
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3_del
+)
+""",
+)
+def q117_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC through the versioned table: v1 = orders without the
+    %4==0 keys, v2 appends them (change feed serves these straight from
+    the appended data dirs — no diff compute), v3 deletes cheap orders via
+    copy-on-write (served as a snapshot exceptAll diff). changes(1, 3) is
+    then aggregated per (commit, change type); the oracle recomputes both
+    change sets from raw orders. Proves the feed's two serving paths —
+    scan-speed appends and bounded diffs for DML — return exactly the rows
+    a downstream incremental consumer must see. The reference's CDC story
+    is 'rerun the extraction on a cron' (`JobSchedulingService.cs:24-75`);
+    this replaces it with an incremental one."""
+    env = Env(spark, sf_dir)
+    orders = env.t("orders")
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlis_cdc_{uuid.uuid4().hex}"
+    )
+    k = F.col("o_orderkey")
+    t = VersionedTable.create(spark, root, orders.filter(k % 4 != 0))
+    t.append(orders.filter(k % 4 == 0))
+    t.delete_where(F.col("o_totalprice") < 50000.0)
+
+    feed = t.changes(1, 3)
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

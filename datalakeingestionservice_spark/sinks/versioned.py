@@ -450,6 +450,68 @@ class VersionedTable:
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
+    # -- change feed -------------------------------------------------------
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions (exclusive
+        of `from_version`, inclusive of `to_version`), Delta-CDF shaped:
+        data columns plus `_change_type` ('insert' | 'delete') and
+        `_commit_version`.
+
+        Append/create commits are read STRAIGHT from their added data dirs
+        — no diff computation at all, so the common ingest path streams
+        changes at scan speed. Copy-on-write commits (merge / delete /
+        overwrite) are diffed snapshot-vs-snapshot with exceptAll both
+        ways (an update surfaces as delete + insert); that shuffle is
+        bounded by the two snapshots the commit itself already rewrote.
+        """
+        to_version = (
+            self.latest_version() if to_version is None else to_version
+        )
+        if from_version < 1:
+            raise NoSuchVersionError("from_version must be >= 1")
+        pieces: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            cur = self.manifest(v)
+            prev = self.manifest(v - 1)
+            if cur.operation in ("append", "create"):
+                added = [f for f in cur.files if f not in prev.files]
+                if not added:
+                    continue
+                df = self.spark.read.parquet(
+                    *[os.path.join(self.root, rel) for rel in added]
+                )
+                pieces.append(
+                    df.withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+            else:
+                before, after = self.read(v - 1), self.read(v)
+                ins = after.exceptAll(before).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                dels = before.exceptAll(after).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                pieces.append(
+                    ins.unionByName(dels).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+        if not pieces:
+            schema = self.manifest(to_version).schema_ddl
+            return (
+                self.spark.createDataFrame([], schema)
+                .withColumn("_change_type", F.lit("").cast("string"))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+                .limit(0)
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- maintenance -------------------------------------------------------
     def expire_versions(self, keep_last: int) -> list[int]:
         """Drop the oldest manifests, keeping `keep_last` most recent.

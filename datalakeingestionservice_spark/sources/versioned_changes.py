@@ -1,0 +1,171 @@
+"""Streaming change-feed source over the versioned table.
+
+`spark.readStream.format("versioned_changes")` turns the table format
+(`sinks/versioned.py`) into a Structured Streaming source: the stream
+OFFSET IS THE TABLE VERSION. Each micro-batch covers the versions committed
+since the last batch, planned as one input partition per added data dir —
+executors read the parquet directly (pyarrow), the driver only lists
+manifests. Appends are therefore served at scan speed with zero diff
+computation, and checkpoint recovery is exact because versions are
+immutable: replaying (v_a, v_b] always yields the same rows.
+
+Together with `streaming/versioned_sink.py` this closes the loop — one
+versioned table can be the exactly-once SINK of one stream and the SOURCE
+of the next, which is how incremental pipelines chain on Delta/Iceberg.
+Copy-on-write commits (merge/delete/overwrite) are rejected with a clear
+error: a streaming consumer of DML history should read the batch
+`VersionedTable.changes()` feed instead.
+
+Reference: its only incremental story is re-running extractions on a cron
+(`src/Worker/Services/JobSchedulingService.cs:24-75`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from datalakeingestionservice_spark.sinks.versioned import (
+    _MANIFEST_DIR,
+    Manifest,
+    NoSuchVersionError,
+)
+
+VERSION_COL = "_commit_version"
+
+
+def _manifests(root: str) -> list[Manifest]:
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        raise NoSuchVersionError(f"{root} is not a versioned table")
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(Manifest.from_json(f.read()))
+    return out
+
+
+class _DirPartition(InputPartition):
+    def __init__(self, abs_dir: str, version: int, columns: list[str]):
+        self.abs_dir = abs_dir
+        self.version = version
+        self.columns = columns
+
+
+class VersionedChangesStreamReader(DataSourceStreamReader):
+    """Offset = {"version": last fully-consumed table version}."""
+
+    def __init__(self, options: dict):
+        self.root = options["table_root"]
+        # start_version: consume changes AFTER this version (0 = include
+        # the initial create commit).
+        self.start_version = int(options.get("start_version", 0))
+        self._columns = _ddl_field_names(
+            _manifests(self.root)[-1].schema_ddl
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        ms = _manifests(self.root)
+        return {"version": ms[-1].version if ms else self.start_version}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[InputPartition]:
+        ms = {m.version: m for m in _manifests(self.root)}
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            cur = ms[v]
+            if cur.operation not in ("append", "create"):
+                raise ValueError(
+                    f"version {v} is a {cur.operation!r} commit; the "
+                    "streaming feed serves append-only history — use "
+                    "VersionedTable.changes() for copy-on-write DML"
+                )
+            prev_files = ms[v - 1].files if v - 1 in ms else ()
+            for rel in cur.files:
+                if rel not in prev_files:
+                    parts.append(
+                        _DirPartition(
+                            os.path.join(self.root, rel), v, self._columns
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _DirPartition) -> Iterator[tuple]:
+        # Executor-side: straight pyarrow scan of one immutable data dir.
+        import pyarrow.parquet as pq
+
+        for path in sorted(
+            glob.glob(os.path.join(partition.abs_dir, "*.parquet"))
+        ):
+            table = pq.read_table(path, columns=partition.columns)
+            for batch in table.to_pylist():
+                yield tuple(batch[c] for c in partition.columns) + (
+                    partition.version,
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: versions are immutable
+
+
+def _ddl_field_names(ddl: str) -> list[str]:
+    """Top-level field names of a `struct<...>` simpleString — parsed
+    textually because DataSource methods run in sessionless Python
+    workers where StructType.fromDDL can't be used."""
+    inner = ddl[len("struct<"):-1]
+    names, depth, token = [], 0, []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(token))
+            token = []
+        else:
+            token.append(ch)
+    if token:
+        names.append("".join(token))
+    return [t.split(":", 1)[0] for t in names]
+
+
+def _table_schema_ddl(root: str) -> str:
+    ms = _manifests(root)
+    if not ms:
+        raise NoSuchVersionError(f"{root}: no committed versions")
+    base = ms[-1].schema_ddl  # "struct<...>": splice the version column in
+    return base[:-1] + f",{VERSION_COL}:bigint>"
+
+
+class VersionedChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def schema(self) -> str:
+        return _table_schema_ddl(self.options["table_root"])
+
+    def streamReader(
+        self, schema: StructType
+    ) -> VersionedChangesStreamReader:
+        return VersionedChangesStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration with a session."""
+    try:
+        spark.dataSource.register(VersionedChangesDataSource)
+    except Exception:
+        pass  # already registered

@@ -1,0 +1,123 @@
+"""Streaming change-feed source (sources/versioned_changes.py): table
+versions as stream offsets, live appends picked up mid-stream, append-only
+contract enforced."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+from datalakeingestionservice_spark.sources.versioned_changes import (
+    register,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, val string")
+
+
+def _start(spark, root, name, ckpt, **opts):
+    reader = spark.readStream.format("versioned_changes").option(
+        "table_root", root
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def _wait_count(spark, name, n, timeout_s=90):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c >= n:
+            return
+        time.sleep(0.5)
+    raise TimeoutError(f"memory table {name} never reached {n} rows")
+
+
+def test_stream_reads_history_and_live_appends(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+
+    q = _start(spark, root, "feed1", str(tmp_path / "ck"))
+    try:
+        _wait_count(spark, "feed1", 2)
+        # A commit landing WHILE the stream runs becomes the next batch.
+        t.append(_df(spark, [(3, "c"), (4, "d")]))
+        _wait_count(spark, "feed1", 4)
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM feed1").collect()
+    got = {(r.id, r.val, r._commit_version) for r in rows}
+    assert got == {(1, "a", 1), (2, "b", 2), (3, "c", 3), (4, "d", 3)}
+
+
+def test_start_version_skips_history(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+
+    q = _start(
+        spark, root, "feed2", str(tmp_path / "ck"), start_version="1"
+    )
+    try:
+        _wait_count(spark, "feed2", 1)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM feed2").collect()
+    assert {(r.id, r._commit_version) for r in rows} == {(2, 2)}
+
+
+def test_copy_on_write_commit_fails_stream(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(F.col("id") == 1)
+
+    q = _start(spark, root, "feed3", str(tmp_path / "ck"))
+    deadline = time.time() + 90
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    assert not q.isActive, "stream should fail on a copy-on-write commit"
+    assert "copy-on-write" in str(q.exception())
+
+
+def test_sink_to_source_chain(spark, tmp_path):
+    """Close the loop: a table written by the exactly-once streaming SINK
+    is consumed incrementally by this SOURCE — the Delta-style pattern of
+    chained incremental pipelines, on our own format."""
+    from datalakeingestionservice_spark.streaming.versioned_sink import (
+        make_versioned_batch_committer,
+    )
+
+    root = str(tmp_path / "vt")
+    commit = make_versioned_batch_committer(root, "up")
+    commit(_df(spark, [(1, "a")]), 0)
+    commit(_df(spark, [(2, "b")]), 1)
+
+    q = _start(spark, root, "feed4", str(tmp_path / "ck"))
+    try:
+        _wait_count(spark, "feed4", 2)
+        commit(_df(spark, [(3, "c")]), 2)
+        _wait_count(spark, "feed4", 3)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM feed4").collect()
+    assert {(r.id, r._commit_version) for r in rows} == {
+        (1, 1), (2, 2), (3, 3)
+    }

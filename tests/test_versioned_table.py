@@ -269,3 +269,63 @@ def test_merge_refreshes_stats(spark, banded):
     assert len(m.stats) == 1  # copy-on-write: one fresh dir, fresh stats
     only = m.stats[m.files[0]]
     assert only["columns"]["id"]["max"] == 100
+
+
+# -- change feed ------------------------------------------------------------
+
+
+def test_changes_append_fast_path(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b"), (3, "c")]))
+    rows = t.changes(1).collect()
+    assert {(r.id, r._change_type, r._commit_version) for r in rows} == {
+        (2, "insert", 2),
+        (3, "insert", 2),
+    }
+
+
+def test_changes_merge_emits_delete_insert_pair(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    t.merge(_df(spark, [(2, "B"), (9, "z")]), ["id"])
+    rows = t.changes(1).collect()
+    got = {(r.id, r.val, r._change_type) for r in rows}
+    # Update of 2 = delete old + insert new; 9 is a plain insert.
+    assert got == {
+        (2, "b", "delete"),
+        (2, "B", "insert"),
+        (9, "z", "insert"),
+    }
+    assert all(r._commit_version == 2 for r in rows)
+
+
+def test_changes_delete_where(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(F.col("id") == 1)
+    rows = t.changes(1).collect()
+    assert {(r.id, r._change_type) for r in rows} == {(1, "delete")}
+
+
+def test_changes_spanning_multiple_versions(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.delete_where(F.col("id") == 1)
+    rows = t.changes(1, 3).collect()
+    assert {(r.id, r._change_type, r._commit_version) for r in rows} == {
+        (2, "insert", 2),
+        (1, "delete", 3),
+    }
+    # Partial ranges slice the same feed.
+    assert {r.id for r in t.changes(2, 3).collect()} == {1}
+
+
+def test_changes_empty_range_keeps_schema(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    df = t.changes(1, 1)
+    assert df.count() == 0
+    assert df.columns == ["id", "val", "_change_type", "_commit_version"]
+
+
+def test_changes_rejects_version_zero(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    with pytest.raises(NoSuchVersionError):
+        t.changes(0)
