@@ -54,6 +54,11 @@ class NoSuchVersionError(Exception):
     pass
 
 
+class SchemaMismatchError(Exception):
+    """Append schema differs from the table schema (and merge_schema was
+    not requested, or the difference is a type conflict)."""
+
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
@@ -332,7 +337,12 @@ class VersionedTable:
         if not rels:
             return self.spark.createDataFrame([], m.schema_ddl)
         paths = [os.path.join(self.root, rel) for rel in rels]
-        df = self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if m.summary.get("schema_evolved"):
+            # Heterogeneous file schemas: merge footers to the widened
+            # schema; files predating an added column yield NULL for it.
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         if predicates:
             df = df.filter(_predicates_to_column(predicates))
         return df
@@ -361,10 +371,18 @@ class VersionedTable:
         df: DataFrame,
         max_retries: int = 3,
         summary: dict | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Append-only commit. Appends commute, so a version conflict is
         rebased automatically: re-read the new latest manifest and retry
-        (the already-written data dir is reused — no rewrite)."""
+        (the already-written data dir is reused — no rewrite).
+
+        Schema is ENFORCED: an append whose schema differs from the table
+        raises SchemaMismatchError. With merge_schema=True, new nullable
+        columns widen the table schema (Delta-style evolution: old files
+        read as NULL for the added columns); same-name columns must keep
+        their type — type conflicts always raise."""
+        ddl = self._evolved_schema_ddl(df, merge_schema)
         data_dir = self._write_data(df)
         new_stats = self._dir_stats(data_dir)
         attempt = 0
@@ -372,18 +390,51 @@ class VersionedTable:
             parent = self.latest_version()
             pm = self.manifest(parent)
             try:
+                evolved = bool(pm.summary.get("schema_evolved")) or (
+                    ddl != pm.schema_ddl
+                )
                 return self._commit(
                     operation="append",
                     files=pm.files + (data_dir,),
-                    schema_ddl=df.schema.simpleString(),
+                    schema_ddl=ddl,
                     expected_parent=parent,
-                    summary=summary,
+                    summary={
+                        **(summary or {}),
+                        **({"schema_evolved": True} if evolved else {}),
+                    },
                     stats={**pm.stats, data_dir: new_stats},
                 )
             except ConcurrentCommitError:
                 attempt += 1
                 if attempt > max_retries:
                     raise
+
+    def _evolved_schema_ddl(
+        self, df: DataFrame, merge_schema: bool
+    ) -> str:
+        """Validate an append schema against the table's; return the
+        (possibly widened) table schema DDL."""
+        from pyspark.sql.types import StructType
+
+        table = StructType.fromDDL(self.manifest().schema_ddl)
+        incoming = df.schema
+        t_types = {f.name: f.dataType for f in table.fields}
+        for f in incoming.fields:
+            if f.name in t_types and t_types[f.name] != f.dataType:
+                raise SchemaMismatchError(
+                    f"column {f.name!r}: table has "
+                    f"{t_types[f.name].simpleString()}, append has "
+                    f"{f.dataType.simpleString()}"
+                )
+        added = [f for f in incoming.fields if f.name not in t_types]
+        missing = [f for f in table.fields if f.name not in
+                   {g.name for g in incoming.fields}]
+        if not merge_schema and (added or missing):
+            raise SchemaMismatchError(
+                f"append schema {incoming.simpleString()} != table schema "
+                f"{table.simpleString()}; pass merge_schema=True to evolve"
+            )
+        return StructType(list(table.fields) + added).simpleString()
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents. NOT auto-rebased on conflict — the
@@ -513,6 +564,44 @@ class VersionedTable:
         return out
 
     # -- maintenance -------------------------------------------------------
+    def compact(
+        self,
+        num_partitions: int = 1,
+        zorder_by: list[str] | None = None,
+        bits: int = 8,
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot's many small data dirs
+        into one fresh dir (the small-files problem every streaming sink
+        creates — E8 commits one dir per micro-batch). With `zorder_by`,
+        the rewrite routes through the Morton-curve repartition
+        (`operators/layout.py`), so the compacted files also cluster on
+        every listed column and the manifest's footer stats turn selective
+        on all of them — Delta's OPTIMIZE ZORDER BY, on this format.
+
+        Data-preserving: commits operation='compact' with identical rows;
+        `changes()` across it diffs to empty, and readers of old versions
+        still see the old dirs until expire+vacuum."""
+        parent = self.latest_version()
+        df = self.read(parent)
+        if zorder_by:
+            from datalakeingestionservice_spark.operators.layout import (
+                zorder_repartition,
+            )
+
+            df = zorder_repartition(
+                df, zorder_by, num_partitions, bits=bits
+            )
+        else:
+            df = df.repartition(num_partitions)
+        data_dir = self._write_data(df)
+        return self._commit(
+            operation="compact",
+            files=(data_dir,),
+            schema_ddl=df.schema.simpleString(),
+            expected_parent=parent,
+            stats={data_dir: self._dir_stats(data_dir)},
+        )
+
     def expire_versions(self, keep_last: int) -> list[int]:
         """Drop the oldest manifests, keeping `keep_last` most recent.
         Data files they referenced become vacuum-eligible unless a surviving

@@ -329,3 +329,99 @@ def test_changes_rejects_version_zero(spark, root):
     t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
     with pytest.raises(NoSuchVersionError):
         t.changes(0)
+
+
+# -- schema enforcement + evolution ----------------------------------------
+
+
+def test_append_schema_mismatch_raises(spark, root):
+    from datalakeingestionservice_spark.sinks.versioned import (
+        SchemaMismatchError,
+    )
+
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    with pytest.raises(SchemaMismatchError):
+        t.append(spark.createDataFrame([(2, "b", 1.0)],
+                                       "id bigint, val string, x double"))
+    with pytest.raises(SchemaMismatchError):  # missing column, no evolve
+        t.append(spark.createDataFrame([(2,)], "id bigint"))
+
+
+def test_append_type_conflict_raises_even_with_merge(spark, root):
+    from datalakeingestionservice_spark.sinks.versioned import (
+        SchemaMismatchError,
+    )
+
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    with pytest.raises(SchemaMismatchError):
+        t.append(
+            spark.createDataFrame([(2, 3)], "id bigint, val bigint"),
+            merge_schema=True,
+        )
+
+
+def test_merge_schema_evolves_and_old_rows_read_null(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id bigint, val string, score double"
+        ),
+        merge_schema=True,
+    )
+    got = {(r.id, r.val, r.score) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    assert "score" in t.manifest().schema_ddl
+    # Evolution survives later same-schema appends (flag propagates).
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 1.0)], "id bigint, val string, score double"
+        ),
+        merge_schema=True,
+    )
+    assert t.read().count() == 3
+
+
+# -- compaction (OPTIMIZE) --------------------------------------------------
+
+
+def test_compact_preserves_rows_and_shrinks_dirs(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, chr(96 + i))]))
+    assert len(t.manifest().files) == 5
+    v = t.compact()
+    assert t.manifest(v).operation == "compact"
+    assert len(t.manifest(v).files) == 1
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    # Old snapshot still readable (time travel across compaction).
+    assert t.read(version=v - 1).count() == 5
+    # Data-preserving: the change feed across a compact diffs to empty.
+    assert t.changes(v - 1, v).count() == 0
+
+
+def test_compact_zorder_clusters_files(spark, root):
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    t = VersionedTable.create(spark, root, grid)
+    v = t.compact(num_partitions=4, zorder_by=["x", "y"], bits=5)
+    assert t.read(version=v).count() == 1024
+    assert t.read(version=v).columns == ["x", "y"]  # __z dropped
+
+
+def test_compact_resolves_evolved_schema(spark, root):
+    """After evolution, compact rewrites every row under the merged schema
+    — the mergeSchema read flag is no longer needed and resets."""
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "id bigint, val string, score double"
+        ),
+        merge_schema=True,
+    )
+    assert t.manifest().summary.get("schema_evolved")
+    v = t.compact()
+    assert not t.manifest(v).summary.get("schema_evolved")
+    got = {(r.id, r.score) for r in t.read().collect()}
+    assert got == {(1, None), (2, 1.5)}
