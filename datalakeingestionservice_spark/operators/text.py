@@ -102,3 +102,67 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.size(F.array_distinct(words(text_col))).alias("n_unique_tokens"),
         F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 relevance ranking of documents against a bag of query
+    terms (Lucene's idf variant: ln(1 + (N - df + .5)/(df + .5))).
+
+    Scale shape: the corpus is tokenized ONCE (explode -> filter to query
+    terms, so the exploded stream shrinks to |query| terms per doc before
+    any shuffle); corpus-level constants (N, avgdl) and the per-term df
+    table (<= |query| rows) are broadcast — the only full-corpus shuffle is
+    the per-doc tf groupBy, and top-k goes through TakeOrderedAndProject
+    (per-partition heaps, no global sort). Scores are rounded to 4dp
+    BEFORE ranking so ordering is reproducible cross-engine.
+    """
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    doc_len = df.select(
+        F.col(id_col), F.size(toks_arr).alias("dl")
+    )
+    corpus = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        df.select(F.col(id_col), F.explode(toks_arr).alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+
+    from pyspark.sql.functions import broadcast
+
+    joined = (
+        tf.join(broadcast(df_t), "term")
+        .join(doc_len, id_col)
+        .crossJoin(broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    score_t = idf * (
+        (F.col("tf") * (k1 + 1))
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.round(F.sum(score_t), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

@@ -617,3 +617,61 @@ def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic in exact-int range in both engines.)"""
     env = Env(spark, sf_dir)
     return simhash16(env.t("documents"), "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q118_bm25_ranking",
+    tags=("text", "search", "bm25", "ranking"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS dl
+  FROM documents
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'vector', 'stream')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ) AS s
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM sc
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20
+""",
+)
+def q118_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {spark, vector, stream} over
+    `documents` (`operators/text.py:bm25_rank`). The corpus tokenizes
+    once and shrinks to query-term hits before any shuffle; N/avgdl and
+    the df table are broadcast; ranking is TakeOrderedAndProject. Scores
+    round to 4dp BEFORE ordering so the cutoff is engine-reproducible.
+    Full-text relevance is a capability the reference punts to its RDBMS
+    and loses on the lake side entirely."""
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    env = Env(spark, sf_dir)
+    return bm25_rank(
+        env.t("documents"), ["spark", "vector", "stream"], top_k=20
+    )

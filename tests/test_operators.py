@@ -270,3 +270,53 @@ def test_quality_expectations_and_audits(spark):
     prof = {r.column: r for r in profile(df).collect()}
     assert prof["v"].n_nulls == 1
     assert prof["v"].min_value == "-5.0" and prof["v"].max_value == "10.0"
+
+
+# -- BM25 ranking -----------------------------------------------------------
+
+
+def test_bm25_rank_matches_hand_formula(spark):
+    import math
+
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana"),
+            (3, "cherry cherry cherry cherry"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25_rank(docs, ["apple", "banana"]).collect()
+    }
+
+    n_docs, avgdl = 3, (3 + 1 + 4) / 3
+    k1, b = 1.2, 0.75
+
+    def idf(dft):
+        return math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+
+    def term_score(tf, dl, dft):
+        return idf(dft) * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / avgdl)
+        )
+
+    exp1 = round(term_score(2, 3, 1) + term_score(1, 3, 2), 4)
+    exp2 = round(term_score(1, 1, 2), 4)
+    assert got == {1: pytest.approx(exp1), 2: pytest.approx(exp2)}
+    assert 3 not in got  # no query term -> not ranked
+
+
+def test_bm25_top_k_and_tiebreak(spark):
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    # Identical docs tie on score; order falls back to doc_id ascending.
+    docs = spark.createDataFrame(
+        [(i, "apple pie") for i in range(10)], "doc_id bigint, text string"
+    )
+    rows = bm25_rank(docs, ["apple"], top_k=4).collect()
+    assert [r.doc_id for r in rows] == [0, 1, 2, 3]
+    assert len({r.score for r in rows}) == 1
