@@ -501,3 +501,133 @@ def q57_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(blobs, every_n=2, max_frames=4).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — hybrid retrieval: BM25 (lexical) + cosine (vector) fused with RRF.
+# ---------------------------------------------------------------------------
+@register(
+    "q119_hybrid_rrf",
+    tags=("vectors", "text", "hybrid", "rrf", "search"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS dl
+  FROM documents
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'vector', 'stream')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+lex AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ), 4) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id
+  LIMIT 50
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM lex
+),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         round({_duck_cosine('e.embedding', 'q.qv')}, 4) AS cos_sim
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY cos_sim DESC, doc_id
+  LIMIT 50
+),
+vecr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+  FROM vec
+)
+SELECT coalesce(lexr.doc_id, vecr.doc_id) AS doc_id,
+       lex_rank, vec_rank,
+       round(coalesce(1.0 / (60 + lex_rank), 0.0)
+             + coalesce(1.0 / (60 + vec_rank), 0.0), 6) AS rrf_score
+FROM lexr
+FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 20
+""",
+)
+def q119_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the modern retrieval default: BM25 lexical top-50
+    (q118's operator) and exact cosine vector top-50 (q50's shape) fused
+    by reciprocal-rank (RRF, k=60) — rank-based fusion needs no score
+    calibration between the two systems. Scale: both legs end in
+    TakeOrderedAndProject top-50s, so the fusion join is 50x50 driver-tiny
+    regardless of corpus size; ranks are assigned over 4dp-rounded scores
+    so every cutoff is engine-reproducible."""
+    from pyspark.sql import Window
+
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    env = Env(spark, sf_dir)
+
+    lex = bm25_rank(
+        env.t("documents"), ["spark", "vector", "stream"], top_k=50
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+
+    emb = env.t("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine("embedding", "qv"), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(50)
+    )
+    vecr = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
