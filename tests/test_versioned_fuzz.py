@@ -1,0 +1,101 @@
+"""Model-based fuzz of the versioned table: random commit sequences
+(append / merge / delete / overwrite / compact) are mirrored into a plain
+in-memory multiset model; after every commit, every snapshot must equal the
+model's history, and the change feed applied to snapshot v-1 must
+reproduce snapshot v. Catches protocol bugs no single-scenario test can
+(stats carried stale across ops, change feed off-by-one, compaction
+altering rows, time travel drift)."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+ROWS = "id bigint, val string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(list(rows), ROWS)
+
+
+def _snapshot_counter(t, version):
+    return Counter(
+        (r.id, r.val) for r in t.read(version=version).collect()
+    )
+
+
+def _apply_feed(base: Counter, feed_rows) -> Counter:
+    out = Counter(base)
+    for r in feed_rows:
+        key = (r.id, r.val)
+        if r._change_type == "insert":
+            out[key] += 1
+        else:
+            out[key] -= 1
+            if out[key] == 0:
+                del out[key]
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_random_commit_sequence_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    next_id = 100
+
+    def fresh_rows(n):
+        nonlocal next_id
+        out = [(next_id + i, rng.choice("abcde")) for i in range(n)]
+        next_id += n
+        return out
+
+    initial = fresh_rows(rng.randint(1, 5))
+    t = VersionedTable.create(spark, str(tmp_path / "vt"), _df(spark, initial))
+    history = [None, Counter(initial)]  # model per version (1-indexed)
+
+    for _ in range(7):
+        model = Counter(history[-1])
+        op = rng.choice(["append", "merge", "delete", "overwrite", "compact"])
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 4))
+            t.append(_df(spark, rows))
+            model.update(rows)
+        elif op == "merge":
+            # Update some existing ids, insert some fresh ones.
+            existing = sorted({k[0] for k in model})
+            upd_ids = rng.sample(existing, min(2, len(existing)))
+            updates = [(i, rng.choice("xyz")) for i in upd_ids]
+            updates += fresh_rows(rng.randint(0, 2))
+            t.merge(_df(spark, updates), ["id"])
+            for k in [k for k in list(model) if k[0] in upd_ids]:
+                del model[k]
+            model.update(updates)
+        elif op == "delete":
+            m = rng.randint(2, 4)
+            t.delete_where(F.col("id") % m == 0)
+            for k in [k for k in list(model) if k[0] % m == 0]:
+                del model[k]
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randint(1, 3))
+            t.overwrite(_df(spark, rows))
+            model = Counter(rows)
+        else:
+            t.compact(num_partitions=rng.randint(1, 2))
+        history.append(model)
+
+    latest = t.latest_version()
+    assert latest == len(history) - 1
+    # Every snapshot equals the model at that version (time travel holds
+    # through the full random history, including across compactions).
+    for v in range(1, latest + 1):
+        assert _snapshot_counter(t, v) == history[v], f"v{v} seed{seed}"
+    # Change-feed consistency: feed(v-1 -> v) replays each transition.
+    for v in range(2, latest + 1):
+        feed = t.changes(v - 1, v).collect()
+        assert _apply_feed(history[v - 1], feed) == history[v], (
+            f"feed v{v - 1}->v{v} seed{seed}"
+        )
