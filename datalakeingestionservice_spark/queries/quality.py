@@ -119,3 +119,79 @@ def q78_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orphans").alias("violations"),
     )
     return exp.unionByName(uniq).unionByName(fk).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# q120 — winsorized (outlier-clipped) robust statistics per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q120_winsorized_stats",
+    tags=("quality", "robust", "winsorize", "percentile"),
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)
+           AS lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+           AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+                     AS DECIMAL(18,2))) AS DOUBLE) AS win_sum,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_low,
+       count(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_high,
+       round(lo, 2) AS p05,
+       round(hi, 2) AS p95
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag, lo, hi
+""",
+)
+def q120_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregates: clip each price to its group's [p05, p95]
+    before summing — the robust-statistics step that keeps a handful of
+    corrupt outliers from dominating pipeline quality metrics. Two-pass
+    shape: tiny per-group bounds (percentile_disc, engine-exact element
+    pick) broadcast back onto the fact scan; the clipped sum runs in exact
+    DECIMAL then casts once, so accumulation order can't flip the hash.
+    Clip counts use count_if == DuckDB's count FILTER."""
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem")
+
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.sum(clipped.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("win_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("l_extendedprice") < F.col("lo")).alias(
+                "n_clipped_low"
+            ),
+            F.count_if(F.col("l_extendedprice") > F.col("hi")).alias(
+                "n_clipped_high"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "win_sum",
+            "n_rows",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round("lo", 2).alias("p05"),
+            F.round("hi", 2).alias("p95"),
+        )
+    )
