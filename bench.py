@@ -32,36 +32,47 @@ def main() -> None:
     # classes (codegen cache is keyed by generated source, which is identical
     # across sf dirs), so TIMED numbers measure plans, not JIT (round-1 q01
     # was ~2.8 s of warm-up; q79 carried ~4 s of codegen).
+    # Per-query error isolation throughout: one failing plan must never zero
+    # out the whole round's bench signal (round 3 lost all 15 numbers to a
+    # single analysis exception raised during warm-up).
     queries = headline_queries()
     warm_dir = "/root/testdata/sf0.001"
     warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
     for query in queries.values():
-        query.spark_fn(spark, warm_dir).count()
+        try:
+            query.spark_fn(spark, warm_dir).count()
+        except Exception:
+            pass  # the timed loop records the error
 
     # Min of two timed runs per query: single-run numbers at this scale carry
     # ±20% scheduler/GC noise, which swamps real plan changes round-to-round.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, query in queries.items():
         best = float("inf")
         for _ in range(2):
-            t0 = time.perf_counter()
-            df = query.spark_fn(spark, sf_dir)
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.perf_counter()
+                df = query.spark_fn(spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # record, keep benching the rest
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+        if best != float("inf"):
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -28,8 +28,11 @@ TABLES: tuple[str, ...] = (
 )
 
 
-#: Columns stored as TIMESTAMP(NANOS) parquet (unreadable as timestamps by
-#: Spark) — read as long via `nanosAsLong` and converted to microseconds here.
+#: Event-time columns whose physical parquet encoding has drifted across
+#: testdata generations: TIMESTAMP(NANOS) (reads as bigint under
+#: ``nanosAsLong``), timestamp[us] without isAdjustedToUTC (reads as
+#: TIMESTAMP_NTZ unless ``inferTimestampNTZ.enabled=false``), or plain
+#: TIMESTAMP. Normalized to session-TZ TIMESTAMP here, whatever arrives.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -39,8 +42,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANOS_TS_COLS.get(name, ()):
         field = dict(zip(df.schema.fieldNames(), df.schema.fields))
-        if col in field and field[col].dataType.simpleString() == "bigint":
+        if col not in field:
+            continue
+        dtype = field[col].dataType.simpleString()
+        if dtype == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":  # session TZ is UTC, instant-preserving
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -46,6 +46,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # The driver-generated events table carries TIMESTAMP(NANOS) parquet, which
     # Spark's reader rejects by default; read as long and convert in catalog.table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamp[us] without isAdjustedToUTC would otherwise surface as
+    # TIMESTAMP_NTZ, breaking unix_micros()/window() call sites that expect
+    # TIMESTAMP. With the session TZ pinned to UTC the instant semantics are
+    # identical; catalog.table keeps an NTZ->TIMESTAMP cast as defense in depth
+    # for sessions whose owner locked this conf.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Python DataSource readers implementing pushFilters error out unless
     # pushdown is explicitly enabled (sources/python_datasource.py).
     "spark.sql.python.filterPushdown.enabled": "true",

@@ -38,6 +38,7 @@ import datetime as _dt
 import glob
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -110,17 +111,24 @@ def _collect_dir_stats(abs_dir: str) -> dict:
                 name = col.path_in_schema
                 if "." in name or name in broken:
                     continue  # nested leaves aren't prunable columns
-                st = col.statistics
-                if st is None or st.null_count is None:
+                try:
+                    st = col.statistics
+                    if st is None or st.null_count is None:
+                        broken.add(name)
+                        continue
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                    if st.null_count == rg.num_rows:
+                        continue  # all-null group: no min/max to contribute
+                    if not st.has_min_max:
+                        broken.add(name)
+                        continue
+                    lo, hi = _stat_jsonable(st.min), _stat_jsonable(st.max)
+                except Exception:
+                    # pyarrow can't surface stats for every physical type
+                    # (e.g. decimal raises ArrowNotImplementedError) — the
+                    # column simply isn't prunable.
                     broken.add(name)
                     continue
-                nulls[name] = nulls.get(name, 0) + st.null_count
-                if st.null_count == rg.num_rows:
-                    continue  # all-null group: no min/max to contribute
-                if not st.has_min_max:
-                    broken.add(name)
-                    continue
-                lo, hi = _stat_jsonable(st.min), _stat_jsonable(st.max)
                 if lo is None or hi is None:
                     broken.add(name)
                     continue
@@ -139,6 +147,32 @@ def _collect_dir_stats(abs_dir: str) -> dict:
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+_ISO_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]|$)")
+
+
+def _canon_temporal(v):
+    """Canonicalize ISO date/datetime STRINGS to datetime for comparison.
+
+    Footer stats for DATE columns serialize as ``'YYYY-MM-DD'`` while a
+    datetime predicate serializes as ``'YYYY-MM-DDTHH:MM:SS'``; raw
+    lexicographic comparison then prunes a dir whose min==max equals the
+    predicate's date (``'1998-12-01' >= '1998-12-01T00:00:00'`` is False as
+    strings) — silent row loss. Parsing both sides restores SQL semantics:
+    a date promotes to its midnight instant, and tz-aware values (UTC
+    footer stats serialize with '+00:00') normalize to naive UTC per the
+    engine's session-TZ-pinned-UTC contract. Non-temporal values pass
+    through; anything still incomparable raises TypeError downstream,
+    which the caller treats as 'cannot prove, keep the dir'."""
+    if isinstance(v, str) and _ISO_PREFIX.match(v):
+        try:
+            d = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return v
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return d
+    return v
 
 
 def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
@@ -160,7 +194,8 @@ def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
         v = _stat_jsonable(val)
         if v is None:
             continue
-        lo, hi = cs["min"], cs["max"]
+        v = _canon_temporal(v)
+        lo, hi = _canon_temporal(cs["min"]), _canon_temporal(cs["max"])
         try:
             if op == "=" and not (lo <= v <= hi):
                 return False

@@ -127,9 +127,13 @@ def _ddl_field_names(ddl: str) -> list[str]:
     inner = ddl[len("struct<"):-1]
     names, depth, token = [], 0, []
     for ch in inner:
-        if ch == "<":
+        # Depth covers BOTH nesting syntaxes: `<>` (struct/array/map) and
+        # `()` (parameterized types — decimal(10,2), varchar(n), char(n)).
+        # Tracking only `<>` split `decimal(10,2)` at its comma, yielding a
+        # phantom column `2)` that failed every micro-batch read.
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             names.append("".join(token))

@@ -22,23 +22,68 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 from datalakeingestionservice_spark.session import prepare_session
 from datalakeingestionservice_spark.sinks.ctl import generate_ctl, write_ctl
 
-#: Physical schema of the events parquet (ts is TIMESTAMP(NANOS) stored as
-#: int64; Spark reads it as long under `nanosAsLong` — converted below).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: Default physical schema of the events parquet (current testdata generation:
+#: timestamp[us]). ``read_events_stream`` sniffs the actual footer and branches;
+#: this constant is the no-files-yet fallback.
+EVENTS_SCHEMA = _events_schema(TimestampType())
+
+
+def _sniff_ts_type(path: str):
+    """Inspect one parquet footer under ``path`` to learn how ``ts`` is stored.
+
+    The testdata's encoding has drifted across generations — TIMESTAMP(NANOS)
+    (int64), timestamp[us] without isAdjustedToUTC (NTZ), plain TIMESTAMP — and
+    a streaming source must declare its schema up front, so sniff rather than
+    hard-code. Returns a Spark ``DataType`` for the declared schema plus the
+    pyarrow type (for the nanos branch decision).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    candidates = sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if os.path.isfile(path):
+        candidates = [path]
+    for file in candidates:
+        try:
+            field = _pq.read_schema(file).field("ts")
+        except Exception:
+            continue
+        t = field.type
+        if str(t).startswith("timestamp"):
+            unit = getattr(t, "unit", "us")
+            if unit == "ns":
+                # Spark reads TIMESTAMP(NANOS) as long under nanosAsLong.
+                return LongType(), "ns"
+            tz = getattr(t, "tz", None)
+            return (TimestampType() if tz else TimestampNTZType()), unit
+        if str(t) in ("int64", "long"):
+            return LongType(), "ns"
+        break
+    return TimestampType(), "us"
 
 
 def read_events_stream(
@@ -47,14 +92,22 @@ def read_events_stream(
     """File-source stream over an events directory (new files = new data).
 
     At production scale the same code points at a Kafka source — everything
-    downstream is source-agnostic DataFrame ops.
+    downstream is source-agnostic DataFrame ops. The ``ts`` column is
+    normalized to session-TZ TIMESTAMP whatever the physical encoding
+    (nanos-as-long, NTZ micros, or true TIMESTAMP).
     """
     prepare_session(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type, unit = _sniff_ts_type(path)
+    reader = spark.readStream.schema(_events_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        # Long only arises from TIMESTAMP(NANOS) under nanosAsLong.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_aggregate(

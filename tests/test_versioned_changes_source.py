@@ -84,6 +84,33 @@ def test_start_version_skips_history(spark, tmp_path):
     assert {(r.id, r._commit_version) for r in rows} == {(2, 2)}
 
 
+def test_parameterized_types_stream(spark, tmp_path):
+    """Regression: `_ddl_field_names` tracked only `<>` depth, so a
+    `decimal(10,2)` column split at its comma into a phantom column `2)`
+    and every micro-batch died in `pq.read_table(columns=...)`. Any table
+    with decimal/varchar(n) — i.e. most real ones — could not stream."""
+    from decimal import Decimal
+
+    root = str(tmp_path / "vt")
+    rows = [(1, Decimal("10.50"), "a"), (2, Decimal("7.25"), "b")]
+    schema = "id bigint, amount decimal(10,2), val string"
+    t = VersionedTable.create(spark, root, spark.createDataFrame(rows, schema))
+
+    q = _start(spark, root, "feed_dec", str(tmp_path / "ck"))
+    try:
+        _wait_count(spark, "feed_dec", 2)
+        t.append(spark.createDataFrame([(3, Decimal("1.00"), "c")], schema))
+        _wait_count(spark, "feed_dec", 3)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM feed_dec").collect()
+    assert {(r.id, str(r.amount), r.val, r._commit_version) for r in rows} == {
+        (1, "10.50", "a", 1),
+        (2, "7.25", "b", 1),
+        (3, "1.00", "c", 2),
+    }
+
+
 def test_copy_on_write_commit_fails_stream(spark, tmp_path):
     root = str(tmp_path / "vt")
     t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))

@@ -252,6 +252,37 @@ def test_timestamp_pruning(spark, root):
     assert [r.id for r in t.read(predicates=preds).collect()] == [3]
 
 
+def test_date_boundary_pruning_keeps_boundary_day(spark, root):
+    """DATE footer stats vs datetime predicate at the exact boundary.
+
+    Regression: `_dir_may_match` compared ISO strings of mixed granularity
+    ('1998-12-01' vs '1998-12-01T00:00:00'), pruning the dir whose
+    min==max equals the predicate's date — every row of that day silently
+    lost on the most common lake predicate ("everything since day X")."""
+    import datetime as dt
+
+    def day(d):
+        return spark.createDataFrame(
+            [(d, dt.date(1998, 12, d))], "id int, d date"
+        )
+
+    t = VersionedTable.create(spark, root, day(1))
+    t.append(day(2))
+    t.append(day(3))
+    # datetime predicate at midnight of the stored date: boundary dir must
+    # be KEPT (date promotes to its midnight instant).
+    preds = [("d", ">=", dt.datetime(1998, 12, 1))]
+    assert t.prune_info(preds)["n_skipped"] == 0
+    assert sorted(r.id for r in t.read(predicates=preds).collect()) == [1, 2, 3]
+    # And pruning still engages when provably out of range.
+    preds = [("d", ">", dt.datetime(1998, 12, 2, 0, 0, 1))]
+    assert t.prune_info(preds)["n_skipped"] == 2
+    assert [r.id for r in t.read(predicates=preds).collect()] == [3]
+    # date-typed predicate on the same boundary.
+    preds = [("d", "=", dt.date(1998, 12, 2))]
+    assert sorted(r.id for r in t.read(predicates=preds).collect()) == [2]
+
+
 def test_unknown_column_predicate_keeps_all_dirs(spark, banded):
     # A column with no stats can never prove absence — nothing is pruned.
     info = banded.prune_info([("nope", ">=", 0)])
