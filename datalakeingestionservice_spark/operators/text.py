@@ -116,53 +116,64 @@ def bm25_rank(
     """Okapi BM25 relevance ranking of documents against a bag of query
     terms (Lucene's idf variant: ln(1 + (N - df + .5)/(df + .5))).
 
-    Scale shape: the corpus is tokenized ONCE (explode -> filter to query
-    terms, so the exploded stream shrinks to |query| terms per doc before
-    any shuffle); corpus-level constants (N, avgdl) and the per-term df
-    table (<= |query| rows) are broadcast — the only full-corpus shuffle is
-    the per-doc tf groupBy, and top-k goes through TakeOrderedAndProject
-    (per-partition heaps, no global sort). Scores are rounded to 4dp
-    BEFORE ranking so ordering is reproducible cross-engine.
+    Scale shape: NO data-sized shuffle at all. The query bag is a small
+    known list, so per-term tf becomes |query| counter columns in a
+    tokenize-once projection (no explode, no per-doc groupBy, no
+    doc-length join); corpus constants (N, avgdl) and every per-term
+    document frequency collapse into ONE 1-row aggregate (map-side
+    partial) that comes back via broadcast crossJoin. Two column-pruned
+    scans of the corpus remain (stats + scoring) — cheaper at scale than
+    materializing the tokenized projection. The only
+    ordering work is top-k through TakeOrderedAndProject (per-partition
+    heaps, no global sort). Scores are rounded to 4dp BEFORE ranking so
+    ordering is reproducible cross-engine. A doc scores only if it matches
+    >= 1 term (unmatched terms contribute exactly 0), matching the
+    inner-join semantics of the classic explode formulation.
     """
+    from pyspark.sql.functions import broadcast
+
+    terms = list(dict.fromkeys(query_terms))  # dedup: no double-counting
     toks_arr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
     )
-    doc_len = df.select(
-        F.col(id_col), F.size(toks_arr).alias("dl")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks_arr).alias("dl"),
+        # NB: single-arg lambda only — a second (defaulted) parameter makes
+        # PySpark pick filter's (element, index) variant. The loop variable
+        # is safe to close over: F.filter evaluates the lambda eagerly.
+        *[
+            F.size(
+                F.filter(toks_arr, lambda t: t == F.lit(term))
+            ).alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
     )
-    corpus = doc_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"dft_{i}")
+            for i in range(len(terms))
+        ],
     )
 
-    tf = (
-        df.select(F.col(id_col), F.explode(toks_arr).alias("term"))
-        .filter(F.col("term").isin(list(query_terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
-
-    from pyspark.sql.functions import broadcast
-
-    joined = (
-        tf.join(broadcast(df_t), "term")
-        .join(doc_len, id_col)
-        .crossJoin(broadcast(corpus))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
-    )
-    score_t = idf * (
-        (F.col("tf") * (k1 + 1))
-        / (
-            F.col("tf")
-            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    def term_score(i: int):
+        tf, dft = F.col(f"tf_{i}"), F.col(f"dft_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dft + 0.5) / (dft + 0.5)
         )
-    )
+        return idf * (
+            (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+
+    raw = sum((term_score(i) for i in range(len(terms))), F.lit(0.0))
     return (
-        joined.groupBy(id_col)
-        .agg(F.round(F.sum(score_t), 4).alias("score"))
+        base.crossJoin(broadcast(stats))
+        .filter(raw > 0)  # keep only docs matching >= 1 query term
+        .select(F.col(id_col), F.round(raw, 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )

@@ -417,16 +417,30 @@ class VersionedTable:
         columns widen the table schema (Delta-style evolution: old files
         read as NULL for the added columns); same-name columns must keep
         their type — type conflicts always raise."""
-        ddl = self._evolved_schema_ddl(df, merge_schema)
+        # Fail fast on an invalid schema BEFORE writing any data files…
+        self._evolved_schema_ddl(df, merge_schema, self.manifest().schema_ddl)
         data_dir = self._write_data(df)
         new_stats = self._dir_stats(data_dir)
         attempt = 0
         while True:
             parent = self.latest_version()
             pm = self.manifest(parent)
+            # …but compute the committed DDL against the CURRENT parent,
+            # inside the retry loop: computing it once up front regressed a
+            # concurrent winner's schema evolution on rebase (their added
+            # column vanished from the table DDL).
+            ddl = self._evolved_schema_ddl(df, merge_schema, pm.schema_ddl)
             try:
-                evolved = bool(pm.summary.get("schema_evolved")) or (
-                    ddl != pm.schema_ddl
+                # schema_evolved means "data dirs have heterogeneous file
+                # schemas — read with mergeSchema". That includes SUBSET
+                # appends (incoming missing a table column): the DDL is
+                # unchanged but the new files are narrower, and without
+                # mergeSchema a read could adopt a narrow file's schema and
+                # silently drop the column for every row.
+                evolved = (
+                    bool(pm.summary.get("schema_evolved"))
+                    or ddl != pm.schema_ddl
+                    or df.schema.simpleString() != ddl
                 )
                 return self._commit(
                     operation="append",
@@ -445,13 +459,13 @@ class VersionedTable:
                     raise
 
     def _evolved_schema_ddl(
-        self, df: DataFrame, merge_schema: bool
+        self, df: DataFrame, merge_schema: bool, table_ddl: str
     ) -> str:
-        """Validate an append schema against the table's; return the
+        """Validate an append schema against ``table_ddl``; return the
         (possibly widened) table schema DDL."""
         from pyspark.sql.types import StructType
 
-        table = StructType.fromDDL(self.manifest().schema_ddl)
+        table = StructType.fromDDL(table_ddl)
         incoming = df.schema
         t_types = {f.name: f.dataType for f in table.fields}
         for f in incoming.fields:
@@ -557,6 +571,26 @@ class VersionedTable:
         )
         if from_version < 1:
             raise NoSuchVersionError("from_version must be >= 1")
+
+        from pyspark.sql.types import StructType
+
+        # Conform every piece to the END schema of the range: under schema
+        # evolution, dirs written before an added column (or by a subset
+        # append) lack it, and a raw read of just those dirs would break
+        # the unionByName across versions — or diff with mismatched
+        # schemas. Missing columns read as NULL, same as `read()`.
+        final = StructType.fromDDL(self.manifest(to_version).schema_ddl)
+
+        def conform(df: DataFrame) -> DataFrame:
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(f.name) if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in final.fields
+                ]
+            )
+
         pieces: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             cur = self.manifest(v)
@@ -565,15 +599,18 @@ class VersionedTable:
                 added = [f for f in cur.files if f not in prev.files]
                 if not added:
                     continue
-                df = self.spark.read.parquet(
-                    *[os.path.join(self.root, rel) for rel in added]
+                df = conform(
+                    self.spark.read.parquet(
+                        *[os.path.join(self.root, rel) for rel in added]
+                    )
                 )
                 pieces.append(
                     df.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
             else:
-                before, after = self.read(v - 1), self.read(v)
+                before = conform(self.read(v - 1))
+                after = conform(self.read(v))
                 ins = after.exceptAll(before).withColumn(
                     "_change_type", F.lit("insert")
                 )

@@ -19,6 +19,8 @@ its ingestion becomes on a lake engine.
 
 from __future__ import annotations
 
+import os
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -29,6 +31,34 @@ from datalakeingestionservice_spark.sinks.versioned import (
     VersionedTable,
 )
 
+#: Per-stream high-water epoch markers live here, OUTSIDE the expirable
+#: manifests — `expire_versions()` deletes old manifests (and with them the
+#: (stream, epoch) tags), so a checkpoint replay after expiry would re-append
+#: a committed batch if the manifest scan were the only replay protection.
+_STREAMS_DIR = "_streams"
+
+
+def _marker_path(table_root: str, stream_name: str) -> str:
+    return os.path.join(table_root, _STREAMS_DIR, stream_name)
+
+
+def _read_high_water(table_root: str, stream_name: str) -> int | None:
+    try:
+        with open(_marker_path(table_root, stream_name)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_high_water(table_root: str, stream_name: str, epoch: int) -> None:
+    """Atomic (temp + rename) so readers never see a torn marker."""
+    d = os.path.join(table_root, _STREAMS_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{stream_name}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(epoch))
+    os.replace(tmp, _marker_path(table_root, stream_name))
+
 
 def make_versioned_batch_committer(
     table_root: str, stream_name: str = "stream"
@@ -37,23 +67,41 @@ def make_versioned_batch_committer(
 
     Exposed separately so the idempotence contract is directly testable
     (calling it twice with the same epoch must commit exactly once).
+
+    Replay protection is layered: the durable high-water marker (survives
+    `expire_versions`; Structured Streaming epochs are monotonic per
+    checkpoint) plus a manifest-tag scan (covers a crash after commit but
+    before the marker write). `stream_name` identifies a checkpoint
+    lineage — reusing a name with a FRESH checkpoint (epochs restarting at
+    0) requires a new name or clearing `_streams/<name>`.
     """
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         tag = {"stream": stream_name, "epoch": batch_id}
+        high_water = _read_high_water(table_root, stream_name)
+        if high_water is not None and batch_id <= high_water:
+            return  # epoch already committed; replay after crash/expiry
         try:
             table = VersionedTable(spark, table_root)
         except NoSuchVersionError:
             VersionedTable.create(spark, table_root, batch_df, summary=tag)
+            _write_high_water(table_root, stream_name, batch_id)
             return
-        for m in table.versions():
-            if (
-                m.summary.get("stream") == stream_name
-                and m.summary.get("epoch") == batch_id
-            ):
-                return  # epoch already committed; replay after crash
-        table.append(batch_df, summary=tag)
+        already = any(
+            m.summary.get("stream") == stream_name
+            and m.summary.get("epoch") == batch_id
+            for m in table.versions()
+        )
+        if not already:
+            table.append(batch_df, summary=tag)
+        # Heal the marker either way: a crash between commit and marker
+        # write leaves the tag as the only record of this epoch.
+        _write_high_water(
+            table_root,
+            stream_name,
+            max(batch_id, high_water if high_water is not None else -1),
+        )
 
     return commit_batch
 

@@ -59,11 +59,26 @@ def test_random_commit_sequence_matches_model(spark, tmp_path, seed):
 
     for _ in range(7):
         model = Counter(history[-1])
-        op = rng.choice(["append", "merge", "delete", "overwrite", "compact"])
+        op = rng.choice(
+            ["append", "narrow_append", "merge", "delete", "overwrite",
+             "compact"]
+        )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             t.append(_df(spark, rows))
             model.update(rows)
+        elif op == "narrow_append":
+            # Subset-schema append (id only, merge_schema): the missing
+            # `val` column must read back as NULL for the new rows and
+            # keep its values for every pre-existing row.
+            rows = fresh_rows(rng.randint(1, 3))
+            t.append(
+                spark.createDataFrame(
+                    [(i,) for i, _ in rows], "id bigint"
+                ),
+                merge_schema=True,
+            )
+            model.update((i, None) for i, _ in rows)
         elif op == "merge":
             # Update some existing ids, insert some fresh ones.
             existing = sorted({k[0] for k in model})

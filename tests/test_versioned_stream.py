@@ -76,6 +76,37 @@ def test_committer_is_idempotent_per_epoch(spark, tmp_path):
     assert t.read().count() == 2  # one row per distinct epoch
 
 
+def test_replay_after_expiry_no_duplicates(spark, tmp_path):
+    """Regression: replay protection scanned `versions()` for the
+    (stream, epoch) tag, but `expire_versions()` deletes those manifests —
+    a checkpoint replay after retention expiry re-appended a committed
+    batch. The per-stream high-water marker in `_streams/` survives
+    expiry and closes the window."""
+    root = str(tmp_path / "vt")
+    commit = make_versioned_batch_committer(root, "s1")
+    b0 = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    b1 = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    b2 = spark.createDataFrame([(3, "c")], "id bigint, v string")
+    commit(b0, 0)
+    commit(b1, 1)
+    commit(b2, 2)
+
+    t = VersionedTable(spark, root)
+    t.expire_versions(keep_last=1)  # drops the manifests carrying tags 0,1
+    t.vacuum()
+
+    # Crash-recovery replay of already-committed epochs: must be no-ops.
+    commit(b0, 0)
+    commit(b1, 1)
+    commit(b2, 2)
+    t = VersionedTable(spark, root)
+    rows = t.read().collect()
+    assert sorted((r.id, r.v) for r in rows) == [(1, "a"), (2, "b"), (3, "c")]
+    # And a genuinely NEW epoch still commits.
+    commit(spark.createDataFrame([(4, "d")], "id bigint, v string"), 3)
+    assert VersionedTable(spark, root).read().count() == 4
+
+
 def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
     root = str(tmp_path / "vt")
     ckpt = str(tmp_path / "ckpt")

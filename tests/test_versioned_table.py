@@ -412,6 +412,58 @@ def test_merge_schema_evolves_and_old_rows_read_null(spark, root):
     assert t.read().count() == 3
 
 
+def test_subset_schema_append_keeps_missing_column(spark, root):
+    """Regression: a merge_schema append MISSING a table column left
+    `schema_evolved` unset, so `read()` skipped mergeSchema and could
+    adopt the narrow file's schema — silently dropping the column for
+    every row in the table."""
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(spark.createDataFrame([(2,)], "id bigint"), merge_schema=True)
+    assert t.manifest().summary.get("schema_evolved") is True
+    got = {(r.id, r.val) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, None)}
+    assert t.read().columns == ["id", "val"]
+
+
+def test_rebase_preserves_concurrent_schema_evolution(spark, root):
+    """Regression: the evolved DDL was computed once BEFORE the
+    optimistic-retry loop, so an append rebasing past a concurrent
+    winner's schema evolution committed a DDL without the winner's new
+    column — regressing the table schema."""
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    original_latest = t.latest_version
+    calls = {"n": 0}
+
+    def racy_latest():
+        v = original_latest()
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # Concurrent winner evolves the schema with column `d`.
+            VersionedTable(spark, root).append(
+                spark.createDataFrame(
+                    [(2, "b", 7.0)], "id bigint, val string, d double"
+                ),
+                merge_schema=True,
+            )
+        return v
+
+    t.latest_version = racy_latest  # type: ignore[method-assign]
+    # Loser evolves with a DIFFERENT column `c`; rebase must keep both.
+    t.append(
+        spark.createDataFrame([(3, "c", 11)], "id bigint, val string, c int"),
+        merge_schema=True,
+    )
+    t.latest_version = original_latest  # type: ignore[method-assign]
+    ddl = t.manifest().schema_ddl
+    assert "d:" in ddl and "c:" in ddl, ddl
+    got = {(r.id, r.val, r.d, r.c) for r in t.read().collect()}
+    assert got == {
+        (1, "a", None, None),
+        (2, "b", 7.0, None),
+        (3, "c", None, 11),
+    }
+
+
 # -- compaction (OPTIMIZE) --------------------------------------------------
 
 
