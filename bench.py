@@ -70,9 +70,76 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    try:
+        result["lake"] = lake_slice(spark, sf_dir)
+    except Exception as exc:
+        errors["lake"] = f"{type(exc).__name__}: {exc}"[:300]
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+
+
+def lake_slice(spark, sf_dir: str) -> dict:
+    """Versioned-lake operation timings (E6-E11): commit, predicated
+    (pruned) read, OPTIMIZE-compact with z-order, change feed. Kept
+    OUTSIDE the headline total so `value` stays comparable round-over-
+    round; one timed run each — lake ops are IO-bound, not JIT-noisy."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="dlis-lake-bench-")
+    root = os.path.join(tmp, "vt")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_shipdate", "l_quantity",
+            "l_extendedprice",
+        )
+        years = [r[0] for r in sorted(
+            li.select(F.year("l_shipdate")).distinct().collect()
+        )]
+        # One commit per ship-year: the small-multi-dir layout every
+        # streaming sink produces, and the shape dir-pruning needs.
+        t0 = time.perf_counter()
+        table = VersionedTable.create(
+            spark, root, li.filter(F.year("l_shipdate") == years[0])
+        )
+        for y in years[1:]:
+            table.append(li.filter(F.year("l_shipdate") == y))
+        out["commit_per_version"] = round(
+            (time.perf_counter() - t0) / len(years), 3
+        )
+
+        import datetime as dt
+
+        preds = [("l_shipdate", ">=", dt.date(years[-1], 1, 1))]
+        t0 = time.perf_counter()
+        n_pruned = table.read(predicates=preds).count()
+        out["pruned_read"] = round(time.perf_counter() - t0, 3)
+        info = table.prune_info(preds)
+        out["dirs_skipped"] = float(info["n_skipped"])
+
+        t0 = time.perf_counter()
+        table.compact(num_partitions=8, zorder_by=["l_shipdate"])
+        out["compact_zorder"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        n_post = table.read(predicates=preds).count()
+        out["pruned_read_post_compact"] = round(time.perf_counter() - t0, 3)
+        assert n_post == n_pruned, "compact changed predicated results"
+        info = table.prune_info(preds)
+        out["files_skipped_post_compact"] = float(info["n_files_skipped"])
+
+        t0 = time.perf_counter()
+        table.changes(1).count()
+        out["change_feed_full_history"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -20,8 +20,39 @@ layout means on a lake at 100 TB.
 
 from __future__ import annotations
 
+import calendar
+import datetime as _dt
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _int_expr(df: DataFrame, c: str) -> Column:
+    """Normalize a clusterable column to int64 JVM-side: dates become epoch
+    days, timestamps epoch SECONDS (second granularity keeps
+    (hi-lo+1)*2^bits far inside the 2^53 exact-divide envelope of
+    `int_bucket` — day/sub-second precision buys nothing for layout)."""
+    t = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(c)
+    col = F.col(c)
+    if t == "date":
+        return F.unix_date(col)
+    if t in ("timestamp", "timestamp_ntz"):
+        return F.unix_seconds(col.cast("timestamp"))
+    return col
+
+
+def _int_value(v):
+    """Normalize a user-passed range bound the same way as `_int_expr`
+    (naive datetimes are UTC per the engine's session-TZ contract)."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return int(v.timestamp())
+        return calendar.timegm(v.timetuple())
+    if isinstance(v, _dt.date):
+        return (v - _EPOCH).days
+    return v
 
 
 def int_bucket(
@@ -66,18 +97,30 @@ def zorder_column(
 ) -> Column:
     """The z-value expression for `cols` over `df`.
 
-    `ranges` maps column -> (min, max); when omitted they're computed with
-    ONE aggregate job (a handful of scalars to the driver — metadata
-    scale). At 100 TB pass known ranges or partition-level bounds instead
-    of rescanning."""
+    `ranges` maps column -> (min, max) — ints, or date/datetime bounds for
+    temporal columns; when omitted they're computed with ONE aggregate job
+    (a handful of scalars to the driver — metadata scale). At 100 TB pass
+    known ranges or partition-level bounds instead of rescanning.
+
+    Date/timestamp columns cluster natively (normalized to epoch
+    days/seconds inside the JVM expression — no Python in the row path)."""
+    exprs = {c: _int_expr(df, c) for c in cols}
     if ranges is None:
         aggs = []
         for c in cols:
-            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            aggs += [
+                F.min(exprs[c]).alias(f"lo_{c}"),
+                F.max(exprs[c]).alias(f"hi_{c}"),
+            ]
         row = df.agg(*aggs).collect()[0]
         ranges = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    else:
+        ranges = {
+            c: (_int_value(lo), _int_value(hi))
+            for c, (lo, hi) in ranges.items()
+        }
     buckets = [
-        int_bucket(F.col(c), ranges[c][0], ranges[c][1], bits) for c in cols
+        int_bucket(exprs[c], ranges[c][0], ranges[c][1], bits) for c in cols
     ]
     return zvalue(buckets, bits)
 

@@ -88,52 +88,49 @@ def _stat_jsonable(v):
     return None
 
 
-def _collect_dir_stats(abs_dir: str) -> dict:
-    """Aggregate row-group footer stats across all parquet files in a dir.
+def _collect_file_stats(path: str) -> dict:
+    """Row-group footer stats for ONE parquet file.
 
     Returns {"rows": n, "columns": {col: {"min":…, "max":…, "nulls": n}}}.
     A column appears only if EVERY row group carried usable min/max (or was
     all-null) — partial stats can't prove absence, so they're discarded."""
     import pyarrow.parquet as pq
 
-    rows = 0
+    md = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
     broken: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(abs_dir, "*.parquet"))):
-        md = pq.ParquetFile(path).metadata
-        rows += md.num_rows
-        for i in range(md.num_row_groups):
-            rg = md.row_group(i)
-            for j in range(rg.num_columns):
-                col = rg.column(j)
-                name = col.path_in_schema
-                if "." in name or name in broken:
-                    continue  # nested leaves aren't prunable columns
-                try:
-                    st = col.statistics
-                    if st is None or st.null_count is None:
-                        broken.add(name)
-                        continue
-                    nulls[name] = nulls.get(name, 0) + st.null_count
-                    if st.null_count == rg.num_rows:
-                        continue  # all-null group: no min/max to contribute
-                    if not st.has_min_max:
-                        broken.add(name)
-                        continue
-                    lo, hi = _stat_jsonable(st.min), _stat_jsonable(st.max)
-                except Exception:
-                    # pyarrow can't surface stats for every physical type
-                    # (e.g. decimal raises ArrowNotImplementedError) — the
-                    # column simply isn't prunable.
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            name = col.path_in_schema
+            if "." in name or name in broken:
+                continue  # nested leaves aren't prunable columns
+            try:
+                st = col.statistics
+                if st is None or st.null_count is None:
                     broken.add(name)
                     continue
-                if lo is None or hi is None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                if st.null_count == rg.num_rows:
+                    continue  # all-null group: no min/max to contribute
+                if not st.has_min_max:
                     broken.add(name)
                     continue
-                mins[name] = lo if name not in mins else min(mins[name], lo)
-                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                lo, hi = _stat_jsonable(st.min), _stat_jsonable(st.max)
+            except Exception:
+                # pyarrow can't surface stats for every physical type
+                # (e.g. decimal raises ArrowNotImplementedError) — the
+                # column simply isn't prunable.
+                broken.add(name)
+                continue
+            if lo is None or hi is None:
+                broken.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
     columns = {}
     for name, n_null in nulls.items():
         if name in broken:
@@ -143,7 +140,42 @@ def _collect_dir_stats(abs_dir: str) -> dict:
             entry["min"] = mins[name]
             entry["max"] = maxs[name]
         columns[name] = entry
-    return {"rows": rows, "columns": columns}
+    return {"rows": md.num_rows, "columns": columns}
+
+
+def _collect_dir_stats(abs_dir: str) -> dict:
+    """Stats for all parquet files in a dir: the dir-level envelope PLUS a
+    per-file map, so `read(predicates=…)` prunes at file granularity —
+    `compact()` merging many dirs into one multi-file dir no longer
+    coarsens skipping (the files, z-ordered or range-partitioned, keep
+    their own tight min/max). At extreme file counts the per-file map is
+    what Iceberg pages into avro manifest files; JSON suffices here
+    because dirs hold O(partitions) files, not O(rows)."""
+    files: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(abs_dir, "*.parquet"))):
+        files[os.path.basename(path)] = _collect_file_stats(path)
+
+    rows = sum(f["rows"] for f in files.values())
+    # A column is prunable at dir level only if EVERY non-empty file
+    # harvested it (a file with unusable stats can't prove absence; a
+    # 0-row file has nothing to prove and must not poison the merge).
+    nonempty = [f for f in files.values() if f["rows"] > 0]
+    common = (
+        set.intersection(*[set(f["columns"]) for f in nonempty])
+        if nonempty
+        else set()
+    )
+    columns: dict[str, dict] = {}
+    for name in common:
+        entries = [f["columns"][name] for f in nonempty]
+        entry: dict = {"nulls": sum(e["nulls"] for e in entries)}
+        mins = [e["min"] for e in entries if "min" in e]
+        maxs = [e["max"] for e in entries if "max" in e]
+        if mins:
+            entry["min"] = min(mins)
+            entry["max"] = max(maxs)
+        columns[name] = entry
+    return {"rows": rows, "columns": columns, "files": files}
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
@@ -181,6 +213,8 @@ def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
     pruning must never be load-bearing for correctness."""
     if not dir_stats:
         return True
+    if dir_stats.get("rows") == 0:
+        return False  # provably empty: nothing to match
     for col, op, val in predicates:
         cs = dir_stats.get("columns", {}).get(col)
         if cs is None:
@@ -271,6 +305,76 @@ def _manifest_name(version: int) -> str:
     return f"v{version:08d}.json"
 
 
+# -- commit protocol ---------------------------------------------------------
+#
+# The table's ONLY synchronization point is "claim the next manifest path,
+# exactly one racing writer wins". That primitive is storage-specific, so it
+# lives behind an interface: POSIX filesystems get hard-link semantics;
+# object stores (S3 Nov-2024+ conditional writes, GCS if-generation-match,
+# ABFS If-None-Match ETag) get a single conditional PUT. Everything above —
+# optimistic retry, rebase, snapshot isolation — is protocol-agnostic.
+
+class CommitProtocol:
+    """Atomically publish `content` at `final_path`, failing with
+    ConcurrentCommitError iff the path already exists."""
+
+    def publish(self, final_path: str, content: str) -> None:
+        raise NotImplementedError
+
+
+class HardLinkCommitProtocol(CommitProtocol):
+    """POSIX: write a temp file, then link(2) it to the final name.
+
+    link fails with EEXIST when the version already exists, so exactly one
+    of any number of racing writers wins — no locks, no read-modify-write
+    window — and readers only ever see complete manifests (the content is
+    durable before the name appears)."""
+
+    def publish(self, final_path: str, content: str) -> None:
+        d = os.path.dirname(final_path)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(content)
+        try:
+            os.link(tmp, final_path)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"{os.path.basename(final_path)} was committed concurrently"
+            ) from None
+        finally:
+            os.remove(tmp)
+
+
+class ConditionalPutCommitProtocol(CommitProtocol):
+    """Object-store shape: ONE conditional create of the final object —
+    no temp name, no rename, no link (none of which object stores offer
+    atomically). Subclass and override `_put_if_absent` with the store's
+    real call (S3 `PUT If-None-Match: *`, GCS `if-generation-match: 0`,
+    ABFS `If-None-Match` on the ETag).
+
+    The local emulation uses O_CREAT|O_EXCL, which matches the claim
+    semantics exactly; unlike a real object store (whole-object PUT
+    atomicity) it has a create-then-write window a concurrent local READER
+    could observe, so on POSIX filesystems prefer HardLinkCommitProtocol —
+    this class exists to validate the protocol logic and as the template
+    for real object-store bindings."""
+
+    def _put_if_absent(self, path: str, content: str) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        return True
+
+    def publish(self, final_path: str, content: str) -> None:
+        if not self._put_if_absent(final_path, content):
+            raise ConcurrentCommitError(
+                f"{os.path.basename(final_path)} was committed concurrently"
+            )
+
+
 class VersionedTable:
     """A versioned parquet table rooted at a directory.
 
@@ -279,9 +383,15 @@ class VersionedTable:
     commits a NEW immutable version. :meth:`read` time-travels.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        commit_protocol: CommitProtocol | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self._protocol = commit_protocol or HardLinkCommitProtocol()
         if not os.path.isdir(os.path.join(root, _MANIFEST_DIR)):
             raise NoSuchVersionError(
                 f"{root} is not a versioned table (no {_MANIFEST_DIR}/); "
@@ -295,10 +405,11 @@ class VersionedTable:
         root: str,
         df: DataFrame,
         summary: dict | None = None,
+        commit_protocol: CommitProtocol | None = None,
     ) -> "VersionedTable":
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
-        table = VersionedTable(spark, root)
+        table = VersionedTable(spark, root, commit_protocol=commit_protocol)
         data_dir = table._write_data(df)
         table._commit(
             operation="create",
@@ -358,10 +469,12 @@ class VersionedTable:
         predicates: list[tuple] | None = None,
     ) -> DataFrame:
         """Read a snapshot. With `predicates` — a conjunction of
-        (column, op, literal) triples, op in =,<,<=,>,>= — data dirs whose
-        manifest stats prove them empty for the predicate are skipped
-        BEFORE Spark plans the scan, and the same predicate is applied as
-        a filter, so results are identical to an unpruned read + filter."""
+        (column, op, literal) triples, op in =,<,<=,>,>= — data dirs (and,
+        within surviving dirs, individual FILES via the manifest's
+        per-file stats) that the stats prove empty for the predicate are
+        skipped BEFORE Spark plans the scan, and the same predicate is
+        applied as a filter, so results are identical to an unpruned
+        read + filter."""
         m = self.manifest(version)
         rels = list(m.files)
         if predicates:
@@ -369,9 +482,25 @@ class VersionedTable:
                 rel for rel in rels
                 if _dir_may_match(m.stats.get(rel, {}), predicates)
             ]
-        if not rels:
+        paths: list[str] = []
+        for rel in rels:
+            fmap = m.stats.get(rel, {}).get("files")
+            if predicates and fmap:
+                keep = [
+                    fn for fn, fs in sorted(fmap.items())
+                    if _dir_may_match(fs, predicates)
+                ]
+                if len(keep) < len(fmap):
+                    # A dir envelope can match while every file's tighter
+                    # range refutes — dropping to file paths is safe
+                    # because data dirs are immutable once committed.
+                    paths.extend(
+                        os.path.join(self.root, rel, fn) for fn in keep
+                    )
+                    continue
+            paths.append(os.path.join(self.root, rel))
+        if not paths:
             return self.spark.createDataFrame([], m.schema_ddl)
-        paths = [os.path.join(self.root, rel) for rel in rels]
         reader = self.spark.read
         if m.summary.get("schema_evolved"):
             # Heterogeneous file schemas: merge footers to the widened
@@ -387,17 +516,32 @@ class VersionedTable:
         predicates: list[tuple],
         version: int | None = None,
     ) -> dict:
-        """Which data dirs a predicated read would scan vs skip."""
+        """Which data dirs (and files within kept dirs) a predicated read
+        would scan vs skip."""
         m = self.manifest(version)
         kept, skipped = [], []
+        n_files_scanned = n_files_skipped = 0
         for rel in m.files:
-            (kept if _dir_may_match(m.stats.get(rel, {}), predicates)
-             else skipped).append(rel)
+            stats = m.stats.get(rel, {})
+            if not _dir_may_match(stats, predicates):
+                skipped.append(rel)
+                n_files_skipped += len(stats.get("files", ()) or ())
+                continue
+            kept.append(rel)
+            fmap = stats.get("files")
+            if fmap:
+                for fs in fmap.values():
+                    if _dir_may_match(fs, predicates):
+                        n_files_scanned += 1
+                    else:
+                        n_files_skipped += 1
         return {
             "scanned": kept,
             "skipped": skipped,
             "n_scanned": len(kept),
             "n_skipped": len(skipped),
+            "n_files_scanned": n_files_scanned,
+            "n_files_skipped": n_files_skipped,
         }
 
     # -- writes ------------------------------------------------------------
@@ -731,11 +875,10 @@ class VersionedTable:
         summary: dict | None = None,
         stats: dict | None = None,
     ) -> int:
-        """Atomically claim version expected_parent+1.
-
-        Write the manifest under a temp name, then os.link it to the final
-        name: link(2) fails with EEXIST when the version already exists, so
-        exactly one of any number of racing writers wins — no locks, no
+        """Atomically claim version expected_parent+1 via the table's
+        commit protocol (hard-link on POSIX, conditional PUT on object
+        stores): publishing the manifest name fails iff the version
+        already exists, so exactly one racing writer wins — no locks, no
         read-modify-write window."""
         version = expected_parent + 1
         m = Manifest(
@@ -747,17 +890,6 @@ class VersionedTable:
             summary={"n_files": len(files), **(summary or {})},
             stats=stats or {},
         )
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
-        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(mdir, _manifest_name(version))
-        with open(tmp, "w") as f:
-            f.write(m.to_json())
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"version {version} was committed concurrently"
-            ) from None
-        finally:
-            os.remove(tmp)
+        final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
+        self._protocol.publish(final, m.to_json())
         return version

@@ -125,3 +125,34 @@ def test_zorder_repartition_preserves_rows(spark):
     assert out.columns == ["x", "y"]
     assert out.count() == 32 * 32
     assert out.rdd.getNumPartitions() == 8
+
+
+def test_zorder_temporal_columns(spark, tmp_path):
+    """Date/timestamp columns cluster natively (epoch-days/seconds
+    normalization inside the JVM expression) — z-ordering a (date, int)
+    pair partitions both dimensions and round-trips every row."""
+    import datetime as dt
+
+    from datalakeingestionservice_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    rows = [
+        (dt.date(2024, 1, 1 + i % 28), i, dt.datetime(2024, 1, 1, i % 24))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "d date, k int, ts timestamp")
+    out = zorder_repartition(df, ["d", "k"], num_partitions=4)
+    assert out.count() == 1000
+    assert sorted(r.k for r in out.collect()) == list(range(1000))
+    # Timestamp z-ordering too (explicit temporal ranges accepted).
+    out2 = zorder_repartition(
+        df,
+        ["ts", "k"],
+        num_partitions=4,
+        ranges={
+            "ts": (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)),
+            "k": (0, 999),
+        },
+    )
+    assert out2.count() == 1000

@@ -14,9 +14,17 @@ from collections import Counter
 import pyspark.sql.functions as F
 import pytest
 
-from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+from datalakeingestionservice_spark.sinks.versioned import (
+    ConditionalPutCommitProtocol,
+    HardLinkCommitProtocol,
+    VersionedTable,
+)
 
 ROWS = "id bigint, val string"
+
+#: Both commit primitives must satisfy the identical protocol contract —
+#: the whole fuzz matrix runs once per implementation.
+PROTOCOLS = [HardLinkCommitProtocol, ConditionalPutCommitProtocol]
 
 
 def _df(spark, rows):
@@ -42,8 +50,9 @@ def _apply_feed(base: Counter, feed_rows) -> Counter:
     return out
 
 
+@pytest.mark.parametrize("protocol", PROTOCOLS, ids=lambda p: p.__name__)
 @pytest.mark.parametrize("seed", [7, 23, 101])
-def test_random_commit_sequence_matches_model(spark, tmp_path, seed):
+def test_random_commit_sequence_matches_model(spark, tmp_path, seed, protocol):
     rng = random.Random(seed)
     next_id = 100
 
@@ -54,7 +63,12 @@ def test_random_commit_sequence_matches_model(spark, tmp_path, seed):
         return out
 
     initial = fresh_rows(rng.randint(1, 5))
-    t = VersionedTable.create(spark, str(tmp_path / "vt"), _df(spark, initial))
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "vt"),
+        _df(spark, initial),
+        commit_protocol=protocol(),
+    )
     history = [None, Counter(initial)]  # model per version (1-indexed)
 
     for _ in range(7):
@@ -114,3 +128,57 @@ def test_random_commit_sequence_matches_model(spark, tmp_path, seed):
         assert _apply_feed(history[v - 1], feed) == history[v], (
             f"feed v{v - 1}->v{v} seed{seed}"
         )
+
+
+@pytest.mark.parametrize("protocol", PROTOCOLS, ids=lambda p: p.__name__)
+def test_protocol_exactly_one_racing_writer_wins(tmp_path, protocol):
+    """The commit-primitive contract, exercised directly and under real
+    thread contention: for each claimed path, exactly one publish
+    succeeds and every loser gets ConcurrentCommitError."""
+    import threading
+
+    from datalakeingestionservice_spark.sinks.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "v00000001.json")
+    outcomes = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def attempt(i):
+        p = protocol()
+        barrier.wait()
+        try:
+            p.publish(path, f'{{"writer": {i}}}')
+            result = ("win", i)
+        except ConcurrentCommitError:
+            result = ("lose", i)
+        with lock:
+            outcomes.append(result)
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    wins = [i for kind, i in outcomes if kind == "win"]
+    assert len(wins) == 1, outcomes
+    with open(path) as f:
+        assert f.read() == f'{{"writer": {wins[0]}}}'
+
+
+@pytest.mark.parametrize("protocol", PROTOCOLS, ids=lambda p: p.__name__)
+def test_protocol_rejects_existing_path_sequentially(tmp_path, protocol):
+    from datalakeingestionservice_spark.sinks.versioned import (
+        ConcurrentCommitError,
+    )
+
+    p = protocol()
+    path = str(tmp_path / "v00000002.json")
+    p.publish(path, "first")
+    with pytest.raises(ConcurrentCommitError):
+        p.publish(path, "second")
+    with open(path) as f:
+        assert f.read() == "first"

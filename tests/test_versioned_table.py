@@ -283,6 +283,27 @@ def test_date_boundary_pruning_keeps_boundary_day(spark, root):
     assert sorted(r.id for r in t.read(predicates=preds).collect()) == [2]
 
 
+def test_file_level_pruning_survives_compact(spark, banded):
+    """`compact()` merges many dirs into ONE dir; without per-file stats
+    that coarsened pruning to the whole-dir envelope. The manifest's
+    per-file map keeps skipping tight: a z-ordered compact writes files
+    with disjoint id ranges, and a selective predicate must skip files
+    inside the surviving dir — and produce identical rows."""
+    banded.compact(num_partitions=3, zorder_by=["id"])
+    preds = [("id", ">=", 20)]
+    info = banded.prune_info(preds)
+    assert info["n_scanned"] == 1  # single compacted dir survives…
+    assert info["n_files_skipped"] >= 1  # …but files inside it are skipped
+    assert info["n_files_scanned"] >= 1
+    got = sorted(r.id for r in banded.read(predicates=preds).collect())
+    assert got == list(range(20, 30))
+    # File pruning can prove a dir empty even when its envelope matches:
+    # [0,10) and [20,30) files both refute id=15 while the dir spans 0-29.
+    preds = [("id", "=", 15)]
+    got = sorted(r.id for r in banded.read(predicates=preds).collect())
+    assert got == [15]
+
+
 def test_unknown_column_predicate_keeps_all_dirs(spark, banded):
     # A column with no stats can never prove absence — nothing is pruned.
     info = banded.prune_info([("nope", ">=", 0)])
