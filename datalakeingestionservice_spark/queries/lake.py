@@ -247,3 +247,90 @@ def q117_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "q121_incremental_mv",
+    tags=("lake", "materialized-view", "incremental", "cdc"),
+    oracle="""
+WITH v4_rows AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 10 <> 1
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 10 = 2
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM v4_rows
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q121_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (counting algorithm over the
+    change feed, `sinks/incremental_view.py`): materialize
+    SUM(o_totalprice), COUNT(*) BY o_orderpriority at v1 of a versioned
+    orders table, then push three DML commits — price bump on keys %10==0
+    (merge), delete keys %10==1, append clones of keys %10==2 — and
+    REFRESH. The refresh reads only the change feed (cost ∝ changed rows,
+    not table size) and merges per-key deltas into the view state; the
+    oracle recomputes the aggregate from scratch over the reconstructed
+    final snapshot, so the equality proves incremental == full recompute
+    against an independent engine. Sums accumulate in exact decimal with
+    one final double cast (FUZZ.md rule 2). The reference recomputes its
+    scheduled extractions from zero every cron fire
+    (`src/Worker/Services/JobSchedulingService.cs:24-75`); this is the
+    lake-native incremental replacement."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalAggView,
+    )
+
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_mv_{uuid.uuid4().hex}"
+    )
+    t = VersionedTable.create(spark, os.path.join(base, "src"), orders)
+
+    view = IncrementalAggView(
+        spark,
+        os.path.join(base, "src"),
+        os.path.join(base, "view"),
+        keys=["o_orderpriority"],
+        sums={"total_price": "o_totalprice"},
+    )
+    view.refresh()  # materializes at v1
+
+    k = F.col("o_orderkey")
+    t.merge(
+        orders.filter(k % 10 == 0).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + F.lit(10.0).cast("decimal(18,2)"))
+            .cast("decimal(18,2)"),
+        ),
+        ["o_orderkey"],
+    )
+    t.delete_where(k % 10 == 1)
+    t.append(
+        orders.filter(k % 10 == 2).withColumn("o_orderkey", k + 1_000_000_000)
+    )
+    view.refresh()  # one catch-up across all three DML versions
+
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            F.col("_n").alias("n_orders"),
+            F.col("total_price").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

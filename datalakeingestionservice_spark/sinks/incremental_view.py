@@ -1,0 +1,182 @@
+"""Incrementally-maintained aggregate materialized views over the change feed.
+
+A grouped-aggregate view (`SELECT keys, count(*), sum(expr)… GROUP BY keys`)
+over a versioned table is refreshed WITHOUT rescanning the source: the view
+consumes `VersionedTable.changes(last_refreshed, latest)` — inserts count +1,
+deletes count −1 — aggregates JUST the changed rows into per-key deltas, and
+merges the deltas into its own versioned state table. Classic incremental
+view maintenance (Gupta & Mumick's counting algorithm) re-expressed as two
+Catalyst plans:
+
+- delta plan: one shuffle over the CHANGED rows only (groupBy keys on the
+  feed), independent of source size — at 100 TB a refresh costs what the
+  commits since last refresh cost, not what the table costs;
+- apply plan: copy-on-write merge bounded by |view| = number of groups,
+  which is the small side by construction.
+
+Only self-maintainable aggregates are offered: count and sum (avg = sum /
+count at read time). min/max are NOT — a delete of the current extreme
+forces a per-group rescan, which is exactly the full recompute this class
+exists to avoid; use a scheduled full rebuild for those.
+
+The refresh high-water mark (`source_version`) rides in the view table's
+commit summary, so refresh is idempotent: re-running after a crash sees the
+mark and re-applies nothing. The view is itself a versioned table — time
+travel over VIEW versions shows the aggregate history for free.
+
+Reference semantics anchor: the reference recomputes its extraction
+aggregates from scratch each scheduled run
+(`src/Worker/Services/JobSchedulingService.cs:24-75` re-executes the full
+query per cron fire); this is the lake-native incremental replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.sinks.versioned import (
+    NoSuchVersionError,
+    VersionedTable,
+)
+
+_COUNT_COL = "_n"
+
+
+class IncrementalAggView:
+    """A count/sum GROUP BY view over a source :class:`VersionedTable`,
+    maintained from its change feed.
+
+    Parameters
+    ----------
+    keys: grouping columns (must exist in the source schema). Values must
+        be NON-NULL: key matching uses SQL-MERGE equality semantics (same
+        as Delta Lake MERGE), under which NULL keys never match and would
+        duplicate instead of combining.
+    sums: {output_column: source_expression} summed per group. Expressions
+        are SQL strings over source columns (e.g. ``"l_quantity"`` or
+        ``"l_extendedprice * (1 - l_discount)"``). Use exact types
+        (decimal/int) when bit-identical parity with a full recompute
+        matters — float addition order differs between the incremental and
+        recompute paths.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_root: str,
+        view_root: str,
+        keys: list[str],
+        sums: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.source_root = source_root
+        self.view_root = view_root
+        self.keys = list(keys)
+        self.sums = dict(sums or {})
+        if _COUNT_COL in self.sums or _COUNT_COL in self.keys:
+            raise ValueError(f"{_COUNT_COL} is reserved")
+
+    # -- state access -------------------------------------------------------
+    def _view_table(self) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, self.view_root)
+        except NoSuchVersionError:
+            return None
+
+    def last_refreshed_version(self) -> int | None:
+        """Source version the view state reflects, or None before the
+        first refresh."""
+        table = self._view_table()
+        if table is None:
+            return None
+        for m in reversed(table.versions()):
+            if "source_version" in m.summary:
+                return m.summary["source_version"]
+        return None
+
+    def read(self) -> DataFrame:
+        """Current view state: keys, per-group count, per-group sums."""
+        table = self._view_table()
+        if table is None:
+            raise NoSuchVersionError(
+                f"{self.view_root}: view not materialized; call refresh()"
+            )
+        return table.read()
+
+    # -- maintenance --------------------------------------------------------
+    def _aggregate(self, rows: DataFrame, sign=None) -> DataFrame:
+        """Group `rows` into view shape; with `sign` (+1/-1 column) the
+        aggregates become signed deltas."""
+        weight = sign if sign is not None else F.lit(1)
+        aggs = [F.sum(weight).alias(_COUNT_COL)]
+        for out, expr in self.sums.items():
+            aggs.append(F.sum(F.expr(expr) * weight).alias(out))
+        return rows.groupBy(*self.keys).agg(*aggs)
+
+    def refresh(self) -> int | None:
+        """Bring the view up to the source's latest version.
+
+        First call materializes from a full snapshot aggregate; later
+        calls apply change-feed deltas only. Returns the source version
+        the view now reflects (None only if nothing new)."""
+        source = VersionedTable(self.spark, self.source_root)
+        latest = source.latest_version()
+        table = self._view_table()
+
+        if table is None:
+            state = self._aggregate(source.read(latest))
+            VersionedTable.create(
+                self.spark,
+                self.view_root,
+                state,
+                summary={"source_version": latest},
+            )
+            return latest
+
+        last = self.last_refreshed_version()
+        if last is None:  # view table exists but was never stamped
+            raise NoSuchVersionError(
+                f"{self.view_root}: no source_version mark in history"
+            )
+        if latest <= last:
+            return None  # idempotent: nothing new (crash-replay safe)
+
+        feed = source.changes(last, latest)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = self._aggregate(feed, sign=sign)
+
+        state = table.read()
+        d = delta.select(
+            *self.keys,
+            F.col(_COUNT_COL).alias("__d_n"),
+            *[F.col(c).alias(f"__d_{c}") for c in self.sums],
+        )
+        # Affected keys only: delta drives the join, state supplies the
+        # old totals (left join keeps brand-new groups).
+        combined = d.join(state, self.keys, "left").select(
+            *self.keys,
+            (
+                F.coalesce(F.col(_COUNT_COL), F.lit(0)) + F.col("__d_n")
+            ).alias(_COUNT_COL),
+            *[
+                (
+                    F.coalesce(F.col(c), F.lit(0))
+                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+                ).alias(c)
+                for c in self.sums
+            ],
+        )
+        # Groups whose count hits 0 leave the view (counting algorithm).
+        upserts = combined.withColumn(
+            "__is_delete", F.col(_COUNT_COL) == 0
+        )
+        table.merge(
+            upserts,
+            self.keys,
+            delete_col="__is_delete",
+            summary={"source_version": latest},
+        )
+        return latest

@@ -647,6 +647,7 @@ class VersionedTable:
         updates: DataFrame,
         key_cols: list[str],
         delete_col: str | None = None,
+        summary: dict | None = None,
     ) -> int:
         """MERGE (upsert + optional deletes) as a copy-on-write commit:
         matched keys replaced, `delete_col`=true rows removed, unmatched
@@ -678,6 +679,7 @@ class VersionedTable:
             files=(data_dir,),
             schema_ddl=merged.schema.simpleString(),
             expected_parent=parent,
+            summary=summary,
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
