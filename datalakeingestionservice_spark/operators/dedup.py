@@ -100,37 +100,75 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     persist: bool = False,
+    strategy: str = "join",
 ) -> DataFrame:
-    """Exact Jaccard over shingle posting lists via inverted-index self-join.
+    """Exact Jaccard over shingle posting lists.
 
     Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
     Only pairs sharing at least one shingle are ever considered.
 
-    Plan shape: the per-doc size table is broadcast back onto the candidate
-    pairs (one row per doc — KBs even at millions of docs). The posting list
-    feeds the self-join twice plus the size aggregate and Spark does not reuse
-    exchanges across aliased self-join branches; measured locally, recomputing
-    the explode+distinct subtree is cheaper than persisting it (cache
-    materialization is a barrier and cached plans bypass AQE), so `persist`
-    defaults off — flip it on when the shingle explode is the dominant cost
-    (large corpora, wide shingles).
+    Two physical strategies, same result set:
+
+    - ``"join"`` (default): inverted-index self-join on shingle with
+      doc_a < doc_b. Robust to shingle skew — a ubiquitous shingle's pairs
+      spread across tasks — so it's the safe default when posting-list
+      frequencies are unbounded.
+    - ``"grouped"``: groupBy(shingle) -> sorted doc-id array -> explode the
+      C(df,2) in-group pairs -> count per pair. One fewer shuffle AND one
+      fewer evaluation of the posting-list subtree (the self-join computes
+      it for each aliased side; Spark doesn't reuse exchanges across
+      aliases). REQUIRES bounded shingle frequency (stop-shingle pruning,
+      `word_shingles(max_shingle_freq=K)`): one row holds C(df,2) elements,
+      so an unpruned ubiquitous shingle would explode a single task.
+      Measured at sf0.1 on the capstone corpus the join wins (collect_list
+      + pair transform exceed the saved shuffle) — treat grouped as the
+      escape hatch for when the posting subtree is the dominant cost, and
+      measure before switching.
+
+    The per-doc size table is broadcast back onto the candidate pairs (one
+    row per doc — KBs even at millions of docs). `persist` defaults off:
+    measured locally, recomputing the explode+distinct subtree beats the
+    cache barrier (cached plans also bypass AQE); flip it on when the
+    shingle explode dominates (large corpora, wide shingles).
     """
+    if strategy not in ("join", "grouped"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if persist:
         shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if strategy == "grouped":
+        common = (
+            shingles.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+            .filter(F.size("__ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(0, size(__ids) - 2),"
+                        " i -> transform(sequence(i + 1, size(__ids) - 1),"
+                        " j -> struct(__ids[i] AS a, __ids[j] AS b))))"
+                    )
+                ).alias("__p")
+            )
+            .groupBy(
+                F.col("__p.a").alias("doc_a"), F.col("__p.b").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+    else:
+        a, b = shingles.alias("a"), shingles.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")

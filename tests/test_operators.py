@@ -320,3 +320,31 @@ def test_bm25_top_k_and_tiebreak(spark):
     rows = bm25_rank(docs, ["apple"], top_k=4).collect()
     assert [r.doc_id for r in rows] == [0, 1, 2, 3]
     assert len({r.score for r in rows}) == 1
+
+
+def test_jaccard_grouped_strategy_equals_join(spark, sf_dir):
+    """Both physical strategies must return the identical pair set with
+    identical jaccard values (grouped requires bounded shingle df — use
+    the pruned posting list, as its contract demands)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    sh = word_shingles(docs, "doc_id", "text", n=3, max_shingle_freq=10)
+
+    def pairs(strategy):
+        return {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in jaccard_pairs(
+                sh, threshold=0.4, strategy=strategy
+            ).collect()
+        }
+
+    joined, grouped = pairs("join"), pairs("grouped")
+    assert joined, "empty anchor proves nothing"
+    assert grouped == joined
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jaccard_pairs(sh, strategy="nope")
