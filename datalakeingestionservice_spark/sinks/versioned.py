@@ -62,6 +62,12 @@ class SchemaMismatchError(Exception):
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+#: Materialized change files (Delta-CDF style) for copy-on-write commits:
+#: written AT COMMIT TIME from row sets the DML already has in hand, so the
+#: change feed never recomputes a snapshot diff and the streaming source can
+#: serve COW commits at scan speed. Manifest summary keys: "cdf" (dir rel
+#: path) or "cdf_empty" (data-preserving commit, e.g. compact).
+_CDF_DIR = "changes"
 
 
 # -- data-skipping statistics (parquet footers -> manifest) -----------------
@@ -631,14 +637,27 @@ class VersionedTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents. NOT auto-rebased on conflict — the
-        caller's snapshot assumption broke, so the conflict surfaces."""
+        caller's snapshot assumption broke, so the conflict surfaces.
+
+        Change feed: the whole old snapshot is materialized as deletes and
+        the new content as inserts (an overwrite's diff IS both snapshots;
+        consumers that treat overwrite as a reload should read the new
+        snapshot instead of the feed)."""
         parent = self.latest_version()
+        old = self.read(parent)
         data_dir = self._write_data(df)
+        cdf_dir = self._write_cdf(
+            old.withColumn("_change_type", F.lit("delete")).unionByName(
+                df.withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,  # overwrite may change the schema
+            )
+        )
         return self._commit(
             operation="overwrite",
             files=(data_dir,),
             schema_ddl=df.schema.simpleString(),
             expected_parent=parent,
+            summary={"cdf": cdf_dir},
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
@@ -673,26 +692,55 @@ class VersionedTable:
             survivors = survivors.join(delete_keys, key_cols, "left_anti")
         merged = survivors.unionByName(upserts)
 
+        # Materialized change feed, from row sets the MERGE already knows:
+        # matched old rows (replaced or deleted) leave as deletes, every
+        # upsert row arrives as an insert. NB an update whose new row equals
+        # the old one still emits its delete+insert pair (the lazy
+        # exceptAll diff used to cancel those) — replay semantics are
+        # identical, row counts per commit can differ for no-op updates.
+        match_keys = upserts.select(*key_cols)
+        if delete_keys is not None:
+            match_keys = match_keys.unionByName(delete_keys)
+        # ONE semi join on the union of keys: leftsemi emits each target
+        # row at most once, so a key present as both upsert and delete
+        # can't double-emit its old row.
+        removed = target.join(match_keys, key_cols, "leftsemi")
+        cdf_dir = self._write_cdf(
+            removed.withColumn("_change_type", F.lit("delete")).unionByName(
+                upserts.withColumn("_change_type", F.lit("insert"))
+            )
+        )
+
         data_dir = self._write_data(merged)
         return self._commit(
             operation="merge",
             files=(data_dir,),
             schema_ddl=merged.schema.simpleString(),
             expected_parent=parent,
-            summary=summary,
+            summary={**(summary or {}), "cdf": cdf_dir},
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
     def delete_where(self, predicate: Column) -> int:
         """Copy-on-write DELETE: keep rows NOT matching the predicate."""
         parent = self.latest_version()
-        kept = self.read(parent).filter(~predicate)
+        snapshot = self.read(parent)
+        kept = snapshot.filter(~predicate)
+        # Exact complement of `kept`: rows where the predicate is NULL are
+        # dropped by filter(~pred) too, so they must appear as deletes —
+        # filter(pred) alone would lose them from the feed.
+        cdf_dir = self._write_cdf(
+            snapshot.filter(F.coalesce(predicate, F.lit(True))).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
         data_dir = self._write_data(kept)
         return self._commit(
             operation="delete",
             files=(data_dir,),
             schema_ddl=kept.schema.simpleString(),
             expected_parent=parent,
+            summary={"cdf": cdf_dir},
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
@@ -708,9 +756,12 @@ class VersionedTable:
         Append/create commits are read STRAIGHT from their added data dirs
         — no diff computation at all, so the common ingest path streams
         changes at scan speed. Copy-on-write commits (merge / delete /
-        overwrite) are diffed snapshot-vs-snapshot with exceptAll both
-        ways (an update surfaces as delete + insert); that shuffle is
-        bounded by the two snapshots the commit itself already rewrote.
+        overwrite) serve their MATERIALIZED change files (written at commit
+        time from row sets the DML already had in hand — Delta-CDF design),
+        also scan speed; `compact` marks itself change-free and is skipped.
+        Tables written before change-file materialization fall back to the
+        snapshot-vs-snapshot exceptAll diff (an update surfaces as
+        delete + insert), bounded by the two snapshots the commit rewrote.
         """
         to_version = (
             self.latest_version() if to_version is None else to_version
@@ -753,6 +804,27 @@ class VersionedTable:
                 pieces.append(
                     df.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+            elif cur.summary.get("cdf_empty"):
+                continue  # provably data-preserving (compact)
+            elif cur.summary.get("cdf"):
+                cdf = self.spark.read.parquet(
+                    os.path.join(self.root, cur.summary["cdf"])
+                )
+                # conform() the data columns, carrying `_change_type`
+                # through from the file (it's part of the same row).
+                piece = cdf.select(
+                    *[
+                        F.col(f.name) if f.name in cdf.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in final.fields
+                    ],
+                    "_change_type",
+                )
+                pieces.append(
+                    piece.withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
                 )
             else:
                 before = conform(self.read(v - 1))
@@ -817,6 +889,9 @@ class VersionedTable:
             files=(data_dir,),
             schema_ddl=df.schema.simpleString(),
             expected_parent=parent,
+            # Data-preserving by construction: the change feed skips this
+            # commit outright instead of diffing two identical snapshots.
+            summary={"cdf_empty": True},
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
@@ -835,21 +910,37 @@ class VersionedTable:
         return [m.version for m in expired]
 
     def vacuum(self) -> list[str]:
-        """Delete data dirs referenced by NO surviving manifest — orphans
-        from crashed writers and data expired via expire_versions."""
+        """Delete data dirs (and materialized change dirs) referenced by NO
+        surviving manifest — orphans from crashed writers and data expired
+        via expire_versions."""
         import shutil
 
-        referenced = {rel for m in self.versions() for rel in m.files}
-        data_root = os.path.join(self.root, _DATA_DIR)
+        manifests = self.versions()
+        referenced = {rel for m in manifests for rel in m.files}
+        referenced |= {
+            m.summary["cdf"] for m in manifests if m.summary.get("cdf")
+        }
         removed = []
-        for name in sorted(os.listdir(data_root)):
-            rel = os.path.join(_DATA_DIR, name)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(data_root, name))
-                removed.append(rel)
+        for sub in (_DATA_DIR, _CDF_DIR):
+            sub_root = os.path.join(self.root, sub)
+            if not os.path.isdir(sub_root):
+                continue
+            for name in sorted(os.listdir(sub_root)):
+                rel = os.path.join(sub, name)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(sub_root, name))
+                    removed.append(rel)
         return removed
 
     # -- internals ---------------------------------------------------------
+    def _write_cdf(self, df: DataFrame) -> str:
+        """Write a commit's change rows (data columns + `_change_type`)
+        under `changes/`; same atomicity story as data dirs (invisible
+        until the manifest referencing them commits)."""
+        rel = os.path.join(_CDF_DIR, uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
+        return rel
+
     def _write_data(self, df: DataFrame) -> str:
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         # Spark still defaults timestamps to INT96, which carries NO footer

@@ -12,9 +12,13 @@ immutable: replaying (v_a, v_b] always yields the same rows.
 Together with `streaming/versioned_sink.py` this closes the loop — one
 versioned table can be the exactly-once SINK of one stream and the SOURCE
 of the next, which is how incremental pipelines chain on Delta/Iceberg.
-Copy-on-write commits (merge/delete/overwrite) are rejected with a clear
-error: a streaming consumer of DML history should read the batch
-`VersionedTable.changes()` feed instead.
+Copy-on-write commits (merge/delete/overwrite) are served from their
+MATERIALIZED change dirs (written at commit time, `sinks/versioned.py`
+`_write_cdf`), so full DML history streams — rows carry `_change_type`
+('insert' | 'delete'); data-preserving commits (compact) are skipped.
+Legacy COW commits lacking change files (tables written before
+materialization) are rejected with a clear error pointing at the batch
+`VersionedTable.changes()` fallback.
 
 Reference: its only incremental story is re-running extractions on a cron
 (`src/Worker/Services/JobSchedulingService.cs:24-75`).
@@ -40,6 +44,7 @@ from datalakeingestionservice_spark.sinks.versioned import (
 )
 
 VERSION_COL = "_commit_version"
+CHANGE_TYPE_COL = "_change_type"
 
 
 def _manifests(root: str) -> list[Manifest]:
@@ -55,10 +60,19 @@ def _manifests(root: str) -> list[Manifest]:
 
 
 class _DirPartition(InputPartition):
-    def __init__(self, abs_dir: str, version: int, columns: list[str]):
+    def __init__(
+        self,
+        abs_dir: str,
+        version: int,
+        columns: list[str],
+        change_type: str | None = "insert",
+    ):
         self.abs_dir = abs_dir
         self.version = version
         self.columns = columns
+        #: Constant for append data dirs ('insert'); None for materialized
+        #: change dirs, whose files carry their own `_change_type` column.
+        self.change_type = change_type
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -87,32 +101,63 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             cur = ms[v]
-            if cur.operation not in ("append", "create"):
-                raise ValueError(
-                    f"version {v} is a {cur.operation!r} commit; the "
-                    "streaming feed serves append-only history — use "
-                    "VersionedTable.changes() for copy-on-write DML"
-                )
-            prev_files = ms[v - 1].files if v - 1 in ms else ()
-            for rel in cur.files:
-                if rel not in prev_files:
-                    parts.append(
-                        _DirPartition(
-                            os.path.join(self.root, rel), v, self._columns
+            if cur.operation in ("append", "create"):
+                prev_files = ms[v - 1].files if v - 1 in ms else ()
+                for rel in cur.files:
+                    if rel not in prev_files:
+                        parts.append(
+                            _DirPartition(
+                                os.path.join(self.root, rel),
+                                v,
+                                self._columns,
+                            )
                         )
+            elif cur.summary.get("cdf_empty"):
+                continue  # data-preserving commit (compact): no rows
+            elif cur.summary.get("cdf"):
+                parts.append(
+                    _DirPartition(
+                        os.path.join(self.root, cur.summary["cdf"]),
+                        v,
+                        self._columns,
+                        change_type=None,  # column lives in the files
                     )
+                )
+            else:
+                raise ValueError(
+                    f"version {v} is a {cur.operation!r} commit without "
+                    "materialized change files (written before CDF "
+                    "materialization); use VersionedTable.changes() for "
+                    "this range"
+                )
         return parts
 
     def read(self, partition: _DirPartition) -> Iterator[tuple]:
-        # Executor-side: straight pyarrow scan of one immutable data dir.
+        # Executor-side: straight pyarrow scan of one immutable dir.
         import pyarrow.parquet as pq
 
         for path in sorted(
             glob.glob(os.path.join(partition.abs_dir, "*.parquet"))
         ):
-            table = pq.read_table(path, columns=partition.columns)
-            for batch in table.to_pylist():
-                yield tuple(batch[c] for c in partition.columns) + (
+            # Tolerate schema evolution: files predating an added column
+            # yield None for it (same as the batch reader's mergeSchema).
+            available = set(pq.read_schema(path).names)
+            want = [c for c in partition.columns if c in available]
+            ctype_from_file = (
+                partition.change_type is None
+                and CHANGE_TYPE_COL in available
+            )
+            table = pq.read_table(
+                path,
+                columns=want + ([CHANGE_TYPE_COL] if ctype_from_file else []),
+            )
+            for row in table.to_pylist():
+                yield tuple(
+                    row.get(c) for c in partition.columns
+                ) + (
+                    row[CHANGE_TYPE_COL]
+                    if ctype_from_file
+                    else (partition.change_type or "insert"),
                     partition.version,
                 )
 
@@ -149,8 +194,9 @@ def _table_schema_ddl(root: str) -> str:
     ms = _manifests(root)
     if not ms:
         raise NoSuchVersionError(f"{root}: no committed versions")
-    base = ms[-1].schema_ddl  # "struct<...>": splice the version column in
-    return base[:-1] + f",{VERSION_COL}:bigint>"
+    # "struct<...>": splice the change-type + version columns in.
+    base = ms[-1].schema_ddl
+    return base[:-1] + f",{CHANGE_TYPE_COL}:string,{VERSION_COL}:bigint>"
 
 
 class VersionedChangesDataSource(DataSource):

@@ -4,6 +4,7 @@ contract enforced."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyspark.sql.functions as F
@@ -111,17 +112,56 @@ def test_parameterized_types_stream(spark, tmp_path):
     }
 
 
-def test_copy_on_write_commit_fails_stream(spark, tmp_path):
+def test_copy_on_write_commit_streams_with_change_types(spark, tmp_path):
+    """COW commits stream from their materialized change dirs: the DELETE
+    arrives as a feed row with _change_type='delete', a MERGE update as a
+    delete+insert pair — full DML history, no snapshot diff."""
     root = str(tmp_path / "vt")
     t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
     t.delete_where(F.col("id") == 1)
+    t.merge(_df(spark, [(2, "B"), (3, "c")]), ["id"])
 
     q = _start(spark, root, "feed3", str(tmp_path / "ck"))
+    try:
+        _wait_count(spark, "feed3", 5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM feed3").collect()
+    got = {(r.id, r.val, r._change_type, r._commit_version) for r in rows}
+    assert got == {
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+        (1, "a", "delete", 2),
+        (2, "b", "delete", 3),  # merge preimage
+        (2, "B", "insert", 3),  # merge postimage
+        (3, "c", "insert", 3),
+    } - set()  # (5 waited; 6th lands with the same batch)
+    assert len(got) == 6
+
+
+def test_legacy_cow_commit_without_change_files_fails_stream(
+    spark, tmp_path
+):
+    """Tables written before CDF materialization (manifest lacks the
+    'cdf' summary key) still fail fast with a pointer at the batch feed."""
+    import json
+
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(F.col("id") == 1)
+    # Simulate a legacy manifest: strip the cdf reference from v2.
+    mpath = os.path.join(root, "_manifests", "v00000002.json")
+    m = json.load(open(mpath))
+    m["summary"].pop("cdf", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    q = _start(spark, root, "feed3b", str(tmp_path / "ck"))
     deadline = time.time() + 90
     while q.isActive and time.time() < deadline:
         time.sleep(0.5)
-    assert not q.isActive, "stream should fail on a copy-on-write commit"
-    assert "copy-on-write" in str(q.exception())
+    assert not q.isActive, "stream should fail on a legacy COW commit"
+    assert "materialized change files" in str(q.exception())
 
 
 def test_sink_to_source_chain(spark, tmp_path):

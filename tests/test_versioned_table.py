@@ -134,7 +134,9 @@ def test_expire_then_vacuum_drops_old_data(spark, root):
     expired = t.expire_versions(keep_last=1)
     assert expired == [1, 2]
     removed = t.vacuum()
-    assert len(removed) == 2  # v1 and v2 data gone, v3 alone remains
+    # v1+v2 data dirs AND v2's materialized change dir go; v3 (data + its
+    # change dir) alone remains referenced.
+    assert len(removed) == 3
     assert {r.id for r in t.read().collect()} == {3}
     with pytest.raises(NoSuchVersionError):
         t.read(version=1)
