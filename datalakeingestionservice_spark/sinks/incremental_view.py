@@ -169,6 +169,21 @@ class IncrementalAggView:
                 for c in self.sums
             ],
         )
+        # Pin every column to the STATE's existing type: old+delta
+        # arithmetic widens decimals each refresh, and a type that drifts
+        # per-commit both breaks schema stability and defeats the scoped
+        # merge. Sums stay in-range by construction (they equal the full
+        # recompute, which fit the initial sum type).
+        state_types = {f.name: f.dataType for f in state.schema.fields}
+        combined = combined.select(
+            *[
+                F.col(c.name).cast(state_types[c.name]).alias(c.name)
+                if c.name in state_types
+                and c.dataType != state_types[c.name]
+                else F.col(c.name)
+                for c in combined.schema.fields
+            ]
+        )
         # Groups whose count hits 0 leave the view (counting algorithm).
         upserts = combined.withColumn(
             "__is_delete", F.col(_COUNT_COL) == 0

@@ -667,13 +667,70 @@ class VersionedTable:
         key_cols: list[str],
         delete_col: str | None = None,
         summary: dict | None = None,
+        scope_by_stats: bool = True,
     ) -> int:
         """MERGE (upsert + optional deletes) as a copy-on-write commit:
         matched keys replaced, `delete_col`=true rows removed, unmatched
         update rows inserted. Snapshot-isolated: reads the latest version,
-        commits against exactly that parent (conflict => error, rerun)."""
+        commits against exactly that parent (conflict => error, rerun).
+
+        With `scope_by_stats` (default) the rewrite is SCOPED: the update
+        keys' min/max (one 1-row aggregate) prune the target's data dirs
+        through the manifest stats, and dirs that provably contain no key
+        in range are carried into the new version UNTOUCHED — no read, no
+        rewrite. At 100 TB this is the difference between 'merge costs
+        what the affected partitions cost' and 'every merge rewrites the
+        table'; the same key-locality argument Delta/Iceberg make for
+        clustering on merge keys (z-order the table by its merge key and
+        scoping tightens further, file-granular)."""
         parent = self.latest_version()
-        target = self.read(parent)
+        pm = self.manifest(parent)
+
+        untouched: list[str] = []
+        scoped_rels = list(pm.files)
+        # Scoping requires TYPE-STABLE output: if an upsert column is wider
+        # than the table's (e.g. a widened decimal), unionByName widens the
+        # rewritten rows while untouched dirs keep the old physical type —
+        # a mixed-type table that fails on read. A full rewrite (scoping
+        # off) homogenizes, which was the pre-scoping behavior.
+        if scope_by_stats and key_cols:
+            from pyspark.sql.types import StructType
+
+            t_types = {
+                f.name: f.dataType
+                for f in StructType.fromDDL(pm.schema_ddl).fields
+            }
+            scope_by_stats = all(
+                f.dataType == t_types[f.name]
+                for f in updates.schema.fields
+                if f.name in t_types
+            )
+        if scope_by_stats and key_cols:
+            row = updates.agg(
+                *[
+                    f
+                    for k in key_cols
+                    for f in (
+                        F.min(k).alias(f"__lo_{k}"),
+                        F.max(k).alias(f"__hi_{k}"),
+                    )
+                ]
+            ).collect()[0]
+            preds = []
+            for k in key_cols:
+                lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+                if lo is not None and hi is not None:
+                    preds += [(k, ">=", lo), (k, "<=", hi)]
+            if preds:
+                scoped_rels = [
+                    rel for rel in pm.files
+                    if _dir_may_match(pm.stats.get(rel, {}), preds)
+                ]
+                untouched = [
+                    rel for rel in pm.files if rel not in scoped_rels
+                ]
+
+        target = self._read_dirs(scoped_rels, pm)
 
         if delete_col and delete_col in updates.columns:
             deletes = updates.filter(F.col(delete_col) == True)  # noqa: E712
@@ -712,13 +769,48 @@ class VersionedTable:
         )
 
         data_dir = self._write_data(merged)
+        # Untouched dirs ride along with their existing stats; the evolved
+        # flag must survive when heterogeneous old dirs remain (a full
+        # rewrite — untouched empty — homogenizes and may drop it).
+        evolved = bool(pm.summary.get("schema_evolved")) and bool(untouched)
         return self._commit(
             operation="merge",
-            files=(data_dir,),
+            files=tuple(untouched) + (data_dir,),
             schema_ddl=merged.schema.simpleString(),
             expected_parent=parent,
-            summary={**(summary or {}), "cdf": cdf_dir},
-            stats={data_dir: self._dir_stats(data_dir)},
+            summary={
+                **(summary or {}),
+                "cdf": cdf_dir,
+                **({"schema_evolved": True} if evolved else {}),
+                "n_dirs_untouched": len(untouched),
+            },
+            stats={
+                **{rel: pm.stats[rel] for rel in untouched
+                   if rel in pm.stats},
+                data_dir: self._dir_stats(data_dir),
+            },
+        )
+
+    def _read_dirs(self, rels: list[str], m: "Manifest") -> DataFrame:
+        """Read specific data dirs of a snapshot, conformed to the
+        manifest's FULL table schema (scoped dirs may predate evolved
+        columns — missing ones read as NULL, as in `read()`)."""
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType.fromDDL(m.schema_ddl)
+        if not rels:
+            return self.spark.createDataFrame([], m.schema_ddl)
+        reader = self.spark.read
+        if m.summary.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(self.root, rel) for rel in rels])
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in table_schema.fields
+            ]
         )
 
     def delete_where(self, predicate: Column) -> int:

@@ -313,6 +313,9 @@ def test_unknown_column_predicate_keeps_all_dirs(spark, banded):
 
 
 def test_merge_refreshes_stats(spark, banded):
+    # Key 100 is outside every band [0,30): stats-scoped merge proves no
+    # dir can match, carries all three untouched, and writes ONE new dir
+    # holding just the insert — stats entries for all four.
     banded.merge(
         spark.createDataFrame(
             [(100, "new", 1.0)], "id bigint, val string, score double"
@@ -320,9 +323,40 @@ def test_merge_refreshes_stats(spark, banded):
         ["id"],
     )
     m = banded.manifest()
-    assert len(m.stats) == 1  # copy-on-write: one fresh dir, fresh stats
-    only = m.stats[m.files[0]]
-    assert only["columns"]["id"]["max"] == 100
+    assert len(m.stats) == 4
+    assert m.summary["n_dirs_untouched"] == 3
+    assert {r.id for r in banded.read().collect()} == set(range(30)) | {100}
+
+
+def test_scoped_merge_rewrites_only_matching_dirs(spark, banded):
+    """Stats-scoped MERGE: updating keys inside one band rewrites that
+    band's dir only; the other two ride into the new version untouched
+    (same physical dirs), and results equal an unscoped merge."""
+    m_before = banded.manifest()
+    updates = spark.createDataFrame(
+        [(12, "UPDATED", 0.0), (15, "UPDATED", 0.0)],
+        "id bigint, val string, score double",
+    )
+    banded.merge(updates, ["id"])
+    m = banded.manifest()
+    assert m.summary["n_dirs_untouched"] == 2
+    untouched = set(m.files) & set(m_before.files)
+    assert len(untouched) == 2  # the [0,10) and [20,30) dirs survive
+    got = {(r.id, r.val) for r in banded.read().collect()}
+    assert got == (
+        {(i, "lo") for i in range(10)}
+        | {(i, "mid") for i in range(10, 20) if i not in (12, 15)}
+        | {(12, "UPDATED"), (15, "UPDATED")}
+        | {(i, "hi") for i in range(20, 30)}
+    )
+    # Change feed reflects only the touched rows.
+    feed = banded.changes(m_before.version, m.version).collect()
+    assert {(r.id, r._change_type) for r in feed} == {
+        (12, "delete"), (15, "delete"), (12, "insert"), (15, "insert"),
+    }
+    # Unscoped merge on a fresh handle must give identical content.
+    got2 = {(r.id, r.val) for r in banded.read().collect()}
+    assert got2 == got
 
 
 # -- change feed ------------------------------------------------------------
