@@ -334,3 +334,79 @@ def q121_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q122_scoped_merge",
+    tags=("lake", "dml", "merge", "pruning", "stats"),
+    oracle="""
+WITH yr AS (
+  SELECT DISTINCT CAST(date_part('year', l_shipdate) AS BIGINT) AS y
+  FROM lineitem
+),
+mx AS (SELECT max(y) AS my FROM yr),
+merged AS (
+  SELECT CASE WHEN CAST(date_part('year', l_shipdate) AS BIGINT)
+                   = (SELECT my FROM mx)
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) + 5.00
+              ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END AS p
+  FROM lineitem
+)
+SELECT (SELECT count(*) FROM merged) AS n_rows,
+       (SELECT CAST(sum(p) AS DOUBLE) FROM merged) AS sum_price,
+       (SELECT count(*) FROM yr) - 1 AS n_dirs_untouched,
+       (SELECT count(*) FROM yr) AS n_dirs_total
+""",
+)
+def q122_scoped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-scoped MERGE (E20): lineitem committed one ship-year per data
+    dir; a MERGE bumping prices of ONLY the newest year's rows (merge keys
+    lead with l_shipdate, so the update-key bounds refute every older
+    dir's stats) rewrites exactly one dir — the others ride into the new
+    version physically untouched. The query returns the merged table's
+    aggregate (oracle recomputes it from raw lineitem — proves no row was
+    lost or doubled by scoping) AND the untouched/total dir counts from
+    the commit summary (proves the scoping actually engaged). Prices
+    accumulate in exact decimal with one final double cast."""
+    env = Env(spark, sf_dir)
+    lineitem = env.t("lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+
+    years = sorted(
+        r.y for r in lineitem.select(
+            F.year("l_shipdate").alias("y")
+        ).distinct().collect()
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlis_scoped_{uuid.uuid4().hex}"
+    )
+    t = VersionedTable.create(
+        spark, root, lineitem.filter(F.year("l_shipdate") == years[0])
+    )
+    for y in years[1:]:
+        t.append(lineitem.filter(F.year("l_shipdate") == y))
+
+    updates = lineitem.filter(F.year("l_shipdate") == years[-1]).withColumn(
+        "price",
+        (F.col("price") + F.lit(5.0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)"),
+    )
+    t.merge(updates, ["l_shipdate", "l_orderkey", "l_linenumber"])
+    m = t.manifest()
+
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .withColumn(
+            "n_dirs_untouched",
+            F.lit(m.summary["n_dirs_untouched"]).cast("long"),
+        )
+        .withColumn("n_dirs_total", F.lit(len(m.files)).cast("long"))
+    )

@@ -195,3 +195,39 @@ class IncrementalAggView:
             summary={"source_version": latest},
         )
         return latest
+
+    def start_continuous_refresh(
+        self,
+        checkpoint_dir: str,
+        processing_time: str = "0 seconds",
+    ):
+        """Keep the view fresh CONTINUOUSLY: the source's change stream
+        (versions as offsets) triggers one idempotent `refresh()` per
+        micro-batch of new commits.
+
+        The stream is purely a TRIGGER — refresh() reads the batch change
+        feed itself from its own high-water mark, so a replayed or
+        coalesced micro-batch can never double-apply (the mark, not the
+        stream offset, is the source of truth). Copy-on-write commits
+        stream too (materialized change files), so DML on the source
+        refreshes the view, not just appends."""
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        feed = (
+            self.spark.readStream.format("versioned_changes")
+            .option("table_root", self.source_root)
+            .load()
+        )
+
+        def _on_batch(batch_df, batch_id: int) -> None:
+            self.refresh()
+
+        return (
+            feed.writeStream.foreachBatch(_on_batch)
+            .trigger(processingTime=processing_time)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )

@@ -164,3 +164,44 @@ def test_random_dml_view_always_matches_recompute(spark, roots, seed):
             view.refresh()
     view.refresh()
     assert _view_state(view) == _recompute(t), f"seed {seed}"
+
+
+def test_continuous_refresh_follows_source_dml(spark, roots):
+    """The change stream triggers refreshes: appends, merges, and deletes
+    on the source flow into the view without manual refresh calls."""
+    import time
+
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark, src_root, _df(spark, [(1, "a", "1.00"), (2, "b", "2.00")])
+    )
+    view = IncrementalAggView(
+        spark, src_root, view_root, ["grp"], {"total": "amt"}
+    )
+    view.refresh()
+
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="dlis_mv_ck_")
+    q = view.start_continuous_refresh(ck)
+
+    def wait_match(timeout_s=90):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            try:
+                if _view_state(view) == _recompute(t):
+                    return True
+            except Exception:
+                pass
+            time.sleep(0.5)
+        return False
+
+    try:
+        t.append(_df(spark, [(3, "a", "3.00"), (4, "c", "4.00")]))
+        assert wait_match(), "append did not reach the view"
+        t.merge(_df(spark, [(1, "a", "10.00")]), ["id"])
+        t.delete_where(F.col("grp") == "b")
+        assert wait_match(), "merge/delete did not reach the view"
+    finally:
+        q.stop()
+    assert _view_state(view) == _recompute(t)
