@@ -74,8 +74,12 @@ class IncrementalAggView:
         self.view_root = view_root
         self.keys = list(keys)
         self.sums = dict(sums or {})
-        if _COUNT_COL in self.sums or _COUNT_COL in self.keys:
-            raise ValueError(f"{_COUNT_COL} is reserved")
+        reserved = {_COUNT_COL} | {f"_nn_{c}" for c in self.sums}
+        if reserved & (set(self.sums) | set(self.keys)):
+            raise ValueError(
+                f"reserved column names: {sorted(reserved)} (count and "
+                "per-sum non-null counters)"
+            )
 
     # -- state access -------------------------------------------------------
     def _view_table(self) -> VersionedTable | None:
@@ -96,22 +100,52 @@ class IncrementalAggView:
         return None
 
     def read(self) -> DataFrame:
-        """Current view state: keys, per-group count, per-group sums."""
+        """Current view state: keys, per-group count, per-group sums.
+
+        Sums whose non-null counter is zero render as SQL NULL (exactly
+        what a full `sum()` recompute yields for an all-NULL group); the
+        internal `_nn_*` counters are not exposed."""
         table = self._view_table()
         if table is None:
             raise NoSuchVersionError(
                 f"{self.view_root}: view not materialized; call refresh()"
             )
-        return table.read()
+        state = table.read()
+        types = {f.name: f.dataType for f in state.schema.fields}
+        return state.select(
+            *self.keys,
+            F.col(_COUNT_COL),
+            *[
+                F.when(
+                    F.col(f"_nn_{c}") == 0, F.lit(None).cast(types[c])
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in self.sums
+            ],
+        )
 
     # -- maintenance --------------------------------------------------------
     def _aggregate(self, rows: DataFrame, sign=None) -> DataFrame:
-        """Group `rows` into view shape; with `sign` (+1/-1 column) the
-        aggregates become signed deltas."""
+        """Group `rows` into view STATE shape; with `sign` (+1/-1 column)
+        the aggregates become signed deltas.
+
+        Each sum is stored as a NULL-free accumulator plus a non-null
+        contribution counter `_nn_<col>`: SQL `sum()` is NULL when every
+        input is NULL, and plain `coalesce(acc, 0)` arithmetic would turn
+        that NULL into 0 — diverging from the full recompute the view
+        promises to equal. `read()` renders NULL back whenever the counter
+        is zero."""
         weight = sign if sign is not None else F.lit(1)
         aggs = [F.sum(weight).alias(_COUNT_COL)]
         for out, expr in self.sums.items():
-            aggs.append(F.sum(F.expr(expr) * weight).alias(out))
+            e = F.expr(expr)
+            aggs.append(F.coalesce(F.sum(e * weight), F.lit(0)).alias(out))
+            aggs.append(
+                F.coalesce(
+                    F.sum(e.isNotNull().cast("long") * weight), F.lit(0)
+                ).alias(f"_nn_{out}")
+            )
         return rows.groupBy(*self.keys).agg(*aggs)
 
     def refresh(self) -> int | None:
@@ -149,10 +183,11 @@ class IncrementalAggView:
         delta = self._aggregate(feed, sign=sign)
 
         state = table.read()
+        accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]
         d = delta.select(
             *self.keys,
             F.col(_COUNT_COL).alias("__d_n"),
-            *[F.col(c).alias(f"__d_{c}") for c in self.sums],
+            *[F.col(c).alias(f"__d_{c}") for c in accs],
         )
         # Affected keys only: delta drives the join, state supplies the
         # old totals (left join keeps brand-new groups).
@@ -166,7 +201,7 @@ class IncrementalAggView:
                     F.coalesce(F.col(c), F.lit(0))
                     + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
                 ).alias(c)
-                for c in self.sums
+                for c in accs
             ],
         )
         # Pin every column to the STATE's existing type: old+delta

@@ -231,11 +231,21 @@ def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
             if cs["nulls"] >= dir_stats.get("rows", 0) > 0:
                 return False
             continue
+        is_temporal_pred = isinstance(val, (_dt.date, _dt.datetime))
         v = _stat_jsonable(val)
         if v is None:
             continue
-        v = _canon_temporal(v)
-        lo, hi = _canon_temporal(cs["min"]), _canon_temporal(cs["max"])
+        if is_temporal_pred:
+            # Canonicalize ONLY when the predicate value is a real
+            # date/datetime: a STRING column whose values happen to look
+            # ISO (possibly with mixed UTC offsets) must keep raw
+            # lexicographic comparison — canon is not order-preserving
+            # across offsets, so it could refute a dir whose string
+            # min/max actually bound the matching row.
+            v = _canon_temporal(v)
+            lo, hi = _canon_temporal(cs["min"]), _canon_temporal(cs["max"])
+        else:
+            lo, hi = cs["min"], cs["max"]
         try:
             if op == "=" and not (lo <= v <= hi):
                 return False
@@ -250,6 +260,26 @@ def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
         except TypeError:
             continue  # cross-type comparison: can't prove, keep the dir
     return True
+
+
+def _conform(
+    df: DataFrame, schema, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Project `df` onto `schema`'s columns in order — columns the frame
+    lacks (files predating an evolved column, subset appends) become typed
+    NULLs, exactly like a mergeSchema read; `extra_cols` (e.g.
+    `_change_type`) are carried through verbatim after the data columns.
+    One definition for every conform site (snapshot-scoped reads, the
+    change feed's append and CDF pieces) so their semantics can't drift."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        *extra_cols,
+    )
 
 
 def _predicates_to_column(predicates: list[tuple]) -> Column:
@@ -360,18 +390,32 @@ class ConditionalPutCommitProtocol(CommitProtocol):
 
     The local emulation uses O_CREAT|O_EXCL, which matches the claim
     semantics exactly; unlike a real object store (whole-object PUT
-    atomicity) it has a create-then-write window a concurrent local READER
-    could observe, so on POSIX filesystems prefer HardLinkCommitProtocol —
-    this class exists to validate the protocol logic and as the template
-    for real object-store bindings."""
+    atomicity) it has a create-then-write window: a concurrent local
+    READER could observe a partial manifest, and a hard crash (SIGKILL)
+    between create and write leaves a torn file that both claims the
+    version and fails manifest parsing — recovery is deleting that file.
+    A failed write cleans up after itself (claim released, caller can
+    retry). On POSIX filesystems prefer HardLinkCommitProtocol, which has
+    neither window — this class exists to validate the protocol logic and
+    as the template for real object-store bindings, where the single
+    conditional PUT is genuinely atomic and the windows don't exist."""
 
     def _put_if_absent(self, path: str, content: str) -> bool:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            f.write(content)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(content)
+        except BaseException:
+            # Release the claim instead of leaving a torn manifest that
+            # permanently wedges the version number.
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            raise
         return True
 
     def publish(self, final_path: str, content: str) -> None:
@@ -394,10 +438,17 @@ class VersionedTable:
         spark: SparkSession,
         root: str,
         commit_protocol: CommitProtocol | None = None,
+        materialize_changes: bool = True,
     ):
         self.spark = spark
         self.root = root
         self._protocol = commit_protocol or HardLinkCommitProtocol()
+        #: With False, copy-on-write DML skips writing change files (Delta
+        #: makes CDF opt-in for the same reason: a table nobody consumes
+        #: as a feed shouldn't pay an extra snapshot-sized write per
+        #: commit). Batch `changes()` then falls back to the exceptAll
+        #: diff for those commits; the STREAMING source refuses them.
+        self._materialize_changes = materialize_changes
         if not os.path.isdir(os.path.join(root, _MANIFEST_DIR)):
             raise NoSuchVersionError(
                 f"{root} is not a versioned table (no {_MANIFEST_DIR}/); "
@@ -412,10 +463,16 @@ class VersionedTable:
         df: DataFrame,
         summary: dict | None = None,
         commit_protocol: CommitProtocol | None = None,
+        materialize_changes: bool = True,
     ) -> "VersionedTable":
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
-        table = VersionedTable(spark, root, commit_protocol=commit_protocol)
+        table = VersionedTable(
+            spark,
+            root,
+            commit_protocol=commit_protocol,
+            materialize_changes=materialize_changes,
+        )
         data_dir = table._write_data(df)
         table._commit(
             operation="create",
@@ -646,18 +703,31 @@ class VersionedTable:
         parent = self.latest_version()
         old = self.read(parent)
         data_dir = self._write_data(df)
-        cdf_dir = self._write_cdf(
-            old.withColumn("_change_type", F.lit("delete")).unionByName(
-                df.withColumn("_change_type", F.lit("insert")),
-                allowMissingColumns=True,  # overwrite may change the schema
-            )
-        )
+        # Overwrite may REPLACE the schema entirely; when old and new
+        # schemas can't union (non-coercible retype), a change feed across
+        # the replacement is undefined — commit WITHOUT change files
+        # (changes()/the stream surface their legacy-path errors only if
+        # that range is actually consumed as a feed).
+        summary = {}
+        if self._materialize_changes:
+            try:
+                cdf_dir = self._write_cdf(
+                    old.withColumn(
+                        "_change_type", F.lit("delete")
+                    ).unionByName(
+                        df.withColumn("_change_type", F.lit("insert")),
+                        allowMissingColumns=True,
+                    )
+                )
+                summary["cdf"] = cdf_dir
+            except Exception:
+                pass
         return self._commit(
             operation="overwrite",
             files=(data_dir,),
             schema_ddl=df.schema.simpleString(),
             expected_parent=parent,
-            summary={"cdf": cdf_dir},
+            summary=summary,
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
@@ -717,10 +787,22 @@ class VersionedTable:
                 ]
             ).collect()[0]
             preds = []
+            nan_bound = False
             for k in key_cols:
                 lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+                # A NaN bound (float key containing NaN) poisons every
+                # comparison ('x <= NaN' is False), which would classify
+                # ALL dirs as untouched and silently skip matched rows —
+                # scoping must stand down entirely.
+                if any(
+                    isinstance(b, float) and b != b for b in (lo, hi)
+                ):
+                    nan_bound = True
+                    break
                 if lo is not None and hi is not None:
                     preds += [(k, ">=", lo), (k, "<=", hi)]
+            if nan_bound:
+                preds = []
             if preds:
                 scoped_rels = [
                     rel for rel in pm.files
@@ -755,18 +837,22 @@ class VersionedTable:
         # the old one still emits its delete+insert pair (the lazy
         # exceptAll diff used to cancel those) — replay semantics are
         # identical, row counts per commit can differ for no-op updates.
-        match_keys = upserts.select(*key_cols)
-        if delete_keys is not None:
-            match_keys = match_keys.unionByName(delete_keys)
-        # ONE semi join on the union of keys: leftsemi emits each target
-        # row at most once, so a key present as both upsert and delete
-        # can't double-emit its old row.
-        removed = target.join(match_keys, key_cols, "leftsemi")
-        cdf_dir = self._write_cdf(
-            removed.withColumn("_change_type", F.lit("delete")).unionByName(
-                upserts.withColumn("_change_type", F.lit("insert"))
+        cdf_summary = {}
+        if self._materialize_changes:
+            match_keys = upserts.select(*key_cols)
+            if delete_keys is not None:
+                match_keys = match_keys.unionByName(delete_keys)
+            # ONE semi join on the union of keys: leftsemi emits each
+            # target row at most once, so a key present as both upsert
+            # and delete can't double-emit its old row.
+            removed = target.join(match_keys, key_cols, "leftsemi")
+            cdf_summary["cdf"] = self._write_cdf(
+                removed.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    upserts.withColumn("_change_type", F.lit("insert"))
+                )
             )
-        )
 
         data_dir = self._write_data(merged)
         # Untouched dirs ride along with their existing stats; the evolved
@@ -780,7 +866,7 @@ class VersionedTable:
             expected_parent=parent,
             summary={
                 **(summary or {}),
-                "cdf": cdf_dir,
+                **cdf_summary,
                 **({"schema_evolved": True} if evolved else {}),
                 "n_dirs_untouched": len(untouched),
             },
@@ -797,42 +883,36 @@ class VersionedTable:
         columns — missing ones read as NULL, as in `read()`)."""
         from pyspark.sql.types import StructType
 
-        table_schema = StructType.fromDDL(m.schema_ddl)
         if not rels:
             return self.spark.createDataFrame([], m.schema_ddl)
         reader = self.spark.read
         if m.summary.get("schema_evolved"):
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*[os.path.join(self.root, rel) for rel in rels])
-        have = set(df.columns)
-        return df.select(
-            *[
-                F.col(f.name) if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in table_schema.fields
-            ]
-        )
+        return _conform(df, StructType.fromDDL(m.schema_ddl))
 
     def delete_where(self, predicate: Column) -> int:
         """Copy-on-write DELETE: keep rows NOT matching the predicate."""
         parent = self.latest_version()
         snapshot = self.read(parent)
         kept = snapshot.filter(~predicate)
-        # Exact complement of `kept`: rows where the predicate is NULL are
-        # dropped by filter(~pred) too, so they must appear as deletes —
-        # filter(pred) alone would lose them from the feed.
-        cdf_dir = self._write_cdf(
-            snapshot.filter(F.coalesce(predicate, F.lit(True))).withColumn(
-                "_change_type", F.lit("delete")
+        cdf_summary = {}
+        if self._materialize_changes:
+            # Exact complement of `kept`: rows where the predicate is NULL
+            # are dropped by filter(~pred) too, so they must appear as
+            # deletes — filter(pred) alone would lose them from the feed.
+            cdf_summary["cdf"] = self._write_cdf(
+                snapshot.filter(
+                    F.coalesce(predicate, F.lit(True))
+                ).withColumn("_change_type", F.lit("delete"))
             )
-        )
         data_dir = self._write_data(kept)
         return self._commit(
             operation="delete",
             files=(data_dir,),
             schema_ddl=kept.schema.simpleString(),
             expected_parent=parent,
-            summary={"cdf": cdf_dir},
+            summary=cdf_summary,
             stats={data_dir: self._dir_stats(data_dir)},
         )
 
@@ -870,16 +950,6 @@ class VersionedTable:
         # schemas. Missing columns read as NULL, same as `read()`.
         final = StructType.fromDDL(self.manifest(to_version).schema_ddl)
 
-        def conform(df: DataFrame) -> DataFrame:
-            have = set(df.columns)
-            return df.select(
-                *[
-                    F.col(f.name) if f.name in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in final.fields
-                ]
-            )
-
         pieces: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             cur = self.manifest(v)
@@ -888,10 +958,11 @@ class VersionedTable:
                 added = [f for f in cur.files if f not in prev.files]
                 if not added:
                     continue
-                df = conform(
+                df = _conform(
                     self.spark.read.parquet(
                         *[os.path.join(self.root, rel) for rel in added]
-                    )
+                    ),
+                    final,
                 )
                 pieces.append(
                     df.withColumn("_change_type", F.lit("insert"))
@@ -903,24 +974,15 @@ class VersionedTable:
                 cdf = self.spark.read.parquet(
                     os.path.join(self.root, cur.summary["cdf"])
                 )
-                # conform() the data columns, carrying `_change_type`
-                # through from the file (it's part of the same row).
-                piece = cdf.select(
-                    *[
-                        F.col(f.name) if f.name in cdf.columns
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in final.fields
-                    ],
-                    "_change_type",
-                )
+                piece = _conform(cdf, final, extra_cols=("_change_type",))
                 pieces.append(
                     piece.withColumn(
                         "_commit_version", F.lit(v).cast("long")
                     )
                 )
             else:
-                before = conform(self.read(v - 1))
-                after = conform(self.read(v))
+                before = _conform(self.read(v - 1), final)
+                after = _conform(self.read(v), final)
                 ins = after.exceptAll(before).withColumn(
                     "_change_type", F.lit("insert")
                 )

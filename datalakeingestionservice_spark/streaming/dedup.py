@@ -28,17 +28,17 @@ no server to enforce — this operator is the replacement.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def with_fingerprint(
     df: DataFrame, text_col: str, out_col: str = "fingerprint"
 ) -> DataFrame:
-    """sha256 over normalized text — identical expression to the batch
-    `operators/dedup.py:fingerprint`, so stream and batch agree bit-for-bit."""
-    return df.withColumn(
-        out_col, F.sha2(F.lower(F.trim(F.col(text_col))), 256)
-    )
+    """THE batch fingerprint (`operators/dedup.py:fingerprint`), re-exported
+    under the streaming vocabulary — one expression, one definition, so
+    stream and batch can never drift apart."""
+    from datalakeingestionservice_spark.operators.dedup import fingerprint
+
+    return fingerprint(df, text_col, out_col)
 
 
 def dedup_stream_exact(

@@ -205,3 +205,29 @@ def test_continuous_refresh_follows_source_dml(spark, roots):
     finally:
         q.stop()
     assert _view_state(view) == _recompute(t)
+
+
+def test_all_null_sum_group_renders_null_like_recompute(spark, roots):
+    """A group whose sum expression is all-NULL must show sum NULL (what a
+    full recompute yields), not 0 — including after deletes remove the
+    last non-null contribution."""
+    src_root, view_root = roots
+    rows = [(1, "a", Decimal("5.00")), (2, "b", None), (3, "b", None)]
+    t = VersionedTable.create(
+        spark, src_root, spark.createDataFrame(rows, SCHEMA)
+    )
+    view = IncrementalAggView(
+        spark, src_root, view_root, ["grp"], {"total": "amt"}
+    )
+    view.refresh()
+    got = {(r.grp, r._n, r.total) for r in view.read().collect()}
+    assert got == {("a", 1, Decimal("5.00")), ("b", 2, None)}
+
+    # Delete the only non-null 'a' row but keep the group alive with a
+    # NULL-valued row: its sum must BECOME NULL, matching the recompute.
+    t.append(spark.createDataFrame([(4, "a", None)], SCHEMA))
+    t.delete_where(F.col("id") == 1)
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
+    got = {(r.grp, r._n, r.total) for r in view.read().collect()}
+    assert got == {("a", 1, None), ("b", 2, None)}

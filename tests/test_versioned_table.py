@@ -565,3 +565,58 @@ def test_compact_resolves_evolved_schema(spark, root):
     assert not t.manifest(v).summary.get("schema_evolved")
     got = {(r.id, r.score) for r in t.read().collect()}
     assert got == {(1, None), (2, 1.5)}
+
+
+def test_scoped_merge_nan_key_disables_scoping(spark, root):
+    """A NaN in a float merge key poisons every stats comparison; scoping
+    must stand down (full rewrite) instead of silently skipping matches."""
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1.0, "a"), (2.0, "b")], "k double, val string"
+        ),
+    )
+    t.append(spark.createDataFrame([(3.0, "c")], "k double, val string"))
+    updates = spark.createDataFrame(
+        [(1.0, "UPDATED"), (float("nan"), "nanrow")], "k double, val string"
+    )
+    t.merge(updates, ["k"])
+    got = {(r.k, r.val) for r in t.read().filter(~F.isnan("k")).collect()}
+    # The finite matched key MUST have been replaced, not duplicated.
+    assert got == {(1.0, "UPDATED"), (2.0, "b"), (3.0, "c")}
+    assert t.manifest().summary["n_dirs_untouched"] == 0
+
+
+def test_overwrite_with_incompatible_schema_still_commits(spark, root):
+    """Overwrite may REPLACE the schema; when old/new can't union, the
+    commit proceeds without change files rather than failing."""
+    t = VersionedTable.create(
+        spark, root, spark.createDataFrame([(1, "a")], "id bigint, v string")
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, ["x", "y"])], "id bigint, v array<string>"
+        )
+    )
+    assert t.manifest().schema_ddl.startswith("struct<id:bigint,v:array")
+    assert [r.v for r in t.read().collect()] == [["x", "y"]]
+    assert "cdf" not in t.manifest().summary  # feed undefined across replace
+
+
+def test_materialize_changes_opt_out(spark, root):
+    """materialize_changes=False skips change-file writes; the batch feed
+    falls back to the exceptAll diff and stays correct."""
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"),
+        materialize_changes=False,
+    )
+    t.delete_where(F.col("id") == 1)
+    assert "cdf" not in t.manifest().summary
+    assert not os.path.isdir(os.path.join(root, "changes")) or not os.listdir(
+        os.path.join(root, "changes")
+    )
+    feed = t.changes(1, 2).collect()
+    assert {(r.id, r._change_type) for r in feed} == {(1, "delete")}
