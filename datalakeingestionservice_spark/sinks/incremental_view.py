@@ -148,12 +148,24 @@ class IncrementalAggView:
             )
         return rows.groupBy(*self.keys).agg(*aggs)
 
-    def refresh(self) -> int | None:
+    def refresh(self, max_retries: int = 3) -> int | None:
         """Bring the view up to the source's latest version.
 
         First call materializes from a full snapshot aggregate; later
         calls apply change-feed deltas only. Returns the source version
-        the view now reflects (None only if nothing new)."""
+        the view now reflects (None only if nothing new).
+
+        Safe under CONCURRENT refreshes (e.g. a manual refresh racing
+        start_continuous_refresh): the state merge commits against the
+        exact view version this refresh read its state from
+        (`expected_version`), so two refreshes that both saw the same
+        high-water mark cannot both apply the same delta — the loser
+        gets ConcurrentCommitError and retries from the new mark (where
+        it normally finds nothing left to do)."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
         source = VersionedTable(self.spark, self.source_root)
         latest = source.latest_version()
         table = self._view_table()
@@ -175,6 +187,7 @@ class IncrementalAggView:
             )
         if latest <= last:
             return None  # idempotent: nothing new (crash-replay safe)
+        view_version = table.latest_version()
 
         feed = source.changes(last, latest)
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
@@ -182,7 +195,7 @@ class IncrementalAggView:
         )
         delta = self._aggregate(feed, sign=sign)
 
-        state = table.read()
+        state = table.read(view_version)
         accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]
         d = delta.select(
             *self.keys,
@@ -223,12 +236,20 @@ class IncrementalAggView:
         upserts = combined.withColumn(
             "__is_delete", F.col(_COUNT_COL) == 0
         )
-        table.merge(
-            upserts,
-            self.keys,
-            delete_col="__is_delete",
-            summary={"source_version": latest},
-        )
+        try:
+            table.merge(
+                upserts,
+                self.keys,
+                delete_col="__is_delete",
+                summary={"source_version": latest},
+                expected_version=view_version,
+            )
+        except ConcurrentCommitError:
+            if max_retries <= 0:
+                raise
+            # Another refresh advanced the view while this one computed
+            # its delta; recompute from the NEW mark (usually a no-op).
+            return self.refresh(max_retries=max_retries - 1)
         return latest
 
     def start_continuous_refresh(

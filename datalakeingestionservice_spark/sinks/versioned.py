@@ -564,12 +564,22 @@ class VersionedTable:
             paths.append(os.path.join(self.root, rel))
         if not paths:
             return self.spark.createDataFrame([], m.schema_ddl)
-        reader = self.spark.read
-        if m.summary.get("schema_evolved"):
+        if not m.summary.get("schema_evolved"):
+            df = self.spark.read.parquet(*paths)
+        else:
+            from pyspark.sql.types import StructType
+
             # Heterogeneous file schemas: merge footers to the widened
             # schema; files predating an added column yield NULL for it.
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
+            df = self.spark.read.option(
+                "mergeSchema", "true"
+            ).parquet(*paths)
+            # Conform to the MANIFEST schema, not whatever the surviving
+            # files carry: pruning can remove every file that has an
+            # evolved column, and without this projection the result
+            # schema would vary with the predicate (and a filter on the
+            # missing column would raise instead of evaluating NULL).
+            df = _conform(df, StructType.fromDDL(m.schema_ddl))
         if predicates:
             df = df.filter(_predicates_to_column(predicates))
         return df
@@ -700,14 +710,18 @@ class VersionedTable:
         the new content as inserts (an overwrite's diff IS both snapshots;
         consumers that treat overwrite as a reload should read the new
         snapshot instead of the feed)."""
+        from pyspark.errors import AnalysisException
+
         parent = self.latest_version()
         old = self.read(parent)
         data_dir = self._write_data(df)
         # Overwrite may REPLACE the schema entirely; when old and new
         # schemas can't union (non-coercible retype), a change feed across
-        # the replacement is undefined — commit WITHOUT change files
-        # (changes()/the stream surface their legacy-path errors only if
-        # that range is actually consumed as a feed).
+        # the replacement is undefined — commit WITHOUT change files and
+        # record the downgrade in the summary. Only the schema
+        # incompatibility (AnalysisException from unionByName) downgrades;
+        # a transient write failure (disk full, executor error) propagates
+        # instead of silently committing a feed-less version.
         summary = {}
         if self._materialize_changes:
             try:
@@ -720,8 +734,10 @@ class VersionedTable:
                     )
                 )
                 summary["cdf"] = cdf_dir
-            except Exception:
-                pass
+            except AnalysisException as e:
+                summary["cdf_skipped"] = (
+                    f"replacement schema not unionable: {e}"[:500]
+                )
         return self._commit(
             operation="overwrite",
             files=(data_dir,),
@@ -738,11 +754,23 @@ class VersionedTable:
         delete_col: str | None = None,
         summary: dict | None = None,
         scope_by_stats: bool = True,
+        expected_version: int | None = None,
     ) -> int:
         """MERGE (upsert + optional deletes) as a copy-on-write commit:
         matched keys replaced, `delete_col`=true rows removed, unmatched
-        update rows inserted. Snapshot-isolated: reads the latest version,
-        commits against exactly that parent (conflict => error, rerun).
+        update rows inserted. Snapshot-isolated: reads the latest version
+        (or `expected_version` when the caller pins the snapshot it
+        computed `updates` against), commits against exactly that parent
+        (conflict => ConcurrentCommitError, rerun).
+
+        `updates` is localCheckpoint-ed up front: the merge evaluates it
+        several times (key bounds, anti-joins, change feed, data write),
+        and a non-deterministic input (rand(), re-read of a changing
+        source) could otherwise yield rows outside the collected key
+        bounds whose matches live in dirs already classified untouched —
+        silent row loss. Materializing once makes every evaluation see
+        the same rows (Delta instead documents a determinism requirement;
+        we pay one bounded write, |updates|-sized, not table-sized).
 
         With `scope_by_stats` (default) the rewrite is SCOPED: the update
         keys' min/max (one 1-row aggregate) prune the target's data dirs
@@ -753,7 +781,12 @@ class VersionedTable:
         table'; the same key-locality argument Delta/Iceberg make for
         clustering on merge keys (z-order the table by its merge key and
         scoping tightens further, file-granular)."""
-        parent = self.latest_version()
+        updates = updates.localCheckpoint(eager=True)
+        parent = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
         pm = self.manifest(parent)
 
         untouched: list[str] = []

@@ -83,9 +83,14 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # start_version: consume changes AFTER this version (0 = include
         # the initial create commit).
         self.start_version = int(options.get("start_version", 0))
-        self._columns = _ddl_field_names(
-            _manifests(self.root)[-1].schema_ddl
-        )
+        # The stream's output schema is PINNED at start (Structured
+        # Streaming cannot change a query's schema mid-run); partitions()
+        # re-checks the source DDL and fails fast if it evolved, instead
+        # of silently dropping the new columns from every micro-batch.
+        pinned = _manifests(self.root)[-1]
+        self._schema_ddl = pinned.schema_ddl
+        self._pinned_version = pinned.version
+        self._columns = _ddl_field_names(self._schema_ddl)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -101,6 +106,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             cur = ms[v]
+            if (
+                v > self._pinned_version
+                and cur.schema_ddl != self._schema_ddl
+            ):
+                # Versions BEFORE the pin may carry a narrower schema —
+                # read() yields None for their missing columns, same as
+                # the batch mergeSchema path. Only evolution AFTER the
+                # pin is unservable without a restart.
+                raise ValueError(
+                    f"source table schema evolved at version {v} "
+                    f"(stream pinned {self._schema_ddl!r}, table now "
+                    f"{cur.schema_ddl!r}); restart the stream to pick "
+                    "up the evolved schema"
+                )
             if cur.operation in ("append", "create"):
                 prev_files = ms[v - 1].files if v - 1 in ms else ()
                 for rel in cur.files:

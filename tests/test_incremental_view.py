@@ -231,3 +231,41 @@ def test_all_null_sum_group_renders_null_like_recompute(spark, roots):
     assert _view_state(view) == _recompute(t)
     got = {(r.grp, r._n, r.total) for r in view.read().collect()}
     assert got == {("a", 1, None), ("b", 2, None)}
+
+
+def test_concurrent_refresh_applies_delta_exactly_once(
+    spark, roots, monkeypatch
+):
+    """Two refreshes racing from the same high-water mark must not both
+    apply the delta: the state merge is pinned to the view version the
+    refresh read, so the loser conflicts and retries into a no-op."""
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark, src_root, _df(spark, [(1, "a", "10.00"), (2, "b", "5.00")])
+    )
+    view = IncrementalAggView(
+        spark, src_root, view_root, keys=["grp"], sums={"total": "amt"}
+    )
+    view.refresh()
+    t.append(_df(spark, [(3, "a", "2.50")]))
+
+    real_merge = VersionedTable.merge
+    raced = {}
+
+    def racing_merge(self, *a, **kw):
+        if not raced.get("done"):
+            raced["done"] = True
+            # A competing refresh completes BEFORE this merge commits.
+            IncrementalAggView(
+                spark,
+                src_root,
+                view_root,
+                keys=["grp"],
+                sums={"total": "amt"},
+            ).refresh()
+        return real_merge(self, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "merge", racing_merge)
+    view.refresh()
+    monkeypatch.undo()
+    assert _view_state(view) == _recompute(t)  # NOT double-applied

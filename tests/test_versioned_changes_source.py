@@ -188,3 +188,36 @@ def test_sink_to_source_chain(spark, tmp_path):
     assert {(r.id, r._commit_version) for r in rows} == {
         (1, 1), (2, 2), (3, 3)
     }
+
+
+def test_schema_evolution_after_stream_start_fails_fast(spark, tmp_path):
+    """Columns added to the source while the stream runs must not be
+    silently dropped: planning the evolved version raises an explicit
+    restart-the-stream error. History BEFORE the pin with a narrower
+    schema still serves (missing columns read as None)."""
+    from datalakeingestionservice_spark.sources.versioned_changes import (
+        VersionedChangesStreamReader,
+    )
+
+    root = str(tmp_path / "evo")
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "id bigint, val string, extra double"
+        ),
+        merge_schema=True,
+    )
+    # Reader pinned AFTER the evolution serves the whole history.
+    reader = VersionedChangesStreamReader({"table_root": root})
+    parts = reader.partitions({"version": 0}, {"version": t.latest_version()})
+    assert len(parts) == 2
+    # Evolution AFTER the pin fails the batch with the restart error.
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 2.5, True)],
+            "id bigint, val string, extra double, flag boolean",
+        ),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="restart the stream"):
+        reader.partitions({"version": 0}, {"version": t.latest_version()})

@@ -620,3 +620,71 @@ def test_materialize_changes_opt_out(spark, root):
     )
     feed = t.changes(1, 2).collect()
     assert {(r.id, r._change_type) for r in feed} == {(1, "delete")}
+
+
+def test_overwrite_records_cdf_downgrade_reason(spark, root):
+    """A schema-replacement overwrite that can't union records WHY the
+    change files were skipped, instead of swallowing every exception."""
+    t = VersionedTable.create(
+        spark, root, spark.createDataFrame([(1, "a")], "id bigint, v string")
+    )
+    t.overwrite(
+        spark.createDataFrame([(1, ["x"])], "id bigint, v array<string>")
+    )
+    s = t.manifest().summary
+    assert "cdf" not in s
+    assert "not unionable" in s["cdf_skipped"]
+
+
+def test_merge_with_nondeterministic_updates_is_consistent(spark, root):
+    """updates is localCheckpoint-ed before the key-bounds collect, so a
+    non-deterministic input (rand()) can't produce rows outside the
+    collected bounds whose matches live in dirs classified untouched."""
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(i, "old") for i in range(1, 26)])
+    )
+    t.append(_df(spark, [(i, "old") for i in range(26, 51)]))
+    # One random key in 1..50, re-evaluating differently per subtree
+    # without the checkpoint.
+    updates = spark.range(1).select(
+        (F.floor(F.rand() * 50) + 1).cast("bigint").alias("id"),
+        F.lit("NEW").alias("val"),
+    )
+    t.merge(updates, ["id"])
+    rows = t.read().collect()
+    assert {r.id for r in rows} == set(range(1, 51))  # no loss, no dup
+    assert sum(1 for r in rows if r.val == "NEW") == 1
+
+
+def test_merge_expected_version_conflict_surfaces(spark, root):
+    """A merge pinned to a stale snapshot fails with ConcurrentCommitError
+    instead of silently committing over the interleaved write."""
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    stale = t.latest_version()
+    t.append(_df(spark, [(2, "b")]))
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(
+            _df(spark, [(1, "A")]), ["id"], expected_version=stale
+        )
+
+
+def test_predicated_read_conforms_to_evolved_schema(spark, root):
+    """Pruning that removes every file carrying an evolved column must not
+    change the result schema: the missing column reads as typed NULL."""
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(i, "a") for i in range(1, 11)])
+    )
+    t.append(
+        spark.createDataFrame(
+            [(100, "b", 7.5)], "id bigint, val string, extra double"
+        ),
+        merge_schema=True,
+    )
+    df = t.read(predicates=[("id", "<=", 10)])
+    assert "extra" in df.columns
+    got = df.filter(F.col("extra").isNull()).collect()
+    assert {r.id for r in got} == set(range(1, 11))
+    # And the predicate can even target the pruned-away column.
+    assert t.read(predicates=[("id", "<=", 10)]).filter(
+        F.col("extra") > 0
+    ).count() == 0
