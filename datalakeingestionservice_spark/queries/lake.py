@@ -410,3 +410,89 @@ def q122_scoped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_dirs_total", F.lit(len(m.files)).cast("long"))
     )
+
+
+@register(
+    "q123_partitioned_table",
+    tags=("lake", "partitioning", "pruning", "layout"),
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT CAST(date_part('year', l_shipdate) AS BIGINT) AS y,
+         l_orderkey % 2 AS par
+  FROM lineitem
+),
+mx AS (SELECT max(y) - 2 AS cy FROM p),
+hit AS (
+  SELECT l_extendedprice FROM lineitem, mx
+  WHERE CAST(date_part('year', l_shipdate) AS BIGINT) >= cy
+)
+SELECT
+  (SELECT count(*) FROM hit) AS n_rows,
+  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+   FROM hit) AS sum_price,
+  (SELECT count(*) FROM p, mx WHERE y >= cy) AS n_parts_scanned,
+  (SELECT count(*) FROM p, mx WHERE y < cy) AS n_parts_skipped
+""",
+)
+def q123_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout: lineitem goes into a versioned table
+    `partition_by=["l_shipyear"]` in TWO commits (even / odd order keys),
+    so every commit lays out one `l_shipyear=YYYY/` leaf per year it
+    contains. A predicated read for the last three years then prunes from
+    the directory NAMES alone — the partition column isn't stored in the
+    parquet files at all, so no footer stat could have done it — and the
+    query returns the pruned read's aggregate (oracle recomputes it from
+    raw lineitem: proves dir-name pruning lost no rows) plus the
+    scanned/skipped LEAF counts from prune_info (oracle derives them from
+    the distinct (year, parity) pairs: proves pruning engaged per leaf,
+    across both commits). At 100 TB this is the layout every real lake
+    table declares first; dir-name pruning needs zero stat harvesting and
+    works for stat-less types (decimal). Reference anchor: config-driven
+    output pathing `FileSystemUploadProvider.cs:64-76` — partition dirs
+    are the lake-native generalization."""
+    env = Env(spark, sf_dir)
+    lineitem = env.t("lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_extendedprice",
+        F.year("l_shipdate").cast("bigint").alias("l_shipyear"),
+    )
+
+    years = sorted(
+        r.y
+        for r in lineitem.select(
+            F.col("l_shipyear").alias("y")
+        ).distinct().collect()
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlis_partitioned_{uuid.uuid4().hex}"
+    )
+    parity = F.col("l_orderkey") % 2
+    t = VersionedTable.create(
+        spark,
+        root,
+        lineitem.filter(parity == 0),
+        partition_by=["l_shipyear"],
+    )
+    t.append(lineitem.filter(parity != 0))
+
+    cutoff = years[-1] - 2
+    predicates = [("l_shipyear", ">=", cutoff)]
+    pruned = t.read(predicates=predicates)
+    info = t.prune_info(predicates)
+
+    return (
+        pruned.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn(
+            "n_parts_scanned", F.lit(info["n_scanned"]).cast("long")
+        )
+        .withColumn(
+            "n_parts_skipped", F.lit(info["n_skipped"]).cast("long")
+        )
+    )

@@ -42,6 +42,8 @@ import re
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
+from decimal import Decimal, InvalidOperation
+from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -188,6 +190,116 @@ _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 _ISO_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]|$)")
 
+# -- hive-style partition layout --------------------------------------------
+#
+# With `partition_by=[...]` the table writes `col=value/` directory names
+# (Spark's partitionBy, the layout every Hive/Delta/Iceberg table uses) and
+# each LEAF directory becomes its own manifest entry carrying the parsed
+# partition values. Pruning on a partition column then needs ZERO footer
+# stats — the dir NAME proves the value — which also makes types that
+# pyarrow can't harvest stats for (decimal) fully prunable, and scoped
+# MERGE aligns its rewrite scope with partitions for free.
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_part_path(rel: str) -> dict[str, str | None]:
+    """`'k=v/k2=v2'` (as written by Spark's partitionBy) -> raw string
+    values, unescaped; the hive null sentinel maps to None."""
+    out: dict[str, str | None] = {}
+    for seg in rel.replace(os.sep, "/").split("/"):
+        k, _, raw = seg.partition("=")
+        out[k] = None if raw == _HIVE_NULL else unquote(raw)
+    return out
+
+
+def _typed_part_value(raw: str | None, type_simple: str):
+    """Parse a raw partition-dir string into the column's Python value.
+
+    Runs in sessionless contexts (streaming DataSource workers), so it is
+    textual on the simpleString type name — no StructType machinery."""
+    if raw is None:
+        return None
+    t = type_simple
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t.startswith("decimal"):
+        return Decimal(raw)
+    if t == "date":
+        return _dt.date.fromisoformat(raw)
+    if t.startswith("timestamp"):
+        return _dt.datetime.fromisoformat(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    return raw  # string / varchar / char
+
+
+def _promote_temporal(a, b):
+    """date vs datetime ordering raises TypeError in Python; promote the
+    date side to its midnight instant (SQL comparison semantics). Naive
+    the tz-aware side like `_canon_temporal` does."""
+    def fix(x, other):
+        if isinstance(x, _dt.datetime):
+            if x.tzinfo is not None:
+                x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return x
+        if isinstance(x, _dt.date) and isinstance(other, _dt.datetime):
+            return _dt.datetime(x.year, x.month, x.day)
+        return x
+    return fix(a, b), fix(b, a)
+
+
+def _range_refutes(lo, hi, op, v) -> bool:
+    """True iff [lo, hi] provably contains NO value satisfying `op v`.
+    Raises TypeError on incomparable operands — callers treat that as
+    'cannot prove, keep'."""
+    if op == "=":
+        return not (lo <= v <= hi)
+    if op == "<":
+        return not (lo < v)
+    if op == "<=":
+        return not (lo <= v)
+    if op == ">":
+        return not (hi > v)
+    if op == ">=":
+        return not (hi >= v)
+    return False
+
+
+def _parts_refute(
+    part_values: dict, part_types: dict, predicates: list[tuple]
+) -> bool:
+    """True iff the entry's partition values prove no row can satisfy the
+    predicate conjunction. A None (hive-null) partition value refutes any
+    comparison predicate on that column (NULL matches none)."""
+    for col, op, val in predicates:
+        if col not in part_values or op not in _PRUNE_OPS:
+            continue
+        raw = part_values[col]
+        if raw is None:
+            return True
+        try:
+            pv = _typed_part_value(raw, part_types.get(col, "string"))
+            a, b = _promote_temporal(pv, val)
+            if _range_refutes(a, a, op, b):
+                return True
+        except (TypeError, ValueError, InvalidOperation, OverflowError):
+            continue  # unparseable / incomparable: can't prove, keep
+    return False
+
+
+def _entry_may_match(
+    stats: dict, predicates: list[tuple], part_types: dict
+) -> bool:
+    """Entry-level pruning = partition-name refutation OR footer-stat
+    refutation; either alone suffices to skip the entry."""
+    pv = stats.get("part_values")
+    if pv and _parts_refute(pv, part_types, predicates):
+        return False
+    return _dir_may_match(stats, predicates)
+
 
 def _canon_temporal(v):
     """Canonicalize ISO date/datetime STRINGS to datetime for comparison.
@@ -247,15 +359,7 @@ def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
         else:
             lo, hi = cs["min"], cs["max"]
         try:
-            if op == "=" and not (lo <= v <= hi):
-                return False
-            if op == "<" and not (lo < v):
-                return False
-            if op == "<=" and not (lo <= v):
-                return False
-            if op == ">" and not (hi > v):
-                return False
-            if op == ">=" and not (hi >= v):
+            if _range_refutes(lo, hi, op, v):
                 return False
         except TypeError:
             continue  # cross-type comparison: can't prove, keep the dir
@@ -302,11 +406,19 @@ def _predicates_to_column(predicates: list[tuple]) -> Column:
 class Manifest:
     version: int
     operation: str
-    files: tuple[str, ...]  # data dirs relative to table root, read order
+    #: Entries relative to table root, read order. An entry is a whole
+    #: data dir (`data/<uuid>`), a hive partition LEAF dir
+    #: (`data/<uuid>/col=val/...`, partitioned tables), or a single
+    #: parquet file (`.../part-*.parquet`, carried forward by a
+    #: file-granular scoped merge).
+    files: tuple[str, ...]
     schema_ddl: str
     committed_at: str
     summary: dict
-    stats: dict = field(default_factory=dict)  # data dir -> footer stats
+    stats: dict = field(default_factory=dict)  # entry -> footer stats
+    #: Hive-style partition columns, fixed at create(); leaf entries carry
+    #: their parsed values in stats[rel]["part_values"].
+    partition_by: tuple[str, ...] = ()
 
     def to_json(self) -> str:
         return json.dumps(
@@ -318,6 +430,7 @@ class Manifest:
                 "committed_at": self.committed_at,
                 "summary": self.summary,
                 "stats": self.stats,
+                "partition_by": list(self.partition_by),
             },
             indent=2,
             sort_keys=True,
@@ -334,6 +447,7 @@ class Manifest:
             committed_at=d["committed_at"],
             summary=d.get("summary", {}),
             stats=d.get("stats", {}),
+            partition_by=tuple(d.get("partition_by", ())),
         )
 
 
@@ -464,7 +578,24 @@ class VersionedTable:
         summary: dict | None = None,
         commit_protocol: CommitProtocol | None = None,
         materialize_changes: bool = True,
+        partition_by: list[str] | None = None,
     ) -> "VersionedTable":
+        """With `partition_by`, data is laid out hive-style
+        (`col=value/` leaf dirs, one manifest entry each) and reads prune
+        partition-column predicates from the dir NAMES — no footer stats
+        involved, so even stat-less types (decimal) prune. The partition
+        spec is fixed for the table's lifetime (as in Hive/Delta).
+
+        Reference anchor: the reference's output pathing is config-driven
+        `{basePath}/{relativePath}`
+        (`src/Infrastructure/Upload/Providers/FileSystemUploadProvider.cs:64-76`);
+        partition-column directories are the lake-native generalization."""
+        pb = tuple(partition_by or ())
+        missing = [c for c in pb if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        if pb and len(pb) == len(df.columns):
+            raise ValueError("cannot partition by every column")
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         table = VersionedTable(
@@ -473,16 +604,21 @@ class VersionedTable:
             commit_protocol=commit_protocol,
             materialize_changes=materialize_changes,
         )
-        data_dir = table._write_data(df)
+        entries = table._write_data_entries(df, pb)
         table._commit(
             operation="create",
-            files=(data_dir,),
+            files=tuple(entries),
             schema_ddl=df.schema.simpleString(),
             expected_parent=0,
             summary=summary,
-            stats={data_dir: table._dir_stats(data_dir)},
+            stats=entries,
+            partition_by=pb,
         )
         return table
+
+    @property
+    def partition_by(self) -> tuple[str, ...]:
+        return self.manifest().partition_by
 
     # -- metadata ----------------------------------------------------------
     def versions(self) -> list[Manifest]:
@@ -539,15 +675,15 @@ class VersionedTable:
         applied as a filter, so results are identical to an unpruned
         read + filter."""
         m = self.manifest(version)
-        rels = list(m.files)
-        if predicates:
-            rels = [
-                rel for rel in rels
-                if _dir_may_match(m.stats.get(rel, {}), predicates)
-            ]
-        paths: list[str] = []
-        for rel in rels:
-            fmap = m.stats.get(rel, {}).get("files")
+        part_types = self._part_types(m)
+        sel: list[tuple[str, list[str] | None]] = []
+        for rel in m.files:
+            stats = m.stats.get(rel, {})
+            if predicates and not _entry_may_match(
+                stats, predicates, part_types
+            ):
+                continue
+            fmap = stats.get("files")
             if predicates and fmap:
                 keep = [
                     fn for fn, fs in sorted(fmap.items())
@@ -557,32 +693,107 @@ class VersionedTable:
                     # A dir envelope can match while every file's tighter
                     # range refutes — dropping to file paths is safe
                     # because data dirs are immutable once committed.
-                    paths.extend(
-                        os.path.join(self.root, rel, fn) for fn in keep
-                    )
+                    sel.append((rel, keep))
                     continue
-            paths.append(os.path.join(self.root, rel))
-        if not paths:
+            sel.append((rel, None))
+        df = self._scan_entries(sel, m)
+        if df is None:
             return self.spark.createDataFrame([], m.schema_ddl)
-        if not m.summary.get("schema_evolved"):
-            df = self.spark.read.parquet(*paths)
-        else:
-            from pyspark.sql.types import StructType
-
-            # Heterogeneous file schemas: merge footers to the widened
-            # schema; files predating an added column yield NULL for it.
-            df = self.spark.read.option(
-                "mergeSchema", "true"
-            ).parquet(*paths)
-            # Conform to the MANIFEST schema, not whatever the surviving
-            # files carry: pruning can remove every file that has an
-            # evolved column, and without this projection the result
-            # schema would vary with the predicate (and a filter on the
-            # missing column would raise instead of evaluating NULL).
-            df = _conform(df, StructType.fromDDL(m.schema_ddl))
         if predicates:
             df = df.filter(_predicates_to_column(predicates))
         return df
+
+    def _part_types(self, m: Manifest) -> dict[str, str]:
+        """Partition column -> simpleString type, from the manifest DDL."""
+        if not m.partition_by:
+            return {}
+        from pyspark.sql.types import StructType
+
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(m.schema_ddl).fields
+            if f.name in m.partition_by
+        }
+
+    def _scan_entries(
+        self,
+        sel: list[tuple[str, list[str] | None]],
+        m: Manifest,
+    ) -> DataFrame | None:
+        """Plan ONE DataFrame over selected manifest entries; each item is
+        (entry rel, optional file-name subset). Returns None for an empty
+        selection.
+
+        Partitioned leaves don't store their partition columns in the
+        parquet files (hive layout) — they're recovered from the dir names
+        via Spark's basePath partition discovery, grouped per top-level
+        data dir (Spark refuses discovery across roots with differing
+        structure). Type inference is DISABLED for the discovery so values
+        come back as exact strings (no float round-trip for decimals),
+        then cast to the declared column types; Spark itself maps the hive
+        null sentinel to NULL. Every branch is conformed to the manifest
+        schema, so unions line up and pruning can never change the result
+        schema."""
+        from pyspark.sql.types import StructType
+
+        if not sel:
+            return None
+        schema = StructType.fromDDL(m.schema_ddl)
+        pb = m.partition_by
+
+        def reader():
+            r = self.spark.read
+            if m.summary.get("schema_evolved"):
+                # Heterogeneous file schemas: merge footers to the widened
+                # schema; files predating an added column yield NULL.
+                r = r.option("mergeSchema", "true")
+            return r
+
+        plain: list[str] = []
+        groups: dict[str, list[str]] = {}
+        for rel, files in sel:
+            paths = (
+                [os.path.join(self.root, rel, fn) for fn in files]
+                if files is not None
+                else [os.path.join(self.root, rel)]
+            )
+            if pb and "part_values" in m.stats.get(rel, {}):
+                top = "/".join(rel.replace(os.sep, "/").split("/")[:2])
+                groups.setdefault(top, []).extend(paths)
+            else:
+                plain.extend(paths)
+
+        pieces: list[DataFrame] = []
+        if plain:
+            pieces.append(_conform(reader().parquet(*plain), schema))
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        for top in sorted(groups):
+            prev = self.spark.conf.get(conf_key, "true")
+            self.spark.conf.set(conf_key, "false")
+            try:
+                # Schema resolution is eager, so the conf only needs to
+                # hold across the .parquet() call itself.
+                df = (
+                    reader()
+                    .option("basePath", os.path.join(self.root, top))
+                    .parquet(*groups[top])
+                )
+            finally:
+                self.spark.conf.set(conf_key, prev)
+            types = {f.name: f.dataType for f in schema.fields}
+            df = df.select(
+                *[
+                    F.col(c).cast(types[c]).alias(c)
+                    if c in pb and c in types
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            pieces.append(_conform(df, schema))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def prune_info(
         self,
@@ -592,11 +803,12 @@ class VersionedTable:
         """Which data dirs (and files within kept dirs) a predicated read
         would scan vs skip."""
         m = self.manifest(version)
+        part_types = self._part_types(m)
         kept, skipped = [], []
         n_files_scanned = n_files_skipped = 0
         for rel in m.files:
             stats = m.stats.get(rel, {})
-            if not _dir_may_match(stats, predicates):
+            if not _entry_may_match(stats, predicates, part_types):
                 skipped.append(rel)
                 n_files_skipped += len(stats.get("files", ()) or ())
                 continue
@@ -636,8 +848,7 @@ class VersionedTable:
         their type — type conflicts always raise."""
         # Fail fast on an invalid schema BEFORE writing any data files…
         self._evolved_schema_ddl(df, merge_schema, self.manifest().schema_ddl)
-        data_dir = self._write_data(df)
-        new_stats = self._dir_stats(data_dir)
+        entries = self._write_data_entries(df, self.partition_by)
         attempt = 0
         while True:
             parent = self.latest_version()
@@ -661,14 +872,14 @@ class VersionedTable:
                 )
                 return self._commit(
                     operation="append",
-                    files=pm.files + (data_dir,),
+                    files=pm.files + tuple(entries),
                     schema_ddl=ddl,
                     expected_parent=parent,
                     summary={
                         **(summary or {}),
                         **({"schema_evolved": True} if evolved else {}),
                     },
-                    stats={**pm.stats, data_dir: new_stats},
+                    stats={**pm.stats, **entries},
                 )
             except ConcurrentCommitError:
                 attempt += 1
@@ -714,7 +925,7 @@ class VersionedTable:
 
         parent = self.latest_version()
         old = self.read(parent)
-        data_dir = self._write_data(df)
+        entries = self._write_data_entries(df, self.partition_by)
         # Overwrite may REPLACE the schema entirely; when old and new
         # schemas can't union (non-coercible retype), a change feed across
         # the replacement is undefined — commit WITHOUT change files and
@@ -740,11 +951,11 @@ class VersionedTable:
                 )
         return self._commit(
             operation="overwrite",
-            files=(data_dir,),
+            files=tuple(entries),
             schema_ddl=df.schema.simpleString(),
             expected_parent=parent,
             summary=summary,
-            stats={data_dir: self._dir_stats(data_dir)},
+            stats=entries,
         )
 
     def merge(
@@ -837,9 +1048,12 @@ class VersionedTable:
             if nan_bound:
                 preds = []
             if preds:
+                part_types = self._part_types(pm)
                 scoped_rels = [
                     rel for rel in pm.files
-                    if _dir_may_match(pm.stats.get(rel, {}), preds)
+                    if _entry_may_match(
+                        pm.stats.get(rel, {}), preds, part_types
+                    )
                 ]
                 untouched = [
                     rel for rel in pm.files if rel not in scoped_rels
@@ -887,14 +1101,14 @@ class VersionedTable:
                 )
             )
 
-        data_dir = self._write_data(merged)
+        entries = self._write_data_entries(merged, pm.partition_by)
         # Untouched dirs ride along with their existing stats; the evolved
         # flag must survive when heterogeneous old dirs remain (a full
         # rewrite — untouched empty — homogenizes and may drop it).
         evolved = bool(pm.summary.get("schema_evolved")) and bool(untouched)
         return self._commit(
             operation="merge",
-            files=tuple(untouched) + (data_dir,),
+            files=tuple(untouched) + tuple(entries),
             schema_ddl=merged.schema.simpleString(),
             expected_parent=parent,
             summary={
@@ -906,23 +1120,18 @@ class VersionedTable:
             stats={
                 **{rel: pm.stats[rel] for rel in untouched
                    if rel in pm.stats},
-                data_dir: self._dir_stats(data_dir),
+                **entries,
             },
         )
 
     def _read_dirs(self, rels: list[str], m: "Manifest") -> DataFrame:
-        """Read specific data dirs of a snapshot, conformed to the
+        """Read specific entries of a snapshot, conformed to the
         manifest's FULL table schema (scoped dirs may predate evolved
         columns — missing ones read as NULL, as in `read()`)."""
-        from pyspark.sql.types import StructType
-
-        if not rels:
+        df = self._scan_entries([(rel, None) for rel in rels], m)
+        if df is None:
             return self.spark.createDataFrame([], m.schema_ddl)
-        reader = self.spark.read
-        if m.summary.get("schema_evolved"):
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[os.path.join(self.root, rel) for rel in rels])
-        return _conform(df, StructType.fromDDL(m.schema_ddl))
+        return df
 
     def delete_where(self, predicate: Column) -> int:
         """Copy-on-write DELETE: keep rows NOT matching the predicate."""
@@ -939,14 +1148,14 @@ class VersionedTable:
                     F.coalesce(predicate, F.lit(True))
                 ).withColumn("_change_type", F.lit("delete"))
             )
-        data_dir = self._write_data(kept)
+        entries = self._write_data_entries(kept, self.partition_by)
         return self._commit(
             operation="delete",
-            files=(data_dir,),
+            files=tuple(entries),
             schema_ddl=kept.schema.simpleString(),
             expected_parent=parent,
             summary=cdf_summary,
-            stats={data_dir: self._dir_stats(data_dir)},
+            stats=entries,
         )
 
     # -- change feed -------------------------------------------------------
@@ -991,12 +1200,10 @@ class VersionedTable:
                 added = [f for f in cur.files if f not in prev.files]
                 if not added:
                     continue
-                df = _conform(
-                    self.spark.read.parquet(
-                        *[os.path.join(self.root, rel) for rel in added]
-                    ),
-                    final,
-                )
+                raw = self._scan_entries([(r, None) for r in added], cur)
+                if raw is None:
+                    continue
+                df = _conform(raw, final)
                 pieces.append(
                     df.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
@@ -1070,16 +1277,16 @@ class VersionedTable:
             )
         else:
             df = df.repartition(num_partitions)
-        data_dir = self._write_data(df)
+        entries = self._write_data_entries(df, self.partition_by)
         return self._commit(
             operation="compact",
-            files=(data_dir,),
+            files=tuple(entries),
             schema_ddl=df.schema.simpleString(),
             expected_parent=parent,
             # Data-preserving by construction: the change feed skips this
             # commit outright instead of diffing two identical snapshots.
             summary={"cdf_empty": True},
-            stats={data_dir: self._dir_stats(data_dir)},
+            stats=entries,
         )
 
     def expire_versions(self, keep_last: int) -> list[int]:
@@ -1103,9 +1310,20 @@ class VersionedTable:
         import shutil
 
         manifests = self.versions()
-        referenced = {rel for m in manifests for rel in m.files}
+        # An entry may be a whole data dir, a partition LEAF inside one, or
+        # a single carried-forward file — referencing ANY of them keeps the
+        # top-level uuid dir alive (vacuum granularity is the uuid dir; a
+        # partially-dead dir is reclaimed after the next compact rewrites
+        # its survivors into a fresh dir).
+        referenced = set()
+        for m in manifests:
+            for rel in m.files:
+                parts = rel.replace(os.sep, "/").split("/")
+                referenced.add("/".join(parts[:2]))
         referenced |= {
-            m.summary["cdf"] for m in manifests if m.summary.get("cdf")
+            m.summary["cdf"].replace(os.sep, "/")
+            for m in manifests
+            if m.summary.get("cdf")
         }
         removed = []
         for sub in (_DATA_DIR, _CDF_DIR):
@@ -1113,10 +1331,10 @@ class VersionedTable:
             if not os.path.isdir(sub_root):
                 continue
             for name in sorted(os.listdir(sub_root)):
-                rel = os.path.join(sub, name)
+                rel = f"{sub}/{name}"
                 if rel not in referenced:
                     shutil.rmtree(os.path.join(sub_root, name))
-                    removed.append(rel)
+                    removed.append(os.path.join(sub, name))
         return removed
 
     # -- internals ---------------------------------------------------------
@@ -1128,23 +1346,43 @@ class VersionedTable:
         df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
         return rel
 
-    def _write_data(self, df: DataFrame) -> str:
-        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-        # Spark still defaults timestamps to INT96, which carries NO footer
-        # min/max — write TIMESTAMP_MICROS so timestamp columns are prunable.
+    def _write_data_entries(
+        self, df: DataFrame, partition_by: tuple[str, ...]
+    ) -> dict[str, dict]:
+        """Write one commit's data; return {manifest entry rel: stats}.
+
+        Unpartitioned: one uuid data dir, one entry (the historic layout).
+        Partitioned: `df.write.partitionBy(...)` lays out hive-style
+        `col=value/` leaves under the uuid dir, and EACH LEAF becomes an
+        entry with its parsed partition values in stats["part_values"] —
+        the source of dir-name pruning and partition-aligned merge scope.
+
+        Spark still defaults timestamps to INT96, which carries NO footer
+        min/max — write TIMESTAMP_MICROS so timestamp columns are
+        prunable."""
         conf_key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        abs_dir = os.path.join(self.root, rel)
         try:
-            df.write.mode("errorifexists").parquet(
-                os.path.join(self.root, rel)
-            )
+            writer = df.write.mode("errorifexists")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(abs_dir)
         finally:
             self.spark.conf.set(conf_key, prev)
-        return rel
-
-    def _dir_stats(self, rel: str) -> dict:
-        return _collect_dir_stats(os.path.join(self.root, rel))
+        if not partition_by:
+            return {rel: _collect_dir_stats(abs_dir)}
+        entries: dict[str, dict] = {}
+        for dirpath, _dirs, files in sorted(os.walk(abs_dir)):
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            sub = os.path.relpath(dirpath, abs_dir)
+            st = _collect_dir_stats(dirpath)
+            st["part_values"] = _parse_part_path(sub)
+            entries[os.path.join(rel, sub)] = st
+        return entries
 
     def _commit(
         self,
@@ -1154,6 +1392,7 @@ class VersionedTable:
         expected_parent: int,
         summary: dict | None = None,
         stats: dict | None = None,
+        partition_by: tuple[str, ...] | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -1161,6 +1400,10 @@ class VersionedTable:
         already exists, so exactly one racing writer wins — no locks, no
         read-modify-write window."""
         version = expected_parent + 1
+        if partition_by is None:
+            # Partition spec is fixed at create() and carried forward on
+            # every subsequent commit.
+            partition_by = self.manifest(expected_parent).partition_by
         m = Manifest(
             version=version,
             operation=operation,
@@ -1169,6 +1412,7 @@ class VersionedTable:
             committed_at=datetime.now(timezone.utc).isoformat(),
             summary={"n_files": len(files), **(summary or {})},
             stats=stats or {},
+            partition_by=partition_by,
         )
         final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
         self._protocol.publish(final, m.to_json())

@@ -41,6 +41,7 @@ from datalakeingestionservice_spark.sinks.versioned import (
     _MANIFEST_DIR,
     Manifest,
     NoSuchVersionError,
+    _typed_part_value,
 )
 
 VERSION_COL = "_commit_version"
@@ -66,6 +67,7 @@ class _DirPartition(InputPartition):
         version: int,
         columns: list[str],
         change_type: str | None = "insert",
+        part_fill: dict | None = None,
     ):
         self.abs_dir = abs_dir
         self.version = version
@@ -73,6 +75,9 @@ class _DirPartition(InputPartition):
         #: Constant for append data dirs ('insert'); None for materialized
         #: change dirs, whose files carry their own `_change_type` column.
         self.change_type = change_type
+        #: Hive-partitioned leaf dirs: {col: typed value} for the
+        #: partition columns, which live in the DIR NAME, not the files.
+        self.part_fill = part_fill or {}
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -122,13 +127,28 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             if cur.operation in ("append", "create"):
                 prev_files = ms[v - 1].files if v - 1 in ms else ()
+                types = _ddl_field_types(cur.schema_ddl)
                 for rel in cur.files:
                     if rel not in prev_files:
+                        raw_pv = cur.stats.get(rel, {}).get(
+                            "part_values"
+                        )
+                        fill = (
+                            {
+                                c: _typed_part_value(
+                                    raw, types.get(c, "string")
+                                )
+                                for c, raw in raw_pv.items()
+                            }
+                            if raw_pv
+                            else None
+                        )
                         parts.append(
                             _DirPartition(
                                 os.path.join(self.root, rel),
                                 v,
                                 self._columns,
+                                part_fill=fill,
                             )
                         )
             elif cur.summary.get("cdf_empty"):
@@ -170,9 +190,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 path,
                 columns=want + ([CHANGE_TYPE_COL] if ctype_from_file else []),
             )
+            fill = partition.part_fill
             for row in table.to_pylist():
                 yield tuple(
-                    row.get(c) for c in partition.columns
+                    row.get(c, fill.get(c))
+                    if c in available
+                    else fill.get(c)
+                    for c in partition.columns
                 ) + (
                     row[CHANGE_TYPE_COL]
                     if ctype_from_file
@@ -184,9 +208,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         pass  # nothing to clean up: versions are immutable
 
 
-def _ddl_field_names(ddl: str) -> list[str]:
-    """Top-level field names of a `struct<...>` simpleString — parsed
-    textually because DataSource methods run in sessionless Python
+def _ddl_fields(ddl: str) -> list[str]:
+    """Top-level `name:type` tokens of a `struct<...>` simpleString —
+    parsed textually because DataSource methods run in sessionless Python
     workers where StructType.fromDDL can't be used."""
     inner = ddl[len("struct<"):-1]
     names, depth, token = [], 0, []
@@ -206,7 +230,17 @@ def _ddl_field_names(ddl: str) -> list[str]:
             token.append(ch)
     if token:
         names.append("".join(token))
-    return [t.split(":", 1)[0] for t in names]
+    return names
+
+
+def _ddl_field_names(ddl: str) -> list[str]:
+    return [t.split(":", 1)[0] for t in _ddl_fields(ddl)]
+
+
+def _ddl_field_types(ddl: str) -> dict[str, str]:
+    return {
+        t.split(":", 1)[0]: t.split(":", 1)[1] for t in _ddl_fields(ddl)
+    }
 
 
 def _table_schema_ddl(root: str) -> str:

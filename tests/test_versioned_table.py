@@ -84,11 +84,11 @@ def test_concurrent_commit_conflict_surfaces_on_overwrite(spark, root):
     other.append(_df(spark, [(2, "b")]))
 
     # Simulate stale overwrite: force the parent the writer believes in.
-    data_dir = t._write_data(_df(spark, [(9, "z")]))
+    entries = t._write_data_entries(_df(spark, [(9, "z")]), ())
     with pytest.raises(ConcurrentCommitError):
         t._commit(
             operation="overwrite",
-            files=(data_dir,),
+            files=tuple(entries),
             schema_ddl="",
             expected_parent=1,  # stale: version 2 already exists
         )
@@ -120,7 +120,7 @@ def test_vacuum_removes_orphans_keeps_referenced(spark, root):
     t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
     t.append(_df(spark, [(2, "b")]))
     # Orphan: data written but never committed (crashed writer).
-    t._write_data(_df(spark, [(99, "x")]))
+    t._write_data_entries(_df(spark, [(99, "x")]), ())
     removed = t.vacuum()
     assert len(removed) == 1
     assert {r.id for r in t.read().collect()} == {1, 2}
@@ -144,7 +144,7 @@ def test_expire_then_vacuum_drops_old_data(spark, root):
 
 def test_uncommitted_data_invisible_to_readers(spark, root):
     t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
-    t._write_data(_df(spark, [(99, "x")]))  # written, not committed
+    t._write_data_entries(_df(spark, [(99, "x")]), ())  # not committed
     assert {r.id for r in t.read().collect()} == {1}
 
 
