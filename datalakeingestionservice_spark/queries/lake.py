@@ -496,3 +496,102 @@ def q123_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts_skipped", F.lit(info["n_skipped"]).cast("long")
         )
     )
+
+
+@register(
+    "q124_file_scoped_merge",
+    tags=("lake", "dml", "merge", "pruning", "file-granular"),
+    oracle="""
+WITH tot AS (SELECT count(*) AS t FROM lineitem),
+mx AS (
+  SELECT max(CAST(date_part('year', l_shipdate) AS BIGINT)) AS my
+  FROM lineitem
+),
+sfx AS (
+  SELECT count(*) AS s FROM lineitem, mx
+  WHERE CAST(date_part('year', l_shipdate) AS BIGINT) = my
+),
+n AS (SELECT CAST(ceil(t / 8.0) AS BIGINT) AS recs FROM tot),
+merged AS (
+  SELECT CASE WHEN CAST(date_part('year', l_shipdate) AS BIGINT)
+                   = (SELECT my FROM mx)
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) + 5.00
+              ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END AS p
+  FROM lineitem
+)
+SELECT (SELECT count(*) FROM merged) AS n_rows,
+       (SELECT CAST(sum(p) AS DOUBLE) FROM merged) AS sum_price,
+       CAST(0 AS BIGINT) AS n_dirs_untouched,
+       (SELECT CAST(floor((t - s) * 1.0 / recs) AS BIGINT)
+        FROM tot, sfx, n) AS n_files_untouched
+""",
+)
+def q124_file_scoped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-granular scoped MERGE: all of lineitem goes into ONE data dir
+    as ~8 files with disjoint l_shipdate ranges (one sorted partition
+    rolled by spark.sql.files.maxRecordsPerFile = ceil(total/8) — file
+    boundaries at exact row offsets, so the layout is closed-form). A
+    MERGE bumping only the newest ship-year's prices then keeps the dir
+    (its envelope spans all years) but refutes every file that ends
+    before the first newest-year row: those files carry into the new
+    version byte-identical as file entries, and only the tail files are
+    read and rewritten. The oracle recomputes the merged aggregate from
+    raw lineitem (no row lost or doubled) AND derives the untouched-file
+    count arithmetically — rows sort by date, the newest year is a
+    contiguous suffix, so untouched files = floor((total − suffix)/recs)
+    regardless of tie order at the boundary. This is merge cost ∝
+    affected FILES (Delta's file-level MERGE pruning), one granularity
+    below q122's dir scoping."""
+    env = Env(spark, sf_dir)
+    lineitem = env.t("lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    total = lineitem.count()
+    recs = -(-total // 8)  # ceil
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlis_filescoped_{uuid.uuid4().hex}"
+    )
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(conf_key, "0")
+    spark.conf.set(conf_key, str(recs))
+    try:
+        t = VersionedTable.create(
+            spark,
+            root,
+            lineitem.repartition(1).sortWithinPartitions("l_shipdate"),
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+
+    top_year = lineitem.agg(
+        F.max(F.year("l_shipdate"))
+    ).collect()[0][0]
+    updates = lineitem.filter(
+        F.year("l_shipdate") == top_year
+    ).withColumn(
+        "price",
+        (F.col("price") + F.lit(5.0).cast("decimal(18,2)"))
+        .cast("decimal(18,2)"),
+    )
+    t.merge(updates, ["l_shipdate", "l_orderkey", "l_linenumber"])
+    m = t.manifest()
+
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .withColumn(
+            "n_dirs_untouched",
+            F.lit(m.summary["n_dirs_untouched"]).cast("long"),
+        )
+        .withColumn(
+            "n_files_untouched",
+            F.lit(m.summary["n_files_untouched"]).cast("long"),
+        )
+    )

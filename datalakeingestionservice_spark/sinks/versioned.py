@@ -1002,6 +1002,7 @@ class VersionedTable:
 
         untouched: list[str] = []
         scoped_rels = list(pm.files)
+        preds: list[tuple] = []
         # Scoping requires TYPE-STABLE output: if an upsert column is wider
         # than the table's (e.g. a widened decimal), unionByName widens the
         # rewritten rows while untouched dirs keep the old physical type —
@@ -1059,7 +1060,46 @@ class VersionedTable:
                     rel for rel in pm.files if rel not in scoped_rels
                 ]
 
-        target = self._read_dirs(scoped_rels, pm)
+        # FILE-granular scoping within kept entries: a dir's envelope can
+        # match while individual files' tighter ranges refute every update
+        # key — those files become their own manifest entries, carried
+        # forward byte-identical, and only the matching files are read and
+        # rewritten. Cluster the table on its merge key (compact + z-order
+        # or range layout) and merge cost drops from affected-dirs to
+        # affected-FILES — the same refinement Delta's file-level MERGE
+        # pruning makes over partition pruning.
+        scoped_sel: list[tuple[str, list[str] | None]] = []
+        carried_files: dict[str, dict] = {}
+        n_files_untouched = 0
+        for rel in scoped_rels:
+            stats = pm.stats.get(rel, {})
+            fmap = stats.get("files")
+            if preds and fmap and len(fmap) > 1:
+                keep = [
+                    fn for fn, fs in sorted(fmap.items())
+                    if _dir_may_match(fs, preds)
+                ]
+                if not keep:
+                    # Envelope matched but every file refutes: the whole
+                    # entry is untouched after all.
+                    untouched.append(rel)
+                    continue
+                if len(keep) < len(fmap):
+                    for fn, fs in sorted(fmap.items()):
+                        if fn in keep:
+                            continue
+                        fstats = dict(fs)
+                        if "part_values" in stats:
+                            fstats["part_values"] = stats["part_values"]
+                        carried_files[f"{rel}/{fn}"] = fstats
+                        n_files_untouched += 1
+                    scoped_sel.append((rel, keep))
+                    continue
+            scoped_sel.append((rel, None))
+
+        target = self._scan_entries(scoped_sel, pm)
+        if target is None:
+            target = self.spark.createDataFrame([], pm.schema_ddl)
 
         if delete_col and delete_col in updates.columns:
             deletes = updates.filter(F.col(delete_col) == True)  # noqa: E712
@@ -1105,10 +1145,12 @@ class VersionedTable:
         # Untouched dirs ride along with their existing stats; the evolved
         # flag must survive when heterogeneous old dirs remain (a full
         # rewrite — untouched empty — homogenizes and may drop it).
-        evolved = bool(pm.summary.get("schema_evolved")) and bool(untouched)
+        evolved = bool(pm.summary.get("schema_evolved")) and bool(
+            untouched or carried_files
+        )
         return self._commit(
             operation="merge",
-            files=tuple(untouched) + tuple(entries),
+            files=tuple(untouched) + tuple(carried_files) + tuple(entries),
             schema_ddl=merged.schema.simpleString(),
             expected_parent=parent,
             summary={
@@ -1116,22 +1158,15 @@ class VersionedTable:
                 **cdf_summary,
                 **({"schema_evolved": True} if evolved else {}),
                 "n_dirs_untouched": len(untouched),
+                "n_files_untouched": n_files_untouched,
             },
             stats={
                 **{rel: pm.stats[rel] for rel in untouched
                    if rel in pm.stats},
+                **carried_files,
                 **entries,
             },
         )
-
-    def _read_dirs(self, rels: list[str], m: "Manifest") -> DataFrame:
-        """Read specific entries of a snapshot, conformed to the
-        manifest's FULL table schema (scoped dirs may predate evolved
-        columns — missing ones read as NULL, as in `read()`)."""
-        df = self._scan_entries([(rel, None) for rel in rels], m)
-        if df is None:
-            return self.spark.createDataFrame([], m.schema_ddl)
-        return df
 
     def delete_where(self, predicate: Column) -> int:
         """Copy-on-write DELETE: keep rows NOT matching the predicate."""

@@ -272,3 +272,108 @@ def test_invalid_partition_spec_rejected(spark, root):
         VersionedTable.create(
             spark, root, df, partition_by=["id", "grp", "d", "amt"]
         )
+
+
+# -- file-granular scoped merge ---------------------------------------------
+
+
+def _per_year_files_df(spark):
+    """One dir, one FILE per year band: 5 explicit parallelize slices
+    (partition i = year i) — deterministic file/key ranges. (A union of
+    coalesce(1) pieces does NOT work: Catalyst collapses it back to one
+    partition.)"""
+    rows = [
+        (y * 100 + i, y, (y * 100 + i) * 2)
+        for y in range(5)
+        for i in range(10)
+    ]
+    rdd = spark.sparkContext.parallelize(rows, 5)
+    return spark.createDataFrame(rdd, "id bigint, yr bigint, val bigint")
+
+
+def test_file_granular_merge_carries_refuted_files(spark, root):
+    """A merge whose keys hit ONE file of a multi-file dir rewrites only
+    that file; the others become file entries carried byte-identical."""
+    t = VersionedTable.create(spark, root, _per_year_files_df(spark))
+    m1 = t.manifest()
+    assert len(m1.files) == 1
+    fmap = m1.stats[m1.files[0]]["files"]
+    assert len(fmap) == 5
+    mtimes = {
+        fn: os.path.getmtime(os.path.join(root, m1.files[0], fn))
+        for fn in fmap
+    }
+
+    upd = spark.createDataFrame(
+        [(405, 4, 9999)], "id bigint, yr bigint, val bigint"
+    )
+    t.merge(upd, ["id"])
+    m2 = t.manifest()
+    s = m2.summary
+    assert s["n_dirs_untouched"] == 0
+    assert s["n_files_untouched"] == 4
+    carried = [rel for rel in m2.files if rel.endswith(".parquet")]
+    assert len(carried) == 4
+    for rel in carried:
+        fn = os.path.basename(rel)
+        assert os.path.getmtime(os.path.join(root, rel)) == mtimes[fn]
+    # Values: one row updated, everything else intact.
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got[405] == 9999 and got[404] == 808 and len(got) == 50
+    # Predicated reads and later merges work over file entries too.
+    assert t.read(predicates=[("id", "<", 100)]).count() == 10
+    t.merge(
+        spark.createDataFrame(
+            [(103, 1, 7)], "id bigint, yr bigint, val bigint"
+        ),
+        ["id"],
+    )
+    got2 = {r.id: r.val for r in t.read().collect()}
+    assert got2[103] == 7 and got2[405] == 9999 and len(got2) == 50
+
+
+def test_file_granular_merge_all_files_refuted_is_untouched(spark, root):
+    """If the dir envelope matches but EVERY file refutes, the entry is
+    reclassified untouched — no read, no rewrite."""
+    # Two files: [0,10) and [500,510); envelope [0,510) matches key 200.
+    rows = [(i, "x") for i in range(10)] + [
+        (i, "x") for i in range(500, 510)
+    ]
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2), "id bigint, v string"
+        ),
+    )
+    t.append(
+        spark.createDataFrame([(200, "mid")], "id bigint, v string")
+    )
+    t.merge(
+        spark.createDataFrame([(200, "MID")], "id bigint, v string"),
+        ["id"],
+    )
+    s = t.manifest().summary
+    assert s["n_dirs_untouched"] == 1  # the two-file dir, via its files
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[200] == "MID" and got[0] == "x" and len(got) == 21
+
+
+def test_file_entries_survive_compact_and_vacuum(spark, root):
+    t = VersionedTable.create(spark, root, _per_year_files_df(spark))
+    t.merge(
+        spark.createDataFrame(
+            [(101, 1, 5)], "id bigint, yr bigint, val bigint"
+        ),
+        ["id"],
+    )
+    assert t.manifest().summary["n_files_untouched"] == 4
+    t.expire_versions(keep_last=1)
+    t.vacuum()  # carried files keep their uuid dir alive
+    assert t.read().count() == 50
+    t.compact(num_partitions=2)  # defragments file entries
+    m = t.manifest()
+    assert not any(rel.endswith(".parquet") for rel in m.files)
+    t.expire_versions(keep_last=1)
+    t.vacuum()
+    assert t.read().count() == 50
