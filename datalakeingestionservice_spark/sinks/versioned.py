@@ -507,7 +507,9 @@ class ConditionalPutCommitProtocol(CommitProtocol):
     atomicity) it has a create-then-write window: a concurrent local
     READER could observe a partial manifest, and a hard crash (SIGKILL)
     between create and write leaves a torn file that both claims the
-    version and fails manifest parsing — recovery is deleting that file.
+    version and fails manifest parsing — readers skip torn manifests, and
+    `vacuum()` reclaims claims older than its timeout so the version
+    number un-burns and the next writer commits it.
     A failed write cleans up after itself (claim released, caller can
     retry). On POSIX filesystems prefer HardLinkCommitProtocol, which has
     neither window — this class exists to validate the protocol logic and
@@ -627,7 +629,17 @@ class VersionedTable:
         for name in sorted(os.listdir(mdir)):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(mdir, name)) as f:
-                    out.append(Manifest.from_json(f.read()))
+                    text = f.read()
+                try:
+                    out.append(Manifest.from_json(text))
+                except (json.JSONDecodeError, KeyError):
+                    # A torn manifest is an ORPHANED CLAIM: the conditional-
+                    # PUT emulation crashed between creating the name and
+                    # writing its content. It can't serve reads, so readers
+                    # skip it (seeing the table as of the last parseable
+                    # version); writers trying to claim that number conflict
+                    # until vacuum() reclaims it past the claim timeout.
+                    continue
         return out
 
     def latest_version(self) -> int:
@@ -1282,6 +1294,98 @@ class VersionedTable:
             out = out.unionByName(p)
         return out
 
+    def materialize_changes(
+        self, from_version: int = 1, to_version: int | None = None
+    ) -> dict[int, str]:
+        """Retro-write change files for LEGACY copy-on-write commits
+        (merge/delete/overwrite committed before CDF materialization, or
+        with `materialize_changes=False`) in `[from_version, to_version]`.
+
+        Each backfilled version gets the snapshot-vs-snapshot exceptAll
+        diff — exactly what batch `changes()` computes lazily for such
+        commits — written once under `changes/` and referenced from the
+        manifest, after which BOTH the batch feed and the streaming source
+        (`sources/versioned_changes.py`, which refuses feed-less COW
+        commits) serve it at scan speed. The manifest rewrite is
+        metadata-only (same data entries, same schema; summary gains
+        "cdf" / "cdf_empty") and atomic (temp + rename), so concurrent
+        readers see either the old or the new manifest, never a torn one.
+
+        An overwrite whose replacement schema can't union with its parent
+        gets "cdf_skipped" (a change feed across it is undefined), same as
+        commit-time materialization. Returns {version: change dir rel}
+        for the versions actually backfilled. Raises NoSuchVersionError
+        when a needed parent snapshot was expired."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        to_version = (
+            self.latest_version() if to_version is None else to_version
+        )
+        done: dict[int, str] = {}
+        for v in range(max(from_version, 2), to_version + 1):
+            cur = self.manifest(v)
+            if (
+                cur.operation in ("append", "create")
+                or cur.summary.get("cdf")
+                or cur.summary.get("cdf_empty")
+                or cur.summary.get("cdf_skipped")
+            ):
+                continue
+            schema = StructType.fromDDL(cur.schema_ddl)
+            summary = dict(cur.summary)
+            try:
+                before = _conform(self.read(v - 1), schema)
+                after = _conform(self.read(v), schema)
+                diff = (
+                    after.exceptAll(before)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .unionByName(
+                        before.exceptAll(after).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                )
+                rel = self._write_cdf(diff)
+            except AnalysisException as e:
+                summary["cdf_skipped"] = (
+                    f"parent schema not unionable: {e}"[:500]
+                )
+            else:
+                # An empty diff (data-preserving legacy commit) records the
+                # commit as provably change-free — footer row counts, no
+                # data scan; the rowless dir is left for vacuum.
+                if _collect_dir_stats(
+                    os.path.join(self.root, rel)
+                )["rows"] > 0:
+                    summary["cdf"] = rel
+                    done[v] = rel
+                else:
+                    summary["cdf_empty"] = True
+            self._rewrite_manifest_summary(cur, summary)
+        return done
+
+    def _rewrite_manifest_summary(self, m: Manifest, summary: dict) -> None:
+        """Atomically replace a committed manifest with a copy whose ONLY
+        difference is its summary (metadata annotation, e.g. a backfilled
+        change-file reference) — data entries, schema, and version are
+        untouched, so snapshot immutability holds for readers."""
+        new = Manifest(
+            version=m.version,
+            operation=m.operation,
+            files=m.files,
+            schema_ddl=m.schema_ddl,
+            committed_at=m.committed_at,
+            summary=summary,
+            stats=m.stats,
+            partition_by=m.partition_by,
+        )
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(new.to_json())
+        os.replace(tmp, os.path.join(mdir, _manifest_name(m.version)))
+
     # -- maintenance -------------------------------------------------------
     def compact(
         self,
@@ -1338,11 +1442,42 @@ class VersionedTable:
             )
         return [m.version for m in expired]
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, claim_timeout_s: float | None = 3600.0) -> list[str]:
         """Delete data dirs (and materialized change dirs) referenced by NO
         surviving manifest — orphans from crashed writers and data expired
-        via expire_versions."""
+        via expire_versions.
+
+        Also reclaims ORPHANED VERSION CLAIMS: a writer that hard-crashed
+        between claiming a version (conditional-PUT create) and publishing
+        its manifest content leaves a torn manifest file that conflicts
+        every later writer out of that version number. Torn manifests older
+        than `claim_timeout_s` (measured by file mtime, so an in-flight
+        writer's sub-second window is never touched at the default 1 h) are
+        deleted, un-burning the version — the next commit claims it
+        normally. Pass None to disable reclamation."""
         import shutil
+        import time
+
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        reclaimed: list[str] = []
+        if claim_timeout_s is not None:
+            now = time.time()
+            for name in sorted(os.listdir(mdir)):
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                path = os.path.join(mdir, name)
+                try:
+                    with open(path) as f:
+                        Manifest.from_json(f.read())
+                    continue  # parseable: a real committed version
+                except (json.JSONDecodeError, KeyError, OSError):
+                    pass
+                try:
+                    if now - os.path.getmtime(path) >= claim_timeout_s:
+                        os.remove(path)
+                        reclaimed.append(os.path.join(_MANIFEST_DIR, name))
+                except OSError:
+                    continue  # raced with the claiming writer; leave it
 
         manifests = self.versions()
         # An entry may be a whole data dir, a partition LEAF inside one, or
@@ -1370,7 +1505,7 @@ class VersionedTable:
                 if rel not in referenced:
                     shutil.rmtree(os.path.join(sub_root, name))
                     removed.append(os.path.join(sub, name))
-        return removed
+        return reclaimed + removed
 
     # -- internals ---------------------------------------------------------
     def _write_cdf(self, df: DataFrame) -> str:

@@ -166,8 +166,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"version {v} is a {cur.operation!r} commit without "
                     "materialized change files (written before CDF "
-                    "materialization); use VersionedTable.changes() for "
-                    "this range"
+                    "materialization); backfill with "
+                    "VersionedTable.materialize_changes() or use the "
+                    "batch VersionedTable.changes() for this range"
                 )
         return parts
 

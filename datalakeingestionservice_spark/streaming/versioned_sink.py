@@ -42,22 +42,71 @@ def _marker_path(table_root: str, stream_name: str) -> str:
     return os.path.join(table_root, _STREAMS_DIR, stream_name)
 
 
-def _read_high_water(table_root: str, stream_name: str) -> int | None:
+def _read_high_water(
+    table_root: str, stream_name: str
+) -> tuple[int, int] | None:
+    """(last committed epoch, table version that commit produced).
+
+    The version is the INDEX that keeps replay checks O(1): an epoch above
+    the marker can only have committed AFTER the marker's version (epochs
+    are monotonic per checkpoint), so the tag scan reads just the
+    manifests newer than it — normally zero or one — instead of the whole
+    version history. Markers written before the index existed carry only
+    the epoch; they read as version 0, i.e. one full scan, after which the
+    next marker write upgrades them."""
     try:
         with open(_marker_path(table_root, stream_name)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+            parts = f.read().split()
+        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else 0)
+    except (OSError, ValueError, IndexError):
         return None
 
 
-def _write_high_water(table_root: str, stream_name: str, epoch: int) -> None:
+def _write_high_water(
+    table_root: str, stream_name: str, epoch: int, version: int
+) -> None:
     """Atomic (temp + rename) so readers never see a torn marker."""
     d = os.path.join(table_root, _STREAMS_DIR)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".{stream_name}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
-        f.write(str(epoch))
+        f.write(f"{epoch} {version}")
     os.replace(tmp, _marker_path(table_root, stream_name))
+
+
+def _find_epoch_version(
+    table_root: str, stream_name: str, epoch: int, after_version: int
+) -> int | None:
+    """Version carrying this (stream, epoch) tag among manifests NEWER
+    than `after_version`, else None. Reads only those manifests — the
+    marker's version bound makes this O(commits since the last marker
+    write), not O(table history), at high commit rates."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _MANIFEST_DIR,
+        Manifest,
+        _manifest_name,
+    )
+
+    mdir = os.path.join(table_root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    floor = _manifest_name(after_version)
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        if name <= floor:
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = Manifest.from_json(f.read())
+        except (OSError, ValueError, KeyError):
+            continue  # torn claim; not a committed version
+        if (
+            m.summary.get("stream") == stream_name
+            and m.summary.get("epoch") == epoch
+        ):
+            return m.version
+    return None
 
 
 def make_versioned_batch_committer(
@@ -80,28 +129,27 @@ def make_versioned_batch_committer(
         spark = batch_df.sparkSession
         tag = {"stream": stream_name, "epoch": batch_id}
         high_water = _read_high_water(table_root, stream_name)
-        if high_water is not None and batch_id <= high_water:
+        if high_water is not None and batch_id <= high_water[0]:
             return  # epoch already committed; replay after crash/expiry
         try:
             table = VersionedTable(spark, table_root)
         except NoSuchVersionError:
             VersionedTable.create(spark, table_root, batch_df, summary=tag)
-            _write_high_water(table_root, stream_name, batch_id)
+            _write_high_water(table_root, stream_name, batch_id, 1)
             return
-        already = any(
-            m.summary.get("stream") == stream_name
-            and m.summary.get("epoch") == batch_id
-            for m in table.versions()
+        # Tag scan bounded by the marker's version index: only manifests
+        # committed after it can carry a not-yet-marked epoch, so the
+        # common replay path (crash between commit and marker write)
+        # inspects one manifest, flat in the table's version count.
+        after_v = high_water[1] if high_water is not None else 0
+        version = _find_epoch_version(
+            table_root, stream_name, batch_id, after_v
         )
-        if not already:
-            table.append(batch_df, summary=tag)
+        if version is None:
+            version = table.append(batch_df, summary=tag)
         # Heal the marker either way: a crash between commit and marker
         # write leaves the tag as the only record of this epoch.
-        _write_high_water(
-            table_root,
-            stream_name,
-            max(batch_id, high_water if high_water is not None else -1),
-        )
+        _write_high_water(table_root, stream_name, batch_id, version)
 
     return commit_batch
 

@@ -221,3 +221,50 @@ def test_schema_evolution_after_stream_start_fails_fast(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="restart the stream"):
         reader.partitions({"version": 0}, {"version": t.latest_version()})
+
+
+def test_backfill_makes_legacy_table_streamable(spark, tmp_path):
+    """A table written with materialize_changes=False (or before CDF
+    materialization existed) can't stream its COW commits; after
+    VersionedTable.materialize_changes() backfills the change files, the
+    streaming source serves the FULL history, identical to the batch
+    changes() feed."""
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a"), (2, "b")]),
+        materialize_changes=False,
+    )
+    t.delete_where(F.col("id") == 1)
+    t.merge(_df(spark, [(2, "B"), (3, "c")]), ["id"])
+    t.append(_df(spark, [(4, "d")]))
+
+    # Before the backfill the stream fails fast on the first COW commit.
+    q = _start(spark, root, "feed_bf0", str(tmp_path / "ck0"))
+    deadline = time.time() + 90
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    assert not q.isActive
+    assert "materialize_changes" in str(q.exception())
+
+    done = t.materialize_changes()
+    assert set(done) == {2, 3}  # delete + merge; append needs no cdf
+    # Idempotent: a second pass finds nothing to do.
+    assert t.materialize_changes() == {}
+
+    batch = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in t.changes(1).collect()
+    }
+    q = _start(
+        spark, root, "feed_bf", str(tmp_path / "ck1"), start_version="1"
+    )
+    try:
+        _wait_count(spark, "feed_bf", len(batch))
+    finally:
+        q.stop()
+    streamed = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM feed_bf").collect()
+    }
+    assert streamed == batch
+    assert (2, "b", "delete", 3) in streamed  # merge preimage made it

@@ -688,3 +688,82 @@ def test_predicated_read_conforms_to_evolved_schema(spark, root):
     assert t.read(predicates=[("id", "<=", 10)]).filter(
         F.col("extra") > 0
     ).count() == 0
+
+
+def test_orphan_claim_reclaimed_by_vacuum(spark, root):
+    """A writer hard-crashed between claiming a version (conditional-PUT
+    create) and publishing the manifest content: readers skip the torn
+    manifest, later writers conflict out of that number, and vacuum()
+    reclaims the claim past its timeout so the NEXT writer commits it."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _MANIFEST_DIR,
+        ConditionalPutCommitProtocol,
+        _manifest_name,
+    )
+
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a")]),
+        commit_protocol=ConditionalPutCommitProtocol(),
+    )
+    t.append(_df(spark, [(2, "b")]))
+    # Simulate the crash: the claim for v3 exists with torn (empty) content.
+    torn = os.path.join(root, _MANIFEST_DIR, _manifest_name(3))
+    with open(torn, "w") as f:
+        f.write("")
+    # Readers skip the torn claim and see the table as of v2.
+    assert t.latest_version() == 2
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    # A writer cannot commit v3 while the claim is live.
+    with pytest.raises(ConcurrentCommitError):
+        t.append(_df(spark, [(3, "c")]), max_retries=1)
+    # Within the timeout the claim is NOT reclaimed (in-flight writer);
+    # the failed append's orphaned data dir is collected as usual.
+    assert not any(
+        _MANIFEST_DIR in r for r in t.vacuum(claim_timeout_s=3600.0)
+    )
+    assert os.path.exists(torn)
+    # Past the timeout vacuum un-burns the version number...
+    reclaimed = t.vacuum(claim_timeout_s=0.0)
+    assert any(r.endswith(_manifest_name(3)) for r in reclaimed)
+    assert not os.path.exists(torn)
+    # ...and the next writer commits exactly that version.
+    assert t.append(_df(spark, [(3, "c")])) == 3
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_materialize_changes_backfill_matches_lazy_diff(spark, root):
+    """Backfilled change files must replay exactly like the lazy exceptAll
+    diff they replace, and a data-preserving legacy commit backfills to
+    cdf_empty (no unreadable empty parquet dir)."""
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        materialize_changes=False,
+    )
+    t.merge(_df(spark, [(2, "B"), (4, "d")]), ["id"])
+    lazy = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in t.changes(1).collect()
+    }
+    # A no-op merge: upsert a row to its existing value — the exceptAll
+    # diff is empty, so backfill records cdf_empty.
+    t.merge(_df(spark, [(4, "d")]), ["id"])
+
+    done = t.materialize_changes()
+    assert set(done) == {2}
+    m2, m3 = t.manifest(2), t.manifest(3)
+    assert m2.summary.get("cdf") and not m3.summary.get("cdf")
+    assert m3.summary.get("cdf_empty") is True
+    # Data entries / schema / version untouched by the manifest rewrite.
+    assert m2.operation == "merge" and m2.version == 2
+
+    materialized = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in t.changes(1, 2).collect()
+    }
+    assert materialized == lazy
+    # Vacuum keeps the backfilled change dirs (referenced by manifests).
+    t.vacuum()
+    assert {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in t.changes(1, 2).collect()
+    } == lazy
