@@ -133,3 +133,80 @@ def test_restart_from_checkpoint_no_duplicates(spark, tmp_path):
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)), "duplicate events after restart"
     assert sorted(ids) == list(range(len(ids))), "gap in resumed stream"
+
+
+def test_epoch_index_bounds_replay_scan(spark, tmp_path, monkeypatch):
+    """The high-water marker stores the VERSION its epoch produced; a
+    replay check (crash between commit and marker write) then parses only
+    manifests newer than that version — flat in the table's history, not
+    O(versions) per micro-batch at high commit rates."""
+    from datalakeingestionservice_spark.sinks.versioned import Manifest
+
+    root = str(tmp_path / "vt")
+    commit = make_versioned_batch_committer(root, "s1")
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    for e in range(12):
+        commit(df, e)  # versions 1..12, marker (11, 12)
+
+    # Crash window: epoch 12's append committed (v13) but the marker write
+    # never happened.
+    t = VersionedTable(spark, root)
+    t.append(df, summary={"stream": "s1", "epoch": 12})
+
+    orig = Manifest.from_json
+    calls = {"n": 0}
+
+    def counting(text):
+        calls["n"] += 1
+        return orig(text)
+
+    monkeypatch.setattr(Manifest, "from_json", staticmethod(counting))
+    commit(df, 12)  # checkpoint replay of the crashed epoch
+    monkeypatch.undo()
+
+    t = VersionedTable(spark, root)
+    assert t.latest_version() == 13  # no duplicate version
+    assert t.read().count() == 13
+    # The replay parsed ONLY the manifests past the marker's version
+    # (v13), not all 13.
+    assert calls["n"] <= 2, calls["n"]
+    from datalakeingestionservice_spark.streaming.versioned_sink import (
+        _read_high_water,
+    )
+
+    assert _read_high_water(root, "s1") == (12, 13)  # marker healed
+
+
+def test_legacy_epoch_only_marker_still_protects(spark, tmp_path):
+    """Markers written before the version index carry only the epoch; they
+    must keep exactly-once semantics (one full scan, then upgraded)."""
+    import os
+
+    from datalakeingestionservice_spark.streaming.versioned_sink import (
+        _marker_path,
+        _read_high_water,
+    )
+
+    root = str(tmp_path / "vt")
+    commit = make_versioned_batch_committer(root, "s1")
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    commit(df, 0)
+    commit(df, 1)
+    # Downgrade the marker to the legacy single-int format.
+    with open(_marker_path(root, "s1"), "w") as f:
+        f.write("1")
+    assert _read_high_water(root, "s1") == (1, 0)
+    commit(df, 1)  # replay below the marker: no-op
+    assert VersionedTable(spark, root).latest_version() == 2
+
+    # Crash window under a legacy marker: epoch 2 committed, marker stale.
+    VersionedTable(spark, root).append(
+        df, summary={"stream": "s1", "epoch": 2}
+    )
+    with open(_marker_path(root, "s1"), "w") as f:
+        f.write("1")
+    commit(df, 2)  # full scan (version bound 0) finds the tag
+    t = VersionedTable(spark, root)
+    assert t.latest_version() == 3 and t.read().count() == 3
+    assert _read_high_water(root, "s1") == (2, 3)  # upgraded format
+    assert os.path.exists(_marker_path(root, "s1"))
