@@ -868,25 +868,57 @@ def q21_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q22 — approximate aggregates (100 TB posture; engine-specific sketches, so
-# rows-only check — HLL/KLL implementations differ across engines by design).
+# q22 — approximate aggregates (100 TB posture). Sketch OUTPUTS are
+# engine-specific (HLL/KLL implementations differ by design), so the query
+# returns BOUNDED-ERROR BOOLEANS — |approx − exact| / exact ≤ ε per group,
+# with the exact side computed in the same plan — and the oracle computes
+# the exact aggregates and asserts TRUE. That turns the former rows-only
+# entry into a real value-checked one: a broken sketch (or a silently wrong
+# exact baseline) flips a boolean and fails the hash compare.
 # ---------------------------------------------------------------------------
 @register(
     "q22_approx_aggregates",
-    oracle=None,
     tags=("approx", "sketch"),
+    oracle="""
+SELECT l_returnflag,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_p50_ok,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
 )
 def q22_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) + approx percentile (KLL-ish):
-    the sketches that replace exact distinct/percentile at 100 TB."""
+    """approx_count_distinct (HyperLogLog++, rsd 2%) + percentile_approx
+    (KLL-ish, accuracy 1000): the sketches that replace exact
+    distinct/percentile at 100 TB, pinned to a 5% relative-error envelope
+    against the exact aggregates computed alongside (well above both
+    sketches' configured error, so the check is deterministic)."""
     env = Env(spark, sf_dir)
-    return (
+    eps = 0.05
+    agg = (
         env.t("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_acd"),
+            F.countDistinct("l_partkey").alias("_cd"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_ap50"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("_p50"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag")
     )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("_acd") - F.col("_cd"))
+            <= F.lit(eps) * F.col("_cd")
+        ).alias("approx_parts_ok"),
+        (
+            F.abs(F.col("_ap50") - F.col("_p50"))
+            <= F.lit(eps) * F.col("_p50")
+        ).alias("approx_p50_ok"),
+        "n",
+    ).orderBy("l_returnflag")

@@ -29,7 +29,6 @@ def test_driver_contract_shapes():
     # Rows-only ops are the deliberate exceptions:
     rows_only = set(queries) - set(oracles)
     assert rows_only == {
-        "q22_approx_aggregates",
         "q46_minhash_lsh_neardup",
         "q55_multimodal_decode_features",
         "q57_multimodal_frame_sample",
