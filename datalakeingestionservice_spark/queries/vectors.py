@@ -453,53 +453,135 @@ def q54_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q55 — multimodal decode/feature-extract via mapInPandas (Arrow-batched).
+# q55 — multimodal decode → resize → feature-extract, REAL kernels end to
+# end: deterministic P6 PPM images synthesized per doc_id (encoder), parsed
+# by an independent decoder, nearest-neighbor-resized, re-decoded — all
+# numpy inside mapInPandas. Every output is integer arithmetic on doc_id,
+# so the DuckDB oracle value-checks the whole chain in closed form.
 # ---------------------------------------------------------------------------
 @register(
     "q55_multimodal_decode_features",
-    oracle=None,
     tags=("multimodal", "pandas-udf"),
+    oracle="""
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       CAST(3 + doc_id % 7 AS INTEGER) AS height,
+       3 AS n_channels,
+       CAST(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))
+            * (4 + doc_id % 13) * (3 + doc_id % 7) AS BIGINT) AS px_sum,
+       CAST(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))
+            * 48 AS BIGINT) AS resized_px_sum
+FROM documents
+ORDER BY doc_id
+""",
 )
 def q55_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode/feature-extract stage: binary payloads -> per-item features
-    through `mapInPandas` (Arrow batches, schema-stable). The codec itself is a
-    deterministic stand-in (real image/audio libs are stubbed — see
-    operators/multimodal.py); the Spark plumbing (batching, schema, partition
-    parallelism) is the real thing."""
+    """decode → resize → features with the codec-free REAL kernels
+    (operators/multimodal.py `ppm_decoder` / `resize_ppm`): each doc gets a
+    solid-color PPM whose dims and color derive from doc_id, the decoder
+    re-derives them by actually parsing the bytes, and an 8×6
+    nearest-neighbor resize is re-decoded to prove the full chain. Solid
+    color makes every feature an exact integer (px_sum = (r+g+b)·w·h), so
+    the oracle checks values, not just shapes — upgraded from the
+    rows-only entry the stubbed codecs used to force."""
+    import pandas as pd
+
     from datalakeingestionservice_spark.operators.multimodal import (
         decode_features,
+        encode_ppm,
+        ppm_decoder,
+        resize_images,
+        resize_ppm,
     )
 
     env = Env(spark, sf_dir)
-    blobs = env.t("documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    docs = env.t("documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_ppm(
+                    4 + int(d) % 13,
+                    3 + int(d) % 7,
+                    (int(d) % 256, int(d) * 7 % 256, int(d) * 13 % 256),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    feats = decode_features(blobs, decoder=ppm_decoder).select(
+        "doc_id", "width", "height", "n_channels", "px_sum"
     )
-    return decode_features(blobs, id_col="doc_id", payload_col="payload").orderBy(
-        "doc_id"
+    resized = resize_images(blobs, 8, 6, kernel=resize_ppm)
+    rfeats = decode_features(resized, decoder=ppm_decoder).select(
+        "doc_id", F.col("px_sum").alias("resized_px_sum")
     )
+    return feats.join(rfeats, "doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
-# q57 — multimodal frame sampling (1 -> N fan-out through mapInPandas).
+# q57 — multimodal frame sampling (1 -> N fan-out through mapInPandas),
+# REAL container: V8 raw grayscale frames demuxed by header parsing, frame
+# sums integer-exact, closed-form oracle.
 # ---------------------------------------------------------------------------
 @register(
     "q57_multimodal_frame_sample",
-    oracle=None,
     tags=("multimodal", "pandas-udf", "video"),
+    oracle="""
+SELECT doc_id,
+       k AS frame_idx,
+       CAST(20 AS BIGINT) AS frame_bytes,
+       CAST(((doc_id * 3 + k) % 251) * 20 AS BIGINT) AS frame_sum
+FROM documents, (VALUES (0), (2), (4), (6)) AS t(k)
+ORDER BY doc_id, frame_idx
+""",
 )
 def q57_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling: each binary payload fans out to every-10th
-    'frame' row (capped), via mapInPandas — output batches decoupled from
-    input rows. Chunker is the deterministic codec stand-in
-    (operators/multimodal.py); the fan-out plumbing is real."""
-    from datalakeingestionservice_spark.operators.multimodal import sample_frames
+    """Video frame sampling with the REAL demuxer
+    (operators/multimodal.py `parse_video_frames`): each doc gets an
+    8-frame 5×4 grayscale V8 payload (frame k solid at (doc_id·3+k) mod
+    251), the sampler parses the container and keeps every 2nd frame
+    capped at 4, and frame sums are exact integers the oracle re-derives
+    per (doc_id, k) — value-checked, not rows-only."""
+    import pandas as pd
+
+    from datalakeingestionservice_spark.operators.multimodal import (
+        encode_video,
+        parse_video_frames,
+        sample_frames,
+    )
 
     env = Env(spark, sf_dir)
-    blobs = env.t("documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
-    return sample_frames(blobs, every_n=2, max_frames=4).orderBy(
-        "doc_id", "frame_idx"
+    docs = env.t("documents").select("doc_id")
+    w, h, n_frames = 5, 4, 8
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_video(
+                    w,
+                    h,
+                    [
+                        bytes([(int(d) * 3 + k) % 251]) * (w * h)
+                        for k in range(n_frames)
+                    ],
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return (
+        sample_frames(
+            blobs, every_n=2, max_frames=4, frame_parser=parse_video_frames
+        )
+        .select("doc_id", "frame_idx", "frame_bytes", "frame_sum")
+        .orderBy("doc_id", "frame_idx")
     )
 
 

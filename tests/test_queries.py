@@ -28,11 +28,7 @@ def test_driver_contract_shapes():
     assert set(oracles) <= set(queries)
     # Rows-only ops are the deliberate exceptions:
     rows_only = set(queries) - set(oracles)
-    assert rows_only == {
-        "q46_minhash_lsh_neardup",
-        "q55_multimodal_decode_features",
-        "q57_multimodal_frame_sample",
-    }
+    assert rows_only == {"q46_minhash_lsh_neardup"}
 
 
 def test_entry_returns_rows(spark):
