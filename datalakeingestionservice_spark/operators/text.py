@@ -112,9 +112,27 @@ def bm25_rank(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 20,
+    require_all: bool = False,
+    phrase: list[str] | None = None,
+    fields: list[tuple[str, float]] | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance ranking of documents against a bag of query
     terms (Lucene's idf variant: ln(1 + (N - df + .5)/(df + .5))).
+
+    Retrieval semantics (all composable, all inside the tokenize-once
+    projection — no extra scan or shuffle):
+
+    - `require_all=True`: AND semantics — a doc must contain EVERY query
+      term (default is the classic OR: any match scores).
+    - `phrase=[t1, t2, ...]`: the doc's PRIMARY field must contain the
+      terms consecutively (checked on the normalized token stream, so
+      punctuation/case can't break a match). Constraint only — scoring
+      stays per-term BM25, like a `"phrase"` filter over a bag query.
+    - `fields=[(col, weight), ...]`: BM25F-style weighted-field scoring
+      (Robertson's weighted concatenation): tf_i = Σ_f w_f·tf_{f,i} and
+      dl = Σ_f w_f·len_f share one length normalization, so a hit in a
+      weight-3 title counts triple without triple-counting idf. The first
+      field is the primary one for `phrase`. Default: [(text_col, 1.0)].
 
     Scale shape: NO data-sized shuffle at all. The query bag is a small
     known list, so per-term tf becomes |query| counter columns in a
@@ -133,22 +151,41 @@ def bm25_rank(
     from pyspark.sql.functions import broadcast
 
     terms = list(dict.fromkeys(query_terms))  # dedup: no double-counting
-    toks_arr = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
-    )
-    base = df.select(
-        F.col(id_col),
-        F.size(toks_arr).alias("dl"),
-        # NB: single-arg lambda only — a second (defaulted) parameter makes
-        # PySpark pick filter's (element, index) variant. The loop variable
-        # is safe to close over: F.filter evaluates the lambda eagerly.
-        *[
-            F.size(
-                F.filter(toks_arr, lambda t: t == F.lit(term))
-            ).alias(f"tf_{i}")
-            for i, term in enumerate(terms)
-        ],
-    )
+    field_specs = list(fields) if fields else [(text_col, 1.0)]
+
+    def toks(col: str):
+        return F.filter(
+            F.split(F.lower(F.col(col)), "[^a-z]+"), lambda t: t != ""
+        )
+
+    tok_arrs = [toks(c) for c, _ in field_specs]
+    dl = None
+    for arr, (_, w) in zip(tok_arrs, field_specs):
+        piece = F.lit(w) * F.size(arr)
+        dl = piece if dl is None else dl + piece
+    proj = [F.col(id_col), dl.alias("dl")]
+    # NB: single-arg lambda only — a second (defaulted) parameter makes
+    # PySpark pick filter's (element, index) variant. The loop variable
+    # is safe to close over: F.filter evaluates the lambda eagerly.
+    for i, term in enumerate(terms):
+        tf = None
+        for arr, (_, w) in zip(tok_arrs, field_specs):
+            piece = F.lit(w) * F.size(
+                F.filter(arr, lambda t: t == F.lit(term))
+            )
+            tf = piece if tf is None else tf + piece
+        proj.append(tf.alias(f"tf_{i}"))
+    if phrase:
+        # Normalized token stream of the primary field, space-joined and
+        # space-padded: a consecutive-token match is a substring match.
+        proj.append(
+            F.concat(
+                F.lit(" "), F.array_join(tok_arrs[0], " "), F.lit(" ")
+            )
+            .contains(" " + " ".join(phrase) + " ")
+            .alias("phrase_ok")
+        )
+    base = df.select(*proj)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -170,9 +207,15 @@ def bm25_rank(
         )
 
     raw = sum((term_score(i) for i in range(len(terms))), F.lit(0.0))
+    cond = raw > 0  # keep only docs matching >= 1 query term
+    if require_all:
+        for i in range(len(terms)):
+            cond = cond & (F.col(f"tf_{i}") > 0)
+    if phrase:
+        cond = cond & F.col("phrase_ok")
     return (
         base.crossJoin(broadcast(stats))
-        .filter(raw > 0)  # keep only docs matching >= 1 query term
+        .filter(cond)
         .select(F.col(id_col), F.round(raw, 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)

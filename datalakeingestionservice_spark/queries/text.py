@@ -675,3 +675,146 @@ def q118_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(
         env.t("documents"), ["spark", "vector", "stream"], top_k=20
     )
+
+
+@register(
+    "q125_bm25_phrase_and",
+    tags=("text", "search", "bm25", "phrase", "ranking"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS dl
+  FROM documents
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('big', 'data', 'vector')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+hasall AS (
+  SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 3
+),
+norm AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> ''), ' ') || ' ' AS stream
+  FROM documents
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ) AS s
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT sc.doc_id, round(s, 4) AS score
+FROM sc
+JOIN hasall ON sc.doc_id = hasall.doc_id
+JOIN norm ON sc.doc_id = norm.doc_id
+WHERE contains(norm.stream, ' big data ')
+ORDER BY round(s, 4) DESC, sc.doc_id
+LIMIT 20
+""",
+)
+def q125_bm25_phrase_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with AND + phrase semantics: docs must contain ALL of
+    {big, data, vector} AND the consecutive phrase "big data" (checked on
+    the normalized token stream, so punctuation can't break a match);
+    scoring stays per-term BM25. Both constraints evaluate inside the
+    tokenize-once projection — same zero-data-shuffle plan as q118, the
+    filter just tightens. idf/avgdl remain corpus-wide (a filter narrows
+    the result set, not the collection statistics), matching Lucene's
+    treatment of filter clauses."""
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    env = Env(spark, sf_dir)
+    return bm25_rank(
+        env.t("documents"),
+        ["big", "data", "vector"],
+        require_all=True,
+        phrase=["big", "data"],
+        top_k=20,
+    )
+
+
+@register(
+    "q126_bm25f_field_weights",
+    tags=("text", "search", "bm25", "fields", "ranking"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS tt
+  FROM documents
+),
+f AS (SELECT doc_id, tt, list_slice(tt, 1, 5) AS title FROM toks),
+feat AS (
+  SELECT doc_id,
+         2.0 * len(title) + 1.0 * len(tt) AS dl,
+         2.0 * len(list_filter(title, x -> x = 'spark'))
+           + 1.0 * len(list_filter(tt, x -> x = 'spark')) AS tf0,
+         2.0 * len(list_filter(title, x -> x = 'vector'))
+           + 1.0 * len(list_filter(tt, x -> x = 'vector')) AS tf1
+  FROM f
+),
+st AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS dft0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS dft1
+  FROM feat
+),
+sc AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - dft0 + 0.5) / (dft0 + 0.5))
+           * (tf0 * (1.2 + 1))
+           / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1.0 + (n_docs - dft1 + 0.5) / (dft1 + 0.5))
+           * (tf1 * (1.2 + 1))
+           / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+  FROM feat CROSS JOIN st
+)
+SELECT doc_id, round(s, 4) AS score
+FROM sc
+WHERE s > 0
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20
+""",
+)
+def q126_bm25f_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F-style weighted fields (Robertson's weighted concatenation): a
+    synthetic title (the doc's first 5 tokens) at weight 2 plus the body at
+    weight 1 share ONE length normalization — a title hit counts double
+    without double-counting idf. The weighted tf/dl fold into the same
+    tokenize-once projection and 1-row broadcast stats aggregate as q118;
+    field weighting adds zero shuffles."""
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    env = Env(spark, sf_dir)
+    wtoks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    docs = env.t("documents").withColumn(
+        "title", F.array_join(F.slice(wtoks, 1, 5), " ")
+    )
+    return bm25_rank(
+        docs,
+        ["spark", "vector"],
+        fields=[("title", 2.0), ("text", 1.0)],
+        top_k=20,
+    )

@@ -348,3 +348,72 @@ def test_jaccard_grouped_strategy_equals_join(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         jaccard_pairs(sh, strategy="nope")
+
+
+def test_bm25_require_all_and_phrase(spark):
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data vector engines"),      # all terms + phrase
+            (2, "data big vector"),               # all terms, NO phrase
+            (3, "big data lake"),                 # phrase, missing 'vector'
+            (4, "Big, Data! vector"),             # punctuation can't break it
+            (5, "bigger database vector"),        # substrings must not match
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = ["big", "data", "vector"]
+    assert {
+        r.doc_id for r in bm25_rank(docs, terms, require_all=True).collect()
+    } == {1, 2, 4}
+    assert {
+        r.doc_id
+        for r in bm25_rank(docs, terms, phrase=["big", "data"]).collect()
+    } == {1, 3, 4}
+    assert {
+        r.doc_id
+        for r in bm25_rank(
+            docs, terms, require_all=True, phrase=["big", "data"]
+        ).collect()
+    } == {1, 4}
+    # OR baseline still matches any-term docs (5 tokenizes to 'bigger',
+    # 'database' — substrings of query terms must not count).
+    assert {r.doc_id for r in bm25_rank(docs, terms).collect()} == {
+        1, 2, 3, 4, 5,
+    }  # doc 5 matches via the standalone token 'vector' only
+
+
+def test_bm25f_field_weights_shift_ranking(spark):
+    import math
+
+    from datalakeingestionservice_spark.operators.text import bm25_rank
+
+    # Same body length; doc 2 has the term in its (short) title field.
+    docs = spark.createDataFrame(
+        [
+            (1, "apple", "pear plum cherry"),
+            (2, "other", "apple plum cherry"),
+        ],
+        "doc_id bigint, title string, text string",
+    )
+    rows = {
+        r.doc_id: r.score
+        for r in bm25_rank(
+            docs, ["apple"], fields=[("title", 3.0), ("text", 1.0)]
+        ).collect()
+    }
+    # Hand formula: dl = 3*len(title) + len(text); tf weighted the same.
+    n_docs, k1, b = 2, 1.2, 0.75
+    dls = {1: 3 * 1 + 3, 2: 3 * 1 + 3}
+    avgdl = sum(dls.values()) / 2
+    idf = math.log(1.0 + (n_docs - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return round(
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 4
+        )
+
+    assert rows[1] == score(3.0, dls[1])  # title hit, weight 3
+    assert rows[2] == score(1.0, dls[2])  # body hit, weight 1
+    assert rows[1] > rows[2]
