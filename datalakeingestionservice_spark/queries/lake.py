@@ -595,3 +595,98 @@ def q124_file_scoped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(m.summary["n_files_untouched"]).cast("long"),
         )
     )
+
+
+@register(
+    "q127_incremental_mv_minmax",
+    tags=("lake", "materialized-view", "incremental", "minmax", "cdc"),
+    oracle="""
+WITH v4_rows AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 10 <> 1
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice - 50.0 AS p
+  FROM orders WHERE o_orderkey % 10 = 2
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(min(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM v4_rows
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q127_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view WITH min/max (partial-rebuild maintenance,
+    `sinks/incremental_view.py`): same DML gauntlet as q121 — price bump
+    on keys %10==0 (merge: preimage deletes can remove a group's stored
+    extreme), delete keys %10==1 (ditto), append discounted clones of
+    %10==2 (new min candidates fold in as `least`) — then one catch-up
+    refresh. Inserts maintain extremes incrementally; only groups whose
+    stored extreme was deleted rescan, via a key-bounded predicated read
+    + broadcast semi-join on exactly those groups. The oracle recomputes
+    count/sum/min/max from the reconstructed final snapshot, proving
+    partial rebuild == full recompute on an independent engine."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalAggView,
+    )
+
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_mvmm_{uuid.uuid4().hex}"
+    )
+    t = VersionedTable.create(spark, os.path.join(base, "src"), orders)
+
+    view = IncrementalAggView(
+        spark,
+        os.path.join(base, "src"),
+        os.path.join(base, "view"),
+        keys=["o_orderpriority"],
+        sums={"total_price": "o_totalprice"},
+        mins={"min_price": "o_totalprice"},
+        maxs={"max_price": "o_totalprice"},
+    )
+    view.refresh()  # materializes at v1
+
+    k = F.col("o_orderkey")
+    ten = F.lit(10.0).cast("decimal(18,2)")
+    fifty = F.lit(50.0).cast("decimal(18,2)")
+    t.merge(
+        orders.filter(k % 10 == 0).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + ten).cast("decimal(18,2)"),
+        ),
+        ["o_orderkey"],
+    )
+    t.delete_where(k % 10 == 1)
+    t.append(
+        orders.filter(k % 10 == 2)
+        .withColumn("o_orderkey", k + 1_000_000_000)
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") - fifty).cast("decimal(18,2)"),
+        )
+    )
+    view.refresh()  # one catch-up across all three DML versions
+
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            F.col("_n").alias("n_orders"),
+            F.col("total_price").cast("double").alias("total_price"),
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("max_price").cast("double").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

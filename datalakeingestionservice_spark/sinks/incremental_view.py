@@ -14,10 +14,15 @@ Catalyst plans:
 - apply plan: copy-on-write merge bounded by |view| = number of groups,
   which is the small side by construction.
 
-Only self-maintainable aggregates are offered: count and sum (avg = sum /
-count at read time). min/max are NOT — a delete of the current extreme
-forces a per-group rescan, which is exactly the full recompute this class
-exists to avoid; use a scheduled full rebuild for those.
+count and sum are fully self-maintainable (avg = sum / count at read
+time). min/max are maintained with a PARTIAL-REBUILD escape hatch:
+inserts fold in as least/greatest (self-maintainable), and only a delete
+that provably ties-or-beats a group's stored extreme marks THAT group
+endangered — endangered groups alone are rescanned from the source, via a
+key-bounded predicated read (partition/stats pruning engages when the
+source is laid out by the view keys) plus a broadcast semi-join on the
+exact endangered keys. Refresh cost stays ∝ changed rows + data of
+endangered groups, never ∝ table size.
 
 The refresh high-water mark (`source_version`) rides in the view table's
 commit summary, so refresh is idempotent: re-running after a crash sees the
@@ -59,6 +64,10 @@ class IncrementalAggView:
         (decimal/int) when bit-identical parity with a full recompute
         matters — float addition order differs between the incremental and
         recompute paths.
+    mins / maxs: {output_column: source_expression} tracked as per-group
+        extremes. Inserts fold in via least/greatest; a delete at the
+        stored extreme triggers a rescan of ONLY that group (see module
+        docstring). min/max ignore NULLs, exactly like SQL aggregates.
     """
 
     def __init__(
@@ -68,14 +77,28 @@ class IncrementalAggView:
         view_root: str,
         keys: list[str],
         sums: dict[str, str] | None = None,
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.source_root = source_root
         self.view_root = view_root
         self.keys = list(keys)
         self.sums = dict(sums or {})
+        #: output col -> ("min" | "max", source expression)
+        self._minmax: dict[str, tuple[str, str]] = {
+            **{c: ("min", e) for c, e in (mins or {}).items()},
+            **{c: ("max", e) for c, e in (maxs or {}).items()},
+        }
+        outputs = [
+            *self.sums,
+            *(mins or {}),
+            *(maxs or {}),
+        ]
+        if len(set(outputs)) != len(outputs):
+            raise ValueError("sum/min/max output columns must be distinct")
         reserved = {_COUNT_COL} | {f"_nn_{c}" for c in self.sums}
-        if reserved & (set(self.sums) | set(self.keys)):
+        if reserved & (set(outputs) | set(self.keys)):
             raise ValueError(
                 f"reserved column names: {sorted(reserved)} (count and "
                 "per-sum non-null counters)"
@@ -123,6 +146,9 @@ class IncrementalAggView:
                 .alias(c)
                 for c in self.sums
             ],
+            # min/max carry SQL NULL naturally (all-NULL group => NULL
+            # extreme) — no counter needed.
+            *[F.col(c) for c in self._minmax],
         )
 
     # -- maintenance --------------------------------------------------------
@@ -146,6 +172,23 @@ class IncrementalAggView:
                     F.sum(e.isNotNull().cast("long") * weight), F.lit(0)
                 ).alias(f"_nn_{out}")
             )
+        for out, (fn, expr) in self._minmax.items():
+            e = F.expr(expr)
+            if sign is None:
+                aggs.append(getattr(F, fn)(e).alias(out))
+            else:
+                # Deltas can't be signed for extremes; split by change
+                # type in the SAME single shuffle: inserted extremes fold
+                # in as least/greatest, deleted extremes only FLAG danger
+                # (min of deleted values for a min col — a delete
+                # endangers the stored extreme iff it ties or beats it).
+                is_ins = F.col("_change_type") == "insert"
+                aggs.append(
+                    getattr(F, fn)(F.when(is_ins, e)).alias(f"__ins_{out}")
+                )
+                aggs.append(
+                    getattr(F, fn)(F.when(~is_ins, e)).alias(f"__del_{out}")
+                )
         return rows.groupBy(*self.keys).agg(*aggs)
 
     def refresh(self, max_retries: int = 3) -> int | None:
@@ -201,7 +244,33 @@ class IncrementalAggView:
             *self.keys,
             F.col(_COUNT_COL).alias("__d_n"),
             *[F.col(c).alias(f"__d_{c}") for c in accs],
+            *[
+                F.col(f"__{side}_{c}")
+                for c in self._minmax
+                for side in ("ins", "del")
+            ],
         )
+
+        def provisional(c: str, fn: str):
+            # least/greatest skip NULLs: a new group takes the inserted
+            # extreme, an all-NULL insert batch keeps the stored one.
+            combine = F.least if fn == "min" else F.greatest
+            return combine(F.col(c), F.col(f"__ins_{c}"))
+
+        def endangered(c: str, fn: str):
+            # A delete endangers a stored extreme iff it ties or beats it
+            # (multiplicity is not tracked, so a tie MAY have removed the
+            # last row at the extreme — rescan decides).
+            cmp = (
+                F.col(f"__del_{c}") <= F.col(c)
+                if fn == "min"
+                else F.col(f"__del_{c}") >= F.col(c)
+            )
+            return F.col(c).isNotNull() & F.col(f"__del_{c}").isNotNull() & cmp
+
+        danger = F.lit(False)
+        for c, (fn, _) in self._minmax.items():
+            danger = danger | endangered(c, fn)
         # Affected keys only: delta drives the join, state supplies the
         # old totals (left join keeps brand-new groups).
         combined = d.join(state, self.keys, "left").select(
@@ -216,7 +285,17 @@ class IncrementalAggView:
                 ).alias(c)
                 for c in accs
             ],
+            *[
+                provisional(c, fn).alias(c)
+                for c, (fn, _) in self._minmax.items()
+            ],
+            *([danger.alias("__endangered")] if self._minmax else []),
         )
+        rescan_summary = {}
+        if self._minmax:
+            combined = self._patch_endangered(
+                combined, source, latest, rescan_summary
+            )
         # Pin every column to the STATE's existing type: old+delta
         # arithmetic widens decimals each refresh, and a type that drifts
         # per-commit both breaks schema stability and defeats the scoped
@@ -230,6 +309,7 @@ class IncrementalAggView:
                 and c.dataType != state_types[c.name]
                 else F.col(c.name)
                 for c in combined.schema.fields
+                if c.name in state_types  # drop __endangered et al.
             ]
         )
         # Groups whose count hits 0 leave the view (counting algorithm).
@@ -241,7 +321,7 @@ class IncrementalAggView:
                 upserts,
                 self.keys,
                 delete_col="__is_delete",
-                summary={"source_version": latest},
+                summary={"source_version": latest, **rescan_summary},
                 expected_version=view_version,
             )
         except ConcurrentCommitError:
@@ -251,6 +331,78 @@ class IncrementalAggView:
             # its delta; recompute from the NEW mark (usually a no-op).
             return self.refresh(max_retries=max_retries - 1)
         return latest
+
+    def _patch_endangered(
+        self,
+        combined: DataFrame,
+        source: VersionedTable,
+        latest: int,
+        rescan_summary: dict,
+    ) -> DataFrame:
+        """Replace provisional min/max of ENDANGERED groups (a delete tied
+        or beat the stored extreme) with values rescanned from the source
+        — only those groups, never the table.
+
+        The rescan read is bounded two ways: a predicated `read` on the
+        endangered keys' min/max per key column (engages partition-name /
+        footer-stat dir+file pruning — lay the source out by the view keys
+        and the rescan touches only their partitions) and a broadcast
+        semi-join on the exact keys. The endangered key set is collected
+        driver-side; it is bounded by the number of GROUPS the refresh
+        batch deleted from, which is delta-scale, not table-scale."""
+        combined = combined.localCheckpoint(eager=True)  # evaluated 2-3x
+        ek_rows = (
+            combined.filter(F.col("__endangered"))
+            .select(*self.keys)
+            .distinct()
+            .collect()
+        )
+        rescan_summary["minmax_rescan_groups"] = len(ek_rows)
+        if not ek_rows:
+            return combined.drop("__endangered")
+
+        bounds: list[tuple] = []
+        for i, k in enumerate(self.keys):
+            vals = [r[i] for r in ek_rows if r[i] is not None]
+            if len(vals) == len(ek_rows):
+                try:
+                    bounds += [(k, ">=", min(vals)), (k, "<=", max(vals))]
+                except TypeError:
+                    pass  # unorderable key type: no range bound for it
+        if bounds:
+            info = source.prune_info(bounds, latest)
+            rescan_summary["minmax_rescan_dirs_scanned"] = info["n_scanned"]
+            rescan_summary["minmax_rescan_dirs_skipped"] = info["n_skipped"]
+        keys_df = self.spark.createDataFrame(
+            ek_rows, combined.select(*self.keys).schema
+        )
+        rescan = (
+            source.read(latest, predicates=bounds or None)
+            .join(F.broadcast(keys_df), self.keys, "leftsemi")
+            .groupBy(*self.keys)
+            .agg(
+                *[
+                    getattr(F, fn)(F.expr(expr)).alias(f"__rs_{c}")
+                    for c, (fn, expr) in self._minmax.items()
+                ]
+            )
+        )
+        # A count-0 group has no rescan row (nothing left to aggregate);
+        # its NULL patch is irrelevant — the merge deletes the group.
+        patched = combined.join(rescan, self.keys, "left").select(
+            *[
+                c
+                for c in combined.columns
+                if c != "__endangered" and c not in self._minmax
+            ],
+            *[
+                F.when(F.col("__endangered"), F.col(f"__rs_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in self._minmax
+            ],
+        )
+        return patched
 
     def start_continuous_refresh(
         self,

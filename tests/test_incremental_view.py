@@ -269,3 +269,229 @@ def test_concurrent_refresh_applies_delta_exactly_once(
     view.refresh()
     monkeypatch.undo()
     assert _view_state(view) == _recompute(t)  # NOT double-applied
+
+
+# -- min/max with per-group partial rebuild ---------------------------------
+
+
+def _recompute_mm(t):
+    return {
+        (r.grp, r.n, str(r.total), str(r.lo), str(r.hi))
+        for r in t.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amt").alias("total"),
+            F.min("amt").alias("lo"),
+            F.max("amt").alias("hi"),
+        )
+        .collect()
+    }
+
+
+def _mm_view(spark, src_root, view_root):
+    return IncrementalAggView(
+        spark,
+        src_root,
+        view_root,
+        ["grp"],
+        sums={"total": "amt"},
+        mins={"lo": "amt"},
+        maxs={"hi": "amt"},
+    )
+
+
+def _view_state_mm(view):
+    return {
+        (r.grp, r._n, str(r.total), str(r.lo), str(r.hi))
+        for r in view.read().collect()
+    }
+
+
+def test_minmax_insert_only_folds_in(spark, roots):
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark, src_root,
+        _df(spark, [(1, "a", "5.00"), (2, "a", "2.00"), (3, "b", "7.00")]),
+    )
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    # New lower min + higher max + brand-new group: pure insert folding.
+    t.append(_df(spark, [(4, "a", "1.00"), (5, "a", "9.00"), (6, "c", "3.00")]))
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    # No delete happened, so no rescan must have occurred.
+    vt = VersionedTable(spark, view_root)
+    assert vt.manifest().summary.get("minmax_rescan_groups") == 0
+
+
+def test_minmax_delete_of_extreme_rescans_only_that_group(spark, roots):
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark, src_root,
+        _df(
+            spark,
+            [
+                (1, "a", "1.00"), (2, "a", "5.00"), (3, "a", "9.00"),
+                (6, "a", "7.00"),
+                (4, "b", "2.00"), (5, "b", "6.00"),
+            ],
+        ),
+    )
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    # Delete group a's current min: endangered -> rescan of group a only.
+    t.delete_where(F.col("id") == 1)
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    vt = VersionedTable(spark, view_root)
+    assert vt.manifest().summary.get("minmax_rescan_groups") == 1
+    # Delete a NON-extreme row (7.00 sits strictly inside [5, 9]): no
+    # rescan at all.
+    t.delete_where(F.col("id") == 6)
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    assert (
+        VersionedTable(spark, view_root)
+        .manifest()
+        .summary.get("minmax_rescan_groups")
+        == 0
+    )
+
+
+def test_minmax_tie_at_extreme_survives_partial_delete(spark, roots):
+    """Two rows tie at the min; deleting one must keep the extreme (the
+    rescan decides — multiplicity is not tracked)."""
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark, src_root,
+        _df(spark, [(1, "a", "1.00"), (2, "a", "1.00"), (3, "a", "4.00")]),
+    )
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    t.delete_where(F.col("id") == 1)
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)  # lo still 1.00
+
+
+def test_minmax_update_moves_extreme_both_ways(spark, roots):
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark, src_root,
+        _df(spark, [(1, "a", "1.00"), (2, "a", "5.00")]),
+    )
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    # Update the min row UP (extreme leaves) and the max row DOWN.
+    t.merge(_df(spark, [(1, "a", "3.00"), (2, "a", "2.50")]), ["id"])
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+
+
+def test_minmax_group_death_and_rebirth(spark, roots):
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark, src_root,
+        _df(spark, [(1, "a", "1.00"), (2, "b", "2.00")]),
+    )
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    t.delete_where(F.col("grp") == "a")
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    t.append(_df(spark, [(3, "a", "8.00")]))
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+
+
+def test_minmax_all_null_group_renders_null(spark, roots):
+    src_root, view_root = roots
+    rows = [(1, "a", None), (2, "a", None), (3, "b", Decimal("2.00"))]
+    t = VersionedTable.create(
+        spark, src_root,
+        spark.createDataFrame(rows, SCHEMA),
+    )
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    # NULL-valued delete never endangers (min/max ignore NULLs).
+    t.delete_where(F.col("id") == 1)
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    assert (
+        VersionedTable(spark, view_root)
+        .manifest()
+        .summary.get("minmax_rescan_groups")
+        == 0
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_minmax_random_dml_matches_recompute(spark, roots, seed):
+    src_root, view_root = roots
+    rng = random.Random(seed)
+    next_id = 10
+
+    def fresh(n):
+        nonlocal next_id
+        out = [
+            (next_id + i, rng.choice("abc"), f"{rng.randint(1, 99)}.25")
+            for i in range(n)
+        ]
+        next_id += n
+        return out
+
+    t = VersionedTable.create(spark, src_root, _df(spark, fresh(5)))
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    for _ in range(5):
+        op = rng.choice(["append", "merge", "delete"])
+        if op == "append":
+            t.append(_df(spark, fresh(rng.randint(1, 3))))
+        elif op == "merge":
+            ids = [r.id for r in t.read().select("id").collect()]
+            pick = rng.sample(ids, min(2, len(ids)))
+            t.merge(
+                _df(
+                    spark,
+                    [
+                        (i, rng.choice("abc"), f"{rng.randint(1, 99)}.50")
+                        for i in pick
+                    ],
+                ),
+                ["id"],
+            )
+        else:
+            m = rng.randint(2, 4)
+            t.delete_where(F.col("id") % m == 0)
+        if rng.random() < 0.7:
+            view.refresh()
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t), f"seed {seed}"
+
+
+def test_minmax_rescan_prunes_partitioned_source(spark, roots):
+    """Source laid out hive-style by the view key: an endangered-group
+    rescan reads ONLY that group's partition — the commit summary records
+    the other partitions as skipped (per-group, not per-table, rescans)."""
+    src_root, view_root = roots
+    rows = [
+        (i, g, f"{v}.00")
+        for g, vals in (
+            ("a", [1, 5, 9]), ("b", [2, 6]), ("c", [3, 7]), ("d", [4, 8]),
+        )
+        for i, v in [(ord(g) * 100 + j, v) for j, v in enumerate(vals)]
+    ]
+    t = VersionedTable.create(
+        spark, src_root, _df(spark, rows), partition_by=["grp"]
+    )
+    view = _mm_view(spark, src_root, view_root)
+    view.refresh()
+    # Kill group b's max (its extreme) -> rescan endangered group b only.
+    t.delete_where((F.col("grp") == "b") & (F.col("amt") == 6.00))
+    view.refresh()
+    assert _view_state_mm(view) == _recompute_mm(t)
+    s = VersionedTable(spark, view_root).manifest().summary
+    assert s.get("minmax_rescan_groups") == 1
+    assert s.get("minmax_rescan_dirs_skipped", 0) > 0
