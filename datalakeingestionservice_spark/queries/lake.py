@@ -690,3 +690,45 @@ def q127_incremental_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q128_restore_time_travel",
+    tags=("lake", "restore", "time-travel", "dml"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       CAST(3 AS BIGINT) AS final_version,
+       'restore' AS last_op
+FROM orders
+""",
+)
+def q128_restore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as a forward-moving metadata-only commit: commit orders
+    (v1), delete a tenth of it (v2), RESTORE to v1 (v3 — references v1's
+    data entries verbatim, zero rows rewritten) and also resolve v1 via
+    timestamp time travel. The restored aggregate must equal raw orders
+    exactly (oracle recomputes it), and the manifest records
+    operation='restore'. Delta-parity rollback semantics: history stays
+    auditable, downstream feeds follow via the overwrite-shaped change
+    files."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_restore_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    t = VersionedTable.create(spark, base, orders)
+    t.delete_where(F.col("o_orderkey") % 10 == 1)
+    ts1 = t.manifest(1).committed_at
+    v = t.restore(t.version_at(ts1))
+    m = t.manifest(v)
+    return t.read(v).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
+        F.lit(v).cast("long").alias("final_version"),
+        F.lit(m.operation).alias("last_op"),
+    )

@@ -62,6 +62,10 @@ class SchemaMismatchError(Exception):
     not requested, or the difference is a type conflict)."""
 
 
+class ConstraintViolationError(Exception):
+    """Incoming rows violate a table CHECK constraint; nothing commits."""
+
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 #: Materialized change files (Delta-CDF style) for copy-on-write commits:
@@ -386,6 +390,23 @@ def _conform(
     )
 
 
+def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
+    """Raise ConstraintViolationError iff any row of `df` makes any CHECK
+    expression FALSE (standard SQL CHECK: NULL passes — spell
+    `col IS NOT NULL` to forbid it). Short-circuiting limit-1 scans of
+    the INCOMING rows only, never of the table; a violation aborts before
+    any data is written."""
+    if not constraints:
+        return
+    for name, expr in constraints.items():
+        bad = df.filter(F.expr(expr) == False).limit(1).collect()  # noqa: E712
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
+                f"row {bad[0].asDict()}"
+            )
+
+
 def _predicates_to_column(predicates: list[tuple]) -> Column:
     ops = {
         "=": Column.__eq__,
@@ -419,6 +440,10 @@ class Manifest:
     #: Hive-style partition columns, fixed at create(); leaf entries carry
     #: their parsed values in stats[rel]["part_values"].
     partition_by: tuple[str, ...] = ()
+    #: CHECK constraints {name: boolean SQL expr}, enforced on every write
+    #: of new rows; carried forward per commit (missing in pre-constraint
+    #: manifests -> no constraints).
+    constraints: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -431,6 +456,7 @@ class Manifest:
                 "summary": self.summary,
                 "stats": self.stats,
                 "partition_by": list(self.partition_by),
+                "constraints": self.constraints,
             },
             indent=2,
             sort_keys=True,
@@ -448,6 +474,7 @@ class Manifest:
             summary=d.get("summary", {}),
             stats=d.get("stats", {}),
             partition_by=tuple(d.get("partition_by", ())),
+            constraints=d.get("constraints", {}),
         )
 
 
@@ -581,6 +608,8 @@ class VersionedTable:
         commit_protocol: CommitProtocol | None = None,
         materialize_changes: bool = True,
         partition_by: list[str] | None = None,
+        check_constraints: dict[str, str] | None = None,
+        not_null: list[str] | None = None,
     ) -> "VersionedTable":
         """With `partition_by`, data is laid out hive-style
         (`col=value/` leaf dirs, one manifest entry each) and reads prune
@@ -598,6 +627,11 @@ class VersionedTable:
             raise ValueError(f"partition columns not in schema: {missing}")
         if pb and len(pb) == len(df.columns):
             raise ValueError("cannot partition by every column")
+        constraints = dict(check_constraints or {})
+        for col in not_null or ():
+            # NOT NULL is CHECK sugar; the explicit IS NOT NULL overrides
+            # standard CHECK's NULL-passes semantics for that column.
+            constraints[f"{col}_not_null"] = f"{col} IS NOT NULL"
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         table = VersionedTable(
@@ -606,6 +640,7 @@ class VersionedTable:
             commit_protocol=commit_protocol,
             materialize_changes=materialize_changes,
         )
+        _enforce_constraints(df, constraints)
         entries = table._write_data_entries(df, pb)
         table._commit(
             operation="create",
@@ -615,8 +650,67 @@ class VersionedTable:
             summary=summary,
             stats=entries,
             partition_by=pb,
+            constraints=constraints,
         )
         return table
+
+    @property
+    def check_constraints(self) -> dict[str, str]:
+        return dict(self.manifest().constraints)
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT: the CURRENT snapshot must already satisfy
+        `expr` (one validation scan, like Delta's ALTER TABLE ADD
+        CONSTRAINT), then a metadata-only commit (parent's data entries
+        verbatim) records it; every later write of new rows enforces it."""
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        if name in pm.constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        _enforce_constraints(self.read(parent), {name: expr})
+        return self._commit(
+            operation="add_constraint",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary={
+                "constraint": name,
+                "cdf_empty": True,  # data-preserving
+                **(
+                    {"schema_evolved": True}
+                    if pm.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(pm.stats),
+            constraints={**pm.constraints, name: expr},
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        if name not in pm.constraints:
+            raise ValueError(f"no constraint {name!r}")
+        remaining = {
+            k: v for k, v in pm.constraints.items() if k != name
+        }
+        return self._commit(
+            operation="drop_constraint",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary={
+                "constraint": name,
+                "cdf_empty": True,
+                **(
+                    {"schema_evolved": True}
+                    if pm.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(pm.stats),
+            constraints=remaining,
+        )
 
     @property
     def partition_by(self) -> tuple[str, ...]:
@@ -858,8 +952,11 @@ class VersionedTable:
         columns widen the table schema (Delta-style evolution: old files
         read as NULL for the added columns); same-name columns must keep
         their type — type conflicts always raise."""
-        # Fail fast on an invalid schema BEFORE writing any data files…
-        self._evolved_schema_ddl(df, merge_schema, self.manifest().schema_ddl)
+        # Fail fast on an invalid schema or constraint violation BEFORE
+        # writing any data files…
+        m0 = self.manifest()
+        self._evolved_schema_ddl(df, merge_schema, m0.schema_ddl)
+        _enforce_constraints(df, m0.constraints)
         entries = self._write_data_entries(df, self.partition_by)
         attempt = 0
         while True:
@@ -936,6 +1033,7 @@ class VersionedTable:
         from pyspark.errors import AnalysisException
 
         parent = self.latest_version()
+        _enforce_constraints(df, self.manifest(parent).constraints)
         old = self.read(parent)
         entries = self._write_data_entries(df, self.partition_by)
         # Overwrite may REPLACE the schema entirely; when old and new
@@ -1122,6 +1220,9 @@ class VersionedTable:
         else:
             upserts = updates
             delete_keys = None
+        # CHECK constraints gate the NEW rows (upserts); surviving rows
+        # were validated when they were written.
+        _enforce_constraints(upserts, pm.constraints)
 
         survivors = target.join(
             upserts.select(*key_cols), key_cols, "left_anti"
@@ -1294,6 +1395,80 @@ class VersionedTable:
             out = out.unionByName(p)
         return out
 
+    def version_at(self, timestamp: str | _dt.datetime) -> int:
+        """Largest committed version whose commit time is <= `timestamp`
+        (ISO string or datetime; naive values are taken as UTC, matching
+        the manifests' committed_at). Timestamp-based time travel:
+        ``read(version=t.version_at("2026-08-01T00:00:00"))``."""
+        if isinstance(timestamp, str):
+            ts = _dt.datetime.fromisoformat(timestamp)
+        else:
+            ts = timestamp
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best: int | None = None
+        for m in self.versions():
+            if _dt.datetime.fromisoformat(m.committed_at) <= ts:
+                best = m.version
+        if best is None:
+            raise NoSuchVersionError(
+                f"{self.root}: no version committed at or before {ts}"
+            )
+        return best
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to a prior version as a NEW commit: the new
+        manifest references the old version's data entries verbatim (pure
+        metadata — no data is read or rewritten, and the restored-to
+        version must still exist, i.e. not expired), so history moves
+        forward and the bad versions stay auditable, exactly like Delta's
+        RESTORE. The change feed materializes the transition as
+        current-as-deletes + restored-as-inserts (an overwrite-shaped
+        diff), so downstream incremental consumers follow the rollback
+        instead of desyncing."""
+        target = self.manifest(version)  # raises if expired/unknown
+        parent = self.latest_version()
+        if version == parent:
+            raise ValueError(f"already at version {version}")
+        summary: dict = {"restored_version": version}
+        if self._materialize_changes:
+            from pyspark.errors import AnalysisException
+
+            old = self.read(parent)
+            new = self.read(version)
+            try:
+                summary["cdf"] = self._write_cdf(
+                    old.withColumn(
+                        "_change_type", F.lit("delete")
+                    ).unionByName(
+                        new.withColumn("_change_type", F.lit("insert")),
+                        allowMissingColumns=True,
+                    )
+                )
+            except AnalysisException as e:
+                summary["cdf_skipped"] = (
+                    f"restored schema not unionable: {e}"[:500]
+                )
+        return self._commit(
+            operation="restore",
+            files=target.files,
+            schema_ddl=target.schema_ddl,
+            expected_parent=parent,
+            summary={
+                **summary,
+                **(
+                    {"schema_evolved": True}
+                    if target.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(target.stats),
+            partition_by=target.partition_by,
+            # Restore rolls metadata back too: the restored version's
+            # constraint set (its data provably satisfied it).
+            constraints=dict(target.constraints),
+        )
+
     def materialize_changes(
         self, from_version: int = 1, to_version: int | None = None
     ) -> dict[int, str]:
@@ -1379,6 +1554,7 @@ class VersionedTable:
             summary=summary,
             stats=m.stats,
             partition_by=m.partition_by,
+            constraints=m.constraints,
         )
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -1563,6 +1739,7 @@ class VersionedTable:
         summary: dict | None = None,
         stats: dict | None = None,
         partition_by: tuple[str, ...] | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -1570,10 +1747,14 @@ class VersionedTable:
         already exists, so exactly one racing writer wins — no locks, no
         read-modify-write window."""
         version = expected_parent + 1
-        if partition_by is None:
-            # Partition spec is fixed at create() and carried forward on
-            # every subsequent commit.
-            partition_by = self.manifest(expected_parent).partition_by
+        if partition_by is None or constraints is None:
+            # Partition spec is fixed at create(), constraints evolve only
+            # through add/drop commits; both carry forward otherwise.
+            pm = self.manifest(expected_parent) if expected_parent else None
+            if partition_by is None:
+                partition_by = pm.partition_by if pm else ()
+            if constraints is None:
+                constraints = dict(pm.constraints) if pm else {}
         m = Manifest(
             version=version,
             operation=operation,
@@ -1583,6 +1764,7 @@ class VersionedTable:
             summary={"n_files": len(files), **(summary or {})},
             stats=stats or {},
             partition_by=partition_by,
+            constraints=constraints,
         )
         final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
         self._protocol.publish(final, m.to_json())

@@ -767,3 +767,138 @@ def test_materialize_changes_backfill_matches_lazy_diff(spark, root):
         (r.id, r.val, r._change_type, r._commit_version)
         for r in t.changes(1, 2).collect()
     } == lazy
+
+
+# -- RESTORE + timestamp time travel ----------------------------------------
+
+
+def test_restore_rolls_back_as_new_version(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(F.col("id") == 1)
+    t.append(_df(spark, [(3, "c")]))
+    v = t.restore(1)
+    assert v == 4  # history moves FORWARD
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    # The bad versions stay auditable.
+    assert {r.id for r in t.read(version=3).collect()} == {2, 3}
+    m = t.manifest(4)
+    assert m.operation == "restore"
+    assert m.summary["restored_version"] == 1
+    # Metadata-only: v4 references v1's data entries verbatim.
+    assert m.files == t.manifest(1).files
+    # The change feed follows the rollback (overwrite-shaped diff).
+    feed = t.changes(3, 4)
+    got = {(r.id, r._change_type) for r in feed.collect()}
+    assert got == {(2, "delete"), (3, "delete"), (1, "insert"), (2, "insert")}
+    # Restoring to the current version is refused; vacuum keeps v1 data.
+    with pytest.raises(ValueError):
+        t.restore(4)
+    t.vacuum()
+    assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_restore_after_expiry_raises(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    t.expire_versions(keep_last=1)
+    with pytest.raises(NoSuchVersionError):
+        t.restore(1)
+
+
+def test_version_at_timestamp(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    ts2 = t.manifest(2).committed_at
+    assert t.version_at(ts2) == 2
+    assert t.version_at("2999-01-01T00:00:00") == 3
+    with pytest.raises(NoSuchVersionError):
+        t.version_at("1999-01-01T00:00:00")
+    assert {
+        r.id for r in t.read(version=t.version_at(ts2)).collect()
+    } == {1, 2}
+
+
+# -- CHECK / NOT NULL constraints -------------------------------------------
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, root):
+    from datalakeingestionservice_spark.sinks.versioned import (
+        ConstraintViolationError,
+    )
+
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a")]),
+        check_constraints={"id_positive": "id > 0"},
+        not_null=["val"],
+    )
+    assert set(t.check_constraints) == {"id_positive", "val_not_null"}
+    # append: bad id and NULL val both rejected, nothing commits.
+    with pytest.raises(ConstraintViolationError, match="id_positive"):
+        t.append(_df(spark, [(-5, "x")]))
+    with pytest.raises(ConstraintViolationError, match="val_not_null"):
+        t.append(spark.createDataFrame([(7, None)], "id bigint, val string"))
+    assert t.latest_version() == 1
+    # merge: new rows gated, valid ones pass.
+    with pytest.raises(ConstraintViolationError):
+        t.merge(_df(spark, [(-1, "y")]), ["id"])
+    t.merge(_df(spark, [(2, "b")]), ["id"])
+    # overwrite gated too.
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(_df(spark, [(0, "z")]))
+    assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_create_rejects_violating_initial_data(spark, root):
+    from datalakeingestionservice_spark.sinks.versioned import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        VersionedTable.create(
+            spark, root, _df(spark, [(1, "a"), (-2, "b")]),
+            check_constraints={"id_positive": "id > 0"},
+        )
+
+
+def test_add_drop_check_constraint(spark, root):
+    from datalakeingestionservice_spark.sinks.versioned import (
+        ConstraintViolationError,
+    )
+
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (5, "b")]))
+    # Current snapshot must satisfy the new constraint.
+    with pytest.raises(ConstraintViolationError):
+        t.add_check_constraint("id_big", "id > 3")
+    v = t.add_check_constraint("id_positive", "id > 0")
+    assert t.manifest(v).operation == "add_constraint"
+    with pytest.raises(ValueError):
+        t.add_check_constraint("id_positive", "id > 0")  # duplicate
+    with pytest.raises(ConstraintViolationError):
+        t.append(_df(spark, [(-9, "x")]))
+    # Metadata-only commit is change-free for the feed.
+    assert t.changes(v - 1, v).count() == 0
+    t.drop_check_constraint("id_positive")
+    t.append(_df(spark, [(-9, "x")]))  # allowed again
+    assert {r.id for r in t.read().collect()} == {1, 5, -9}
+    # NULL passes a plain CHECK (standard SQL tri-state).
+    t2root = root + "_2"
+    t2 = VersionedTable.create(
+        spark, t2root,
+        spark.createDataFrame([(1, "a")], "id bigint, val string"),
+        check_constraints={"val_short": "length(val) < 10"},
+    )
+    t2.append(spark.createDataFrame([(2, None)], "id bigint, val string"))
+    assert t2.read().count() == 2
+
+
+def test_constraints_survive_restore_and_carry_forward(spark, root):
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a")]),
+        check_constraints={"id_positive": "id > 0"},
+    )
+    t.append(_df(spark, [(2, "b")]))
+    t.drop_check_constraint("id_positive")
+    assert t.check_constraints == {}
+    t.restore(2)  # v2 still had the constraint
+    assert set(t.check_constraints) == {"id_positive"}
