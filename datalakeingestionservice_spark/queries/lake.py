@@ -732,3 +732,57 @@ def q128_restore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(v).cast("long").alias("final_version"),
         F.lit(m.operation).alias("last_op"),
     )
+
+
+@register(
+    "q129_bloom_point_lookup",
+    tags=("lake", "bloom", "pruning", "point-lookup"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       TRUE AS bloom_pruned_ok
+FROM lineitem
+WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+""",
+)
+def q129_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping for the needle-in-haystack lookup:
+    lineitem committed as four appends bucketed by l_orderkey % 4 — every
+    entry's [min, max] spans nearly the whole key range, so range stats
+    can NEVER refute an equality probe — with a bloom filter on
+    l_orderkey. A point lookup of the max orderkey then prunes the
+    non-owning entries through the bloom alone (asserted as
+    `bloom_pruned_ok`: >= 1 entry skipped, tolerant of the filter's
+    configured ~3% false-positive rate), and the matched aggregate equals
+    the oracle's raw-scan answer. At 100 TB this is 'fetch one order
+    without touching the table': Delta/Iceberg ship the same opt-in
+    per-column blooms for exactly this query shape."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_bloom_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+    )
+    t = None
+    for b in range(4):
+        piece = li.filter(F.col("l_orderkey") % 4 == b)
+        if t is None:
+            t = VersionedTable.create(
+                spark, base, piece, bloom_columns=["l_orderkey"]
+            )
+        else:
+            t.append(piece)
+    probe = li.agg(F.max("l_orderkey")).collect()[0][0]
+    info = t.prune_info([("l_orderkey", "=", int(probe))])
+    return (
+        t.read(predicates=[("l_orderkey", "=", int(probe))])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .withColumn(
+            "bloom_pruned_ok", F.lit(info["n_skipped"] >= 1)
+        )
+    )

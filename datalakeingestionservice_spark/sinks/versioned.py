@@ -192,6 +192,86 @@ def _collect_dir_stats(abs_dir: str) -> dict:
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
+
+# -- bloom-filter data skipping ---------------------------------------------
+#
+# min/max stats prune RANGE predicates, but an equality lookup on a column
+# the table isn't clustered by (the needle-in-haystack query: "fetch order
+# 4242 from 100 TB") matches every dir's [min, max] envelope. Opt-in
+# per-column BLOOM FILTERS close that gap, same as Delta/Iceberg: each
+# commit aggregates its NEW rows' hash bit-positions (distributed — the
+# driver receives at most m distinct positions per entry, never row data)
+# into an m-bit bitmap stored in the manifest entry; an `=` predicate
+# whose k positions aren't all set provably has no match in that entry.
+# Hashing is sha256 over the value's canonical string + seed, computed
+# identically by Spark executors (build side) and driver Python (probe
+# side), so no engine-specific hash needs to match.
+
+_BLOOM_M = 1 << 18  # bits per filter (32 KiB bitmap)
+_BLOOM_K = 5  # hash functions; ~0.2% fpp at ~20k distinct values
+
+_BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _bloom_positions_py(value, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """Driver-side probe positions for a literal; MUST mirror the Spark
+    expression in `_bloom_position_cols` bit for bit."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.sha256(f"{value}#{seed}".encode()).hexdigest()[:15], 16
+        )
+        % m
+        for seed in range(k)
+    ]
+
+
+def _bloom_position_cols(col: str, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """One position column per seed: sha256(value_string + '#seed'),
+    first 15 hex chars (60 bits, exact in a long) mod m. int/string
+    columns only — their Spark cast-to-string equals Python str()."""
+    return [
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col(col).cast("string"), F.lit(f"#{seed}")
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % m
+        for seed in range(k)
+    ]
+
+
+def _bloom_from_positions(positions, m: int = _BLOOM_M) -> str:
+    bitmap = bytearray(m // 8)
+    for p in positions:
+        bitmap[p >> 3] |= 1 << (p & 7)
+    import base64
+    import zlib
+
+    return base64.b64encode(zlib.compress(bytes(bitmap), 6)).decode()
+
+
+def _bloom_may_contain(b64: str, value, m: int, k: int) -> bool:
+    import base64
+    import zlib
+
+    bitmap = zlib.decompress(base64.b64decode(b64))
+    return all(
+        bitmap[p >> 3] & (1 << (p & 7))
+        for p in _bloom_positions_py(value, m, k)
+    )
+
 _ISO_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]|$)")
 
 # -- hive-style partition layout --------------------------------------------
@@ -297,11 +377,29 @@ def _parts_refute(
 def _entry_may_match(
     stats: dict, predicates: list[tuple], part_types: dict
 ) -> bool:
-    """Entry-level pruning = partition-name refutation OR footer-stat
-    refutation; either alone suffices to skip the entry."""
+    """Entry-level pruning = partition-name refutation OR bloom-filter
+    refutation (equality predicates) OR footer-stat refutation; any one
+    alone suffices to skip the entry."""
     pv = stats.get("part_values")
     if pv and _parts_refute(pv, part_types, predicates):
         return False
+    blooms = stats.get("bloom")
+    if blooms:
+        for col, op, val in predicates:
+            if (
+                op == "="
+                and col in blooms
+                and isinstance(val, (int, str))
+                and not isinstance(val, bool)
+            ):
+                meta = blooms[col]
+                try:
+                    if not _bloom_may_contain(
+                        meta["b64"], val, meta["m"], meta["k"]
+                    ):
+                        return False
+                except (KeyError, ValueError, TypeError):
+                    continue  # malformed filter: can't prove, keep
     return _dir_may_match(stats, predicates)
 
 
@@ -444,6 +542,9 @@ class Manifest:
     #: of new rows; carried forward per commit (missing in pre-constraint
     #: manifests -> no constraints).
     constraints: dict = field(default_factory=dict)
+    #: Columns with per-commit bloom filters for `=` pruning; fixed at
+    #: create(), carried forward.
+    bloom_columns: tuple[str, ...] = ()
 
     def to_json(self) -> str:
         return json.dumps(
@@ -457,6 +558,7 @@ class Manifest:
                 "stats": self.stats,
                 "partition_by": list(self.partition_by),
                 "constraints": self.constraints,
+                "bloom_columns": list(self.bloom_columns),
             },
             indent=2,
             sort_keys=True,
@@ -475,6 +577,7 @@ class Manifest:
             stats=d.get("stats", {}),
             partition_by=tuple(d.get("partition_by", ())),
             constraints=d.get("constraints", {}),
+            bloom_columns=tuple(d.get("bloom_columns", ())),
         )
 
 
@@ -610,6 +713,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         check_constraints: dict[str, str] | None = None,
         not_null: list[str] | None = None,
+        bloom_columns: list[str] | None = None,
     ) -> "VersionedTable":
         """With `partition_by`, data is laid out hive-style
         (`col=value/` leaf dirs, one manifest entry each) and reads prune
@@ -632,6 +736,14 @@ class VersionedTable:
             # NOT NULL is CHECK sugar; the explicit IS NOT NULL overrides
             # standard CHECK's NULL-passes semantics for that column.
             constraints[f"{col}_not_null"] = f"{col} IS NOT NULL"
+        bc = tuple(bloom_columns or ())
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for col in bc:
+            if types.get(col) not in _BLOOM_TYPES:
+                raise ValueError(
+                    f"bloom column {col!r} must be one of {_BLOOM_TYPES}, "
+                    f"got {types.get(col)}"
+                )
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         table = VersionedTable(
@@ -641,7 +753,7 @@ class VersionedTable:
             materialize_changes=materialize_changes,
         )
         _enforce_constraints(df, constraints)
-        entries = table._write_data_entries(df, pb)
+        entries = table._write_data_entries(df, pb, bloom_columns=bc)
         table._commit(
             operation="create",
             files=tuple(entries),
@@ -651,6 +763,7 @@ class VersionedTable:
             stats=entries,
             partition_by=pb,
             constraints=constraints,
+            bloom_columns=bc,
         )
         return table
 
@@ -1555,6 +1668,7 @@ class VersionedTable:
             stats=m.stats,
             partition_by=m.partition_by,
             constraints=m.constraints,
+            bloom_columns=m.bloom_columns,
         )
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -1693,7 +1807,10 @@ class VersionedTable:
         return rel
 
     def _write_data_entries(
-        self, df: DataFrame, partition_by: tuple[str, ...]
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...],
+        bloom_columns: tuple[str, ...] | None = None,
     ) -> dict[str, dict]:
         """Write one commit's data; return {manifest entry rel: stats}.
 
@@ -1703,9 +1820,21 @@ class VersionedTable:
         entry with its parsed partition values in stats["part_values"] —
         the source of dir-name pruning and partition-aligned merge scope.
 
+        With bloom columns, one DISTRIBUTED aggregate over the commit's
+        rows produces the per-commit bloom bitmap(s) — the driver receives
+        distinct bit POSITIONS (<= m of them), never values — attached to
+        every entry the commit writes (for a partitioned commit the shared
+        bloom over-approximates each leaf, which only costs selectivity,
+        never correctness).
+
         Spark still defaults timestamps to INT96, which carries NO footer
         min/max — write TIMESTAMP_MICROS so timestamp columns are
         prunable."""
+        if bloom_columns is None:
+            try:
+                bloom_columns = self.manifest().bloom_columns
+            except NoSuchVersionError:
+                bloom_columns = ()
         conf_key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
@@ -1718,8 +1847,12 @@ class VersionedTable:
             writer.parquet(abs_dir)
         finally:
             self.spark.conf.set(conf_key, prev)
+        blooms = self._compute_blooms(df, bloom_columns)
         if not partition_by:
-            return {rel: _collect_dir_stats(abs_dir)}
+            st = _collect_dir_stats(abs_dir)
+            if blooms:
+                st["bloom"] = blooms
+            return {rel: st}
         entries: dict[str, dict] = {}
         for dirpath, _dirs, files in sorted(os.walk(abs_dir)):
             if not any(f.endswith(".parquet") for f in files):
@@ -1727,8 +1860,39 @@ class VersionedTable:
             sub = os.path.relpath(dirpath, abs_dir)
             st = _collect_dir_stats(dirpath)
             st["part_values"] = _parse_part_path(sub)
+            if blooms:
+                st["bloom"] = blooms
             entries[os.path.join(rel, sub)] = st
         return entries
+
+    def _compute_blooms(
+        self, df: DataFrame, bloom_columns: tuple[str, ...]
+    ) -> dict:
+        """{col: {"m", "k", "b64"}} for this commit's rows, one Spark job
+        for all columns (explode each column's k position expressions,
+        distinct them per column tag, collect bounded bit positions)."""
+        cols = [c for c in bloom_columns if c in df.columns]
+        if not cols:
+            return {}
+        pieces = None
+        for ci, c in enumerate(cols):
+            p = df.select(
+                F.lit(ci).alias("_bc"),
+                F.explode(F.array(*_bloom_position_cols(c))).alias("_pos"),
+            ).filter(F.col("_pos").isNotNull())
+            pieces = p if pieces is None else pieces.unionAll(p)
+        rows = pieces.distinct().collect()
+        by_col: dict[int, list[int]] = {}
+        for r in rows:
+            by_col.setdefault(r._bc, []).append(r._pos)
+        return {
+            c: {
+                "m": _BLOOM_M,
+                "k": _BLOOM_K,
+                "b64": _bloom_from_positions(by_col.get(ci, [])),
+            }
+            for ci, c in enumerate(cols)
+        }
 
     def _commit(
         self,
@@ -1740,6 +1904,7 @@ class VersionedTable:
         stats: dict | None = None,
         partition_by: tuple[str, ...] | None = None,
         constraints: dict | None = None,
+        bloom_columns: tuple[str, ...] | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -1747,14 +1912,17 @@ class VersionedTable:
         already exists, so exactly one racing writer wins — no locks, no
         read-modify-write window."""
         version = expected_parent + 1
-        if partition_by is None or constraints is None:
-            # Partition spec is fixed at create(), constraints evolve only
-            # through add/drop commits; both carry forward otherwise.
+        if partition_by is None or constraints is None or bloom_columns is None:
+            # Partition spec and bloom columns are fixed at create(),
+            # constraints evolve only through add/drop commits; all carry
+            # forward otherwise.
             pm = self.manifest(expected_parent) if expected_parent else None
             if partition_by is None:
                 partition_by = pm.partition_by if pm else ()
             if constraints is None:
                 constraints = dict(pm.constraints) if pm else {}
+            if bloom_columns is None:
+                bloom_columns = pm.bloom_columns if pm else ()
         m = Manifest(
             version=version,
             operation=operation,
@@ -1765,6 +1933,7 @@ class VersionedTable:
             stats=stats or {},
             partition_by=partition_by,
             constraints=constraints,
+            bloom_columns=bloom_columns,
         )
         final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
         self._protocol.publish(final, m.to_json())

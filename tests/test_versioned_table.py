@@ -902,3 +902,99 @@ def test_constraints_survive_restore_and_carry_forward(spark, root):
     assert t.check_constraints == {}
     t.restore(2)  # v2 still had the constraint
     assert set(t.check_constraints) == {"id_positive"}
+
+
+# -- bloom-filter data skipping ---------------------------------------------
+
+
+def test_bloom_prunes_equality_where_ranges_cannot(spark, root):
+    """Four appends whose id SETS are disjoint but whose id RANGES all
+    overlap (id % 4 buckets): min/max can never refute an equality lookup,
+    the bloom filter refutes 3 of 4 entries."""
+    t = None
+    for b in range(4):
+        df = spark.range(0, 400).filter(F.col("id") % 4 == b).select(
+            "id", (F.col("id") * 2).alias("v")
+        )
+        if t is None:
+            t = VersionedTable.create(
+                spark, root, df, bloom_columns=["id"]
+            )
+        else:
+            t.append(df)
+    # Point lookups land in exactly one bucket-entry.
+    for probe in (17, 100, 243, 398):
+        info = t.prune_info([("id", "=", probe)])
+        assert info["n_scanned"] == 1 and info["n_skipped"] == 3, probe
+        got = [r.id for r in t.read(predicates=[("id", "=", probe)]).collect()]
+        assert got == [probe]
+    # A value NOT in the table prunes everything.
+    info = t.prune_info([("id", "=", 401)])
+    assert info["n_scanned"] == 0
+    assert t.read(predicates=[("id", "=", 401)]).count() == 0
+    # Range predicates still use min/max stats unchanged.
+    assert t.read(predicates=[("id", ">=", 399)]).count() == 1
+
+
+def test_bloom_string_column_and_compact_recompute(spark, root):
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "id bigint, name string"
+        ),
+        bloom_columns=["name"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "gamma"), (4, "delta")], "id bigint, name string"
+        )
+    )
+    info = t.prune_info([("name", "=", "gamma")])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 1
+    assert {
+        r.id for r in t.read(predicates=[("name", "=", "gamma")]).collect()
+    } == {3}
+    # compact() recomputes the bloom over the merged entry (carried
+    # bloom_columns config), so lookups still prune misses.
+    t.compact()
+    assert t.manifest().bloom_columns == ("name",)
+    info = t.prune_info([("name", "=", "nosuch")])
+    assert info["n_scanned"] == 0
+    assert {
+        r.id for r in t.read(predicates=[("name", "=", "delta")]).collect()
+    } == {4}
+
+
+def test_bloom_rejects_unsupported_type(spark, root):
+    with pytest.raises(ValueError, match="bloom column"):
+        VersionedTable.create(
+            spark, root,
+            spark.createDataFrame([(1, 1.5)], "id bigint, x double"),
+            bloom_columns=["x"],
+        )
+
+
+def test_bloom_null_values_and_merge_interplay(spark, root):
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a"), (2, None)], "id bigint, name string"
+        ),
+        bloom_columns=["name"],
+    )
+    # NULLs contribute no positions and a NULL probe never bloom-prunes
+    # (equality with NULL matches nothing anyway; read applies the
+    # filter).
+    assert t.read(predicates=[("name", "=", "a")]).count() == 1
+    # DML through merge keeps the feature working on the rewritten entry.
+    t.merge(
+        spark.createDataFrame([(3, "zeta")], "id bigint, name string"),
+        ["id"],
+    )
+    assert {
+        r.id for r in t.read(predicates=[("name", "=", "zeta")]).collect()
+    } == {3}
+    info = t.prune_info([("name", "=", "missing")])
+    assert info["n_scanned"] == 0
