@@ -1682,6 +1682,7 @@ class VersionedTable:
         num_partitions: int = 1,
         zorder_by: list[str] | None = None,
         bits: int = 8,
+        small_entry_max_rows: int | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the current snapshot's many small data dirs
         into one fresh dir (the small-files problem every streaming sink
@@ -1691,11 +1692,40 @@ class VersionedTable:
         every listed column and the manifest's footer stats turn selective
         on all of them — Delta's OPTIMIZE ZORDER BY, on this format.
 
+        With `small_entry_max_rows`, the compaction is INCREMENTAL: only
+        entries holding fewer rows than the threshold rewrite; every
+        already-well-sized entry rides into the new version physically
+        untouched, with its stats. On a table where a streaming sink
+        drips micro-batches next to big compacted dirs, that makes the
+        periodic OPTIMIZE cost ∝ the drip, not the table — at 100 TB the
+        difference between a maintenance job and a table rewrite. Returns
+        the current version unchanged when fewer than two small entries
+        exist (nothing to gain).
+
         Data-preserving: commits operation='compact' with identical rows;
         `changes()` across it diffs to empty, and readers of old versions
         still see the old dirs until expire+vacuum."""
         parent = self.latest_version()
-        df = self.read(parent)
+        pm = self.manifest(parent)
+        carried_rels: list[str] = []
+        if small_entry_max_rows is None:
+            sel = [(rel, None) for rel in pm.files]
+        else:
+            # Missing row stats read as small: the entry gets rewritten,
+            # which is safe (and gives it stats).
+            small = [
+                rel
+                for rel in pm.files
+                if pm.stats.get(rel, {}).get("rows", -1)
+                < small_entry_max_rows
+            ]
+            if len(small) <= 1:
+                return parent
+            carried_rels = [rel for rel in pm.files if rel not in small]
+            sel = [(rel, None) for rel in small]
+        df = self._scan_entries(sel, pm)
+        if df is None:
+            return parent
         if zorder_by:
             from datalakeingestionservice_spark.operators.layout import (
                 zorder_repartition,
@@ -1707,15 +1737,38 @@ class VersionedTable:
         else:
             df = df.repartition(num_partitions)
         entries = self._write_data_entries(df, self.partition_by)
+        # Heterogeneous old entries surviving a PARTIAL compact keep the
+        # table mergeSchema-dependent; a full compact homogenizes.
+        evolved = bool(pm.summary.get("schema_evolved")) and bool(
+            carried_rels
+        )
         return self._commit(
             operation="compact",
-            files=tuple(entries),
-            schema_ddl=df.schema.simpleString(),
+            files=tuple(carried_rels) + tuple(entries),
+            schema_ddl=pm.schema_ddl,
             expected_parent=parent,
             # Data-preserving by construction: the change feed skips this
             # commit outright instead of diffing two identical snapshots.
-            summary={"cdf_empty": True},
-            stats=entries,
+            summary={
+                "cdf_empty": True,
+                **({"schema_evolved": True} if evolved else {}),
+                **(
+                    {
+                        "n_entries_compacted": len(sel),
+                        "n_entries_carried": len(carried_rels),
+                    }
+                    if small_entry_max_rows is not None
+                    else {}
+                ),
+            },
+            stats={
+                **{
+                    rel: pm.stats[rel]
+                    for rel in carried_rels
+                    if rel in pm.stats
+                },
+                **entries,
+            },
         )
 
     def expire_versions(self, keep_last: int) -> list[int]:

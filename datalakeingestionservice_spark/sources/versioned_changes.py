@@ -88,6 +88,25 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # start_version: consume changes AFTER this version (0 = include
         # the initial create commit).
         self.start_version = int(options.get("start_version", 0))
+        # Admission control for backfills (Delta's maxFilesPerTrigger
+        # shape): cap how many table versions one micro-batch may span.
+        # 0 = unlimited. The cap needs the stream's current position,
+        # which must survive both the runner process lifecycle (Spark
+        # calls latestOffset BEFORE initialOffset) and checkpoint
+        # restarts — so it lives in a tiny cursor file under the table's
+        # `_streams/`, keyed by `stream_id` (default 'default'; give
+        # concurrent capped streams distinct ids). The cursor only ever
+        # RAISES the reported offset floor, so a stale file can reduce
+        # throttling but can never hand Spark an offset behind its
+        # checkpoint (no replays, no regression).
+        self.max_versions_per_batch = int(
+            options.get("max_versions_per_batch", 0)
+        )
+        self._cursor_path = os.path.join(
+            self.root,
+            "_streams",
+            f".rate_cursor_{options.get('stream_id', 'default')}",
+        )
         # The stream's output schema is PINNED at start (Structured
         # Streaming cannot change a query's schema mid-run); partitions()
         # re-checks the source DDL and fails fast if it evolved, instead
@@ -100,13 +119,43 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
+    def _read_cursor(self) -> int:
+        try:
+            with open(self._cursor_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return self.start_version
+
+    def _write_cursor(self, version: int) -> None:
+        import uuid as _uuid
+
+        d = os.path.dirname(self._cursor_path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._cursor_path)
+
     def latestOffset(self) -> dict:
         ms = _manifests(self.root)
-        return {"version": ms[-1].version if ms else self.start_version}
+        latest = ms[-1].version if ms else self.start_version
+        if self.max_versions_per_batch > 0:
+            cursor = self._read_cursor()
+            latest = max(
+                min(latest, cursor + self.max_versions_per_batch),
+                cursor,
+            )
+        return {"version": latest}
 
     def partitions(
         self, start: dict, end: dict
     ) -> list[InputPartition]:
+        if self.max_versions_per_batch > 0:
+            # The planned batch's end IS the stream position; persisting
+            # it keeps the cap correct across runner restarts (monotone:
+            # never write a lower value).
+            if end["version"] > self._read_cursor():
+                self._write_cursor(end["version"])
         ms = {m.version: m for m in _manifests(self.root)}
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):

@@ -268,3 +268,43 @@ def test_backfill_makes_legacy_table_streamable(spark, tmp_path):
     }
     assert streamed == batch
     assert (2, "b", "delete", 3) in streamed  # merge preimage made it
+
+
+def test_max_versions_per_batch_limits_batch_span(spark, tmp_path):
+    """Admission control for backfills: with max_versions_per_batch=2, a
+    6-version history drains in micro-batches spanning at most 2 versions
+    each, and every row still arrives exactly once."""
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(0, "v1")]))
+    for i in range(1, 6):
+        t.append(_df(spark, [(i, f"v{i + 1}")]))
+
+    spans = []
+    seen = []
+
+    def on_batch(df, _bid):
+        rows = df.collect()
+        if rows:
+            vs = {r._commit_version for r in rows}
+            spans.append(len(vs))
+            seen.extend((r.id, r._commit_version) for r in rows)
+
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("table_root", root)
+        .option("max_versions_per_batch", "2")
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while len(seen) < 6 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(seen) == [(i, i + 1) for i in range(6)]
+    assert spans and max(spans) <= 2
+    assert len(spans) >= 3  # the 6-version history took >= 3 batches

@@ -998,3 +998,34 @@ def test_bloom_null_values_and_merge_interplay(spark, root):
     } == {3}
     info = t.prune_info([("name", "=", "missing")])
     assert info["n_scanned"] == 0
+
+
+# -- incremental OPTIMIZE (small-entry compaction) --------------------------
+
+
+def test_incremental_compact_rewrites_only_small_entries(spark, root):
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 1000, "big"))
+    t.compact()  # one big, well-sized entry
+    big_entry = t.manifest().files[0]
+    for lo in range(1000, 1030, 10):  # three 10-row drips
+        t.append(_ranged(spark, lo, lo + 10, "drip"))
+    v = t.compact(small_entry_max_rows=100)
+    m = t.manifest(v)
+    assert m.operation == "compact"
+    assert m.summary["n_entries_compacted"] == 3
+    assert m.summary["n_entries_carried"] == 1
+    # The big entry rode along untouched; drips merged into ONE new entry.
+    assert big_entry in m.files and len(m.files) == 2
+    assert t.read().count() == 1030
+    assert t.changes(v - 1, v).count() == 0  # data-preserving
+    # Carried entry kept its stats (pruning still works on it).
+    info = t.prune_info([("id", "<", 100)])
+    assert info["n_scanned"] == 1
+
+
+def test_incremental_compact_noop_below_two_small(spark, root):
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 1000, "big"))
+    t.append(_ranged(spark, 1000, 1005, "drip"))
+    v0 = t.latest_version()
+    assert t.compact(small_entry_max_rows=100) == v0  # 1 small: no gain
+    assert t.latest_version() == v0
