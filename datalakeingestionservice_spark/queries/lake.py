@@ -786,3 +786,51 @@ def q129_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_pruned_ok", F.lit(info["n_skipped"] >= 1)
         )
     )
+
+
+@register(
+    "q130_deferred_delete",
+    tags=("lake", "dml", "merge-on-read", "delete"),
+    oracle="""
+WITH mx AS (
+  SELECT max(CAST(date_part('year', l_shipdate) AS BIGINT)) AS my
+  FROM lineitem
+),
+kept AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+  FROM lineitem
+  WHERE CAST(date_part('year', l_shipdate) AS BIGINT) <> (SELECT my FROM mx)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS sum_price,
+       TRUE AS zero_rewrite_ok
+FROM kept
+""",
+)
+def q130_deferred_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: lineitem committed once, then the newest
+    ship-year deleted via `delete_where_deferred` — a metadata commit
+    whose manifest references the SAME data entries (asserted as
+    `zero_rewrite_ok`), with reads applying NOT(predicate) to exactly the
+    entries that existed at delete time. The oracle recomputes the kept
+    aggregate from raw lineitem, proving the deferred filter equals a
+    physical delete. At 100 TB this is Iceberg's delete-file story:
+    delete cost ∝ the predicate (plus one scan for the change feed),
+    never a table rewrite; the next OPTIMIZE materializes it."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_mord_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+    )
+    t = VersionedTable.create(spark, base, li)
+    files_before = t.manifest().files
+    my = li.agg(F.max(F.year("l_shipdate"))).collect()[0][0]
+    v = t.delete_where_deferred(f"year(l_shipdate) = {int(my)}")
+    same_files = t.manifest(v).files == files_before
+    return t.read(v).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("p").cast("double").alias("sum_price"),
+    ).withColumn("zero_rewrite_ok", F.lit(bool(same_files)))

@@ -545,6 +545,12 @@ class Manifest:
     #: Columns with per-commit bloom filters for `=` pruning; fixed at
     #: create(), carried forward.
     bloom_columns: tuple[str, ...] = ()
+    #: Merge-on-read deferred deletes: [{"sql": predicate, "entries":
+    #: [rels it applies to]}]. A predicate filters ONLY the entries (or
+    #: their carried descendants) that existed when it committed — later
+    #: appends are untouched, rewrites materialize it — the role of
+    #: Iceberg's sequence-number scoping for delete files.
+    delete_predicates: tuple = ()
 
     def to_json(self) -> str:
         return json.dumps(
@@ -559,6 +565,7 @@ class Manifest:
                 "partition_by": list(self.partition_by),
                 "constraints": self.constraints,
                 "bloom_columns": list(self.bloom_columns),
+                "delete_predicates": list(self.delete_predicates),
             },
             indent=2,
             sort_keys=True,
@@ -578,6 +585,7 @@ class Manifest:
             partition_by=tuple(d.get("partition_by", ())),
             constraints=d.get("constraints", {}),
             bloom_columns=tuple(d.get("bloom_columns", ())),
+            delete_predicates=tuple(d.get("delete_predicates", ())),
         )
 
 
@@ -935,6 +943,56 @@ class VersionedTable:
         }
 
     def _scan_entries(
+        self,
+        sel: list[tuple[str, list[str] | None]],
+        m: Manifest,
+    ) -> DataFrame | None:
+        """Scan selected entries, applying any merge-on-read delete
+        predicates scoped to them: entries are grouped by applicable
+        predicate set (an entry matches a predicate whose recorded rel
+        equals it or is an ancestor — which covers partition leaves and
+        file entries carried forward by a scoped merge), each group
+        filters with NOT(pred) (NULL drops, matching the COW delete's
+        semantics), groups union. Entries written AFTER a deferred
+        delete have fresh rels no predicate records, so new data is
+        never filtered — the same role sequence numbers play for
+        Iceberg's delete files."""
+        preds = m.delete_predicates
+        if not preds:
+            return self._scan_entries_raw(sel, m)
+
+        def applicable(rel: str) -> tuple[str, ...]:
+            r = rel.replace(os.sep, "/")
+            return tuple(
+                p["sql"]
+                for p in preds
+                if any(
+                    r == pr or r.startswith(pr.rstrip("/") + "/")
+                    for pr in (
+                        e.replace(os.sep, "/") for e in p["entries"]
+                    )
+                )
+            )
+
+        groups: dict[tuple[str, ...], list] = {}
+        for item in sel:
+            groups.setdefault(applicable(item[0]), []).append(item)
+        pieces: list[DataFrame] = []
+        for sqls in sorted(groups):
+            df = self._scan_entries_raw(groups[sqls], m)
+            if df is None:
+                continue
+            for s in sqls:
+                df = df.filter(~F.expr(s))
+            pieces.append(df)
+        if not pieces:
+            return None
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _scan_entries_raw(
         self,
         sel: list[tuple[str, list[str] | None]],
         m: Manifest,
@@ -1419,6 +1477,62 @@ class VersionedTable:
             stats=entries,
         )
 
+    def delete_where_deferred(self, predicate_sql: str) -> int:
+        """Merge-on-read DELETE (Iceberg predicate-delete shape): instead
+        of rewriting every affected entry (copy-on-write), record the
+        predicate in the manifest, scoped to the entries that exist NOW;
+        reads apply NOT(predicate) to exactly those entries. Delete cost
+        = one metadata commit plus (when change materialization is on)
+        one scan for the matched rows' change file — never a data
+        rewrite. Later appends are untouched by construction (fresh entry
+        rels); `compact()` or any rewriting DML materializes the
+        deletion and retires the predicate.
+
+        Trade-off vs `delete_where` (COW): reads pay the filter until a
+        rewrite happens, and entry stats/blooms stay un-tightened
+        (pruning remains safe — deletion only removes rows). The
+        predicate must be a deterministic SQL boolean over table columns
+        (validated by resolving it against the schema up front)."""
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        # Fail fast on an unresolvable/na predicate before committing.
+        self.spark.createDataFrame([], pm.schema_ddl).filter(
+            F.expr(predicate_sql)
+        ).schema
+        summary: dict = {"delete_predicate": predicate_sql}
+        if self._materialize_changes:
+            matched = self.read(parent).filter(
+                F.coalesce(F.expr(predicate_sql), F.lit(True))
+            )
+            rel = self._write_cdf(
+                matched.withColumn("_change_type", F.lit("delete"))
+            )
+            if _collect_dir_stats(os.path.join(self.root, rel))["rows"]:
+                summary["cdf"] = rel
+            else:
+                summary["cdf_empty"] = True
+        evolved = bool(pm.summary.get("schema_evolved"))
+        return self._commit(
+            operation="delete_deferred",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary={
+                **summary,
+                **({"schema_evolved": True} if evolved else {}),
+            },
+            stats=dict(pm.stats),
+            delete_predicates=tuple(pm.delete_predicates)
+            + (
+                {
+                    "sql": predicate_sql,
+                    "entries": [
+                        r.replace(os.sep, "/") for r in pm.files
+                    ],
+                },
+            ),
+        )
+
     # -- change feed -------------------------------------------------------
     def changes(
         self, from_version: int, to_version: int | None = None
@@ -1578,8 +1692,10 @@ class VersionedTable:
             stats=dict(target.stats),
             partition_by=target.partition_by,
             # Restore rolls metadata back too: the restored version's
-            # constraint set (its data provably satisfied it).
+            # constraint set (its data provably satisfied it) and its
+            # deferred-delete predicates (they scope its entries).
             constraints=dict(target.constraints),
+            delete_predicates=target.delete_predicates,
         )
 
     def materialize_changes(
@@ -1669,6 +1785,7 @@ class VersionedTable:
             partition_by=m.partition_by,
             constraints=m.constraints,
             bloom_columns=m.bloom_columns,
+            delete_predicates=m.delete_predicates,
         )
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -1958,6 +2075,7 @@ class VersionedTable:
         partition_by: tuple[str, ...] | None = None,
         constraints: dict | None = None,
         bloom_columns: tuple[str, ...] | None = None,
+        delete_predicates: tuple | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -1965,7 +2083,12 @@ class VersionedTable:
         already exists, so exactly one racing writer wins — no locks, no
         read-modify-write window."""
         version = expected_parent + 1
-        if partition_by is None or constraints is None or bloom_columns is None:
+        if (
+            partition_by is None
+            or constraints is None
+            or bloom_columns is None
+            or delete_predicates is None
+        ):
             # Partition spec and bloom columns are fixed at create(),
             # constraints evolve only through add/drop commits; all carry
             # forward otherwise.
@@ -1976,6 +2099,21 @@ class VersionedTable:
                 constraints = dict(pm.constraints) if pm else {}
             if bloom_columns is None:
                 bloom_columns = pm.bloom_columns if pm else ()
+            if delete_predicates is None:
+                delete_predicates = pm.delete_predicates if pm else ()
+        # Retire predicates that no longer touch any surviving entry
+        # (every entry they scoped was rewritten — the rewrite read
+        # through the filter, materializing the deletion).
+        norm_files = [f.replace(os.sep, "/") for f in files]
+        delete_predicates = tuple(
+            p
+            for p in delete_predicates
+            if any(
+                f == pr or f.startswith(pr.rstrip("/") + "/")
+                for pr in (e.replace(os.sep, "/") for e in p["entries"])
+                for f in norm_files
+            )
+        )
         m = Manifest(
             version=version,
             operation=operation,
@@ -1987,6 +2125,7 @@ class VersionedTable:
             partition_by=partition_by,
             constraints=constraints,
             bloom_columns=bloom_columns,
+            delete_predicates=delete_predicates,
         )
         final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
         self._protocol.publish(final, m.to_json())

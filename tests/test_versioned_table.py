@@ -1029,3 +1029,94 @@ def test_incremental_compact_noop_below_two_small(spark, root):
     v0 = t.latest_version()
     assert t.compact(small_entry_max_rows=100) == v0  # 1 small: no gain
     assert t.latest_version() == v0
+
+
+# -- merge-on-read deferred deletes -----------------------------------------
+
+
+def test_deferred_delete_filters_without_rewrite(spark, root):
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 100, "a"))
+    data_before = t.manifest().files
+    v = t.delete_where_deferred("id % 10 = 0")
+    m = t.manifest(v)
+    assert m.operation == "delete_deferred"
+    assert m.files == data_before  # ZERO data rewritten
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+    # Time travel: the pre-delete snapshot still serves all rows.
+    assert t.read(version=v - 1).count() == 100
+    # Predicated reads compose with the deferred filter.
+    assert sorted(
+        r.id for r in t.read(predicates=[("id", "<", 25)]).collect()
+    ) == [i for i in range(25) if i % 10 != 0]
+
+
+def test_deferred_delete_spares_later_appends(spark, root):
+    """The predicate is scoped to the entries that existed at delete
+    time: rows appended AFTERWARDS match the predicate but must NOT be
+    filtered (Iceberg sequence-number semantics)."""
+    t = VersionedTable.create(spark, root, _df(spark, [(10, "old")]))
+    t.delete_where_deferred("id = 10")
+    t.append(_df(spark, [(10, "new"), (11, "x")]))
+    got = {(r.id, r.val) for r in t.read().collect()}
+    assert got == {(10, "new"), (11, "x")}
+
+
+def test_deferred_delete_feed_and_stacking(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v2 = t.delete_where_deferred("id = 1")
+    v3 = t.delete_where_deferred("id = 3")
+    assert {r.id for r in t.read().collect()} == {2}
+    feed = {
+        (r.id, r._change_type, r._commit_version)
+        for r in t.changes(1).collect()
+    }
+    assert feed == {(1, "delete", v2), (3, "delete", v3)}
+    # A no-match deferred delete records cdf_empty, feed stays exact.
+    v4 = t.delete_where_deferred("id = 99")
+    assert t.manifest(v4).summary.get("cdf_empty") is True
+    assert t.changes(v3, v4).count() == 0
+
+
+def test_rewrite_materializes_and_retires_predicates(spark, root):
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 50, "a"))
+    t.delete_where_deferred("id >= 40")
+    assert len(t.manifest().delete_predicates) == 1
+    t.compact()
+    m = t.manifest()
+    assert m.operation == "compact"
+    assert m.delete_predicates == ()  # retired: deletion materialized
+    assert t.read().count() == 40
+    # And the feed across the compact is still empty (data-preserving).
+    assert t.changes(m.version - 1, m.version).count() == 0
+
+
+def test_deferred_delete_merge_interplay(spark, root):
+    """A scoped merge over a table with a live deferred delete must not
+    resurrect deleted rows in carried-forward dirs, and rewritten dirs
+    materialize the deletion."""
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 10, "lo"))
+    t.append(_ranged(spark, 1000, 1010, "hi"))
+    t.delete_where_deferred("id IN (0, 1000)")
+    # Merge touches only the hi band (stats-scoped): lo dir carries.
+    updates = spark.createDataFrame(
+        [(1005, "HI", 9.9)], "id bigint, val string, score double"
+    )
+    t.merge(updates, ["id"])
+    m = t.manifest()
+    assert m.summary["n_dirs_untouched"] == 1
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(1, 10)) + list(range(1001, 1010))
+    # The predicate survives (it still scopes the carried lo dir) and
+    # a follow-up full rewrite retires it.
+    assert len(m.delete_predicates) == 1
+    t.compact()
+    assert t.manifest().delete_predicates == ()
+    assert sorted(r.id for r in t.read().collect()) == got
+
+
+def test_deferred_delete_invalid_predicate_rejected(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    with pytest.raises(Exception):
+        t.delete_where_deferred("nosuchcol = 1")
+    assert t.latest_version() == 1  # nothing committed
