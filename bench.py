@@ -137,6 +137,49 @@ def lake_slice(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         table.changes(1).count()
         out["change_feed_full_history"] = round(time.perf_counter() - t0, 3)
+
+        # Merge-on-read deferred delete: metadata commit + matched-rows
+        # change file, zero data rewrite (vs the COW delete's full
+        # rewrite of affected entries).
+        t0 = time.perf_counter()
+        table.delete_where_deferred(f"year(l_shipdate) = {years[-1]}")
+        out["deferred_delete"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        table.read().count()
+        out["read_with_deferred_delete"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+        # Bloom point lookup on a column the layout doesn't cluster:
+        # every entry's range envelope matches, only the bloom prunes.
+        broot = os.path.join(tmp, "vt_bloom")
+        bt = None
+        for b in range(4):
+            piece = li.filter(F.col("l_orderkey") % 4 == b)
+            if bt is None:
+                bt = VersionedTable.create(
+                    spark, broot, piece, bloom_columns=["l_orderkey"]
+                )
+            else:
+                bt.append(piece)
+        probe = int(li.agg(F.max("l_orderkey")).collect()[0][0])
+        t0 = time.perf_counter()
+        bt.read(predicates=[("l_orderkey", "=", probe)]).count()
+        out["bloom_point_lookup"] = round(time.perf_counter() - t0, 3)
+        out["bloom_entries_skipped"] = float(
+            bt.prune_info([("l_orderkey", "=", probe)])["n_skipped"]
+        )
+
+        # Incremental OPTIMIZE: drips compact, the big entry carries.
+        bt.compact(num_partitions=4)
+        for i in range(3):
+            bt.append(li.filter(F.col("l_orderkey") % 999983 == i))
+        t0 = time.perf_counter()
+        v = bt.compact(small_entry_max_rows=10_000)
+        out["incremental_compact"] = round(time.perf_counter() - t0, 3)
+        out["incremental_compact_carried"] = float(
+            bt.manifest(v).summary.get("n_entries_carried", 0)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

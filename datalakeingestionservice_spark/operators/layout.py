@@ -29,17 +29,36 @@ from pyspark.sql import functions as F
 _EPOCH = _dt.date(1970, 1, 1)
 
 
+_STR_PREFIX_BYTES = 7  # 56 bits: fits a positive int64 exactly
+
+
 def _int_expr(df: DataFrame, c: str) -> Column:
     """Normalize a clusterable column to int64 JVM-side: dates become epoch
     days, timestamps epoch SECONDS (second granularity keeps
     (hi-lo+1)*2^bits far inside the 2^53 exact-divide envelope of
-    `int_bucket` — day/sub-second precision buys nothing for layout)."""
+    `int_bucket` — day/sub-second precision buys nothing for layout).
+
+    Strings map to their first 7 UTF-8 BYTES, zero-padded, read as a
+    big-endian integer — order-preserving for Spark's binary string
+    comparison (UTF-8 byte order == code-point order), so z-order
+    clustering on e.g. country codes or URL prefixes works with the same
+    pure-JVM bit arithmetic; strings sharing a 7-byte prefix land in one
+    bucket, which only coarsens clustering, never correctness."""
     t = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(c)
     col = F.col(c)
     if t == "date":
         return F.unix_date(col)
     if t in ("timestamp", "timestamp_ntz"):
         return F.unix_seconds(col.cast("timestamp"))
+    if t == "string" or (t or "").startswith(("varchar", "char")):
+        padded = F.substring(
+            F.concat(
+                F.encode(col, "UTF-8"), F.lit(bytes(_STR_PREFIX_BYTES))
+            ),
+            1,
+            _STR_PREFIX_BYTES,
+        )
+        return F.conv(F.hex(padded), 16, 10).cast("long")
     return col
 
 
@@ -52,6 +71,13 @@ def _int_value(v):
         return calendar.timegm(v.timetuple())
     if isinstance(v, _dt.date):
         return (v - _EPOCH).days
+    if isinstance(v, str):
+        return int.from_bytes(
+            v.encode("utf-8")[:_STR_PREFIX_BYTES].ljust(
+                _STR_PREFIX_BYTES, b"\0"
+            ),
+            "big",
+        )
     return v
 
 
