@@ -834,3 +834,78 @@ def q130_deferred_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("p").cast("double").alias("sum_price"),
     ).withColumn("zero_rewrite_ok", F.lit(bool(same_files)))
+
+
+@register(
+    "q131_versioned_datasource",
+    tags=("lake", "datasource", "pushdown", "sql-surface"),
+    oracle="""
+WITH mx AS (
+  SELECT max(CAST(date_part('year', l_shipdate) AS BIGINT)) AS my
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       TRUE AS pushdown_pruned_ok
+FROM lineitem
+WHERE CAST(date_part('year', l_shipdate) AS BIGINT) = (SELECT my FROM mx)
+""",
+)
+def q131_versioned_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a first-class Spark source
+    (`sources/versioned_batch.py`): lineitem committed one ship-year per
+    version, then read through `spark.read.format("versioned")` with a
+    PLAIN `.filter(...)` — Catalyst pushes the comparison filters into
+    the reader via the DataSource `pushFilters` API, the reader prunes
+    manifest entries through partition/bloom/min-max stats (verified
+    here: the planned partition count drops to a strict minority,
+    reported as `pushdown_pruned_ok`), and Spark re-applies the filters
+    row-level so results stay exact. This is the planner-integrated twin
+    of `read(predicates=...)`: zero predicate plumbing in user code, and
+    it works from pure SQL over a temp view."""
+    import datetime as _dt
+
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        VersionedTableReader,
+        register as register_source,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_vds_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        "l_shipdate",
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+    )
+    years = [
+        r[0]
+        for r in sorted(li.select(F.year("l_shipdate")).distinct().collect())
+    ]
+    t = None
+    for y in years:
+        piece = li.filter(F.year("l_shipdate") == y)
+        if t is None:
+            t = VersionedTable.create(spark, base, piece)
+        else:
+            t.append(piece)
+
+    boundary = _dt.date(years[-1], 1, 1)
+    # Reader-level pruning proof (the planner path below uses the same
+    # pushFilters implementation).
+    rd = VersionedTableReader({"table_root": base})
+    list(rd.pushFilters([GreaterThanOrEqual(("l_shipdate",), boundary)]))
+    pruned_ok = len(rd.partitions()) == 1 and len(years) > 1
+
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", base)
+        .load()
+        .filter(F.col("l_shipdate") >= F.lit(boundary))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    ).withColumn("pushdown_pruned_ok", F.lit(bool(pruned_ok)))

@@ -1,0 +1,244 @@
+"""Batch Python DataSource over the versioned table: `spark.read.format(
+"versioned")` with PLANNER-INTEGRATED pruning.
+
+`VersionedTable.read(predicates=...)` prunes when the caller passes
+predicates explicitly; this source closes the loop with Spark's own filter
+pushdown: Catalyst hands the reader its `Filter`s via `pushFilters`, the
+reader maps the comparison subset onto the manifest's partition-name /
+bloom / min-max stats and plans ONE input partition per surviving entry
+(or per surviving FILE, using the per-file stats) — so a plain
+
+    spark.read.format("versioned").option("table_root", root).load()
+         .filter("l_shipdate >= '1998-01-01'")
+
+skips data the same way the explicit API does, with zero predicate
+plumbing in user code, and works from pure SQL over a temp view. Filters
+are reported as NOT fully handled (pruning is conservative, entry-level),
+so Spark re-applies them row-level — results are always exact.
+
+Time travel rides on options: `version` (int) or `timestamp` (ISO; largest
+version committed at-or-before). Executors read the selected parquet
+directly with pyarrow (same path as the streaming change source), with
+hive partition values injected from the manifest driver-side.
+
+Tables carrying live merge-on-read delete predicates are refused with a
+pointer at `VersionedTable.read()` (executors can't evaluate arbitrary SQL
+predicates in sessionless workers) — `compact()` materializes the deletes
+and re-enables this source.
+
+Reference anchor: the reference reads its sources through a factory of
+connector classes (`src/Infrastructure/DataExtraction/DataSourceFactory.cs:16-34`);
+a Spark DataSource is the lake-native "new source kind" with planner
+cooperation instead of hand-rolled readers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from datalakeingestionservice_spark.sinks.versioned import (
+    _MANIFEST_DIR,
+    Manifest,
+    NoSuchVersionError,
+    _dir_may_match,
+    _entry_may_match,
+    _typed_part_value,
+)
+from datalakeingestionservice_spark.sources.versioned_changes import (
+    _ddl_field_names,
+    _ddl_field_types,
+)
+
+_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _load_manifest(root: str, options: dict) -> Manifest:
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        raise NoSuchVersionError(f"{root} is not a versioned table")
+    manifests = []
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    manifests.append(Manifest.from_json(f.read()))
+            except (ValueError, KeyError):
+                continue  # torn claim
+    if not manifests:
+        raise NoSuchVersionError(f"{root}: no committed versions")
+    if options.get("version"):
+        want = int(options["version"])
+        for m in manifests:
+            if m.version == want:
+                return m
+        raise NoSuchVersionError(f"{root}: no version {want}")
+    if options.get("timestamp"):
+        import datetime as _dt
+
+        ts = _dt.datetime.fromisoformat(options["timestamp"])
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        best = None
+        for m in manifests:
+            if _dt.datetime.fromisoformat(m.committed_at) <= ts:
+                best = m
+        if best is None:
+            raise NoSuchVersionError(
+                f"{root}: no version committed at or before {ts}"
+            )
+        return best
+    return manifests[-1]
+
+
+class _EntryPartition(InputPartition):
+    def __init__(self, paths, columns, part_fill):
+        self.paths = paths  # absolute parquet file or dir paths
+        self.columns = columns
+        self.part_fill = part_fill or {}
+
+
+class VersionedTableReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options["table_root"]
+        self.m = _load_manifest(self.root, options)
+        if self.m.delete_predicates:
+            raise ValueError(
+                f"{self.root} carries merge-on-read delete predicates, "
+                "which sessionless executors cannot evaluate; read via "
+                "VersionedTable.read() or materialize them with compact()"
+            )
+        self._columns = _ddl_field_names(self.m.schema_ddl)
+        self._types = _ddl_field_types(self.m.schema_ddl)
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Collect the comparison subset for manifest-level pruning.
+        EVERY filter is yielded back as unhandled: entry-level stats can
+        only prove absence, not membership, so Spark must re-apply the
+        predicates row-level (exactness over double-filtering cost)."""
+        for f in filters:
+            op = _OPS.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and f.value is not None
+            ):
+                self._preds.append((f.attribute[0], op, f.value))
+            yield f
+
+    def partitions(self) -> list[InputPartition]:
+        part_types = {
+            c: self._types.get(c, "string") for c in self.m.partition_by
+        }
+        parts: list[_EntryPartition] = []
+        for rel in self.m.files:
+            stats = self.m.stats.get(rel, {})
+            if self._preds and not _entry_may_match(
+                stats, self._preds, part_types
+            ):
+                continue
+            raw_pv = stats.get("part_values")
+            fill = (
+                {
+                    c: _typed_part_value(
+                        raw, part_types.get(c, "string")
+                    )
+                    for c, raw in raw_pv.items()
+                }
+                if raw_pv
+                else None
+            )
+            abs_entry = os.path.join(self.root, rel)
+            fmap = stats.get("files")
+            if self._preds and fmap:
+                keep = [
+                    fn
+                    for fn, fs in sorted(fmap.items())
+                    if _dir_may_match(fs, self._preds)
+                ]
+                if len(keep) < len(fmap):
+                    if keep:
+                        parts.append(
+                            _EntryPartition(
+                                [
+                                    os.path.join(abs_entry, fn)
+                                    for fn in keep
+                                ],
+                                self._columns,
+                                fill,
+                            )
+                        )
+                    continue
+            parts.append(
+                _EntryPartition([abs_entry], self._columns, fill)
+            )
+        return parts
+
+    def read(self, partition: _EntryPartition) -> Iterator[tuple]:
+        # Executor-side: straight pyarrow scan, schema-evolution tolerant
+        # (files predating an added column yield None), hive partition
+        # values injected from the manifest.
+        import pyarrow.parquet as pq
+
+        files: list[str] = []
+        for p in partition.paths:
+            if os.path.isdir(p):
+                files.extend(
+                    sorted(glob.glob(os.path.join(p, "*.parquet")))
+                )
+            else:
+                files.append(p)
+        fill = partition.part_fill
+        for path in files:
+            available = set(pq.read_schema(path).names)
+            want = [c for c in partition.columns if c in available]
+            table = pq.read_table(path, columns=want)
+            for row in table.to_pylist():
+                yield tuple(
+                    row.get(c, fill.get(c))
+                    if c in available
+                    else fill.get(c)
+                    for c in partition.columns
+                )
+
+
+class VersionedTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned"
+
+    def schema(self) -> str:
+        m = _load_manifest(self.options["table_root"], self.options)
+        return m.schema_ddl
+
+    def reader(self, schema: StructType) -> VersionedTableReader:
+        return VersionedTableReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration with a session."""
+    try:
+        spark.dataSource.register(VersionedTableDataSource)
+    except Exception:
+        pass  # already registered

@@ -1,0 +1,116 @@
+"""Batch DataSource over the versioned table (sources/versioned_batch.py):
+spark.read.format("versioned") with planner-integrated filter pushdown,
+time travel options, hive partition recovery, and exact results."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+from datalakeingestionservice_spark.sources.versioned_batch import (
+    VersionedTableReader,
+    register,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _banded(spark, root):
+    t = None
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            "id", (F.col("id") * 2).alias("v")
+        )
+        if t is None:
+            t = VersionedTable.create(spark, root, df)
+        else:
+            t.append(df)
+    return t
+
+
+def _load(spark, root, **opts):
+    r = spark.read.format("versioned").option("table_root", root)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_format_read_matches_table_read(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = _banded(spark, root)
+    df = _load(spark, root)
+    assert df.count() == 300
+    assert sorted(r.id for r in df.collect()) == sorted(
+        r.id for r in t.read().collect()
+    )
+
+
+def test_filter_pushdown_prunes_partitions(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    _banded(spark, root)
+    # Planner path: results exact under a pushed filter.
+    got = sorted(
+        r.id
+        for r in _load(spark, root).filter("id >= 250 AND v < 540").collect()
+    )
+    assert got == list(range(250, 270))
+    # Reader-level proof: the pushed filter shrinks partitions 3 -> 1.
+    rd = VersionedTableReader({"table_root": root})
+    assert len(rd.partitions()) == 3
+    rd2 = VersionedTableReader({"table_root": root})
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    leftover = list(rd2.pushFilters([GreaterThanOrEqual(("id",), 250)]))
+    assert len(leftover) == 1  # conservative: Spark re-applies row-level
+    assert len(rd2.partitions()) == 1
+
+
+def test_time_travel_options(spark, tmp_path):
+    root = str(tmp_path / "vt")
+    t = _banded(spark, root)
+    assert _load(spark, root, version="1").count() == 100
+    ts2 = t.manifest(2).committed_at
+    assert _load(spark, root, timestamp=ts2).count() == 200
+
+
+def test_partitioned_and_decimal_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "vtp")
+    rows = [
+        (1, "a", Decimal("1.50")),
+        (2, "b", Decimal("2.25")),
+        (3, "a", Decimal("3.00")),
+    ]
+    VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            rows, "id bigint, grp string, amt decimal(10,2)"
+        ),
+        partition_by=["grp"],
+    )
+    df = _load(spark, root)
+    got = {(r.id, r.grp, str(r.amt)) for r in df.collect()}
+    assert got == {(i, g, str(a)) for i, g, a in rows}
+    # Partition-column filter prunes from dir names through the same path.
+    assert {r.id for r in df.filter("grp = 'a'").collect()} == {1, 3}
+
+
+def test_deferred_delete_table_refused(spark, tmp_path):
+    root = str(tmp_path / "vtd")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a")], "id bigint, val string"),
+    )
+    t.delete_where_deferred("id = 1")
+    with pytest.raises(Exception, match="delete predicates"):
+        VersionedTableReader({"table_root": root})
+    # compact() materializes and re-enables the source.
+    t.compact()
+    assert _load(spark, root).count() == 0
