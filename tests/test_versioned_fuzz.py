@@ -71,11 +71,12 @@ def test_random_commit_sequence_matches_model(spark, tmp_path, seed, protocol):
     )
     history = [None, Counter(initial)]  # model per version (1-indexed)
 
-    for _ in range(7):
+    for _ in range(9):
         model = Counter(history[-1])
         op = rng.choice(
             ["append", "narrow_append", "merge", "delete", "overwrite",
-             "compact"]
+             "compact", "deferred_delete", "restore",
+             "incremental_compact"]
         )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
@@ -112,6 +113,26 @@ def test_random_commit_sequence_matches_model(spark, tmp_path, seed, protocol):
             rows = fresh_rows(rng.randint(1, 3))
             t.overwrite(_df(spark, rows))
             model = Counter(rows)
+        elif op == "deferred_delete":
+            # Merge-on-read: rows PRESENT now that match the predicate
+            # vanish; rows appended later stay, even if they match (the
+            # predicate is scoped to today's entries) — the model's
+            # per-version semantics capture exactly that.
+            m = rng.randint(2, 4)
+            t.delete_where_deferred(f"id % {m} = 0")
+            for k in [k for k in list(model) if k[0] % m == 0]:
+                del model[k]
+        elif op == "restore":
+            target = rng.randint(1, len(history) - 1)
+            if target == len(history) - 1:
+                t.compact(num_partitions=1)  # restore-to-self is refused
+            else:
+                t.restore(target)
+                model = Counter(history[target])
+        elif op == "incremental_compact":
+            v_before = t.latest_version()
+            if t.compact(small_entry_max_rows=3) == v_before:
+                continue  # no-op: nothing committed, model unchanged
         else:
             t.compact(num_partitions=rng.randint(1, 2))
         history.append(model)
