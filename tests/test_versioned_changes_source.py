@@ -308,3 +308,28 @@ def test_max_versions_per_batch_limits_batch_span(spark, tmp_path):
     assert sorted(seen) == [(i, i + 1) for i in range(6)]
     assert spans and max(spans) <= 2
     assert len(spans) >= 3  # the 6-version history took >= 3 batches
+
+
+def test_round5_dml_commits_stream(spark, tmp_path):
+    """Deferred deletes and RESTORE stream through their materialized
+    change files; constraint add/drop commits are change-free and skip."""
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_deferred("id = 1")           # v2: cdf (1 delete)
+    t.add_check_constraint("id_pos", "id > 0")  # v3: cdf_empty
+    t.restore(1)                                # v4: cdf (delete 2 + ins 1,2)
+
+    q = _start(spark, root, "feed_r5", str(tmp_path / "ck"))
+    try:
+        _wait_count(spark, "feed_r5", 6)
+    finally:
+        q.stop()
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM feed_r5").collect()
+    }
+    assert got == {
+        (1, "insert", 1), (2, "insert", 1),
+        (1, "delete", 2),
+        (2, "delete", 4), (1, "insert", 4), (2, "insert", 4),
+    }
