@@ -909,3 +909,59 @@ def q131_versioned_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
     ).withColumn("pushdown_pruned_ok", F.lit(bool(pruned_ok)))
+
+
+@register(
+    "q132_partition_evolution",
+    tags=("lake", "partitioning", "evolution", "layout"),
+    oracle="""
+WITH all_rows AS (
+  SELECT o_orderpriority FROM orders
+  UNION ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderkey % 10 = 2
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       TRUE AS evolution_pruned_ok
+FROM all_rows
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q132_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution (Iceberg spec-change shape): orders committed
+    UNPARTITIONED, the spec evolved to `o_orderpriority` via a
+    metadata-only commit, then clones of keys %10==2 appended under the
+    NEW hive layout. The mixed table reads as one snapshot (oracle
+    recomputes the per-priority counts from raw orders), and a
+    priority-equality predicate prunes every other NEW leaf from its dir
+    NAME while the pre-evolution entry is stats-scanned
+    (`evolution_pruned_ok` asserts >= n_leaves-1 entries skipped). Old
+    data never rewrites on a spec change; rewrites migrate it
+    incrementally — Iceberg's partition-spec versioning, on this
+    format."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_pevo_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select("o_orderkey", "o_orderpriority")
+    t = VersionedTable.create(spark, base, orders)
+    t.set_partition_spec(["o_orderpriority"])
+    k = F.col("o_orderkey")
+    t.append(
+        orders.filter(k % 10 == 2).withColumn(
+            "o_orderkey", k + 1_000_000_000
+        )
+    )
+    prios = sorted(
+        r[0] for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    info = t.prune_info([("o_orderpriority", "=", prios[0])])
+    pruned_ok = info["n_skipped"] >= len(prios) - 1
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("evolution_pruned_ok", F.lit(bool(pruned_ok)))
+        .orderBy("o_orderpriority")
+    )

@@ -726,8 +726,9 @@ class VersionedTable:
         """With `partition_by`, data is laid out hive-style
         (`col=value/` leaf dirs, one manifest entry each) and reads prune
         partition-column predicates from the dir NAMES — no footer stats
-        involved, so even stat-less types (decimal) prune. The partition
-        spec is fixed for the table's lifetime (as in Hive/Delta).
+        involved, so even stat-less types (decimal) prune. The spec can
+        evolve later via :meth:`set_partition_spec` (Iceberg-style: old
+        entries keep their layout, new writes use the new spec).
 
         Reference anchor: the reference's output pathing is config-driven
         `{basePath}/{relativePath}`
@@ -774,6 +775,47 @@ class VersionedTable:
             bloom_columns=bc,
         )
         return table
+
+    def set_partition_spec(self, partition_by: list[str]) -> int:
+        """PARTITION EVOLUTION (Iceberg spec-change shape): switch the
+        layout future writes use, as a metadata-only commit — existing
+        entries keep their physical layout and stay fully readable and
+        PRUNABLE (each entry's own `part_values` drive dir-name pruning
+        regardless of the current spec; `_part_types` resolves old-spec
+        columns type-exactly), while appends/merges/compactions from now
+        on write `col=value/` leaves per the NEW spec. Rewrites migrate
+        data to the new layout incrementally — run `compact()` to migrate
+        wholesale. Pass `[]` to stop partitioning."""
+        pb = tuple(partition_by)
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        from pyspark.sql.types import StructType
+
+        names = {f.name for f in StructType.fromDDL(pm.schema_ddl).fields}
+        missing = [c for c in pb if c not in names]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        if pb and len(pb) == len(names):
+            raise ValueError("cannot partition by every column")
+        if pb == pm.partition_by:
+            raise ValueError(f"partition spec is already {list(pb)}")
+        return self._commit(
+            operation="set_partition_spec",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary={
+                "partition_spec": list(pb),
+                "cdf_empty": True,  # data-preserving
+                **(
+                    {"schema_evolved": True}
+                    if pm.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(pm.stats),
+            partition_by=pb,
+        )
 
     @property
     def check_constraints(self) -> dict[str, str]:
@@ -931,15 +973,19 @@ class VersionedTable:
         return df
 
     def _part_types(self, m: Manifest) -> dict[str, str]:
-        """Partition column -> simpleString type, from the manifest DDL."""
-        if not m.partition_by:
+        """Column -> simpleString type for EVERY schema column: after a
+        partition-spec evolution, surviving entries may carry part_values
+        for columns no longer in the current spec, and their pruning
+        should stay type-exact, not fall back to string comparison."""
+        if not m.partition_by and not any(
+            "part_values" in s for s in m.stats.values()
+        ):
             return {}
         from pyspark.sql.types import StructType
 
         return {
             f.name: f.dataType.simpleString()
             for f in StructType.fromDDL(m.schema_ddl).fields
-            if f.name in m.partition_by
         }
 
     def _scan_entries(
@@ -1016,7 +1062,6 @@ class VersionedTable:
         if not sel:
             return None
         schema = StructType.fromDDL(m.schema_ddl)
-        pb = m.partition_by
 
         def reader():
             r = self.spark.read
@@ -1026,17 +1071,25 @@ class VersionedTable:
                 r = r.option("mergeSchema", "true")
             return r
 
+        # Partition recovery keys on each ENTRY's own part_values, not the
+        # table's CURRENT spec: after partition evolution, entries written
+        # under an old spec still carry their columns in dir names and
+        # must recover them — and all entries under one top-level commit
+        # dir share one spec by construction.
         plain: list[str] = []
         groups: dict[str, list[str]] = {}
+        group_pcols: dict[str, set[str]] = {}
         for rel, files in sel:
             paths = (
                 [os.path.join(self.root, rel, fn) for fn in files]
                 if files is not None
                 else [os.path.join(self.root, rel)]
             )
-            if pb and "part_values" in m.stats.get(rel, {}):
+            pv = m.stats.get(rel, {}).get("part_values")
+            if pv:
                 top = "/".join(rel.replace(os.sep, "/").split("/")[:2])
                 groups.setdefault(top, []).extend(paths)
+                group_pcols.setdefault(top, set()).update(pv)
             else:
                 plain.extend(paths)
 
@@ -1058,10 +1111,11 @@ class VersionedTable:
             finally:
                 self.spark.conf.set(conf_key, prev)
             types = {f.name: f.dataType for f in schema.fields}
+            pcols = group_pcols[top]
             df = df.select(
                 *[
                     F.col(c).cast(types[c]).alias(c)
-                    if c in pb and c in types
+                    if c in pcols and c in types
                     else F.col(c)
                     for c in df.columns
                 ]

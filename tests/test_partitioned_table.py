@@ -377,3 +377,109 @@ def test_file_entries_survive_compact_and_vacuum(spark, root):
     t.expire_versions(keep_last=1)
     t.vacuum()
     assert t.read().count() == 50
+
+
+# -- partition evolution (Iceberg spec-change shape) -------------------------
+
+
+def test_partition_evolution_unpartitioned_to_partitioned(spark, tmp_path):
+    from decimal import Decimal
+
+    root = str(tmp_path / "pe1")
+    rows1 = [(1, "a", Decimal("1.00")), (2, "b", Decimal("2.00"))]
+    t = VersionedTable.create(
+        spark, root,
+        spark.createDataFrame(rows1, "id bigint, grp string, amt decimal(10,2)"),
+    )
+    v = t.set_partition_spec(["grp"])
+    assert t.manifest(v).operation == "set_partition_spec"
+    assert t.partition_by == ("grp",)
+    # New writes lay out hive-style; old entry stays plain. Both read.
+    t.append(
+        spark.createDataFrame(
+            [(3, "a", Decimal("3.00"))],
+            "id bigint, grp string, amt decimal(10,2)",
+        )
+    )
+    got = {(r.id, r.grp, str(r.amt)) for r in t.read().collect()}
+    assert got == {(1, "a", "1.00"), (2, "b", "2.00"), (3, "a", "3.00")}
+    m = t.manifest()
+    leafy = [r for r in m.files if "grp=" in r]
+    assert len(leafy) == 1  # only the post-evolution append
+    # The new leaf prunes by dir NAME; the old entry prunes by stats.
+    info = t.prune_info([("grp", "=", "b")])
+    assert info["n_skipped"] >= 1
+    assert {r.id for r in t.read(predicates=[("grp", "=", "a")]).collect()} == {1, 3}
+    # Time travel to the pre-evolution version still works.
+    assert t.read(version=1).count() == 2
+
+
+def test_partition_evolution_away_keeps_old_leaves_readable(spark, tmp_path):
+    root = str(tmp_path / "pe2")
+    t = VersionedTable.create(
+        spark, root,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id bigint, grp string"
+        ),
+        partition_by=["grp"],
+    )
+    v = t.set_partition_spec([])
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, grp string"))
+    # Old hive leaves still recover grp from dir names; the new entry is
+    # plain — values must survive the mixed layout.
+    got = {(r.id, r.grp) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # Pruning on the OLD leaves still uses their dir names (type-exact).
+    info = t.prune_info([("grp", "=", "a")], version=v)
+    assert info["n_skipped"] == 1
+    # compact() migrates wholesale to the current (un)spec.
+    t.compact()
+    assert not any("grp=" in r for r in t.manifest().files)
+    assert {(r.id, r.grp) for r in t.read().collect()} == got
+
+
+def test_partition_evolution_respec_and_feed(spark, tmp_path):
+    root = str(tmp_path / "pe3")
+    t = VersionedTable.create(
+        spark, root,
+        spark.createDataFrame(
+            [(1, "a", 2024), (2, "b", 2025)], "id bigint, grp string, yr int"
+        ),
+        partition_by=["grp"],
+    )
+    t.set_partition_spec(["yr"])
+    t.append(
+        spark.createDataFrame([(3, "c", 2025)], "id bigint, grp string, yr int")
+    )
+    # Mixed specs: grp= leaves and yr= leaves coexist; both recover.
+    got = {(r.id, r.grp, r.yr) for r in t.read().collect()}
+    assert got == {(1, "a", 2024), (2, "b", 2025), (3, "c", 2025)}
+    # Pruning works per-entry on EACH spec's column.
+    assert t.read(predicates=[("yr", "=", 2024)]).count() == 1
+    assert t.read(predicates=[("grp", "=", "c")]).count() == 1
+    # Change feed serves the mixed history (spec commit itself is empty).
+    feed = t.changes(1)
+    assert {(r.id, r._change_type) for r in feed.collect()} == {(3, "insert")}
+    # Merge after respec scopes by the entries' own values.
+    t.merge(
+        spark.createDataFrame([(2, "B", 2025)], "id bigint, grp string, yr int"),
+        ["id"],
+    )
+    assert {(r.id, r.grp) for r in t.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+
+
+def test_partition_evolution_validation(spark, tmp_path):
+    root = str(tmp_path / "pe4")
+    t = VersionedTable.create(
+        spark, root,
+        spark.createDataFrame([(1, "a")], "id bigint, grp string"),
+        partition_by=["grp"],
+    )
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_partition_spec(["nope"])
+    with pytest.raises(ValueError, match="already"):
+        t.set_partition_spec(["grp"])
+    with pytest.raises(ValueError, match="every column"):
+        t.set_partition_spec(["grp", "id"])
