@@ -965,3 +965,52 @@ def q132_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("evolution_pruned_ok", F.lit(bool(pruned_ok)))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q133_column_mapping",
+    tags=("lake", "schema-evolution", "rename", "drop", "column-mapping"),
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       TRUE AS zero_rewrite_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+)
+def q133_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (Delta shape): commit orders, RENAME
+    o_orderpriority -> priority and DROP o_orderdate — both metadata-only
+    (asserted: the manifest still references the same data entries) —
+    then aggregate by the NEW name. Files keep physical names forever;
+    reads translate, stats stay keyed physical so pruning survives the
+    rename, and the oracle recomputes from raw orders under the original
+    names, proving the logical view is a pure relabeling."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_cmap_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    t = VersionedTable.create(spark, base, orders)
+    files_before = t.manifest().files
+    t.rename_column("o_orderpriority", "priority")
+    t.drop_column("o_orderdate")
+    same = t.manifest().files == files_before
+    return (
+        t.read()
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        )
+        .withColumn("zero_rewrite_ok", F.lit(bool(same)))
+        .orderBy("priority")
+    )

@@ -488,6 +488,27 @@ def _conform(
     )
 
 
+def _rename_columns(df: DataFrame, names: dict[str, str]) -> DataFrame:
+    """Rename by map (missing keys pass through); one projection."""
+    if not names:
+        return df
+    return df.select(
+        *[F.col(c).alias(names.get(c, c)) for c in df.columns]
+    )
+
+
+def _log_to_phys(mapping: dict) -> dict[str, str]:
+    return {
+        l: p for l, p in mapping.get("map", {}).items() if l != p
+    }
+
+
+def _phys_to_log(mapping: dict) -> dict[str, str]:
+    return {
+        p: l for l, p in mapping.get("map", {}).items() if l != p
+    }
+
+
 def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
     """Raise ConstraintViolationError iff any row of `df` makes any CHECK
     expression FALSE (standard SQL CHECK: NULL passes — spell
@@ -551,6 +572,11 @@ class Manifest:
     #: appends are untouched, rewrites materialize it — the role of
     #: Iceberg's sequence-number scoping for delete files.
     delete_predicates: tuple = ()
+    #: Column mapping (Delta column-mapping shape): {"map": {logical:
+    #: physical}, "retired": [physical...]}. Empty = identity. Renames
+    #: and drops are metadata-only; files keep their physical names
+    #: forever, reads translate.
+    column_mapping: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -566,6 +592,7 @@ class Manifest:
                 "constraints": self.constraints,
                 "bloom_columns": list(self.bloom_columns),
                 "delete_predicates": list(self.delete_predicates),
+                "column_mapping": self.column_mapping,
             },
             indent=2,
             sort_keys=True,
@@ -586,7 +613,11 @@ class Manifest:
             constraints=d.get("constraints", {}),
             bloom_columns=tuple(d.get("bloom_columns", ())),
             delete_predicates=tuple(d.get("delete_predicates", ())),
+            column_mapping=d.get("column_mapping", {}),
         )
+
+    def physical_name(self, logical: str) -> str:
+        return self.column_mapping.get("map", {}).get(logical, logical)
 
 
 def _manifest_name(version: int) -> str:
@@ -776,6 +807,131 @@ class VersionedTable:
         )
         return table
 
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a metadata-only commit (Delta column-mapping
+        shape): files keep the old PHYSICAL name forever; the manifest's
+        logical schema renames and the mapping records logical → physical.
+        Reads translate on the fly (zero rewrite), stats/blooms/partition
+        dirs keep working (they're keyed physical), and the change feed
+        serves pre-rename history under the new name. Constraints and
+        deferred-delete predicates referencing the column by its old name
+        must be dropped first (they're SQL text; renaming under them would
+        break or silently misbind them)."""
+        from pyspark.sql.types import StructField, StructType
+
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        schema = StructType.fromDDL(pm.schema_ddl)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for cname, expr in pm.constraints.items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"constraint {cname!r} references {old!r}; drop it "
+                    "before renaming"
+                )
+        for p in pm.delete_predicates:
+            if re.search(rf"\b{re.escape(old)}\b", p["sql"]):
+                raise ValueError(
+                    f"a deferred delete references {old!r}; compact() to "
+                    "materialize it before renaming"
+                )
+        mapping = {
+            "map": dict(pm.column_mapping.get("map", {})),
+            "retired": list(pm.column_mapping.get("retired", [])),
+        }
+        physical = mapping["map"].pop(old, old)
+        mapping["map"][new] = physical
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        pb = tuple(new if c == old else c for c in pm.partition_by)
+        blooms = tuple(new if c == old else c for c in pm.bloom_columns)
+        return self._commit(
+            operation="rename_column",
+            files=pm.files,
+            schema_ddl=new_schema.simpleString(),
+            expected_parent=parent,
+            summary={
+                "renamed": {"from": old, "to": new},
+                "cdf_empty": True,
+                **(
+                    {"schema_evolved": True}
+                    if pm.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(pm.stats),
+            partition_by=pb,
+            bloom_columns=blooms,
+            column_mapping=mapping,
+        )
+
+    def drop_column(self, col: str) -> int:
+        """DROP COLUMN as a metadata-only commit: the physical column
+        stays in old files (reads shed it via the logical schema), its
+        physical name is RETIRED so a future added column can't collide
+        with lingering data, and rewrites simply stop carrying it.
+        Partition/bloom columns and columns referenced by constraints or
+        deferred deletes cannot be dropped."""
+        from pyspark.sql.types import StructType
+
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        schema = StructType.fromDDL(pm.schema_ddl)
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"no column {col!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        if col in pm.partition_by:
+            raise ValueError(f"{col!r} is a partition column")
+        if col in pm.bloom_columns:
+            raise ValueError(f"{col!r} is a bloom column")
+        for cname, expr in pm.constraints.items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"constraint {cname!r} references {col!r}"
+                )
+        for p in pm.delete_predicates:
+            if re.search(rf"\b{re.escape(col)}\b", p["sql"]):
+                raise ValueError(
+                    f"a deferred delete references {col!r}; compact() "
+                    "first"
+                )
+        mapping = {
+            "map": dict(pm.column_mapping.get("map", {})),
+            "retired": list(pm.column_mapping.get("retired", [])),
+        }
+        physical = mapping["map"].pop(col, col)
+        mapping["retired"].append(physical)
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        return self._commit(
+            operation="drop_column",
+            files=pm.files,
+            schema_ddl=new_schema.simpleString(),
+            expected_parent=parent,
+            summary={
+                "dropped": col,
+                "cdf_empty": True,
+                # Old files are now WIDER than the schema: reads must
+                # mergeSchema across heterogeneous footers.
+                "schema_evolved": True,
+            },
+            stats=dict(pm.stats),
+            column_mapping=mapping,
+        )
+
     def set_partition_spec(self, partition_by: list[str]) -> int:
         """PARTITION EVOLUTION (Iceberg spec-change shape): switch the
         layout future writes use, as a metadata-only commit — existing
@@ -945,18 +1101,26 @@ class VersionedTable:
         read + filter."""
         m = self.manifest(version)
         part_types = self._part_types(m)
+        # Stats/blooms/partition dirs are keyed by PHYSICAL column names;
+        # the row-level filter below stays logical.
+        fwd = _log_to_phys(m.column_mapping)
+        phys_preds = (
+            [(fwd.get(c, c), op, v) for c, op, v in predicates]
+            if predicates
+            else None
+        )
         sel: list[tuple[str, list[str] | None]] = []
         for rel in m.files:
             stats = m.stats.get(rel, {})
-            if predicates and not _entry_may_match(
-                stats, predicates, part_types
+            if phys_preds and not _entry_may_match(
+                stats, phys_preds, part_types
             ):
                 continue
             fmap = stats.get("files")
-            if predicates and fmap:
+            if phys_preds and fmap:
                 keep = [
                     fn for fn, fs in sorted(fmap.items())
-                    if _dir_may_match(fs, predicates)
+                    if _dir_may_match(fs, phys_preds)
                 ]
                 if len(keep) < len(fmap):
                     # A dir envelope can match while every file's tighter
@@ -983,8 +1147,9 @@ class VersionedTable:
             return {}
         from pyspark.sql.types import StructType
 
+        fwd = _log_to_phys(m.column_mapping)
         return {
-            f.name: f.dataType.simpleString()
+            fwd.get(f.name, f.name): f.dataType.simpleString()
             for f in StructType.fromDDL(m.schema_ddl).fields
         }
 
@@ -1093,9 +1258,23 @@ class VersionedTable:
             else:
                 plain.extend(paths)
 
+        # Files carry PHYSICAL column names forever (column mapping makes
+        # rename/drop metadata-only); translate to logical before
+        # conforming — conform then also sheds dropped physical columns.
+        back = _phys_to_log(m.column_mapping)
+        log_types = {
+            _log_to_phys(m.column_mapping).get(f.name, f.name): f.dataType
+            for f in schema.fields
+        }
+
         pieces: list[DataFrame] = []
         if plain:
-            pieces.append(_conform(reader().parquet(*plain), schema))
+            pieces.append(
+                _conform(
+                    _rename_columns(reader().parquet(*plain), back),
+                    schema,
+                )
+            )
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         for top in sorted(groups):
             prev = self.spark.conf.get(conf_key, "true")
@@ -1110,17 +1289,16 @@ class VersionedTable:
                 )
             finally:
                 self.spark.conf.set(conf_key, prev)
-            types = {f.name: f.dataType for f in schema.fields}
             pcols = group_pcols[top]
             df = df.select(
                 *[
-                    F.col(c).cast(types[c]).alias(c)
-                    if c in pcols and c in types
+                    F.col(c).cast(log_types[c]).alias(c)
+                    if c in pcols and c in log_types
                     else F.col(c)
                     for c in df.columns
                 ]
             )
-            pieces.append(_conform(df, schema))
+            pieces.append(_conform(_rename_columns(df, back), schema))
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
@@ -1135,6 +1313,8 @@ class VersionedTable:
         would scan vs skip."""
         m = self.manifest(version)
         part_types = self._part_types(m)
+        fwd = _log_to_phys(m.column_mapping)
+        predicates = [(fwd.get(c, c), op, v) for c, op, v in predicates]
         kept, skipped = [], []
         n_files_scanned = n_files_skipped = 0
         for rel in m.files:
@@ -1192,6 +1372,27 @@ class VersionedTable:
             # concurrent winner's schema evolution on rebase (their added
             # column vanished from the table DDL).
             ddl = self._evolved_schema_ddl(df, merge_schema, pm.schema_ddl)
+            if ddl != pm.schema_ddl and pm.column_mapping:
+                # A NEW logical column becomes its own physical name; it
+                # must not collide with a retired physical (dropped
+                # column's data lingers in old files) or another logical
+                # column's physical name.
+                from pyspark.sql.types import StructType
+
+                old_names = {
+                    f.name
+                    for f in StructType.fromDDL(pm.schema_ddl).fields
+                }
+                used_phys = set(
+                    pm.column_mapping.get("retired", ())
+                ) | set(pm.column_mapping.get("map", {}).values())
+                for f in df.schema.fields:
+                    if f.name not in old_names and f.name in used_phys:
+                        raise SchemaMismatchError(
+                            f"column name {f.name!r} collides with a "
+                            "physical column of a dropped/renamed "
+                            "column; choose another name"
+                        )
             try:
                 # schema_evolved means "data dirs have heterogeneous file
                 # schemas — read with mergeSchema". That includes SUBSET
@@ -1383,6 +1584,9 @@ class VersionedTable:
                     preds += [(k, ">=", lo), (k, "<=", hi)]
             if nan_bound:
                 preds = []
+            # Stats are keyed by physical names (column mapping).
+            fwd = _log_to_phys(pm.column_mapping)
+            preds = [(fwd.get(c, c), op, v) for c, op, v in preds]
             if preds:
                 part_types = self._part_types(pm)
                 scoped_rels = [
@@ -1619,7 +1823,11 @@ class VersionedTable:
         # append) lack it, and a raw read of just those dirs would break
         # the unionByName across versions — or diff with mismatched
         # schemas. Missing columns read as NULL, same as `read()`.
-        final = StructType.fromDDL(self.manifest(to_version).schema_ddl)
+        final_m = self.manifest(to_version)
+        final = StructType.fromDDL(final_m.schema_ddl)
+        # Change files (like data files) carry physical names; translate
+        # with the END mapping so renamed columns keep their history.
+        cdf_back = _phys_to_log(final_m.column_mapping)
 
         pieces: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
@@ -1640,8 +1848,11 @@ class VersionedTable:
             elif cur.summary.get("cdf_empty"):
                 continue  # provably data-preserving (compact)
             elif cur.summary.get("cdf"):
-                cdf = self.spark.read.parquet(
-                    os.path.join(self.root, cur.summary["cdf"])
+                cdf = _rename_columns(
+                    self.spark.read.parquet(
+                        os.path.join(self.root, cur.summary["cdf"])
+                    ),
+                    cdf_back,
                 )
                 piece = _conform(cdf, final, extra_cols=("_change_type",))
                 pieces.append(
@@ -1746,10 +1957,12 @@ class VersionedTable:
             stats=dict(target.stats),
             partition_by=target.partition_by,
             # Restore rolls metadata back too: the restored version's
-            # constraint set (its data provably satisfied it) and its
-            # deferred-delete predicates (they scope its entries).
+            # constraint set (its data provably satisfied it), its
+            # deferred-delete predicates (they scope its entries), and
+            # its column mapping (its schema's physical bindings).
             constraints=dict(target.constraints),
             delete_predicates=target.delete_predicates,
+            column_mapping=dict(target.column_mapping),
         )
 
     def materialize_changes(
@@ -1840,6 +2053,7 @@ class VersionedTable:
             constraints=m.constraints,
             bloom_columns=m.bloom_columns,
             delete_predicates=m.delete_predicates,
+            column_mapping=m.column_mapping,
         )
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -2025,7 +2239,14 @@ class VersionedTable:
     def _write_cdf(self, df: DataFrame) -> str:
         """Write a commit's change rows (data columns + `_change_type`)
         under `changes/`; same atomicity story as data dirs (invisible
-        until the manifest referencing them commits)."""
+        until the manifest referencing them commits). Change files use
+        PHYSICAL column names like data files, so one translation point
+        (`changes()`) serves files from before and after any rename."""
+        try:
+            fwd = _log_to_phys(self.manifest().column_mapping)
+        except NoSuchVersionError:
+            fwd = {}
+        df = _rename_columns(df, fwd)
         rel = os.path.join(_CDF_DIR, uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
         return rel
@@ -2054,11 +2275,20 @@ class VersionedTable:
         Spark still defaults timestamps to INT96, which carries NO footer
         min/max — write TIMESTAMP_MICROS so timestamp columns are
         prunable."""
+        try:
+            latest = self.manifest()
+        except NoSuchVersionError:
+            latest = None
         if bloom_columns is None:
-            try:
-                bloom_columns = self.manifest().bloom_columns
-            except NoSuchVersionError:
-                bloom_columns = ()
+            bloom_columns = latest.bloom_columns if latest else ()
+        # Data files carry PHYSICAL names: translate the (logical) frame,
+        # partition spec, and bloom columns before writing, so renames
+        # never require rewrites and rewritten files stay join-compatible
+        # with old ones.
+        fwd = _log_to_phys(latest.column_mapping) if latest else {}
+        df = _rename_columns(df, fwd)
+        partition_by = tuple(fwd.get(c, c) for c in partition_by)
+        bloom_columns = tuple(fwd.get(c, c) for c in bloom_columns)
         conf_key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
@@ -2130,6 +2360,7 @@ class VersionedTable:
         constraints: dict | None = None,
         bloom_columns: tuple[str, ...] | None = None,
         delete_predicates: tuple | None = None,
+        column_mapping: dict | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -2155,6 +2386,9 @@ class VersionedTable:
                 bloom_columns = pm.bloom_columns if pm else ()
             if delete_predicates is None:
                 delete_predicates = pm.delete_predicates if pm else ()
+        if column_mapping is None:
+            pm2 = self.manifest(expected_parent) if expected_parent else None
+            column_mapping = dict(pm2.column_mapping) if pm2 else {}
         # Retire predicates that no longer touch any surviving entry
         # (every entry they scoped was rewritten — the rewrite read
         # through the filter, materializing the deletion).
@@ -2180,6 +2414,7 @@ class VersionedTable:
             constraints=constraints,
             bloom_columns=bloom_columns,
             delete_predicates=delete_predicates,
+            column_mapping=column_mapping,
         )
         final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
         self._protocol.publish(final, m.to_json())

@@ -128,6 +128,14 @@ class VersionedTableReader(DataSourceReader):
                 "which sessionless executors cannot evaluate; read via "
                 "VersionedTable.read() or materialize them with compact()"
             )
+        if any(
+            l != p
+            for l, p in self.m.column_mapping.get("map", {}).items()
+        ):
+            raise ValueError(
+                f"{self.root} uses column mapping (renamed columns); "
+                "read via VersionedTable.read()"
+            )
         self._columns = _ddl_field_names(self.m.schema_ddl)
         self._types = _ddl_field_types(self.m.schema_ddl)
         self._preds: list[tuple] = []

@@ -112,6 +112,14 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # re-checks the source DDL and fails fast if it evolved, instead
         # of silently dropping the new columns from every micro-batch.
         pinned = _manifests(self.root)[-1]
+        if any(
+            l != p for l, p in pinned.column_mapping.get("map", {}).items()
+        ):
+            raise ValueError(
+                f"{self.root} uses column mapping (renamed columns); "
+                "sessionless stream workers cannot translate physical "
+                "file columns — use the batch VersionedTable.changes()"
+            )
         self._schema_ddl = pinned.schema_ddl
         self._pinned_version = pinned.version
         self._columns = _ddl_field_names(self._schema_ddl)

@@ -1120,3 +1120,151 @@ def test_deferred_delete_invalid_predicate_rejected(spark, root):
     with pytest.raises(Exception):
         t.delete_where_deferred("nosuchcol = 1")
     assert t.latest_version() == 1  # nothing committed
+
+
+# -- column mapping: rename / drop as metadata-only commits -----------------
+
+
+def test_rename_column_zero_rewrite(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    files_before = t.manifest().files
+    v = t.rename_column("val", "label")
+    m = t.manifest(v)
+    assert m.operation == "rename_column"
+    assert m.files == files_before  # zero data rewritten
+    got = {(r.id, r.label) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert "val" not in t.read().columns
+    # Time travel: pre-rename snapshot serves the OLD name.
+    assert {(r.id, r.val) for r in t.read(version=1).collect()} == got
+    # New appends keep the old PHYSICAL name; reads stay logical.
+    t.append(
+        spark.createDataFrame([(3, "c")], "id bigint, label string")
+    )
+    assert {(r.id, r.label) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    # Predicated reads on the new name still prune via physical stats.
+    assert {
+        r.id for r in t.read(predicates=[("label", "=", "c")]).collect()
+    } == {3}
+    # Change feed serves pre-rename history under the NEW name.
+    feed = {(r.id, r.label, r._change_type) for r in t.changes(0 + 1).collect()}
+    assert feed == {(3, "c", "insert")}
+
+
+def test_rename_column_feed_across_rename(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.merge(_df(spark, [(1, "A"), (2, "b")]), ["id"])  # cdf pre-rename
+    t.rename_column("val", "label")
+    t.merge(
+        spark.createDataFrame([(2, "B")], "id bigint, label string"),
+        ["id"],
+    )  # cdf post-rename
+    feed = {
+        (r.id, r.label, r._change_type, r._commit_version)
+        for r in t.changes(1).collect()
+    }
+    assert feed == {
+        (1, "a", "delete", 2), (1, "A", "insert", 2), (2, "b", "insert", 2),
+        (2, "b", "delete", 4), (2, "B", "insert", 4),
+    }
+
+
+def test_drop_column_and_collision_guard(spark, root):
+    t = VersionedTable.create(
+        spark, root,
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)],
+            "id bigint, val string, score double",
+        ),
+    )
+    v = t.drop_column("score")
+    assert t.manifest(v).files == t.manifest(1).files
+    assert t.read().columns == ["id", "val"]
+    assert t.read(version=1).columns == ["id", "val", "score"]  # travel
+    # Re-adding a column named like the retired physical is refused
+    # (old files still carry its data).
+    from datalakeingestionservice_spark.sinks.versioned import (
+        SchemaMismatchError,
+    )
+
+    with pytest.raises(SchemaMismatchError, match="collides"):
+        t.append(
+            spark.createDataFrame(
+                [(3, "c", 9.9)], "id bigint, val string, score double"
+            ),
+            merge_schema=True,
+        )
+    # A differently-named addition is fine.
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 9.9)], "id bigint, val string, score2 double"
+        ),
+        merge_schema=True,
+    )
+    rows = {r.id: r.score2 for r in t.read().collect()}
+    assert rows[3] == 9.9 and rows[1] is None
+
+
+def test_rename_then_rewrite_and_merge(spark, root):
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    t.rename_column("val", "label")
+    t.merge(
+        spark.createDataFrame([(2, "B")], "id bigint, label string"),
+        ["id"],
+    )
+    t.compact()
+    assert {(r.id, r.label) for r in t.read().collect()} == {
+        (1, "a"), (2, "B")
+    }
+    # Rename chains: label -> tag; mapping still resolves to the ORIGINAL
+    # physical name.
+    t.rename_column("label", "tag")
+    assert t.manifest().physical_name("tag") == "val"
+    assert {(r.id, r.tag) for r in t.read().collect()} == {
+        (1, "a"), (2, "B")
+    }
+
+
+def test_rename_validation_and_guards(spark, root):
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a")]),
+        check_constraints={"val_nonempty": "length(val) > 0"},
+    )
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("val", "label")
+    t.drop_check_constraint("val_nonempty")
+    t.delete_where_deferred("val = 'zzz'")
+    with pytest.raises(ValueError, match="deferred delete"):
+        t.rename_column("val", "label")
+    t.compact()  # materializes the deferred delete
+    t.rename_column("val", "label")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("label", "id")
+    with pytest.raises(ValueError, match="partition column"):
+        root2 = root + "_p"
+        tp = VersionedTable.create(
+            spark, root2,
+            spark.createDataFrame([(1, "a")], "id bigint, grp string"),
+            partition_by=["grp"],
+        )
+        tp.drop_column("grp")
+
+
+def test_mapped_table_refused_by_sources(spark, root):
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        VersionedTableReader,
+    )
+    from datalakeingestionservice_spark.sources.versioned_changes import (
+        VersionedChangesStreamReader,
+    )
+
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.rename_column("val", "label")
+    with pytest.raises(ValueError, match="column mapping"):
+        VersionedTableReader({"table_root": root})
+    with pytest.raises(ValueError, match="column mapping"):
+        VersionedChangesStreamReader({"table_root": root})
