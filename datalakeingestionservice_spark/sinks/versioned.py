@@ -2156,6 +2156,75 @@ class VersionedTable:
             },
         )
 
+    def maintenance_plan(
+        self,
+        small_entry_max_rows: int = 100_000,
+        max_live_delete_predicates: int = 3,
+    ) -> dict:
+        """Inspect the table and report which maintenance actions are
+        due — pure metadata, no data scan. Keys: `compact_small_entries`
+        (more than one entry under the row threshold — the streaming-sink
+        drip), `materialize_deletes` (>= N live merge-on-read predicates:
+        reads pay N filters until a rewrite), and counts for context.
+        Feed this to a scheduler (`pipeline/scheduler.py`) and the table
+        maintains itself the way OPTIMIZE jobs do on Delta."""
+        m = self.manifest()
+        small = [
+            rel
+            for rel in m.files
+            if m.stats.get(rel, {}).get("rows", -1) < small_entry_max_rows
+        ]
+        return {
+            "version": m.version,
+            "n_entries": len(m.files),
+            "n_small_entries": len(small),
+            "n_live_delete_predicates": len(m.delete_predicates),
+            "compact_small_entries": len(small) > 1,
+            "materialize_deletes": (
+                len(m.delete_predicates) >= max_live_delete_predicates
+            ),
+        }
+
+    def run_maintenance(
+        self,
+        small_entry_max_rows: int = 100_000,
+        max_live_delete_predicates: int = 3,
+        num_partitions: int = 1,
+        zorder_by: list[str] | None = None,
+        vacuum: bool = True,
+    ) -> dict:
+        """Execute the :meth:`maintenance_plan`: a FULL compact when
+        deferred deletes are due for materialization (the rewrite retires
+        every predicate), else an INCREMENTAL small-entry compact when the
+        drip warrants one, then optionally vacuum. Idempotent: a table
+        with nothing due commits nothing. Returns the plan plus what
+        ran."""
+        plan = self.maintenance_plan(
+            small_entry_max_rows, max_live_delete_predicates
+        )
+        executed: list[str] = []
+        if plan["materialize_deletes"]:
+            self.compact(
+                num_partitions=num_partitions, zorder_by=zorder_by
+            )
+            executed.append("compact_full")
+        elif plan["compact_small_entries"]:
+            before = self.latest_version()
+            if (
+                self.compact(
+                    num_partitions=num_partitions,
+                    zorder_by=zorder_by,
+                    small_entry_max_rows=small_entry_max_rows,
+                )
+                != before
+            ):
+                executed.append("compact_small_entries")
+        if vacuum:
+            removed = self.vacuum()
+            if removed:
+                executed.append(f"vacuum:{len(removed)}")
+        return {**plan, "executed": executed}
+
     def expire_versions(self, keep_last: int) -> list[int]:
         """Drop the oldest manifests, keeping `keep_last` most recent.
         Data files they referenced become vacuum-eligible unless a surviving

@@ -1268,3 +1268,38 @@ def test_mapped_table_refused_by_sources(spark, root):
         VersionedTableReader({"table_root": root})
     with pytest.raises(ValueError, match="column mapping"):
         VersionedChangesStreamReader({"table_root": root})
+
+
+# -- auto-maintenance planner ------------------------------------------------
+
+
+def test_maintenance_plan_and_run(spark, root):
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 1000, "big"))
+    t.compact()
+    for lo in (1000, 1010, 1020):
+        t.append(_ranged(spark, lo, lo + 10, "drip"))
+    plan = t.maintenance_plan(small_entry_max_rows=100)
+    assert plan["compact_small_entries"] and plan["n_small_entries"] == 3
+    assert not plan["materialize_deletes"]
+    out = t.run_maintenance(small_entry_max_rows=100)
+    assert "compact_small_entries" in out["executed"]
+    assert t.read().count() == 1030
+    # Idempotent: nothing due now (big entry + one merged drip entry).
+    v = t.latest_version()
+    out2 = t.run_maintenance(small_entry_max_rows=100)
+    assert t.latest_version() == v
+    assert not any(
+        e.startswith("compact") for e in out2["executed"]
+    )
+
+
+def test_maintenance_materializes_stacked_deletes(spark, root):
+    t = VersionedTable.create(spark, root, _ranged(spark, 0, 100, "a"))
+    t.delete_where_deferred("id = 1")
+    t.delete_where_deferred("id = 2")
+    assert not t.maintenance_plan()["materialize_deletes"]  # below 3
+    t.delete_where_deferred("id = 3")
+    out = t.run_maintenance()
+    assert "compact_full" in out["executed"]
+    assert t.manifest().delete_predicates == ()
+    assert t.read().count() == 97
