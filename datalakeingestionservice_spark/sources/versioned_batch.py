@@ -156,9 +156,12 @@ class VersionedTableReader(DataSourceReader):
             yield f
 
     def partitions(self) -> list[InputPartition]:
-        part_types = {
-            c: self._types.get(c, "string") for c in self.m.partition_by
-        }
+        # Type partition values from the FULL schema, not the current
+        # spec: after partition evolution, old-spec leaves carry
+        # part_values for columns outside m.partition_by, and typing them
+        # as strings would both weaken pruning and inject wrongly-typed
+        # fill values.
+        part_types = dict(self._types)
         parts: list[_EntryPartition] = []
         for rel in self.m.files:
             stats = self.m.stats.get(rel, {})

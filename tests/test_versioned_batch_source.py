@@ -114,3 +114,30 @@ def test_deferred_delete_table_refused(spark, tmp_path):
     # compact() materializes and re-enables the source.
     t.compact()
     assert _load(spark, root).count() == 0
+
+
+def test_batch_source_after_partition_evolution(spark, tmp_path):
+    """Old-spec leaves must type their partition fills from the FULL
+    schema (regression: typing from the current spec only filled an
+    evolved-away int partition column as a string)."""
+    root = str(tmp_path / "vtpe")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 2024), (2, 2025)], "id bigint, yr int"
+        ),
+        partition_by=["yr"],
+    )
+    t.set_partition_spec([])
+    t.append(spark.createDataFrame([(3, 2026)], "id bigint, yr int"))
+    df = _load(spark, root)
+    got = {(r.id, r.yr) for r in df.collect()}
+    assert got == {(1, 2024), (2, 2025), (3, 2026)}
+    # Pruning on the old-spec column stays type-exact.
+    assert {r.id for r in df.filter("yr = 2024").collect()} == {1}
+    rd = VersionedTableReader({"table_root": root})
+    from pyspark.sql.datasource import EqualTo
+
+    list(rd.pushFilters([EqualTo(("yr",), 2024)]))
+    assert len(rd.partitions()) <= 2  # the 2025 leaf pruned by dir name
