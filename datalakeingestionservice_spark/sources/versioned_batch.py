@@ -112,10 +112,11 @@ def _load_manifest(root: str, options: dict) -> Manifest:
 
 
 class _EntryPartition(InputPartition):
-    def __init__(self, paths, columns, part_fill):
+    def __init__(self, paths, columns, physical, part_fill):
         self.paths = paths  # absolute parquet file or dir paths
-        self.columns = columns
-        self.part_fill = part_fill or {}
+        self.columns = columns  # logical output order
+        self.physical = physical  # same order, file-side names
+        self.part_fill = part_fill or {}  # keyed by LOGICAL name
 
 
 class VersionedTableReader(DataSourceReader):
@@ -128,16 +129,16 @@ class VersionedTableReader(DataSourceReader):
                 "which sessionless executors cannot evaluate; read via "
                 "VersionedTable.read() or materialize them with compact()"
             )
-        if any(
-            l != p
-            for l, p in self.m.column_mapping.get("map", {}).items()
-        ):
-            raise ValueError(
-                f"{self.root} uses column mapping (renamed columns); "
-                "read via VersionedTable.read()"
-            )
         self._columns = _ddl_field_names(self.m.schema_ddl)
         self._types = _ddl_field_types(self.m.schema_ddl)
+        # Column mapping: files/stats/partition dirs use PHYSICAL names;
+        # the planner sees logical ones. The logical->physical list ships
+        # to executors in each InputPartition.
+        cmap = self.m.column_mapping.get("map", {})
+        self._physical = [cmap.get(c, c) for c in self._columns]
+        self._fwd = {
+            c: p for c, p in zip(self._columns, self._physical) if c != p
+        }
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -160,19 +161,23 @@ class VersionedTableReader(DataSourceReader):
         # spec: after partition evolution, old-spec leaves carry
         # part_values for columns outside m.partition_by, and typing them
         # as strings would both weaken pruning and inject wrongly-typed
-        # fill values.
-        part_types = dict(self._types)
+        # fill values. Stats/part_values are keyed PHYSICAL.
+        back = {p: c for c, p in self._fwd.items()}
+        part_types = {
+            self._fwd.get(c, c): t for c, t in self._types.items()
+        }
+        preds = [
+            (self._fwd.get(c, c), op, v) for c, op, v in self._preds
+        ]
         parts: list[_EntryPartition] = []
         for rel in self.m.files:
             stats = self.m.stats.get(rel, {})
-            if self._preds and not _entry_may_match(
-                stats, self._preds, part_types
-            ):
+            if preds and not _entry_may_match(stats, preds, part_types):
                 continue
             raw_pv = stats.get("part_values")
             fill = (
                 {
-                    c: _typed_part_value(
+                    back.get(c, c): _typed_part_value(
                         raw, part_types.get(c, "string")
                     )
                     for c, raw in raw_pv.items()
@@ -182,11 +187,11 @@ class VersionedTableReader(DataSourceReader):
             )
             abs_entry = os.path.join(self.root, rel)
             fmap = stats.get("files")
-            if self._preds and fmap:
+            if preds and fmap:
                 keep = [
                     fn
                     for fn, fs in sorted(fmap.items())
-                    if _dir_may_match(fs, self._preds)
+                    if _dir_may_match(fs, preds)
                 ]
                 if len(keep) < len(fmap):
                     if keep:
@@ -197,19 +202,24 @@ class VersionedTableReader(DataSourceReader):
                                     for fn in keep
                                 ],
                                 self._columns,
+                                self._physical,
                                 fill,
                             )
                         )
                     continue
             parts.append(
-                _EntryPartition([abs_entry], self._columns, fill)
+                _EntryPartition(
+                    [abs_entry], self._columns, self._physical, fill
+                )
             )
         return parts
 
     def read(self, partition: _EntryPartition) -> Iterator[tuple]:
         # Executor-side: straight pyarrow scan, schema-evolution tolerant
         # (files predating an added column yield None), hive partition
-        # values injected from the manifest.
+        # values injected from the manifest, physical->logical handled by
+        # reading file columns under their PHYSICAL names and emitting in
+        # logical order.
         import pyarrow.parquet as pq
 
         files: list[str] = []
@@ -221,16 +231,17 @@ class VersionedTableReader(DataSourceReader):
             else:
                 files.append(p)
         fill = partition.part_fill
+        pairs = list(zip(partition.columns, partition.physical))
         for path in files:
             available = set(pq.read_schema(path).names)
-            want = [c for c in partition.columns if c in available]
+            want = [p for _, p in pairs if p in available]
             table = pq.read_table(path, columns=want)
             for row in table.to_pylist():
                 yield tuple(
-                    row.get(c, fill.get(c))
-                    if c in available
+                    row.get(p, fill.get(c))
+                    if p in available
                     else fill.get(c)
-                    for c in partition.columns
+                    for c, p in pairs
                 )
 
 

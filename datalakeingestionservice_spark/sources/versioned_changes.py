@@ -68,6 +68,7 @@ class _DirPartition(InputPartition):
         columns: list[str],
         change_type: str | None = "insert",
         part_fill: dict | None = None,
+        physical: list[str] | None = None,
     ):
         self.abs_dir = abs_dir
         self.version = version
@@ -77,7 +78,11 @@ class _DirPartition(InputPartition):
         self.change_type = change_type
         #: Hive-partitioned leaf dirs: {col: typed value} for the
         #: partition columns, which live in the DIR NAME, not the files.
+        #: Keyed by LOGICAL name.
         self.part_fill = part_fill or {}
+        #: File-side names per column (column mapping); defaults to the
+        #: logical names.
+        self.physical = physical or columns
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -112,17 +117,16 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # re-checks the source DDL and fails fast if it evolved, instead
         # of silently dropping the new columns from every micro-batch.
         pinned = _manifests(self.root)[-1]
-        if any(
-            l != p for l, p in pinned.column_mapping.get("map", {}).items()
-        ):
-            raise ValueError(
-                f"{self.root} uses column mapping (renamed columns); "
-                "sessionless stream workers cannot translate physical "
-                "file columns — use the batch VersionedTable.changes()"
-            )
         self._schema_ddl = pinned.schema_ddl
         self._pinned_version = pinned.version
         self._columns = _ddl_field_names(self._schema_ddl)
+        # Column mapping (renamed columns): files carry PHYSICAL names;
+        # the stream emits logical ones. The list rides to executors in
+        # each partition. A rename AFTER the stream started changes the
+        # source DDL, which the schema-evolution fail-fast below already
+        # turns into an explicit restart error.
+        cmap = pinned.column_mapping.get("map", {})
+        self._physical = [cmap.get(c, c) for c in self._columns]
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -185,6 +189,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             if cur.operation in ("append", "create"):
                 prev_files = ms[v - 1].files if v - 1 in ms else ()
                 types = _ddl_field_types(cur.schema_ddl)
+                # part_values are keyed PHYSICAL; fills key LOGICAL.
+                back = {
+                    p: c
+                    for c, p in zip(self._columns, self._physical)
+                    if c != p
+                }
                 for rel in cur.files:
                     if rel not in prev_files:
                         raw_pv = cur.stats.get(rel, {}).get(
@@ -192,8 +202,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         )
                         fill = (
                             {
-                                c: _typed_part_value(
-                                    raw, types.get(c, "string")
+                                back.get(c, c): _typed_part_value(
+                                    raw,
+                                    types.get(back.get(c, c), "string"),
                                 )
                                 for c, raw in raw_pv.items()
                             }
@@ -206,6 +217,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                                 v,
                                 self._columns,
                                 part_fill=fill,
+                                physical=self._physical,
                             )
                         )
             elif cur.summary.get("cdf_empty"):
@@ -217,6 +229,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         v,
                         self._columns,
                         change_type=None,  # column lives in the files
+                        physical=self._physical,
                     )
                 )
             else:
@@ -233,13 +246,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # Executor-side: straight pyarrow scan of one immutable dir.
         import pyarrow.parquet as pq
 
+        pairs = list(zip(partition.columns, partition.physical))
         for path in sorted(
             glob.glob(os.path.join(partition.abs_dir, "*.parquet"))
         ):
             # Tolerate schema evolution: files predating an added column
             # yield None for it (same as the batch reader's mergeSchema).
+            # Files carry PHYSICAL names; rows emit in LOGICAL order.
             available = set(pq.read_schema(path).names)
-            want = [c for c in partition.columns if c in available]
+            want = [p for _, p in pairs if p in available]
             ctype_from_file = (
                 partition.change_type is None
                 and CHANGE_TYPE_COL in available
@@ -251,10 +266,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             fill = partition.part_fill
             for row in table.to_pylist():
                 yield tuple(
-                    row.get(c, fill.get(c))
-                    if c in available
+                    row.get(p, fill.get(c))
+                    if p in available
                     else fill.get(c)
-                    for c in partition.columns
+                    for c, p in pairs
                 ) + (
                     row[CHANGE_TYPE_COL]
                     if ctype_from_file

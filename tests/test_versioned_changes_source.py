@@ -333,3 +333,31 @@ def test_round5_dml_commits_stream(spark, tmp_path):
         (1, "delete", 2),
         (2, "delete", 4), (1, "insert", 4), (2, "insert", 4),
     }
+
+
+def test_mapped_table_streams_logical_columns(spark, tmp_path):
+    """A table renamed BEFORE the stream starts serves its whole history
+    (physical-named files, logical output) including pre-rename change
+    files and hive leaves."""
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    t.merge(_df(spark, [(1, "A"), (2, "b")]), ["id"])  # cdf pre-rename
+    t.rename_column("val", "label")
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, label string"))
+
+    q = _start(spark, root, "feed_map", str(tmp_path / "ck"))
+    try:
+        _wait_count(spark, "feed_map", 5)
+    finally:
+        q.stop()
+    got = {
+        (r.id, r.label, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM feed_map").collect()
+    }
+    assert got == {
+        (1, "a", "insert", 1),
+        (1, "a", "delete", 2),
+        (1, "A", "insert", 2),
+        (2, "b", "insert", 2),
+        (3, "c", "insert", 4),
+    }

@@ -1254,20 +1254,31 @@ def test_rename_validation_and_guards(spark, root):
         tp.drop_column("grp")
 
 
-def test_mapped_table_refused_by_sources(spark, root):
+def test_mapped_table_served_by_batch_source(spark, root):
+    """The logical->physical map ships inside each InputPartition, so the
+    sessionless workers read file columns under PHYSICAL names and emit
+    logical rows — renamed tables work through the format."""
     from datalakeingestionservice_spark.sources.versioned_batch import (
         VersionedTableReader,
+        register,
     )
-    from datalakeingestionservice_spark.sources.versioned_changes import (
-        VersionedChangesStreamReader,
-    )
+    from pyspark.sql.datasource import EqualTo
 
-    t = VersionedTable.create(spark, root, _df(spark, [(1, "a")]))
+    register(spark)
+    t = VersionedTable.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
     t.rename_column("val", "label")
-    with pytest.raises(ValueError, match="column mapping"):
-        VersionedTableReader({"table_root": root})
-    with pytest.raises(ValueError, match="column mapping"):
-        VersionedChangesStreamReader({"table_root": root})
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, label string"))
+    df = (
+        spark.read.format("versioned").option("table_root", root).load()
+    )
+    assert {(r.id, r.label) for r in df.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    assert {r.id for r in df.filter("label = 'c'").collect()} == {3}
+    # Pushed filters on the logical name prune via the physical stats.
+    rd = VersionedTableReader({"table_root": root})
+    list(rd.pushFilters([EqualTo(("label",), "c")]))
+    assert len(rd.partitions()) == 1
 
 
 # -- auto-maintenance planner ------------------------------------------------
