@@ -1014,3 +1014,82 @@ def q133_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_rewrite_ok", F.lit(bool(same)))
         .orderBy("priority")
     )
+
+
+@register(
+    "q134_datasource_merge_on_read",
+    tags=("lake", "datasource", "merge-on-read", "delete", "pushdown"),
+    oracle="""
+WITH mx AS (
+  SELECT max(CAST(date_part('year', l_shipdate) AS BIGINT)) AS my
+  FROM lineitem
+),
+base AS (
+  SELECT l_shipdate, l_orderkey,
+         CAST(date_part('year', l_shipdate) AS BIGINT) AS yr,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+  FROM lineitem
+),
+kept AS (
+  SELECT p FROM base WHERE yr <> (SELECT my FROM mx)
+  UNION ALL
+  SELECT p FROM base
+  WHERE yr = (SELECT my FROM mx) AND l_orderkey % 2 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS sum_price,
+       TRUE AS mor_served_ok
+FROM kept
+""",
+)
+def q134_datasource_merge_on_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The batch DataSource SERVING a merge-on-read table
+    (`sources/versioned_batch.py` + `sources/sql_predicates.py`):
+    lineitem committed once, the newest ship-year deferred-deleted (a
+    metadata-only commit — asserted as part of `mor_served_ok`), then
+    HALF that year re-appended. `spark.read.format("versioned")` compiles
+    the recorded predicate driver-side into a serializable AST and the
+    sessionless executors evaluate it with pyarrow under SQL three-valued
+    logic, scoped to the entries recorded at delete time — so the
+    re-appended rows (which MATCH the predicate) survive, exactly like
+    Iceberg sequence numbers. The oracle recomputes kept = other-years ∪
+    re-appended-half from raw lineitem. At 100 TB this is the read path
+    that lets cheap metadata deletes coexist with planner-integrated
+    scans: no compaction required before the table is queryable from
+    pure SQL."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_dsmor_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        "l_shipdate",
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+    )
+    t = VersionedTable.create(spark, base, li)
+    files_before = t.manifest().files
+    my = li.agg(F.max(F.year("l_shipdate"))).collect()[0][0]
+    v = t.delete_where_deferred(f"l_shipdate >= DATE '{int(my)}-01-01'")
+    zero_rewrite = t.manifest(v).files == files_before
+    t.append(
+        li.filter(
+            (F.year("l_shipdate") == int(my))
+            & (F.col("l_orderkey") % 2 == 0)
+        )
+    )
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", base)
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("p").cast("double").alias("sum_price"),
+    ).withColumn("mor_served_ok", F.lit(bool(zero_rewrite)))

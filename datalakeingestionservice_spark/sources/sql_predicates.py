@@ -1,0 +1,431 @@
+"""Compile the simple-SQL predicate subset to pyarrow compute.
+
+Merge-on-read deferred deletes (`VersionedTable.delete_where_deferred`,
+`sinks/versioned.py`) record arbitrary Spark-SQL boolean predicates in the
+manifest. Spark-session readers evaluate them with `F.expr`; the
+sessionless batch DataSource workers (`sources/versioned_batch.py`) cannot
+— so this module compiles the subset that covers real delete predicates
+(column-vs-literal comparisons, AND / OR / NOT, IS [NOT] NULL, [NOT] IN,
+[NOT] BETWEEN, parentheses) into a JSON-serializable AST on the driver and
+evaluates it executor-side with pyarrow.compute using SQL three-valued
+logic (Kleene AND/OR, null-propagating comparisons), matching Spark's
+`filter(~expr(pred))` semantics exactly: a row whose predicate evaluates
+to TRUE **or NULL** is deleted (the keep-mask NOT(pred) is NULL, and the
+arrow filter drops NULL-mask rows, exactly like Spark's filter).
+
+Predicates outside the subset fail `parse_predicate` driver-side, where
+the DataSource surfaces its documented refusal (read via
+`VersionedTable.read()` or `compact()` first) — never a wrong answer.
+
+Reference anchor: the reference pushes row filtering into its SQL sources
+as WHERE clauses inside the configured statements
+(`src/Infrastructure/DataExtraction/SqlServerDataSource.cs:20-73`); this
+is the lake-native equivalent for an engine whose "server" is a manifest
+plus parquet.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from decimal import Decimal
+
+
+class UnsupportedPredicateError(ValueError):
+    """Raised when a predicate falls outside the compilable subset."""
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<bquote>`[^`]+`)
+      | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<op><=|>=|<>|!=|==|=|<|>)
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<comma>,)
+      | (?P<minus>-)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN",
+    "TRUE", "FALSE", "DATE", "TIMESTAMP",
+}
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        mobj = _TOKEN_RE.match(sql, pos)
+        if mobj is None or mobj.end() == pos:
+            rest = sql[pos:].strip()
+            if not rest:
+                break
+            raise UnsupportedPredicateError(
+                f"cannot tokenize predicate at: {rest[:40]!r}"
+            )
+        pos = mobj.end()
+        kind = mobj.lastgroup
+        text = mobj.group(kind)
+        if kind == "word":
+            up = text.upper()
+            if up in _KEYWORDS:
+                out.append((up, up))
+            else:
+                out.append(("ident", text))
+        elif kind == "bquote":
+            out.append(("ident", text[1:-1]))
+        elif kind == "string":
+            out.append(("str", text[1:-1].replace("''", "'")))
+        else:
+            out.append((kind, text))
+    return out
+
+
+class _Parser:
+    """Recursive descent over the token stream. AST nodes are plain
+    lists (picklable, JSON-able):
+
+      ["cmp", op, col, lit]      op in = != < <= > >=
+      ["and"|"or", left, right]  ["not", x]
+      ["isnull", col]  ["notnull", col]
+      ["in", col, [lit, ...]]
+
+    where lit is ["s", str] | ["n", text] | ["d", iso] | ["t", iso] |
+    ["b", bool]. Number literals keep their TEXT so decimal comparisons
+    stay exact."""
+
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
+
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise UnsupportedPredicateError("unexpected end of predicate")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str) -> str:
+        k, v = self.next()
+        if k != kind:
+            raise UnsupportedPredicateError(f"expected {kind}, got {v!r}")
+        return v
+
+    def parse(self) -> list:
+        ast = self.or_expr()
+        if self.i != len(self.toks):
+            raise UnsupportedPredicateError(
+                f"trailing tokens: {self.toks[self.i][1]!r}"
+            )
+        return ast
+
+    def or_expr(self) -> list:
+        left = self.and_expr()
+        while self.peek() == "OR":
+            self.next()
+            left = ["or", left, self.and_expr()]
+        return left
+
+    def and_expr(self) -> list:
+        left = self.unary()
+        while self.peek() == "AND":
+            self.next()
+            left = ["and", left, self.unary()]
+        return left
+
+    def unary(self) -> list:
+        if self.peek() == "NOT":
+            self.next()
+            return ["not", self.unary()]
+        if self.peek() == "lparen":
+            # Parenthesized boolean expr — but '(' can't start a
+            # comparison operand in this subset (no arithmetic), so
+            # recurse unambiguously.
+            self.next()
+            inner = self.or_expr()
+            self.expect("rparen")
+            return inner
+        return self.predicate()
+
+    def _literal(self) -> list:
+        k, v = self.next()
+        if k == "str":
+            return ["s", v]
+        if k == "number":
+            return ["n", v]
+        if k == "minus":
+            return ["n", "-" + self.expect("number")]
+        if k in ("TRUE", "FALSE"):
+            return ["b", k == "TRUE"]
+        if k == "DATE":
+            return ["d", self.expect("str")]
+        if k == "TIMESTAMP":
+            return ["t", self.expect("str")]
+        raise UnsupportedPredicateError(f"expected literal, got {v!r}")
+
+    def _operand(self) -> tuple[str, object]:
+        """Returns ("col", name) or ("lit", lit)."""
+        if self.peek() == "ident":
+            return ("col", self.next()[1])
+        return ("lit", self._literal())
+
+    def predicate(self) -> list:
+        lk, lv = self._operand()
+        k = self.peek()
+        if lk == "col" and k in (None, "AND", "OR", "rparen"):
+            # Bare boolean column (`flag`, `NOT flag`): desugar to
+            # `flag = TRUE` — identical under three-valued logic.
+            return ["cmp", "=", lv, ["b", True]]
+        if k == "IS":
+            self.next()
+            if lk != "col":
+                raise UnsupportedPredicateError("IS NULL needs a column")
+            if self.peek() == "NOT":
+                self.next()
+                self.expect("NULL")
+                return ["notnull", lv]
+            self.expect("NULL")
+            return ["isnull", lv]
+        negate = False
+        if k == "NOT":
+            self.next()
+            negate = True
+            k = self.peek()
+        if k == "IN":
+            self.next()
+            if lk != "col":
+                raise UnsupportedPredicateError("IN needs a column left side")
+            self.expect("lparen")
+            lits = [self._literal()]
+            while self.peek() == "comma":
+                self.next()
+                lits.append(self._literal())
+            self.expect("rparen")
+            node = ["in", lv, lits]
+            return ["not", node] if negate else node
+        if k == "BETWEEN":
+            self.next()
+            if lk != "col":
+                raise UnsupportedPredicateError(
+                    "BETWEEN needs a column left side"
+                )
+            lo = self._literal()
+            self.expect("AND")
+            hi = self._literal()
+            node = [
+                "and",
+                ["cmp", ">=", lv, lo],
+                ["cmp", "<=", lv, hi],
+            ]
+            return ["not", node] if negate else node
+        if negate:
+            raise UnsupportedPredicateError("dangling NOT before comparison")
+        if k != "op":
+            got = self.toks[self.i][1] if self.i < len(self.toks) else "<end>"
+            raise UnsupportedPredicateError(f"expected operator, got {got!r}")
+        op = self.next()[1]
+        op = {"==": "=", "<>": "!="}.get(op, op)
+        rk, rv = self._operand()
+        if lk == "col" and rk == "lit":
+            return ["cmp", op, lv, rv]
+        if lk == "lit" and rk == "col":
+            return ["cmp", self._FLIP[op], rv, lv]
+        raise UnsupportedPredicateError(
+            "comparisons must be column-vs-literal"
+        )
+
+
+def parse_predicate(sql: str) -> list:
+    """Parse `sql` into the AST, or raise UnsupportedPredicateError."""
+    toks = _tokenize(sql)
+    if not toks:
+        raise UnsupportedPredicateError("empty predicate")
+    return _Parser(toks).parse()
+
+
+_NUMERIC = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def check_supported(ast: list, types: dict[str, str]) -> None:
+    """Driver-side validation: every referenced column exists and its
+    Spark simpleString type is comparable with the literal the way the
+    arrow evaluation will compare them. Raises UnsupportedPredicateError
+    so the DataSource can surface its documented refusal BEFORE planning
+    (never a wrong answer executor-side)."""
+
+    def col_type(c: str) -> str:
+        if c not in types:
+            raise UnsupportedPredicateError(f"unknown column {c!r}")
+        return types[c]
+
+    def lit_ok(t: str, lit: list) -> bool:
+        tag = lit[0]
+        if t in _NUMERIC or t.startswith("decimal"):
+            return tag == "n"
+        if t in ("string",) or t.startswith(("varchar", "char")):
+            return tag == "s"
+        if t == "date":
+            if tag == "d":
+                return True
+            if tag == "s":
+                try:
+                    _dt.date.fromisoformat(lit[1])
+                    return True
+                except ValueError:
+                    return False
+            return False
+        if t.startswith("timestamp"):
+            # "d" allowed: Spark coerces a DATE literal against a
+            # timestamp column to its midnight instant, exactly what
+            # datetime.fromisoformat does with a date-only string.
+            if tag == "t":
+                return True
+            if tag in ("s", "d"):
+                try:
+                    _dt.datetime.fromisoformat(lit[1])
+                    return True
+                except ValueError:
+                    return False
+            return False
+        if t == "boolean":
+            return tag == "b"
+        return False  # binary / array / map / struct: not comparable here
+
+    def walk(node: list) -> None:
+        kind = node[0]
+        if kind in ("and", "or"):
+            walk(node[1])
+            walk(node[2])
+        elif kind == "not":
+            walk(node[1])
+        elif kind in ("isnull", "notnull"):
+            col_type(node[1])
+        elif kind == "cmp":
+            t = col_type(node[2])
+            if not lit_ok(t, node[3]):
+                raise UnsupportedPredicateError(
+                    f"literal {node[3]!r} not comparable with "
+                    f"{node[2]}: {t}"
+                )
+        elif kind == "in":
+            t = col_type(node[1])
+            for lit in node[2]:
+                if not lit_ok(t, lit):
+                    raise UnsupportedPredicateError(
+                        f"literal {lit!r} not comparable with "
+                        f"{node[1]}: {t}"
+                    )
+        else:  # pragma: no cover - parser can't emit others
+            raise UnsupportedPredicateError(f"unknown node {kind!r}")
+
+    walk(ast)
+
+
+def compile_predicate(sql: str, types: dict[str, str]) -> list:
+    """parse + validate in one step (driver-side entry point)."""
+    ast = parse_predicate(sql)
+    check_supported(ast, types)
+    return ast
+
+
+def _scalar_for(lit: list, arrow_type):
+    """Convert a literal to a pyarrow scalar coerced to the COLUMN's
+    type the way Spark coerces literals (string→date/timestamp parse,
+    exact decimal from the literal's text, session-UTC for tz-aware
+    timestamps)."""
+    import pyarrow as pa
+
+    tag, val = lit[0], lit[1]
+    if pa.types.is_date(arrow_type):
+        return pa.scalar(_dt.date.fromisoformat(val), type=arrow_type)
+    if pa.types.is_timestamp(arrow_type):
+        dtv = _dt.datetime.fromisoformat(val)
+        if arrow_type.tz is not None and dtv.tzinfo is None:
+            dtv = dtv.replace(tzinfo=_dt.timezone.utc)
+        return pa.scalar(dtv, type=arrow_type)
+    if pa.types.is_decimal(arrow_type):
+        return pa.scalar(Decimal(val), type=arrow_type)
+    if tag == "n":
+        num = float(val) if ("." in val or "e" in val.lower()) else int(val)
+        return pa.scalar(num)
+    if tag == "b":
+        return pa.scalar(bool(val), type=pa.bool_())
+    return pa.scalar(val, type=pa.string() if pa.types.is_string(
+        arrow_type
+    ) else arrow_type)
+
+
+def evaluate(ast: list, table) -> object:
+    """Evaluate a compiled AST against a pyarrow Table whose column
+    names are the predicate's (logical) names. Returns a boolean
+    Array/ChunkedArray with SQL three-valued logic: comparisons
+    propagate NULL, AND/OR are Kleene, NOT inverts through NULL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+
+    def nulls_bool():
+        return pa.nulls(n, pa.bool_())
+
+    _CMP = {
+        "=": pc.equal, "!=": pc.not_equal,
+        "<": pc.less, "<=": pc.less_equal,
+        ">": pc.greater, ">=": pc.greater_equal,
+    }
+
+    def ev(node: list):
+        kind = node[0]
+        if kind == "and":
+            return pc.and_kleene(ev(node[1]), ev(node[2]))
+        if kind == "or":
+            return pc.or_kleene(ev(node[1]), ev(node[2]))
+        if kind == "not":
+            return pc.invert(ev(node[1]))
+        if kind == "isnull":
+            return pc.is_null(table.column(node[1]))
+        if kind == "notnull":
+            return pc.is_valid(table.column(node[1]))
+        if kind == "cmp":
+            col = table.column(node[2])
+            if pa.types.is_null(col.type):
+                return nulls_bool()
+            return _CMP[node[1]](col, _scalar_for(node[3], col.type))
+        if kind == "in":
+            col = table.column(node[1])
+            if pa.types.is_null(col.type):
+                return nulls_bool()
+            out = None
+            for lit in node[2]:
+                eq = pc.equal(col, _scalar_for(lit, col.type))
+                out = eq if out is None else pc.or_kleene(out, eq)
+            return out
+        raise UnsupportedPredicateError(f"unknown node {kind!r}")
+
+    return ev(ast)
+
+
+def keep_mask(asts: list[list], table) -> object | None:
+    """AND-of-NOT(pred) keep mask for a row group under a set of
+    deferred deletes; None when no predicates apply. Rows whose mask is
+    NULL must be DROPPED by the caller (arrow's filter default),
+    matching `df.filter(~F.expr(p))`."""
+    import pyarrow.compute as pc
+
+    mask = None
+    for ast in asts:
+        keep = pc.invert(evaluate(ast, table))
+        mask = keep if mask is None else pc.and_kleene(mask, keep)
+    return mask

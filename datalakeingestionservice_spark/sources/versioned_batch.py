@@ -21,10 +21,14 @@ version committed at-or-before). Executors read the selected parquet
 directly with pyarrow (same path as the streaming change source), with
 hive partition values injected from the manifest driver-side.
 
-Tables carrying live merge-on-read delete predicates are refused with a
-pointer at `VersionedTable.read()` (executors can't evaluate arbitrary SQL
-predicates in sessionless workers) — `compact()` materializes the deletes
-and re-enables this source.
+Merge-on-read tables are served: live deferred-delete predicates in the
+compilable subset (comparisons, AND/OR/NOT, IS NULL, IN, BETWEEN —
+`sources/sql_predicates.py`) are compiled driver-side to a serializable
+AST and evaluated executor-side with pyarrow.compute under SQL
+three-valued logic, scoped to exactly the entries each predicate recorded
+(later appends are never filtered). A predicate outside the subset is
+refused driver-side with a pointer — `VersionedTable.read()` always
+works, and `compact()` materializes the deletes and lifts the refusal.
 
 Reference anchor: the reference reads its sources through a factory of
 connector classes (`src/Infrastructure/DataExtraction/DataSourceFactory.cs:16-34`);
@@ -58,6 +62,11 @@ from datalakeingestionservice_spark.sinks.versioned import (
     _dir_may_match,
     _entry_may_match,
     _typed_part_value,
+)
+from datalakeingestionservice_spark.sources.sql_predicates import (
+    UnsupportedPredicateError,
+    compile_predicate,
+    keep_mask,
 )
 from datalakeingestionservice_spark.sources.versioned_changes import (
     _ddl_field_names,
@@ -112,25 +121,45 @@ def _load_manifest(root: str, options: dict) -> Manifest:
 
 
 class _EntryPartition(InputPartition):
-    def __init__(self, paths, columns, physical, part_fill):
+    def __init__(self, paths, columns, physical, part_fill, preds=None):
         self.paths = paths  # absolute parquet file or dir paths
         self.columns = columns  # logical output order
         self.physical = physical  # same order, file-side names
         self.part_fill = part_fill or {}  # keyed by LOGICAL name
+        self.preds = preds or []  # compiled deferred-delete ASTs
 
 
 class VersionedTableReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["table_root"]
         self.m = _load_manifest(self.root, options)
-        if self.m.delete_predicates:
-            raise ValueError(
-                f"{self.root} carries merge-on-read delete predicates, "
-                "which sessionless executors cannot evaluate; read via "
-                "VersionedTable.read() or materialize them with compact()"
-            )
         self._columns = _ddl_field_names(self.m.schema_ddl)
         self._types = _ddl_field_types(self.m.schema_ddl)
+        # Merge-on-read: compile each live deferred-delete predicate
+        # driver-side (logical column names — the executor builds the
+        # LOGICAL table before filtering, so column mapping needs no
+        # extra translation here). Outside the subset -> documented
+        # refusal, never a wrong answer.
+        self._mor: list[tuple[list, tuple[str, ...]]] = []
+        for p in self.m.delete_predicates:
+            try:
+                ast = compile_predicate(p["sql"], self._types)
+            except UnsupportedPredicateError as e:
+                raise ValueError(
+                    f"{self.root} carries a merge-on-read delete "
+                    f"predicate outside the compilable subset "
+                    f"({p['sql']!r}: {e}); read via "
+                    "VersionedTable.read() or materialize it with "
+                    "compact()"
+                ) from e
+            self._mor.append(
+                (
+                    ast,
+                    tuple(
+                        e.replace(os.sep, "/") for e in p["entries"]
+                    ),
+                )
+            )
         # Column mapping: files/stats/partition dirs use PHYSICAL names;
         # the planner sees logical ones. The logical->physical list ships
         # to executors in each InputPartition.
@@ -169,6 +198,23 @@ class VersionedTableReader(DataSourceReader):
         preds = [
             (self._fwd.get(c, c), op, v) for c, op, v in self._preds
         ]
+
+        def mor_for(rel: str) -> list[list]:
+            """Deferred-delete ASTs scoped to this entry: a predicate
+            applies iff its recorded rel equals the entry or is an
+            ancestor (covers partition leaves and file entries carried
+            forward by a scoped merge) — same rule as
+            VersionedTable._scan_entries."""
+            r = rel.replace(os.sep, "/")
+            return [
+                ast
+                for ast, entries in self._mor
+                if any(
+                    r == pr or r.startswith(pr.rstrip("/") + "/")
+                    for pr in entries
+                )
+            ]
+
         parts: list[_EntryPartition] = []
         for rel in self.m.files:
             stats = self.m.stats.get(rel, {})
@@ -204,12 +250,17 @@ class VersionedTableReader(DataSourceReader):
                                 self._columns,
                                 self._physical,
                                 fill,
+                                mor_for(rel),
                             )
                         )
                     continue
             parts.append(
                 _EntryPartition(
-                    [abs_entry], self._columns, self._physical, fill
+                    [abs_entry],
+                    self._columns,
+                    self._physical,
+                    fill,
+                    mor_for(rel),
                 )
             )
         return parts
@@ -219,7 +270,11 @@ class VersionedTableReader(DataSourceReader):
         # (files predating an added column yield None), hive partition
         # values injected from the manifest, physical->logical handled by
         # reading file columns under their PHYSICAL names and emitting in
-        # logical order.
+        # logical order. Deferred-delete predicates (if any apply to this
+        # entry) filter the LOGICAL table with Kleene three-valued masks
+        # before rows are emitted — arrow's filter drops NULL-mask rows,
+        # matching Spark's `filter(~expr(pred))` exactly.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         files: list[str] = []
@@ -235,14 +290,26 @@ class VersionedTableReader(DataSourceReader):
         for path in files:
             available = set(pq.read_schema(path).names)
             want = [p for _, p in pairs if p in available]
-            table = pq.read_table(path, columns=want)
-            for row in table.to_pylist():
-                yield tuple(
-                    row.get(p, fill.get(c))
-                    if p in available
-                    else fill.get(c)
-                    for c, p in pairs
-                )
+            raw = pq.read_table(path, columns=want)
+            n = raw.num_rows
+            cols = {}
+            for c, p in pairs:
+                if p in available:
+                    cols[c] = raw.column(p)
+                elif fill.get(c) is not None:
+                    cols[c] = pa.array([fill[c]] * n)
+                else:
+                    cols[c] = pa.nulls(n)
+            logical = pa.table(cols)
+            if partition.preds:
+                mask = keep_mask(partition.preds, logical)
+                if mask is not None:
+                    logical = logical.filter(mask)
+            pys = [
+                logical.column(i).to_pylist()
+                for i in range(logical.num_columns)
+            ]
+            yield from zip(*pys)
 
 
 class VersionedTableDataSource(DataSource):

@@ -1,0 +1,178 @@
+"""sources/sql_predicates.py: the deferred-delete predicate compiler.
+
+The contract is EXACT parity with Spark's evaluation of the same SQL —
+including three-valued logic — so the core test evaluates a battery of
+predicates both ways (Spark `F.expr` vs pyarrow compute) over a frame
+with NULLs in every column and asserts identical truth vectors, and the
+keep-mask path against `df.filter(~F.expr(p))`.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pyarrow as pa
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sources.sql_predicates import (
+    UnsupportedPredicateError,
+    compile_predicate,
+    evaluate,
+    keep_mask,
+    parse_predicate,
+)
+
+ROWS = [
+    (0, 1, 1.5, "alpha", dt.date(2024, 1, 1),
+     dt.datetime(2024, 1, 1, 10, 30), Decimal("1.50"), True),
+    (1, 2, 2.5, "beta", dt.date(2024, 6, 1),
+     dt.datetime(2024, 6, 1, 0, 0), Decimal("2.25"), False),
+    (2, 3, None, None, dt.date(2025, 1, 1), None, None, None),
+    (3, None, 4.0, "d'oh", None,
+     dt.datetime(2025, 3, 1, 23, 59), Decimal("9.99"), True),
+    (4, 5, -0.5, "Epsilon", dt.date(2023, 12, 31),
+     dt.datetime(2023, 12, 31, 0, 0), Decimal("-3.00"), False),
+]
+DDL = (
+    "rid bigint, id bigint, v double, s string, d date, "
+    "ts timestamp_ntz, amt decimal(10,2), flag boolean"
+)
+TYPES = {
+    "rid": "bigint", "id": "bigint", "v": "double", "s": "string",
+    "d": "date", "ts": "timestamp_ntz", "amt": "decimal(10,2)",
+    "flag": "boolean",
+}
+
+PREDICATES = [
+    "id = 2",
+    "id != 2",
+    "id <> 2",
+    "id == 2",
+    "2 = id",
+    "id > 1 AND v < 3.0",
+    "id > 1 OR v < 0.0",
+    "NOT (id = 1 OR s = 'beta')",
+    "s IN ('alpha', 'Epsilon')",
+    "id NOT IN (1, 2)",
+    "s = 'd''oh'",
+    "v BETWEEN 0.0 AND 2.5",
+    "v NOT BETWEEN 0.0 AND 2.5",
+    "d >= '2024-06-01'",
+    "d >= DATE '2024-06-01'",
+    "d < DATE '2024-01-01' OR d IS NULL",
+    "ts > TIMESTAMP '2024-06-01 00:00:00'",
+    "ts >= DATE '2024-06-01'",
+    "ts <= '2024-01-01 10:30:00'",
+    "amt BETWEEN 1.0 AND 2.5",
+    "amt = 2.25",
+    "amt <= -1",
+    "s IS NULL",
+    "v IS NOT NULL",
+    "id > 2.5",
+    "v = -0.5",
+    "flag = TRUE",
+    "flag != FALSE",
+    "`id` >= 3",
+    "(id = 1 AND flag) OR (id = 5 AND NOT flag)",
+    "id >= 1 AND id <= 3 AND NOT (s = 'beta') AND v IS NOT NULL",
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    df = spark.createDataFrame(ROWS, DDL)
+    pdf = df.toPandas()
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    # Pandas round-trips decimal to object; rebuild typed columns the way
+    # a parquet read would present them.
+    table = table.set_column(
+        table.column_names.index("amt"),
+        "amt",
+        pa.array(pdf["amt"].tolist(), pa.decimal128(10, 2)),
+    )
+    return df, table
+
+
+@pytest.mark.parametrize("sql", PREDICATES)
+def test_parity_with_spark(frame, sql):
+    df, table = frame
+    ast = compile_predicate(sql, TYPES)
+    spark_vec = [
+        r.p
+        for r in df.select("rid", F.expr(sql).alias("p"))
+        .orderBy("rid")
+        .collect()
+    ]
+    arrow_vec = evaluate(ast, table).to_pylist()
+    assert arrow_vec == spark_vec, f"{sql}: {arrow_vec} != {spark_vec}"
+
+
+@pytest.mark.parametrize("sql", PREDICATES)
+def test_keep_mask_matches_spark_filter(frame, sql):
+    df, table = frame
+    ast = compile_predicate(sql, TYPES)
+    want = sorted(r.rid for r in df.filter(~F.expr(sql)).collect())
+    kept = table.filter(keep_mask([ast], table))
+    assert sorted(kept.column("rid").to_pylist()) == want
+
+
+def test_stacked_keep_mask(frame):
+    df, table = frame
+    asts = [
+        compile_predicate("id <= 2", TYPES),
+        compile_predicate("flag = FALSE", TYPES),
+    ]
+    want = sorted(
+        r.rid
+        for r in df.filter(~F.expr("id <= 2"))
+        .filter(~F.expr("flag = FALSE"))
+        .collect()
+    )
+    kept = table.filter(keep_mask(asts, table))
+    assert sorted(kept.column("rid").to_pylist()) == want
+
+
+def test_null_type_column_comparisons():
+    """A column materialized as all-NULL (schema evolution fill) has
+    arrow null type; comparisons yield NULL, IS NULL yields TRUE."""
+    t = pa.table({"x": pa.nulls(3)})
+    assert evaluate(parse_predicate("x = 1"), t).to_pylist() == [None] * 3
+    assert evaluate(parse_predicate("x IN (1, 2)"), t).to_pylist() == [
+        None
+    ] * 3
+    assert evaluate(parse_predicate("x IS NULL"), t).to_pylist() == [
+        True
+    ] * 3
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "id = other_col",          # col-vs-col
+        "length(s) > 0",           # function call
+        "id + 1 = 2",              # arithmetic
+        "s LIKE 'a%'",             # LIKE
+        "s = 5",                   # type-incompatible literal
+        "nope = 1",                # unknown column
+        "d >= 'not-a-date'",       # unparseable date literal
+        "id =",                    # truncated
+        "id = 1 extra",            # trailing garbage
+        "",                        # empty
+        "id IN (s)",               # non-literal IN list
+    ],
+)
+def test_unsupported_rejected(sql):
+    with pytest.raises(UnsupportedPredicateError):
+        compile_predicate(sql, TYPES)
+
+
+def test_ast_is_plain_data():
+    import json
+
+    ast = parse_predicate(
+        "id > 1 AND (s IN ('a', 'b') OR d >= DATE '2024-01-01') "
+        "AND v IS NOT NULL"
+    )
+    assert json.loads(json.dumps(ast)) == ast

@@ -101,15 +101,63 @@ def test_partitioned_and_decimal_roundtrip(spark, tmp_path):
     assert {r.id for r in df.filter("grp = 'a'").collect()} == {1, 3}
 
 
-def test_deferred_delete_table_refused(spark, tmp_path):
+def test_deferred_delete_served_with_scoping(spark, tmp_path):
+    """Merge-on-read tables are SERVED: the compilable predicate subset
+    evaluates executor-side via pyarrow, scoped to the entries recorded
+    at delete time — a later append matching the predicate survives."""
     root = str(tmp_path / "vtd")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+        ),
+    )
+    t.delete_where_deferred("id <= 2")
+    # Re-append an id the predicate matches: fresh entry, never filtered.
+    t.append(spark.createDataFrame([(2, "b2")], "id bigint, val string"))
+    got = {(r.id, r.val) for r in _load(spark, root).collect()}
+    want = {(r.id, r.val) for r in t.read().collect()}
+    assert got == want == {(3, "c"), (2, "b2")}
+
+
+def test_deferred_delete_stacking_and_null_semantics(spark, tmp_path):
+    """Stacked predicates compose; a NULL predicate result deletes the
+    row (Spark's filter(~pred) drops NULL), and IS NULL works."""
+    root = str(tmp_path / "vtn")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)],
+            "id bigint, v double",
+        ),
+    )
+    t.delete_where_deferred("v < 20.0")  # deletes id=1 AND id=2 (NULL)
+    t.delete_where_deferred("id = 4")
+    got = {(r.id, r.v) for r in _load(spark, root).collect()}
+    want = {(r.id, r.v) for r in t.read().collect()}
+    assert got == want == {(3, 30.0)}
+
+
+def test_deferred_delete_pushdown_composes(spark, tmp_path):
+    """A pushed Catalyst filter AND a deferred delete both apply."""
+    root = str(tmp_path / "vtc")
+    t = _banded(spark, root)
+    t.delete_where_deferred("v >= 400")  # ids >= 200 gone
+    df = _load(spark, root).filter("id >= 150")
+    assert sorted(r.id for r in df.collect()) == list(range(150, 200))
+
+
+def test_unsupported_deferred_predicate_refused(spark, tmp_path):
+    root = str(tmp_path / "vtu")
     t = VersionedTable.create(
         spark,
         root,
         spark.createDataFrame([(1, "a")], "id bigint, val string"),
     )
-    t.delete_where_deferred("id = 1")
-    with pytest.raises(Exception, match="delete predicates"):
+    t.delete_where_deferred("length(val) > 0")
+    with pytest.raises(Exception, match="outside the compilable subset"):
         VersionedTableReader({"table_root": root})
     # compact() materializes and re-enables the source.
     t.compact()
