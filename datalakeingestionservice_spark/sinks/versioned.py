@@ -272,6 +272,27 @@ def _bloom_may_contain(b64: str, value, m: int, k: int) -> bool:
         for p in _bloom_positions_py(value, m, k)
     )
 
+
+def _union_blooms(metas: list[dict], m: int = _BLOOM_M) -> dict:
+    """OR per-leaf bitmaps into one commit-wide over-approximation (the
+    fallback for a leaf whose dir-name key defied matching — costs
+    selectivity only, never correctness)."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    bm = np.zeros(m // 8, dtype=np.uint8)
+    for meta in metas:
+        bm |= np.frombuffer(
+            zlib.decompress(base64.b64decode(meta["b64"])), dtype=np.uint8
+        )
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(zlib.compress(bm.tobytes(), 6)).decode(),
+    }
+
 _ISO_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]|$)")
 
 # -- hive-style partition layout --------------------------------------------
@@ -2335,11 +2356,15 @@ class VersionedTable:
         the source of dir-name pruning and partition-aligned merge scope.
 
         With bloom columns, one DISTRIBUTED aggregate over the commit's
-        rows produces the per-commit bloom bitmap(s) — the driver receives
-        distinct bit POSITIONS (<= m of them), never values — attached to
-        every entry the commit writes (for a partitioned commit the shared
-        bloom over-approximates each leaf, which only costs selectivity,
-        never correctness).
+        rows produces the bloom bitmap(s). Unpartitioned: the driver
+        receives distinct bit POSITIONS (<= m of them), never values.
+        Partitioned: blooms are PER LEAF — positions group by the leaf
+        key and fold into each leaf's bitmap executor-side
+        (applyInPandas), so the driver receives one ~32 KiB compressed
+        bitmap per (leaf, column) and a point lookup on a non-partition
+        column prunes sibling leaves individually; a leaf whose dir-name
+        key can't be matched back falls back to the OR-union of all leaf
+        blooms (selectivity cost only, never correctness).
 
         Spark still defaults timestamps to INT96, which carries NO footer
         min/max — write TIMESTAMP_MICROS so timestamp columns are
@@ -2370,12 +2395,25 @@ class VersionedTable:
             writer.parquet(abs_dir)
         finally:
             self.spark.conf.set(conf_key, prev)
-        blooms = self._compute_blooms(df, bloom_columns)
         if not partition_by:
+            blooms = self._compute_blooms(df, bloom_columns)
             st = _collect_dir_stats(abs_dir)
             if blooms:
                 st["bloom"] = blooms
             return {rel: st}
+        leaf_blooms = self._compute_leaf_blooms(
+            df, bloom_columns, partition_by
+        )
+        union = (
+            {
+                c: _union_blooms(
+                    [lb[c] for lb in leaf_blooms.values() if c in lb]
+                )
+                for c in {c for lb in leaf_blooms.values() for c in lb}
+            }
+            if leaf_blooms
+            else {}
+        )
         entries: dict[str, dict] = {}
         for dirpath, _dirs, files in sorted(os.walk(abs_dir)):
             if not any(f.endswith(".parquet") for f in files):
@@ -2383,8 +2421,11 @@ class VersionedTable:
             sub = os.path.relpath(dirpath, abs_dir)
             st = _collect_dir_stats(dirpath)
             st["part_values"] = _parse_part_path(sub)
-            if blooms:
-                st["bloom"] = blooms
+            if leaf_blooms:
+                key = tuple(
+                    st["part_values"].get(pc) for pc in partition_by
+                )
+                st["bloom"] = leaf_blooms.get(key, union)
             entries[os.path.join(rel, sub)] = st
         return entries
 
@@ -2416,6 +2457,70 @@ class VersionedTable:
             }
             for ci, c in enumerate(cols)
         }
+
+    def _compute_leaf_blooms(
+        self,
+        df: DataFrame,
+        bloom_columns: tuple[str, ...],
+        partition_by: tuple[str, ...],
+    ) -> dict[tuple, dict[str, dict]]:
+        """{leaf key: {col: {"m","k","b64"}}} — PER-LEAF blooms for a
+        partitioned commit, so a point lookup on a non-partition column
+        prunes sibling leaves individually instead of sharing one
+        commit-wide filter.
+
+        The leaf key is the partition columns cast to string — the same
+        strings Spark writes into the `col=value/` dir names (NULL maps
+        to the hive sentinel, parsed back to None), which is how
+        `_write_data_entries` matches a bitmap to its leaf entry.
+        Distinct (leaf, column, position) rows group by leaf and fold
+        into 32 KiB bitmaps EXECUTOR-side (applyInPandas, Arrow-batched —
+        a genuine custom aggregate no builtin expresses), so the driver
+        collects one small compressed string per (leaf, column), never
+        position lists: collect volume ∝ leaves, not leaves × m."""
+        cols = [c for c in bloom_columns if c in df.columns]
+        if not cols:
+            return {}
+        import pandas as pd
+
+        keys = [f"_pk{i}" for i in range(len(partition_by))]
+        key_exprs = [
+            F.col(pc).cast("string").alias(k)
+            for pc, k in zip(partition_by, keys)
+        ]
+        pieces = None
+        for ci, c in enumerate(cols):
+            p = df.select(
+                *key_exprs,
+                F.lit(ci).alias("_bc"),
+                F.explode(F.array(*_bloom_position_cols(c))).alias("_pos"),
+            ).filter(F.col("_pos").isNotNull())
+            pieces = p if pieces is None else pieces.unionAll(p)
+
+        def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out = {k: [pdf[k].iloc[0]] for k in keys}
+            out["_bc"] = [int(pdf["_bc"].iloc[0])]
+            out["_b64"] = [_bloom_from_positions(pdf["_pos"].tolist())]
+            return pd.DataFrame(out)
+
+        schema = ", ".join(
+            [f"{k} string" for k in keys] + ["_bc int", "_b64 string"]
+        )
+        rows = (
+            pieces.distinct()
+            .groupBy(*keys, "_bc")
+            .applyInPandas(fold, schema)
+            .collect()
+        )
+        out: dict[tuple, dict[str, dict]] = {}
+        for r in rows:
+            key = tuple(r[k] for k in keys)
+            out.setdefault(key, {})[cols[r._bc]] = {
+                "m": _BLOOM_M,
+                "k": _BLOOM_K,
+                "b64": r._b64,
+            }
+        return out
 
     def _commit(
         self,

@@ -1000,6 +1000,75 @@ def test_bloom_null_values_and_merge_interplay(spark, root):
     assert info["n_scanned"] == 0
 
 
+def test_per_leaf_blooms_prune_sibling_partitions(spark, root):
+    """A PARTITIONED commit gets one bloom PER LEAF: a point lookup on a
+    NON-partition column prunes sibling leaves individually (a shared
+    per-commit bloom could never refute any of them, since every leaf
+    belongs to the same commit)."""
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).cast("int").alias("grp")
+    )
+    t = VersionedTable.create(
+        spark, root, df, partition_by=["grp"], bloom_columns=["id"]
+    )
+    assert len(t.manifest().files) == 4  # one entry per leaf
+    # id=17 lives only in leaf grp=1; the OTHER leaves' blooms refute it
+    # even though the predicate says nothing about the partition column.
+    for probe in (17, 100, 243, 398):
+        info = t.prune_info([("id", "=", probe)])
+        assert info["n_scanned"] == 1 and info["n_skipped"] == 3, probe
+        got = [
+            r.id for r in t.read(predicates=[("id", "=", probe)]).collect()
+        ]
+        assert got == [probe]
+    info = t.prune_info([("id", "=", 401)])
+    assert info["n_scanned"] == 0
+    # The batch DataSource consumes the same per-leaf blooms via
+    # pushFilters.
+    from pyspark.sql.datasource import EqualTo
+
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        VersionedTableReader,
+    )
+
+    rd = VersionedTableReader({"table_root": root})
+    list(rd.pushFilters([EqualTo(("id",), 17)]))
+    assert len(rd.partitions()) == 1
+
+
+def test_per_leaf_blooms_null_leaf_and_compact(spark, root):
+    """The hive-null leaf carries its own bloom; compact() (which
+    rewrites through the partition spec) recomputes per-leaf blooms."""
+    rows = [(1, "a", "x"), (2, None, "y"), (3, "a", "z"), (4, "b", "w")]
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(rows, "id bigint, grp string, val string"),
+        partition_by=["grp"],
+        bloom_columns=["val"],
+    )
+    # 'y' lives only in the NULL leaf: the other two leaves bloom-prune.
+    info = t.prune_info([("val", "=", "y")])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 2
+    assert {
+        r.id for r in t.read(predicates=[("val", "=", "y")]).collect()
+    } == {2}
+    t.append(
+        spark.createDataFrame(
+            [(5, "a", "q")], "id bigint, grp string, val string"
+        )
+    )
+    t.compact()
+    # Post-compact: one entry per leaf again, blooms still leaf-local.
+    info = t.prune_info([("val", "=", "q")])
+    assert info["n_skipped"] >= 2
+    assert {
+        r.id for r in t.read(predicates=[("val", "=", "q")]).collect()
+    } == {5}
+    info = t.prune_info([("val", "=", "nosuch")])
+    assert info["n_scanned"] == 0
+
+
 # -- incremental OPTIMIZE (small-entry compaction) --------------------------
 
 
