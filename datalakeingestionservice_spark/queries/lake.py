@@ -1093,3 +1093,62 @@ def q134_datasource_merge_on_read(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("p").cast("double").alias("sum_price"),
     ).withColumn("mor_served_ok", F.lit(bool(zero_rewrite)))
+
+
+@register(
+    "q135_datasource_writer",
+    tags=("lake", "datasource", "writer", "sql-surface"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key,
+       TRUE AS zero_copy_ok
+FROM lineitem
+""",
+)
+def q135_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataSource WRITE path (`df.write.format("versioned")`,
+    `sources/versioned_batch.py` VersionedTableWriter): the even-orderkey
+    half of lineitem CREATES the table through the writer, the odd half
+    APPENDS through it — executor tasks stage parquet with pyarrow and
+    the sessionless commit worker publishes through the table's own
+    commit protocol, ZERO-COPY (asserted via the manifest's `staged`
+    flag: the staged dir moved, nothing was rewritten). Reading back
+    through `spark.read.format("versioned")` and aggregating must equal
+    raw lineitem — the full write→commit→read loop works from the plain
+    DataFrame writer API, no VersionedTable import in user code. At
+    100 TB this is the Delta story: any Spark job writes the table with
+    `df.write`, the format guarantees atomicity and schema enforcement."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_vwr_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+    )
+    k = F.col("l_orderkey")
+    for half in (li.filter(k % 2 == 0), li.filter(k % 2 == 1)):
+        (
+            half.write.format("versioned")
+            .mode("append")
+            .option("table_root", base)
+            .save()
+        )
+    t = VersionedTable(spark, base)
+    zero_copy = t.manifest().summary.get("staged") is True
+    df = (
+        spark.read.format("versioned").option("table_root", base).load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    ).withColumn("zero_copy_ok", F.lit(bool(zero_copy)))

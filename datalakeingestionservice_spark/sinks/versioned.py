@@ -1442,6 +1442,77 @@ class VersionedTable:
                 if attempt > max_retries:
                     raise
 
+    def append_staged(
+        self,
+        staged_dir: str,
+        merge_schema: bool = False,
+        max_retries: int = 3,
+    ) -> int:
+        """Append parquet files ALREADY WRITTEN by someone else (the
+        DataSource writer's executor tasks, a bulk loader) without
+        rewriting them: validate schema + constraints by READING the
+        staged files (metadata + limit-1 scans), then MOVE the directory
+        into the table and commit — the data bytes are written exactly
+        once, by whoever staged them.
+
+        Falls back to a regular `append` (one rewrite) when zero-copy
+        can't preserve the table's physical contract: hive-partitioned
+        layout (staged files aren't leaf-structured) or an active column
+        mapping (data files must carry PHYSICAL names). Either way the
+        commit semantics are identical to `append`."""
+        import shutil
+
+        m0 = self.manifest()
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            staged_dir
+        )
+        if self.partition_by or _log_to_phys(m0.column_mapping):
+            try:
+                return self.append(df, merge_schema=merge_schema)
+            finally:
+                shutil.rmtree(staged_dir, ignore_errors=True)
+        self._evolved_schema_ddl(df, merge_schema, m0.schema_ddl)
+        _enforce_constraints(df, m0.constraints)
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
+        os.rename(staged_dir, os.path.join(self.root, rel))
+        st = _collect_dir_stats(os.path.join(self.root, rel))
+        blooms = self._compute_blooms(
+            self.spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.root, rel)
+            ),
+            m0.bloom_columns,
+        )
+        if blooms:
+            st["bloom"] = blooms
+        entries = {rel: st}
+        attempt = 0
+        while True:
+            parent = self.latest_version()
+            pm = self.manifest(parent)
+            ddl = self._evolved_schema_ddl(df, merge_schema, pm.schema_ddl)
+            try:
+                evolved = (
+                    bool(pm.summary.get("schema_evolved"))
+                    or ddl != pm.schema_ddl
+                    or df.schema.simpleString() != ddl
+                )
+                return self._commit(
+                    operation="append",
+                    files=pm.files + tuple(entries),
+                    schema_ddl=ddl,
+                    expected_parent=parent,
+                    summary={
+                        "staged": True,
+                        **({"schema_evolved": True} if evolved else {}),
+                    },
+                    stats={**pm.stats, **entries},
+                )
+            except ConcurrentCommitError:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+
     def _evolved_schema_ddl(
         self, df: DataFrame, merge_schema: bool, table_ddl: str
     ) -> str:
@@ -2296,6 +2367,22 @@ class VersionedTable:
                         reclaimed.append(os.path.join(_MANIFEST_DIR, name))
                 except OSError:
                     continue  # raced with the claiming writer; leave it
+            # Orphaned DataSource-writer staging dirs (job hard-crashed
+            # between tasks staging and commit/abort) are invisible to
+            # readers — nothing references them — but hold disk; reclaim
+            # past the same timeout.
+            sdir = os.path.join(self.root, "_staging")
+            if os.path.isdir(sdir):
+                for name in sorted(os.listdir(sdir)):
+                    p = os.path.join(sdir, name)
+                    try:
+                        if now - os.path.getmtime(p) >= claim_timeout_s:
+                            shutil.rmtree(p)
+                            reclaimed.append(
+                                os.path.join("_staging", name)
+                            )
+                    except OSError:
+                        continue
 
         manifests = self.versions()
         # An entry may be a whole data dir, a partition LEAF inside one, or

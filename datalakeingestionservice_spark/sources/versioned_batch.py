@@ -40,11 +40,13 @@ from __future__ import annotations
 
 import glob
 import os
+import uuid
 from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -52,6 +54,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -312,6 +315,449 @@ class VersionedTableReader(DataSourceReader):
             yield from zip(*pys)
 
 
+def _arrow_type_for(dt):
+    """Spark DataType -> the arrow type whose parquet encoding Spark
+    reads back as the SAME Spark type (TimestampType must carry
+    tz='UTC' so parquet gets isAdjustedToUTC and round-trips as
+    timestamp, not timestamp_ntz; session tz is normalized to UTC by
+    prepare_session, so the naive datetimes Spark hands the writer ARE
+    UTC wall times)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type_for(dt.elementType))
+    raise ValueError(
+        f"unsupported column type for the versioned writer: "
+        f"{dt.simpleString()}"
+    )
+
+
+def _evolved_ddl_text(schema, merge_schema: bool, table_ddl: str) -> str:
+    """Sessionless twin of `VersionedTable._evolved_schema_ddl`: the
+    writer's commit worker has no SparkContext, so `fromDDL` is
+    unavailable — but the manifest's `struct<...>` simpleString is
+    byte-splicable, and type equality on simpleStrings equals DataType
+    equality for every type the writer supports."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        SchemaMismatchError,
+    )
+
+    tnames = _ddl_field_names(table_ddl)
+    ttypes = _ddl_field_types(table_ddl)
+    inc = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for fname, ft in inc.items():
+        if fname in ttypes and ttypes[fname] != ft:
+            raise SchemaMismatchError(
+                f"column {fname!r}: table has {ttypes[fname]}, "
+                f"append has {ft}"
+            )
+    added = [f for f in schema.fields if f.name not in ttypes]
+    missing = [n for n in tnames if n not in inc]
+    if not merge_schema and (added or missing):
+        raise SchemaMismatchError(
+            f"append schema {schema.simpleString()} != table schema "
+            f"{table_ddl}; pass merge_schema=True to evolve"
+        )
+    if not added:
+        return table_ddl
+    inner = table_ddl[len("struct<"): -1]
+    return (
+        "struct<"
+        + inner
+        + ","
+        + ",".join(
+            f"{f.name}:{f.dataType.simpleString()}" for f in added
+        )
+        + ">"
+    )
+
+
+class _StagedWrite(WriterCommitMessage):
+    def __init__(self, path: str | None, n_rows: int, blooms: dict):
+        self.path = path
+        self.n_rows = n_rows
+        self.blooms = blooms  # {col: b64 bitmap} folded by this task
+
+
+class VersionedTableWriter(DataSourceWriter):
+    """`df.write.format("versioned").mode("append"|"overwrite")` —
+    executor tasks stage parquet (pyarrow, one file per task, 64k-row
+    groups) under `<root>/_staging/<uuid>` and `commit()` publishes
+    through the table's own commit protocol. EVERY phase of the Python
+    DataSource write API runs in sessionless Python workers (Spark
+    executes even the driver-side commit in a separate interpreter, no
+    SparkSession), so the whole path is pure Python + pyarrow:
+
+    - schema validation reuses the table's own append rules on the
+      writer's StructType (merge_schema option = Delta-style evolution);
+    - CHECK constraints compile through `sql_predicates` and are
+      enforced ON THE EXECUTORS against each Arrow batch BEFORE any
+      bytes hit disk (a violation fails the task, Spark aborts the job,
+      `abort()` removes the staging dir — nothing to clean);
+    - bloom-configured tables keep their blooms: each task folds its
+      rows' bit positions into per-column bitmaps shipped in its commit
+      message, and `commit()` ORs them — identical bitmaps to the
+      Spark-side aggregate, no second scan;
+    - append is ZERO-COPY: the staged dir moves into `data/`, stats
+      harvested from footers; concurrent commits rebase exactly like
+      `VersionedTable.append`;
+    - overwrite replaces the snapshot; it commits WITHOUT change files
+      (`cdf_skipped` recorded — a sessionless worker cannot materialize
+      the snapshot-sized diff; use `VersionedTable.overwrite` when the
+      change feed must cover the version);
+    - table absent -> the write CREATES it (`bloom_columns` option
+      honored; `partition_by` refused — use `VersionedTable.create`).
+
+    Hive-partitioned and column-mapped tables are refused up front with
+    a pointer to the session API (staged files can't satisfy their
+    physical contract: leaf layout / physical column names). An
+    orphaned staging dir from a hard crash is invisible to readers and
+    reclaimed by `vacuum()`."""
+
+    _BATCH = 1 << 16
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid as _uuid
+
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _BLOOM_TYPES,
+            _log_to_phys,
+        )
+        from datalakeingestionservice_spark.sources.sql_predicates import (
+            compile_predicate,
+        )
+
+        self.root = options["table_root"]
+        self.overwrite = overwrite
+        self.merge_schema = (
+            str(options.get("merge_schema", "false")).lower() == "true"
+        )
+        self.schema_json = schema.json()
+        self.staging = os.path.join(
+            self.root, "_staging", _uuid.uuid4().hex
+        )
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        try:
+            m = _load_manifest(self.root, {})
+        except NoSuchVersionError:
+            m = None
+        if m is None:
+            if str(options.get("partition_by", "")).strip():
+                raise ValueError(
+                    "partition_by is not supported by the versioned "
+                    "writer; create the table with "
+                    "VersionedTable.create(partition_by=[...]) first"
+                )
+            self.bloom_columns = [
+                c
+                for c in str(options.get("bloom_columns", "")).split(",")
+                if c
+            ]
+            for c in self.bloom_columns:
+                if types.get(c) not in _BLOOM_TYPES:
+                    raise ValueError(
+                        f"bloom column {c!r} must be one of "
+                        f"{_BLOOM_TYPES}, got {types.get(c)}"
+                    )
+            self.constraints: dict[str, list] = {}
+        else:
+            if m.partition_by:
+                raise ValueError(
+                    f"{self.root} is hive-partitioned; the versioned "
+                    "writer stages flat files — append via "
+                    "VersionedTable.append()"
+                )
+            if _log_to_phys(m.column_mapping):
+                raise ValueError(
+                    f"{self.root} uses column mapping; data files must "
+                    "carry physical names — write via the "
+                    "VersionedTable API"
+                )
+            self.bloom_columns = list(m.bloom_columns)
+            # Compile CHECK constraints now (fail fast driver-side);
+            # executors evaluate them per batch. Table columns absent
+            # from the incoming frame stay NULL -> CHECK passes (SQL
+            # NULL semantics), so compile against the TABLE's types.
+            from datalakeingestionservice_spark.sources.versioned_changes import (  # noqa: E501
+                _ddl_field_types,
+            )
+
+            ttypes = {**_ddl_field_types(m.schema_ddl), **types}
+            self.constraints = {}
+            for name, expr in m.constraints.items():
+                try:
+                    self.constraints[name] = compile_predicate(
+                        expr, ttypes
+                    )
+                except Exception as e:
+                    raise ValueError(
+                        f"CHECK constraint {name!r} ({expr}) is outside "
+                        f"the writer's compilable subset ({e}); write "
+                        "via the VersionedTable API"
+                    ) from e
+        self.constraint_exprs = dict(m.constraints) if m else {}
+
+    def write(self, iterator) -> _StagedWrite:
+        import json
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        from pyspark.sql.types import StructType as _St
+
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _bloom_from_positions,
+            _bloom_positions_py,
+        )
+        from datalakeingestionservice_spark.sources.sql_predicates import (
+            evaluate,
+        )
+
+        schema = _St.fromJson(json.loads(self.schema_json))
+        names = schema.fieldNames()
+        aschema = pa.schema(
+            [
+                pa.field(f.name, _arrow_type_for(f.dataType), f.nullable)
+                for f in schema.fields
+            ]
+        )
+        bloom_idx = [
+            (c, names.index(c))
+            for c in self.bloom_columns
+            if c in names
+        ]
+        positions: dict[str, set] = {c: set() for c, _ in bloom_idx}
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(
+            self.staging, f"part-{pid:05d}-{_uuid.uuid4().hex}.parquet"
+        )
+        writer = None
+        cols: list[list] = [[] for _ in names]
+        n = 0
+
+        def flush():
+            nonlocal writer
+            if not cols[0]:
+                return
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(vals, type=aschema.field(i).type)
+                    for i, vals in enumerate(cols)
+                ],
+                schema=aschema,
+            )
+            # Constraints BEFORE bytes hit disk: standard SQL CHECK —
+            # only a row evaluating FALSE violates (NULL passes).
+            for cname, ast in self.constraints.items():
+                bad = pc.equal(evaluate(ast, tbl), False)
+                if pc.any(bad).as_py():
+                    i = bad.to_pylist().index(True)
+                    raise ValueError(
+                        f"CHECK constraint {cname!r} violated, e.g. by "
+                        f"row {tbl.slice(i, 1).to_pylist()[0]}"
+                    )
+            for c, i in bloom_idx:
+                for v in cols[i]:
+                    if v is not None:
+                        positions[c].update(_bloom_positions_py(v))
+            if writer is None:
+                writer = pq.ParquetWriter(path, aschema)
+            writer.write_table(tbl)
+            for v in cols:
+                v.clear()
+
+        for row in iterator:
+            for i in range(len(names)):
+                cols[i].append(row[i])
+            n += 1
+            if n % self._BATCH == 0:
+                flush()
+        flush()
+        blooms = {
+            c: _bloom_from_positions(pos) for c, pos in positions.items()
+        }
+        if writer is not None:
+            writer.close()
+            return _StagedWrite(path, n, blooms)
+        return _StagedWrite(None, 0, {})
+
+    # -- sessionless commit ---------------------------------------------
+
+    def _bloom_stats(self, messages) -> dict:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _BLOOM_K,
+            _BLOOM_M,
+            _union_blooms,
+        )
+
+        out = {}
+        for c in self.bloom_columns:
+            metas = [
+                {"b64": m.blooms[c]}
+                for m in messages
+                if m is not None and c in m.blooms
+            ]
+            if metas:
+                u = _union_blooms(metas)
+            else:
+                u = {
+                    "m": _BLOOM_M,
+                    "k": _BLOOM_K,
+                    "b64": _union_blooms([])["b64"],
+                }
+            out[c] = u
+        return out
+
+    def commit(self, messages: list[_StagedWrite]) -> None:
+        import json
+        import shutil
+        from pyspark.sql.types import StructType as _St
+
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _DATA_DIR,
+            _collect_dir_stats,
+            _log_to_phys,
+            ConcurrentCommitError,
+            VersionedTable,
+        )
+
+        total = sum(m.n_rows for m in messages if m is not None)
+        try:
+            if total == 0:
+                return  # an all-empty write commits nothing
+            schema = _St.fromJson(json.loads(self.schema_json))
+            exists = os.path.isdir(
+                os.path.join(self.root, _MANIFEST_DIR)
+            )
+            if not exists:
+                os.makedirs(
+                    os.path.join(self.root, _MANIFEST_DIR), exist_ok=True
+                )
+            t = VersionedTable(None, self.root)  # metadata-only handle
+            if exists and not self.overwrite:
+                # Validate the schema against the CURRENT table before
+                # moving anything, so the common failure (mismatch) is
+                # clean; the retry loop re-validates per parent.
+                _evolved_ddl_text(
+                    schema, self.merge_schema, t.manifest().schema_ddl
+                )
+            rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+            os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
+            os.rename(self.staging, os.path.join(self.root, rel))
+            st = _collect_dir_stats(os.path.join(self.root, rel))
+            blooms = self._bloom_stats(messages)
+            if blooms:
+                st["bloom"] = blooms
+            if not exists:
+                t._commit(
+                    operation="create",
+                    files=(rel,),
+                    schema_ddl=schema.simpleString(),
+                    expected_parent=0,
+                    summary={"staged": True},
+                    stats={rel: st},
+                    partition_by=(),
+                    constraints={},
+                    bloom_columns=tuple(self.bloom_columns),
+                    delete_predicates=(),
+                    column_mapping={},
+                )
+                return
+            attempt = 0
+            while True:
+                parent = t.latest_version()
+                pm = t.manifest(parent)
+                # The table may have changed shape since planning; a
+                # writer that validated against a stale contract must
+                # fail, not commit around it.
+                if pm.partition_by or _log_to_phys(pm.column_mapping):
+                    raise ConcurrentCommitError(
+                        "table became partitioned/column-mapped during "
+                        "the write; retry via the VersionedTable API"
+                    )
+                if pm.constraints != self.constraint_exprs:
+                    raise ConcurrentCommitError(
+                        "table constraints changed during the write; "
+                        "re-run the write"
+                    )
+                if self.overwrite:
+                    # Overwrite REPLACES the snapshot: the new schema
+                    # stands on its own (homogeneous files, no evolved
+                    # flag), like VersionedTable.overwrite with an
+                    # incompatible replacement schema.
+                    op, files, stats = "overwrite", (rel,), {rel: st}
+                    ddl = schema.simpleString()
+                    summary = {"staged": True, "cdf_skipped": True}
+                else:
+                    ddl = _evolved_ddl_text(
+                        schema, self.merge_schema, pm.schema_ddl
+                    )
+                    evolved = (
+                        bool(pm.summary.get("schema_evolved"))
+                        or ddl != pm.schema_ddl
+                        or schema.simpleString() != ddl
+                    )
+                    op = "append"
+                    files = pm.files + (rel,)
+                    stats = {**pm.stats, rel: st}
+                    summary = {
+                        "staged": True,
+                        **({"schema_evolved": True} if evolved else {}),
+                    }
+                try:
+                    t._commit(
+                        operation=op,
+                        files=files,
+                        schema_ddl=ddl,
+                        expected_parent=parent,
+                        summary=summary,
+                        stats=stats,
+                    )
+                    return
+                except ConcurrentCommitError:
+                    attempt += 1
+                    if attempt > 3:
+                        raise
+        finally:
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages: list[_StagedWrite]) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class VersionedTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -323,6 +769,9 @@ class VersionedTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VersionedTableReader:
         return VersionedTableReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return VersionedTableWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

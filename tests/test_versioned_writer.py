@@ -1,0 +1,223 @@
+"""df.write.format("versioned") — the DataSource WRITE path
+(sources/versioned_batch.py VersionedTableWriter + sinks/versioned.py
+append_staged): executor-staged parquet published through the table's
+commit protocol, zero-copy for plain appends, falling back to the
+rewriting append when the table's physical contract demands it."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+from datalakeingestionservice_spark.sources.versioned_batch import register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _write(df, root, mode="append", **opts):
+    w = df.write.format("versioned").mode(mode).option("table_root", root)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+
+
+TYPED_DDL = (
+    "id bigint, name string, amt decimal(10,2), d date, ts timestamp, "
+    "flag boolean, raw binary, tags array<string>"
+)
+TYPED_ROWS = [
+    (1, "a", Decimal("1.50"), dt.date(2024, 1, 1),
+     dt.datetime(2024, 1, 1, 10, 30), True, b"\x01\x02", ["x", "y"]),
+    (2, None, Decimal("-2.25"), None,
+     dt.datetime(2024, 6, 1, 0, 0, 0, 123456), False, None, []),
+    (3, "c", None, dt.date(2025, 2, 28), None, None, b"", None),
+]
+
+
+def test_create_on_first_write_full_type_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "vw")
+    df = spark.createDataFrame(TYPED_ROWS, TYPED_DDL)
+    _write(df, root)
+    t = VersionedTable(spark, root)
+    back = t.read()
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_append_is_zero_copy(spark, tmp_path):
+    root = str(tmp_path / "vw")
+    t = VersionedTable.create(
+        spark, root, spark.range(0, 100).select("id")
+    )
+    _write(spark.range(100, 200).select("id"), root)
+    t2 = VersionedTable(spark, root)
+    assert t2.manifest().summary.get("staged") is True  # moved, not rewritten
+    assert sorted(r.id for r in t2.read().collect()) == list(range(200))
+    # No staging leftovers.
+    sdir = os.path.join(root, "_staging")
+    assert not os.path.isdir(sdir) or os.listdir(sdir) == []
+
+
+def test_overwrite_mode(spark, tmp_path):
+    root = str(tmp_path / "vw")
+    VersionedTable.create(spark, root, spark.range(0, 50).select("id"))
+    _write(spark.range(500, 510).select("id"), root, mode="overwrite")
+    t = VersionedTable(spark, root)
+    assert sorted(r.id for r in t.read().collect()) == list(range(500, 510))
+    # History survives: version 1 still reads the original rows.
+    assert t.read(1).count() == 50
+
+
+def test_partitioned_and_mapped_tables_refused_with_pointer(
+    spark, tmp_path
+):
+    """Staged flat files can't satisfy a hive layout or physical column
+    names — the writer refuses up front; `append_staged` (the session
+    API) falls back to a rewriting append instead."""
+    root = str(tmp_path / "vwp")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 4).cast("int").alias("grp")
+    )
+    VersionedTable.create(spark, root, df, partition_by=["grp"])
+    with pytest.raises(Exception, match="hive-partitioned"):
+        _write(
+            spark.range(40, 50).select(
+                "id", (F.col("id") % 4).cast("int").alias("grp")
+            ),
+            root,
+        )
+    root2 = str(tmp_path / "vwm2")
+    t2 = VersionedTable.create(
+        spark, root2, spark.createDataFrame([(1, "a")], "id bigint, v string")
+    )
+    t2.rename_column("v", "val")
+    with pytest.raises(Exception, match="column mapping"):
+        _write(
+            spark.createDataFrame([(2, "b")], "id bigint, val string"),
+            root2,
+        )
+
+
+def test_writer_create_refuses_partition_option(spark, tmp_path):
+    root = str(tmp_path / "vwc0")
+    with pytest.raises(Exception, match="partition_by"):
+        _write(
+            spark.range(0, 4).select("id"), root, partition_by="id"
+        )
+
+
+def test_writer_create_with_bloom_option_builds_blooms(spark, tmp_path):
+    """Blooms survive the sessionless path: tasks fold their rows' bit
+    positions, commit ORs them — probes prune exactly like the
+    Spark-side aggregate."""
+    root = str(tmp_path / "vwc")
+    _write(spark.range(0, 40).select("id"), root, bloom_columns="id")
+    t = VersionedTable(spark, root)
+    assert t.manifest().bloom_columns == ("id",)
+    _write(spark.range(100, 140).select("id"), root)
+    # id=7 lives only in the first entry; the second bloom-refutes it.
+    info = t.prune_info([("id", "=", 7)])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 1
+    info = t.prune_info([("id", "=", 999)])
+    assert info["n_scanned"] == 0  # absent value prunes everything
+    assert sorted(r.id for r in t.read().collect()) == sorted(
+        list(range(40)) + list(range(100, 140))
+    )
+
+
+def test_append_staged_fallback_for_partitioned_table(spark, tmp_path):
+    """The session API `append_staged` handles what the writer refuses:
+    staged flat parquet appends to a hive-partitioned table via ONE
+    rewrite, preserving layout + pruning."""
+    root = str(tmp_path / "vwfb")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 4).cast("int").alias("grp")
+    )
+    t = VersionedTable.create(spark, root, df, partition_by=["grp"])
+    staging = str(tmp_path / "stagefb")
+    spark.range(40, 80).select(
+        "id", (F.col("id") % 4).cast("int").alias("grp")
+    ).write.parquet(staging)
+    t.append_staged(staging)
+    assert not os.path.exists(staging)  # consumed either way
+    assert sorted(r.id for r in t.read().collect()) == list(range(80))
+    info = t.prune_info([("grp", "=", 1)])
+    assert info["n_skipped"] >= 6  # 3 other leaves x 2 commits
+    assert {
+        r.id for r in t.read(predicates=[("grp", "=", 1)]).collect()
+    } == {i for i in range(80) if i % 4 == 1}
+
+
+def test_merge_schema_option(spark, tmp_path):
+    root = str(tmp_path / "vwm")
+    VersionedTable.create(
+        spark, root,
+        spark.createDataFrame([(1, "a")], "id bigint, name string"),
+    )
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    with pytest.raises(Exception, match="merge_schema"):
+        _write(wide, root)
+    _write(wide, root, merge_schema="true")
+    t = VersionedTable(spark, root)
+    got = {(r.id, r.name, r.score) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_constraints_enforced_through_writer(spark, tmp_path):
+    root = str(tmp_path / "vwk")
+    t = VersionedTable.create(
+        spark, root, spark.createDataFrame([(1,)], "id bigint")
+    )
+    t.add_check_constraint("id_positive", "id > 0")
+    v_before = t.latest_version()
+    with pytest.raises(Exception, match="id_positive"):
+        _write(spark.createDataFrame([(-5,)], "id bigint"), root)
+    assert VersionedTable(spark, root).latest_version() == v_before
+    _write(spark.createDataFrame([(7,)], "id bigint"), root)
+    assert {r.id for r in VersionedTable(spark, root).read().collect()} == {
+        1,
+        7,
+    }
+
+
+def test_empty_write_is_a_noop(spark, tmp_path):
+    root = str(tmp_path / "vwe")
+    t = VersionedTable.create(
+        spark, root, spark.createDataFrame([(1,)], "id bigint")
+    )
+    _write(spark.createDataFrame([], "id bigint"), root)
+    assert VersionedTable(spark, root).latest_version() == t.latest_version()
+
+
+def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
+    root = str(tmp_path / "vws")
+    t = VersionedTable.create(
+        spark, root, spark.createDataFrame([(1,)], "id bigint")
+    )
+    orphan = os.path.join(root, "_staging", "deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    reclaimed = t.vacuum(claim_timeout_s=3600)
+    assert os.path.join("_staging", "deadbeef") in reclaimed
+    assert not os.path.exists(orphan)
+    # A FRESH staging dir (in-flight writer) is left alone.
+    fresh = os.path.join(root, "_staging", "inflight")
+    os.makedirs(fresh)
+    t.vacuum(claim_timeout_s=3600)
+    assert os.path.exists(fresh)
