@@ -399,11 +399,35 @@ def _evolved_ddl_text(schema, merge_schema: bool, table_ddl: str) -> str:
     )
 
 
+def _part_segment(col: str, v) -> str:
+    """One `col=value` hive path segment, escaped the way Spark's
+    partition discovery (and `_parse_part_path`) unescape it, with
+    value strings formatted so `_typed_part_value` and a Spark
+    string-cast both round-trip them."""
+    import datetime as _dt
+    from urllib.parse import quote
+
+    from datalakeingestionservice_spark.sinks.versioned import _HIVE_NULL
+
+    if v is None:
+        return f"{col}={_HIVE_NULL}"
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    elif isinstance(v, _dt.datetime):
+        s = v.isoformat(sep=" ")
+    elif isinstance(v, _dt.date):
+        s = v.isoformat()
+    else:
+        s = str(v)
+    return f"{col}={quote(s, safe='')}"
+
+
 class _StagedWrite(WriterCommitMessage):
-    def __init__(self, path: str | None, n_rows: int, blooms: dict):
-        self.path = path
+    def __init__(self, n_rows: int, blooms: dict):
         self.n_rows = n_rows
-        self.blooms = blooms  # {col: b64 bitmap} folded by this task
+        #: {leaf rel ('' for unpartitioned): {col: b64 bitmap}} folded
+        #: by this task.
+        self.blooms = blooms
 
 
 class VersionedTableWriter(DataSourceWriter):
@@ -469,12 +493,16 @@ class VersionedTableWriter(DataSourceWriter):
         except NoSuchVersionError:
             m = None
         if m is None:
-            if str(options.get("partition_by", "")).strip():
-                raise ValueError(
-                    "partition_by is not supported by the versioned "
-                    "writer; create the table with "
-                    "VersionedTable.create(partition_by=[...]) first"
-                )
+            self.partition_by = [
+                c
+                for c in str(options.get("partition_by", "")).split(",")
+                if c
+            ]
+            for c in self.partition_by:
+                if c not in types:
+                    raise ValueError(
+                        f"partition column {c!r} not in the write schema"
+                    )
             self.bloom_columns = [
                 c
                 for c in str(options.get("bloom_columns", "")).split(",")
@@ -488,12 +516,7 @@ class VersionedTableWriter(DataSourceWriter):
                     )
             self.constraints: dict[str, list] = {}
         else:
-            if m.partition_by:
-                raise ValueError(
-                    f"{self.root} is hive-partitioned; the versioned "
-                    "writer stages flat files — append via "
-                    "VersionedTable.append()"
-                )
+            self.partition_by = list(m.partition_by)
             if _log_to_phys(m.column_mapping):
                 raise ValueError(
                     f"{self.root} uses column mapping; data files must "
@@ -523,6 +546,13 @@ class VersionedTableWriter(DataSourceWriter):
                         "via the VersionedTable API"
                     ) from e
         self.constraint_exprs = dict(m.constraints) if m else {}
+        if self.partition_by and not (
+            set(types) - set(self.partition_by)
+        ):
+            raise ValueError(
+                "every column is a partition column; hive files would "
+                "carry no data columns"
+            )
 
     def write(self, iterator) -> _StagedWrite:
         import json
@@ -550,50 +580,94 @@ class VersionedTableWriter(DataSourceWriter):
                 for f in schema.fields
             ]
         )
+        pb = self.partition_by
+        pidx = [names.index(c) for c in pb if c in names]
+        # Hive layout drops the partition columns from the files.
+        data_idx = [
+            i for i, nm in enumerate(names) if nm not in set(pb)
+        ]
+        dschema = pa.schema([aschema.field(i) for i in data_idx])
         bloom_idx = [
             (c, names.index(c))
             for c in self.bloom_columns
             if c in names
         ]
-        positions: dict[str, set] = {c: set() for c, _ in bloom_idx}
+        positions: dict[tuple[str, str], set] = {}
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else 0
-        os.makedirs(self.staging, exist_ok=True)
-        path = os.path.join(
-            self.staging, f"part-{pid:05d}-{_uuid.uuid4().hex}.parquet"
-        )
-        writer = None
+        tag = f"part-{pid:05d}-{_uuid.uuid4().hex}.parquet"
+        writers: dict[str, pq.ParquetWriter] = {}
         cols: list[list] = [[] for _ in names]
         n = 0
 
-        def flush():
-            nonlocal writer
-            if not cols[0]:
-                return
+        def leaf_of(ridx: int) -> str:
+            if not pidx:
+                return ""
+            return "/".join(
+                _part_segment(pb[j], cols[pi][ridx])
+                for j, pi in enumerate(pidx)
+            )
+
+        def write_leaf(leaf: str, ridxs: list[int]):
             tbl = pa.Table.from_arrays(
                 [
-                    pa.array(vals, type=aschema.field(i).type)
-                    for i, vals in enumerate(cols)
+                    pa.array(
+                        [cols[i][r] for r in ridxs],
+                        type=aschema.field(i).type,
+                    )
+                    for i in data_idx
                 ],
-                schema=aschema,
+                schema=dschema,
             )
+            for c, i in bloom_idx:
+                key = (leaf, c)
+                pos = positions.setdefault(key, set())
+                for r in ridxs:
+                    v = cols[i][r]
+                    if v is not None:
+                        pos.update(_bloom_positions_py(v))
+            w = writers.get(leaf)
+            if w is None:
+                d = (
+                    os.path.join(self.staging, leaf.replace("/", os.sep))
+                    if leaf
+                    else self.staging
+                )
+                os.makedirs(d, exist_ok=True)
+                w = pq.ParquetWriter(os.path.join(d, tag), dschema)
+                writers[leaf] = w
+            w.write_table(tbl)
+
+        def flush():
+            if not cols[0]:
+                return
             # Constraints BEFORE bytes hit disk: standard SQL CHECK —
             # only a row evaluating FALSE violates (NULL passes).
-            for cname, ast in self.constraints.items():
-                bad = pc.equal(evaluate(ast, tbl), False)
-                if pc.any(bad).as_py():
-                    i = bad.to_pylist().index(True)
-                    raise ValueError(
-                        f"CHECK constraint {cname!r} violated, e.g. by "
-                        f"row {tbl.slice(i, 1).to_pylist()[0]}"
-                    )
-            for c, i in bloom_idx:
-                for v in cols[i]:
-                    if v is not None:
-                        positions[c].update(_bloom_positions_py(v))
-            if writer is None:
-                writer = pq.ParquetWriter(path, aschema)
-            writer.write_table(tbl)
+            # Evaluated on the FULL row (partition columns included).
+            if self.constraints:
+                full = pa.Table.from_arrays(
+                    [
+                        pa.array(vals, type=aschema.field(i).type)
+                        for i, vals in enumerate(cols)
+                    ],
+                    schema=aschema,
+                )
+                for cname, ast in self.constraints.items():
+                    bad = pc.equal(evaluate(ast, full), False)
+                    if pc.any(bad).as_py():
+                        i = bad.to_pylist().index(True)
+                        raise ValueError(
+                            f"CHECK constraint {cname!r} violated, e.g. "
+                            f"by row {full.slice(i, 1).to_pylist()[0]}"
+                        )
+            if not pidx:
+                write_leaf("", list(range(len(cols[0]))))
+            else:
+                by_leaf: dict[str, list[int]] = {}
+                for r in range(len(cols[0])):
+                    by_leaf.setdefault(leaf_of(r), []).append(r)
+                for leaf, ridxs in sorted(by_leaf.items()):
+                    write_leaf(leaf, ridxs)
             for v in cols:
                 v.clear()
 
@@ -604,40 +678,64 @@ class VersionedTableWriter(DataSourceWriter):
             if n % self._BATCH == 0:
                 flush()
         flush()
-        blooms = {
-            c: _bloom_from_positions(pos) for c, pos in positions.items()
-        }
-        if writer is not None:
-            writer.close()
-            return _StagedWrite(path, n, blooms)
-        return _StagedWrite(None, 0, {})
+        for w in writers.values():
+            w.close()
+        blooms: dict[str, dict] = {}
+        for (leaf, c), pos in positions.items():
+            blooms.setdefault(leaf, {})[c] = _bloom_from_positions(pos)
+        return _StagedWrite(n, blooms)
 
     # -- sessionless commit ---------------------------------------------
 
-    def _bloom_stats(self, messages) -> dict:
+    def _bloom_stats(self, messages, leaf: str) -> dict:
+        """OR one leaf's per-task bitmaps into its manifest bloom metas
+        ({} when no task saw a non-null value in that leaf — absent
+        blooms simply don't prune, always safe)."""
         from datalakeingestionservice_spark.sinks.versioned import (
-            _BLOOM_K,
-            _BLOOM_M,
             _union_blooms,
         )
 
         out = {}
         for c in self.bloom_columns:
             metas = [
-                {"b64": m.blooms[c]}
+                {"b64": m.blooms[leaf][c]}
                 for m in messages
-                if m is not None and c in m.blooms
+                if m is not None and c in m.blooms.get(leaf, {})
             ]
             if metas:
-                u = _union_blooms(metas)
-            else:
-                u = {
-                    "m": _BLOOM_M,
-                    "k": _BLOOM_K,
-                    "b64": _union_blooms([])["b64"],
-                }
-            out[c] = u
+                out[c] = _union_blooms(metas)
         return out
+
+    def _entries_for(self, rel: str, messages) -> dict[str, dict]:
+        """{manifest entry rel: stats} for the moved data dir — one
+        entry for a flat commit, one per hive leaf for a partitioned
+        one (same shape `_write_data_entries` produces)."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _collect_dir_stats,
+            _parse_part_path,
+        )
+
+        abs_dir = os.path.join(self.root, rel)
+        if not self.partition_by:
+            st = _collect_dir_stats(abs_dir)
+            blooms = self._bloom_stats(messages, "")
+            if blooms:
+                st["bloom"] = blooms
+            return {rel: st}
+        entries: dict[str, dict] = {}
+        for dirpath, _dirs, files in sorted(os.walk(abs_dir)):
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            sub = os.path.relpath(dirpath, abs_dir)
+            st = _collect_dir_stats(dirpath)
+            st["part_values"] = _parse_part_path(sub)
+            blooms = self._bloom_stats(
+                messages, sub.replace(os.sep, "/")
+            )
+            if blooms:
+                st["bloom"] = blooms
+            entries[os.path.join(rel, sub)] = st
+        return entries
 
     def commit(self, messages: list[_StagedWrite]) -> None:
         import json
@@ -646,7 +744,6 @@ class VersionedTableWriter(DataSourceWriter):
 
         from datalakeingestionservice_spark.sinks.versioned import (
             _DATA_DIR,
-            _collect_dir_stats,
             _log_to_phys,
             ConcurrentCommitError,
             VersionedTable,
@@ -675,19 +772,16 @@ class VersionedTableWriter(DataSourceWriter):
             rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
             os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
             os.rename(self.staging, os.path.join(self.root, rel))
-            st = _collect_dir_stats(os.path.join(self.root, rel))
-            blooms = self._bloom_stats(messages)
-            if blooms:
-                st["bloom"] = blooms
+            entries = self._entries_for(rel, messages)
             if not exists:
                 t._commit(
                     operation="create",
-                    files=(rel,),
+                    files=tuple(entries),
                     schema_ddl=schema.simpleString(),
                     expected_parent=0,
                     summary={"staged": True},
-                    stats={rel: st},
-                    partition_by=(),
+                    stats=entries,
+                    partition_by=tuple(self.partition_by),
                     constraints={},
                     bloom_columns=tuple(self.bloom_columns),
                     delete_predicates=(),
@@ -701,10 +795,15 @@ class VersionedTableWriter(DataSourceWriter):
                 # The table may have changed shape since planning; a
                 # writer that validated against a stale contract must
                 # fail, not commit around it.
-                if pm.partition_by or _log_to_phys(pm.column_mapping):
+                if tuple(pm.partition_by) != tuple(self.partition_by):
                     raise ConcurrentCommitError(
-                        "table became partitioned/column-mapped during "
-                        "the write; retry via the VersionedTable API"
+                        "the partition spec changed during the write; "
+                        "re-run the write"
+                    )
+                if _log_to_phys(pm.column_mapping):
+                    raise ConcurrentCommitError(
+                        "table became column-mapped during the write; "
+                        "retry via the VersionedTable API"
                     )
                 if pm.constraints != self.constraint_exprs:
                     raise ConcurrentCommitError(
@@ -716,7 +815,11 @@ class VersionedTableWriter(DataSourceWriter):
                     # stands on its own (homogeneous files, no evolved
                     # flag), like VersionedTable.overwrite with an
                     # incompatible replacement schema.
-                    op, files, stats = "overwrite", (rel,), {rel: st}
+                    op, files, stats = (
+                        "overwrite",
+                        tuple(entries),
+                        dict(entries),
+                    )
                     ddl = schema.simpleString()
                     summary = {"staged": True, "cdf_skipped": True}
                 else:
@@ -729,8 +832,8 @@ class VersionedTableWriter(DataSourceWriter):
                         or schema.simpleString() != ddl
                     )
                     op = "append"
-                    files = pm.files + (rel,)
-                    stats = {**pm.stats, rel: st}
+                    files = pm.files + tuple(entries)
+                    stats = {**pm.stats, **entries}
                     summary = {
                         "staged": True,
                         **({"schema_evolved": True} if evolved else {}),

@@ -79,24 +79,9 @@ def test_overwrite_mode(spark, tmp_path):
     assert t.read(1).count() == 50
 
 
-def test_partitioned_and_mapped_tables_refused_with_pointer(
-    spark, tmp_path
-):
-    """Staged flat files can't satisfy a hive layout or physical column
-    names — the writer refuses up front; `append_staged` (the session
-    API) falls back to a rewriting append instead."""
-    root = str(tmp_path / "vwp")
-    df = spark.range(0, 40).select(
-        "id", (F.col("id") % 4).cast("int").alias("grp")
-    )
-    VersionedTable.create(spark, root, df, partition_by=["grp"])
-    with pytest.raises(Exception, match="hive-partitioned"):
-        _write(
-            spark.range(40, 50).select(
-                "id", (F.col("id") % 4).cast("int").alias("grp")
-            ),
-            root,
-        )
+def test_mapped_tables_refused_with_pointer(spark, tmp_path):
+    """Column-mapped tables need PHYSICAL file names the writer's
+    staged files don't carry — refused up front with a pointer."""
     root2 = str(tmp_path / "vwm2")
     t2 = VersionedTable.create(
         spark, root2, spark.createDataFrame([(1, "a")], "id bigint, v string")
@@ -109,12 +94,83 @@ def test_partitioned_and_mapped_tables_refused_with_pointer(
         )
 
 
-def test_writer_create_refuses_partition_option(spark, tmp_path):
-    root = str(tmp_path / "vwc0")
-    with pytest.raises(Exception, match="partition_by"):
-        _write(
-            spark.range(0, 4).select("id"), root, partition_by="id"
-        )
+def test_writer_appends_to_partitioned_table_with_leaf_layout(
+    spark, tmp_path
+):
+    """Appending to a hive-partitioned table through the writer: tasks
+    split rows into `col=value/` leaves themselves, each leaf becomes
+    its own manifest entry with part_values, and dir-name pruning works
+    across API-written and writer-written commits identically."""
+    root = str(tmp_path / "vwp")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 4).cast("int").alias("grp")
+    )
+    t = VersionedTable.create(spark, root, df, partition_by=["grp"])
+    _write(
+        spark.range(40, 80).select(
+            "id", (F.col("id") % 4).cast("int").alias("grp")
+        ),
+        root,
+    )
+    t2 = VersionedTable(spark, root)
+    assert t2.manifest().summary.get("staged") is True
+    assert len(t2.manifest().files) == 8  # 4 leaves x 2 commits
+    assert sorted(r.id for r in t2.read().collect()) == list(range(80))
+    info = t2.prune_info([("grp", "=", 1)])
+    assert info["n_skipped"] >= 6  # 3 other leaves x 2 commits
+    assert {
+        r.id for r in t2.read(predicates=[("grp", "=", 1)]).collect()
+    } == {i for i in range(80) if i % 4 == 1}
+
+
+def test_writer_creates_partitioned_table_typed_values(spark, tmp_path):
+    """create-on-first-write with partition_by: decimal/date/null
+    partition values round-trip through the hive dir names (escaping +
+    sentinel), read back typed, and prune from dir names."""
+    import datetime as dt
+    from decimal import Decimal as D
+
+    root = str(tmp_path / "vwcp")
+    rows = [
+        (1, D("1.50"), dt.date(2024, 1, 1), "a b/c"),
+        (2, D("2.25"), None, "plain"),
+        (3, None, dt.date(2025, 6, 1), "x=y:z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, amt decimal(10,2), d date, s string"
+    )
+    _write(df, root, partition_by="amt,d")
+    t = VersionedTable(spark, root)
+    assert t.partition_by == ("amt", "d")
+    got = {
+        (r.id, str(r.amt), r.d, r.s) for r in t.read().collect()
+    }
+    assert got == {(i, str(a), d, s) for i, a, d, s in rows}
+    # Decimal partition pruning works purely from dir names (pyarrow
+    # can't even harvest decimal footer stats).
+    info = t.prune_info([("amt", "=", D("1.50"))])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 2
+    assert {
+        r.id
+        for r in t.read(predicates=[("amt", "=", D("1.50"))]).collect()
+    } == {1}
+
+
+def test_writer_partitioned_per_leaf_blooms(spark, tmp_path):
+    """Writer-built partitioned commits carry PER-LEAF blooms (each
+    task folds positions per leaf): a point lookup on a non-partition
+    column prunes sibling leaves from a writer-created table."""
+    root = str(tmp_path / "vwpb")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).cast("int").alias("grp")
+    )
+    _write(df, root, partition_by="grp", bloom_columns="id")
+    t = VersionedTable(spark, root)
+    for probe in (17, 243):
+        info = t.prune_info([("id", "=", probe)])
+        assert info["n_scanned"] == 1 and info["n_skipped"] == 3, probe
+    info = t.prune_info([("id", "=", 401)])
+    assert info["n_scanned"] == 0
 
 
 def test_writer_create_with_bloom_option_builds_blooms(spark, tmp_path):
