@@ -46,6 +46,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -423,11 +424,22 @@ def _part_segment(col: str, v) -> str:
 
 
 class _StagedWrite(WriterCommitMessage):
-    def __init__(self, n_rows: int, blooms: dict):
+    def __init__(
+        self, n_rows: int, blooms: dict, files: list[str], staging: str
+    ):
         self.n_rows = n_rows
         #: {leaf rel ('' for unpartitioned): {col: b64 bitmap}} folded
         #: by this task.
         self.blooms = blooms
+        #: Staged file paths relative to `staging` (leaf prefix
+        #: included) — the STREAM writer's commit moves exactly these;
+        #: the batch commit moves the whole staging dir.
+        self.files = files
+        #: Absolute staging dir the TASK wrote into. The streaming
+        #: commit runner deserializes a SEPARATE writer instance (its
+        #: own staging uuid), so the task's dir must travel in the
+        #: message.
+        self.staging = staging
 
 
 class VersionedTableWriter(DataSourceWriter):
@@ -683,7 +695,10 @@ class VersionedTableWriter(DataSourceWriter):
         blooms: dict[str, dict] = {}
         for (leaf, c), pos in positions.items():
             blooms.setdefault(leaf, {})[c] = _bloom_from_positions(pos)
-        return _StagedWrite(n, blooms)
+        files = [
+            (f"{leaf}/{tag}" if leaf else tag) for leaf in writers
+        ]
+        return _StagedWrite(n, blooms, files, self.staging)
 
     # -- sessionless commit ---------------------------------------------
 
@@ -744,12 +759,15 @@ class VersionedTableWriter(DataSourceWriter):
 
         from datalakeingestionservice_spark.sinks.versioned import (
             _DATA_DIR,
-            _log_to_phys,
             ConcurrentCommitError,
             VersionedTable,
         )
 
-        total = sum(m.n_rows for m in messages if m is not None)
+        msgs = [m for m in messages if m is not None]
+        total = sum(m.n_rows for m in msgs)
+        # Trust the staging dir the TASKS wrote (the commit phase may
+        # deserialize a separate writer instance with its own uuid).
+        staging = msgs[0].staging if msgs else self.staging
         try:
             if total == 0:
                 return  # an all-empty write commits nothing
@@ -771,7 +789,7 @@ class VersionedTableWriter(DataSourceWriter):
                 )
             rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
             os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
-            os.rename(self.staging, os.path.join(self.root, rel))
+            os.rename(staging, os.path.join(self.root, rel))
             entries = self._entries_for(rel, messages)
             if not exists:
                 t._commit(
@@ -788,77 +806,237 @@ class VersionedTableWriter(DataSourceWriter):
                     column_mapping={},
                 )
                 return
-            attempt = 0
-            while True:
-                parent = t.latest_version()
-                pm = t.manifest(parent)
-                # The table may have changed shape since planning; a
-                # writer that validated against a stale contract must
-                # fail, not commit around it.
-                if tuple(pm.partition_by) != tuple(self.partition_by):
-                    raise ConcurrentCommitError(
-                        "the partition spec changed during the write; "
-                        "re-run the write"
-                    )
-                if _log_to_phys(pm.column_mapping):
-                    raise ConcurrentCommitError(
-                        "table became column-mapped during the write; "
-                        "retry via the VersionedTable API"
-                    )
-                if pm.constraints != self.constraint_exprs:
-                    raise ConcurrentCommitError(
-                        "table constraints changed during the write; "
-                        "re-run the write"
-                    )
-                if self.overwrite:
-                    # Overwrite REPLACES the snapshot: the new schema
-                    # stands on its own (homogeneous files, no evolved
-                    # flag), like VersionedTable.overwrite with an
-                    # incompatible replacement schema.
-                    op, files, stats = (
-                        "overwrite",
-                        tuple(entries),
-                        dict(entries),
-                    )
-                    ddl = schema.simpleString()
-                    summary = {"staged": True, "cdf_skipped": True}
-                else:
-                    ddl = _evolved_ddl_text(
-                        schema, self.merge_schema, pm.schema_ddl
-                    )
-                    evolved = (
-                        bool(pm.summary.get("schema_evolved"))
-                        or ddl != pm.schema_ddl
-                        or schema.simpleString() != ddl
-                    )
-                    op = "append"
-                    files = pm.files + tuple(entries)
-                    stats = {**pm.stats, **entries}
-                    summary = {
+            if self.overwrite:
+                attempt = 0
+                while True:
+                    parent = t.latest_version()
+                    self._check_contract(t.manifest(parent))
+                    try:
+                        # Overwrite REPLACES the snapshot: the new
+                        # schema stands on its own (homogeneous files,
+                        # no evolved flag), like
+                        # VersionedTable.overwrite with an incompatible
+                        # replacement schema.
+                        t._commit(
+                            operation="overwrite",
+                            files=tuple(entries),
+                            schema_ddl=schema.simpleString(),
+                            expected_parent=parent,
+                            summary={
+                                "staged": True,
+                                "cdf_skipped": True,
+                            },
+                            stats=dict(entries),
+                        )
+                        return
+                    except ConcurrentCommitError:
+                        attempt += 1
+                        if attempt > 3:
+                            raise
+            self._append_entries(t, schema, entries, {})
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _check_contract(self, pm) -> None:
+        """The table may have changed shape since planning; a writer
+        that validated against a stale contract must fail, not commit
+        around it."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+            _log_to_phys,
+        )
+
+        if tuple(pm.partition_by) != tuple(self.partition_by):
+            raise ConcurrentCommitError(
+                "the partition spec changed during the write; re-run "
+                "the write"
+            )
+        if _log_to_phys(pm.column_mapping):
+            raise ConcurrentCommitError(
+                "table became column-mapped during the write; retry "
+                "via the VersionedTable API"
+            )
+        if pm.constraints != self.constraint_exprs:
+            raise ConcurrentCommitError(
+                "table constraints changed during the write; re-run "
+                "the write"
+            )
+
+    def _append_entries(
+        self, t, schema, entries: dict, extra_summary: dict
+    ) -> int:
+        """Rebase-retrying append commit of pre-moved entries (shared by
+        the batch and stream writers)."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        attempt = 0
+        while True:
+            parent = t.latest_version()
+            pm = t.manifest(parent)
+            self._check_contract(pm)
+            ddl = _evolved_ddl_text(
+                schema, self.merge_schema, pm.schema_ddl
+            )
+            evolved = (
+                bool(pm.summary.get("schema_evolved"))
+                or ddl != pm.schema_ddl
+                or schema.simpleString() != ddl
+            )
+            try:
+                return t._commit(
+                    operation="append",
+                    files=pm.files + tuple(entries),
+                    schema_ddl=ddl,
+                    expected_parent=parent,
+                    summary={
                         "staged": True,
                         **({"schema_evolved": True} if evolved else {}),
-                    }
-                try:
-                    t._commit(
-                        operation=op,
-                        files=files,
-                        schema_ddl=ddl,
-                        expected_parent=parent,
-                        summary=summary,
-                        stats=stats,
-                    )
-                    return
-                except ConcurrentCommitError:
-                    attempt += 1
-                    if attempt > 3:
-                        raise
-        finally:
-            shutil.rmtree(self.staging, ignore_errors=True)
+                        **extra_summary,
+                    },
+                    stats={**pm.stats, **entries},
+                )
+            except ConcurrentCommitError:
+                attempt += 1
+                if attempt > 3:
+                    raise
 
     def abort(self, messages: list[_StagedWrite]) -> None:
         import shutil
 
-        shutil.rmtree(self.staging, ignore_errors=True)
+        for d in {
+            m.staging for m in messages if m is not None
+        } | {self.staging}:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamWriter):
+    """`df.writeStream.format("versioned")` — EXACTLY-ONCE streaming
+    appends, one table version per micro-batch, fully sessionless.
+
+    Shares the batch writer's task staging (leaf splitting, per-leaf
+    blooms, executor-side constraint checks); per micro-batch `commit`
+    moves exactly the files its commit messages list (micro-batches of a
+    query never overlap, and a restart makes a fresh writer + staging
+    dir, so strays are impossible; orphans from a hard crash go to
+    `vacuum()`).
+
+    Exactly-once reuses the versioned sink's layered replay protection
+    (`streaming/versioned_sink.py` — all pure file ops, so it works
+    here): the durable `_streams/<name>` high-water marker skips
+    replayed epochs at or below it even after `expire_versions`, and a
+    manifest tag scan bounded by the marker's version index catches the
+    crash-between-commit-and-marker window. `stream_name` option keys
+    the marker (one per checkpoint lineage); an EMPTY micro-batch
+    advances the marker without committing a version."""
+
+    def __init__(self, options: dict, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+        self.stream_name = str(options.get("stream_name", "ds_stream"))
+
+    def commit(  # type: ignore[override]
+        self, messages: list[_StagedWrite | None], batchId: int
+    ) -> None:
+        import json
+
+        from pyspark.sql.types import StructType as _St
+
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _DATA_DIR,
+            VersionedTable,
+        )
+        from datalakeingestionservice_spark.streaming.versioned_sink import (
+            _find_epoch_version,
+            _read_high_water,
+            _write_high_water,
+        )
+
+        msgs = [m for m in messages if m is not None]
+        total = sum(m.n_rows for m in msgs)
+        hw = _read_high_water(self.root, self.stream_name)
+        if hw is not None and batchId <= hw[0]:
+            self._remove_listed(msgs)
+            return  # epoch already committed (replay after crash)
+        exists = os.path.isdir(os.path.join(self.root, _MANIFEST_DIR))
+        if exists:
+            # Crash-between-commit-and-marker window: the tag scan is
+            # bounded by the marker's version index (normally 0-1
+            # manifests read).
+            v = _find_epoch_version(
+                self.root,
+                self.stream_name,
+                batchId,
+                hw[1] if hw is not None else 0,
+            )
+            if v is not None:
+                _write_high_water(self.root, self.stream_name, batchId, v)
+                self._remove_listed(msgs)
+                return
+        if total == 0:
+            # Advance the marker so a replayed empty epoch stays cheap;
+            # no version is committed for an empty micro-batch.
+            latest = (
+                VersionedTable(None, self.root).latest_version()
+                if exists
+                else 0
+            )
+            _write_high_water(
+                self.root, self.stream_name, batchId, latest
+            )
+            return
+        schema = _St.fromJson(json.loads(self.schema_json))
+        if not exists:
+            os.makedirs(
+                os.path.join(self.root, _MANIFEST_DIR), exist_ok=True
+            )
+        t = VersionedTable(None, self.root)  # metadata-only handle
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        dst = os.path.join(self.root, rel)
+        os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
+        staging_dirs = set()
+        for m in msgs:
+            staging_dirs.add(m.staging)
+            for rf in m.files:
+                src = os.path.join(m.staging, rf.replace("/", os.sep))
+                d = os.path.join(dst, rf.replace("/", os.sep))
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                os.rename(src, d)
+        entries = self._entries_for(rel, msgs)
+        tag = {"stream": self.stream_name, "epoch": batchId}
+        if not exists:
+            t._commit(
+                operation="create",
+                files=tuple(entries),
+                schema_ddl=schema.simpleString(),
+                expected_parent=0,
+                summary={"staged": True, **tag},
+                stats=entries,
+                partition_by=tuple(self.partition_by),
+                constraints={},
+                bloom_columns=tuple(self.bloom_columns),
+                delete_predicates=(),
+                column_mapping={},
+            )
+            version = 1
+        else:
+            version = self._append_entries(t, schema, entries, tag)
+        _write_high_water(self.root, self.stream_name, batchId, version)
+
+    def _remove_listed(self, msgs: list[_StagedWrite]) -> None:
+        for m in msgs:
+            for rf in m.files:
+                try:
+                    os.remove(
+                        os.path.join(m.staging, rf.replace("/", os.sep))
+                    )
+                except OSError:
+                    pass
+
+    def abort(  # type: ignore[override]
+        self, messages: list[_StagedWrite | None], batchId: int
+    ) -> None:
+        self._remove_listed([m for m in messages if m is not None])
 
 
 class VersionedTableDataSource(DataSource):
@@ -875,6 +1053,14 @@ class VersionedTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return VersionedTableWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "the versioned stream writer is append-only; use "
+                "outputMode('append')"
+            )
+        return VersionedTableStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:
