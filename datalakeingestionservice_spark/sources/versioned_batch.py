@@ -490,6 +490,15 @@ class VersionedTableWriter(DataSourceWriter):
             compile_predicate,
         )
 
+        if "table_root" not in options:
+            raise ValueError(
+                "the versioned writer needs .option(\"table_root\", ...): "
+                "Spark's Python DataSource API does not forward catalog-"
+                "table OPTIONS/LOCATION to writers, so SQL INSERT INTO a "
+                "CREATE TABLE ... USING versioned table cannot reach the "
+                "table root; write via df.write.format(\"versioned\") "
+                "(reads work from SQL over a temp view)"
+            )
         self.root = options["table_root"]
         self.overwrite = overwrite
         self.merge_schema = (
