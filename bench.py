@@ -180,6 +180,39 @@ def lake_slice(spark, sf_dir: str) -> dict:
         out["incremental_compact_carried"] = float(
             bt.manifest(v).summary.get("n_entries_carried", 0)
         )
+
+        # DataSource writer (df.write.format("versioned")): executor-
+        # staged parquet, sessionless zero-copy commit. Timed per
+        # operation so the Python-row staging cost is visible next to
+        # the API append above.
+        from datalakeingestionservice_spark.sources.versioned_batch import (
+            register as register_versioned,
+        )
+
+        register_versioned(spark)
+        wroot = os.path.join(tmp, "vt_writer")
+        t0 = time.perf_counter()
+        (
+            li.filter(F.year("l_shipdate") == years[0])
+            .write.format("versioned")
+            .mode("append")
+            .option("table_root", wroot)
+            .save()
+        )
+        out["datasource_writer_create"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        (
+            li.filter(F.year("l_shipdate") == years[-1])
+            .write.format("versioned")
+            .mode("append")
+            .option("table_root", wroot)
+            .save()
+        )
+        out["datasource_writer_append"] = round(
+            time.perf_counter() - t0, 3
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
