@@ -124,13 +124,66 @@ def _load_manifest(root: str, options: dict) -> Manifest:
     return manifests[-1]
 
 
+def _arrow_type_from_simple(s: str):
+    """Spark simpleString -> the arrow type Spark's own parquet writes
+    produce for it (sessionless text mapping — no StructType). None for
+    types the vectorized path doesn't cover (caller falls back to
+    row-at-a-time yield)."""
+    import pyarrow as pa
+
+    flat = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "binary": pa.binary(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if s in flat:
+        return flat[s]
+    if s.startswith(("varchar", "char")):
+        return pa.string()
+    if s.startswith("decimal"):
+        try:
+            p, sc = s[s.index("(") + 1 : s.rindex(")")].split(",")
+            return pa.decimal128(int(p), int(sc))
+        except (ValueError, IndexError):
+            return None
+    if s.startswith("array<") and s.endswith(">"):
+        inner = _arrow_type_from_simple(s[6:-1])
+        return pa.list_(inner) if inner is not None else None
+    return None
+
+
 class _EntryPartition(InputPartition):
-    def __init__(self, paths, columns, physical, part_fill, preds=None):
+    def __init__(
+        self,
+        paths,
+        columns,
+        physical,
+        part_fill,
+        preds=None,
+        types=None,
+        filters=None,
+    ):
         self.paths = paths  # absolute parquet file or dir paths
         self.columns = columns  # logical output order
         self.physical = physical  # same order, file-side names
         self.part_fill = part_fill or {}  # keyed by LOGICAL name
         self.preds = preds or []  # compiled deferred-delete ASTs
+        self.types = types or []  # simpleString per logical column
+        #: Pushed (physical col, op, value) comparisons safe to hand to
+        #: pyarrow as dataset filters (row-group pruning + early row
+        #: drop); Spark re-applies them anyway, and arrow-vs-Spark
+        #: comparison parity for this subset is pinned by
+        #: tests/test_sql_predicates.py.
+        self.filters = filters or []
 
 
 class VersionedTableReader(DataSourceReader):
@@ -219,6 +272,23 @@ class VersionedTableReader(DataSourceReader):
                 )
             ]
 
+        # Pushed filters safe to hand pyarrow as dataset filters (row-
+        # group pruning + early row drop, physical names): plain-typed
+        # comparisons only — arrow/Spark comparison parity for these is
+        # pinned by the sql_predicates battery; Spark re-applies every
+        # filter row-level regardless.
+        import datetime as _dt
+
+        scan_filters = [
+            (c, op, v)
+            for c, op, v in preds
+            if (
+                isinstance(v, (int, str, float, _dt.date))
+                and not isinstance(v, bool)
+                and not isinstance(v, _dt.datetime)
+            )
+        ]
+        col_types = [self._types[c] for c in self._columns]
         parts: list[_EntryPartition] = []
         for rel in self.m.files:
             stats = self.m.stats.get(rel, {})
@@ -255,6 +325,8 @@ class VersionedTableReader(DataSourceReader):
                                 self._physical,
                                 fill,
                                 mor_for(rel),
+                                col_types,
+                                scan_filters,
                             )
                         )
                     continue
@@ -265,11 +337,13 @@ class VersionedTableReader(DataSourceReader):
                     self._physical,
                     fill,
                     mor_for(rel),
+                    col_types,
+                    scan_filters,
                 )
             )
         return parts
 
-    def read(self, partition: _EntryPartition) -> Iterator[tuple]:
+    def read(self, partition: _EntryPartition) -> Iterator:
         # Executor-side: straight pyarrow scan, schema-evolution tolerant
         # (files predating an added column yield None), hive partition
         # values injected from the manifest, physical->logical handled by
@@ -278,6 +352,13 @@ class VersionedTableReader(DataSourceReader):
         # entry) filter the LOGICAL table with Kleene three-valued masks
         # before rows are emitted — arrow's filter drops NULL-mask rows,
         # matching Spark's `filter(~expr(pred))` exactly.
+        #
+        # VECTORIZED by default: when every column's type maps to arrow,
+        # the logical table is yielded as RecordBatches (Spark ingests
+        # them Arrow-to-Arrow — no per-row Python); pushed comparison
+        # filters additionally reach pyarrow as dataset filters, pruning
+        # row groups and dropping rows before they ever materialize.
+        # Unmappable types fall back to row-at-a-time tuples.
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -291,29 +372,52 @@ class VersionedTableReader(DataSourceReader):
                 files.append(p)
         fill = partition.part_fill
         pairs = list(zip(partition.columns, partition.physical))
+        atypes = [
+            _arrow_type_from_simple(t) for t in partition.types
+        ] or [None] * len(pairs)
+        vectorized = len(atypes) == len(pairs) and all(
+            t is not None for t in atypes
+        )
         for path in files:
             available = set(pq.read_schema(path).names)
             want = [p for _, p in pairs if p in available]
-            raw = pq.read_table(path, columns=want)
+            filters = [
+                (c, "==" if op == "=" else op, v)
+                for c, op, v in partition.filters
+                if c in available
+            ] or None
+            try:
+                raw = pq.read_table(path, columns=want, filters=filters)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                # A filter pyarrow can't evaluate on this file's
+                # physical type: read unfiltered (Spark re-applies).
+                raw = pq.read_table(path, columns=want)
             n = raw.num_rows
             cols = {}
-            for c, p in pairs:
+            for i, (c, p) in enumerate(pairs):
+                target = atypes[i] if vectorized else None
                 if p in available:
-                    cols[c] = raw.column(p)
+                    col = raw.column(p)
+                    if target is not None and col.type != target:
+                        col = col.cast(target)
+                    cols[c] = col
                 elif fill.get(c) is not None:
-                    cols[c] = pa.array([fill[c]] * n)
+                    cols[c] = pa.array([fill[c]] * n, type=target)
                 else:
-                    cols[c] = pa.nulls(n)
+                    cols[c] = pa.nulls(n, type=target)
             logical = pa.table(cols)
             if partition.preds:
                 mask = keep_mask(partition.preds, logical)
                 if mask is not None:
                     logical = logical.filter(mask)
-            pys = [
-                logical.column(i).to_pylist()
-                for i in range(logical.num_columns)
-            ]
-            yield from zip(*pys)
+            if vectorized:
+                yield from logical.to_batches()
+            else:
+                pys = [
+                    logical.column(i).to_pylist()
+                    for i in range(logical.num_columns)
+                ]
+                yield from zip(*pys)
 
 
 def _arrow_type_for(dt):
