@@ -69,6 +69,7 @@ class _DirPartition(InputPartition):
         change_type: str | None = "insert",
         part_fill: dict | None = None,
         physical: list[str] | None = None,
+        types: list[str] | None = None,
     ):
         self.abs_dir = abs_dir
         self.version = version
@@ -83,6 +84,9 @@ class _DirPartition(InputPartition):
         #: File-side names per column (column mapping); defaults to the
         #: logical names.
         self.physical = physical or columns
+        #: simpleString type per column (the PINNED stream schema) —
+        #: drives the vectorized Arrow-batch yield.
+        self.types = types or []
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -127,6 +131,8 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # turns into an explicit restart error.
         cmap = pinned.column_mapping.get("map", {})
         self._physical = [cmap.get(c, c) for c in self._columns]
+        ptypes = _ddl_field_types(self._schema_ddl)
+        self._col_types = [ptypes[c] for c in self._columns]
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -218,6 +224,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                                 self._columns,
                                 part_fill=fill,
                                 physical=self._physical,
+                                types=self._col_types,
                             )
                         )
             elif cur.summary.get("cdf_empty"):
@@ -230,6 +237,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         self._columns,
                         change_type=None,  # column lives in the files
                         physical=self._physical,
+                        types=self._col_types,
                     )
                 )
             else:
@@ -242,11 +250,29 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
         return parts
 
-    def read(self, partition: _DirPartition) -> Iterator[tuple]:
+    def read(self, partition: _DirPartition) -> Iterator:
         # Executor-side: straight pyarrow scan of one immutable dir.
+        # VECTORIZED when every column type maps to arrow (same text
+        # mapping as the batch source): the logical table — file columns
+        # under physical names cast to the pinned types, hive partition
+        # constants, evolution NULLs, plus the constant `_change_type` /
+        # `_commit_version` columns — yields as RecordBatches, no
+        # per-row Python. Unmappable types fall back to tuples.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from datalakeingestionservice_spark.sources.versioned_batch import (
+            _arrow_type_from_simple,
+        )
+
         pairs = list(zip(partition.columns, partition.physical))
+        atypes = [
+            _arrow_type_from_simple(t) for t in partition.types
+        ] or [None] * len(pairs)
+        vectorized = len(atypes) == len(pairs) and all(
+            t is not None for t in atypes
+        )
+        fill = partition.part_fill
         for path in sorted(
             glob.glob(os.path.join(partition.abs_dir, "*.parquet"))
         ):
@@ -263,7 +289,35 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 path,
                 columns=want + ([CHANGE_TYPE_COL] if ctype_from_file else []),
             )
-            fill = partition.part_fill
+            n = table.num_rows
+            if vectorized:
+                cols = {}
+                for i, (c, p) in enumerate(pairs):
+                    target = atypes[i]
+                    if p in available:
+                        col = table.column(p)
+                        if col.type != target:
+                            col = col.cast(target)
+                        cols[c] = col
+                    elif fill.get(c) is not None:
+                        cols[c] = pa.array([fill[c]] * n, type=target)
+                    else:
+                        cols[c] = pa.nulls(n, type=target)
+                if ctype_from_file:
+                    ct = table.column(CHANGE_TYPE_COL)
+                    if ct.type != pa.string():
+                        ct = ct.cast(pa.string())
+                    cols[CHANGE_TYPE_COL] = ct
+                else:
+                    cols[CHANGE_TYPE_COL] = pa.array(
+                        [partition.change_type or "insert"] * n,
+                        type=pa.string(),
+                    )
+                cols[VERSION_COL] = pa.array(
+                    [partition.version] * n, type=pa.int64()
+                )
+                yield from pa.table(cols).to_batches()
+                continue
             for row in table.to_pylist():
                 yield tuple(
                     row.get(p, fill.get(c))
