@@ -640,14 +640,19 @@ class VersionedTableWriter(DataSourceWriter):
                         f"{_BLOOM_TYPES}, got {types.get(c)}"
                     )
             self.constraints: dict[str, list] = {}
+            self.mapping: dict = {}
         else:
             self.partition_by = list(m.partition_by)
-            if _log_to_phys(m.column_mapping):
-                raise ValueError(
-                    f"{self.root} uses column mapping; data files must "
-                    "carry physical names — write via the "
-                    "VersionedTable API"
-                )
+            # Column mapping: the writer's incoming frame and all
+            # validation are LOGICAL; data files, partition dir names,
+            # and bloom stats keys are PHYSICAL — the mapping snapshot
+            # travels to executors and a mapping change during the
+            # write fails the commit (stale physical names must never
+            # land).
+            self.mapping = {
+                "map": dict(m.column_mapping.get("map", {})),
+                "retired": list(m.column_mapping.get("retired", ())),
+            } if m.column_mapping else {}
             self.bloom_columns = list(m.bloom_columns)
             # Compile CHECK constraints now (fail fast driver-side);
             # executors evaluate them per batch. Table columns absent
@@ -671,6 +676,12 @@ class VersionedTableWriter(DataSourceWriter):
                         "via the VersionedTable API"
                     ) from e
         self.constraint_exprs = dict(m.constraints) if m else {}
+        self.phys_map = _log_to_phys(self.mapping)
+        #: Physical bloom keys — what the manifest stats and the probe
+        #: side use.
+        self.bloom_phys = [
+            self.phys_map.get(c, c) for c in self.bloom_columns
+        ]
         if self.partition_by and not (
             set(types) - set(self.partition_by)
         ):
@@ -707,13 +718,23 @@ class VersionedTableWriter(DataSourceWriter):
         )
         pb = self.partition_by
         pidx = [names.index(c) for c in pb if c in names]
-        # Hive layout drops the partition columns from the files.
+        # Hive layout drops the partition columns from the files. Files,
+        # dir names, and bloom keys carry PHYSICAL column names.
         data_idx = [
             i for i, nm in enumerate(names) if nm not in set(pb)
         ]
-        dschema = pa.schema([aschema.field(i) for i in data_idx])
+        dschema = pa.schema(
+            [
+                pa.field(
+                    self.phys_map.get(names[i], names[i]),
+                    aschema.field(i).type,
+                    aschema.field(i).nullable,
+                )
+                for i in data_idx
+            ]
+        )
         bloom_idx = [
-            (c, names.index(c))
+            (self.phys_map.get(c, c), names.index(c))
             for c in self.bloom_columns
             if c in names
         ]
@@ -729,7 +750,9 @@ class VersionedTableWriter(DataSourceWriter):
             if not pidx:
                 return ""
             return "/".join(
-                _part_segment(pb[j], cols[pi][ridx])
+                _part_segment(
+                    self.phys_map.get(pb[j], pb[j]), cols[pi][ridx]
+                )
                 for j, pi in enumerate(pidx)
             )
 
@@ -824,7 +847,7 @@ class VersionedTableWriter(DataSourceWriter):
         )
 
         out = {}
-        for c in self.bloom_columns:
+        for c in self.bloom_phys:
             metas = [
                 {"b64": m.blooms[leaf][c]}
                 for m in messages
@@ -964,10 +987,15 @@ class VersionedTableWriter(DataSourceWriter):
                 "the partition spec changed during the write; re-run "
                 "the write"
             )
-        if _log_to_phys(pm.column_mapping):
+        if _log_to_phys(pm.column_mapping) != _log_to_phys(
+            self.mapping
+        ) or sorted(pm.column_mapping.get("retired", ())) != sorted(
+            self.mapping.get("retired", ())
+        ):
             raise ConcurrentCommitError(
-                "table became column-mapped during the write; retry "
-                "via the VersionedTable API"
+                "the column mapping changed during the write (rename/"
+                "drop); the staged files carry stale physical names — "
+                "re-run the write"
             )
         if pm.constraints != self.constraint_exprs:
             raise ConcurrentCommitError(
@@ -992,6 +1020,26 @@ class VersionedTableWriter(DataSourceWriter):
             ddl = _evolved_ddl_text(
                 schema, self.merge_schema, pm.schema_ddl
             )
+            if ddl != pm.schema_ddl and self.mapping:
+                # A NEW logical column becomes its own physical name;
+                # it must not collide with a retired physical (dropped
+                # column's data lingers in old files) or another
+                # column's physical name — same guard as append().
+                from datalakeingestionservice_spark.sinks.versioned import (  # noqa: E501
+                    SchemaMismatchError,
+                )
+
+                old_names = set(_ddl_field_names(pm.schema_ddl))
+                used_phys = set(
+                    self.mapping.get("retired", ())
+                ) | set(self.mapping.get("map", {}).values())
+                for f in schema.fields:
+                    if f.name not in old_names and f.name in used_phys:
+                        raise SchemaMismatchError(
+                            f"column name {f.name!r} collides with a "
+                            "physical column of a dropped/renamed "
+                            "column; choose another name"
+                        )
             evolved = (
                 bool(pm.summary.get("schema_evolved"))
                 or ddl != pm.schema_ddl

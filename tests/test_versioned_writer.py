@@ -79,18 +79,92 @@ def test_overwrite_mode(spark, tmp_path):
     assert t.read(1).count() == 50
 
 
-def test_mapped_tables_refused_with_pointer(spark, tmp_path):
-    """Column-mapped tables need PHYSICAL file names the writer's
-    staged files don't carry — refused up front with a pointer."""
+def test_writer_appends_to_column_mapped_table(spark, tmp_path):
+    """The writer serves column-mapped tables: incoming LOGICAL frames
+    land as files carrying PHYSICAL names, so old and new files stay
+    join-compatible and reads translate uniformly."""
     root2 = str(tmp_path / "vwm2")
     t2 = VersionedTable.create(
         spark, root2, spark.createDataFrame([(1, "a")], "id bigint, v string")
     )
     t2.rename_column("v", "val")
-    with pytest.raises(Exception, match="column mapping"):
+    _write(
+        spark.createDataFrame([(2, "b")], "id bigint, val string"),
+        root2,
+    )
+    t = VersionedTable(spark, root2)
+    assert t.manifest().summary.get("staged") is True
+    assert sorted((r.id, r.val) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # The staged file physically carries the OLD (physical) name.
+    import pyarrow.parquet as pq
+
+    rel = [e for e in t.manifest().files][-1]
+    import glob as _glob
+
+    f = sorted(
+        _glob.glob(os.path.join(root2, rel, "*.parquet"))
+    )[0]
+    assert "v" in pq.read_schema(f).names
+    assert "val" not in pq.read_schema(f).names
+
+
+def test_writer_mapped_partitioned_bloom_table(spark, tmp_path):
+    """Mapping composes with partitioning and blooms through the
+    writer: renamed partition column writes OLD-physical dir names,
+    renamed bloom column folds under the physical stats key, and both
+    pruning paths keep working on the logical predicate."""
+    root = str(tmp_path / "vwmpb")
+    df = spark.range(0, 40).select(
+        "id", (F.col("id") % 2).cast("int").alias("grp")
+    )
+    t = VersionedTable.create(
+        spark, root, df, partition_by=["grp"], bloom_columns=["id"]
+    )
+    t.rename_column("grp", "bucket")
+    t.rename_column("id", "doc_id")
+    _write(
+        spark.range(40, 80).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("int").alias("bucket"),
+        ),
+        root,
+    )
+    t = VersionedTable(spark, root)
+    assert sorted(r.doc_id for r in t.read().collect()) == list(range(80))
+    # Partition pruning on the NEW logical name, across both commits.
+    info = t.prune_info([("bucket", "=", 0)])
+    assert info["n_skipped"] >= 2
+    assert {
+        r.doc_id for r in t.read(predicates=[("bucket", "=", 0)]).collect()
+    } == {i for i in range(80) if i % 2 == 0}
+    # Bloom pruning on the renamed column: 41 is odd -> lives only in
+    # the writer-written bucket=1 leaf; the even leaves bloom/dir-prune.
+    info = t.prune_info([("doc_id", "=", 41)])
+    assert info["n_scanned"] == 1
+    # New physical dir names use the OLD physical column name.
+    rel = [e for e in t.manifest().files][-1]
+    assert "grp=" in rel and "bucket=" not in rel
+
+
+def test_writer_mapped_merge_schema_collision_guard(spark, tmp_path):
+    """Adding a column (merge_schema) whose name collides with a
+    retired/renamed physical name must refuse — old files still carry
+    data under that physical name."""
+    root = str(tmp_path / "vwmc")
+    t = VersionedTable.create(
+        spark, root, spark.createDataFrame([(1, "a")], "id bigint, v string")
+    )
+    t.rename_column("v", "val")
+    with pytest.raises(Exception, match="collides"):
         _write(
-            spark.createDataFrame([(2, "b")], "id bigint, val string"),
-            root2,
+            spark.createDataFrame(
+                [(2, "b", "x")], "id bigint, val string, v string"
+            ),
+            root,
+            merge_schema="true",
         )
 
 
