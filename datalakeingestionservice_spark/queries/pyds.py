@@ -64,3 +64,92 @@ def q114_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q136_stream_writer_exactly_once",
+    tags=("lake", "streaming", "writer", "exactly-once"),
+    oracle="""
+WITH gen AS (
+  SELECT i AS event_id,
+         ['click','error','purchase','signup','view'][(i % 5) + 1]
+           AS event_type,
+         ((i * 2654435761) % 100000) / 100.0 AS amount
+  FROM (SELECT unnest(range(0, 50000)) AS i)
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       TRUE AS exactly_once_ok
+FROM gen
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q136_stream_writer_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The format-native streaming writer under the value oracle
+    (`sources/versioned_batch.py` VersionedTableStreamWriter): five
+    epochs of the deterministic synthetic feed commit one table version
+    each, with epoch 2 COMMITTED TWICE (the crash-replay scenario every
+    checkpointed sink must survive) — the `_streams/` high-water marker
+    makes the replay a no-op, asserted as `exactly_once_ok` (exactly 5
+    versions, no duplicate rows possible if the aggregate matches).
+    Reading back through `spark.read.format("versioned")` and
+    aggregating must equal DuckDB's regeneration of the feed from
+    `range()` — a duplicated or dropped epoch shifts every count and
+    sum. This is the end-to-end lake-streaming contract at 100 TB: any
+    micro-batch may be replayed after a crash, and the table must not
+    notice."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+    from datalakeingestionservice_spark.sources.python_datasource import (
+        SCHEMA_DDL,
+        gen_row,
+    )
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        VersionedTableStreamWriter,
+        register as register_versioned,
+    )
+
+    prepare_session(spark)
+    register_versioned(spark)
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlis_swq_{uuid.uuid4().hex}"
+    )
+    schema = StructType.fromDDL(SCHEMA_DDL)
+    w = VersionedTableStreamWriter(
+        {"table_root": root, "stream_name": "q136"}, schema
+    )
+    per_epoch = 10_000
+    for epoch in range(5):
+        rows = [
+            gen_row(i)
+            for i in range(epoch * per_epoch, (epoch + 1) * per_epoch)
+        ]
+        w.commit([w.write(iter(rows))], epoch)
+        if epoch == 2:  # crash replay: same epoch, fresh staged file
+            w.commit([w.write(iter(rows))], epoch)
+    exactly_once = VersionedTable(spark, root).latest_version() == 5
+    df = (
+        spark.read.format("versioned").option("table_root", root).load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
+        )
+        .withColumn("exactly_once_ok", F.lit(bool(exactly_once)))
+        .orderBy("event_type")
+    )

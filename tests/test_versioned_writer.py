@@ -351,3 +351,35 @@ def test_vacuum_reclaims_orphaned_staging(spark, tmp_path):
     os.makedirs(fresh)
     t.vacuum(claim_timeout_s=3600)
     assert os.path.exists(fresh)
+
+
+def test_writer_append_to_merge_on_read_table(spark, tmp_path):
+    """A writer append to a table carrying live deferred-delete
+    predicates: the new entry is UNSCOPED (fresh rel no predicate
+    records), so its rows survive even when they match — and the commit
+    carries the predicate set forward for the old entries."""
+    root = str(tmp_path / "vwmor")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+        ),
+    )
+    t.delete_where_deferred("id <= 2")
+    _write(
+        spark.createDataFrame([(2, "b2")], "id bigint, val string"), root
+    )
+    t = VersionedTable(spark, root)
+    assert len(t.manifest().delete_predicates) == 1  # carried forward
+    got = {(r.id, r.val) for r in t.read().collect()}
+    assert got == {(3, "c"), (2, "b2")}
+    # The MoR-serving DataSource read agrees.
+    ds = {
+        (r.id, r.val)
+        for r in spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+        .collect()
+    }
+    assert ds == got
