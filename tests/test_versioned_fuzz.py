@@ -76,11 +76,29 @@ def test_random_commit_sequence_matches_model(spark, tmp_path, seed, protocol):
         op = rng.choice(
             ["append", "narrow_append", "merge", "delete", "overwrite",
              "compact", "deferred_delete", "restore",
-             "incremental_compact"]
+             "incremental_compact", "writer_append"]
         )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             t.append(_df(spark, rows))
+            model.update(rows)
+        elif op == "writer_append":
+            # The DataSource writer's sessionless zero-copy commit must
+            # be indistinguishable from a regular append under the full
+            # random history (time travel, change feed, MoR scoping).
+            from datalakeingestionservice_spark.sources.versioned_batch import (  # noqa: E501
+                register,
+            )
+
+            register(spark)
+            rows = fresh_rows(rng.randint(1, 4))
+            (
+                _df(spark, rows)
+                .write.format("versioned")
+                .mode("append")
+                .option("table_root", t.root)
+                .save()
+            )
             model.update(rows)
         elif op == "narrow_append":
             # Subset-schema append (id only, merge_schema): the missing
