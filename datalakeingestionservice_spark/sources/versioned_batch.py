@@ -608,6 +608,12 @@ class VersionedTableWriter(DataSourceWriter):
         self.merge_schema = (
             str(options.get("merge_schema", "false")).lower() == "true"
         )
+        #: Roll staged files at this many rows so one long task never
+        #: produces an unboundedly large parquet file (~400 MB at
+        #: ~100 B/row with the default).
+        self.rows_per_file = int(options.get("rows_per_file", 4_000_000))
+        if self.rows_per_file <= 0:
+            raise ValueError("rows_per_file must be positive")
         self.schema_json = schema.json()
         self.staging = os.path.join(
             self.root, "_staging", _uuid.uuid4().hex
@@ -741,8 +747,10 @@ class VersionedTableWriter(DataSourceWriter):
         positions: dict[tuple[str, str], set] = {}
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else 0
-        tag = f"part-{pid:05d}-{_uuid.uuid4().hex}.parquet"
-        writers: dict[str, pq.ParquetWriter] = {}
+        uid = _uuid.uuid4().hex
+        #: {leaf: [open writer | None, rows in current file, file seq]}
+        state: dict[str, list] = {}
+        staged_files: list[str] = []
         cols: list[list] = [[] for _ in names]
         n = 0
 
@@ -774,17 +782,38 @@ class VersionedTableWriter(DataSourceWriter):
                     v = cols[i][r]
                     if v is not None:
                         pos.update(_bloom_positions_py(v))
-            w = writers.get(leaf)
-            if w is None:
-                d = (
-                    os.path.join(self.staging, leaf.replace("/", os.sep))
-                    if leaf
-                    else self.staging
+            st = state.setdefault(leaf, [None, 0, 0])
+            start = 0
+            while start < tbl.num_rows:
+                if st[0] is None:
+                    d = (
+                        os.path.join(
+                            self.staging, leaf.replace("/", os.sep)
+                        )
+                        if leaf
+                        else self.staging
+                    )
+                    os.makedirs(d, exist_ok=True)
+                    fname = f"part-{pid:05d}-{st[2]:04d}-{uid}.parquet"
+                    st[0] = pq.ParquetWriter(
+                        os.path.join(d, fname), dschema
+                    )
+                    staged_files.append(
+                        f"{leaf}/{fname}" if leaf else fname
+                    )
+                # Roll files so one long task can't produce an
+                # unboundedly large parquet file: each file takes at
+                # most its remaining row capacity per write.
+                take = min(
+                    tbl.num_rows - start, self.rows_per_file - st[1]
                 )
-                os.makedirs(d, exist_ok=True)
-                w = pq.ParquetWriter(os.path.join(d, tag), dschema)
-                writers[leaf] = w
-            w.write_table(tbl)
+                st[0].write_table(tbl.slice(start, take))
+                st[1] += take
+                start += take
+                if st[1] >= self.rows_per_file:
+                    st[0].close()
+                    st[0], st[1] = None, 0
+                    st[2] += 1
 
         def flush():
             if not cols[0]:
@@ -826,15 +855,13 @@ class VersionedTableWriter(DataSourceWriter):
             if n % self._BATCH == 0:
                 flush()
         flush()
-        for w in writers.values():
-            w.close()
+        for st in state.values():
+            if st[0] is not None:
+                st[0].close()
         blooms: dict[str, dict] = {}
         for (leaf, c), pos in positions.items():
             blooms.setdefault(leaf, {})[c] = _bloom_from_positions(pos)
-        files = [
-            (f"{leaf}/{tag}" if leaf else tag) for leaf in writers
-        ]
-        return _StagedWrite(n, blooms, files, self.staging)
+        return _StagedWrite(n, blooms, staged_files, self.staging)
 
     # -- sessionless commit ---------------------------------------------
 
@@ -1230,3 +1257,29 @@ def register(spark) -> None:
         spark.dataSource.register(VersionedTableDataSource)
     except Exception:
         pass  # already registered
+
+
+def register_table_view(
+    spark,
+    name: str,
+    root: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> None:
+    """Expose a versioned table (optionally time-traveled) to PURE SQL
+    as a temp view: `SELECT ... FROM <name>` plans through the
+    DataSource — Catalyst filter pushdown, manifest pruning, vectorized
+    Arrow reads, merge-on-read deletes all engage from SQL text.
+
+    (Writes cannot ride a view; `INSERT INTO` a `CREATE TABLE ... USING
+    versioned` catalog table is unreachable too — Spark's Python
+    DataSource API forwards no catalog-table OPTIONS/LOCATION to
+    writers — so SQL-driven pipelines write via
+    `df.write.format("versioned")` on the SELECT's result.)"""
+    register(spark)
+    r = spark.read.format("versioned").option("table_root", root)
+    if version is not None:
+        r = r.option("version", str(version))
+    if timestamp is not None:
+        r = r.option("timestamp", timestamp)
+    r.load().createOrReplaceTempView(name)

@@ -189,3 +189,25 @@ def test_batch_source_after_partition_evolution(spark, tmp_path):
 
     list(rd.pushFilters([EqualTo(("yr",), 2024)]))
     assert len(rd.partitions()) <= 2  # the 2025 leaf pruned by dir name
+
+
+def test_register_table_view_pure_sql(spark, tmp_path):
+    """SELECT over the temp view plans through the DataSource (pruning,
+    MoR, time travel) from pure SQL text."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register_table_view,
+    )
+
+    root = str(tmp_path / "vtv")
+    t = _banded(spark, root)
+    t.delete_where_deferred("id >= 290")
+    register_table_view(spark, "vt_sqlview", root)
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS sv FROM vt_sqlview "
+        "WHERE id >= 250"
+    ).collect()[0]
+    assert got.n == 40 and got.sv == sum(2 * i for i in range(250, 290))
+    register_table_view(spark, "vt_sqlview_v1", root, version=1)
+    assert spark.sql(
+        "SELECT count(*) AS n FROM vt_sqlview_v1"
+    ).collect()[0].n == 100

@@ -383,3 +383,23 @@ def test_writer_append_to_merge_on_read_table(spark, tmp_path):
         .collect()
     }
     assert ds == got
+
+
+def test_writer_rolls_files_at_rows_per_file(spark, tmp_path):
+    """One long task must not produce one unbounded file: rows_per_file
+    rolls the staged file, each rolled file gets its own footer stats
+    (file-granular pruning), and read parity holds."""
+    import glob as _glob
+
+    root = str(tmp_path / "vwr")
+    df = spark.range(0, 40).coalesce(1).select("id")  # ONE task
+    _write(df, root, rows_per_file="15")
+    t = VersionedTable(spark, root)
+    rel = t.manifest().files[0]
+    files = _glob.glob(os.path.join(root, rel, "*.parquet"))
+    assert len(files) == 3  # ceil(40/15)
+    assert sorted(r.id for r in t.read().collect()) == list(range(40))
+    # Per-file stats landed for every rolled file.
+    fstats = t.manifest().stats[rel]["files"]
+    assert len(fstats) == 3
+    assert sum(f["rows"] for f in fstats.values()) == 40
