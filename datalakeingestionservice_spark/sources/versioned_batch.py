@@ -568,16 +568,17 @@ class VersionedTableWriter(DataSourceWriter):
     - append is ZERO-COPY: the staged dir moves into `data/`, stats
       harvested from footers; concurrent commits rebase exactly like
       `VersionedTable.append`;
-    - overwrite replaces the snapshot; it commits WITHOUT change files
-      (`cdf_skipped` recorded — a sessionless worker cannot materialize
-      the snapshot-sized diff; use `VersionedTable.overwrite` when the
-      change feed must cover the version);
-    - table absent -> the write CREATES it (`bloom_columns` option
-      honored; `partition_by` refused — use `VersionedTable.create`).
+    - overwrite replaces the snapshot; its change feed is DEFERRED, not
+      lost (a sessionless worker cannot materialize the snapshot-sized
+      diff at commit): the batch `changes()` computes the diff lazily,
+      and `materialize_changes()` backfills the change files so the
+      STREAMING source serves the version too — or use
+      `VersionedTable.overwrite` for commit-time materialization;
+    - table absent -> the write CREATES it (`partition_by` and
+      `bloom_columns` options honored).
 
-    Hive-partitioned and column-mapped tables are refused up front with
-    a pointer to the session API (staged files can't satisfy their
-    physical contract: leaf layout / physical column names). An
+    Hive-partitioned and column-mapped tables are served natively
+    (leaf splitting / physical names happen in the tasks). An
     orphaned staging dir from a hard crash is invisible to readers and
     reclaimed by `vacuum()`."""
 
@@ -980,15 +981,18 @@ class VersionedTableWriter(DataSourceWriter):
                         # no evolved flag), like
                         # VersionedTable.overwrite with an incompatible
                         # replacement schema.
+                        # No cdf marker: the version is a feed-less COW
+                        # commit — batch changes() diffs it lazily and
+                        # materialize_changes() backfills it for the
+                        # streaming source (cdf_skipped would wrongly
+                        # mark the feed as UNDEFINED and block the
+                        # backfill).
                         t._commit(
                             operation="overwrite",
                             files=tuple(entries),
                             schema_ddl=schema.simpleString(),
                             expected_parent=parent,
-                            summary={
-                                "staged": True,
-                                "cdf_skipped": True,
-                            },
+                            summary={"staged": True},
                             stats=dict(entries),
                         )
                         return

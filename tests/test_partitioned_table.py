@@ -227,7 +227,17 @@ def test_changes_and_stream_serve_partition_columns(spark, root):
     parts = reader.partitions(
         {"version": 0}, {"version": t.latest_version()}
     )
-    rows = [row for p in parts for row in reader.read(p)]
+    rows = []
+    for p in parts:
+        for item in reader.read(p):
+            if hasattr(item, "num_rows"):  # vectorized: RecordBatch
+                cols = [
+                    item.column(i).to_pylist()
+                    for i in range(item.num_columns)
+                ]
+                rows.extend(zip(*cols))
+            else:  # fallback path: plain tuples
+                rows.append(item)
     # Row tuple = data columns in schema order + (_change_type, version).
     by_id = {row[0]: row for row in rows}
     assert by_id[8][1] == "z" and by_id[8][3] == Decimal("3.33")

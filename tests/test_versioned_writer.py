@@ -403,3 +403,62 @@ def test_writer_rolls_files_at_rows_per_file(spark, tmp_path):
     fstats = t.manifest().stats[rel]["files"]
     assert len(fstats) == 3
     assert sum(f["rows"] for f in fstats.values()) == 40
+
+
+def test_writer_overwrite_feed_is_deferred_not_lost(spark, tmp_path):
+    """A writer overwrite is a feed-less COW commit, NOT an undefined
+    one: batch changes() diffs it lazily, and materialize_changes()
+    backfills the change files for the streaming source (cdf_skipped
+    would have blocked the backfill)."""
+    root = str(tmp_path / "vwof")
+    VersionedTable.create(
+        spark, root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"),
+    )
+    _write(
+        spark.createDataFrame([(2, "b"), (3, "c")], "id bigint, v string"),
+        root,
+        mode="overwrite",
+    )
+    t = VersionedTable(spark, root)
+    assert "cdf_skipped" not in t.manifest().summary
+    feed = {
+        (r.id, r.v, r._change_type) for r in t.changes(1, 2).collect()
+    }
+    assert feed == {(1, "a", "delete"), (3, "c", "insert")}
+    done = t.materialize_changes()
+    assert set(done) == {2}
+    assert t.manifest(2).summary.get("cdf")
+    # Post-backfill feed identical.
+    assert {
+        (r.id, r.v, r._change_type) for r in t.changes(1, 2).collect()
+    } == feed
+
+
+def test_writer_overwrite_partitioned_table(spark, tmp_path):
+    """Writer overwrite on a hive-partitioned table replaces the
+    snapshot under the SAME spec: new leaf entries, pruning intact."""
+    root = str(tmp_path / "vwop")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.range(0, 20).select(
+            "id", (F.col("id") % 2).cast("int").alias("grp")
+        ),
+        partition_by=["grp"],
+    )
+    _write(
+        spark.range(100, 110).select(
+            "id", (F.col("id") % 2).cast("int").alias("grp")
+        ),
+        root,
+        mode="overwrite",
+    )
+    t = VersionedTable(spark, root)
+    assert sorted(r.id for r in t.read().collect()) == list(range(100, 110))
+    assert t.read(1).count() == 20  # history survives
+    info = t.prune_info([("grp", "=", 0)])
+    assert info["n_skipped"] >= 1
+    assert {
+        r.id for r in t.read(predicates=[("grp", "=", 0)]).collect()
+    } == {i for i in range(100, 110) if i % 2 == 0}
