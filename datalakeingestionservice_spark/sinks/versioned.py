@@ -2000,6 +2000,99 @@ class VersionedTable:
             )
         return best
 
+    def clone(
+        self,
+        target_root: str,
+        version: int | None = None,
+        commit_protocol: "CommitProtocol | None" = None,
+    ) -> "VersionedTable":
+        """SHALLOW CLONE (Delta's shape, made self-contained): stand up
+        an independent table at `target_root` whose v1 is this table's
+        snapshot at `version` (default latest) — ZERO data copy, O(files)
+        metadata ops. Data files hard-link (same inodes; falls back to a
+        real copy per file across filesystems), so either table may
+        evolve, expire, vacuum, or be deleted without touching the other:
+        vacuum unlinks NAMES, and an inode lives while any table still
+        references it.
+
+        Everything the snapshot needs carries: entry stats (pruning and
+        scoped merge work immediately), partition spec + leaf part
+        values, blooms, CHECK constraints, column mapping, and live
+        deferred-delete predicates (entry rels are preserved verbatim,
+        so their scoping holds). History does NOT carry — the clone's v1
+        is a fresh root (Delta shallow clones behave the same); use the
+        change feed on the SOURCE for pre-clone history.
+
+        Reference anchor: the reference copies datasets by re-running
+        extraction into a new destination path
+        (`src/Infrastructure/Upload/Providers/FileSystemUploadProvider.cs:64-76`);
+        a lake format makes that a metadata operation."""
+        import shutil as _shutil
+
+        m = self.manifest(version)
+        if os.path.exists(
+            os.path.join(target_root, _MANIFEST_DIR)
+        ):
+            raise ValueError(f"{target_root} is already a versioned table")
+        # Hard-link the referenced TOP-LEVEL uuid dirs wholesale (same
+        # granularity vacuum works at); extra files inside a partially-
+        # referenced dir cost inodes only, never correctness.
+        referenced: set[str] = set()
+        for rel in m.files:
+            top = os.sep.join(rel.split(os.sep)[:2])
+            referenced.add(top)
+
+        def _link_tree(src: str, dst: str) -> None:
+            for dirpath, _dirs, files in os.walk(src):
+                rel_d = os.path.relpath(dirpath, src)
+                d = dst if rel_d == "." else os.path.join(dst, rel_d)
+                os.makedirs(d, exist_ok=True)
+                for fn in files:
+                    s = os.path.join(dirpath, fn)
+                    t = os.path.join(d, fn)
+                    try:
+                        os.link(s, t)
+                    except OSError:
+                        _shutil.copy2(s, t)  # cross-device fallback
+
+        os.makedirs(os.path.join(target_root, _MANIFEST_DIR))
+        os.makedirs(os.path.join(target_root, _DATA_DIR), exist_ok=True)
+        for top in sorted(referenced):
+            _link_tree(
+                os.path.join(self.root, top),
+                os.path.join(target_root, top),
+            )
+        clone = VersionedTable(
+            self.spark,
+            target_root,
+            commit_protocol=commit_protocol,
+            materialize_changes=self._materialize_changes,
+        )
+        clone._commit(
+            operation="clone",
+            files=m.files,
+            schema_ddl=m.schema_ddl,
+            expected_parent=0,
+            summary={
+                "cloned_from": self.root,
+                "source_version": m.version,
+                # Heterogeneous file schemas must keep reading with
+                # mergeSchema in the clone too.
+                **(
+                    {"schema_evolved": True}
+                    if m.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(m.stats),
+            partition_by=m.partition_by,
+            constraints=dict(m.constraints),
+            bloom_columns=m.bloom_columns,
+            delete_predicates=m.delete_predicates,
+            column_mapping=dict(m.column_mapping),
+        )
+        return clone
+
     def restore(self, version: int) -> int:
         """RESTORE the table to a prior version as a NEW commit: the new
         manifest references the old version's data entries verbatim (pure
