@@ -1152,3 +1152,61 @@ def q135_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     ).withColumn("zero_copy_ok", F.lit(bool(zero_copy)))
+
+
+@register(
+    "q137_hidden_partitioning",
+    tags=("lake", "partitioning", "transforms", "iceberg-parity"),
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(max(l_shipdate) AS DATE) - INTERVAL 120 DAY AS cutoff
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(min(l_shipdate) AS DATE) AS min_ship,
+       TRUE AS hidden_pruned_ok
+FROM lineitem, bounds
+WHERE CAST(l_shipdate AS DATE) >= CAST(cutoff AS DATE)
+""",
+)
+def q137_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg transform specs,
+    `sinks/versioned.py` transform block): lineitem committed under
+    `partition_by=["month(l_shipdate)"]` — dirs are
+    `l_shipdate_month=yyyy-MM/`, the source column STAYS in the files,
+    and no derived column exists in the schema. A plain range predicate
+    on l_shipdate derives a conservative month-string predicate
+    automatically and prunes every older-month leaf from the dir NAMES
+    (`hidden_pruned_ok` asserts the majority of ~84 month leaves skip);
+    the oracle recomputes the recent-window aggregate from raw lineitem.
+    This is the core Iceberg ergonomics win at 100 TB: users query
+    columns, never partition helpers, and the layout still prunes."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_hp_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+    )
+    t = VersionedTable.create(
+        spark, base, li, partition_by=["month(l_shipdate)"]
+    )
+    cutoff = li.agg(
+        F.date_sub(F.max("l_shipdate"), 120)
+    ).collect()[0][0]
+    info = t.prune_info([("l_shipdate", ">=", cutoff)])
+    pruned_ok = (
+        info["n_skipped"] > info["n_scanned"]
+        and info["n_scanned"] >= 1
+    )
+    return (
+        t.read(predicates=[("l_shipdate", ">=", cutoff)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.min("l_shipdate").alias("min_ship"),
+        )
+        .withColumn("hidden_pruned_ok", F.lit(bool(pruned_ok)))
+    )

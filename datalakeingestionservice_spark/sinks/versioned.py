@@ -318,6 +318,236 @@ def _parse_part_path(rel: str) -> dict[str, str | None]:
     return out
 
 
+# -- hidden partitioning (Iceberg transforms) --------------------------------
+#
+# A partition spec entry is either a plain column (identity) or a TRANSFORM:
+# `year(ts)`, `month(ts)`, `day(ts)`, `bucket(N, col)`, `truncate(W, col)`.
+# Transform specs partition the LAYOUT without surfacing a derived column to
+# queries (Iceberg's "hidden partitioning"): writes compute the transform
+# into a hive dir segment named `<col>_<fn>=<value>` and — unlike identity —
+# keep the SOURCE column in the data files (so reads need no recovery and
+# footer-stat pruning still works), while predicates on the source column
+# derive conservative dir-name predicates automatically:
+#
+#   ts >= DATE '2024-03-05'  +  spec year(ts)   =>  ts_year >= 2024
+#
+# month/day use lexicographically-ordered string forms ('yyyy-MM',
+# 'yyyy-MM-dd') so string comparison IS chronological comparison; year is an
+# int; bucket uses the same sha256 canonical-string hash as the bloom layer
+# (computed identically by the Spark expression and the Python probe), and
+# derives only equality; truncate is floor-to-multiple for ints and prefix
+# for strings — both monotone, so range predicates carry over.
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(year|month|day|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+
+#: Transforms valid per source simpleString type (prefix match for
+#: timestamp*/varchar/char handled in _validate_spec).
+_TEMPORAL_TRANSFORMS = ("year", "month", "day")
+
+
+def _parse_spec_entry(entry: str) -> tuple[str, int | None, str]:
+    """'col' -> ("identity", None, col); 'year(ts)' -> ("year", None,
+    "ts"); 'bucket(16, id)' -> ("bucket", 16, "id")."""
+    m = _TRANSFORM_RE.match(entry)
+    if not m:
+        return ("identity", None, entry)
+    fn, param, col = m.group(1), m.group(2), m.group(3)
+    return (fn, int(param) if param is not None else None, col)
+
+
+def _transform_alias(fn: str, col: str) -> str:
+    return f"{col}_{fn}"
+
+
+def _render_spec_entry(fn: str, param: int | None, col: str) -> str:
+    if fn == "identity":
+        return col
+    if param is not None:
+        return f"{fn}({param}, {col})"
+    return f"{fn}({col})"
+
+
+def _validate_spec(
+    partition_by: tuple[str, ...], types: dict[str, str]
+) -> None:
+    """Raise on an invalid spec: unknown source column, wrong source
+    type for the transform, missing/invalid parameter, or an alias
+    colliding with a real column."""
+    for entry in partition_by:
+        fn, param, col = _parse_spec_entry(entry)
+        t = types.get(col)
+        if t is None:
+            raise ValueError(f"partition columns not in schema: ['{col}']")
+        if fn == "identity":
+            continue
+        if fn in _TEMPORAL_TRANSFORMS:
+            if not (t == "date" or t.startswith("timestamp")):
+                raise ValueError(
+                    f"{fn}() needs a date/timestamp column, "
+                    f"{col} is {t}"
+                )
+            if param is not None:
+                raise ValueError(f"{fn}() takes no parameter")
+        else:  # bucket / truncate
+            if param is None or param <= 0:
+                raise ValueError(
+                    f"{fn}() needs a positive parameter: "
+                    f"{fn}(N, {col})"
+                )
+            ok = (
+                t in ("tinyint", "smallint", "int", "bigint", "string")
+                or t.startswith(("varchar", "char"))
+            )
+            if not ok:
+                raise ValueError(
+                    f"{fn}() needs an int/string column, {col} is {t}"
+                )
+        alias = _transform_alias(fn, col)
+        if alias in types:
+            raise ValueError(
+                f"transform dir name {alias!r} collides with a column"
+            )
+
+
+def _transform_expr(fn: str, param: int | None, col: str, type_simple: str):
+    """The Spark column computing a transform's DIR value; must agree
+    byte-for-byte with `_transform_py` on every non-null input."""
+    c = F.col(col)
+    if fn == "year":
+        return F.year(c)
+    if fn == "month":
+        return F.date_format(c, "yyyy-MM")
+    if fn == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if fn == "bucket":
+        # Same canonical-string sha256 scheme as the bloom layer, so the
+        # Spark build side and the Python probe side agree by
+        # construction.
+        return (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(c.cast("string"), F.lit("#bucket")), 256
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % param
+        ).cast("int")
+    if fn == "truncate":
+        if type_simple in ("tinyint", "smallint", "int", "bigint"):
+            # floor-to-multiple (matches Python's // for negatives).
+            return F.floor(c / F.lit(param)).cast("bigint") * param
+        return F.substring(c, 1, param)
+    raise ValueError(f"unknown transform {fn!r}")
+
+
+def _transform_py(fn: str, param: int | None, v, type_simple: str):
+    """Python twin of the transform, for pruning probes and the
+    sessionless writer. None when not computable for this value."""
+    import hashlib
+
+    if v is None:
+        return None
+    if fn in _TEMPORAL_TRANSFORMS:
+        if not isinstance(v, (_dt.date, _dt.datetime)):
+            return None
+        if fn == "year":
+            return v.year
+        if fn == "month":
+            return f"{v.year:04d}-{v.month:02d}"
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+    if fn == "bucket":
+        if not isinstance(v, (int, str)) or isinstance(v, bool):
+            return None
+        return (
+            int(
+                hashlib.sha256(f"{v}#bucket".encode()).hexdigest()[:15],
+                16,
+            )
+            % param
+        )
+    if fn == "truncate":
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return (v // param) * param
+        if isinstance(v, str):
+            return v[:param]
+        return None
+    return None
+
+
+def _spec_alias_types(
+    partition_by: tuple[str, ...], fwd: dict, schema_types: dict[str, str]
+) -> dict[str, str]:
+    """{physical alias dir name: simpleString} for the spec's transform
+    entries — what `_typed_part_value` needs to type dir values."""
+    out: dict[str, str] = {}
+    for entry in partition_by:
+        fn, param, col = _parse_spec_entry(entry)
+        if fn == "identity":
+            continue
+        pcol = fwd.get(col, col)
+        alias = _transform_alias(fn, pcol)
+        if fn in ("year", "bucket"):
+            out[alias] = "int"
+        elif fn in ("month", "day"):
+            out[alias] = "string"
+        else:  # truncate: source-typed (bigint for ints)
+            src = schema_types.get(col, "string")
+            out[alias] = (
+                "bigint"
+                if src in ("tinyint", "smallint", "int", "bigint")
+                else "string"
+            )
+    return out
+
+
+def _derive_transform_preds(
+    preds: list[tuple] | None,
+    partition_by: tuple[str, ...],
+    fwd: dict,
+    schema_types: dict[str, str],
+) -> list[tuple] | None:
+    """Augment PHYSICAL predicates with conservative dir-name predicates
+    on transform aliases: equality derives for every transform, range
+    ops derive for the monotone ones (year/month/day/truncate), bucket
+    derives equality only. Derived predicates refute leaves by dir name
+    exactly like identity partitioning — the 'hidden' in hidden
+    partitioning."""
+    if not preds:
+        return preds
+    extra: list[tuple] = []
+    for entry in partition_by:
+        fn, param, col = _parse_spec_entry(entry)
+        if fn == "identity":
+            continue
+        pcol = fwd.get(col, col)
+        alias = _transform_alias(fn, pcol)
+        for c, op, v in preds:
+            if c != pcol or v is None:
+                continue
+            fv = _transform_py(fn, param, v, schema_types.get(col, ""))
+            if fv is None:
+                continue
+            if op == "=":
+                extra.append((alias, "=", fv))
+            elif fn == "bucket":
+                continue  # hash: only equality is derivable
+            elif op in ("<", "<="):
+                extra.append((alias, "<=", fv))
+            elif op in (">", ">="):
+                extra.append((alias, ">=", fv))
+    return preds + extra
+
+
 def _typed_part_value(raw: str | None, type_simple: str):
     """Parse a raw partition-dir string into the column's Python value.
 
@@ -787,10 +1017,16 @@ class VersionedTable:
         (`src/Infrastructure/Upload/Providers/FileSystemUploadProvider.cs:64-76`);
         partition-column directories are the lake-native generalization."""
         pb = tuple(partition_by or ())
-        missing = [c for c in pb if c not in df.columns]
-        if missing:
-            raise ValueError(f"partition columns not in schema: {missing}")
-        if pb and len(pb) == len(df.columns):
+        _types0 = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        _validate_spec(pb, _types0)
+        identity_cols = {
+            _parse_spec_entry(e)[2]
+            for e in pb
+            if _parse_spec_entry(e)[0] == "identity"
+        }
+        if pb and len(identity_cols) == len(df.columns):
             raise ValueError("cannot partition by every column")
         constraints = dict(check_constraints or {})
         for col in not_null or ():
@@ -968,11 +1204,17 @@ class VersionedTable:
         pm = self.manifest(parent)
         from pyspark.sql.types import StructType
 
-        names = {f.name for f in StructType.fromDDL(pm.schema_ddl).fields}
-        missing = [c for c in pb if c not in names]
-        if missing:
-            raise ValueError(f"partition columns not in schema: {missing}")
-        if pb and len(pb) == len(names):
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(pm.schema_ddl).fields
+        }
+        _validate_spec(pb, types)
+        identity_cols = {
+            _parse_spec_entry(e)[2]
+            for e in pb
+            if _parse_spec_entry(e)[0] == "identity"
+        }
+        if pb and len(identity_cols) == len(types):
             raise ValueError("cannot partition by every column")
         if pb == pm.partition_by:
             raise ValueError(f"partition spec is already {list(pb)}")
@@ -1130,6 +1372,9 @@ class VersionedTable:
             if predicates
             else None
         )
+        phys_preds = _derive_transform_preds(
+            phys_preds, m.partition_by, fwd, self._schema_types(m)
+        )
         sel: list[tuple[str, list[str] | None]] = []
         for rel in m.files:
             stats = m.stats.get(rel, {})
@@ -1157,6 +1402,16 @@ class VersionedTable:
             df = df.filter(_predicates_to_column(predicates))
         return df
 
+    def _schema_types(self, m: Manifest) -> dict[str, str]:
+        """LOGICAL column -> simpleString (transform-predicate
+        derivation needs the source column's declared type)."""
+        from pyspark.sql.types import StructType
+
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(m.schema_ddl).fields
+        }
+
     def _part_types(self, m: Manifest) -> dict[str, str]:
         """Column -> simpleString type for EVERY schema column: after a
         partition-spec evolution, surviving entries may carry part_values
@@ -1169,10 +1424,19 @@ class VersionedTable:
         from pyspark.sql.types import StructType
 
         fwd = _log_to_phys(m.column_mapping)
-        return {
-            fwd.get(f.name, f.name): f.dataType.simpleString()
+        schema_types = {
+            f.name: f.dataType.simpleString()
             for f in StructType.fromDDL(m.schema_ddl).fields
         }
+        out = {
+            fwd.get(c, c): t for c, t in schema_types.items()
+        }
+        # Transform aliases (hidden partitioning) type their dir values
+        # too: ts_year ints, ts_month/day ordered strings, etc.
+        out.update(
+            _spec_alias_types(m.partition_by, fwd, schema_types)
+        )
+        return out
 
     def _scan_entries(
         self,
@@ -1336,6 +1600,9 @@ class VersionedTable:
         part_types = self._part_types(m)
         fwd = _log_to_phys(m.column_mapping)
         predicates = [(fwd.get(c, c), op, v) for c, op, v in predicates]
+        predicates = _derive_transform_preds(
+            predicates, m.partition_by, fwd, self._schema_types(m)
+        )
         kept, skipped = [], []
         n_files_scanned = n_files_skipped = 0
         for rel in m.files:
@@ -2561,8 +2828,32 @@ class VersionedTable:
         # with old ones.
         fwd = _log_to_phys(latest.column_mapping) if latest else {}
         df = _rename_columns(df, fwd)
-        partition_by = tuple(fwd.get(c, c) for c in partition_by)
         bloom_columns = tuple(fwd.get(c, c) for c in bloom_columns)
+        # Partition spec: translate each entry's SOURCE column to its
+        # physical name; identity entries partition by the column itself
+        # (dropped from files, recovered from dir names), transform
+        # entries compute an alias dir column and KEEP the source column
+        # in the files (hidden partitioning — no recovery needed, footer
+        # stats still prune).
+        src_types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        dir_cols: list[str] = []
+        for entry in partition_by:
+            fn, param, col = _parse_spec_entry(entry)
+            pcol = fwd.get(col, col)
+            if fn == "identity":
+                dir_cols.append(pcol)
+            else:
+                alias = _transform_alias(fn, pcol)
+                df = df.withColumn(
+                    alias,
+                    _transform_expr(
+                        fn, param, pcol, src_types.get(pcol, "")
+                    ),
+                )
+                dir_cols.append(alias)
+        partition_by = tuple(dir_cols)
         conf_key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")

@@ -248,13 +248,31 @@ class VersionedTableReader(DataSourceReader):
         # part_values for columns outside m.partition_by, and typing them
         # as strings would both weaken pruning and inject wrongly-typed
         # fill values. Stats/part_values are keyed PHYSICAL.
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _derive_transform_preds,
+            _spec_alias_types,
+        )
+
         back = {p: c for c, p in self._fwd.items()}
         part_types = {
             self._fwd.get(c, c): t for c, t in self._types.items()
         }
+        # Hidden partitioning: transform aliases get dir-value types and
+        # pushed source-column predicates derive alias predicates.
+        part_types.update(
+            _spec_alias_types(
+                self.m.partition_by, self._fwd, self._types
+            )
+        )
         preds = [
             (self._fwd.get(c, c), op, v) for c, op, v in self._preds
         ]
+        preds = (
+            _derive_transform_preds(
+                preds, self.m.partition_by, self._fwd, self._types
+            )
+            or []
+        )
 
         def mor_for(rel: str) -> list[list]:
             """Deferred-delete ASTs scoped to this entry: a predicate
@@ -625,16 +643,22 @@ class VersionedTableWriter(DataSourceWriter):
         except NoSuchVersionError:
             m = None
         if m is None:
-            self.partition_by = [
-                c
-                for c in str(options.get("partition_by", "")).split(",")
-                if c
-            ]
-            for c in self.partition_by:
-                if c not in types:
-                    raise ValueError(
-                        f"partition column {c!r} not in the write schema"
-                    )
+            # Spec entries may be transforms ('year(ts)'); validated as
+            # a spec below, not as plain column names. Split on commas
+            # OUTSIDE parens so 'bucket(4, id)' survives.
+            raw_pb = str(options.get("partition_by", ""))
+            self.partition_by, depth, tok = [], 0, []
+            for ch in raw_pb:
+                depth += ch == "("
+                depth -= ch == ")"
+                if ch == "," and depth == 0:
+                    if "".join(tok).strip():
+                        self.partition_by.append("".join(tok).strip())
+                    tok = []
+                else:
+                    tok.append(ch)
+            if "".join(tok).strip():
+                self.partition_by.append("".join(tok).strip())
             self.bloom_columns = [
                 c
                 for c in str(options.get("bloom_columns", "")).split(",")
@@ -689,13 +713,32 @@ class VersionedTableWriter(DataSourceWriter):
         self.bloom_phys = [
             self.phys_map.get(c, c) for c in self.bloom_columns
         ]
-        if self.partition_by and not (
-            set(types) - set(self.partition_by)
-        ):
+        # Parsed partition spec: (fn, param, logical source col) —
+        # identity entries drop the column from files; transform entries
+        # (hidden partitioning) keep it and compute the alias dir value
+        # in Python per row.
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _parse_spec_entry,
+            _validate_spec,
+        )
+
+        if m is None:
+            _validate_spec(tuple(self.partition_by), types)
+        self.spec = [
+            _parse_spec_entry(e) for e in self.partition_by
+        ]
+        identity_srcs = {
+            col for fn, _, col in self.spec if fn == "identity"
+        }
+        if identity_srcs and not (set(types) - identity_srcs):
             raise ValueError(
                 "every column is a partition column; hive files would "
                 "carry no data columns"
             )
+        #: Source simpleString per spec entry (transform math needs it).
+        self.spec_types = [
+            types.get(col, "") for _fn, _p, col in self.spec
+        ]
 
     def write(self, iterator) -> _StagedWrite:
         import json
@@ -723,12 +766,32 @@ class VersionedTableWriter(DataSourceWriter):
                 for f in schema.fields
             ]
         )
-        pb = self.partition_by
-        pidx = [names.index(c) for c in pb if c in names]
-        # Hive layout drops the partition columns from the files. Files,
-        # dir names, and bloom keys carry PHYSICAL column names.
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _transform_alias,
+            _transform_py,
+        )
+
+        # Spec entries -> (dir col name, source row index, transform fn,
+        # param, source type). Identity drops its column from the files;
+        # transforms (hidden partitioning) keep it.
+        seg_plan = []
+        identity_srcs = set()
+        for (fn, param, col), st in zip(self.spec, self.spec_types):
+            pcol = self.phys_map.get(col, col)
+            idx = names.index(col) if col in names else None
+            if fn == "identity":
+                identity_srcs.add(col)
+                seg_plan.append((pcol, idx, None, None, st))
+            else:
+                seg_plan.append(
+                    (_transform_alias(fn, pcol), idx, fn, param, st)
+                )
+        # Hive layout drops only IDENTITY partition columns from the
+        # files. Files, dir names, and bloom keys carry PHYSICAL names.
         data_idx = [
-            i for i, nm in enumerate(names) if nm not in set(pb)
+            i
+            for i, nm in enumerate(names)
+            if nm not in identity_srcs
         ]
         dschema = pa.schema(
             [
@@ -756,14 +819,18 @@ class VersionedTableWriter(DataSourceWriter):
         n = 0
 
         def leaf_of(ridx: int) -> str:
-            if not pidx:
+            if not seg_plan:
                 return ""
-            return "/".join(
-                _part_segment(
-                    self.phys_map.get(pb[j], pb[j]), cols[pi][ridx]
+            segs = []
+            for dir_col, idx, fn, param, st in seg_plan:
+                raw = cols[idx][ridx] if idx is not None else None
+                v = (
+                    raw
+                    if fn is None
+                    else _transform_py(fn, param, raw, st)
                 )
-                for j, pi in enumerate(pidx)
-            )
+                segs.append(_part_segment(dir_col, v))
+            return "/".join(segs)
 
         def write_leaf(leaf: str, ridxs: list[int]):
             tbl = pa.Table.from_arrays(
@@ -838,7 +905,7 @@ class VersionedTableWriter(DataSourceWriter):
                             f"CHECK constraint {cname!r} violated, e.g. "
                             f"by row {full.slice(i, 1).to_pylist()[0]}"
                         )
-            if not pidx:
+            if not seg_plan:
                 write_leaf("", list(range(len(cols[0]))))
             else:
                 by_leaf: dict[str, list[int]] = {}

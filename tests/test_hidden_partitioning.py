@@ -1,0 +1,363 @@
+"""Hidden partitioning (Iceberg transforms): year/month/day/bucket/
+truncate partition specs — layout + dir-name pruning WITHOUT surfacing a
+derived column to queries; source columns stay in the data files."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.versioned import (
+    VersionedTable,
+    _transform_py,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "vt")
+
+
+def _dated(spark):
+    rows = [
+        (1, dt.date(2023, 3, 5), "a"),
+        (2, dt.date(2023, 11, 30), "b"),
+        (3, dt.date(2024, 1, 1), "c"),
+        (4, dt.date(2024, 6, 15), "d"),
+        (5, dt.date(2025, 2, 28), "e"),
+        (6, None, "f"),
+    ]
+    return spark.createDataFrame(rows, "id bigint, d date, val string")
+
+
+def _check_pred_parity(t, predicates):
+    """read(predicates=) must equal unpruned read + filter — the
+    definitive Spark-vs-Python transform agreement check (a probe
+    mismatch would silently drop rows)."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _predicates_to_column,
+    )
+
+    pruned = {tuple(r) for r in t.read(predicates=predicates).collect()}
+    full = {
+        tuple(r)
+        for r in t.read()
+        .filter(_predicates_to_column(predicates))
+        .collect()
+    }
+    assert pruned == full, predicates
+    return pruned
+
+
+def test_year_transform_layout_and_pruning(spark, root):
+    t = VersionedTable.create(
+        spark, root, _dated(spark), partition_by=["year(d)"]
+    )
+    m = t.manifest()
+    assert m.partition_by == ("year(d)",)
+    # One leaf per year + the null-sentinel leaf; dirs named d_year=N.
+    leaves = {
+        list(m.stats[rel]["part_values"].items())[0] for rel in m.files
+    }
+    assert ("d_year", "2023") in leaves and ("d_year", None) in leaves
+    assert len(m.files) == 4
+    # Source column SURVIVES in the files (hidden partitioning).
+    some_leaf = sorted(m.files)[0]
+    f = glob.glob(os.path.join(root, some_leaf, "*.parquet"))[0]
+    import pyarrow.parquet as pq
+
+    assert "d" in pq.read_schema(f).names
+    # Read parity including the NULL row.
+    got = {(r.id, r.d, r.val) for r in t.read().collect()}
+    assert len(got) == 6 and (6, None, "f") in got
+    # Range predicate on the SOURCE column prunes other-year leaves.
+    info = t.prune_info([("d", ">=", dt.date(2024, 3, 1))])
+    assert info["n_skipped"] >= 2  # 2023 + null leaves at least
+    assert {
+        r[0]
+        for r in _check_pred_parity(t, [("d", ">=", dt.date(2024, 3, 1))])
+    } == {4, 5}
+    info = t.prune_info([("d", "=", dt.date(2023, 3, 5))])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 3
+
+
+def test_month_and_day_transforms_cross_year_ranges(spark, root):
+    t = VersionedTable.create(
+        spark, root, _dated(spark), partition_by=["month(d)"]
+    )
+    pv = {
+        list(t.manifest().stats[rel]["part_values"].values())[0]
+        for rel in t.manifest().files
+    }
+    assert "2023-03" in pv and "2024-06" in pv
+    # Lexicographic month strings order chronologically across years.
+    info = t.prune_info([("d", ">", dt.date(2023, 12, 1))])
+    assert info["n_skipped"] >= 3  # 2023-03, 2023-11, null
+    assert {
+        r[0]
+        for r in _check_pred_parity(t, [("d", ">", dt.date(2023, 12, 1))])
+    } == {3, 4, 5}
+
+    root2 = root + "_day"
+    t2 = VersionedTable.create(
+        spark, root2, _dated(spark), partition_by=["day(d)"]
+    )
+    info = t2.prune_info([("d", "=", dt.date(2024, 1, 1))])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 5
+    assert {
+        r[0]
+        for r in _check_pred_parity(t2, [("d", "=", dt.date(2024, 1, 1))])
+    } == {3}
+
+
+def test_bucket_transform_equality_pruning(spark, root):
+    df = spark.range(0, 200).select(
+        "id", (F.col("id") * 3).alias("v")
+    )
+    t = VersionedTable.create(
+        spark, root, df, partition_by=["bucket(4, id)"]
+    )
+    m = t.manifest()
+    assert len(m.files) == 4  # every bucket populated at n=200
+    # Spark-side bucket expr and Python probe agree: the equality
+    # predicate lands in exactly one leaf and returns the exact row.
+    for probe in (0, 17, 100, 199):
+        info = t.prune_info([("id", "=", probe)])
+        assert info["n_scanned"] == 1 and info["n_skipped"] == 3, probe
+        assert {
+            r[0] for r in _check_pred_parity(t, [("id", "=", probe)])
+        } == {probe}
+    # Range predicates do NOT derive through a hash — but footer stats
+    # on the (retained) source column still prune what they can; results
+    # stay exact either way.
+    assert {
+        r[0] for r in _check_pred_parity(t, [("id", ">=", 198)])
+    } == {198, 199}
+
+
+def test_truncate_transforms_int_and_string(spark, root):
+    rows = [(-17,), (-3,), (0,), (7,), (23,), (41,)]
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(rows, "n bigint"),
+        partition_by=["truncate(10, n)"],
+    )
+    pv = {
+        list(t.manifest().stats[rel]["part_values"].values())[0]
+        for rel in t.manifest().files
+    }
+    # Floor-to-multiple, negatives included: -17 -> -20, -3 -> -10.
+    assert {"-20", "-10", "0", "20", "40"} <= pv
+    info = t.prune_info([("n", ">=", 20)])
+    assert info["n_skipped"] >= 3
+    assert {
+        r[0] for r in _check_pred_parity(t, [("n", ">=", 20)])
+    } == {23, 41}
+    assert {
+        r[0] for r in _check_pred_parity(t, [("n", "=", -17)])
+    } == {-17}
+
+    root2 = root + "_str"
+    t2 = VersionedTable.create(
+        spark,
+        root2,
+        spark.createDataFrame(
+            [("apple",), ("apricot",), ("banana",), ("cherry",)],
+            "s string",
+        ),
+        partition_by=["truncate(2, s)"],
+    )
+    info = t2.prune_info([("s", "=", "banana")])
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 2
+    assert {
+        r[0] for r in _check_pred_parity(t2, [("s", ">=", "b")])
+    } == {"banana", "cherry"}
+
+
+def test_mixed_identity_and_transform_spec(spark, root):
+    df = spark.createDataFrame(
+        [
+            (1, "x", dt.date(2023, 5, 1)),
+            (2, "y", dt.date(2023, 5, 2)),
+            (3, "x", dt.date(2024, 7, 3)),
+        ],
+        "id bigint, grp string, d date",
+    )
+    t = VersionedTable.create(
+        spark, root, df, partition_by=["grp", "year(d)"]
+    )
+    m = t.manifest()
+    assert len(m.files) == 3  # (x,2023) (y,2023) (x,2024)
+    # Identity col recovered from dirs; source d kept in files.
+    got = {(r.id, r.grp, r.d) for r in t.read().collect()}
+    assert got == {
+        (1, "x", dt.date(2023, 5, 1)),
+        (2, "y", dt.date(2023, 5, 2)),
+        (3, "x", dt.date(2024, 7, 3)),
+    }
+    # Both prune axes compose.
+    info = t.prune_info(
+        [("grp", "=", "x"), ("d", ">=", dt.date(2024, 1, 1))]
+    )
+    assert info["n_scanned"] == 1 and info["n_skipped"] == 2
+    assert {
+        r[0]
+        for r in _check_pred_parity(
+            t, [("grp", "=", "x"), ("d", ">=", dt.date(2024, 1, 1))]
+        )
+    } == {3}
+
+
+def test_transform_spec_evolution_and_dml(spark, root):
+    t = VersionedTable.create(spark, root, _dated(spark))
+    t.set_partition_spec(["month(d)"])
+    t.append(
+        spark.createDataFrame(
+            [(7, dt.date(2025, 9, 9), "g")], "id bigint, d date, val string"
+        )
+    )
+    # Mixed layout reads as one snapshot.
+    assert t.read().count() == 7
+    # DML keeps the layout and stays correct.
+    t.merge(
+        spark.createDataFrame(
+            [(7, dt.date(2025, 9, 9), "G")], "id bigint, d date, val string"
+        ),
+        ["id"],
+    )
+    t.delete_where(F.col("id") == 1)
+    got = {(r.id, r.val) for r in t.read().collect()}
+    assert (7, "G") in got and 1 not in {g[0] for g in got}
+    # compact() migrates everything to the transform layout.
+    t.compact()
+    m = t.manifest()
+    assert all(
+        "d_month" in m.stats[rel].get("part_values", {})
+        for rel in m.files
+    )
+    info = t.prune_info([("d", ">=", dt.date(2025, 1, 1))])
+    assert info["n_skipped"] >= 3
+
+
+def test_transform_through_datasource_writer_and_reader(spark, root):
+    """create-on-first-write with a transform spec through the
+    sessionless writer; pushed filters prune transform leaves through
+    the batch DataSource."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        VersionedTableReader,
+        register,
+    )
+
+    register(spark)
+    df = _dated(spark)
+    (
+        df.write.format("versioned")
+        .mode("append")
+        .option("table_root", root)
+        .option("partition_by", "year(d)")
+        .save()
+    )
+    t = VersionedTable(spark, root)
+    assert t.partition_by == ("year(d)",)
+    assert len(t.manifest().files) == 4  # 3 years + null sentinel
+    got = {(r.id, r.d) for r in t.read().collect()}
+    assert len(got) == 6
+    # Pushed filter on the source column prunes leaves in the reader.
+    import datetime as _dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    rd = VersionedTableReader({"table_root": root})
+    list(
+        rd.pushFilters(
+            [GreaterThanOrEqual(("d",), _dt.date(2025, 1, 1))]
+        )
+    )
+    assert len(rd.partitions()) == 1
+    ds = {
+        r.id
+        for r in spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+        .filter("d >= '2025-01-01'")
+        .collect()
+    }
+    assert ds == {5}
+
+
+def test_transform_validation_errors(spark, root):
+    df = _dated(spark)
+    with pytest.raises(ValueError, match="date/timestamp"):
+        VersionedTable.create(
+            spark, root + "a", df, partition_by=["year(id)"]
+        )
+    with pytest.raises(ValueError, match="positive parameter"):
+        VersionedTable.create(
+            spark, root + "b", df, partition_by=["bucket(0, id)"]
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        VersionedTable.create(
+            spark, root + "c", df, partition_by=["year(nope)"]
+        )
+    with pytest.raises(ValueError, match="collides"):
+        VersionedTable.create(
+            spark,
+            root + "d",
+            df.withColumn("d_year", F.lit(1)),
+            partition_by=["year(d)"],
+        )
+    with pytest.raises(ValueError, match="int/string"):
+        VersionedTable.create(
+            spark, root + "e", df, partition_by=["bucket(4, d)"]
+        )
+
+
+def test_transform_py_matches_spark_exprs(spark):
+    """Direct build-vs-probe agreement on a value battery (the read
+    parity tests cover it end-to-end; this pins the primitive)."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _transform_expr,
+    )
+
+    vals = [
+        dt.date(2023, 1, 31),
+        dt.date(2024, 12, 1),
+        dt.date(1999, 6, 9),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "d date")
+    for fn in ("year", "month", "day"):
+        spark_vals = [
+            r.t
+            for r in df.select(
+                _transform_expr(fn, None, "d", "date").alias("t")
+            ).collect()
+        ]
+        py_vals = [_transform_py(fn, None, v, "date") for v in vals]
+        assert spark_vals == py_vals, fn
+    ints = [-17, -3, 0, 7, 12345]
+    dfi = spark.createDataFrame([(v,) for v in ints], "n bigint")
+    for fn, param in (("bucket", 7), ("truncate", 10)):
+        spark_vals = [
+            r.t
+            for r in dfi.select(
+                _transform_expr(fn, param, "n", "bigint").alias("t")
+            ).collect()
+        ]
+        py_vals = [_transform_py(fn, param, v, "bigint") for v in ints]
+        assert spark_vals == py_vals, fn
+    strs = ["apple", "z", "né", ""]
+    dfs = spark.createDataFrame([(v,) for v in strs], "s string")
+    for fn, param in (("bucket", 5), ("truncate", 2)):
+        spark_vals = [
+            r.t
+            for r in dfs.select(
+                _transform_expr(fn, param, "s", "string").alias("t")
+            ).collect()
+        ]
+        py_vals = [_transform_py(fn, param, v, "string") for v in strs]
+        assert spark_vals == py_vals, fn
