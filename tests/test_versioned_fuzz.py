@@ -50,9 +50,16 @@ def _apply_feed(base: Counter, feed_rows) -> Counter:
     return out
 
 
+@pytest.mark.parametrize(
+    "spec",
+    [None, ["bucket(3, id)"]],
+    ids=["flat", "hidden-bucket"],
+)
 @pytest.mark.parametrize("protocol", PROTOCOLS, ids=lambda p: p.__name__)
 @pytest.mark.parametrize("seed", [7, 23, 101])
-def test_random_commit_sequence_matches_model(spark, tmp_path, seed, protocol):
+def test_random_commit_sequence_matches_model(
+    spark, tmp_path, seed, protocol, spec
+):
     rng = random.Random(seed)
     next_id = 100
 
@@ -68,6 +75,7 @@ def test_random_commit_sequence_matches_model(spark, tmp_path, seed, protocol):
         str(tmp_path / "vt"),
         _df(spark, initial),
         commit_protocol=protocol(),
+        partition_by=spec,
     )
     history = [None, Counter(initial)]  # model per version (1-indexed)
 
