@@ -1210,3 +1210,73 @@ def q137_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hidden_pruned_ok", F.lit(bool(pruned_ok)))
     )
+
+
+@register(
+    "q138_shallow_clone",
+    tags=("lake", "clone", "zero-copy", "isolation"),
+    oracle="""
+WITH mx AS (
+  SELECT max(CAST(date_part('year', l_shipdate) AS BIGINT)) AS my
+  FROM lineitem
+),
+clone_side AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+  FROM lineitem
+  WHERE CAST(date_part('year', l_shipdate) AS BIGINT) <> (SELECT my FROM mx)
+),
+source_side AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM clone_side)  AS clone_rows,
+  (SELECT CAST(sum(p) AS DOUBLE)  FROM clone_side)   AS clone_price,
+  (SELECT CAST(count(*) AS BIGINT) FROM source_side) AS source_rows,
+  TRUE AS zero_copy_ok
+""",
+)
+def q138_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE under the oracle (`sinks/versioned.py clone`):
+    lineitem committed once, cloned (hard links — `zero_copy_ok`
+    asserts the clone's data files share INODES with the source, i.e.
+    the bytes exist exactly once), then the clone deletes its newest
+    ship-year while the source stays untouched. The oracle recomputes
+    both sides from raw lineitem: the clone's post-delete aggregate AND
+    the source's full row count — divergence without interference, at
+    metadata cost. At 100 TB this is how experiment branches, dev
+    copies, and reproducible-snapshot handoffs avoid petabyte copies."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_cl_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+    )
+    t = VersionedTable.create(spark, base, li)
+    c = t.clone(base + "_clone")
+    import glob as _glob
+
+    src_inodes = {
+        os.stat(f).st_ino
+        for f in _glob.glob(os.path.join(base, "data", "*", "*.parquet"))
+    }
+    cl_inodes = {
+        os.stat(f).st_ino
+        for f in _glob.glob(
+            os.path.join(base + "_clone", "data", "*", "*.parquet")
+        )
+    }
+    zero_copy = bool(src_inodes) and src_inodes == cl_inodes
+    my = li.agg(F.max(F.year("l_shipdate"))).collect()[0][0]
+    c.delete_where(F.year(F.col("l_shipdate")) == int(my))
+    clone_agg = c.read().agg(
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum("p").cast("double").alias("clone_price"),
+    )
+    source_rows = t.read().count()
+    return (
+        clone_agg.withColumn("source_rows", F.lit(int(source_rows)))
+        .withColumn("zero_copy_ok", F.lit(zero_copy))
+        .select("clone_rows", "clone_price", "source_rows", "zero_copy_ok")
+    )
