@@ -1946,6 +1946,20 @@ class VersionedTable:
             # Stats are keyed by physical names (column mapping).
             fwd = _log_to_phys(pm.column_mapping)
             preds = [(fwd.get(c, c), op, v) for c, op, v in preds]
+            # Hidden partitioning: key bounds derive transform-leaf
+            # predicates too, so a merge keyed on a transform's source
+            # column scopes to the matching transform leaves (monotone
+            # transforms carry the range; bucket derives nothing from
+            # ranges — stats scoping still applies).
+            preds = (
+                _derive_transform_preds(
+                    preds,
+                    pm.partition_by,
+                    fwd,
+                    self._schema_types(pm),
+                )
+                or []
+            )
             if preds:
                 part_types = self._part_types(pm)
                 scoped_rels = [

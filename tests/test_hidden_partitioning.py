@@ -361,3 +361,33 @@ def test_transform_py_matches_spark_exprs(spark):
         ]
         py_vals = [_transform_py(fn, param, v, "string") for v in strs]
         assert spark_vals == py_vals, fn
+
+
+def test_transform_aware_scoped_merge(spark, root):
+    """A merge keyed on a transform's SOURCE column scopes its rewrite
+    to the matching transform leaves: other-month leaves carry forward
+    physically untouched."""
+    rows = [
+        (1, dt.date(2024, 1, 5), "a"),
+        (2, dt.date(2024, 2, 10), "b"),
+        (3, dt.date(2024, 3, 15), "c"),
+        (4, dt.date(2024, 3, 20), "d"),
+    ]
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(rows, "id bigint, d date, val string"),
+        partition_by=["month(d)"],
+    )
+    v = t.merge(
+        spark.createDataFrame(
+            [(3, dt.date(2024, 3, 15), "C")],
+            "id bigint, d date, val string",
+        ),
+        ["d", "id"],
+    )
+    summary = t.manifest(v).summary
+    # Jan + Feb leaves refuted purely by the derived month predicate.
+    assert summary.get("n_dirs_untouched", 0) >= 2
+    got = {(r.id, r.val) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "C"), (4, "d")}
