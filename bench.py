@@ -63,12 +63,35 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Host-load control: a FIXED JVM-side micro-benchmark (constant
+    # generated aggregate, no IO, no Python) timed in the same run. Its
+    # wall-clock scales with host contention exactly like the headline
+    # queries do, so `value_normalized` = total / (control / control_ref)
+    # makes round-over-round totals comparable across noisy hosts
+    # (round 5's 9.33 s -> 12.9 s drift needed a manual worktree
+    # re-bench to explain; this bakes the control in). control_ref is
+    # the control's cost on the round-6 reference host.
+    control_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 3 + 1)", "avg(id % 97)", "count(if(id % 7 = 0, 1, null))"
+        ).collect()
+        control_best = min(control_best, time.perf_counter() - t0)
+    # Seconds on the round-6 reference host, measured INSIDE a full
+    # bench run (fully JIT-warmed session — an under-warmed calibration
+    # reads ~2x higher).
+    _CONTROL_REF = 0.17
+    load_factor = round(control_best / _CONTROL_REF, 3)
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host_control_sec": round(control_best, 3),
+        "host_load_factor": load_factor,
+        "value_normalized": round(total / max(load_factor, 0.01), 3),
     }
     try:
         result["lake"] = lake_slice(spark, sf_dir)
@@ -190,6 +213,17 @@ def lake_slice(spark, sf_dir: str) -> dict:
         )
 
         register_versioned(spark)
+        # Warm the Python-DataSource worker pool first (one tiny write):
+        # the first .save() pays ~4 s of interpreter spin-up that has
+        # nothing to do with the writer; every other slice here is
+        # likewise measured against a warm session.
+        (
+            li.limit(10)
+            .write.format("versioned")
+            .mode("append")
+            .option("table_root", os.path.join(tmp, "vt_writer_warm"))
+            .save()
+        )
         wroot = os.path.join(tmp, "vt_writer")
         t0 = time.perf_counter()
         (

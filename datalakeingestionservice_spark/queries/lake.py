@@ -1280,3 +1280,76 @@ def q138_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_copy_ok", F.lit(zero_copy))
         .select("clone_rows", "clone_price", "source_rows", "zero_copy_ok")
     )
+
+
+@register(
+    "q139_mor_predicate_subset",
+    tags=("lake", "datasource", "merge-on-read", "predicates"),
+    oracle="""
+WITH cutoff AS (
+  SELECT max(l_orderkey) // 2 AS c FROM lineitem
+),
+kept AS (
+  SELECT l_orderkey,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+         l_returnflag
+  FROM lineitem
+  WHERE NOT (l_returnflag LIKE 'N%')
+    AND NOT (l_orderkey * 3 >= 3 * (SELECT c FROM cutoff))
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS sum_price,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_modes,
+       TRUE AS mor_served_ok
+FROM kept
+""",
+)
+def q139_mor_predicate_subset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WIDENED deferred-delete predicate subset served through the
+    batch DataSource (`sources/sql_predicates.py` round 6: LIKE and
+    column-side arithmetic — both REFUSED by the round-5 compiler):
+    lineitem committed once, then two metadata-only deletes — `l_returnflag
+    LIKE 'N%'` and `l_orderkey * 3 >= 3*cutoff` (cutoff = max key / 2)
+    — and `spark.read.format("versioned")` must serve the MoR table by
+    compiling both predicates to the serializable AST and evaluating
+    them executor-side with pyarrow (`pc.match_like`, checked int64
+    arithmetic) under the same 3VL as Spark's `filter(~expr)`. Both
+    deletes are asserted zero-rewrite in-plan; the oracle recomputes the
+    kept set from raw lineitem with the equivalent WHERE. At 100 TB:
+    the wider the compilable subset, the more real delete predicates
+    stay metadata-only without forcing a compaction before the table is
+    SQL-queryable."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_morps_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        "l_returnflag",
+    )
+    t = VersionedTable.create(spark, base, li)
+    files_before = t.manifest().files
+    t.delete_where_deferred("l_returnflag LIKE 'N%'")
+    cutoff = (
+        li.agg(F.max("l_orderkey")).collect()[0][0] // 2
+    )
+    v = t.delete_where_deferred(f"l_orderkey * 3 >= {3 * int(cutoff)}")
+    zero_rewrite = t.manifest(v).files == files_before
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", base)
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("p").cast("double").alias("sum_price"),
+        F.countDistinct("l_returnflag").alias("n_modes"),
+    ).withColumn("mor_served_ok", F.lit(bool(zero_rewrite)))

@@ -129,15 +129,38 @@ def q136_stream_writer_exactly_once(
     w = VersionedTableStreamWriter(
         {"table_root": root, "stream_name": "q136"}, schema
     )
+    import pyarrow as pa
+
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        _arrow_type_for,
+    )
+
+    aschema = pa.schema(
+        [
+            pa.field(f.name, _arrow_type_for(f.dataType), f.nullable)
+            for f in schema.fields
+        ]
+    )
     per_epoch = 10_000
     for epoch in range(5):
         rows = [
             gen_row(i)
             for i in range(epoch * per_epoch, (epoch + 1) * per_epoch)
         ]
-        w.commit([w.write(iter(rows))], epoch)
+        # The writer is Arrow-native (DataSourceStreamArrowWriter):
+        # tasks receive RecordBatches, exactly as Spark ships them.
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    [r[i] for r in rows], type=aschema.field(i).type
+                )
+                for i in range(len(aschema))
+            ],
+            schema=aschema,
+        )
+        w.commit([w.write(iter([batch]))], epoch)
         if epoch == 2:  # crash replay: same epoch, fresh staged file
-            w.commit([w.write(iter(rows))], epoch)
+            w.commit([w.write(iter([batch]))], epoch)
     exactly_once = VersionedTable(spark, root).latest_version() == 5
     df = (
         spark.read.format("versioned").option("table_root", root).load()

@@ -484,16 +484,46 @@ def _transform_py(fn: str, param: int | None, v, type_simple: str):
     return None
 
 
+def _union_transform_entries(
+    partition_by: tuple[str, ...], past_specs: tuple = ()
+) -> list[tuple]:
+    """(fn, param, col) transform entries of the CURRENT spec unioned
+    with every HISTORICAL spec (partition evolution keeps old-spec
+    leaves readable and prunable forever). An alias whose (fn, col)
+    appears with MULTIPLE params across history (`bucket(4,id)` evolved
+    to `bucket(8,id)` — same `id_bucket` dir name, different hash) is
+    AMBIGUOUS: a derived predicate could wrongly refute the other
+    generation's leaves, so such aliases are excluded from derivation
+    entirely (pruning weakens, correctness never)."""
+    params: dict[tuple[str, str], set] = {}
+    for spec in (tuple(partition_by), *tuple(past_specs)):
+        for entry in spec:
+            fn, param, col = _parse_spec_entry(entry)
+            if fn == "identity":
+                continue
+            params.setdefault((fn, col), set()).add(param)
+    return [
+        (fn, ps.pop(), col)
+        for (fn, col), ps in params.items()
+        if len(ps) == 1
+    ]
+
+
 def _spec_alias_types(
-    partition_by: tuple[str, ...], fwd: dict, schema_types: dict[str, str]
+    partition_by: tuple[str, ...],
+    fwd: dict,
+    schema_types: dict[str, str],
+    past_specs: tuple = (),
 ) -> dict[str, str]:
     """{physical alias dir name: simpleString} for the spec's transform
-    entries — what `_typed_part_value` needs to type dir values."""
+    entries — what `_typed_part_value` needs to type dir values. Unions
+    historical specs: the alias embeds (fn, col), and fn+source type
+    determine the dir-value type, so types never conflict across
+    evolutions."""
     out: dict[str, str] = {}
-    for entry in partition_by:
-        fn, param, col = _parse_spec_entry(entry)
-        if fn == "identity":
-            continue
+    for fn, _param, col in _union_transform_entries(
+        partition_by, past_specs
+    ):
         pcol = fwd.get(col, col)
         alias = _transform_alias(fn, pcol)
         if fn in ("year", "bucket"):
@@ -515,20 +545,23 @@ def _derive_transform_preds(
     partition_by: tuple[str, ...],
     fwd: dict,
     schema_types: dict[str, str],
+    past_specs: tuple = (),
 ) -> list[tuple] | None:
     """Augment PHYSICAL predicates with conservative dir-name predicates
     on transform aliases: equality derives for every transform, range
     ops derive for the monotone ones (year/month/day/truncate), bucket
     derives equality only. Derived predicates refute leaves by dir name
     exactly like identity partitioning — the 'hidden' in hidden
-    partitioning."""
+    partitioning. Historical specs derive too (leaves written before a
+    `set_partition_spec` keep dir-name pruning); a derived predicate
+    only ever fires against an entry whose part_values carry that alias,
+    and param-ambiguous aliases are excluded up front."""
     if not preds:
         return preds
     extra: list[tuple] = []
-    for entry in partition_by:
-        fn, param, col = _parse_spec_entry(entry)
-        if fn == "identity":
-            continue
+    for fn, param, col in _union_transform_entries(
+        partition_by, past_specs
+    ):
         pcol = fwd.get(col, col)
         alias = _transform_alias(fn, pcol)
         for c, op, v in preds:
@@ -828,6 +861,11 @@ class Manifest:
     #: and drops are metadata-only; files keep their physical names
     #: forever, reads translate.
     column_mapping: dict = field(default_factory=dict)
+    #: Partition specs that PREVIOUSLY governed writes (partition
+    #: evolution history, oldest first, current spec excluded): old-spec
+    #: leaves keep transform-alias dir-name pruning forever because
+    #: predicate derivation unions these with the current spec.
+    past_specs: tuple = ()
 
     def to_json(self) -> str:
         return json.dumps(
@@ -844,6 +882,7 @@ class Manifest:
                 "bloom_columns": list(self.bloom_columns),
                 "delete_predicates": list(self.delete_predicates),
                 "column_mapping": self.column_mapping,
+                "past_specs": [list(sp) for sp in self.past_specs],
             },
             indent=2,
             sort_keys=True,
@@ -865,6 +904,9 @@ class Manifest:
             bloom_columns=tuple(d.get("bloom_columns", ())),
             delete_predicates=tuple(d.get("delete_predicates", ())),
             column_mapping=d.get("column_mapping", {}),
+            past_specs=tuple(
+                tuple(sp) for sp in d.get("past_specs", ())
+            ),
         )
 
     def physical_name(self, logical: str) -> str:
@@ -1234,6 +1276,12 @@ class VersionedTable:
             },
             stats=dict(pm.stats),
             partition_by=pb,
+            past_specs=(
+                pm.past_specs + (pm.partition_by,)
+                if pm.partition_by
+                and pm.partition_by not in pm.past_specs
+                else pm.past_specs
+            ),
         )
 
     @property
@@ -1373,7 +1421,8 @@ class VersionedTable:
             else None
         )
         phys_preds = _derive_transform_preds(
-            phys_preds, m.partition_by, fwd, self._schema_types(m)
+            phys_preds, m.partition_by, fwd, self._schema_types(m),
+            m.past_specs,
         )
         sel: list[tuple[str, list[str] | None]] = []
         for rel in m.files:
@@ -1434,7 +1483,9 @@ class VersionedTable:
         # Transform aliases (hidden partitioning) type their dir values
         # too: ts_year ints, ts_month/day ordered strings, etc.
         out.update(
-            _spec_alias_types(m.partition_by, fwd, schema_types)
+            _spec_alias_types(
+                m.partition_by, fwd, schema_types, m.past_specs
+            )
         )
         return out
 
@@ -1601,7 +1652,8 @@ class VersionedTable:
         fwd = _log_to_phys(m.column_mapping)
         predicates = [(fwd.get(c, c), op, v) for c, op, v in predicates]
         predicates = _derive_transform_preds(
-            predicates, m.partition_by, fwd, self._schema_types(m)
+            predicates, m.partition_by, fwd, self._schema_types(m),
+            m.past_specs,
         )
         kept, skipped = [], []
         n_files_scanned = n_files_skipped = 0
@@ -1957,6 +2009,7 @@ class VersionedTable:
                     pm.partition_by,
                     fwd,
                     self._schema_types(pm),
+                    pm.past_specs,
                 )
                 or []
             )
@@ -3020,6 +3073,7 @@ class VersionedTable:
         bloom_columns: tuple[str, ...] | None = None,
         delete_predicates: tuple | None = None,
         column_mapping: dict | None = None,
+        past_specs: tuple | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -3045,9 +3099,12 @@ class VersionedTable:
                 bloom_columns = pm.bloom_columns if pm else ()
             if delete_predicates is None:
                 delete_predicates = pm.delete_predicates if pm else ()
-        if column_mapping is None:
+        if column_mapping is None or past_specs is None:
             pm2 = self.manifest(expected_parent) if expected_parent else None
-            column_mapping = dict(pm2.column_mapping) if pm2 else {}
+            if column_mapping is None:
+                column_mapping = dict(pm2.column_mapping) if pm2 else {}
+            if past_specs is None:
+                past_specs = pm2.past_specs if pm2 else ()
         # Retire predicates that no longer touch any surviving entry
         # (every entry they scoped was rewritten — the rewrite read
         # through the filter, materializing the deletion).
@@ -3074,6 +3131,7 @@ class VersionedTable:
             bloom_columns=bloom_columns,
             delete_predicates=delete_predicates,
             column_mapping=column_mapping,
+            past_specs=past_specs,
         )
         final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
         self._protocol.publish(final, m.to_json())

@@ -74,6 +74,13 @@ class _RangePartition(InputPartition):
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_rows = int(options.get("n_rows", 1000))
+        # Above this id the vectorized reader's uint64 mix product would
+        # wrap and diverge from gen_row's unbounded Python-int math.
+        if self.n_rows > (1 << 64) // _MIX:
+            raise ValueError(
+                f"n_rows must be <= {(1 << 64) // _MIX} to keep the "
+                "vectorized feed bit-identical to gen_row"
+            )
         self.n_partitions = int(options.get("n_partitions", 4))
         # Range bounds tightened by pushed filters on event_id.
         self.lo = 0
@@ -111,15 +118,17 @@ class SyntheticEventsReader(DataSourceReader):
         # Vectorized: the feed is a pure function of event_id, so the
         # whole partition computes as numpy array math and yields ONE
         # Arrow batch — Spark ingests it Arrow-to-Arrow, no per-row
-        # Python. Values are bit-identical to gen_row (int64 math never
-        # overflows for the id ranges this source allows; the division
-        # is the same float64 op).
+        # Python. The mix product runs in uint64 so it stays exact (and
+        # bit-identical to gen_row's unbounded Python ints) for every id
+        # below 2**64 // _MIX — a ceiling __init__ enforces; the
+        # division is the same float64 op.
         import numpy as np
         import pyarrow as pa
 
         i = np.arange(partition.start, partition.end, dtype=np.int64)
         if len(i) == 0:
             return
+        mix = (i.astype(np.uint64) * np.uint64(_MIX)) % np.uint64(100000)
         yield pa.record_batch(
             {
                 "event_id": pa.array(i, pa.int64()),
@@ -128,7 +137,7 @@ class SyntheticEventsReader(DataSourceReader):
                     np.array(EVENT_TYPES)[i % 5], pa.string()
                 ),
                 "amount": pa.array(
-                    ((i * _MIX) % 100000) / 100.0, pa.float64()
+                    mix.astype(np.int64) / 100.0, pa.float64()
                 ),
                 "ts_epoch": pa.array(1704067200 + i, pa.int64()),
             }

@@ -6,12 +6,17 @@ manifest. Spark-session readers evaluate them with `F.expr`; the
 sessionless batch DataSource workers (`sources/versioned_batch.py`) cannot
 — so this module compiles the subset that covers real delete predicates
 (column-vs-literal comparisons, AND / OR / NOT, IS [NOT] NULL, [NOT] IN,
-[NOT] BETWEEN, parentheses) into a JSON-serializable AST on the driver and
-evaluates it executor-side with pyarrow.compute using SQL three-valued
-logic (Kleene AND/OR, null-propagating comparisons), matching Spark's
-`filter(~expr(pred))` semantics exactly: a row whose predicate evaluates
-to TRUE **or NULL** is deleted (the keep-mask NOT(pred) is NULL, and the
-arrow filter drops NULL-mask rows, exactly like Spark's filter).
+[NOT] BETWEEN, [NOT] LIKE, column-side arithmetic `col * 2 > 10`,
+struct-field access `s.x = 1`, parentheses) into a JSON-serializable AST
+on the driver and evaluates it executor-side with pyarrow.compute using
+SQL three-valued logic (Kleene AND/OR, null-propagating comparisons),
+matching Spark's `filter(~expr(pred))` semantics exactly: a row whose
+predicate evaluates to TRUE **or NULL** is deleted (the keep-mask
+NOT(pred) is NULL, and the arrow filter drops NULL-mask rows, exactly
+like Spark's filter). Arithmetic runs in int64/double: values agree with
+Spark wherever Spark's 32-bit ANSI math doesn't itself raise on
+overflow (where Spark would fail the whole job, this path returns the
+mathematically correct comparison instead).
 
 Predicates outside the subset fail `parse_predicate` driver-side, where
 the DataSource surfaces its documented refusal (read via
@@ -38,21 +43,22 @@ class UnsupportedPredicateError(ValueError):
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>'(?:[^']|'')*')
-      | (?P<bquote>`[^`]+`)
+      | (?P<bquote>`[^`]+`(?:\.`[^`]+`)*)
       | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<op><=|>=|<>|!=|==|=|<|>)
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<comma>,)
       | (?P<minus>-)
-      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<arith>[+*/])
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
     )""",
     re.VERBOSE,
 )
 
 _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN",
-    "TRUE", "FALSE", "DATE", "TIMESTAMP",
+    "TRUE", "FALSE", "DATE", "TIMESTAMP", "LIKE",
 }
 
 
@@ -78,7 +84,7 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
             else:
                 out.append(("ident", text))
         elif kind == "bquote":
-            out.append(("ident", text[1:-1]))
+            out.append(("ident", text.replace("`", "")))
         elif kind == "string":
             out.append(("str", text[1:-1].replace("''", "'")))
         else:
@@ -90,14 +96,18 @@ class _Parser:
     """Recursive descent over the token stream. AST nodes are plain
     lists (picklable, JSON-able):
 
-      ["cmp", op, col, lit]      op in = != < <= > >=
+      ["cmp", op, colx, lit]     op in = != < <= > >=
       ["and"|"or", left, right]  ["not", x]
-      ["isnull", col]  ["notnull", col]
-      ["in", col, [lit, ...]]
+      ["isnull", colx]  ["notnull", colx]
+      ["in", colx, [lit, ...]]
+      ["like", colx, pattern]    SQL LIKE (%, _, backslash escape)
 
-    where lit is ["s", str] | ["n", text] | ["d", iso] | ["t", iso] |
-    ["b", bool]. Number literals keep their TEXT so decimal comparisons
-    stay exact."""
+    where colx (a column EXPRESSION) is either a column name — possibly
+    dotted for struct-field access (`s.x`) — or one level(s) of
+    column-side arithmetic ["arith", aop, colx, lit] with aop in
+    + - * / (e.g. `price * 2 > 10`), and lit is ["s", str] |
+    ["n", text] | ["d", iso] | ["t", iso] | ["b", bool]. Number
+    literals keep their TEXT so decimal comparisons stay exact."""
 
     _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
 
@@ -174,10 +184,30 @@ class _Parser:
         raise UnsupportedPredicateError(f"expected literal, got {v!r}")
 
     def _operand(self) -> tuple[str, object]:
-        """Returns ("col", name) or ("lit", lit)."""
-        if self.peek() == "ident":
-            return ("col", self.next()[1])
-        return ("lit", self._literal())
+        """Returns ("col", colx) or ("lit", lit); a column may chain
+        LEFT-side arithmetic with numeric literals (`price * 2`,
+        `a + 1 - 3`) — evaluated left-to-right, no precedence (refuse
+        mixed +/* chains rather than mis-parse them)."""
+        if self.peek() != "ident":
+            return ("lit", self._literal())
+        colx: object = self.next()[1]
+        seen_ops = set()
+        while self.peek() in ("arith", "minus"):
+            kind, text = self.next()
+            aop = "-" if kind == "minus" else text
+            seen_ops.add("*/" if aop in "*/" else "+-")
+            if len(seen_ops) > 1:
+                raise UnsupportedPredicateError(
+                    "mixed +/- and */ arithmetic needs parentheses; "
+                    "outside this subset"
+                )
+            lit = self._literal()
+            if lit[0] != "n":
+                raise UnsupportedPredicateError(
+                    "column arithmetic takes numeric literals only"
+                )
+            colx = ["arith", aop, colx, lit]
+        return ("col", colx)
 
     def predicate(self) -> list:
         lk, lv = self._operand()
@@ -201,6 +231,15 @@ class _Parser:
             self.next()
             negate = True
             k = self.peek()
+        if k == "LIKE":
+            self.next()
+            pat = self._literal()
+            if lk != "col" or pat[0] != "s":
+                raise UnsupportedPredicateError(
+                    "LIKE needs a column left side and a string pattern"
+                )
+            node = ["like", lv, pat[1]]
+            return ["not", node] if negate else node
         if k == "IN":
             self.next()
             if lk != "col":
@@ -256,6 +295,37 @@ def parse_predicate(sql: str) -> list:
 _NUMERIC = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
 }
+_INTISH = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a struct body on commas OUTSIDE <> / () nesting."""
+    out, depth, tok = [], 0, []
+    for ch in s:
+        depth += ch in "<("
+        depth -= ch in ">)"
+        if ch == "," and depth == 0:
+            out.append("".join(tok))
+            tok = []
+        else:
+            tok.append(ch)
+    if tok:
+        out.append("".join(tok))
+    return out
+
+
+def _struct_field_type(struct_simple: str, field: str) -> str | None:
+    """Field type inside a `struct<a:int,b:...>` simpleString, None when
+    absent (sessionless text parsing, nesting-aware)."""
+    if not (
+        struct_simple.startswith("struct<") and struct_simple.endswith(">")
+    ):
+        return None
+    for part in _split_top(struct_simple[len("struct<"):-1]):
+        name, _, t = part.partition(":")
+        if name == field:
+            return t
+    return None
 
 
 def check_supported(ast: list, types: dict[str, str]) -> None:
@@ -265,14 +335,68 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
     so the DataSource can surface its documented refusal BEFORE planning
     (never a wrong answer executor-side)."""
 
-    def col_type(c: str) -> str:
-        if c not in types:
-            raise UnsupportedPredicateError(f"unknown column {c!r}")
-        return types[c]
+    def base_type(c: str) -> str:
+        """Type of a (possibly dotted, struct-field) column name."""
+        if c in types:
+            return types[c]
+        if "." in c:
+            head, *rest = c.split(".")
+            t = types.get(head)
+            for f in rest:
+                if t is None:
+                    break
+                t = _struct_field_type(t, f)
+            if t is not None:
+                return t
+        raise UnsupportedPredicateError(f"unknown column {c!r}")
+
+    def col_type(cx) -> str:
+        """Type a colx expression; validates arithmetic along the way."""
+        if isinstance(cx, str):
+            return base_type(cx)
+        if cx[0] == "arith":
+            t = col_type(cx[2])
+            lit = cx[3]
+            if t not in _NUMERIC:
+                raise UnsupportedPredicateError(
+                    f"arithmetic needs a numeric column, got {t}"
+                    " (decimal arithmetic is outside this subset)"
+                )
+            ltext = lit[1]
+            if cx[1] == "/" and float(ltext) == 0.0:
+                raise UnsupportedPredicateError(
+                    "division by literal zero (Spark ANSI errors; refuse"
+                    " driver-side)"
+                )
+            frac = "." in ltext or "e" in ltext.lower()
+            if cx[1] == "/" or frac or t in ("float", "double"):
+                return "double"
+            return "bigint"
+        raise UnsupportedPredicateError(f"unknown column expr {cx!r}")
 
     def lit_ok(t: str, lit: list) -> bool:
         tag = lit[0]
-        if t in _NUMERIC or t.startswith("decimal"):
+        if t.startswith("decimal"):
+            # A literal whose scale exceeds the column's would pass here
+            # but raise ArrowInvalid (rescale data loss) executor-side in
+            # `_scalar_for` — refuse driver-side instead, keeping the
+            # module's "refusal driver-side, never executor-side"
+            # contract. Same for integer digits beyond the precision.
+            if tag != "n":
+                return False
+            mm = re.match(r"decimal\((\d+),(\d+)\)", t)
+            if mm:
+                prec, scale = int(mm.group(1)), int(mm.group(2))
+                d = Decimal(lit[1])
+                exp = d.as_tuple().exponent
+                if isinstance(exp, int):
+                    if max(0, -exp) > scale:
+                        return False
+                    # digits left of the point must fit precision-scale
+                    if d.adjusted() + 1 > prec - scale:
+                        return False
+            return True
+        if t in _NUMERIC:
             return tag == "n"
         if t in ("string",) or t.startswith(("varchar", "char")):
             return tag == "s"
@@ -312,6 +436,14 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
             walk(node[1])
         elif kind in ("isnull", "notnull"):
             col_type(node[1])
+        elif kind == "like":
+            t = col_type(node[1])
+            if not (
+                t == "string" or t.startswith(("varchar", "char"))
+            ):
+                raise UnsupportedPredicateError(
+                    f"LIKE needs a string column, got {t}"
+                )
         elif kind == "cmp":
             t = col_type(node[2])
             if not lit_ok(t, node[3]):
@@ -338,6 +470,34 @@ def compile_predicate(sql: str, types: dict[str, str]) -> list:
     ast = parse_predicate(sql)
     check_supported(ast, types)
     return ast
+
+
+def columns_of(ast: list) -> set[str]:
+    """Every column name a compiled AST references — the writer uses
+    this to NULL-pad table columns absent from a merge_schema append so
+    CHECK constraints evaluate under SQL NULL semantics instead of
+    KeyError-ing executor-side."""
+    cols: set[str] = set()
+
+    def topcol(cx) -> str:
+        while not isinstance(cx, str):
+            cx = cx[2]  # arith wraps its base colx
+        return cx.split(".", 1)[0]  # struct access -> its base column
+
+    def walk(node: list) -> None:
+        kind = node[0]
+        if kind in ("and", "or"):
+            walk(node[1])
+            walk(node[2])
+        elif kind == "not":
+            walk(node[1])
+        elif kind in ("isnull", "notnull", "like", "in"):
+            cols.add(topcol(node[1]))
+        elif kind == "cmp":
+            cols.add(topcol(node[2]))
+
+    walk(ast)
+    return cols
 
 
 def _scalar_for(lit: list, arrow_type):
@@ -386,6 +546,45 @@ def evaluate(ast: list, table) -> object:
         ">": pc.greater, ">=": pc.greater_equal,
     }
 
+    def colarr(cx):
+        """Resolve a colx expression to an arrow array: plain column,
+        dotted struct-field chain, or column-side arithmetic. Arithmetic
+        runs in int64 (checked kernels) or float64, matching the values
+        Spark produces whenever Spark itself doesn't raise on 32-bit
+        ANSI overflow."""
+        if isinstance(cx, str):
+            if cx in table.column_names:
+                return table.column(cx)
+            head, *rest = cx.split(".")
+            arr = table.column(head)
+            for f in rest:
+                if pa.types.is_null(arr.type):
+                    return arr  # null struct column: stays all-null
+                arr = pc.struct_field(arr, f)
+            return arr
+        base = colarr(cx[2])
+        if pa.types.is_null(base.type):
+            return base
+        aop, ltext = cx[1], cx[3][1]
+        if aop == "/":
+            # Spark's / is always double division.
+            return pc.divide(
+                pc.cast(base, pa.float64()), pa.scalar(float(ltext))
+            )
+        frac = "." in ltext or "e" in ltext.lower()
+        if frac or pa.types.is_floating(base.type):
+            base = pc.cast(base, pa.float64())
+            s = pa.scalar(float(ltext), pa.float64())
+        else:
+            base = pc.cast(base, pa.int64())
+            s = pa.scalar(int(ltext), pa.int64())
+        fn = {
+            "+": pc.add_checked,
+            "-": pc.subtract_checked,
+            "*": pc.multiply_checked,
+        }[aop]
+        return fn(base, s)
+
     def ev(node: list):
         kind = node[0]
         if kind == "and":
@@ -395,16 +594,21 @@ def evaluate(ast: list, table) -> object:
         if kind == "not":
             return pc.invert(ev(node[1]))
         if kind == "isnull":
-            return pc.is_null(table.column(node[1]))
+            return pc.is_null(colarr(node[1]))
         if kind == "notnull":
-            return pc.is_valid(table.column(node[1]))
+            return pc.is_valid(colarr(node[1]))
+        if kind == "like":
+            col = colarr(node[1])
+            if pa.types.is_null(col.type):
+                return nulls_bool()
+            return pc.match_like(col, node[2])
         if kind == "cmp":
-            col = table.column(node[2])
+            col = colarr(node[2])
             if pa.types.is_null(col.type):
                 return nulls_bool()
             return _CMP[node[1]](col, _scalar_for(node[3], col.type))
         if kind == "in":
-            col = table.column(node[1])
+            col = colarr(node[1])
             if pa.types.is_null(col.type):
                 return nulls_bool()
             out = None

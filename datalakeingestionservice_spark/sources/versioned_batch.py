@@ -45,9 +45,9 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -261,7 +261,8 @@ class VersionedTableReader(DataSourceReader):
         # pushed source-column predicates derive alias predicates.
         part_types.update(
             _spec_alias_types(
-                self.m.partition_by, self._fwd, self._types
+                self.m.partition_by, self._fwd, self._types,
+                self.m.past_specs,
             )
         )
         preds = [
@@ -269,7 +270,8 @@ class VersionedTableReader(DataSourceReader):
         ]
         preds = (
             _derive_transform_preds(
-                preds, self.m.partition_by, self._fwd, self._types
+                preds, self.m.partition_by, self._fwd, self._types,
+                self.m.past_specs,
             )
             or []
         )
@@ -554,8 +556,10 @@ class _StagedWrite(WriterCommitMessage):
         #: by this task.
         self.blooms = blooms
         #: Staged file paths relative to `staging` (leaf prefix
-        #: included) — the STREAM writer's commit moves exactly these;
-        #: the batch commit moves the whole staging dir.
+        #: included) — BOTH commits move exactly these, so completed
+        #: files from a failed-then-retried or speculatively-executed
+        #: task attempt (same shared staging dir, different task uuid)
+        #: can never be published alongside the winning attempt's.
         self.files = files
         #: Absolute staging dir the TASK wrote into. The streaming
         #: commit runner deserializes a SEPARATE writer instance (its
@@ -564,10 +568,11 @@ class _StagedWrite(WriterCommitMessage):
         self.staging = staging
 
 
-class VersionedTableWriter(DataSourceWriter):
+class VersionedTableWriter(DataSourceArrowWriter):
     """`df.write.format("versioned").mode("append"|"overwrite")` —
-    executor tasks stage parquet (pyarrow, one file per task, 64k-row
-    groups) under `<root>/_staging/<uuid>` and `commit()` publishes
+    executor tasks receive Arrow RecordBatches (`DataSourceArrowWriter`:
+    Spark ships columnar batches, zero Python row handling), stage
+    parquet under `<root>/_staging/<uuid>` and `commit()` publishes
     through the table's own commit protocol. EVERY phase of the Python
     DataSource write API runs in sessionless Python workers (Spark
     executes even the driver-side commit in a separate interpreter, no
@@ -599,8 +604,6 @@ class VersionedTableWriter(DataSourceWriter):
     (leaf splitting / physical names happen in the tasks). An
     orphaned staging dir from a hard crash is invisible to readers and
     reclaimed by `vacuum()`."""
-
-    _BATCH = 1 << 16
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         import uuid as _uuid
@@ -671,6 +674,7 @@ class VersionedTableWriter(DataSourceWriter):
                         f"{_BLOOM_TYPES}, got {types.get(c)}"
                     )
             self.constraints: dict[str, list] = {}
+            self.constraint_pad: list[str] = []
             self.mapping: dict = {}
         else:
             self.partition_by = list(m.partition_by)
@@ -706,6 +710,18 @@ class VersionedTableWriter(DataSourceWriter):
                         f"the writer's compilable subset ({e}); write "
                         "via the VersionedTable API"
                     ) from e
+            # Table columns a constraint references that the incoming
+            # frame doesn't carry (merge_schema append): executors pad
+            # them with null columns so the CHECK evaluates under SQL
+            # NULL semantics (NULL passes) instead of KeyError-ing.
+            from datalakeingestionservice_spark.sources.sql_predicates import (  # noqa: E501
+                columns_of,
+            )
+
+            refd: set[str] = set()
+            for ast in self.constraints.values():
+                refd |= columns_of(ast)
+            self.constraint_pad = sorted(refd - set(types))
         self.constraint_exprs = dict(m.constraints) if m else {}
         self.phys_map = _log_to_phys(self.mapping)
         #: Physical bloom keys — what the manifest stats and the probe
@@ -741,6 +757,14 @@ class VersionedTableWriter(DataSourceWriter):
         ]
 
     def write(self, iterator) -> _StagedWrite:
+        """Arrow-native task body: each incoming `pyarrow.RecordBatch`
+        is cast to the table's file schema, CHECK-validated, split into
+        hive leaves by DICTIONARY-ENCODING the computed leaf path (the
+        per-row work is all pyarrow kernels; Python runs only once per
+        DISTINCT partition value to format dir segments / hash
+        transform buckets), and appended to rolling parquet writers.
+        Bloom bitmaps hash each distinct value once, at task end."""
+        import datetime as _dt
         import json
         import uuid as _uuid
 
@@ -753,6 +777,8 @@ class VersionedTableWriter(DataSourceWriter):
         from datalakeingestionservice_spark.sinks.versioned import (
             _bloom_from_positions,
             _bloom_positions_py,
+            _transform_alias,
+            _transform_py,
         )
         from datalakeingestionservice_spark.sources.sql_predicates import (
             evaluate,
@@ -766,12 +792,7 @@ class VersionedTableWriter(DataSourceWriter):
                 for f in schema.fields
             ]
         )
-        from datalakeingestionservice_spark.sinks.versioned import (
-            _transform_alias,
-            _transform_py,
-        )
-
-        # Spec entries -> (dir col name, source row index, transform fn,
+        # Spec entries -> (dir col name, source col index, transform fn,
         # param, source type). Identity drops its column from the files;
         # transforms (hidden partitioning) keep it.
         seg_plan = []
@@ -808,51 +829,68 @@ class VersionedTableWriter(DataSourceWriter):
             for c in self.bloom_columns
             if c in names
         ]
-        positions: dict[tuple[str, str], set] = {}
+        #: {(leaf, phys col): set of distinct non-null values seen} —
+        #: hashed to bit positions ONCE per value at task end.
+        values: dict[tuple[str, str], set] = {}
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else 0
         uid = _uuid.uuid4().hex
         #: {leaf: [open writer | None, rows in current file, file seq]}
         state: dict[str, list] = {}
         staged_files: list[str] = []
-        cols: list[list] = [[] for _ in names]
         n = 0
 
-        def leaf_of(ridx: int) -> str:
-            if not seg_plan:
-                return ""
-            segs = []
-            for dir_col, idx, fn, param, st in seg_plan:
-                raw = cols[idx][ridx] if idx is not None else None
-                v = (
-                    raw
-                    if fn is None
-                    else _transform_py(fn, param, raw, st)
-                )
-                segs.append(_part_segment(dir_col, v))
-            return "/".join(segs)
+        def seg_array(tbl, dir_col, idx, fn, param, styp):
+            """Per-row `col=value` path segments for one spec entry —
+            vectorized: dictionary-encode the source column, format (and
+            transform) each DISTINCT value once in Python, take() the
+            segments back out. Falls back to per-row Python only if the
+            column type defies dictionary encoding."""
+            null_seg = _part_segment(dir_col, None)
+            if idx is None:
+                return pa.array([null_seg] * tbl.num_rows, pa.string())
+            arr = tbl.column(idx).combine_chunks()
 
-        def write_leaf(leaf: str, ridxs: list[int]):
-            tbl = pa.Table.from_arrays(
+            def py_val(v):
+                # Arrow hands tz-aware datetimes for timestamp-tz
+                # columns; Spark Rows handed naive UTC wall times, and
+                # dir names / `_parse_part_path` expect the latter.
+                if (
+                    v is not None
+                    and isinstance(v, _dt.datetime)
+                    and v.tzinfo is not None
+                ):
+                    v = v.replace(tzinfo=None)
+                return v if fn is None else _transform_py(
+                    fn, param, v, styp
+                )
+            try:
+                enc = pc.dictionary_encode(arr)
+            except pa.lib.ArrowException:
+                enc = None
+            if enc is None:
+                return pa.array(
+                    [
+                        _part_segment(dir_col, py_val(v))
+                        for v in arr.to_pylist()
+                    ],
+                    pa.string(),
+                )
+            segs = pa.array(
                 [
-                    pa.array(
-                        [cols[i][r] for r in ridxs],
-                        type=aschema.field(i).type,
-                    )
-                    for i in data_idx
+                    _part_segment(dir_col, py_val(v))
+                    for v in enc.dictionary.to_pylist()
                 ],
-                schema=dschema,
+                pa.string(),
             )
-            for c, i in bloom_idx:
-                key = (leaf, c)
-                pos = positions.setdefault(key, set())
-                for r in ridxs:
-                    v = cols[i][r]
-                    if v is not None:
-                        pos.update(_bloom_positions_py(v))
+            if len(segs) == 0:
+                return pa.array([null_seg] * tbl.num_rows, pa.string())
+            return pc.fill_null(pc.take(segs, enc.indices), null_seg)
+
+        def write_leaf(leaf: str, dtbl):
             st = state.setdefault(leaf, [None, 0, 0])
             start = 0
-            while start < tbl.num_rows:
+            while start < dtbl.num_rows:
                 if st[0] is None:
                     d = (
                         os.path.join(
@@ -873,9 +911,9 @@ class VersionedTableWriter(DataSourceWriter):
                 # unboundedly large parquet file: each file takes at
                 # most its remaining row capacity per write.
                 take = min(
-                    tbl.num_rows - start, self.rows_per_file - st[1]
+                    dtbl.num_rows - start, self.rows_per_file - st[1]
                 )
-                st[0].write_table(tbl.slice(start, take))
+                st[0].write_table(dtbl.slice(start, take))
                 st[1] += take
                 start += take
                 if st[1] >= self.rows_per_file:
@@ -883,20 +921,22 @@ class VersionedTableWriter(DataSourceWriter):
                     st[0], st[1] = None, 0
                     st[2] += 1
 
-        def flush():
-            if not cols[0]:
+        def handle(tbl):
+            if tbl.num_rows == 0:
                 return
             # Constraints BEFORE bytes hit disk: standard SQL CHECK —
             # only a row evaluating FALSE violates (NULL passes).
-            # Evaluated on the FULL row (partition columns included).
+            # Evaluated on the FULL row (partition columns included);
+            # constraint-referenced table columns the incoming frame
+            # lacks (merge_schema) are padded with nulls — `evaluate`
+            # treats null-typed columns as NULL everywhere, so such a
+            # CHECK passes per SQL semantics.
             if self.constraints:
-                full = pa.Table.from_arrays(
-                    [
-                        pa.array(vals, type=aschema.field(i).type)
-                        for i, vals in enumerate(cols)
-                    ],
-                    schema=aschema,
-                )
+                full = tbl
+                for cname in self.constraint_pad:
+                    full = full.append_column(
+                        cname, pa.nulls(tbl.num_rows)
+                    )
                 for cname, ast in self.constraints.items():
                     bad = pc.equal(evaluate(ast, full), False)
                     if pc.any(bad).as_py():
@@ -905,29 +945,47 @@ class VersionedTableWriter(DataSourceWriter):
                             f"CHECK constraint {cname!r} violated, e.g. "
                             f"by row {full.slice(i, 1).to_pylist()[0]}"
                         )
-            if not seg_plan:
-                write_leaf("", list(range(len(cols[0]))))
-            else:
-                by_leaf: dict[str, list[int]] = {}
-                for r in range(len(cols[0])):
-                    by_leaf.setdefault(leaf_of(r), []).append(r)
-                for leaf, ridxs in sorted(by_leaf.items()):
-                    write_leaf(leaf, ridxs)
-            for v in cols:
-                v.clear()
 
-        for row in iterator:
-            for i in range(len(names)):
-                cols[i].append(row[i])
-            n += 1
-            if n % self._BATCH == 0:
-                flush()
-        flush()
+            def record(leaf: str, sub):
+                for c, i in bloom_idx:
+                    u = pc.unique(pc.drop_null(sub.column(i)))
+                    values.setdefault((leaf, c), set()).update(
+                        u.to_pylist()
+                    )
+                write_leaf(
+                    leaf,
+                    pa.table(
+                        [sub.column(i) for i in data_idx], schema=dschema
+                    ),
+                )
+
+            if not seg_plan:
+                record("", tbl)
+                return
+            segs = [seg_array(tbl, *entry) for entry in seg_plan]
+            leaf_arr = (
+                segs[0]
+                if len(segs) == 1
+                else pc.binary_join_element_wise(*segs, "/")
+            )
+            enc = pc.dictionary_encode(leaf_arr)
+            for di, leaf in enumerate(enc.dictionary.to_pylist()):
+                record(leaf, tbl.filter(pc.equal(enc.indices, di)))
+
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            if tbl.schema != aschema:
+                tbl = tbl.cast(aschema)
+            n += tbl.num_rows
+            handle(tbl)
         for st in state.values():
             if st[0] is not None:
                 st[0].close()
         blooms: dict[str, dict] = {}
-        for (leaf, c), pos in positions.items():
+        for (leaf, c), vals in values.items():
+            pos: set[int] = set()
+            for v in vals:
+                pos.update(_bloom_positions_py(v))
             blooms.setdefault(leaf, {})[c] = _bloom_from_positions(pos)
         return _StagedWrite(n, blooms, staged_files, self.staging)
 
@@ -996,12 +1054,13 @@ class VersionedTableWriter(DataSourceWriter):
 
         msgs = [m for m in messages if m is not None]
         total = sum(m.n_rows for m in msgs)
-        # Trust the staging dir the TASKS wrote (the commit phase may
-        # deserialize a separate writer instance with its own uuid).
-        staging = msgs[0].staging if msgs else self.staging
+        # The staging dirs the TASKS wrote into travel in the messages
+        # (the commit phase may deserialize a separate writer instance
+        # with its own uuid); all of them are vacuumed on exit.
+        stagings = {m.staging for m in msgs} | {self.staging}
         try:
-            if total == 0:
-                return  # an all-empty write commits nothing
+            if total == 0 and not self.overwrite:
+                return  # an all-empty APPEND commits nothing
             schema = _St.fromJson(json.loads(self.schema_json))
             exists = os.path.isdir(
                 os.path.join(self.root, _MANIFEST_DIR)
@@ -1018,10 +1077,23 @@ class VersionedTableWriter(DataSourceWriter):
                 _evolved_ddl_text(
                     schema, self.merge_schema, t.manifest().schema_ddl
                 )
-            rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-            os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
-            os.rename(staging, os.path.join(self.root, rel))
-            entries = self._entries_for(rel, messages)
+            if total:
+                rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+                os.makedirs(
+                    os.path.join(self.root, _DATA_DIR), exist_ok=True
+                )
+                # Move EXACTLY the files the surviving commit messages
+                # list — completed files from a failed-then-retried or
+                # speculatively-executed task attempt share the staging
+                # dir and must never be published alongside the winning
+                # attempt's (they'd silently commit duplicate rows).
+                self._move_listed(msgs, os.path.join(self.root, rel))
+                entries = self._entries_for(rel, msgs)
+            else:
+                # Empty OVERWRITE truncates (Spark/Delta overwrite
+                # semantics replace the snapshot even with zero rows),
+                # and creates an empty table when absent.
+                entries = {}
             if not exists:
                 t._commit(
                     operation="create",
@@ -1069,7 +1141,8 @@ class VersionedTableWriter(DataSourceWriter):
                             raise
             self._append_entries(t, schema, entries, {})
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            for d in stagings:
+                shutil.rmtree(d, ignore_errors=True)
 
     def _check_contract(self, pm) -> None:
         """The table may have changed shape since planning; a writer
@@ -1161,6 +1234,17 @@ class VersionedTableWriter(DataSourceWriter):
                 if attempt > 3:
                     raise
 
+    def _move_listed(self, msgs: list[_StagedWrite], dst: str) -> None:
+        """Move exactly the staged files the commit messages list into
+        `dst`, preserving leaf sub-paths — never a whole staging dir
+        (stray files from losing task attempts must stay behind)."""
+        for m in msgs:
+            for rf in m.files:
+                src = os.path.join(m.staging, rf.replace("/", os.sep))
+                d = os.path.join(dst, rf.replace("/", os.sep))
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                os.rename(src, d)
+
     def abort(self, messages: list[_StagedWrite]) -> None:
         import shutil
 
@@ -1170,7 +1254,9 @@ class VersionedTableWriter(DataSourceWriter):
             shutil.rmtree(d, ignore_errors=True)
 
 
-class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamWriter):
+class VersionedTableStreamWriter(
+    VersionedTableWriter, DataSourceStreamArrowWriter
+):
     """`df.writeStream.format("versioned")` — EXACTLY-ONCE streaming
     appends, one table version per micro-batch, fully sessionless.
 
@@ -1253,14 +1339,7 @@ class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamWriter):
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         dst = os.path.join(self.root, rel)
         os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
-        staging_dirs = set()
-        for m in msgs:
-            staging_dirs.add(m.staging)
-            for rf in m.files:
-                src = os.path.join(m.staging, rf.replace("/", os.sep))
-                d = os.path.join(dst, rf.replace("/", os.sep))
-                os.makedirs(os.path.dirname(d), exist_ok=True)
-                os.rename(src, d)
+        self._move_listed(msgs, dst)
         entries = self._entries_for(rel, msgs)
         tag = {"stream": self.stream_name, "epoch": batchId}
         if not exists:

@@ -19,6 +19,15 @@ shuffle — running stats scale with DISTINCT keys, not event volume.
 
 Reference anchor: the closest thing the reference has is re-running a full
 aggregation per cron fire (`src/Worker/Services/JobSchedulingService.cs:24-75`).
+
+STATUS — EXPERIMENTAL / NEVER EXECUTED IN THIS ENVIRONMENT: Spark's
+`transformWithStateInPandas` worker imports `google.protobuf` (the state
+server speaks the StateMessage proto over a socket), which is not
+installed here and cannot be (no pip). The module's 2 tests skip with
+that reason; the sibling `streaming/stateful.py` (`applyInPandasWithState`)
+covers the same running-stats semantics on the classic API and IS
+executed and verified. Run this module's tests on any cluster with
+protobuf before relying on it.
 """
 
 from __future__ import annotations

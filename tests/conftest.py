@@ -22,3 +22,37 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def _ab(schema, rows):
+    """Rows -> the RecordBatch iterator a DataSourceArrowWriter task
+    receives from Spark (the writer is Arrow-native now)."""
+    import pyarrow as pa
+
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        _arrow_type_for,
+    )
+
+    aschema = pa.schema(
+        [
+            pa.field(f.name, _arrow_type_for(f.dataType), f.nullable)
+            for f in schema.fields
+        ]
+    )
+    rows = list(rows)
+    if not rows:
+        return iter([])
+    return iter(
+        [
+            pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        [r[i] for r in rows],
+                        type=aschema.field(i).type,
+                    )
+                    for i in range(len(aschema))
+                ],
+                schema=aschema,
+            )
+        ]
+    )

@@ -391,3 +391,87 @@ def test_transform_aware_scoped_merge(spark, root):
     assert summary.get("n_dirs_untouched", 0) >= 2
     got = {(r.id, r.val) for r in t.read().collect()}
     assert got == {(1, "a"), (2, "b"), (3, "C"), (4, "d")}
+
+
+def test_old_spec_transform_leaves_keep_pruning_after_evolution(
+    spark, root
+):
+    """Partition evolution must not cost historical leaves their
+    dir-name pruning: predicates derive transform-alias predicates for
+    EVERY spec the table has lived under (manifest `past_specs`), so a
+    month-partitioned generation still prunes after the spec moved to
+    bucket(4, id) — and vice versa."""
+    t = VersionedTable.create(
+        spark, root, _dated(spark), partition_by=["month(d)"]
+    )
+    n_month_leaves = len(t.manifest().files)
+    assert n_month_leaves >= 5  # one per distinct month + null
+    t.set_partition_spec(["bucket(4, id)"])
+    assert t.manifest().past_specs == (("month(d)",),)
+    t.append(
+        spark.createDataFrame(
+            [
+                (10, dt.date(2024, 6, 1), "x"),
+                (11, dt.date(2025, 2, 2), "y"),
+            ],
+            "id bigint, d date, val string",
+        )
+    )
+    # OLD-spec month leaves must still refute a date range by dir name.
+    info = t.prune_info([("d", ">=", dt.date(2025, 1, 1))])
+    assert info["n_skipped"] >= 3, info  # 2023-03/2023-11/2024-01/...
+    got = _check_pred_parity(t, [("d", ">=", dt.date(2025, 1, 1))])
+    assert {g[0] for g in got} == {5, 11}
+    # NEW-spec bucket leaves prune on id equality while old leaves keep
+    # month pruning — both generations, one predicate set each.
+    info2 = t.prune_info([("id", "=", 10)])
+    assert info2["n_skipped"] >= 3, info2  # 3 of 4 bucket leaves refute
+    assert {g[0] for g in _check_pred_parity(t, [("id", "=", 10)])} == {
+        10
+    }
+    # And the batch DataSource plans with the same historical aliases.
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register,
+    )
+
+    register(spark)
+    ds = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+        .filter("d >= DATE'2025-01-01'")
+    )
+    assert {r.id for r in ds.collect()} == {5, 11}
+
+
+def test_param_ambiguous_alias_disables_derivation_not_correctness(
+    spark, root
+):
+    """bucket(4, id) evolved to bucket(8, id): both generations write
+    `id_bucket=` dir names with DIFFERENT hashes. Deriving equality for
+    either param could wrongly refute the other generation's leaves, so
+    derivation must skip the ambiguous alias — reads stay exact."""
+    t = VersionedTable.create(
+        spark, root, _dated(spark), partition_by=["bucket(4, id)"]
+    )
+    t.set_partition_spec(["bucket(8, id)"])
+    t.append(
+        spark.createDataFrame(
+            [(20, dt.date(2024, 1, 1), "z")],
+            "id bigint, d date, val string",
+        )
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _union_transform_entries,
+    )
+
+    assert (
+        _union_transform_entries(
+            t.manifest().partition_by, t.manifest().past_specs
+        )
+        == []
+    )
+    # Every id remains findable — nothing wrongly refuted.
+    for probe in (1, 2, 3, 4, 5, 6, 20):
+        got = _check_pred_parity(t, [("id", "=", probe)])
+        assert {g[0] for g in got} == ({probe} if probe != 6 else {6})

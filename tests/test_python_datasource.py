@@ -133,3 +133,30 @@ def test_writer_stages_then_commits(spark, tmp_path):
     assert len(rows) == 100
     assert sorted(r["event_id"] for r in rows) == list(range(100))
     assert {r["event_type"] for r in rows} == set(EVENT_TYPES)
+
+
+def test_synthetic_feed_n_rows_ceiling_and_uint64_parity():
+    """The vectorized reader computes the amount mix in uint64; above
+    2**64 // _MIX it would wrap and diverge from gen_row's unbounded
+    Python-int math, so __init__ enforces that ceiling — and just below
+    it, the numpy batch stays bit-identical to gen_row."""
+    import pyarrow as pa  # noqa: F401
+
+    from datalakeingestionservice_spark.sources.python_datasource import (
+        _MIX,
+        SyntheticEventsReader,
+        gen_row,
+    )
+
+    ceiling = (1 << 64) // _MIX
+    with pytest.raises(ValueError, match="bit-identical"):
+        SyntheticEventsReader({"n_rows": str(ceiling + 1)})
+    r = SyntheticEventsReader(
+        {"n_rows": str(ceiling), "n_partitions": "1"}
+    )
+    parts = r.partitions()
+    part = parts[-1]
+    part.start = ceiling - 64  # read only the top slice
+    (batch,) = list(r.read(part))
+    rows = list(zip(*[c.to_pylist() for c in batch.columns]))
+    assert rows == [gen_row(i) for i in range(ceiling - 64, ceiling)]

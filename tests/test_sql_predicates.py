@@ -77,6 +77,24 @@ PREDICATES = [
     "`id` >= 3",
     "(id = 1 AND flag) OR (id = 5 AND NOT flag)",
     "id >= 1 AND id <= 3 AND NOT (s = 'beta') AND v IS NOT NULL",
+    # round 6: LIKE / column-side arithmetic
+    "s LIKE 'a%'",
+    "s LIKE '%a'",
+    "s LIKE '%e%'",
+    "s LIKE 'd''%'",
+    "s NOT LIKE 'a_pha'",
+    "s LIKE '_lpha' OR s IS NULL",
+    "id + 1 = 2",
+    "id * 2 > 4",
+    "id - 1 BETWEEN 1 AND 2",
+    "v * 2 <= 5.0",
+    "id / 2 > 1.2",
+    "id + 1 IN (2, 4)",
+    "2 = id + 1",
+    "id + -1 = 0",
+    "id + 1 + 1 = 4",
+    "v / 4 = 1.0",
+    "id * 2 IS NOT NULL",
 ]
 
 
@@ -152,8 +170,12 @@ def test_null_type_column_comparisons():
     [
         "id = other_col",          # col-vs-col
         "length(s) > 0",           # function call
-        "id + 1 = 2",              # arithmetic
-        "s LIKE 'a%'",             # LIKE
+        "id + 1 * 2 = 3",          # mixed-precedence arithmetic
+        "amt * 2 > 2",             # decimal arithmetic
+        "s + 1 = 2",               # arithmetic on a string column
+        "id / 0 = 1",              # division by literal zero
+        "s LIKE 5",                # non-string LIKE pattern
+        "id LIKE 'a%'",            # LIKE on a numeric column
         "s = 5",                   # type-incompatible literal
         "nope = 1",                # unknown column
         "d >= 'not-a-date'",       # unparseable date literal
@@ -176,3 +198,84 @@ def test_ast_is_plain_data():
         "AND v IS NOT NULL"
     )
     assert json.loads(json.dumps(ast)) == ast
+
+
+def test_decimal_literal_scale_overflow_refused_driver_side():
+    """A numeric literal with more scale than the decimal column (or
+    more integer digits than fit its precision) used to pass
+    check_supported and blow up executor-side with ArrowInvalid on
+    rescale; the contract is refusal DRIVER-side."""
+    from datalakeingestionservice_spark.sources.sql_predicates import (
+        UnsupportedPredicateError,
+        compile_predicate,
+    )
+
+    types = {"price": "decimal(18,2)"}
+    compile_predicate("price = 1.55", types)
+    compile_predicate("price > 1", types)
+    compile_predicate("price IN (1.5, 2)", types)
+    for bad in (
+        "price = 1.555",
+        "price >= -0.001",
+        "price IN (1.5, 2.125)",
+        "price = 123456789012345678.55",  # 18 digits > p-s = 16
+    ):
+        with pytest.raises(UnsupportedPredicateError):
+            compile_predicate(bad, types)
+
+
+def test_columns_of_collects_every_reference():
+    from datalakeingestionservice_spark.sources.sql_predicates import (
+        columns_of,
+        parse_predicate,
+    )
+
+    ast = parse_predicate(
+        "a > 1 AND (b IS NULL OR NOT c IN ('x')) AND d BETWEEN 1 AND 2"
+    )
+    assert columns_of(ast) == {"a", "b", "c", "d"}
+
+
+def test_struct_field_access_parity(spark):
+    """Dotted struct-field predicates (`st.x`) evaluate identically in
+    Spark and arrow, including null structs and null fields."""
+    rows = [
+        (0, {"x": 1, "y": "u"}),
+        (1, {"x": None, "y": "v"}),
+        (2, None),
+        (3, {"x": 7, "y": None}),
+    ]
+    ddl = "rid bigint, st struct<x:int,y:string>"
+    types = {"rid": "bigint", "st": "struct<x:int,y:string>"}
+    df = spark.createDataFrame(rows, ddl)
+    table = pa.table(
+        {
+            "rid": pa.array([r[0] for r in rows], pa.int64()),
+            "st": pa.array(
+                [r[1] for r in rows],
+                pa.struct([("x", pa.int32()), ("y", pa.string())]),
+            ),
+        }
+    )
+    for sql in (
+        "st.x = 1",
+        "st.x > 0",
+        "st.x IS NULL",
+        "st.x IS NOT NULL",
+        "st.y LIKE 'u%'",
+        "st.x + 1 = 8",
+        "st.x IN (1, 7)",
+        "`st`.`y` = 'v'",
+    ):
+        ast = compile_predicate(sql, types)
+        spark_vec = [
+            r.p
+            for r in df.select("rid", F.expr(sql).alias("p"))
+            .orderBy("rid")
+            .collect()
+        ]
+        assert evaluate(ast, table).to_pylist() == spark_vec, sql
+    with pytest.raises(UnsupportedPredicateError):
+        compile_predicate("st.zzz = 1", types)
+    with pytest.raises(UnsupportedPredicateError):
+        compile_predicate("rid.x = 1", types)

@@ -15,6 +15,7 @@ from datalakeingestionservice_spark.sinks.versioned import VersionedTable
 from datalakeingestionservice_spark.sources.python_datasource import (
     register as register_events,
 )
+from conftest import _ab  # noqa: E402
 from datalakeingestionservice_spark.sources.versioned_batch import (
     VersionedTableStreamWriter,
     register as register_versioned,
@@ -83,11 +84,11 @@ def test_stream_commit_replay_is_noop(spark, tmp_path):
     root = str(tmp_path / "vt")
     schema = _schema("id bigint, v string")
     w = VersionedTableStreamWriter({"table_root": root}, schema)
-    m0 = w.write(iter([(1, "a"), (2, "b")]))
+    m0 = w.write(_ab(schema, [(1, "a"), (2, "b")]))
     w.commit([m0], 0)  # creates the table
-    m0r = w.write(iter([(1, "a"), (2, "b")]))
+    m0r = w.write(_ab(schema, [(1, "a"), (2, "b")]))
     w.commit([m0r], 0)  # replay: no-op, staged file removed
-    m1 = w.write(iter([(3, "c")]))
+    m1 = w.write(_ab(schema, [(3, "c")]))
     w.commit([m1], 1)
     t = VersionedTable(spark, root)
     assert t.latest_version() == 2
@@ -110,17 +111,17 @@ def test_stream_replay_after_expiry_marker_protects(spark, tmp_path):
     schema = _schema("id bigint, v string")
     w = VersionedTableStreamWriter({"table_root": root}, schema)
     for epoch, row in enumerate([(1, "a"), (2, "b"), (3, "c")]):
-        w.commit([w.write(iter([row]))], epoch)
+        w.commit([w.write(_ab(schema, [row]))], epoch)
     t = VersionedTable(spark, root)
     t.expire_versions(keep_last=1)
     t.vacuum()
     # Replays of expired epochs: markers survive expiry, still no-ops.
     for epoch, row in enumerate([(1, "a"), (2, "b"), (3, "c")]):
-        w.commit([w.write(iter([row]))], epoch)
+        w.commit([w.write(_ab(schema, [row]))], epoch)
     assert sorted(
         (r.id, r.v) for r in VersionedTable(spark, root).read().collect()
     ) == [(1, "a"), (2, "b"), (3, "c")]
-    w.commit([w.write(iter([(4, "d")]))], 3)  # new epoch still lands
+    w.commit([w.write(_ab(schema, [(4, "d")]))], 3)  # new epoch still lands
     assert VersionedTable(spark, root).read().count() == 4
 
 
@@ -128,11 +129,11 @@ def test_stream_empty_batch_advances_marker_only(spark, tmp_path):
     root = str(tmp_path / "vt")
     schema = _schema("id bigint, v string")
     w = VersionedTableStreamWriter({"table_root": root}, schema)
-    w.commit([w.write(iter([(1, "a")]))], 0)
+    w.commit([w.write(_ab(schema, [(1, "a")]))], 0)
     v = VersionedTable(spark, root).latest_version()
-    w.commit([w.write(iter([]))], 1)  # empty epoch: marker only
+    w.commit([w.write(_ab(schema, []))], 1)  # empty epoch: marker only
     assert VersionedTable(spark, root).latest_version() == v
-    w.commit([w.write(iter([(2, "b")]))], 2)
+    w.commit([w.write(_ab(schema, [(2, "b")]))], 2)
     t = VersionedTable(spark, root)
     assert t.latest_version() == v + 1
     assert t.read().count() == 2
@@ -152,7 +153,7 @@ def test_stream_writer_into_partitioned_table(spark, tmp_path):
     )
     schema = _schema("id bigint, grp int")
     w = VersionedTableStreamWriter({"table_root": root}, schema)
-    w.commit([w.write(iter([(100, 0), (101, 1)]))], 0)
+    w.commit([w.write(_ab(schema, [(100, 0), (101, 1)]))], 0)
     t = VersionedTable(spark, root)
     got = {(r.id, r.grp) for r in t.read().collect()}
     assert got == {(i, i % 2) for i in range(8)} | {(100, 0), (101, 1)}

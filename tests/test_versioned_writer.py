@@ -462,3 +462,86 @@ def test_writer_overwrite_partitioned_table(spark, tmp_path):
     assert {
         r.id for r in t.read(predicates=[("grp", "=", 0)]).collect()
     } == {i for i in range(100, 110) if i % 2 == 0}
+
+
+def test_commit_publishes_only_listed_files(spark, tmp_path):
+    """A failed-then-retried (or speculatively-executed) task attempt
+    leaves its completed files in the SHARED staging dir. Commit must
+    publish exactly the files the surviving commit messages list —
+    renaming the whole staging dir would silently commit the losing
+    attempt's duplicate rows alongside the winner's."""
+    from conftest import _ab
+    from pyspark.sql.types import StructType
+
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        VersionedTableWriter,
+    )
+
+    root = str(tmp_path / "vwretry")
+    schema = StructType.fromDDL("id bigint, v string")
+    w = VersionedTableWriter({"table_root": root}, schema, overwrite=False)
+    # "Losing" attempt: finished its file, but Spark discarded its
+    # commit message (task retry / speculation).
+    w.write(_ab(schema, [(900, "dup"), (901, "dup")]))
+    winning = w.write(_ab(schema, [(1, "a"), (2, "b")]))
+    w.commit([winning])
+    t = VersionedTable(spark, root)
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # The losing attempt's bytes are gone with the staging dir.
+    sdir = os.path.join(root, "_staging")
+    assert not os.path.isdir(sdir) or os.listdir(sdir) == []
+
+
+def test_empty_overwrite_truncates(spark, tmp_path):
+    """Spark/Delta overwrite semantics: an overwrite with zero rows
+    REPLACES the snapshot (truncate), unlike an empty append (no-op)."""
+    root = str(tmp_path / "vweot")
+    VersionedTable.create(
+        spark, root, spark.createDataFrame([(1,), (2,)], "id bigint")
+    )
+    _write(spark.createDataFrame([], "id bigint"), root, mode="overwrite")
+    t = VersionedTable(spark, root)
+    assert t.read().count() == 0
+    assert t.read(1).count() == 2  # time travel still sees the old rows
+
+
+def test_empty_overwrite_creates_empty_table(spark, tmp_path):
+    root = str(tmp_path / "vweoc")
+    _write(spark.createDataFrame([], "id bigint"), root, mode="overwrite")
+    t = VersionedTable(spark, root)
+    assert t.read().count() == 0
+    assert t.read().schema.simpleString() == "struct<id:bigint>"
+    # And the created (empty) table accepts ordinary appends.
+    _write(spark.createDataFrame([(5,)], "id bigint"), root)
+    assert [r.id for r in VersionedTable(spark, root).read().collect()] == [5]
+
+
+def test_constraint_on_absent_column_null_passes(spark, tmp_path):
+    """A CHECK referencing a table column the merge_schema append
+    doesn't carry evaluates with that column NULL -> passes (SQL CHECK
+    semantics), instead of KeyError-ing executor-side."""
+    root = str(tmp_path / "vwcabs")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 10)], "id bigint, score int"),
+    )
+    t.add_check_constraint("score_pos", "score > 0")
+    _write(
+        spark.createDataFrame([(2, "x")], "id bigint, extra string"),
+        root,
+        merge_schema="true",
+    )
+    got = {
+        (r.id, r.score)
+        for r in VersionedTable(spark, root).read().collect()
+    }
+    assert got == {(1, 10), (2, None)}
+    # The constraint still bites when the column IS present.
+    with pytest.raises(Exception, match="score_pos"):
+        _write(
+            spark.createDataFrame([(3, -4)], "id bigint, score int"), root
+        )
