@@ -100,10 +100,18 @@ def _stat_jsonable(v):
     return None
 
 
+#: Persist per-row-group envelopes only for files with at most this many
+#: groups: bounds manifest JSON growth to a small constant factor over
+#: the per-file stats (Spark writes ~128 MB groups, the Arrow writer
+#: coalesces to 64k-row groups — both land well under this in practice).
+_RG_STATS_MAX = 64
+
+
 def _collect_file_stats(path: str) -> dict:
     """Row-group footer stats for ONE parquet file.
 
-    Returns {"rows": n, "columns": {col: {"min":…, "max":…, "nulls": n}}}.
+    Returns {"rows": n, "columns": {col: {"min":…, "max":…, "nulls": n}},
+    "rgs": [per-row-group envelopes]} (rgs only for multi-group files).
     A column appears only if EVERY row group carried usable min/max (or was
     all-null) — partial stats can't prove absence, so they're discarded."""
     import pyarrow.parquet as pq
@@ -113,8 +121,16 @@ def _collect_file_stats(path: str) -> dict:
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
     broken: set[str] = set()
+    #: Per-row-group envelopes (same {columns: {col: {min,max,nulls}}}
+    #: shape as the file/dir level, so `_dir_may_match` evaluates them
+    #: directly). Kept only for multi-group files below `_RG_STATS_MAX`
+    #: groups — a file whose groups ALL refute a predicate conjunction
+    #: is skipped at PLANNING even when its file-level envelope matches
+    #: (disjoint clustered ranges: file [1..30]∪[70..100] vs x=50).
+    rgs: list[dict] = []
     for i in range(md.num_row_groups):
         rg = md.row_group(i)
+        rg_cols: dict[str, dict] = {}
         for j in range(rg.num_columns):
             col = rg.column(j)
             name = col.path_in_schema
@@ -127,7 +143,9 @@ def _collect_file_stats(path: str) -> dict:
                     continue
                 nulls[name] = nulls.get(name, 0) + st.null_count
                 if st.null_count == rg.num_rows:
-                    continue  # all-null group: no min/max to contribute
+                    # all-null group: no min/max to contribute
+                    rg_cols[name] = {"nulls": st.null_count}
+                    continue
                 if not st.has_min_max:
                     broken.add(name)
                     continue
@@ -141,8 +159,10 @@ def _collect_file_stats(path: str) -> dict:
             if lo is None or hi is None:
                 broken.add(name)
                 continue
+            rg_cols[name] = {"nulls": st.null_count, "min": lo, "max": hi}
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        rgs.append({"rows": rg.num_rows, "columns": rg_cols})
     columns = {}
     for name, n_null in nulls.items():
         if name in broken:
@@ -152,7 +172,15 @@ def _collect_file_stats(path: str) -> dict:
             entry["min"] = mins[name]
             entry["max"] = maxs[name]
         columns[name] = entry
-    return {"rows": md.num_rows, "columns": columns}
+    out = {"rows": md.num_rows, "columns": columns}
+    if 1 < len(rgs) <= _RG_STATS_MAX:
+        # Drop broken columns from the group envelopes too (partial
+        # stats must not pretend to prove anything), then persist.
+        for rg_st in rgs:
+            for name in broken:
+                rg_st["columns"].pop(name, None)
+        out["rgs"] = rgs
+    return out
 
 
 def _collect_dir_stats(abs_dir: str) -> dict:
@@ -339,13 +367,13 @@ def _parse_part_path(rel: str) -> dict[str, str | None]:
 # for strings — both monotone, so range predicates carry over.
 
 _TRANSFORM_RE = re.compile(
-    r"^\s*(year|month|day|bucket|truncate)\s*\(\s*"
+    r"^\s*(year|month|day|hour|bucket|truncate)\s*\(\s*"
     r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
 )
 
 #: Transforms valid per source simpleString type (prefix match for
 #: timestamp*/varchar/char handled in _validate_spec).
-_TEMPORAL_TRANSFORMS = ("year", "month", "day")
+_TEMPORAL_TRANSFORMS = ("year", "month", "day", "hour")
 
 
 def _parse_spec_entry(entry: str) -> tuple[str, int | None, str]:
@@ -384,7 +412,14 @@ def _validate_spec(
         if fn == "identity":
             continue
         if fn in _TEMPORAL_TRANSFORMS:
-            if not (t == "date" or t.startswith("timestamp")):
+            if fn == "hour":
+                # A date has no hour; Iceberg likewise restricts hour()
+                # to timestamps.
+                if not t.startswith("timestamp"):
+                    raise ValueError(
+                        f"hour() needs a timestamp column, {col} is {t}"
+                    )
+            elif not (t == "date" or t.startswith("timestamp")):
                 raise ValueError(
                     f"{fn}() needs a date/timestamp column, "
                     f"{col} is {t}"
@@ -422,6 +457,10 @@ def _transform_expr(fn: str, param: int | None, col: str, type_simple: str):
         return F.date_format(c, "yyyy-MM")
     if fn == "day":
         return F.date_format(c, "yyyy-MM-dd")
+    if fn == "hour":
+        # Zero-padded, so lexicographic order stays chronological and
+        # range predicates derive like month/day.
+        return F.date_format(c, "yyyy-MM-dd-HH")
     if fn == "bucket":
         # Same canonical-string sha256 scheme as the bloom layer, so the
         # Spark build side and the Python probe side agree by
@@ -458,6 +497,12 @@ def _transform_py(fn: str, param: int | None, v, type_simple: str):
     if fn in _TEMPORAL_TRANSFORMS:
         if not isinstance(v, (_dt.date, _dt.datetime)):
             return None
+        if fn == "hour":
+            if not isinstance(v, _dt.datetime):
+                return None  # a bare date has no hour
+            return (
+                f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{v.hour:02d}"
+            )
         if fn == "year":
             return v.year
         if fn == "month":
@@ -528,7 +573,7 @@ def _spec_alias_types(
         alias = _transform_alias(fn, pcol)
         if fn in ("year", "bucket"):
             out[alias] = "int"
-        elif fn in ("month", "day"):
+        elif fn in ("month", "day", "hour"):
             out[alias] = "string"
         else:  # truncate: source-typed (bigint for ints)
             src = schema_types.get(col, "string")
@@ -749,6 +794,25 @@ def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
                 return False
         except TypeError:
             continue  # cross-type comparison: can't prove, keep the dir
+    return True
+
+
+def _file_may_match(fs: dict, predicates: list[tuple]) -> bool:
+    """Per-FILE refutation: the file-level envelope first, then — when
+    per-row-group envelopes were harvested — a file every one of whose
+    row groups individually refutes the conjunction is skipped at
+    planning even though its file-level [min, max] matches (clustered
+    files hold disjoint ranges; z-order/sorted writes produce exactly
+    this shape). Row-group granularity beyond that is Spark's own
+    footer-based skipping at scan time — pushed filters reach the
+    parquet reader, which drops refuted groups per file it does open."""
+    if not _dir_may_match(fs, predicates):
+        return False
+    rgs = fs.get("rgs")
+    if rgs and all(
+        not _dir_may_match(rg_st, predicates) for rg_st in rgs
+    ):
+        return False
     return True
 
 
@@ -1435,8 +1499,10 @@ class VersionedTable:
             if phys_preds and fmap:
                 keep = [
                     fn for fn, fs in sorted(fmap.items())
-                    if _dir_may_match(fs, phys_preds)
+                    if _file_may_match(fs, phys_preds)
                 ]
+                if not keep:
+                    continue  # every file refuted: skip the entry whole
                 if len(keep) < len(fmap):
                     # A dir envelope can match while every file's tighter
                     # range refutes — dropping to file paths is safe
@@ -1635,6 +1701,8 @@ class VersionedTable:
                 ]
             )
             pieces.append(_conform(_rename_columns(df, back), schema))
+        if not pieces:
+            return None  # every selected entry pruned to zero files
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
@@ -1657,6 +1725,7 @@ class VersionedTable:
         )
         kept, skipped = [], []
         n_files_scanned = n_files_skipped = 0
+        n_rgs_scanned = n_rgs_skipped = 0
         for rel in m.files:
             stats = m.stats.get(rel, {})
             if not _entry_may_match(stats, predicates, part_types):
@@ -1667,8 +1736,13 @@ class VersionedTable:
             fmap = stats.get("files")
             if fmap:
                 for fs in fmap.values():
-                    if _dir_may_match(fs, predicates):
+                    if _file_may_match(fs, predicates):
                         n_files_scanned += 1
+                        for rg_st in fs.get("rgs", ()):
+                            if _dir_may_match(rg_st, predicates):
+                                n_rgs_scanned += 1
+                            else:
+                                n_rgs_skipped += 1
                     else:
                         n_files_skipped += 1
         return {
@@ -1678,6 +1752,8 @@ class VersionedTable:
             "n_skipped": len(skipped),
             "n_files_scanned": n_files_scanned,
             "n_files_skipped": n_files_skipped,
+            "n_rowgroups_scanned": n_rgs_scanned,
+            "n_rowgroups_skipped": n_rgs_skipped,
         }
 
     # -- writes ------------------------------------------------------------
@@ -2042,7 +2118,7 @@ class VersionedTable:
             if preds and fmap and len(fmap) > 1:
                 keep = [
                     fn for fn, fs in sorted(fmap.items())
-                    if _dir_may_match(fs, preds)
+                    if _file_may_match(fs, preds)
                 ]
                 if not keep:
                     # Envelope matched but every file refutes: the whole

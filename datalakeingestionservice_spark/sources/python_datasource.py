@@ -65,6 +65,43 @@ def gen_row(i: int) -> tuple:
     )
 
 
+#: Above this id the uint64 mix product would wrap and diverge from
+#: gen_row's unbounded Python-int math.
+_ID_CEILING = (1 << 64) // _MIX
+
+
+def _vector_batch(lo: int, hi: int):
+    """[lo, hi) of the feed as ONE Arrow RecordBatch — numpy array math,
+    bit-identical to gen_row for every id below `_ID_CEILING` (the mix
+    product runs in uint64; both readers enforce the ceiling). Shared by
+    the batch reader and the streaming reader. None when empty."""
+    import numpy as np
+    import pyarrow as pa
+
+    if hi > _ID_CEILING:
+        raise ValueError(
+            f"event ids must stay below {_ID_CEILING} to keep the "
+            "vectorized feed bit-identical to gen_row"
+        )
+    i = np.arange(lo, hi, dtype=np.int64)
+    if len(i) == 0:
+        return None
+    mix = (i.astype(np.uint64) * np.uint64(_MIX)) % np.uint64(100000)
+    return pa.record_batch(
+        {
+            "event_id": pa.array(i, pa.int64()),
+            "user_id": pa.array(i % 1000, pa.int64()),
+            "event_type": pa.array(
+                np.array(EVENT_TYPES)[i % 5], pa.string()
+            ),
+            "amount": pa.array(
+                mix.astype(np.int64) / 100.0, pa.float64()
+            ),
+            "ts_epoch": pa.array(1704067200 + i, pa.int64()),
+        }
+    )
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
@@ -118,30 +155,10 @@ class SyntheticEventsReader(DataSourceReader):
         # Vectorized: the feed is a pure function of event_id, so the
         # whole partition computes as numpy array math and yields ONE
         # Arrow batch — Spark ingests it Arrow-to-Arrow, no per-row
-        # Python. The mix product runs in uint64 so it stays exact (and
-        # bit-identical to gen_row's unbounded Python ints) for every id
-        # below 2**64 // _MIX — a ceiling __init__ enforces; the
-        # division is the same float64 op.
-        import numpy as np
-        import pyarrow as pa
-
-        i = np.arange(partition.start, partition.end, dtype=np.int64)
-        if len(i) == 0:
-            return
-        mix = (i.astype(np.uint64) * np.uint64(_MIX)) % np.uint64(100000)
-        yield pa.record_batch(
-            {
-                "event_id": pa.array(i, pa.int64()),
-                "user_id": pa.array(i % 1000, pa.int64()),
-                "event_type": pa.array(
-                    np.array(EVENT_TYPES)[i % 5], pa.string()
-                ),
-                "amount": pa.array(
-                    mix.astype(np.int64) / 100.0, pa.float64()
-                ),
-                "ts_epoch": pa.array(1704067200 + i, pa.int64()),
-            }
-        )
+        # Python (`_vector_batch`, shared with the streaming reader).
+        b = _vector_batch(partition.start, partition.end)
+        if b is not None:
+            yield b
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -155,19 +172,21 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"next": 0}
 
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+    def read(self, start: dict) -> tuple[Iterator, dict]:
         lo = start["next"]
         hi = lo + self.rows_per_batch
-        # A list, not a generator: Spark's prefetch cache copy.copy()s the
-        # returned iterator and generators are not copyable.
-        return [gen_row(i) for i in range(lo, hi)], {"next": hi}
+        # Vectorized like the batch reader: one Arrow RecordBatch per
+        # micro-batch (`_vector_batch`). A LIST, not a generator: Spark's
+        # prefetch cache copy.copy()s the returned iterator and
+        # generators are not copyable.
+        b = _vector_batch(lo, hi)
+        return ([b] if b is not None else []), {"next": hi}
 
-    def readBetweenOffsets(
-        self, start: dict, end: dict
-    ) -> Iterator[tuple]:
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator:
         # This path (checkpoint replay) REQUIRES an iterator, unlike read()
         # whose result must be copyable — asymmetric but enforced by Spark.
-        return iter([gen_row(i) for i in range(start["next"], end["next"])])
+        b = _vector_batch(start["next"], end["next"])
+        return iter([b] if b is not None else [])
 
 
 class _FileCommit(WriterCommitMessage):

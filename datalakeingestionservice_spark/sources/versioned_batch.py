@@ -64,6 +64,7 @@ from datalakeingestionservice_spark.sinks.versioned import (
     Manifest,
     NoSuchVersionError,
     _dir_may_match,
+    _file_may_match,
     _entry_may_match,
     _typed_part_value,
 )
@@ -331,7 +332,7 @@ class VersionedTableReader(DataSourceReader):
                 keep = [
                     fn
                     for fn, fs in sorted(fmap.items())
-                    if _dir_may_match(fs, preds)
+                    if _file_may_match(fs, preds)
                 ]
                 if len(keep) < len(fmap):
                     if keep:
@@ -359,6 +360,15 @@ class VersionedTableReader(DataSourceReader):
                     mor_for(rel),
                     col_types,
                     scan_filters,
+                )
+            )
+        if not parts:
+            # Everything pruned: Spark still needs >= 1 input partition;
+            # an empty path list yields zero rows with the full schema.
+            parts.append(
+                _EntryPartition(
+                    [], self._columns, self._physical, None, [],
+                    col_types, [],
                 )
             )
         return parts
@@ -837,6 +847,12 @@ class VersionedTableWriter(DataSourceArrowWriter):
         uid = _uuid.uuid4().hex
         #: {leaf: [open writer | None, rows in current file, file seq]}
         state: dict[str, list] = {}
+        #: {leaf: [tables, buffered rows]} — Spark ships ~10k-row Arrow
+        #: batches; writing each straight through would produce tiny
+        #: parquet row groups, so per-leaf buffers coalesce to ~64k-row
+        #: groups before touching the ParquetWriter.
+        buffers: dict[str, list] = {}
+        _RG_ROWS = 1 << 16
         staged_files: list[str] = []
         n = 0
 
@@ -886,6 +902,24 @@ class VersionedTableWriter(DataSourceArrowWriter):
             if len(segs) == 0:
                 return pa.array([null_seg] * tbl.num_rows, pa.string())
             return pc.fill_null(pc.take(segs, enc.indices), null_seg)
+
+        def buffer_leaf(leaf: str, dtbl):
+            b = buffers.setdefault(leaf, [[], 0])
+            b[0].append(dtbl)
+            b[1] += dtbl.num_rows
+            if b[1] >= _RG_ROWS:
+                flush_leaf(leaf)
+
+        def flush_leaf(leaf: str):
+            b = buffers.get(leaf)
+            if not b or not b[0]:
+                return
+            tbl = (
+                pa.concat_tables(b[0]) if len(b[0]) > 1 else b[0][0]
+            ).combine_chunks()
+            b[0].clear()
+            b[1] = 0
+            write_leaf(leaf, tbl)
 
         def write_leaf(leaf: str, dtbl):
             st = state.setdefault(leaf, [None, 0, 0])
@@ -952,7 +986,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     values.setdefault((leaf, c), set()).update(
                         u.to_pylist()
                     )
-                write_leaf(
+                buffer_leaf(
                     leaf,
                     pa.table(
                         [sub.column(i) for i in data_idx], schema=dschema
@@ -978,6 +1012,8 @@ class VersionedTableWriter(DataSourceArrowWriter):
                 tbl = tbl.cast(aschema)
             n += tbl.num_rows
             handle(tbl)
+        for leaf in list(buffers):
+            flush_leaf(leaf)
         for st in state.values():
             if st[0] is not None:
                 st[0].close()

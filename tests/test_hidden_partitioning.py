@@ -475,3 +475,74 @@ def test_param_ambiguous_alias_disables_derivation_not_correctness(
     for probe in (1, 2, 3, 4, 5, 6, 20):
         got = _check_pred_parity(t, [("id", "=", probe)])
         assert {g[0] for g in got} == ({probe} if probe != 6 else {6})
+
+
+def test_hour_transform_layout_pruning_and_parity(spark, root):
+    """hour(ts): zero-padded `ts_hour=YYYY-MM-DD-HH` leaves, range
+    derivation (lexicographic = chronological), Spark-expr vs Python
+    probe agreement, and the timestamp-only validation."""
+    rows = [
+        (1, dt.datetime(2024, 1, 5, 3, 15), "a"),
+        (2, dt.datetime(2024, 1, 5, 3, 59), "b"),
+        (3, dt.datetime(2024, 1, 5, 14, 0), "c"),
+        (4, dt.datetime(2024, 1, 6, 0, 30), "d"),
+        (5, dt.datetime(2023, 12, 31, 23, 45), "e"),
+        (6, None, "f"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, ts timestamp, val string"
+    )
+    t = VersionedTable.create(
+        spark, root, df, partition_by=["hour(ts)"]
+    )
+    m = t.manifest()
+    leaves = {
+        m.stats[rel]["part_values"]["ts_hour"] for rel in m.files
+    }
+    assert leaves == {
+        "2024-01-05-03",
+        "2024-01-05-14",
+        "2024-01-06-00",
+        "2023-12-31-23",
+        None,
+    }
+    # Source column survives in the files; no derived column in queries.
+    assert t.read().columns == ["id", "ts", "val"]
+    # Range pruning across a day boundary.
+    info = t.prune_info(
+        [("ts", ">=", dt.datetime(2024, 1, 5, 14, 0))]
+    )
+    assert info["n_skipped"] >= 3  # 03h x1 leaf? (two rows same leaf), 12-31, null
+    got = _check_pred_parity(
+        t, [("ts", ">=", dt.datetime(2024, 1, 5, 14, 0))]
+    )
+    assert {g[0] for g in got} == {3, 4}
+    # Equality derivation prunes to a single hour leaf.
+    info2 = t.prune_info([("ts", "=", dt.datetime(2024, 1, 5, 3, 15))])
+    assert info2["n_skipped"] >= 4
+    # Direct Spark-expr vs Python battery for hour.
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _transform_expr,
+    )
+
+    vals = [r[1] for r in rows if r[1] is not None]
+    dft = spark.createDataFrame([(v,) for v in vals], "ts timestamp")
+    spark_vals = [
+        r.t
+        for r in dft.select(
+            _transform_expr("hour", None, "ts", "timestamp").alias("t")
+        ).collect()
+    ]
+    assert spark_vals == [
+        _transform_py("hour", None, v, "timestamp") for v in vals
+    ]
+    # hour() refuses date columns (a date has no hour).
+    with pytest.raises(Exception, match="timestamp"):
+        VersionedTable.create(
+            spark,
+            str(root) + "_bad",
+            _dated(spark),
+            partition_by=["hour(d)"],
+        )
+    # And a date-valued probe never derives a wrong hour predicate.
+    assert _transform_py("hour", None, dt.date(2024, 1, 5), "date") is None

@@ -113,11 +113,19 @@ def test_stream_reader_replay_between_offsets():
         SyntheticEventsStreamReader,
     )
 
+    def rows(batches):
+        # The reader is vectorized: it yields Arrow RecordBatches.
+        return [
+            t
+            for b in batches
+            for t in zip(*[c.to_pylist() for c in b.columns])
+        ]
+
     r = SyntheticEventsStreamReader({"rows_per_batch": "10"})
     first, off1 = r.read(r.initialOffset())
     assert off1 == {"next": 10}
-    replayed = list(r.readBetweenOffsets({"next": 0}, {"next": 10}))
-    assert list(first) == replayed == [gen_row(i) for i in range(10)]
+    replayed = rows(r.readBetweenOffsets({"next": 0}, {"next": 10}))
+    assert rows(first) == replayed == [gen_row(i) for i in range(10)]
 
 
 def test_writer_stages_then_commits(spark, tmp_path):

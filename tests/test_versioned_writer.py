@@ -545,3 +545,55 @@ def test_constraint_on_absent_column_null_passes(spark, tmp_path):
         _write(
             spark.createDataFrame([(3, -4)], "id bigint, score int"), root
         )
+
+
+def test_rowgroup_envelopes_prune_disjoint_files(spark, tmp_path):
+    """Row-group-granular skipping (round 6): a file whose FILE-level
+    envelope matches a predicate is still skipped at planning when every
+    one of its row-group envelopes refutes it (clustered files holding
+    disjoint ranges — the z-order/sorted-write shape). The manifest
+    carries per-group envelopes harvested in the same footer pass."""
+    from conftest import _ab
+    from pyspark.sql.types import StructType
+
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        VersionedTableWriter,
+    )
+
+    root = str(tmp_path / "vwrg")
+    schema = StructType.fromDDL("id bigint")
+    w = VersionedTableWriter({"table_root": root}, schema, overwrite=False)
+    # Two exact 64k batches -> the writer's row-group buffer flushes at
+    # each -> ONE file, TWO row groups: [0..65535] and [131072..196607].
+    b1 = next(_ab(schema, [(i,) for i in range(65536)]))
+    b2 = next(_ab(schema, [(i,) for i in range(131072, 196608)]))
+    w.commit([w.write(iter([b1, b2]))])
+    t = VersionedTable(spark, root)
+    (stats,) = t.manifest().stats.values()
+    (fs,) = stats["files"].values()
+    assert [rg["rows"] for rg in fs["rgs"]] == [65536, 65536]
+    # Probe INSIDE the file envelope but inside the inter-group gap:
+    # file [0, 196607] matches, both groups refute -> file skipped.
+    info = t.prune_info([("id", "=", 100000)])
+    assert info["n_files_skipped"] == 1 and info["n_files_scanned"] == 0
+    assert t.read(predicates=[("id", "=", 100000)]).count() == 0
+    # A probe inside group 2 keeps the file and reports the skipped
+    # group at row-group granularity.
+    info2 = t.prune_info([("id", "=", 140000)])
+    assert info2["n_files_scanned"] == 1
+    assert info2["n_rowgroups_skipped"] == 1
+    assert info2["n_rowgroups_scanned"] == 1
+    assert t.read(predicates=[("id", "=", 140000)]).count() == 1
+    # And through the batch DataSource (same _file_may_match path).
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register,
+    )
+
+    register(spark)
+    ds = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+    )
+    assert ds.filter("id = 100000").count() == 0
+    assert ds.filter("id = 140000").count() == 1
