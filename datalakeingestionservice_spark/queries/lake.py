@@ -1353,3 +1353,58 @@ def q139_mor_predicate_subset(
         F.sum("p").cast("double").alias("sum_price"),
         F.countDistinct("l_returnflag").alias("n_modes"),
     ).withColumn("mor_served_ok", F.lit(bool(zero_rewrite)))
+
+
+@register(
+    "q140_hour_partitioning",
+    tags=("lake", "partitioning", "transforms", "iceberg-parity"),
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', max(ts)) - INTERVAL 6 HOUR AS cutoff
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+       TRUE AS hour_pruned_ok
+FROM events, bounds
+WHERE ts >= cutoff
+""",
+)
+def q140_hour_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour(ts) hidden partitioning (round-6 E51): events committed
+    under `partition_by=["hour(ts)"]` — dirs are zero-padded
+    `ts_hour=YYYY-MM-DD-HH/` whose lexicographic order is chronological,
+    so a plain timestamp range predicate derives an hour-string range
+    and prunes every older-hour leaf from dir NAMES alone
+    (`hour_pruned_ok` asserts the majority of leaves skip and in-range
+    leaves survive). The last-6-hours window is the canonical streaming
+    serving read; the oracle recomputes it from raw events. At 100 TB,
+    hour granularity is what event tables actually partition by — day
+    leaves are too coarse for hot-window queries, and hidden
+    partitioning keeps user SQL free of derived helper columns."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_hrp_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    ev = env.t("events").select("event_id", "ts", "user_id", "value")
+    t = VersionedTable.create(
+        spark, base, ev, partition_by=["hour(ts)"]
+    )
+    cutoff = ev.agg(
+        F.date_trunc("hour", F.max("ts")) - F.expr("INTERVAL 6 HOURS")
+    ).collect()[0][0]
+    info = t.prune_info([("ts", ">=", cutoff)])
+    pruned_ok = (
+        info["n_skipped"] > info["n_scanned"]
+        and info["n_scanned"] >= 1
+    )
+    return (
+        t.read(predicates=[("ts", ">=", cutoff)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+        )
+        .withColumn("hour_pruned_ok", F.lit(bool(pruned_ok)))
+    )
