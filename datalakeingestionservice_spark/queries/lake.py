@@ -1408,3 +1408,62 @@ def q140_hour_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hour_pruned_ok", F.lit(bool(pruned_ok)))
     )
+
+
+@register(
+    "q141_bucket_join",
+    tags=("lake", "join", "bucketing", "storage-partitioned-join"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c.custkey) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       TRUE AS no_shuffle_ok
+FROM (SELECT o_custkey AS custkey, o_totalprice FROM orders) o
+JOIN (SELECT c_custkey AS custkey, c_mktsegment FROM customer) c
+  USING (custkey)
+""",
+)
+def q141_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-wise co-located join (round-6 `VersionedTable.bucket_join`
+    — the storage-partitioned-join shape Iceberg ships): orders and
+    customer both land under `partition_by=["bucket(16, custkey)"]`, so
+    equal keys provably share a bucket index and the join runs as 16
+    independent per-bucket broadcast joins unioned together — ZERO
+    table-wide shuffle of either side, asserted in-plan
+    (`no_shuffle_ok`: no SortMergeJoin, no hash-partitioning Exchange in
+    the executed plan). The oracle recomputes the join aggregate from
+    raw orders x customer. At 100 TB this converts the fact-to-dim (or
+    fact-to-fact on a shared key) join from the cluster's dominant
+    shuffle into N embarrassingly parallel pieces whose only movement is
+    smaller-side/N broadcasts."""
+    import re as _re
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_bj_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    customer = env.t("customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    to = VersionedTable.create(
+        spark, base + "_o", orders, partition_by=["bucket(16, custkey)"]
+    )
+    tc = VersionedTable.create(
+        spark, base + "_c", customer, partition_by=["bucket(16, custkey)"]
+    )
+    joined = to.bucket_join(tc, "custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    no_shuffle = (
+        "SortMergeJoin" not in plan
+        and not _re.search(r"Exchange \w*hashpartitioning", plan)
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("custkey").alias("n_customers"),
+        F.sum("o_totalprice").cast("double").alias("sum_price"),
+    ).withColumn("no_shuffle_ok", F.lit(bool(no_shuffle)))

@@ -1,0 +1,154 @@
+"""VersionedTable.bucket_join — the storage-partitioned-join shape:
+two tables bucketed by the same `bucket(N, key)` join bucket-by-bucket
+with NO table-wide shuffle (per-bucket broadcasts), output-identical to
+a plain join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(200)], "k bigint, lv string"
+    )
+    # Right side: partial overlap + duplicate keys (join multiplicity).
+    right = spark.createDataFrame(
+        [(i, f"r{i}a") for i in range(100, 300)]
+        + [(i, f"r{i}b") for i in range(150, 160)],
+        "k bigint, rv string",
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), left, partition_by=["bucket(8, k)"]
+    )
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), right, partition_by=["bucket(8, k)"]
+    )
+    return tl, tr, left, right
+
+
+def test_bucket_join_matches_plain_join(spark, pair):
+    tl, tr, left, right = pair
+    got = tl.bucket_join(tr, "k")
+    want = left.join(right, on=["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_bucket_join_plan_has_no_shuffle_or_smj(spark, pair):
+    """The point of the operator: N broadcast hash joins + union, zero
+    Exchange feeding a join, zero SortMergeJoin."""
+    tl, tr, _, _ = pair
+    plan = (
+        tl.bucket_join(tr, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # No shuffle exchange anywhere in the join tree (broadcast exchanges
+    # are fine — they ARE the mechanism).
+    import re
+
+    shuffles = re.findall(r"Exchange (?!SinglePartition)\w*hashpartitioning", plan)
+    assert not shuffles, plan[:2000]
+
+
+def test_bucket_join_left_semi(spark, pair):
+    tl, tr, left, right = pair
+    got = tl.bucket_join(tr, "k", how="left_semi")
+    want = left.join(right, on=["k"], how="left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_bucket_join_null_keys_and_empty_buckets(spark, tmp_path):
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "n1"), (7, "b")], "k bigint, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (None, "n2"), (999, "z")], "k bigint, rv string"
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), left, partition_by=["bucket(4, k)"]
+    )
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), right, partition_by=["bucket(4, k)"]
+    )
+    got = tl.bucket_join(tr, "k")
+    want = left.join(right, on=["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )  # null keys match nothing; 7/999 find no partner
+
+
+def test_bucket_join_validation(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    t4 = VersionedTable.create(
+        spark, str(tmp_path / "a"), df, partition_by=["bucket(4, k)"]
+    )
+    t8 = VersionedTable.create(
+        spark, str(tmp_path / "b"), df, partition_by=["bucket(8, k)"]
+    )
+    tid = VersionedTable.create(spark, str(tmp_path / "c"), df)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        t4.bucket_join(t8, "k")
+    with pytest.raises(ValueError, match="not partitioned by bucket"):
+        t4.bucket_join(tid, "k")
+    with pytest.raises(ValueError, match="inner/left-semi"):
+        t4.bucket_join(t4, "k", how="full_outer")
+
+
+def test_bucket_join_old_spec_entries_refuse_then_compact_lifts(
+    spark, tmp_path
+):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k bigint, v string"
+    )
+    tl = VersionedTable.create(spark, str(tmp_path / "l"), df)
+    tl.set_partition_spec(["bucket(4, k)"])
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), df, partition_by=["bucket(4, k)"]
+    )
+    with pytest.raises(ValueError, match="compact"):
+        tl.bucket_join(tr, "k")
+    tl.compact()
+    got = tl.bucket_join(tr, "k")
+    want = df.join(df.withColumnRenamed("v", "v2"), on=["k"]).drop("v2")
+    assert got.count() == 20 and want.count() == 20
+
+
+def test_bucket_join_after_appends_both_sides(spark, tmp_path):
+    """Appends land in fresh bucket leaves; the join stays correct and
+    co-located across multiple commits per side."""
+    mk = lambda lo, hi, p: spark.createDataFrame(  # noqa: E731
+        [(i, f"{p}{i}") for i in range(lo, hi)], "k bigint, v string"
+    )
+    tl = VersionedTable.create(
+        spark,
+        str(tmp_path / "l"),
+        mk(0, 50, "l"),
+        partition_by=["bucket(8, k)"],
+    )
+    tr = VersionedTable.create(
+        spark,
+        str(tmp_path / "r"),
+        mk(25, 75, "r"),
+        partition_by=["bucket(8, k)"],
+    )
+    tl.append(mk(50, 100, "l"))
+    tr.append(mk(75, 125, "r"))
+    got = tl.bucket_join(tr, "k")
+    lv = tl.read().withColumnRenamed("v", "lv")
+    rv = tr.read().withColumnRenamed("v", "rv")
+    want = lv.join(rv, on=["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
