@@ -597,3 +597,42 @@ def test_rowgroup_envelopes_prune_disjoint_files(spark, tmp_path):
     )
     assert ds.filter("id = 100000").count() == 0
     assert ds.filter("id = 140000").count() == 1
+
+
+def test_widened_constraints_compile_through_writer(spark, tmp_path):
+    """Round-6 predicate widening reaches the writer's CHECK compiler:
+    LIKE and arithmetic constraints that previously refused with 'write
+    via the VersionedTable API' now enforce executor-side."""
+    root = str(tmp_path / "vwlike")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "ord-1", 10)], "id bigint, code string, qty int"
+        ),
+    )
+    t.add_check_constraint("code_shape", "code LIKE 'ord-%'")
+    t.add_check_constraint("qty_even_bound", "qty * 2 <= 100")
+    _write(
+        spark.createDataFrame(
+            [(2, "ord-2", 50)], "id bigint, code string, qty int"
+        ),
+        root,
+    )
+    with pytest.raises(Exception, match="code_shape"):
+        _write(
+            spark.createDataFrame(
+                [(3, "bad-3", 1)], "id bigint, code string, qty int"
+            ),
+            root,
+        )
+    with pytest.raises(Exception, match="qty_even_bound"):
+        _write(
+            spark.createDataFrame(
+                [(4, "ord-4", 51)], "id bigint, code string, qty int"
+            ),
+            root,
+        )
+    assert {
+        r.id for r in VersionedTable(spark, root).read().collect()
+    } == {1, 2}
