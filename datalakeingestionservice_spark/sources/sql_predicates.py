@@ -5,8 +5,9 @@ Merge-on-read deferred deletes (`VersionedTable.delete_where_deferred`,
 manifest. Spark-session readers evaluate them with `F.expr`; the
 sessionless batch DataSource workers (`sources/versioned_batch.py`) cannot
 — so this module compiles the subset that covers real delete predicates
-(column-vs-literal comparisons, AND / OR / NOT, IS [NOT] NULL, [NOT] IN,
-[NOT] BETWEEN, [NOT] LIKE, column-side arithmetic `col * 2 > 10`,
+(column-vs-literal AND column-vs-column comparisons, AND / OR / NOT,
+IS [NOT] NULL, [NOT] IN, [NOT] BETWEEN, [NOT] LIKE, column-side
+arithmetic `col * 2 > 10`, unary length/lower/upper/trim/abs,
 struct-field access `s.x = 1`, parentheses) into a JSON-serializable AST
 on the driver and evaluates it executor-side with pyarrow.compute using
 SQL three-valued logic (Kleene AND/OR, null-propagating comparisons),
@@ -102,12 +103,15 @@ class _Parser:
       ["in", colx, [lit, ...]]
       ["like", colx, pattern]    SQL LIKE (%, _, backslash escape)
 
-    where colx (a column EXPRESSION) is either a column name — possibly
-    dotted for struct-field access (`s.x`) — or one level(s) of
-    column-side arithmetic ["arith", aop, colx, lit] with aop in
-    + - * / (e.g. `price * 2 > 10`), and lit is ["s", str] |
-    ["n", text] | ["d", iso] | ["t", iso] | ["b", bool]. Number
-    literals keep their TEXT so decimal comparisons stay exact."""
+      ["cmpc", op, colx, colx]   column-vs-column comparison
+
+    where colx (a column EXPRESSION) is a column name — possibly dotted
+    for struct-field access (`s.x`) — or column-side arithmetic
+    ["arith", aop, colx, lit] with aop in + - * / (`price * 2 > 10`),
+    or a unary function ["fn", name, colx] with name in length / lower
+    / upper / trim / abs, and lit is ["s", str] | ["n", text] |
+    ["d", iso] | ["t", iso] | ["b", bool]. Number literals keep their
+    TEXT so decimal comparisons stay exact."""
 
     _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
 
@@ -191,6 +195,21 @@ class _Parser:
         if self.peek() != "ident":
             return ("lit", self._literal())
         colx: object = self.next()[1]
+        if self.peek() == "lparen":
+            fn = colx
+            if not isinstance(fn, str) or fn.lower() not in _FUNCS:
+                raise UnsupportedPredicateError(
+                    f"unsupported function {fn!r} (supported: "
+                    f"{sorted(_FUNCS)})"
+                )
+            self.next()
+            inner, iv = self._operand()
+            if inner != "col":
+                raise UnsupportedPredicateError(
+                    f"{fn}() takes a column argument"
+                )
+            self.expect("rparen")
+            colx = ["fn", fn.lower(), iv]
         seen_ops = set()
         while self.peek() in ("arith", "minus"):
             kind, text = self.next()
@@ -279,8 +298,10 @@ class _Parser:
             return ["cmp", op, lv, rv]
         if lk == "lit" and rk == "col":
             return ["cmp", self._FLIP[op], rv, lv]
+        if lk == "col" and rk == "col":
+            return ["cmpc", op, lv, rv]
         raise UnsupportedPredicateError(
-            "comparisons must be column-vs-literal"
+            "comparisons need at least one column side"
         )
 
 
@@ -296,6 +317,10 @@ _NUMERIC = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
 }
 _INTISH = {"tinyint", "smallint", "int", "bigint"}
+#: Unary column functions with exact pyarrow twins (Spark parity: the
+#: battery pins each — length counts codepoints, trim strips SPACES
+#: only, lower/upper are unicode-aware, abs on int64/double).
+_FUNCS = {"length", "lower", "upper", "trim", "abs"}
 
 
 def _split_top(s: str) -> list[str]:
@@ -354,6 +379,27 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
         """Type a colx expression; validates arithmetic along the way."""
         if isinstance(cx, str):
             return base_type(cx)
+        if cx[0] == "fn":
+            t = col_type(cx[2])
+            stringy = t == "string" or t.startswith(("varchar", "char"))
+            if cx[1] == "length":
+                if not stringy:
+                    raise UnsupportedPredicateError(
+                        f"length() needs a string column, got {t}"
+                    )
+                return "int"
+            if cx[1] in ("lower", "upper", "trim"):
+                if not stringy:
+                    raise UnsupportedPredicateError(
+                        f"{cx[1]}() needs a string column, got {t}"
+                    )
+                return "string"
+            # abs
+            if t not in _NUMERIC:
+                raise UnsupportedPredicateError(
+                    f"abs() needs a numeric column, got {t}"
+                )
+            return "double" if t in ("float", "double") else "bigint"
         if cx[0] == "arith":
             t = col_type(cx[2])
             lit = cx[3]
@@ -444,6 +490,26 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
                 raise UnsupportedPredicateError(
                     f"LIKE needs a string column, got {t}"
                 )
+        elif kind == "cmpc":
+            lt, rt = col_type(node[2]), col_type(node[3])
+
+            def cat(t: str) -> str:
+                if t in _NUMERIC:
+                    return "num"
+                if t == "string" or t.startswith(("varchar", "char")):
+                    return "str"
+                if t.startswith("decimal"):
+                    return "dec:" + t  # exact-type match only
+                if t == "date" or t.startswith("timestamp"):
+                    return "temporal"
+                if t == "boolean":
+                    return "bool"
+                return "other:" + t
+            if cat(lt) != cat(rt) or cat(lt).startswith("other"):
+                raise UnsupportedPredicateError(
+                    f"column comparison across {lt} vs {rt} is outside "
+                    "this subset"
+                )
         elif kind == "cmp":
             t = col_type(node[2])
             if not lit_ok(t, node[3]):
@@ -495,6 +561,9 @@ def columns_of(ast: list) -> set[str]:
             cols.add(topcol(node[1]))
         elif kind == "cmp":
             cols.add(topcol(node[2]))
+        elif kind == "cmpc":
+            cols.add(topcol(node[2]))
+            cols.add(topcol(node[3]))
 
     walk(ast)
     return cols
@@ -565,6 +634,24 @@ def evaluate(ast: list, table) -> object:
         base = colarr(cx[2])
         if pa.types.is_null(base.type):
             return base
+        if cx[0] == "fn":
+            name = cx[1]
+            if name == "length":
+                # Spark length() counts codepoints; cast to int32 to
+                # mirror its INT result type.
+                return pc.cast(pc.utf8_length(base), pa.int32())
+            if name == "lower":
+                return pc.utf8_lower(base)
+            if name == "upper":
+                return pc.utf8_upper(base)
+            if name == "trim":
+                # Spark trim() strips SPACES only (not all whitespace).
+                return pc.utf8_trim(base, " ")
+            if name == "abs":
+                if pa.types.is_floating(base.type):
+                    return pc.abs(pc.cast(base, pa.float64()))
+                return pc.abs_checked(pc.cast(base, pa.int64()))
+            raise UnsupportedPredicateError(f"unknown function {name!r}")
         aop, ltext = cx[1], cx[3][1]
         if aop == "/":
             # Spark's / is always double division.
@@ -602,6 +689,13 @@ def evaluate(ast: list, table) -> object:
             if pa.types.is_null(col.type):
                 return nulls_bool()
             return pc.match_like(col, node[2])
+        if kind == "cmpc":
+            lcol, rcol = colarr(node[2]), colarr(node[3])
+            if pa.types.is_null(lcol.type) or pa.types.is_null(
+                rcol.type
+            ):
+                return nulls_bool()
+            return _CMP[node[1]](lcol, rcol)
         if kind == "cmp":
             col = colarr(node[2])
             if pa.types.is_null(col.type):

@@ -159,6 +159,29 @@ def _arrow_type_from_simple(s: str):
     if s.startswith("array<") and s.endswith(">"):
         inner = _arrow_type_from_simple(s[6:-1])
         return pa.list_(inner) if inner is not None else None
+    if s.startswith("struct<") and s.endswith(">"):
+        from datalakeingestionservice_spark.sources.sql_predicates import (
+            _split_top,
+        )
+
+        fields = []
+        for part in _split_top(s[len("struct<"):-1]):
+            name, _, t = part.partition(":")
+            it = _arrow_type_from_simple(t)
+            if it is None:
+                return None
+            fields.append(pa.field(name, it))
+        return pa.struct(fields)
+    if s.startswith("map<") and s.endswith(">"):
+        from datalakeingestionservice_spark.sources.sql_predicates import (
+            _split_top,
+        )
+
+        parts = _split_top(s[len("map<"):-1])
+        if len(parts) != 2:
+            return None
+        kt, vt = (_arrow_type_from_simple(p2) for p2 in parts)
+        return pa.map_(kt, vt) if kt is not None and vt is not None else None
     return None
 
 
@@ -488,6 +511,17 @@ def _arrow_type_for(dt):
         return pa.binary()
     if isinstance(dt, T.ArrayType):
         return pa.list_(_arrow_type_for(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [
+                pa.field(f.name, _arrow_type_for(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.MapType):
+        return pa.map_(
+            _arrow_type_for(dt.keyType), _arrow_type_for(dt.valueType)
+        )
     raise ValueError(
         f"unsupported column type for the versioned writer: "
         f"{dt.simpleString()}"

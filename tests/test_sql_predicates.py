@@ -95,6 +95,21 @@ PREDICATES = [
     "id + 1 + 1 = 4",
     "v / 4 = 1.0",
     "id * 2 IS NOT NULL",
+    # round 6 (second pass): col-vs-col + unary functions
+    "id = rid",
+    "id < rid",
+    "id + 1 > rid",
+    "v > id",
+    "s = s",
+    "d < ts",
+    "length(s) > 4",
+    "length(s) = 5",
+    "lower(s) = 'epsilon'",
+    "upper(s) LIKE 'E%'",
+    "trim(s) = 'alpha'",
+    "abs(v) > 0.4",
+    "abs(id) = 2",
+    "length(s) + 1 = 6",
 ]
 
 
@@ -168,8 +183,12 @@ def test_null_type_column_comparisons():
 @pytest.mark.parametrize(
     "sql",
     [
-        "id = other_col",          # col-vs-col
-        "length(s) > 0",           # function call
+        "id = other_col",          # unknown column on the right
+        "substr(s, 1) = 'a'",      # unsupported function
+        "length(id) > 0",          # length of a non-string
+        "abs(s) = 1",              # abs of a string
+        "id = flag",               # cross-category col-vs-col
+        "amt = v",                 # decimal-vs-double col comparison
         "id + 1 * 2 = 3",          # mixed-precedence arithmetic
         "amt * 2 > 2",             # decimal arithmetic
         "s + 1 = 2",               # arithmetic on a string column

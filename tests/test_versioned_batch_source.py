@@ -156,7 +156,9 @@ def test_unsupported_deferred_predicate_refused(spark, tmp_path):
         root,
         spark.createDataFrame([(1, "a")], "id bigint, val string"),
     )
-    t.delete_where_deferred("length(val) > 0")
+    # round 6 widened the subset (length/LIKE/arith now compile), so the
+    # canonical refusal predicate moved to a still-unsupported function.
+    t.delete_where_deferred("substring(val, 1, 1) = 'a'")
     with pytest.raises(Exception, match="outside the compilable subset"):
         VersionedTableReader({"table_root": root})
     # compact() materializes and re-enables the source.
