@@ -1733,16 +1733,33 @@ class VersionedTable:
         shared bucket key from the cluster's biggest shuffle into N
         embarrassingly parallel joins.
 
-        Inner and left-semi joins only (a bucket absent on either side
-        proves the absence of matches; outer joins would need the
-        unmatched sides stitched back in). NULL keys never match an
-        equi-join, and the bucket layout isolates them in the hive-null
-        leaf, which this join skips. Entries not carrying the bucket
-        alias (written under an older spec) refuse with a pointer —
-        `compact()` migrates them."""
-        if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        Supported joins: inner, left_semi, left_anti, left (outer), and
+        full (outer). Outer joins stitch the unmatched sides back in
+        from METADATA alone: a bucket present on only one side provably
+        has no matches, so its rows union in padded with typed NULLs —
+        no join runs for it at all — and NULL-key rows (isolated in the
+        hive-null leaf by the bucket layout) are likewise emitted
+        unmatched for the sides outer semantics keeps. Full-outer
+        per-bucket pairs can't broadcast (Spark can't broadcast either
+        side of a full join), so they fall back to bucket-local shuffle
+        joins. Entries not carrying the bucket alias (written under an
+        older spec) refuse with a pointer — `compact()` migrates
+        them."""
+        hows = {
+            "inner": "inner",
+            "left_semi": "left_semi", "leftsemi": "left_semi",
+            "semi": "left_semi",
+            "left_anti": "left_anti", "leftanti": "left_anti",
+            "anti": "left_anti",
+            "left": "left", "left_outer": "left", "leftouter": "left",
+            "full": "full", "full_outer": "full", "fullouter": "full",
+            "outer": "full",
+        }
+        how = hows.get(how)
+        if how is None:
             raise ValueError(
-                f"bucket_join supports inner/left-semi, got {how!r}"
+                "bucket_join supports inner/left-semi/left-anti/left/"
+                "full"
             )
 
         def bucket_spec(t: "VersionedTable", m) -> tuple[int, str]:
@@ -1767,8 +1784,9 @@ class VersionedTable:
                 "co-locate — rebucket one side"
             )
 
-        def by_bucket(t: "VersionedTable", m, alias: str) -> dict:
+        def by_bucket(t: "VersionedTable", m, alias: str):
             groups: dict[int, list] = {}
+            null_sel: list = []
             for rel in m.files:
                 pv = m.stats.get(rel, {}).get("part_values")
                 if pv is None or alias not in pv:
@@ -1778,12 +1796,15 @@ class VersionedTable:
                     )
                 raw = pv[alias]
                 if raw is None:
-                    continue  # null keys match nothing in an equi-join
+                    # NULL keys match nothing in an equi-join; outer
+                    # semantics emit them unmatched from this list.
+                    null_sel.append((rel, None))
+                    continue
                 groups.setdefault(int(raw), []).append((rel, None))
-            return groups
+            return groups, null_sel
 
-        gl = by_bucket(self, ml, alias_l)
-        gr = by_bucket(other, mr, alias_r)
+        gl, null_l = by_bucket(self, ml, alias_l)
+        gr, null_r = by_bucket(other, mr, alias_r)
 
         def rows_of(m, sel) -> int:
             return sum(
@@ -1791,42 +1812,102 @@ class VersionedTable:
                 for rel, _ in sel
             )
 
-        semi = how != "inner"
+        from pyspark.sql.types import StructType as _St
+
+        l_fields = _St.fromDDL(ml.schema_ddl).fields
+        r_fields = _St.fromDDL(mr.schema_ddl).fields
+        l_mk = [f for f in l_fields if f.name != on]
+        r_mk = [f for f in r_fields if f.name != on]
+
+        def pad_left(dfl: DataFrame) -> DataFrame:
+            """Left rows provably unmatched -> join-output shape
+            ([key, left-minus-key, right-minus-key(NULL-typed)])."""
+            return dfl.select(
+                F.col(on),
+                *[F.col(f.name) for f in l_mk],
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in r_mk
+                ],
+            )
+
+        def pad_right(dfr: DataFrame) -> DataFrame:
+            return dfr.select(
+                F.col(on),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in l_mk
+                ],
+                *[F.col(f.name) for f in r_mk],
+            )
+
+        left_order = how in ("left_semi", "left_anti")
         pieces: list[DataFrame] = []
         for b in sorted(set(gl) & set(gr)):
             dfl = self._scan_entries(gl[b], ml)
             dfr = other._scan_entries(gr[b], mr)
-            if dfl is None or dfr is None:
+            if dfl is None and dfr is None:
                 continue
+            if dfr is None:
+                dfr = self.spark.createDataFrame([], _St(r_fields))
+            if dfl is None:
+                dfl = self.spark.createDataFrame([], _St(l_fields))
             rl, rr = rows_of(ml, gl[b]), rows_of(mr, gr[b])
-            if semi:
+            if how in ("left_semi", "left_anti", "left"):
+                # Only the right side may broadcast under these joins.
                 if rr <= broadcast_rows:
                     dfr = F.broadcast(dfr)
-                pieces.append(dfl.join(dfr, on=[on], how="left_semi"))
+                pieces.append(dfl.join(dfr, on=[on], how=how))
+            elif how == "full":
+                # Neither side of a full join broadcasts: bucket-local
+                # shuffle pairs, AQE-sized.
+                pieces.append(dfl.join(dfr, on=[on], how="full"))
             elif rr <= rl and rr <= broadcast_rows:
                 pieces.append(dfl.join(F.broadcast(dfr), on=[on]))
             elif rl < rr and rl <= broadcast_rows:
                 pieces.append(F.broadcast(dfl).join(dfr, on=[on]))
             else:
                 pieces.append(dfl.join(dfr, on=[on]))
+        # Metadata-only stitching: one-sided buckets and null-key
+        # leaves never run a join at all.
+        if how in ("left_anti", "left", "full"):
+            lonely = [
+                sel
+                for b, sel in sorted(gl.items())
+                if b not in gr
+                for sel in [sel]
+            ]
+            for sel in lonely + ([null_l] if null_l else []):
+                dfl = self._scan_entries(sel, ml)
+                if dfl is None:
+                    continue
+                pieces.append(
+                    dfl if left_order else pad_left(dfl)
+                )
+        if how == "full":
+            lonely_r = [
+                sel for b, sel in sorted(gr.items()) if b not in gl
+            ]
+            for sel in lonely_r + ([null_r] if null_r else []):
+                dfr = other._scan_entries(sel, mr)
+                if dfr is None:
+                    continue
+                pieces.append(pad_right(dfr))
         if not pieces:
-            # No shared non-null buckets: the join is provably empty.
-            l_schema = self.read().schema
-            r_schema = other.read().schema
-            out_fields = list(l_schema.fields) + (
-                []
-                if semi
-                else [f for f in r_schema.fields if f.name != on]
+            out_fields = (
+                list(l_fields)
+                if left_order
+                else [f for f in l_fields if f.name == on]
+                + l_mk
+                + r_mk
             )
-            from pyspark.sql.types import StructType as _St
-
             return self.spark.createDataFrame([], _St(out_fields))
         out = pieces[0]
         for p in pieces[1:]:
-            # Positional union: every piece is the same join of
-            # identically-conformed scans, so schemas align by
-            # construction — and unlike unionByName this tolerates the
-            # duplicate non-key column names a plain join output allows.
+            # Positional union: every piece is conformed to the same
+            # join-output shape, so schemas align by construction — and
+            # unlike unionByName this tolerates the duplicate non-key
+            # column names a plain join output allows.
             out = out.union(p)
         return out
 

@@ -102,8 +102,10 @@ def test_bucket_join_validation(spark, tmp_path):
         t4.bucket_join(t8, "k")
     with pytest.raises(ValueError, match="not partitioned by bucket"):
         t4.bucket_join(tid, "k")
-    with pytest.raises(ValueError, match="inner/left-semi"):
-        t4.bucket_join(t4, "k", how="full_outer")
+    with pytest.raises(ValueError, match="supports inner"):
+        t4.bucket_join(t4, "k", how="cross")
+    with pytest.raises(ValueError, match="supports inner"):
+        t4.bucket_join(t4, "k", how="right")
 
 
 def test_bucket_join_old_spec_entries_refuse_then_compact_lifts(
@@ -152,3 +154,57 @@ def test_bucket_join_after_appends_both_sides(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@pytest.mark.parametrize("how", ["left", "full", "left_anti"])
+def test_bucket_join_outer_and_anti_parity(spark, tmp_path, how):
+    """Outer joins stitch one-sided buckets and null-key leaves back in
+    from metadata; output must equal the plain Spark join of the same
+    frames, null keys included."""
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(150)] + [(None, "lnull")],
+        "k bigint, lv string",
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100, 250)] + [(None, "rnull")],
+        "k bigint, rv string",
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), left, partition_by=["bucket(8, k)"]
+    )
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), right, partition_by=["bucket(8, k)"]
+    )
+    got = tl.bucket_join(tr, "k", how=how)
+    want = left.join(right, on=["k"], how=how)
+    assert got.columns == want.columns
+    assert sorted(
+        map(tuple, got.collect()), key=str
+    ) == sorted(map(tuple, want.collect()), key=str)
+
+
+def test_bucket_join_left_plan_has_no_shuffle(spark, tmp_path):
+    """Left-outer keeps the shuffle-free shape (right side broadcasts;
+    stitched pieces are plain scans)."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k bigint, v string"
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), df, partition_by=["bucket(4, k)"]
+    )
+    tr = VersionedTable.create(
+        spark,
+        str(tmp_path / "r"),
+        df.withColumnRenamed("v", "w").limit(50),
+        partition_by=["bucket(4, k)"],
+    )
+    plan = (
+        tl.bucket_join(tr, "k", how="left")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert not re.findall(r"Exchange \w*hashpartitioning", plan)
