@@ -495,3 +495,32 @@ def test_minmax_rescan_prunes_partitioned_source(spark, roots):
     s = VersionedTable(spark, view_root).manifest().summary
     assert s.get("minmax_rescan_groups") == 1
     assert s.get("minmax_rescan_dirs_skipped", 0) > 0
+
+
+def test_view_over_hidden_partitioned_and_bucketed_source(spark, roots):
+    """Round 6: the incremental MV machinery composes with transform
+    partition layouts — the CDF the refresh consumes is layout-agnostic,
+    and the view must track DML on a hidden-bucket-partitioned source
+    exactly like a flat one."""
+    src_root, view_root = roots
+    t = VersionedTable.create(
+        spark,
+        src_root,
+        _df(
+            spark,
+            [(1, "a", "1.00"), (2, "a", "2.00"), (3, "b", "5.00"),
+             (4, "c", "7.00")],
+        ),
+        partition_by=["bucket(4, id)"],
+        materialize_changes=True,
+    )
+    view = IncrementalAggView(
+        spark, src_root, view_root, ["grp"], {"total": "amt"}
+    )
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
+    t.append(_df(spark, [(5, "b", "3.00"), (6, "d", "9.00")]))
+    t.merge(_df(spark, [(1, "a", "10.00")]), ["id"])
+    t.delete_where(F.col("grp") == "c")
+    view.refresh()
+    assert _view_state(view) == _recompute(t)
