@@ -208,3 +208,61 @@ def test_bucket_join_left_plan_has_no_shuffle(spark, tmp_path):
     )
     assert "SortMergeJoin" not in plan
     assert not re.findall(r"Exchange \w*hashpartitioning", plan)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_bucket_join_parity_under_random_dml(spark, tmp_path, seed):
+    """Seeded DML fuzz: random appends / merges / COW deletes / deferred
+    deletes / compactions on BOTH bucketed sides, with inner/left/full
+    join parity against plain Spark joins re-checked after every step —
+    guards the newest composite read path against layout drift."""
+    import random
+
+    rng = random.Random(seed)
+
+    def mk(rows, p):
+        return spark.createDataFrame(
+            [(k, f"{p}{k}v{v}") for k, v in rows], "k bigint, v string"
+        )
+
+    tl = VersionedTable.create(
+        spark,
+        str(tmp_path / "l"),
+        mk([(i, 0) for i in range(30)], "l"),
+        partition_by=["bucket(4, k)"],
+    )
+    tr = VersionedTable.create(
+        spark,
+        str(tmp_path / "r"),
+        mk([(i, 0) for i in range(15, 45)], "r"),
+        partition_by=["bucket(4, k)"],
+    )
+
+    def check():
+        lv = tl.read().withColumnRenamed("v", "lv")
+        rv = tr.read().withColumnRenamed("v", "rv")
+        for how in ("inner", "left", "full"):
+            got = tl.bucket_join(tr, "k", how=how)
+            want = lv.join(rv, on=["k"], how=how)
+            assert sorted(
+                map(tuple, got.collect()), key=str
+            ) == sorted(map(tuple, want.collect()), key=str), (how, seed)
+
+    check()
+    for step in range(6):
+        t = rng.choice([tl, tr])
+        op = rng.choice(["append", "merge", "delete", "defer", "compact"])
+        p = "l" if t is tl else "r"
+        if op == "append":
+            lo = rng.randrange(0, 60)
+            t.append(mk([(i, step + 1) for i in range(lo, lo + 5)], p))
+        elif op == "merge":
+            ks = rng.sample(range(60), 3)
+            t.merge(mk([(k, 90 + step) for k in ks], p), ["k"])
+        elif op == "delete":
+            t.delete_where(F.col("k") % 7 == rng.randrange(7))
+        elif op == "defer":
+            t.delete_where_deferred(f"k = {rng.randrange(60)}")
+        else:
+            t.compact()
+        check()
