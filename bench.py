@@ -79,9 +79,10 @@ def main() -> None:
         ).collect()
         control_best = min(control_best, time.perf_counter() - t0)
     # Seconds on the round-6 reference host, measured INSIDE a full
-    # bench run (fully JIT-warmed session — an under-warmed calibration
-    # reads ~2x higher).
-    _CONTROL_REF = 0.17
+    # bench run on an otherwise-idle host (fully JIT-warmed session —
+    # an under-warmed calibration reads ~2x higher, a co-loaded host
+    # ~25% higher).
+    _CONTROL_REF = 0.136
     load_factor = round(control_best / _CONTROL_REF, 3)
     result = {
         "metric": "headline_queries_total_wall_clock",
