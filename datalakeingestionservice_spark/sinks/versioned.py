@@ -2866,6 +2866,7 @@ class VersionedTable:
         zorder_by: list[str] | None = None,
         bits: int = 8,
         small_entry_max_rows: int | None = None,
+        where: list[tuple] | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the current snapshot's many small data dirs
         into one fresh dir (the small-files problem every streaming sink
@@ -2885,27 +2886,54 @@ class VersionedTable:
         the current version unchanged when fewer than two small entries
         exist (nothing to gain).
 
+        With `where` — a conjunction of (column, op, literal) triples,
+        same shape as `read(predicates=)` — the compaction is
+        PREDICATE-SCOPED (Delta's `OPTIMIZE WHERE`): only entries whose
+        stats / partition values / blooms MAY match the predicate
+        rewrite; everything provably outside it carries untouched. On a
+        month-partitioned 100 TB table, "optimize the current month"
+        costs the current month. Composes with `small_entry_max_rows`
+        (intersection) and `zorder_by`.
+
         Data-preserving: commits operation='compact' with identical rows;
         `changes()` across it diffs to empty, and readers of old versions
         still see the old dirs until expire+vacuum."""
         parent = self.latest_version()
         pm = self.manifest(parent)
         carried_rels: list[str] = []
-        if small_entry_max_rows is None:
-            sel = [(rel, None) for rel in pm.files]
-        else:
+        scoped = where is not None or small_entry_max_rows is not None
+        rewrite = list(pm.files)
+        if where:
+            part_types = self._part_types(pm)
+            fwd = _log_to_phys(pm.column_mapping)
+            phys = [(fwd.get(c, c), op, v) for c, op, v in where]
+            phys = _derive_transform_preds(
+                phys, pm.partition_by, fwd, self._schema_types(pm),
+                pm.past_specs,
+            ) or []
+            rewrite = [
+                rel
+                for rel in rewrite
+                if _entry_may_match(
+                    pm.stats.get(rel, {}), phys, part_types
+                )
+            ]
+        if small_entry_max_rows is not None:
             # Missing row stats read as small: the entry gets rewritten,
             # which is safe (and gives it stats).
-            small = [
+            rewrite = [
                 rel
-                for rel in pm.files
+                for rel in rewrite
                 if pm.stats.get(rel, {}).get("rows", -1)
                 < small_entry_max_rows
             ]
-            if len(small) <= 1:
-                return parent
-            carried_rels = [rel for rel in pm.files if rel not in small]
-            sel = [(rel, None) for rel in small]
+        if scoped:
+            if len(rewrite) <= 1:
+                return parent  # nothing to gain from rewriting <=1 entry
+            carried_rels = [
+                rel for rel in pm.files if rel not in rewrite
+            ]
+        sel = [(rel, None) for rel in rewrite]
         df = self._scan_entries(sel, pm)
         if df is None:
             return parent
@@ -2940,7 +2968,7 @@ class VersionedTable:
                         "n_entries_compacted": len(sel),
                         "n_entries_carried": len(carried_rels),
                     }
-                    if small_entry_max_rows is not None
+                    if scoped
                     else {}
                 ),
             },

@@ -493,3 +493,66 @@ def test_partition_evolution_validation(spark, tmp_path):
         t.set_partition_spec(["grp"])
     with pytest.raises(ValueError, match="every column"):
         t.set_partition_spec(["grp", "id"])
+
+
+def test_predicate_scoped_compact(spark, tmp_path):
+    """OPTIMIZE WHERE (round 6): compact(where=[...]) rewrites only the
+    entries whose stats/partition values may match; everything provably
+    outside the predicate carries forward physically untouched."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "vtow")
+    rows = [
+        (i, dt.date(2024, 1 + (i % 3), 1 + i % 5), f"v{i}")
+        for i in range(30)
+    ]
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(rows, "id bigint, d date, val string"),
+        partition_by=["month(d)"],
+    )
+    # Drip three more commits into the March leaf only.
+    for k in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(100 + k, dt.date(2024, 3, 10 + k), f"m{k}")],
+                "id bigint, d date, val string",
+            )
+        )
+    pm = t.manifest()
+    march_entries = [
+        rel
+        for rel in pm.files
+        if pm.stats[rel]["part_values"].get("d_month") == "2024-03"
+    ]
+    other_entries = [
+        rel for rel in pm.files if rel not in march_entries
+    ]
+    assert len(march_entries) == 4  # create leaf + 3 drips
+    v = t.compact(where=[("d", ">=", dt.date(2024, 3, 1))])
+    m2 = t.manifest(v)
+    assert m2.summary["n_entries_compacted"] == 4
+    assert m2.summary["n_entries_carried"] == len(other_entries)
+    # Carried entries are byte-identical rels; March is now one leaf.
+    assert set(other_entries) <= set(m2.files)
+    new_march = [
+        rel
+        for rel in m2.files
+        if m2.stats[rel]["part_values"].get("d_month") == "2024-03"
+    ]
+    assert len(new_march) == 1 and not set(new_march) & set(
+        march_entries
+    )
+    # Rows preserved exactly; the feed skips the compact commit.
+    got = {(r.id, r.val) for r in t.read().collect()}
+    assert len(got) == 33 and (102, "m2") in got
+    assert t.changes(v - 1, v).count() == 0
+    # A no-op scope (nothing matches twice over) returns the version.
+    assert t.compact(where=[("d", ">=", dt.date(2030, 1, 1))]) == v
