@@ -239,3 +239,53 @@ def repetition_metrics(
         ),
         "dup_bigram_frac",
     )
+
+
+#: PII patterns shared by the Spark operator and its DuckDB oracle —
+#: plain character classes + quantifiers only, so Java regex (Spark) and
+#: RE2 (DuckDB) agree character-for-character. Order matters: emails
+#: redact first, then SSNs (\d3-\d2-\d4), then phones (\d3-\d3-\d4) —
+#: the three shapes cannot overlap each other's matches.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN = r"\d{3}-\d{2}-\d{4}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII redaction for training-data curation (the Dolma/C4-style
+    tagger step): emails, US SSNs, and US phone numbers are counted on
+    the ORIGINAL text (per type, no interference) and replaced in
+    sequence, appending `{text_col}_scrubbed`, `n_emails`, `n_ssns`,
+    `n_phones`, `n_redactions`. Pure JVM `regexp_count`/
+    `regexp_replace` projections — zero shuffles, zero Python; at
+    100 TB this is a map-only pass that pipelines into the surrounding
+    quality filters.
+
+    Reference anchor: the closest reference behavior is the masking
+    step (`DataMasking`, SURVEY §2A A23) which blanks whole columns;
+    this is the content-level equivalent for free text."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, replacement),
+            PII_SSN,
+            replacement,
+        ),
+        PII_PHONE,
+        replacement,
+    )
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ssns = F.regexp_count(t, F.lit(PII_SSN))
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE))
+    return df.select(
+        "*",
+        scrubbed.alias(f"{text_col}_scrubbed"),
+        n_emails.alias("n_emails"),
+        n_ssns.alias("n_ssns"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_ssns + n_phones).alias("n_redactions"),
+    )

@@ -266,3 +266,99 @@ def q112_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("dup_bigram_frac") > 0.3)
         ).alias("is_repetitive"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q142_pii_scrub",
+    tags=("curation", "pii", "redaction", "llm"),
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@corp.example.com or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 2 = 0 THEN
+                   ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+    len(regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}')) AS n_ssns,
+    len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}')) AS n_phones,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+          '[REDACTED]', 'g'),
+        '\\d{3}-\\d{2}-\\d{4}', '[REDACTED]', 'g'),
+      '\\d{3}-\\d{3}-\\d{4}', '[REDACTED]', 'g') AS text_scrubbed
+  FROM aug
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_ssns) AS BIGINT) AS total_ssns,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       CAST(sum(length(text_scrubbed)) AS BIGINT) AS total_len,
+       CAST(sum(CASE WHEN n_emails + n_ssns + n_phones > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched
+FROM scrubbed
+""",
+)
+def q142_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (`operators/curation.py scrub_pii` — the
+    Dolma/C4-style redaction tagger): the documents corpus is augmented
+    IN-PLAN with deterministic synthetic PII (email + phone per doc, SSN
+    on even ids — both engines build the identical strings from doc_id),
+    then scrubbed. Per-type counts come from the original text and the
+    redacted corpus is value-checked via total length — a regex-semantics
+    divergence between Spark's Java regex and DuckDB's RE2, or a
+    missed/doubled replacement, shifts the totals. The operator is a
+    map-only JVM projection (regexp_count/regexp_replace): at 100 TB it
+    pipelines into the curation pass with zero shuffles."""
+    from datalakeingestionservice_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    env = Env(spark, sf_dir)
+    d = F.col("doc_id")
+    pad = lambda m, w: F.lpad((d % m).cast("string"), w, "0")  # noqa: E731
+    aug = env.t("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@corp.example.com or 555-"),
+            pad(1000, 3),
+            F.lit("-"),
+            pad(10000, 4),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    pad(1000, 3),
+                    F.lit("-"),
+                    pad(100, 2),
+                    F.lit("-"),
+                    pad(10000, 4),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    s = scrub_pii(aug, "text")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_ssns").alias("total_ssns"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(F.length("text_scrubbed")).alias("total_len"),
+        F.sum(
+            (F.col("n_redactions") > 0).cast("bigint")
+        ).alias("docs_touched"),
+    )

@@ -144,3 +144,32 @@ def test_repetition_metrics_single_token_doc(spark):
     df = _docs(spark, [(1, "solo")])
     r = repetition_metrics(df).collect()[0]
     assert r.n_tokens == 1 and r.dup_bigram_frac == 0.0
+
+
+def test_scrub_pii_counts_and_replacement(spark):
+    from datalakeingestionservice_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+x@corp.example.com and 555-123-4567 ok"),
+            (2, "ssn 123-45-6789 twice 999-11-2222"),
+            (3, "clean text only"),
+            (4, "x@y.io y@z.org 111-22-3333 444-555-6666"),
+        ],
+        "id bigint, text string",
+    )
+    got = {
+        r.id: (r.n_emails, r.n_ssns, r.n_phones, r.text_scrubbed)
+        for r in scrub_pii(df, "text").collect()
+    }
+    assert got[1] == (1, 0, 1, "mail [REDACTED] and [REDACTED] ok")
+    assert got[2] == (0, 2, 0, "ssn [REDACTED] twice [REDACTED]")
+    assert got[3] == (0, 0, 0, "clean text only")
+    assert got[4] == (
+        2,
+        1,
+        1,
+        "[REDACTED] [REDACTED] [REDACTED] [REDACTED]",
+    )
