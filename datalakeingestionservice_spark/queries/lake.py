@@ -1467,3 +1467,95 @@ def q141_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("custkey").alias("n_customers"),
         F.sum("o_totalprice").cast("double").alias("sum_price"),
     ).withColumn("no_shuffle_ok", F.lit(bool(no_shuffle)))
+
+
+@register(
+    "q143_scoped_optimize",
+    tags=("lake", "maintenance", "compaction", "optimize-where"),
+    oracle="""
+WITH mm AS (
+  SELECT strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m') AS top_month
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CASE WHEN strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+                          = (SELECT top_month FROM mm)
+                THEN 1 ELSE 0 END) AS BIGINT) AS top_month_rows,
+       TRUE AS scoped_ok
+FROM lineitem
+""",
+)
+def q143_scoped_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped OPTIMIZE (round-6 `compact(where=[...])` —
+    Delta's OPTIMIZE WHERE): lineitem lands month-partitioned, three
+    drip appends hit the NEWEST month, and the maintenance pass runs
+    `compact(where=[l_shipdate >= first-of-top-month])`. In-plan
+    assertions (folded into `scoped_ok`): exactly the top month's 4
+    entries compacted into 1, every other month's entry rel carried
+    BYTE-IDENTICAL, and the change feed skips the commit. The oracle
+    recomputes the row/aggregate totals from raw lineitem — a scoped
+    compact that lost or duplicated rows anywhere shifts them. At
+    100 TB this is the maintenance primitive: 'optimize the current
+    month' costs the current month, not the table."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ow_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    li = env.t("lineitem").select(
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+    )
+    t = VersionedTable.create(
+        spark, base, li, partition_by=["month(l_shipdate)"]
+    )
+    top = li.agg(F.max("l_shipdate")).collect()[0][0]
+    first = top.replace(day=1)
+    for k in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(top, None)], "l_shipdate date, l_quantity decimal(18,2)"
+            ).select(
+                "l_shipdate",
+                F.lit(k + 1).cast("decimal(18,2)").alias("l_quantity"),
+            )
+        )
+    pm = t.manifest()
+    alias = "l_shipdate_month"
+    top_key = f"{first.year:04d}-{first.month:02d}"
+    before_top = [
+        r for r in pm.files
+        if pm.stats[r]["part_values"].get(alias) == top_key
+    ]
+    others = [r for r in pm.files if r not in before_top]
+    v = t.compact(where=[("l_shipdate", ">=", first)])
+    m2 = t.manifest(v)
+    after_top = [
+        r for r in m2.files
+        if m2.stats[r]["part_values"].get(alias) == top_key
+    ]
+    scoped_ok = (
+        len(before_top) == 4
+        and len(after_top) == 1
+        and set(others) <= set(m2.files)
+        and m2.summary.get("n_entries_carried") == len(others)
+        and t.changes(v - 1, v).count() == 0
+    )
+    # The three drip rows are synthetic; subtract them so the oracle
+    # recomputes from RAW lineitem alone (their quantities 1+2+3 and
+    # count 3 are constants both sides could bake in — cleaner to keep
+    # the oracle pure).
+    agg = t.read().agg(
+        (F.count(F.lit(1)) - 3).alias("n_rows"),
+        (F.sum("l_quantity") - 6).cast("double").alias("sum_qty"),
+        (
+            F.sum(
+                (
+                    F.date_format("l_shipdate", "yyyy-MM")
+                    == F.lit(top_key)
+                ).cast("bigint")
+            )
+            - 3
+        ).alias("top_month_rows"),
+    )
+    return agg.withColumn("scoped_ok", F.lit(bool(scoped_ok)))
