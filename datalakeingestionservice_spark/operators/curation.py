@@ -245,7 +245,8 @@ def repetition_metrics(
 #: plain character classes + quantifiers only, so Java regex (Spark) and
 #: RE2 (DuckDB) agree character-for-character. Order matters: emails
 #: redact first, then SSNs (\d3-\d2-\d4), then phones (\d3-\d3-\d4) —
-#: the three shapes cannot overlap each other's matches.
+#: SSN/phone-shaped runs inside an email are consumed by the email
+#: stage (counts are staged accordingly in `scrub_pii`).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_SSN = r"\d{3}-\d{2}-\d{4}"
 PII_PHONE = r"\d{3}-\d{3}-\d{4}"
@@ -257,30 +258,28 @@ def scrub_pii(
     replacement: str = "[REDACTED]",
 ) -> DataFrame:
     """PII redaction for training-data curation (the Dolma/C4-style
-    tagger step): emails, US SSNs, and US phone numbers are counted on
-    the ORIGINAL text (per type, no interference) and replaced in
+    tagger step): emails, US SSNs, and US phone numbers redact in
     sequence, appending `{text_col}_scrubbed`, `n_emails`, `n_ssns`,
-    `n_phones`, `n_redactions`. Pure JVM `regexp_count`/
-    `regexp_replace` projections — zero shuffles, zero Python; at
-    100 TB this is a map-only pass that pipelines into the surrounding
-    quality filters.
+    `n_phones`, `n_redactions`. Each count is taken on the text AS THE
+    PREVIOUS STAGE LEFT IT, so the counts equal the replacements
+    actually applied — a phone-shaped digit run INSIDE an email address
+    (`555-123-4567@corp.example.com`) is consumed by the email redaction
+    and never double-counted as a phone (the replacement token contains
+    no digits or '@', so redaction can't mint new matches either). Pure
+    JVM `regexp_count`/`regexp_replace` projections — zero shuffles,
+    zero Python; at 100 TB this is a map-only pass that pipelines into
+    the surrounding quality filters.
 
     Reference anchor: the closest reference behavior is the masking
     step (`DataMasking`, SURVEY §2A A23) which blanks whole columns;
     this is the content-level equivalent for free text."""
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, replacement),
-            PII_SSN,
-            replacement,
-        ),
-        PII_PHONE,
-        replacement,
-    )
+    after_email = F.regexp_replace(t, PII_EMAIL, replacement)
+    after_ssn = F.regexp_replace(after_email, PII_SSN, replacement)
+    scrubbed = F.regexp_replace(after_ssn, PII_PHONE, replacement)
     n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
-    n_ssns = F.regexp_count(t, F.lit(PII_SSN))
-    n_phones = F.regexp_count(t, F.lit(PII_PHONE))
+    n_ssns = F.regexp_count(after_email, F.lit(PII_SSN))
+    n_phones = F.regexp_count(after_ssn, F.lit(PII_PHONE))
     return df.select(
         "*",
         scrubbed.alias(f"{text_col}_scrubbed"),

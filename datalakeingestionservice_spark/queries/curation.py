@@ -285,20 +285,29 @@ WITH aug AS (
                  ELSE '' END AS text
   FROM documents
 ),
+staged AS (
+  SELECT doc_id, text,
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+      '[REDACTED]', 'g') AS after_email
+  FROM aug
+),
+staged2 AS (
+  SELECT *, regexp_replace(after_email,
+      '\\d{3}-\\d{2}-\\d{4}', '[REDACTED]', 'g') AS after_ssn
+  FROM staged
+),
 scrubbed AS (
   SELECT doc_id,
     len(regexp_extract_all(text,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-    len(regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}')) AS n_ssns,
-    len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}')) AS n_phones,
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-          '[REDACTED]', 'g'),
-        '\\d{3}-\\d{2}-\\d{4}', '[REDACTED]', 'g'),
+    len(regexp_extract_all(after_email,
+        '\\d{3}-\\d{2}-\\d{4}')) AS n_ssns,
+    len(regexp_extract_all(after_ssn,
+        '\\d{3}-\\d{3}-\\d{4}')) AS n_phones,
+    regexp_replace(after_ssn,
       '\\d{3}-\\d{3}-\\d{4}', '[REDACTED]', 'g') AS text_scrubbed
-  FROM aug
+  FROM staged2
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_emails) AS BIGINT) AS total_emails,

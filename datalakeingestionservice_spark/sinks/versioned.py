@@ -1766,6 +1766,26 @@ class VersionedTable:
             for entry in m.partition_by:
                 fn, param, col = _parse_spec_entry(entry)
                 if fn == "bucket" and col == on:
+                    # A PAST spec with a different modulus means entries
+                    # may carry bucket indices computed mod the OLD N —
+                    # pairing them by index would silently drop matches.
+                    # A FULL compact() rewrites everything under the
+                    # current spec and clears past_specs, lifting this.
+                    for spec in m.past_specs:
+                        for e2 in spec:
+                            fn2, p2, c2 = _parse_spec_entry(e2)
+                            if (
+                                fn2 == "bucket"
+                                and c2 == on
+                                and p2 != param
+                            ):
+                                raise ValueError(
+                                    f"{t.root}: bucket({p2}, {on}) "
+                                    f"evolved to bucket({param}, {on}); "
+                                    "entries may group under the old "
+                                    "modulus — run a full compact() to "
+                                    "migrate before bucket_join"
+                                )
                     fwd = _log_to_phys(m.column_mapping)
                     return param, _transform_alias(
                         "bucket", fwd.get(col, col)
@@ -1872,10 +1892,7 @@ class VersionedTable:
         # leaves never run a join at all.
         if how in ("left_anti", "left", "full"):
             lonely = [
-                sel
-                for b, sel in sorted(gl.items())
-                if b not in gr
-                for sel in [sel]
+                sel for b, sel in sorted(gl.items()) if b not in gr
             ]
             for sel in lonely + ([null_l] if null_l else []):
                 dfl = self._scan_entries(sel, ml)
@@ -2958,6 +2975,13 @@ class VersionedTable:
             files=tuple(carried_rels) + tuple(entries),
             schema_ddl=pm.schema_ddl,
             expected_parent=parent,
+            # A FULL compact rewrites every entry under the CURRENT
+            # spec: historical-spec aliases no longer exist in any
+            # entry, so the spec history resets (old-alias predicate
+            # derivation becomes moot and bucket_join's param-evolution
+            # refusal lifts). Scoped compacts carry old entries and
+            # must keep the history.
+            past_specs=() if not carried_rels else None,
             # Data-preserving by construction: the change feed skips this
             # commit outright instead of diffing two identical snapshots.
             summary={

@@ -113,9 +113,9 @@ class SyntheticEventsReader(DataSourceReader):
         self.n_rows = int(options.get("n_rows", 1000))
         # Above this id the vectorized reader's uint64 mix product would
         # wrap and diverge from gen_row's unbounded Python-int math.
-        if self.n_rows > (1 << 64) // _MIX:
+        if self.n_rows > _ID_CEILING:
             raise ValueError(
-                f"n_rows must be <= {(1 << 64) // _MIX} to keep the "
+                f"n_rows must be <= {_ID_CEILING} to keep the "
                 "vectorized feed bit-identical to gen_row"
             )
         self.n_partitions = int(options.get("n_partitions", 4))

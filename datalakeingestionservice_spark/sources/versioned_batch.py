@@ -63,9 +63,8 @@ from datalakeingestionservice_spark.sinks.versioned import (
     _MANIFEST_DIR,
     Manifest,
     NoSuchVersionError,
-    _dir_may_match,
-    _file_may_match,
     _entry_may_match,
+    _file_may_match,
     _typed_part_value,
 )
 from datalakeingestionservice_spark.sources.sql_predicates import (

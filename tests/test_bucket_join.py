@@ -266,3 +266,42 @@ def test_bucket_join_parity_under_random_dml(spark, tmp_path, seed):
         else:
             t.compact()
         check()
+
+
+def test_bucket_join_refuses_param_evolution_until_full_compact(
+    spark, tmp_path
+):
+    """bucket(4, k) evolved to bucket(8, k): surviving old entries carry
+    bucket indices computed mod 4 — pairing them by index under N=8
+    would silently drop matches, so the join must REFUSE; a FULL
+    compact() rewrites everything under the current spec, clears the
+    spec history, and the join then returns exactly the plain-join
+    result."""
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(40)], "k bigint, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "k bigint, rv string"
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), left, partition_by=["bucket(4, k)"]
+    )
+    tl.set_partition_spec(["bucket(8, k)"])
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), right, partition_by=["bucket(8, k)"]
+    )
+    with pytest.raises(ValueError, match="evolved to bucket"):
+        tl.bucket_join(tr, "k")
+    # ...and the refusal is symmetric (ambiguity on the RIGHT side).
+    with pytest.raises(ValueError, match="evolved to bucket"):
+        tr.bucket_join(tl, "k")
+    tl.compact()
+    assert tl.manifest().past_specs == ()
+    got = tl.bucket_join(tr, "k")
+    want = left.join(
+        right.withColumnRenamed("lv", "rv"), on=["k"]
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 40

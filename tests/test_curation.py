@@ -173,3 +173,24 @@ def test_scrub_pii_counts_and_replacement(spark):
         1,
         "[REDACTED] [REDACTED] [REDACTED] [REDACTED]",
     )
+
+
+def test_scrub_pii_no_double_count_inside_email(spark):
+    """A phone/SSN-shaped digit run inside an email address is consumed
+    by the email redaction — counted once, replaced once."""
+    from datalakeingestionservice_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567@corp.example.com now")],
+        "id bigint, text string",
+    )
+    (r,) = scrub_pii(df, "text").collect()
+    assert (r.n_emails, r.n_ssns, r.n_phones, r.n_redactions) == (
+        1,
+        0,
+        0,
+        1,
+    )
+    assert r.text_scrubbed == "call [REDACTED] now"
