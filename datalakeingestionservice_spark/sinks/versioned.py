@@ -1752,6 +1752,8 @@ class VersionedTable:
             "left_anti": "left_anti", "leftanti": "left_anti",
             "anti": "left_anti",
             "left": "left", "left_outer": "left", "leftouter": "left",
+            "right": "right", "right_outer": "right",
+            "rightouter": "right",
             "full": "full", "full_outer": "full", "fullouter": "full",
             "outer": "full",
         }
@@ -1759,7 +1761,7 @@ class VersionedTable:
         if how is None:
             raise ValueError(
                 "bucket_join supports inner/left-semi/left-anti/left/"
-                "full"
+                "right/full"
             )
 
         def bucket_spec(t: "VersionedTable", m) -> tuple[int, str]:
@@ -1878,6 +1880,11 @@ class VersionedTable:
                 if rr <= broadcast_rows:
                     dfr = F.broadcast(dfr)
                 pieces.append(dfl.join(dfr, on=[on], how=how))
+            elif how == "right":
+                # Mirror: only the LEFT (build) side may broadcast.
+                if rl <= broadcast_rows:
+                    dfl = F.broadcast(dfl)
+                pieces.append(dfl.join(dfr, on=[on], how="right"))
             elif how == "full":
                 # Neither side of a full join broadcasts: bucket-local
                 # shuffle pairs, AQE-sized.
@@ -1901,7 +1908,7 @@ class VersionedTable:
                 pieces.append(
                     dfl if left_order else pad_left(dfl)
                 )
-        if how == "full":
+        if how in ("right", "full"):
             lonely_r = [
                 sel for b, sel in sorted(gr.items()) if b not in gl
             ]

@@ -104,8 +104,6 @@ def test_bucket_join_validation(spark, tmp_path):
         t4.bucket_join(tid, "k")
     with pytest.raises(ValueError, match="supports inner"):
         t4.bucket_join(t4, "k", how="cross")
-    with pytest.raises(ValueError, match="supports inner"):
-        t4.bucket_join(t4, "k", how="right")
 
 
 def test_bucket_join_old_spec_entries_refuse_then_compact_lifts(
@@ -156,7 +154,7 @@ def test_bucket_join_after_appends_both_sides(spark, tmp_path):
     )
 
 
-@pytest.mark.parametrize("how", ["left", "full", "left_anti"])
+@pytest.mark.parametrize("how", ["left", "right", "full", "left_anti"])
 def test_bucket_join_outer_and_anti_parity(spark, tmp_path, how):
     """Outer joins stitch one-sided buckets and null-key leaves back in
     from metadata; output must equal the plain Spark join of the same
@@ -241,7 +239,7 @@ def test_bucket_join_parity_under_random_dml(spark, tmp_path, seed):
     def check():
         lv = tl.read().withColumnRenamed("v", "lv")
         rv = tr.read().withColumnRenamed("v", "rv")
-        for how in ("inner", "left", "full"):
+        for how in ("inner", "left", "right", "full"):
             got = tl.bucket_join(tr, "k", how=how)
             want = lv.join(rv, on=["k"], how=how)
             assert sorted(
