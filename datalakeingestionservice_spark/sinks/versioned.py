@@ -566,22 +566,31 @@ def _spec_alias_types(
     determine the dir-value type, so types never conflict across
     evolutions."""
     out: dict[str, str] = {}
-    for fn, _param, col in _union_transform_entries(
-        partition_by, past_specs
-    ):
-        pcol = fwd.get(col, col)
-        alias = _transform_alias(fn, pcol)
-        if fn in ("year", "bucket"):
-            out[alias] = "int"
-        elif fn in ("month", "day", "hour"):
-            out[alias] = "string"
-        else:  # truncate: source-typed (bigint for ints)
-            src = schema_types.get(col, "string")
-            out[alias] = (
-                "bigint"
-                if src in ("tinyint", "smallint", "int", "bigint")
-                else "string"
-            )
+    seen: set[tuple[str, str]] = set()
+    for spec in (tuple(partition_by), *tuple(past_specs)):
+        for entry in spec:
+            fn, _param, col = _parse_spec_entry(entry)
+            if fn == "identity" or (fn, col) in seen:
+                continue
+            # NOTE: deliberately NOT `_union_transform_entries` — that
+            # helper excludes param-AMBIGUOUS aliases (bucket(4)→bucket(8))
+            # from predicate DERIVATION, but the alias TYPE depends only
+            # on fn + source type, and per-entry spec snapshots derive
+            # exact predicates for those aliases that still need typing.
+            seen.add((fn, col))
+            pcol = fwd.get(col, col)
+            alias = _transform_alias(fn, pcol)
+            if fn in ("year", "bucket"):
+                out[alias] = "int"
+            elif fn in ("month", "day", "hour"):
+                out[alias] = "string"
+            else:  # truncate: source-typed (bigint for ints)
+                src = schema_types.get(col, "string")
+                out[alias] = (
+                    "bigint"
+                    if src in ("tinyint", "smallint", "int", "bigint")
+                    else "string"
+                )
     return out
 
 
@@ -624,6 +633,58 @@ def _derive_transform_preds(
             elif op in (">", ">="):
                 extra.append((alias, ">=", fv))
     return preds + extra
+
+
+def _entry_specs(stats: dict) -> tuple:
+    """Distinct per-entry governing specs recorded in a manifest's stats
+    (entries written since spec snapshots stamp ``stats["spec"]`` with
+    the logical spec that governed the write). Used to union alias TYPES
+    — fn + source type determine a dir-value type, so unioning never
+    conflicts — and to key exact per-entry predicate derivation."""
+    out: list[tuple] = []
+    seen: set[tuple] = set()
+    for st in stats.values():
+        sp = st.get("spec")
+        if sp:
+            key = tuple(sp)
+            if key not in seen:
+                seen.add(key)
+                out.append(key)
+    return tuple(out)
+
+
+def _entry_derived_preds(
+    base_preds: list[tuple] | None,
+    stats: dict,
+    partition_by: tuple[str, ...],
+    fwd: dict,
+    schema_types: dict[str, str],
+    past_specs: tuple,
+    cache: dict,
+) -> list[tuple] | None:
+    """Transform-derived pruning predicates for ONE entry.
+
+    An entry that recorded its governing spec (``stats["spec"]``,
+    written since spec snapshots) derives against EXACTLY that spec —
+    single-spec derivation has one param per (fn, col), so the
+    param-ambiguity exclusion of `_union_transform_entries` never
+    applies: after `bucket(4, id)` evolves to `bucket(8, id)`, old
+    leaves prune with their own modulus 4 and new leaves with 8, where
+    the union path had to give up on the alias entirely. Legacy entries
+    (no snapshot) keep the conservative union/ambiguity-excluded
+    derivation. Results are cached per distinct spec — derivation cost
+    is O(distinct specs), not O(entries)."""
+    spec = stats.get("spec")
+    key = tuple(spec) if spec else None
+    if key not in cache:
+        cache[key] = _derive_transform_preds(
+            base_preds,
+            key if key is not None else partition_by,
+            fwd,
+            schema_types,
+            () if key is not None else past_specs,
+        )
+    return cache[key]
 
 
 def _typed_part_value(raw: str | None, type_simple: str):
@@ -1479,18 +1540,20 @@ class VersionedTable:
         # Stats/blooms/partition dirs are keyed by PHYSICAL column names;
         # the row-level filter below stays logical.
         fwd = _log_to_phys(m.column_mapping)
-        phys_preds = (
+        base_preds = (
             [(fwd.get(c, c), op, v) for c, op, v in predicates]
             if predicates
             else None
         )
-        phys_preds = _derive_transform_preds(
-            phys_preds, m.partition_by, fwd, self._schema_types(m),
-            m.past_specs,
-        )
+        schema_types = self._schema_types(m)
+        derive_cache: dict = {}
         sel: list[tuple[str, list[str] | None]] = []
         for rel in m.files:
             stats = m.stats.get(rel, {})
+            phys_preds = _entry_derived_preds(
+                base_preds, stats, m.partition_by, fwd, schema_types,
+                m.past_specs, derive_cache,
+            )
             if phys_preds and not _entry_may_match(
                 stats, phys_preds, part_types
             ):
@@ -1547,10 +1610,13 @@ class VersionedTable:
             fwd.get(c, c): t for c, t in schema_types.items()
         }
         # Transform aliases (hidden partitioning) type their dir values
-        # too: ts_year ints, ts_month/day ordered strings, etc.
+        # too: ts_year ints, ts_month/day ordered strings, etc. Union in
+        # per-entry spec snapshots so alias typing survives even if a
+        # spec ever leaves the past_specs history while its entries live.
         out.update(
             _spec_alias_types(
-                m.partition_by, fwd, schema_types, m.past_specs
+                m.partition_by, fwd, schema_types,
+                m.past_specs + _entry_specs(m.stats),
             )
         )
         return out
@@ -1768,13 +1834,37 @@ class VersionedTable:
             for entry in m.partition_by:
                 fn, param, col = _parse_spec_entry(entry)
                 if fn == "bucket" and col == on:
-                    # A PAST spec with a different modulus means entries
-                    # may carry bucket indices computed mod the OLD N —
-                    # pairing them by index would silently drop matches.
-                    # A FULL compact() rewrites everything under the
-                    # current spec and clears past_specs, lifting this.
-                    for spec in m.past_specs:
-                        for e2 in spec:
+                    # A spec history with a different modulus means some
+                    # entries MAY carry bucket indices computed mod the
+                    # OLD N — pairing them by index would silently drop
+                    # matches. Spec snapshots make the check per LIVE
+                    # entry: only an entry actually written under a
+                    # different modulus refuses (so once old-generation
+                    # entries are rewritten by DML/compaction, the join
+                    # is accepted with no FULL compact needed); legacy
+                    # entries without a snapshot refuse conservatively
+                    # whenever history is param-ambiguous.
+                    ambiguous = any(
+                        fn2 == "bucket" and c2 == on and p2 != param
+                        for spec in m.past_specs
+                        for fn2, p2, c2 in (
+                            _parse_spec_entry(e2) for e2 in spec
+                        )
+                    )
+                    for rel in m.files:
+                        esp = m.stats.get(rel, {}).get("spec")
+                        if esp is None:
+                            if ambiguous:
+                                raise ValueError(
+                                    f"{t.root}: bucket modulus evolved "
+                                    f"for {on} and entry {rel} predates "
+                                    "spec snapshots — its indices may "
+                                    "group under the old modulus; run a "
+                                    "full compact() to migrate before "
+                                    "bucket_join"
+                                )
+                            continue
+                        for e2 in esp:
                             fn2, p2, c2 = _parse_spec_entry(e2)
                             if (
                                 fn2 == "bucket"
@@ -1782,11 +1872,13 @@ class VersionedTable:
                                 and p2 != param
                             ):
                                 raise ValueError(
-                                    f"{t.root}: bucket({p2}, {on}) "
-                                    f"evolved to bucket({param}, {on}); "
-                                    "entries may group under the old "
-                                    "modulus — run a full compact() to "
-                                    "migrate before bucket_join"
+                                    f"{t.root}: entry {rel} was written "
+                                    f"under bucket({p2}, {on}) which "
+                                    f"evolved to bucket({param}, {on}) "
+                                    "— its indices group under the old "
+                                    "modulus; run a full compact() (or "
+                                    "rewrite that entry) before "
+                                    "bucket_join"
                                 )
                     fwd = _log_to_phys(m.column_mapping)
                     return param, _transform_alias(
@@ -1945,16 +2037,18 @@ class VersionedTable:
         m = self.manifest(version)
         part_types = self._part_types(m)
         fwd = _log_to_phys(m.column_mapping)
-        predicates = [(fwd.get(c, c), op, v) for c, op, v in predicates]
-        predicates = _derive_transform_preds(
-            predicates, m.partition_by, fwd, self._schema_types(m),
-            m.past_specs,
-        )
+        base = [(fwd.get(c, c), op, v) for c, op, v in predicates]
+        schema_types = self._schema_types(m)
+        derive_cache: dict = {}
         kept, skipped = [], []
         n_files_scanned = n_files_skipped = 0
         n_rgs_scanned = n_rgs_skipped = 0
         for rel in m.files:
             stats = m.stats.get(rel, {})
+            predicates = _entry_derived_preds(
+                base, stats, m.partition_by, fwd, schema_types,
+                m.past_specs, derive_cache,
+            )
             if not _entry_may_match(stats, predicates, part_types):
                 skipped.append(rel)
                 n_files_skipped += len(stats.get("files", ()) or ())
@@ -2305,23 +2399,28 @@ class VersionedTable:
             # predicates too, so a merge keyed on a transform's source
             # column scopes to the matching transform leaves (monotone
             # transforms carry the range; bucket derives nothing from
-            # ranges — stats scoping still applies).
-            preds = (
-                _derive_transform_preds(
-                    preds,
-                    pm.partition_by,
-                    fwd,
-                    self._schema_types(pm),
-                    pm.past_specs,
-                )
-                or []
-            )
+            # ranges — stats scoping still applies). Derivation is
+            # per-entry: spec-snapshot entries derive against their OWN
+            # spec (exact across evolution), legacy entries the union.
             if preds:
+                schema_types = self._schema_types(pm)
+                dcache: dict = {}
+
+                def dpreds(rel: str) -> list[tuple]:
+                    return (
+                        _entry_derived_preds(
+                            preds, pm.stats.get(rel, {}),
+                            pm.partition_by, fwd, schema_types,
+                            pm.past_specs, dcache,
+                        )
+                        or []
+                    )
+
                 part_types = self._part_types(pm)
                 scoped_rels = [
                     rel for rel in pm.files
                     if _entry_may_match(
-                        pm.stats.get(rel, {}), preds, part_types
+                        pm.stats.get(rel, {}), dpreds(rel), part_types
                     )
                 ]
                 untouched = [
@@ -2359,6 +2458,8 @@ class VersionedTable:
                         fstats = dict(fs)
                         if "part_values" in stats:
                             fstats["part_values"] = stats["part_values"]
+                        if "spec" in stats:
+                            fstats["spec"] = stats["spec"]
                         carried_files[f"{rel}/{fn}"] = fstats
                         n_files_untouched += 1
                     scoped_sel.append((rel, keep))
@@ -2931,15 +3032,19 @@ class VersionedTable:
             part_types = self._part_types(pm)
             fwd = _log_to_phys(pm.column_mapping)
             phys = [(fwd.get(c, c), op, v) for c, op, v in where]
-            phys = _derive_transform_preds(
-                phys, pm.partition_by, fwd, self._schema_types(pm),
-                pm.past_specs,
-            ) or []
+            schema_types = self._schema_types(pm)
+            dcache: dict = {}
             rewrite = [
                 rel
                 for rel in rewrite
                 if _entry_may_match(
-                    pm.stats.get(rel, {}), phys, part_types
+                    pm.stats.get(rel, {}),
+                    _entry_derived_preds(
+                        phys, pm.stats.get(rel, {}), pm.partition_by,
+                        fwd, schema_types, pm.past_specs, dcache,
+                    )
+                    or [],
+                    part_types,
                 )
             ]
         if small_entry_max_rows is not None:
@@ -3243,6 +3348,11 @@ class VersionedTable:
         src_types = {
             f.name: f.dataType.simpleString() for f in df.schema.fields
         }
+        # Spec snapshot: every partitioned entry records the LOGICAL spec
+        # that governed its write, so reads can derive transform-alias
+        # predicates per entry (exact across partition evolution) and
+        # bucket_join can verify an entry's bucket modulus directly.
+        logical_spec = list(partition_by)
         dir_cols: list[str] = []
         for entry in partition_by:
             fn, param, col = _parse_spec_entry(entry)
@@ -3297,6 +3407,7 @@ class VersionedTable:
             sub = os.path.relpath(dirpath, abs_dir)
             st = _collect_dir_stats(dirpath)
             st["part_values"] = _parse_part_path(sub)
+            st["spec"] = logical_spec
             if leaf_blooms:
                 key = tuple(
                     st["part_values"].get(pc) for pc in partition_by

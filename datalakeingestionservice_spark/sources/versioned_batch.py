@@ -272,7 +272,8 @@ class VersionedTableReader(DataSourceReader):
         # as strings would both weaken pruning and inject wrongly-typed
         # fill values. Stats/part_values are keyed PHYSICAL.
         from datalakeingestionservice_spark.sinks.versioned import (
-            _derive_transform_preds,
+            _entry_derived_preds,
+            _entry_specs,
             _spec_alias_types,
         )
 
@@ -281,23 +282,18 @@ class VersionedTableReader(DataSourceReader):
             self._fwd.get(c, c): t for c, t in self._types.items()
         }
         # Hidden partitioning: transform aliases get dir-value types and
-        # pushed source-column predicates derive alias predicates.
+        # pushed source-column predicates derive alias predicates. Alias
+        # types union current + historical + per-entry-snapshot specs.
         part_types.update(
             _spec_alias_types(
                 self.m.partition_by, self._fwd, self._types,
-                self.m.past_specs,
+                self.m.past_specs + _entry_specs(self.m.stats),
             )
         )
-        preds = [
+        base_preds = [
             (self._fwd.get(c, c), op, v) for c, op, v in self._preds
         ]
-        preds = (
-            _derive_transform_preds(
-                preds, self.m.partition_by, self._fwd, self._types,
-                self.m.past_specs,
-            )
-            or []
-        )
+        derive_cache: dict = {}
 
         def mor_for(rel: str) -> list[list]:
             """Deferred-delete ASTs scoped to this entry: a predicate
@@ -324,7 +320,7 @@ class VersionedTableReader(DataSourceReader):
 
         scan_filters = [
             (c, op, v)
-            for c, op, v in preds
+            for c, op, v in base_preds
             if (
                 isinstance(v, (int, str, float, _dt.date))
                 and not isinstance(v, bool)
@@ -335,6 +331,20 @@ class VersionedTableReader(DataSourceReader):
         parts: list[_EntryPartition] = []
         for rel in self.m.files:
             stats = self.m.stats.get(rel, {})
+            # Per-entry derivation: an entry with a spec snapshot gets
+            # transform-alias predicates derived from EXACTLY its own
+            # spec (exact across partition/param evolution); legacy
+            # entries use the union/ambiguity-excluded derivation.
+            # Derived alias predicates never reach scan_filters — alias
+            # columns are dir-only, and the executor reader drops
+            # filters on columns absent from the file anyway.
+            preds = (
+                _entry_derived_preds(
+                    base_preds, stats, self.m.partition_by, self._fwd,
+                    self._types, self.m.past_specs, derive_cache,
+                )
+                or []
+            )
             if preds and not _entry_may_match(stats, preds, part_types):
                 continue
             raw_pv = stats.get("part_values")
@@ -1102,6 +1112,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
             sub = os.path.relpath(dirpath, abs_dir)
             st = _collect_dir_stats(dirpath)
             st["part_values"] = _parse_part_path(sub)
+            st["spec"] = list(self.partition_by)
             blooms = self._bloom_stats(
                 messages, sub.replace(os.sep, "/")
             )

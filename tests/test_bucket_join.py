@@ -303,3 +303,50 @@ def test_bucket_join_refuses_param_evolution_until_full_compact(
         map(tuple, want.collect())
     )
     assert got.count() == 40
+
+
+def test_bucket_join_accepts_param_evolution_once_old_entries_rewritten(
+    spark, tmp_path
+):
+    """Spec snapshots lift the param-evolution refusal WITHOUT a full
+    compact: once every live entry was written under the current
+    modulus (here: the old generation is rewritten by a COW delete),
+    bucket_join must accept even though past_specs still records the
+    old modulus — and return exactly the plain-join result."""
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(80)], "k bigint, lv string"
+    )
+    tl = VersionedTable.create(
+        spark, str(tmp_path / "l"), left, partition_by=["bucket(4, k)"]
+    )
+    tl.set_partition_spec(["bucket(8, k)"])
+    tl.append(
+        spark.createDataFrame(
+            [(i, f"l{i}") for i in range(80, 120)], "k bigint, lv string"
+        )
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(120)], "k bigint, rv string"
+    )
+    tr = VersionedTable.create(
+        spark, str(tmp_path / "r"), right, partition_by=["bucket(8, k)"]
+    )
+    # Old-modulus entries alive -> refuse, naming the offending entry.
+    with pytest.raises(ValueError, match="evolved to bucket"):
+        tl.bucket_join(tr, "k")
+    # COW delete of the old generation's rows rewrites those entries
+    # under the CURRENT spec; history still shows bucket(4).
+    tl.delete_where(F.col("k") < 80)
+    assert tl.manifest().past_specs != ()
+    got = tl.bucket_join(tr, "k")
+    want = (
+        tl.read()
+        .join(right, on=["k"])
+        .select(*got.columns)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 40

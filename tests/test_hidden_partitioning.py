@@ -546,3 +546,74 @@ def test_hour_transform_layout_pruning_and_parity(spark, root):
         )
     # And a date-valued probe never derives a wrong hour predicate.
     assert _transform_py("hour", None, dt.date(2024, 1, 5), "date") is None
+
+
+def test_spec_snapshots_make_param_evolved_pruning_exact(spark, root):
+    """Per-entry spec snapshots: after bucket(4, id) evolves to
+    bucket(8, id), the UNION derivation must still exclude the
+    ambiguous alias (legacy behavior), but entries stamped with their
+    governing spec derive against EXACTLY that spec — so an equality
+    probe prunes old-generation leaves with modulus 4 and new-generation
+    leaves with modulus 8, and parity holds throughout."""
+    big = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + (i % 20)), f"v{i}") for i in range(64)],
+        "id bigint, d date, val string",
+    )
+    t = VersionedTable.create(
+        spark, root, big, partition_by=["bucket(4, id)"]
+    )
+    n_gen1 = len(t.manifest().files)
+    t.set_partition_spec(["bucket(8, id)"])
+    t.append(
+        spark.createDataFrame(
+            [(i, dt.date(2024, 2, 1), f"w{i}") for i in range(64, 128)],
+            "id bigint, d date, val string",
+        )
+    )
+    m = t.manifest()
+    # Every entry recorded its governing spec.
+    specs = {tuple(m.stats[rel].get("spec") or ()) for rel in m.files}
+    assert specs == {("bucket(4, id)",), ("bucket(8, id)",)}
+    # Equality probe: exactly ONE leaf per generation may match — the
+    # 4-bucket leaf holding hash%4 and the 8-bucket leaf holding hash%8.
+    info = t.prune_info([("id", "=", 10)])
+    assert info["n_scanned"] <= 2
+    assert info["n_skipped"] >= len(m.files) - 2
+    assert n_gen1 >= 2  # the old generation really had multiple leaves
+    # Parity for probes in both generations (incl. one absent value).
+    for probe in (0, 10, 63, 64, 100, 127, 999):
+        got = _check_pred_parity(t, [("id", "=", probe)])
+        assert {g[0] for g in got} == ({probe} if probe < 128 else set())
+
+
+def test_spec_snapshots_scope_merge_and_optimize_after_evolution(
+    spark, root
+):
+    """compact(where=) classification is per-entry too: a predicate on
+    the bucket source column rewrites only the matching leaves in EACH
+    generation (old-modulus leaves classified with their own spec)."""
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(32)], "id bigint, val string"
+        ),
+        partition_by=["bucket(4, id)"],
+    )
+    t.set_partition_spec(["bucket(8, id)"])
+    t.append(
+        spark.createDataFrame(
+            [(i, f"w{i}") for i in range(32, 64)],
+            "id bigint, val string",
+        )
+    )
+    before = t.manifest()
+    v = t.compact(where=[("id", "=", 10)])
+    after = t.manifest(v)
+    # Only the (<=2) leaves that could hold id=10 were rewritten; the
+    # rest carried forward byte-identically (same rels).
+    carried = set(before.files) & set(after.files)
+    assert len(set(before.files) - carried) <= 2
+    # Rows intact.
+    assert t.read().count() == 64
+    assert {r.id for r in t.read(predicates=[("id", "=", 10)]).collect()} == {10}
