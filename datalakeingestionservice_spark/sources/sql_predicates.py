@@ -7,8 +7,10 @@ sessionless batch DataSource workers (`sources/versioned_batch.py`) cannot
 — so this module compiles the subset that covers real delete predicates
 (column-vs-literal AND column-vs-column comparisons, AND / OR / NOT,
 IS [NOT] NULL, [NOT] IN, [NOT] BETWEEN, [NOT] LIKE, column-side
-arithmetic `col * 2 > 10`, unary length/lower/upper/trim/abs,
-struct-field access `s.x = 1`, parentheses) into a JSON-serializable AST
+arithmetic `col * 2 > 10` including column-vs-column `a + b > c`,
+unary length/lower/upper/trim/abs, string builders
+concat/substring/coalesce, struct-field access `s.x = 1`,
+parentheses) into a JSON-serializable AST
 on the driver and evaluates it executor-side with pyarrow.compute using
 SQL three-valued logic (Kleene AND/OR, null-propagating comparisons),
 matching Spark's `filter(~expr(pred))` semantics exactly: a row whose
@@ -107,9 +109,13 @@ class _Parser:
 
     where colx (a column EXPRESSION) is a column name — possibly dotted
     for struct-field access (`s.x`) — or column-side arithmetic
-    ["arith", aop, colx, lit] with aop in + - * / (`price * 2 > 10`),
-    or a unary function ["fn", name, colx] with name in length / lower
-    / upper / trim / abs, and lit is ["s", str] | ["n", text] |
+    ["arith", aop, colx, rhs] with aop in + - * / and rhs a numeric
+    literal (`price * 2 > 10`) or ["c", colx] for column-vs-column
+    math (`a + b > c`), or a unary function ["fn", name, colx] with
+    name in length / lower / upper / trim / abs, or a string builder:
+    ["substr", colx, pos, len|None] (1-based, like Spark),
+    ["concat", [arg, ...]] / ["coalesce", [arg, ...]] where each arg
+    is ["c", colx] or a literal. lit is ["s", str] | ["n", text] |
     ["d", iso] | ["t", iso] | ["b", bool]. Number literals keep their
     TEXT so decimal comparisons stay exact."""
 
@@ -187,29 +193,83 @@ class _Parser:
             return ["t", self.expect("str")]
         raise UnsupportedPredicateError(f"expected literal, got {v!r}")
 
-    def _operand(self) -> tuple[str, object]:
-        """Returns ("col", colx) or ("lit", lit); a column may chain
-        LEFT-side arithmetic with numeric literals (`price * 2`,
-        `a + 1 - 3`) — evaluated left-to-right, no precedence (refuse
-        mixed +/* chains rather than mis-parse them)."""
-        if self.peek() != "ident":
-            return ("lit", self._literal())
-        colx: object = self.next()[1]
-        if self.peek() == "lparen":
-            fn = colx
-            if not isinstance(fn, str) or fn.lower() not in _FUNCS:
-                raise UnsupportedPredicateError(
-                    f"unsupported function {fn!r} (supported: "
-                    f"{sorted(_FUNCS)})"
-                )
-            self.next()
+    def _arg(self) -> list:
+        """One function argument: ["c", colx] or a literal node."""
+        k, v = self._operand()
+        return ["c", v] if k == "col" else v
+
+    def _fncall(self, fn: str) -> list:
+        """Parse a supported function call; '(' already peeked."""
+        name = fn.lower()
+        self.next()  # lparen
+        if name in _FUNCS:
             inner, iv = self._operand()
             if inner != "col":
                 raise UnsupportedPredicateError(
                     f"{fn}() takes a column argument"
                 )
             self.expect("rparen")
-            colx = ["fn", fn.lower(), iv]
+            return ["fn", name, iv]
+        if name in ("substring", "substr"):
+            inner, iv = self._operand()
+            if inner != "col":
+                raise UnsupportedPredicateError(
+                    "substring() takes a column first argument"
+                )
+            self.expect("comma")
+            pos = self._literal()
+            ln = None
+            if self.peek() == "comma":
+                self.next()
+                ln = self._literal()
+            self.expect("rparen")
+            if pos[0] != "n" or (ln is not None and ln[0] != "n"):
+                raise UnsupportedPredicateError(
+                    "substring() position/length must be integer literals"
+                )
+            try:
+                posi = int(pos[1])
+                lni = None if ln is None else int(ln[1])
+            except ValueError:
+                raise UnsupportedPredicateError(
+                    "substring() position/length must be integers"
+                )
+            if posi < 1 or (lni is not None and lni < 0):
+                # Spark allows 0/negative positions with from-the-end
+                # semantics pyarrow's slice can't mirror near the string
+                # boundary — refuse rather than risk divergence.
+                raise UnsupportedPredicateError(
+                    "substring() supports 1-based positive positions "
+                    "and non-negative lengths only"
+                )
+            return ["substr", iv, posi, lni]
+        if name in ("concat", "coalesce"):
+            args = [self._arg()]
+            while self.peek() == "comma":
+                self.next()
+                args.append(self._arg())
+            self.expect("rparen")
+            if len(args) < 2:
+                raise UnsupportedPredicateError(
+                    f"{name}() needs at least two arguments"
+                )
+            return [name, args]
+        raise UnsupportedPredicateError(
+            f"unsupported function {fn!r} (supported: "
+            f"{sorted(_FUNCS | {'substring', 'concat', 'coalesce'})})"
+        )
+
+    def _operand(self) -> tuple[str, object]:
+        """Returns ("col", colx) or ("lit", lit); a column may chain
+        LEFT-side arithmetic with numeric literals or columns
+        (`price * 2`, `a + b - 3`) — evaluated left-to-right, no
+        precedence (refuse mixed +/* chains rather than mis-parse
+        them)."""
+        if self.peek() != "ident":
+            return ("lit", self._literal())
+        colx: object = self.next()[1]
+        if self.peek() == "lparen":
+            colx = self._fncall(colx)
         seen_ops = set()
         while self.peek() in ("arith", "minus"):
             kind, text = self.next()
@@ -220,12 +280,20 @@ class _Parser:
                     "mixed +/- and */ arithmetic needs parentheses; "
                     "outside this subset"
                 )
-            lit = self._literal()
-            if lit[0] != "n":
-                raise UnsupportedPredicateError(
-                    "column arithmetic takes numeric literals only"
-                )
-            colx = ["arith", aop, colx, lit]
+            if self.peek() == "ident":
+                rname = self.next()[1]
+                rhs: list = ["c", rname]
+                if self.peek() == "lparen":
+                    rhs = ["c", self._fncall(rname)]
+            else:
+                lit = self._literal()
+                if lit[0] != "n":
+                    raise UnsupportedPredicateError(
+                        "column arithmetic takes numeric literals or "
+                        "columns only"
+                    )
+                rhs = lit
+            colx = ["arith", aop, colx, rhs]
         return ("col", colx)
 
     def predicate(self) -> list:
@@ -323,6 +391,22 @@ _INTISH = {"tinyint", "smallint", "int", "bigint"}
 _FUNCS = {"length", "lower", "upper", "trim", "abs"}
 
 
+def _cmp_cat(t: str) -> str:
+    """Comparison category of a simpleString type (types in one
+    category compare exactly the same way in Spark and arrow)."""
+    if t in _NUMERIC:
+        return "num"
+    if t == "string" or t.startswith(("varchar", "char")):
+        return "str"
+    if t.startswith("decimal"):
+        return "dec:" + t  # exact-type match only
+    if t == "date" or t.startswith("timestamp"):
+        return "temporal"
+    if t == "boolean":
+        return "bool"
+    return "other:" + t
+
+
 def _split_top(s: str) -> list[str]:
     """Split a struct body on commas OUTSIDE <> / () nesting."""
     out, depth, tok = [], 0, []
@@ -402,13 +486,30 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
             return "double" if t in ("float", "double") else "bigint"
         if cx[0] == "arith":
             t = col_type(cx[2])
-            lit = cx[3]
+            rhs = cx[3]
             if t not in _NUMERIC:
                 raise UnsupportedPredicateError(
                     f"arithmetic needs a numeric column, got {t}"
                     " (decimal arithmetic is outside this subset)"
                 )
-            ltext = lit[1]
+            if rhs[0] == "c":
+                rt = col_type(rhs[1])
+                if rt not in _NUMERIC:
+                    raise UnsupportedPredicateError(
+                        f"arithmetic needs numeric columns, got {rt}"
+                    )
+                # Column-side divisor may be zero at runtime: Spark ANSI
+                # raises there too, but pyarrow's divide yields inf/nan —
+                # divide only by literals in this subset.
+                if cx[1] == "/":
+                    raise UnsupportedPredicateError(
+                        "column-by-column division is outside this "
+                        "subset (divisor could be zero)"
+                    )
+                if t in ("float", "double") or rt in ("float", "double"):
+                    return "double"
+                return "bigint"
+            ltext = rhs[1]
             if cx[1] == "/" and float(ltext) == 0.0:
                 raise UnsupportedPredicateError(
                     "division by literal zero (Spark ANSI errors; refuse"
@@ -418,6 +519,58 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
             if cx[1] == "/" or frac or t in ("float", "double"):
                 return "double"
             return "bigint"
+        if cx[0] == "substr":
+            t = col_type(cx[1])
+            if not (t == "string" or t.startswith(("varchar", "char"))):
+                raise UnsupportedPredicateError(
+                    f"substring() needs a string column, got {t}"
+                )
+            return "string"
+        if cx[0] == "concat":
+            for a in cx[1]:
+                if a[0] == "c":
+                    at = col_type(a[1])
+                    if not (
+                        at == "string"
+                        or at.startswith(("varchar", "char"))
+                    ):
+                        raise UnsupportedPredicateError(
+                            f"concat() needs string arguments, got {at}"
+                        )
+                elif a[0] != "s":
+                    raise UnsupportedPredicateError(
+                        "concat() literal arguments must be strings"
+                    )
+            return "string"
+        if cx[0] == "coalesce":
+            first: str | None = None
+            for a in cx[1]:
+                if a[0] == "c":
+                    at = col_type(a[1])
+                    if first is None:
+                        first = at
+                    elif _cmp_cat(first) != _cmp_cat(at):
+                        raise UnsupportedPredicateError(
+                            f"coalesce() mixes {first} with {at}"
+                        )
+            if first is None:
+                raise UnsupportedPredicateError(
+                    "coalesce() needs at least one column argument"
+                )
+            lit_tag_type = {
+                "s": "string", "n": first if first in _NUMERIC
+                else "double", "d": "date", "t": "timestamp",
+                "b": "boolean",
+            }
+            for a in cx[1]:
+                if a[0] != "c" and _cmp_cat(
+                    lit_tag_type.get(a[0], "?")
+                ) != _cmp_cat(first):
+                    raise UnsupportedPredicateError(
+                        f"coalesce() literal {a!r} incompatible with "
+                        f"{first}"
+                    )
+            return first
         raise UnsupportedPredicateError(f"unknown column expr {cx!r}")
 
     def lit_ok(t: str, lit: list) -> bool:
@@ -492,19 +645,7 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
                 )
         elif kind == "cmpc":
             lt, rt = col_type(node[2]), col_type(node[3])
-
-            def cat(t: str) -> str:
-                if t in _NUMERIC:
-                    return "num"
-                if t == "string" or t.startswith(("varchar", "char")):
-                    return "str"
-                if t.startswith("decimal"):
-                    return "dec:" + t  # exact-type match only
-                if t == "date" or t.startswith("timestamp"):
-                    return "temporal"
-                if t == "boolean":
-                    return "bool"
-                return "other:" + t
+            cat = _cmp_cat
             if cat(lt) != cat(rt) or cat(lt).startswith("other"):
                 raise UnsupportedPredicateError(
                     f"column comparison across {lt} vs {rt} is outside "
@@ -545,10 +686,21 @@ def columns_of(ast: list) -> set[str]:
     KeyError-ing executor-side."""
     cols: set[str] = set()
 
-    def topcol(cx) -> str:
-        while not isinstance(cx, str):
-            cx = cx[2]  # arith wraps its base colx
-        return cx.split(".", 1)[0]  # struct access -> its base column
+    def addcols(cx) -> None:
+        if isinstance(cx, str):
+            cols.add(cx.split(".", 1)[0])  # struct access -> base col
+            return
+        kind = cx[0]
+        if kind == "fn" or kind == "substr":
+            addcols(cx[1] if kind == "substr" else cx[2])
+        elif kind == "arith":
+            addcols(cx[2])
+            if isinstance(cx[3], list) and cx[3][0] == "c":
+                addcols(cx[3][1])
+        elif kind in ("concat", "coalesce"):
+            for a in cx[1]:
+                if a[0] == "c":
+                    addcols(a[1])
 
     def walk(node: list) -> None:
         kind = node[0]
@@ -558,12 +710,12 @@ def columns_of(ast: list) -> set[str]:
         elif kind == "not":
             walk(node[1])
         elif kind in ("isnull", "notnull", "like", "in"):
-            cols.add(topcol(node[1]))
+            addcols(node[1])
         elif kind == "cmp":
-            cols.add(topcol(node[2]))
+            addcols(node[2])
         elif kind == "cmpc":
-            cols.add(topcol(node[2]))
-            cols.add(topcol(node[3]))
+            addcols(node[2])
+            addcols(node[3])
 
     walk(ast)
     return cols
@@ -631,10 +783,72 @@ def evaluate(ast: list, table) -> object:
                     return arr  # null struct column: stays all-null
                 arr = pc.struct_field(arr, f)
             return arr
+        kind = cx[0]
+        if kind == "concat":
+            # Spark concat(): NULL if ANY argument is NULL — exactly
+            # binary_join_element_wise's emit_null (last arg = sep).
+            parts = []
+            for a in cx[1]:
+                if a[0] == "c":
+                    arr = colarr(a[1])
+                    if pa.types.is_null(arr.type):
+                        return pa.nulls(n, pa.string())
+                    parts.append(arr)
+                else:
+                    parts.append(pa.scalar(a[1], pa.string()))
+            return pc.binary_join_element_wise(
+                *parts, "", null_handling="emit_null"
+            )
+        if kind == "coalesce":
+            arrs = []
+            first_type = None
+            for a in cx[1]:
+                if a[0] == "c":
+                    arr = colarr(a[1])
+                    if pa.types.is_null(arr.type):
+                        continue  # contributes nothing but NULLs
+                    if first_type is None:
+                        first_type = arr.type
+                    arrs.append(arr)
+            if first_type is None:
+                lit_arrs = [a for a in cx[1] if a[0] != "c"]
+                if not lit_arrs:
+                    return pa.nulls(n)
+                # All col args null-typed: result is the first literal.
+                tag, val = lit_arrs[0][0], lit_arrs[0][1]
+                if tag == "n":
+                    py: object = (
+                        float(val)
+                        if ("." in val or "e" in val.lower())
+                        else int(val)
+                    )
+                elif tag == "d":
+                    py = _dt.date.fromisoformat(val)
+                elif tag == "t":
+                    py = _dt.datetime.fromisoformat(val)
+                else:
+                    py = val
+                return pa.array([py] * n)
+            out = []
+            for a in cx[1]:
+                if a[0] == "c":
+                    arr = colarr(a[1])
+                    if not pa.types.is_null(arr.type):
+                        out.append(arr)
+                else:
+                    out.append(_scalar_for(a, first_type))
+            return pc.coalesce(*out)
+        if kind == "substr":
+            base = colarr(cx[1])
+            if pa.types.is_null(base.type):
+                return base
+            start = cx[2] - 1  # SQL 1-based -> 0-based
+            stop = None if cx[3] is None else start + cx[3]
+            return pc.utf8_slice_codeunits(base, start, stop=stop)
         base = colarr(cx[2])
         if pa.types.is_null(base.type):
             return base
-        if cx[0] == "fn":
+        if kind == "fn":
             name = cx[1]
             if name == "length":
                 # Spark length() counts codepoints; cast to int32 to
@@ -652,7 +866,27 @@ def evaluate(ast: list, table) -> object:
                     return pc.abs(pc.cast(base, pa.float64()))
                 return pc.abs_checked(pc.cast(base, pa.int64()))
             raise UnsupportedPredicateError(f"unknown function {name!r}")
-        aop, ltext = cx[1], cx[3][1]
+        aop, rhs = cx[1], cx[3]
+        if rhs[0] == "c":
+            # Column-vs-column arithmetic ("/" refused at check time).
+            rarr = colarr(rhs[1])
+            if pa.types.is_null(rarr.type):
+                return rarr
+            if pa.types.is_floating(base.type) or pa.types.is_floating(
+                rarr.type
+            ):
+                base = pc.cast(base, pa.float64())
+                rarr = pc.cast(rarr, pa.float64())
+            else:
+                base = pc.cast(base, pa.int64())
+                rarr = pc.cast(rarr, pa.int64())
+            fn = {
+                "+": pc.add_checked,
+                "-": pc.subtract_checked,
+                "*": pc.multiply_checked,
+            }[aop]
+            return fn(base, rarr)
+        ltext = rhs[1]
         if aop == "/":
             # Spark's / is always double division.
             return pc.divide(

@@ -110,6 +110,33 @@ PREDICATES = [
     "abs(v) > 0.4",
     "abs(id) = 2",
     "length(s) + 1 = 6",
+    # round 6 (third pass): concat/substring/coalesce + col-vs-col math
+    "concat(s, '!') = 'alpha!'",
+    "concat(s, s) LIKE '%aa%'",
+    "concat('pre-', lower(s)) = 'pre-epsilon'",
+    "concat(s, '-', s) = 'beta-beta'",
+    "substring(s, 2) = 'lpha'",
+    "substring(s, 1, 3) = 'alp'",
+    "substring(s, 2, 2) IN ('lp', 'et')",
+    "substr(s, 1, 1) = 'd'",
+    "substring(s, 10) = ''",
+    "substring(s, 3, 0) = ''",
+    "length(substring(s, 2)) = 4",
+    "coalesce(s, 'none') = 'none'",
+    "coalesce(v, 0.0) <= 0.5",
+    "coalesce(id, rid) = rid",
+    "coalesce(v, id, 0.5) > 2.0",
+    "coalesce(ts, TIMESTAMP '2024-01-01 00:00:00') "
+    ">= TIMESTAMP '2024-06-01 00:00:00'",
+    "coalesce(d, DATE '2024-06-01') = DATE '2024-06-01'",
+    "id + rid > 4",
+    "id - rid = 1",
+    "id * rid >= 6",
+    "v - id < 0",
+    "length(s) = rid + 4",
+    "id + rid + 1 > 5",
+    "abs(v) - id <= 0.0",
+    "coalesce(substring(s, 1, 2), 'zz') IN ('al', 'be', 'zz')",
 ]
 
 
@@ -184,7 +211,17 @@ def test_null_type_column_comparisons():
     "sql",
     [
         "id = other_col",          # unknown column on the right
-        "substr(s, 1) = 'a'",      # unsupported function
+        "md5(s) = 'a'",            # unsupported function
+        "substring(s, 0, 2) = 'a'",   # 0-based position (Spark quirk)
+        "substring(s, -2) = 'ha'",    # negative position (from-end)
+        "substring(id, 1, 2) = '1'",  # substring of a non-string
+        "concat(s) = 'a'",            # concat needs >= 2 args
+        "concat(s, 5) = 'a5'",        # non-string concat literal
+        "concat(s, id) = 'a1'",       # non-string concat column
+        "coalesce(s, 5) = 'a'",       # cross-category coalesce
+        "coalesce('a', 'b') = 'a'",   # no column argument
+        "id / rid > 1",               # col-by-col division (zero risk)
+        "s + s = 'aa'",               # string col-vs-col arithmetic
         "length(id) > 0",          # length of a non-string
         "abs(s) = 1",              # abs of a string
         "id = flag",               # cross-category col-vs-col
@@ -298,3 +335,30 @@ def test_struct_field_access_parity(spark):
         compile_predicate("st.zzz = 1", types)
     with pytest.raises(UnsupportedPredicateError):
         compile_predicate("rid.x = 1", types)
+
+
+def test_unicode_substring_length_parity(spark):
+    """Spark's substring/length count CODEPOINTS; the arrow twin must
+    agree on non-ASCII strings (this is what makes utf8_slice_codeunits
+    the right kernel — despite its name it slices codepoints)."""
+    rows = [("héllo",), ("日本語テスト",), ("naïve",), (None,), ("🎉x🎊",)]
+    df = spark.createDataFrame(rows, "s string")
+    table = pa.table({"s": pa.array([r[0] for r in rows], pa.string())})
+    types = {"s": "string"}
+    for sql in (
+        "substring(s, 2) = 'éllo'",
+        "substring(s, 1, 2) = '日本'",
+        "substring(s, 2, 3) IN ('éll', '本語テ')",
+        "length(s) = 5",
+        "length(s) = 6",
+        "substring(s, 2, 1) = 'x'",
+        "concat(substring(s, 1, 1), '!') = '🎉!'",
+    ):
+        ast = compile_predicate(sql, types)
+        spark_vec = [
+            r.p for r in df.select(F.expr(sql).alias("p")).collect()
+        ]
+        arrow_vec = evaluate(ast, table).to_pylist()
+        assert arrow_vec == spark_vec, (
+            f"{sql}: {arrow_vec} != {spark_vec}"
+        )
