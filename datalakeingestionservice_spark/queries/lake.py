@@ -1559,3 +1559,171 @@ def q143_scoped_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_month_rows"),
     )
     return agg.withColumn("scoped_ok", F.lit(bool(scoped_ok)))
+
+
+@register(
+    "q144_spec_snapshot_pruning",
+    tags=("lake", "partitioning", "evolution", "spec-snapshots"),
+    oracle="""
+WITH probe AS (
+  SELECT min(o_orderkey) AS k FROM orders WHERE o_orderkey % 10 = 3
+),
+all_rows AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 1000000000, CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 10 = 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS sum_price,
+       CAST((SELECT count(*) FROM all_rows, probe
+             WHERE all_rows.k = probe.k) AS BIGINT) AS probe_old_rows,
+       CAST((SELECT count(*) FROM all_rows, probe
+             WHERE all_rows.k = probe.k + 1000000000) AS BIGINT)
+         AS probe_new_rows,
+       TRUE AS exact_prune_ok
+FROM all_rows
+""",
+)
+def q144_spec_snapshot_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-entry partition-spec snapshots (Iceberg's per-manifest
+    spec-id, round-6 continuation): orders committed under
+    `bucket(4, o_orderkey)`, the spec evolved to `bucket(8, o_orderkey)`
+    (metadata-only), then clones of keys %10==3 (key+1e9) appended under
+    the NEW modulus. Every entry records the spec that governed its
+    write, so a key-equality read derives the bucket index PER
+    GENERATION — old leaves prune with modulus 4, new leaves with
+    modulus 8 — where union-derivation had to abandon the
+    param-ambiguous alias entirely. `exact_prune_ok` asserts both probes
+    scan <= 2 of the ~12 leaves; the oracle recomputes the mixed
+    snapshot and both probe counts from raw orders. At 100 TB a bucket
+    respec (4->8 shards as a table grows) is routine; without per-entry
+    specs every point lookup degrades to a stats-only scan until a full
+    table rewrite."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_specsnap_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    t = VersionedTable.create(
+        spark, base, orders, partition_by=["bucket(4, o_orderkey)"]
+    )
+    t.set_partition_spec(["bucket(8, o_orderkey)"])
+    k = F.col("o_orderkey")
+    t.append(
+        orders.filter(k % 10 == 3).withColumn(
+            "o_orderkey", k + 1_000_000_000
+        )
+    )
+    k0 = int(
+        orders.filter(k % 10 == 3).agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    n_leaves = len(t.manifest().files)
+    info_old = t.prune_info([("o_orderkey", "=", k0)])
+    info_new = t.prune_info(
+        [("o_orderkey", "=", k0 + 1_000_000_000)]
+    )
+    exact = (
+        info_old["n_scanned"] <= 2
+        and info_new["n_scanned"] <= 2
+        and n_leaves >= 10
+    )
+    probe_old = t.read(
+        predicates=[("o_orderkey", "=", k0)]
+    ).count()
+    probe_new = t.read(
+        predicates=[("o_orderkey", "=", k0 + 1_000_000_000)]
+    ).count()
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
+        .withColumn("probe_old_rows", F.lit(probe_old).cast("bigint"))
+        .withColumn("probe_new_rows", F.lit(probe_new).cast("bigint"))
+        .withColumn("exact_prune_ok", F.lit(bool(exact)))
+    )
+
+
+@register(
+    "q145_mor_predicate_functions",
+    tags=("lake", "datasource", "merge-on-read", "predicates"),
+    oracle="""
+WITH cutoff AS (SELECT max(o_orderkey) AS c FROM orders),
+kept AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         o_orderstatus, o_orderpriority, o_custkey
+  FROM orders
+  WHERE NOT (concat(o_orderstatus, '-', o_orderpriority) = 'O-1-URGENT')
+    AND NOT (substring(o_orderpriority, 1, 1) = '3')
+    AND NOT (o_orderkey + o_custkey >= (SELECT c FROM cutoff))
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS sum_price,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+       TRUE AS mor_served_ok
+FROM kept
+""",
+)
+def q145_mor_predicate_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deferred-delete predicates using the round-6 THIRD-pass compiler
+    subset (`sources/sql_predicates.py`: concat / substring /
+    column-vs-column arithmetic), served merge-on-read through the
+    batch DataSource: three metadata-only deletes —
+    `concat(o_orderstatus, '-', o_orderpriority) = 'O-1-URGENT'`,
+    `substring(o_orderpriority, 1, 1) = '3'`, and
+    `o_orderkey + o_custkey >= max_key` — and
+    `spark.read.format("versioned")` compiles each to the serializable
+    AST and evaluates executor-side with pyarrow
+    (binary_join_element_wise emit_null, utf8_slice_codeunits, checked
+    int64 add) under Spark-identical 3VL. Zero rewrite asserted
+    in-plan; the oracle recomputes the kept set from raw orders with
+    the same WHERE. The wider the compilable subset, the more of a real
+    table's delete backlog stays metadata-only at 100 TB."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_morfn_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+    )
+    t = VersionedTable.create(spark, base, orders)
+    files_before = t.manifest().files
+    t.delete_where_deferred(
+        "concat(o_orderstatus, '-', o_orderpriority) = 'O-1-URGENT'"
+    )
+    t.delete_where_deferred("substring(o_orderpriority, 1, 1) = '3'")
+    cutoff = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    v = t.delete_where_deferred(
+        f"o_orderkey + o_custkey >= {cutoff}"
+    )
+    zero_rewrite = t.manifest(v).files == files_before
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", base)
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("p").cast("double").alias("sum_price"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    ).withColumn("mor_served_ok", F.lit(bool(zero_rewrite)))
