@@ -1727,3 +1727,74 @@ def q145_mor_predicate_functions(
         F.sum("p").cast("double").alias("sum_price"),
         F.countDistinct("o_orderpriority").alias("n_prios"),
     ).withColumn("mor_served_ok", F.lit(bool(zero_rewrite)))
+
+
+@register(
+    "q146_scoped_update",
+    tags=("lake", "dml", "update", "scoped-cow"),
+    oracle="""
+WITH target AS (
+  SELECT min(o_orderpriority) AS p FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o_orderpriority = (SELECT p FROM target)
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          + CAST(10.00 AS DECIMAL(18,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS total_price,
+       TRUE AS scoped_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q146_scoped_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-scoped COW UPDATE (`VersionedTable.update_where`, Delta's
+    `UPDATE ... WHERE` — round-6 continuation): orders partitioned by
+    o_orderpriority, then one priority's prices bumped +10.00 via the
+    triple-predicate form. The rewrite is PARTITION-SCOPED: every other
+    priority's leaf carries forward byte-identically (`scoped_ok`
+    asserts n_dirs_untouched == n_priorities - 1 and that those rels
+    survive verbatim in the new manifest), the match is TRUE-only SQL
+    UPDATE semantics, and the change feed records delete(preimage) +
+    insert(postimage) pairs — MERGE's encoding, so MVs replay it
+    unchanged. The oracle recomputes the post-update aggregate from raw
+    orders with a CASE. At 100 TB, UPDATE cost ∝ the updated partition,
+    not the table — the difference between an hourly repricing job and
+    an impossible one."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_upd_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    t = VersionedTable.create(
+        spark, base, orders, partition_by=["o_orderpriority"]
+    )
+    target = orders.agg(F.min("o_orderpriority")).collect()[0][0]
+    n_prios = orders.select("o_orderpriority").distinct().count()
+    before = t.manifest()
+    v = t.update_where(
+        [("o_orderpriority", "=", target)],
+        {"o_totalprice": "o_totalprice + CAST(10.00 AS DECIMAL(18,2))"},
+    )
+    m = t.manifest(v)
+    carried = set(before.files) & set(m.files)
+    scoped_ok = (
+        m.summary.get("n_dirs_untouched") == n_prios - 1
+        and len(carried) == n_prios - 1
+    )
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        )
+        .withColumn("scoped_ok", F.lit(bool(scoped_ok)))
+        .orderBy("o_orderpriority")
+    )

@@ -2540,9 +2540,124 @@ class VersionedTable:
             },
         )
 
-    def delete_where(self, predicate: Column) -> int:
-        """Copy-on-write DELETE: keep rows NOT matching the predicate."""
+    def _scoped_cow_selection(
+        self, pm: Manifest, predicates: list[tuple]
+    ) -> tuple[list, list, dict, int]:
+        """Entry+file-granular selection for a scoped COW rewrite
+        (delete_where / update_where triple form — same refinement the
+        MERGE path applies to its key bounds). Returns
+        (scoped_sel, untouched_rels, carried_files, n_files_untouched):
+        entries/files in the latter two PROVABLY contain no row the
+        predicate conjunction selects (TRUE rows; stats / partition
+        dirs / blooms / per-row-group envelopes each suffice alone) and
+        carry forward byte-identical. Derivation is per-entry
+        (spec snapshots), so transform-partitioned leaves scope exactly
+        across partition evolution."""
+        fwd = _log_to_phys(pm.column_mapping)
+        phys = [(fwd.get(c, c), op, v) for c, op, v in predicates]
+        schema_types = self._schema_types(pm)
+        part_types = self._part_types(pm)
+        cache: dict = {}
+        untouched: list[str] = []
+        scoped: list[str] = []
+        for rel in pm.files:
+            stats = pm.stats.get(rel, {})
+            dp = (
+                _entry_derived_preds(
+                    phys, stats, pm.partition_by, fwd, schema_types,
+                    pm.past_specs, cache,
+                )
+                or []
+            )
+            if dp and not _entry_may_match(stats, dp, part_types):
+                untouched.append(rel)
+            else:
+                scoped.append(rel)
+        scoped_sel: list[tuple[str, list[str] | None]] = []
+        carried_files: dict[str, dict] = {}
+        n_files_untouched = 0
+        for rel in scoped:
+            stats = pm.stats.get(rel, {})
+            fmap = stats.get("files")
+            if phys and fmap and len(fmap) > 1:
+                keep = [
+                    fn for fn, fs in sorted(fmap.items())
+                    if _file_may_match(fs, phys)
+                ]
+                if not keep:
+                    untouched.append(rel)
+                    continue
+                if len(keep) < len(fmap):
+                    for fn, fs in sorted(fmap.items()):
+                        if fn in keep:
+                            continue
+                        fstats = dict(fs)
+                        for carry_key in ("part_values", "spec"):
+                            if carry_key in stats:
+                                fstats[carry_key] = stats[carry_key]
+                        carried_files[f"{rel}/{fn}"] = fstats
+                        n_files_untouched += 1
+                    scoped_sel.append((rel, keep))
+                    continue
+            scoped_sel.append((rel, None))
+        return scoped_sel, untouched, carried_files, n_files_untouched
+
+    def delete_where(self, predicate: Column | list) -> int:
+        """Copy-on-write DELETE.
+
+        Column form (legacy): keep rows NOT matching — rows where the
+        predicate evaluates NULL are dropped too (Spark filter
+        semantics), and the whole table rewrites.
+
+        Triple form (`[(col, op, literal), ...]` — the
+        `read(predicates=)` shape): deletes EXACTLY the rows the
+        predicated read selects (TRUE-only, SQL DELETE semantics) and
+        the rewrite is STATS-SCOPED: entries (and individual files
+        inside kept entries) whose stats / partition dirs / blooms
+        prove no matching row carry forward byte-identical, so a
+        partition-aligned delete on a 100 TB table costs the affected
+        leaves, not the table — with the change feed still exact."""
         parent = self.latest_version()
+        if isinstance(predicate, (list, tuple)):
+            pm = self.manifest(parent)
+            preds = [tuple(p) for p in predicate]
+            cond = _predicates_to_column(preds)
+            (
+                scoped_sel, untouched, carried_files, n_files_untouched,
+            ) = self._scoped_cow_selection(pm, preds)
+            target = self._scan_entries(scoped_sel, pm)
+            if target is None:
+                target = self.spark.createDataFrame([], pm.schema_ddl)
+            kept = target.filter(~F.coalesce(cond, F.lit(False)))
+            cdf_summary: dict = {
+                "n_dirs_untouched": len(untouched),
+                "n_files_untouched": n_files_untouched,
+            }
+            if self._materialize_changes:
+                cdf_summary["cdf"] = self._write_cdf(
+                    target.filter(cond).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            entries = self._write_data_entries(kept, self.partition_by)
+            return self._commit(
+                operation="delete",
+                files=tuple(untouched)
+                + tuple(carried_files)
+                + tuple(entries),
+                schema_ddl=pm.schema_ddl,
+                expected_parent=parent,
+                summary=cdf_summary,
+                stats={
+                    **{
+                        rel: pm.stats[rel]
+                        for rel in untouched
+                        if rel in pm.stats
+                    },
+                    **carried_files,
+                    **entries,
+                },
+            )
         snapshot = self.read(parent)
         kept = snapshot.filter(~predicate)
         cdf_summary = {}
@@ -2563,6 +2678,120 @@ class VersionedTable:
             expected_parent=parent,
             summary=cdf_summary,
             stats=entries,
+        )
+
+    def update_where(
+        self,
+        predicate: Column | list,
+        set: dict[str, Column | str],
+    ) -> int:
+        """Copy-on-write UPDATE (Delta's `UPDATE ... WHERE` shape): rows
+        matching the predicate (TRUE only — NULL rows stay unchanged,
+        SQL UPDATE semantics) get the `set` assignments applied;
+        everything else is untouched. Assignment values are Columns or
+        SQL expression strings over the PRE-update row, each cast to the
+        target column's existing type (an UPDATE never changes the
+        schema); CHECK constraints re-validate the updated rows.
+
+        With the triple predicate form the rewrite is STATS-SCOPED like
+        `delete_where`: provably unmatched entries/files carry forward
+        byte-identical, so updating one partition costs that partition.
+        The change feed represents each update as its delete(preimage) +
+        insert(postimage) pair — the same encoding MERGE emits, so
+        incremental MVs and downstream replays need no new change
+        type."""
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        schema_cols = {
+            f.name: f.dataType
+            for f in self.spark.createDataFrame(
+                [], pm.schema_ddl
+            ).schema.fields
+        }
+        for col in set:
+            if col not in schema_cols:
+                raise ValueError(
+                    f"update_where: unknown column {col!r} "
+                    f"(table has {sorted(schema_cols)})"
+                )
+        assigns = {
+            col: (F.expr(v) if isinstance(v, str) else v).cast(
+                schema_cols[col]
+            )
+            for col, v in set.items()
+        }
+        scoped = isinstance(predicate, (list, tuple))
+        if scoped:
+            preds = [tuple(p) for p in predicate]
+            cond = _predicates_to_column(preds)
+            (
+                scoped_sel, untouched, carried_files, n_files_untouched,
+            ) = self._scoped_cow_selection(pm, preds)
+            target = self._scan_entries(scoped_sel, pm)
+            if target is None:
+                target = self.spark.createDataFrame([], pm.schema_ddl)
+        else:
+            cond = predicate
+            untouched, carried_files, n_files_untouched = [], {}, 0
+            target = self.read(parent)
+        # The match decision is pinned BEFORE assignments apply: an
+        # assignment that rewrites a predicate column must not change
+        # which rows count as matched for the postimage/constraint
+        # selections below.
+        marked = target.withColumn(
+            "__upd_match", F.coalesce(cond, F.lit(False))
+        )
+        upd_marked = marked.select(
+            *[
+                F.when(F.col("__upd_match"), assigns[c])
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assigns
+                else F.col(c)
+                for c in target.columns
+            ],
+            F.col("__upd_match"),
+        )
+        updated = upd_marked.drop("__upd_match")
+        # Only updated rows can newly violate a CHECK constraint.
+        _enforce_constraints(
+            upd_marked.filter("__upd_match").drop("__upd_match"),
+            pm.constraints,
+        )
+        cdf_summary: dict = {
+            "n_dirs_untouched": len(untouched),
+            "n_files_untouched": n_files_untouched,
+        }
+        if self._materialize_changes:
+            pre = (
+                marked.filter("__upd_match")
+                .drop("__upd_match")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            post = (
+                upd_marked.filter("__upd_match")
+                .drop("__upd_match")
+                .withColumn("_change_type", F.lit("insert"))
+            )
+            cdf_summary["cdf"] = self._write_cdf(pre.unionByName(post))
+        entries = self._write_data_entries(updated, self.partition_by)
+        return self._commit(
+            operation="update",
+            files=tuple(untouched)
+            + tuple(carried_files)
+            + tuple(entries),
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary=cdf_summary,
+            stats={
+                **{
+                    rel: pm.stats[rel]
+                    for rel in untouched
+                    if rel in pm.stats
+                },
+                **carried_files,
+                **entries,
+            },
         )
 
     def delete_where_deferred(self, predicate_sql: str) -> int:

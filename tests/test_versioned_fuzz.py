@@ -84,7 +84,8 @@ def test_random_commit_sequence_matches_model(
         op = rng.choice(
             ["append", "narrow_append", "merge", "delete", "overwrite",
              "compact", "deferred_delete", "restore",
-             "incremental_compact", "writer_append"]
+             "incremental_compact", "writer_append", "update",
+             "scoped_delete"]
         )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
@@ -135,6 +136,41 @@ def test_random_commit_sequence_matches_model(
             t.delete_where(F.col("id") % m == 0)
             for k in [k for k in list(model) if k[0] % m == 0]:
                 del model[k]
+        elif op == "scoped_delete":
+            # Triple form: stats-scoped COW delete of an id range —
+            # deletes exactly what read(predicates=) selects.
+            ids = sorted({k[0] for k in model})
+            if not ids:
+                rows = fresh_rows(1)
+                t.append(_df(spark, rows))
+                model.update(rows)
+            else:
+                lo = rng.choice(ids)
+                hi = lo + rng.randint(0, 5)
+                t.delete_where([("id", ">=", lo), ("id", "<=", hi)])
+                for k in [k for k in list(model) if lo <= k[0] <= hi]:
+                    del model[k]
+        elif op == "update":
+            # COW UPDATE: set val on a random id range (TRUE-only match;
+            # NULL vals from narrow appends keep their NULL id rows
+            # matched by the id predicate and updated like any other).
+            ids = sorted({k[0] for k in model})
+            if not ids:
+                rows = fresh_rows(1)
+                t.append(_df(spark, rows))
+                model.update(rows)
+            else:
+                lo = rng.choice(ids)
+                hi = lo + rng.randint(0, 4)
+                newval = rng.choice("UVW")
+                t.update_where(
+                    [("id", ">=", lo), ("id", "<=", hi)],
+                    {"val": F.lit(newval)},
+                )
+                moved = [k for k in list(model) if lo <= k[0] <= hi]
+                for k in moved:
+                    cnt = model.pop(k)
+                    model[(k[0], newval)] += cnt
         elif op == "overwrite":
             rows = fresh_rows(rng.randint(1, 3))
             t.overwrite(_df(spark, rows))
