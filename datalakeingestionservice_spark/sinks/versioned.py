@@ -432,19 +432,38 @@ def _validate_spec(
                     f"{fn}() needs a positive parameter: "
                     f"{fn}(N, {col})"
                 )
-            ok = (
-                t in ("tinyint", "smallint", "int", "bigint", "string")
-                or t.startswith(("varchar", "char"))
-            )
-            if not ok:
-                raise ValueError(
-                    f"{fn}() needs an int/string column, {col} is {t}"
-                )
+            stringy = t == "string" or t.startswith(("varchar", "char"))
+            intish = t in ("tinyint", "smallint", "int", "bigint")
+            if fn == "bucket":
+                # date buckets hash the canonical ISO string — exactly
+                # Spark's date->string cast, so build and probe agree.
+                # Timestamps stay refused: Spark's timestamp->string
+                # rendering (fraction trimming, session TZ) has no
+                # byte-exact sessionless Python twin here.
+                ok = stringy or intish or t == "date"
+                if not ok:
+                    raise ValueError(
+                        f"bucket() needs an int/string/date column, "
+                        f"{col} is {t}"
+                    )
+            else:  # truncate
+                ok = stringy or intish or t.startswith("decimal")
+                if not ok:
+                    raise ValueError(
+                        f"truncate() needs an int/string/decimal "
+                        f"column, {col} is {t}"
+                    )
         alias = _transform_alias(fn, col)
         if alias in types:
             raise ValueError(
                 f"transform dir name {alias!r} collides with a column"
             )
+
+
+def _decimal_scale(type_simple: str) -> int:
+    """Scale of a `decimal(p,s)` simpleString (0 when unparseable)."""
+    mm = re.match(r"decimal\((\d+),\s*(\d+)\)", type_simple)
+    return int(mm.group(2)) if mm else 0
 
 
 def _transform_expr(fn: str, param: int | None, col: str, type_simple: str):
@@ -483,6 +502,19 @@ def _transform_expr(fn: str, param: int | None, col: str, type_simple: str):
         if type_simple in ("tinyint", "smallint", "int", "bigint"):
             # floor-to-multiple (matches Python's // for negatives).
             return F.floor(c / F.lit(param)).cast("bigint") * param
+        if type_simple.startswith("decimal"):
+            # Iceberg decimal truncate: floor the UNSCALED value to a
+            # multiple of W, i.e. subtract the floor-mod of the value by
+            # step = W * 10^-s. `%` truncates toward zero in both Spark
+            # and Python Decimal, so ((v % step) + step) % step is the
+            # shared floor-mod; the result keeps the source scale, so
+            # its dir-name rendering matches the Python twin's
+            # str(Decimal) exactly.
+            s = _decimal_scale(type_simple)
+            step = F.lit(str(Decimal(param).scaleb(-s))).cast(
+                f"decimal(38,{s})"
+            )
+            return (c - ((c % step + step) % step)).cast(type_simple)
         return F.substring(c, 1, param)
     raise ValueError(f"unknown transform {fn!r}")
 
@@ -509,6 +541,8 @@ def _transform_py(fn: str, param: int | None, v, type_simple: str):
             return f"{v.year:04d}-{v.month:02d}"
         return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
     if fn == "bucket":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = v.isoformat()  # the canonical Spark date->string cast
         if not isinstance(v, (int, str)) or isinstance(v, bool):
             return None
         return (
@@ -523,6 +557,14 @@ def _transform_py(fn: str, param: int | None, v, type_simple: str):
             return None
         if isinstance(v, int):
             return (v // param) * param
+        if isinstance(v, Decimal):
+            from decimal import localcontext
+
+            s = _decimal_scale(type_simple)
+            step = Decimal(param).scaleb(-s)
+            with localcontext() as ctx:
+                ctx.prec = 60  # decimal(38) headroom
+                return v - ((v % step + step) % step)
         if isinstance(v, str):
             return v[:param]
         return None
@@ -586,11 +628,12 @@ def _spec_alias_types(
                 out[alias] = "string"
             else:  # truncate: source-typed (bigint for ints)
                 src = schema_types.get(col, "string")
-                out[alias] = (
-                    "bigint"
-                    if src in ("tinyint", "smallint", "int", "bigint")
-                    else "string"
-                )
+                if src in ("tinyint", "smallint", "int", "bigint"):
+                    out[alias] = "bigint"
+                elif src.startswith("decimal"):
+                    out[alias] = src  # dir values parse as Decimal
+                else:
+                    out[alias] = "string"
     return out
 
 

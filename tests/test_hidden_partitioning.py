@@ -311,9 +311,11 @@ def test_transform_validation_errors(spark, root):
             df.withColumn("d_year", F.lit(1)),
             partition_by=["year(d)"],
         )
+    # bucket(date) became legal in the round-6 continuation; truncate
+    # of a date stays out (no Iceberg width semantics for it here).
     with pytest.raises(ValueError, match="int/string"):
         VersionedTable.create(
-            spark, root + "e", df, partition_by=["bucket(4, d)"]
+            spark, root + "e", df, partition_by=["truncate(3, d)"]
         )
 
 
@@ -617,3 +619,150 @@ def test_spec_snapshots_scope_merge_and_optimize_after_evolution(
     # Rows intact.
     assert t.read().count() == 64
     assert {r.id for r in t.read(predicates=[("id", "=", 10)]).collect()} == {10}
+
+
+def test_decimal_truncate_and_date_bucket_transforms(spark, root):
+    """Round-6 continuation transform widening: truncate(W, decimal)
+    floors the UNSCALED value to a multiple of W (Iceberg semantics,
+    shared floor-mod so Spark and the Python twin agree on negatives),
+    bucket(N, date) hashes the canonical ISO string (= Spark's
+    date->string cast). Layout + pruning + DML parity end to end."""
+    from decimal import Decimal
+
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _transform_expr,
+        _transform_py,
+    )
+
+    # Twin parity batteries (incl. negatives and exact-multiple edges).
+    vals = ["1.55", "-0.05", "-0.10", "0.00", "123.45", "-123.45"]
+    dfd = spark.createDataFrame(
+        [(Decimal(v),) for v in vals], "d decimal(10,2)"
+    )
+    for w in (10, 100, 7):
+        sp = [
+            r.t
+            for r in dfd.select(
+                _transform_expr(
+                    "truncate", w, "d", "decimal(10,2)"
+                ).alias("t")
+            ).collect()
+        ]
+        assert sp == [
+            _transform_py("truncate", w, Decimal(v), "decimal(10,2)")
+            for v in vals
+        ], w
+    dates = [dt.date(2024, 1, 5), dt.date(1999, 12, 31), dt.date(2025, 2, 28)]
+    dfb = spark.createDataFrame([(d,) for d in dates], "d date")
+    sp = [
+        r.t
+        for r in dfb.select(
+            _transform_expr("bucket", 8, "d", "date").alias("t")
+        ).collect()
+    ]
+    assert sp == [_transform_py("bucket", 8, d, "date") for d in dates]
+
+    # End to end: composite spec, hive round trip, pruning parity, DML.
+    rows = [
+        (
+            i,
+            Decimal(f"{i * 3}.{i % 100:02d}"),
+            dt.date(2024, 1 + i % 12, 1 + i % 28),
+        )
+        for i in range(40)
+    ] + [(99, None, None)]
+    df = spark.createDataFrame(
+        rows, "id bigint, amt decimal(10,2), d date"
+    )
+    t = VersionedTable.create(
+        spark, root, df,
+        partition_by=["truncate(1000, amt)", "bucket(4, d)"],
+    )
+    got = _check_pred_parity(t, [("amt", ">=", Decimal("60.00"))])
+    assert all(g[1] >= Decimal("60.00") for g in got)
+    info = t.prune_info([("amt", "<", Decimal("10.00"))])
+    assert info["n_skipped"] > 0
+    _check_pred_parity(t, [("d", "=", dt.date(2024, 2, 2))])
+    info_d = t.prune_info([("d", "=", dt.date(2024, 2, 2))])
+    assert info_d["n_skipped"] > 0  # bucket equality prunes sibling dates
+    # DML keeps the layout: scoped update on the decimal dimension.
+    t.update_where(
+        [("amt", "<", Decimal("30.00"))], {"id": "id + 1000"}
+    )
+    assert t.read().count() == 41
+    _check_pred_parity(t, [("amt", ">=", Decimal("60.00"))])
+
+
+def test_decimal_truncate_through_datasource_writer(spark, root):
+    """The sessionless Arrow writer computes decimal-truncate and
+    date-bucket leaf segments with the same Python twin; round trip
+    through the batch DataSource stays exact."""
+    from decimal import Decimal
+
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register,
+    )
+
+    register(spark)
+    rows = [
+        (i, Decimal(f"{i * 7}.{i % 100:02d}"), dt.date(2024, 1 + i % 3, 5))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, amt decimal(10,2), d date"
+    )
+    (
+        df.write.format("versioned")
+        .mode("append")
+        .option("table_root", root)
+        .option("partition_by", "truncate(5000, amt), bucket(2, d)")
+        .save()
+    )
+    t = VersionedTable(spark, root)
+    assert t.partition_by == ("truncate(5000, amt)", "bucket(2, d)")
+    # Dir names agree with the session writer's convention: committing
+    # the same rows through the session path yields the same leaf keys.
+    pv = {
+        tuple(sorted(t.manifest().stats[rel]["part_values"].items()))
+        for rel in t.manifest().files
+    }
+    root2 = root + "_session"
+    t2 = VersionedTable.create(
+        spark, root2, df,
+        partition_by=["truncate(5000, amt)", "bucket(2, d)"],
+    )
+    pv2 = {
+        tuple(sorted(t2.manifest().stats[rel]["part_values"].items()))
+        for rel in t2.manifest().files
+    }
+    assert pv == pv2
+    got = {
+        tuple(r)
+        for r in spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+        .collect()
+    }
+    assert got == {tuple(r) for r in df.collect()}
+    _check_pred_parity(t, [("amt", ">=", Decimal("70.00"))])
+
+
+def test_widened_transform_validation(spark, root):
+    """bucket(ts) stays refused (no byte-exact sessionless twin for
+    Spark's timestamp rendering); truncate(date) refused; decimal
+    bucket refused."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, Decimal("1.00"), dt.datetime(2024, 1, 1))],
+        "id bigint, amt decimal(10,2), ts timestamp",
+    )
+    for spec in (
+        ["bucket(4, ts)"],
+        ["truncate(2, ts)"],
+        ["bucket(4, amt)"],
+    ):
+        with pytest.raises(Exception):
+            VersionedTable.create(
+                spark, root + spec[0][:6], df, partition_by=spec
+            )
