@@ -2727,6 +2727,7 @@ class VersionedTable:
         self,
         predicate: Column | list,
         set: dict[str, Column | str],
+        expected_version: int | None = None,
     ) -> int:
         """Copy-on-write UPDATE (Delta's `UPDATE ... WHERE` shape): rows
         matching the predicate (TRUE only — NULL rows stay unchanged,
@@ -2742,8 +2743,17 @@ class VersionedTable:
         The change feed represents each update as its delete(preimage) +
         insert(postimage) pair — the same encoding MERGE emits, so
         incremental MVs and downstream replays need no new change
-        type."""
-        parent = self.latest_version()
+        type.
+
+        Snapshot-isolated like MERGE: commits against the version it
+        read (or `expected_version` when the caller pins one); any
+        commit landing in between raises `ConcurrentCommitError` and
+        the caller re-runs against the new snapshot."""
+        parent = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
         pm = self.manifest(parent)
         schema_cols = {
             f.name: f.dataType

@@ -200,3 +200,51 @@ def test_protocol_exactly_one_winner_per_slot(spark, table):
             stats=dict(pm.stats),
         )
     assert table.latest_version() == v0 + 1
+
+
+def test_update_vs_update_conflicts(spark, table):
+    """Two UPDATEs computed against the same snapshot: first wins,
+    second errors, rerun applies last-writer on the new snapshot."""
+    v0 = table.latest_version()
+    table.update_where([("id", "=", 7)], {"val": F.lit("first")})
+    with pytest.raises(ConcurrentCommitError):
+        table.update_where(
+            [("id", "=", 7)], {"val": F.lit("second")},
+            expected_version=v0,
+        )
+    table.update_where([("id", "=", 7)], {"val": F.lit("second")})
+    got = {(r.id, r.val) for r in table.read().collect()}
+    assert (7, "second") in got and (7, "first") not in got
+    assert len(got) == 40
+
+
+def test_update_vs_merge_disjoint_scopes_still_conflicts(spark, table):
+    """Conservative like merge-vs-merge: disjoint partitions still
+    conflict; the rerun lands both."""
+    v0 = table.latest_version()
+    table.merge(_upd(spark, [(0, 0, "merged")]), ["id"])
+    with pytest.raises(ConcurrentCommitError):
+        table.update_where(
+            [("grp", "=", 3)], {"val": F.lit("U")},
+            expected_version=v0,
+        )
+    table.update_where([("grp", "=", 3)], {"val": F.lit("U")})
+    got = {(r.id, r.val) for r in table.read().collect()}
+    assert (0, "merged") in got
+    assert all(v == "U" for i, v in got if i % 4 == 3)
+
+
+def test_update_vs_compact(spark, table):
+    """OPTIMIZE lands mid-update: the update's scoped plan referenced
+    pre-compact entries — it must error, then succeed on rerun."""
+    v0 = table.latest_version()
+    table.compact(num_partitions=1)
+    with pytest.raises(ConcurrentCommitError):
+        table.update_where(
+            [("id", "=", 5)], {"val": F.lit("u")},
+            expected_version=v0,
+        )
+    table.update_where([("id", "=", 5)], {"val": F.lit("u")})
+    assert (5, "u") in {
+        (r.id, r.val) for r in table.read().collect()
+    }

@@ -361,3 +361,34 @@ def test_mapped_table_streams_logical_columns(spark, tmp_path):
         (2, "b", "insert", 2),
         (3, "c", "insert", 4),
     }
+
+
+def test_update_where_commits_stream(spark, tmp_path):
+    """An update_where commit streams as its delete(preimage) +
+    insert(postimage) pair via the materialized change file — the MERGE
+    encoding, so the stream source needs nothing new; a scoped
+    triple-form delete streams its TRUE-only matched rows."""
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    import pyspark.sql.functions as F
+
+    t.update_where([("id", "=", 2)], {"val": F.lit("B")})  # v2
+    t.delete_where([("id", "=", 3)])                       # v3
+
+    q = _start(spark, root, "feed_upd", str(tmp_path / "ck"))
+    try:
+        _wait_count(spark, "feed_upd", 6)
+    finally:
+        q.stop()
+    got = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM feed_upd").collect()
+    }
+    assert got == {
+        (1, "a", "insert", 1), (2, "b", "insert", 1),
+        (3, "c", "insert", 1),
+        (2, "b", "delete", 2), (2, "B", "insert", 2),
+        (3, "c", "delete", 3),
+    }
