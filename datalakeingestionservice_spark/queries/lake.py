@@ -1798,3 +1798,98 @@ def q146_scoped_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scoped_ok", F.lit(bool(scoped_ok)))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q147_sql_dml_statements",
+    tags=("lake", "dml", "sql-surface"),
+    oracle="""
+WITH target AS (SELECT min(o_orderpriority) AS p FROM orders),
+after_update AS (
+  SELECT o_orderkey,
+         o_orderstatus,
+         o_orderpriority,
+         CASE WHEN o_orderpriority = (SELECT p FROM target)
+              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(5.00 AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+  FROM orders
+),
+after_delete AS (
+  SELECT * FROM after_update WHERE NOT (o_orderstatus = 'F')
+),
+after_insert AS (
+  SELECT o_orderkey, price FROM after_delete
+  UNION ALL
+  SELECT o_orderkey + 2000000000,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 100 = 7
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS total_price,
+       TRUE AS dml_ok
+FROM after_insert
+""",
+)
+def q147_sql_dml_statements(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SQL DML front door (`sinks/sql_dml.py` — the lake-native
+    twin of the reference's raw-SQL DML execution,
+    `src/Infrastructure/DataExtraction/SqlServerDataSource.cs:20-73`):
+    three statements run verbatim against the versioned table —
+    `UPDATE ... SET price = price + 5.00 WHERE priority = <min>`
+    (compiles to the scoped triple form: every other priority's leaf
+    carries byte-identically), `DELETE FROM ... WHERE status = 'F'`,
+    and `INSERT INTO ... SELECT` of shifted clones from a registered
+    view. The oracle replays the same three statements as relational
+    algebra over raw orders. `dml_ok` asserts the UPDATE was
+    partition-scoped and the three commits are separate versions."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_dml
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_dml_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(
+        spark, base, orders, partition_by=["o_orderpriority"]
+    )
+    target = orders.agg(F.min("o_orderpriority")).collect()[0][0]
+    n_prios = orders.select("o_orderpriority").distinct().count()
+    tables = {"ord": t}
+    v1 = execute_dml(
+        spark,
+        "UPDATE ord SET price = price + CAST(5.00 AS DECIMAL(18,2)) "
+        f"WHERE o_orderpriority = '{target}'",
+        tables,
+    )
+    scoped = (
+        t.manifest(v1).summary.get("n_dirs_untouched") == n_prios - 1
+    )
+    execute_dml(
+        spark, "DELETE FROM ord WHERE o_orderstatus = 'F'", tables
+    )
+    orders.filter(F.col("o_orderkey") % 100 == 7).createOrReplaceTempView(
+        "dml_staging"
+    )
+    v3 = execute_dml(
+        spark,
+        "INSERT INTO ord (o_orderkey, price) "
+        "SELECT o_orderkey + 2000000000, price FROM dml_staging",
+        tables,
+    )
+    dml_ok = scoped and v3 == v1 + 2
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("dml_ok", F.lit(bool(dml_ok)))
+    )

@@ -1,0 +1,325 @@
+"""SQL DML statements over versioned lake tables.
+
+The reference service's ingestion surface executes raw SQL — including
+DML — against its server RDBMS (`src/Infrastructure/DataExtraction/
+SqlServerDataSource.cs:20-73` runs whatever statement the dataset config
+carries). This module is the lake-native equivalent: a small front door
+that parses one DML statement and routes it to the engine's native
+operations, so a user migrating a config full of UPDATE/DELETE/INSERT
+statements keeps running them verbatim:
+
+    execute_dml(spark, "UPDATE trades SET price = price * 1.1 "
+                       "WHERE region = 'EU'",
+                tables={"trades": "/lake/trades"})
+
+Supported statements (one per call):
+
+- ``UPDATE <t> SET col = expr[, ...] [WHERE pred]`` →
+  :meth:`VersionedTable.update_where` (TRUE-only SQL match). When the
+  WHERE is a conjunction of simple ``col op literal`` comparisons it
+  compiles to the TRIPLE form — the rewrite is stats-scoped to the
+  affected partitions/files; anything else falls back to a full-scan
+  COW rewrite with identical results.
+- ``DELETE FROM <t> [WHERE pred]`` → scoped triple-form
+  :meth:`VersionedTable.delete_where` when compilable, else a COW
+  delete under SQL semantics (TRUE rows deleted, NULL rows kept — the
+  predicate is NULL-guarded before the legacy Column path). A bare
+  ``DELETE FROM t`` truncates (commits an empty snapshot).
+- ``INSERT INTO <t> [(col, ...)] VALUES (...), (...)`` and
+  ``INSERT INTO <t> [(col, ...)] SELECT ...`` →
+  :meth:`VersionedTable.append`. VALUES/SELECT run through `spark.sql`
+  (SELECT resolves against the session's registered views), columns
+  map positionally — or by the explicit column list — onto the table
+  schema, absent columns fill with typed NULLs, and every value casts
+  to the table column's type.
+
+Everything else (MERGE INTO, multi-statement scripts, DDL) raises
+``UnsupportedStatementError`` — the native `merge()` API covers MERGE
+with more control than the statement form would.
+
+WHERE-clause semantics are SQL throughout: rows are affected only where
+the predicate is TRUE; NULL/FALSE rows are untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+
+class UnsupportedStatementError(ValueError):
+    """Statement outside the supported DML subset."""
+
+
+def _strip(sql: str) -> str:
+    return sql.strip().rstrip(";").strip()
+
+
+def _resolve(
+    spark: SparkSession, name: str, tables: dict
+) -> VersionedTable:
+    if name not in tables:
+        raise UnsupportedStatementError(
+            f"unknown table {name!r} (registered: {sorted(tables)})"
+        )
+    t = tables[name]
+    return t if isinstance(t, VersionedTable) else VersionedTable(
+        spark, t
+    )
+
+
+def _where_triples(where: str, t: VersionedTable) -> list | None:
+    """Compile a WHERE clause to the scoped triple form when it is a
+    pure conjunction of `col op literal` comparisons on the table's
+    schema; None → caller falls back to the Column path (same result,
+    unscoped rewrite)."""
+    from datalakeingestionservice_spark.sources.sql_predicates import (
+        UnsupportedPredicateError,
+        parse_predicate,
+    )
+
+    try:
+        ast = parse_predicate(where)
+    except UnsupportedPredicateError:
+        return None
+    import datetime as _dt
+    from decimal import Decimal
+
+    m = t.manifest()
+    types = {}
+    from pyspark.sql.types import StructType
+
+    for f in StructType.fromDDL(m.schema_ddl).fields:
+        types[f.name] = f.dataType.simpleString()
+
+    def lit_value(lit: list, col_type: str):
+        tag, v = lit[0], lit[1]
+        if tag == "n":
+            if col_type.startswith("decimal"):
+                return Decimal(v)
+            return (
+                float(v) if ("." in v or "e" in v.lower()) else int(v)
+            )
+        if tag == "d" or (tag == "s" and col_type == "date"):
+            return _dt.date.fromisoformat(v)
+        if tag == "t" or (
+            tag == "s" and col_type.startswith("timestamp")
+        ):
+            return _dt.datetime.fromisoformat(v)
+        if tag == "s":
+            return v
+        return None  # booleans etc.: not worth the triple path
+
+    triples: list = []
+
+    def walk(node: list) -> bool:
+        if node[0] == "and":
+            return walk(node[1]) and walk(node[2])
+        if node[0] == "cmp" and node[1] in ("=", "<", "<=", ">", ">="):
+            colx, lit = node[2], node[3]
+            if not isinstance(colx, str) or colx not in types:
+                return False
+            v = lit_value(lit, types[colx])
+            if v is None:
+                return False
+            triples.append((colx, node[1], v))
+            return True
+        return False
+
+    return triples if walk(ast) else None
+
+
+def _positional_append(
+    spark: SparkSession,
+    t: VersionedTable,
+    df: DataFrame,
+    cols: list[str] | None,
+) -> int:
+    """Map `df` onto the table schema (positionally, or via the INSERT
+    column list), NULL-fill absent columns, cast everything."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(t.manifest().schema_ddl)
+    names = [f.name for f in schema.fields]
+    target = cols if cols is not None else names[: len(df.columns)]
+    unknown = [c for c in target if c not in names]
+    if unknown:
+        raise UnsupportedStatementError(
+            f"INSERT column(s) {unknown} not in table schema {names}"
+        )
+    if len(df.columns) != len(target):
+        raise UnsupportedStatementError(
+            f"INSERT provides {len(df.columns)} values for "
+            f"{len(target)} column(s)"
+        )
+    src = dict(zip(target, df.columns))
+    types = {f.name: f.dataType for f in schema.fields}
+    out = df.select(
+        *[
+            F.col(src[c]).cast(types[c]).alias(c)
+            if c in src
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in names
+        ]
+    )
+    return t.append(out)
+
+
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(?P<name>[A-Za-z_][\w.]*)\s+SET\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_set_where(rest: str) -> tuple[str, str | None]:
+    """Split `SET ... [WHERE ...]` at the first top-level WHERE (outside
+    quotes and parentheses)."""
+    depth = 0
+    i = 0
+    n = len(rest)
+    while i < n:
+        ch = rest[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if rest[i] == "'":
+                    if i + 1 < n and rest[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch in "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and rest[i : i + 5].upper() == "WHERE":
+            before = rest[i - 1] if i else " "
+            after = rest[i + 5] if i + 5 < n else " "
+            if not before.strip() and (
+                not after.strip() or after == "("
+            ):
+                return rest[:i].strip(), rest[i + 5 :].strip()
+        i += 1
+    return rest.strip(), None
+
+
+def _split_assignments(setpart: str) -> dict[str, str]:
+    """`a = expr, b = expr` → {col: expr}, commas split outside
+    quotes/parens."""
+    parts: list[str] = []
+    depth = 0
+    tok: list[str] = []
+    i = 0
+    n = len(setpart)
+    while i < n:
+        ch = setpart[i]
+        if ch == "'":
+            tok.append(ch)
+            i += 1
+            while i < n:
+                tok.append(setpart[i])
+                if setpart[i] == "'":
+                    if i + 1 < n and setpart[i + 1] == "'":
+                        tok.append(setpart[i + 1])
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch in "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(tok))
+            tok = []
+        else:
+            tok.append(ch)
+        i += 1
+    if tok:
+        parts.append("".join(tok))
+    if not any(p.strip() for p in parts):
+        raise UnsupportedStatementError("UPDATE needs SET assignments")
+    out: dict[str, str] = {}
+    for p in parts:
+        col, eq, expr = p.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise UnsupportedStatementError(
+                f"cannot parse assignment {p.strip()!r}"
+            )
+        out[col.strip().strip("`")] = expr.strip()
+    return out
+
+
+def execute_dml(
+    spark: SparkSession, statement: str, tables: dict
+) -> int:
+    """Execute one DML statement against the registered lake tables.
+    `tables` maps statement-visible names to VersionedTable instances or
+    table roots. Returns the committed version number."""
+    sql = _strip(statement)
+    mu = _UPDATE_RE.match(sql)
+    if mu:
+        t = _resolve(spark, mu.group("name"), tables)
+        setpart, where = _split_set_where(mu.group("rest"))
+        assigns = _split_assignments(setpart)
+        if where is None:
+            # UPDATE without WHERE: every row matches.
+            return t.update_where(F.lit(True), assigns)
+        triples = _where_triples(where, t)
+        if triples is not None:
+            return t.update_where(triples, assigns)
+        return t.update_where(F.expr(where), assigns)
+    md = _DELETE_RE.match(sql)
+    if md:
+        t = _resolve(spark, md.group("name"), tables)
+        where = md.group("where")
+        if where is None:
+            # Bare DELETE truncates: empty snapshot, full change feed.
+            return t.delete_where(F.lit(True))
+        triples = _where_triples(where, t)
+        if triples is not None:
+            return t.delete_where(triples)
+        # SQL semantics on the Column path: NULL-guard the predicate so
+        # only TRUE rows delete (filter(~pred) alone would drop NULLs).
+        return t.delete_where(
+            F.coalesce(F.expr(where), F.lit(False))
+        )
+    mi = _INSERT_RE.match(sql)
+    if mi:
+        t = _resolve(spark, mi.group("name"), tables)
+        cols = (
+            [c.strip().strip("`") for c in mi.group("cols").split(",")]
+            if mi.group("cols")
+            else None
+        )
+        rest = mi.group("rest").strip()
+        if rest.upper().startswith("VALUES"):
+            df = spark.sql(f"SELECT * FROM ({rest})")
+        elif rest.upper().startswith(("SELECT", "WITH", "(")):
+            df = spark.sql(rest)
+        else:
+            raise UnsupportedStatementError(
+                f"INSERT body must be VALUES or a SELECT: {rest[:40]!r}"
+            )
+        return _positional_append(spark, t, df, cols)
+    raise UnsupportedStatementError(
+        "supported statements: UPDATE ... SET ... [WHERE], DELETE FROM "
+        "... [WHERE], INSERT INTO ... VALUES/SELECT; got: "
+        f"{sql[:60]!r}"
+    )

@@ -1,0 +1,165 @@
+"""sinks/sql_dml.py: the DML-statement front door over lake tables.
+
+The reference runs raw SQL DML against its RDBMS; execute_dml routes the
+same statements to native engine ops — scoped triple compilation when
+the WHERE is a simple conjunction, SQL TRUE-only semantics everywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.sql_dml import (
+    UnsupportedStatementError,
+    execute_dml,
+)
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            (3, "b", 30.0),
+            (4, None, 40.0),
+        ],
+        "id bigint, grp string, v double",
+    )
+    return VersionedTable.create(
+        spark, str(tmp_path / "vt"), df, partition_by=["grp"]
+    )
+
+
+def test_update_statement_scoped(spark, table):
+    before = table.manifest()
+    v = execute_dml(
+        spark,
+        "UPDATE t SET v = v + 1 WHERE grp = 'a'",
+        {"t": table},
+    )
+    m = table.manifest(v)
+    # Triple compilation -> partition-scoped rewrite (b + null carried).
+    assert m.summary["n_dirs_untouched"] == 2
+    assert len(set(before.files) & set(m.files)) == 2
+    got = {(r.id, r.v) for r in table.read().collect()}
+    assert got == {(1, 11.0), (2, 21.0), (3, 30.0), (4, 40.0)}
+
+
+def test_update_statement_complex_where_falls_back(spark, table):
+    execute_dml(
+        spark,
+        "UPDATE t SET grp = 'x' WHERE grp IS NULL OR v >= 40",
+        {"t": table},
+    )
+    got = {(r.id, r.grp) for r in table.read().collect()}
+    assert got == {(1, "a"), (2, "a"), (3, "b"), (4, "x")}
+
+
+def test_update_without_where_hits_every_row(spark, table):
+    execute_dml(spark, "UPDATE t SET v = 0", {"t": table})
+    assert {r.v for r in table.read().collect()} == {0.0}
+
+
+def test_delete_statement_true_only_semantics(spark, table):
+    """`DELETE ... WHERE grp != 'a'` must KEEP the NULL-grp row (SQL
+    semantics) even on the fallback Column path."""
+    execute_dml(
+        spark, "DELETE FROM t WHERE grp != 'a'", {"t": table}
+    )
+    assert {r.id for r in table.read().collect()} == {1, 2, 4}
+
+
+def test_delete_statement_scoped_triples(spark, table):
+    before = table.manifest()
+    v = execute_dml(
+        spark, "DELETE FROM t WHERE grp = 'b'", {"t": table}
+    )
+    m = table.manifest(v)
+    assert m.summary["n_dirs_untouched"] == 2
+    assert len(set(before.files) & set(m.files)) == 2
+    assert {r.id for r in table.read().collect()} == {1, 2, 4}
+
+
+def test_bare_delete_truncates(spark, table):
+    execute_dml(spark, "DELETE FROM t", {"t": table})
+    assert table.read().count() == 0
+    # Old snapshot still readable (it is a versioned commit, not an rm).
+    assert table.read(1).count() == 4
+
+
+def test_insert_values(spark, table):
+    execute_dml(
+        spark,
+        "INSERT INTO t VALUES (5, 'c', 50.0), (6, 'c', 60.0)",
+        {"t": table},
+    )
+    assert table.read().count() == 6
+    assert {
+        r.id for r in table.read(predicates=[("grp", "=", "c")]).collect()
+    } == {5, 6}
+
+
+def test_insert_with_column_list_null_fills(spark, table):
+    execute_dml(
+        spark, "INSERT INTO t (id, v) VALUES (7, 70.5)", {"t": table}
+    )
+    row = table.read().filter("id = 7").collect()[0]
+    assert (row.id, row.grp, row.v) == (7, None, 70.5)
+
+
+def test_insert_select_from_view(spark, table):
+    spark.createDataFrame(
+        [(8, "d", 80.0)], "id bigint, grp string, v double"
+    ).createOrReplaceTempView("staging_rows")
+    execute_dml(
+        spark,
+        "INSERT INTO t SELECT id, grp, v FROM staging_rows",
+        {"t": table},
+    )
+    assert table.read().filter("id = 8").count() == 1
+
+
+def test_insert_casts_to_table_types(spark, table):
+    """INSERT VALUES with int literals into a double column casts."""
+    execute_dml(
+        spark, "INSERT INTO t VALUES (9, 'e', 90)", {"t": table}
+    )
+    row = table.read().filter("id = 9").collect()[0]
+    assert row.v == 90.0 and isinstance(row.v, float)
+
+
+def test_statement_with_string_containing_where(spark, table):
+    execute_dml(
+        spark,
+        "UPDATE t SET grp = 'WHERE am I' WHERE id = 3",
+        {"t": table},
+    )
+    assert {
+        r.grp for r in table.read().filter("id = 3").collect()
+    } == {"WHERE am I"}
+
+
+def test_unsupported_statements_refuse(spark, table):
+    for bad in (
+        "MERGE INTO t USING s ON t.id = s.id",
+        "DROP TABLE t",
+        "SELECT * FROM t",
+        "UPDATE nope SET v = 1",
+        "INSERT INTO t GARBAGE",
+        "UPDATE t SET WHERE id = 1",
+    ):
+        with pytest.raises(UnsupportedStatementError):
+            execute_dml(spark, bad, {"t": table})
+
+
+def test_roots_accepted_in_table_map(spark, table):
+    v = execute_dml(
+        spark,
+        "DELETE FROM trades WHERE id = 1",
+        {"trades": table.root},
+    )
+    assert v == 2
+    assert {r.id for r in table.read().collect()} == {2, 3, 4}
