@@ -33,9 +33,13 @@ Supported statements (one per call):
   schema, absent columns fill with typed NULLs, and every value casts
   to the table column's type.
 
-Everything else (MERGE INTO, multi-statement scripts, DDL) raises
-``UnsupportedStatementError`` — the native `merge()` API covers MERGE
-with more control than the statement form would.
+- ``MERGE INTO <t> USING <view> ON t.k = s.k ... UPDATE SET * /
+  INSERT * [/ flag-guarded DELETE]`` → :meth:`VersionedTable.merge`
+  (see :func:`execute_merge` for the exact subset).
+
+Everything else (multi-statement scripts, DDL, out-of-subset MERGE
+forms) raises ``UnsupportedStatementError`` — the native APIs cover
+those with more control than statements would.
 
 WHERE-clause semantics are SQL throughout: rows are affected only where
 the predicate is TRUE; NULL/FALSE rows are untouched.
@@ -318,8 +322,128 @@ def execute_dml(
                 f"INSERT body must be VALUES or a SELECT: {rest[:40]!r}"
             )
         return _positional_append(spark, t, df, cols)
+    if re.match(r"^MERGE\s", sql, re.IGNORECASE):
+        return execute_merge(spark, sql, tables)
     raise UnsupportedStatementError(
         "supported statements: UPDATE ... SET ... [WHERE], DELETE FROM "
-        "... [WHERE], INSERT INTO ... VALUES/SELECT; got: "
+        "... [WHERE], INSERT INTO ... VALUES/SELECT, MERGE INTO "
+        "(restricted form); got: "
         f"{sql[:60]!r}"
     )
+
+
+_MERGE_RE = re.compile(
+    r"^MERGE\s+INTO\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*))?"
+    r"\s+USING\s+(?P<src>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"(?P<clauses>\s+WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute_merge(
+    spark: SparkSession, statement: str, tables: dict
+) -> int:
+    """The restricted MERGE INTO statement form (Delta's
+    `UPDATE SET * / INSERT *` shorthand), routed to the native
+    :meth:`VersionedTable.merge`:
+
+        MERGE INTO t USING src ON t.id = s.id
+        [WHEN MATCHED AND s.<flag> THEN DELETE]
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+
+    - `src` is a registered Spark view whose schema matches the table
+      (plus the optional boolean delete-flag column).
+    - ON must be a conjunction of `t.k = s.k` equalities on identically
+      named columns — that's what makes keys co-locatable and lets the
+      stats-scoped rewrite engage.
+    - The only supported actions are the starred shorthands and a
+      flag-guarded DELETE; column-level assignments or extra conditions
+      need the native `merge()` API (which offers strictly more
+      control). Out-of-subset statements raise
+      `UnsupportedStatementError`, never a reinterpreted result.
+    """
+    sql = _strip(statement)
+    mm = _MERGE_RE.match(sql)
+    if mm is None:
+        raise UnsupportedStatementError(
+            "MERGE subset: MERGE INTO t USING view ON t.k = s.k "
+            "[WHEN MATCHED AND s.flag THEN DELETE] WHEN MATCHED THEN "
+            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+    t = _resolve(spark, mm.group("name"), tables)
+    updates = spark.table(mm.group("src"))
+    talias = (mm.group("talias") or mm.group("name")).lower()
+    salias = (mm.group("salias") or mm.group("src")).lower()
+
+    # ON: conjunction of qualified equality pairs on the SAME column.
+    key_cols: list[str] = []
+    for part in re.split(r"\s+AND\s+", mm.group("on"), flags=re.IGNORECASE):
+        pe = re.match(
+            r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+            r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$",
+            part,
+        )
+        if pe is None:
+            raise UnsupportedStatementError(
+                f"ON must be t.k = s.k equalities; got {part.strip()!r}"
+            )
+        q1, c1, q2, c2 = (g.lower() for g in pe.groups())
+        quals = {q1, q2}
+        if c1 != c2 or quals != {talias, salias}:
+            raise UnsupportedStatementError(
+                "ON must equate the SAME column across the two sides "
+                f"(got {part.strip()!r})"
+            )
+        key_cols.append(pe.group(2))
+
+    saw_update = saw_insert = False
+    delete_col: str | None = None
+    for wm in _WHEN_RE.finditer(mm.group("clauses")):
+        action = re.sub(r"\s+", " ", wm.group("action").upper())
+        negated = wm.group("not") is not None
+        cond = wm.group("cond")
+        if action == "DELETE":
+            if negated or cond is None:
+                raise UnsupportedStatementError(
+                    "DELETE needs WHEN MATCHED AND s.<flag> THEN DELETE"
+                )
+            ce = re.match(
+                r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(?:=\s*TRUE)?"
+                r"\s*$",
+                cond,
+                re.IGNORECASE,
+            )
+            if ce is None or ce.group(1).lower() != salias:
+                raise UnsupportedStatementError(
+                    f"DELETE condition must be a source boolean flag; "
+                    f"got {cond.strip()!r}"
+                )
+            delete_col = ce.group(2)
+        elif action == "UPDATE SET *":
+            if negated or cond is not None:
+                raise UnsupportedStatementError(
+                    "UPDATE SET * supports no extra condition here"
+                )
+            saw_update = True
+        elif action == "INSERT *":
+            if not negated or cond is not None:
+                raise UnsupportedStatementError(
+                    "INSERT * must be WHEN NOT MATCHED, unconditioned"
+                )
+            saw_insert = True
+    if not (saw_update and saw_insert):
+        raise UnsupportedStatementError(
+            "the subset requires both WHEN MATCHED THEN UPDATE SET * "
+            "and WHEN NOT MATCHED THEN INSERT *"
+        )
+    return t.merge(updates, key_cols, delete_col=delete_col)

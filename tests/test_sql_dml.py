@@ -163,3 +163,75 @@ def test_roots_accepted_in_table_map(spark, table):
     )
     assert v == 2
     assert {r.id for r in table.read().collect()} == {2, 3, 4}
+
+
+def test_merge_statement_full_form(spark, table):
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_merge,
+    )
+
+    spark.createDataFrame(
+        [(2, "a", 99.0, False), (5, "c", 50.0, False), (3, "b", 0.0, True)],
+        "id bigint, grp string, v double, deleted boolean",
+    ).createOrReplaceTempView("merge_src")
+    execute_merge(
+        spark,
+        """MERGE INTO t USING merge_src AS s ON t.id = s.id
+           WHEN MATCHED AND s.deleted THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"t": table},
+    )
+    got = {(r.id, r.v) for r in table.read().collect()}
+    # 2 updated, 3 deleted, 5 inserted, 1/4 untouched.
+    assert got == {(1, 10.0), (2, 99.0), (4, 40.0), (5, 50.0)}
+
+
+def test_merge_statement_without_delete_clause(spark, table):
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_merge,
+    )
+
+    spark.createDataFrame(
+        [(1, "a", -1.0)], "id bigint, grp string, v double"
+    ).createOrReplaceTempView("merge_src2")
+    execute_merge(
+        spark,
+        "MERGE INTO t AS tgt USING merge_src2 src ON tgt.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": table},
+    )
+    assert (1, -1.0) in {(r.id, r.v) for r in table.read().collect()}
+    assert table.read().count() == 4
+
+
+def test_merge_statement_subset_refusals(spark, table):
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_merge,
+    )
+
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "id bigint, grp string, v double"
+    ).createOrReplaceTempView("merge_src3")
+    for bad in (
+        # column-level assignment
+        "MERGE INTO t USING merge_src3 s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+        # inequality ON
+        "MERGE INTO t USING merge_src3 s ON t.id > s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        # cross-named ON columns
+        "MERGE INTO t USING merge_src3 s ON t.id = s.grp "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        # missing INSERT arm
+        "MERGE INTO t USING merge_src3 s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *",
+        # unconditioned DELETE
+        "MERGE INTO t USING merge_src3 s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ):
+        with pytest.raises(UnsupportedStatementError):
+            execute_merge(spark, bad, {"t": table})
