@@ -1893,3 +1893,76 @@ def q147_sql_dml_statements(
         )
         .withColumn("dml_ok", F.lit(bool(dml_ok)))
     )
+
+
+@register(
+    "q148_type_widening",
+    tags=("lake", "schema-evolution", "type-widening"),
+    oracle="""
+WITH all_rows AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000000,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 10 = 4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS sum_price,
+       CAST((SELECT count(*) FROM all_rows WHERE k >= 10000000000)
+            AS BIGINT) AS n_wide,
+       TRUE AS widened_ok
+FROM all_rows
+""",
+)
+def q148_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema TYPE WIDENING (Delta's type-widening shape, round-6
+    continuation): orders committed with an INT key column and a
+    decimal(12,2) price, then a merge_schema append of clones whose
+    keys exceed int range (key + 1e10, BIGINT) and whose price column
+    is decimal(18,2) — the table DDL widens along the safe promotion
+    chains while the v1 files keep their narrow physical types; the
+    explicit read schema upcasts them inside the parquet reader, so the
+    mixed-generation snapshot aggregates exactly (`widened_ok` asserts
+    the DDL changed, v1 still time-travels narrow, and a predicate
+    over the widened key range scans only the wide generation). At
+    100 TB, key columns outgrow int32 mid-life; type widening makes
+    that a metadata change instead of a full-table rewrite."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_widen_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders")
+    narrow = orders.select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    t = VersionedTable.create(spark, base, narrow)
+    ddl_before = t.manifest().schema_ddl
+    wide = orders.filter(F.col("o_orderkey") % 10 == 4).select(
+        (F.col("o_orderkey") + 10_000_000_000).alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    t.append(wide, merge_schema=True)
+    ddl_after = t.manifest().schema_ddl
+    info = t.prune_info([("k", ">=", 10_000_000_000)])
+    n_wide = t.read(
+        predicates=[("k", ">=", 10_000_000_000)]
+    ).count()
+    widened_ok = (
+        "k:bigint" in ddl_after.replace(" ", "")
+        and "decimal(18,2)" in ddl_after
+        and "k:int" in ddl_before.replace(" ", "")
+        and t.read(1).schema["k"].dataType.simpleString() == "int"
+        and info["n_skipped"] >= 1  # narrow entry refuted by stats
+    )
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
+        .withColumn("n_wide", F.lit(n_wide).cast("bigint"))
+        .withColumn("widened_ok", F.lit(bool(widened_ok)))
+    )

@@ -460,6 +460,66 @@ def _validate_spec(
             )
 
 
+def _cast_to_ddl_types(df: DataFrame, ddl: str) -> DataFrame:
+    """Cast df columns whose type differs from the DDL's (keeps written
+    files homogeneous when an append carries columns NARROWER than the
+    table type). Columns absent from the DDL pass through unchanged."""
+    from pyspark.sql.types import StructType
+
+    want = {f.name: f.dataType for f in StructType.fromDDL(ddl).fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
+    if all(want.get(c, have[c]) == have[c] for c in have):
+        return df
+    return df.select(
+        *[
+            F.col(c).cast(want[c]).alias(c)
+            if c in want and want[c] != have[c]
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+_INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
+
+
+def _widened_simple(a: str, b: str) -> str | None:
+    """simpleString twin of `_widened_type` for sessionless contexts
+    (the DataSource writer's driver/commit path)."""
+    if a == b:
+        return a
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return a if _INT_CHAIN.index(a) > _INT_CHAIN.index(b) else b
+    if {a, b} == {"float", "double"}:
+        return "double"
+    ma = re.match(r"decimal\((\d+),\s*(\d+)\)", a)
+    mb = re.match(r"decimal\((\d+),\s*(\d+)\)", b)
+    if ma and mb and ma.group(2) == mb.group(2):
+        return a if int(ma.group(1)) >= int(mb.group(1)) else b
+    return None
+
+
+def _widened_type(a, b):
+    """The wider of two Spark DataTypes under the SAFE promotion chains
+    (every narrow value is exactly representable in the wide type):
+    tinyint→smallint→int→bigint, float→double, and decimal(p,s)→
+    decimal(p',s) with p' >= p (same scale). None when the pair is not
+    on a chain — the caller raises SchemaMismatchError."""
+    from pyspark.sql.types import DecimalType
+
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    if sa in _INT_CHAIN and sb in _INT_CHAIN:
+        return a if _INT_CHAIN.index(sa) > _INT_CHAIN.index(sb) else b
+    if {sa, sb} == {"float", "double"}:
+        return a if sa == "double" else b
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType):
+        if a.scale == b.scale:
+            return a if a.precision >= b.precision else b
+    return None
+
+
 def _decimal_scale(type_simple: str) -> int:
     """Scale of a `decimal(p,s)` simpleString (0 when unparseable)."""
     mm = re.match(r"decimal\((\d+),\s*(\d+)\)", type_simple)
@@ -928,11 +988,18 @@ def _conform(
     NULLs, exactly like a mergeSchema read; `extra_cols` (e.g.
     `_change_type`) are carried through verbatim after the data columns.
     One definition for every conform site (snapshot-scoped reads, the
-    change feed's append and CDF pieces) so their semantics can't drift."""
-    have = set(df.columns)
+    change feed's append and CDF pieces) so their semantics can't drift.
+    Columns present under a NARROWER type (change files written before a
+    type widening) cast up to the schema type."""
+    have = {f.name: f.dataType for f in df.schema.fields}
     return df.select(
         *[
-            F.col(f.name) if f.name in have
+            (
+                F.col(f.name)
+                if have[f.name] == f.dataType
+                else F.col(f.name).cast(f.dataType).alias(f.name)
+            )
+            if f.name in have
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields
         ],
@@ -1733,19 +1800,31 @@ class VersionedTable:
         null sentinel to NULL. Every branch is conformed to the manifest
         schema, so unions line up and pruning can never change the result
         schema."""
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         if not sel:
             return None
         schema = StructType.fromDDL(m.schema_ddl)
 
+        # EXPLICIT physical read schema instead of footer merging: files
+        # predating an added column fill NULL, files written before a
+        # TYPE WIDENING (int->bigint, float->double, decimal precision)
+        # upcast inside the parquet reader, and identity-partition dir
+        # values type directly from the schema — all without a
+        # mergeSchema footer pass (which would refuse mixed-width
+        # files outright).
+        fwd_names = _log_to_phys(m.column_mapping)
+        phys_schema = StructType(
+            [
+                StructField(
+                    fwd_names.get(f.name, f.name), f.dataType, True
+                )
+                for f in schema.fields
+            ]
+        )
+
         def reader():
-            r = self.spark.read
-            if m.summary.get("schema_evolved"):
-                # Heterogeneous file schemas: merge footers to the widened
-                # schema; files predating an added column yield NULL.
-                r = r.option("mergeSchema", "true")
-            return r
+            return self.spark.read.schema(phys_schema)
 
         # Partition recovery keys on each ENTRY's own part_values, not the
         # table's CURRENT spec: after partition evolution, entries written
@@ -2135,12 +2214,17 @@ class VersionedTable:
         Schema is ENFORCED: an append whose schema differs from the table
         raises SchemaMismatchError. With merge_schema=True, new nullable
         columns widen the table schema (Delta-style evolution: old files
-        read as NULL for the added columns); same-name columns must keep
-        their type — type conflicts always raise."""
+        read as NULL for the added columns) and same-name columns may
+        WIDEN along the safe promotion chains (int chain, float→double,
+        decimal precision — Delta's type widening: old files keep their
+        narrow physical type, the explicit read schema upcasts them). A
+        NARROWER incoming column is accepted silently and cast up before
+        writing (files stay homogeneous); incompatible retypes raise."""
         # Fail fast on an invalid schema or constraint violation BEFORE
         # writing any data files…
         m0 = self.manifest()
-        self._evolved_schema_ddl(df, merge_schema, m0.schema_ddl)
+        ddl0 = self._evolved_schema_ddl(df, merge_schema, m0.schema_ddl)
+        df = _cast_to_ddl_types(df, ddl0)
         _enforce_constraints(df, m0.constraints)
         entries = self._write_data_entries(df, self.partition_by)
         attempt = 0
@@ -2175,11 +2259,10 @@ class VersionedTable:
                         )
             try:
                 # schema_evolved means "data dirs have heterogeneous file
-                # schemas — read with mergeSchema". That includes SUBSET
-                # appends (incoming missing a table column): the DDL is
-                # unchanged but the new files are narrower, and without
-                # mergeSchema a read could adopt a narrow file's schema and
-                # silently drop the column for every row.
+                # schemas" (subset appends, added columns, type
+                # widening). Reads are immune — they pass the manifest
+                # schema explicitly — but a partial compact must keep
+                # the flag so later full compacts know to homogenize.
                 evolved = (
                     bool(pm.summary.get("schema_evolved"))
                     or ddl != pm.schema_ddl
@@ -2276,19 +2359,39 @@ class VersionedTable:
         self, df: DataFrame, merge_schema: bool, table_ddl: str
     ) -> str:
         """Validate an append schema against ``table_ddl``; return the
-        (possibly widened) table schema DDL."""
-        from pyspark.sql.types import StructType
+        (possibly widened) table schema DDL.
+
+        Same-name columns may differ in type only along the SAFE
+        promotion chains (`_widened_type`): an incoming NARROWER column
+        is accepted silently (the append casts up before writing, the
+        table DDL is unchanged), an incoming WIDER column evolves the
+        table type under merge_schema=True (Delta's type widening — old
+        files keep their narrow physical type; the explicit read schema
+        upcasts them in the parquet reader). Anything else raises."""
+        from pyspark.sql.types import StructField, StructType
 
         table = StructType.fromDDL(table_ddl)
         incoming = df.schema
         t_types = {f.name: f.dataType for f in table.fields}
+        widened: dict[str, object] = {}
         for f in incoming.fields:
             if f.name in t_types and t_types[f.name] != f.dataType:
-                raise SchemaMismatchError(
-                    f"column {f.name!r}: table has "
-                    f"{t_types[f.name].simpleString()}, append has "
-                    f"{f.dataType.simpleString()}"
-                )
+                w = _widened_type(t_types[f.name], f.dataType)
+                if w is None:
+                    raise SchemaMismatchError(
+                        f"column {f.name!r}: table has "
+                        f"{t_types[f.name].simpleString()}, append has "
+                        f"{f.dataType.simpleString()}"
+                    )
+                if w != t_types[f.name]:
+                    if not merge_schema:
+                        raise SchemaMismatchError(
+                            f"column {f.name!r}: append widens "
+                            f"{t_types[f.name].simpleString()} to "
+                            f"{w.simpleString()}; pass "
+                            "merge_schema=True to evolve the type"
+                        )
+                    widened[f.name] = w
         added = [f for f in incoming.fields if f.name not in t_types]
         missing = [f for f in table.fields if f.name not in
                    {g.name for g in incoming.fields}]
@@ -2297,7 +2400,13 @@ class VersionedTable:
                 f"append schema {incoming.simpleString()} != table schema "
                 f"{table.simpleString()}; pass merge_schema=True to evolve"
             )
-        return StructType(list(table.fields) + added).simpleString()
+        out = [
+            StructField(f.name, widened.get(f.name, f.dataType), True)
+            if f.name in widened
+            else f
+            for f in table.fields
+        ]
+        return StructType(out + added).simpleString()
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents. NOT auto-rebased on conflict — the

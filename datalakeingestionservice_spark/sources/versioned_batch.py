@@ -537,6 +537,55 @@ def _arrow_type_for(dt):
     )
 
 
+def _spark_type_from_simple(s: str):
+    """Spark DataType for the widening-eligible simpleStrings only
+    (ints, float/double, decimal) — None otherwise."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    plain = {
+        "tinyint": T.ByteType, "smallint": T.ShortType,
+        "int": T.IntegerType, "bigint": T.LongType,
+        "float": T.FloatType, "double": T.DoubleType,
+    }
+    if s in plain:
+        return plain[s]()
+    mm = _re.match(r"decimal\((\d+),\s*(\d+)\)", s)
+    if mm:
+        return T.DecimalType(int(mm.group(1)), int(mm.group(2)))
+    return None
+
+
+def _normalize_narrow_columns(schema, table_ddl: str):
+    """Replace incoming column types that are NARROWER than the table's
+    (safe promotion chains) with the table type; anything else passes
+    through untouched for `_evolved_ddl_text` to adjudicate."""
+    from pyspark.sql.types import StructField, StructType
+
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _widened_simple,
+    )
+    from datalakeingestionservice_spark.sources.versioned_changes import (
+        _ddl_field_types,
+    )
+
+    ttypes = _ddl_field_types(table_ddl)
+    out = []
+    changed = False
+    for f in schema.fields:
+        ts = ttypes.get(f.name)
+        fs = f.dataType.simpleString()
+        if ts is not None and ts != fs and _widened_simple(ts, fs) == ts:
+            dt = _spark_type_from_simple(ts)
+            if dt is not None:
+                out.append(StructField(f.name, dt, True))
+                changed = True
+                continue
+        out.append(f)
+    return StructType(out) if changed else schema
+
+
 def _evolved_ddl_text(schema, merge_schema: bool, table_ddl: str) -> str:
     """Sessionless twin of `VersionedTable._evolved_schema_ddl`: the
     writer's commit worker has no SparkContext, so `fromDDL` is
@@ -689,15 +738,25 @@ class VersionedTableWriter(DataSourceArrowWriter):
         self.rows_per_file = int(options.get("rows_per_file", 4_000_000))
         if self.rows_per_file <= 0:
             raise ValueError("rows_per_file must be positive")
-        self.schema_json = schema.json()
         self.staging = os.path.join(
             self.root, "_staging", _uuid.uuid4().hex
         )
-        types = {f.name: f.dataType.simpleString() for f in schema.fields}
         try:
             m = _load_manifest(self.root, {})
         except NoSuchVersionError:
             m = None
+        if m is not None:
+            # Columns NARROWER than the table's type (int into bigint,
+            # decimal(12,2) into (18,2)) are accepted Delta-writer
+            # style: the task schema is normalized UP to the table type
+            # here, and write()'s existing cast-to-canonical-aschema
+            # upcasts each incoming RecordBatch — files land
+            # homogeneous, the DDL is untouched. WIDER incoming columns
+            # still refuse at commit (`_evolved_ddl_text`): evolving the
+            # table type needs the session API's append(merge_schema=).
+            schema = _normalize_narrow_columns(schema, m.schema_ddl)
+        self.schema_json = schema.json()
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
         if m is None:
             # Spec entries may be transforms ('year(ts)'); validated as
             # a spec below, not as plain column names. Split on commas

@@ -156,9 +156,10 @@ def test_unsupported_deferred_predicate_refused(spark, tmp_path):
         root,
         spark.createDataFrame([(1, "a")], "id bigint, val string"),
     )
-    # round 6 widened the subset (length/LIKE/arith now compile), so the
-    # canonical refusal predicate moved to a still-unsupported function.
-    t.delete_where_deferred("substring(val, 1, 1) = 'a'")
+    # round 6 widened the subset twice (length/LIKE/arith, then
+    # concat/substring/coalesce), so the canonical refusal predicate
+    # moved to a still-unsupported function.
+    t.delete_where_deferred("regexp_like(val, 'a')")
     with pytest.raises(Exception, match="outside the compilable subset"):
         VersionedTableReader({"table_root": root})
     # compact() materializes and re-enables the source.
