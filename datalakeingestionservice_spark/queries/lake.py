@@ -1966,3 +1966,100 @@ def q148_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_wide", F.lit(n_wide).cast("bigint"))
         .withColumn("widened_ok", F.lit(bool(widened_ok)))
     )
+
+
+@register(
+    "q149_replace_where",
+    tags=("lake", "dml", "replace-where", "overwrite"),
+    oracle="""
+WITH target AS (SELECT min(o_orderpriority) AS p FROM orders),
+kept AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderpriority <> (SELECT p FROM target)
+),
+replacement AS (
+  SELECT o_orderkey + 3000000000 AS k,
+         o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2))
+           + CAST(1.00 AS DECIMAL(18,2)) AS price
+  FROM orders
+  WHERE o_orderpriority = (SELECT p FROM target)
+    AND o_orderkey % 2 = 0
+),
+final AS (SELECT * FROM kept UNION ALL SELECT * FROM replacement)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS total_price,
+       TRUE AS scoped_ok
+FROM final
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q149_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`overwrite_where` — Delta's replaceWhere (round-6 continuation):
+    orders partitioned by priority; ONE priority's contents are
+    atomically replaced by a recomputed frame (even keys only, shifted
+    ids, +1.00 prices) under `[("o_orderpriority", "=", <min>)]`. The
+    rewrite is partition-scoped (`scoped_ok` asserts every other
+    priority's leaf carried byte-identically and that a row outside the
+    region REFUSES), readers only ever see the old or the new region —
+    never a mix — and the oracle recomputes the post-swap per-priority
+    aggregate from raw orders. The canonical 100 TB shape: recompute
+    one day of a derived table and swap it in while the pipeline keeps
+    reading consistent snapshots."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_rw_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(
+        spark, base, orders, partition_by=["prio"]
+    )
+    target = orders.agg(F.min("prio")).collect()[0][0]
+    n_prios = orders.select("prio").distinct().count()
+    replacement = (
+        orders.filter(
+            (F.col("prio") == target) & (F.col("k") % 2 == 0)
+        )
+        .withColumn("k", F.col("k") + 3_000_000_000)
+        .withColumn(
+            "price",
+            (
+                F.col("price")
+                + F.lit("1.00").cast("decimal(18,2)")
+            ).cast("decimal(18,2)"),
+        )
+    )
+    before = t.manifest()
+    refused = False
+    try:
+        t.overwrite_where(
+            replacement.withColumn("prio", F.lit(target + "X")),
+            [("prio", "=", target)],
+        )
+    except ValueError:
+        refused = True
+    v = t.overwrite_where(replacement, [("prio", "=", target)])
+    m = t.manifest(v)
+    carried = set(before.files) & set(m.files)
+    scoped_ok = (
+        refused
+        and m.summary.get("n_dirs_untouched") == n_prios - 1
+        and len(carried) == n_prios - 1
+    )
+    return (
+        t.read()
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("scoped_ok", F.lit(bool(scoped_ok)))
+        .orderBy("prio")
+    )

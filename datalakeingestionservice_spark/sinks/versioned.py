@@ -2454,6 +2454,189 @@ class VersionedTable:
             stats=entries,
         )
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicates: list[tuple],
+        expected_version: int | None = None,
+    ) -> int:
+        """Delta's ``replaceWhere``: atomically DELETE every row matching
+        the predicate conjunction (TRUE-only) and INSERT `df`, in one
+        commit. Every incoming row must itself satisfy the predicate —
+        rows outside the replaced region raise (Delta's constraint), so
+        the operation is exactly "replace this region's contents".
+
+        STATS-SCOPED like the other triple-form DML: entries/files the
+        stats prove untouched carry forward byte-identical; entries the
+        envelope merely MAY touch rewrite their surviving (non-matching)
+        rows alongside the new data. The canonical 100 TB use: recompute
+        one day/partition of a derived table and swap it in atomically
+        while readers keep seeing consistent snapshots.
+
+        Change feed: matched old rows leave as deletes, `df` arrives as
+        inserts — downstream MVs/streams replay it like any DML."""
+        parent = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
+        pm = self.manifest(parent)
+        preds = [tuple(p) for p in predicates]
+        if not preds:
+            raise ValueError(
+                "overwrite_where needs a non-empty predicate list; use "
+                "overwrite() to replace the whole table"
+            )
+        cond = _predicates_to_column(preds)
+        # Schema is ENFORCED (same contract as append; narrower incoming
+        # columns cast up).
+        ddl = self._evolved_schema_ddl(df, False, pm.schema_ddl)
+        df = _cast_to_ddl_types(df, ddl)
+        _enforce_constraints(df, pm.constraints)
+        # Delta's replaceWhere constraint: the new data must live
+        # entirely inside the replaced region.
+        n_outside = df.filter(
+            ~F.coalesce(cond, F.lit(False))
+        ).count()
+        if n_outside:
+            raise ValueError(
+                f"overwrite_where: {n_outside} incoming row(s) do not "
+                f"satisfy the replace predicate {preds} — refusing to "
+                "write outside the replaced region"
+            )
+        (
+            scoped_sel, untouched, carried_files, n_files_untouched,
+        ) = self._scoped_cow_selection(pm, preds)
+        target = self._scan_entries(scoped_sel, pm)
+        if target is None:
+            target = self.spark.createDataFrame([], pm.schema_ddl)
+        survivors = target.filter(~F.coalesce(cond, F.lit(False)))
+        merged = survivors.unionByName(df)
+        cdf_summary: dict = {
+            "n_dirs_untouched": len(untouched),
+            "n_files_untouched": n_files_untouched,
+        }
+        if self._materialize_changes:
+            cdf_summary["cdf"] = self._write_cdf(
+                target.filter(cond)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    df.withColumn("_change_type", F.lit("insert"))
+                )
+            )
+        entries = self._write_data_entries(merged, self.partition_by)
+        return self._commit(
+            operation="overwrite_where",
+            files=tuple(untouched)
+            + tuple(carried_files)
+            + tuple(entries),
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary=cdf_summary,
+            stats={
+                **{
+                    rel: pm.stats[rel]
+                    for rel in untouched
+                    if rel in pm.stats
+                },
+                **carried_files,
+                **entries,
+            },
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """DYNAMIC PARTITION OVERWRITE (Spark's
+        `partitionOverwriteMode=dynamic`, Hive's insert-overwrite): on an
+        identity-partitioned table, atomically replace exactly the
+        partitions PRESENT in `df` — every other partition carries
+        byte-identical. The partition set is discovered from the data
+        (distinct partition-column tuples, a metadata-sized collect), so
+        a daily job can recompute "whatever days I produced" without
+        enumerating them.
+
+        Refuses on unpartitioned tables and on specs with transform
+        entries (a transform leaf is not a user-facing partition — use
+        `overwrite_where` with the source-column predicate instead)."""
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        spec = [_parse_spec_entry(e) for e in pm.partition_by]
+        if not spec or any(fn != "identity" for fn, _p, _c in spec):
+            raise ValueError(
+                "overwrite_partitions needs an identity-partitioned "
+                f"table (spec is {list(pm.partition_by)}); use "
+                "overwrite_where for transform specs"
+            )
+        part_cols = [col for _fn, _p, col in spec]
+        _enforce_constraints(df, pm.constraints)
+        new_parts = {
+            tuple(r) for r in df.select(*part_cols).distinct().collect()
+        }
+        fwd = _log_to_phys(pm.column_mapping)
+        phys_cols = [fwd.get(c, c) for c in part_cols]
+        part_types = self._part_types(pm)
+
+        def entry_tuple(rel: str) -> tuple:
+            # MISSING part_values (or a missing partition key after an
+            # identity-spec change) make the entry uncomparable: stale
+            # rows of a replaced partition could silently survive in it,
+            # so refuse rather than guess.
+            pv = pm.stats.get(rel, {}).get("part_values")
+            if pv is None or any(pc not in pv for pc in phys_cols):
+                raise ValueError(
+                    f"{self.root}: entry {rel} predates the identity "
+                    "partition spec; run compact() to migrate it before "
+                    "overwrite_partitions"
+                )
+            return tuple(
+                _typed_part_value(
+                    pv[pc], part_types.get(pc, "string")
+                )
+                for pc in phys_cols
+            )
+
+        replaced_rels = []
+        untouched = []
+        for rel in pm.files:
+            if entry_tuple(rel) in new_parts:
+                replaced_rels.append(rel)
+            else:
+                untouched.append(rel)
+        cdf_summary: dict = {
+            "n_dirs_untouched": len(untouched),
+            "n_partitions_replaced": len(new_parts),
+        }
+        if self._materialize_changes:
+            old = self._scan_entries(
+                [(rel, None) for rel in replaced_rels], pm
+            )
+            old_piece = (
+                old.withColumn("_change_type", F.lit("delete"))
+                if old is not None
+                else None
+            )
+            ins = df.withColumn("_change_type", F.lit("insert"))
+            cdf_summary["cdf"] = self._write_cdf(
+                old_piece.unionByName(ins)
+                if old_piece is not None
+                else ins
+            )
+        entries = self._write_data_entries(df, self.partition_by)
+        return self._commit(
+            operation="overwrite_partitions",
+            files=tuple(untouched) + tuple(entries),
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary=cdf_summary,
+            stats={
+                **{
+                    rel: pm.stats[rel]
+                    for rel in untouched
+                    if rel in pm.stats
+                },
+                **entries,
+            },
+        )
+
     def merge(
         self,
         updates: DataFrame,

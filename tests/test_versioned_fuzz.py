@@ -85,7 +85,7 @@ def test_random_commit_sequence_matches_model(
             ["append", "narrow_append", "merge", "delete", "overwrite",
              "compact", "deferred_delete", "restore",
              "incremental_compact", "writer_append", "update",
-             "scoped_delete"]
+             "scoped_delete", "replace_where"]
         )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
@@ -150,6 +150,30 @@ def test_random_commit_sequence_matches_model(
                 t.delete_where([("id", ">=", lo), ("id", "<=", hi)])
                 for k in [k for k in list(model) if lo <= k[0] <= hi]:
                     del model[k]
+        elif op == "replace_where":
+            # Delta replaceWhere: the id range's contents are replaced
+            # atomically by the given rows (possibly none — a pure
+            # scoped delete); rows must live inside the region.
+            ids = sorted({k[0] for k in model})
+            if not ids:
+                rows = fresh_rows(1)
+                t.append(_df(spark, rows))
+                model.update(rows)
+            else:
+                lo = rng.choice(ids)
+                hi = lo + rng.randint(0, 3)
+                repl = [
+                    (i, "R")
+                    for i in range(lo, hi + 1)
+                    if rng.random() < 0.7
+                ]
+                t.overwrite_where(
+                    _df(spark, repl),
+                    [("id", ">=", lo), ("id", "<=", hi)],
+                )
+                for k in [k for k in list(model) if lo <= k[0] <= hi]:
+                    del model[k]
+                model.update(repl)
         elif op == "update":
             # COW UPDATE: set val on a random id range (TRUE-only match;
             # NULL vals from narrow appends keep their NULL id rows
