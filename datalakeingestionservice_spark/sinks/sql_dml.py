@@ -187,6 +187,11 @@ _INSERT_RE = re.compile(
     r"(?:\s*\((?P<cols>[^)]*)\))?\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)"
+    r"\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_set_where(rest: str) -> tuple[str, str | None]:
@@ -304,6 +309,42 @@ def execute_dml(
         return t.delete_where(
             F.coalesce(F.expr(where), F.lit(False))
         )
+    mo = _INSERT_OVERWRITE_RE.match(sql)
+    if mo:
+        # Hive/Spark INSERT OVERWRITE semantics: unpartitioned tables
+        # truncate-and-load; identity-partitioned tables replace exactly
+        # the partitions PRESENT in the result (dynamic partition
+        # overwrite). The body runs through spark.sql like INSERT INTO.
+        t = _resolve(spark, mo.group("name"), tables)
+        rest = mo.group("rest").strip()
+        if rest.upper().startswith("VALUES"):
+            df = spark.sql(f"SELECT * FROM ({rest})")
+        elif rest.upper().startswith(("SELECT", "WITH", "(")):
+            df = spark.sql(rest)
+        else:
+            raise UnsupportedStatementError(
+                f"INSERT OVERWRITE body must be VALUES or a SELECT: "
+                f"{rest[:40]!r}"
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(t.manifest().schema_ddl)
+        names = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        if len(df.columns) != len(names):
+            raise UnsupportedStatementError(
+                f"INSERT OVERWRITE provides {len(df.columns)} columns "
+                f"for a {len(names)}-column table"
+            )
+        out = df.select(
+            *[
+                F.col(src).cast(types[c]).alias(c)
+                for c, src in zip(names, df.columns)
+            ]
+        )
+        if t.partition_by:
+            return t.overwrite_partitions(out)
+        return t.overwrite(out)
     mi = _INSERT_RE.match(sql)
     if mi:
         t = _resolve(spark, mi.group("name"), tables)

@@ -235,3 +235,41 @@ def test_merge_statement_subset_refusals(spark, table):
     ):
         with pytest.raises(UnsupportedStatementError):
             execute_merge(spark, bad, {"t": table})
+
+
+def test_insert_overwrite_unpartitioned_truncates_and_loads(
+    spark, tmp_path
+):
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "flat"),
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, grp string, v double"
+        ),
+    )
+    execute_dml(
+        spark,
+        "INSERT OVERWRITE flat VALUES (9, 'z', 9.0)",
+        {"flat": t},
+    )
+    assert {(r.id, r.grp) for r in t.read().collect()} == {(9, "z")}
+    assert t.read(1).count() == 2  # time travel intact
+
+
+def test_insert_overwrite_partitioned_is_dynamic(spark, table):
+    """INSERT OVERWRITE on a partitioned table replaces exactly the
+    partitions present in the result set."""
+    spark.createDataFrame(
+        [(10, "a", 1.0), (11, "zz", 2.0)],
+        "id bigint, grp string, v double",
+    ).createOrReplaceTempView("ow_src")
+    execute_dml(
+        spark,
+        "INSERT OVERWRITE t SELECT id, grp, v FROM ow_src",
+        {"t": table},
+    )
+    got = {(r.id, r.grp) for r in table.read().collect()}
+    # 'a' replaced (ids 1,2 gone), 'zz' added, b + null carried.
+    assert got == {
+        (10, "a"), (11, "zz"), (3, "b"), (4, None),
+    }
