@@ -2063,3 +2063,114 @@ def q149_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scoped_ok", F.lit(bool(scoped_ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q150_cdc_replication",
+    tags=("lake", "streaming", "cdc", "merge", "exactly-once"),
+    oracle="""
+WITH bounds AS (
+  SELECT min(o_orderpriority) AS mn, max(o_orderpriority) AS mx
+  FROM orders
+),
+base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 4000000000, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 10 = 6
+),
+final AS (
+  SELECT k, prio,
+         CASE WHEN prio = (SELECT mn FROM bounds)
+              THEN price + CAST(5.00 AS DECIMAL(18,2))
+              ELSE price END AS price
+  FROM base WHERE prio <> (SELECT mx FROM bounds)
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS total_price,
+       TRUE AS replicated_ok
+FROM final
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q150_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY under the value oracle (`streaming/cdc_apply.py` —
+    the consume half of change-data-capture, Delta's foreachBatch+MERGE
+    idiom): a source table built from orders takes a MERGE (shifted-key
+    clone inserts), a scoped UPDATE (+5.00 on the min priority), and a
+    scoped DELETE (the max priority); its change feed then drives the
+    CDC committer into a fresh REPLICA in three epochs — bootstrap
+    snapshot, merge+update feed, delete feed — with epoch 1 COMMITTED
+    TWICE (crash-replay; the high-water marker makes it a no-op).
+    `replicated_ok` asserts replica == source row-for-row AND exactly
+    3 replica versions (the replay added none); the oracle recomputes
+    the final state from raw orders as pure relational algebra. At
+    100 TB this is table replication: ship the feed, not the table."""
+    from datalakeingestionservice_spark.streaming.cdc_apply import (
+        make_cdc_apply_committer,
+    )
+
+    src_root = os.path.join(
+        tempfile.gettempdir(), f"dlis_cdcs_{uuid.uuid4().hex}"
+    )
+    rep_root = os.path.join(
+        tempfile.gettempdir(), f"dlis_cdcr_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    src = VersionedTable.create(
+        spark, src_root, orders, materialize_changes=True
+    )
+    mn, mx = orders.agg(F.min("prio"), F.max("prio")).collect()[0]
+    src.merge(
+        orders.filter(F.col("k") % 10 == 6).withColumn(
+            "k", F.col("k") + 4_000_000_000
+        ),
+        ["k"],
+    )  # v2
+    src.update_where(
+        [("prio", "=", mn)],
+        {"price": "price + CAST(5.00 AS DECIMAL(18,2))"},
+    )  # v3
+    src.delete_where([("prio", "=", mx)])  # v4
+    commit = make_cdc_apply_committer(rep_root, ["k"])
+    epoch0 = (
+        src.read(1)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(1).cast("long"))
+    )
+    commit(epoch0, 0)
+    commit(src.changes(1, 3), 1)
+    commit(src.changes(3, 4), 2)
+    commit(src.changes(1, 3), 1)  # crash-replay: must be a no-op
+    rep = VersionedTable(spark, rep_root)
+    src_rows = src.read().count()
+    rep_rows = rep.read().count()
+    mismatches = (
+        src.read().exceptAll(rep.read()).count()
+        + rep.read().exceptAll(src.read()).count()
+    )
+    ok = (
+        rep.latest_version() == 3
+        and src_rows == rep_rows
+        and mismatches == 0
+    )
+    return (
+        rep.read()
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("replicated_ok", F.lit(bool(ok)))
+        .orderBy("prio")
+    )

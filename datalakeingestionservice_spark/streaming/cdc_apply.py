@@ -1,0 +1,132 @@
+"""CDC APPLY: stream a table's change feed into another versioned table.
+
+The missing half of the change-data-capture story: the batch+streaming
+`versioned_changes` source EMITS a table's history as delete/insert rows;
+this module CONSUMES such a feed and maintains a key-addressed replica —
+Delta's canonical `foreachBatch` + `MERGE` idiom, packaged with the same
+exactly-once machinery as the append sink (`streaming/versioned_sink.py`):
+per-stream high-water epoch markers that survive `expire_versions`, plus
+a version-bounded manifest-tag scan for the crash-between-commit-and-
+marker window.
+
+A micro-batch may carry MANY events per key (an update is its
+delete(preimage)+insert(postimage) pair; several commits can land in one
+batch), so the batch first NETS to each key's final disposition —
+latest `_commit_version` wins, insert beats delete within one commit
+(that pair IS an update) — and then applies as ONE `merge`: upserts for
+keys whose final event is an insert, deletes for keys whose final event
+is a delete. Replaying the feed from any point is therefore idempotent
+at the row level on top of the epoch-level exactly-once.
+
+Keys must be non-NULL (SQL MERGE equality semantics — the same contract
+as `IncrementalAggView`). The result: `replica == source` after every
+drained batch, for any DML mix on the source (append / merge / UPDATE /
+COW+scoped delete / replaceWhere / restore), which the e2e test asserts
+literally.
+
+Reference anchor: the reference re-extracts FULL tables on a cron
+(`src/Worker/Services/JobSchedulingService.cs:24-75`); CDC apply is what
+that sync becomes when the source can enumerate its own changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from datalakeingestionservice_spark.sinks.versioned import (
+    NoSuchVersionError,
+    VersionedTable,
+)
+from datalakeingestionservice_spark.streaming.versioned_sink import (
+    _find_epoch_version,
+    _read_high_water,
+    _write_high_water,
+)
+
+_DELETE_FLAG = "_cdc_delete"
+
+
+def net_changes(batch_df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Reduce a change-feed batch to one row per key: the key's FINAL
+    disposition. Ordering: `_commit_version` descending, and within one
+    commit an insert outranks a delete (a same-version delete+insert
+    pair is an update — the insert is the final image). Returns the data
+    columns plus a boolean `_cdc_delete`."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "insert", 1)
+        .otherwise(0)
+        .desc(),
+    )
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(_DELETE_FLAG, F.col("_change_type") == "delete")
+        .drop("_change_type", "_commit_version")
+    )
+
+
+def make_cdc_apply_committer(
+    table_root: str,
+    key_cols: list[str],
+    stream_name: str = "cdc",
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch function: net the batch, MERGE it into the
+    replica, idempotently at epoch granularity (same layered replay
+    protection as `make_versioned_batch_committer` — durable high-water
+    marker + version-bounded manifest-tag scan)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = {"stream": stream_name, "epoch": batch_id}
+        high_water = _read_high_water(table_root, stream_name)
+        if high_water is not None and batch_id <= high_water[0]:
+            return  # epoch already applied
+        net = net_changes(batch_df, key_cols)
+        try:
+            table = VersionedTable(spark, table_root)
+        except NoSuchVersionError:
+            # First batch bootstraps the replica from its net inserts
+            # (a key whose final disposition is delete simply never
+            # lands — it isn't in the replica to begin with).
+            first = net.filter(~F.col(_DELETE_FLAG)).drop(_DELETE_FLAG)
+            VersionedTable.create(spark, table_root, first, summary=tag)
+            _write_high_water(table_root, stream_name, batch_id, 1)
+            return
+        after_v = high_water[1] if high_water is not None else 0
+        version = _find_epoch_version(
+            table_root, stream_name, batch_id, after_v
+        )
+        if version is None:
+            version = table.merge(
+                net, key_cols, delete_col=_DELETE_FLAG, summary=tag
+            )
+        _write_high_water(table_root, stream_name, batch_id, version)
+
+    return commit_batch
+
+
+def start_cdc_apply_stream(
+    changes_df: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    stream_name: str = "cdc",
+    processing_time: str = "0 seconds",
+) -> StreamingQuery:
+    """Maintain a replica table from a change-feed stream (typically
+    `spark.readStream.format("versioned_changes")` on the source), one
+    MERGE commit per micro-batch, exactly-once end to end."""
+    return (
+        changes_df.writeStream.foreachBatch(
+            make_cdc_apply_committer(table_root, key_cols, stream_name)
+        )
+        .trigger(processingTime=processing_time)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
