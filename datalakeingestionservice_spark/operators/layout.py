@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import calendar
 import datetime as _dt
+import re
+from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +61,15 @@ def _int_expr(df: DataFrame, c: str) -> Column:
             _STR_PREFIX_BYTES,
         )
         return F.conv(F.hex(padded), 16, 10).cast("long")
+    if (t or "").startswith("decimal"):
+        # Scale to the UNSCALED integer (order-preserving; exact for
+        # p <= 18 — wider decimals overflow long to NULL, which only
+        # coarsens clustering into the null range-partition).
+        mm = re.match(r"decimal\(\d+,\s*(\d+)\)", t)
+        s = int(mm.group(1)) if mm else 0
+        return (
+            (col * F.lit(10**s)).cast("decimal(38,0)").cast("long")
+        )
     return col
 
 
@@ -78,6 +89,11 @@ def _int_value(v):
             ),
             "big",
         )
+    if isinstance(v, Decimal):
+        # Unscale by the VALUE's own exponent — pass bounds at the
+        # column's scale (values read from the column naturally are).
+        exp = v.as_tuple().exponent
+        return int(v.scaleb(-exp)) if isinstance(exp, int) else int(v)
     return v
 
 

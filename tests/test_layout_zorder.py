@@ -219,3 +219,61 @@ def test_zorder_string_column(spark, tmp_path):
     )
     exp = [_int_value(w) for w in words if w]
     assert [r[0] for r in got] == exp
+
+
+def test_zorder_decimal_column(spark, tmp_path):
+    """Decimal keys cluster via their unscaled int64 (order-preserving,
+    exact for p <= 18): a 2-D z-order on (price, id) prunes a
+    price-range read to a minority of files, and the driver-side bound
+    mapping agrees with the column expression."""
+    from decimal import Decimal
+
+    from datalakeingestionservice_spark.operators.layout import (
+        _int_expr,
+        _int_value,
+        zorder_repartition,
+    )
+
+    vals = [Decimal("0.00"), Decimal("0.01"), Decimal("12.50"),
+            Decimal("-3.25"), Decimal("9999.99")]
+    mapped = [_int_value(v) for v in vals]
+    assert mapped == [0, 1, 1250, -325, 999999]
+    df0 = spark.createDataFrame(
+        [(v,) for v in vals], "price decimal(10,2)"
+    )
+    spark_mapped = [
+        r.m for r in df0.select(_int_expr(df0, "price").alias("m")).collect()
+    ]
+    assert spark_mapped == mapped
+
+    df = spark.createDataFrame(
+        [
+            (Decimal(f"{p}.{q:02d}"), p * 100 + q)
+            for p in range(16)
+            for q in range(0, 100, 7)
+        ],
+        "price decimal(10,2), id bigint",
+    )
+    path = str(tmp_path / "zd")
+    zorder_repartition(df, ["price", "id"], 16, bits=4).write.parquet(
+        path
+    )
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(path + "/*.parquet"))
+    # pyarrow can't surface decimal FOOTER stats (the engine's own
+    # stats harvester documents the same limitation) — evaluate the
+    # clustering from the actual per-file value envelopes instead.
+    import pyarrow.compute as pc
+
+    hit = 0
+    for f in files:
+        col = pq.read_table(f, columns=["price"]).column("price")
+        mm = pc.min_max(col).as_py()
+        if mm["min"] <= Decimal("3.99") and mm["max"] >= Decimal(
+            "2.00"
+        ):
+            hit += 1
+    assert hit <= len(files) // 2, (hit, len(files))
