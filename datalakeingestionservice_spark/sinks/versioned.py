@@ -435,16 +435,20 @@ def _validate_spec(
             stringy = t == "string" or t.startswith(("varchar", "char"))
             intish = t in ("tinyint", "smallint", "int", "bigint")
             if fn == "bucket":
-                # date buckets hash the canonical ISO string — exactly
-                # Spark's date->string cast, so build and probe agree.
-                # Timestamps stay refused: Spark's timestamp->string
-                # rendering (fraction trimming, session TZ) has no
-                # byte-exact sessionless Python twin here.
-                ok = stringy or intish or t == "date"
+                # date/timestamp buckets hash a CANONICAL string: dates
+                # use the ISO form (= Spark's date->string cast),
+                # timestamps a FIXED-width `yyyy-MM-dd HH:mm:ss.SSSSSS`
+                # date_format (Spark's plain cast trims fractions, which
+                # has no byte-exact sessionless twin — the fixed format
+                # does: strftime %f).
+                ok = (
+                    stringy or intish or t == "date"
+                    or t.startswith("timestamp")
+                )
                 if not ok:
                     raise ValueError(
-                        f"bucket() needs an int/string/date column, "
-                        f"{col} is {t}"
+                        f"bucket() needs an int/string/date/timestamp "
+                        f"column, {col} is {t}"
                     )
             else:  # truncate
                 ok = stringy or intish or t.startswith("decimal")
@@ -543,12 +547,19 @@ def _transform_expr(fn: str, param: int | None, col: str, type_simple: str):
     if fn == "bucket":
         # Same canonical-string sha256 scheme as the bloom layer, so the
         # Spark build side and the Python probe side agree by
-        # construction.
+        # construction. Timestamps render through a FIXED-width
+        # date_format (plain cast trims zero fractions — no byte-exact
+        # Python twin); everything else through the string cast.
+        canon = (
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            if type_simple.startswith("timestamp")
+            else c.cast("string")
+        )
         return (
             F.conv(
                 F.substring(
                     F.sha2(
-                        F.concat(c.cast("string"), F.lit("#bucket")), 256
+                        F.concat(canon, F.lit("#bucket")), 256
                     ),
                     1,
                     15,
@@ -601,7 +612,13 @@ def _transform_py(fn: str, param: int | None, v, type_simple: str):
             return f"{v.year:04d}-{v.month:02d}"
         return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
     if fn == "bucket":
-        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        if isinstance(v, _dt.datetime):
+            if not type_simple.startswith("timestamp"):
+                return None  # datetime probe against a non-ts column
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            v = v.strftime("%Y-%m-%d %H:%M:%S.%f")  # fixed 6-digit frac
+        elif isinstance(v, _dt.date):
             v = v.isoformat()  # the canonical Spark date->string cast
         if not isinstance(v, (int, str)) or isinstance(v, bool):
             return None
