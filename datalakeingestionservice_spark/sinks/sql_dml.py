@@ -192,6 +192,12 @@ _INSERT_OVERWRITE_RE = re.compile(
     r"\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_REPLACE_WHERE_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"\s+REPLACE\s+WHERE\s+(?P<where>.+?)"
+    r"\s+(?P<rest>(?:SELECT|WITH|VALUES|\().+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_set_where(rest: str) -> tuple[str, str | None]:
@@ -309,6 +315,43 @@ def execute_dml(
         return t.delete_where(
             F.coalesce(F.expr(where), F.lit(False))
         )
+    mr = _REPLACE_WHERE_RE.match(sql)
+    if mr:
+        # Delta's `INSERT INTO t REPLACE WHERE pred SELECT ...`:
+        # atomically replace the predicate region with the result set.
+        # The region predicate must compile to the scoped triple form —
+        # that is what guarantees the incoming-rows-inside-region check
+        # and the carry classification agree exactly.
+        t = _resolve(spark, mr.group("name"), tables)
+        triples = _where_triples(mr.group("where"), t)
+        if triples is None:
+            raise UnsupportedStatementError(
+                "REPLACE WHERE needs a conjunction of simple "
+                f"col-op-literal comparisons; got "
+                f"{mr.group('where')[:60]!r}"
+            )
+        rest = mr.group("rest").strip()
+        if rest.upper().startswith("VALUES"):
+            df = spark.sql(f"SELECT * FROM ({rest})")
+        else:
+            df = spark.sql(rest)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(t.manifest().schema_ddl)
+        names = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        if len(df.columns) != len(names):
+            raise UnsupportedStatementError(
+                f"REPLACE WHERE provides {len(df.columns)} columns "
+                f"for a {len(names)}-column table"
+            )
+        out = df.select(
+            *[
+                F.col(src).cast(types[c]).alias(c)
+                for c, src in zip(names, df.columns)
+            ]
+        )
+        return t.overwrite_where(out, triples)
     mo = _INSERT_OVERWRITE_RE.match(sql)
     if mo:
         # Hive/Spark INSERT OVERWRITE semantics: unpartitioned tables

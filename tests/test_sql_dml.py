@@ -273,3 +273,46 @@ def test_insert_overwrite_partitioned_is_dynamic(spark, table):
     assert got == {
         (10, "a"), (11, "zz"), (3, "b"), (4, None),
     }
+
+
+def test_replace_where_statement(spark, table):
+    spark.createDataFrame(
+        [(10, "a", 1.0)], "id bigint, grp string, v double"
+    ).createOrReplaceTempView("rw_src")
+    before = table.manifest()
+    v = execute_dml(
+        spark,
+        "INSERT INTO t REPLACE WHERE grp = 'a' "
+        "SELECT id, grp, v FROM rw_src",
+        {"t": table},
+    )
+    m = table.manifest(v)
+    assert m.operation == "overwrite_where"
+    assert m.summary["n_dirs_untouched"] == 2
+    assert len(set(before.files) & set(m.files)) == 2
+    got = {(r.id, r.grp) for r in table.read().collect()}
+    assert got == {(10, "a"), (3, "b"), (4, None)}
+
+
+def test_replace_where_statement_refusals(spark, table):
+    # Rows outside the region refuse (from overwrite_where).
+    spark.createDataFrame(
+        [(10, "b", 1.0)], "id bigint, grp string, v double"
+    ).createOrReplaceTempView("rw_bad")
+    with pytest.raises(ValueError, match="outside the replaced region"):
+        execute_dml(
+            spark,
+            "INSERT INTO t REPLACE WHERE grp = 'a' "
+            "SELECT id, grp, v FROM rw_bad",
+            {"t": table},
+        )
+    # Non-triple region predicate refuses driver-side.
+    with pytest.raises(
+        UnsupportedStatementError, match="REPLACE WHERE"
+    ):
+        execute_dml(
+            spark,
+            "INSERT INTO t REPLACE WHERE grp IS NULL "
+            "SELECT id, grp, v FROM rw_bad",
+            {"t": table},
+        )
