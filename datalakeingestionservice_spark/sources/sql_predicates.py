@@ -5,12 +5,12 @@ Merge-on-read deferred deletes (`VersionedTable.delete_where_deferred`,
 manifest. Spark-session readers evaluate them with `F.expr`; the
 sessionless batch DataSource workers (`sources/versioned_batch.py`) cannot
 — so this module compiles the subset that covers real delete predicates
-(column-vs-literal AND column-vs-column comparisons, AND / OR / NOT,
-IS [NOT] NULL, [NOT] IN, [NOT] BETWEEN, [NOT] LIKE, column-side
-arithmetic `col * 2 > 10` including column-vs-column `a + b > c`,
-unary length/lower/upper/trim/abs, string builders
-concat/substring/coalesce, struct-field access `s.x = 1`,
-parentheses) into a JSON-serializable AST
+(column-vs-literal AND column-vs-column comparisons incl. the
+null-safe `<=>`, AND / OR / NOT, IS [NOT] NULL, [NOT] IN,
+[NOT] BETWEEN, [NOT] LIKE, column-side arithmetic `col * 2 > 10`
+including column-vs-column `a + b > c`, unary
+length/lower/upper/trim/abs, string builders concat/substring/coalesce,
+struct-field access `s.x = 1`, parentheses) into a JSON-serializable AST
 on the driver and evaluates it executor-side with pyarrow.compute using
 SQL three-valued logic (Kleene AND/OR, null-propagating comparisons),
 matching Spark's `filter(~expr(pred))` semantics exactly: a row whose
@@ -48,7 +48,7 @@ _TOKEN_RE = re.compile(
         (?P<string>'(?:[^']|'')*')
       | (?P<bquote>`[^`]+`(?:\.`[^`]+`)*)
       | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
-      | (?P<op><=|>=|<>|!=|==|=|<|>)
+      | (?P<op><=>|<=|>=|<>|!=|==|=|<|>)
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<comma>,)
@@ -362,6 +362,17 @@ class _Parser:
         op = self.next()[1]
         op = {"==": "=", "<>": "!="}.get(op, op)
         rk, rv = self._operand()
+        if op == "<=>":
+            # Null-safe equality (Spark's <=>): symmetric, never NULL.
+            if lk == "col" and rk == "lit":
+                return ["eqns", lv, rv]
+            if lk == "lit" and rk == "col":
+                return ["eqns", rv, lv]
+            if lk == "col" and rk == "col":
+                return ["eqnsc", lv, rv]
+            raise UnsupportedPredicateError(
+                "<=> needs at least one column side"
+            )
         if lk == "col" and rk == "lit":
             return ["cmp", op, lv, rv]
         if lk == "lit" and rk == "col":
@@ -658,6 +669,22 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
                     f"literal {node[3]!r} not comparable with "
                     f"{node[2]}: {t}"
                 )
+        elif kind == "eqns":
+            t = col_type(node[1])
+            if not lit_ok(t, node[2]):
+                raise UnsupportedPredicateError(
+                    f"literal {node[2]!r} not comparable with "
+                    f"{node[1]}: {t}"
+                )
+        elif kind == "eqnsc":
+            lt, rt = col_type(node[1]), col_type(node[2])
+            if _cmp_cat(lt) != _cmp_cat(rt) or _cmp_cat(lt).startswith(
+                "other"
+            ):
+                raise UnsupportedPredicateError(
+                    f"column comparison across {lt} vs {rt} is outside "
+                    "this subset"
+                )
         elif kind == "in":
             t = col_type(node[1])
             for lit in node[2]:
@@ -713,9 +740,11 @@ def columns_of(ast: list) -> set[str]:
             addcols(node[1])
         elif kind == "cmp":
             addcols(node[2])
-        elif kind == "cmpc":
-            addcols(node[2])
-            addcols(node[3])
+        elif kind == "eqns":
+            addcols(node[1])
+        elif kind in ("cmpc", "eqnsc"):
+            addcols(node[2] if kind == "cmpc" else node[1])
+            addcols(node[3] if kind == "cmpc" else node[2])
 
     walk(ast)
     return cols
@@ -944,6 +973,30 @@ def evaluate(ast: list, table) -> object:
                 eq = pc.equal(col, _scalar_for(lit, col.type))
                 out = eq if out is None else pc.or_kleene(out, eq)
             return out
+        if kind == "eqns":
+            # Null-safe equality vs a (non-NULL) literal: NULL rows
+            # compare FALSE, never NULL — Spark's <=>.
+            col = colarr(node[1])
+            if pa.types.is_null(col.type):
+                return pa.array([False] * n, pa.bool_())
+            return pc.coalesce(
+                pc.equal(col, _scalar_for(node[2], col.type)),
+                pa.scalar(False),
+            )
+        if kind == "eqnsc":
+            lcol, rcol = colarr(node[1]), colarr(node[2])
+            lnull = pa.types.is_null(lcol.type)
+            rnull = pa.types.is_null(rcol.type)
+            if lnull and rnull:
+                return pa.array([True] * n, pa.bool_())
+            if lnull:
+                return pc.is_null(rcol)
+            if rnull:
+                return pc.is_null(lcol)
+            return pc.or_(
+                pc.and_(pc.is_null(lcol), pc.is_null(rcol)),
+                pc.coalesce(pc.equal(lcol, rcol), pa.scalar(False)),
+            )
         raise UnsupportedPredicateError(f"unknown node {kind!r}")
 
     return ev(ast)

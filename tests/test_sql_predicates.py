@@ -137,6 +137,19 @@ PREDICATES = [
     "id + rid + 1 > 5",
     "abs(v) - id <= 0.0",
     "coalesce(substring(s, 1, 2), 'zz') IN ('al', 'be', 'zz')",
+    # round 6 (fourth pass): null-safe equality
+    "v <=> 4.0",
+    "s <=> 'beta'",
+    "NOT (v <=> -0.5)",
+    "amt <=> 2.25",
+    "id <=> rid",
+    "v <=> id",
+    "s <=> s",
+    "2.5 <=> v",
+    "id + 1 <=> rid",
+    "lower(s) <=> 'epsilon'",
+    "flag <=> TRUE",
+    "(s <=> 'alpha') OR (s <=> 'd''oh')",
 ]
 
 
@@ -362,3 +375,18 @@ def test_unicode_substring_length_parity(spark):
         assert arrow_vec == spark_vec, (
             f"{sql}: {arrow_vec} != {spark_vec}"
         )
+
+
+def test_null_safe_equality_never_null():
+    """<=> yields a non-NULL boolean for every row, including null-typed
+    (schema-evolution fill) columns."""
+    t = pa.table({"x": pa.nulls(3), "y": pa.array([1, None, 3])})
+    assert evaluate(
+        parse_predicate("x <=> 1"), t
+    ).to_pylist() == [False] * 3
+    assert evaluate(
+        parse_predicate("x <=> y"), t
+    ).to_pylist() == [False, True, False]
+    assert evaluate(
+        parse_predicate("x <=> x"), t
+    ).to_pylist() == [True] * 3
