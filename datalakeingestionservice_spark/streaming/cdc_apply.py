@@ -87,6 +87,17 @@ def make_cdc_apply_committer(
         high_water = _read_high_water(table_root, stream_name)
         if high_water is not None and batch_id <= high_water[0]:
             return  # epoch already applied
+        if high_water is not None and batch_id > high_water[0] + 1:
+            # Structured Streaming epochs are strictly sequential per
+            # checkpoint; a forward JUMP means feed batches between the
+            # marker and this epoch were never applied (fresh checkpoint
+            # against an old marker, or a manual driver skipping) —
+            # silently applying would lose those changes forever.
+            raise ValueError(
+                f"{table_root}/{stream_name}: epoch gap — last applied "
+                f"{high_water[0]}, got {batch_id}; replay the feed from "
+                f"epoch {high_water[0] + 1} or use a fresh stream_name"
+            )
         net = net_changes(batch_df, key_cols)
         try:
             table = VersionedTable(spark, table_root)

@@ -171,3 +171,22 @@ def _try_snap(spark, root):
         return Counter(tuple(r) for r in t.read().collect())
     except Exception:
         return None
+
+
+def test_epoch_gap_refuses(spark, tmp_path):
+    """A forward epoch JUMP (fresh checkpoint against an old marker, or
+    a manual driver skipping batches) must fail loudly — silently
+    applying would lose the skipped feed batches forever."""
+    root = str(tmp_path / "replica")
+    commit = make_cdc_apply_committer(root, ["id"])
+    batch = spark.createDataFrame(
+        [(1, "a", "insert", 1)],
+        "id bigint, val string, _change_type string, "
+        "_commit_version bigint",
+    )
+    commit(batch, 0)
+    with pytest.raises(ValueError, match="epoch gap"):
+        commit(batch, 2)
+    # The next sequential epoch still applies.
+    commit(batch, 1)
+    assert VersionedTable(spark, root).latest_version() == 2
