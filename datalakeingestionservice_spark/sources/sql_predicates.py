@@ -10,6 +10,7 @@ null-safe `<=>`, AND / OR / NOT, IS [NOT] NULL, [NOT] IN,
 [NOT] BETWEEN, [NOT] LIKE, column-side arithmetic `col * 2 > 10`
 including column-vs-column `a + b > c`, unary
 length/lower/upper/trim/abs, string builders concat/substring/coalesce,
+CASE WHEN operands (full boolean grammar in branch predicates),
 struct-field access `s.x = 1`, parentheses) into a JSON-serializable AST
 on the driver and evaluates it executor-side with pyarrow.compute using
 SQL three-valued logic (Kleene AND/OR, null-propagating comparisons),
@@ -62,6 +63,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN",
     "TRUE", "FALSE", "DATE", "TIMESTAMP", "LIKE",
+    "CASE", "WHEN", "THEN", "ELSE", "END",
 }
 
 
@@ -259,12 +261,35 @@ class _Parser:
             f"{sorted(_FUNCS | {'substring', 'concat', 'coalesce'})})"
         )
 
+    def _case(self) -> list:
+        """CASE WHEN <bool> THEN <arg> ... [ELSE <arg>] END — the
+        branch predicates use the FULL boolean grammar; branch values
+        are ["c", colx] or literals. Spark semantics: a branch fires on
+        TRUE only (NULL falls through); no ELSE => NULL result."""
+        self.next()  # CASE
+        branches: list = []
+        while self.peek() == "WHEN":
+            self.next()
+            pred = self.or_expr()
+            self.expect("THEN")
+            branches.append([pred, self._arg()])
+        if not branches:
+            raise UnsupportedPredicateError("CASE needs WHEN branches")
+        els = None
+        if self.peek() == "ELSE":
+            self.next()
+            els = self._arg()
+        self.expect("END")
+        return ["case", branches, els]
+
     def _operand(self) -> tuple[str, object]:
         """Returns ("col", colx) or ("lit", lit); a column may chain
         LEFT-side arithmetic with numeric literals or columns
         (`price * 2`, `a + b - 3`) — evaluated left-to-right, no
         precedence (refuse mixed +/* chains rather than mis-parse
         them)."""
+        if self.peek() == "CASE":
+            return ("col", self._case())
         if self.peek() != "ident":
             return ("lit", self._literal())
         colx: object = self.next()[1]
@@ -299,9 +324,10 @@ class _Parser:
     def predicate(self) -> list:
         lk, lv = self._operand()
         k = self.peek()
-        if lk == "col" and k in (None, "AND", "OR", "rparen"):
-            # Bare boolean column (`flag`, `NOT flag`): desugar to
-            # `flag = TRUE` — identical under three-valued logic.
+        if lk == "col" and k in (None, "AND", "OR", "rparen", "THEN"):
+            # Bare boolean column (`flag`, `NOT flag`, `CASE WHEN flag
+            # THEN ...`): desugar to `flag = TRUE` — identical under
+            # three-valued logic.
             return ["cmp", "=", lv, ["b", True]]
         if k == "IS":
             self.next()
@@ -553,6 +579,56 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
                         "concat() literal arguments must be strings"
                     )
             return "string"
+        if cx[0] == "case":
+            branches, els = cx[1], cx[2]
+            args = [a for _p, a in branches] + (
+                [els] if els is not None else []
+            )
+            for p, _a in branches:
+                walk(p)  # branch predicates validate like any other
+            first_c: str | None = None
+            for a in args:
+                if a[0] == "c":
+                    at = col_type(a[1])
+                    if first_c is None:
+                        first_c = at
+                    elif _cmp_cat(first_c) != _cmp_cat(at):
+                        raise UnsupportedPredicateError(
+                            f"CASE mixes {first_c} with {at}"
+                        )
+            if first_c is None:
+                raise UnsupportedPredicateError(
+                    "CASE needs at least one column-valued branch "
+                    "(an all-literal CASE is a constant)"
+                )
+            lit_tag_type = {
+                "s": "string",
+                "n": first_c if first_c in _NUMERIC else "double",
+                "d": "date", "t": "timestamp", "b": "boolean",
+            }
+            for a in args:
+                if a[0] != "c" and _cmp_cat(
+                    lit_tag_type.get(a[0], "?")
+                ) != _cmp_cat(first_c):
+                    raise UnsupportedPredicateError(
+                        f"CASE literal {a!r} incompatible with {first_c}"
+                    )
+            # Numeric CASE promotes like Spark: any floating branch (or
+            # fractional literal) makes the result double.
+            if first_c in _NUMERIC:
+                floaty = any(
+                    (
+                        a[0] == "c"
+                        and col_type(a[1]) in ("float", "double")
+                    )
+                    or (
+                        a[0] == "n"
+                        and ("." in a[1] or "e" in a[1].lower())
+                    )
+                    for a in args
+                )
+                return "double" if floaty else "bigint"
+            return first_c
         if cx[0] == "coalesce":
             first: str | None = None
             for a in cx[1]:
@@ -728,6 +804,13 @@ def columns_of(ast: list) -> set[str]:
             for a in cx[1]:
                 if a[0] == "c":
                     addcols(a[1])
+        elif kind == "case":
+            for p, a in cx[1]:
+                walk(p)
+                if a[0] == "c":
+                    addcols(a[1])
+            if cx[2] is not None and cx[2][0] == "c":
+                addcols(cx[2][1])
 
     def walk(node: list) -> None:
         kind = node[0]
@@ -813,6 +896,63 @@ def evaluate(ast: list, table) -> object:
                 arr = pc.struct_field(arr, f)
             return arr
         kind = cx[0]
+        if kind == "case":
+            branches, els = cx[1], cx[2]
+            arrs = [
+                colarr(a[1]) if a[0] == "c" else a
+                for _p, a in branches
+            ]
+            els_v = (
+                (colarr(els[1]) if els[0] == "c" else els)
+                if els is not None
+                else None
+            )
+            candidates = arrs + ([els_v] if els_v is not None else [])
+            # Result type: Spark-style numeric promotion (any floating
+            # branch or fractional literal => float64, ints => int64);
+            # non-numeric categories take the first real array's type.
+            rtype = None
+            numeric = False
+            floaty = False
+            for v in candidates:
+                if isinstance(v, list):
+                    if v[0] == "n":
+                        numeric = True
+                        floaty = floaty or (
+                            "." in v[1] or "e" in v[1].lower()
+                        )
+                    continue
+                if pa.types.is_null(v.type):
+                    continue
+                if pa.types.is_floating(v.type) or pa.types.is_integer(
+                    v.type
+                ):
+                    numeric = True
+                    floaty = floaty or pa.types.is_floating(v.type)
+                elif rtype is None:
+                    rtype = v.type
+            if numeric:
+                rtype = pa.float64() if floaty else pa.int64()
+            if rtype is None:
+                return pa.nulls(n)  # every branch null-typed
+
+            def to_arr(v):
+                if isinstance(v, list):
+                    s = _scalar_for(v, rtype)
+                    return s.cast(rtype) if s.type != rtype else s
+                if pa.types.is_null(v.type):
+                    return pa.nulls(n, rtype)
+                return v.cast(rtype) if v.type != rtype else v
+
+            acc = (
+                to_arr(els_v) if els_v is not None
+                else pa.nulls(n, rtype)
+            )
+            for (pred, _a), v in reversed(list(zip(branches, arrs))):
+                # Spark CASE fires on TRUE only; NULL falls through.
+                cond = pc.coalesce(ev(pred), pa.scalar(False))
+                acc = pc.if_else(cond, to_arr(v), acc)
+            return acc
         if kind == "concat":
             # Spark concat(): NULL if ANY argument is NULL — exactly
             # binary_join_element_wise's emit_null (last arg = sep).

@@ -150,6 +150,18 @@ PREDICATES = [
     "lower(s) <=> 'epsilon'",
     "flag <=> TRUE",
     "(s <=> 'alpha') OR (s <=> 'd''oh')",
+    # round 6 (fifth pass): CASE WHEN operands
+    "CASE WHEN v > 2 THEN s ELSE 'lo' END = 'lo'",
+    "CASE WHEN s IS NULL THEN 0 ELSE length(s) END >= 5",
+    "CASE WHEN flag THEN v ELSE id END > 1.5",
+    "CASE WHEN id = 1 THEN s WHEN id = 2 THEN 'two' END = 'two'",
+    "CASE WHEN id = 1 THEN s WHEN id = 2 THEN 'two' END IS NULL",
+    "CASE WHEN v > 0 THEN id + 1 ELSE id END IN (2, 3)",
+    "CASE WHEN s LIKE 'a%' THEN 'A' WHEN s LIKE 'b%' THEN 'B' "
+    "ELSE upper(s) END = 'B'",
+    "CASE WHEN flag THEN 'y' ELSE coalesce(s, 'n') END <=> 'y'",
+    "CASE WHEN v BETWEEN 0.0 AND 2.0 THEN d END = DATE '2024-01-01'",
+    "NOT (CASE WHEN id > 2 THEN flag ELSE FALSE END = TRUE)",
 ]
 
 
@@ -252,6 +264,9 @@ def test_null_type_column_comparisons():
         "id = 1 extra",            # trailing garbage
         "",                        # empty
         "id IN (s)",               # non-literal IN list
+        "CASE WHEN id = 1 THEN 'a' ELSE 'b' END = 'a'",  # all-literal
+        "CASE ELSE 'x' END = 'x'",                       # no WHEN
+        "CASE WHEN id = 1 THEN s ELSE v END = 'a'",      # mixed cats
     ],
 )
 def test_unsupported_rejected(sql):
