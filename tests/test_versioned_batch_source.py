@@ -214,3 +214,32 @@ def test_register_table_view_pure_sql(spark, tmp_path):
     assert spark.sql(
         "SELECT count(*) AS n FROM vt_sqlview_v1"
     ).collect()[0].n == 100
+
+
+def test_case_and_null_safe_deferred_predicates_served(
+    spark, tmp_path
+):
+    """Pass-4/5 predicate forms (<=> and CASE WHEN) recorded as
+    deferred deletes serve merge-on-read through the batch DataSource
+    with Spark-identical results."""
+    root = str(tmp_path / "vtc45")
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [
+                (1, "a", 10.0),
+                (2, None, 20.0),
+                (3, "b", None),
+                (4, "a", 40.0),
+            ],
+            "id bigint, grp string, v double",
+        ),
+    )
+    t.delete_where_deferred("grp <=> 'b'")
+    t.delete_where_deferred(
+        "CASE WHEN v IS NULL THEN 0.0 ELSE v END >= 40"
+    )
+    got = {(r.id,) for r in _load(spark, root).collect()}
+    want = {(r.id,) for r in t.read().collect()}
+    assert got == want == {(1,), (2,)}
