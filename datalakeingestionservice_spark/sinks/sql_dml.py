@@ -492,7 +492,25 @@ def execute_merge(
 
     saw_update = saw_insert = False
     delete_col: str | None = None
-    for wm in _WHEN_RE.finditer(mm.group("clauses")):
+    # Every WHEN clause must be consumed by _WHEN_RE. An unrecognized
+    # clause (e.g. `WHEN NOT MATCHED BY SOURCE THEN DELETE`) would
+    # otherwise be silently skipped and the statement executed as a
+    # plain upsert — losing its semantics. Compare the raw WHEN keyword
+    # count against the matched-clause count and refuse on mismatch
+    # (a WHEN inside a condition, e.g. CASE WHEN, is out of subset
+    # anyway, so over-counting only ever refuses — never reinterprets).
+    n_when = len(
+        re.findall(r"\bWHEN\b", mm.group("clauses"), re.IGNORECASE)
+    )
+    matched_clauses = list(_WHEN_RE.finditer(mm.group("clauses")))
+    if len(matched_clauses) != n_when:
+        raise UnsupportedStatementError(
+            f"MERGE subset: {n_when} WHEN clause(s) present but only "
+            f"{len(matched_clauses)} recognized — out-of-subset WHEN "
+            "forms (e.g. WHEN NOT MATCHED BY SOURCE, column-level SET, "
+            "extra conditions) refuse rather than being ignored"
+        )
+    for wm in matched_clauses:
         action = re.sub(r"\s+", " ", wm.group("action").upper())
         negated = wm.group("not") is not None
         cond = wm.group("cond")

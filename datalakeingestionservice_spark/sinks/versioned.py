@@ -585,7 +585,17 @@ def _transform_expr(fn: str, param: int | None, col: str, type_simple: str):
             step = F.lit(str(Decimal(param).scaleb(-s))).cast(
                 f"decimal(38,{s})"
             )
-            return (c - ((c % step + step) % step)).cast(type_simple)
+            # Cast to decimal(38,s), NOT the source type: values in the
+            # bottom window near the type's most-negative bound floor to
+            # a multiple needing precision p+1 (decimal(4,2) -99.95 with
+            # truncate(10) -> -100.00), which would overflow the source
+            # type to NULL and land the row in the null partition dir
+            # while the Python twin (prec=60) returns the exact value —
+            # pruning would then silently skip the entry. Scale is
+            # preserved, so str(Decimal) dir rendering still matches.
+            return (c - ((c % step + step) % step)).cast(
+                f"decimal(38,{s})"
+            )
         return F.substring(c, 1, param)
     raise ValueError(f"unknown transform {fn!r}")
 
@@ -2584,6 +2594,12 @@ class VersionedTable:
                 "overwrite_where for transform specs"
             )
         part_cols = [col for _fn, _p, col in spec]
+        # Schema ENFORCED like append/overwrite_where: a retyped, extra,
+        # or reordered frame must not land files inconsistent with the
+        # manifest schema (direct API callers were unprotected — the SQL
+        # front door casts first, but this is the public method).
+        ddl = self._evolved_schema_ddl(df, False, pm.schema_ddl)
+        df = _cast_to_ddl_types(df, ddl)
         _enforce_constraints(df, pm.constraints)
         new_parts = {
             tuple(r) for r in df.select(*part_cols).distinct().collect()

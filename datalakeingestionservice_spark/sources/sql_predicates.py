@@ -444,6 +444,21 @@ def _cmp_cat(t: str) -> str:
     return "other:" + t
 
 
+def _val_cat(t: str) -> str:
+    """VALUE category — for contexts that PRODUCE a value (CASE /
+    COALESCE branches) rather than merely compare. Stricter than
+    _cmp_cat on temporals: the arrow evaluator coerces branch arrays to
+    the first array's type, so a date column mixed with a timestamp
+    column would truncate time-of-day (timestamp->date32) where the
+    Spark twin promotes to timestamp — the two MoR readers would
+    disagree. Exact temporal type required (date vs timestamp vs
+    timestamp_ntz all distinct), like the decimal exact-type rule."""
+    cat = _cmp_cat(t)
+    if cat == "temporal":
+        return "tmp:" + ("date" if t == "date" else t)
+    return cat
+
+
 def _split_top(s: str) -> list[str]:
     """Split a struct body on commas OUTSIDE <> / () nesting."""
     out, depth, tok = [], 0, []
@@ -592,7 +607,7 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
                     at = col_type(a[1])
                     if first_c is None:
                         first_c = at
-                    elif _cmp_cat(first_c) != _cmp_cat(at):
+                    elif _val_cat(first_c) != _val_cat(at):
                         raise UnsupportedPredicateError(
                             f"CASE mixes {first_c} with {at}"
                         )
@@ -604,12 +619,19 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
             lit_tag_type = {
                 "s": "string",
                 "n": first_c if first_c in _NUMERIC else "double",
-                "d": "date", "t": "timestamp", "b": "boolean",
+                # A TIMESTAMP literal is compatible with EITHER timestamp
+                # flavor (the arrow side parses it naive) — only the
+                # date-vs-timestamp mix is the truncation hazard.
+                "d": "date",
+                "t": first_c
+                if first_c.startswith("timestamp")
+                else "timestamp",
+                "b": "boolean",
             }
             for a in args:
-                if a[0] != "c" and _cmp_cat(
+                if a[0] != "c" and _val_cat(
                     lit_tag_type.get(a[0], "?")
-                ) != _cmp_cat(first_c):
+                ) != _val_cat(first_c):
                     raise UnsupportedPredicateError(
                         f"CASE literal {a!r} incompatible with {first_c}"
                     )
@@ -636,7 +658,7 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
                     at = col_type(a[1])
                     if first is None:
                         first = at
-                    elif _cmp_cat(first) != _cmp_cat(at):
+                    elif _val_cat(first) != _val_cat(at):
                         raise UnsupportedPredicateError(
                             f"coalesce() mixes {first} with {at}"
                         )
@@ -646,13 +668,16 @@ def check_supported(ast: list, types: dict[str, str]) -> None:
                 )
             lit_tag_type = {
                 "s": "string", "n": first if first in _NUMERIC
-                else "double", "d": "date", "t": "timestamp",
+                else "double", "d": "date",
+                "t": first
+                if first.startswith("timestamp")
+                else "timestamp",
                 "b": "boolean",
             }
             for a in cx[1]:
-                if a[0] != "c" and _cmp_cat(
+                if a[0] != "c" and _val_cat(
                     lit_tag_type.get(a[0], "?")
-                ) != _cmp_cat(first):
+                ) != _val_cat(first):
                     raise UnsupportedPredicateError(
                         f"coalesce() literal {a!r} incompatible with "
                         f"{first}"

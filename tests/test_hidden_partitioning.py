@@ -693,6 +693,56 @@ def test_decimal_truncate_and_date_bucket_transforms(spark, root):
     _check_pred_parity(t, [("amt", ">=", Decimal("60.00"))])
 
 
+def test_decimal_truncate_negative_precision_boundary(spark, root):
+    """Values near the type's most-negative bound floor to a multiple
+    needing precision p+1 (decimal(4,2) -99.95 with truncate(10) ->
+    -100.00): the Spark expression must NOT overflow the source type to
+    NULL (which would land the row in the null partition dir and make
+    predicated reads silently skip it) — it widens to decimal(38,s),
+    byte-identical to the prec-60 Python twin."""
+    from decimal import Decimal
+
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _transform_expr,
+        _transform_py,
+    )
+
+    vals = ["-99.95", "-99.99", "99.99", "-0.01"]
+    dfd = spark.createDataFrame(
+        [(Decimal(v),) for v in vals], "d decimal(4,2)"
+    )
+    sp = [
+        r.t
+        for r in dfd.select(
+            _transform_expr("truncate", 10, "d", "decimal(4,2)").alias(
+                "t"
+            )
+        ).collect()
+    ]
+    py = [
+        _transform_py("truncate", 10, Decimal(v), "decimal(4,2)")
+        for v in vals
+    ]
+    assert sp == py
+    assert None not in sp  # the overflow-to-NULL bug
+    assert sp[0] == Decimal("-100.00")
+
+    # End to end: the boundary row lands in its real partition dir and
+    # predicated reads find it.
+    rows = [(i, Decimal(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, d decimal(4,2)")
+    t = VersionedTable.create(
+        spark, root, df, partition_by=["truncate(10, d)"]
+    )
+    pv = {
+        t.manifest().stats[rel]["part_values"]["d_truncate"]
+        for rel in t.manifest().files
+    }
+    assert "-100.00" in pv
+    got = t.read(predicates=[("d", "<", Decimal("-99.90"))])
+    assert {r.id for r in got.collect()} == {0, 1}
+
+
 def test_decimal_truncate_through_datasource_writer(spark, root):
     """The sessionless Arrow writer computes decimal-truncate and
     date-bucket leaf segments with the same Python twin; round trip

@@ -10,6 +10,7 @@ import pytest
 
 from datalakeingestionservice_spark.sinks.versioned import (
     ConcurrentCommitError,
+    SchemaMismatchError,
     VersionedTable,
 )
 
@@ -146,6 +147,40 @@ def test_dynamic_overwrite_null_partition_replaces(spark, root):
     got = {(r.id, r.grp) for r in t.read().collect()}
     assert (10, None) in got and (5, None) not in got
     assert len(got) == 5
+
+
+def test_dynamic_overwrite_enforces_schema(spark, root):
+    """overwrite_partitions validates + casts the frame against the
+    manifest schema like append/overwrite_where do: a narrower frame
+    casts up, a retyped or extra-column frame refuses — it must never
+    write data files inconsistent with the manifest schema."""
+    t = VersionedTable.create(
+        spark, root, _df(spark, ROWS), partition_by=["grp"]
+    )
+    # Narrow (int id, float v) casts up to the table's bigint/double.
+    t.overwrite_partitions(
+        spark.createDataFrame(
+            [(100, "a", 7.5)], "id int, grp string, v float"
+        )
+    )
+    got = {(r.id, r.grp, r.v) for r in t.read().collect()}
+    assert (100, "a", 7.5) in got and (1, "a", 10.0) not in got
+    assert dict(t.read().dtypes)["id"] == "bigint"
+    # Extra column refuses (no silent drop, no inconsistent files).
+    with pytest.raises(SchemaMismatchError):
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [(1, "a", 1.0, "x")],
+                "id bigint, grp string, v double, extra string",
+            )
+        )
+    # Incompatibly retyped column refuses.
+    with pytest.raises(SchemaMismatchError):
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [(1, "a", "oops")], "id bigint, grp string, v string"
+            )
+        )
 
 
 def test_dynamic_overwrite_refusals(spark, root):

@@ -237,6 +237,44 @@ def test_merge_statement_subset_refusals(spark, table):
             execute_merge(spark, bad, {"t": table})
 
 
+def test_merge_unconsumed_when_clause_refuses(spark, table):
+    """Every WHEN clause must be RECOGNIZED, not merely the recognized
+    ones executed: `WHEN NOT MATCHED BY SOURCE THEN DELETE` is outside
+    the subset and must refuse — silently dropping it would run the
+    statement as a plain upsert and lose the delete semantics."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_merge,
+    )
+
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "id bigint, grp string, v double"
+    ).createOrReplaceTempView("merge_src4")
+    before = table.latest_version()
+    with pytest.raises(UnsupportedStatementError, match="recognized"):
+        execute_merge(
+            spark,
+            "MERGE INTO t USING merge_src4 s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            {"t": table},
+        )
+    # Refused BEFORE committing anything.
+    assert table.latest_version() == before
+    # A condition containing extra WHENs (CASE WHEN) also refuses rather
+    # than being reinterpreted.
+    with pytest.raises(UnsupportedStatementError):
+        execute_merge(
+            spark,
+            "MERGE INTO t USING merge_src4 s ON t.id = s.id "
+            "WHEN MATCHED AND CASE WHEN s.v > 0 THEN true END "
+            "THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"t": table},
+        )
+
+
 def test_insert_overwrite_unpartitioned_truncates_and_loads(
     spark, tmp_path
 ):

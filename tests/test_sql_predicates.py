@@ -267,6 +267,13 @@ def test_null_type_column_comparisons():
         "CASE WHEN id = 1 THEN 'a' ELSE 'b' END = 'a'",  # all-literal
         "CASE ELSE 'x' END = 'x'",                       # no WHEN
         "CASE WHEN id = 1 THEN s ELSE v END = 'a'",      # mixed cats
+        # date/timestamp must NOT mix in value-producing contexts: the
+        # arrow evaluator would coerce to the FIRST array's type
+        # (timestamp->date32 truncates time-of-day) while Spark promotes
+        # to timestamp — the two MoR readers would disagree.
+        "CASE WHEN flag THEN d ELSE ts END = DATE '2024-01-01'",
+        "coalesce(d, ts) = DATE '2024-01-01'",
+        "coalesce(ts, DATE '2024-01-01') IS NULL",  # date lit, ts col
     ],
 )
 def test_unsupported_rejected(sql):
