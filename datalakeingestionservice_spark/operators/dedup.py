@@ -125,11 +125,16 @@ def jaccard_pairs(
       escape hatch for when the posting subtree is the dominant cost, and
       measure before switching.
 
-    The per-doc size table is broadcast back onto the candidate pairs (one
-    row per doc — KBs even at millions of docs). `persist` defaults off:
-    measured locally, recomputing the explode+distinct subtree beats the
-    cache barrier (cached plans also bypass AQE); flip it on when the
-    shingle explode dominates (large corpora, wide shingles).
+    The per-doc size table joins back onto the candidate pairs WITHOUT a
+    forced broadcast hint: sizes has one row per surviving document, which
+    at 100 TB (billions of docs) is far past broadcast limits — a hard
+    `F.broadcast` would OOM the driver. AQE sees the actual shuffle size at
+    runtime and converts to a broadcast join whenever sizes is genuinely
+    small, so the local-scale plan is unchanged while the 1000-executor
+    plan stays a safe shuffled join. `persist` defaults off: measured
+    locally, recomputing the explode+distinct subtree beats the cache
+    barrier (cached plans also bypass AQE); flip it on when the shingle
+    explode dominates (large corpora, wide shingles).
     """
     if strategy not in ("join", "grouped"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -174,10 +179,62 @@ def jaccard_pairs(
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
     )
     return (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        common.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+_MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime: universal-hash modulus
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Seeded (a, b) coefficients for the permutation family
+    h_k(x) = (a_k * x + b_k) mod p. Deterministic for a given seed, so the
+    SAME literals are embedded in the Spark expressions and in the DuckDB
+    oracle SQL — the whole signature is engine-portable (the reason the
+    pyspark.ml MinHashLSH model, whose hash family is engine-private, was
+    replaced)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MINHASH_P), rnd.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def _shingle_hash32():
+    """Portable 32-bit shingle hash: first 8 hex chars of sha256, as an
+    integer, reduced mod p. sha256 hex is byte-identical across engines
+    (Spark `sha2(x,256)`, DuckDB `sha256(x)`), unlike xxhash64/murmur whose
+    seeds are engine-private. Overflow-safe: h < 2^31 after the mod, so
+    a*h + b < 2^62 stays inside signed 64-bit in both engines."""
+    return (
+        F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % _MINHASH_P
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature: mh_k = min over shingles of
+    (a_k * h(shingle) + b_k) mod p — ONE hash-aggregate shuffle with
+    map-side partial mins (K min-columns ride a single groupBy), entirely
+    JVM-side expressions."""
+    h = _shingle_hash32()
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    return shingles.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % _MINHASH_P).alias(f"mh{k}")
+            for k, (a, b) in enumerate(coeffs)
+        ]
     )
 
 
@@ -186,41 +243,88 @@ def minhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_hash_tables: int = 8,
-    max_distance: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_sim: float = 0.4,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash LSH candidate pairs (Jaccard distance <= max_distance).
+    """Native deterministic MinHash LSH near-dup pairs.
 
-    The sub-quadratic scale path: banding buckets near-identical shingle sets
-    together; `approxSimilarityJoin` joins only within buckets.
+    Sub-quadratic banding, same plan shape as the former pyspark.ml path
+    but with an engine-owned seeded permutation family so DuckDB can
+    recompute signatures/bands/candidates EXACTLY (q46 is hash-checked
+    against the oracle, not rows-only):
+
+    1. signature: K = `num_hashes` seeded permutation mins per doc
+       (one aggregate, JVM expressions — see `minhash_signatures`);
+    2. banding: K/bands rows per band, band signature = concatenated mins;
+       candidates = equi-join on (band, signature) — pairs are generated
+       only on band collisions, never all-pairs. P(candidate) =
+       1-(1-s^r)^b: bands=8 x rows=2 gives 0.90 at s=0.5 and >0.9999 at
+       s>=0.8 where this corpus's true pairs live.
+    3. verify: exact Jaccard on the candidate set only — candidates are
+       sparse, so the per-doc shingle-set arrays join against a SMALL
+       candidate table (AQE broadcasts the candidate side; the big
+       array-bearing side never shuffles).
+
+    Returns (doc_a, doc_b, jaccard_sim) for candidates with exact
+    jaccard_sim >= min_sim (the analog of approxSimilarityJoin's
+    "distance <= max_distance" post-filter, which also used true distance).
     """
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, Tokenizer
-
-    docs = df.select(id_col, text_col)
-    tokens = Tokenizer(inputCol=text_col, outputCol="__tokens").transform(docs)
-    grams = NGram(n=n, inputCol="__tokens", outputCol="__shingles").transform(tokens)
-    grams = grams.filter(F.size("__shingles") > 0)
-    cv = CountVectorizer(
-        inputCol="__shingles", outputCol="__features", binary=True, minDF=1.0
-    ).fit(grams)
-    vectors = cv.transform(grams).select(id_col, "__features")
-    lsh = MinHashLSH(
-        inputCol="__features",
-        outputCol="__hashes",
-        numHashTables=num_hash_tables,
-        seed=seed,
-    ).fit(vectors)
-    pairs = lsh.approxSimilarityJoin(
-        vectors, vectors, max_distance, distCol="jaccard_dist"
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows = num_hashes // bands
+    shingles = word_shingles(df, id_col, text_col, n=n)
+    sig = minhash_signatures(shingles, id_col, num_hashes, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bd).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{bd * rows + j}").cast("string")
+                        for j in range(rows)
+                    ],
+                ).alias("sig"),
+            )
+            for bd in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(band_structs).alias("bs")).select(
+        id_col,
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets_ = shingles.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__sh")
+    )
+    sa, sb = sets_.alias("sa"), sets_.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
+    jac = inter.cast("double") / (
+        F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter
     )
     return (
-        pairs.select(
-            F.col(f"datasetA.{id_col}").alias("doc_a"),
-            F.col(f"datasetB.{id_col}").alias("doc_b"),
-            (1.0 - F.col("jaccard_dist")).alias("jaccard_sim"),
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= min_sim)
     )
 
 

@@ -233,8 +233,11 @@ ORDER BY revenue DESC, nation
 """,
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact lineitem against 5 dims. region/nation/supplier are
-    explicitly broadcast (tiny dims) so the only shuffle is customer><orders><lineitem."""
+    """Star join: fact lineitem against 5 dims. region/nation are explicitly
+    broadcast (FIXED-size dims — 5 and 25 rows at every scale factor);
+    supplier GROWS with scale factor (~1B rows at sf100k), so its hint is
+    left to AQE, which broadcasts at runtime whenever the actual size
+    permits. The only unavoidable shuffle is customer><orders><lineitem."""
     env = Env(spark, sf_dir)
     region = env.t("region").filter(F.col("r_name") == "ASIA")
     nation = env.t("nation")
@@ -249,7 +252,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(line, line.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (line.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )

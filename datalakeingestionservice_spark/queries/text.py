@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from datalakeingestionservice_spark.catalog import Env
 from datalakeingestionservice_spark.operators.dedup import (
+    _MINHASH_P,
+    _minhash_coeffs,
     dup_groups,
     jaccard_pairs,
     minhash_neardup_pairs,
@@ -273,25 +275,103 @@ def q45_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q46 — MinHash LSH near-dup candidates (pyspark.ml; model-specific hashes =>
-# rows-only check; the exact-Jaccard twin q45 carries the value oracle).
+# q46 — MinHash LSH near-dup candidates. Native seeded permutation hashes
+# (engine-owned, sha256-derived — see operators/dedup.py) make the WHOLE
+# pipeline — signatures, bands, candidates, exact-Jaccard verify — exactly
+# recomputable by DuckDB, so q46 is hash-checked like every other query.
 # ---------------------------------------------------------------------------
+_MH_K, _MH_BANDS, _MH_SEED = 16, 8, 42
+_MH_ROWS = _MH_K // _MH_BANDS
+_MH_COEFFS = _minhash_coeffs(_MH_K, _MH_SEED)
+_MH_SIG_COLS = ",\n         ".join(
+    f"min(({a} * h + {b}) % {_MINHASH_P}) AS mh{k}"
+    for k, (a, b) in enumerate(_MH_COEFFS)
+)
+_MH_BAND_SELECTS = "\n  UNION ALL\n  ".join(
+    "SELECT doc_id, {bd} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
+        bd=bd,
+        cols=", ".join(
+            f"mh{bd * _MH_ROWS + j}" for j in range(_MH_ROWS)
+        ),
+    )
+    for bd in range(_MH_BANDS)
+)
+
+
 @register(
     "q46_minhash_lsh_neardup",
-    oracle=None,
-    tags=("text", "dedup", "lsh", "ml"),
+    tags=("text", "dedup", "lsh"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM words WHERE len(w) >= 3
+  )
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+           i -> (strpos('0123456789abcdef', substr(sha256(shingle), i, 1)) - 1)
+                * (1::BIGINT << ((8 - i) * 4)))) AS BIGINT)
+           % {_MINHASH_P} AS h
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {_MH_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+doc_sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+pair_common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
+         AS jaccard_sim
+FROM pair_common p
+JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+ORDER BY doc_a, doc_b
+""",
 )
 def q46_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH over shingle sets: the sub-quadratic scale path for fuzzy
-    dedup (banding via approxSimilarityJoin). Seeded => deterministic run-to-run
-    on the same Spark version, but hash family is engine-specific => no SQL
-    oracle; correctness of the *semantics* is pinned by q45's exact Jaccard.
-    Candidate recall vs the q45 anchor: measured 1.0 at sf0.001 and sf0.1 for
-    numHashTables in {4,8,16}; pinned >= 0.95 in pytest
+    """MinHash LSH over 3-word shingles: the sub-quadratic scale path for
+    fuzzy dedup. Native seeded permutation family h_k = (a_k*h + b_k) mod p
+    over sha256-derived shingle hashes — pure JVM expressions, one aggregate
+    for the K-wide signature, banded equi-join for candidates, exact Jaccard
+    verification on the (sparse) candidate set only. Deterministic AND
+    engine-portable: DuckDB recomputes the identical signatures from the
+    same embedded (a_k, b_k) literals, so the oracle hash-matches.
+    Candidate recall vs the q45 exact anchor pinned >= 0.95 in pytest
     (tests/test_operators.py::test_minhash_recall_vs_exact_anchor)."""
     env = Env(spark, sf_dir)
     pairs = minhash_neardup_pairs(
-        env.t("documents"), n=3, num_hash_tables=8, max_distance=0.6, seed=42
+        env.t("documents"),
+        n=3,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        min_sim=0.4,
+        seed=_MH_SEED,
     )
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard_sim", 4).alias("jaccard_sim")

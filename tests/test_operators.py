@@ -87,11 +87,11 @@ def test_stop_shingle_pruning_recall(spark, sf_dir):
 
 def test_minhash_recall_vs_exact_anchor(spark, sf_dir):
     """MinHash LSH candidate recall against the exact-Jaccard anchor (the
-    q45/q46 pair). Banding theory: P(candidate) = 1-(1-s)^numHashTables, so
-    8 tables give 0.996 even at s=0.5; this corpus's true pairs sit at
-    s >= 0.96 where collision is near-certain. Measured 1.0 at sf0.001 AND
-    sf0.1 for numHashTables in {4,8,16}; floor stated at 0.95 to absorb
-    hash-family changes across Spark versions."""
+    q45/q46 pair). Banding theory: P(candidate) = 1-(1-s^r)^b; bands=8 x
+    rows=2 gives 0.90 at s=0.5 and >0.9999 at s >= 0.8 — this corpus's
+    true pairs sit at s >= 0.96 where collision is near-certain. The native
+    permutation family is seeded => the measurement is fully deterministic;
+    floor stated at 0.95."""
     from datalakeingestionservice_spark.operators.dedup import (
         minhash_neardup_pairs,
     )
@@ -110,10 +110,23 @@ def test_minhash_recall_vs_exact_anchor(spark, sf_dir):
     cand = {
         (r.doc_a, r.doc_b)
         for r in minhash_neardup_pairs(
-            docs, n=3, num_hash_tables=8, max_distance=0.6, seed=42
+            docs, n=3, num_hashes=16, bands=8, min_sim=0.4, seed=42
         ).collect()
     }
     assert len(anchor & cand) / len(anchor) >= 0.95
+
+
+def test_jaccard_pairs_no_forced_broadcast(spark):
+    """The per-doc sizes table must NOT carry a hard broadcast hint: it has
+    one row per surviving document, so at billions of docs a forced
+    broadcast OOMs. AQE converts to broadcast at runtime when actually
+    small — the hint adds nothing locally and kills the plan at scale."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    pairs = jaccard_pairs(word_shingles(df, "doc_id", "text", n=3))
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan
 
 
 def test_jaccard_pairs_exact_value(spark):

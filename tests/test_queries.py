@@ -26,9 +26,10 @@ def test_driver_contract_shapes():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(queries)
-    # Rows-only ops are the deliberate exceptions:
+    # Every registered query is oracle-backed (q46's native seeded MinHash
+    # closed the last rows-only exception in round 7).
     rows_only = set(queries) - set(oracles)
-    assert rows_only == {"q46_minhash_lsh_neardup"}
+    assert rows_only == set()
 
 
 def test_entry_returns_rows(spark):
