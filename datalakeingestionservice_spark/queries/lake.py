@@ -2174,3 +2174,122 @@ def q150_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replicated_ok", F.lit(bool(ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q151_position_delete_mor",
+    tags=("lake", "dml", "merge-on-read", "position-deletes"),
+    oracle="""
+WITH bounds AS (
+  SELECT min(o_orderpriority) AS mn FROM orders
+),
+base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+after_update AS (
+  SELECT k, prio,
+         CASE WHEN prio = (SELECT mn FROM bounds)
+              THEN price + CAST(5.00 AS DECIMAL(18,2))
+              ELSE price END AS price
+  FROM base
+),
+final AS (
+  SELECT k, prio,
+         CASE WHEN k % 10 = 3
+              THEN price + CAST(1.00 AS DECIMAL(18,2))
+              ELSE price END AS price
+  FROM after_update WHERE k % 10 <> 9
+  UNION ALL
+  SELECT k + 4000000000, prio, price
+  FROM after_update WHERE k % 10 = 7
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS total_price,
+       TRUE AS mor_ok
+FROM final
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q151_position_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE + MERGE via POSITION DELETES (Iceberg
+    positional-delete / Delta deletion-vector shape; `sinks/versioned.py`
+    `update_where_deferred` / `merge_deferred`): orders snapshots into a
+    prio-partitioned versioned table, then (1) a deferred UPDATE adds
+    5.00 to every min-priority price and (2) a deferred MERGE — sourced
+    from the MoR-served session read itself — replaces keys %10==3 at
+    +1.00, deletes keys %10==9, and inserts shifted-key clones of
+    %10==7. NEITHER DML rewrites a data file: matched rows' (file,
+    row-ordinal) coordinates land in delete files under `deletes/`, and
+    `mor_ok` asserts every v1 manifest entry survives verbatim into the
+    final manifest plus exactly two live position-delete references. The
+    final state is served through `spark.read.format("versioned")` —
+    the sessionless DataSource anti-applies the coordinates executor-
+    side with pyarrow — and the oracle recomputes it from raw orders as
+    pure relational algebra. At 100 TB this is the streaming-upsert
+    path: an update touching 1k rows across 1k multi-GB files writes
+    kilobytes of coordinates instead of rewriting terabytes (the reason
+    Iceberg v2 and Delta deletion vectors exist; the reference defers
+    the whole problem to its RDBMS, `SqlServerDataSource.cs:83-90`)."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_posd_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(
+        spark, base, orders, partition_by=["prio"]
+    )
+    v1_entries = set(t.manifest().files)
+    mn = orders.agg(F.min("prio")).collect()[0][0]
+    t.update_where_deferred(
+        [("prio", "=", mn)],
+        {"price": "price + CAST(5.00 AS DECIMAL(18,2))"},
+    )
+    cur = t.read()  # MoR-served: postimages visible, preimages masked
+    upd = cur.filter(F.col("k") % 10 == 3).withColumn(
+        "price",
+        (F.col("price") + F.expr("CAST(1.00 AS DECIMAL(18,2))")).cast(
+            "decimal(18,2)"
+        ),
+    )
+    ins = cur.filter(F.col("k") % 10 == 7).withColumn(
+        "k", F.col("k") + 4_000_000_000
+    )
+    dels = cur.filter(F.col("k") % 10 == 9).withColumn(
+        "__del", F.lit(True)
+    )
+    updates = (
+        upd.unionByName(ins)
+        .withColumn("__del", F.lit(False))
+        .unionByName(dels)
+    )
+    v = t.merge_deferred(updates, ["k"], delete_col="__del")
+    m = t.manifest(v)
+    n_pos = sum(1 for p in m.delete_predicates if "pos" in p)
+    mor_ok = v1_entries <= set(m.files) and n_pos == 2
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", base)
+        .load()
+    )
+    return (
+        df.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("mor_ok", F.lit(bool(mor_ok)))
+        .orderBy("prio")
+    )

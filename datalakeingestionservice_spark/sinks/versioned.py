@@ -74,6 +74,13 @@ _DATA_DIR = "data"
 #: serve COW commits at scan speed. Manifest summary keys: "cdf" (dir rel
 #: path) or "cdf_empty" (data-preserving commit, e.g. compact).
 _CDF_DIR = "changes"
+#: Position-delete files (Iceberg positional-delete / Delta deletion-vector
+#: shape): parquet dirs of (file_rel string, pos long) rows naming exact
+#: (data file, row ordinal) pairs deleted merge-on-read. Referenced from
+#: manifest delete_predicates as {"pos": <rel>, "entries": [scoped rels]} —
+#: the same carry/retire/scoping machinery as SQL deferred deletes, so a
+#: rewrite of every scoped entry retires the file automatically.
+_DELETES_DIR = "deletes"
 
 
 # -- data-skipping statistics (parquet footers -> manifest) -----------------
@@ -1395,7 +1402,11 @@ class VersionedTable:
                     "before renaming"
                 )
         for p in pm.delete_predicates:
-            if re.search(rf"\b{re.escape(old)}\b", p["sql"]):
+            # Position deletes reference (file, row) coordinates, never
+            # column names — rename-safe; only SQL predicates can bind.
+            if "sql" in p and re.search(
+                rf"\b{re.escape(old)}\b", p["sql"]
+            ):
                 raise ValueError(
                     f"a deferred delete references {old!r}; compact() to "
                     "materialize it before renaming"
@@ -1463,7 +1474,9 @@ class VersionedTable:
                     f"constraint {cname!r} references {col!r}"
                 )
         for p in pm.delete_predicates:
-            if re.search(rf"\b{re.escape(col)}\b", p["sql"]):
+            if "sql" in p and re.search(
+                rf"\b{re.escape(col)}\b", p["sql"]
+            ):
                 raise ValueError(
                     f"a deferred delete references {col!r}; compact() "
                     "first"
@@ -1758,29 +1771,64 @@ class VersionedTable:
         )
         return out
 
+    def _pos_meta_cols(self) -> list[Column]:
+        """`__file_rel` (data-file path relative to the table root, "/"
+        separators) + `__pos` (row ordinal within the file) computed from
+        Spark's `_metadata` struct — the coordinates position deletes are
+        keyed on. Pure JVM expressions (locate+substring on the file-path
+        URI), no probe job.
+
+        `_metadata.file_path` is a URI, so hive dir values with special
+        chars arrive percent-encoded (`prio=4-NOT%20SPECIFIED`); the rel
+        is url_decode'd so the stored coordinate is the PLAIN filesystem
+        path — the form `os.path.relpath` yields in the sessionless
+        DataSource reader (a literal `+` is pre-escaped to `%2B` because
+        URI paths leave `+` unencoded but url_decode would turn it into
+        a space)."""
+        norm = os.path.abspath(self.root).replace(os.sep, "/").rstrip("/")
+        esc = norm.replace("'", "\\'")
+        rel = F.expr(
+            f"url_decode(replace(substring(_metadata.file_path, "
+            f"locate('{esc}/', _metadata.file_path) + {len(norm) + 1}), "
+            f"'+', '%2B'))"
+        )
+        return [
+            rel.alias("__file_rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+
     def _scan_entries(
         self,
         sel: list[tuple[str, list[str] | None]],
         m: Manifest,
+        with_pos: bool = False,
     ) -> DataFrame | None:
-        """Scan selected entries, applying any merge-on-read delete
-        predicates scoped to them: entries are grouped by applicable
-        predicate set (an entry matches a predicate whose recorded rel
-        equals it or is an ancestor — which covers partition leaves and
-        file entries carried forward by a scoped merge), each group
-        filters with NOT(pred) (NULL drops, matching the COW delete's
-        semantics), groups union. Entries written AFTER a deferred
-        delete have fresh rels no predicate records, so new data is
-        never filtered — the same role sequence numbers play for
-        Iceberg's delete files."""
+        """Scan selected entries, applying any merge-on-read deletes
+        scoped to them. Two delete shapes share one scoping rule (a
+        delete applies iff its recorded rel equals the entry or is an
+        ancestor — covers partition leaves and file entries carried
+        forward by a scoped merge):
+
+        - {"sql": pred}: the group filters with NOT(pred) (NULL drops,
+          matching the COW delete's semantics);
+        - {"pos": rel}: POSITION deletes — the group reads with
+          `_metadata`-derived (file, row-ordinal) coordinates and
+          anti-joins the delete file's (file_rel, pos) pairs, the
+          Iceberg positional-delete application.
+
+        Entries written AFTER a deferred delete have fresh rels no
+        delete records, so new data is never filtered — the role
+        sequence numbers play for Iceberg's delete files. With
+        `with_pos`, `__file_rel`/`__pos` columns survive into the result
+        (the MoR DML write paths need the surviving rows' coordinates)."""
         preds = m.delete_predicates
         if not preds:
-            return self._scan_entries_raw(sel, m)
+            return self._scan_entries_raw(sel, m, with_pos)
 
-        def applicable(rel: str) -> tuple[str, ...]:
+        def applicable(rel: str) -> tuple[tuple[str, str], ...]:
             r = rel.replace(os.sep, "/")
             return tuple(
-                p["sql"]
+                ("pos", p["pos"]) if "pos" in p else ("sql", p["sql"])
                 for p in preds
                 if any(
                     r == pr or r.startswith(pr.rstrip("/") + "/")
@@ -1790,16 +1838,32 @@ class VersionedTable:
                 )
             )
 
-        groups: dict[tuple[str, ...], list] = {}
+        groups: dict[tuple, list] = {}
         for item in sel:
             groups.setdefault(applicable(item[0]), []).append(item)
         pieces: list[DataFrame] = []
-        for sqls in sorted(groups):
-            df = self._scan_entries_raw(groups[sqls], m)
+        for key in sorted(groups):
+            pos_rels = [v for kind, v in key if kind == "pos"]
+            df = self._scan_entries_raw(
+                groups[key], m, with_pos or bool(pos_rels)
+            )
             if df is None:
                 continue
-            for s in sqls:
-                df = df.filter(~F.expr(s))
+            for kind, v in key:
+                if kind == "sql":
+                    df = df.filter(~F.expr(v))
+            if pos_rels:
+                dels = self.spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in pos_rels]
+                ).select("file_rel", "pos")
+                df = df.join(
+                    dels,
+                    (F.col("__file_rel") == F.col("file_rel"))
+                    & (F.col("__pos") == F.col("pos")),
+                    "left_anti",
+                )
+                if not with_pos:
+                    df = df.drop("__file_rel", "__pos")
             pieces.append(df)
         if not pieces:
             return None
@@ -1812,10 +1876,13 @@ class VersionedTable:
         self,
         sel: list[tuple[str, list[str] | None]],
         m: Manifest,
+        with_pos: bool = False,
     ) -> DataFrame | None:
         """Plan ONE DataFrame over selected manifest entries; each item is
         (entry rel, optional file-name subset). Returns None for an empty
-        selection.
+        selection. With `with_pos`, each branch additionally carries
+        `__file_rel`/`__pos` (see `_pos_meta_cols`) — attached straight
+        off the file scan, before any projection drops `_metadata`.
 
         Partitioned leaves don't store their partition columns in the
         parquet files (hive layout) — they're recovered from the dir names
@@ -1884,13 +1951,14 @@ class VersionedTable:
             for f in schema.fields
         }
 
+        extra = ("__file_rel", "__pos") if with_pos else ()
         pieces: list[DataFrame] = []
         if plain:
+            raw = reader().parquet(*plain)
+            if with_pos:
+                raw = raw.select("*", *self._pos_meta_cols())
             pieces.append(
-                _conform(
-                    _rename_columns(reader().parquet(*plain), back),
-                    schema,
-                )
+                _conform(_rename_columns(raw, back), schema, extra)
             )
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         for top in sorted(groups):
@@ -1906,6 +1974,8 @@ class VersionedTable:
                 )
             finally:
                 self.spark.conf.set(conf_key, prev)
+            if with_pos:
+                df = df.select("*", *self._pos_meta_cols())
             pcols = group_pcols[top]
             df = df.select(
                 *[
@@ -1915,7 +1985,7 @@ class VersionedTable:
                     for c in df.columns
                 ]
             )
-            pieces.append(_conform(_rename_columns(df, back), schema))
+            pieces.append(_conform(_rename_columns(df, back), schema, extra))
         if not pieces:
             return None  # every selected entry pruned to zero files
         out = pieces[0]
@@ -3228,6 +3298,266 @@ class VersionedTable:
             ),
         )
 
+    def _write_position_deletes(self, matched: DataFrame) -> tuple:
+        """Write the (file_rel, pos) coordinates of `matched` (a frame
+        carrying `__file_rel`/`__pos`) as a position-delete parquet dir
+        under `deletes/`. Returns (rel, n_rows); the dir is removed again
+        when zero rows matched (nothing to reference)."""
+        import shutil as _shutil
+
+        rel = os.path.join(_DELETES_DIR, uuid.uuid4().hex)
+        absd = os.path.join(self.root, rel)
+        matched.select(
+            F.col("__file_rel").alias("file_rel"),
+            F.col("__pos").alias("pos"),
+        ).write.mode("errorifexists").parquet(absd)
+        n = _collect_dir_stats(absd)["rows"]
+        if n == 0:
+            _shutil.rmtree(absd, ignore_errors=True)
+        return rel, n
+
+    def update_where_deferred(
+        self,
+        predicate: list,
+        set: dict[str, Column | str],
+        expected_version: int | None = None,
+    ) -> int:
+        """MERGE-ON-READ UPDATE via position deletes (Iceberg
+        positional-delete / Delta deletion-vector shape): instead of
+        rewriting every file holding a matched row (copy-on-write
+        `update_where`), the matched rows' (file, row-ordinal)
+        coordinates land in a delete file under `deletes/` and the
+        POSTIMAGES append as a fresh entry — write cost ∝ matched ROWS,
+        never ∝ the files they live in. On a 100 TB table where an
+        update touches 1k rows spread across 1k large files, COW
+        rewrites those files wholesale; this writes kilobytes.
+
+        Reads (session `read()` AND `spark.read.format("versioned")`)
+        apply the delete file by anti-joining coordinates, scoped to the
+        entries that existed at commit time — later appends are
+        untouched by construction. Any rewriting DML or `compact()`
+        materializes the deletions and retires the file (same
+        lifecycle as SQL deferred deletes).
+
+        The predicate must be the triple form (`[(col, op, literal),
+        ...]`) — its stats scoping bounds the coordinate scan to the
+        entries that may hold matches. Semantics match `update_where`:
+        TRUE-only match on PRE-update values, assignments cast to the
+        column's existing type, CHECK constraints re-validated on
+        postimages, change feed emits delete(preimage)+insert(postimage)
+        pairs. Snapshot-isolated via `expected_version` like MERGE."""
+        if not isinstance(predicate, (list, tuple)):
+            raise ValueError(
+                "update_where_deferred requires the triple predicate "
+                "form [(col, op, literal), ...] (stats scoping bounds "
+                "the coordinate scan); use update_where for Column "
+                "predicates"
+            )
+        parent = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
+        pm = self.manifest(parent)
+        schema_cols = {
+            f.name: f.dataType
+            for f in self.spark.createDataFrame(
+                [], pm.schema_ddl
+            ).schema.fields
+        }
+        for col in set:
+            if col not in schema_cols:
+                raise ValueError(
+                    f"update_where_deferred: unknown column {col!r} "
+                    f"(table has {sorted(schema_cols)})"
+                )
+        assigns = {
+            col: (F.expr(v) if isinstance(v, str) else v).cast(
+                schema_cols[col]
+            )
+            for col, v in set.items()
+        }
+        preds = [tuple(p) for p in predicate]
+        cond = _predicates_to_column(preds)
+        (
+            scoped_sel, untouched, _carried, n_files_untouched,
+        ) = self._scoped_cow_selection(pm, preds)
+        target = self._scan_entries(scoped_sel, pm, with_pos=True)
+        if target is None:
+            return parent  # provably zero matches: nothing to commit
+        matched = target.filter(F.coalesce(cond, F.lit(False)))
+        data_cols = [c for c in matched.columns if c not in
+                     ("__file_rel", "__pos")]
+        post = matched.select(
+            *[
+                assigns[c].alias(c) if c in assigns else F.col(c)
+                for c in data_cols
+            ]
+        )
+        _enforce_constraints(post, pm.constraints)
+        rel_del, n_del = self._write_position_deletes(matched)
+        if n_del == 0:
+            return parent  # no matched rows: no-op, no commit
+        entries = self._write_data_entries(post, self.partition_by)
+        summary: dict = {
+            "pos_deletes": rel_del,
+            "n_position_deletes": n_del,
+            "n_dirs_untouched": len(untouched),
+            "n_files_untouched": n_files_untouched,
+        }
+        if self._materialize_changes:
+            pre = matched.select(*data_cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            ins = post.withColumn("_change_type", F.lit("insert"))
+            summary["cdf"] = self._write_cdf(pre.unionByName(ins))
+        if pm.summary.get("schema_evolved"):
+            summary["schema_evolved"] = True
+        return self._commit(
+            operation="update_deferred",
+            files=pm.files + tuple(entries),
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary=summary,
+            stats={**dict(pm.stats), **entries},
+            delete_predicates=tuple(pm.delete_predicates)
+            + (
+                {
+                    "pos": rel_del.replace(os.sep, "/"),
+                    "entries": [
+                        rel.replace(os.sep, "/")
+                        for rel, _files in scoped_sel
+                    ],
+                },
+            ),
+        )
+
+    def merge_deferred(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        delete_col: str | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """MERGE-ON-READ MERGE: matched target rows are position-deleted
+        (coordinates only — zero data-file rewrite), upsert rows append
+        as a fresh entry. The MoR twin of `merge`, with identical
+        semantics: matched keys replaced, `delete_col`=true rows
+        removed, unmatched update rows inserted, CHECK constraints on
+        the new rows, delete+insert change-feed pairs. Write cost ∝
+        |updates| + |matched rows|, independent of the size of the files
+        the matches live in — the reason Iceberg/Delta grew position
+        deletes for streaming upsert workloads.
+
+        Stats scoping bounds the coordinate scan exactly like `merge`:
+        update-key min/max bounds prune entries/files through the
+        manifest before anything is read."""
+        updates = updates.localCheckpoint(eager=True)
+        parent = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
+        pm = self.manifest(parent)
+        if delete_col and delete_col in updates.columns:
+            deletes = updates.filter(F.col(delete_col) == True)  # noqa: E712
+            upserts = updates.filter(
+                F.col(delete_col).isNull()
+                | (F.col(delete_col) == False)  # noqa: E712
+            ).drop(delete_col)
+            delete_keys = deletes.select(*key_cols)
+        else:
+            upserts = updates
+            delete_keys = None
+        # Appended rows must be manifest-schema exact (no widening — the
+        # old files are NOT rewritten here, so a wider upsert schema
+        # would leave the table heterogeneous with no evolved marker).
+        ddl = self._evolved_schema_ddl(upserts, False, pm.schema_ddl)
+        upserts = _cast_to_ddl_types(upserts, ddl)
+        _enforce_constraints(upserts, pm.constraints)
+        # Key bounds -> logical triples -> the same scoped selection the
+        # COW paths use (NaN bounds poison comparisons: scoping stands
+        # down entirely, like merge()).
+        preds: list[tuple] = []
+        if key_cols:
+            row = updates.agg(
+                *[
+                    f
+                    for k in key_cols
+                    for f in (
+                        F.min(k).alias(f"__lo_{k}"),
+                        F.max(k).alias(f"__hi_{k}"),
+                    )
+                ]
+            ).collect()[0]
+            for k in key_cols:
+                lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+                if any(
+                    isinstance(b, float) and b != b for b in (lo, hi)
+                ):
+                    preds = []
+                    break
+                if lo is not None and hi is not None:
+                    preds += [(k, ">=", lo), (k, "<=", hi)]
+        (
+            scoped_sel, untouched, _carried, n_files_untouched,
+        ) = self._scoped_cow_selection(pm, preds)
+        target = self._scan_entries(scoped_sel, pm, with_pos=True)
+        match_keys = upserts.select(*key_cols)
+        if delete_keys is not None:
+            match_keys = match_keys.unionByName(delete_keys)
+        n_del = 0
+        rel_del = None
+        matched = None
+        if target is not None:
+            matched = target.join(match_keys, key_cols, "leftsemi")
+            rel_del, n_del = self._write_position_deletes(matched)
+        entries = self._write_data_entries(upserts, self.partition_by)
+        summary: dict = {
+            "n_position_deletes": n_del,
+            "n_dirs_untouched": len(untouched),
+            "n_files_untouched": n_files_untouched,
+        }
+        if rel_del is not None and n_del:
+            summary["pos_deletes"] = rel_del
+        if self._materialize_changes:
+            data_cols = [
+                c
+                for c in (target.columns if target is not None else [])
+                if c not in ("__file_rel", "__pos")
+            ]
+            pre = (
+                matched.select(*data_cols)
+                if matched is not None
+                else self.spark.createDataFrame([], pm.schema_ddl)
+            ).withColumn("_change_type", F.lit("delete"))
+            ins = upserts.withColumn("_change_type", F.lit("insert"))
+            summary["cdf"] = self._write_cdf(pre.unionByName(ins))
+        if pm.summary.get("schema_evolved"):
+            summary["schema_evolved"] = True
+        extra_pred = (
+            (
+                {
+                    "pos": rel_del.replace(os.sep, "/"),
+                    "entries": [
+                        rel.replace(os.sep, "/")
+                        for rel, _files in scoped_sel
+                    ],
+                },
+            )
+            if rel_del is not None and n_del
+            else ()
+        )
+        return self._commit(
+            operation="merge_deferred",
+            files=pm.files + tuple(entries),
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary=summary,
+            stats={**dict(pm.stats), **entries},
+            delete_predicates=tuple(pm.delete_predicates) + extra_pred,
+        )
+
     # -- change feed -------------------------------------------------------
     def changes(
         self, from_version: int, to_version: int | None = None
@@ -3386,6 +3716,12 @@ class VersionedTable:
         for rel in m.files:
             top = os.sep.join(rel.split(os.sep)[:2])
             referenced.add(top)
+        # Live position-delete files carry too (their scoped entry rels
+        # are preserved verbatim, and `file_rel` coordinates stay valid
+        # because the data dirs link with identical relative paths).
+        for p in m.delete_predicates:
+            if "pos" in p:
+                referenced.add(os.sep.join(p["pos"].split(os.sep)[:2]))
 
         def _link_tree(src: str, dst: str) -> None:
             for dirpath, _dirs, files in os.walk(src):
@@ -3877,8 +4213,17 @@ class VersionedTable:
             for m in manifests
             if m.summary.get("cdf")
         }
+        # Live position-delete files: referenced from ANY surviving
+        # manifest's delete_predicates (a retired file becomes
+        # unreferenced once every manifest carrying it expires).
+        referenced |= {
+            p["pos"].replace(os.sep, "/")
+            for m in manifests
+            for p in m.delete_predicates
+            if "pos" in p
+        }
         removed = []
-        for sub in (_DATA_DIR, _CDF_DIR):
+        for sub in (_DATA_DIR, _CDF_DIR, _DELETES_DIR):
             sub_root = os.path.join(self.root, sub)
             if not os.path.isdir(sub_root):
                 continue

@@ -194,6 +194,8 @@ class _EntryPartition(InputPartition):
         preds=None,
         types=None,
         filters=None,
+        pos_dirs=None,
+        root=None,
     ):
         self.paths = paths  # absolute parquet file or dir paths
         self.columns = columns  # logical output order
@@ -207,6 +209,11 @@ class _EntryPartition(InputPartition):
         #: comparison parity for this subset is pinned by
         #: tests/test_sql_predicates.py.
         self.filters = filters or []
+        #: Absolute position-delete parquet dirs scoped to this entry
+        #: (merge-on-read position deletes) + table root, needed to
+        #: compute each data file's root-relative coordinate key.
+        self.pos_dirs = pos_dirs or []
+        self.root = root
 
 
 class VersionedTableReader(DataSourceReader):
@@ -221,7 +228,21 @@ class VersionedTableReader(DataSourceReader):
         # extra translation here). Outside the subset -> documented
         # refusal, never a wrong answer.
         self._mor: list[tuple[list, tuple[str, ...]]] = []
+        #: Position deletes: (delete-dir rel, scoped entry rels) — no
+        #: compilation needed, coordinates are engine-neutral.
+        self._mor_pos: list[tuple[str, tuple[str, ...]]] = []
         for p in self.m.delete_predicates:
+            if "pos" in p:
+                self._mor_pos.append(
+                    (
+                        p["pos"],
+                        tuple(
+                            e.replace(os.sep, "/")
+                            for e in p["entries"]
+                        ),
+                    )
+                )
+                continue
             try:
                 ast = compile_predicate(p["sql"], self._types)
             except UnsupportedPredicateError as e:
@@ -311,6 +332,19 @@ class VersionedTableReader(DataSourceReader):
                 )
             ]
 
+        def pos_for(rel: str) -> list[str]:
+            """Position-delete dirs scoped to this entry (same ancestor
+            rule); absolute paths for the executor."""
+            r = rel.replace(os.sep, "/")
+            return [
+                os.path.join(self.root, drel)
+                for drel, entries in self._mor_pos
+                if any(
+                    r == pr or r.startswith(pr.rstrip("/") + "/")
+                    for pr in entries
+                )
+            ]
+
         # Pushed filters safe to hand pyarrow as dataset filters (row-
         # group pruning + early row drop, physical names): plain-typed
         # comparisons only — arrow/Spark comparison parity for these is
@@ -380,6 +414,8 @@ class VersionedTableReader(DataSourceReader):
                                 mor_for(rel),
                                 col_types,
                                 scan_filters,
+                                pos_for(rel),
+                                self.root,
                             )
                         )
                     continue
@@ -392,6 +428,8 @@ class VersionedTableReader(DataSourceReader):
                     mor_for(rel),
                     col_types,
                     scan_filters,
+                    pos_for(rel),
+                    self.root,
                 )
             )
         if not parts:
@@ -440,7 +478,35 @@ class VersionedTableReader(DataSourceReader):
         vectorized = len(atypes) == len(pairs) and all(
             t is not None for t in atypes
         )
+        # Merge-on-read POSITION deletes: load the scoped delete dirs'
+        # (file_rel, pos) coordinates once per partition; each data
+        # file's deleted ordinals become a boolean keep-mask. A file
+        # with deletions must be read WITHOUT pushed dataset filters
+        # (positions index the raw file rows; Spark re-applies every
+        # filter row-level anyway).
+        pos_tab = None
+        if partition.pos_dirs:
+            dparts = []
+            for d in partition.pos_dirs:
+                for fdel in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                    dparts.append(
+                        pq.read_table(fdel, columns=["file_rel", "pos"])
+                    )
+            if dparts:
+                pos_tab = pa.concat_tables(dparts)
         for path in files:
+            deleted_pos = None
+            if pos_tab is not None:
+                import pyarrow.compute as pc
+
+                rel = os.path.relpath(path, partition.root).replace(
+                    os.sep, "/"
+                )
+                hits = pos_tab.filter(
+                    pc.equal(pos_tab.column("file_rel"), rel)
+                )
+                if hits.num_rows:
+                    deleted_pos = hits.column("pos").to_pylist()
             available = set(pq.read_schema(path).names)
             want = [p for _, p in pairs if p in available]
             filters = [
@@ -448,6 +514,8 @@ class VersionedTableReader(DataSourceReader):
                 for c, op, v in partition.filters
                 if c in available
             ] or None
+            if deleted_pos is not None:
+                filters = None
             try:
                 raw = pq.read_table(path, columns=want, filters=filters)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
@@ -468,6 +536,14 @@ class VersionedTableReader(DataSourceReader):
                 else:
                     cols[c] = pa.nulls(n, type=target)
             logical = pa.table(cols)
+            if deleted_pos is not None:
+                import numpy as np
+
+                keep = np.ones(n, dtype=bool)
+                live = [int(x) for x in deleted_pos if 0 <= int(x) < n]
+                if live:
+                    keep[np.array(live, dtype=np.int64)] = False
+                logical = logical.filter(pa.array(keep))
             if partition.preds:
                 mask = keep_mask(partition.preds, logical)
                 if mask is not None:
