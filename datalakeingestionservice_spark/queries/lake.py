@@ -2293,3 +2293,74 @@ def q151_position_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mor_ok", F.lit(bool(mor_ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q152_sql_time_travel",
+    tags=("lake", "sql-front-door", "time-travel", "select"),
+    oracle="""
+WITH bounds AS (
+  SELECT min(o_orderpriority) AS mn FROM orders
+)
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_changed,
+       CAST(count(*) * 5.00 AS DOUBLE) AS delta,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_v1
+FROM orders
+WHERE o_orderpriority = (SELECT mn FROM bounds)
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q152_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door end-to-end (`sinks/sql_dml.py` `execute_sql` /
+    `execute_select`): orders snapshots into a versioned table, one
+    UPDATE STATEMENT (+5.00 on the min priority, stats-scoped through
+    the triple compiler) commits v2, then ONE SELECT statement audits
+    the change with per-reference time travel — the current snapshot
+    joins `t VERSION AS OF 1` on key to count changed rows and sum the
+    price deltas, while a scalar subquery reads `t TIMESTAMP AS OF
+    '<v1 commit time>'` for the version-1 row count. Qualified refs
+    (`cur.price`, `old.price`) survive because the rewrite keeps each
+    table name visible as an alias. The oracle recomputes everything
+    from raw orders. This closes the reference's "ship SQL text at it"
+    UX (`SqlServerDataSource.cs:55-62`) over lake snapshots: a user
+    migrating dataset configs full of SQL statements points them at
+    table roots and keeps both their DML and their audit SELECTs."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_select,
+        execute_sql,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_sqltt_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(spark, base, orders)
+    tables = {"t": t}
+    mn = orders.agg(F.min("prio")).collect()[0][0]
+    ts1 = t.manifest(1).committed_at
+    v = execute_sql(
+        spark,
+        "UPDATE t SET price = CAST(price + 5.00 AS DECIMAL(18,2)) "
+        f"WHERE prio = '{mn}'",
+        tables,
+    )
+    assert v == 2
+    return execute_select(
+        spark,
+        "SELECT cur.prio AS prio, "
+        "CAST(count(*) AS BIGINT) AS n_changed, "
+        "CAST(sum(cur.price - old.price) AS DOUBLE) AS delta, "
+        f"(SELECT CAST(count(*) AS BIGINT) "
+        f"FROM t TIMESTAMP AS OF '{ts1}') AS n_v1 "
+        "FROM t cur JOIN t VERSION AS OF 1 AS old ON cur.k = old.k "
+        "WHERE cur.price <> old.price "
+        "GROUP BY cur.prio ORDER BY prio",
+        tables,
+    )

@@ -549,3 +549,121 @@ def execute_merge(
             "and WHEN NOT MATCHED THEN INSERT *"
         )
     return t.merge(updates, key_cols, delete_col=delete_col)
+
+
+# -- SELECT front door with time travel ------------------------------------
+
+#: Keywords that can directly follow a table reference — NOT aliases.
+_POST_REF_KEYWORDS = (
+    "WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
+    "ON|USING|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|NATURAL|SEMI|ANTI|"
+    "VERSION|TIMESTAMP|AS|QUALIFY|DISTRIBUTE|CLUSTER|SORT|LATERAL|"
+    "TABLESAMPLE|PIVOT|UNPIVOT|FOR"
+)
+
+
+def _select_ref_re(names: list[str]) -> re.Pattern:
+    """One regex matching a registered-table reference in FROM/JOIN
+    position, with optional Delta-style time travel and optional alias:
+
+        FROM <name> [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
+                    [[AS] alias]
+    """
+    alts = "|".join(
+        re.escape(n) for n in sorted(names, key=len, reverse=True)
+    )
+    return re.compile(
+        rf"(?P<kw>\b(?:FROM|JOIN)\b)\s+(?P<name>{alts})\b"
+        rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+        rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
+        rf"(?:\s+AS\s+(?P<alias1>[A-Za-z_]\w*)"
+        rf"|\s+(?!(?:{_POST_REF_KEYWORDS})\b)(?P<alias2>[A-Za-z_]\w*))?",
+        re.IGNORECASE,
+    )
+
+
+def execute_select(
+    spark: SparkSession, statement: str, tables: dict
+) -> DataFrame:
+    """Run a SELECT over registered versioned lake tables, with
+    Delta-style time travel per table reference:
+
+        execute_select(spark,
+            "SELECT region, sum(amount) FROM trades VERSION AS OF 3 "
+            "GROUP BY region",
+            tables={"trades": "/lake/trades"})
+
+    Each `FROM`/`JOIN` reference to a registered name resolves to the
+    table's MoR-served snapshot read — `VERSION AS OF n` pins commit n,
+    `TIMESTAMP AS OF '<iso>'` pins the largest version committed at or
+    before the timestamp (`VersionedTable.version_at`), and an
+    unpinned reference reads the version current when the statement
+    started (one statement = one snapshot per table, even when the
+    same unpinned name appears twice). The rewritten statement keeps
+    the original name visible as an alias, so qualified column
+    references (`trades.price`) and self-joins across versions work
+    unchanged. References are matched in FROM/JOIN position only; a
+    registered name anywhere else (e.g. a comma cross-join) is NOT
+    rewritten and fails Spark's resolution loudly — out-of-subset
+    statements refuse, never reinterpret. Everything after resolution
+    is Spark SQL — joins, CTEs, windows, subqueries all apply.
+
+    This is the reference's "ship SQL text at it" read UX
+    (`SqlServerDataSource.cs:55-62`) pointed at lake snapshots instead
+    of a server RDBMS."""
+    sql = _strip(statement)
+    if not re.match(r"^(SELECT|WITH)\b", sql, re.IGNORECASE):
+        raise UnsupportedStatementError(
+            f"execute_select handles SELECT/WITH statements; got "
+            f"{sql[:40]!r} (use execute_dml for DML)"
+        )
+    import uuid as _uuid
+
+    resolved: dict[tuple[str, int], str] = {}
+    latest: dict[str, int] = {}
+    views: list[str] = []
+
+    def pin(name: str, v: str | None, ts: str | None) -> str:
+        t = _resolve(spark, name, tables)
+        if v is not None:
+            version = int(v)
+        elif ts is not None:
+            version = t.version_at(ts)
+        else:
+            if name not in latest:
+                latest[name] = t.latest_version()
+            version = latest[name]
+        key = (name, version)
+        if key not in resolved:
+            view = f"__vt_{name}_{version}_{_uuid.uuid4().hex[:8]}"
+            t.read(version).createOrReplaceTempView(view)
+            resolved[key] = view
+            views.append(view)
+        return resolved[key]
+
+    def sub(m: re.Match) -> str:
+        view = pin(m.group("name"), m.group("v"), m.group("ts"))
+        alias = m.group("alias1") or m.group("alias2") or m.group("name")
+        return f"{m.group('kw')} {view} AS {alias}"
+
+    rewritten = _select_ref_re(list(tables)).sub(sub, sql)
+    try:
+        return spark.sql(rewritten)
+    finally:
+        # The analyzed plan is resolved at sql() time; dropping the
+        # helper views immediately keeps the session namespace clean.
+        for view in views:
+            spark.catalog.dropTempView(view)
+
+
+def execute_sql(
+    spark: SparkSession, statement: str, tables: dict
+) -> DataFrame | int:
+    """One front door for SQL text: SELECT/WITH statements return the
+    result DataFrame (:func:`execute_select`, time travel included);
+    everything else routes to :func:`execute_dml` and returns the
+    committed version."""
+    sql = _strip(statement)
+    if re.match(r"^(SELECT|WITH)\b", sql, re.IGNORECASE):
+        return execute_select(spark, sql, tables)
+    return execute_dml(spark, sql, tables)

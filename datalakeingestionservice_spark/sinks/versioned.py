@@ -2651,19 +2651,25 @@ class VersionedTable:
         a daily job can recompute "whatever days I produced" without
         enumerating them.
 
-        Refuses on unpartitioned tables and on specs with transform
-        entries (a transform leaf is not a user-facing partition — use
-        `overwrite_where` with the source-column predicate instead)."""
+        Transform specs (hidden partitioning — `day(ts)`, `bucket(16,
+        id)`, ...) work too: the replaced leaves derive from the
+        TRANSFORM VALUES of the incoming frame (`_transform_expr`, the
+        exact dir-value computation the writer uses), so "overwrite
+        whatever days these rows land in" needs no alias columns in
+        user code — Iceberg's dynamic-overwrite-over-hidden-partitions
+        behavior. Entries written under a DIFFERENT spec than the
+        current one (param evolution, pre-spec legacy) are
+        uncomparable and refuse — compact() migrates them first.
+
+        Refuses on unpartitioned tables."""
         parent = self.latest_version()
         pm = self.manifest(parent)
         spec = [_parse_spec_entry(e) for e in pm.partition_by]
-        if not spec or any(fn != "identity" for fn, _p, _c in spec):
+        if not spec:
             raise ValueError(
-                "overwrite_partitions needs an identity-partitioned "
-                f"table (spec is {list(pm.partition_by)}); use "
-                "overwrite_where for transform specs"
+                "overwrite_partitions needs a partitioned table; use "
+                "overwrite() to replace an unpartitioned snapshot"
             )
-        part_cols = [col for _fn, _p, col in spec]
         # Schema ENFORCED like append/overwrite_where: a retyped, extra,
         # or reordered frame must not land files inconsistent with the
         # manifest schema (direct API callers were unprotected — the SQL
@@ -2671,30 +2677,71 @@ class VersionedTable:
         ddl = self._evolved_schema_ddl(df, False, pm.schema_ddl)
         df = _cast_to_ddl_types(df, ddl)
         _enforce_constraints(df, pm.constraints)
-        new_parts = {
-            tuple(r) for r in df.select(*part_cols).distinct().collect()
-        }
         fwd = _log_to_phys(pm.column_mapping)
-        phys_cols = [fwd.get(c, c) for c in part_cols]
         part_types = self._part_types(pm)
+        src_types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        # Per spec entry: the frame-side value column (identity = the
+        # column; transform = its dir-value expression) and the
+        # entry-side (physical part_values key, simpleString type).
+        val_cols: list[Column] = []
+        keys: list[tuple[str, str]] = []
+        alias_types = _spec_alias_types(
+            pm.partition_by, fwd, self._schema_types(pm)
+        )
+        for fn, param, col in spec:
+            pcol = fwd.get(col, col)
+            if fn == "identity":
+                val_cols.append(F.col(col))
+                keys.append((pcol, part_types.get(pcol, "string")))
+            else:
+                alias = _transform_alias(fn, pcol)
+                val_cols.append(
+                    _transform_expr(
+                        fn, param, col, src_types.get(col, "")
+                    )
+                )
+                keys.append((alias, alias_types.get(alias, "string")))
+        new_parts = {
+            tuple(r)
+            for r in df.select(
+                *[c.alias(f"__p{i}") for i, c in enumerate(val_cols)]
+            )
+            .distinct()
+            .collect()
+        }
+        has_transform = any(fn != "identity" for fn, _p, _c in spec)
+        cur_spec = list(pm.partition_by)
 
         def entry_tuple(rel: str) -> tuple:
-            # MISSING part_values (or a missing partition key after an
-            # identity-spec change) make the entry uncomparable: stale
-            # rows of a replaced partition could silently survive in it,
-            # so refuse rather than guess.
-            pv = pm.stats.get(rel, {}).get("part_values")
-            if pv is None or any(pc not in pv for pc in phys_cols):
+            # MISSING part_values (or a missing partition key after a
+            # spec change) make the entry uncomparable: stale rows of a
+            # replaced partition could silently survive in it, so refuse
+            # rather than guess. Same for a transform entry written
+            # under a DIFFERENT spec (its dir values used another
+            # param/transform — `bucket(4)` leaves are meaningless under
+            # `bucket(8)`).
+            st = pm.stats.get(rel, {})
+            pv = st.get("part_values")
+            if pv is None or any(pc not in pv for pc, _t in keys):
                 raise ValueError(
-                    f"{self.root}: entry {rel} predates the identity "
+                    f"{self.root}: entry {rel} predates the current "
                     "partition spec; run compact() to migrate it before "
                     "overwrite_partitions"
                 )
+            if has_transform:
+                snap = st.get("spec")
+                if (
+                    snap is not None and list(snap) != cur_spec
+                ) or (snap is None and pm.past_specs):
+                    raise ValueError(
+                        f"{self.root}: entry {rel} was written under a "
+                        "different partition spec; run compact() to "
+                        "migrate it before overwrite_partitions"
+                    )
             return tuple(
-                _typed_part_value(
-                    pv[pc], part_types.get(pc, "string")
-                )
-                for pc in phys_cols
+                _typed_part_value(pv[pc], t) for pc, t in keys
             )
 
         replaced_rels = []

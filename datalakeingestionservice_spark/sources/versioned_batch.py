@@ -75,6 +75,7 @@ from datalakeingestionservice_spark.sources.sql_predicates import (
 from datalakeingestionservice_spark.sources.versioned_changes import (
     _ddl_field_names,
     _ddl_field_types,
+    _ddl_fields,
 )
 
 _OPS = {
@@ -667,20 +668,42 @@ def _evolved_ddl_text(schema, merge_schema: bool, table_ddl: str) -> str:
     writer's commit worker has no SparkContext, so `fromDDL` is
     unavailable — but the manifest's `struct<...>` simpleString is
     byte-splicable, and type equality on simpleStrings equals DataType
-    equality for every type the writer supports."""
+    equality for every type the writer supports.
+
+    Type differences on the SAFE promotion chains (`_widened_simple`:
+    int chain, float→double, decimal precision at fixed scale) follow
+    the session append's rules: a WIDER incoming column evolves the
+    table type under merge_schema=True (Delta's type widening — old
+    files keep their narrow physical type; both readers upcast), a
+    NARROWER incoming column is accepted against the existing type
+    (covers a concurrent widening committed mid-write: the staged
+    files are narrower than the new table type, which the evolved
+    marker already handles). Off-chain differences raise."""
     from datalakeingestionservice_spark.sinks.versioned import (
         SchemaMismatchError,
+        _widened_simple,
     )
 
     tnames = _ddl_field_names(table_ddl)
     ttypes = _ddl_field_types(table_ddl)
     inc = {f.name: f.dataType.simpleString() for f in schema.fields}
+    widened: dict[str, str] = {}
     for fname, ft in inc.items():
         if fname in ttypes and ttypes[fname] != ft:
-            raise SchemaMismatchError(
-                f"column {fname!r}: table has {ttypes[fname]}, "
-                f"append has {ft}"
-            )
+            w = _widened_simple(ttypes[fname], ft)
+            if w is None:
+                raise SchemaMismatchError(
+                    f"column {fname!r}: table has {ttypes[fname]}, "
+                    f"append has {ft}"
+                )
+            if w != ttypes[fname]:
+                if not merge_schema:
+                    raise SchemaMismatchError(
+                        f"column {fname!r}: append widens "
+                        f"{ttypes[fname]} to {w}; pass "
+                        "merge_schema=True to evolve the type"
+                    )
+                widened[fname] = w
     added = [f for f in schema.fields if f.name not in ttypes]
     missing = [n for n in tnames if n not in inc]
     if not merge_schema and (added or missing):
@@ -688,18 +711,17 @@ def _evolved_ddl_text(schema, merge_schema: bool, table_ddl: str) -> str:
             f"append schema {schema.simpleString()} != table schema "
             f"{table_ddl}; pass merge_schema=True to evolve"
         )
-    if not added:
+    if not added and not widened:
         return table_ddl
-    inner = table_ddl[len("struct<"): -1]
-    return (
-        "struct<"
-        + inner
-        + ","
-        + ",".join(
-            f"{f.name}:{f.dataType.simpleString()}" for f in added
-        )
-        + ">"
-    )
+    rebuilt = [
+        f"{tok.split(':', 1)[0]}:"
+        f"{widened.get(tok.split(':', 1)[0], tok.split(':', 1)[1])}"
+        for tok in _ddl_fields(table_ddl)
+    ]
+    rebuilt += [
+        f"{f.name}:{f.dataType.simpleString()}" for f in added
+    ]
+    return "struct<" + ",".join(rebuilt) + ">"
 
 
 def _part_segment(col: str, v) -> str:

@@ -183,24 +183,120 @@ def test_dynamic_overwrite_enforces_schema(spark, root):
         )
 
 
-def test_dynamic_overwrite_refusals(spark, root):
+def test_dynamic_overwrite_refuses_unpartitioned(spark, root):
     t = VersionedTable.create(spark, root, _df(spark, ROWS))
-    with pytest.raises(ValueError, match="identity-partitioned"):
+    with pytest.raises(ValueError, match="partitioned table"):
         t.overwrite_partitions(_df(spark, [(1, "a", 1.0)]))
-    t2 = VersionedTable.create(
+
+
+def _dated(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, d string"
+    ).select("id", F.col("d").cast("date").alias("d"))
+
+
+def test_dynamic_overwrite_transform_spec(spark, root):
+    """Hidden partitioning + dynamic overwrite: the replaced leaves
+    derive from the incoming frame's TRANSFORM values — no alias
+    columns in user code (Iceberg's behavior)."""
+    t = VersionedTable.create(
         spark,
-        root + "2",
-        spark.createDataFrame(
-            [(1, "2024-01-05")], "id bigint, d string"
-        ).select("id", F.col("d").cast("date").alias("d")),
+        root,
+        _dated(
+            spark,
+            [
+                (1, "2024-01-05"), (2, "2024-01-20"),
+                (3, "2024-02-10"), (4, "2024-03-01"),
+            ],
+        ),
         partition_by=["month(d)"],
     )
-    with pytest.raises(ValueError, match="identity-partitioned"):
-        t2.overwrite_partitions(
-            spark.createDataFrame([(2,)], "id bigint").withColumn(
-                "d", F.lit("2024-02-01").cast("date")
-            )
-        )
+    before = set(t.manifest().files)
+    v = t.overwrite_partitions(
+        _dated(spark, [(30, "2024-02-02"), (31, "2024-02-28")])
+    )
+    m = t.manifest(v)
+    assert m.summary["n_partitions_replaced"] == 1
+    # Jan and Mar leaves carried byte-identically.
+    assert len(before & set(m.files)) == 2
+    got = {(r.id, str(r.d)) for r in t.read().collect()}
+    assert got == {
+        (1, "2024-01-05"), (2, "2024-01-20"),
+        (30, "2024-02-02"), (31, "2024-02-28"),
+        (4, "2024-03-01"),
+    }
+
+
+def test_dynamic_overwrite_bucket_spec(spark, root):
+    """bucket(N, id): final state = old rows whose bucket is NOT among
+    the incoming rows' buckets, plus the incoming rows — verified
+    against the engine's own bucket assignment."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        _transform_expr,
+    )
+
+    old = [(i, "x", float(i)) for i in range(20)]
+    t = VersionedTable.create(
+        spark, root, _df(spark, old), partition_by=["bucket(4, id)"]
+    )
+    new = [(100, "n", 1.0), (101, "n", 2.0)]
+    t.overwrite_partitions(_df(spark, new))
+    bucket_of = {
+        r.id: r.b
+        for r in _df(spark, old + new)
+        .select("id", _transform_expr("bucket", 4, "id", "bigint").alias("b"))
+        .collect()
+    }
+    new_buckets = {bucket_of[100], bucket_of[101]}
+    want = {
+        (i, g, v)
+        for i, g, v in old
+        if bucket_of[i] not in new_buckets
+    } | set(new)
+    assert {(r.id, r.grp, r.v) for r in t.read().collect()} == want
+
+
+def test_dynamic_overwrite_mixed_identity_transform(spark, root):
+    df0 = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-05"), (2, "a", "2024-02-05"),
+            (3, "b", "2024-01-05"),
+        ],
+        "id bigint, grp string, d string",
+    ).select("id", "grp", F.col("d").cast("date").alias("d"))
+    t = VersionedTable.create(
+        spark, root, df0, partition_by=["grp", "month(d)"]
+    )
+    repl = spark.createDataFrame(
+        [(10, "a", "2024-01-20")], "id bigint, grp string, d string"
+    ).select("id", "grp", F.col("d").cast("date").alias("d"))
+    t.overwrite_partitions(repl)
+    got = {(r.id, r.grp, str(r.d)) for r in t.read().collect()}
+    assert got == {
+        (10, "a", "2024-01-20"),   # replaced (a, 2024-01)
+        (2, "a", "2024-02-05"),
+        (3, "b", "2024-01-05"),
+    }
+
+
+def test_dynamic_overwrite_spec_evolution_refuses_then_compact(
+    spark, root
+):
+    t = VersionedTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "x", float(i)) for i in range(8)]),
+        partition_by=["bucket(4, id)"],
+    )
+    t.set_partition_spec(["bucket(8, id)"])
+    # Old-modulus leaves are uncomparable under the new spec.
+    with pytest.raises(ValueError, match="different partition spec"):
+        t.overwrite_partitions(_df(spark, [(100, "n", 1.0)]))
+    t.compact()
+    t.overwrite_partitions(_df(spark, [(100, "n", 1.0)]))
+    assert (100, "n", 1.0) in {
+        (r.id, r.grp, r.v) for r in t.read().collect()
+    }
 
 
 def test_dynamic_overwrite_feed_and_mv(spark, root):

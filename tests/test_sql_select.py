@@ -1,0 +1,137 @@
+"""SQL SELECT front door with Delta-style time travel
+(`sinks/sql_dml.py` `execute_select` / `execute_sql`): ship SELECT text
+at registered versioned tables; each FROM/JOIN reference resolves to a
+MoR-served snapshot read, `VERSION AS OF` / `TIMESTAMP AS OF` pin
+per-reference snapshots, the original name survives as an alias so
+qualified column references and cross-version self-joins work verbatim.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalakeingestionservice_spark.sinks.sql_dml import (
+    UnsupportedStatementError,
+    execute_select,
+    execute_sql,
+)
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+
+@pytest.fixture()
+def t(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id bigint, grp string, v double",
+    )
+    return VersionedTable.create(spark, str(tmp_path / "t"), df)
+
+
+def test_plain_select(spark, t):
+    got = execute_select(
+        spark,
+        "SELECT grp, sum(v) AS s FROM t GROUP BY grp ORDER BY grp",
+        {"t": t},
+    ).collect()
+    assert [(r.grp, r.s) for r in got] == [("a", 30.0), ("b", 30.0)]
+
+
+def test_version_as_of(spark, t):
+    t.append(
+        spark.createDataFrame([(4, "c", 40.0)], "id bigint, grp string, v double")
+    )
+    v1 = execute_select(
+        spark, "SELECT count(*) AS n FROM t VERSION AS OF 1", {"t": t}
+    ).collect()[0].n
+    v2 = execute_select(
+        spark, "SELECT count(*) AS n FROM t", {"t": t}
+    ).collect()[0].n
+    assert (v1, v2) == (3, 4)
+
+
+def test_timestamp_as_of(spark, t):
+    ts1 = t.manifest(1).committed_at
+    t.append(
+        spark.createDataFrame([(4, "c", 40.0)], "id bigint, grp string, v double")
+    )
+    n = execute_select(
+        spark,
+        f"SELECT count(*) AS n FROM t TIMESTAMP AS OF '{ts1}'",
+        {"t": t},
+    ).collect()[0].n
+    assert n == 3
+
+
+def test_cross_version_self_join(spark, t):
+    """Old and new snapshots of the SAME table join in one statement —
+    the per-reference pinning Delta/Iceberg users expect."""
+    t.update_where([("id", "=", 1)], {"v": "111.0"})
+    got = execute_select(
+        spark,
+        "SELECT cur.id, cur.v AS v_now, old.v AS v_then "
+        "FROM t cur JOIN t VERSION AS OF 1 AS old ON cur.id = old.id "
+        "WHERE cur.v <> old.v",
+        {"t": t},
+    ).collect()
+    assert [(r.id, r.v_now, r.v_then) for r in got] == [(1, 111.0, 10.0)]
+
+
+def test_qualified_refs_and_where_not_swallowed(spark, t):
+    # `WHERE` directly after the ref must not parse as an alias; the
+    # table name stays usable as a qualifier.
+    got = execute_select(
+        spark,
+        "SELECT t.id FROM t WHERE t.grp = 'b'",
+        {"t": t},
+    ).collect()
+    assert [r.id for r in got] == [3]
+
+
+def test_mor_deletes_served(spark, t):
+    t.delete_where_deferred("grp = 'a'")
+    t.update_where_deferred([("id", "=", 3)], {"v": "333.0"})
+    got = execute_select(
+        spark, "SELECT id, v FROM t ORDER BY id", {"t": t}
+    ).collect()
+    assert [(r.id, r.v) for r in got] == [(3, 333.0)]
+
+
+def test_cte_and_registered_view_mix(spark, t):
+    got = execute_select(
+        spark,
+        "WITH big AS (SELECT * FROM t WHERE v >= 20.0) "
+        "SELECT count(*) AS n FROM big",
+        {"t": t},
+    ).collect()[0].n
+    assert got == 2
+
+
+def test_execute_sql_dispatch(spark, t):
+    v = execute_sql(
+        spark, "UPDATE t SET v = v + 1.0 WHERE grp = 'a'", {"t": t}
+    )
+    assert isinstance(v, int) and v == 2
+    df = execute_sql(spark, "SELECT sum(v) AS s FROM t", {"t": t})
+    assert df.collect()[0].s == 62.0
+
+
+def test_non_select_refuses(spark, t):
+    with pytest.raises(UnsupportedStatementError):
+        execute_select(spark, "DROP TABLE t", {"t": t})
+
+
+def test_unregistered_name_fails_loudly(spark, t):
+    # A name outside `tables` is not rewritten; Spark resolution raises
+    # (refusal, never a silently-wrong result).
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        execute_select(spark, "SELECT * FROM nope", {"t": t})
+
+
+def test_no_view_leak(spark, t):
+    before = {v.name for v in spark.catalog.listTables()}
+    execute_select(spark, "SELECT count(*) AS n FROM t", {"t": t}).collect()
+    after = {v.name for v in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("__vt_")}

@@ -263,7 +263,67 @@ def test_datasource_writer_casts_narrow_append_up(spark, root):
     assert got == [(7, "2.50"), (3_000_000_000, "1.25")]
 
 
-def test_datasource_writer_still_refuses_widening(spark, root):
+def test_datasource_writer_widens_with_merge_schema(spark, root):
+    """The sessionless writer evolves the table type for a WIDER frame
+    under merge_schema (the commit worker widens the manifest DDL
+    textually — no SparkSession needed): old narrow files upcast
+    through both readers, new files land at the wide type."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register,
+    )
+
+    register(spark)
+    t = VersionedTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, Decimal("1.25"))], "x int, z decimal(5,2)"
+        ),
+    )
+    (
+        spark.createDataFrame(
+            [(3_000_000_000, Decimal("123456789012.50"))],
+            "x bigint, z decimal(14,2)",
+        )
+        .write.format("versioned")
+        .mode("append")
+        .option("table_root", root)
+        .option("merge_schema", "true")
+        .save()
+    )
+    m = t.manifest()
+    assert m.schema_ddl == "struct<x:bigint,z:decimal(14,2)>"
+    assert m.summary.get("schema_evolved") is True
+    expect = [(1, "1.25"), (3_000_000_000, "123456789012.50")]
+    assert sorted((r.x, str(r.z)) for r in t.read().collect()) == expect
+    ds = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+    )
+    assert sorted((r.x, str(r.z)) for r in ds.collect()) == expect
+    # A widening append may ALSO add a column in the same commit.
+    (
+        spark.createDataFrame(
+            [(5, Decimal("2.00"), "n")],
+            "x bigint, z decimal(14,2), note string",
+        )
+        .write.format("versioned")
+        .mode("append")
+        .option("table_root", root)
+        .option("merge_schema", "true")
+        .save()
+    )
+    assert (
+        t.manifest().schema_ddl
+        == "struct<x:bigint,z:decimal(14,2),note:string>"
+    )
+    assert {(r.x, r.note) for r in t.read().collect()} == {
+        (1, None), (3_000_000_000, None), (5, "n"),
+    }
+
+
+def test_datasource_writer_widening_needs_merge_schema(spark, root):
     from datalakeingestionservice_spark.sources.versioned_batch import (
         register,
     )
@@ -272,9 +332,18 @@ def test_datasource_writer_still_refuses_widening(spark, root):
     VersionedTable.create(
         spark, root, spark.createDataFrame([(1,)], "x int")
     )
-    with pytest.raises(Exception, match="table has int"):
+    with pytest.raises(Exception, match="merge_schema=True"):
         (
             spark.createDataFrame([(3_000_000_000,)], "x bigint")
+            .write.format("versioned")
+            .mode("append")
+            .option("table_root", root)
+            .save()
+        )
+    # Off-chain retype refuses even WITH merge_schema.
+    with pytest.raises(Exception, match="table has int"):
+        (
+            spark.createDataFrame([("s",)], "x string")
             .write.format("versioned")
             .mode("append")
             .option("table_root", root)

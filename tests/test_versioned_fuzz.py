@@ -81,12 +81,16 @@ def test_random_commit_sequence_matches_model(
 
     for _ in range(9):
         model = Counter(history[-1])
-        op = rng.choice(
-            ["append", "narrow_append", "merge", "delete", "overwrite",
-             "compact", "deferred_delete", "restore",
-             "incremental_compact", "writer_append", "update",
-             "scoped_delete", "replace_where"]
-        )
+        ops = [
+            "append", "narrow_append", "merge", "delete", "overwrite",
+            "compact", "deferred_delete", "restore",
+            "incremental_compact", "writer_append", "update",
+            "scoped_delete", "replace_where", "update_deferred",
+            "merge_deferred",
+        ]
+        if spec:
+            ops.append("dynamic_overwrite")
+        op = rng.choice(ops)
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             t.append(_df(spark, rows))
@@ -195,6 +199,60 @@ def test_random_commit_sequence_matches_model(
                 for k in moved:
                     cnt = model.pop(k)
                     model[(k[0], newval)] += cnt
+        elif op == "update_deferred":
+            # MoR UPDATE via position deletes: same visible semantics as
+            # the COW update (the model can't tell them apart — that IS
+            # the invariant), zero data-file rewrite underneath.
+            ids = sorted({k[0] for k in model})
+            if not ids:
+                rows = fresh_rows(1)
+                t.append(_df(spark, rows))
+                model.update(rows)
+            else:
+                lo = rng.choice(ids)
+                hi = lo + rng.randint(0, 4)
+                newval = rng.choice("UVW")
+                t.update_where_deferred(
+                    [("id", ">=", lo), ("id", "<=", hi)],
+                    {"val": F.lit(newval)},
+                )
+                moved = [k for k in list(model) if lo <= k[0] <= hi]
+                for k in moved:
+                    cnt = model.pop(k)
+                    model[(k[0], newval)] += cnt
+        elif op == "merge_deferred":
+            # MoR MERGE: matched keys position-deleted, upserts
+            # appended — model-identical to the COW merge.
+            existing = sorted({k[0] for k in model})
+            upd_ids = rng.sample(existing, min(2, len(existing)))
+            updates = [(i, rng.choice("xyz")) for i in upd_ids]
+            updates += fresh_rows(rng.randint(1, 2))
+            t.merge_deferred(_df(spark, updates), ["id"])
+            for k in [k for k in list(model) if k[0] in upd_ids]:
+                del model[k]
+            model.update(updates)
+        elif op == "dynamic_overwrite":
+            # Hidden-bucket dynamic overwrite: every old row whose
+            # bucket(3, id) collides with an incoming row's bucket is
+            # replaced; the model recomputes buckets with the engine's
+            # own Python twin.
+            from datalakeingestionservice_spark.sinks.versioned import (
+                _transform_py,
+            )
+
+            rows = fresh_rows(rng.randint(1, 3))
+            t.overwrite_partitions(_df(spark, rows))
+            hit = {
+                _transform_py("bucket", 3, i, "bigint")
+                for i, _ in rows
+            }
+            for k in [
+                k
+                for k in list(model)
+                if _transform_py("bucket", 3, k[0], "bigint") in hit
+            ]:
+                del model[k]
+            model.update(rows)
         elif op == "overwrite":
             rows = fresh_rows(rng.randint(1, 3))
             t.overwrite(_df(spark, rows))
