@@ -2795,6 +2795,7 @@ class VersionedTable:
         summary: dict | None = None,
         scope_by_stats: bool = True,
         expected_version: int | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """MERGE (upsert + optional deletes) as a copy-on-write commit:
         matched keys replaced, `delete_col`=true rows removed, unmatched
@@ -2964,6 +2965,20 @@ class VersionedTable:
         else:
             upserts = updates
             delete_keys = None
+        # Schema evolution (merge_schema): the upsert schema may widen
+        # column types or add columns, exactly like append(merge_schema=)
+        # — the promotion chains validate, both sides conform to the
+        # evolved schema (survivors null-fill added columns), and the
+        # committed DDL is the evolved one. Off-chain retypes raise.
+        if merge_schema:
+            from pyspark.sql.types import StructType
+
+            ev_ddl = self._evolved_schema_ddl(
+                upserts, True, pm.schema_ddl
+            )
+            sch = StructType.fromDDL(ev_ddl)
+            target = _conform(target, sch)
+            upserts = _conform(upserts, sch)
         # CHECK constraints gate the NEW rows (upserts); surviving rows
         # were validated when they were written.
         _enforce_constraints(upserts, pm.constraints)
@@ -3001,10 +3016,13 @@ class VersionedTable:
         entries = self._write_data_entries(merged, pm.partition_by)
         # Untouched dirs ride along with their existing stats; the evolved
         # flag must survive when heterogeneous old dirs remain (a full
-        # rewrite — untouched empty — homogenizes and may drop it).
-        evolved = bool(pm.summary.get("schema_evolved")) and bool(
-            untouched or carried_files
-        )
+        # rewrite — untouched empty — homogenizes and may drop it), and
+        # must be SET when this merge itself evolved the schema while
+        # untouched old-schema dirs remain.
+        evolved = (
+            bool(pm.summary.get("schema_evolved"))
+            or merged.schema.simpleString() != pm.schema_ddl
+        ) and bool(untouched or carried_files)
         return self._commit(
             operation="merge",
             files=tuple(untouched) + tuple(carried_files) + tuple(entries),

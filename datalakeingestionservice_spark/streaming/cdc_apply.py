@@ -75,11 +75,27 @@ def make_cdc_apply_committer(
     table_root: str,
     key_cols: list[str],
     stream_name: str = "cdc",
+    schema_evolution: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch function: net the batch, MERGE it into the
     replica, idempotently at epoch granularity (same layered replay
     protection as `make_versioned_batch_committer` — durable high-water
-    marker + version-bounded manifest-tag scan)."""
+    marker + version-bounded manifest-tag scan).
+
+    SCHEMA EVOLUTION (`schema_evolution`, default on): when the source
+    widens a column type or adds a column, the `versioned_changes`
+    stream fails fast at the evolving version ("restart the stream");
+    on restart the re-pinned feed carries the evolved schema and the
+    batch applies with `merge(merge_schema=True)` — the replica widens
+    or gains the column in the same commit, so it keeps converging with
+    zero manual steps. A batch that simultaneously ADDS a column and
+    LACKS one the replica has is refused — that shape is almost always
+    a source RENAME, which a feed cannot distinguish from drop+add;
+    applying it as evolution would silently fork the replica (old
+    column frozen, new column null for unmatched keys). Run
+    `VersionedTable.rename_column` on the replica (metadata-only,
+    coordinates and data untouched) and restart, or use a fresh
+    stream_name for a full resync."""
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -114,8 +130,33 @@ def make_cdc_apply_committer(
             table_root, stream_name, batch_id, after_v
         )
         if version is None:
+            if schema_evolution:
+                from pyspark.sql.types import StructType
+
+                rep_cols = set(
+                    StructType.fromDDL(
+                        table.manifest().schema_ddl
+                    ).fieldNames()
+                )
+                feed_cols = {
+                    c for c in net.columns if c != _DELETE_FLAG
+                }
+                if (feed_cols - rep_cols) and (rep_cols - feed_cols):
+                    raise ValueError(
+                        f"{table_root}/{stream_name}: feed adds "
+                        f"{sorted(feed_cols - rep_cols)} and lacks "
+                        f"{sorted(rep_cols - feed_cols)} — this shape "
+                        "is a source RENAME a change feed cannot "
+                        "distinguish from drop+add; rename_column the "
+                        "replica to match and restart, or use a fresh "
+                        "stream_name for a full resync"
+                    )
             version = table.merge(
-                net, key_cols, delete_col=_DELETE_FLAG, summary=tag
+                net,
+                key_cols,
+                delete_col=_DELETE_FLAG,
+                summary=tag,
+                merge_schema=schema_evolution,
             )
         _write_high_water(table_root, stream_name, batch_id, version)
 

@@ -190,3 +190,101 @@ def test_epoch_gap_refuses(spark, tmp_path):
     # The next sequential epoch still applies.
     commit(batch, 1)
     assert VersionedTable(spark, root).latest_version() == 2
+
+
+def test_replica_follows_source_type_widening_and_added_column(
+    spark, tmp_path
+):
+    """SCHEMA EVOLUTION e2e: the source widens `n` (int -> bigint) and
+    later gains a column mid-run. Each evolution fails the pinned
+    stream fast ("restart the stream"); a restarted query re-pins the
+    evolved schema, resumes from the checkpoint, and the committer's
+    merge(merge_schema=True) evolves the REPLICA in the same commit —
+    replica == source again with zero manual steps."""
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ck")
+    src = VersionedTable.create(
+        spark,
+        src_root,
+        spark.createDataFrame([(1, 10), (2, 20)], "id bigint, n int"),
+        materialize_changes=True,
+    )
+
+    def start():
+        feed = (
+            spark.readStream.format("versioned_changes")
+            .option("table_root", src_root)
+            .load()
+        )
+        return start_cdc_apply_stream(feed, rep_root, ["id"], ckpt)
+
+    q = start()
+    try:
+        _wait_until(lambda: _try_snap(spark, rep_root) == _snap(src))
+        # WIDEN: int -> bigint, with a value only bigint can hold.
+        src.append(
+            spark.createDataFrame(
+                [(3, 3_000_000_000)], "id bigint, n bigint"
+            ),
+            merge_schema=True,
+        )
+        _wait_until(lambda: q.exception() is not None)
+        assert "restart the stream" in str(q.exception())
+    finally:
+        q.stop()
+    q = start()
+    try:
+        _wait_until(lambda: _try_snap(spark, rep_root) == _snap(src))
+        rep = VersionedTable(spark, rep_root)
+        assert "n:bigint" in rep.manifest().schema_ddl
+        # ADD a column in a later commit.
+        src.append(
+            spark.createDataFrame(
+                [(4, 40, "x")], "id bigint, n bigint, tag string"
+            ),
+            merge_schema=True,
+        )
+        _wait_until(lambda: q.exception() is not None)
+    finally:
+        q.stop()
+    q = start()
+    try:
+        _wait_until(lambda: _try_snap(spark, rep_root) == _snap(src))
+    finally:
+        q.stop()
+    rep = VersionedTable(spark, rep_root)
+    assert "tag:string" in rep.manifest().schema_ddl
+    assert _snap(rep) == _snap(src)
+
+
+def test_rename_shaped_feed_refuses_then_rename_converges(
+    spark, tmp_path
+):
+    """A feed that simultaneously ADDS a column and LACKS one of the
+    replica's is a source RENAME in disguise — applying it as evolution
+    would fork the replica, so the committer refuses with the recovery
+    recipe; `rename_column` on the replica (metadata-only) makes the
+    next attempt converge."""
+    root = str(tmp_path / "replica")
+    commit = make_cdc_apply_committer(root, ["id"])
+    commit(
+        spark.createDataFrame(
+            [(1, "a", "insert", 1)],
+            "id bigint, val string, _change_type string, "
+            "_commit_version bigint",
+        ),
+        0,
+    )
+    renamed = spark.createDataFrame(
+        [(2, "b", "insert", 2)],
+        "id bigint, label string, _change_type string, "
+        "_commit_version bigint",
+    )
+    with pytest.raises(ValueError, match="RENAME"):
+        commit(renamed, 1)
+    VersionedTable(spark, root).rename_column("val", "label")
+    commit(renamed, 1)
+    got = {(r.id, r.label) for r in
+           VersionedTable(spark, root).read().collect()}
+    assert got == {(1, "a"), (2, "b")}
