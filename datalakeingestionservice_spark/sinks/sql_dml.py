@@ -198,6 +198,17 @@ _REPLACE_WHERE_RE = re.compile(
     r"\s+(?P<rest>(?:SELECT|WITH|VALUES|\().+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_OPTIMIZE_RE = re.compile(
+    r"^OPTIMIZE\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[^)]+?)\)?)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VACUUM_RE = re.compile(
+    r"^VACUUM\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?$",
+    re.IGNORECASE,
+)
 
 
 def _split_set_where(rest: str) -> tuple[str, str | None]:
@@ -408,10 +419,43 @@ def execute_dml(
         return _positional_append(spark, t, df, cols)
     if re.match(r"^MERGE\s", sql, re.IGNORECASE):
         return execute_merge(spark, sql, tables)
+    mz = _OPTIMIZE_RE.match(sql)
+    if mz:
+        # Delta's OPTIMIZE [WHERE pred] [ZORDER BY (cols)]: predicate-
+        # scoped / z-ordered compaction. The WHERE must triple-compile
+        # (that is what scopes the rewrite through the stats) — other
+        # forms refuse rather than silently compacting everything.
+        t = _resolve(spark, mz.group("name"), tables)
+        kwargs: dict = {}
+        if mz.group("where"):
+            triples = _where_triples(mz.group("where"), t)
+            if triples is None:
+                raise UnsupportedStatementError(
+                    "OPTIMIZE WHERE needs a conjunction of simple "
+                    "col-op-literal comparisons; got "
+                    f"{mz.group('where')[:60]!r}"
+                )
+            kwargs["where"] = triples
+        if mz.group("zcols"):
+            kwargs["zorder_by"] = [
+                c.strip().strip("`")
+                for c in mz.group("zcols").split(",")
+            ]
+        return t.compact(**kwargs)
+    mv = _VACUUM_RE.match(sql)
+    if mv:
+        # VACUUM t [RETAIN n VERSIONS]: expire history beyond n (default
+        # keep everything reachable) and collect unreferenced files.
+        t = _resolve(spark, mv.group("name"), tables)
+        if mv.group("keep"):
+            t.expire_versions(keep_last=int(mv.group("keep")))
+        t.vacuum()
+        return t.latest_version()
     raise UnsupportedStatementError(
         "supported statements: UPDATE ... SET ... [WHERE], DELETE FROM "
         "... [WHERE], INSERT INTO ... VALUES/SELECT, MERGE INTO "
-        "(restricted form); got: "
+        "(restricted form), OPTIMIZE t [WHERE] [ZORDER BY], VACUUM t "
+        "[RETAIN n VERSIONS]; got: "
         f"{sql[:60]!r}"
     )
 

@@ -3993,6 +3993,70 @@ class VersionedTable:
         os.replace(tmp, os.path.join(mdir, _manifest_name(m.version)))
 
     # -- maintenance -------------------------------------------------------
+    def compact_deletes(self) -> int:
+        """Merge every live position-delete file into ONE — the
+        maintenance op that keeps streaming MoR upserts viable: each
+        `update_where_deferred`/`merge_deferred` commit adds a small
+        delete file, and a reader must load every file scoped to the
+        entries it scans; at upsert cadence that's thousands of tiny
+        parquet reads per query. This rewrites ONLY the coordinate
+        files (data files untouched — unlike `compact()`, which
+        materializes deletions INTO the data): the union of all
+        (file_rel, pos) rows lands as one delete dir whose scope is the
+        union of the originals' entry lists. Safe by construction:
+        coordinates name exact (file, row-ordinal) pairs, so applying
+        one against an entry that doesn't contain the file is a no-op
+        anti-join — widening a scope can never drop an extra row, it
+        can only cost a pruning opportunity. SQL deferred deletes are
+        untouched (they carry semantics, not coordinates). Old delete
+        dirs stay referenced by prior manifests for time travel;
+        `vacuum()` collects them after `expire_versions`. No-op (no
+        commit) below 2 live position-delete files."""
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        pos = [p for p in pm.delete_predicates if "pos" in p]
+        if len(pos) < 2:
+            return parent
+        merged = self.spark.read.parquet(
+            *[os.path.join(self.root, p["pos"]) for p in pos]
+        ).select("file_rel", "pos")
+        rel = os.path.join(_DELETES_DIR, uuid.uuid4().hex)
+        merged.coalesce(1).write.mode("errorifexists").parquet(
+            os.path.join(self.root, rel)
+        )
+        entries = sorted({e for p in pos for e in p["entries"]})
+        keep = tuple(
+            p for p in pm.delete_predicates if "pos" not in p
+        )
+        n = _collect_dir_stats(os.path.join(self.root, rel))["rows"]
+        return self._commit(
+            operation="compact_deletes",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary={
+                "n_delete_files_merged": len(pos),
+                "n_position_deletes": n,
+                "pos_deletes": rel.replace(os.sep, "/"),
+                # Data-preserving commit: the change feed across it is
+                # empty, like compact().
+                "cdf_empty": True,
+                **(
+                    {"schema_evolved": True}
+                    if pm.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(pm.stats),
+            delete_predicates=keep
+            + (
+                {
+                    "pos": rel.replace(os.sep, "/"),
+                    "entries": entries,
+                },
+            ),
+        )
+
     def compact(
         self,
         num_partitions: int = 1,

@@ -310,3 +310,46 @@ def test_pos_deletes_uri_special_partition_values(spark, root):
         .load()
     )
     assert {(r.id, r.grp, r.v) for r in ds.collect()} == expect
+
+
+def test_compact_deletes_merges_coordinate_files(spark, root):
+    """N streaming-style MoR commits leave N small delete files;
+    compact_deletes merges them into ONE without touching a single
+    data file — both read surfaces stay exact, time travel still sees
+    the old delete files, vacuum collects them after expiry."""
+    t = VersionedTable.create(
+        spark, root, _df(spark, ROWS), partition_by=["grp"]
+    )
+    for i in (1, 2, 3):
+        t.update_where_deferred([("id", "=", i)], {"v": f"{i}00.0"})
+    m = t.manifest()
+    assert sum(1 for p in m.delete_predicates if "pos" in p) == 3
+    data_before = _data_files(root)
+    v = t.compact_deletes()
+    m2 = t.manifest(v)
+    pos = [p for p in m2.delete_predicates if "pos" in p]
+    assert len(pos) == 1
+    assert m2.summary["n_delete_files_merged"] == 3
+    assert m2.summary["n_position_deletes"] == 3
+    assert data_before == _data_files(root)  # zero data-file churn
+    assert set(m2.files) == set(m.files)
+    expect = {
+        (1, 100.0), (2, 200.0), (3, 300.0), (4, 40.0), (5, 50.0),
+    }
+    assert {(r.id, r.v) for r in t.read().collect()} == expect
+    ds = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+    )
+    assert {(r.id, r.v) for r in ds.collect()} == expect
+    # Time travel to before the merge still applies the old files.
+    assert {(r.id, r.v) for r in t.read(v - 1).collect()} == expect
+    # Idempotent: a second call is a no-op, no new version.
+    assert t.compact_deletes() == v
+    # After expiry, the three retired delete dirs vacuum away; the
+    # merged one survives.
+    t.expire_versions(keep_last=1)
+    removed = t.vacuum()
+    assert sum(1 for r in removed if r.startswith("deletes")) == 3
+    assert {(r.id, r.v) for r in t.read().collect()} == expect

@@ -135,3 +135,41 @@ def test_no_view_leak(spark, t):
     execute_select(spark, "SELECT count(*) AS n FROM t", {"t": t}).collect()
     after = {v.name for v in spark.catalog.listTables()}
     assert not {n for n in after - before if n.startswith("__vt_")}
+
+
+def test_optimize_and_vacuum_statements(spark, t):
+    # Fragment the table, then OPTIMIZE via statement.
+    t.append(
+        spark.createDataFrame([(4, "c", 40.0)], "id bigint, grp string, v double")
+    )
+    n_entries = len(t.manifest().files)
+    v = execute_sql(spark, "OPTIMIZE t", {"t": t})
+    assert len(t.manifest(v).files) < n_entries
+    assert t.read().count() == 4
+    # OPTIMIZE WHERE must triple-compile.
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        UnsupportedStatementError,
+        execute_dml,
+    )
+
+    with pytest.raises(UnsupportedStatementError, match="OPTIMIZE WHERE"):
+        execute_dml(spark, "OPTIMIZE t WHERE id % 2 = 0", {"t": t})
+    # VACUUM RETAIN expires history then collects.
+    before = t.latest_version()
+    execute_sql(spark, "VACUUM t RETAIN 1 VERSIONS", {"t": t})
+    assert t.latest_version() == before
+    with pytest.raises(Exception):
+        t.read(1)  # expired
+
+
+def test_optimize_zorder_statement(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(200)],
+        "a bigint, b bigint, v double",
+    )
+    t = VersionedTable.create(spark, str(tmp_path / "z"), df)
+    v = execute_sql(
+        spark, "OPTIMIZE z ZORDER BY (a, b)", {"z": t}
+    )
+    assert t.manifest(v).operation == "compact"
+    assert t.read().count() == 200
