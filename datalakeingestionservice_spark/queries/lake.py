@@ -2364,3 +2364,173 @@ def q152_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY cur.prio ORDER BY prio",
         tables,
     )
+
+
+@register(
+    "q153_mor_upsert_loop",
+    tags=("lake", "merge-on-read", "position-deletes", "maintenance"),
+    oracle="""
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          + CAST(o_orderkey % 10 AS DECIMAL(18,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS total_price,
+       TRUE AS mor_ok
+FROM orders
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q153_mor_upsert_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-UPSERT MoR lifecycle in one plan: three
+    `merge_deferred` epochs land position-delete files + postimage
+    appends against an orders snapshot (epoch i replaces keys %10==i at
+    +i.00 — zero data-file rewrite each time), then `compact_deletes()`
+    merges the three coordinate files into ONE without touching a
+    single data file, and the final state serves through
+    `spark.read.format("versioned")`. `mor_ok` asserts the full
+    contract in-manifest: every v1 entry survives verbatim through all
+    five commits, 3 live delete files before maintenance, exactly 1
+    after, and the maintenance commit is data-preserving
+    (`cdf_empty`). The oracle recomputes the final state from raw
+    orders. At 100 TB this IS the CDC-upsert serving story: upserts
+    cost coordinates, maintenance costs coordinates, and reads load one
+    delete file instead of one per epoch."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_morloop_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(spark, base, orders, partition_by=["prio"])
+    v1_entries = set(t.manifest().files)
+    for i in (1, 2, 3):
+        t.merge_deferred(
+            orders.filter(F.col("k") % 10 == i).withColumn(
+                "price",
+                (
+                    F.col("price")
+                    + F.expr(f"CAST({i}.00 AS DECIMAL(18,2))")
+                ).cast("decimal(18,2)"),
+            ),
+            ["k"],
+        )
+    n_before = sum(
+        1 for p in t.manifest().delete_predicates if "pos" in p
+    )
+    v = t.compact_deletes()
+    m = t.manifest(v)
+    n_after = sum(1 for p in m.delete_predicates if "pos" in p)
+    mor_ok = (
+        v1_entries <= set(m.files)
+        and n_before == 3
+        and n_after == 1
+        and m.summary.get("cdf_empty") is True
+    )
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", base)
+        .load()
+    )
+    return (
+        df.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("mor_ok", F.lit(bool(mor_ok)))
+        .orderBy("prio")
+    )
+
+
+@register(
+    "q154_equality_delete_upsert",
+    tags=("lake", "merge-on-read", "equality-deletes", "upsert"),
+    oracle="""
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 10 = 3
+                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          + CAST(1.00 AS DECIMAL(18,2))
+                     ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS total_price,
+       TRUE AS eq_ok
+FROM orders
+WHERE o_orderkey % 10 <> 9
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q154_equality_delete_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EQUALITY DELETES + SCAN-FREE UPSERT (Iceberg's second delete-file
+    kind; `delete_keys_deferred` / `upsert_deferred`): against a
+    prio-partitioned orders snapshot, (1) every key %10==9 is deleted by
+    VALUE — the delete file stores keys, the table is NEVER read, write
+    cost ∝ |keys| — and (2) one `upsert_deferred` commit replaces keys
+    %10==3 at +1.00 via an equality-delete file plus a postimage append
+    (Flink→Iceberg upsert-mode shape: no coordinate scan, unlike
+    `merge_deferred`). `eq_ok` asserts zero data-file rewrite (every v1
+    entry survives verbatim) and exactly two live equality-delete
+    references; the final state serves through
+    `spark.read.format("versioned")` — the sessionless reader
+    anti-joins the key values executor-side — and the oracle recomputes
+    it from raw orders. At 100 TB this is the CDC-at-full-firehose
+    primitive: a writer that cannot afford to read the table still
+    upserts in one atomic commit."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_eqdel_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(spark, base, orders, partition_by=["prio"])
+    v1_entries = set(t.manifest().files)
+    t.delete_keys_deferred(
+        orders.filter(F.col("k") % 10 == 9).select("k")
+    )
+    v = t.upsert_deferred(
+        orders.filter(F.col("k") % 10 == 3).withColumn(
+            "price",
+            (
+                F.col("price") + F.expr("CAST(1.00 AS DECIMAL(18,2))")
+            ).cast("decimal(18,2)"),
+        ),
+        ["k"],
+    )
+    m = t.manifest(v)
+    n_eq = sum(1 for p in m.delete_predicates if "eq" in p)
+    eq_ok = v1_entries <= set(m.files) and n_eq == 2
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", base)
+        .load()
+    )
+    return (
+        df.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("eq_ok", F.lit(bool(eq_ok)))
+        .orderBy("prio")
+    )

@@ -1403,12 +1403,18 @@ class VersionedTable:
                 )
         for p in pm.delete_predicates:
             # Position deletes reference (file, row) coordinates, never
-            # column names — rename-safe; only SQL predicates can bind.
+            # column names — rename-safe; SQL predicates and equality
+            # deletes bind names.
             if "sql" in p and re.search(
                 rf"\b{re.escape(old)}\b", p["sql"]
             ):
                 raise ValueError(
                     f"a deferred delete references {old!r}; compact() to "
+                    "materialize it before renaming"
+                )
+            if old in p.get("cols", ()):
+                raise ValueError(
+                    f"an equality delete keys on {old!r}; compact() to "
                     "materialize it before renaming"
                 )
         mapping = {
@@ -1479,6 +1485,11 @@ class VersionedTable:
             ):
                 raise ValueError(
                     f"a deferred delete references {col!r}; compact() "
+                    "first"
+                )
+            if col in p.get("cols", ()):
+                raise ValueError(
+                    f"an equality delete keys on {col!r}; compact() "
                     "first"
                 )
         mapping = {
@@ -1804,7 +1815,7 @@ class VersionedTable:
         with_pos: bool = False,
     ) -> DataFrame | None:
         """Scan selected entries, applying any merge-on-read deletes
-        scoped to them. Two delete shapes share one scoping rule (a
+        scoped to them. Three delete shapes share one scoping rule (a
         delete applies iff its recorded rel equals the entry or is an
         ancestor — covers partition leaves and file entries carried
         forward by a scoped merge):
@@ -1814,7 +1825,11 @@ class VersionedTable:
         - {"pos": rel}: POSITION deletes — the group reads with
           `_metadata`-derived (file, row-ordinal) coordinates and
           anti-joins the delete file's (file_rel, pos) pairs, the
-          Iceberg positional-delete application.
+          Iceberg positional-delete application;
+        - {"eq": rel, "cols": [...]}: EQUALITY deletes — the group
+          anti-joins the delete file's key VALUES on the listed
+          columns (Iceberg equality-delete application; a data row
+          with a NULL key column never matches, SQL equality).
 
         Entries written AFTER a deferred delete have fresh rels no
         delete records, so new data is never filtered — the role
@@ -1825,10 +1840,14 @@ class VersionedTable:
         if not preds:
             return self._scan_entries_raw(sel, m, with_pos)
 
-        def applicable(rel: str) -> tuple[tuple[str, str], ...]:
+        def applicable(rel: str) -> tuple[tuple, ...]:
             r = rel.replace(os.sep, "/")
             return tuple(
-                ("pos", p["pos"]) if "pos" in p else ("sql", p["sql"])
+                ("pos", p["pos"])
+                if "pos" in p
+                else ("eq", p["eq"], tuple(p["cols"]))
+                if "eq" in p
+                else ("sql", p["sql"])
                 for p in preds
                 if any(
                     r == pr or r.startswith(pr.rstrip("/") + "/")
@@ -1843,15 +1862,21 @@ class VersionedTable:
             groups.setdefault(applicable(item[0]), []).append(item)
         pieces: list[DataFrame] = []
         for key in sorted(groups):
-            pos_rels = [v for kind, v in key if kind == "pos"]
+            pos_rels = [t[1] for t in key if t[0] == "pos"]
             df = self._scan_entries_raw(
                 groups[key], m, with_pos or bool(pos_rels)
             )
             if df is None:
                 continue
-            for kind, v in key:
-                if kind == "sql":
-                    df = df.filter(~F.expr(v))
+            for t in key:
+                if t[0] == "sql":
+                    df = df.filter(~F.expr(t[1]))
+                elif t[0] == "eq":
+                    _rel, cols = t[1], list(t[2])
+                    dels = self.spark.read.parquet(
+                        os.path.join(self.root, _rel)
+                    ).select(*cols).dropDuplicates()
+                    df = df.join(dels, cols, "left_anti")
             if pos_rels:
                 dels = self.spark.read.parquet(
                     *[os.path.join(self.root, r) for r in pos_rels]
@@ -3623,6 +3648,291 @@ class VersionedTable:
             delete_predicates=tuple(pm.delete_predicates) + extra_pred,
         )
 
+    def delete_keys_deferred(
+        self,
+        keys: DataFrame,
+        expected_version: int | None = None,
+    ) -> int:
+        """EQUALITY DELETES (Iceberg's second delete-file kind): defer
+        deletion of every row whose values on `keys`' columns match a
+        key row — WITHOUT reading the table at all. The delete file
+        stores key VALUES; write cost ∝ |keys|, zero scan (position
+        deletes need the target's coordinates, i.e. a scan — equality
+        deletes are what a pure streaming writer that never reads the
+        table can afford), zero data-file rewrite. Reads anti-join the
+        key columns, scoped to the entries that exist NOW (a later
+        re-insert of the same key survives — sequence-number
+        semantics); rewriting DML / compact() materialize and retire;
+        `compact_deletes()` merges same-column files.
+
+        Every column of `keys` is an equality column and must exist in
+        the table schema (values cast to the table's types). NULL key
+        values refuse: SQL equality never matches NULL, so a null key
+        row could never delete anything — accepting it would silently
+        do nothing. The key-bounds scope also tightens the recorded
+        entry list through the manifest stats, so reads of provably
+        key-free entries never load the delete file."""
+        keys = keys.localCheckpoint(eager=True)
+        parent = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
+        pm = self.manifest(parent)
+        from pyspark.sql.types import StructType
+
+        t_types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(pm.schema_ddl).fields
+        }
+        cols = list(keys.columns)
+        unknown = [c for c in cols if c not in t_types]
+        if not cols or unknown:
+            raise ValueError(
+                f"delete_keys_deferred: key columns {unknown or cols} "
+                f"not in table schema ({sorted(t_types)})"
+            )
+        keys = keys.select(
+            *[F.col(c).cast(t_types[c]).alias(c) for c in cols]
+        ).dropDuplicates()
+        null_cond = None
+        for c in cols:
+            nc = F.col(c).isNull()
+            null_cond = nc if null_cond is None else (null_cond | nc)
+        if keys.filter(null_cond).limit(1).count():
+            raise ValueError(
+                "delete_keys_deferred: NULL key values never match "
+                "(SQL equality) — drop them or use delete_where"
+            )
+        # Key bounds tighten the recorded scope through the stats —
+        # same pruning merge uses (NaN bounds stand down).
+        preds: list[tuple] = []
+        row = keys.agg(
+            *[
+                f
+                for k in cols
+                for f in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ]
+        ).collect()[0]
+        for k in cols:
+            lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+            if any(isinstance(b, float) and b != b for b in (lo, hi)):
+                preds = []
+                break
+            if lo is not None and hi is not None:
+                preds += [(k, ">=", lo), (k, "<=", hi)]
+        (
+            scoped_sel, _untouched, _carried, _nfu,
+        ) = self._scoped_cow_selection(pm, preds)
+        rel = os.path.join(_DELETES_DIR, uuid.uuid4().hex)
+        keys.coalesce(1).write.mode("errorifexists").parquet(
+            os.path.join(self.root, rel)
+        )
+        n_keys = _collect_dir_stats(os.path.join(self.root, rel))["rows"]
+        summary: dict = {
+            "n_equality_delete_keys": n_keys,
+            "eq_deletes": rel.replace(os.sep, "/"),
+        }
+        if self._materialize_changes:
+            target = self._scan_entries(scoped_sel, pm)
+            matched = (
+                target.join(keys, cols, "leftsemi")
+                if target is not None
+                else self.spark.createDataFrame([], pm.schema_ddl)
+            )
+            summary["cdf"] = self._write_cdf(
+                matched.withColumn("_change_type", F.lit("delete"))
+            )
+        if pm.summary.get("schema_evolved"):
+            summary["schema_evolved"] = True
+        return self._commit(
+            operation="delete_keys_deferred",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary=summary,
+            stats=dict(pm.stats),
+            delete_predicates=tuple(pm.delete_predicates)
+            + (
+                {
+                    "eq": rel.replace(os.sep, "/"),
+                    "cols": cols,
+                    "entries": [
+                        r.replace(os.sep, "/")
+                        for r, _files in scoped_sel
+                    ],
+                },
+            ),
+        )
+
+    def upsert_deferred(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        expected_version: int | None = None,
+        delete_keys: DataFrame | None = None,
+        summary: dict | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """SCAN-FREE UPSERT in one commit (Flink→Iceberg upsert-mode
+        shape): an equality-delete file of `updates`' keys — scoped to
+        the entries that exist now — plus the updates appended as fresh
+        entries. The table is never read (except to materialize the
+        change feed's preimages when that is on): matched old rows
+        vanish merge-on-read via the key anti-join, unmatched keys
+        simply delete nothing. Write cost ∝ |updates| regardless of
+        table size or layout — cheaper than `merge_deferred` (which
+        scans for coordinates) and radically cheaper than COW `merge`;
+        reads pay the anti-join until compaction. The CDC-at-full-
+        firehose primitive.
+
+        `delete_keys` (optional, columns == `key_cols`): extra keys
+        whose matches just DELETE — no postimage. They land in the SAME
+        equality-delete file, so a netted CDC micro-batch (upserts +
+        deletes) applies as ONE atomic commit. A key in both frames is
+        refused (ambiguous disposition — net the feed first).
+
+        `merge_schema`: the updates frame may widen types or add
+        columns under the append promotion rules; the evolved DDL
+        commits and surviving old entries null-fill at read (same
+        contract as `append(merge_schema=True)` / `merge`)."""
+        updates = updates.localCheckpoint(eager=True)
+        parent = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
+        pm = self.manifest(parent)
+        ddl = self._evolved_schema_ddl(updates, merge_schema, pm.schema_ddl)
+        updates = _cast_to_ddl_types(updates, ddl)
+        _enforce_constraints(updates, pm.constraints)
+        if not key_cols:
+            raise ValueError("upsert_deferred needs key_cols")
+        if ddl != pm.schema_ddl and pm.column_mapping:
+            # Same new-logical-vs-retired-physical collision rule as
+            # append's evolution path.
+            from pyspark.sql.types import StructType
+
+            old_names = {
+                f.name for f in StructType.fromDDL(pm.schema_ddl).fields
+            }
+            used_phys = set(
+                pm.column_mapping.get("retired", ())
+            ) | set(pm.column_mapping.get("map", {}).values())
+            for f in updates.schema.fields:
+                if f.name not in old_names and f.name in used_phys:
+                    raise SchemaMismatchError(
+                        f"column name {f.name!r} collides with a "
+                        "physical column of a dropped/renamed column; "
+                        "choose another name"
+                    )
+        keys = updates.select(*key_cols).dropDuplicates()
+        if delete_keys is not None:
+            if sorted(delete_keys.columns) != sorted(key_cols):
+                raise ValueError(
+                    f"delete_keys columns {delete_keys.columns} must "
+                    f"equal key_cols {key_cols}"
+                )
+            key_types = {f.name: f.dataType for f in keys.schema.fields}
+            delete_keys = (
+                delete_keys.select(
+                    *[
+                        F.col(c).cast(key_types[c]).alias(c)
+                        for c in key_cols
+                    ]
+                )
+                .dropDuplicates()
+                .localCheckpoint(eager=True)
+            )
+            if delete_keys.join(keys, key_cols, "semi").limit(1).count():
+                raise ValueError(
+                    "upsert_deferred: a key appears in both updates "
+                    "and delete_keys — net the feed to one final "
+                    "disposition per key first"
+                )
+            keys = keys.unionByName(delete_keys).dropDuplicates()
+        null_cond = None
+        for c in key_cols:
+            nc = F.col(c).isNull()
+            null_cond = nc if null_cond is None else (null_cond | nc)
+        if keys.filter(null_cond).limit(1).count():
+            raise ValueError(
+                "upsert_deferred: NULL key values (SQL MERGE equality "
+                "contract) — clean the feed or use merge()"
+            )
+        preds: list[tuple] = []
+        row = keys.agg(
+            *[
+                f
+                for k in key_cols
+                for f in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ]
+        ).collect()[0]
+        for k in key_cols:
+            lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+            if any(isinstance(b, float) and b != b for b in (lo, hi)):
+                preds = []
+                break
+            if lo is not None and hi is not None:
+                preds += [(k, ">=", lo), (k, "<=", hi)]
+        (
+            scoped_sel, untouched, _carried, n_files_untouched,
+        ) = self._scoped_cow_selection(pm, preds)
+        rel = os.path.join(_DELETES_DIR, uuid.uuid4().hex)
+        keys.coalesce(1).write.mode("errorifexists").parquet(
+            os.path.join(self.root, rel)
+        )
+        entries = self._write_data_entries(updates, self.partition_by)
+        smry: dict = {
+            **(summary or {}),
+            "n_equality_delete_keys": keys.count(),
+            "eq_deletes": rel.replace(os.sep, "/"),
+            "n_dirs_untouched": len(untouched),
+            "n_files_untouched": n_files_untouched,
+        }
+        if self._materialize_changes:
+            target = self._scan_entries(scoped_sel, pm)
+            pre = (
+                target.join(keys, key_cols, "leftsemi")
+                if target is not None
+                else self.spark.createDataFrame([], pm.schema_ddl)
+            ).withColumn("_change_type", F.lit("delete"))
+            ins = updates.withColumn("_change_type", F.lit("insert"))
+            smry["cdf"] = self._write_cdf(
+                pre.unionByName(ins, allowMissingColumns=True)
+            )
+        if (
+            pm.summary.get("schema_evolved")
+            or ddl != pm.schema_ddl
+            or updates.schema.simpleString() != ddl
+        ):
+            smry["schema_evolved"] = True
+        return self._commit(
+            operation="upsert_deferred",
+            files=pm.files + tuple(entries),
+            schema_ddl=ddl,
+            expected_parent=parent,
+            summary=smry,
+            stats={**dict(pm.stats), **entries},
+            delete_predicates=tuple(pm.delete_predicates)
+            + (
+                {
+                    "eq": rel.replace(os.sep, "/"),
+                    "cols": list(key_cols),
+                    "entries": [
+                        r.replace(os.sep, "/")
+                        for r, _files in scoped_sel
+                    ],
+                },
+            ),
+        )
+
     # -- change feed -------------------------------------------------------
     def changes(
         self, from_version: int, to_version: int | None = None
@@ -3781,12 +4091,16 @@ class VersionedTable:
         for rel in m.files:
             top = os.sep.join(rel.split(os.sep)[:2])
             referenced.add(top)
-        # Live position-delete files carry too (their scoped entry rels
-        # are preserved verbatim, and `file_rel` coordinates stay valid
-        # because the data dirs link with identical relative paths).
+        # Live position/equality-delete files carry too (their scoped
+        # entry rels are preserved verbatim, and `file_rel` coordinates
+        # stay valid because the data dirs link with identical relative
+        # paths).
         for p in m.delete_predicates:
-            if "pos" in p:
-                referenced.add(os.sep.join(p["pos"].split(os.sep)[:2]))
+            for kind in ("pos", "eq"):
+                if kind in p:
+                    referenced.add(
+                        os.sep.join(p[kind].split(os.sep)[:2])
+                    )
 
         def _link_tree(src: str, dst: str) -> None:
             for dirpath, _dirs, files in os.walk(src):
@@ -4007,37 +4321,102 @@ class VersionedTable:
         coordinates name exact (file, row-ordinal) pairs, so applying
         one against an entry that doesn't contain the file is a no-op
         anti-join — widening a scope can never drop an extra row, it
-        can only cost a pruning opportunity. SQL deferred deletes are
-        untouched (they carry semantics, not coordinates). Old delete
-        dirs stay referenced by prior manifests for time travel;
-        `vacuum()` collects them after `expire_versions`. No-op (no
-        commit) below 2 live position-delete files."""
+        can only cost a pruning opportunity. EQUALITY delete files are
+        CONVERTED to coordinates first (Iceberg's
+        convert-equality-deletes minor compaction): each key file
+        semi-joins the entries within its OWN scope — key values must
+        respect per-pred scope (re-inserted keys survive), coordinates
+        need not — and the result merges into the same single position
+        file. SQL deferred deletes are untouched (they carry semantics,
+        not coordinates). Old delete dirs stay referenced by prior
+        manifests for time travel; `vacuum()` collects them after
+        `expire_versions`. No-op (no commit) when there is nothing to
+        merge or convert."""
         parent = self.latest_version()
         pm = self.manifest(parent)
         pos = [p for p in pm.delete_predicates if "pos" in p]
-        if len(pos) < 2:
+        eqs = [p for p in pm.delete_predicates if "eq" in p]
+        if len(pos) + len(eqs) < 2 and not eqs:
             return parent
-        merged = self.spark.read.parquet(
-            *[os.path.join(self.root, p["pos"]) for p in pos]
-        ).select("file_rel", "pos")
+        # EQUALITY deletes CONVERT to coordinates (Iceberg's
+        # convert-equality-deletes minor compaction): each pred's key
+        # file semi-joins the entries within ITS OWN scope — per-pred
+        # scoping is what encodes "keys re-inserted later survive", so
+        # scope-UNION of raw key files would wrongly delete re-inserts;
+        # coordinates have no such hazard (a (file, pos) pair against an
+        # entry lacking the file is a no-op anti-join), so after
+        # conversion everything merges into ONE position file. Reads the
+        # scoped entries once per eq pred; writes nothing but
+        # coordinates.
+        coord_pieces: list[DataFrame] = []
+        if pos:
+            coord_pieces.append(
+                self.spark.read.parquet(
+                    *[os.path.join(self.root, p["pos"]) for p in pos]
+                ).select("file_rel", "pos")
+            )
+        for p in eqs:
+            scope = [
+                e.replace(os.sep, "/").rstrip("/")
+                for e in p["entries"]
+            ]
+            sel = [
+                (rel, None)
+                for rel in pm.files
+                if any(
+                    rel.replace(os.sep, "/") == pr
+                    or rel.replace(os.sep, "/").startswith(pr + "/")
+                    for pr in scope
+                )
+            ]
+            df = self._scan_entries_raw(sel, pm, with_pos=True)
+            if df is None:
+                continue
+            keys = self.spark.read.parquet(
+                os.path.join(self.root, p["eq"])
+            ).select(*p["cols"]).dropDuplicates()
+            coord_pieces.append(
+                df.join(keys, list(p["cols"]), "leftsemi").select(
+                    F.col("__file_rel").alias("file_rel"),
+                    F.col("__pos").alias("pos"),
+                )
+            )
+        if not coord_pieces:
+            return parent
+        merged = coord_pieces[0]
+        for piece in coord_pieces[1:]:
+            merged = merged.unionByName(piece)
+        merged = merged.dropDuplicates()
         rel = os.path.join(_DELETES_DIR, uuid.uuid4().hex)
         merged.coalesce(1).write.mode("errorifexists").parquet(
             os.path.join(self.root, rel)
         )
-        entries = sorted({e for p in pos for e in p["entries"]})
-        keep = tuple(
-            p for p in pm.delete_predicates if "pos" not in p
+        n_rows = _collect_dir_stats(os.path.join(self.root, rel))["rows"]
+        n_merged = len(pos) + len(eqs)
+        entries_union = sorted(
+            {e for p in (*pos, *eqs) for e in p["entries"]}
         )
-        n = _collect_dir_stats(os.path.join(self.root, rel))["rows"]
+        keep = tuple(
+            p
+            for p in pm.delete_predicates
+            if "pos" not in p and "eq" not in p
+        )
+        summary = {"pos_deletes": rel.replace(os.sep, "/")}
+        new_preds = [
+            {
+                "pos": rel.replace(os.sep, "/"),
+                "entries": entries_union,
+            }
+        ]
         return self._commit(
             operation="compact_deletes",
             files=pm.files,
             schema_ddl=pm.schema_ddl,
             expected_parent=parent,
             summary={
-                "n_delete_files_merged": len(pos),
-                "n_position_deletes": n,
-                "pos_deletes": rel.replace(os.sep, "/"),
+                **summary,
+                "n_delete_files_merged": n_merged,
+                "n_position_deletes": n_rows,
                 # Data-preserving commit: the change feed across it is
                 # empty, like compact().
                 "cdf_empty": True,
@@ -4048,13 +4427,7 @@ class VersionedTable:
                 ),
             },
             stats=dict(pm.stats),
-            delete_predicates=keep
-            + (
-                {
-                    "pos": rel.replace(os.sep, "/"),
-                    "entries": entries,
-                },
-            ),
+            delete_predicates=keep + tuple(new_preds),
         )
 
     def compact(
@@ -4342,14 +4715,15 @@ class VersionedTable:
             for m in manifests
             if m.summary.get("cdf")
         }
-        # Live position-delete files: referenced from ANY surviving
-        # manifest's delete_predicates (a retired file becomes
+        # Live position/equality-delete files: referenced from ANY
+        # surviving manifest's delete_predicates (a retired file becomes
         # unreferenced once every manifest carrying it expires).
         referenced |= {
-            p["pos"].replace(os.sep, "/")
+            p[kind].replace(os.sep, "/")
             for m in manifests
             for p in m.delete_predicates
-            if "pos" in p
+            for kind in ("pos", "eq")
+            if kind in p
         }
         removed = []
         for sub in (_DATA_DIR, _CDF_DIR, _DELETES_DIR):

@@ -197,6 +197,7 @@ class _EntryPartition(InputPartition):
         filters=None,
         pos_dirs=None,
         root=None,
+        eq_dels=None,
     ):
         self.paths = paths  # absolute parquet file or dir paths
         self.columns = columns  # logical output order
@@ -215,6 +216,9 @@ class _EntryPartition(InputPartition):
         #: compute each data file's root-relative coordinate key.
         self.pos_dirs = pos_dirs or []
         self.root = root
+        #: Equality deletes scoped to this entry: (abs parquet dir,
+        #: key-column tuple) pairs, applied as a key anti-join.
+        self.eq_dels = eq_dels or []
 
 
 class VersionedTableReader(DataSourceReader):
@@ -232,11 +236,26 @@ class VersionedTableReader(DataSourceReader):
         #: Position deletes: (delete-dir rel, scoped entry rels) — no
         #: compilation needed, coordinates are engine-neutral.
         self._mor_pos: list[tuple[str, tuple[str, ...]]] = []
+        #: Equality deletes: (delete-dir rel, key cols, scoped entry
+        #: rels) — applied executor-side as a key anti-join.
+        self._mor_eq: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = []
         for p in self.m.delete_predicates:
             if "pos" in p:
                 self._mor_pos.append(
                     (
                         p["pos"],
+                        tuple(
+                            e.replace(os.sep, "/")
+                            for e in p["entries"]
+                        ),
+                    )
+                )
+                continue
+            if "eq" in p:
+                self._mor_eq.append(
+                    (
+                        p["eq"],
+                        tuple(p["cols"]),
                         tuple(
                             e.replace(os.sep, "/")
                             for e in p["entries"]
@@ -346,6 +365,19 @@ class VersionedTableReader(DataSourceReader):
                 )
             ]
 
+        def eq_for(rel: str) -> list[tuple[str, tuple[str, ...]]]:
+            """Equality-delete (abs dir, key cols) pairs scoped to this
+            entry (same ancestor rule)."""
+            r = rel.replace(os.sep, "/")
+            return [
+                (os.path.join(self.root, drel), cols)
+                for drel, cols, entries in self._mor_eq
+                if any(
+                    r == pr or r.startswith(pr.rstrip("/") + "/")
+                    for pr in entries
+                )
+            ]
+
         # Pushed filters safe to hand pyarrow as dataset filters (row-
         # group pruning + early row drop, physical names): plain-typed
         # comparisons only — arrow/Spark comparison parity for these is
@@ -417,6 +449,7 @@ class VersionedTableReader(DataSourceReader):
                                 scan_filters,
                                 pos_for(rel),
                                 self.root,
+                                eq_for(rel),
                             )
                         )
                     continue
@@ -431,6 +464,7 @@ class VersionedTableReader(DataSourceReader):
                     scan_filters,
                     pos_for(rel),
                     self.root,
+                    eq_for(rel),
                 )
             )
         if not parts:
@@ -495,6 +529,20 @@ class VersionedTableReader(DataSourceReader):
                     )
             if dparts:
                 pos_tab = pa.concat_tables(dparts)
+        # Equality-delete key sets, loaded ONCE per partition: (logical
+        # key cols, deduped pandas frame) per scoped delete file.
+        eq_sets = []
+        for eq_dir, eq_cols in partition.eq_dels:
+            efs = sorted(glob.glob(os.path.join(eq_dir, "*.parquet")))
+            if not efs:
+                continue
+            del_tab = pa.concat_tables(
+                [pq.read_table(f, columns=list(eq_cols)) for f in efs]
+            )
+            if del_tab.num_rows:
+                eq_sets.append(
+                    (list(eq_cols), del_tab.to_pandas().drop_duplicates())
+                )
         for path in files:
             deleted_pos = None
             if pos_tab is not None:
@@ -545,6 +593,23 @@ class VersionedTableReader(DataSourceReader):
                 if live:
                     keep[np.array(live, dtype=np.int64)] = False
                 logical = logical.filter(pa.array(keep))
+            # Merge-on-read EQUALITY deletes: anti-join the key values
+            # (loaded once per partition, below). `logical` always
+            # carries every table column (the reader does not prune
+            # columns), so key columns are present; rows with a NULL
+            # key value never match (the delete side is non-null by the
+            # write contract, and pandas' left merge can't pair a value
+            # with a missing one).
+            for eq_cols, del_pdf in eq_sets:
+                if not logical.num_rows:
+                    break
+                key_pdf = logical.select(eq_cols).to_pandas()
+                mergedm = key_pdf.merge(
+                    del_pdf, on=eq_cols, how="left", indicator=True
+                )
+                keepm = (mergedm["_merge"] == "left_only").to_numpy()
+                if not keepm.all():
+                    logical = logical.filter(pa.array(keepm))
             if partition.preds:
                 mask = keep_mask(partition.preds, logical)
                 if mask is not None:

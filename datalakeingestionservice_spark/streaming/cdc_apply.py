@@ -76,11 +76,27 @@ def make_cdc_apply_committer(
     key_cols: list[str],
     stream_name: str = "cdc",
     schema_evolution: bool = True,
+    mode: str = "merge",
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch function: net the batch, MERGE it into the
     replica, idempotently at epoch granularity (same layered replay
     protection as `make_versioned_batch_committer` — durable high-water
     marker + version-bounded manifest-tag scan).
+
+    MODE — how each netted batch lands on the replica:
+
+    - ``"merge"`` (default): copy-on-write :meth:`VersionedTable.merge`
+      — matched data files rewrite; reads stay anti-join-free.
+    - ``"upsert_deferred"``: MERGE-ON-READ — ONE equality-delete file
+      (the batch's upsert keys + delete keys, scoped to today's
+      entries) plus postimage appends, in one atomic commit
+      (:meth:`VersionedTable.upsert_deferred`). The replica is NEVER
+      scanned: per-epoch write cost is ∝ |batch| regardless of replica
+      size — the Flink→Iceberg upsert-mode shape, the only sustainable
+      posture when the replica is 100 TB and epochs are seconds apart.
+      Reads pay a key anti-join until `compact_deletes()` (coordinates)
+      or `compact()` (materialize) runs; schedule either as the
+      maintenance half of the pipeline.
 
     SCHEMA EVOLUTION (`schema_evolution`, default on): when the source
     widens a column type or adds a column, the `versioned_changes`
@@ -96,6 +112,10 @@ def make_cdc_apply_committer(
     `VersionedTable.rename_column` on the replica (metadata-only,
     coordinates and data untouched) and restart, or use a fresh
     stream_name for a full resync."""
+    if mode not in ("merge", "upsert_deferred"):
+        raise ValueError(
+            f"mode must be 'merge' or 'upsert_deferred', got {mode!r}"
+        )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -151,13 +171,24 @@ def make_cdc_apply_committer(
                         "replica to match and restart, or use a fresh "
                         "stream_name for a full resync"
                     )
-            version = table.merge(
-                net,
-                key_cols,
-                delete_col=_DELETE_FLAG,
-                summary=tag,
-                merge_schema=schema_evolution,
-            )
+            if mode == "upsert_deferred":
+                version = table.upsert_deferred(
+                    net.filter(~F.col(_DELETE_FLAG)).drop(_DELETE_FLAG),
+                    key_cols,
+                    delete_keys=net.filter(F.col(_DELETE_FLAG)).select(
+                        *key_cols
+                    ),
+                    summary=tag,
+                    merge_schema=schema_evolution,
+                )
+            else:
+                version = table.merge(
+                    net,
+                    key_cols,
+                    delete_col=_DELETE_FLAG,
+                    summary=tag,
+                    merge_schema=schema_evolution,
+                )
         _write_high_water(table_root, stream_name, batch_id, version)
 
     return commit_batch
@@ -170,13 +201,17 @@ def start_cdc_apply_stream(
     checkpoint_dir: str,
     stream_name: str = "cdc",
     processing_time: str = "0 seconds",
+    mode: str = "merge",
 ) -> StreamingQuery:
     """Maintain a replica table from a change-feed stream (typically
     `spark.readStream.format("versioned_changes")` on the source), one
-    MERGE commit per micro-batch, exactly-once end to end."""
+    commit per micro-batch (COW MERGE, or scan-free MoR with
+    `mode="upsert_deferred"`), exactly-once end to end."""
     return (
         changes_df.writeStream.foreachBatch(
-            make_cdc_apply_committer(table_root, key_cols, stream_name)
+            make_cdc_apply_committer(
+                table_root, key_cols, stream_name, mode=mode
+            )
         )
         .trigger(processingTime=processing_time)
         .option("checkpointLocation", checkpoint_dir)

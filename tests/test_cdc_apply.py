@@ -288,3 +288,98 @@ def test_rename_shaped_feed_refuses_then_rename_converges(
     got = {(r.id, r.label) for r in
            VersionedTable(spark, root).read().collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def _data_files(root):
+    import os
+
+    out = set()
+    for dirpath, _d, files in os.walk(os.path.join(root, "data")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.add(os.path.join(dirpath, fn))
+    return out
+
+
+def test_mor_committer_scan_free_and_idempotent(spark, tmp_path):
+    """mode='upsert_deferred': each netted epoch lands as ONE
+    equality-delete file + postimage appends — the replica's existing
+    data files are NEVER rewritten (per-epoch cost ∝ |batch|, the
+    Flink→Iceberg upsert-mode posture) — under the same epoch
+    idempotence as COW merge."""
+    root = str(tmp_path / "replica")
+    commit = make_cdc_apply_committer(
+        root, ["id"], mode="upsert_deferred"
+    )
+    ddl = (
+        "id bigint, val string, _change_type string, "
+        "_commit_version bigint"
+    )
+    commit(
+        spark.createDataFrame(
+            [(1, "a", "insert", 1), (2, "b", "insert", 1)], ddl
+        ),
+        0,
+    )
+    t = VersionedTable(spark, root)
+    files_v1 = _data_files(root)
+    batch = spark.createDataFrame(
+        [
+            (1, "a", "delete", 2),
+            (1, "A", "insert", 2),  # update pair
+            (2, "b", "delete", 2),  # pure delete
+            (3, "c", "insert", 2),  # pure insert
+        ],
+        ddl,
+    )
+    commit(batch, 1)
+    commit(batch, 1)  # replayed epoch: must not double-apply
+    assert _snap(t) == {(1, "A"): 1, (3, "c"): 1}
+    m = t.manifest()
+    assert m.operation == "upsert_deferred"
+    assert files_v1 <= _data_files(root)  # zero rewrite
+    assert sum(1 for p in m.delete_predicates if "eq" in p) == 1
+    # Maintenance converges MoR state without changing the data.
+    t.compact_deletes()
+    assert _snap(t) == {(1, "A"): 1, (3, "c"): 1}
+    # Epoch markers unchanged: a replay after maintenance still no-ops.
+    commit(batch, 1)
+    assert _snap(t) == {(1, "A"): 1, (3, "c"): 1}
+
+
+def test_mor_stream_e2e_tracks_source(spark, tmp_path):
+    """Live-stream twin of the DML-mix e2e in MoR mode: replica equals
+    source after every drained phase, with `upsert_deferred` commits
+    and no replica data-file rewrites between maintenance runs."""
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ck")
+    src = VersionedTable.create(
+        spark,
+        src_root,
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        materialize_changes=True,
+    )
+    feed = (
+        spark.readStream.format("versioned_changes")
+        .option("table_root", src_root)
+        .load()
+    )
+    q = start_cdc_apply_stream(
+        feed, rep_root, ["id"], ckpt, mode="upsert_deferred"
+    )
+    try:
+        _wait_until(lambda: _try_snap(spark, rep_root) == _snap(src))
+        src.append(_df(spark, [(4, "d")]))
+        src.merge(_df(spark, [(2, "B"), (5, "e")]), ["id"])
+        src.delete_where([("id", "=", 3)])
+        _wait_until(lambda: _try_snap(spark, rep_root) == _snap(src))
+    finally:
+        q.stop()
+    rep = VersionedTable(spark, rep_root)
+    assert _snap(rep) == _snap(src)
+    ops = {m.operation for m in rep.versions() if m.version > 1}
+    assert ops <= {"upsert_deferred"}
+    # compact_deletes retires the per-epoch delete files, state intact.
+    rep.compact_deletes()
+    assert _snap(rep) == _snap(src)

@@ -86,7 +86,7 @@ def test_random_commit_sequence_matches_model(
             "compact", "deferred_delete", "restore",
             "incremental_compact", "writer_append", "update",
             "scoped_delete", "replace_where", "update_deferred",
-            "merge_deferred",
+            "merge_deferred", "delete_keys", "upsert_deferred",
         ]
         if spec:
             ops.append("dynamic_overwrite")
@@ -228,6 +228,34 @@ def test_random_commit_sequence_matches_model(
             updates = [(i, rng.choice("xyz")) for i in upd_ids]
             updates += fresh_rows(rng.randint(1, 2))
             t.merge_deferred(_df(spark, updates), ["id"])
+            for k in [k for k in list(model) if k[0] in upd_ids]:
+                del model[k]
+            model.update(updates)
+        elif op == "delete_keys":
+            # Equality deletes: key VALUES, zero scan; rows present now
+            # with those ids vanish (scope = today's entries).
+            ids = sorted({k[0] for k in model})
+            if not ids:
+                rows = fresh_rows(1)
+                t.append(_df(spark, rows))
+                model.update(rows)
+            else:
+                pick = rng.sample(ids, min(2, len(ids)))
+                t.delete_keys_deferred(
+                    spark.createDataFrame(
+                        [(i,) for i in pick], "id bigint"
+                    )
+                )
+                for k in [k for k in list(model) if k[0] in pick]:
+                    del model[k]
+        elif op == "upsert_deferred":
+            # Scan-free upsert: eq-delete file + postimage append in
+            # one commit — model-identical to merge without deletes.
+            existing = sorted({k[0] for k in model})
+            upd_ids = rng.sample(existing, min(2, len(existing)))
+            updates = [(i, rng.choice("xyz")) for i in upd_ids]
+            updates += fresh_rows(rng.randint(1, 2))
+            t.upsert_deferred(_df(spark, updates), ["id"])
             for k in [k for k in list(model) if k[0] in upd_ids]:
                 del model[k]
             model.update(updates)
