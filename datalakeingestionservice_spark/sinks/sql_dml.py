@@ -36,6 +36,9 @@ Supported statements (one per call):
 - ``MERGE INTO <t> USING <view> ON t.k = s.k ... UPDATE SET * /
   INSERT * [/ flag-guarded DELETE]`` → :meth:`VersionedTable.merge`
   (see :func:`execute_merge` for the exact subset).
+- ``DESCRIBE HISTORY <t> [LIMIT n]`` / ``DESCRIBE DETAIL <t>`` →
+  metadata DataFrames (:func:`execute_describe`), Delta's
+  introspection statements over the manifest — never touch data.
 
 Everything else (multi-statement scripts, DDL, out-of-subset MERGE
 forms) raises ``UnsupportedStatementError`` — the native APIs cover
@@ -207,6 +210,12 @@ _OPTIMIZE_RE = re.compile(
 _VACUUM_RE = re.compile(
     r"^VACUUM\s+(?P<name>[A-Za-z_][\w.]*)"
     r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^DESC(?:RIBE)?\s+(?P<what>HISTORY|DETAIL)\s+"
+    r"(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?$",
     re.IGNORECASE,
 )
 
@@ -700,14 +709,78 @@ def execute_select(
             spark.catalog.dropTempView(view)
 
 
+def execute_describe(
+    spark: SparkSession, statement: str, tables: dict
+) -> DataFrame:
+    """Delta-shaped table introspection statements:
+
+    - ``DESCRIBE HISTORY <t> [LIMIT n]`` — the commit log newest-first
+      (version, operation, n_files, committed_at, summary JSON), the
+      shape :meth:`VersionedTable.history` already serves.
+    - ``DESCRIBE DETAIL <t>`` — ONE row of current-snapshot metadata:
+      format/location/version plus file, delete-file, and layout facts
+      (partition columns as the user sees them — hidden-partitioning
+      transform text included — bloom columns, constraint names, schema
+      DDL). Metadata-only: reads the manifest, never a data file, so
+      cost is independent of table size.
+    """
+    sql = _strip(statement)
+    m = _DESCRIBE_RE.match(sql)
+    if not m:
+        raise UnsupportedStatementError(
+            f"execute_describe handles DESCRIBE HISTORY|DETAIL; got "
+            f"{sql[:40]!r}"
+        )
+    t = _resolve(spark, m.group("name"), tables)
+    what = m.group("what").upper()
+    if what == "HISTORY":
+        h = t.history().orderBy(F.col("version").desc())
+        if m.group("limit") is not None:
+            h = h.limit(int(m.group("limit")))
+        return h
+    if m.group("limit") is not None:
+        raise UnsupportedStatementError("DESCRIBE DETAIL takes no LIMIT")
+    pm = t.manifest()
+    n_pos = sum(1 for p in pm.delete_predicates if "pos" in p)
+    n_eq = sum(1 for p in pm.delete_predicates if "eq" in p)
+    n_sql = sum(1 for p in pm.delete_predicates if "sql" in p)
+    row = (
+        "versioned",
+        t.root,
+        pm.version,
+        pm.operation,
+        pm.committed_at,
+        len(pm.files),
+        list(pm.partition_by),
+        n_pos,
+        n_eq,
+        n_sql,
+        list(pm.bloom_columns),
+        sorted(pm.constraints),
+        pm.schema_ddl,
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, location string, version int, "
+        "last_operation string, last_committed_at string, "
+        "num_entries int, partition_columns array<string>, "
+        "num_position_delete_files int, num_equality_delete_files int, "
+        "num_deferred_delete_predicates int, bloom_columns array<string>, "
+        "check_constraints array<string>, schema_ddl string",
+    )
+
+
 def execute_sql(
     spark: SparkSession, statement: str, tables: dict
 ) -> DataFrame | int:
     """One front door for SQL text: SELECT/WITH statements return the
     result DataFrame (:func:`execute_select`, time travel included);
-    everything else routes to :func:`execute_dml` and returns the
-    committed version."""
+    DESCRIBE HISTORY/DETAIL return metadata DataFrames
+    (:func:`execute_describe`); everything else routes to
+    :func:`execute_dml` and returns the committed version."""
     sql = _strip(statement)
     if re.match(r"^(SELECT|WITH)\b", sql, re.IGNORECASE):
         return execute_select(spark, sql, tables)
+    if re.match(r"^DESC(RIBE)?\b", sql, re.IGNORECASE):
+        return execute_describe(spark, sql, tables)
     return execute_dml(spark, sql, tables)

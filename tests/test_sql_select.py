@@ -173,3 +173,49 @@ def test_optimize_zorder_statement(spark, tmp_path):
     )
     assert t.manifest(v).operation == "compact"
     assert t.read().count() == 200
+
+
+def test_describe_history_statement(spark, t):
+    t.append(
+        spark.createDataFrame(
+            [(4, "c", 40.0)], "id bigint, grp string, v double"
+        )
+    )
+    rows = execute_sql(spark, "DESCRIBE HISTORY t", {"t": t}).collect()
+    # Newest-first, full log.
+    assert [r.version for r in rows] == [2, 1]
+    assert rows[0].operation == "append"
+    assert rows[1].operation == "create"
+    limited = execute_sql(
+        spark, "DESC HISTORY t LIMIT 1", {"t": t}
+    ).collect()
+    assert [r.version for r in limited] == [2]
+
+
+def test_describe_detail_statement(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id bigint, grp string, v double"
+    )
+    t = VersionedTable.create(
+        spark, str(tmp_path / "d"), df, partition_by=["grp"]
+    )
+    t.delete_keys_deferred(spark.createDataFrame([(2,)], "id bigint"))
+    r = execute_sql(spark, "DESCRIBE DETAIL d", {"d": t}).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.format == "versioned"
+    assert r.location == t.root
+    assert r.version == t.latest_version()
+    assert r.partition_columns == ["grp"]
+    assert r.num_equality_delete_files == 1
+    assert r.num_position_delete_files == 0
+    assert "id" in r.schema_ddl
+    with pytest.raises(UnsupportedStatementError, match="no LIMIT"):
+        execute_sql(spark, "DESCRIBE DETAIL d LIMIT 2", {"d": t})
+
+
+def test_describe_unknown_refuses(spark, t):
+    with pytest.raises(UnsupportedStatementError):
+        execute_sql(spark, "DESCRIBE EXTENDED t", {"t": t})
+    with pytest.raises(UnsupportedStatementError, match="unknown table"):
+        execute_sql(spark, "DESCRIBE HISTORY nope", {"t": t})
