@@ -2534,3 +2534,147 @@ def q154_equality_delete_upsert(
         .withColumn("eq_ok", F.lit(bool(eq_ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q155_cdc_mor_replication",
+    tags=("lake", "streaming", "cdc", "merge-on-read", "equality-deletes"),
+    oracle="""
+WITH bounds AS (
+  SELECT min(o_orderpriority) AS mn, max(o_orderpriority) AS mx
+  FROM orders
+),
+base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 4000000000, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 10 = 6
+),
+final AS (
+  SELECT k, prio,
+         CASE WHEN prio = (SELECT mn FROM bounds)
+              THEN price + CAST(5.00 AS DECIMAL(18,2))
+              ELSE price END AS price
+  FROM base WHERE prio <> (SELECT mx FROM bounds)
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS total_price,
+       TRUE AS mor_cdc_ok
+FROM final
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q155_cdc_mor_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ CDC REPLICATION (q150's scenario with the
+    committer in `mode="upsert_deferred"` + the maintenance half): the
+    same source DML mix (MERGE inserts, scoped UPDATE, scoped DELETE)
+    feeds the replica in three epochs, but each netted batch lands as
+    ONE equality-delete file + postimage appends — `mor_cdc_ok`
+    asserts the replica was NEVER rewritten (every post-bootstrap
+    data file survives every later epoch verbatim), all apply commits
+    are `upsert_deferred`, and the replayed epoch is a no-op. Then
+    `compact_deletes()` converts the per-epoch key files to ONE
+    coordinate file (data-preserving) and the final state serves
+    through `spark.read.format("versioned")` with the oracle
+    recomputing it from raw orders. At 100 TB this is CDC replication
+    at firehose rates: per-epoch cost ∝ batch, never ∝ replica."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+    from datalakeingestionservice_spark.streaming.cdc_apply import (
+        make_cdc_apply_committer,
+    )
+
+    register_source(spark)
+    src_root = os.path.join(
+        tempfile.gettempdir(), f"dlis_morcs_{uuid.uuid4().hex}"
+    )
+    rep_root = os.path.join(
+        tempfile.gettempdir(), f"dlis_morcr_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    src = VersionedTable.create(
+        spark, src_root, orders, materialize_changes=True
+    )
+    mn, mx = orders.agg(F.min("prio"), F.max("prio")).collect()[0]
+    src.merge(
+        orders.filter(F.col("k") % 10 == 6).withColumn(
+            "k", F.col("k") + 4_000_000_000
+        ),
+        ["k"],
+    )  # v2
+    src.update_where(
+        [("prio", "=", mn)],
+        {"price": "price + CAST(5.00 AS DECIMAL(18,2))"},
+    )  # v3
+    src.delete_where([("prio", "=", mx)])  # v4
+    commit = make_cdc_apply_committer(
+        rep_root, ["k"], mode="upsert_deferred"
+    )
+    epoch0 = (
+        src.read(1)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(1).cast("long"))
+    )
+    commit(epoch0, 0)
+    rep = VersionedTable(spark, rep_root)
+
+    def _files(root):
+        out = set()
+        for dirpath, _d, fns in os.walk(os.path.join(root, "data")):
+            out |= {
+                os.path.join(dirpath, f)
+                for f in fns
+                if f.endswith(".parquet")
+            }
+        return out
+
+    boot_files = _files(rep_root)
+    commit(src.changes(1, 3), 1)
+    commit(src.changes(3, 4), 2)
+    commit(src.changes(1, 3), 1)  # crash-replay: must be a no-op
+    apply_ops = {
+        m.operation for m in rep.versions() if m.version > 1
+    }
+    zero_rewrite = boot_files <= _files(rep_root)
+    mismatches = (
+        src.read().exceptAll(rep.read()).count()
+        + rep.read().exceptAll(src.read()).count()
+    )
+    v = rep.compact_deletes()
+    m = rep.manifest(v)
+    ok = (
+        rep.latest_version() == 4  # 3 applies + 1 maintenance
+        and apply_ops == {"upsert_deferred"}
+        and zero_rewrite
+        and mismatches == 0
+        and m.summary.get("cdf_empty") is True
+        and sum(1 for p in m.delete_predicates if "pos" in p) == 1
+        and not any("eq" in p for p in m.delete_predicates)
+    )
+    df = (
+        spark.read.format("versioned")
+        .option("table_root", rep_root)
+        .load()
+    )
+    return (
+        df.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("mor_cdc_ok", F.lit(bool(ok)))
+        .orderBy("prio")
+    )
