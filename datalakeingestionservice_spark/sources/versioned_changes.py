@@ -243,10 +243,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             else:
                 raise ValueError(
                     f"version {v} is a {cur.operation!r} commit without "
-                    "materialized change files (written before CDF "
-                    "materialization); backfill with "
-                    "VersionedTable.materialize_changes() or use the "
-                    "batch VersionedTable.changes() for this range"
+                    "materialized change files (table written before "
+                    "CDF materialization, or deferred/MoR DML on a "
+                    "table created without materialize_changes=True); "
+                    "backfill with VersionedTable.materialize_changes() "
+                    "or use the batch VersionedTable.changes() for "
+                    "this range"
                 )
         return parts
 

@@ -392,3 +392,57 @@ def test_update_where_commits_stream(spark, tmp_path):
         (2, "b", "delete", 2), (2, "B", "insert", 2),
         (3, "c", "delete", 3),
     }
+
+
+def test_mor_commits_stream_and_backfill(spark, tmp_path):
+    """Deferred/MoR DML through the STREAMING feed: with
+    materialize_changes on, upsert_deferred / delete_keys_deferred
+    commits stream their eager change files like any COW commit; a
+    feed-less MoR commit refuses loudly and materialize_changes()
+    backfills it via the MoR-aware snapshot diff."""
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(1, "a"), (2, "b")]),
+        materialize_changes=True,
+    )
+    t.upsert_deferred(_df(spark, [(1, "A"), (3, "c")]), ["id"])
+    t.delete_keys_deferred(spark.createDataFrame([(2,)], "id bigint"))
+    batch = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in t.changes(1).collect()
+    }
+    assert (1, "a", "delete", 2) in batch  # MoR preimage materialized
+    assert (2, "b", "delete", 3) in batch
+    q = _start(
+        spark, root, "feed_mor", str(tmp_path / "ck"), start_version="1"
+    )
+    try:
+        _wait_count(spark, "feed_mor", len(batch))
+    finally:
+        q.stop()
+    streamed = {
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in spark.sql("SELECT * FROM feed_mor").collect()
+    }
+    assert streamed == batch
+
+    # Feed-less MoR commit: stream refuses with the recipe, backfill
+    # (MoR-aware read diff) makes it streamable.
+    root2 = str(tmp_path / "vt2")
+    t2 = VersionedTable.create(
+        spark, root2, _df(spark, [(1, "a"), (2, "b")]),
+        materialize_changes=False,
+    )
+    t2.upsert_deferred(_df(spark, [(2, "B")]), ["id"])
+    q = _start(spark, root2, "feed_mor0", str(tmp_path / "ck2"))
+    deadline = time.time() + 90
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    assert not q.isActive
+    assert "materialize_changes" in str(q.exception())
+    assert set(t2.materialize_changes()) == {2}
+    got = {
+        (r.id, r.val, r._change_type)
+        for r in t2.changes(1).collect()
+    }
+    assert got == {(2, "b", "delete"), (2, "B", "insert")}
