@@ -39,6 +39,12 @@ Supported statements (one per call):
 - ``DESCRIBE HISTORY <t> [LIMIT n]`` / ``DESCRIBE DETAIL <t>`` →
   metadata DataFrames (:func:`execute_describe`), Delta's
   introspection statements over the manifest — never touch data.
+- ``RESTORE [TABLE] <t> TO VERSION AS OF n | TIMESTAMP AS OF '<iso>'``
+  → :meth:`VersionedTable.restore` (a new commit of the pinned
+  snapshot; the undone versions stay time-travelable).
+- ``ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN c |
+  ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name`` →
+  the metadata-only column-mapping / constraint commits.
 
 Everything else (multi-statement scripts, DDL, out-of-subset MERGE
 forms) raises ``UnsupportedStatementError`` — the native APIs cover
@@ -216,6 +222,32 @@ _DESCRIBE_RE = re.compile(
     r"^DESC(?:RIBE)?\s+(?P<what>HISTORY|DETAIL)\s+"
     r"(?P<name>[A-Za-z_][\w.]*)"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_COL_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+DROP\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_CONSTRAINT_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<cname>[A-Za-z_]\w*)\s+CHECK\s*\((?P<expr>.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CONSTRAINT_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<cname>[A-Za-z_]\w*)$",
     re.IGNORECASE,
 )
 
@@ -460,11 +492,48 @@ def execute_dml(
             t.expire_versions(keep_last=int(mv.group("keep")))
         t.vacuum()
         return t.latest_version()
+    mrs = _RESTORE_RE.match(sql)
+    if mrs:
+        # Delta's RESTORE TABLE t TO VERSION/TIMESTAMP AS OF: a new
+        # commit whose content is the pinned snapshot (history keeps
+        # the undone versions — time travel still sees them).
+        t = _resolve(spark, mrs.group("name"), tables)
+        v = (
+            int(mrs.group("v"))
+            if mrs.group("v") is not None
+            else t.version_at(mrs.group("ts"))
+        )
+        return t.restore(v)
+    ma = _ALTER_RENAME_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.rename_column(ma.group("old"), ma.group("new"))
+    ma = _ALTER_DROP_COL_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.drop_column(ma.group("col"))
+    ma = _ALTER_ADD_CONSTRAINT_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.add_check_constraint(
+            ma.group("cname"), ma.group("expr").strip()
+        )
+    ma = _ALTER_DROP_CONSTRAINT_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.drop_check_constraint(ma.group("cname"))
+    if re.match(r"^ALTER\s+TABLE\b", sql, re.IGNORECASE):
+        raise UnsupportedStatementError(
+            "ALTER TABLE subset: RENAME COLUMN a TO b, DROP COLUMN c, "
+            "ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT name; "
+            f"got: {sql[:60]!r}"
+        )
     raise UnsupportedStatementError(
         "supported statements: UPDATE ... SET ... [WHERE], DELETE FROM "
         "... [WHERE], INSERT INTO ... VALUES/SELECT, MERGE INTO "
         "(restricted form), OPTIMIZE t [WHERE] [ZORDER BY], VACUUM t "
-        "[RETAIN n VERSIONS]; got: "
+        "[RETAIN n VERSIONS], RESTORE t TO VERSION/TIMESTAMP AS OF, "
+        "ALTER TABLE (rename/drop column, add/drop constraint); got: "
         f"{sql[:60]!r}"
     )
 

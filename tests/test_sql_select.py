@@ -219,3 +219,56 @@ def test_describe_unknown_refuses(spark, t):
         execute_sql(spark, "DESCRIBE EXTENDED t", {"t": t})
     with pytest.raises(UnsupportedStatementError, match="unknown table"):
         execute_sql(spark, "DESCRIBE HISTORY nope", {"t": t})
+
+
+def test_restore_statement(spark, t):
+    t.append(
+        spark.createDataFrame(
+            [(4, "c", 40.0)], "id bigint, grp string, v double"
+        )
+    )
+    ts1 = t.manifest(1).committed_at
+    v = execute_sql(spark, "RESTORE TABLE t TO VERSION AS OF 1", {"t": t})
+    assert v == 3 and t.read().count() == 3
+    # Undone versions stay time-travelable.
+    assert t.read(2).count() == 4
+    v = execute_sql(
+        spark, f"RESTORE t TO TIMESTAMP AS OF '{ts1}'", {"t": t}
+    )
+    assert t.read().count() == 3
+    with pytest.raises(UnsupportedStatementError):
+        execute_sql(spark, "RESTORE TABLE t", {"t": t})
+
+
+def test_alter_table_statements(spark, t):
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_dml
+
+    execute_dml(
+        spark, "ALTER TABLE t RENAME COLUMN v TO amount", {"t": t}
+    )
+    assert "amount" in t.read().columns and "v" not in t.read().columns
+    execute_dml(
+        spark,
+        "ALTER TABLE t ADD CONSTRAINT amt_pos CHECK (amount > 0)",
+        {"t": t},
+    )
+    with pytest.raises(Exception, match="amt_pos"):
+        t.append(
+            spark.createDataFrame(
+                [(9, "z", -1.0)], "id bigint, grp string, amount double"
+            )
+        )
+    execute_dml(
+        spark, "ALTER TABLE t DROP CONSTRAINT amt_pos", {"t": t}
+    )
+    t.append(
+        spark.createDataFrame(
+            [(9, "z", -1.0)], "id bigint, grp string, amount double"
+        )
+    )
+    execute_dml(spark, "ALTER TABLE t DROP COLUMN grp", {"t": t})
+    assert set(t.read().columns) == {"id", "amount"}
+    with pytest.raises(UnsupportedStatementError, match="ALTER TABLE subset"):
+        execute_dml(
+            spark, "ALTER TABLE t SET TBLPROPERTIES ('a'='b')", {"t": t}
+        )
