@@ -491,6 +491,48 @@ def _cast_to_ddl_types(df: DataFrame, ddl: str) -> DataFrame:
     )
 
 
+def _key_bounds_preds(df: DataFrame, key_cols) -> list[tuple]:
+    """(col, >=, lo) / (col, <=, hi) logical triples from df's per-key
+    min/max, for stats-scoping a key-addressed DML to the entries that
+    can contain matches. A NaN bound (float key containing NaN) poisons
+    every comparison ('x <= NaN' is False), which would classify ALL
+    dirs as untouched and silently skip matched rows — scoping stands
+    down entirely (returns []). Callers owning column mapping translate
+    to physical names themselves."""
+    if not key_cols:
+        return []
+    row = df.agg(
+        *[
+            f
+            for k in key_cols
+            for f in (
+                F.min(k).alias(f"__lo_{k}"),
+                F.max(k).alias(f"__hi_{k}"),
+            )
+        ]
+    ).collect()[0]
+    preds: list[tuple] = []
+    for k in key_cols:
+        lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+        if any(isinstance(b, float) and b != b for b in (lo, hi)):
+            return []
+        if lo is not None and hi is not None:
+            preds += [(k, ">=", lo), (k, "<=", hi)]
+    return preds
+
+
+def _refuse_null_keys(keys: DataFrame, cols, message: str) -> None:
+    """Raise `message` when any key row has a NULL in `cols` — SQL
+    equality never matches NULL, so a null key could never affect a
+    row; accepting it would silently do nothing."""
+    null_cond = None
+    for c in cols:
+        nc = F.col(c).isNull()
+        null_cond = nc if null_cond is None else (null_cond | nc)
+    if null_cond is not None and keys.filter(null_cond).limit(1).count():
+        raise ValueError(message)
+
+
 _INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -2876,33 +2918,7 @@ class VersionedTable:
                 if f.name in t_types
             )
         if scope_by_stats and key_cols:
-            row = updates.agg(
-                *[
-                    f
-                    for k in key_cols
-                    for f in (
-                        F.min(k).alias(f"__lo_{k}"),
-                        F.max(k).alias(f"__hi_{k}"),
-                    )
-                ]
-            ).collect()[0]
-            preds = []
-            nan_bound = False
-            for k in key_cols:
-                lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
-                # A NaN bound (float key containing NaN) poisons every
-                # comparison ('x <= NaN' is False), which would classify
-                # ALL dirs as untouched and silently skip matched rows —
-                # scoping must stand down entirely.
-                if any(
-                    isinstance(b, float) and b != b for b in (lo, hi)
-                ):
-                    nan_bound = True
-                    break
-                if lo is not None and hi is not None:
-                    preds += [(k, ">=", lo), (k, "<=", hi)]
-            if nan_bound:
-                preds = []
+            preds = _key_bounds_preds(updates, key_cols)
             # Stats are keyed by physical names (column mapping).
             fwd = _log_to_phys(pm.column_mapping)
             preds = [(fwd.get(c, c), op, v) for c, op, v in preds]
@@ -3568,27 +3584,7 @@ class VersionedTable:
         # Key bounds -> logical triples -> the same scoped selection the
         # COW paths use (NaN bounds poison comparisons: scoping stands
         # down entirely, like merge()).
-        preds: list[tuple] = []
-        if key_cols:
-            row = updates.agg(
-                *[
-                    f
-                    for k in key_cols
-                    for f in (
-                        F.min(k).alias(f"__lo_{k}"),
-                        F.max(k).alias(f"__hi_{k}"),
-                    )
-                ]
-            ).collect()[0]
-            for k in key_cols:
-                lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
-                if any(
-                    isinstance(b, float) and b != b for b in (lo, hi)
-                ):
-                    preds = []
-                    break
-                if lo is not None and hi is not None:
-                    preds += [(k, ">=", lo), (k, "<=", hi)]
+        preds = _key_bounds_preds(updates, key_cols)
         (
             scoped_sel, untouched, _carried, n_files_untouched,
         ) = self._scoped_cow_selection(pm, preds)
