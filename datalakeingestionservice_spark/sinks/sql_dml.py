@@ -72,6 +72,56 @@ def _strip(sql: str) -> str:
     return sql.strip().rstrip(";").strip()
 
 
+def _mask_literals(sql: str) -> str:
+    """Same-length copy of `sql` with the INTERIOR of quoted string
+    literals ('…' / "…", with backslash and doubled-quote escapes)
+    replaced by NUL bytes and comments (`-- …\\n`, `/* … */`) replaced
+    by spaces. Structural regexes (table-reference rewrite) run over
+    the masked text so a literal containing e.g. `FROM trades` can
+    never be mistaken for a table reference — refuse-never-reinterpret
+    extends to quoted text. Because lengths are preserved, match spans
+    index straight back into the original statement, so extracted
+    group text (names, versions, quoted timestamps) is read from the
+    ORIGINAL, unmasked characters."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            q, i = c, i + 1
+            while i < n:
+                if sql[i] == "\\" and i + 1 < n:
+                    out[i] = out[i + 1] = "\x00"
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:  # doubled escape
+                        out[i] = out[i + 1] = "\x00"
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                out[i] = "\x00"
+                i += 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+        elif c == "/" and sql[i : i + 2] == "/*":
+            out[i] = out[i + 1] = " "
+            i += 2
+            while i < n:
+                if sql[i : i + 2] == "*/":
+                    out[i] = out[i + 1] = " "
+                    i += 2
+                    break
+                out[i] = " "
+                i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _resolve(
     spark: SparkSession, name: str, tables: dict
 ) -> VersionedTable:
@@ -763,12 +813,26 @@ def execute_select(
             views.append(view)
         return resolved[key]
 
-    def sub(m: re.Match) -> str:
-        view = pin(m.group("name"), m.group("v"), m.group("ts"))
-        alias = m.group("alias1") or m.group("alias2") or m.group("name")
-        return f"{m.group('kw')} {view} AS {alias}"
+    # Match against the literal/comment-masked text (same length as
+    # `sql`), then read every group's characters from the ORIGINAL via
+    # its span — a quoted literal containing "FROM <name>" is opaque to
+    # the rewrite, while a quoted TIMESTAMP AS OF value (which the mask
+    # blanks) is still recovered exactly from the source text.
+    def grp(m: re.Match, name: str) -> str | None:
+        s, e = m.span(name)
+        return None if s == -1 else sql[s:e]
 
-    rewritten = _select_ref_re(list(tables)).sub(sub, sql)
+    masked = _mask_literals(sql)
+    parts: list[str] = []
+    last = 0
+    for m in _select_ref_re(list(tables)).finditer(masked):
+        view = pin(grp(m, "name"), grp(m, "v"), grp(m, "ts"))
+        alias = grp(m, "alias1") or grp(m, "alias2") or grp(m, "name")
+        parts.append(sql[last : m.start()])
+        parts.append(f"{grp(m, 'kw')} {view} AS {alias}")
+        last = m.end()
+    parts.append(sql[last:])
+    rewritten = "".join(parts)
     try:
         return spark.sql(rewritten)
     finally:

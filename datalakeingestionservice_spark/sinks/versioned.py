@@ -1840,10 +1840,22 @@ class VersionedTable:
         a space)."""
         norm = os.path.abspath(self.root).replace(os.sep, "/").rstrip("/")
         esc = norm.replace("'", "\\'")
+        # Decode the FULL URI first, then locate the plain root inside
+        # the decoded text: a root that itself contains a URI-encoded
+        # char (e.g. a space — '/data/John Doe/lake') arrives as
+        # '%20' in `_metadata.file_path`, so locate() on the raw URI
+        # would return 0 and the fixed-offset substring would store
+        # offset-garbage coordinates that the sessionless reader
+        # (os.path.relpath, plain) silently never matches. If the root
+        # still can't be found, fail the job loudly rather than commit
+        # wrong coordinates.
+        dec = "url_decode(replace(_metadata.file_path, '+', '%2B'))"
         rel = F.expr(
-            f"url_decode(replace(substring(_metadata.file_path, "
-            f"locate('{esc}/', _metadata.file_path) + {len(norm) + 1}), "
-            f"'+', '%2B'))"
+            f"CASE WHEN locate('{esc}/', {dec}) = 0 THEN "
+            f"raise_error('position-delete coordinates: table root "
+            f"{esc} not found in decoded file_path ' || {dec}) "
+            f"ELSE substring({dec}, locate('{esc}/', {dec}) "
+            f"+ {len(norm) + 1}) END"
         )
         return [
             rel.alias("__file_rel"),

@@ -530,7 +530,12 @@ class VersionedTableReader(DataSourceReader):
             if dparts:
                 pos_tab = pa.concat_tables(dparts)
         # Equality-delete key sets, loaded ONCE per partition: (logical
-        # key cols, deduped pandas frame) per scoped delete file.
+        # key cols, deduped ARROW key table) per scoped delete file.
+        # Kept arrow-native end to end: a pandas round-trip would turn
+        # an int64 key column containing NULLs into float64, and float
+        # comparison of keys above 2^53 can wrongly match (row silently
+        # deleted) or miss (deleted row served) — the session reader's
+        # left_anti join is exact, so this side must be too.
         eq_sets = []
         for eq_dir, eq_cols in partition.eq_dels:
             efs = sorted(glob.glob(os.path.join(eq_dir, "*.parquet")))
@@ -541,7 +546,10 @@ class VersionedTableReader(DataSourceReader):
             )
             if del_tab.num_rows:
                 eq_sets.append(
-                    (list(eq_cols), del_tab.to_pandas().drop_duplicates())
+                    (
+                        list(eq_cols),
+                        del_tab.group_by(list(eq_cols)).aggregate([]),
+                    )
                 )
         for path in files:
             deleted_pos = None
@@ -594,21 +602,39 @@ class VersionedTableReader(DataSourceReader):
                     keep[np.array(live, dtype=np.int64)] = False
                 logical = logical.filter(pa.array(keep))
             # Merge-on-read EQUALITY deletes: anti-join the key values
-            # (loaded once per partition, below). `logical` always
+            # (loaded once per partition, above). `logical` always
             # carries every table column (the reader does not prune
             # columns), so key columns are present; rows with a NULL
-            # key value never match (the delete side is non-null by the
-            # write contract, and pandas' left merge can't pair a value
-            # with a missing one).
-            for eq_cols, del_pdf in eq_sets:
+            # key value never match (SQL join semantics — Acero's
+            # hash join never pairs a null key). Arrow-native left-semi
+            # join against a row-index column, so int64 keys stay
+            # exact (no pandas float64 coercion of nullable ints).
+            for eq_cols, del_tabk in eq_sets:
                 if not logical.num_rows:
                     break
-                key_pdf = logical.select(eq_cols).to_pandas()
-                mergedm = key_pdf.merge(
-                    del_pdf, on=eq_cols, how="left", indicator=True
+                import numpy as np
+
+                keys = logical.select(eq_cols)
+                del_cast = pa.table(
+                    {
+                        c: del_tabk.column(c).cast(
+                            keys.schema.field(c).type
+                        )
+                        for c in eq_cols
+                    }
                 )
-                keepm = (mergedm["_merge"] == "left_only").to_numpy()
-                if not keepm.all():
+                idx = keys.append_column(
+                    "__row",
+                    pa.array(
+                        np.arange(logical.num_rows), type=pa.int64()
+                    ),
+                )
+                hit = idx.join(
+                    del_cast, keys=eq_cols, join_type="left semi"
+                )
+                if hit.num_rows:
+                    keepm = np.ones(logical.num_rows, dtype=bool)
+                    keepm[hit.column("__row").to_numpy()] = False
                     logical = logical.filter(pa.array(keepm))
             if partition.preds:
                 mask = keep_mask(partition.preds, logical)

@@ -171,6 +171,25 @@ def make_cdc_apply_committer(
                         "replica to match and restart, or use a fresh "
                         "stream_name for a full resync"
                     )
+                if rep_cols - feed_cols:
+                    # A feed that merely LACKS replica columns is the
+                    # shape a source DROP COLUMN produces after stream
+                    # restart. Applying it with merge_schema would
+                    # null-fill the missing column on every MATCHED key
+                    # while unmatched keys keep stale values — a silent
+                    # replica fork. Refuse with the recovery recipe
+                    # instead (pre-guard behavior was a loud merge
+                    # refusal; the guard must not be weaker).
+                    raise ValueError(
+                        f"{table_root}/{stream_name}: feed lacks replica "
+                        f"columns {sorted(rep_cols - feed_cols)} — the "
+                        "shape a source DROP COLUMN produces; applying "
+                        "it would null-fill matched rows while unmatched "
+                        "rows keep stale values (silent fork). Run "
+                        "VersionedTable.drop_column on the replica for "
+                        "each dropped column and restart, or use a "
+                        "fresh stream_name for a full resync"
+                    )
             if mode == "upsert_deferred":
                 version = table.upsert_deferred(
                     net.filter(~F.col(_DELETE_FLAG)).drop(_DELETE_FLAG),

@@ -290,6 +290,64 @@ def test_rename_shaped_feed_refuses_then_rename_converges(
     assert got == {(1, "a"), (2, "b")}
 
 
+def test_drop_shaped_feed_refuses_then_drop_converges(spark, tmp_path):
+    """A feed that merely LACKS a replica column (the shape a source
+    DROP COLUMN produces after stream restart) must refuse loudly: a
+    merge_schema apply would null-fill the column on matched keys while
+    unmatched keys keep stale values — a silent replica fork. The
+    recipe (`drop_column` on the replica) makes the next attempt
+    converge. (ADVICE r7 #1.)"""
+    root = str(tmp_path / "replica")
+    commit = make_cdc_apply_committer(root, ["id"])
+    commit(
+        spark.createDataFrame(
+            [(1, "a", 10, "insert", 1), (2, "b", 20, "insert", 1)],
+            "id bigint, val string, extra int, _change_type string, "
+            "_commit_version bigint",
+        ),
+        0,
+    )
+    dropped = spark.createDataFrame(
+        [(1, "A", "insert", 2), (3, "c", "insert", 2)],
+        "id bigint, val string, _change_type string, "
+        "_commit_version bigint",
+    )
+    with pytest.raises(ValueError, match="DROP COLUMN"):
+        commit(dropped, 1)
+    # the refusal left no partial commit
+    assert _snap(VersionedTable(spark, root)) == {
+        (1, "a", 10): 1, (2, "b", 20): 1,
+    }
+    VersionedTable(spark, root).drop_column("extra")
+    commit(dropped, 1)
+    got = {(r.id, r.val) for r in
+           VersionedTable(spark, root).read().collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c")}
+
+
+def test_drop_shaped_feed_refuses_in_mor_mode(spark, tmp_path):
+    """Same guard on the upsert_deferred (merge-on-read) path."""
+    root = str(tmp_path / "replica")
+    commit = make_cdc_apply_committer(
+        root, ["id"], mode="upsert_deferred"
+    )
+    commit(
+        spark.createDataFrame(
+            [(1, "a", 10, "insert", 1)],
+            "id bigint, val string, extra int, _change_type string, "
+            "_commit_version bigint",
+        ),
+        0,
+    )
+    dropped = spark.createDataFrame(
+        [(1, "A", "insert", 2)],
+        "id bigint, val string, _change_type string, "
+        "_commit_version bigint",
+    )
+    with pytest.raises(ValueError, match="drop_column"):
+        commit(dropped, 1)
+
+
 def _data_files(root):
     import os
 

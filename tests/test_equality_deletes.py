@@ -91,6 +91,33 @@ def test_delete_keys_multi_column_and_null_data_rows(spark, root):
     assert got == {(2, "a"), (3, "b"), (4, "c"), (5, None)}
 
 
+def test_eq_deletes_exact_int64_keys_above_2p53_with_nulls(spark, root):
+    """The sessionless reader's equality anti-join must stay EXACT for
+    int64 keys above 2^53 even when the key column contains NULLs in
+    the data: a pandas round-trip would coerce nullable int64 to
+    float64, where 2^53 and 2^53+1 compare equal — silently deleting a
+    surviving row (or serving a deleted one). Arrow-native join keeps
+    integer identity. (ADVICE r7 #4.)"""
+    big = 2**53  # 9007199254740992; +1 is float64-indistinguishable
+    rows = [
+        (big, "keep", 1.0),
+        (big + 1, "delete-me", 2.0),
+        (None, "null-key", 3.0),
+    ]
+    t = VersionedTable.create(spark, root, _df(spark, rows))
+    t.delete_keys_deferred(
+        spark.createDataFrame([(big + 1,)], "id bigint")
+    )
+    expect = {(big, "keep"), (None, "null-key")}
+    assert {(r.id, r.grp) for r in t.read().collect()} == expect
+    ds = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+    )
+    assert {(r.id, r.grp) for r in ds.collect()} == expect
+
+
 def test_delete_keys_refuses_null_keys(spark, root):
     t = VersionedTable.create(spark, root, _df(spark, ROWS))
     with pytest.raises(ValueError, match="NULL"):

@@ -312,6 +312,36 @@ def test_pos_deletes_uri_special_partition_values(spark, root):
     assert {(r.id, r.grp, r.v) for r in ds.collect()} == expect
 
 
+def test_pos_deletes_uri_special_table_root(spark, tmp_path):
+    """The TABLE ROOT itself may contain URI-encoded characters (a
+    space — '/data/John Doe/lake'): `_metadata.file_path` then encodes
+    the root too, so locate() of the plain root over the RAW URI
+    returns 0 and the stored coordinates would be offset-garbage that
+    the sessionless reader (os.path.relpath, plain) silently never
+    matches — deleted rows resurface. The full path is url-decoded
+    BEFORE the root is stripped, so both read surfaces agree.
+    (ADVICE r7 #2.)"""
+    root = str(tmp_path / "John Doe" / "100% lake")
+    t = VersionedTable.create(
+        spark, root, _df(spark, ROWS), partition_by=["grp"]
+    )
+    t.update_where_deferred([("id", "<=", 2)], {"v": "0.0"})
+    t.delete_where_deferred("id = 4")
+    expect = {
+        (1, "a", 0.0),
+        (2, "a", 0.0),
+        (3, "b", 30.0),
+        (5, None, 50.0),
+    }
+    assert {(r.id, r.grp, r.v) for r in t.read().collect()} == expect
+    ds = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+    )
+    assert {(r.id, r.grp, r.v) for r in ds.collect()} == expect
+
+
 def test_compact_deletes_merges_coordinate_files(spark, root):
     """N streaming-style MoR commits leave N small delete files;
     compact_deletes merges them into ONE without touching a single

@@ -77,6 +77,50 @@ def test_cross_version_self_join(spark, t):
     assert [(r.id, r.v_now, r.v_then) for r in got] == [(1, 111.0, 10.0)]
 
 
+def test_literal_containing_from_ref_not_rewritten(spark, t):
+    """A quoted literal containing 'FROM <registered-name>' must pass
+    through VERBATIM — the reference-rewrite runs over a masked copy of
+    the statement, so quoted text can never be mistaken for a table
+    reference. (ADVICE r7 #3.)"""
+    got = execute_select(
+        spark,
+        "SELECT id, 'FROM t' AS note FROM t WHERE grp = 'a' "
+        "ORDER BY id",
+        {"t": t},
+    ).collect()
+    assert [(r.id, r.note) for r in got] == [
+        (1, "FROM t"), (2, "FROM t"),
+    ]
+    # ... and in WHERE position, where corruption would change rows
+    n = execute_select(
+        spark,
+        "SELECT count(*) AS n FROM t WHERE grp <> 'JOIN t'",
+        {"t": t},
+    ).collect()[0].n
+    assert n == 3
+
+
+def test_comment_containing_ref_not_rewritten_but_timestamp_still_read(
+    spark, t
+):
+    """Comments are masked too; a quoted TIMESTAMP AS OF value (itself
+    a literal the mask blanks) is still recovered exactly from the
+    original text via match spans."""
+    ts1 = t.manifest(1).committed_at
+    t.append(
+        spark.createDataFrame(
+            [(4, "c", 40.0)], "id bigint, grp string, v double"
+        )
+    )
+    n = execute_select(
+        spark,
+        "SELECT count(*) AS n -- not a ref: FROM t\n"
+        f"FROM t TIMESTAMP AS OF '{ts1}' /* JOIN t */",
+        {"t": t},
+    ).collect()[0].n
+    assert n == 3
+
+
 def test_qualified_refs_and_where_not_swallowed(spark, t):
     # `WHERE` directly after the ref must not parse as an alias; the
     # table name stays usable as a qualifier.
