@@ -1199,9 +1199,82 @@ class Manifest:
             sort_keys=True,
         )
 
+    def to_delta_json(self, parent: "Manifest") -> str | None:
+        """Delta encoding vs the immediate parent (the Delta-log /
+        Iceberg-manifest-list idea): a commit records only the entries
+        it ADDED and REMOVED (plus any changed metadata fields), so
+        commit metadata cost is proportional to the CHANGE, not to the
+        number of live files — the property that keeps a scan-free MoR
+        upsert genuinely O(batch) when the table holds millions of
+        entries. Every `_CHECKPOINT_INTERVAL`-th version is written as
+        a full snapshot instead, bounding read-side reconstruction to a
+        short tail.
+
+        Returns None when a delta cannot reproduce this manifest
+        byte-exactly (surviving entries were REORDERED — compact /
+        z-order rewrites) or would not be smaller than a checkpoint —
+        the caller writes a full snapshot."""
+        if parent.version != self.version - 1:
+            return None
+        pset = set(parent.files)
+        nset = set(self.files)
+        removed = [f for f in parent.files if f not in nset]
+        added = [f for f in self.files if f not in pset]
+        recon = [f for f in parent.files if f in nset] + added
+        if recon != list(self.files):
+            return None  # surviving-entry reorder: full snapshot
+        stats_set = {
+            k: v
+            for k, v in self.stats.items()
+            if k not in parent.stats or parent.stats[k] != v
+        }
+        stats_dropped = [k for k in parent.stats if k not in self.stats]
+        if len(added) + len(removed) + len(stats_set) >= max(
+            1, len(self.files) + len(self.stats)
+        ):
+            return None  # delta would be as big as the checkpoint
+        d: dict = {
+            "delta_of": parent.version,
+            "version": self.version,
+            "operation": self.operation,
+            "committed_at": self.committed_at,
+            "summary": self.summary,
+            "files_added": added,
+            "files_removed": removed,
+            "stats_set": stats_set,
+            "stats_dropped": stats_dropped,
+        }
+        for key, mine, theirs in (
+            ("schema_ddl", self.schema_ddl, parent.schema_ddl),
+            (
+                "partition_by",
+                list(self.partition_by),
+                list(parent.partition_by),
+            ),
+            ("constraints", self.constraints, parent.constraints),
+            (
+                "bloom_columns",
+                list(self.bloom_columns),
+                list(parent.bloom_columns),
+            ),
+            (
+                "delete_predicates",
+                list(self.delete_predicates),
+                list(parent.delete_predicates),
+            ),
+            ("column_mapping", self.column_mapping, parent.column_mapping),
+            (
+                "past_specs",
+                [list(sp) for sp in self.past_specs],
+                [list(sp) for sp in parent.past_specs],
+            ),
+        ):
+            if mine != theirs:
+                d[key] = mine
+        return json.dumps(d, indent=2, sort_keys=True)
+
     @staticmethod
-    def from_json(text: str) -> "Manifest":
-        d = json.loads(text)
+    def from_json_dict(d: dict) -> "Manifest":
         return Manifest(
             version=d["version"],
             operation=d["operation"],
@@ -1220,12 +1293,135 @@ class Manifest:
             ),
         )
 
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        return Manifest.from_json_dict(json.loads(text))
+
     def physical_name(self, logical: str) -> str:
         return self.column_mapping.get("map", {}).get(logical, logical)
 
 
 def _manifest_name(version: int) -> str:
     return f"v{version:08d}.json"
+
+
+#: Every Nth version is a FULL snapshot (checkpoint); the versions in
+#: between are deltas vs their parent. Reconstruction of any version
+#: therefore reads at most N small files. 10 matches Delta's default
+#: checkpoint interval.
+_CHECKPOINT_INTERVAL = 10
+
+
+def _parse_version_file(text: str) -> dict:
+    """Raw dict of a committed version file (full snapshot OR delta);
+    raises KeyError/ValueError for a TORN CLAIM (crashed writer left
+    the name without parseable content) — callers skip those."""
+    d = json.loads(text)
+    if "version" not in d or ("files" not in d and "delta_of" not in d):
+        raise KeyError("not a committed manifest")
+    return d
+
+
+def _apply_delta(parent: Manifest, d: dict) -> Manifest:
+    """Reconstruct a delta-encoded version on top of its parent."""
+    removed = set(d.get("files_removed", ()))
+    nfiles = [f for f in parent.files if f not in removed] + list(
+        d.get("files_added", ())
+    )
+    dropped = set(d.get("stats_dropped", ()))
+    stats = {
+        k: v for k, v in parent.stats.items() if k not in dropped
+    }
+    stats.update(d.get("stats_set", {}))
+    return Manifest(
+        version=d["version"],
+        operation=d["operation"],
+        files=tuple(nfiles),
+        schema_ddl=d.get("schema_ddl", parent.schema_ddl),
+        committed_at=d["committed_at"],
+        summary=d.get("summary", {}),
+        stats=stats,
+        partition_by=(
+            tuple(d["partition_by"])
+            if "partition_by" in d
+            else parent.partition_by
+        ),
+        constraints=(
+            dict(d["constraints"])
+            if "constraints" in d
+            else parent.constraints
+        ),
+        bloom_columns=(
+            tuple(d["bloom_columns"])
+            if "bloom_columns" in d
+            else parent.bloom_columns
+        ),
+        delete_predicates=(
+            tuple(d["delete_predicates"])
+            if "delete_predicates" in d
+            else parent.delete_predicates
+        ),
+        column_mapping=(
+            dict(d["column_mapping"])
+            if "column_mapping" in d
+            else parent.column_mapping
+        ),
+        past_specs=(
+            tuple(tuple(sp) for sp in d["past_specs"])
+            if "past_specs" in d
+            else parent.past_specs
+        ),
+    )
+
+
+def load_all_manifests(mdir: str) -> list[Manifest]:
+    """Every committed version, oldest first, reconstructing deltas on
+    the fly in one forward pass. Torn claims are skipped (they can't
+    serve reads); a delta whose parent is unreadable is skipped too —
+    `expire_versions` guarantees that never happens for retained
+    versions by materializing the oldest survivor as a checkpoint."""
+    out: list[Manifest] = []
+    prev: Manifest | None = None
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                d = _parse_version_file(f.read())
+        except (OSError, ValueError, KeyError):
+            continue  # torn claim
+        if "delta_of" in d and "files" not in d:
+            if prev is None or prev.version != d["delta_of"]:
+                continue  # broken chain head; unreadable
+            m = _apply_delta(prev, d)
+        else:
+            m = Manifest.from_json_dict(d)
+        out.append(m)
+        prev = m
+    return out
+
+
+def load_manifest_at(mdir: str, version: int) -> Manifest:
+    """One version, reading only its delta chain back to the nearest
+    checkpoint — at most `_CHECKPOINT_INTERVAL` small files, never the
+    whole history."""
+    chain: list[dict] = []
+    v = version
+    while True:
+        path = os.path.join(mdir, _manifest_name(v))
+        try:
+            with open(path) as f:
+                d = _parse_version_file(f.read())
+        except (OSError, ValueError, KeyError):
+            raise NoSuchVersionError(f"{mdir}: no version {v}")
+        chain.append(d)
+        if "delta_of" not in d or "files" in d:
+            break
+        v = d["delta_of"]
+    m = Manifest.from_json_dict(chain[-1])
+    for d in reversed(chain[:-1]):
+        m = _apply_delta(m, d)
+    return m
 
 
 # -- commit protocol ---------------------------------------------------------
@@ -1332,6 +1528,8 @@ class VersionedTable:
         self.spark = spark
         self.root = root
         self._protocol = commit_protocol or HardLinkCommitProtocol()
+        #: version -> ((mtime_ns, size), Manifest) reconstruction memo.
+        self._mcache: dict[int, tuple] = {}
         #: With False, copy-on-write DML skips writing change files (Delta
         #: makes CDF opt-in for the same reason: a table nobody consumes
         #: as a feed shouldn't pay an extra snapshot-sized write per
@@ -1676,37 +1874,49 @@ class VersionedTable:
 
     # -- metadata ----------------------------------------------------------
     def versions(self) -> list[Manifest]:
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
-        out = []
-        for name in sorted(os.listdir(mdir)):
-            if name.startswith("v") and name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    text = f.read()
-                try:
-                    out.append(Manifest.from_json(text))
-                except (json.JSONDecodeError, KeyError):
-                    # A torn manifest is an ORPHANED CLAIM: the conditional-
-                    # PUT emulation crashed between creating the name and
-                    # writing its content. It can't serve reads, so readers
-                    # skip it (seeing the table as of the last parseable
-                    # version); writers trying to claim that number conflict
-                    # until vacuum() reclaims it past the claim timeout.
-                    continue
-        return out
+        # One forward pass reconstructing deltas; torn manifests
+        # (ORPHANED CLAIMS: the conditional-PUT emulation crashed
+        # between creating the name and writing its content) are
+        # skipped — they can't serve reads, and writers trying to claim
+        # that number conflict until vacuum() reclaims them.
+        return load_all_manifests(os.path.join(self.root, _MANIFEST_DIR))
 
     def latest_version(self) -> int:
-        versions = self.versions()
-        if not versions:
-            raise NoSuchVersionError(f"{self.root}: no committed versions")
-        return versions[-1].version
+        # Planning cost must not be O(history): read file NAMES, then
+        # parse from the newest until one is a committed version (torn
+        # claims skipped) — normally exactly one small read.
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        names = sorted(
+            n
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        for name in reversed(names):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    return _parse_version_file(f.read())["version"]
+            except (OSError, ValueError, KeyError):
+                continue  # torn claim
+        raise NoSuchVersionError(f"{self.root}: no committed versions")
 
     def manifest(self, version: int | None = None) -> Manifest:
         version = self.latest_version() if version is None else version
-        path = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
-        if not os.path.exists(path):
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        path = os.path.join(mdir, _manifest_name(version))
+        try:
+            st = os.stat(path)
+        except OSError:
             raise NoSuchVersionError(f"{self.root}: no version {version}")
-        with open(path) as f:
-            return Manifest.from_json(f.read())
+        # Per-version memo, validated by the file's identity (a
+        # committed version is immutable except for in-place summary
+        # annotation, which changes mtime/size and so misses the memo).
+        key = (st.st_mtime_ns, st.st_size)
+        hit = self._mcache.get(version)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        m = load_manifest_at(mdir, version)
+        self._mcache[version] = (key, m)
+        return m
 
     def history(self) -> DataFrame:
         rows = [
@@ -4294,25 +4504,27 @@ class VersionedTable:
         difference is its summary (metadata annotation, e.g. a backfilled
         change-file reference) — data entries, schema, and version are
         untouched, so snapshot immutability holds for readers."""
-        new = Manifest(
-            version=m.version,
-            operation=m.operation,
-            files=m.files,
-            schema_ddl=m.schema_ddl,
-            committed_at=m.committed_at,
-            summary=summary,
-            stats=m.stats,
-            partition_by=m.partition_by,
-            constraints=m.constraints,
-            bloom_columns=m.bloom_columns,
-            delete_predicates=m.delete_predicates,
-            column_mapping=m.column_mapping,
-        )
+        import dataclasses
+
+        new = dataclasses.replace(m, summary=summary)
         mdir = os.path.join(self.root, _MANIFEST_DIR)
+        path = os.path.join(mdir, _manifest_name(m.version))
+        # Preserve the storage form: if the version is delta-encoded,
+        # rewrite it as a delta (summary is carried fully in every
+        # delta), so annotation doesn't balloon a small commit record
+        # back to O(table).
+        with open(path) as f:
+            d = _parse_version_file(f.read())
+        if "delta_of" in d and "files" not in d:
+            d["summary"] = summary
+            text = json.dumps(d, indent=2, sort_keys=True)
+        else:
+            text = new.to_json()
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            f.write(new.to_json())
-        os.replace(tmp, os.path.join(mdir, _manifest_name(m.version)))
+            f.write(text)
+        os.replace(tmp, path)
+        self._mcache.pop(m.version, None)
 
     # -- maintenance -------------------------------------------------------
     def compact_deletes(self) -> int:
@@ -4648,11 +4860,34 @@ class VersionedTable:
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
         expired = versions[:-keep_last]
+        if not expired:
+            return []
+        # The oldest RETAINED version must stand alone once its
+        # ancestors are gone: if it is stored as a delta, rewrite it in
+        # place as a full checkpoint first (same logical content, so
+        # snapshot immutability holds for readers).
+        self._materialize_checkpoint(versions[-keep_last])
         for m in expired:
             os.remove(
                 os.path.join(self.root, _MANIFEST_DIR, _manifest_name(m.version))
             )
+            self._mcache.pop(m.version, None)
         return [m.version for m in expired]
+
+    def _materialize_checkpoint(self, m: Manifest) -> None:
+        """Rewrite version `m.version`'s file as a FULL snapshot iff it
+        is currently delta-encoded (no-op otherwise)."""
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        path = os.path.join(mdir, _manifest_name(m.version))
+        with open(path) as f:
+            d = _parse_version_file(f.read())
+        if "delta_of" not in d or "files" in d:
+            return  # already a checkpoint
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+        os.replace(tmp, path)
+        self._mcache.pop(m.version, None)
 
     def vacuum(self, claim_timeout_s: float | None = 3600.0) -> list[str]:
         """Delete data dirs (and materialized change dirs) referenced by NO
@@ -4680,7 +4915,7 @@ class VersionedTable:
                 path = os.path.join(mdir, name)
                 try:
                     with open(path) as f:
-                        Manifest.from_json(f.read())
+                        _parse_version_file(f.read())
                     continue  # parseable: a real committed version
                 except (json.JSONDecodeError, KeyError, OSError):
                     pass
@@ -5046,5 +5281,15 @@ class VersionedTable:
             past_specs=past_specs,
         )
         final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
-        self._protocol.publish(final, m.to_json())
+        # Delta-encode vs the parent (commit metadata ∝ the CHANGE, not
+        # O(live files)); every _CHECKPOINT_INTERVAL-th version — and
+        # any commit a delta can't represent byte-exactly — is a full
+        # checkpoint, bounding read-side reconstruction to a short tail.
+        text = None
+        if expected_parent and version % _CHECKPOINT_INTERVAL != 0:
+            try:
+                text = m.to_delta_json(self.manifest(expected_parent))
+            except NoSuchVersionError:
+                text = None
+        self._protocol.publish(final, text if text is not None else m.to_json())
         return version

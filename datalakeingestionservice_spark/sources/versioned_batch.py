@@ -88,17 +88,16 @@ _OPS = {
 
 
 def _load_manifest(root: str, options: dict) -> Manifest:
+    from datalakeingestionservice_spark.sinks.versioned import (
+        load_all_manifests,
+    )
+
     mdir = os.path.join(root, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         raise NoSuchVersionError(f"{root} is not a versioned table")
-    manifests = []
-    for name in sorted(os.listdir(mdir)):
-        if name.startswith("v") and name.endswith(".json"):
-            try:
-                with open(os.path.join(mdir, name)) as f:
-                    manifests.append(Manifest.from_json(f.read()))
-            except (ValueError, KeyError):
-                continue  # torn claim
+    # Forward-pass loader reconstructs delta-encoded versions (torn
+    # claims skipped) — the same storage layer the session class uses.
+    manifests = load_all_manifests(mdir)
     if not manifests:
         raise NoSuchVersionError(f"{root}: no committed versions")
     if options.get("version"):

@@ -49,15 +49,16 @@ CHANGE_TYPE_COL = "_change_type"
 
 
 def _manifests(root: str) -> list[Manifest]:
+    from datalakeingestionservice_spark.sinks.versioned import (
+        load_all_manifests,
+    )
+
     mdir = os.path.join(root, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         raise NoSuchVersionError(f"{root} is not a versioned table")
-    out = []
-    for name in sorted(os.listdir(mdir)):
-        if name.startswith("v") and name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                out.append(Manifest.from_json(f.read()))
-    return out
+    # Delta-aware forward pass (same storage layer as the session
+    # class); torn claims are skipped.
+    return load_all_manifests(mdir)
 
 
 class _DirPartition(InputPartition):

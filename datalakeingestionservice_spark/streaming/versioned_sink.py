@@ -83,8 +83,8 @@ def _find_epoch_version(
     write), not O(table history), at high commit rates."""
     from datalakeingestionservice_spark.sinks.versioned import (
         _MANIFEST_DIR,
-        Manifest,
         _manifest_name,
+        _parse_version_file,
     )
 
     mdir = os.path.join(table_root, _MANIFEST_DIR)
@@ -98,14 +98,18 @@ def _find_epoch_version(
             continue
         try:
             with open(os.path.join(mdir, name)) as f:
-                m = Manifest.from_json(f.read())
+                d = _parse_version_file(f.read())
         except (OSError, ValueError, KeyError):
             continue  # torn claim; not a committed version
+        # Raw-dict probe: version + summary are present in BOTH the
+        # full-snapshot and delta encodings, so no reconstruction of
+        # the entry list is needed for the marker search.
+        summary = d.get("summary", {})
         if (
-            m.summary.get("stream") == stream_name
-            and m.summary.get("epoch") == epoch
+            summary.get("stream") == stream_name
+            and summary.get("epoch") == epoch
         ):
-            return m.version
+            return d["version"]
     return None
 
 
