@@ -235,13 +235,25 @@ def q44_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
-shingles AS (
+all_shingles AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(w) - 1),
                                  i -> array_to_string(w[i:i+2], ' '))) AS shingle
     FROM words WHERE len(w) >= 3
   )
+),
+-- stop-shingle pruning, SAME df cut as the engine (max_shingle_freq=50):
+-- a shingle in more than 50 docs contributes C(df,2) candidate pairs of
+-- near-zero signal; at the test SFs max df is ~25 so nothing is pruned
+-- (results identical to the unpruned form), while at 10x+ volume the cut
+-- bounds the quadratic term.
+stop AS (
+  SELECT shingle FROM all_shingles GROUP BY shingle HAVING count(*) > 50
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle FROM all_shingles s
+  WHERE s.shingle NOT IN (SELECT shingle FROM stop)
 ),
 doc_sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
@@ -264,10 +276,18 @@ ORDER BY doc_a, doc_b
 def q45_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over 3-word shingles via an inverted-index self-join:
     candidate pairs only where a shingle co-occurs, so cost is driven by
-    posting-list sizes, not |docs|^2. At 100 TB the same plan holds with
-    frequent-shingle pruning (drop shingles with huge posting lists)."""
+    posting-list sizes, not |docs|^2 — bounded by stop-shingle pruning
+    (`max_shingle_freq=50`, mirrored in the DuckDB oracle so the query
+    stays hash-checked): a shingle in >50 docs adds C(df,2) candidate
+    pairs of near-zero signal, the quadratic term that made the unpruned
+    form 15.5x at the sf1 probe. At the test SFs max df is ~25, so the
+    cut prunes nothing and results are identical to the unpruned form;
+    pruned-vs-unpruned recall is pinned 1.0 in pytest at an aggressive
+    cut (tests/test_operators.py)."""
     env = Env(spark, sf_dir)
-    shingles = word_shingles(env.t("documents"), "doc_id", "text", n=3)
+    shingles = word_shingles(
+        env.t("documents"), "doc_id", "text", n=3, max_shingle_freq=50
+    )
     pairs = jaccard_pairs(shingles, id_col="doc_id", threshold=0.5)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")

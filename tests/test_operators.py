@@ -85,6 +85,40 @@ def test_stop_shingle_pruning_recall(spark, sf_dir):
     assert (8, 120) in full and (8, 120) not in tight
 
 
+def test_q45_production_cut_recall_anchor(spark, sf_dir):
+    """q45 ships with stop-shingle pruning `max_shingle_freq=50`
+    mirrored in its DuckDB oracle (the fix for the sf1 probe's
+    quadratic candidate join). Two pins at sf0.001: (a) the production
+    cut prunes NOTHING at test SFs (max df ~9), so the oracle result is
+    bit-identical to the historical unpruned form; (b) even an
+    AGGRESSIVE cut (5, which does prune the df 6-9 head here) keeps
+    pair recall 1.0 at q45's threshold — the cut drops only
+    signal-free ubiquitous shingles."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    full_sh = word_shingles(docs, "doc_id", "text", n=3)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(full_sh, threshold=0.5).collect()
+    }
+    assert full
+    prod_sh = word_shingles(
+        docs, "doc_id", "text", n=3, max_shingle_freq=50
+    )
+    assert prod_sh.count() == full_sh.count()  # (a) no-op at this SF
+    aggr_sh = word_shingles(
+        docs, "doc_id", "text", n=3, max_shingle_freq=5
+    )
+    assert aggr_sh.count() < full_sh.count()  # cut actually engaged
+    aggr = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(aggr_sh, threshold=0.5).collect()
+    }
+    assert full <= aggr  # (b) recall 1.0
+
+
 def test_minhash_recall_vs_exact_anchor(spark, sf_dir):
     """MinHash LSH candidate recall against the exact-Jaccard anchor (the
     q45/q46 pair). Banding theory: P(candidate) = 1-(1-s^r)^b; bands=8 x
