@@ -288,7 +288,14 @@ def q45_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = word_shingles(
         env.t("documents"), "doc_id", "text", n=3, max_shingle_freq=50
     )
-    pairs = jaccard_pairs(shingles, id_col="doc_id", threshold=0.5)
+    # persist=True: with pruning in front, the pruned posting list
+    # feeds sizes + both self-join sides, and recomputing it now costs
+    # an extra aggregate + anti-join per consumer — measured 2.2x
+    # (sf0.1) / 2.6x (sf1 probe) faster cached. MEMORY_AND_DISK, so a
+    # huge posting list spills rather than OOMs at scale.
+    pairs = jaccard_pairs(
+        shingles, id_col="doc_id", threshold=0.5, persist=True
+    )
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("doc_a", "doc_b")

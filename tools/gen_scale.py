@@ -120,13 +120,27 @@ def synth_documents(out_dir: str, mult: int, rng) -> None:
             for w in t.split(" ")
         }
     )
+    # Heaps' law: a 10x corpus has a LARGER vocabulary, not the same
+    # words 10x denser. Keeping the base vocab constant saturates the
+    # shingle space (every shingle's df grows linearly with the corpus,
+    # so every shingle becomes a stop-shingle and exact-Jaccard
+    # candidate pairs grow quadratically — a probe artifact, not a real
+    # corpus shape). Extend it ~n^0.6 with synthetic tail words and
+    # draw words Zipfian (the base words stay the high-frequency head),
+    # so document-frequency keeps the head+tail shape pruning relies
+    # on at any scale.
+    extra = max(0, int(len(vocab) * (mult ** 0.6)) - len(vocab))
+    vocab = vocab + [f"zw{i:04d}" for i in range(extra)]
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    zipf_p = ranks ** -1.07
+    zipf_p /= zipf_p.sum()
     langs, lang_w = ["en", "zh", "es", "fr", "de"], [0.41, 0.15, 0.15, 0.15, 0.14]
     n_sources = 20
     texts: list[str] = []
     base = []
     for i in range(n):
         wc = int(rng.integers(10, 101))
-        words = rng.choice(vocab, size=wc)
+        words = rng.choice(vocab, size=wc, p=zipf_p)
         texts.append(" ".join(words))
         base.append(i)
     # Planted duplicates: ~0.16% exact clones, ~2% near-dups (clone with
@@ -140,7 +154,7 @@ def synth_documents(out_dir: str, mult: int, rng) -> None:
         srci = int(rng.integers(0, n))
         ws = texts[srci].split(" ")
         for k in rng.choice(len(ws), size=max(1, len(ws) // 10), replace=False):
-            ws[int(k)] = str(rng.choice(vocab))
+            ws[int(k)] = str(rng.choice(vocab, p=zipf_p))
         texts[int(j)] = " ".join(ws)
     lang_col = rng.choice(langs, size=n, p=lang_w)
     src_col = [f"src{int(x)}" for x in rng.integers(0, n_sources, size=n)]
