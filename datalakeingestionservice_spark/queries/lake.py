@@ -2580,11 +2580,16 @@ def q155_cdc_mor_replication(
     asserts the replica was NEVER rewritten (every post-bootstrap
     data file survives every later epoch verbatim), all apply commits
     are `upsert_deferred`, and the replayed epoch is a no-op. Then
-    `compact_deletes()` converts the per-epoch key files to ONE
-    coordinate file (data-preserving) and the final state serves
-    through `spark.read.format("versioned")` with the oracle
-    recomputing it from raw orders. At 100 TB this is CDC replication
-    at firehose rates: per-epoch cost ∝ batch, never ∝ replica."""
+    the maintenance half runs IN the loop via the committer's
+    threshold policy (`maintain_every_epochs=2`,
+    `max_delete_files=1` → `maintain_deletes` fires after epoch 2 and
+    converts the per-epoch key files to ONE coordinate file,
+    data-preserving) and the final state serves through
+    `spark.read.format("versioned")` with the oracle recomputing it
+    from raw orders. At 100 TB this is CDC replication at firehose
+    rates: per-epoch cost ∝ batch, never ∝ replica, with the read-side
+    anti-join backlog bounded by policy instead of by an external
+    scheduler remembering to run."""
     from datalakeingestionservice_spark.sources.versioned_batch import (
         register as register_source,
     )
@@ -2621,7 +2626,14 @@ def q155_cdc_mor_replication(
     )  # v3
     src.delete_where([("prio", "=", mx)])  # v4
     commit = make_cdc_apply_committer(
-        rep_root, ["k"], mode="upsert_deferred"
+        rep_root,
+        ["k"],
+        mode="upsert_deferred",
+        maintain_every_epochs=2,
+        maintain_policy={
+            "max_delete_files": 1,
+            "max_deleted_fraction": 0.95,
+        },
     )
     epoch0 = (
         src.read(1)
@@ -2643,20 +2655,21 @@ def q155_cdc_mor_replication(
 
     boot_files = _files(rep_root)
     commit(src.changes(1, 3), 1)
-    commit(src.changes(3, 4), 2)
+    commit(src.changes(3, 4), 2)  # epoch 2 also fires the policy
     commit(src.changes(1, 3), 1)  # crash-replay: must be a no-op
+    ops = {m.version: m.operation for m in rep.versions()}
     apply_ops = {
-        m.operation for m in rep.versions() if m.version > 1
+        op for v2, op in ops.items() if v2 > 1 and op != "compact_deletes"
     }
     zero_rewrite = boot_files <= _files(rep_root)
     mismatches = (
         src.read().exceptAll(rep.read()).count()
         + rep.read().exceptAll(src.read()).count()
     )
-    v = rep.compact_deletes()
-    m = rep.manifest(v)
+    m = rep.manifest()
     ok = (
-        rep.latest_version() == 4  # 3 applies + 1 maintenance
+        rep.latest_version() == 4  # 3 applies + 1 in-loop maintenance
+        and ops.get(4) == "compact_deletes"  # the policy ran at epoch 2
         and apply_ops == {"upsert_deferred"}
         and zero_rewrite
         and mismatches == 0

@@ -4527,6 +4527,79 @@ class VersionedTable:
         self._mcache.pop(m.version, None)
 
     # -- maintenance -------------------------------------------------------
+    def delete_stats(self) -> dict:
+        """Live merge-on-read delete posture — manifest + parquet
+        FOOTERS only, never a data scan, so the probe is safe to run at
+        streaming-upsert cadence. `n_deleted_rows` counts coordinate
+        rows exactly and equality-delete KEYS as an upper bound (a key
+        may match 0..n rows); `deleted_fraction` compares it against
+        the live entries' row stats."""
+        import pyarrow.parquet as _pq
+
+        m = self.manifest()
+        n_files = 0
+        n_rows = 0
+        n_sql = 0
+        for p in m.delete_predicates:
+            rel = p.get("pos") or p.get("eq")
+            if rel is None:
+                n_sql += 1
+                continue
+            d = os.path.join(self.root, rel)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                n_files += 1
+                n_rows += _pq.read_metadata(f).num_rows
+        total = sum(
+            s.get("rows", 0) for s in m.stats.values()
+        )
+        return {
+            "n_delete_predicates": len(m.delete_predicates),
+            "n_sql_delete_predicates": n_sql,
+            "n_delete_files": n_files,
+            "n_deleted_rows": n_rows,
+            "n_table_rows": total,
+            "deleted_fraction": (n_rows / total) if total else 0.0,
+        }
+
+    def maintain_deletes(
+        self,
+        max_delete_files: int = 8,
+        max_deleted_fraction: float = 0.3,
+        num_partitions: int = 1,
+    ) -> dict:
+        """Threshold policy closing the MoR write/read bargain: deferred
+        DML makes writes cheap by deferring cost to reads (per-entry
+        anti-joins against every live delete file), which is only
+        sustainable if something bounds the backlog. Two escalating
+        actions, cheapest that clears the breach:
+
+        - live delete FILES exceed `max_delete_files` →
+          :meth:`compact_deletes` — merges them into ONE coordinate
+          file; data files untouched, cost ∝ delete-file bytes.
+        - estimated deleted FRACTION exceeds `max_deleted_fraction` →
+          full :meth:`compact` — materializes the deletions into the
+          data and retires every predicate; cost ∝ table, which is the
+          point: past this fraction every read is re-paying a
+          comparable anti-join tax anyway.
+
+        No-op when neither threshold is breached. The CDC committer can
+        run this every K epochs (`make_cdc_apply_committer(...,
+        maintain_every_epochs=K)`), giving the Flink→Iceberg
+        upsert+maintenance loop in one knob."""
+        st = self.delete_stats()
+        executed: list[str] = []
+        if (
+            st["n_table_rows"]
+            and st["deleted_fraction"] > max_deleted_fraction
+        ):
+            self.compact(num_partitions=num_partitions)
+            executed.append("compact_materialize")
+        elif st["n_delete_files"] > max_delete_files:
+            before = self.latest_version()
+            if self.compact_deletes() != before:
+                executed.append("compact_deletes")
+        return {**st, "executed": executed}
+
     def compact_deletes(self) -> int:
         """Merge every live position-delete file into ONE — the
         maintenance op that keeps streaming MoR upserts viable: each

@@ -77,6 +77,8 @@ def make_cdc_apply_committer(
     stream_name: str = "cdc",
     schema_evolution: bool = True,
     mode: str = "merge",
+    maintain_every_epochs: int | None = None,
+    maintain_policy: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch function: net the batch, MERGE it into the
     replica, idempotently at epoch granularity (same layered replay
@@ -111,11 +113,25 @@ def make_cdc_apply_committer(
     column frozen, new column null for unmatched keys). Run
     `VersionedTable.rename_column` on the replica (metadata-only,
     coordinates and data untouched) and restart, or use a fresh
-    stream_name for a full resync."""
+    stream_name for a full resync.
+
+    MAINTENANCE (`maintain_every_epochs`): with `mode="upsert_deferred"`
+    every epoch adds one small equality-delete file, and reads pay one
+    anti-join per live file — unbounded backlog means unbounded read
+    tax. Setting K runs :meth:`VersionedTable.maintain_deletes` (with
+    `maintain_policy` kwargs) after every Kth epoch's commit: the
+    threshold policy merges delete files (cheap, data untouched) or
+    materializes past the deleted-fraction bar, so the replica stays
+    read-serviceable without an external scheduler. The maintenance
+    commit is data-preserving (`cdf_empty`), so downstream feed
+    consumers skip it; a replayed epoch re-runs the policy, which
+    no-ops on a maintained table."""
     if mode not in ("merge", "upsert_deferred"):
         raise ValueError(
             f"mode must be 'merge' or 'upsert_deferred', got {mode!r}"
         )
+    if maintain_every_epochs is not None and maintain_every_epochs < 1:
+        raise ValueError("maintain_every_epochs must be >= 1")
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -209,6 +225,11 @@ def make_cdc_apply_committer(
                     merge_schema=schema_evolution,
                 )
         _write_high_water(table_root, stream_name, batch_id, version)
+        if (
+            maintain_every_epochs is not None
+            and batch_id % maintain_every_epochs == 0
+        ):
+            table.maintain_deletes(**(maintain_policy or {}))
 
     return commit_batch
 

@@ -359,3 +359,91 @@ def test_upsert_deferred_merge_schema_evolves(spark, root):
         .load()
     )
     assert {(r.id, r.v, r.note) for r in ds.collect()} == got
+
+
+def test_maintain_deletes_policy_escalation(spark, root):
+    """`maintain_deletes` picks the cheapest action that clears the
+    breach: no-op under thresholds, delete-file merge past
+    max_delete_files (data untouched), full materialization past
+    max_deleted_fraction (predicates retired)."""
+    t = VersionedTable.create(
+        spark, root, _df(spark, [(i, "a", float(i)) for i in range(20)])
+    )
+    # under both thresholds: pure no-op, not even a commit
+    v0 = t.latest_version()
+    r = t.maintain_deletes(max_delete_files=8)
+    assert r["executed"] == [] and t.latest_version() == v0
+    # drip 4 deferred upserts -> 4 equality-delete files
+    for i in range(4):
+        t.upsert_deferred(_df(spark, [(i, "a", 100.0 + i)]), ["id"])
+    st = t.delete_stats()
+    assert st["n_delete_files"] == 4
+    before_data = _data_files(root)
+    r = t.maintain_deletes(max_delete_files=3, max_deleted_fraction=0.9)
+    assert r["executed"] == ["compact_deletes"]
+    assert _data_files(root) == before_data  # data untouched
+    assert t.delete_stats()["n_delete_files"] == 1
+    expect = {(i, 100.0 + i) for i in range(4)} | {
+        (i, float(i)) for i in range(4, 20)
+    }
+    assert {(r2.id, r2.v) for r2 in t.read().select("id", "v").collect()} == expect
+    # now breach the fraction bar: policy escalates to materialization
+    t.delete_keys_deferred(
+        spark.createDataFrame([(i,) for i in range(4, 16)], "id bigint")
+    )
+    r = t.maintain_deletes(max_delete_files=99, max_deleted_fraction=0.3)
+    assert r["executed"] == ["compact_materialize"]
+    assert t.manifest().delete_predicates == ()
+    expect2 = {p for p in expect if not (4 <= p[0] < 16)}
+    assert {(r2.id, r2.v) for r2 in t.read().select("id", "v").collect()} == expect2
+    ds = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+        .select("id", "v")
+    )
+    assert {(r2.id, r2.v) for r2 in ds.collect()} == expect2
+
+
+def test_cdc_committer_runs_maintenance_every_k_epochs(spark, tmp_path):
+    """The upsert_deferred CDC committer with maintain_every_epochs
+    keeps the replica exact AND the delete-file backlog bounded — the
+    Flink->Iceberg upsert+maintenance loop in one knob."""
+    from datalakeingestionservice_spark.streaming.cdc_apply import (
+        make_cdc_apply_committer,
+    )
+
+    root = str(tmp_path / "replica")
+    commit = make_cdc_apply_committer(
+        root,
+        ["id"],
+        mode="upsert_deferred",
+        maintain_every_epochs=3,
+        maintain_policy={"max_delete_files": 2,
+                         "max_deleted_fraction": 0.95},
+    )
+    ddl = (
+        "id bigint, v double, _change_type string, "
+        "_commit_version bigint"
+    )
+    commit(
+        spark.createDataFrame(
+            [(i, float(i), "insert", 1) for i in range(10)], ddl
+        ),
+        0,
+    )
+    for epoch in range(1, 7):
+        commit(
+            spark.createDataFrame(
+                [(epoch % 10, 100.0 + epoch, "insert", epoch + 1)], ddl
+            ),
+            epoch,
+        )
+    t = VersionedTable(spark, root)
+    # epochs 3 and 6 ran the policy with max_delete_files=2
+    assert t.delete_stats()["n_delete_files"] <= 3
+    got = {(r.id, r.v) for r in t.read().collect()}
+    expect = {(i, float(i)) for i in range(7, 10)} | {(0, 0.0)} | {
+        (e % 10, 100.0 + e) for e in range(1, 7)
+    }
+    assert got == expect
