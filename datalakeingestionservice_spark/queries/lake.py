@@ -2691,3 +2691,82 @@ def q155_cdc_mor_replication(
         .withColumn("mor_cdc_ok", F.lit(bool(ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q157_table_changes_tvf",
+    tags=("lake", "sql-front-door", "change-feed", "cdf"),
+    oracle="""
+WITH upd AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+del AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 10 = 1
+),
+feed AS (
+  SELECT 2 AS cv, 'delete' AS ct, p FROM upd
+  UNION ALL
+  SELECT 2 AS cv, 'insert' AS ct, CAST(p + 5.00 AS DECIMAL(18,2)) FROM upd
+  UNION ALL
+  SELECT 3 AS cv, 'delete' AS ct, p FROM del
+)
+SELECT CAST(cv AS BIGINT) AS commit_version,
+       ct AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS total_price
+FROM feed
+GROUP BY cv, ct
+ORDER BY commit_version, change_type
+""",
+)
+def q157_table_changes_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed read as SQL TEXT — `table_changes('t', v1[,v2])`
+    through the front door (`sinks/sql_dml.py` `execute_select`), the
+    Delta-CDF read idiom and the last lake read surface that wasn't
+    reachable as a statement. Orders snapshot -> t (v1); two DML
+    STATEMENTS commit v2 (UPDATE +5.00 on keys %10==0) and v3 (DELETE
+    keys %10==1); then ONE SELECT aggregates the whole feed per
+    (commit, change type) — `table_changes` routes to
+    `VersionedTable.changes(1)` verbatim (exclusive of v1), and because
+    both DML paths MATERIALIZE their change files at commit time, the
+    feed read costs a scan of exactly the changed rows, never a
+    snapshot diff — the property that makes incremental consumers
+    viable at 100 TB. The oracle recomputes the expected feed from raw
+    orders. (+5.00 keeps prices at 2 decimals — FUZZ.md rule 2.)"""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_select,
+        execute_sql,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_tvf_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(spark, base, orders)
+    tables = {"t": t}
+    v = execute_sql(
+        spark,
+        "UPDATE t SET price = CAST(price + 5.00 AS DECIMAL(18,2)) "
+        "WHERE k % 10 = 0",
+        tables,
+    )
+    assert v == 2
+    v = execute_sql(spark, "DELETE FROM t WHERE k % 10 = 1", tables)
+    assert v == 3
+    return execute_select(
+        spark,
+        "SELECT _commit_version AS commit_version, "
+        "_change_type AS change_type, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(price) AS DOUBLE) AS total_price "
+        "FROM table_changes('t', 1) "
+        "GROUP BY _commit_version, _change_type "
+        "ORDER BY commit_version, change_type",
+        tables,
+    )

@@ -734,6 +734,20 @@ _POST_REF_KEYWORDS = (
 )
 
 
+#: `table_changes('<name>', v1 [, v2])` in FROM/JOIN position — the
+#: Delta-CDF read idiom. The quoted name's interior is NUL-masked when
+#: this runs over `_mask_literals` output; `[^']*` matches the mask and
+#: the real characters are recovered from the original via the span.
+_TVF_CHANGES_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+TABLE_CHANGES\s*\(\s*"
+    r"'(?P<name>[^']*)'\s*,\s*(?P<v1>\d+)\s*"
+    r"(?:,\s*(?P<v2>\d+)\s*)?\)"
+    rf"(?:\s+AS\s+(?P<alias1>[A-Za-z_]\w*)"
+    rf"|\s+(?!(?:{_POST_REF_KEYWORDS})\b)(?P<alias2>[A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
+
 def _select_ref_re(names: list[str]) -> re.Pattern:
     """One regex matching a registered-table reference in FROM/JOIN
     position, with optional Delta-style time travel and optional alias:
@@ -780,6 +794,17 @@ def execute_select(
     statements refuse, never reinterpret. Everything after resolution
     is Spark SQL — joins, CTEs, windows, subqueries all apply.
 
+    The change feed is readable as SQL text through the Delta-CDF
+    idiom `table_changes('<name>', v1 [, v2])` in FROM/JOIN position,
+    routing to :meth:`VersionedTable.changes` verbatim — so the
+    version arguments follow THAT contract (EXCLUSIVE of v1, inclusive
+    of v2, default v2 = latest; note Delta's own table_changes is
+    inclusive of its start version) and the result carries the data
+    columns plus `_change_type` / `_commit_version`. The name must be
+    single-quoted and registered, versions must be integer literals;
+    any other table_changes form in FROM/JOIN position refuses loudly
+    rather than reaching Spark as an unresolvable function.
+
     This is the reference's "ship SQL text at it" read UX
     (`SqlServerDataSource.cs:55-62`) pointed at lake snapshots instead
     of a server RDBMS."""
@@ -822,8 +847,46 @@ def execute_select(
         s, e = m.span(name)
         return None if s == -1 else sql[s:e]
 
+    # Pass 1: table_changes TVF references. Rewritten views carry a
+    # uuid-only name (never the registered name), so pass 2's
+    # plain-reference regex cannot re-match inside them.
     masked = _mask_literals(sql)
     parts: list[str] = []
+    last = 0
+    for m in _TVF_CHANGES_RE.finditer(masked):
+        s, e = m.span("name")
+        name = sql[s:e]
+        t = _resolve(spark, name, tables)
+        v1 = int(grp(m, "v1"))
+        v2 = grp(m, "v2")
+        df = t.changes(v1, None if v2 is None else int(v2))
+        view = f"__vtc_{_uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(view)
+        views.append(view)
+        alias = grp(m, "alias1") or grp(m, "alias2")
+        parts.append(sql[last : m.start()])
+        parts.append(
+            f"{grp(m, 'kw')} {view}"
+            + (f" AS {alias}" if alias else "")
+        )
+        last = m.end()
+    parts.append(sql[last:])
+    sql = "".join(parts)
+    masked = _mask_literals(sql)
+    if re.search(
+        r"\b(?:FROM|JOIN)\s+TABLE_CHANGES\s*\(", masked, re.IGNORECASE
+    ):
+        for view in views:
+            spark.catalog.dropTempView(view)
+        raise UnsupportedStatementError(
+            "table_changes subset: table_changes('<registered-name>', "
+            "<v1>[, <v2>]) with a single-quoted name and integer "
+            "version literals — other argument forms refuse rather "
+            "than reaching Spark as an unresolvable function"
+        )
+
+    # Pass 2: plain registered-table references with time travel.
+    parts = []
     last = 0
     for m in _select_ref_re(list(tables)).finditer(masked):
         view = pin(grp(m, "name"), grp(m, "v"), grp(m, "ts"))

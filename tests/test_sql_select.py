@@ -316,3 +316,61 @@ def test_alter_table_statements(spark, t):
         execute_dml(
             spark, "ALTER TABLE t SET TBLPROPERTIES ('a'='b')", {"t": t}
         )
+
+
+def test_table_changes_tvf(spark, t):
+    """`table_changes('t', v1 [, v2])` in FROM/JOIN position routes to
+    `changes()` verbatim (exclusive of v1, inclusive of v2) and the
+    view composes with joins, aliases, and the rest of the statement."""
+    t.update_where([("id", "=", 1)], {"v": "111.0"})  # v2
+    t.delete_where([("id", "=", 2)])  # v3
+    got = execute_select(
+        spark,
+        "SELECT _commit_version AS cv, _change_type AS ct, id "
+        "FROM table_changes('t', 1) ORDER BY cv, ct, id",
+        {"t": t},
+    ).collect()
+    assert [(r.cv, r.ct, r.id) for r in got] == [
+        (2, "delete", 1),
+        (2, "insert", 1),
+        (3, "delete", 2),
+    ]
+    # bounded range + alias + join back to the current snapshot
+    got = execute_select(
+        spark,
+        "SELECT c.id, cur.v FROM table_changes('t', 1, 2) c "
+        "JOIN t cur ON c.id = cur.id "
+        "WHERE c._change_type = 'insert'",
+        {"t": t},
+    ).collect()
+    assert [(r.id, r.v) for r in got] == [(1, 111.0)]
+
+
+def test_table_changes_literal_not_rewritten(spark, t):
+    """A quoted literal containing table_changes(...) is opaque to the
+    rewrite — refuse-never-reinterpret extends to the TVF pass."""
+    n = execute_select(
+        spark,
+        "SELECT count(*) AS n FROM t "
+        "WHERE grp <> \"table_changes('t', 1)\"",
+        {"t": t},
+    ).collect()[0].n
+    assert n == 3
+
+
+def test_table_changes_refusals(spark, t):
+    for bad in (
+        "SELECT * FROM table_changes(t, 1)",  # unquoted name
+        "SELECT * FROM table_changes('t', '2024-01-01')",  # non-int
+        "SELECT * FROM table_changes('t')",  # missing version
+    ):
+        with pytest.raises(UnsupportedStatementError):
+            execute_select(spark, bad, {"t": t})
+    with pytest.raises(UnsupportedStatementError, match="unknown table"):
+        execute_select(
+            spark, "SELECT * FROM table_changes('nope', 1)", {"t": t}
+        )
+    # refusal leaves no helper views behind
+    assert not [
+        v for v in spark.catalog.listTables() if v.name.startswith("__vt")
+    ]
