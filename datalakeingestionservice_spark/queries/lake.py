@@ -2770,3 +2770,132 @@ def q157_table_changes_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY commit_version, change_type",
         tables,
     )
+
+
+@register(
+    "q156_branch_wap",
+    tags=("lake", "branches", "write-audit-publish", "refs"),
+    oracle="""
+WITH good AS (
+  SELECT o_orderkey + 1000000000 AS k,
+         o_orderpriority AS prio,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1.00
+              AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 10 = 5
+),
+final AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+  UNION ALL SELECT prio, p FROM good
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS total_price,
+       TRUE AS wap_ok
+FROM final
+GROUP BY prio
+ORDER BY prio
+""",
+)
+def q156_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on a named ref (Iceberg WAP / Nessie branch
+    shape, on this engine's own commit protocol): orders snapshot (with
+    a `price > 0` CHECK) -> t; a BAD batch (negative-price clones of
+    keys %10==4) is written to branch `staging` and dies THERE — the
+    constraint fires at branch-append time and main readers never see a
+    row of it; the branch is dropped and its data reclaimed by vacuum.
+    A GOOD batch (price+1.00 clones of keys %10==5) lands on a fresh
+    branch, is AUDITED with real queries against the branch handle
+    (row count, min price, zero key overlap with main) while main still
+    serves the untouched snapshot, then `publish_branch` fast-forwards
+    it into main as ONE atomic squash commit — the commit protocol's
+    version claim makes a divergent publish refuse rather than
+    half-apply. `wap_ok` asserts the full contract in-plan: the bad
+    batch raised, main stayed at v1 (bit-identical file set) until
+    publish, the publish commit records its branch lineage, and the
+    branch's data dirs were shared (zero data movement at publish: the
+    published manifest references the SAME dirs the branch wrote). The
+    oracle recomputes the final state from raw orders. At 100 TB this
+    is how a pipeline lands a 10 TB daily batch: write+validate on a
+    ref with creation cost of ONE manifest, publish by metadata."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_wap_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(
+        spark, base, orders, check_constraints={"price_pos": "price > 0"}
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        ConstraintViolationError,
+    )
+
+    v1_files = set(t.manifest().files)
+
+    # -- write (bad): dies on the branch, never on main
+    bad_branch = t.create_branch("staging")
+    bad = orders.filter(F.col("k") % 10 == 4).select(
+        (F.col("k") + 1_000_000_000).alias("k"),
+        F.col("prio"),
+        (-F.col("price")).cast("decimal(18,2)").alias("price"),
+    )
+    bad_caught = False
+    try:
+        bad_branch.append(bad)
+    except ConstraintViolationError:
+        bad_caught = True
+    main_clean_after_bad = set(t.manifest().files) == v1_files
+    t.drop_branch("staging")
+    t.vacuum(claim_timeout_s=None)
+
+    # -- write (good) + audit on the branch, then atomic publish
+    b = t.create_branch("staging")
+    good = orders.filter(F.col("k") % 10 == 5).select(
+        (F.col("k") + 1_000_000_000).alias("k"),
+        F.col("prio"),
+        (F.col("price") + F.lit(1.00).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    n_good = good.count()
+    b.append(good)
+    audit = b.read(b.latest_version()).filter(
+        F.col("k") >= 1_000_000_000
+    )
+    audited = (
+        audit.count() == n_good
+        and audit.agg(F.min("price")).collect()[0][0] > 0
+        and t.read()
+        .join(audit, "k", "left_semi")
+        .count()
+        == 0  # no key overlap with main
+    )
+    main_pinned_during_audit = t.latest_version() == 1
+    branch_files = set(b.manifest().files)
+    v = t.publish_branch("staging")
+    m = t.manifest(v)
+    ok = (
+        bad_caught
+        and main_clean_after_bad
+        and audited
+        and main_pinned_during_audit
+        and v == 2
+        and m.operation == "publish_branch"
+        and m.summary.get("branch") == "staging"
+        and set(m.files) == branch_files  # zero data movement
+    )
+    return (
+        t.read()
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("wap_ok", F.lit(bool(ok)))
+        .orderBy("prio")
+    )

@@ -53,6 +53,14 @@ class ConcurrentCommitError(Exception):
     """Another writer committed the version this writer was about to claim."""
 
 
+class NoSuchBranchError(Exception):
+    pass
+
+
+class BranchExistsError(Exception):
+    pass
+
+
 class NoSuchVersionError(Exception):
     pass
 
@@ -67,6 +75,20 @@ class ConstraintViolationError(Exception):
 
 
 _MANIFEST_DIR = "_manifests"
+#: Branch manifest chains live INSIDE the manifest dir so clone() carries
+#: them and nothing outside `_manifests/` is metadata.
+_BRANCHES_SUBDIR = "branches"
+
+
+def _branch_names(root: str) -> list[str]:
+    bdir = os.path.join(root, _MANIFEST_DIR, _BRANCHES_SUBDIR)
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(bdir)
+        if os.path.isdir(os.path.join(bdir, n))
+    )
 _DATA_DIR = "data"
 #: Materialized change files (Delta-CDF style) for copy-on-write commits:
 #: written AT COMMIT TIME from row sets the DML already has in hand, so the
@@ -1524,6 +1546,7 @@ class VersionedTable:
         root: str,
         commit_protocol: CommitProtocol | None = None,
         materialize_changes: bool = True,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -1541,6 +1564,25 @@ class VersionedTable:
                 f"{root} is not a versioned table (no {_MANIFEST_DIR}/); "
                 "use VersionedTable.create"
             )
+        #: Named ref (Iceberg branch / Nessie ref shape). A branch handle
+        #: shares the table's DATA space (root/data, root/deletes, ...)
+        #: but commits to its OWN manifest chain under
+        #: `_manifests/branches/<name>/`, seeded at create_branch time
+        #: with a full checkpoint of the branch-point version — so every
+        #: read/DML method works on a branch unchanged, main never sees
+        #: branch commits, and creation is O(one manifest), zero data.
+        self.branch_name = branch
+        if branch is None:
+            self._mdir = os.path.join(root, _MANIFEST_DIR)
+        else:
+            self._mdir = os.path.join(
+                root, _MANIFEST_DIR, _BRANCHES_SUBDIR, branch
+            )
+            if not os.path.isdir(self._mdir):
+                raise NoSuchBranchError(
+                    f"{root}: no branch {branch!r} "
+                    f"(existing: {_branch_names(root)})"
+                )
 
     # -- creation ----------------------------------------------------------
     @staticmethod
@@ -1879,13 +1921,13 @@ class VersionedTable:
         # between creating the name and writing its content) are
         # skipped — they can't serve reads, and writers trying to claim
         # that number conflict until vacuum() reclaims them.
-        return load_all_manifests(os.path.join(self.root, _MANIFEST_DIR))
+        return load_all_manifests(self._mdir)
 
     def latest_version(self) -> int:
         # Planning cost must not be O(history): read file NAMES, then
         # parse from the newest until one is a committed version (torn
         # claims skipped) — normally exactly one small read.
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        mdir = self._mdir
         names = sorted(
             n
             for n in os.listdir(mdir)
@@ -1901,7 +1943,7 @@ class VersionedTable:
 
     def manifest(self, version: int | None = None) -> Manifest:
         version = self.latest_version() if version is None else version
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        mdir = self._mdir
         path = os.path.join(mdir, _manifest_name(version))
         try:
             st = os.stat(path)
@@ -4268,6 +4310,244 @@ class VersionedTable:
             )
         return best
 
+    # -- branches (named refs) + write-audit-publish -------------------------
+    def create_branch(
+        self, name: str, from_version: int | None = None
+    ) -> "VersionedTable":
+        """Named ref, Iceberg-branch shaped: a SEPARATE manifest chain
+        under `_manifests/branches/<name>/` seeded with a full checkpoint
+        of the branch-point version, sharing the table's data space.
+        Creation cost is O(one manifest) — never data, never O(files) of
+        filesystem work (contrast :meth:`clone`, which links every data
+        dir into a new root). Every read/DML method works on the returned
+        handle unchanged (same commit protocol, so racing branch writers
+        serialize exactly like main writers), main never sees branch
+        commits, and `vacuum` counts branch manifests as references until
+        :meth:`drop_branch`. Branch history starts at the branch point —
+        time travel below it stays on main, where those versions live.
+
+        This enables WRITE-AUDIT-PUBLISH: write a batch to a branch,
+        validate it there (constraints, audit queries), then
+        :meth:`publish_branch` atomically — a bad batch dies on the
+        branch without ever being visible to main readers."""
+        if self.branch_name is not None:
+            raise ValueError(
+                "create_branch from the MAIN handle (branch-of-branch "
+                "lineage is out of scope; branch from main again)"
+            )
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(
+                f"branch name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+            )
+        m = self.manifest(from_version)
+        bdir = os.path.join(
+            self.root, _MANIFEST_DIR, _BRANCHES_SUBDIR, name
+        )
+        if os.path.isdir(bdir):
+            raise BranchExistsError(f"{self.root}: branch {name!r} exists")
+        os.makedirs(bdir, exist_ok=True)
+        # Atomic seed through the commit protocol: exactly one of any
+        # racing create_branch(name) writers publishes the checkpoint.
+        self._protocol.publish(
+            os.path.join(bdir, _manifest_name(m.version)), m.to_json()
+        )
+        return self.branch(name)
+
+    def branch(self, name: str) -> "VersionedTable":
+        """Handle bound to an existing branch's manifest chain."""
+        return VersionedTable(
+            self.spark,
+            self.root,
+            commit_protocol=self._protocol,
+            materialize_changes=self._materialize_changes,
+            branch=name,
+        )
+
+    def list_branches(self) -> dict[str, dict]:
+        """{name: {head, base}} for every live branch — name-listing plus
+        one small manifest read per branch, never data."""
+        out: dict[str, dict] = {}
+        for name in _branch_names(self.root):
+            b = self.branch(name)
+            vs = sorted(
+                int(n[1:9])
+                for n in os.listdir(b._mdir)
+                if n.startswith("v") and n.endswith(".json")
+            )
+            out[name] = {
+                "head": b.latest_version(),
+                "base": vs[0] if vs else None,
+            }
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Remove the branch ref (its manifest chain). Data dirs only it
+        referenced become orphans and are reclaimed by :meth:`vacuum`."""
+        import shutil
+
+        if self.branch_name is not None:
+            raise ValueError("drop_branch from the MAIN handle")
+        bdir = os.path.join(
+            self.root, _MANIFEST_DIR, _BRANCHES_SUBDIR, name
+        )
+        if not os.path.isdir(bdir):
+            raise NoSuchBranchError(
+                f"{self.root}: no branch {name!r} "
+                f"(existing: {_branch_names(self.root)})"
+            )
+        shutil.rmtree(bdir)
+
+    def _branch_base(self, b: "VersionedTable") -> int:
+        return min(
+            int(n[1:9])
+            for n in os.listdir(b._mdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward the branch into main as ONE atomic squash commit
+        (operation `publish_branch`) whose content IS the branch head's
+        manifest — Iceberg's WAP publish. Atomicity is the commit
+        protocol's version claim: the commit targets `base+1`, so it
+        succeeds iff main still stands at the branch point; ANY
+        concurrent main commit (including another publish) takes that
+        number first and this publish refuses with
+        :class:`ConcurrentCommitError` — a divergent fast-forward can
+        never half-apply or overwrite. The branch ref survives publish
+        (drop it separately); its data dirs are now referenced by main,
+        so vacuum keeps them either way. Cost: O(head manifest) metadata,
+        zero data movement — the branch's data dirs were already in the
+        table's data space."""
+        if self.branch_name is not None:
+            raise ValueError("publish_branch from the MAIN handle")
+        b = self.branch(name)
+        base = self._branch_base(b)
+        head = b.manifest()
+        if head.version == base:
+            raise ValueError(
+                f"branch {name!r} has no commits beyond its base "
+                f"v{base}; nothing to publish"
+            )
+        cur = self.latest_version()
+        if cur != base:
+            raise ConcurrentCommitError(
+                f"cannot fast-forward branch {name!r}: main is at "
+                f"v{cur} but the branch forked at v{base} — re-branch "
+                "from current main and replay, or cherry_pick individual "
+                "branch commits"
+            )
+        ops = [m.operation for m in b.versions() if m.version > base]
+        # A change-file reference carries over only when the squash IS a
+        # single branch commit — otherwise the head's cdf covers just the
+        # last commit, not the net delta, and the feed must fall back to
+        # the snapshot diff for this version.
+        cdf_keys = (
+            {
+                k: v
+                for k, v in head.summary.items()
+                if k in ("cdf", "cdf_empty")
+            }
+            if head.version == base + 1
+            else {}
+        )
+        return self._commit(
+            operation="publish_branch",
+            files=head.files,
+            schema_ddl=head.schema_ddl,
+            expected_parent=base,
+            summary={
+                "branch": name,
+                "branch_head": head.version,
+                "squashed_operations": ops,
+                **cdf_keys,
+            },
+            stats=dict(head.stats),
+            partition_by=head.partition_by,
+            constraints=dict(head.constraints),
+            bloom_columns=head.bloom_columns,
+            delete_predicates=head.delete_predicates,
+            column_mapping=dict(head.column_mapping),
+            past_specs=head.past_specs,
+        )
+
+    def cherry_pick(self, name: str, version: int) -> int:
+        """Apply ONE branch commit's file-level delta onto main's head
+        as a new commit (operation `cherry_pick`) — the selective half
+        of WAP, for when a branch carries several audited batches and
+        only some should publish. Supported shape: commits that add
+        and/or remove whole entries without touching schema, partition
+        spec, constraints, column mapping, or MoR delete predicates
+        (append, overwrite, compact...); anything else refuses — a
+        cherry-pick that silently reinterpreted a schema change or a
+        delete-file scope would corrupt main. Refuses when the delta
+        doesn't apply cleanly (a removed entry is no longer live on
+        main, or an added entry already is)."""
+        if self.branch_name is not None:
+            raise ValueError("cherry_pick from the MAIN handle")
+        b = self.branch(name)
+        base = self._branch_base(b)
+        if version <= base:
+            raise ValueError(
+                f"v{version} is at or before branch base v{base} — "
+                "those versions are main history, not branch commits"
+            )
+        m = b.manifest(version)
+        parent = b.manifest(version - 1)
+        for field, label in (
+            ("schema_ddl", "schema"),
+            ("partition_by", "partition spec"),
+            ("constraints", "constraints"),
+            ("column_mapping", "column mapping"),
+            ("delete_predicates", "delete predicates"),
+            ("bloom_columns", "bloom columns"),
+        ):
+            if getattr(m, field) != getattr(parent, field):
+                raise ValueError(
+                    f"cherry_pick supports pure file-delta commits; "
+                    f"branch commit v{version} changes the {label} — "
+                    "publish_branch the whole branch instead"
+                )
+        added = [f for f in m.files if f not in set(parent.files)]
+        removed = {f for f in parent.files if f not in set(m.files)}
+        cur = self.manifest()
+        cur_files = set(cur.files)
+        if not removed <= cur_files:
+            raise ConcurrentCommitError(
+                f"cherry_pick v{version} of branch {name!r}: entries it "
+                f"rewrites are no longer live on main "
+                f"({sorted(removed - cur_files)[:3]}...)"
+            )
+        clash = [f for f in added if f in cur_files]
+        if clash:
+            raise ConcurrentCommitError(
+                f"cherry_pick v{version} of branch {name!r}: entries "
+                f"already live on main ({clash[:3]}...)"
+            )
+        files = tuple(
+            f for f in cur.files if f not in removed
+        ) + tuple(added)
+        stats = {
+            k: v for k, v in cur.stats.items() if k not in removed
+        }
+        stats.update({k: m.stats[k] for k in added if k in m.stats})
+        return self._commit(
+            operation="cherry_pick",
+            files=files,
+            schema_ddl=cur.schema_ddl,
+            expected_parent=cur.version,
+            summary={
+                "branch": name,
+                "branch_version": version,
+                "branch_operation": m.operation,
+                **{
+                    k: v
+                    for k, v in m.summary.items()
+                    if k in ("cdf", "cdf_empty")
+                },
+            },
+            stats=stats,
+        )
+
     def clone(
         self,
         target_root: str,
@@ -4507,7 +4787,7 @@ class VersionedTable:
         import dataclasses
 
         new = dataclasses.replace(m, summary=summary)
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        mdir = self._mdir
         path = os.path.join(mdir, _manifest_name(m.version))
         # Preserve the storage form: if the version is delta-encoded,
         # rewrite it as a delta (summary is carried fully in every
@@ -4942,7 +5222,7 @@ class VersionedTable:
         self._materialize_checkpoint(versions[-keep_last])
         for m in expired:
             os.remove(
-                os.path.join(self.root, _MANIFEST_DIR, _manifest_name(m.version))
+                os.path.join(self._mdir, _manifest_name(m.version))
             )
             self._mcache.pop(m.version, None)
         return [m.version for m in expired]
@@ -4950,7 +5230,7 @@ class VersionedTable:
     def _materialize_checkpoint(self, m: Manifest) -> None:
         """Rewrite version `m.version`'s file as a FULL snapshot iff it
         is currently delta-encoded (no-op otherwise)."""
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        mdir = self._mdir
         path = os.path.join(mdir, _manifest_name(m.version))
         with open(path) as f:
             d = _parse_version_file(f.read())
@@ -4974,30 +5254,48 @@ class VersionedTable:
         than `claim_timeout_s` (measured by file mtime, so an in-flight
         writer's sub-second window is never touched at the default 1 h) are
         deleted, un-burning the version — the next commit claims it
-        normally. Pass None to disable reclamation."""
+        normally. Pass None to disable reclamation.
+
+        Vacuum reasons about the WHOLE table — every branch's manifests
+        count as references (a branch commit's data must survive until
+        the branch is dropped or expired), and dropped-branch data dirs
+        become ordinary orphans. Run it from the main handle; a branch
+        handle refuses (its view of "referenced" is partial by design)."""
         import shutil
         import time
 
+        if self.branch_name is not None:
+            raise ValueError(
+                "vacuum from the MAIN table handle (a branch handle sees "
+                "only its own manifests and would reclaim live files)"
+            )
         mdir = os.path.join(self.root, _MANIFEST_DIR)
+        branch_dirs = [
+            os.path.join(mdir, _BRANCHES_SUBDIR, b)
+            for b in _branch_names(self.root)
+        ]
         reclaimed: list[str] = []
         if claim_timeout_s is not None:
             now = time.time()
-            for name in sorted(os.listdir(mdir)):
-                if not (name.startswith("v") and name.endswith(".json")):
-                    continue
-                path = os.path.join(mdir, name)
-                try:
-                    with open(path) as f:
-                        _parse_version_file(f.read())
-                    continue  # parseable: a real committed version
-                except (json.JSONDecodeError, KeyError, OSError):
-                    pass
-                try:
-                    if now - os.path.getmtime(path) >= claim_timeout_s:
-                        os.remove(path)
-                        reclaimed.append(os.path.join(_MANIFEST_DIR, name))
-                except OSError:
-                    continue  # raced with the claiming writer; leave it
+            for d in [mdir, *branch_dirs]:
+                for name in sorted(os.listdir(d)):
+                    if not (name.startswith("v") and name.endswith(".json")):
+                        continue
+                    path = os.path.join(d, name)
+                    try:
+                        with open(path) as f:
+                            _parse_version_file(f.read())
+                        continue  # parseable: a real committed version
+                    except (json.JSONDecodeError, KeyError, OSError):
+                        pass
+                    try:
+                        if now - os.path.getmtime(path) >= claim_timeout_s:
+                            os.remove(path)
+                            reclaimed.append(
+                                os.path.relpath(path, self.root)
+                            )
+                    except OSError:
+                        continue  # raced with the claiming writer; leave it
             # Orphaned DataSource-writer staging dirs (job hard-crashed
             # between tasks staging and commit/abort) are invisible to
             # readers — nothing references them — but hold disk; reclaim
@@ -5016,6 +5314,8 @@ class VersionedTable:
                         continue
 
         manifests = self.versions()
+        for d in branch_dirs:
+            manifests.extend(load_all_manifests(d))
         # An entry may be a whole data dir, a partition LEAF inside one, or
         # a single carried-forward file — referencing ANY of them keeps the
         # top-level uuid dir alive (vacuum granularity is the uuid dir; a
@@ -5353,7 +5653,7 @@ class VersionedTable:
             column_mapping=column_mapping,
             past_specs=past_specs,
         )
-        final = os.path.join(self.root, _MANIFEST_DIR, _manifest_name(version))
+        final = os.path.join(self._mdir, _manifest_name(version))
         # Delta-encode vs the parent (commit metadata ∝ the CHANGE, not
         # O(live files)); every _CHECKPOINT_INTERVAL-th version — and
         # any commit a delta can't represent byte-exactly — is a full

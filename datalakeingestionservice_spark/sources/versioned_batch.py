@@ -17,9 +17,11 @@ are reported as NOT fully handled (pruning is conservative, entry-level),
 so Spark re-applies them row-level — results are always exact.
 
 Time travel rides on options: `version` (int) or `timestamp` (ISO; largest
-version committed at-or-before). Executors read the selected parquet
-directly with pyarrow (same path as the streaming change source), with
-hive partition values injected from the manifest driver-side.
+version committed at-or-before); `branch` (name) serves a named ref's
+manifest chain instead of main — the WAP audit read, composable with
+`version`/`timestamp` within the branch. Executors read the selected
+parquet directly with pyarrow (same path as the streaming change source),
+with hive partition values injected from the manifest driver-side.
 
 Merge-on-read tables are served: live deferred-delete predicates in the
 compilable subset (comparisons, AND/OR/NOT, IS NULL, IN, BETWEEN —
@@ -95,6 +97,19 @@ def _load_manifest(root: str, options: dict) -> Manifest:
     mdir = os.path.join(root, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         raise NoSuchVersionError(f"{root} is not a versioned table")
+    if options.get("branch"):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            _BRANCHES_SUBDIR,
+            _branch_names,
+        )
+
+        branch = str(options["branch"])
+        mdir = os.path.join(mdir, _BRANCHES_SUBDIR, branch)
+        if not os.path.isdir(mdir):
+            raise NoSuchVersionError(
+                f"{root}: no branch {branch!r} "
+                f"(existing: {_branch_names(root)})"
+            )
     # Forward-pass loader reconstructs delta-encoded versions (torn
     # claims skipped) — the same storage layer the session class uses.
     manifests = load_all_manifests(mdir)
