@@ -300,6 +300,26 @@ _ALTER_DROP_CONSTRAINT_RE = re.compile(
     r"(?P<cname>[A-Za-z_]\w*)$",
     re.IGNORECASE,
 )
+#: Branch admin, Iceberg-SQL shaped (`ALTER TABLE t CREATE BRANCH b`).
+#: PUBLISH BRANCH is this engine's statement form of Iceberg's
+#: fast_forward procedure — kept as ALTER TABLE so the whole branch
+#: lifecycle lives behind one statement family.
+_ALTER_CREATE_BRANCH_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+CREATE\s+BRANCH\s+"
+    r"(?P<branch>[A-Za-z0-9._-]+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_BRANCH_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+DROP\s+BRANCH\s+"
+    r"(?P<branch>[A-Za-z0-9._-]+)$",
+    re.IGNORECASE,
+)
+_ALTER_PUBLISH_BRANCH_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+PUBLISH\s+BRANCH\s+"
+    r"(?P<branch>[A-Za-z0-9._-]+)$",
+    re.IGNORECASE,
+)
 
 
 def _split_set_where(rest: str) -> tuple[str, str | None]:
@@ -572,18 +592,39 @@ def execute_dml(
     if ma:
         t = _resolve(spark, ma.group("name"), tables)
         return t.drop_check_constraint(ma.group("cname"))
+    ma = _ALTER_CREATE_BRANCH_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        b = t.create_branch(
+            ma.group("branch"),
+            from_version=(
+                int(ma.group("v")) if ma.group("v") is not None else None
+            ),
+        )
+        return b.latest_version()
+    ma = _ALTER_DROP_BRANCH_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        t.drop_branch(ma.group("branch"))
+        return t.latest_version()
+    ma = _ALTER_PUBLISH_BRANCH_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.publish_branch(ma.group("branch"))
     if re.match(r"^ALTER\s+TABLE\b", sql, re.IGNORECASE):
         raise UnsupportedStatementError(
             "ALTER TABLE subset: RENAME COLUMN a TO b, DROP COLUMN c, "
-            "ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT name; "
-            f"got: {sql[:60]!r}"
+            "ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT name, "
+            "CREATE BRANCH b [AS OF VERSION n], DROP BRANCH b, "
+            f"PUBLISH BRANCH b; got: {sql[:60]!r}"
         )
     raise UnsupportedStatementError(
         "supported statements: UPDATE ... SET ... [WHERE], DELETE FROM "
         "... [WHERE], INSERT INTO ... VALUES/SELECT, MERGE INTO "
         "(restricted form), OPTIMIZE t [WHERE] [ZORDER BY], VACUUM t "
         "[RETAIN n VERSIONS], RESTORE t TO VERSION/TIMESTAMP AS OF, "
-        "ALTER TABLE (rename/drop column, add/drop constraint); got: "
+        "ALTER TABLE (rename/drop column, add/drop constraint, "
+        "create/drop/publish branch); got: "
         f"{sql[:60]!r}"
     )
 
@@ -730,7 +771,7 @@ _POST_REF_KEYWORDS = (
     "WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
     "ON|USING|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|NATURAL|SEMI|ANTI|"
     "VERSION|TIMESTAMP|AS|QUALIFY|DISTRIBUTE|CLUSTER|SORT|LATERAL|"
-    "TABLESAMPLE|PIVOT|UNPIVOT|FOR"
+    "TABLESAMPLE|PIVOT|UNPIVOT|FOR|BRANCH"
 )
 
 
@@ -760,6 +801,7 @@ def _select_ref_re(names: list[str]) -> re.Pattern:
     )
     return re.compile(
         rf"(?P<kw>\b(?:FROM|JOIN)\b)\s+(?P<name>{alts})\b"
+        rf"(?:\s+BRANCH\s+'(?P<br>[^']+)')?"
         rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
         rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
         rf"(?:\s+AS\s+(?P<alias1>[A-Za-z_]\w*)"
@@ -794,6 +836,17 @@ def execute_select(
     statements refuse, never reinterpret. Everything after resolution
     is Spark SQL — joins, CTEs, windows, subqueries all apply.
 
+    Branch (named-ref) reads: `FROM t BRANCH 'name'` resolves the
+    reference against the branch's manifest chain instead of main —
+    the write-audit-publish audit read as SQL text — and composes with
+    VERSION/TIMESTAMP AS OF within the branch and with aliases/joins
+    (a branch snapshot joins main's in one statement). An unpinned
+    branch reference is snapshot-pinned at statement start, same as
+    main references. Unknown branch names refuse loudly. The branch
+    LIFECYCLE is statements too (`execute_dml`): `ALTER TABLE t
+    CREATE BRANCH b [AS OF VERSION n]` / `DROP BRANCH b` /
+    `PUBLISH BRANCH b`.
+
     The change feed is readable as SQL text through the Delta-CDF
     idiom `table_changes('<name>', v1 [, v2])` in FROM/JOIN position,
     routing to :meth:`VersionedTable.changes` verbatim — so the
@@ -816,21 +869,31 @@ def execute_select(
         )
     import uuid as _uuid
 
-    resolved: dict[tuple[str, int], str] = {}
-    latest: dict[str, int] = {}
+    resolved: dict[tuple[str | None, str, int], str] = {}
+    latest: dict[tuple[str | None, str], int] = {}
     views: list[str] = []
 
-    def pin(name: str, v: str | None, ts: str | None) -> str:
+    def pin(
+        name: str,
+        v: str | None,
+        ts: str | None,
+        br: str | None = None,
+    ) -> str:
         t = _resolve(spark, name, tables)
+        if br is not None:
+            # `t BRANCH 'b'` reads the named ref's chain — the WAP
+            # audit read as SQL text; VERSION/TIMESTAMP pins compose
+            # within the branch. NoSuchBranchError propagates loudly.
+            t = t.branch(br)
         if v is not None:
             version = int(v)
         elif ts is not None:
             version = t.version_at(ts)
         else:
-            if name not in latest:
-                latest[name] = t.latest_version()
-            version = latest[name]
-        key = (name, version)
+            if (br, name) not in latest:
+                latest[(br, name)] = t.latest_version()
+            version = latest[(br, name)]
+        key = (br, name, version)
         if key not in resolved:
             view = f"__vt_{name}_{version}_{_uuid.uuid4().hex[:8]}"
             t.read(version).createOrReplaceTempView(view)
@@ -889,7 +952,9 @@ def execute_select(
     parts = []
     last = 0
     for m in _select_ref_re(list(tables)).finditer(masked):
-        view = pin(grp(m, "name"), grp(m, "v"), grp(m, "ts"))
+        view = pin(
+            grp(m, "name"), grp(m, "v"), grp(m, "ts"), grp(m, "br")
+        )
         alias = grp(m, "alias1") or grp(m, "alias2") or grp(m, "name")
         parts.append(sql[last : m.start()])
         parts.append(f"{grp(m, 'kw')} {view} AS {alias}")

@@ -228,3 +228,68 @@ def test_branch_datasource_read(spark, t):
     )
     with pytest.raises(Exception, match="no branch"):
         reader().option("branch", "zz").load().count()
+
+
+def test_branch_sql_statements(spark, t):
+    """The whole WAP lifecycle as SQL text: CREATE BRANCH, branch
+    reads (`FROM t BRANCH 'name'`, version pins, joins against main),
+    PUBLISH BRANCH, DROP BRANCH."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        UnsupportedStatementError,
+        execute_select,
+        execute_sql,
+    )
+
+    tables = {"t": t}
+    assert execute_sql(
+        spark, "ALTER TABLE t CREATE BRANCH staging", tables
+    ) == 1
+    b = t.branch("staging")
+    b.append(_df(spark, [(100, "x", 1.0)]))
+    n_b = execute_select(
+        spark, "SELECT count(*) AS n FROM t BRANCH 'staging'", tables
+    ).collect()[0].n
+    n_m = execute_select(
+        spark, "SELECT count(*) AS n FROM t", tables
+    ).collect()[0].n
+    assert (n_b, n_m) == (11, 10)
+    # branch + version pin, and a branch-vs-main anti-join
+    assert (
+        execute_select(
+            spark,
+            "SELECT count(*) AS n FROM t BRANCH 'staging' "
+            "VERSION AS OF 1",
+            tables,
+        ).collect()[0].n
+        == 10
+    )
+    only = execute_select(
+        spark,
+        "SELECT b.k FROM t BRANCH 'staging' AS b "
+        "LEFT ANTI JOIN t ON b.k = t.k",
+        tables,
+    ).collect()
+    assert [r.k for r in only] == [100]
+    assert execute_sql(
+        spark, "ALTER TABLE t PUBLISH BRANCH staging", tables
+    ) == 2
+    assert t.read().count() == 11
+    execute_sql(spark, "ALTER TABLE t DROP BRANCH staging", tables)
+    assert t.list_branches() == {}
+    # refusal shapes
+    with pytest.raises(UnsupportedStatementError, match="BRANCH"):
+        execute_sql(spark, "ALTER TABLE t CREATE BRANCH a/b", tables)
+    with pytest.raises(NoSuchBranchError):
+        execute_select(
+            spark, "SELECT * FROM t BRANCH 'zzz'", tables
+        )
+    # AS OF VERSION pins the fork point
+    execute_sql(
+        spark, "ALTER TABLE t CREATE BRANCH old AS OF VERSION 1", tables
+    )
+    assert (
+        execute_select(
+            spark, "SELECT count(*) AS n FROM t BRANCH 'old'", tables
+        ).collect()[0].n
+        == 10
+    )
