@@ -87,6 +87,7 @@ def test_random_commit_sequence_matches_model(
             "incremental_compact", "writer_append", "update",
             "scoped_delete", "replace_where", "update_deferred",
             "merge_deferred", "delete_keys", "upsert_deferred",
+            "branch_publish", "branch_pick",
         ]
         if spec:
             ops.append("dynamic_overwrite")
@@ -281,6 +282,50 @@ def test_random_commit_sequence_matches_model(
             ]:
                 del model[k]
             model.update(rows)
+        elif op == "branch_publish":
+            # WAP under random history: 1-2 commits land on a branch
+            # (main's snapshot and model are untouched in between), then
+            # ONE squash publish moves main — the published state must
+            # equal the branch head, and the feed must replay the NET
+            # change. The branch is dropped after; its already-published
+            # data dirs stay referenced by main.
+            bname = f"fz{len(history)}"
+            b = t.create_branch(bname)
+            rows = fresh_rows(rng.randint(1, 3))
+            b.append(_df(spark, rows))
+            staged = Counter(model)
+            staged.update(rows)
+            if rng.random() < 0.5:
+                ids = sorted({k[0] for k in staged})
+                lo = rng.choice(ids)
+                hi = lo + rng.randint(0, 4)
+                newval = rng.choice("UVW")
+                b.update_where(
+                    [("id", ">=", lo), ("id", "<=", hi)],
+                    {"val": F.lit(newval)},
+                )
+                for k in [k for k in list(staged) if lo <= k[0] <= hi]:
+                    cnt = staged.pop(k)
+                    staged[(k[0], newval)] += cnt
+            assert _snapshot_counter(t, t.latest_version()) == model, (
+                "main must not see unpublished branch commits"
+            )
+            t.publish_branch(bname)
+            t.drop_branch(bname)
+            model = staged
+        elif op == "branch_pick":
+            # Selective publish: two appends stage on a branch, only the
+            # SECOND is cherry-picked onto main (one main commit); the
+            # unpicked rows must never appear in any main snapshot.
+            bname = f"fz{len(history)}"
+            b = t.create_branch(bname)
+            unpicked = fresh_rows(rng.randint(1, 2))
+            b.append(_df(spark, unpicked))
+            picked = fresh_rows(rng.randint(1, 2))
+            b.append(_df(spark, picked))
+            t.cherry_pick(bname, b.latest_version())
+            t.drop_branch(bname)
+            model.update(picked)
         elif op == "overwrite":
             rows = fresh_rows(rng.randint(1, 3))
             t.overwrite(_df(spark, rows))
