@@ -293,3 +293,41 @@ def test_branch_sql_statements(spark, t):
         ).collect()[0].n
         == 10
     )
+
+
+def test_racing_publishes_exactly_one_wins(spark, t):
+    """Two branches fork at the same base; both try to fast-forward.
+    The version claim on base+1 serializes them: exactly one publish
+    commits, the loser refuses with ConcurrentCommitError, and main's
+    state is exactly the winner's branch head — never a mix."""
+    import threading
+
+    for name, key in (("left", 100), ("right", 200)):
+        b = t.create_branch(name)
+        b.append(_df(spark, [(key, "x", float(key))]))
+    outcomes = {}
+    barrier = threading.Barrier(2)
+
+    def attempt(name):
+        barrier.wait()
+        try:
+            outcomes[name] = ("win", t.publish_branch(name))
+        except ConcurrentCommitError:
+            outcomes[name] = ("lose", None)
+
+    threads = [
+        threading.Thread(target=attempt, args=(n,))
+        for n in ("left", "right")
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    kinds = sorted(k for k, _ in outcomes.values())
+    assert kinds == ["lose", "win"], outcomes
+    winner = next(n for n, (k, _) in outcomes.items() if k == "win")
+    winner_key = 100 if winner == "left" else 200
+    loser_key = 300 - winner_key
+    got = {r.k for r in t.read().filter("k >= 100").collect()}
+    assert got == {winner_key}, (winner, got)
+    assert t.read().filter(f"k = {loser_key}").count() == 0
