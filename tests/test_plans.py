@@ -40,7 +40,6 @@ _PUSHDOWN_EXPECTED = {
     "q03_shipping_priority": 3,  # c_mktsegment + two date predicates
     "q05_local_supplier_volume": 2,  # region name + order date range
     "q13_broadcast_lookup": 1,
-    "q45_ngram_jaccard_neardup": 1,  # size(words) >= n on both join branches
 }
 
 _BROADCAST_JOIN_EXPECTED = {
@@ -90,6 +89,35 @@ def test_filters_pushed_to_scan(plans):
         assert _pushed_nonempty(plans[name]) >= n_min, (
             f"{name}: expected >= {n_min} scans with PushedFilters"
         )
+
+
+def test_q45_scan_filter_on_cached_posting_list(spark, sf_dir, plans):
+    """q45's posting list is persisted (it feeds sizes + both self-join
+    sides), so the parquet scan lives in the CACHED subtree, not the
+    final composed plan. Assert both halves: the final plan serves the
+    join from the cache, and the subtree that populates it evaluates
+    the too-short-document predicate AT the scan (DataFilters — an
+    expression over split(text) can't become a parquet PushedFilter,
+    but it must run before the explode multiplies rows)."""
+    assert "InMemoryTableScan" in plans["q45_ngram_jaccard_neardup"]
+    from datalakeingestionservice_spark.catalog import Env
+    from datalakeingestionservice_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    shingles = word_shingles(
+        Env(spark, sf_dir).t("documents"),
+        "doc_id",
+        "text",
+        n=3,
+        max_shingle_freq=50,
+    )
+    subtree = shingles._jdf.queryExecution().executedPlan().toString()
+    assert sum(
+        1
+        for m in re.findall(r"DataFilters: \[([^\]]*)\]", subtree)
+        if m.strip()
+    ) >= 1, "posting-list subtree lost its scan-level size filter"
 
 
 def test_dimension_joins_broadcast(plans):
