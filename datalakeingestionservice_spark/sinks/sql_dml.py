@@ -320,6 +320,17 @@ _ALTER_PUBLISH_BRANCH_RE = re.compile(
     r"(?P<branch>[A-Za-z0-9._-]+)$",
     re.IGNORECASE,
 )
+_ALTER_CREATE_TAG_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+CREATE\s+TAG\s+"
+    r"(?P<tag>[A-Za-z0-9._-]+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_TAG_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+DROP\s+TAG\s+"
+    r"(?P<tag>[A-Za-z0-9._-]+)$",
+    re.IGNORECASE,
+)
 
 
 def _split_set_where(rest: str) -> tuple[str, str | None]:
@@ -611,12 +622,27 @@ def execute_dml(
     if ma:
         t = _resolve(spark, ma.group("name"), tables)
         return t.publish_branch(ma.group("branch"))
+    ma = _ALTER_CREATE_TAG_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.create_tag(
+            ma.group("tag"),
+            version=(
+                int(ma.group("v")) if ma.group("v") is not None else None
+            ),
+        )
+    ma = _ALTER_DROP_TAG_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        t.drop_tag(ma.group("tag"))
+        return t.latest_version()
     if re.match(r"^ALTER\s+TABLE\b", sql, re.IGNORECASE):
         raise UnsupportedStatementError(
             "ALTER TABLE subset: RENAME COLUMN a TO b, DROP COLUMN c, "
             "ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT name, "
             "CREATE BRANCH b [AS OF VERSION n], DROP BRANCH b, "
-            f"PUBLISH BRANCH b; got: {sql[:60]!r}"
+            "PUBLISH BRANCH b, CREATE TAG n [AS OF VERSION v], "
+            f"DROP TAG n; got: {sql[:60]!r}"
         )
     raise UnsupportedStatementError(
         "supported statements: UPDATE ... SET ... [WHERE], DELETE FROM "
@@ -771,7 +797,7 @@ _POST_REF_KEYWORDS = (
     "WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
     "ON|USING|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|NATURAL|SEMI|ANTI|"
     "VERSION|TIMESTAMP|AS|QUALIFY|DISTRIBUTE|CLUSTER|SORT|LATERAL|"
-    "TABLESAMPLE|PIVOT|UNPIVOT|FOR|BRANCH"
+    "TABLESAMPLE|PIVOT|UNPIVOT|FOR|BRANCH|TAG"
 )
 
 
@@ -801,7 +827,8 @@ def _select_ref_re(names: list[str]) -> re.Pattern:
     )
     return re.compile(
         rf"(?P<kw>\b(?:FROM|JOIN)\b)\s+(?P<name>{alts})\b"
-        rf"(?:\s+BRANCH\s+'(?P<br>[^']+)')?"
+        rf"(?:\s+BRANCH\s+'(?P<br>[^']+)'"
+        rf"|\s+TAG\s+'(?P<tag>[^']+)')?"
         rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
         rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
         rf"(?:\s+AS\s+(?P<alias1>[A-Za-z_]\w*)"
@@ -878,6 +905,7 @@ def execute_select(
         v: str | None,
         ts: str | None,
         br: str | None = None,
+        tag: str | None = None,
     ) -> str:
         t = _resolve(spark, name, tables)
         if br is not None:
@@ -885,6 +913,9 @@ def execute_select(
             # audit read as SQL text; VERSION/TIMESTAMP pins compose
             # within the branch. NoSuchBranchError propagates loudly.
             t = t.branch(br)
+        if tag is not None:
+            # `t TAG 'name'`: an immutable ref IS a version pin.
+            v = str(t.tag_version(tag))
         if v is not None:
             version = int(v)
         elif ts is not None:
@@ -953,7 +984,11 @@ def execute_select(
     last = 0
     for m in _select_ref_re(list(tables)).finditer(masked):
         view = pin(
-            grp(m, "name"), grp(m, "v"), grp(m, "ts"), grp(m, "br")
+            grp(m, "name"),
+            grp(m, "v"),
+            grp(m, "ts"),
+            grp(m, "br"),
+            grp(m, "tag"),
         )
         alias = grp(m, "alias1") or grp(m, "alias2") or grp(m, "name")
         parts.append(sql[last : m.start()])

@@ -61,6 +61,14 @@ class BranchExistsError(Exception):
     pass
 
 
+class NoSuchTagError(Exception):
+    pass
+
+
+class TagExistsError(Exception):
+    pass
+
+
 class NoSuchVersionError(Exception):
     pass
 
@@ -78,6 +86,32 @@ _MANIFEST_DIR = "_manifests"
 #: Branch manifest chains live INSIDE the manifest dir so clone() carries
 #: them and nothing outside `_manifests/` is metadata.
 _BRANCHES_SUBDIR = "branches"
+#: Immutable named refs: one tiny JSON file per tag pointing at a main
+#: version — `release-2024` instead of `VERSION AS OF 17`.
+_TAGS_SUBDIR = "tags"
+
+
+def _tag_path(root: str, name: str) -> str:
+    return os.path.join(
+        root, _MANIFEST_DIR, _TAGS_SUBDIR, f"{name}.json"
+    )
+
+
+def _tag_versions(root: str) -> dict[str, int]:
+    tdir = os.path.join(root, _MANIFEST_DIR, _TAGS_SUBDIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out: dict[str, int] = {}
+    for n in sorted(os.listdir(tdir)):
+        if not n.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(tdir, n)) as f:
+                out[n[: -len(".json")]] = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            continue  # torn tag claim; vacuum's timeout machinery N/A —
+            # tags are tiny and recreating is a no-op overwrite refusal
+    return out
 
 
 def _branch_names(root: str) -> list[str]:
@@ -4353,6 +4387,63 @@ class VersionedTable:
         )
         return self.branch(name)
 
+    # -- tags (immutable named refs) -----------------------------------------
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named ref: `release-2024` instead of `VERSION AS OF
+        17` (Iceberg tag shape). One tiny JSON file, published through
+        the commit protocol so racing same-name taggers resolve to
+        exactly one winner; re-tagging an existing name refuses — drop
+        first (a tag that silently moved would defeat its purpose).
+        `expire_versions` refuses to drop a tagged version, so a tag is
+        also a retention pin."""
+        if self.branch_name is not None:
+            raise ValueError(
+                "create_tag from the MAIN handle (tags name main "
+                "versions; tag a branch by publishing it first)"
+            )
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(
+                f"tag name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+            )
+        m = self.manifest(version)  # validates the version exists
+        path = _tag_path(self.root, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            self._protocol.publish(
+                path, json.dumps({"version": m.version})
+            )
+        except ConcurrentCommitError:
+            raise TagExistsError(
+                f"{self.root}: tag {name!r} exists (at "
+                f"v{_tag_versions(self.root).get(name)}); drop_tag first"
+            ) from None
+        return m.version
+
+    def drop_tag(self, name: str) -> None:
+        if self.branch_name is not None:
+            raise ValueError("drop_tag from the MAIN handle")
+        path = _tag_path(self.root, name)
+        if not os.path.exists(path):
+            raise NoSuchTagError(
+                f"{self.root}: no tag {name!r} "
+                f"(existing: {sorted(_tag_versions(self.root))})"
+            )
+        os.remove(path)
+
+    def list_tags(self) -> dict[str, int]:
+        return _tag_versions(self.root)
+
+    def tag_version(self, name: str) -> int:
+        """Resolve a tag to its version — `read(t.tag_version('rel'))`
+        is the tagged snapshot."""
+        versions = _tag_versions(self.root)
+        if name not in versions:
+            raise NoSuchTagError(
+                f"{self.root}: no tag {name!r} "
+                f"(existing: {sorted(versions)})"
+            )
+        return versions[name]
+
     def branch(self, name: str) -> "VersionedTable":
         """Handle bound to an existing branch's manifest chain."""
         return VersionedTable(
@@ -5208,13 +5299,28 @@ class VersionedTable:
     def expire_versions(self, keep_last: int) -> list[int]:
         """Drop the oldest manifests, keeping `keep_last` most recent.
         Data files they referenced become vacuum-eligible unless a surviving
-        version still references them."""
+        version still references them. A TAGGED version refuses to
+        expire (the tag is a retention pin — Iceberg semantics); drop
+        the tag first."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
         expired = versions[:-keep_last]
         if not expired:
             return []
+        if self.branch_name is None:
+            doomed = {m.version for m in expired}
+            pinned = {
+                name: v
+                for name, v in _tag_versions(self.root).items()
+                if v in doomed
+            }
+            if pinned:
+                raise ValueError(
+                    f"expire_versions(keep_last={keep_last}) would drop "
+                    f"tagged version(s) {pinned} — drop_tag first, or "
+                    "keep more versions"
+                )
         # The oldest RETAINED version must stand alone once its
         # ancestors are gone: if it is stored as a delta, rewrite it in
         # place as a full checkpoint first (same logical content, so

@@ -115,6 +115,19 @@ def _load_manifest(root: str, options: dict) -> Manifest:
     manifests = load_all_manifests(mdir)
     if not manifests:
         raise NoSuchVersionError(f"{root}: no committed versions")
+    if options.get("tag"):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            NoSuchTagError,
+            _tag_versions,
+        )
+
+        tag = str(options["tag"])
+        tags = _tag_versions(root)
+        if tag not in tags:
+            raise NoSuchTagError(
+                f"{root}: no tag {tag!r} (existing: {sorted(tags)})"
+            )
+        options = {**options, "version": str(tags[tag])}
     if options.get("version"):
         want = int(options["version"])
         for m in manifests:

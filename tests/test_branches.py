@@ -331,3 +331,59 @@ def test_racing_publishes_exactly_one_wins(spark, t):
     got = {r.k for r in t.read().filter("k >= 100").collect()}
     assert got == {winner_key}, (winner, got)
     assert t.read().filter(f"k = {loser_key}").count() == 0
+
+
+def test_tags_lifecycle(spark, t):
+    """Immutable named refs: create/resolve/read via every surface,
+    retention pinning, and the refusal matrix (re-tag, unknown,
+    branch-handle admin)."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        NoSuchTagError,
+        TagExistsError,
+    )
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_select,
+        execute_sql,
+    )
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    t.append(_df(spark, [(100, "x", 1.0)]))  # v2
+    tables = {"t": t}
+    assert execute_sql(
+        spark, "ALTER TABLE t CREATE TAG rel-1 AS OF VERSION 1", tables
+    ) == 1
+    t.create_tag("head")  # defaults to latest (v2)
+    assert t.list_tags() == {"head": 2, "rel-1": 1}
+    t.append(_df(spark, [(200, "y", 2.0)]))  # v3
+    # all three read surfaces resolve the tag
+    assert t.read(t.tag_version("rel-1")).count() == 10
+    assert (
+        execute_select(
+            spark, "SELECT count(*) AS n FROM t TAG 'rel-1'", tables
+        ).collect()[0].n
+        == 10
+    )
+    assert (
+        spark.read.format("versioned")
+        .option("table_root", t.root)
+        .option("tag", "rel-1")
+        .load()
+        .count()
+        == 10
+    )
+    # a tagged version is a retention pin
+    with pytest.raises(ValueError, match="tagged version"):
+        t.expire_versions(keep_last=1)
+    # immutable: re-tagging refuses
+    with pytest.raises(TagExistsError):
+        t.create_tag("rel-1", version=3)
+    execute_sql(spark, "ALTER TABLE t DROP TAG rel-1", tables)
+    t.drop_tag("head")
+    assert t.expire_versions(keep_last=1) == [1, 2]
+    with pytest.raises(NoSuchTagError):
+        t.tag_version("rel-1")
+    with pytest.raises(ValueError, match="MAIN"):
+        t.create_branch("b1").create_tag("x")
