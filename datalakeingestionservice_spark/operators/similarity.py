@@ -117,6 +117,73 @@ def ivf_assign(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-shaped embedding dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every vector to its nearest centroid
+    (:func:`ivf_assign`), compute pairwise cosine ONLY within each
+    cluster, and greedily drop the higher-id member of every pair at or
+    above `threshold` — the keep-lowest-index rule the paper uses, so
+    the survivor set is deterministic and an exact-SQL oracle can
+    recompute it. Returns `(survivors, dropped)`:
+
+    - `survivors`: (id, vec, cid) rows that remain,
+    - `dropped`: (id, cid) rows removed, each with `dup_of` — the
+      lowest-id cluster member it collided with (its anchor).
+
+    Scale shape: the cluster equi-join makes cost Σ |cluster|² instead
+    of |corpus|² — with k-means centroids at k ≈ √N this is the
+    published recipe for trillion-token corpora; centroids are
+    broadcast (k rows), the only corpus-sized shuffles are the argmin
+    aggregate and the cluster-keyed self-join. A transitive chain
+    (a~b, b~c, a≁c) keeps a and drops both b and c — same as the
+    greedy pass in the paper; use `connected_components` +
+    `dedup_survivors` (operators/graph.py) when component-level
+    semantics are wanted instead."""
+    assigned = ivf_assign(
+        emb,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    ).select(id_col, vec_col, centroid_id_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{centroid_id_col}") == F.col(f"b.{centroid_id_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("__keep"),
+            F.col(f"b.{id_col}").alias("__drop"),
+            F.col(f"a.{centroid_id_col}").alias(centroid_id_col),
+        )
+    )
+    dropped = pairs.groupBy("__drop", centroid_id_col).agg(
+        F.min("__keep").alias("dup_of")
+    )
+    survivors = assigned.join(
+        dropped.select(F.col("__drop").alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+    return survivors, dropped.select(
+        F.col("__drop").alias(id_col), centroid_id_col, "dup_of"
+    )
+
+
 def lsh_bucket(
     emb: DataFrame,
     planes: list[list[float]],

@@ -713,3 +713,96 @@ def q119_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — SemDeDup: cluster-then-prune embedding dedup (the scale path for
+# semantic dedup at trillion-token corpora — per-cluster quadratic only).
+# ---------------------------------------------------------------------------
+@register(
+    "q158_semantic_dedup",
+    tags=("vectors", "dedup", "semdedup", "clustering"),
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                                       c.cid) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cid AS cid
+  FROM assigned a
+  JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.4
+),
+dropped AS (
+  SELECT drop_id, cid, min(keep_id) AS dup_of
+  FROM pairs GROUP BY drop_id, cid
+)
+SELECT s.cid AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(d.drop_id) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(d.drop_id), 0) AS BIGINT) AS drop_id_sum,
+       CAST(coalesce(sum(d.dup_of), 0) AS BIGINT) AS anchor_sum
+FROM assigned s
+LEFT JOIN dropped d ON s.vec_id = d.drop_id
+GROUP BY s.cid
+ORDER BY cid
+""",
+)
+def q158_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest of 8 deterministic centroids (vec_id < 8, same convention
+    as q52), compute pairwise cosine ONLY within each cluster, and
+    greedily drop the higher-id member of every pair at cosine >= 0.4
+    — keep-lowest-index, so the survivor set is exactly recomputable
+    by the DuckDB oracle. Output is the per-cluster dedup ledger:
+    member count, dropped count, and id/anchor checksums that pin the
+    exact survivor set, not just its size. The 0.4 threshold sits in
+    the tail of this synthetic corpus's cosine distribution (random
+    L2-normalized gaussians have no true semantic dups; production
+    embeddings use ~0.9); the MACHINERY is scale-shaped either way:
+    centroids broadcast, cluster assignment is one map-side-combined
+    argmin aggregate (q52's min_by shape, never a row_number exchange),
+    and the self-join is cluster-keyed — Σ|cluster|² work, not
+    |corpus|², the published recipe with k-means centroids at k≈√N."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    survivors, dropped = semantic_dedup(emb, cents, threshold=0.4)
+    members = survivors.select("vec_id", "cid").unionByName(
+        dropped.select("vec_id", "cid")
+    )
+    return (
+        members.join(
+            dropped.select(
+                F.col("vec_id").alias("__d"), "dup_of"
+            ),
+            members.vec_id == F.col("__d"),
+            "left",
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("__d").alias("n_dropped"),
+            F.coalesce(F.sum("__d"), F.lit(0))
+            .cast("long")
+            .alias("drop_id_sum"),
+            F.coalesce(F.sum("dup_of"), F.lit(0))
+            .cast("long")
+            .alias("anchor_sum"),
+        )
+        .orderBy("cid")
+    )

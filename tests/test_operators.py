@@ -217,6 +217,61 @@ def test_ivf_assign_nearest_centroid(spark):
     assert got == {10: 0, 11: 1, 12: 0}
 
 
+def test_semantic_dedup_greedy_and_cluster_scoped(spark):
+    """SemDeDup semantics pinned on a hand-built frame: (a) dedup only
+    WITHIN a cluster — identical vectors in different clusters both
+    survive; (b) greedy keep-lowest-index — a transitive chain a~b~c
+    with a~c below threshold keeps a and drops BOTH b and c, each
+    anchored to its lowest-id collision partner."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            # cluster 0: chain 10~11 (cos 1.0), 11~12 high, 10~12 lower
+            (10, [1.0, 0.0, 0.0]),
+            (11, [1.0, 0.0, 0.0]),
+            (12, [0.97, 0.0, 0.2431]),
+            # cluster 1: identical to vec 10 but nearest to centroid 1
+            (13, [0.0, 1.0, 0.0]),
+            (14, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["cid", "cv"]
+    )
+    survivors, dropped = semantic_dedup(emb, cents, threshold=0.96)
+    assert {r.vec_id for r in survivors.collect()} == {10, 13}
+    got = {r.vec_id: (r.cid, r.dup_of) for r in dropped.collect()}
+    # 11 collides with 10; 12 collides with 10 (cos 0.97) and 11 —
+    # anchor is the lowest; 14 collides with 13 in ITS cluster only.
+    assert got == {11: (0, 10), 12: (0, 10), 14: (1, 13)}
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The scale contract: centroid assignment is ONE map-side-combined
+    aggregate over a broadcast cross join (never a row_number exchange
+    of |vectors| x |centroids| rows), and the pair join is cluster-
+    keyed."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cid", "cv"]
+    )
+    survivors, _ = semantic_dedup(emb, cents, threshold=0.999)
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan  # argmin is min_by, not row_number
+
+
 def test_lsh_bucket_identical_vectors_collide(spark):
     emb = spark.createDataFrame(
         [(1, [0.5, -0.2, 0.8]), (2, [0.5, -0.2, 0.8]), (3, [-0.5, 0.2, -0.8])],
