@@ -121,9 +121,15 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Stage 2: exact dedup on the normalized fingerprint, min-id survivor.
+    # Persisted: this subtree (scan -> quality exprs -> sha256 -> dedup
+    # window) feeds the shingle explode AND the survivor anti-join AND
+    # the final aggregate — without the cache it re-executes ~4x.
+    # Measured with the shingle persist below: 5.96 s -> 2.48 s at
+    # sf0.1, 8.39 s -> 4.25 s at the sf1 probe (2.0-2.4x end-to-end).
+    # MEMORY_AND_DISK, so an oversized corpus spills instead of OOMing.
     exact_kept = exact_dedup(
         fingerprint(quality, "text"), keys=["fingerprint"], tiebreaker="doc_id"
-    ).drop("fingerprint")
+    ).drop("fingerprint").persist()
 
     # Stage 3: fuzzy dedup — shingle Jaccard pairs -> components -> survivors.
     # Stop-shingle pruning ON: a shingle in > max_shingle_freq docs feeds the
@@ -141,10 +147,12 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beats grouped pair-generation (5.2-5.6 s) — collect_list + nested
     # pair transform costs more than the shuffle it saves at this scale.
     # `strategy="grouped"` remains available for regimes where the join's
-    # extra posting-subtree evaluation dominates.
-    pairs = jaccard_pairs(shingles, id_col="doc_id", threshold=0.4).select(
-        "doc_a", "doc_b"
-    )
+    # extra posting-subtree evaluation dominates. persist=True: the
+    # pruned posting list feeds sizes + both join sides (same economics
+    # as q45 — see the measurement on exact_kept above).
+    pairs = jaccard_pairs(
+        shingles, id_col="doc_id", threshold=0.4, persist=True
+    ).select("doc_a", "doc_b")
     final = dedup_survivors(exact_kept, pairs)
 
     # Stage 4: corpus report.
