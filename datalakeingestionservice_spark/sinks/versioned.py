@@ -4381,10 +4381,17 @@ class VersionedTable:
             raise BranchExistsError(f"{self.root}: branch {name!r} exists")
         os.makedirs(bdir, exist_ok=True)
         # Atomic seed through the commit protocol: exactly one of any
-        # racing create_branch(name) writers publishes the checkpoint.
-        self._protocol.publish(
-            os.path.join(bdir, _manifest_name(m.version)), m.to_json()
-        )
+        # racing create_branch(name) writers publishes the checkpoint
+        # (both can pass the isdir probe above; the claim decides).
+        try:
+            self._protocol.publish(
+                os.path.join(bdir, _manifest_name(m.version)), m.to_json()
+            )
+        except ConcurrentCommitError:
+            raise BranchExistsError(
+                f"{self.root}: branch {name!r} exists (lost a "
+                "create_branch race)"
+            ) from None
         return self.branch(name)
 
     # -- tags (immutable named refs) -----------------------------------------
