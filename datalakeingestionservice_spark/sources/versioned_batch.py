@@ -943,6 +943,17 @@ class VersionedTableWriter(DataSourceArrowWriter):
                 "table root; write via df.write.format(\"versioned\") "
                 "(reads work from SQL over a temp view)"
             )
+        if options.get("branch") or options.get("tag"):
+            # A writer that silently landed a "branch write" on main
+            # would be exactly the wrong-target hazard refs exist to
+            # prevent; the sessionless commit worker has no branch
+            # machinery, so refuse rather than reinterpret.
+            raise ValueError(
+                "the versioned writer commits to MAIN only; to write to "
+                "a branch use the session API "
+                "(VersionedTable.branch(name).append(...)); tags are "
+                "immutable and never a write target"
+            )
         self.root = options["table_root"]
         self.overwrite = overwrite
         self.merge_schema = (

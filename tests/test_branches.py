@@ -387,3 +387,24 @@ def test_tags_lifecycle(spark, t):
         t.tag_version("rel-1")
     with pytest.raises(ValueError, match="MAIN"):
         t.create_branch("b1").create_tag("x")
+
+
+def test_datasource_writer_refuses_branch_target(spark, t):
+    """A 'branch write' silently landing on main would be the exact
+    wrong-target hazard refs exist to prevent — the sessionless writer
+    refuses branch/tag options loudly."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    df = _df(spark, [(999, "z", 9.0)])
+    with pytest.raises(Exception, match="MAIN only"):
+        (
+            df.write.format("versioned")
+            .mode("append")
+            .option("table_root", t.root)
+            .option("branch", "wip")
+            .save()
+        )
+    assert t.read().filter("k = 999").count() == 0
