@@ -2899,3 +2899,142 @@ def q156_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wap_ok", F.lit(bool(ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q159_catalog_transaction",
+    tags=("lake", "catalog", "multi-table", "transaction"),
+    oracle="""
+WITH live AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 10 NOT IN (7, 8)
+),
+archived AS (
+  SELECT o_orderpriority AS prio,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 2.00
+              AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 10 IN (7, 8)
+)
+SELECT prio,
+       (SELECT CAST(count(*) AS BIGINT) FROM live l
+        WHERE l.prio = x.prio) AS n_live,
+       (SELECT CAST(count(*) AS BIGINT) FROM archived a
+        WHERE a.prio = x.prio) AS n_archived,
+       CAST((SELECT coalesce(sum(p), 0) FROM live l
+             WHERE l.prio = x.prio)
+          + (SELECT coalesce(sum(p), 0) FROM archived a
+             WHERE a.prio = x.prio) AS DOUBLE) AS total_price,
+       TRUE AS catalog_ok
+FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) x
+ORDER BY prio
+""",
+)
+def q159_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC MULTI-TABLE TRANSACTIONS (`sinks/multi_table.py`, the
+    Nessie catalog shape): single-table commits are already atomic, but
+    moving rows BETWEEN tables isn't — a reader can see the append
+    without the delete. Here a `TableCatalog` pins (table -> version)
+    per catalog commit and a transaction swaps every pin in ONE atomic
+    catalog commit: orders -> `live`, empty `archive`; txn1 MOVES keys
+    %10 in (7,8) (append to archive + delete from live, two table
+    commits, one pin swap); txn2 bumps archived prices +2.00; a third
+    transaction appends junk and CRASHES — its table version exists as
+    an unpinned orphan but no catalog reader ever sees it.
+    `catalog_ok` asserts the contract in-plan: the row-conservation
+    invariant (|live| + |archive| - junk = |orders|) holds at EVERY
+    catalog version via `cat.sql` (the property a partial transaction
+    would break), cross-table time travel reproduces the pre-bump
+    archive total, the crashed transaction moved no pin, and the junk
+    orphan is visible by direct table read but not through the catalog.
+    The oracle recomputes the final catalog state from raw orders. At
+    100 TB a catalog commit is O(#tables) JSON bytes — the ledger
+    debit/credit pattern with zero cross-table lock."""
+    from datalakeingestionservice_spark.sinks.multi_table import (
+        TableCatalog,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_cat_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    live = VersionedTable.create(spark, os.path.join(base, "live"), orders)
+    archive = VersionedTable.create(
+        spark, os.path.join(base, "archive"), orders.limit(0)
+    )
+    cat = TableCatalog.create(
+        spark, os.path.join(base, "cat"), {"live": live, "archive": archive}
+    )
+
+    moved = orders.filter((F.col("k") % 10).isin(7, 8))
+    n_moved = moved.count()
+    with cat.transaction() as txn:  # catalog v2: the atomic move
+        txn["archive"].append(moved)
+        txn["live"].delete_where((F.col("k") % 10).isin(7, 8))
+    with cat.transaction() as txn:  # catalog v3: archive price bump
+        txn["archive"].update_where(
+            [("k", ">", 0)],
+            {"price": "CAST(price + 2.00 AS DECIMAL(18,2))"},
+        )
+    crashed = False
+    try:
+        with cat.transaction() as txn:  # never becomes a catalog commit
+            txn["archive"].append(
+                moved.withColumn("k", F.col("k") + 5_000_000_000)
+            )
+            raise RuntimeError("simulated crash before pin swap")
+    except RuntimeError:
+        crashed = True
+
+    n_orders = orders.count()
+    conserved = all(
+        cat.sql(
+            "SELECT (SELECT count(*) FROM live) "
+            "+ (SELECT count(*) FROM archive) AS n",
+            cv,
+        ).collect()[0].n
+        == n_orders
+        for cv in (1, 2, 3)
+    )
+    bump = (
+        cat.sql(
+            "SELECT CAST(sum(price) AS DOUBLE) AS s FROM archive", 3
+        ).collect()[0].s
+        or 0.0
+    ) - (
+        cat.sql(
+            "SELECT CAST(sum(price) AS DOUBLE) AS s FROM archive", 2
+        ).collect()[0].s
+        or 0.0
+    )
+    orphan_hidden = (
+        cat.latest_version() == 3
+        and cat.read("archive").count() == n_moved  # junk not visible
+        and cat.table("archive").read().count() == 2 * n_moved  # orphan
+    )
+    ok = (
+        crashed
+        and conserved
+        and abs(bump - 2.0 * n_moved) < 1e-6
+        and orphan_hidden
+    )
+    merged = cat.read("live").unionByName(cat.read("archive"))
+    return (
+        merged.groupBy("prio")
+        .agg(
+            F.sum(
+                ((F.col("k") % 10).isin(7, 8) == False).cast("long")  # noqa: E712
+            ).alias("n_live"),
+            F.sum(((F.col("k") % 10).isin(7, 8)).cast("long")).alias(
+                "n_archived"
+            ),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("catalog_ok", F.lit(bool(ok)))
+        .orderBy("prio")
+    )

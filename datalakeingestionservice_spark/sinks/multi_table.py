@@ -1,0 +1,320 @@
+"""Catalog-level atomic multi-table transactions (Nessie / Project
+Tempo shape): a `TableCatalog` owns a set of versioned tables and keeps
+its OWN commit log, where every catalog version is one tiny JSON pin map
+`{table name -> (root, table version)}` published through the same
+atomic commit protocol the tables use.
+
+Why this exists: single-table commits are already atomic, but a
+pipeline that moves rows BETWEEN tables (ledger debit/credit, fact +
+summary, delete-from-staging/append-to-curated) has no cross-table
+atomicity — a reader can see table A after the move and table B before
+it. The catalog closes that hole the way Nessie does: table commits
+happen first (they are invisible to catalog readers — just unpinned
+tail versions), then ONE catalog commit swaps every pin atomically.
+A reader that resolves versions through the catalog can never observe
+a partial transaction, no matter where a writer crashes:
+
+- crash BEFORE any table commit: nothing anywhere;
+- crash between table commits: orphan table versions exist but no
+  catalog pin references them — catalog readers still see the old
+  consistent snapshot (the orphans are time-travelable on the tables
+  and reclaimable via `restore`/`expire_versions`);
+- crash after the catalog commit: the transaction is fully visible.
+
+Concurrency: catalog committers race on the catalog version claim —
+exactly one wins; the loser raises `CatalogConflictError` (its table
+commits stand as unpinned versions; re-running the transaction rebases
+on the new catalog head). Writes that go straight to a table without
+the catalog are absorbed into the next transaction's pin — the catalog
+serializes CATALOG commits, it does not lock tables (same posture as
+Nessie: the catalog is the source of truth for whoever reads through
+it).
+
+Cross-table TIME TRAVEL falls out: `read(name, catalog_version=k)`
+reads every table as of one catalog commit — a consistent snapshot of
+the whole lake, not per-table guesses.
+
+100 TB posture: a catalog commit is O(#tables) bytes of JSON — never
+table metadata, never data; reads add one small pin-map load.
+
+Scale note — catalog metadata: pin maps are full snapshots per commit
+(not delta-encoded like table manifests) because they are O(#tables),
+not O(files); a thousand-table catalog is ~100 KB per commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalakeingestionservice_spark.sinks.versioned import (
+    CommitProtocol,
+    ConcurrentCommitError,
+    HardLinkCommitProtocol,
+    NoSuchVersionError,
+    VersionedTable,
+    _manifest_name,
+)
+
+_CATALOG_DIR = "_catalog_commits"
+
+
+class CatalogConflictError(Exception):
+    """Another transaction committed first; re-run to rebase."""
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class TableCatalog:
+    """A named set of versioned tables with atomic multi-table commits.
+
+    ::
+
+        cat = TableCatalog.create(spark, "/lake/cat",
+                                  {"orders": "/lake/orders",
+                                   "summary": "/lake/summary"})
+        with cat.transaction() as txn:
+            txn["orders"].delete_where([("k", "=", 42)])
+            txn["summary"].append(delta_df)
+        # exactly here both changes became visible to catalog readers,
+        # in one atomic catalog commit — or neither did.
+
+    `read(name)` resolves the table version through the catalog pin;
+    `read(name, catalog_version=k)` time-travels the WHOLE catalog.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        commit_protocol: CommitProtocol | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self._protocol = commit_protocol or HardLinkCommitProtocol()
+        self._cdir = os.path.join(root, _CATALOG_DIR)
+        if not os.path.isdir(self._cdir):
+            raise NoSuchVersionError(
+                f"{root} is not a table catalog (no {_CATALOG_DIR}/); "
+                "use TableCatalog.create"
+            )
+
+    # -- creation ------------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        tables: dict[str, str | VersionedTable],
+        commit_protocol: CommitProtocol | None = None,
+    ) -> "TableCatalog":
+        """Pin every table at its CURRENT head as catalog version 1."""
+        os.makedirs(os.path.join(root, _CATALOG_DIR), exist_ok=True)
+        cat = TableCatalog(spark, root, commit_protocol=commit_protocol)
+        pins = {}
+        for name, t in tables.items():
+            tab = (
+                t
+                if isinstance(t, VersionedTable)
+                else VersionedTable(spark, t)
+            )
+            pins[name] = {
+                "root": tab.root,
+                "version": tab.latest_version(),
+            }
+        cat._publish(1, pins, operation="create")
+        return cat
+
+    # -- commit log ------------------------------------------------------------
+    def _publish(self, version: int, pins: dict, operation: str) -> int:
+        from datetime import datetime, timezone
+
+        body = json.dumps(
+            {
+                "catalog_version": version,
+                "operation": operation,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+                "pins": pins,
+            },
+            sort_keys=True,
+        )
+        self._protocol.publish(
+            os.path.join(self._cdir, _manifest_name(version)), body
+        )
+        return version
+
+    def latest_version(self) -> int:
+        names = sorted(
+            n
+            for n in os.listdir(self._cdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        for name in reversed(names):
+            try:
+                with open(os.path.join(self._cdir, name)) as f:
+                    return json.load(f)["catalog_version"]
+            except (OSError, ValueError, KeyError):
+                continue  # torn claim
+        raise NoSuchVersionError(f"{self.root}: no catalog commits")
+
+    def manifest(self, version: int | None = None) -> dict:
+        version = self.latest_version() if version is None else version
+        path = os.path.join(self._cdir, _manifest_name(version))
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except OSError:
+            raise NoSuchVersionError(
+                f"{self.root}: no catalog version {version}"
+            )
+
+    def pins(self, version: int | None = None) -> dict[str, dict]:
+        return self.manifest(version)["pins"]
+
+    # -- reads ------------------------------------------------------------
+    def table(self, name: str) -> VersionedTable:
+        """Raw handle (UNPINNED — reads the table head). For consistent
+        reads use :meth:`read`; for writes use :meth:`transaction`."""
+        pins = self.pins()
+        if name not in pins:
+            raise NoSuchTableError(
+                f"{self.root}: no table {name!r} "
+                f"(registered: {sorted(pins)})"
+            )
+        return VersionedTable(
+            self.spark, pins[name]["root"], commit_protocol=self._protocol
+        )
+
+    def table_version(
+        self, name: str, catalog_version: int | None = None
+    ) -> int:
+        pins = self.pins(catalog_version)
+        if name not in pins:
+            raise NoSuchTableError(
+                f"{self.root}: no table {name!r} "
+                f"(registered: {sorted(pins)})"
+            )
+        return pins[name]["version"]
+
+    def read(
+        self, name: str, catalog_version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read through the catalog pin — with
+        `catalog_version`, a cross-table-consistent time travel."""
+        pins = self.pins(catalog_version)
+        if name not in pins:
+            raise NoSuchTableError(
+                f"{self.root}: no table {name!r} "
+                f"(registered: {sorted(pins)})"
+            )
+        p = pins[name]
+        return VersionedTable(
+            self.spark, p["root"], commit_protocol=self._protocol
+        ).read(p["version"])
+
+    def sql(
+        self, statement: str, catalog_version: int | None = None
+    ) -> DataFrame:
+        """Run a SELECT over the catalog's consistent snapshot: every
+        registered table is materialized as a temp view at its PINNED
+        version (all from ONE catalog commit), the statement runs
+        against them, the views are dropped. Cross-table joins can
+        never straddle a transaction."""
+        pins = self.pins(catalog_version)
+        created = []
+        try:
+            for name, p in pins.items():
+                VersionedTable(self.spark, p["root"]).read(
+                    p["version"]
+                ).createOrReplaceTempView(name)
+                created.append(name)
+            return self.spark.sql(statement)
+        finally:
+            for name in created:
+                self.spark.catalog.dropTempView(name)
+
+    # -- table-set evolution ---------------------------------------------------
+    def add_table(
+        self, name: str, table: str | VersionedTable
+    ) -> int:
+        tab = (
+            table
+            if isinstance(table, VersionedTable)
+            else VersionedTable(self.spark, table)
+        )
+        base = self.latest_version()
+        pins = dict(self.pins(base))
+        if name in pins:
+            raise ValueError(f"table {name!r} already registered")
+        pins[name] = {"root": tab.root, "version": tab.latest_version()}
+        return self._try_publish(base, pins, "add_table")
+
+    def remove_table(self, name: str) -> int:
+        base = self.latest_version()
+        pins = dict(self.pins(base))
+        if name not in pins:
+            raise NoSuchTableError(f"no table {name!r}")
+        del pins[name]
+        return self._try_publish(base, pins, "remove_table")
+
+    def _try_publish(self, base: int, pins: dict, op: str) -> int:
+        try:
+            return self._publish(base + 1, pins, operation=op)
+        except ConcurrentCommitError:
+            raise CatalogConflictError(
+                f"catalog commit v{base + 1} was taken concurrently; "
+                "re-run against the new head"
+            ) from None
+
+    # -- transactions ------------------------------------------------------------
+    def transaction(self) -> "CatalogTransaction":
+        return CatalogTransaction(self)
+
+
+class CatalogTransaction:
+    """Context manager binding a group of table writes to ONE atomic
+    catalog commit. `txn[name]` hands out the plain table handle —
+    every existing DML works; the table versions those commits create
+    stay invisible to catalog readers until the exit pin-swap. On ANY
+    exception the pin is not moved (already-committed table versions
+    become unpinned orphans — time-travelable, restorable, expirable —
+    and catalog readers never saw them)."""
+
+    def __init__(self, catalog: TableCatalog):
+        self.catalog = catalog
+        self._base: int | None = None
+        self._handles: dict[str, VersionedTable] = {}
+
+    def __enter__(self) -> "CatalogTransaction":
+        self._base = self.catalog.latest_version()
+        return self
+
+    def __getitem__(self, name: str) -> VersionedTable:
+        if name not in self._handles:
+            pins = self.catalog.pins(self._base)
+            if name not in pins:
+                raise NoSuchTableError(
+                    f"{self.catalog.root}: no table {name!r} "
+                    f"(registered: {sorted(pins)})"
+                )
+            self._handles[name] = VersionedTable(
+                self.catalog.spark,
+                pins[name]["root"],
+                commit_protocol=self.catalog._protocol,
+            )
+        return self._handles[name]
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            return False  # no pin swap; orphans stay invisible
+        pins = dict(self.catalog.pins(self._base))
+        for name, t in self._handles.items():
+            pins[name] = {
+                "root": t.root,
+                "version": t.latest_version(),
+            }
+        self.catalog._try_publish(self._base, pins, "transaction")
+        return False
