@@ -218,6 +218,65 @@ def _shingle_hash32():
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    POSITIONAL k-token gram (order kept, duplicates kept — unlike
+    :func:`word_shingles`), slide a window of `window` consecutive
+    grams, and keep each window's MINIMUM hash. The selected minima are
+    the document's fingerprint set, with the paper's guarantee: any
+    shared run of at least `window + k - 1` tokens contributes at least
+    one COMMON fingerprint, while storage shrinks ~2/(window+1) of the
+    full gram set — the published recipe for contamination / plagiarism
+    detection over corpora too large to compare gram-for-gram.
+
+    Hashes are the engine's portable sha256-derived 32-bit family
+    (`_shingle_hash32` — byte-identical in DuckDB), so the whole
+    pipeline is value-checkable by an exact SQL oracle. Documents
+    shorter than `k` tokens fingerprint their whole text; shorter than
+    `window` grams yield their single global minimum.
+
+    Scale shape: one map-side gram explode, one per-doc window (the
+    only shuffle — partitioned by document, never global), one
+    distinct. Output: (id_col, fp long) rows."""
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    grams = df.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+            )
+        ).alias("pos", "shingle"),
+    )
+    h = _shingle_hash32()
+    from pyspark.sql import Window as W
+
+    per_doc = W.partitionBy(id_col)
+    frame = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        grams.withColumn("__h", h)
+        .withColumn("__n", F.count(F.lit(1)).over(per_doc))
+        .withColumn("__wmin", F.min("__h").over(frame))
+        .filter(
+            F.col("pos") <= F.greatest(F.col("__n") - window, F.lit(0))
+        )
+        .select(id_col, F.col("__wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",

@@ -925,3 +925,99 @@ def q126_bm25f_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields=[("title", 2.0), ("text", 1.0)],
         top_k=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+# the MOSS algorithm): positional k-gram rolling hashes -> per-window minima
+# -> fingerprint-set overlap. The contamination/plagiarism detector that
+# works at corpus scale because storage is ~2/(window+1) of the gram set.
+# ---------------------------------------------------------------------------
+@register(
+    "q160_winnow_fingerprint_overlap",
+    tags=("text", "dedup", "fingerprint", "winnowing"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+3], ' ') AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 3, 1) + 1)) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST(list_sum(list_transform(range(1, 9),
+           i -> (strpos('0123456789abcdef', substr(sha256(g), i, 1)) - 1)
+                * (1::BIGINT << ((8 - i) * 4)))) AS BIGINT)
+           % {_MINHASH_P} AS h
+  FROM grams
+),
+mins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM hashed
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM mins
+  WHERE pos <= greatest(n - 5, 0) + 1
+),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 50)
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE)
+             / (sa.n_fp + sb.n_fp - n_common), 4) AS overlap
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_fp + sb.n_fp - n_common) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def q160_winnow_fingerprint_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WINNOWING (the MOSS fingerprinting algorithm): hash every
+    positional 4-token gram with the portable sha256-derived family,
+    keep each 5-gram window's MINIMUM, and score document pairs by
+    Jaccard overlap of their fingerprint SETS through the same
+    inverted-index join as q45 — with the same df>50 stop cut applied
+    identically in the oracle. The winnowing guarantee makes this the
+    scale answer for contamination detection: any shared run of at
+    least window+k-1 = 8 tokens contributes a common fingerprint, at
+    ~2/(window+1) = 1/3 the storage of the full gram set, and the pair
+    join runs over the SAMPLED minima instead of every gram. The
+    DuckDB oracle recomputes grams, hashes, window minima, the
+    completeness cut, the frequency cut, and the overlap join — the
+    full algorithm is value-checked, not just its output shape."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        jaccard_pairs,
+        winnow_fingerprints,
+    )
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=4, window=5)
+    sh = fps.select("doc_id", F.col("fp").alias("shingle"))
+    ubiquitous = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > 50)
+        .select("shingle")
+    )
+    kept = sh.join(ubiquitous, "shingle", "left_anti")
+    pairs = jaccard_pairs(
+        kept, id_col="doc_id", threshold=0.5, persist=True
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("overlap")
+    ).orderBy("doc_a", "doc_b")

@@ -217,6 +217,38 @@ def test_ivf_assign_nearest_centroid(spark):
     assert got == {10: 0, 11: 1, 12: 0}
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared run of at
+    least window+k-1 tokens contributes a COMMON fingerprint; identical
+    docs fingerprint identically; docs shorter than k tokens (or with
+    fewer grams than the window) still yield one fingerprint."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),  # identical
+            (3, "x y a b c d e f g h i j z"),  # shares a >=8-token run
+            (4, "p q r"),  # shorter than k=4 tokens
+            (5, "one two three four five"),  # 2 grams < window
+            (6, "totally different words entirely here now ok fine"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {}
+    for r in winnow_fingerprints(df, k=4, window=5).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] == fps[2]
+    assert fps[1] & fps[3], "shared 10-token run must share a fingerprint"
+    assert len(fps[4]) == 1 and len(fps[5]) == 1
+    assert not (fps[1] & fps[6])
+    # storage bound: far fewer fingerprints than grams (10 tokens -> 7
+    # grams -> 3 complete windows -> <= 3 fps)
+    assert len(fps[1]) <= 3
+
+
 def test_semantic_dedup_greedy_and_cluster_scoped(spark):
     """SemDeDup semantics pinned on a hand-built frame: (a) dedup only
     WITHIN a cluster — identical vectors in different clusters both
