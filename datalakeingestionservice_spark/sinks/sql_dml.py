@@ -56,6 +56,7 @@ the predicate is TRUE; NULL/FALSE rows are untouched.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -274,6 +275,16 @@ _DESCRIBE_RE = re.compile(
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?$",
     re.IGNORECASE,
 )
+_CREATE_TABLE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+USING\s+VERSIONED\s+"
+    r"LOCATION\s+'(?P<loc>[^']+)'"
+    r"(?:\s+PARTITIONED\s+BY\s+\((?P<pb>[^)]+)\))?"
+    r"\s+AS\s+(?P<rest>(?:SELECT|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    r"^DROP\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
+)
 _RESTORE_RE = re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
@@ -421,6 +432,53 @@ def execute_dml(
     `tables` maps statement-visible names to VersionedTable instances or
     table roots. Returns the committed version number."""
     sql = _strip(statement)
+    mc = _CREATE_TABLE_RE.match(sql)
+    if mc:
+        # CTAS: the SELECT resolves through execute_select, so it can
+        # read other registered tables WITH time travel / branches /
+        # table_changes; the result becomes version 1 of a new
+        # versioned table, which registers into the caller's `tables`
+        # dict under the statement name — later statements see it.
+        name = mc.group("name")
+        if name in tables:
+            raise UnsupportedStatementError(
+                f"table {name!r} is already registered; DROP TABLE "
+                "first (deregistration only — data is never deleted)"
+            )
+        loc = mc.group("loc")
+        if os.path.isdir(os.path.join(loc, "_manifests")):
+            raise UnsupportedStatementError(
+                f"location {loc!r} already holds a versioned table; "
+                "register it instead of CREATE TABLE"
+            )
+        df = execute_select(spark, mc.group("rest"), tables)
+        pb = (
+            [c.strip().strip("`") for c in mc.group("pb").split(",")]
+            if mc.group("pb")
+            else None
+        )
+        t = VersionedTable.create(spark, loc, df, partition_by=pb)
+        tables[name] = t
+        return t.latest_version()
+    mdrop = _DROP_TABLE_RE.match(sql)
+    if mdrop:
+        # DROP TABLE deregisters the NAME only — the table's data and
+        # manifests stay on disk (re-register to get it back). A front
+        # door that silently rm -rf'd a lake table would be the wrong
+        # kind of convenient.
+        name = mdrop.group("name")
+        if name not in tables:
+            raise UnsupportedStatementError(
+                f"unknown table {name!r} (registered: {sorted(tables)})"
+            )
+        t = tables[name]
+        v = (
+            t.latest_version()
+            if isinstance(t, VersionedTable)
+            else VersionedTable(spark, t).latest_version()
+        )
+        del tables[name]
+        return v
     mu = _UPDATE_RE.match(sql)
     if mu:
         t = _resolve(spark, mu.group("name"), tables)
@@ -650,7 +708,9 @@ def execute_dml(
         "(restricted form), OPTIMIZE t [WHERE] [ZORDER BY], VACUUM t "
         "[RETAIN n VERSIONS], RESTORE t TO VERSION/TIMESTAMP AS OF, "
         "ALTER TABLE (rename/drop column, add/drop constraint, "
-        "create/drop/publish branch); got: "
+        "create/drop/publish branch/tag), CREATE TABLE n USING versioned "
+        "LOCATION 'p' [PARTITIONED BY (c)] AS SELECT, DROP TABLE n "
+        "(deregistration only); got: "
         f"{sql[:60]!r}"
     )
 

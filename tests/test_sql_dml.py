@@ -13,6 +13,7 @@ import pytest
 from datalakeingestionservice_spark.sinks.sql_dml import (
     UnsupportedStatementError,
     execute_dml,
+    execute_sql,
 )
 from datalakeingestionservice_spark.sinks.versioned import VersionedTable
 
@@ -145,7 +146,8 @@ def test_statement_with_string_containing_where(spark, table):
 def test_unsupported_statements_refuse(spark, table):
     for bad in (
         "MERGE INTO t USING s ON t.id = s.id",
-        "DROP TABLE t",
+        "DROP TABLE t CASCADE",  # bare DROP TABLE deregisters (r8)
+        "CREATE VIEW v AS SELECT 1",
         "SELECT * FROM t",
         "UPDATE nope SET v = 1",
         "INSERT INTO t GARBAGE",
@@ -354,3 +356,74 @@ def test_replace_where_statement_refusals(spark, table):
             "SELECT id, grp, v FROM rw_bad",
             {"t": table},
         )
+
+
+def test_create_table_as_select_and_drop(spark, tmp_path):
+    """CTAS through the front door: the SELECT resolves through
+    execute_select (time travel included), the result becomes v1 of a
+    new versioned table registered under the statement name; DROP TABLE
+    deregisters the NAME only — data is never deleted."""
+    import os
+
+    src = VersionedTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(10)],
+            "k bigint, g string, v double",
+        ),
+    )
+    tables = {"src": src}
+    loc = str(tmp_path / "agg")
+    v = execute_sql(
+        spark,
+        f"CREATE TABLE agg USING versioned LOCATION '{loc}' "
+        "PARTITIONED BY (g) "
+        "AS SELECT g, CAST(sum(v) AS DOUBLE) AS s FROM src GROUP BY g",
+        tables,
+    )
+    assert v == 1 and "agg" in tables
+    assert tables["agg"].partition_by == ("g",)
+    got = execute_sql(
+        spark, "SELECT g, s FROM agg ORDER BY g", tables
+    ).collect()
+    assert [(r.g, r.s) for r in got] == [("a", 20.0), ("b", 25.0)]
+    # CTAS sources compose with time travel
+    src.append(
+        spark.createDataFrame(
+            [(100, "a", 1.0)], "k bigint, g string, v double"
+        )
+    )
+    execute_sql(
+        spark,
+        f"CREATE TABLE snap USING versioned LOCATION "
+        f"'{tmp_path / 'snap'}' AS SELECT * FROM src VERSION AS OF 1",
+        tables,
+    )
+    assert (
+        execute_sql(
+            spark, "SELECT count(*) AS n FROM snap", tables
+        ).collect()[0].n
+        == 10
+    )
+    # refusals: duplicate name, occupied location
+    with pytest.raises(UnsupportedStatementError, match="already regi"):
+        execute_sql(
+            spark,
+            f"CREATE TABLE agg USING versioned LOCATION "
+            f"'{tmp_path / 'x'}' AS SELECT 1 AS a",
+            tables,
+        )
+    with pytest.raises(UnsupportedStatementError, match="already holds"):
+        execute_sql(
+            spark,
+            f"CREATE TABLE dup USING versioned LOCATION '{loc}' "
+            "AS SELECT 1 AS a",
+            tables,
+        )
+    # DROP = deregistration only
+    execute_sql(spark, "DROP TABLE agg", tables)
+    assert "agg" not in tables
+    assert os.path.isdir(os.path.join(loc, "_manifests"))
+    with pytest.raises(UnsupportedStatementError, match="unknown table"):
+        execute_sql(spark, "DROP TABLE agg", tables)
