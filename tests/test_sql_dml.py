@@ -427,3 +427,30 @@ def test_create_table_as_select_and_drop(spark, tmp_path):
     assert os.path.isdir(os.path.join(loc, "_manifests"))
     with pytest.raises(UnsupportedStatementError, match="unknown table"):
         execute_sql(spark, "DROP TABLE agg", tables)
+
+
+def test_ctas_over_table_changes(spark, tmp_path):
+    """Statement composition: CTAS materializing a change feed — the
+    CDC-to-table idiom in two statements."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double"),
+    )
+    tables = {"t": t}
+    execute_sql(spark, "UPDATE t SET v = v + 1.0 WHERE k = 1", tables)
+    execute_sql(
+        spark,
+        f"CREATE TABLE feed USING versioned LOCATION "
+        f"'{tmp_path / 'feed'}' AS "
+        "SELECT k, v, _change_type, _commit_version "
+        "FROM table_changes('t', 1)",
+        tables,
+    )
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in execute_sql(
+            spark, "SELECT * FROM feed", tables
+        ).collect()
+    )
+    assert got == [(1, 10.0, "delete"), (1, 11.0, "insert")]
