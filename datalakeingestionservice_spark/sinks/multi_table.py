@@ -114,6 +114,15 @@ class TableCatalog:
         """Pin every table at its CURRENT head as catalog version 1."""
         os.makedirs(os.path.join(root, _CATALOG_DIR), exist_ok=True)
         cat = TableCatalog(spark, root, commit_protocol=commit_protocol)
+        try:
+            cat.latest_version()
+        except NoSuchVersionError:
+            pass
+        else:
+            raise ValueError(
+                f"{root} is already a table catalog; open it with "
+                "TableCatalog(spark, root)"
+            )
         pins = {}
         for name, t in tables.items():
             tab = (

@@ -146,3 +146,8 @@ def test_catalog_sql_drops_views(spark, cat):
     cat.sql("SELECT count(*) FROM a").collect()
     names = {t.name for t in spark.catalog.listTables()}
     assert "a" not in names and "b" not in names
+
+
+def test_create_on_existing_catalog_refuses(spark, cat):
+    with pytest.raises(ValueError, match="already a table catalog"):
+        TableCatalog.create(spark, cat.root, {})
