@@ -1,5 +1,5 @@
-"""Catalog-level atomic multi-table transactions (Nessie / Project
-Tempo shape): a `TableCatalog` owns a set of versioned tables and keeps
+"""Catalog-level atomic multi-table transactions (the Nessie catalog
+shape): a `TableCatalog` owns a set of versioned tables and keeps
 its OWN commit log, where every catalog version is one tiny JSON pin map
 `{table name -> (root, table version)}` published through the same
 atomic commit protocol the tables use.
