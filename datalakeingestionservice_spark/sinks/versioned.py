@@ -4943,7 +4943,7 @@ class VersionedTable:
         self,
         max_delete_files: int = 8,
         max_deleted_fraction: float = 0.3,
-        num_partitions: int = 1,
+        num_partitions: int | None = None,
     ) -> dict:
         """Threshold policy closing the MoR write/read bargain: deferred
         DML makes writes cheap by deferring cost to reads (per-entry
@@ -4963,13 +4963,21 @@ class VersionedTable:
         No-op when neither threshold is breached. The CDC committer can
         run this every K epochs (`make_cdc_apply_committer(...,
         maintain_every_epochs=K)`), giving the Flink→Iceberg
-        upsert+maintenance loop in one knob."""
+        upsert+maintenance loop in one knob.
+
+        `num_partitions` defaults to the LIVE ENTRY COUNT rather than
+        compact()'s explicit-call default of 1: the policy runs
+        unattended, and an escalation that silently collapsed a wide
+        table into one file would trade the read tax for a worse one.
+        Pass an explicit value to retarget the layout."""
         st = self.delete_stats()
         executed: list[str] = []
         if (
             st["n_table_rows"]
             and st["deleted_fraction"] > max_deleted_fraction
         ):
+            if num_partitions is None:
+                num_partitions = max(len(self.manifest().files), 1)
             self.compact(num_partitions=num_partitions)
             executed.append("compact_materialize")
         elif st["n_delete_files"] > max_delete_files:
