@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import threading
 
+import pyspark.sql.functions as F
 import pytest
 
 from datalakeingestionservice_spark.sinks.multi_table import (
@@ -151,3 +152,89 @@ def test_catalog_sql_drops_views(spark, cat):
 def test_create_on_existing_catalog_refuses(spark, cat):
     with pytest.raises(ValueError, match="already a table catalog"):
         TableCatalog.create(spark, cat.root, {})
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_catalog_random_transaction_sequence_matches_model(
+    spark, tmp_path, seed
+):
+    """Model fuzz for the catalog: a random interleave of multi-table
+    transactions, FAILED transactions (must move nothing), direct
+    to-table writes (absorbed by the next transaction — the documented
+    Nessie posture), and table-set evolution. Every catalog version's
+    per-table snapshot must equal the model at that version — the
+    invariant a partial cross-table commit would break."""
+    import random
+
+    from collections import Counter
+
+    rng = random.Random(seed)
+    names = ["a", "b"]
+    tables = {
+        n: VersionedTable.create(
+            spark, str(tmp_path / n), _df(spark, [(i, float(i)) for i in range(3)])
+        )
+        for n in names
+    }
+    cat = TableCatalog.create(spark, str(tmp_path / "cat"), tables)
+    base = {n: Counter((i, float(i)) for i in range(3)) for n in names}
+    history = [None, {n: Counter(c) for n, c in base.items()}]
+    model = {n: Counter(c) for n, c in base.items()}
+    pending: dict[str, Counter] = {}  # direct writes awaiting absorption
+    next_k = 100
+
+    def fresh(n_rows):
+        nonlocal next_k
+        rows = [(next_k + i, float(next_k + i)) for i in range(n_rows)]
+        next_k += n_rows
+        return rows
+
+    for _ in range(8):
+        op = rng.choice(["txn", "txn", "txn", "failed_txn", "direct"])
+        if op == "direct":
+            # invisible to catalog readers until a txn touches the table
+            n = rng.choice(names)
+            rows = fresh(rng.randint(1, 2))
+            tables[n].append(_df(spark, rows))
+            pending.setdefault(n, Counter()).update(rows)
+            continue  # no catalog version
+        if op == "failed_txn":
+            n = rng.choice(names)
+            rows = fresh(1)
+            with pytest.raises(RuntimeError):
+                with cat.transaction() as txn:
+                    txn[n].append(_df(spark, rows))
+                    raise RuntimeError("boom")
+            pending.setdefault(n, Counter()).update(rows)  # orphan
+            continue  # no catalog version
+        touched = rng.sample(names, rng.randint(1, 2))
+        staged = {}
+        with cat.transaction() as txn:
+            for n in touched:
+                m = Counter(model[n])
+                m.update(pending.pop(n, Counter()))  # absorb
+                kind = rng.choice(["append", "delete", "overwrite"])
+                if kind == "append":
+                    rows = fresh(rng.randint(1, 2))
+                    txn[n].append(_df(spark, rows))
+                    m.update(rows)
+                elif kind == "delete":
+                    mod = rng.randint(2, 3)
+                    txn[n].delete_where(F.col("k") % mod == 0)
+                    for key in [k for k in list(m) if k[0] % mod == 0]:
+                        del m[key]
+                else:
+                    rows = fresh(rng.randint(1, 2))
+                    txn[n].overwrite(_df(spark, rows))
+                    m = Counter(rows)
+                staged[n] = m
+        model = {**{n: Counter(c) for n, c in model.items()}, **staged}
+        history.append({n: Counter(c) for n, c in model.items()})
+
+    assert cat.latest_version() == len(history) - 1
+    for cv in range(1, len(history)):
+        for n in names:
+            got = Counter(
+                (r.k, r.v) for r in cat.read(n, catalog_version=cv).collect()
+            )
+            assert got == history[cv][n], (cv, n, seed)
