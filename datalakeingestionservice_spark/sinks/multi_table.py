@@ -53,6 +53,7 @@ from datalakeingestionservice_spark.sinks.versioned import (
     CommitProtocol,
     ConcurrentCommitError,
     HardLinkCommitProtocol,
+    NoSuchBranchError,
     NoSuchVersionError,
     VersionedTable,
     _manifest_name,
@@ -282,6 +283,19 @@ class TableCatalog:
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
 
+    def staged_transaction(self) -> "StagedCatalogTransaction":
+        """Catalog-level WRITE-AUDIT-PUBLISH: like :meth:`transaction`,
+        but every table write lands on a per-transaction BRANCH of that
+        table, so even direct table readers never see uncommitted work
+        (plain transactions leave table-head orphans; staged ones leave
+        nothing on any main until exit). `txn.sql(...)` queries the
+        STAGED state — touched tables at their branch heads, untouched
+        tables at their catalog pins — so a cross-table audit can veto
+        the whole group by raising. On success every touched branch
+        fast-forwards and ONE pin swap publishes; on failure branches
+        are dropped and no main moved."""
+        return StagedCatalogTransaction(self)
+
 
 class CatalogTransaction:
     """Context manager binding a group of table writes to ONE atomic
@@ -326,4 +340,114 @@ class CatalogTransaction:
                 "version": t.latest_version(),
             }
         self.catalog._try_publish(self._base, pins, "transaction")
+        return False
+
+
+class StagedCatalogTransaction:
+    """Write-audit-publish across tables (see
+    :meth:`TableCatalog.staged_transaction`). Write path: `txn[name]`
+    returns a BRANCH handle of the table (branch `__txn_<id>`, created
+    lazily at the table's pinned version); audit path: `txn.sql(stmt)`
+    sees the staged world; exit publishes each touched branch
+    (fast-forward squash — refuses if the table's main moved past the
+    pin, i.e. a concurrent direct writer) and swaps the catalog pin
+    once. Exceptions (including an audit raising) drop the branches:
+    no main table ever carried the aborted work, not even as orphans.
+
+    Failure atomicity note: the PIN swap is atomic, table-main
+    visibility is not quite — if publish k succeeds and publish k+1
+    refuses, the first k tables carry published-but-unpinned versions
+    (catalog readers still see nothing new; `restore` the mains or let
+    the next transaction absorb them). The pin is the source of truth,
+    same as the plain transaction."""
+
+    def __init__(self, catalog: TableCatalog):
+        self.catalog = catalog
+        self._base: int | None = None
+        self._branch = f"__txn_{os.urandom(4).hex()}"
+        self._staged: dict[str, VersionedTable] = {}  # branch handles
+        self._mains: dict[str, VersionedTable] = {}
+
+    def __enter__(self) -> "StagedCatalogTransaction":
+        self._base = self.catalog.latest_version()
+        return self
+
+    def __getitem__(self, name: str) -> VersionedTable:
+        if name not in self._staged:
+            pins = self.catalog.pins(self._base)
+            if name not in pins:
+                raise NoSuchTableError(
+                    f"{self.catalog.root}: no table {name!r} "
+                    f"(registered: {sorted(pins)})"
+                )
+            main = VersionedTable(
+                self.catalog.spark,
+                pins[name]["root"],
+                commit_protocol=self.catalog._protocol,
+            )
+            self._mains[name] = main
+            self._staged[name] = main.create_branch(
+                self._branch, from_version=pins[name]["version"]
+            )
+        return self._staged[name]
+
+    def sql(self, statement: str) -> DataFrame:
+        """Query the STAGED world: touched tables at their branch
+        heads, untouched tables at their catalog pins — the cross-table
+        audit surface. Raise from the `with` body to veto the group."""
+        pins = self.catalog.pins(self._base)
+        created = []
+        try:
+            for name, p in pins.items():
+                df = (
+                    self._staged[name].read()
+                    if name in self._staged
+                    else VersionedTable(
+                        self.catalog.spark, p["root"]
+                    ).read(p["version"])
+                )
+                df.createOrReplaceTempView(name)
+                created.append(name)
+            return self.catalog.spark.sql(statement)
+        finally:
+            for name in created:
+                self.catalog.spark.catalog.dropTempView(name)
+
+    def _drop_branches(self) -> None:
+        for name, main in self._mains.items():
+            try:
+                main.drop_branch(self._branch)
+            except NoSuchBranchError:  # pragma: no cover - already gone
+                pass
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            self._drop_branches()
+            return False
+        pins = dict(self.catalog.pins(self._base))
+        published: dict[str, int] = {}
+        try:
+            for name, main in self._mains.items():
+                branch_head = self._staged[name].latest_version()
+                if branch_head == pins[name]["version"]:
+                    continue  # touched but never written
+                published[name] = main.publish_branch(self._branch)
+            for name, v in published.items():
+                pins[name] = {
+                    "root": self._mains[name].root,
+                    "version": v,
+                }
+            self.catalog._try_publish(
+                self._base, pins, "staged_transaction"
+            )
+        except (ConcurrentCommitError, CatalogConflictError) as e:
+            self._drop_branches()
+            raise CatalogConflictError(
+                f"staged transaction lost a race ({e}); "
+                f"published-but-unpinned table versions: "
+                f"{sorted(published)} — catalog readers never saw "
+                "them; restore the mains or let the next transaction "
+                "absorb"
+            ) from None
+        self._drop_branches()
         return False

@@ -238,3 +238,49 @@ def test_catalog_random_transaction_sequence_matches_model(
                 (r.k, r.v) for r in cat.read(n, catalog_version=cv).collect()
             )
             assert got == history[cv][n], (cv, n, seed)
+
+
+def test_staged_transaction_wap(spark, cat):
+    """Catalog-level write-audit-publish: writes stage on per-txn
+    branches (NOTHING on any main — not even orphans), the audit sees
+    the staged cross-table world and can veto by raising, success
+    publishes every branch and swaps the pin once."""
+    # veto path: zero trace anywhere
+    with pytest.raises(ValueError, match="audit"):
+        with cat.staged_transaction() as txn:
+            txn["b"].append(_df(spark, [(7, -1.0)]))
+            n_bad = txn.sql(
+                "SELECT count(*) AS n FROM b WHERE v < 0"
+            ).collect()[0].n
+            assert n_bad == 1  # staged view sees the batch
+            raise ValueError("audit failed")
+    for name in ("a", "b"):
+        assert cat.table(name).latest_version() == 1  # no orphans
+        assert cat.table(name).list_branches() == {}
+    # success path: cross-table move audited on the staged world
+    with cat.staged_transaction() as txn:
+        txn["b"].append(cat.read("a").filter("k < 3"))
+        txn["a"].delete_where([("k", "<", 3)])
+        n = txn.sql(
+            "SELECT (SELECT count(*) FROM a) + "
+            "(SELECT count(*) FROM b) AS n"
+        ).collect()[0].n
+        assert n == 11  # conservation holds in the staged world
+    assert cat.latest_version() == 2
+    assert cat.read("a").count() == 7 and cat.read("b").count() == 4
+    assert cat.table("a").list_branches() == {}
+
+
+def test_staged_transaction_conflict_drops_branches(spark, cat):
+    """A direct writer moving a main mid-staged-txn makes the publish
+    refuse (fast-forward divergence): branches are dropped, the pin
+    never moves, staged rows never surface."""
+    txn = cat.staged_transaction()
+    txn.__enter__()
+    txn["a"].append(_df(spark, [(100, 1.0)]))
+    cat.table("a").append(_df(spark, [(200, 2.0)]))  # concurrent
+    with pytest.raises(CatalogConflictError):
+        txn.__exit__(None, None, None)
+    assert cat.table("a").list_branches() == {}
+    assert cat.read("a").filter("k = 100").count() == 0
+    assert cat.table_version("a") == 1
