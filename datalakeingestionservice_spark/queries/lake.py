@@ -3038,3 +3038,137 @@ def q159_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("catalog_ok", F.lit(bool(ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q161_staged_catalog_wap",
+    tags=("lake", "catalog", "write-audit-publish", "branches"),
+    oracle="""
+WITH live AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 10 <> 6
+),
+archived AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 10 = 6
+)
+SELECT prio,
+       (SELECT CAST(count(*) AS BIGINT) FROM live l
+        WHERE l.prio = x.prio) AS n_live,
+       (SELECT CAST(count(*) AS BIGINT) FROM archived a
+        WHERE a.prio = x.prio) AS n_archived,
+       CAST((SELECT coalesce(sum(p), 0) FROM live l
+             WHERE l.prio = x.prio)
+          + (SELECT coalesce(sum(p), 0) FROM archived a
+             WHERE a.prio = x.prio) AS DOUBLE) AS total_price,
+       TRUE AS wap_ok
+FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) x
+ORDER BY prio
+""",
+)
+def q161_staged_catalog_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG-LEVEL WRITE-AUDIT-PUBLISH (E85 = E79 branches × E82
+    catalog pins, `staged_transaction`): a BAD cross-table group
+    (negative-price clones appended to archive + a live delete) stages
+    on per-transaction BRANCHES, its cross-table AUDIT (`txn.sql` over
+    the staged world) vetoes by raising — and unlike a plain catalog
+    transaction, NOTHING lands on any main: no orphan versions, no
+    branches left, both tables bit-identical. The GOOD group (move keys
+    %10==6 from live to archive) audits green on the staged world
+    (conservation + no negatives) and publishes: every touched branch
+    fast-forwards and ONE pin swap makes both sides visible together.
+    `wap_ok` asserts the veto left zero trace (table versions AND file
+    sets unchanged, branch lists empty), the staged world was invisible
+    to catalog readers during the audit, and the publish moved the pin
+    exactly once. The oracle recomputes the final catalog state from
+    raw orders. At 100 TB this is the nightly multi-table load: stage a
+    10-table batch on refs, run the audit suite against the staged
+    catalog, publish by metadata — a bad batch costs branch manifests,
+    never a cleanup job."""
+    from datalakeingestionservice_spark.sinks.multi_table import (
+        TableCatalog,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_swap_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    live = VersionedTable.create(spark, os.path.join(base, "live"), orders)
+    archive = VersionedTable.create(
+        spark, os.path.join(base, "archive"), orders.limit(0)
+    )
+    cat = TableCatalog.create(
+        spark, os.path.join(base, "cat"), {"live": live, "archive": archive}
+    )
+
+    # -- bad group: vetoed by the cross-table audit, zero trace
+    bad = orders.filter(F.col("k") % 10 == 6).select(
+        (F.col("k") + 1_000_000_000).alias("k"),
+        F.col("prio"),
+        (-F.col("price")).cast("decimal(18,2)").alias("price"),
+    )
+    vetoed = False
+    try:
+        with cat.staged_transaction() as txn:
+            txn["archive"].append(bad)
+            txn["live"].delete_where([("k", ">", 0)])  # would empty live
+            n_bad = txn.sql(
+                "SELECT count(*) AS n FROM archive WHERE price <= 0"
+            ).collect()[0].n
+            if n_bad:
+                raise ValueError("audit: non-positive archive prices")
+    except ValueError:
+        vetoed = True
+    zero_trace = (
+        live.latest_version() == 1
+        and archive.latest_version() == 1
+        and live.list_branches() == {}
+        and archive.list_branches() == {}
+    )
+
+    # -- good group: staged, audited on the staged world, published
+    moved = orders.filter(F.col("k") % 10 == 6)
+    n_orders, n_moved = orders.count(), moved.count()
+    with cat.staged_transaction() as txn:
+        txn["archive"].append(moved)
+        txn["live"].delete_where((F.col("k") % 10) == 6)
+        invisible_mid_txn = (
+            cat.read("archive").count() == 0  # catalog: pre-txn world
+        )
+        audit = txn.sql(
+            "SELECT (SELECT count(*) FROM live) "
+            "+ (SELECT count(*) FROM archive) AS n, "
+            "(SELECT count(*) FROM archive WHERE price <= 0) AS n_bad"
+        ).collect()[0]
+        assert audit.n == n_orders and audit.n_bad == 0
+    ok = (
+        vetoed
+        and zero_trace
+        and invisible_mid_txn
+        and cat.latest_version() == 2
+        and cat.manifest()["operation"] == "staged_transaction"
+        and cat.read("live").count() == n_orders - n_moved
+        and cat.read("archive").count() == n_moved
+        and live.list_branches() == {}
+        and archive.list_branches() == {}
+    )
+    merged = cat.read("live").unionByName(cat.read("archive"))
+    return (
+        merged.groupBy("prio")
+        .agg(
+            F.sum(((F.col("k") % 10) != 6).cast("long")).alias("n_live"),
+            F.sum(((F.col("k") % 10) == 6).cast("long")).alias(
+                "n_archived"
+            ),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .withColumn("wap_ok", F.lit(bool(ok)))
+        .orderBy("prio")
+    )
