@@ -190,7 +190,21 @@ def test_catalog_random_transaction_sequence_matches_model(
         return rows
 
     for _ in range(8):
-        op = rng.choice(["txn", "txn", "txn", "failed_txn", "direct"])
+        op = rng.choice(
+            ["txn", "txn", "txn", "failed_txn", "direct", "staged_veto"]
+        )
+        if op == "staged_veto":
+            # staged groups that abort must leave NOTHING anywhere —
+            # no catalog version, no table version, no pending orphan.
+            n = rng.choice(names)
+            heads = {m: tables[m].latest_version() for m in names}
+            with pytest.raises(RuntimeError):
+                with cat.staged_transaction() as txn:
+                    txn[n].append(_df(spark, fresh(1)))
+                    raise RuntimeError("audit veto")
+            assert {m: tables[m].latest_version() for m in names} == heads
+            assert all(tables[m].list_branches() == {} for m in names)
+            continue  # no catalog version, no model change
         if op == "direct":
             # invisible to catalog readers until a txn touches the table
             n = rng.choice(names)
@@ -209,7 +223,17 @@ def test_catalog_random_transaction_sequence_matches_model(
             continue  # no catalog version
         touched = rng.sample(names, rng.randint(1, 2))
         staged = {}
-        with cat.transaction() as txn:
+        # plain and STAGED transactions must be model-indistinguishable
+        # on success; staged ones cannot absorb pending direct writes
+        # (they fork at the PIN and publish refuses if a main moved), so
+        # only use them when nothing is pending on the touched tables.
+        use_staged = rng.random() < 0.4 and not any(
+            n in pending for n in touched
+        )
+        ctx = (
+            cat.staged_transaction() if use_staged else cat.transaction()
+        )
+        with ctx as txn:
             for n in touched:
                 m = Counter(model[n])
                 m.update(pending.pop(n, Counter()))  # absorb
