@@ -60,6 +60,7 @@ from datalakeingestionservice_spark.sinks.versioned import (
 )
 
 _CATALOG_DIR = "_catalog_commits"
+_BRANCHES_SUBDIR = "branches"
 
 
 class CatalogConflictError(Exception):
@@ -93,6 +94,7 @@ class TableCatalog:
         spark: SparkSession,
         root: str,
         commit_protocol: CommitProtocol | None = None,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -103,6 +105,21 @@ class TableCatalog:
                 f"{root} is not a table catalog (no {_CATALOG_DIR}/); "
                 "use TableCatalog.create"
             )
+        #: Catalog-level named ref (the Nessie headline: branch the
+        #: WHOLE lake). A branch handle commits pin maps to its own
+        #: chain under `_catalog_commits/branches/<name>/`; every read,
+        #: transaction, and staged transaction works on it unchanged,
+        #: and catalog-main readers never see branch pins.
+        self.branch_name = branch
+        if branch is not None:
+            self._cdir = os.path.join(
+                self._cdir, _BRANCHES_SUBDIR, branch
+            )
+            if not os.path.isdir(self._cdir):
+                raise NoSuchVersionError(
+                    f"{root}: no catalog branch {branch!r} "
+                    f"(existing: {self._branch_names(root)})"
+                )
 
     # -- creation ------------------------------------------------------------
     @staticmethod
@@ -278,6 +295,121 @@ class TableCatalog:
                 f"catalog commit v{base + 1} was taken concurrently; "
                 "re-run against the new head"
             ) from None
+
+    # -- catalog branches (refs over the WHOLE lake) ---------------------------
+    @staticmethod
+    def _branch_names(root: str) -> list[str]:
+        bdir = os.path.join(root, _CATALOG_DIR, _BRANCHES_SUBDIR)
+        if not os.path.isdir(bdir):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(bdir)
+            if os.path.isdir(os.path.join(bdir, n))
+        )
+
+    def create_branch(
+        self, name: str, from_version: int | None = None
+    ) -> "TableCatalog":
+        """Branch the WHOLE catalog (the Nessie model): a separate pin-
+        map chain seeded with one catalog commit — O(#tables) bytes.
+        Transactions on the branch handle evolve its pins; catalog-main
+        readers never see them; :meth:`publish_branch` fast-forwards.
+        Table versions pinned only by a catalog branch are plain table
+        versions — each table's own retention (`expire_versions`)
+        governs how long they stay readable, same as main pins."""
+        if self.branch_name is not None:
+            raise ValueError("create_branch from the MAIN catalog handle")
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(
+                f"branch name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+            )
+        m = self.manifest(from_version)
+        bdir = os.path.join(self._cdir, _BRANCHES_SUBDIR, name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"{self.root}: catalog branch {name!r} exists")
+        os.makedirs(bdir, exist_ok=True)
+        try:
+            self._protocol.publish(
+                os.path.join(
+                    bdir, _manifest_name(m["catalog_version"])
+                ),
+                json.dumps(m, sort_keys=True),
+            )
+        except ConcurrentCommitError:
+            raise ValueError(
+                f"{self.root}: catalog branch {name!r} exists (lost a "
+                "create race)"
+            ) from None
+        return self.branch(name)
+
+    def branch(self, name: str) -> "TableCatalog":
+        return TableCatalog(
+            self.spark,
+            self.root,
+            commit_protocol=self._protocol,
+            branch=name,
+        )
+
+    def list_branches(self) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        for name in self._branch_names(self.root):
+            b = self.branch(name)
+            vs = sorted(
+                int(n[1:9])
+                for n in os.listdir(b._cdir)
+                if n.startswith("v") and n.endswith(".json")
+            )
+            out[name] = {
+                "head": b.latest_version(),
+                "base": vs[0] if vs else None,
+            }
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        import shutil
+
+        if self.branch_name is not None:
+            raise ValueError("drop_branch from the MAIN catalog handle")
+        bdir = os.path.join(self._cdir, _BRANCHES_SUBDIR, name)
+        if not os.path.isdir(bdir):
+            raise NoSuchVersionError(
+                f"{self.root}: no catalog branch {name!r} "
+                f"(existing: {self._branch_names(self.root)})"
+            )
+        shutil.rmtree(bdir)
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward a catalog branch into main as ONE catalog commit
+        carrying the branch head's pin map — atomic via the claim on
+        base+1, so any concurrent main commit makes this refuse with
+        :class:`CatalogConflictError` (re-branch and replay). The whole
+        staged lake state — every table the branch's transactions
+        touched — becomes visible to main readers together."""
+        if self.branch_name is not None:
+            raise ValueError("publish_branch from the MAIN catalog handle")
+        b = self.branch(name)
+        base = min(
+            int(n[1:9])
+            for n in os.listdir(b._cdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        head = b.manifest()
+        if head["catalog_version"] == base:
+            raise ValueError(
+                f"catalog branch {name!r} has no commits beyond its "
+                f"base v{base}; nothing to publish"
+            )
+        cur = self.latest_version()
+        if cur != base:
+            raise CatalogConflictError(
+                f"cannot fast-forward catalog branch {name!r}: main is "
+                f"at v{cur} but the branch forked at v{base} — "
+                "re-branch from current main and replay"
+            )
+        return self._try_publish(base, head["pins"], "publish_branch")
 
     # -- transactions ------------------------------------------------------------
     def transaction(self) -> "CatalogTransaction":

@@ -308,3 +308,39 @@ def test_staged_transaction_conflict_drops_branches(spark, cat):
     assert cat.table("a").list_branches() == {}
     assert cat.read("a").filter("k = 100").count() == 0
     assert cat.table_version("a") == 1
+
+
+def test_catalog_branches_whole_lake(spark, cat):
+    """Catalog-level refs (the Nessie model): a branch of the WHOLE
+    catalog runs its own transactions — main readers see nothing —
+    and one publish fast-forwards the entire staged lake state."""
+    dev = cat.create_branch("dev")
+    with dev.transaction() as txn:
+        txn["b"].append(cat.read("a").filter("k < 2"))
+        txn["a"].delete_where([("k", "<", 2)])
+    with dev.transaction() as txn:
+        txn["a"].append(_df(spark, [(99, 9.0)]))
+    # two branch commits; catalog main untouched (whole lake isolated)
+    assert dev.latest_version() == 3 and cat.latest_version() == 1
+    assert cat.read("a").count() == 10 and cat.read("b").count() == 1
+    assert dev.read("a").count() == 9 and dev.read("b").count() == 3
+    assert cat.list_branches() == {"dev": {"head": 3, "base": 1}}
+    v = cat.publish_branch("dev")
+    assert v == 2
+    assert cat.manifest()["operation"] == "publish_branch"
+    assert cat.read("a").count() == 9 and cat.read("b").count() == 3
+    # divergence: main moves past the fork -> refuse, nothing applied
+    dev2 = cat.create_branch("dev2")
+    with dev2.transaction() as txn:
+        txn["b"].append(_df(spark, [(7, 7.0)]))
+    with cat.transaction() as txn:
+        txn["a"].append(_df(spark, [(500, 5.0)]))
+    with pytest.raises(CatalogConflictError, match="fast-forward"):
+        cat.publish_branch("dev2")
+    assert cat.read("b").filter("k = 7").count() == 0
+    cat.drop_branch("dev2")
+    # guardrails
+    with pytest.raises(ValueError, match="MAIN"):
+        dev.create_branch("x")
+    with pytest.raises(ValueError, match="nothing to publish"):
+        cat.create_branch("empty") and cat.publish_branch("empty")
