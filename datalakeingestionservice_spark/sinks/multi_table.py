@@ -413,6 +413,20 @@ class TableCatalog:
 
     # -- transactions ------------------------------------------------------------
     def transaction(self) -> "CatalogTransaction":
+        """See :class:`CatalogTransaction`. On a catalog BRANCH handle
+        this refuses: a plain transaction writes on the shared
+        table-main heads (the absorb posture — correct on catalog main),
+        so two lake branches transacting on the same table would
+        silently COMPOSE instead of isolating. Staged transactions fork
+        each table at the branch's PIN, giving isolate-or-refuse — the
+        only honest semantics for a branch of the whole lake."""
+        if self.branch_name is not None:
+            raise ValueError(
+                "on a catalog branch use staged_transaction(): plain "
+                "transactions write on shared table-main heads and "
+                "would compose across lake branches instead of "
+                "isolating"
+            )
         return CatalogTransaction(self)
 
     def staged_transaction(self) -> "StagedCatalogTransaction":

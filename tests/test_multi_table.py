@@ -315,10 +315,15 @@ def test_catalog_branches_whole_lake(spark, cat):
     catalog runs its own transactions — main readers see nothing —
     and one publish fast-forwards the entire staged lake state."""
     dev = cat.create_branch("dev")
-    with dev.transaction() as txn:
+    # plain transactions refuse on a branch handle (they write on
+    # shared table-main heads and would compose across lake branches);
+    # staged transactions fork at the branch pin: isolate-or-refuse.
+    with pytest.raises(ValueError, match="staged_transaction"):
+        dev.transaction()
+    with dev.staged_transaction() as txn:
         txn["b"].append(cat.read("a").filter("k < 2"))
         txn["a"].delete_where([("k", "<", 2)])
-    with dev.transaction() as txn:
+    with dev.staged_transaction() as txn:
         txn["a"].append(_df(spark, [(99, 9.0)]))
     # two branch commits; catalog main untouched (whole lake isolated)
     assert dev.latest_version() == 3 and cat.latest_version() == 1
@@ -331,7 +336,7 @@ def test_catalog_branches_whole_lake(spark, cat):
     assert cat.read("a").count() == 9 and cat.read("b").count() == 3
     # divergence: main moves past the fork -> refuse, nothing applied
     dev2 = cat.create_branch("dev2")
-    with dev2.transaction() as txn:
+    with dev2.staged_transaction() as txn:
         txn["b"].append(_df(spark, [(7, 7.0)]))
     with cat.transaction() as txn:
         txn["a"].append(_df(spark, [(500, 5.0)]))
