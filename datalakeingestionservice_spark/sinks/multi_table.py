@@ -40,6 +40,15 @@ table metadata, never data; reads add one small pin-map load.
 Scale note — catalog metadata: pin maps are full snapshots per commit
 (not delta-encoded like table manifests) because they are O(#tables),
 not O(files); a thousand-table catalog is ~100 KB per commit.
+
+Catalog BRANCH pins are branch coordinates: a staged transaction on a
+lake branch keeps its work on per-transaction TABLE branches and pins
+`(root, version, branch, base)` — no table main ever moves until the
+catalog branch publishes, so lake-branch work can never leak into
+catalog-main reads through a later plain transaction's absorb pin, and
+two lake branches staging on the same table stay isolated. Catalog
+`publish_branch` squashes each staged table branch onto its table main
+at the recorded fork point (`base`) and swaps the main pin map once.
 """
 
 from __future__ import annotations
@@ -69,6 +78,34 @@ class CatalogConflictError(Exception):
 
 class NoSuchTableError(Exception):
     pass
+
+
+def _run_with_views(
+    spark: SparkSession, dfs: dict[str, DataFrame], statement: str
+) -> DataFrame:
+    """Materialize each DataFrame as a temp view named exactly its
+    table name (so the statement reads naturally), run the statement,
+    then put the session namespace back: a name that shadowed a
+    PRE-EXISTING user temp view is restored to that view, everything
+    else is dropped — caller session state is never destroyed (the
+    uuid-view alternative would force a statement rewrite; restoring
+    is equivalent and keeps `cat.sql` a plain passthrough)."""
+    prior: dict[str, DataFrame] = {}
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name in dfs:
+            prior[t.name] = spark.table(t.name)
+    created = []
+    try:
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
+            created.append(name)
+        return spark.sql(statement)
+    finally:
+        for name in created:
+            if name in prior:
+                prior[name].createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
 
 
 class TableCatalog:
@@ -152,7 +189,18 @@ class TableCatalog:
                 "root": tab.root,
                 "version": tab.latest_version(),
             }
-        cat._publish(1, pins, operation="create")
+        try:
+            cat._publish(1, pins, operation="create")
+        except ConcurrentCommitError:
+            # Two racing creates can both pass the emptiness probe
+            # above; the v1 claim decides. The loser's table-set
+            # argument is ignored in favor of the winner's — surface
+            # that clearly instead of a raw protocol error.
+            raise ValueError(
+                f"{root}: catalog was created concurrently by another "
+                "writer (this call's table set was NOT registered); "
+                "open it with TableCatalog(spark, root)"
+            ) from None
         return cat
 
     # -- commit log ------------------------------------------------------------
@@ -226,11 +274,29 @@ class TableCatalog:
             )
         return pins[name]["version"]
 
+    def _pin_table(self, p: dict) -> VersionedTable:
+        """Handle for resolving a pin: pins carry `(root, version)` on
+        catalog main; on a catalog branch a staged transaction's pin
+        additionally carries `branch` (the staged table branch whose
+        chain holds `version`) and `base` (the table-main version the
+        stage forked from, used by :meth:`publish_branch` as the
+        divergence check)."""
+        t = VersionedTable(
+            self.spark, p["root"], commit_protocol=self._protocol
+        )
+        if p.get("branch"):
+            t = t.branch(p["branch"])
+        return t
+
     def read(
         self, name: str, catalog_version: int | None = None
     ) -> DataFrame:
         """Snapshot read through the catalog pin — with
-        `catalog_version`, a cross-table-consistent time travel."""
+        `catalog_version`, a cross-table-consistent time travel.
+        Branch-coordinate pins (staged work on a catalog branch)
+        resolve through the staged table branch's chain — catalog-
+        branch readers see the staged world without any table main
+        ever having moved."""
         pins = self.pins(catalog_version)
         if name not in pins:
             raise NoSuchTableError(
@@ -238,9 +304,7 @@ class TableCatalog:
                 f"(registered: {sorted(pins)})"
             )
         p = pins[name]
-        return VersionedTable(
-            self.spark, p["root"], commit_protocol=self._protocol
-        ).read(p["version"])
+        return self._pin_table(p).read(p["version"])
 
     def sql(
         self, statement: str, catalog_version: int | None = None
@@ -248,20 +312,19 @@ class TableCatalog:
         """Run a SELECT over the catalog's consistent snapshot: every
         registered table is materialized as a temp view at its PINNED
         version (all from ONE catalog commit), the statement runs
-        against them, the views are dropped. Cross-table joins can
-        never straddle a transaction."""
+        against them, then the session namespace is restored
+        (pre-existing same-named user temp views come back; helper
+        views are dropped). Cross-table joins can never straddle a
+        transaction."""
         pins = self.pins(catalog_version)
-        created = []
-        try:
-            for name, p in pins.items():
-                VersionedTable(self.spark, p["root"]).read(
-                    p["version"]
-                ).createOrReplaceTempView(name)
-                created.append(name)
-            return self.spark.sql(statement)
-        finally:
-            for name in created:
-                self.spark.catalog.dropTempView(name)
+        return _run_with_views(
+            self.spark,
+            {
+                name: self._pin_table(p).read(p["version"])
+                for name, p in pins.items()
+            },
+            statement,
+        )
 
     # -- table-set evolution ---------------------------------------------------
     def add_table(
@@ -368,7 +431,39 @@ class TableCatalog:
             }
         return out
 
+    def _staged_table_branches(self, bdir: str) -> set[tuple[str, str]]:
+        """(table root, staged branch name) pairs referenced by ANY pin
+        map in a catalog branch's chain — the table branches its staged
+        transactions created, reclaimable once the catalog branch is
+        published or dropped."""
+        out: set[tuple[str, str]] = set()
+        for n in os.listdir(bdir):
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(bdir, n)) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue  # torn claim
+            for p in m.get("pins", {}).values():
+                if p.get("branch"):
+                    out.add((p["root"], p["branch"]))
+        return out
+
+    def _drop_staged_table_branches(self, bdir: str) -> None:
+        for root, branch in self._staged_table_branches(bdir):
+            try:
+                VersionedTable(
+                    self.spark, root, commit_protocol=self._protocol
+                ).drop_branch(branch)
+            except (NoSuchBranchError, NoSuchVersionError):
+                pass  # already reclaimed
+
     def drop_branch(self, name: str) -> None:
+        """Remove a catalog branch AND the staged table branches its
+        transactions created (every (root, branch) coordinate any of
+        its pin maps reference) — aborting a lake branch leaves no
+        staged refs pinning data against vacuum."""
         import shutil
 
         if self.branch_name is not None:
@@ -379,15 +474,27 @@ class TableCatalog:
                 f"{self.root}: no catalog branch {name!r} "
                 f"(existing: {self._branch_names(self.root)})"
             )
+        self._drop_staged_table_branches(bdir)
         shutil.rmtree(bdir)
 
     def publish_branch(self, name: str) -> int:
         """Fast-forward a catalog branch into main as ONE catalog commit
-        carrying the branch head's pin map — atomic via the claim on
-        base+1, so any concurrent main commit makes this refuse with
-        :class:`CatalogConflictError` (re-branch and replay). The whole
-        staged lake state — every table the branch's transactions
-        touched — becomes visible to main readers together."""
+        — atomic via the claim on base+1, so any concurrent main commit
+        makes this refuse with :class:`CatalogConflictError` (re-branch
+        and replay). The whole staged lake state — every table the
+        branch's transactions touched — becomes visible to main readers
+        together.
+
+        Branch-coordinate pins (work staged on per-transaction table
+        branches, never on any table main) are published here: each
+        staged table branch head squashes onto its table's MAIN at the
+        recorded fork point (`pin['base']`) — if a direct writer moved
+        that table's main past the fork, the table-level claim refuses
+        and the whole catalog publish refuses (tables already published
+        carry published-but-unpinned main versions; catalog-main
+        readers still see nothing new — the pin swap is the source of
+        truth, same posture as the staged transaction). After the pin
+        swap the staged table branches are dropped."""
         if self.branch_name is not None:
             raise ValueError("publish_branch from the MAIN catalog handle")
         b = self.branch(name)
@@ -409,7 +516,32 @@ class TableCatalog:
                 f"at v{cur} but the branch forked at v{base} — "
                 "re-branch from current main and replay"
             )
-        return self._try_publish(base, head["pins"], "publish_branch")
+        pins = dict(head["pins"])
+        published: dict[str, int] = {}
+        for tname, p in pins.items():
+            if not p.get("branch"):
+                continue
+            main = VersionedTable(
+                self.spark, p["root"], commit_protocol=self._protocol
+            )
+            try:
+                v = main.publish_branch(
+                    p["branch"], expected_parent=p["base"]
+                )
+            except ConcurrentCommitError as e:
+                raise CatalogConflictError(
+                    f"cannot publish catalog branch {name!r}: table "
+                    f"{tname!r} diverged ({e}); tables already "
+                    f"published this attempt: {sorted(published)} — "
+                    "catalog-main readers never saw them (restore "
+                    "those mains or let the next transaction absorb); "
+                    "re-branch from current state and replay"
+                ) from None
+            published[tname] = v
+            pins[tname] = {"root": p["root"], "version": v}
+        out = self._try_publish(base, pins, "publish_branch")
+        self._drop_staged_table_branches(b._cdir)
+        return out
 
     # -- transactions ------------------------------------------------------------
     def transaction(self) -> "CatalogTransaction":
@@ -500,12 +632,28 @@ class StagedCatalogTransaction:
     once. Exceptions (including an audit raising) drop the branches:
     no main table ever carried the aborted work, not even as orphans.
 
-    Failure atomicity note: the PIN swap is atomic, table-main
-    visibility is not quite — if publish k succeeds and publish k+1
-    refuses, the first k tables carry published-but-unpinned versions
-    (catalog readers still see nothing new; `restore` the mains or let
-    the next transaction absorb them). The pin is the source of truth,
-    same as the plain transaction."""
+    Failure atomicity note (catalog MAIN): the PIN swap is atomic,
+    table-main visibility is not quite — if publish k succeeds and
+    publish k+1 refuses, the first k tables carry published-but-
+    unpinned versions (catalog readers still see nothing new; `restore`
+    the mains or let the next transaction absorb them). The pin is the
+    source of truth, same as the plain transaction.
+
+    On a catalog BRANCH handle the exit differs: staged table commits
+    are NOT published to table mains (that would leak lake-branch rows
+    into catalog-main reads through the next plain transaction's
+    absorb pin, and make the branch's own later publish refuse).
+    Instead the per-transaction table branches are KEPT and the
+    catalog-branch pin records the branch coordinate
+    `(root, version, branch, base)` — reads on the catalog branch
+    resolve through the staged chain, table mains never move, and
+    `TableCatalog.publish_branch` squashes every staged branch onto
+    its table main at the recorded fork point when the lake branch
+    publishes. A later staged transaction on the same catalog branch
+    forks its fresh per-txn branch FROM the pinned branch coordinate,
+    so staged work composes transaction-by-transaction without ever
+    touching a main. Aborts drop the per-txn branches — nothing
+    anywhere, on any main or any catalog ref."""
 
     def __init__(self, catalog: TableCatalog):
         self.catalog = catalog
@@ -513,6 +661,7 @@ class StagedCatalogTransaction:
         self._branch = f"__txn_{os.urandom(4).hex()}"
         self._staged: dict[str, VersionedTable] = {}  # branch handles
         self._mains: dict[str, VersionedTable] = {}
+        self._fork_base: dict[str, int] = {}  # table-main fork version
 
     def __enter__(self) -> "StagedCatalogTransaction":
         self._base = self.catalog.latest_version()
@@ -526,38 +675,45 @@ class StagedCatalogTransaction:
                     f"{self.catalog.root}: no table {name!r} "
                     f"(registered: {sorted(pins)})"
                 )
+            p = pins[name]
             main = VersionedTable(
                 self.catalog.spark,
-                pins[name]["root"],
+                p["root"],
                 commit_protocol=self.catalog._protocol,
             )
             self._mains[name] = main
+            # On a catalog branch the pin may itself be a branch
+            # coordinate (staged by an earlier transaction): fork the
+            # fresh per-txn branch from THAT snapshot, and carry the
+            # original table-main fork point forward for the eventual
+            # publish divergence check.
             self._staged[name] = main.create_branch(
-                self._branch, from_version=pins[name]["version"]
+                self._branch,
+                from_version=p["version"],
+                from_ref=p.get("branch"),
             )
+            self._fork_base[name] = p.get("base", p["version"])
         return self._staged[name]
 
     def sql(self, statement: str) -> DataFrame:
         """Query the STAGED world: touched tables at their branch
         heads, untouched tables at their catalog pins — the cross-table
-        audit surface. Raise from the `with` body to veto the group."""
+        audit surface. Raise from the `with` body to veto the group.
+        Session namespace is restored afterwards (pre-existing
+        same-named user temp views survive)."""
         pins = self.catalog.pins(self._base)
-        created = []
-        try:
-            for name, p in pins.items():
-                df = (
+        return _run_with_views(
+            self.catalog.spark,
+            {
+                name: (
                     self._staged[name].read()
                     if name in self._staged
-                    else VersionedTable(
-                        self.catalog.spark, p["root"]
-                    ).read(p["version"])
+                    else self.catalog._pin_table(p).read(p["version"])
                 )
-                df.createOrReplaceTempView(name)
-                created.append(name)
-            return self.catalog.spark.sql(statement)
-        finally:
-            for name in created:
-                self.catalog.spark.catalog.dropTempView(name)
+                for name, p in pins.items()
+            },
+            statement,
+        )
 
     def _drop_branches(self) -> None:
         for name, main in self._mains.items():
@@ -571,6 +727,40 @@ class StagedCatalogTransaction:
             self._drop_branches()
             return False
         pins = dict(self.catalog.pins(self._base))
+        if self.catalog.branch_name is not None:
+            # Lake-branch posture: keep staged work on the per-txn
+            # table branches and pin their coordinates — no table main
+            # moves until the CATALOG branch publishes. Untouched
+            # forks are dropped and keep their old pins.
+            touched: dict[str, dict] = {}
+            for name, staged in self._staged.items():
+                head = staged.latest_version()
+                if head == pins[name]["version"]:
+                    continue  # touched but never written
+                touched[name] = {
+                    "root": self._mains[name].root,
+                    "version": head,
+                    "branch": self._branch,
+                    "base": self._fork_base[name],
+                }
+            if not touched:
+                self._drop_branches()
+                return False
+            pins.update(touched)
+            try:
+                self.catalog._try_publish(
+                    self._base, pins, "staged_transaction"
+                )
+            except CatalogConflictError:
+                self._drop_branches()
+                raise
+            for name, main in self._mains.items():
+                if name not in touched:  # drop only the unwritten forks
+                    try:
+                        main.drop_branch(self._branch)
+                    except NoSuchBranchError:  # pragma: no cover
+                        pass
+            return False
         published: dict[str, int] = {}
         try:
             for name, main in self._mains.items():

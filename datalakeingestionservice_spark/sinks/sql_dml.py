@@ -1001,62 +1001,70 @@ def execute_select(
         s, e = m.span(name)
         return None if s == -1 else sql[s:e]
 
-    # Pass 1: table_changes TVF references. Rewritten views carry a
-    # uuid-only name (never the registered name), so pass 2's
-    # plain-reference regex cannot re-match inside them.
-    masked = _mask_literals(sql)
-    parts: list[str] = []
-    last = 0
-    for m in _TVF_CHANGES_RE.finditer(masked):
-        s, e = m.span("name")
-        name = sql[s:e]
-        t = _resolve(spark, name, tables)
-        v1 = int(grp(m, "v1"))
-        v2 = grp(m, "v2")
-        df = t.changes(v1, None if v2 is None else int(v2))
-        view = f"__vtc_{_uuid.uuid4().hex[:8]}"
-        df.createOrReplaceTempView(view)
-        views.append(view)
-        alias = grp(m, "alias1") or grp(m, "alias2")
-        parts.append(sql[last : m.start()])
-        parts.append(
-            f"{grp(m, 'kw')} {view}"
-            + (f" AS {alias}" if alias else "")
-        )
-        last = m.end()
-    parts.append(sql[last:])
-    sql = "".join(parts)
-    masked = _mask_literals(sql)
-    if re.search(
-        r"\b(?:FROM|JOIN)\s+TABLE_CHANGES\s*\(", masked, re.IGNORECASE
-    ):
-        for view in views:
-            spark.catalog.dropTempView(view)
-        raise UnsupportedStatementError(
-            "table_changes subset: table_changes('<registered-name>', "
-            "<v1>[, <v2>]) with a single-quoted name and integer "
-            "version literals — other argument forms refuse rather "
-            "than reaching Spark as an unresolvable function"
-        )
-
-    # Pass 2: plain registered-table references with time travel.
-    parts = []
-    last = 0
-    for m in _select_ref_re(list(tables)).finditer(masked):
-        view = pin(
-            grp(m, "name"),
-            grp(m, "v"),
-            grp(m, "ts"),
-            grp(m, "br"),
-            grp(m, "tag"),
-        )
-        alias = grp(m, "alias1") or grp(m, "alias2") or grp(m, "name")
-        parts.append(sql[last : m.start()])
-        parts.append(f"{grp(m, 'kw')} {view} AS {alias}")
-        last = m.end()
-    parts.append(sql[last:])
-    rewritten = "".join(parts)
+    # One try/finally covers BOTH rewrite passes and the final
+    # spark.sql: a reference that fails resolution mid-rewrite
+    # (NoSuchBranchError / NoSuchTagError / NoSuchVersionError /
+    # unknown timestamp) must not leak views created by earlier
+    # iterations into the caller's session namespace.
     try:
+        # Pass 1: table_changes TVF references. Rewritten views carry a
+        # uuid-only name (never the registered name), so pass 2's
+        # plain-reference regex cannot re-match inside them.
+        masked = _mask_literals(sql)
+        parts: list[str] = []
+        last = 0
+        for m in _TVF_CHANGES_RE.finditer(masked):
+            s, e = m.span("name")
+            name = sql[s:e]
+            t = _resolve(spark, name, tables)
+            v1 = int(grp(m, "v1"))
+            v2 = grp(m, "v2")
+            df = t.changes(v1, None if v2 is None else int(v2))
+            view = f"__vtc_{_uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            views.append(view)
+            alias = grp(m, "alias1") or grp(m, "alias2")
+            parts.append(sql[last : m.start()])
+            parts.append(
+                f"{grp(m, 'kw')} {view}"
+                + (f" AS {alias}" if alias else "")
+            )
+            last = m.end()
+        parts.append(sql[last:])
+        sql = "".join(parts)
+        masked = _mask_literals(sql)
+        if re.search(
+            r"\b(?:FROM|JOIN)\s+TABLE_CHANGES\s*\(",
+            masked,
+            re.IGNORECASE,
+        ):
+            raise UnsupportedStatementError(
+                "table_changes subset: table_changes("
+                "'<registered-name>', <v1>[, <v2>]) with a "
+                "single-quoted name and integer version literals — "
+                "other argument forms refuse rather than reaching "
+                "Spark as an unresolvable function"
+            )
+
+        # Pass 2: plain registered-table references with time travel.
+        parts = []
+        last = 0
+        for m in _select_ref_re(list(tables)).finditer(masked):
+            view = pin(
+                grp(m, "name"),
+                grp(m, "v"),
+                grp(m, "ts"),
+                grp(m, "br"),
+                grp(m, "tag"),
+            )
+            alias = (
+                grp(m, "alias1") or grp(m, "alias2") or grp(m, "name")
+            )
+            parts.append(sql[last : m.start()])
+            parts.append(f"{grp(m, 'kw')} {view} AS {alias}")
+            last = m.end()
+        parts.append(sql[last:])
+        rewritten = "".join(parts)
         return spark.sql(rewritten)
     finally:
         # The analyzed plan is resolved at sql() time; dropping the

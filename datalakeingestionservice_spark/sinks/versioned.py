@@ -4346,7 +4346,10 @@ class VersionedTable:
 
     # -- branches (named refs) + write-audit-publish -------------------------
     def create_branch(
-        self, name: str, from_version: int | None = None
+        self,
+        name: str,
+        from_version: int | None = None,
+        from_ref: str | None = None,
     ) -> "VersionedTable":
         """Named ref, Iceberg-branch shaped: a SEPARATE manifest chain
         under `_manifests/branches/<name>/` seeded with a full checkpoint
@@ -4363,7 +4366,17 @@ class VersionedTable:
         This enables WRITE-AUDIT-PUBLISH: write a batch to a branch,
         validate it there (constraints, audit queries), then
         :meth:`publish_branch` atomically — a bad batch dies on the
-        branch without ever being visible to main readers."""
+        branch without ever being visible to main readers.
+
+        `from_ref` seeds the new branch from ANOTHER branch's snapshot
+        (that branch's head, or `from_version` within its chain)
+        instead of main's — branches share the table's data space, so
+        the seed checkpoint's entries stay vacuum-protected either way.
+        The HANDLE is still created from main (no nested lineage: time
+        travel below the seed lives wherever the seed's history lives);
+        this is the catalog's staging primitive — a staged transaction
+        on a catalog branch forks each table at the catalog's pinned
+        branch coordinate."""
         if self.branch_name is not None:
             raise ValueError(
                 "create_branch from the MAIN handle (branch-of-branch "
@@ -4373,7 +4386,8 @@ class VersionedTable:
             raise ValueError(
                 f"branch name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
             )
-        m = self.manifest(from_version)
+        src = self if from_ref is None else self.branch(from_ref)
+        m = src.manifest(from_version)
         bdir = os.path.join(
             self.root, _MANIFEST_DIR, _BRANCHES_SUBDIR, name
         )
@@ -4502,7 +4516,9 @@ class VersionedTable:
             if n.startswith("v") and n.endswith(".json")
         )
 
-    def publish_branch(self, name: str) -> int:
+    def publish_branch(
+        self, name: str, expected_parent: int | None = None
+    ) -> int:
         """Fast-forward the branch into main as ONE atomic squash commit
         (operation `publish_branch`) whose content IS the branch head's
         manifest — Iceberg's WAP publish. Atomicity is the commit
@@ -4515,13 +4531,26 @@ class VersionedTable:
         (drop it separately); its data dirs are now referenced by main,
         so vacuum keeps them either way. Cost: O(head manifest) metadata,
         zero data movement — the branch's data dirs were already in the
-        table's data space."""
+        table's data space.
+
+        `expected_parent` overrides the fast-forward base check for
+        branches NOT seeded from main's head (a `from_ref` seed chain,
+        where the branch dir's lowest version number is a position in
+        another branch's chain, not main's): the squash targets
+        `expected_parent + 1`, so it succeeds iff main still stands at
+        the fork point the CALLER recorded — the catalog uses this to
+        publish branch-pinned tables with its own divergence check
+        backed by the same atomic claim."""
         if self.branch_name is not None:
             raise ValueError("publish_branch from the MAIN handle")
         b = self.branch(name)
-        base = self._branch_base(b)
+        base = (
+            self._branch_base(b)
+            if expected_parent is None
+            else expected_parent
+        )
         head = b.manifest()
-        if head.version == base:
+        if expected_parent is None and head.version == base:
             raise ValueError(
                 f"branch {name!r} has no commits beyond its base "
                 f"v{base}; nothing to publish"
@@ -4534,7 +4563,16 @@ class VersionedTable:
                 "from current main and replay, or cherry_pick individual "
                 "branch commits"
             )
-        ops = [m.operation for m in b.versions() if m.version > base]
+        # With an explicit expected_parent the branch's own numbering
+        # lives in another chain: compute squashed ops relative to the
+        # branch dir's seed, and never carry a cdf reference (head's cdf
+        # covers only the last branch commit and `head.version ==
+        # base + 1` would compare across chains — the feed falls back to
+        # the snapshot diff, which is always correct).
+        seed = (
+            base if expected_parent is None else self._branch_base(b)
+        )
+        ops = [m.operation for m in b.versions() if m.version > seed]
         # A change-file reference carries over only when the squash IS a
         # single branch commit — otherwise the head's cdf covers just the
         # last commit, not the net delta, and the feed must fall back to
@@ -4545,7 +4583,7 @@ class VersionedTable:
                 for k, v in head.summary.items()
                 if k in ("cdf", "cdf_empty")
             }
-            if head.version == base + 1
+            if expected_parent is None and head.version == base + 1
             else {}
         )
         return self._commit(

@@ -97,6 +97,17 @@ def _load_manifest(root: str, options: dict) -> Manifest:
     mdir = os.path.join(root, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         raise NoSuchVersionError(f"{root} is not a versioned table")
+    if options.get("branch") and options.get("tag"):
+        # A tag names a MAIN version; resolving that number inside a
+        # branch's chain could serve a branch-local snapshot with the
+        # same number but different content — silent wrong data. Match
+        # the SQL front door's one-of-BRANCH/TAG grammar and the
+        # writer's refusal posture: refuse, never reinterpret.
+        raise ValueError(
+            f"{root}: options 'branch' and 'tag' are mutually "
+            "exclusive (a tag pins a main version; it cannot be "
+            "resolved inside a branch's chain)"
+        )
     if options.get("branch"):
         from datalakeingestionservice_spark.sinks.versioned import (
             _BRANCHES_SUBDIR,

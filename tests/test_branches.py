@@ -228,6 +228,18 @@ def test_branch_datasource_read(spark, t):
     )
     with pytest.raises(Exception, match="no branch"):
         reader().option("branch", "zz").load().count()
+    # ADVICE r8: branch + tag refuse (a tag names a MAIN version —
+    # resolving its number inside the branch chain could serve silent
+    # wrong data); matches the SQL front door's one-of grammar
+    t.create_tag("rel", 1)
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            reader()
+            .option("branch", "wip")
+            .option("tag", "rel")
+            .load()
+            .count()
+        )
 
 
 def test_branch_sql_statements(spark, t):

@@ -310,6 +310,147 @@ def test_staged_transaction_conflict_drops_branches(spark, cat):
     assert cat.table_version("a") == 1
 
 
+def test_branch_staged_txn_never_touches_table_mains(spark, cat):
+    """THE leak scenario (ADVICE r8 medium): staged work on a catalog
+    branch must never reach the shared table-main heads before the
+    catalog branch publishes — otherwise a later plain transaction on
+    catalog MAIN pins t.latest_version() (the absorb posture) and the
+    unpublished lake-branch rows silently surface in catalog-main
+    reads."""
+    dev = cat.create_branch("dev")
+    with dev.staged_transaction() as txn:
+        txn["b"].append(_df(spark, [(777, 7.0)]))
+    # table mains did not move: staged work lives on a table BRANCH,
+    # pinned by the catalog branch as a (root, version, branch, base)
+    # coordinate
+    assert cat.table("b").latest_version() == 1
+    assert "branch" in dev.pins()["b"]
+    assert dev.pins()["b"]["base"] == 1
+    assert dev.read("b").filter("k = 777").count() == 1
+    # the absorb scenario: a plain txn on catalog MAIN touching b must
+    # NOT pick up the branch's staged rows
+    with cat.transaction() as txn:
+        txn["b"].append(_df(spark, [(1, 1.0)]))
+    assert cat.read("b").filter("k = 777").count() == 0
+    # ...and the branch's publish now refuses on b's divergence
+    # (main moved past the fork) instead of silently composing
+    with pytest.raises(CatalogConflictError):
+        cat.publish_branch("dev")
+    assert cat.read("b").filter("k = 777").count() == 0
+    cat.drop_branch("dev")
+    # drop reclaimed the staged table branch refs
+    assert cat.table("b").list_branches() == {}
+
+
+def test_branch_staged_abort_leaves_nothing_anywhere(spark, cat):
+    """An aborted staged transaction on a catalog branch leaves NOTHING:
+    no table-main version, no table branch, no catalog-branch commit."""
+    dev = cat.create_branch("dev")
+    with pytest.raises(RuntimeError):
+        with dev.staged_transaction() as txn:
+            txn["a"].append(_df(spark, [(900, 9.0)]))
+            raise RuntimeError("veto")
+    assert cat.table("a").latest_version() == 1
+    assert cat.table("a").list_branches() == {}
+    assert dev.latest_version() == 1  # no branch commit either
+    # the branch still works after the abort: staged txns compose
+    with dev.staged_transaction() as txn:
+        txn["a"].append(_df(spark, [(901, 9.1)]))
+    with dev.staged_transaction() as txn:
+        txn["a"].append(_df(spark, [(902, 9.2)]))
+    assert dev.read("a").count() == 12
+    assert cat.table("a").latest_version() == 1  # still untouched
+    assert cat.publish_branch("dev") == 2
+    assert cat.read("a").count() == 12
+    # publish reclaimed every staged table branch
+    assert cat.table("a").list_branches() == {}
+
+
+def test_two_lake_branches_same_table_stay_isolated(spark, cat):
+    """Two catalog branches staging on the SAME table never compose:
+    each stages on its own table branches forked at its own pins."""
+    d1, d2 = cat.create_branch("d1"), cat.create_branch("d2")
+    with d1.staged_transaction() as txn:
+        txn["a"].append(_df(spark, [(111, 1.0)]))
+    with d2.staged_transaction() as txn:
+        txn["a"].append(_df(spark, [(222, 2.0)]))
+    assert d1.read("a").filter("k = 222").count() == 0
+    assert d2.read("a").filter("k = 111").count() == 0
+    assert cat.read("a").count() == 10
+    # first publish wins; the second refuses on catalog divergence
+    cat.publish_branch("d1")
+    with pytest.raises(CatalogConflictError):
+        cat.publish_branch("d2")
+    assert cat.read("a").filter("k = 111").count() == 1
+    assert cat.read("a").filter("k = 222").count() == 0
+    cat.drop_branch("d1")
+    cat.drop_branch("d2")
+    assert cat.table("a").list_branches() == {}
+
+
+def test_branch_pinned_catalog_time_travel(spark, cat):
+    """Cross-table time travel on a catalog BRANCH resolves every pin
+    — branch coordinates included — to one consistent staged world."""
+    dev = cat.create_branch("dev")
+    with dev.staged_transaction() as txn:
+        txn["b"].append(dev.read("a").filter("k < 3"))
+        txn["a"].delete_where([("k", "<", 3)])
+    with dev.staged_transaction() as txn:
+        txn["a"].append(_df(spark, [(55, 5.5)]))
+    # conservation at every branch version (the staged worlds)
+    for cv, want in ((1, 11), (2, 11), (3, 12)):
+        n = (
+            dev.sql(
+                "SELECT (SELECT count(*) FROM a) + "
+                "(SELECT count(*) FROM b) AS n",
+                cv,
+            )
+            .collect()[0]
+            .n
+        )
+        assert n == want, (cv, n)
+
+
+def test_catalog_sql_preserves_user_temp_views(spark, cat):
+    """ADVICE r8: cat.sql materializes views named exactly the table
+    names — a pre-existing user temp view with the same name must
+    survive (restored, not destroyed)."""
+    spark.range(3).createOrReplaceTempView("a")
+    try:
+        n = cat.sql("SELECT count(*) AS n FROM a").collect()[0].n
+        assert n == 10  # the statement saw the CATALOG's a
+        assert spark.table("a").count() == 3  # user view restored
+        # same guarantee on the staged-transaction audit surface
+        with cat.staged_transaction() as txn:
+            txn["b"].append(_df(spark, [(5, 5.0)]))
+            assert (
+                txn.sql("SELECT count(*) AS n FROM a").collect()[0].n
+                == 10
+            )
+        assert spark.table("a").count() == 3
+    finally:
+        spark.catalog.dropTempView("a")
+
+
+def test_create_race_maps_to_clear_error(spark, cat, monkeypatch):
+    """ADVICE r8: a TableCatalog.create that loses the v1 claim race
+    (both racers pass the emptiness probe) surfaces a clear ValueError,
+    not a raw ConcurrentCommitError."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        NoSuchVersionError,
+    )
+
+    # simulate the loser: the emptiness probe passes (catalog looked
+    # empty), then the real v1 publish hits the winner's claim
+    monkeypatch.setattr(
+        TableCatalog,
+        "latest_version",
+        lambda self: (_ for _ in ()).throw(NoSuchVersionError("empty")),
+    )
+    with pytest.raises(ValueError, match="created concurrently"):
+        TableCatalog.create(spark, cat.root, {})
+
+
 def test_catalog_branches_whole_lake(spark, cat):
     """Catalog-level refs (the Nessie model): a branch of the WHOLE
     catalog runs its own transactions — main readers see nothing —

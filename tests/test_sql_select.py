@@ -181,6 +181,22 @@ def test_no_view_leak(spark, t):
     assert not {n for n in after - before if n.startswith("__vt_")}
 
 
+def test_no_view_leak_on_mid_rewrite_failure(spark, t):
+    """ADVICE r8: a reference that fails resolution AFTER earlier
+    references already materialized views (first ref valid, second ref
+    names an unknown branch/version) must not leak those views."""
+    before = {v.name for v in spark.catalog.listTables()}
+    for bad in (
+        "SELECT * FROM t AS x JOIN t BRANCH 'nope' AS y ON x.id = y.id",
+        "SELECT * FROM t AS x JOIN t VERSION AS OF 99 AS y ON x.id = y.id",
+        "SELECT * FROM t AS x JOIN t TAG 'nope' AS y ON x.id = y.id",
+    ):
+        with pytest.raises(Exception):
+            execute_select(spark, bad, {"t": t})
+    after = {v.name for v in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("__vt")}
+
+
 def test_optimize_and_vacuum_statements(spark, t):
     # Fragment the table, then OPTIMIZE via statement.
     t.append(
