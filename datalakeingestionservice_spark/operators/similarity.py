@@ -125,6 +125,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cv",
+    max_cluster_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup-shaped embedding dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster every vector to its nearest centroid
@@ -146,7 +147,22 @@ def semantic_dedup(
     (a~b, b~c, a≁c) keeps a and drops both b and c — same as the
     greedy pass in the paper; use `connected_components` +
     `dedup_survivors` (operators/graph.py) when component-level
-    semantics are wanted instead."""
+    semantics are wanted instead.
+
+    `max_cluster_size` is the giant-cluster guard: Σ |cluster|² is the
+    paper's recipe, but nothing in the recipe bounds |cluster| — a
+    degenerate centroid set (k too small, collapsed embeddings)
+    silently re-creates the |corpus|² join inside one cluster. With
+    the guard set, any cluster larger than the cap is sub-sharded by a
+    deterministic secondary hash of the id into ceil(size/cap) shards
+    and pairs are compared only WITHIN a shard, bounding per-group
+    pairwise work to ~cap² regardless of how badly the centroids fit.
+    Documented recall tradeoff: duplicate pairs straddling two shards
+    of an oversized cluster are missed — the guard is a cost ceiling
+    for unattended runs, not a better clustering; size k properly
+    (k ≈ √N) and the guard never fires (clusters at or under the cap
+    are left whole, so results are bit-identical to the unguarded
+    run). Same posture as q45's `max_shingle_freq` posting-list cap."""
     assigned = ivf_assign(
         emb,
         centroids,
@@ -155,15 +171,38 @@ def semantic_dedup(
         centroid_id_col=centroid_id_col,
         centroid_vec_col=centroid_vec_col,
     ).select(id_col, vec_col, centroid_id_col)
+    shard_keys: list[str] = []
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError("max_cluster_size must be >= 1")
+        # Cluster sizes are k rows — broadcast, never a data-sized join.
+        sizes = assigned.groupBy(centroid_id_col).agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        n_shards = F.ceil(
+            F.col("__csz") / F.lit(max_cluster_size)
+        ).cast("long")
+        assigned = (
+            assigned.join(F.broadcast(sizes), centroid_id_col)
+            .withColumn(
+                "__shard",
+                F.when(n_shards <= 1, F.lit(0).cast("long")).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col)), n_shards)
+                ),
+            )
+            .drop("__csz")
+        )
+        shard_keys = ["__shard"]
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    join_cond = (
+        F.col(f"a.{centroid_id_col}") == F.col(f"b.{centroid_id_col}")
+    ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for k in shard_keys:
+        join_cond = join_cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     pairs = (
-        a.join(
-            b,
-            (F.col(f"a.{centroid_id_col}") == F.col(f"b.{centroid_id_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, join_cond)
         .filter(cos >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("__keep"),
@@ -178,7 +217,7 @@ def semantic_dedup(
         dropped.select(F.col("__drop").alias(id_col)),
         id_col,
         "left_anti",
-    )
+    ).select(id_col, vec_col, centroid_id_col)
     return survivors, dropped.select(
         F.col("__drop").alias(id_col), centroid_id_col, "dup_of"
     )

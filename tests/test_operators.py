@@ -304,6 +304,61 @@ def test_semantic_dedup_plan_shape(spark):
     assert "Window" not in plan  # argmin is min_by, not row_number
 
 
+def test_semantic_dedup_giant_cluster_guard(spark):
+    """VERDICT r8 #2: a degenerate centroid set (everything lands in
+    ONE cluster) must not re-create the |corpus|² join —
+    `max_cluster_size` sub-shards the oversized cluster so pairwise
+    work is bounded per shard. Observable proof with threshold=-1
+    (every candidate pair collides): unguarded, one global survivor
+    remains (the full N² pairing found everything); guarded, exactly
+    one survivor PER SHARD remains, i.e. the join never compared
+    across shards."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    n, cap = 60, 10
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-6]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    collapsed = spark.createDataFrame([(0, [1.0, 0.0])], ["cid", "cv"])
+    unguarded, _ = semantic_dedup(emb, collapsed, threshold=-1.0)
+    assert unguarded.count() == 1  # the corpus-quadratic answer
+    survivors, dropped = semantic_dedup(
+        emb, collapsed, threshold=-1.0, max_cluster_size=cap
+    )
+    # expected shard count from the same deterministic hash
+    n_shards = (
+        emb.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(n // cap)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert survivors.count() == n_shards  # one survivor per shard only
+    assert survivors.count() + dropped.count() == n
+    assert survivors.columns == ["vec_id", "embedding", "cid"]
+    # clusters at or under the cap are left whole — results identical
+    # to the unguarded run (the guard is a no-op until it must fire)
+    small = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-6]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    s1, d1 = semantic_dedup(small, collapsed, threshold=-1.0)
+    s2, d2 = semantic_dedup(
+        small, collapsed, threshold=-1.0, max_cluster_size=cap
+    )
+    assert sorted(r.vec_id for r in s1.collect()) == sorted(
+        r.vec_id for r in s2.collect()
+    )
+    assert sorted((r.vec_id, r.dup_of) for r in d1.collect()) == sorted(
+        (r.vec_id, r.dup_of) for r in d2.collect()
+    )
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup(emb, collapsed, max_cluster_size=0)
+
+
 def test_lsh_bucket_identical_vectors_collide(spark):
     emb = spark.createDataFrame(
         [(1, [0.5, -0.2, 0.8]), (2, [0.5, -0.2, 0.8]), (3, [-0.5, 0.2, -0.8])],
