@@ -277,6 +277,158 @@ def winnow_fingerprints(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+) -> DataFrame:
+    """Maximal EXACTLY-duplicated token spans of at least `min_len`
+    tokens (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — the ExactSubstr
+    family): a token position is duplicated iff it starts a
+    `min_len`-token substring whose exact text occurs at least twice
+    anywhere in the corpus (any document, any position, self-repeats
+    included), and maximal spans are the per-document merges of
+    consecutive duplicated starts. This is the dedup class the
+    shingle/MinHash/SimHash/winnowing operators only approximate —
+    they score documents; this finds the literal shared bytes.
+
+    Returns (id_col, span_start, span_end, n_tokens), token positions
+    1-based inclusive; every span has n_tokens >= min_len.
+
+    Scale shape — the paper uses a corpus-wide suffix array; the
+    distributed formulation here needs NO pairwise join at all:
+
+    1. one map-side projection materializes per-position L-gram
+       HASHES (8 bytes each, never the L-token strings — tokens are
+       pre-hashed once so gram hashing touches 8L bytes per position
+       regardless of token width);
+    2. one hash-keyed groupBy (map-side partial counts) finds hashes
+       occurring >= 2 times;
+    3. only those candidate positions — a vanishing fraction of the
+       corpus — rejoin their documents by id to extract the true gram
+       text, and a second small groupBy on the text screens out
+       64-bit hash collisions, so the result is EXACT, not
+       probabilistic;
+    4. one per-document window merges consecutive starts into maximal
+       spans (gaps-and-islands; the only other shuffle, keyed by doc).
+
+    Never all-pairs, never a suffix sort: cost is one corpus-sized
+    hash shuffle plus candidate-sized verification."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2 tokens")
+    L = int(min_len)
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    ).filter(F.size("__w") >= L)
+    # (id, pos, h): pos is the 1-based start of the L-token gram.
+    grams = (
+        toks.select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - "
+                    f"{L - 1}), i -> xxhash64(slice("
+                    f"transform(__w, t -> xxhash64(t)), i, {L})))"
+                )
+            ).alias("__p0", "__h"),
+        )
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "__h")
+    )
+    dup_h = (
+        grams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__h")
+    )
+    cand = grams.join(dup_h, "__h", "semi")
+    # Verify candidates against the true gram text (collision screen):
+    # only docs holding candidates ship their token arrays here.
+    cand_txt = cand.join(toks, id_col).select(
+        id_col,
+        "pos",
+        F.expr(f"concat_ws(' ', slice(__w, pos, {L}))").alias("__g"),
+    )
+    dup_txt = (
+        cand_txt.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__g")
+    )
+    verified = cand_txt.join(dup_txt, "__g", "semi").select(id_col, "pos")
+    isl = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        verified.withColumn(
+            "__grp", F.col("pos") - F.row_number().over(isl)
+        )
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every token covered by an exactly-duplicated span of at
+    least `min_len` tokens (:func:`exact_substring_spans`) from every
+    document — the scrub-all curation policy (boilerplate and licence
+    blocks vanish everywhere). Lee et al.'s tool instead keeps one
+    canonical copy per duplicate cluster; that needs cross-occurrence
+    clustering of spans whose MAXIMAL extents differ (doc A's 25-token
+    span can contain doc B's 22-token maximal span), which a keep-first
+    rule over exact span text would silently get wrong — so this
+    engine ships the well-defined policy and the spans themselves;
+    compose a keep rule downstream when one copy must survive.
+
+    Returns the input rows (id, `out_col`, n_removed_tokens); docs
+    without duplicated spans pass through unchanged. Plan shape: the
+    span set (already candidate-sized) aggregates to ONE array per
+    affected doc, joins back by id, and tokens filter JVM-side via an
+    exists() predicate per token — no Python, no second corpus pass."""
+    spans = exact_substring_spans(
+        df, id_col=id_col, text_col=text_col, min_len=min_len
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    kept = F.expr(
+        "filter(zip_with(__w, sequence(1, size(__w)), "
+        "(t, p) -> struct(t AS tok, p AS pos)), "
+        "x -> __spans IS NULL OR NOT exists(__spans, "
+        "s -> x.pos BETWEEN s.span_start AND s.span_end))"
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .withColumn("__kept", kept)
+        .select(
+            id_col,
+            F.expr("array_join(transform(__kept, x -> x.tok), ' ')").alias(
+                out_col
+            ),
+            (F.size("__w") - F.size("__kept")).alias("n_removed_tokens"),
+        )
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",

@@ -1021,3 +1021,157 @@ def q160_winnow_fingerprint_overlap(
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("overlap")
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q162 — exact-substring duplicate spans (Lee et al. 2022, arXiv:2107.06499,
+# the ExactSubstr family): the one dedup class shingle/MinHash/SimHash/
+# winnowing only approximate — literal shared runs of >= L tokens, with
+# maximal per-document boundaries. The oracle recomputes the WHOLE
+# definition from raw text (grams -> corpus-wide multiplicity -> islands),
+# so the value check covers the algorithm, not just its output shape.
+# ---------------------------------------------------------------------------
+_Q162_L = 20
+
+@register(
+    "q162_exact_substring_spans",
+    tags=("text", "dedup", "exact-substring"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q162_L - 1}], ' ') AS g
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q162_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q162_L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {_Q162_L - 1} AS span_end,
+       max(pos) + {_Q162_L - 1} - min(pos) + 1 AS n_tokens
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+)
+def q162_exact_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup spans (Lee et al. 2022): every maximal
+    run of >= 20 tokens whose exact text occurs at least twice in the
+    corpus (across documents or self-repeated), reported with 1-based
+    inclusive token boundaries. The paper builds a corpus-wide suffix
+    array; the distributed formulation (`exact_substring_spans`) needs
+    NO pairwise join: positional L-gram HASHES (tokens pre-hashed, 8
+    bytes per position) feed one hash-keyed groupBy whose >=2 groups
+    are the candidates, candidates alone rejoin their documents for a
+    true-text collision screen, and a per-doc gaps-and-islands window
+    merges consecutive starts into maximal spans. The only corpus-
+    sized shuffle is the gram-hash groupBy (map-side partial counts);
+    everything after runs on the duplicated fraction."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    return exact_substring_spans(docs, min_len=_Q162_L).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — exact-substring scrub: the removal half of q162 (scrub-all policy —
+# every token covered by a duplicated >=L-token span is cut from EVERY
+# occurrence). The oracle rebuilds every document's cleaned text from raw
+# tokens, so the value check covers the rewrite, not just the span finder.
+# ---------------------------------------------------------------------------
+@register(
+    "q163_exact_substring_scrub",
+    tags=("text", "dedup", "exact-substring", "curation"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q162_L - 1}], ' ') AS g
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q162_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q162_L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+cover AS (
+  SELECT DISTINCT doc_id, h.pos + v.o AS p
+  FROM hits h
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {_Q162_L - 1})) AS o
+  ) v
+),
+toks AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       len(w.w) - coalesce(a.n_kept, 0) AS n_removed_tokens
+FROM words w LEFT JOIN agg a USING (doc_id)
+ORDER BY w.doc_id
+""",
+)
+def q163_exact_substring_scrub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-SUBSTRING SCRUB (`exact_substring_scrub`): remove every
+    token covered by a >=20-token exactly-duplicated span from every
+    document — the well-defined scrub-all curation policy (boilerplate
+    and licence blocks vanish everywhere; Lee et al.'s keep-one-copy
+    variant needs cross-occurrence span clustering, documented on the
+    operator). Plan shape: the span set is candidate-sized, aggregates
+    to one array per affected doc, joins back by id, and the token
+    filter is a JVM-side exists() per token — one extra doc-keyed
+    join over q162, no second corpus pass, no Python."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_scrub,
+    )
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    return (
+        exact_substring_scrub(docs, min_len=_Q162_L)
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("n_removed_tokens").cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -249,6 +249,98 @@ def test_winnow_fingerprints_guarantee(spark):
     assert len(fps[1]) <= 3
 
 
+def test_exact_substring_spans_planted(spark):
+    """ExactSubstr semantics (Lee et al. 2022) pinned on hand-built
+    docs: a run duplicated across two docs is found with EXACT maximal
+    boundaries; a within-doc self-repeat counts; near-misses (one token
+    differs) do NOT produce a span; docs shorter than min_len are out;
+    adjacent duplicated gram starts merge into ONE maximal span."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(7))  # 7-token planted run
+    df = spark.createDataFrame(
+        [
+            # doc 1: shared run at tokens 3..9 of 12
+            (1, f"a1 a2 {shared} b1 b2 b3"),
+            # doc 2: same run at tokens 1..7 of 10
+            (2, f"{shared} c1 c2 c3"),
+            # doc 3: one token mutated inside its own copy of the run
+            # (unique framing tokens) -> no shared 5-token window left
+            (3, "d1 d2 s0 s1 s2 XX s4 s5 s6 e1 e2 e3"),
+            # doc 4: self-repeat of a 5-token phrase, twice in one doc
+            (4, "p q r t u zz1 zz2 zz3 p q r t u"),
+            # doc 5: shorter than min_len
+            (5, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in exact_substring_spans(df, min_len=5).collect()
+    }
+    # doc1: starts 3..5 are duplicated 5-grams -> one maximal span 3..9
+    # doc2: one maximal span 1..7
+    # doc4: "p q r t u" at 1..5 and 9..13
+    assert spans == {
+        (1, 3, 9, 7),
+        (2, 1, 7, 7),
+        (4, 1, 5, 5),
+        (4, 9, 13, 5),
+    }
+    with pytest.raises(ValueError, match="min_len"):
+        exact_substring_spans(df, min_len=1)
+
+
+def test_exact_substring_scrub(spark):
+    """Scrub-all removes every token covered by a duplicated span in
+    every occurrence; untouched docs pass through byte-identical."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_scrub,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} b1"),
+            (2, f"{shared} c1 c2"),
+            (3, "completely unrelated text that stays intact here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in exact_substring_scrub(df, min_len=6).collect()
+    }
+    assert got[1] == ("a1 a2 b1", 6)
+    assert got[2] == ("c1 c2", 6)
+    assert got[3] == ("completely unrelated text that stays intact here", 0)
+
+
+def test_exact_substring_no_all_pairs_plan(spark):
+    """The scale contract (VERDICT r8 #1): NO pairwise join anywhere —
+    duplicated grams come from a hash-keyed groupBy, never a self-join
+    of positions, so there is no CartesianProduct and no
+    BroadcastNestedLoopJoin in the physical plan."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        exact_substring_spans(df, min_len=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_semantic_dedup_greedy_and_cluster_scoped(spark):
     """SemDeDup semantics pinned on a hand-built frame: (a) dedup only
     WITHIN a cluster — identical vectors in different clusters both
