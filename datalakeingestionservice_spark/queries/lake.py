@@ -3172,3 +3172,92 @@ def q161_staged_catalog_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wap_ok", F.lit(bool(ok)))
         .orderBy("prio")
     )
+
+
+@register(
+    "q164_ctas_from_change_feed",
+    tags=("lake", "sql-front-door", "change-feed", "cdf", "ctas"),
+    oracle="""
+WITH upd AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+del AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % 7 = 1
+),
+feed AS (
+  SELECT 2 AS cv, 'delete' AS ct, p FROM upd
+  UNION ALL
+  SELECT 2 AS cv, 'insert' AS ct, CAST(p + 2.50 AS DECIMAL(18,2)) FROM upd
+  UNION ALL
+  SELECT 3 AS cv, 'delete' AS ct, p FROM del
+)
+SELECT CAST(cv AS BIGINT) AS commit_version,
+       ct AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p) AS DOUBLE) AS total_price
+FROM feed
+GROUP BY cv, ct
+ORDER BY commit_version, change_type
+""",
+)
+def q164_ctas_from_change_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FEED -> TABLE materialization end-to-end (VERDICT r8 #6): the
+    CDC-to-table idiom `CREATE TABLE mat ... AS SELECT ... FROM
+    table_changes('t', v)` as ONE front-door statement. Orders
+    snapshot -> t (v1); UPDATE (+2.50 on keys %7==0) commits v2 and
+    DELETE (keys %7==1) commits v3 — both materialize change files at
+    commit time, so the CTAS's SELECT scans exactly the changed rows,
+    never a snapshot diff; the result becomes version 1 of a NEW
+    versioned table that later statements read like any other. The
+    returned aggregate is computed FROM THE MATERIALIZED TABLE through
+    the same front door — proving the persisted feed, not the feed
+    itself — and the oracle recomputes it from raw orders."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_select,
+        execute_sql,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ctasfeed_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(spark, os.path.join(base, "t"), orders)
+    tables = {"t": t}
+    assert (
+        execute_sql(
+            spark,
+            "UPDATE t SET price = CAST(price + 2.50 AS DECIMAL(18,2)) "
+            "WHERE k % 7 = 0",
+            tables,
+        )
+        == 2
+    )
+    assert execute_sql(spark, "DELETE FROM t WHERE k % 7 = 1", tables) == 3
+    mat_loc = os.path.join(base, "mat")
+    v = execute_sql(
+        spark,
+        f"CREATE TABLE mat USING VERSIONED LOCATION '{mat_loc}' AS "
+        "SELECT k, price, _change_type AS change_type, "
+        "_commit_version AS commit_version "
+        "FROM table_changes('t', 1)",
+        tables,
+    )
+    assert v == 1 and isinstance(tables["mat"], VersionedTable)
+    return execute_select(
+        spark,
+        "SELECT commit_version, change_type, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(price) AS DOUBLE) AS total_price "
+        "FROM mat "
+        "GROUP BY commit_version, change_type "
+        "ORDER BY commit_version, change_type",
+        tables,
+    )
