@@ -301,6 +301,17 @@ _ALTER_DROP_COL_RE = re.compile(
     r"(?P<col>[A-Za-z_]\w*)$",
     re.IGNORECASE,
 )
+#: ADD COLUMN with an optional INITIAL DEFAULT (Iceberg v3 shape; see
+#: VersionedTable.add_column for the precedence spec). The default text
+#: is validated downstream against the literal-only grammar — the regex
+#: only carves the statement.
+_ALTER_ADD_COL_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+ADD\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+"
+    r"(?P<type>[A-Za-z_]\w*(?:\s*\([\d,\s]+\))?)"
+    r"(?:\s+DEFAULT\s+(?P<def>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_ADD_CONSTRAINT_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+"
     r"(?P<cname>[A-Za-z_]\w*)\s+CHECK\s*\((?P<expr>.+)\)$",
@@ -651,6 +662,18 @@ def execute_dml(
     if ma:
         t = _resolve(spark, ma.group("name"), tables)
         return t.drop_column(ma.group("col"))
+    ma = _ALTER_ADD_COL_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.add_column(
+            ma.group("col"),
+            ma.group("type").strip(),
+            default=(
+                ma.group("def").strip()
+                if ma.group("def") is not None
+                else None
+            ),
+        )
     ma = _ALTER_ADD_CONSTRAINT_RE.match(sql)
     if ma:
         t = _resolve(spark, ma.group("name"), tables)
@@ -697,6 +720,7 @@ def execute_dml(
     if re.match(r"^ALTER\s+TABLE\b", sql, re.IGNORECASE):
         raise UnsupportedStatementError(
             "ALTER TABLE subset: RENAME COLUMN a TO b, DROP COLUMN c, "
+            "ADD COLUMN c type [DEFAULT literal], "
             "ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT name, "
             "CREATE BRANCH b [AS OF VERSION n], DROP BRANCH b, "
             "PUBLISH BRANCH b, CREATE TAG n [AS OF VERSION v], "

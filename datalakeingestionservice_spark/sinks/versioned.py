@@ -945,6 +945,47 @@ def _typed_part_value(raw: str | None, type_simple: str):
     return raw  # string / varchar / char
 
 
+#: Grammar for ADD COLUMN defaults: plain literals only. Expressions,
+#: function calls (current_date(), uuid()), and column references are
+#: REFUSED — a non-literal default would evaluate per-read (different
+#: answers on different days) and could never be applied consistently
+#: by the sessionless reader, which has no SQL evaluator.
+_DEFAULT_LITERAL_RE = re.compile(
+    r"^\s*(?:"
+    r"(?P<null>NULL)"
+    r"|(?P<bool>TRUE|FALSE)"
+    r"|(?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<kind>DATE|TIMESTAMP)\s+'(?P<tval>[^']*)'"
+    r"|'(?P<str>(?:[^']|'')*)'"
+    r")\s*$",
+    re.IGNORECASE,
+)
+
+
+def _default_fill_text(literal: str) -> str | None:
+    """Raw string form of a validated default literal — the form
+    `_typed_part_value` types for the sessionless reader's fill path
+    (None for a NULL literal). Raises ValueError for anything outside
+    the literal grammar."""
+    m = _DEFAULT_LITERAL_RE.match(literal)
+    if not m:
+        raise ValueError(
+            f"default {literal!r} is not a plain literal (allowed: "
+            "NULL, TRUE/FALSE, numbers, 'strings', DATE '...', "
+            "TIMESTAMP '...'); expressions and functions refuse — they "
+            "would re-evaluate per read"
+        )
+    if m.group("null"):
+        return None
+    if m.group("bool"):
+        return m.group("bool").lower()
+    if m.group("num"):
+        return m.group("num")
+    if m.group("kind"):
+        return m.group("tval")
+    return m.group("str").replace("''", "'")
+
+
 def _promote_temporal(a, b):
     """date vs datetime ordering raises TypeError in Python; promote the
     date side to its midnight instant (SQL comparison semantics). Naive
@@ -1233,6 +1274,15 @@ class Manifest:
     #: leaves keep transform-alias dir-name pruning forever because
     #: predicate derivation unions these with the current spec.
     past_specs: tuple = ()
+    #: Initial defaults for columns added by `add_column(default=...)`
+    #: (Iceberg v3 initial-default shape): {logical column: {"default":
+    #: SQL literal text, "entries": [rels live at add time],
+    #: "since_version": add version}}. A column physically absent from
+    #: a scoped entry reads its default instead of NULL; entries
+    #: written after the add (including merge_schema subset appends)
+    #: are out of scope and keep the NULL posture — the default
+    #: backfills history, it is not a write default.
+    column_defaults: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -1250,6 +1300,7 @@ class Manifest:
                 "delete_predicates": list(self.delete_predicates),
                 "column_mapping": self.column_mapping,
                 "past_specs": [list(sp) for sp in self.past_specs],
+                "column_defaults": self.column_defaults,
             },
             indent=2,
             sort_keys=True,
@@ -1324,6 +1375,11 @@ class Manifest:
                 [list(sp) for sp in self.past_specs],
                 [list(sp) for sp in parent.past_specs],
             ),
+            (
+                "column_defaults",
+                self.column_defaults,
+                parent.column_defaults,
+            ),
         ):
             if mine != theirs:
                 d[key] = mine
@@ -1347,6 +1403,7 @@ class Manifest:
             past_specs=tuple(
                 tuple(sp) for sp in d.get("past_specs", ())
             ),
+            column_defaults=d.get("column_defaults", {}),
         )
 
     @staticmethod
@@ -1426,6 +1483,11 @@ def _apply_delta(parent: Manifest, d: dict) -> Manifest:
             tuple(tuple(sp) for sp in d["past_specs"])
             if "past_specs" in d
             else parent.past_specs
+        ),
+        column_defaults=(
+            dict(d["column_defaults"])
+            if "column_defaults" in d
+            else parent.column_defaults
         ),
     )
 
@@ -1749,6 +1811,12 @@ class VersionedTable:
         )
         pb = tuple(new if c == old else c for c in pm.partition_by)
         blooms = tuple(new if c == old else c for c in pm.bloom_columns)
+        # A default follows its column's LOGICAL name (the literal text
+        # can't reference columns, so only the key moves).
+        defaults = {
+            (new if c == old else c): spec
+            for c, spec in pm.column_defaults.items()
+        }
         return self._commit(
             operation="rename_column",
             files=pm.files,
@@ -1767,6 +1835,7 @@ class VersionedTable:
             partition_by=pb,
             bloom_columns=blooms,
             column_mapping=mapping,
+            column_defaults=defaults,
         )
 
     def drop_column(self, col: str) -> int:
@@ -1831,6 +1900,113 @@ class VersionedTable:
             },
             stats=dict(pm.stats),
             column_mapping=mapping,
+            column_defaults={
+                c: spec
+                for c, spec in pm.column_defaults.items()
+                if c != col
+            },
+        )
+
+    def add_column(
+        self, name: str, type_ddl: str, default: str | None = None
+    ) -> int:
+        """ADD COLUMN as a metadata-only commit, with an optional
+        INITIAL DEFAULT (Iceberg v3 initial-default shape; Delta ships
+        the same idea behind the allowColumnDefaults feature): existing
+        rows — every entry live at this commit, whose files physically
+        lack the column — read `default` instead of NULL, on BOTH read
+        surfaces (session reads and the sessionless DataSource). No
+        data is read or written.
+
+        Precedence spec (the merge_schema interplay):
+
+        1. column physically present in the file -> stored value, even
+           when that value is NULL;
+        2. physically absent + entry live at add time -> the default
+           (scoped by entry rel exactly like deferred deletes: carried
+           file entries keep their ancestor rel, so they stay covered;
+           compaction READS defaults and so materializes them into the
+           rewritten files, whose new rels leave the scope);
+        3. physically absent + entry written after the add (a
+           merge_schema subset append) -> NULL, unchanged — this is an
+           initial default that backfills history, NOT a write default.
+
+        `default` must be a plain literal (NULL, TRUE/FALSE, numbers,
+        'strings', DATE/TIMESTAMP '...'); expressions and functions
+        refuse — they would re-evaluate per read and the sessionless
+        reader has no SQL evaluator. The literal must cast to
+        `type_ddl` (validated here, against a one-row frame). Without
+        `default` this is plain schema evolution: absent reads NULL,
+        same as an explicit NULL default."""
+        from pyspark.sql.types import StructType
+
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        schema = StructType.fromDDL(pm.schema_ddl)
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        retired = set(pm.column_mapping.get("retired", ())) | set(
+            pm.column_mapping.get("map", {}).values()
+        )
+        if name in retired:
+            raise ValueError(
+                f"column {name!r} collides with a retired/physical "
+                "name still present in data files; pick another name"
+            )
+        try:
+            field = StructType.fromDDL(f"{name} {type_ddl}").fields[0]
+        except Exception:
+            raise ValueError(
+                f"cannot parse column type {type_ddl!r}"
+            ) from None
+        defaults = dict(pm.column_defaults)
+        if default is not None:
+            fill = _default_fill_text(default)  # grammar check
+            if fill is not None:
+                # Type check: the literal must cast to the column type
+                # without nulling out (a silent NULL default would
+                # contradict the declared literal).
+                try:
+                    probe = (
+                        self.spark.range(1)
+                        .select(
+                            F.expr(default)
+                            .cast(field.dataType)
+                            .alias("v")
+                        )
+                        .collect()[0]
+                        .v
+                    )
+                except Exception:
+                    probe = None  # ANSI cast raised: same refusal
+                if probe is None:
+                    raise ValueError(
+                        f"default {default!r} does not cast to "
+                        f"{type_ddl!r}"
+                    )
+                defaults[name] = {
+                    "default": default,
+                    "entries": [
+                        f.replace(os.sep, "/") for f in pm.files
+                    ],
+                    "since_version": parent + 1,
+                }
+        new_schema = StructType(
+            [*schema.fields, field]
+        )
+        return self._commit(
+            operation="add_column",
+            files=pm.files,
+            schema_ddl=new_schema.simpleString(),
+            expected_parent=parent,
+            summary={
+                "added": {"column": name, "type": type_ddl,
+                          "default": default},
+                "cdf_empty": True,
+                "schema_evolved": True,
+            },
+            stats=dict(pm.stats),
+            column_defaults=defaults,
         )
 
     def set_partition_spec(self, partition_by: list[str]) -> int:
@@ -2237,7 +2413,79 @@ class VersionedTable:
             out = out.unionByName(p)
         return out
 
+    def _entry_defaults(
+        self, m: Manifest, rel: str
+    ) -> tuple[tuple[str, str], ...]:
+        """(column, default literal) pairs whose initial-default scope
+        covers this entry — same ancestor-rel rule as deferred deletes
+        (file entries carried forward by a scoped merge keep their
+        ancestor rel, so they stay covered)."""
+        r = rel.replace(os.sep, "/")
+        out = []
+        for col, spec in m.column_defaults.items():
+            if any(
+                r == e or r.startswith(e.rstrip("/") + "/")
+                for e in spec["entries"]
+            ):
+                out.append((col, spec["default"]))
+        return tuple(sorted(out))
+
     def _scan_entries_raw(
+        self,
+        sel: list[tuple[str, list[str] | None]],
+        m: Manifest,
+        with_pos: bool = False,
+    ) -> DataFrame | None:
+        """Defaults-aware wrapper over :meth:`_scan_entries_plain`:
+        entries scoped by an initial default (`add_column(default=)`)
+        group separately and overlay the default over the reader's
+        null-fill — exact, because scoped entries' files physically
+        lack the column (add_column refuses names colliding with
+        retired physical names, so a scoped file can never carry the
+        column under any name)."""
+        if m.column_defaults:
+            groups: dict[tuple, list] = {}
+            for item in sel:
+                groups.setdefault(
+                    self._entry_defaults(m, item[0]), []
+                ).append(item)
+            if any(groups):
+                from pyspark.sql.types import StructType
+
+                types = {
+                    f.name: f.dataType
+                    for f in StructType.fromDDL(m.schema_ddl).fields
+                }
+                pieces: list[DataFrame] = []
+                for key in sorted(groups):
+                    df = self._scan_entries_plain(
+                        groups[key], m, with_pos
+                    )
+                    if df is None:
+                        continue
+                    if key:
+                        dmap = dict(key)
+                        df = df.select(
+                            *[
+                                F.coalesce(
+                                    F.col(c),
+                                    F.expr(dmap[c]).cast(types[c]),
+                                ).alias(c)
+                                if c in dmap
+                                else F.col(c)
+                                for c in df.columns
+                            ]
+                        )
+                    pieces.append(df)
+                if not pieces:
+                    return None
+                out = pieces[0]
+                for p in pieces[1:]:
+                    out = out.unionByName(p)
+                return out
+        return self._scan_entries_plain(sel, m, with_pos)
+
+    def _scan_entries_plain(
         self,
         sel: list[tuple[str, list[str] | None]],
         m: Manifest,
@@ -4265,6 +4513,31 @@ class VersionedTable:
         # with the END mapping so renamed columns keep their history.
         cdf_back = _phys_to_log(final_m.column_mapping)
 
+        def fill_initial_defaults(df: DataFrame, v: int) -> DataFrame:
+            """Initial defaults (add_column): pieces drawn from commits
+            BEFORE a column's add (since_version > v) physically lack
+            it, and the final snapshot serves those rows' column as the
+            default — the conformed feed must agree, or replaying the
+            feed diverges from the snapshots it reconstructs."""
+            overlay = {
+                c: spec["default"]
+                for c, spec in final_m.column_defaults.items()
+                if spec.get("since_version", 0) > v
+            }
+            if not overlay:
+                return df
+            ftypes = {f.name: f.dataType for f in final.fields}
+            return df.select(
+                *[
+                    F.coalesce(
+                        F.col(c), F.expr(overlay[c]).cast(ftypes[c])
+                    ).alias(c)
+                    if c in overlay
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
         pieces: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             cur = self.manifest(v)
@@ -4276,7 +4549,7 @@ class VersionedTable:
                 raw = self._scan_entries([(r, None) for r in added], cur)
                 if raw is None:
                     continue
-                df = _conform(raw, final)
+                df = fill_initial_defaults(_conform(raw, final), v)
                 pieces.append(
                     df.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
@@ -4290,15 +4563,22 @@ class VersionedTable:
                     ),
                     cdf_back,
                 )
-                piece = _conform(cdf, final, extra_cols=("_change_type",))
+                piece = fill_initial_defaults(
+                    _conform(cdf, final, extra_cols=("_change_type",)),
+                    v,
+                )
                 pieces.append(
                     piece.withColumn(
                         "_commit_version", F.lit(v).cast("long")
                     )
                 )
             else:
-                before = _conform(self.read(v - 1), final)
-                after = _conform(self.read(v), final)
+                before = fill_initial_defaults(
+                    _conform(self.read(v - 1), final), v - 1
+                )
+                after = fill_initial_defaults(
+                    _conform(self.read(v), final), v
+                )
                 ins = after.exceptAll(before).withColumn(
                     "_change_type", F.lit("insert")
                 )
@@ -4604,6 +4884,7 @@ class VersionedTable:
             delete_predicates=head.delete_predicates,
             column_mapping=dict(head.column_mapping),
             past_specs=head.past_specs,
+            column_defaults=dict(head.column_defaults),
         )
 
     def cherry_pick(self, name: str, version: int) -> int:
@@ -4636,6 +4917,7 @@ class VersionedTable:
             ("column_mapping", "column mapping"),
             ("delete_predicates", "delete predicates"),
             ("bloom_columns", "bloom columns"),
+            ("column_defaults", "column defaults"),
         ):
             if getattr(m, field) != getattr(parent, field):
                 raise ValueError(
@@ -4784,6 +5066,7 @@ class VersionedTable:
             bloom_columns=m.bloom_columns,
             delete_predicates=m.delete_predicates,
             column_mapping=dict(m.column_mapping),
+            column_defaults=dict(m.column_defaults),
         )
         return clone
 
@@ -4842,6 +5125,7 @@ class VersionedTable:
             constraints=dict(target.constraints),
             delete_predicates=target.delete_predicates,
             column_mapping=dict(target.column_mapping),
+            column_defaults=dict(target.column_defaults),
         )
 
     def materialize_changes(
@@ -5753,6 +6037,7 @@ class VersionedTable:
         delete_predicates: tuple | None = None,
         column_mapping: dict | None = None,
         past_specs: tuple | None = None,
+        column_defaults: dict | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -5778,12 +6063,18 @@ class VersionedTable:
                 bloom_columns = pm.bloom_columns if pm else ()
             if delete_predicates is None:
                 delete_predicates = pm.delete_predicates if pm else ()
-        if column_mapping is None or past_specs is None:
+        if (
+            column_mapping is None
+            or past_specs is None
+            or column_defaults is None
+        ):
             pm2 = self.manifest(expected_parent) if expected_parent else None
             if column_mapping is None:
                 column_mapping = dict(pm2.column_mapping) if pm2 else {}
             if past_specs is None:
                 past_specs = pm2.past_specs if pm2 else ()
+            if column_defaults is None:
+                column_defaults = dict(pm2.column_defaults) if pm2 else {}
         # Retire predicates that no longer touch any surviving entry
         # (every entry they scoped was rewritten — the rewrite read
         # through the filter, materializing the deletion).
@@ -5811,6 +6102,7 @@ class VersionedTable:
             delete_predicates=delete_predicates,
             column_mapping=column_mapping,
             past_specs=past_specs,
+            column_defaults=column_defaults,
         )
         final = os.path.join(self._mdir, _manifest_name(version))
         # Delta-encode vs the parent (commit metadata ∝ the CHANGE, not

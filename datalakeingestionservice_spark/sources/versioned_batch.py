@@ -65,6 +65,7 @@ from datalakeingestionservice_spark.sinks.versioned import (
     _MANIFEST_DIR,
     Manifest,
     NoSuchVersionError,
+    _default_fill_text,
     _entry_may_match,
     _file_may_match,
     _typed_part_value,
@@ -463,6 +464,26 @@ class VersionedTableReader(DataSourceReader):
                 if raw_pv
                 else None
             )
+            # Initial defaults (add_column): entries scoped by a
+            # default ride the SAME fill path as hive partition values
+            # — the executor fills only when the column is physically
+            # absent from the file, which is exactly the initial-
+            # default precedence (stored values, even NULL, win).
+            if self.m.column_defaults:
+                r = rel.replace(os.sep, "/")
+                dfl = {}
+                for col, spec in self.m.column_defaults.items():
+                    if any(
+                        r == e or r.startswith(e.rstrip("/") + "/")
+                        for e in spec["entries"]
+                    ):
+                        txt = _default_fill_text(spec["default"])
+                        if txt is not None:
+                            dfl[col] = _typed_part_value(
+                                txt, self._types.get(col, "string")
+                            )
+                if dfl:
+                    fill = {**(fill or {}), **dfl}
             abs_entry = os.path.join(self.root, rel)
             fmap = stats.get("files")
             if preds and fmap:
