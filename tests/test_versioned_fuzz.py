@@ -78,8 +78,9 @@ def test_random_commit_sequence_matches_model(
         partition_by=spec,
     )
     history = [None, Counter(initial)]  # model per version (1-indexed)
+    expired: set[int] = set()  # versions dropped by expire_versions
 
-    for _ in range(9):
+    for step in range(9):
         model = Counter(history[-1])
         ops = [
             "append", "narrow_append", "merge", "delete", "overwrite",
@@ -88,10 +89,21 @@ def test_random_commit_sequence_matches_model(
             "scoped_delete", "replace_where", "update_deferred",
             "merge_deferred", "delete_keys", "upsert_deferred",
             "branch_publish", "branch_pick",
+            "tag_expire", "branch_vacuum",
         ]
         if spec:
             ops.append("dynamic_overwrite")
-        op = rng.choice(ops)
+        # The retention arms run DETERMINISTICALLY mid-sequence (every
+        # seed, every protocol, every spec) — tag-pin-blocks-expire and
+        # branch-manifest reference counting must be asserted inside
+        # every random history, not left to the draw; the other steps
+        # stay random.
+        if step == 4:
+            op = "tag_expire"
+        elif step == 7:
+            op = "branch_vacuum"
+        else:
+            op = rng.choice(ops)
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             t.append(_df(spark, rows))
@@ -340,12 +352,65 @@ def test_random_commit_sequence_matches_model(
             for k in [k for k in list(model) if k[0] % m == 0]:
                 del model[k]
         elif op == "restore":
-            target = rng.randint(1, len(history) - 1)
-            if target == len(history) - 1:
-                t.compact(num_partitions=1)  # restore-to-self is refused
+            # Expired versions are gone: restoring to one must refuse,
+            # so the model only ever restores to a SURVIVING version.
+            candidates = [
+                v for v in range(1, len(history) - 1) if v not in expired
+            ]
+            if not candidates:
+                t.compact(num_partitions=1)
             else:
-                t.restore(target)
-                model = Counter(history[target])
+                target = rng.choice(candidates + [len(history) - 1])
+                if target == len(history) - 1:
+                    t.compact(num_partitions=1)  # restore-to-self refused
+                else:
+                    t.restore(target)
+                    model = Counter(history[target])
+        elif op == "tag_expire":
+            # Retention interplay (VERDICT r8 #5): a tag is a retention
+            # PIN — expire_versions targeting a tagged version refuses
+            # MID-SEQUENCE, nothing is dropped; after drop_tag the same
+            # expire succeeds, the expired snapshots are gone, every
+            # surviving snapshot still matches its model, and vacuum
+            # reclaims the now-unreferenced dirs without touching them.
+            live = [m.version for m in t.versions()]
+            if len(live) < 2:
+                continue  # nothing expirable yet; no commit, no model
+            doomed = live[0]
+            tname = f"pin{len(history)}"
+            t.create_tag(tname, doomed)
+            with pytest.raises(ValueError, match="tagged"):
+                t.expire_versions(keep_last=len(live) - 1)
+            # the refusal dropped NOTHING: the tagged snapshot reads
+            assert _snapshot_counter(t, doomed) == history[doomed]
+            t.drop_tag(tname)
+            assert t.expire_versions(keep_last=len(live) - 1) == [doomed]
+            expired.add(doomed)
+            t.vacuum()
+            assert (
+                _snapshot_counter(t, t.latest_version()) == model
+            ), "vacuum after expire must not touch referenced data"
+            continue  # no commit: history unchanged
+        elif op == "branch_vacuum":
+            # Branch-manifest reference counting: while a branch lives,
+            # vacuum must keep its (branch-only) data dirs; after
+            # drop_branch the same vacuum reclaims them — and neither
+            # pass may disturb main's snapshots.
+            bname = f"vz{len(history)}"
+            b = t.create_branch(bname)
+            rows = fresh_rows(rng.randint(1, 2))
+            b.append(_df(spark, rows))
+            staged = Counter(model)
+            staged.update(rows)
+            t.vacuum()
+            assert (
+                _snapshot_counter(b, b.latest_version()) == staged
+            ), "vacuum must count branch manifests as references"
+            assert _snapshot_counter(t, t.latest_version()) == model
+            t.drop_branch(bname)
+            t.vacuum()
+            assert _snapshot_counter(t, t.latest_version()) == model
+            continue  # no main commit: history unchanged
         elif op == "incremental_compact":
             v_before = t.latest_version()
             if t.compact(small_entry_max_rows=3) == v_before:
@@ -356,12 +421,24 @@ def test_random_commit_sequence_matches_model(
 
     latest = t.latest_version()
     assert latest == len(history) - 1
-    # Every snapshot equals the model at that version (time travel holds
-    # through the full random history, including across compactions).
+    # Every SURVIVING snapshot equals the model at that version (time
+    # travel holds through the full random history, including across
+    # compactions and expirations); expired versions refuse loudly.
+    from datalakeingestionservice_spark.sinks.versioned import (
+        NoSuchVersionError,
+    )
+
     for v in range(1, latest + 1):
+        if v in expired:
+            with pytest.raises(NoSuchVersionError):
+                t.read(version=v).collect()
+            continue
         assert _snapshot_counter(t, v) == history[v], f"v{v} seed{seed}"
-    # Change-feed consistency: feed(v-1 -> v) replays each transition.
+    # Change-feed consistency: feed(v-1 -> v) replays each transition
+    # (pairs touching an expired version can no longer be served).
     for v in range(2, latest + 1):
+        if v in expired or (v - 1) in expired:
+            continue
         feed = t.changes(v - 1, v).collect()
         assert _apply_feed(history[v - 1], feed) == history[v], (
             f"feed v{v - 1}->v{v} seed{seed}"
