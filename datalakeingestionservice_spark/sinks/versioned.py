@@ -1424,13 +1424,106 @@ def _manifest_name(version: int) -> str:
 #: checkpoint interval.
 _CHECKPOINT_INTERVAL = 10
 
+#: Sharded checkpoints (the Iceberg manifest-LIST shape): a checkpoint
+#: of a table with >= _SHARD_MIN_ENTRIES entries does not inline its
+#: entry list — the ordered list is cut into _CHUNK_SIZE-entry slices,
+#: each written once as an immutable CONTENT-ADDRESSED file under
+#: `_manifests/chunks/` and referenced by name from the checkpoint
+#: skeleton. Appends extend the tail, so every earlier slice's content
+#: (and therefore its name) is unchanged and the file is NOT rewritten:
+#: periodic-checkpoint cost is ∝ changed slices, not O(live entries) —
+#: the last metadata-plane ceiling. Branch seeds reference the same
+#: shared chunk store, so branch creation writes only slices main never
+#: checkpointed. Chunks are written BEFORE the manifest claims its
+#: version (write-ahead; a crash leaves orphan chunks that vacuum
+#: reclaims) and content addressing makes racing same-content writers
+#: idempotent. Below the threshold a checkpoint stays a plain inline
+#: snapshot — sharding tiny tables would only multiply file counts.
+_CHUNKS_SUBDIR = "chunks"
+_CHUNK_SIZE = 100
+_SHARD_MIN_ENTRIES = 200
+
+
+def _chunks_dir_for(mdir: str) -> str:
+    """The table-shared chunk store for a manifest dir — branch dirs
+    (`<root>/_manifests/branches/<name>`) resolve to the SAME store as
+    main, so seeds and publishes reuse each other's slices."""
+    parent = os.path.dirname(mdir)
+    if os.path.basename(parent) == _BRANCHES_SUBDIR:
+        return os.path.join(os.path.dirname(parent), _CHUNKS_SUBDIR)
+    return os.path.join(mdir, _CHUNKS_SUBDIR)
+
+
+def _checkpoint_text(m: "Manifest", mdir: str) -> str:
+    """Serialize a FULL snapshot: inline below _SHARD_MIN_ENTRIES
+    entries, sharded manifest-list form at or above it (side effect:
+    missing chunk files are written, atomically via temp+rename)."""
+    if len(m.files) < _SHARD_MIN_ENTRIES:
+        return m.to_json()
+    import hashlib
+
+    cdir = _chunks_dir_for(mdir)
+    os.makedirs(cdir, exist_ok=True)
+    chunk_names: list[str] = []
+    covered: set[str] = set()
+    for i in range(0, len(m.files), _CHUNK_SIZE):
+        sl = list(m.files[i : i + _CHUNK_SIZE])
+        covered.update(sl)
+        body = json.dumps(
+            {
+                "files": sl,
+                "stats": {r: m.stats[r] for r in sl if r in m.stats},
+            },
+            sort_keys=True,
+        )
+        name = (
+            f"c-{hashlib.sha256(body.encode()).hexdigest()[:16]}.json"
+        )
+        path = os.path.join(cdir, name)
+        if not os.path.exists(path):
+            tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, path)
+        chunk_names.append(name)
+    d = json.loads(m.to_json())
+    del d["files"]
+    # Residual stats (keys outside the entry list — e.g. annotations
+    # for non-entry rels) stay inline so nothing is silently dropped.
+    d["stats"] = {
+        k: v for k, v in m.stats.items() if k not in covered
+    }
+    d["chunks"] = chunk_names
+    return json.dumps(d, indent=2, sort_keys=True)
+
+
+def _inline_chunks(d: dict, mdir: str) -> dict:
+    """Resolve a sharded checkpoint dict into plain inline form. A
+    missing or unreadable chunk raises loudly (chunks referenced by any
+    live manifest are never vacuumed — absence is corruption, and a
+    silently shorter table would be the worst possible answer)."""
+    cdir = _chunks_dir_for(mdir)
+    files: list[str] = []
+    stats: dict = dict(d.get("stats", {}))
+    for name in d["chunks"]:
+        with open(os.path.join(cdir, name)) as f:
+            c = json.loads(f.read())
+        files.extend(c["files"])
+        stats.update(c["stats"])
+    out = {k: v for k, v in d.items() if k != "chunks"}
+    out["files"] = files
+    out["stats"] = stats
+    return out
+
 
 def _parse_version_file(text: str) -> dict:
     """Raw dict of a committed version file (full snapshot OR delta);
     raises KeyError/ValueError for a TORN CLAIM (crashed writer left
     the name without parseable content) — callers skip those."""
     d = json.loads(text)
-    if "version" not in d or ("files" not in d and "delta_of" not in d):
+    if "version" not in d or (
+        "files" not in d and "delta_of" not in d and "chunks" not in d
+    ):
         raise KeyError("not a committed manifest")
     return d
 
@@ -1513,6 +1606,10 @@ def load_all_manifests(mdir: str) -> list[Manifest]:
                 continue  # broken chain head; unreadable
             m = _apply_delta(prev, d)
         else:
+            # Chunk resolution OUTSIDE the torn-claim net: a missing
+            # chunk is corruption and must raise, never skip.
+            if "chunks" in d:
+                d = _inline_chunks(d, mdir)
             m = Manifest.from_json_dict(d)
         out.append(m)
         prev = m
@@ -1536,7 +1633,10 @@ def load_manifest_at(mdir: str, version: int) -> Manifest:
         if "delta_of" not in d or "files" in d:
             break
         v = d["delta_of"]
-    m = Manifest.from_json_dict(chain[-1])
+    base = chain[-1]
+    if "chunks" in base:
+        base = _inline_chunks(base, mdir)
+    m = Manifest.from_json_dict(base)
     for d in reversed(chain[:-1]):
         m = _apply_delta(m, d)
     return m
@@ -4678,8 +4778,12 @@ class VersionedTable:
         # racing create_branch(name) writers publishes the checkpoint
         # (both can pass the isdir probe above; the claim decides).
         try:
+            # Sharded seed: slices already checkpointed by main (or any
+            # branch) are reused from the shared chunk store, so branch
+            # creation writes O(changed slices), not O(live entries).
             self._protocol.publish(
-                os.path.join(bdir, _manifest_name(m.version)), m.to_json()
+                os.path.join(bdir, _manifest_name(m.version)),
+                _checkpoint_text(m, bdir),
             )
         except ConcurrentCommitError:
             raise BranchExistsError(
@@ -5215,7 +5319,9 @@ class VersionedTable:
         # back to O(table).
         with open(path) as f:
             d = _parse_version_file(f.read())
-        if "delta_of" in d and "files" not in d:
+        if ("delta_of" in d and "files" not in d) or "chunks" in d:
+            # Delta or sharded checkpoint: patch the summary in place —
+            # annotation must not balloon the record back to O(table).
             d["summary"] = summary
             text = json.dumps(d, indent=2, sort_keys=True)
         else:
@@ -5678,10 +5784,10 @@ class VersionedTable:
         with open(path) as f:
             d = _parse_version_file(f.read())
         if "delta_of" not in d or "files" in d:
-            return  # already a checkpoint
+            return  # already a checkpoint (inline or sharded)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            f.write(m.to_json())
+            f.write(_checkpoint_text(m, mdir))
         os.replace(tmp, path)
         self._mcache.pop(m.version, None)
 
@@ -5794,6 +5900,45 @@ class VersionedTable:
                 if rel not in referenced:
                     shutil.rmtree(os.path.join(sub_root, name))
                     removed.append(os.path.join(sub, name))
+        # Checkpoint CHUNKS referenced by no surviving manifest file
+        # (expired checkpoints, crashed writers' write-ahead slices).
+        # Raw-dict scan: chunk references live in checkpoint skeletons
+        # only. The same mtime guard protects a writer that has staged
+        # chunks but not yet claimed its version; with reclamation
+        # disabled (claim_timeout_s=None) chunks are left alone too.
+        cdir = os.path.join(mdir, _CHUNKS_SUBDIR)
+        if claim_timeout_s is not None and os.path.isdir(cdir):
+            live_chunks: set[str] = set()
+            for d in [mdir, *branch_dirs]:
+                for name in sorted(os.listdir(d)):
+                    if not (
+                        name.startswith("v") and name.endswith(".json")
+                    ):
+                        continue
+                    try:
+                        with open(os.path.join(d, name)) as f:
+                            live_chunks.update(
+                                _parse_version_file(f.read()).get(
+                                    "chunks", ()
+                                )
+                            )
+                    except (OSError, ValueError, KeyError):
+                        continue
+            now = time.time()
+            for name in sorted(os.listdir(cdir)):
+                p = os.path.join(cdir, name)
+                if name in live_chunks:
+                    continue
+                try:
+                    if now - os.path.getmtime(p) >= claim_timeout_s:
+                        os.remove(p)
+                        removed.append(
+                            os.path.join(
+                                _MANIFEST_DIR, _CHUNKS_SUBDIR, name
+                            )
+                        )
+                except OSError:
+                    continue  # raced with a staging writer; leave it
         return reclaimed + removed
 
     # -- internals ---------------------------------------------------------
@@ -6115,5 +6260,10 @@ class VersionedTable:
                 text = m.to_delta_json(self.manifest(expected_parent))
             except NoSuchVersionError:
                 text = None
-        self._protocol.publish(final, text if text is not None else m.to_json())
+        if text is None:
+            # Full checkpoint: sharded manifest-list form above the
+            # size threshold (chunks written BEFORE the version claim —
+            # a crash leaves only vacuum-able orphan chunks).
+            text = _checkpoint_text(m, self._mdir)
+        self._protocol.publish(final, text)
         return version
