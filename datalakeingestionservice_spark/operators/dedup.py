@@ -316,6 +316,35 @@ def exact_substring_spans(
 
     Never all-pairs, never a suffix sort: cost is one corpus-sized
     hash shuffle plus candidate-sized verification."""
+    occ = _dup_gram_occurrences(df, id_col, text_col, min_len)
+    L = int(min_len)
+    isl = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        occ.withColumn(
+            "__grp", F.col("pos") - F.row_number().over(isl)
+        )
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+def _dup_gram_occurrences(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos, __g) for every VERIFIED duplicated-L-gram start — the
+    shared core of the exact-substring family (see
+    :func:`exact_substring_spans` for the scale shape)."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2 tokens")
     L = int(min_len)
@@ -356,26 +385,7 @@ def exact_substring_spans(
         .filter(F.col("__n") >= 2)
         .select("__g")
     )
-    verified = cand_txt.join(dup_txt, "__g", "semi").select(id_col, "pos")
-    isl = Window.partitionBy(id_col).orderBy("pos")
-    return (
-        verified.withColumn(
-            "__grp", F.col("pos") - F.row_number().over(isl)
-        )
-        .groupBy(id_col, "__grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias(
-                "n_tokens"
-            ),
-        )
-    )
+    return cand_txt.join(dup_txt, "__g", "semi")
 
 
 def exact_substring_scrub(
@@ -404,6 +414,20 @@ def exact_substring_scrub(
     spans = exact_substring_spans(
         df, id_col=id_col, text_col=text_col, min_len=min_len
     )
+    return _cut_spans(df, spans, id_col, text_col, out_col)
+
+
+def _cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Rebuild every document with the given (id, span_start, span_end)
+    token ranges removed; docs without spans pass through unchanged.
+    The span set is candidate-sized: it aggregates to ONE array per
+    affected doc, joins back by id, and tokens filter JVM-side."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -427,6 +451,92 @@ def exact_substring_scrub(
             (F.size("__w") - F.size("__kept")).alias("n_removed_tokens"),
         )
     )
+
+
+def exact_substring_keep_first(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Lee et al. 2022's KEEP-ONE-COPY exact-substring removal — the
+    policy :func:`exact_substring_scrub` documents as needing
+    cross-occurrence clustering: duplicated span occurrences whose
+    MAXIMAL extents differ (doc A's 25-token span contains doc B's
+    22-token maximal span) still describe the same duplicated content,
+    so occurrences cluster by SHARED DUPLICATED GRAM TEXT (transitive),
+    each cluster keeps its first occurrence (min (doc id, span start)),
+    and every other occurrence is cut whole. A naive keep-first over
+    exact span text would keep both A's and B's copies.
+
+    Scale shape on top of :func:`exact_substring_spans`' no-pairwise
+    machinery: occurrences attach to their spans via the same per-doc
+    window; the cluster graph uses STAR edges (every span of a gram →
+    that gram's min-(doc,start) span — linear in occurrences, never the
+    per-gram quadratic clique), and components come from
+    `operators/graph.py` min-label propagation (driver union-find below
+    500k edges, distributed label propagation above — the documented
+    hybrid). Edges are candidate-sized: only verified duplicated grams
+    produce any.
+
+    Returns (id, out_col, n_removed_tokens); a self-repetitive doc
+    whose span matches nothing else keeps its single occurrence."""
+    from datalakeingestionservice_spark.operators.graph import (
+        connected_components,
+    )
+
+    occ = _dup_gram_occurrences(df, id_col, text_col, min_len)
+    L = int(min_len)
+    isl = Window.partitionBy(id_col).orderBy("pos")
+    occ = occ.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(isl)
+    )
+    spans = occ.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+    )
+    # String uid keeps node identity EXACT at any id/position magnitude
+    # (a numeric composite would overflow; a hash could collide and
+    # silently merge clusters — over-removal).
+    uid = F.concat_ws(":", F.col(id_col), F.col("span_start"))
+    spans = spans.withColumn("__uid", uid)
+    soc = occ.join(spans, [id_col, "__grp"]).select(
+        "__g", "__uid", id_col, "span_start"
+    )
+    anchors = soc.groupBy("__g").agg(
+        F.min_by(
+            "__uid", F.struct(F.col(id_col), F.col("span_start"))
+        ).alias("__a")
+    )
+    edges = (
+        soc.select("__g", "__uid")
+        .distinct()
+        .join(anchors, "__g")
+        .select(F.col("__uid").alias("x"), F.col("__a").alias("y"))
+        .distinct()
+    )
+    comps = connected_components(edges, "x", "y")
+    members = comps.join(
+        spans.select(
+            F.col("__uid").alias("node"),
+            id_col,
+            "span_start",
+            "span_end",
+        ),
+        "node",
+    )
+    keepers = members.groupBy("component").agg(
+        F.min_by(
+            "node", F.struct(F.col(id_col), F.col("span_start"))
+        ).alias("__keep")
+    )
+    cut = (
+        members.join(keepers, "component")
+        .filter(F.col("node") != F.col("__keep"))
+        .select(id_col, "span_start", "span_end")
+    )
+    return _cut_spans(df, cut, id_col, text_col, out_col)
 
 
 def minhash_signatures(

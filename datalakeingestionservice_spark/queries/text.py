@@ -1175,3 +1175,142 @@ def q163_exact_substring_scrub(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — exact-substring KEEP-ONE-COPY removal (the Lee et al. policy the
+# scrub-all variant q163 documents as needing cross-occurrence clustering):
+# span occurrences cluster transitively by shared duplicated gram text, the
+# first occurrence per cluster survives, every other is cut. The oracle
+# recomputes the clustering with a recursive-CTE min-label propagation —
+# the full algorithm (grams -> multiplicity -> islands -> star edges ->
+# components -> keeper -> rebuild) is value-checked, not just its shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q166_exact_substring_keep_first",
+    tags=("text", "dedup", "exact-substring", "graph", "curation"),
+    oracle=f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q162_L - 1}], ' ') AS g
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q162_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q162_L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+occ AS (SELECT doc_id, pos, g FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos, g,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM occ
+),
+spans AS (
+  SELECT doc_id, grp, min(pos) AS span_start,
+         max(pos) + {_Q162_L - 1} AS span_end
+  FROM isl GROUP BY doc_id, grp
+),
+soc AS (
+  SELECT DISTINCT i.g, s.doc_id, s.span_start, s.span_end,
+         s.doc_id::VARCHAR || ':' || s.span_start::VARCHAR AS uid
+  FROM isl i JOIN spans s ON i.doc_id = s.doc_id AND i.grp = s.grp
+),
+nodes AS (SELECT DISTINCT uid, doc_id, span_start, span_end FROM soc),
+anchors AS (
+  -- star center per gram: ANY deterministic member works (the star
+  -- only carries connectivity; component membership is center-choice
+  -- invariant) — plain string-min here, min-(doc,start) in the engine
+  SELECT g, min(uid) AS a FROM soc GROUP BY g
+),
+star AS (
+  SELECT DISTINCT s.uid AS x, a.a AS y
+  FROM (SELECT DISTINCT g, uid FROM soc) s JOIN anchors a USING (g)
+),
+edges AS (SELECT x, y FROM star UNION SELECT y, x FROM star),
+reach AS (
+  SELECT uid AS node, uid AS label FROM nodes
+  UNION
+  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.node
+),
+comp AS (SELECT node, min(label) AS c FROM reach GROUP BY node),
+ranked AS (
+  -- keeper = FIRST occurrence by (doc id, span start), rank-1 per
+  -- component (NB: min(x ORDER BY ...) would silently ignore the
+  -- ordering — min is order-insensitive; the window rank is explicit)
+  SELECT comp.c, n.doc_id, n.span_start, n.span_end,
+         row_number() OVER (
+           PARTITION BY comp.c ORDER BY n.doc_id, n.span_start
+         ) AS rn
+  FROM comp JOIN nodes n ON n.uid = comp.node
+),
+cut AS (
+  SELECT doc_id, span_start, span_end FROM ranked WHERE rn > 1
+),
+cover AS (
+  SELECT DISTINCT c.doc_id, u2.p
+  FROM cut c
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(c.span_start, c.span_end)) AS p
+  ) u2
+),
+toks AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       len(w.w) - coalesce(a.n_kept, 0) AS n_removed_tokens
+FROM words w LEFT JOIN agg a USING (doc_id)
+ORDER BY w.doc_id
+""",
+)
+def q166_exact_substring_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KEEP-ONE-COPY exact-substring dedup
+    (`exact_substring_keep_first`): duplicated >=20-token span
+    occurrences cluster transitively by SHARED duplicated gram text —
+    the construction that makes occurrences with DIFFERING maximal
+    extents (doc A's longer span containing doc B's shorter maximal
+    span) one cluster, where a naive keep-first over exact span text
+    would keep both. Each cluster keeps its first occurrence (min
+    (doc id, span start)); every other occurrence is cut whole. Star
+    edges (span -> its gram's min span) keep the graph linear in
+    occurrences — never the per-gram clique — and components run
+    through the engine's hybrid min-label machinery. The DuckDB oracle
+    recomputes the clustering with a recursive-CTE label propagation,
+    so the transitive closure itself is value-checked."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_keep_first,
+    )
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    return (
+        exact_substring_keep_first(docs, min_len=_Q162_L)
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("n_removed_tokens").cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -70,6 +70,7 @@ from datalakeingestionservice_spark.sinks.versioned import (
 
 _CATALOG_DIR = "_catalog_commits"
 _BRANCHES_SUBDIR = "branches"
+_TAGS_SUBDIR = "tags"
 
 
 class CatalogConflictError(Exception):
@@ -542,6 +543,93 @@ class TableCatalog:
         out = self._try_publish(base, pins, "publish_branch")
         self._drop_staged_table_branches(b._cdir)
         return out
+
+    # -- catalog tags (immutable whole-lake refs) -------------------------------
+    def create_tag(
+        self, name: str, catalog_version: int | None = None
+    ) -> int:
+        """Immutable named ref over the WHOLE lake: `release-2024`
+        instead of `catalog_version=17` — one consistent cross-table
+        snapshot by name (the catalog twin of table tags, completing
+        the Nessie ref symmetry). One tiny JSON file published through
+        the commit protocol, so racing same-name taggers resolve to
+        exactly one winner; re-tagging refuses (a tag that silently
+        moved would defeat its purpose) — drop first.
+
+        Retention note: a catalog tag pins a PIN MAP, not the table
+        versions it references — each table's own retention
+        (`expire_versions`, itself blocked by TABLE tags) governs how
+        long those versions stay readable, same posture as catalog
+        branch pins."""
+        if self.branch_name is not None:
+            raise ValueError(
+                "create_tag from the MAIN catalog handle (tags name "
+                "main catalog versions; publish a branch first)"
+            )
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(
+                f"tag name {name!r} must match [A-Za-z0-9._-]{{1,64}}"
+            )
+        m = self.manifest(catalog_version)  # validates it exists
+        tdir = os.path.join(self._cdir, _TAGS_SUBDIR)
+        os.makedirs(tdir, exist_ok=True)
+        try:
+            self._protocol.publish(
+                os.path.join(tdir, f"{name}.json"),
+                json.dumps(
+                    {"catalog_version": m["catalog_version"]}
+                ),
+            )
+        except ConcurrentCommitError:
+            raise ValueError(
+                f"{self.root}: catalog tag {name!r} exists (at "
+                f"v{self.list_tags().get(name)}); drop_tag first"
+            ) from None
+        return m["catalog_version"]
+
+    def list_tags(self) -> dict[str, int]:
+        tdir = os.path.join(
+            self.root, _CATALOG_DIR, _TAGS_SUBDIR
+        )
+        out: dict[str, int] = {}
+        if not os.path.isdir(tdir):
+            return out
+        for n in sorted(os.listdir(tdir)):
+            if not n.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(tdir, n)) as f:
+                    out[n[:-5]] = json.load(f)["catalog_version"]
+            except (OSError, ValueError, KeyError):
+                continue  # torn claim
+        return out
+
+    def tag_version(self, name: str) -> int:
+        """Resolve a catalog tag — `read(t, catalog_version=
+        cat.tag_version('rel'))` / `sql(stmt, cat.tag_version('rel'))`
+        are the tagged consistent cross-table snapshot."""
+        tags = self.list_tags()
+        if name not in tags:
+            raise NoSuchVersionError(
+                f"{self.root}: no catalog tag {name!r} "
+                f"(existing: {sorted(tags)})"
+            )
+        return tags[name]
+
+    def drop_tag(self, name: str) -> None:
+        if self.branch_name is not None:
+            raise ValueError("drop_tag from the MAIN catalog handle")
+        path = os.path.join(
+            self._cdir, _TAGS_SUBDIR, f"{name}.json"
+        )
+        if not os.path.exists(path):
+            raise NoSuchVersionError(
+                f"{self.root}: no catalog tag {name!r} "
+                f"(existing: {sorted(self.list_tags())})"
+            )
+        os.remove(path)
 
     # -- transactions ------------------------------------------------------------
     def transaction(self) -> "CatalogTransaction":

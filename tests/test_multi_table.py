@@ -411,6 +411,51 @@ def test_branch_pinned_catalog_time_travel(spark, cat):
         assert n == want, (cv, n)
 
 
+def test_catalog_tags_whole_lake_refs(spark, cat):
+    """Catalog tags: immutable named refs over the whole lake — a tag
+    resolves to one consistent cross-table snapshot by name; re-tag
+    refuses; branch handles refuse tag admin; drop frees the name."""
+    with cat.transaction() as txn:
+        txn["b"].append(cat.read("a").filter("k < 4"))
+        txn["a"].delete_where([("k", "<", 4)])
+    v = cat.create_tag("pre-move", 1)
+    assert v == 1
+    assert cat.create_tag("post-move") == 2  # defaults to latest
+    assert cat.list_tags() == {"post-move": 2, "pre-move": 1}
+    # the tagged snapshot is the consistent pre-move world
+    tv = cat.tag_version("pre-move")
+    assert cat.read("a", catalog_version=tv).count() == 10
+    assert cat.read("b", catalog_version=tv).count() == 1
+    n = (
+        cat.sql(
+            "SELECT (SELECT count(*) FROM a) + "
+            "(SELECT count(*) FROM b) AS n",
+            cat.tag_version("post-move"),
+        )
+        .collect()[0]
+        .n
+    )
+    assert n == 11
+    # immutability + refusals
+    with pytest.raises(ValueError, match="drop_tag first"):
+        cat.create_tag("pre-move", 2)
+    with pytest.raises(ValueError, match="MAIN"):
+        cat.create_branch("d").create_tag("x")
+    cat.drop_branch("d")
+    from datalakeingestionservice_spark.sinks.versioned import (
+        NoSuchVersionError,
+    )
+
+    with pytest.raises(NoSuchVersionError, match="no catalog tag"):
+        cat.tag_version("nope")
+    cat.drop_tag("pre-move")
+    assert cat.list_tags() == {"post-move": 2}
+    with pytest.raises(NoSuchVersionError):
+        cat.drop_tag("pre-move")
+    # a dropped name can be re-tagged (now at a different version)
+    assert cat.create_tag("pre-move", 2) == 2
+
+
 def test_catalog_sql_preserves_user_temp_views(spark, cat):
     """ADVICE r8: cat.sql materializes views named exactly the table
     names — a pre-existing user temp view with the same name must

@@ -318,6 +318,40 @@ def test_exact_substring_scrub(spark):
     assert got[3] == ("completely unrelated text that stays intact here", 0)
 
 
+def test_exact_substring_keep_first(spark):
+    """Keep-one-copy removal (Lee et al.): occurrences cluster by
+    SHARED duplicated gram text, so spans with DIFFERING maximal
+    extents (doc 1's 8-token span contains doc 2's 6-token maximal
+    span) land in one cluster — a naive keep-first over exact span
+    text would wrongly keep both. The cluster's first occurrence
+    survives whole; every other occurrence is cut; a within-doc
+    self-repeat keeps its first copy."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_keep_first,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [
+            (1, f"p q {shared} r"),   # maximal span 1..8 (keeper)
+            (2, shared),              # maximal span 1..6 (same content)
+            (3, f"p q {shared} z"),   # maximal span 1..8
+            (4, "p2 q2 r2 t2 u2 zz p2 q2 r2 t2 u2"),  # self-repeat
+            (5, "totally unrelated words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in exact_substring_keep_first(df, min_len=5).collect()
+    }
+    assert got[1] == (f"p q {shared} r", 0)  # first occurrence kept
+    assert got[2] == ("", 6)
+    assert got[3] == ("z", 8)
+    assert got[4] == ("p2 q2 r2 t2 u2 zz", 5)
+    assert got[5] == ("totally unrelated words here now", 0)
+
+
 def test_exact_substring_no_all_pairs_plan(spark):
     """The scale contract (VERDICT r8 #1): NO pairwise join anywhere —
     duplicated grams come from a hash-keyed groupBy, never a self-join
