@@ -3339,3 +3339,88 @@ def q165_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM t GROUP BY region ORDER BY region",
         tables,
     )
+
+
+@register(
+    "q167_write_default_fill",
+    tags=("lake", "schema-evolution", "column-defaults", "sql-front-door"),
+    oracle="""
+WITH old AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         'legacy' AS region
+  FROM orders
+),
+fresh AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         'fresh' AS region
+  FROM orders WHERE o_orderkey % 10 = 3
+),
+allrows AS (SELECT * FROM old UNION ALL SELECT * FROM fresh)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS total_price
+FROM allrows
+GROUP BY region
+ORDER BY region
+""",
+)
+def q167_write_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE defaults end-to-end (the Delta `ALTER COLUMN ... SET
+    DEFAULT` shape, orthogonal to q165's INITIAL default): orders -> t
+    (v1); `ALTER TABLE t ADD COLUMN region STRING DEFAULT 'legacy'`
+    (v2 — initial default backfills history at read); `ALTER TABLE t
+    ALTER COLUMN region SET DEFAULT 'fresh'` (v3 — write default for
+    future omitting writes); an append that OMITS region entirely
+    (v4) stores 'fresh' as real file bytes — no merge_schema, no
+    read-side machinery for the new rows. The final aggregate groups
+    the whole table by region: pre-add rows read the initial default,
+    the omitting append's rows carry the stored write default — the
+    two defaults coexist on one column with different literals. The
+    oracle recomputes both populations from raw orders."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_select,
+        execute_sql,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_wdef_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    orders = env.t("orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = VersionedTable.create(spark, base, orders)
+    tables = {"t": t}
+    assert (
+        execute_sql(
+            spark,
+            "ALTER TABLE t ADD COLUMN region STRING DEFAULT 'legacy'",
+            tables,
+        )
+        == 2
+    )
+    assert (
+        execute_sql(
+            spark,
+            "ALTER TABLE t ALTER COLUMN region SET DEFAULT 'fresh'",
+            tables,
+        )
+        == 3
+    )
+    fresh = (
+        env.t("orders")
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            (F.col("o_orderkey") + 1000000000).alias("k"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    t.append(fresh)  # omits region -> the write default fills it
+    return execute_select(
+        spark,
+        "SELECT region, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(price) AS DOUBLE) AS total_price "
+        "FROM t GROUP BY region ORDER BY region",
+        tables,
+    )

@@ -204,10 +204,13 @@ def _positional_append(
     cols: list[str] | None,
 ) -> int:
     """Map `df` onto the table schema (positionally, or via the INSERT
-    column list), NULL-fill absent columns, cast everything."""
+    column list); absent columns fill their WRITE default when one is
+    declared (`ALTER COLUMN ... SET DEFAULT`) and NULL otherwise; cast
+    everything."""
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromDDL(t.manifest().schema_ddl)
+    m = t.manifest()
+    schema = StructType.fromDDL(m.schema_ddl)
     names = [f.name for f in schema.fields]
     target = cols if cols is not None else names[: len(df.columns)]
     unknown = [c for c in target if c not in names]
@@ -222,11 +225,18 @@ def _positional_append(
         )
     src = dict(zip(target, df.columns))
     types = {f.name: f.dataType for f in schema.fields}
+    wd = m.write_defaults
+
+    def absent(c):
+        return (
+            F.expr(wd[c]) if c in wd else F.lit(None)
+        ).cast(types[c]).alias(c)
+
     out = df.select(
         *[
             F.col(src[c]).cast(types[c]).alias(c)
             if c in src
-            else F.lit(None).cast(types[c]).alias(c)
+            else absent(c)
             for c in names
         ]
     )
@@ -311,6 +321,16 @@ _ALTER_ADD_COL_RE = re.compile(
     r"(?P<type>[A-Za-z_]\w*(?:\s*\([\d,\s]+\))?)"
     r"(?:\s+DEFAULT\s+(?P<def>.+))?$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_SET_DEFAULT_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+SET\s+DEFAULT\s+(?P<def>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_DEFAULT_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+DROP\s+DEFAULT$",
+    re.IGNORECASE,
 )
 _ALTER_ADD_CONSTRAINT_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+"
@@ -674,6 +694,16 @@ def execute_dml(
                 else None
             ),
         )
+    ma = _ALTER_SET_DEFAULT_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.set_column_default(
+            ma.group("col"), ma.group("def").strip()
+        )
+    ma = _ALTER_DROP_DEFAULT_RE.match(sql)
+    if ma:
+        t = _resolve(spark, ma.group("name"), tables)
+        return t.drop_column_default(ma.group("col"))
     ma = _ALTER_ADD_CONSTRAINT_RE.match(sql)
     if ma:
         t = _resolve(spark, ma.group("name"), tables)
@@ -721,6 +751,7 @@ def execute_dml(
         raise UnsupportedStatementError(
             "ALTER TABLE subset: RENAME COLUMN a TO b, DROP COLUMN c, "
             "ADD COLUMN c type [DEFAULT literal], "
+            "ALTER COLUMN c SET DEFAULT literal | DROP DEFAULT, "
             "ADD CONSTRAINT name CHECK (expr), DROP CONSTRAINT name, "
             "CREATE BRANCH b [AS OF VERSION n], DROP BRANCH b, "
             "PUBLISH BRANCH b, CREATE TAG n [AS OF VERSION v], "

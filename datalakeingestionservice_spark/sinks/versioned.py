@@ -1283,6 +1283,14 @@ class Manifest:
     #: are out of scope and keep the NULL posture — the default
     #: backfills history, it is not a write default.
     column_defaults: dict = field(default_factory=dict)
+    #: WRITE defaults (`ALTER COLUMN c SET DEFAULT lit`, the Delta
+    #: allowColumnDefaults shape): {logical column: SQL literal text}.
+    #: Future appends/INSERTs that OMIT the column store the literal
+    #: (filled at write — real values in the files); columns present in
+    #: the frame are never touched (an explicit NULL stays NULL).
+    #: Orthogonal to `column_defaults` (which backfills history at
+    #: read); both may exist on one column with different literals.
+    write_defaults: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -1301,6 +1309,7 @@ class Manifest:
                 "column_mapping": self.column_mapping,
                 "past_specs": [list(sp) for sp in self.past_specs],
                 "column_defaults": self.column_defaults,
+                "write_defaults": self.write_defaults,
             },
             indent=2,
             sort_keys=True,
@@ -1380,6 +1389,11 @@ class Manifest:
                 self.column_defaults,
                 parent.column_defaults,
             ),
+            (
+                "write_defaults",
+                self.write_defaults,
+                parent.write_defaults,
+            ),
         ):
             if mine != theirs:
                 d[key] = mine
@@ -1404,6 +1418,7 @@ class Manifest:
                 tuple(sp) for sp in d.get("past_specs", ())
             ),
             column_defaults=d.get("column_defaults", {}),
+            write_defaults=d.get("write_defaults", {}),
         )
 
     @staticmethod
@@ -1581,6 +1596,11 @@ def _apply_delta(parent: Manifest, d: dict) -> Manifest:
             dict(d["column_defaults"])
             if "column_defaults" in d
             else parent.column_defaults
+        ),
+        write_defaults=(
+            dict(d["write_defaults"])
+            if "write_defaults" in d
+            else parent.write_defaults
         ),
     )
 
@@ -1917,6 +1937,10 @@ class VersionedTable:
             (new if c == old else c): spec
             for c, spec in pm.column_defaults.items()
         }
+        wdefaults = {
+            (new if c == old else c): lit
+            for c, lit in pm.write_defaults.items()
+        }
         return self._commit(
             operation="rename_column",
             files=pm.files,
@@ -1936,6 +1960,7 @@ class VersionedTable:
             bloom_columns=blooms,
             column_mapping=mapping,
             column_defaults=defaults,
+            write_defaults=wdefaults,
         )
 
     def drop_column(self, col: str) -> int:
@@ -2003,6 +2028,11 @@ class VersionedTable:
             column_defaults={
                 c: spec
                 for c, spec in pm.column_defaults.items()
+                if c != col
+            },
+            write_defaults={
+                c: lit
+                for c, lit in pm.write_defaults.items()
                 if c != col
             },
         )
@@ -2108,6 +2138,114 @@ class VersionedTable:
             stats=dict(pm.stats),
             column_defaults=defaults,
         )
+
+    def set_column_default(self, col: str, default: str) -> int:
+        """WRITE default (Delta `ALTER COLUMN ... SET DEFAULT` shape,
+        metadata-only): future appends / INSERTs that OMIT `col` store
+        this literal — filled at write time, real values in the files,
+        so the append no longer needs merge_schema for the omission.
+        Columns PRESENT in the frame are never touched (an explicit
+        NULL stays NULL — a default never overwrites). Orthogonal to
+        :meth:`add_column`'s INITIAL default, which backfills history
+        at read; both can exist on one column with different literals
+        (old absent files read the initial default; new omitting writes
+        store the write default). Same literal-only grammar and cast
+        validation; re-setting replaces the previous literal."""
+        from pyspark.sql.types import StructType
+
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(pm.schema_ddl).fields
+        }
+        if col not in types:
+            raise ValueError(f"no column {col!r}")
+        fill = _default_fill_text(default)  # grammar check
+        if fill is not None:
+            try:
+                probe = (
+                    self.spark.range(1)
+                    .select(F.expr(default).cast(types[col]).alias("v"))
+                    .collect()[0]
+                    .v
+                )
+            except Exception:
+                probe = None
+            if probe is None:
+                raise ValueError(
+                    f"default {default!r} does not cast to "
+                    f"{types[col].simpleString()!r}"
+                )
+        return self._commit(
+            operation="set_column_default",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary={
+                "set_default": {"column": col, "default": default},
+                "cdf_empty": True,
+                **(
+                    {"schema_evolved": True}
+                    if pm.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(pm.stats),
+            write_defaults={**pm.write_defaults, col: default},
+        )
+
+    def drop_column_default(self, col: str) -> int:
+        """Remove a column's WRITE default: future omitting writes go
+        back to requiring merge_schema (and storing nothing)."""
+        parent = self.latest_version()
+        pm = self.manifest(parent)
+        if col not in pm.write_defaults:
+            raise ValueError(
+                f"column {col!r} has no write default "
+                f"(set: {sorted(pm.write_defaults)})"
+            )
+        return self._commit(
+            operation="drop_column_default",
+            files=pm.files,
+            schema_ddl=pm.schema_ddl,
+            expected_parent=parent,
+            summary={
+                "dropped_default": col,
+                "cdf_empty": True,
+                **(
+                    {"schema_evolved": True}
+                    if pm.summary.get("schema_evolved")
+                    else {}
+                ),
+            },
+            stats=dict(pm.stats),
+            write_defaults={
+                c: v for c, v in pm.write_defaults.items() if c != col
+            },
+        )
+
+    def _apply_write_defaults(
+        self, df: DataFrame, m: Manifest
+    ) -> DataFrame:
+        """Fill table columns ABSENT from the incoming frame that
+        declare a write default; present columns pass through untouched
+        (explicit NULLs stay NULL). Runs BEFORE schema validation, so
+        an append omitting only write-defaulted columns needs no
+        merge_schema."""
+        if not m.write_defaults:
+            return df
+        from pyspark.sql.types import StructType
+
+        have = set(df.columns)
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(m.schema_ddl).fields
+        }
+        for c, lit in m.write_defaults.items():
+            if c not in have and c in types:
+                df = df.withColumn(c, F.expr(lit).cast(types[c]))
+        return df
 
     def set_partition_spec(self, partition_by: list[str]) -> int:
         """PARTITION EVOLUTION (Iceberg spec-change shape): switch the
@@ -3033,6 +3171,7 @@ class VersionedTable:
         # Fail fast on an invalid schema or constraint violation BEFORE
         # writing any data files…
         m0 = self.manifest()
+        df = self._apply_write_defaults(df, m0)
         ddl0 = self._evolved_schema_ddl(df, merge_schema, m0.schema_ddl)
         df = _cast_to_ddl_types(df, ddl0)
         _enforce_constraints(df, m0.constraints)
@@ -3229,6 +3368,7 @@ class VersionedTable:
         from pyspark.errors import AnalysisException
 
         parent = self.latest_version()
+        df = self._apply_write_defaults(df, self.manifest(parent))
         _enforce_constraints(df, self.manifest(parent).constraints)
         old = self.read(parent)
         entries = self._write_data_entries(df, self.partition_by)
@@ -4989,6 +5129,7 @@ class VersionedTable:
             column_mapping=dict(head.column_mapping),
             past_specs=head.past_specs,
             column_defaults=dict(head.column_defaults),
+            write_defaults=dict(head.write_defaults),
         )
 
     def cherry_pick(self, name: str, version: int) -> int:
@@ -5022,6 +5163,7 @@ class VersionedTable:
             ("delete_predicates", "delete predicates"),
             ("bloom_columns", "bloom columns"),
             ("column_defaults", "column defaults"),
+            ("write_defaults", "write defaults"),
         ):
             if getattr(m, field) != getattr(parent, field):
                 raise ValueError(
@@ -5171,6 +5313,7 @@ class VersionedTable:
             delete_predicates=m.delete_predicates,
             column_mapping=dict(m.column_mapping),
             column_defaults=dict(m.column_defaults),
+            write_defaults=dict(m.write_defaults),
         )
         return clone
 
@@ -5230,6 +5373,7 @@ class VersionedTable:
             delete_predicates=target.delete_predicates,
             column_mapping=dict(target.column_mapping),
             column_defaults=dict(target.column_defaults),
+            write_defaults=dict(target.write_defaults),
         )
 
     def materialize_changes(
@@ -6183,6 +6327,7 @@ class VersionedTable:
         column_mapping: dict | None = None,
         past_specs: tuple | None = None,
         column_defaults: dict | None = None,
+        write_defaults: dict | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -6212,6 +6357,7 @@ class VersionedTable:
             column_mapping is None
             or past_specs is None
             or column_defaults is None
+            or write_defaults is None
         ):
             pm2 = self.manifest(expected_parent) if expected_parent else None
             if column_mapping is None:
@@ -6220,6 +6366,8 @@ class VersionedTable:
                 past_specs = pm2.past_specs if pm2 else ()
             if column_defaults is None:
                 column_defaults = dict(pm2.column_defaults) if pm2 else {}
+            if write_defaults is None:
+                write_defaults = dict(pm2.write_defaults) if pm2 else {}
         # Retire predicates that no longer touch any surviving entry
         # (every entry they scoped was rewritten — the rewrite read
         # through the filter, materializing the deletion).
@@ -6248,6 +6396,7 @@ class VersionedTable:
             column_mapping=column_mapping,
             past_specs=past_specs,
             column_defaults=column_defaults,
+            write_defaults=write_defaults,
         )
         final = os.path.join(self._mdir, _manifest_name(version))
         # Delta-encode vs the parent (commit metadata ∝ the CHANGE, not

@@ -1014,6 +1014,26 @@ class VersionedTableWriter(DataSourceArrowWriter):
             # still refuse at commit (`_evolved_ddl_text`): evolving the
             # table type needs the session API's append(merge_schema=).
             schema = _normalize_narrow_columns(schema, m.schema_ddl)
+            # WRITE defaults (ALTER COLUMN ... SET DEFAULT): the session
+            # append fills omitted defaulted columns at write; this
+            # sessionless writer has no SQL evaluator for arbitrary
+            # typed literals in its zero-copy path, so it REFUSES the
+            # omission with a recipe — refuse-never-diverge (a file
+            # written without the column would read NULL where the
+            # session path stores the default).
+            missing_wd = sorted(
+                c
+                for c in m.write_defaults
+                if c not in {f.name for f in schema.fields}
+            )
+            if missing_wd:
+                raise ValueError(
+                    f"column(s) {missing_wd} carry a write default "
+                    "(ALTER COLUMN ... SET DEFAULT) but are absent "
+                    "from the frame; include them, or write via the "
+                    "VersionedTable session API, which fills write "
+                    "defaults"
+                )
         self.schema_json = schema.json()
         types = {f.name: f.dataType.simpleString() for f in schema.fields}
         if m is None:

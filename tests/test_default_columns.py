@@ -189,6 +189,129 @@ def test_restore_rolls_defaults_back(spark, t):
     assert _session_read(t)[0].region == "unassigned"
 
 
+def test_write_default_fills_omitted_columns(spark, t):
+    """WRITE defaults (ALTER COLUMN ... SET DEFAULT): an append that
+    OMITS the column stores the literal (no merge_schema needed); a
+    present column is never touched — explicit NULL stays NULL; the
+    stored values serve on both read surfaces with no read-side
+    machinery (they are real file bytes)."""
+    t.add_column("region", "string")  # plain evolution, no initial dflt
+    t.set_column_default("region", "'filled'")
+    t.append(_df(spark, [(50, 50.0)]))  # omits region entirely
+    t.append(
+        _df(
+            spark,
+            [(51, 51.0, None), (52, 52.0, "emea")],
+            "k bigint, v double, region string",
+        )
+    )
+    for got in (_session_read(t), _sessionless_read(spark, t)):
+        assert got[50].region == "filled"
+        assert got[51].region is None, "explicit NULL must win"
+        assert got[52].region == "emea"
+        assert got[0].region is None  # pre-add history: no initial dflt
+    # drop: the omission goes back to refusing without merge_schema
+    t.drop_column_default("region")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="merge_schema"):
+        t.append(_df(spark, [(60, 60.0)]))
+    with _pt.raises(ValueError, match="no write default"):
+        t.drop_column_default("region")
+    with _pt.raises(ValueError, match="no column"):
+        t.set_column_default("zz", "1")
+    with _pt.raises(ValueError, match="literal"):
+        t.set_column_default("region", "now()")
+    with _pt.raises(ValueError, match="does not cast"):
+        t.set_column_default("v", "'abc'")
+
+
+def test_write_default_insert_statement_and_orthogonality(spark, t):
+    """INSERT with a column list fills write defaults for omitted
+    columns (NULL otherwise); initial and write defaults on ONE column
+    with different literals coexist: old absent files read the initial
+    default, new omitting writes store the write default."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    tables = {"t": t}
+    execute_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMN region STRING DEFAULT 'old-world'",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "ALTER TABLE t ALTER COLUMN region SET DEFAULT 'new-world'",
+        tables,
+    )
+    execute_sql(
+        spark, "INSERT INTO t (k, v) VALUES (70, 70.0)", tables
+    )
+    got = _session_read(t)
+    assert got[0].region == "old-world"  # initial default: history
+    assert got[70].region == "new-world"  # write default: stored
+    assert _sessionless_read(spark, t)[70].region == "new-world"
+    # the write default is real bytes: dropping it never unfills
+    execute_sql(
+        spark, "ALTER TABLE t ALTER COLUMN region DROP DEFAULT", tables
+    )
+    assert _session_read(t)[70].region == "new-world"
+
+
+def test_write_default_datasource_writer_refuses_omission(spark, t):
+    """The sessionless DataSource writer has no SQL evaluator: a frame
+    omitting a write-defaulted column refuses with a recipe instead of
+    silently writing NULL-reading files."""
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    t.add_column("region", "string")
+    t.set_column_default("region", "'filled'")
+    with pytest.raises(Exception, match="write default"):
+        (
+            _df(spark, [(80, 80.0)])
+            .write.format("versioned")
+            .mode("append")
+            .option("table_root", t.root)
+            .save()
+        )
+    # including the column writes fine
+    (
+        _df(
+            spark,
+            [(81, 81.0, "apac")],
+            "k bigint, v double, region string",
+        )
+        .write.format("versioned")
+        .mode("append")
+        .option("table_root", t.root)
+        .save()
+    )
+    assert _session_read(t)[81].region == "apac"
+
+
+def test_write_default_lifecycle_interplay(spark, t):
+    """Write defaults ride the metadata lifecycle: rename re-keys,
+    drop removes, restore rolls back, branch publish carries."""
+    t.add_column("region", "string")
+    t.set_column_default("region", "'x'")
+    t.rename_column("region", "zone")
+    assert t.manifest().write_defaults == {"zone": "'x'"}
+    t.append(_df(spark, [(90, 90.0)]))
+    assert _session_read(t)[90].zone == "x"
+    b = t.create_branch("wip")
+    b.append(_df(spark, [(91, 91.0)]))  # fill works on the branch too
+    t.publish_branch("wip")
+    assert _session_read(t)[91].zone == "x"
+    v_with = t.latest_version()
+    t.drop_column("zone")
+    assert t.manifest().write_defaults == {}
+    t.restore(v_with)
+    assert t.manifest().write_defaults == {"zone": "'x'"}
+
+
 def test_add_column_sql_statement(spark, t):
     from datalakeingestionservice_spark.sinks.sql_dml import (
         execute_select,
