@@ -494,8 +494,12 @@ class TableCatalog:
         and the whole catalog publish refuses (tables already published
         carry published-but-unpinned main versions; catalog-main
         readers still see nothing new — the pin swap is the source of
-        truth, same posture as the staged transaction). After the pin
-        swap the staged table branches are dropped."""
+        truth, same posture as the staged transaction). The staged
+        table branches SURVIVE the publish — the catalog branch's own
+        history still resolves through them (cross-table time travel
+        on the branch keeps working) — and are reclaimed by
+        :meth:`drop_branch`, mirroring table WAP (the branch ref
+        survives publish; drop it separately)."""
         if self.branch_name is not None:
             raise ValueError("publish_branch from the MAIN catalog handle")
         b = self.branch(name)
@@ -540,9 +544,7 @@ class TableCatalog:
                 ) from None
             published[tname] = v
             pins[tname] = {"root": p["root"], "version": v}
-        out = self._try_publish(base, pins, "publish_branch")
-        self._drop_staged_table_branches(b._cdir)
-        return out
+        return self._try_publish(base, pins, "publish_branch")
 
     # -- catalog tags (immutable whole-lake refs) -------------------------------
     def create_tag(

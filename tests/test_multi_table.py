@@ -362,7 +362,13 @@ def test_branch_staged_abort_leaves_nothing_anywhere(spark, cat):
     assert cat.table("a").latest_version() == 1  # still untouched
     assert cat.publish_branch("dev") == 2
     assert cat.read("a").count() == 12
-    # publish reclaimed every staged table branch
+    # staged table branches SURVIVE the publish (the catalog branch's
+    # own history still resolves through them — mirror of table WAP:
+    # the ref survives publish, drop it separately)...
+    assert len(cat.table("a").list_branches()) == 2
+    assert dev.read("a", catalog_version=2).count() == 11
+    # ...and catalog drop_branch reclaims them all
+    cat.drop_branch("dev")
     assert cat.table("a").list_branches() == {}
 
 
