@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import uuid
 from typing import Iterator
 
@@ -784,6 +785,35 @@ def _spark_type_from_simple(s: str):
     return None
 
 
+def _datatype_from_simple(s: str):
+    """Spark DataType from a simpleString, SESSIONLESS (StructType.
+    fromDDL needs an active session, which Python DataSource workers
+    don't have) — atomic types only, the set a literal write default
+    can type. None for anything else (caller refuses)."""
+    from pyspark.sql import types as T
+
+    flat = {
+        "tinyint": T.ByteType(),
+        "smallint": T.ShortType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "binary": T.BinaryType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+    if s in flat:
+        return flat[s]
+    md = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", s)
+    if md:
+        return T.DecimalType(int(md.group(1)), int(md.group(2)))
+    return None
+
+
 def _normalize_narrow_columns(schema, table_ddl: str):
     """Replace incoming column types that are NARROWER than the table's
     (safe promotion chains) with the table type; anything else passes
@@ -1014,25 +1044,54 @@ class VersionedTableWriter(DataSourceArrowWriter):
             # still refuse at commit (`_evolved_ddl_text`): evolving the
             # table type needs the session API's append(merge_schema=).
             schema = _normalize_narrow_columns(schema, m.schema_ddl)
-            # WRITE defaults (ALTER COLUMN ... SET DEFAULT): the session
-            # append fills omitted defaulted columns at write; this
-            # sessionless writer has no SQL evaluator for arbitrary
-            # typed literals in its zero-copy path, so it REFUSES the
-            # omission with a recipe — refuse-never-diverge (a file
-            # written without the column would read NULL where the
-            # session path stores the default).
-            missing_wd = sorted(
-                c
-                for c in m.write_defaults
-                if c not in {f.name for f in schema.fields}
+            # WRITE defaults (ALTER COLUMN ... SET DEFAULT): omitted
+            # defaulted columns are FILLED, matching the session
+            # append — the task schema extends with the missing
+            # columns and each incoming batch gains typed CONSTANT
+            # arrays before hitting disk (the literal grammar is
+            # exactly what `_typed_part_value` types, so no SQL
+            # evaluator is needed in the zero-copy path). Real file
+            # bytes: downstream reads need no machinery, and CHECK
+            # constraints evaluate on the filled values.
+            from pyspark.sql.types import StructField, StructType
+
+            from datalakeingestionservice_spark.sinks.versioned import (
+                _default_fill_text as _dft,
             )
-            if missing_wd:
-                raise ValueError(
-                    f"column(s) {missing_wd} carry a write default "
-                    "(ALTER COLUMN ... SET DEFAULT) but are absent "
-                    "from the frame; include them, or write via the "
-                    "VersionedTable session API, which fills write "
-                    "defaults"
+
+            from datalakeingestionservice_spark.sources.versioned_changes import (  # noqa: E501
+                _ddl_field_types as _ddl_types_of,
+            )
+
+            self.default_pad: list[tuple[str, object]] = []
+            have = {f.name for f in schema.fields}
+            ttypes_all = _ddl_types_of(m.schema_ddl)
+            for c in sorted(m.write_defaults):
+                if c in have or c not in ttypes_all:
+                    continue
+                ts = ttypes_all[c]
+                dt = _datatype_from_simple(ts)
+                if dt is None:
+                    # Literal defaults only exist on atomic types; an
+                    # unparseable type here would be corruption —
+                    # refuse rather than write a wrongly-typed column.
+                    raise ValueError(
+                        f"column {c!r} carries a write default but "
+                        f"its type {ts!r} is outside the sessionless "
+                        "writer's atomic set; include the column or "
+                        "write via the VersionedTable session API"
+                    )
+                txt = _dft(m.write_defaults[c])
+                self.default_pad.append(
+                    (
+                        c,
+                        None
+                        if txt is None
+                        else _typed_part_value(txt, ts),
+                    )
+                )
+                schema = StructType(
+                    schema.fields + [StructField(c, dt, True)]
                 )
         self.schema_json = schema.json()
         types = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -1067,6 +1126,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
             self.constraints: dict[str, list] = {}
             self.constraint_pad: list[str] = []
             self.mapping: dict = {}
+            self.default_pad: list[tuple[str, object]] = []
         else:
             self.partition_by = list(m.partition_by)
             # Column mapping: the writer's incoming frame and all
@@ -1387,10 +1447,28 @@ class VersionedTableWriter(DataSourceArrowWriter):
             for di, leaf in enumerate(enc.dictionary.to_pylist()):
                 record(leaf, tbl.filter(pc.equal(enc.indices, di)))
 
+        # WRITE-default fill: incoming batches carry the FRAME's
+        # columns; the task schema was extended with the omitted
+        # defaulted columns, which append here as typed constants —
+        # per batch, before constraints and partitioning see the rows.
+        pad = getattr(self, "default_pad", [])
+        frame_aschema = (
+            pa.schema(list(aschema)[: len(aschema) - len(pad)])
+            if pad
+            else aschema
+        )
         for batch in iterator:
             tbl = pa.Table.from_batches([batch]).combine_chunks()
-            if tbl.schema != aschema:
-                tbl = tbl.cast(aschema)
+            if tbl.schema != frame_aschema:
+                tbl = tbl.cast(frame_aschema)
+            for c, v in pad:
+                ft = aschema.field(c)
+                tbl = tbl.append_column(
+                    ft,
+                    pa.nulls(tbl.num_rows, type=ft.type)
+                    if v is None
+                    else pa.array([v] * tbl.num_rows, type=ft.type),
+                )
             n += tbl.num_rows
             handle(tbl)
         for leaf in list(buffers):

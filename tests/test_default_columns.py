@@ -258,10 +258,10 @@ def test_write_default_insert_statement_and_orthogonality(spark, t):
     assert _session_read(t)[70].region == "new-world"
 
 
-def test_write_default_datasource_writer_refuses_omission(spark, t):
-    """The sessionless DataSource writer has no SQL evaluator: a frame
-    omitting a write-defaulted column refuses with a recipe instead of
-    silently writing NULL-reading files."""
+def test_write_default_datasource_writer_fills_omission(spark, t):
+    """The sessionless DataSource writer fills omitted write-defaulted
+    columns with typed constants, matching the session append — real
+    file bytes, typed exactly (decimal/date/bool included)."""
     from datalakeingestionservice_spark.sources.versioned_batch import (
         register as register_source,
     )
@@ -269,15 +269,28 @@ def test_write_default_datasource_writer_refuses_omission(spark, t):
     register_source(spark)
     t.add_column("region", "string")
     t.set_column_default("region", "'filled'")
-    with pytest.raises(Exception, match="write default"):
-        (
-            _df(spark, [(80, 80.0)])
-            .write.format("versioned")
-            .mode("append")
-            .option("table_root", t.root)
-            .save()
-        )
-    # including the column writes fine
+    t.add_column("score", "decimal(6,2)")
+    t.set_column_default("score", "1.25")
+    import datetime as dt
+
+    t.add_column("since", "date")
+    t.set_column_default("since", "DATE '2024-01-31'")
+    (
+        _df(spark, [(80, 80.0)])  # omits all three defaulted columns
+        .write.format("versioned")
+        .mode("append")
+        .option("table_root", t.root)
+        .save()
+    )
+    from decimal import Decimal
+
+    for got in (_session_read(t), _sessionless_read(spark, t)):
+        r = got[80]
+        assert r.region == "filled"
+        assert r.score == Decimal("1.25")
+        assert r.since == dt.date(2024, 1, 31)
+        assert got[0].region is None  # pre-add rows: no initial dflt
+    # including the column stores the explicit value, default untouched
     (
         _df(
             spark,
@@ -290,6 +303,7 @@ def test_write_default_datasource_writer_refuses_omission(spark, t):
         .save()
     )
     assert _session_read(t)[81].region == "apac"
+    assert _session_read(t)[81].score == Decimal("1.25")  # still filled
 
 
 def test_write_default_lifecycle_interplay(spark, t):
