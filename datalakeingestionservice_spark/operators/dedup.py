@@ -282,6 +282,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 20,
+    normalize: bool = False,
 ) -> DataFrame:
     """Maximal EXACTLY-duplicated token spans of at least `min_len`
     tokens (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -316,7 +317,9 @@ def exact_substring_spans(
 
     Never all-pairs, never a suffix sort: cost is one corpus-sized
     hash shuffle plus candidate-sized verification."""
-    occ = _dup_gram_occurrences(df, id_col, text_col, min_len)
+    occ = _dup_gram_occurrences(
+        df, id_col, text_col, min_len, normalize=normalize
+    )
     L = int(min_len)
     isl = Window.partitionBy(id_col).orderBy("pos")
     return (
@@ -339,8 +342,23 @@ def exact_substring_spans(
     )
 
 
+#: Per-token normalization for `normalize=True` matching: lowercase +
+#: strip non-alphanumerics (ASCII class, byte-identical in DuckDB's
+#: regexp_replace with the 'g' flag — \\p{L} classes differ across
+#: engines). Applied TOKEN-WISE, so token positions are 1:1 with the
+#: original text: spans report original positions and scrub cuts
+#: original tokens — no offset mapping needed.
+_NORM_TOKEN_EXPR = (
+    "transform({col}, t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '')))"
+)
+
+
 def _dup_gram_occurrences(
-    df: DataFrame, id_col: str, text_col: str, min_len: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    normalize: bool = False,
 ) -> DataFrame:
     """(id, pos, __g) for every VERIFIED duplicated-L-gram start — the
     shared core of the exact-substring family (see
@@ -362,10 +380,20 @@ def _dup_gram_occurrences(
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     ).filter(F.size("__w") >= L)
+    # With normalize=True, matching (hashes AND the verification text)
+    # runs over per-token-normalized tokens while positions — and the
+    # scrub rebuild — stay on the original tokens (token-wise
+    # normalization is position-preserving).
+    match_toks = (
+        F.expr(_NORM_TOKEN_EXPR.format(col="__w"))
+        if normalize
+        else F.col("__w")
+    )
+    toks = toks.withColumn("__wm", match_toks)
     # (id, pos, h): pos is the 1-based start of the L-token gram.
     grams = (
         toks.withColumn(
-            "__wh", F.expr("transform(__w, t -> xxhash64(t))")
+            "__wh", F.expr("transform(__wm, t -> xxhash64(t))")
         )
         .select(
             id_col,
@@ -388,12 +416,12 @@ def _dup_gram_occurrences(
         .select("__h")
     )
     cand = grams.join(dup_h, "__h", "semi")
-    # Verify candidates against the true gram text (collision screen):
-    # only docs holding candidates ship their token arrays here.
+    # Verify candidates against the true MATCHING gram text (collision
+    # screen): only docs holding candidates ship their token arrays.
     cand_txt = cand.join(toks, id_col).select(
         id_col,
         "pos",
-        F.expr(f"concat_ws(' ', slice(__w, pos, {L}))").alias("__g"),
+        F.expr(f"concat_ws(' ', slice(__wm, pos, {L}))").alias("__g"),
     )
     dup_txt = (
         cand_txt.groupBy("__g")
@@ -410,6 +438,7 @@ def exact_substring_scrub(
     text_col: str = "text",
     min_len: int = 20,
     out_col: str = "clean_text",
+    normalize: bool = False,
 ) -> DataFrame:
     """Remove every token covered by an exactly-duplicated span of at
     least `min_len` tokens (:func:`exact_substring_spans`) from every
@@ -428,7 +457,11 @@ def exact_substring_scrub(
     affected doc, joins back by id, and tokens filter JVM-side via an
     exists() predicate per token — no Python, no second corpus pass."""
     spans = exact_substring_spans(
-        df, id_col=id_col, text_col=text_col, min_len=min_len
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_len=min_len,
+        normalize=normalize,
     )
     return _cut_spans(df, spans, id_col, text_col, out_col)
 
@@ -475,6 +508,7 @@ def exact_substring_keep_first(
     text_col: str = "text",
     min_len: int = 20,
     out_col: str = "clean_text",
+    normalize: bool = False,
 ) -> DataFrame:
     """Lee et al. 2022's KEEP-ONE-COPY exact-substring removal — the
     policy :func:`exact_substring_scrub` documents as needing
@@ -502,7 +536,9 @@ def exact_substring_keep_first(
         connected_components,
     )
 
-    occ = _dup_gram_occurrences(df, id_col, text_col, min_len)
+    occ = _dup_gram_occurrences(
+        df, id_col, text_col, min_len, normalize=normalize
+    )
     L = int(min_len)
     isl = Window.partitionBy(id_col).orderBy("pos")
     occ = occ.withColumn(

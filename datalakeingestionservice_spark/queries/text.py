@@ -1314,3 +1314,72 @@ def q166_exact_substring_keep_first(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — normalized exact-substring spans: Lee et al.'s normalization knob.
+# Matching runs over per-token lowercased/punct-stripped text; positions
+# stay ORIGINAL (token-wise normalization is position-preserving). The
+# oracle mirrors the normalization with DuckDB's regexp_replace('g').
+# ---------------------------------------------------------------------------
+@register(
+    "q168_exact_substring_normalized",
+    tags=("text", "dedup", "exact-substring", "normalization"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(text, ' '),
+           t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))
+         ) AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q162_L - 1}], ' ') AS g
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q162_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q162_L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {_Q162_L - 1} AS span_end,
+       max(pos) + {_Q162_L - 1} - min(pos) + 1 AS n_tokens
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+)
+def q168_exact_substring_normalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NORMALIZED exact-substring spans (`exact_substring_spans(
+    normalize=True)`): duplicates that differ only in case or
+    punctuation — retyped quotes, trailing commas, capitalization —
+    match, because hashing AND the true-text collision screen run over
+    per-token lowercased/alphanumeric-stripped tokens; reported
+    positions (and any downstream scrub) stay on the ORIGINAL text,
+    which token-wise normalization makes safe by construction (token
+    count is invariant — there is no offset mapping to get wrong).
+    Same no-pairwise plan as q162. The normalization class is plain
+    ASCII in BOTH engines (Spark and DuckDB regexp_replace agree
+    byte-for-byte), so the oracle recomputes the whole normalized
+    definition."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    return exact_substring_spans(
+        docs, min_len=_Q162_L, normalize=True
+    ).orderBy("doc_id", "span_start")

@@ -352,6 +352,43 @@ def test_exact_substring_keep_first(spark):
     assert got[5] == ("totally unrelated words here now", 0)
 
 
+def test_exact_substring_normalize(spark):
+    """normalize=True matches on per-token lowercased/punct-stripped
+    text while positions — and the scrub rebuild — stay on the ORIGINAL
+    tokens (token-wise normalization is position-preserving, so no
+    offset mapping exists to get wrong)."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_scrub,
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The Quick, Brown Fox Jumped Over The Lazy Dog!"),
+            (2, "the quick brown fox jumped over the lazy dog"),
+            (3, "a totally different sentence lives right here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    # raw: case/punctuation differences -> no exact 5-token match
+    assert exact_substring_spans(df, min_len=5).count() == 0
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substring_spans(
+            df, min_len=5, normalize=True
+        ).collect()
+    }
+    assert spans == {(1, 1, 9), (2, 1, 9)}
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in exact_substring_scrub(
+            df, min_len=5, normalize=True
+        ).collect()
+    }
+    assert got[1] == ("", 9) and got[2] == ("", 9)
+    assert got[3][1] == 0
+
+
 def test_exact_substring_no_all_pairs_plan(spark):
     """The scale contract (VERDICT r8 #1): NO pairwise join anywhere —
     duplicated grams come from a hash-keyed groupBy, never a self-join
