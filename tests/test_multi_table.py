@@ -189,10 +189,66 @@ def test_catalog_random_transaction_sequence_matches_model(
         next_k += n_rows
         return rows
 
-    for _ in range(8):
-        op = rng.choice(
-            ["txn", "txn", "txn", "failed_txn", "direct", "staged_veto"]
-        )
+    for step in range(8):
+        # Lake-branch arms run DETERMINISTICALLY (the draw may never
+        # hit them for fixed seeds): whole-lake isolation of staged
+        # work on a catalog branch, then publish-or-drop.
+        if step in (2, 6):
+            op = "lake_branch"
+        else:
+            op = rng.choice(
+                ["txn", "txn", "txn", "failed_txn", "direct",
+                 "staged_veto"]
+            )
+        if op == "lake_branch":
+            bname = f"lb{step}"
+            dev = cat.create_branch(bname)
+            touched = rng.sample(names, rng.randint(1, 2))
+            staged = {n: Counter(model[n]) for n in names}
+            for n in touched:
+                rows = fresh(rng.randint(1, 2))
+                with dev.staged_transaction() as txn:
+                    txn[n].append(_df(spark, rows))
+                staged[n].update(rows)
+            # WHOLE-LAKE isolation mid-branch: catalog-main reads are
+            # the model (staged work invisible; pending direct writes
+            # are invisible to catalog readers anyway), and the branch
+            # reads resolve the staged world through its branch pins.
+            for n in names:
+                got = Counter(
+                    (r.k, r.v) for r in cat.read(n).collect()
+                )
+                assert got == model[n], (step, n, "main leaked")
+                gotb = Counter(
+                    (r.k, r.v) for r in dev.read(n).collect()
+                )
+                assert gotb == staged[n], (step, n, "branch wrong")
+            # publish only when no touched table has pending direct
+            # writes (they moved the table main past the fork — the
+            # table-level claim makes the publish refuse, by design)
+            if rng.random() < 0.6 and not any(
+                n in pending for n in touched
+            ):
+                cat.publish_branch(bname)
+                cat.drop_branch(bname)
+                model = staged
+                history.append(
+                    {n: Counter(c) for n, c in model.items()}
+                )
+            else:
+                heads = {
+                    m: tables[m].latest_version() for m in names
+                }
+                cat.drop_branch(bname)
+                # abandoning the lake branch leaves NOTHING: no table
+                # main moved, no staged table branch survives
+                assert {
+                    m: tables[m].latest_version() for m in names
+                } == heads
+                assert all(
+                    tables[m].list_branches() == {} for m in names
+                )
+            continue
         if op == "staged_veto":
             # staged groups that abort must leave NOTHING anywhere —
             # no catalog version, no table version, no pending orphan.
