@@ -352,6 +352,21 @@ _NORM_TOKEN_EXPR = (
     "transform({col}, t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '')))"
 )
 
+#: The corpus-sized gram-hash table each exact-substring call persists
+#: (MEMORY_AND_DISK). At most one is registered at a time — a new call
+#: releases the previous cache first — so repeated invocations can't
+#: accumulate executor storage across a session.
+_GRAM_CACHES: list = []
+
+
+def release_exact_substring_caches() -> None:
+    """Unpersist any gram-hash table cached by a previous
+    exact_substring_spans / scrub / keep_first call. Safe while lazy
+    results from that call are still alive: they recompute without the
+    cache instead of failing."""
+    while _GRAM_CACHES:
+        _GRAM_CACHES.pop().unpersist()
+
 
 def _dup_gram_occurrences(
     df: DataFrame,
@@ -408,7 +423,15 @@ def _dup_gram_occurrences(
     )
     from pyspark import StorageLevel
 
+    # Bound cached storage to ONE gram table per session: release the
+    # previous call's cache before persisting this one (persist is a
+    # performance hint — an older lazy result that re-executes after
+    # its cache is dropped just recomputes, it never gets wrong). A
+    # caller done with results can drop the last cache explicitly via
+    # :func:`release_exact_substring_caches`.
+    release_exact_substring_caches()
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    _GRAM_CACHES.append(grams)
     dup_h = (
         grams.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -1469,47 +1469,93 @@ def _chunks_dir_for(mdir: str) -> str:
     return os.path.join(mdir, _CHUNKS_SUBDIR)
 
 
+def _write_chunk(cdir: str, name: str, body: str) -> str:
+    """Write a content-addressed chunk if absent; if it already exists,
+    REFRESH its mtime — reuse is a write-ahead claim exactly like a
+    fresh write, so vacuum's mtime guard covers reused slices too (an
+    orphaned chunk being re-adopted must not be reclaimed between the
+    existence check and the version claim). A FileNotFoundError from
+    utime means vacuum won the race — fall through and rewrite."""
+    path = os.path.join(cdir, name)
+    try:
+        os.utime(path, None)
+        return name
+    except FileNotFoundError:
+        pass
+    tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(body)
+    os.replace(tmp, path)
+    return name
+
+
 def _checkpoint_text(m: "Manifest", mdir: str) -> str:
     """Serialize a FULL snapshot: inline below _SHARD_MIN_ENTRIES
     entries, sharded manifest-list form at or above it (side effect:
-    missing chunk files are written, atomically via temp+rename)."""
-    if len(m.files) < _SHARD_MIN_ENTRIES:
-        return m.to_json()
+    missing chunk files are written, atomically via temp+rename).
+    Initial-default entry scopes (`column_defaults[col]['entries']`,
+    O(live-entries-at-add-time) rels) shard through the SAME chunk
+    store once they cross _SHARD_MIN_ENTRIES — content-addressed, so
+    every checkpoint after the add references one immutable chunk
+    instead of re-inlining the list (the list never changes after the
+    add, so the name never changes and the file is written once)."""
     import hashlib
 
+    def chunkname(body: str) -> str:
+        return f"c-{hashlib.sha256(body.encode()).hexdigest()[:16]}.json"
+
+    big_defaults = [
+        c
+        for c, spec in m.column_defaults.items()
+        if len(spec.get("entries", ())) >= _SHARD_MIN_ENTRIES
+    ]
+    if len(m.files) < _SHARD_MIN_ENTRIES and not big_defaults:
+        return m.to_json()
     cdir = _chunks_dir_for(mdir)
     os.makedirs(cdir, exist_ok=True)
-    chunk_names: list[str] = []
-    covered: set[str] = set()
-    for i in range(0, len(m.files), _CHUNK_SIZE):
-        sl = list(m.files[i : i + _CHUNK_SIZE])
-        covered.update(sl)
-        body = json.dumps(
-            {
-                "files": sl,
-                "stats": {r: m.stats[r] for r in sl if r in m.stats},
-            },
-            sort_keys=True,
-        )
-        name = (
-            f"c-{hashlib.sha256(body.encode()).hexdigest()[:16]}.json"
-        )
-        path = os.path.join(cdir, name)
-        if not os.path.exists(path):
-            tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                f.write(body)
-            os.replace(tmp, path)
-        chunk_names.append(name)
     d = json.loads(m.to_json())
-    del d["files"]
-    # Residual stats (keys outside the entry list — e.g. annotations
-    # for non-entry rels) stay inline so nothing is silently dropped.
-    d["stats"] = {
-        k: v for k, v in m.stats.items() if k not in covered
-    }
-    d["chunks"] = chunk_names
+    if len(m.files) >= _SHARD_MIN_ENTRIES:
+        chunk_names: list[str] = []
+        covered: set[str] = set()
+        for i in range(0, len(m.files), _CHUNK_SIZE):
+            sl = list(m.files[i : i + _CHUNK_SIZE])
+            covered.update(sl)
+            body = json.dumps(
+                {
+                    "files": sl,
+                    "stats": {
+                        r: m.stats[r] for r in sl if r in m.stats
+                    },
+                },
+                sort_keys=True,
+            )
+            chunk_names.append(_write_chunk(cdir, chunkname(body), body))
+        del d["files"]
+        # Residual stats (keys outside the entry list — e.g.
+        # annotations for non-entry rels) stay inline so nothing is
+        # silently dropped.
+        d["stats"] = {
+            k: v for k, v in m.stats.items() if k not in covered
+        }
+        d["chunks"] = chunk_names
+    for c in big_defaults:
+        spec = dict(d["column_defaults"][c])
+        body = json.dumps(
+            {"entries": list(spec.pop("entries"))}, sort_keys=True
+        )
+        spec["entries_chunk"] = _write_chunk(cdir, chunkname(body), body)
+        d["column_defaults"][c] = spec
     return json.dumps(d, indent=2, sort_keys=True)
+
+
+def _has_chunk_refs(d: dict) -> bool:
+    """True iff a raw version-file dict references the chunk store
+    anywhere (sharded entry list OR sharded default scope) and must go
+    through :func:`_inline_chunks` before Manifest construction."""
+    return "chunks" in d or any(
+        "entries_chunk" in spec
+        for spec in d.get("column_defaults", {}).values()
+    )
 
 
 def _inline_chunks(d: dict, mdir: str) -> dict:
@@ -1518,16 +1564,26 @@ def _inline_chunks(d: dict, mdir: str) -> dict:
     live manifest are never vacuumed — absence is corruption, and a
     silently shorter table would be the worst possible answer)."""
     cdir = _chunks_dir_for(mdir)
-    files: list[str] = []
-    stats: dict = dict(d.get("stats", {}))
-    for name in d["chunks"]:
-        with open(os.path.join(cdir, name)) as f:
-            c = json.loads(f.read())
-        files.extend(c["files"])
-        stats.update(c["stats"])
     out = {k: v for k, v in d.items() if k != "chunks"}
-    out["files"] = files
-    out["stats"] = stats
+    if "chunks" in d:
+        files: list[str] = []
+        stats: dict = dict(d.get("stats", {}))
+        for name in d["chunks"]:
+            with open(os.path.join(cdir, name)) as f:
+                c = json.loads(f.read())
+            files.extend(c["files"])
+            stats.update(c["stats"])
+        out["files"] = files
+        out["stats"] = stats
+    defaults = {}
+    for col, spec in d.get("column_defaults", {}).items():
+        if "entries_chunk" in spec:
+            spec = dict(spec)
+            with open(os.path.join(cdir, spec.pop("entries_chunk"))) as f:
+                spec["entries"] = json.loads(f.read())["entries"]
+        defaults[col] = spec
+    if defaults:
+        out["column_defaults"] = defaults
     return out
 
 
@@ -1628,7 +1684,7 @@ def load_all_manifests(mdir: str) -> list[Manifest]:
         else:
             # Chunk resolution OUTSIDE the torn-claim net: a missing
             # chunk is corruption and must raise, never skip.
-            if "chunks" in d:
+            if _has_chunk_refs(d):
                 d = _inline_chunks(d, mdir)
             m = Manifest.from_json_dict(d)
         out.append(m)
@@ -1654,7 +1710,7 @@ def load_manifest_at(mdir: str, version: int) -> Manifest:
             break
         v = d["delta_of"]
     base = chain[-1]
-    if "chunks" in base:
+    if _has_chunk_refs(base):
         base = _inline_chunks(base, mdir)
     m = Manifest.from_json_dict(base)
     for d in reversed(chain[:-1]):
@@ -2037,6 +2093,48 @@ class VersionedTable:
             },
         )
 
+    def _validate_default_literal(self, default: str, dtype) -> None:
+        """Validate a non-NULL default literal at DDL time against BOTH
+        evaluators that will later apply it: the SESSION cast (scoped
+        session reads / session-side write fill) and the SESSIONLESS
+        textual parser (`_typed_part_value`, the DataSource fill path
+        and the Arrow writer). The two disagree on literals like
+        `INT DEFAULT 2.5` (session cast truncates to 2; `int('2.5')`
+        raises) or `DATE '2024-7-4'` (lenient Spark date parse vs
+        strict ISO `date.fromisoformat`) — accepting such a literal
+        would defer a crash to every sessionless read and silently
+        serve the truncated value on session reads. Refuse at DDL time
+        unless both parse AND agree on the value."""
+        try:
+            probe = (
+                self.spark.range(1)
+                .select(F.expr(default).cast(dtype).alias("v"))
+                .collect()[0]
+                .v
+            )
+        except Exception:
+            probe = None  # ANSI cast raised: same refusal
+        if probe is None:
+            raise ValueError(
+                f"default {default!r} does not cast to "
+                f"{dtype.simpleString()!r}"
+            )
+        try:
+            sl = _typed_part_value(
+                _default_fill_text(default), dtype.simpleString()
+            )
+            a, b = _promote_temporal(sl, probe)
+            agree = a == b
+        except Exception:
+            agree = False
+        if not agree:
+            raise ValueError(
+                f"default {default!r} casts to {probe!r} in-session "
+                "but the sessionless reader/writer parses it "
+                "differently or not at all; write the literal in the "
+                f"canonical text form of {dtype.simpleString()!r}"
+            )
+
     def add_column(
         self, name: str, type_ddl: str, default: str | None = None
     ) -> int:
@@ -2093,27 +2191,7 @@ class VersionedTable:
         if default is not None:
             fill = _default_fill_text(default)  # grammar check
             if fill is not None:
-                # Type check: the literal must cast to the column type
-                # without nulling out (a silent NULL default would
-                # contradict the declared literal).
-                try:
-                    probe = (
-                        self.spark.range(1)
-                        .select(
-                            F.expr(default)
-                            .cast(field.dataType)
-                            .alias("v")
-                        )
-                        .collect()[0]
-                        .v
-                    )
-                except Exception:
-                    probe = None  # ANSI cast raised: same refusal
-                if probe is None:
-                    raise ValueError(
-                        f"default {default!r} does not cast to "
-                        f"{type_ddl!r}"
-                    )
+                self._validate_default_literal(default, field.dataType)
                 defaults[name] = {
                     "default": default,
                     "entries": [
@@ -2163,20 +2241,7 @@ class VersionedTable:
             raise ValueError(f"no column {col!r}")
         fill = _default_fill_text(default)  # grammar check
         if fill is not None:
-            try:
-                probe = (
-                    self.spark.range(1)
-                    .select(F.expr(default).cast(types[col]).alias("v"))
-                    .collect()[0]
-                    .v
-                )
-            except Exception:
-                probe = None
-            if probe is None:
-                raise ValueError(
-                    f"default {default!r} does not cast to "
-                    f"{types[col].simpleString()!r}"
-                )
+            self._validate_default_literal(default, types[col])
         return self._commit(
             operation="set_column_default",
             files=pm.files,
@@ -5463,7 +5528,7 @@ class VersionedTable:
         # back to O(table).
         with open(path) as f:
             d = _parse_version_file(f.read())
-        if ("delta_of" in d and "files" not in d) or "chunks" in d:
+        if ("delta_of" in d and "files" not in d) or _has_chunk_refs(d):
             # Delta or sharded checkpoint: patch the summary in place —
             # annotation must not balloon the record back to O(table).
             d["summary"] = summary
@@ -6061,11 +6126,15 @@ class VersionedTable:
                         continue
                     try:
                         with open(os.path.join(d, name)) as f:
-                            live_chunks.update(
-                                _parse_version_file(f.read()).get(
-                                    "chunks", ()
-                                )
-                            )
+                            vd = _parse_version_file(f.read())
+                        live_chunks.update(vd.get("chunks", ()))
+                        live_chunks.update(
+                            spec["entries_chunk"]
+                            for spec in vd.get(
+                                "column_defaults", {}
+                            ).values()
+                            if "entries_chunk" in spec
+                        )
                     except (OSError, ValueError, KeyError):
                         continue
             now = time.time()

@@ -358,3 +358,26 @@ def test_add_column_sql_statement(spark, t):
             "ALTER TABLE t ADD COLUMN bad INT DEFAULT current_date()",
             tables,
         )
+
+
+def test_two_evaluator_literal_mismatch_refused(spark, t):
+    """ADVICE r9 medium: a literal only the session cast can evaluate
+    (INT DEFAULT 2.5 truncates to 2 in-session; the sessionless
+    parser's int('2.5') raises) must refuse at DDL time — otherwise
+    every sessionless read crashes later while session reads silently
+    serve the truncated value. Same guard on write defaults."""
+    with pytest.raises(ValueError, match="sessionless|does not cast"):
+        t.add_column("n", "int", default="2.5")
+    with pytest.raises(ValueError, match="sessionless|does not cast"):
+        t.set_column_default("k", "2.5")
+    with pytest.raises(ValueError, match="sessionless|does not cast"):
+        t.add_column("d", "date", default="DATE '2024-7-4'")
+    # canonical text forms still pass, and serve on both surfaces
+    t.add_column("n", "int", default="7")
+    t.add_column("d", "date", default="DATE '2024-07-04'")
+    t.set_column_default("v", "2.5")  # double: both evaluators agree
+    import datetime
+
+    for got in (_session_read(t), _sessionless_read(spark, t)):
+        assert got[0].n == 7
+        assert got[0].d == datetime.date(2024, 7, 4)

@@ -769,3 +769,35 @@ def test_bm25f_field_weights_shift_ranking(spark):
     assert rows[1] == score(3.0, dls[1])  # title hit, weight 3
     assert rows[2] == score(1.0, dls[2])  # body hit, weight 1
     assert rows[1] > rows[2]
+
+
+def test_exact_substring_gram_cache_bounded(spark):
+    """ADVICE r9 low: each exact-substring call persists a corpus-sized
+    gram table; repeated calls must not accumulate cached RDDs — at
+    most ONE registered cache at a time, releasable explicitly, and an
+    older lazy result still computes correctly after its cache drops
+    (persist is a hint, never a correctness dependency)."""
+    from pyspark import StorageLevel
+
+    from datalakeingestionservice_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    df = spark.createDataFrame(
+        [("a", base + " alpha"), ("b", base + " beta"), ("c", "unique words only here")],
+        "doc_id string, text string",
+    )
+    r1 = dedup.exact_substring_spans(df, min_len=5)
+    n1 = r1.count()
+    assert len(dedup._GRAM_CACHES) == 1
+    first_cache = dedup._GRAM_CACHES[0]
+    # different params -> a DIFFERENT gram plan (an identical plan
+    # would re-hit the same CacheManager entry and prove nothing)
+    r2 = dedup.exact_substring_scrub(df, min_len=6)
+    r2.count()
+    # the new call released the previous cache before registering its own
+    assert len(dedup._GRAM_CACHES) == 1
+    assert first_cache.storageLevel == StorageLevel.NONE
+    # stale lazy result recomputes identically without its cache
+    assert r1.count() == n1
+    dedup.release_exact_substring_caches()
+    assert dedup._GRAM_CACHES == []

@@ -225,3 +225,87 @@ def test_annotation_preserves_sharded_form(spark, tmp_path):
     for v in sharded:
         assert "chunks" in _raw(root, v), v
     assert t2.read().count() == 9
+
+
+def test_chunk_reuse_refreshes_mtime(spark, tmp_path):
+    """Reusing an existing content-addressed chunk is a write-ahead
+    CLAIM exactly like a fresh write: its mtime must refresh so
+    vacuum's age guard covers reused slices too (ADVICE r9 TOCTOU —
+    an orphaned chunk being re-adopted must not be reclaimed between
+    the existence check and the version claim)."""
+    import time
+
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(0, 0.0)]))
+    for i in range(1, 11):
+        t.append(_df(spark, [(i, float(i))]))
+    cdir = os.path.join(root, _MANIFEST_DIR, _CHUNKS_SUBDIR)
+    old = time.time() - 10_000
+    for n in os.listdir(cdir):
+        os.utime(os.path.join(cdir, n), (old, old))
+    # the v20 checkpoint reuses the stable head slices of v10 —
+    # reuse must bump their mtimes back under any claim timeout
+    for i in range(11, 21):
+        t.append(_df(spark, [(i, float(i))]))
+    d = _raw(root, 20)
+    now = time.time()
+    ages = {
+        n: now - os.path.getmtime(os.path.join(cdir, n))
+        for n in d["chunks"]
+    }
+    assert all(a < 5_000 for a in ages.values()), ages
+
+
+def test_default_scope_shards_through_chunk_store(spark, tmp_path):
+    """`add_column(default=)` scopes O(live-entries-at-add-time) rels;
+    above the shard threshold that list must ride the chunk store —
+    written ONCE, referenced by name from every later checkpoint — not
+    re-inline in each skeleton/branch seed (ADVICE r9 low)."""
+    root = str(tmp_path / "vt")
+    t = VersionedTable.create(spark, root, _df(spark, [(0, 0.0)]))
+    for i in range(1, 9):
+        t.append(_df(spark, [(i, float(i))]))
+    t.add_column("r", "string", default="'x'")  # v10 = checkpoint
+    d = _raw(root, 10)
+    spec = d["column_defaults"]["r"]
+    assert "entries" not in spec and "entries_chunk" in spec, spec
+    cpath = os.path.join(
+        root, _MANIFEST_DIR, _CHUNKS_SUBDIR, spec["entries_chunk"]
+    )
+    assert os.path.exists(cpath)
+    # load round-trips the full scope
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    m = load_manifest_at(mdir, 10)
+    assert len(m.column_defaults["r"]["entries"]) == 9
+    assert load_all_manifests(mdir)[-1] == m
+    # ... and the next checkpoint references the SAME immutable chunk
+    for i in range(20, 30):
+        t.append(
+            spark.createDataFrame(
+                [(i, float(i), "y")], "id bigint, v double, r string"
+            )
+        )
+    d20 = _raw(root, 20)
+    assert d20["column_defaults"]["r"]["entries_chunk"] == spec[
+        "entries_chunk"
+    ]
+    # both read surfaces serve the default through the sharded scope
+    fresh = VersionedTable(spark, root)
+    got = {r.id: r.r for r in fresh.read().collect()}
+    assert all(got[i] == "x" for i in range(9)), got
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register,
+    )
+
+    register(spark)
+    sl = {
+        r.id: r.r
+        for r in spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+        .collect()
+    }
+    assert all(sl[i] == "x" for i in range(9)), sl
+    # vacuum keeps the referenced scope chunk
+    t.vacuum(claim_timeout_s=0)
+    assert os.path.exists(cpath)
