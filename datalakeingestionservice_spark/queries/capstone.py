@@ -167,3 +167,216 @@ def q79_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — the capstone v2 (VERDICT r9 #1): the SAME nightly curation pipeline
+# with the strongest dedup class the engine has composed into the ladder —
+# quality -> exact dedup -> EXACT-SUBSTRING SCRUB (Lee et al. 2022
+# ExactSubstr, the literal-shared-bytes class q79's fuzzy stage only
+# approximates) -> hollow-doc cut -> fuzzy Jaccard clustering over the
+# SCRUBBED text -> survivors -> per-language stats, still ONE lazy plan.
+# Scrubbing before near-dup detection is the recommended order: duplicated
+# boilerplate inflates shingle overlap, so removing it first makes the
+# fuzzy stage measure genuine content similarity. The oracle recomputes
+# the entire composition (including the scrub rebuild and the recursive
+# component closure) from raw text.
+# ---------------------------------------------------------------------------
+_Q169_L = 20          # exact-substring span threshold (tokens), as q162
+_Q169_MIN_CLEAN = 10  # drop docs hollowed out by the scrub
+
+
+@register(
+    "q169_curation_pipeline_scrubbed",
+    tags=("capstone", "dedup", "exact-substring", "quality", "text"),
+    oracle=f"""
+WITH RECURSIVE
+feats AS (
+  SELECT doc_id, text, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS diversity
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, text, lang, n_tokens FROM feats
+  WHERE n_tokens >= 20 AND diversity >= 0.25
+),
+fp AS (
+  SELECT doc_id, text, lang, n_tokens,
+         sha256(lower(trim(text))) AS fingerprint
+  FROM quality
+),
+exact_kept AS (
+  SELECT doc_id, text, lang, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+),
+words AS (
+  SELECT doc_id, lang, n_tokens, string_split(text, ' ') AS w FROM exact_kept
+),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q169_L - 1}], ' ') AS g
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q169_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q169_L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+cover AS (
+  SELECT DISTINCT doc_id, h.pos + v.o AS p
+  FROM hits h
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {_Q169_L - 1})) AS o
+  ) v
+),
+toks AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+         count(*) AS n_clean
+  FROM kept GROUP BY doc_id
+),
+scrubbed AS (
+  SELECT w.doc_id, w.lang,
+         coalesce(a.clean_text, '') AS clean_text,
+         coalesce(a.n_clean, 0) AS n_clean
+  FROM words w LEFT JOIN agg a USING (doc_id)
+  WHERE coalesce(a.n_clean, 0) >= {_Q169_MIN_CLEAN}
+),
+cw AS (SELECT doc_id, string_split(clean_text, ' ') AS w FROM scrubbed),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM cw WHERE len(w) >= 3
+  )
+),
+sh_freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+pruned AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN sh_freq f USING (shingle) WHERE f.df <= 20
+),
+doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pair_common p
+  JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+  JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+losers AS (SELECT node FROM labels WHERE node <> component),
+final AS (
+  SELECT * FROM scrubbed WHERE doc_id NOT IN (SELECT node FROM losers)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_clean) AS BIGINT) AS total_tokens,
+       round(avg(n_clean), 2) AS avg_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM final
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q169_curation_pipeline_scrubbed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """quality filter -> fingerprint exact dedup -> exact-substring
+    scrub (every >=20-token exactly-duplicated span cut everywhere) ->
+    hollow-doc cut (<10 surviving tokens drops the doc) -> Jaccard
+    near-dup clustering over the SCRUBBED text -> survivors ->
+    per-language corpus stats. One lazy Catalyst plan; the scrub adds
+    one corpus-sized gram-hash groupBy and one doc-keyed rebuild join
+    to q79's shape — never a pairwise join (see
+    `operators/dedup.py:exact_substring_spans` for the scale shape)."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_scrub,
+    )
+
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text", "lang")
+
+    quality = (
+        docs.withColumn("n_tokens", n_tokens("text"))
+        .withColumn("diversity", lexical_diversity("text"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("diversity") >= 0.25))
+        .drop("diversity")
+    )
+    # Persisted for the same reason as q79: the exact-kept subtree
+    # feeds the scrub's gram table, the scrub's rebuild pass, and the
+    # lang/n_tokens join — MEMORY_AND_DISK so oversized corpora spill.
+    exact_kept = (
+        exact_dedup(
+            fingerprint(quality, "text"),
+            keys=["fingerprint"],
+            tiebreaker="doc_id",
+        )
+        .drop("fingerprint")
+        .persist()
+    )
+
+    scrub = exact_substring_scrub(
+        exact_kept.select("doc_id", "text"), min_len=_Q169_L
+    )
+    # n_clean from arithmetic (orig - removed), not re-splitting the
+    # rebuilt text: '' would mis-count as one token.
+    scrubbed = (
+        scrub.join(exact_kept.select("doc_id", "lang", "n_tokens"), "doc_id")
+        .withColumn(
+            "n_clean",
+            (F.col("n_tokens") - F.col("n_removed_tokens")).cast("long"),
+        )
+        .filter(F.col("n_clean") >= _Q169_MIN_CLEAN)
+        .select("doc_id", "lang", "clean_text", "n_clean")
+        .persist()
+    )
+
+    shingles = word_shingles(
+        scrubbed, "doc_id", "clean_text", n=3, max_shingle_freq=20
+    )
+    pairs = jaccard_pairs(
+        shingles, id_col="doc_id", threshold=0.4, persist=True
+    ).select("doc_a", "doc_b")
+    final = dedup_survivors(scrubbed, pairs)
+
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_clean").alias("total_tokens"),
+            F.round(F.avg("n_clean"), 2).alias("avg_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
