@@ -240,3 +240,115 @@ def lsh_bucket(
         bit = (dot(vec_col, plane) >= 0).cast("long")
         bucket = bucket + bit * (2**i)
     return emb.withColumn(out_col, bucket)
+
+
+def ivf_recall(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    probes: tuple[int, ...] = (1, 3),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Recall@k of IVF probe search against the exact brute-force
+    ranking, per query vector and per probe setting — THE number a real
+    user sizes `n_probe` with (VERDICT r9 #2). Returns
+    (qid, n_probe, n_hits, recall), recall = |approx∩exact| / k.
+
+    Ground truth is unavoidable brute force (that is what recall IS),
+    so run this on a SAMPLE of queries — cost is |emb| × |queries|
+    through one window, while the IVF side stays cells-probed-sized.
+    Both rankings round cosine to `round_dp` before ordering and break
+    ties on vector id, making the measurement engine-reproducible
+    (recall is intersection-based, so boundary ties would otherwise
+    flip membership between engines). Monotone in n_probe by
+    construction — probing p+1 cells searches a superset — and probing
+    ALL cells degenerates to brute force (recall 1.0); both invariants
+    are pinned in pytest."""
+    from pyspark.sql import Window as W
+
+    spark = emb.sparkSession
+    probes_df = spark.createDataFrame(
+        [(int(p),) for p in sorted(probes)], "n_probe int"
+    )
+    scored_cos = F.round(cosine(vec_col, qvec_col), round_dp)
+
+    # Exact ground truth: top-k per query over the whole corpus.
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, id_col, scored_cos.alias("__cos"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(qid_col).orderBy(
+                    F.desc("__cos"), F.asc(id_col)
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .select(qid_col, id_col)
+    )
+
+    # IVF side: rank centroids per query, probe the top-n_probe cells.
+    cent_rank = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select(
+            qid_col,
+            "cid",
+            F.round(cosine("cv", qvec_col), round_dp).alias("__ccos"),
+        )
+        .withColumn(
+            "__crn",
+            F.row_number().over(
+                W.partitionBy(qid_col).orderBy(
+                    F.desc("__ccos"), F.asc("cid")
+                )
+            ),
+        )
+    )
+    probe_cells = (
+        cent_rank.crossJoin(F.broadcast(probes_df))
+        .filter(F.col("__crn") <= F.col("n_probe"))
+        .select(qid_col, "n_probe", "cid")
+    )
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    approx = (
+        assigned.join(F.broadcast(probe_cells), "cid")
+        .join(F.broadcast(queries), qid_col)
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, "n_probe", id_col, scored_cos.alias("__cos"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(qid_col, "n_probe").orderBy(
+                    F.desc("__cos"), F.asc(id_col)
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .select(qid_col, "n_probe", id_col)
+    )
+
+    hits = approx.join(exact, [qid_col, id_col]).groupBy(
+        qid_col, "n_probe"
+    ).agg(F.count(F.lit(1)).alias("__h"))
+    grid = queries.select(qid_col).crossJoin(probes_df)
+    return (
+        grid.join(hits, [qid_col, "n_probe"], "left")
+        .select(
+            qid_col,
+            "n_probe",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("__h"), F.lit(0)) / float(k), 4
+            ).alias("recall"),
+        )
+        .orderBy(qid_col, "n_probe")
+    )

@@ -806,3 +806,108 @@ def q158_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — IVF recall@k vs the exact ranking (VERDICT r9 #2): the ANN QUALITY
+# surface. q52/q89 value-check what IVF returns; this value-checks how GOOD
+# it is — per-query-vector recall@10 at two probe settings, the number a
+# real user sizes n_probe with. Both rankings round cosine to 6 dp before
+# ordering (ties on vec_id), so membership of the intersected sets is
+# engine-reproducible; the oracle recomputes ground truth, assignment,
+# probing, and the intersection from raw vectors.
+# ---------------------------------------------------------------------------
+@register(
+    "q170_ivf_recall_at_k",
+    tags=("vectors", "ann", "ivf", "recall", "quality"),
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+queries AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+probes AS (SELECT CAST(1 AS INTEGER) AS n_probe
+           UNION ALL SELECT CAST(3 AS INTEGER)),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid AS qid, e.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({_duck_cosine('e.embedding', 'q.qv')}, 6) DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN queries q
+    WHERE e.vec_id <> q.qid
+  ) WHERE rn <= 10
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+cent_rank AS (
+  SELECT qid, cid,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round({_duck_cosine('cv', 'qv')}, 6) DESC, cid) AS crn
+  FROM centroids CROSS JOIN queries
+),
+probe_cells AS (
+  SELECT qid, n_probe, cid FROM cent_rank CROSS JOIN probes
+  WHERE crn <= n_probe
+),
+approx AS (
+  SELECT qid, n_probe, vec_id FROM (
+    SELECT p.qid AS qid, p.n_probe AS n_probe, a.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY p.qid, p.n_probe
+             ORDER BY round({_duck_cosine('a.embedding', 'q.qv')}, 6) DESC,
+                      a.vec_id) AS rn
+    FROM assigned a
+    JOIN probe_cells p ON a.cid = p.cid
+    JOIN queries q ON q.qid = p.qid
+    WHERE a.vec_id <> p.qid
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT x.qid, x.n_probe, count(*) AS n_hits
+  FROM approx x JOIN exact e ON x.qid = e.qid AND x.vec_id = e.vec_id
+  GROUP BY x.qid, x.n_probe
+),
+grid AS (SELECT qid, n_probe FROM queries CROSS JOIN probes)
+SELECT g.qid AS query_id, g.n_probe AS n_probe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 4) AS recall
+FROM grid g
+LEFT JOIN hits h ON g.qid = h.qid AND g.n_probe = h.n_probe
+ORDER BY query_id, n_probe
+""",
+)
+def q170_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF probe search (8 fixed centroids, n_probe in
+    {1, 3}) against exact brute force, for 5 query vectors. Ground
+    truth is brute force by definition, so the exact side runs on the
+    query SAMPLE only (|corpus| x 5 rows through one window); the IVF
+    side stays cells-probed-sized. Monotone in n_probe and exact at
+    n_probe = n_cells — both pinned in pytest
+    (tests/test_operators.py::test_ivf_recall_monotone_in_probes)."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        ivf_recall,
+    )
+
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_recall(emb, centroids, queries, k=10, probes=(1, 3)).select(
+        F.col("qid").alias("query_id"), "n_probe", "n_hits", "recall"
+    )

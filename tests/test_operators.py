@@ -801,3 +801,34 @@ def test_exact_substring_gram_cache_bounded(spark):
     assert r1.count() == n1
     dedup.release_exact_substring_caches()
     assert dedup._GRAM_CACHES == []
+
+
+def test_ivf_recall_monotone_in_probes(spark, sf_dir):
+    """Recall@k invariants (q170's quality surface): per query vector,
+    recall is NON-DECREASING in n_probe (probing p+1 cells searches a
+    strict superset of candidates), and probing ALL cells degenerates
+    to brute force — recall exactly 1.0."""
+    from datalakeingestionservice_spark.catalog import Env
+    from datalakeingestionservice_spark.operators.similarity import (
+        ivf_recall,
+    )
+
+    emb = Env(spark, sf_dir).t("embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    rows = ivf_recall(
+        emb, centroids, queries, k=10, probes=(1, 2, 4, 8)
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.n_probe, r.recall))
+    assert len(by_q) == 4
+    for qid, seq in by_q.items():
+        seq.sort()
+        rec = [x[1] for x in seq]
+        assert rec == sorted(rec), (qid, seq)  # monotone in n_probe
+        assert rec[-1] == 1.0, (qid, seq)  # all cells == brute force
