@@ -597,3 +597,239 @@ def test_catalog_branches_whole_lake(spark, cat):
         dev.create_branch("x")
     with pytest.raises(ValueError, match="nothing to publish"):
         cat.create_branch("empty") and cat.publish_branch("empty")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_catalog_branch_fuzz_direct_write_and_publish_races(
+    spark, tmp_path, seed
+):
+    """Catalog-SCALE fuzz arm (VERDICT r9 #4): one random schedule
+    interleaving {staged txn on a catalog branch, DIRECT table write,
+    publish_branch, drop_branch, plain txn}, with BOTH divergence-
+    refusal paths exercised deterministically per seed:
+
+    - FAST-FORWARD refusal: catalog main moved past the branch base
+      (a plain txn ran after the fork) — publish refuses before
+      touching any table.
+    - TABLE-DIVERGENCE refusal: a direct writer moved a touched
+      table's main past the staged fork — the table-level claim
+      refuses, and tables iterated earlier that attempt may land
+      published-but-UNPINNED (main advanced, catalog pin unchanged —
+      the documented posture). The model reconciles each touched main
+      against its only two legal states and verifies catalog-main
+      readers saw NOTHING either way.
+
+    Every catalog version's per-table snapshot must equal the model at
+    that version, after every step and in the final time-travel replay.
+    """
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    names = ["a", "b"]
+    tables = {
+        n: VersionedTable.create(
+            spark,
+            str(tmp_path / n),
+            _df(spark, [(i, float(i)) for i in range(3)]),
+        )
+        for n in names
+    }
+    cat = TableCatalog.create(spark, str(tmp_path / "cat"), tables)
+    model = {n: Counter((i, float(i)) for i in range(3)) for n in names}
+    mains = {n: Counter(c) for n, c in model.items()}
+    tbl_epoch = {n: 0 for n in names}   # bumps on every table-MAIN commit
+    pin_epoch = {n: 0 for n in names}   # epoch of the version each pin names
+    history = [None, {n: Counter(c) for n, c in model.items()}]
+    refusals = Counter()
+    branch = None  # {'name','dev','base_cv','staged','fork_pin','touched','commits'}
+    next_k = 100
+    n_branch = 0
+
+    def fresh(n_rows):
+        nonlocal next_k
+        rows = [(next_k + i, float(next_k + i)) for i in range(n_rows)]
+        next_k += n_rows
+        return rows
+
+    def do_create():
+        nonlocal branch, n_branch
+        n_branch += 1
+        name = f"fz{n_branch}"
+        branch = {
+            "name": name,
+            "dev": cat.create_branch(name),
+            "base_cv": cat.latest_version(),
+            "staged": {n: Counter(model[n]) for n in names},
+            "fork_pin": dict(pin_epoch),
+            "touched": set(),
+            "commits": 0,
+        }
+
+    def do_staged_txn():
+        touched = rng.sample(names, rng.randint(1, 2))
+        with branch["dev"].staged_transaction() as txn:
+            for n in touched:
+                m = branch["staged"][n]
+                if rng.random() < 0.25 and m:
+                    mod = rng.randint(2, 3)
+                    txn[n].delete_where(F.col("k") % mod == 0)
+                    for key in [k for k in list(m) if k[0] % mod == 0]:
+                        del m[key]
+                else:
+                    rows = fresh(rng.randint(1, 2))
+                    txn[n].append(_df(spark, rows))
+                    m.update(rows)
+        branch["touched"].update(touched)
+        branch["commits"] += 1
+
+    def do_direct(force_touched=False):
+        pool = (
+            sorted(branch["touched"])
+            if force_touched and branch and branch["touched"]
+            else names
+        )
+        n = rng.choice(pool)
+        rows = fresh(rng.randint(1, 2))
+        tables[n].append(_df(spark, rows))
+        mains[n].update(rows)
+        tbl_epoch[n] += 1
+
+    def do_plain_txn():
+        touched = rng.sample(names, rng.randint(1, 2))
+        with cat.transaction() as txn:
+            for n in touched:
+                m = Counter(mains[n])  # plain txns fork at MAIN: absorb
+                rows = fresh(rng.randint(1, 2))
+                txn[n].append(_df(spark, rows))
+                m.update(rows)
+                model[n] = m
+                mains[n] = Counter(m)
+                tbl_epoch[n] += 1
+                pin_epoch[n] = tbl_epoch[n]
+        history.append({n: Counter(c) for n, c in model.items()})
+
+    def do_publish():
+        nonlocal branch, model
+        b = branch
+        if cat.latest_version() != b["base_cv"]:
+            with pytest.raises(CatalogConflictError, match="fast-forward"):
+                cat.publish_branch(b["name"])
+            refusals["fast_forward"] += 1
+            return  # branch stays open; nothing anywhere changed
+        diverged = {
+            n for n in b["touched"] if tbl_epoch[n] != b["fork_pin"][n]
+        }
+        if diverged:
+            with pytest.raises(CatalogConflictError, match="diverged"):
+                cat.publish_branch(b["name"])
+            refusals["divergence"] += 1
+            # Touched mains are each in exactly one of two legal
+            # states: untouched-by-publish (still `mains`) or
+            # published-but-unpinned (the staged content). Reconcile
+            # the model's MAIN view from observation; catalog pins
+            # must be byte-for-byte unmoved (checked in the step
+            # verify below).
+            for n in sorted(b["touched"]):
+                got = Counter(
+                    (r.k, r.v) for r in tables[n].read().collect()
+                )
+                assert got in (mains[n], b["staged"][n]), (n, seed)
+                if got != mains[n]:
+                    mains[n] = got
+                    tbl_epoch[n] += 1
+            return
+        cat.publish_branch(b["name"])
+        for n in b["touched"]:
+            model[n] = Counter(b["staged"][n])
+            mains[n] = Counter(b["staged"][n])
+            tbl_epoch[n] += 1
+            pin_epoch[n] = tbl_epoch[n]
+        history.append({n: Counter(c) for n, c in model.items()})
+        cat.drop_branch(b["name"])
+        branch = None
+
+    def do_drop():
+        nonlocal branch
+        cat.drop_branch(branch["name"])
+        assert all(tables[m].list_branches() == {} for m in names)
+        branch = None
+
+    for step in range(20):
+        # Deterministic arms 0-9 pin both refusal paths and a guaranteed
+        # success; 10-19 are random draws over the full op set.
+        if step == 0 or step == 5:
+            do_create()
+        elif step == 1 or step == 6:
+            do_staged_txn()
+        elif step == 2:
+            do_direct(force_touched=True)  # seed table divergence
+        elif step == 7:
+            do_plain_txn()  # move catalog main past the fork
+        elif step == 3 or step == 8:
+            do_publish()  # -> divergence (3) / fast-forward (8) refusal
+        elif step == 4 or step == 9:
+            do_drop()
+        elif branch is None:
+            op = rng.choice(["create", "create", "direct", "plain"])
+            if op == "create":
+                do_create()
+            elif op == "direct":
+                do_direct()
+            else:
+                do_plain_txn()
+        else:
+            op = rng.choice(
+                ["staged", "staged", "direct", "plain", "publish", "drop"]
+            )
+            if op == "staged":
+                do_staged_txn()
+            elif op == "direct":
+                do_direct()
+            elif op == "plain":
+                do_plain_txn()
+            elif op == "publish":
+                if branch["commits"] == 0:
+                    with pytest.raises(ValueError, match="nothing to publish"):
+                        cat.publish_branch(branch["name"])
+                    refusals["empty"] += 1
+                else:
+                    do_publish()
+            else:
+                do_drop()
+        # Step invariant: catalog-main readers see exactly the model
+        # (no staged/direct/partially-published leak), branch readers
+        # see exactly the staged world.
+        for n in names:
+            got = Counter((r.k, r.v) for r in cat.read(n).collect())
+            assert got == model[n], (step, n, seed, "main leaked")
+            if branch is not None:
+                gotb = Counter(
+                    (r.k, r.v)
+                    for r in branch["dev"].read(n).collect()
+                )
+                assert gotb == branch["staged"][n], (step, n, seed)
+
+    # the schedule must have exercised BOTH refusal paths
+    assert refusals["divergence"] >= 1, refusals
+    assert refusals["fast_forward"] >= 1, refusals
+
+    # deterministic tail: sync pins, then a clean branch publish SUCCEEDS
+    if branch is not None:
+        do_drop()
+    do_plain_txn()  # absorbs all pending direct rows; pins == mains
+    do_create()
+    do_staged_txn()
+    pre = len(history)
+    do_publish()
+    assert len(history) == pre + 1, "tail publish must succeed"
+
+    # full time-travel replay against the model
+    assert cat.latest_version() == len(history) - 1
+    for cv in range(1, len(history)):
+        for n in names:
+            got = Counter(
+                (r.k, r.v)
+                for r in cat.read(n, catalog_version=cv).collect()
+            )
+            assert got == history[cv][n], (cv, n, seed)
