@@ -3424,3 +3424,139 @@ def q167_write_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM t GROUP BY region ORDER BY region",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — the curation loop at the LAKE surface (VERDICT r9 #5): exact-
+# substring scrub -> df.write.format("versioned") OVERWRITE of the corpus
+# table -> table_changes TVF serves the row-level delta. q163 proves the
+# scrub against DuckDB; this proves it COMPOSES with the lake half of the
+# engine: the corpus is read back through the sessionless DataSource, the
+# scrubbed corpus lands in place through the sessionless Arrow writer, and
+# the change feed serves exactly the rows the scrub touched (unchanged
+# docs cancel in the snapshot diff) through the SQL front door. The oracle
+# recomputes the scrub from raw documents and reconstructs both sides of
+# the delta.
+# ---------------------------------------------------------------------------
+_Q171_L = 20
+
+
+@register(
+    "q171_scrub_to_lake_change_feed",
+    tags=("lake", "dedup", "exact-substring", "cdf", "curation"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q171_L - 1}], ' ') AS g
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q171_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q171_L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+cover AS (
+  SELECT DISTINCT doc_id, h.pos + v.o AS p
+  FROM hits h
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {_Q171_L - 1})) AS o
+  ) v
+),
+toks AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+rebuilt AS (
+  SELECT w.doc_id, w.text,
+         coalesce(a.clean_text, '') AS clean_text
+  FROM words w
+  LEFT JOIN (
+    SELECT doc_id,
+           array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+    FROM kept GROUP BY doc_id
+  ) a USING (doc_id)
+),
+changed AS (SELECT * FROM rebuilt WHERE clean_text <> text),
+delta AS (
+  SELECT doc_id, text, 'delete' AS change_type FROM changed
+  UNION ALL
+  SELECT doc_id, clean_text AS text, 'insert' AS change_type FROM changed
+)
+SELECT change_type,
+       CAST(2 AS BIGINT) AS commit_version,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM delta
+GROUP BY change_type
+ORDER BY change_type
+""",
+)
+def q171_scrub_to_lake_change_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The in-place corpus curation loop THROUGH the lake: documents
+    land in a versioned table (v1), the corpus is read back through the
+    sessionless DataSource, `exact_substring_scrub` (L=20) rebuilds
+    every document, and the scrubbed corpus OVERWRITES the table via
+    `df.write.format("versioned")` (v2, the sessionless Arrow writer).
+    `table_changes('corpus', 1)` then serves v2's ROW-LEVEL delta
+    through the SQL front door — unchanged documents cancel in the
+    snapshot diff, so downstream consumers stream exactly the docs the
+    scrub touched: the old text as 'delete', the cleaned text as
+    'insert'. This is the dedup family composing with the lake half of
+    the engine, not just with DuckDB."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_scrub,
+    )
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_select
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register as register_source,
+    )
+
+    register_source(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_scrublake_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    root = os.path.join(base, "corpus")
+    VersionedTable.create(spark, root, docs)
+    corpus = (
+        spark.read.format("versioned")
+        .option("table_root", root)
+        .load()
+    )
+    scrubbed = exact_substring_scrub(corpus, min_len=_Q171_L).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    (
+        scrubbed.write.format("versioned")
+        .mode("overwrite")
+        .option("table_root", root)
+        .save()
+    )
+    tables = {"corpus": VersionedTable(spark, root)}
+    return execute_select(
+        spark,
+        "SELECT _change_type AS change_type, "
+        "CAST(_commit_version AS BIGINT) AS commit_version, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+        "FROM table_changes('corpus', 1) "
+        "GROUP BY change_type, commit_version "
+        "ORDER BY change_type",
+        tables,
+    )

@@ -446,3 +446,60 @@ def test_mor_commits_stream_and_backfill(spark, tmp_path):
         for r in t2.changes(1).collect()
     }
     assert got == {(2, "b", "delete"), (2, "B", "insert")}
+
+
+def test_scrub_overwrite_delta_replay(spark, tmp_path):
+    """Lake-surface curation loop (q171's invariants, pinned small):
+    scrub -> DataSource OVERWRITE -> change feed serves ONLY the docs
+    the scrub touched (unchanged docs cancel in the snapshot diff), and
+    replaying the delta onto v1 reproduces v2 exactly."""
+    from collections import Counter
+
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_scrub,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+    from datalakeingestionservice_spark.sources.versioned_batch import (
+        register,
+    )
+    import pyspark.sql.functions as F
+
+    register(spark)
+    dup = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            ("a", dup + " tail one"),
+            ("b", dup + " tail two"),
+            ("c", "entirely unique words in this one here now"),
+        ],
+        "doc_id string, text string",
+    )
+    root = str(tmp_path / "corpus")
+    VersionedTable.create(spark, root, docs)
+    corpus = (
+        spark.read.format("versioned").option("table_root", root).load()
+    )
+    scrubbed = exact_substring_scrub(corpus, min_len=12).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scrubbed.write.format("versioned").mode("overwrite").option(
+        "table_root", root
+    ).save()
+    t = VersionedTable(spark, root)
+    delta = t.changes(1).collect()
+    # only a and b changed; c cancels in the diff
+    assert {r.doc_id for r in delta} == {"a", "b"}
+    by_type = Counter(r._change_type for r in delta)
+    assert by_type == {"delete": 2, "insert": 2}
+    # replay: v1 minus deletes plus inserts == v2, byte for byte
+    v1 = Counter((r.doc_id, r.text) for r in t.read(1).collect())
+    for r in delta:
+        if r._change_type == "delete":
+            v1[(r.doc_id, r.text)] -= 1
+        else:
+            v1[(r.doc_id, r.text)] += 1
+    v1 = Counter({k: n for k, n in v1.items() if n})
+    v2 = Counter((r.doc_id, r.text) for r in t.read(2).collect())
+    assert v1 == v2
