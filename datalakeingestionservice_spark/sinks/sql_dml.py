@@ -197,6 +197,13 @@ def _where_triples(where: str, t: VersionedTable) -> list | None:
     return triples if walk(ast) else None
 
 
+def _qcol(df, name: str):
+    """Column of `df` by EXACT name, backtick-quoted: an unaliased
+    literal SELECT yields names like '3.5' that a bare F.col / getitem
+    lookup would parse as a struct path."""
+    return df["`" + name.replace("`", "``") + "`"]
+
+
 def _positional_append(
     spark: SparkSession,
     t: VersionedTable,
@@ -234,7 +241,7 @@ def _positional_append(
 
     out = df.select(
         *[
-            F.col(src[c]).cast(types[c]).alias(c)
+            _qcol(df, src[c]).cast(types[c]).alias(c)
             if c in src
             else absent(c)
             for c in names
@@ -569,7 +576,7 @@ def execute_dml(
             )
         out = df.select(
             *[
-                F.col(src).cast(types[c]).alias(c)
+                _qcol(df, src).cast(types[c]).alias(c)
                 for c, src in zip(names, df.columns)
             ]
         )
@@ -603,7 +610,7 @@ def execute_dml(
             )
         out = df.select(
             *[
-                F.col(src).cast(types[c]).alias(c)
+                _qcol(df, src).cast(types[c]).alias(c)
                 for c, src in zip(names, df.columns)
             ]
         )
