@@ -614,6 +614,139 @@ def exact_substring_keep_first(
     return _cut_spans(df, cut, id_col, text_col, out_col)
 
 
+def _gram_tables(
+    df: DataFrame, id_col: str, text_col: str, L: int, normalize: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(toks, grams) for one frame — toks carries the matching token
+    array `__wm`, grams is (id, pos, __h) with pre-hoisted token hashes
+    (same 8L-bytes-per-position shape as `_dup_gram_occurrences`)."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    ).filter(F.size("__w") >= L)
+    match_toks = (
+        F.expr(_NORM_TOKEN_EXPR.format(col="__w"))
+        if normalize
+        else F.col("__w")
+    )
+    toks = toks.withColumn("__wm", match_toks)
+    grams = (
+        toks.withColumn(
+            "__wh", F.expr("transform(__wm, t -> xxhash64(t))")
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - "
+                    f"{L - 1}), i -> xxhash64(slice(__wh, i, {L})))"
+                )
+            ).alias("__p0", "__h"),
+        )
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "__h")
+    )
+    return toks, grams
+
+
+def exact_substring_decontaminate_spans(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    normalize: bool = False,
+) -> DataFrame:
+    """CROSS-CORPUS exact-substring CONTAMINATION spans (the
+    decontamination use of Lee et al. 2022's ExactSubstr — the exact
+    complement of the eval-leakage problem n-gram decontamination
+    approximates): a corpus token position is contaminated iff it
+    starts a `min_len`-token substring whose exact text occurs ANYWHERE
+    in the held-out set; maximal spans merge consecutive contaminated
+    starts per corpus document. Returns (id_col, span_start, span_end,
+    n_tokens) over CORPUS documents, 1-based inclusive.
+
+    Scale shape mirrors :func:`exact_substring_spans` — never a
+    pairwise join: both sides project per-position gram HASHES (8
+    bytes/position), the corpus grams semi-join the held-out hash SET
+    (the only corpus-sized shuffle), and the true-text collision screen
+    runs on candidates only — held-side text is even narrower, computed
+    only for held positions whose hash collided with a corpus
+    candidate. The held-out set is typically the small side (an eval
+    benchmark), so its distinct-hash set is a fraction of corpus size."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2 tokens")
+    from pyspark import StorageLevel
+
+    L = int(min_len)
+    ctoks, cg = _gram_tables(corpus, id_col, text_col, L, normalize)
+    htoks, hg = _gram_tables(heldout, id_col, text_col, L, normalize)
+    # Same single-cache discipline as `_dup_gram_occurrences`: the
+    # corpus gram table feeds the semi-join AND the candidate rejoin.
+    release_exact_substring_caches()
+    cg = cg.persist(StorageLevel.MEMORY_AND_DISK)
+    _GRAM_CACHES.append(cg)
+    held_hashes = hg.select("__h").distinct()
+    cand = cg.join(held_hashes, "__h", "semi")
+    cand_txt = cand.join(ctoks, id_col).select(
+        id_col,
+        "pos",
+        F.expr(f"concat_ws(' ', slice(__wm, pos, {L}))").alias("__g"),
+    )
+    cand_hashes = cand.select("__h").distinct()
+    held_txt = (
+        hg.join(cand_hashes, "__h", "semi")
+        .join(htoks, id_col)
+        .select(
+            F.expr(f"concat_ws(' ', slice(__wm, pos, {L}))").alias(
+                "__g"
+            )
+        )
+        .distinct()
+    )
+    occ = cand_txt.join(held_txt, "__g", "semi")
+    isl = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        occ.withColumn("__grp", F.col("pos") - F.row_number().over(isl))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+def exact_substring_decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    out_col: str = "clean_text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Cut every contaminated span
+    (:func:`exact_substring_decontaminate_spans`) from the corpus —
+    the train-side scrub that removes verbatim eval/benchmark leakage.
+    Returns corpus rows as (id, `out_col`, n_removed_tokens); the
+    held-out set is never modified."""
+    spans = exact_substring_decontaminate_spans(
+        corpus,
+        heldout,
+        id_col=id_col,
+        text_col=text_col,
+        min_len=min_len,
+        normalize=normalize,
+    )
+    return _cut_spans(corpus, spans, id_col, text_col, out_col)
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",

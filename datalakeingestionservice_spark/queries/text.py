@@ -1383,3 +1383,98 @@ def q168_exact_substring_normalized(
     return exact_substring_spans(
         docs, min_len=_Q162_L, normalize=True
     ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# q172 — exact-substring DECONTAMINATION (E99): the cross-corpus use of the
+# ExactSubstr machinery — find every maximal train-corpus span whose exact
+# text appears anywhere in the held-out split (the verbatim eval-leakage E1's
+# n-gram decontamination only approximates). Corpus/held-out come from the
+# q95 content-hash split, so the partition itself is engine-reproducible;
+# the oracle recomputes split, grams, cross-corpus membership, and islands
+# from raw text.
+# ---------------------------------------------------------------------------
+_Q172_L = 20
+
+@register(
+    "q172_exact_substring_decontamination",
+    tags=("text", "dedup", "exact-substring", "decontamination", "curation"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         strpos('0123456789abcdef', substr(sha256(lower(trim(text))), 1, 1)) - 1
+           AS bucket16
+  FROM documents
+),
+cw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM assigned
+  WHERE bucket16 < 14
+),
+hw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM assigned
+  WHERE bucket16 >= 14
+),
+cg AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q172_L - 1}], ' ') AS g
+  FROM cw
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q172_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q172_L}
+),
+hg AS (
+  SELECT DISTINCT array_to_string(w[u.i:u.i + {_Q172_L - 1}], ' ') AS g
+  FROM hw
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q172_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q172_L}
+),
+hits AS (SELECT doc_id, pos FROM cg JOIN hg USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {_Q172_L - 1} AS span_end,
+       max(pos) + {_Q172_L - 1} - min(pos) + 1 AS n_tokens
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+)
+def q172_exact_substring_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination spans of the held-out split inside the train
+    corpus: the q95 content-hash split carves documents 14/16 train+val
+    vs 2/16 test, and `exact_substring_decontaminate_spans` reports
+    every maximal >=20-token train-side run whose exact text occurs
+    anywhere in the test side. Plan shape: both sides project gram
+    HASHES, the corpus grams semi-join the held-out hash set (the one
+    corpus-sized shuffle), the true-text screen runs on candidates only
+    (held-side text computed only for hash-colliding positions), one
+    per-doc window merges islands — never a pairwise join."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_decontaminate_spans,
+    )
+
+    env = Env(spark, sf_dir)
+    b16 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 1),
+        )
+        - 1
+    )
+    docs = env.t("documents").select("doc_id", "text").withColumn(
+        "__b", b16
+    )
+    corpus = docs.filter(F.col("__b") < 14).drop("__b")
+    heldout = docs.filter(F.col("__b") >= 14).drop("__b")
+    return exact_substring_decontaminate_spans(
+        corpus, heldout, min_len=_Q172_L
+    ).orderBy("doc_id", "span_start")

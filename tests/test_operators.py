@@ -832,3 +832,50 @@ def test_ivf_recall_monotone_in_probes(spark, sf_dir):
         rec = [x[1] for x in seq]
         assert rec == sorted(rec), (qid, seq)  # monotone in n_probe
         assert rec[-1] == 1.0, (qid, seq)  # all cells == brute force
+
+
+def test_exact_substring_decontaminate_planted(spark):
+    """Cross-corpus decontamination (q172's operator): a train doc
+    carrying a verbatim copy of a held-out passage gets exactly that
+    span back (1-based inclusive, maximal); near-misses (one token
+    differs) and same-corpus duplicates (train-train only) produce
+    NOTHING — contamination is strictly train-vs-heldout. The scrub
+    variant cuts the span and only the span."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_decontaminate,
+        exact_substring_decontaminate_spans,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(1, 13))  # 12 tokens
+    near = " ".join(
+        f"w{i}" if i != 6 else "DIFF" for i in range(1, 13)
+    )
+    dup = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    corpus = spark.createDataFrame(
+        [
+            ("t1", "pre alpha " + leak + " post omega"),
+            ("t2", "clean " + near + " tail"),
+            ("t3", dup + " aa"),
+            ("t4", dup + " bb"),  # train-train dup: NOT contamination
+        ],
+        "doc_id string, text string",
+    )
+    heldout = spark.createDataFrame(
+        [("h1", "eval question " + leak + " eval answer")],
+        "doc_id string, text string",
+    )
+    spans = exact_substring_decontaminate_spans(
+        corpus, heldout, min_len=12
+    ).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in spans] == [
+        ("t1", 3, 14, 12)
+    ]
+    clean = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in exact_substring_decontaminate(
+            corpus, heldout, min_len=12
+        ).collect()
+    }
+    assert clean["t1"] == ("pre alpha post omega", 12)
+    assert clean["t2"][1] == 0 and clean["t3"][1] == 0
+    assert clean["t4"][1] == 0
