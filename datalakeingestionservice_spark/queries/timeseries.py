@@ -264,3 +264,72 @@ def q56_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — interval join (purchase <- click attribution, E100's batch half):
+# every (purchase, click) pair per user with the click at most 30 minutes
+# BEFORE the purchase. The SAME operator runs as a watermarked stream-stream
+# join (streaming/interval_join.py) — the streaming twin is batch-parity
+# pinned in tests/test_streaming.py against this DuckDB-verified query.
+# ---------------------------------------------------------------------------
+@register(
+    "q173_interval_join_attribution",
+    tags=("timeseries", "join", "interval", "streaming-twin", "events"),
+    oracle="""
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       CAST(floor(epoch(p.ts - c.ts) / 60) AS BIGINT) AS lag_minutes
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY user_id, purchase_id, click_id
+""",
+)
+def q173_interval_join_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All (purchase, click) attribution pairs: same user, click within
+    the 30 minutes before the purchase — `stream_interval_join` in
+    batch mode (identical semantics; streaming adds watermarks and
+    bounded state). At 100 TB the streaming form is the production
+    path: state is O(events-in-window) per side, evicted as the
+    opposite watermark passes the interval."""
+    from datalakeingestionservice_spark.streaming.interval_join import (
+        stream_interval_join,
+    )
+
+    env = Env(spark, sf_dir)
+    ev = env.t("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = stream_interval_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_time="p_ts",
+        right_time="c_ts",
+        lower="-30 minutes",
+        upper="0 seconds",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+            / 60_000_000
+        ).cast("long").alias("lag_minutes"),
+    ).orderBy("user_id", "purchase_id", "click_id")

@@ -15,10 +15,14 @@ from datalakeingestionservice_spark.streaming.events import (
     start_ingest_stream,
     tumbling_aggregate,
 )
+from datalakeingestionservice_spark.streaming.interval_join import (
+    stream_interval_join,
+)
 
 __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
+    "stream_interval_join",
     "tumbling_aggregate",
     "session_aggregate",
     "start_ingest_stream",

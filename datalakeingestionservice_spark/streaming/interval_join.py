@@ -1,0 +1,82 @@
+"""Stream-stream INTERVAL JOIN (Spark Structured Streaming's two-stream
+join class, watermark-bounded state): for each left event, every right
+event with the same keys whose event time falls in
+[left_time + lower, left_time + upper].
+
+This is the attribution/correlation shape (purchase <- click within 30
+minutes, alert <- metric spike within a window) as a STREAMING operator:
+both sides carry watermarks, and the time-range condition is what lets
+Spark bound the join state — each side's buffered rows are evicted once
+the other side's watermark passes the interval, so state is
+O(rows-in-window), never O(stream). Without the range condition a
+stream-stream join buffers both streams forever; building the condition
+wrong (or forgetting a watermark) is the classic silent-OOM — this
+operator owns that contract.
+
+The SAME function works on batch frames (watermarks skipped, identical
+join semantics), so the streaming twin is batch-parity-testable against
+the DuckDB-verified q173 — the E17 pattern.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    left_delay: str = "0 seconds",
+    right_delay: str = "0 seconds",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Join right events into left events per `keys` where
+    `right_time` is within [left_time + lower, left_time + upper]
+    (interval strings, e.g. lower="-30 minutes", upper="0 seconds" =
+    right event at most 30 minutes BEFORE the left event).
+
+    Streaming inputs get watermarks (`left_delay`/`right_delay` — the
+    lateness each side tolerates; Spark combines them with the range
+    condition to bound state). Non-key column names must be disjoint
+    across the two sides — a silent positional disambiguation would be
+    the wrong kind of convenient; rename before joining."""
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides; "
+            "rename them before the join (keys are equated and "
+            "deduplicated, everything else must be disjoint)"
+        )
+    missing = [k for k in keys if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(f"join key(s) {missing} absent from a side")
+    l = (
+        left.withWatermark(left_time, left_delay)
+        if left.isStreaming
+        else left
+    )
+    r = (
+        right.withWatermark(right_time, right_delay)
+        if right.isStreaming
+        else right
+    )
+    cond = reduce(
+        lambda a, b: a & b, [l[k] == r[k] for k in keys]
+    )
+    cond = (
+        cond
+        & (r[right_time] >= l[left_time] + F.expr(f"INTERVAL {lower}"))
+        & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {upper}"))
+    )
+    out = l.join(r, cond, join_type)
+    for k in keys:
+        out = out.drop(r[k])
+    return out

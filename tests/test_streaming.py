@@ -321,3 +321,75 @@ def test_max_files_per_trigger_paces_batches(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     assert len(batch_ids) == 3
     assert all(n == 1000 for _, n in batch_ids)  # one file per batch
+
+
+def test_stream_interval_join_matches_batch_oracle_query(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Stream-stream interval join (watermarked two-stream state) ==
+    the DuckDB-verified batch q173, row for row — the E17 parity
+    pattern for the join class. Both sides stream from files with
+    availableNow, so every attribution pair must emit."""
+    from datalakeingestionservice_spark.queries import QUERIES
+    from datalakeingestionservice_spark.streaming import (
+        stream_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, events_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    ev2 = read_events_stream(spark, events_dir)
+    clicks = ev2.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = stream_interval_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_time="p_ts",
+        right_time="c_ts",
+        lower="-30 minutes",
+        upper="0 seconds",
+        left_delay="10 minutes",
+        right_delay="40 minutes",
+    )
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ij_test").collect()
+    }
+    expected = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in QUERIES["q173_interval_join_attribution"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert expected, "parity anchor must be non-empty"
+    assert got == expected
+
+
+def test_stream_interval_join_refuses_colliding_columns(spark):
+    from datalakeingestionservice_spark.streaming import (
+        stream_interval_join,
+    )
+
+    a = spark.createDataFrame([(1, 1.0)], "k bigint, ts double")
+    b = spark.createDataFrame([(1, 2.0)], "k bigint, ts double")
+    with pytest.raises(ValueError, match="rename"):
+        stream_interval_join(
+            a, b, ["k"], "ts", "ts", "-1 seconds", "0 seconds"
+        )
