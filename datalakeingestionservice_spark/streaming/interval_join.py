@@ -68,15 +68,35 @@ def stream_interval_join(
         if right.isStreaming
         else right
     )
+    # Explicit side aliases, never l[k]/r[k] column references: when
+    # both sides derive from the SAME base frame (a batch self-join,
+    # e.g. purchases vs clicks of one events table), Spark dedups the
+    # join's attribute ids and frame-indexed references resolve
+    # ambiguously — an outer join can then silently serve the null
+    # side's key. Alias-qualified names are unambiguous by
+    # construction.
+    la, ra = "__ij_l", "__ij_r"
+    l, r = l.alias(la), r.alias(ra)
     cond = reduce(
-        lambda a, b: a & b, [l[k] == r[k] for k in keys]
+        lambda a, b: a & b,
+        [F.col(f"{la}.{k}") == F.col(f"{ra}.{k}") for k in keys],
     )
     cond = (
         cond
-        & (r[right_time] >= l[left_time] + F.expr(f"INTERVAL {lower}"))
-        & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {upper}"))
+        & (
+            F.col(f"{ra}.{right_time}")
+            >= F.col(f"{la}.{left_time}") + F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"{ra}.{right_time}")
+            <= F.col(f"{la}.{left_time}") + F.expr(f"INTERVAL {upper}")
+        )
     )
-    out = l.join(r, cond, join_type)
-    for k in keys:
-        out = out.drop(r[k])
-    return out
+    return l.join(r, cond, join_type).select(
+        *[F.col(f"{la}.{c}") for c in left.columns],
+        *[
+            F.col(f"{ra}.{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )

@@ -393,3 +393,91 @@ def test_stream_interval_join_refuses_colliding_columns(spark):
         stream_interval_join(
             a, b, ["k"], "ts", "ts", "-1 seconds", "0 seconds"
         )
+
+
+def test_stream_interval_join_left_outer_parity(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """LEFT OUTER stream-stream interval join: unmatched left rows emit
+    with NULL right columns once the watermark passes their interval —
+    with availableNow over a closed dataset, every unmatched purchase
+    must appear exactly once. Parity: the batch left-outer join."""
+    from datalakeingestionservice_spark.streaming import (
+        stream_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    def sides(reader):
+        ev = reader
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        ev2 = (
+            read_events_stream(spark, events_dir)
+            if reader.isStreaming
+            else reader
+        )
+        c = ev2.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        return p, c
+
+    sp, sc = sides(read_events_stream(spark, events_dir))
+    joined = stream_interval_join(
+        sp, sc, ["user_id"], "p_ts", "c_ts",
+        "-30 minutes", "0 seconds",
+        left_delay="10 minutes", right_delay="40 minutes",
+        join_type="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_outer_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ij-outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ij_outer_test").collect()
+    }
+    from datalakeingestionservice_spark.catalog import Env
+
+    bp, bc = sides(Env(spark, sf_dir).t("events"))
+    expected = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in stream_interval_join(
+            bp, bc, ["user_id"], "p_ts", "c_ts",
+            "-30 minutes", "0 seconds", join_type="left_outer",
+        ).collect()
+    }
+    assert any(c is None for _, _, c in expected)  # unmatched exist
+    # Streaming outer-join semantics: an unmatched left row emits its
+    # NULL result only once the watermark passes its interval — rows
+    # near the stream's END stay in state (the watermark never
+    # advances past max event time - delay). So: every emitted row is
+    # correct (subset), all MATCHED pairs emit, and the only missing
+    # rows are tail unmatched purchases inside the final horizon.
+    assert got <= expected
+    matched_e = {x for x in expected if x[2] is not None}
+    assert {x for x in got if x[2] is not None} == matched_e
+    missing = expected - got
+    assert all(c is None for _, _, c in missing), missing
+    if missing:
+        # A left row is declared unmatched only when the RIGHT
+        # watermark (max click ts - right_delay) passes its p_ts; any
+        # purchase after that horizon legitimately stays in state.
+        maxc = bc.agg(F.max("c_ts").alias("mx")).collect()[0].mx
+        tail_ids = {
+            r.purchase_id
+            for r in bp.filter(
+                F.col("p_ts")
+                >= F.lit(maxc) - F.expr("INTERVAL 40 minutes")
+            ).collect()
+        }
+        assert {p for _, p, _ in missing} <= tail_ids, missing
