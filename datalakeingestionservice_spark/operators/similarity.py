@@ -352,3 +352,63 @@ def ivf_recall(
         )
         .orderBy(qid_col, "n_probe")
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    n_flip: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al. 2007's multi-probe idea on
+    the sign-random-projection family): instead of growing table count
+    to raise recall, probe the query's OWN bucket plus every bucket
+    within Hamming distance `n_flip` of it — near-misses land one sign
+    flip away, so probing 1+n flipped buckets recovers most of them at
+    1/2^n of the corpus per bucket. Returns (id_col, bucket, cos_sim)
+    — the exact rank within the probed candidate set, cosine rounded
+    to `round_dp`, ties on id (engine-reproducible, like
+    :func:`ivf_recall`).
+
+    Scale shape: bucket ids are JVM sign-bit arithmetic; the probe set
+    (1 + n_planes choose <=n_flip buckets) broadcasts; candidates come
+    from a bucket equi-join — never a corpus scan per query, never
+    all-pairs. Only n_flip <= 1 is implemented (the probe set stays
+    linear in planes; deeper flips grow combinatorially and IVF is the
+    better tool there)."""
+    if n_flip not in (0, 1):
+        raise ValueError("n_flip must be 0 or 1")
+    n = len(planes)
+    bucketed = lsh_bucket(emb, planes, vec_col=vec_col)
+    qb = lsh_bucket(
+        query, planes, vec_col=query_vec_col, out_col="__qb"
+    )
+    flips = [F.col("__qb")] + (
+        [
+            F.col("__qb").bitwiseXOR(F.lit(2**i))
+            for i in range(n)
+        ]
+        if n_flip >= 1
+        else []
+    )
+    probes = qb.select(
+        query_vec_col,
+        F.explode(F.array(*flips)).alias("bucket"),
+    )
+    cand = bucketed.join(F.broadcast(probes), "bucket")
+    return (
+        cand.select(
+            id_col,
+            "bucket",
+            F.round(cosine(vec_col, query_vec_col), round_dp).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

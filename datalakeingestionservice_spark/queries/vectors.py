@@ -911,3 +911,68 @@ def q170_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall(emb, centroids, queries, k=10, probes=(1, 3)).select(
         F.col("qid").alias("query_id"), "n_probe", "n_hits", "recall"
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — multi-probe LSH top-k (Lv et al. 2007 on the q53 sign family):
+# probe the query's bucket plus all 8 Hamming-distance-1 buckets and rank
+# exactly within the candidates. Deterministic planes => DuckDB recomputes
+# bits, buckets, the probe set, and the ranking exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q174_lsh_multiprobe_topk",
+    tags=("vectors", "lsh", "ann", "topk", "multiprobe"),
+    oracle=f"""
+WITH planes AS ({_planes_sql()}),
+signs AS (
+  SELECT e.vec_id AS vec_id, p.plane_id AS plane_id,
+         CASE WHEN {_DUCK_DOT.format(a='e.embedding', b='p.plane')} >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(bit * CAST(pow(2, plane_id) AS BIGINT)) AS BIGINT) AS bucket
+  FROM signs GROUP BY vec_id
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT bucket AS qbkt FROM buckets WHERE vec_id = 0),
+probes AS (
+  SELECT qbkt AS bucket FROM qb
+  UNION
+  SELECT xor(qbkt, CAST(pow(2, u.i) AS BIGINT)) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) u
+),
+cand AS (
+  SELECT e.vec_id AS vec_id, b.bucket AS bucket,
+         round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+  FROM embeddings e
+  JOIN buckets b USING (vec_id)
+  JOIN probes p ON b.bucket = p.bucket
+  CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, bucket, cos_sim FROM cand
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q174_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query's own bucket plus its 8
+    single-bit-flip neighbors (Hamming distance 1) supply the candidate
+    set — near-misses land one sign flip away, so recall rises without
+    more hash tables while cost stays ~9/256 of the corpus. Exact
+    cosine ranking within candidates; the probe set broadcasts and
+    candidates come from a bucket equi-join."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return lsh_multiprobe_topk(
+        emb.filter(F.col("vec_id") != 0), q, _hyperplanes(), k=10
+    )

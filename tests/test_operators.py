@@ -879,3 +879,68 @@ def test_exact_substring_decontaminate_planted(spark):
     assert clean["t1"] == ("pre alpha post omega", 12)
     assert clean["t2"][1] == 0 and clean["t3"][1] == 0
     assert clean["t4"][1] == 0
+
+
+def test_decontaminate_no_all_pairs_plan(spark):
+    """The cross-corpus variant inherits the scale contract: corpus
+    grams SEMI-join the held-out hash set, never a position self-join —
+    no CartesianProduct, no BroadcastNestedLoopJoin."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_decontaminate_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}_{j}" for j in range(30))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    held = spark.createDataFrame(
+        [(i, " ".join(f"h{i}_{j}" for j in range(30))) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        exact_substring_decontaminate_spans(corpus, held, min_len=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_multiprobe_superset_and_recall(spark, sf_dir):
+    """Multi-probe LSH invariants: the flip-1 probe set strictly
+    contains the single-bucket candidates, so multiprobe top-k recall
+    vs the exact ranking is >= single-bucket recall; n_flip outside
+    {0,1} refuses."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        cosine_topk,
+        lsh_multiprobe_topk,
+    )
+    from datalakeingestionservice_spark.queries.vectors import (
+        _hyperplanes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = {
+        r.vec_id for r in cosine_topk(corpus, q, k=10).collect()
+    }
+    single = {
+        r.vec_id
+        for r in lsh_multiprobe_topk(
+            corpus, q, _hyperplanes(), k=10, n_flip=0
+        ).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in lsh_multiprobe_topk(
+            corpus, q, _hyperplanes(), k=10, n_flip=1
+        ).collect()
+    }
+    assert len(exact & multi) >= len(exact & single)
+    assert len(multi) >= len(single)
+    with pytest.raises(ValueError, match="n_flip"):
+        lsh_multiprobe_topk(corpus, q, _hyperplanes(), n_flip=2)
