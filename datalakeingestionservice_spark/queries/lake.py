@@ -3560,3 +3560,113 @@ def q171_scrub_to_lake_change_feed(
         "ORDER BY change_type",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — incrementally-maintained JOIN view (E102): orders ⋈ customer kept
+# fresh from BOTH change feeds via the Gupta–Mumick join delta rules
+# (ΔJ = ΔL⋈R_old ∪ L_new⋈ΔR as signed multisets) — never a view rescan,
+# never |L|×|R|. The oracle recomputes the final join from raw tables with
+# the same mutations applied, so the whole maintenance algebra (two delta
+# terms, full-row netting, pk-pair merge apply) sits behind a value check.
+# ---------------------------------------------------------------------------
+@register(
+    "q175_incremental_join_view",
+    tags=("lake", "incremental-view", "join", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price
+  FROM l0 WHERE k % 10 <> 1
+  UNION ALL
+  SELECT k + 1000000000 AS k, ck, 1.0 AS price FROM l0 WHERE k % 10 = 2
+),
+r0 AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+r1 AS (
+  SELECT ck, CASE WHEN ck % 7 = 0 THEN 'MOVED' ELSE seg END AS seg
+  FROM r0 WHERE ck % 11 <> 3
+),
+j AS (SELECT l1.k, l1.ck, l1.price, r1.seg FROM l1 JOIN r1 USING (ck))
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price,
+       min(k) AS min_k, max(k) AS max_k
+FROM j GROUP BY seg ORDER BY seg
+""",
+)
+def q175_incremental_join_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders ⋈ customer as an incrementally-maintained materialized
+    view: materialize once, mutate BOTH sides (left update + delete +
+    insert; right payload update + customer delete — which must drop
+    every join row of that customer), then ONE incremental refresh
+    applies the two signed delta terms through a single pk-pair merge.
+    The returned per-segment aggregate reads from the VIEW STATE table,
+    so the value check covers the maintenance algebra, not a recompute."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalJoinView,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_joinview_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "l"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "r"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    view = IncrementalJoinView(
+        spark,
+        l.root,
+        r.root,
+        os.path.join(base, "v"),
+        on=["ck"],
+        left_pk="k",
+        right_pk="ck",
+    )
+    assert view.refresh() == (1, 1)  # initial materialize
+
+    inserts = l.read(1).filter(F.col("k") % 10 == 2).select(
+        (F.col("k") + 1_000_000_000).alias("k"),
+        "ck",
+        F.lit(1.0).alias("price"),
+    )
+    l.update_where(F.col("k") % 10 == 0, {"price": F.col("price") + 5})
+    l.delete_where(F.col("k") % 10 == 1)
+    l.append(inserts)
+    r.update_where(F.col("ck") % 7 == 0, {"seg": F.lit("MOVED")})
+    r.delete_where(F.col("ck") % 11 == 3)
+    marks = view.refresh()  # ONE incremental refresh over both feeds
+    assert marks == (4, 3), marks
+    assert view.refresh() is None  # idempotent
+
+    return (
+        view.read()
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("seg")
+    )

@@ -439,3 +439,189 @@ class IncrementalAggView:
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )
+
+
+class IncrementalJoinView:
+    """Incrementally-maintained INNER equi-join materialized view over
+    TWO versioned tables' change feeds — the JOIN half of Gupta &
+    Mumick's delta rules (:class:`IncrementalAggView` is the Σ half):
+
+        J = L ⋈ R        ΔJ = ΔL ⋈ R@r_old  ∪  L@l_new ⋈ ΔR
+
+    evaluated as SIGNED multisets (insert +1 / delete −1). Using the
+    OLD right snapshot in the first term and the NEW left snapshot in
+    the second counts every changed pair exactly once — an update that
+    touches both sides nets out the intermediate (new-left, old-right)
+    pair with equal and opposite signs. Refresh cost is
+    |Δ| ⋈ (other side) per term — never |L|×|R|, never a view rescan.
+
+    Join rows are identified by ``(left_pk, right_pk)`` — each side's
+    primary key, UNIQUE per side by contract (the realistic case for
+    CDC-maintained tables; non-unique pks would make net effects
+    exceed ±1 and the state merge refuses on duplicate keys rather
+    than corrupting the view). Net effects apply as ONE state-table
+    merge: net>0 rows upsert, net<0-only pairs delete — and a pure
+    payload change (delete old row + insert new row, same pk pair)
+    lands as a plain update.
+
+    Non-key column names must be disjoint across the two sides (rename
+    before constructing). The refresh high-water marks
+    (``left_version``/``right_version``) ride in the view table's
+    commit summary: refresh is idempotent and safe under concurrent
+    refreshes (the merge pins ``expected_version``; a loser retries
+    from the new marks, where it finds nothing to do)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left_root: str,
+        right_root: str,
+        view_root: str,
+        on: list[str],
+        left_pk: str,
+        right_pk: str,
+    ):
+        self.spark = spark
+        self.left_root = left_root
+        self.right_root = right_root
+        self.view_root = view_root
+        self.on = list(on)
+        self.left_pk = left_pk
+        self.right_pk = right_pk
+
+    def _sides(self) -> tuple[VersionedTable, VersionedTable]:
+        return (
+            VersionedTable(self.spark, self.left_root),
+            VersionedTable(self.spark, self.right_root),
+        )
+
+    def _view_table(self) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, self.view_root)
+        except NoSuchVersionError:
+            return None
+
+    def last_refreshed_versions(self) -> tuple[int, int] | None:
+        """(left_version, right_version) the view reflects, or None
+        before the first refresh."""
+        table = self._view_table()
+        if table is None:
+            return None
+        for m in reversed(table.versions()):
+            if "left_version" in m.summary:
+                return (
+                    m.summary["left_version"],
+                    m.summary["right_version"],
+                )
+        return None
+
+    def read(self) -> DataFrame:
+        table = self._view_table()
+        if table is None:
+            raise NoSuchVersionError(
+                f"{self.view_root}: view not materialized; call refresh()"
+            )
+        return table.read()
+
+    def _out_cols(
+        self, left: VersionedTable, right: VersionedTable
+    ) -> list[str]:
+        from pyspark.sql.types import StructType
+
+        lcols = [
+            f.name
+            for f in StructType.fromDDL(left.manifest().schema_ddl).fields
+        ]
+        rcols = [
+            f.name
+            for f in StructType.fromDDL(right.manifest().schema_ddl).fields
+        ]
+        overlap = (set(lcols) & set(rcols)) - set(self.on)
+        if overlap:
+            raise ValueError(
+                f"non-key columns {sorted(overlap)} exist on both "
+                "sides; rename before constructing the view"
+            )
+        return lcols + [c for c in rcols if c not in self.on]
+
+    def refresh(self, max_retries: int = 3) -> tuple[int, int] | None:
+        """Bring the view up to both sources' latest versions. First
+        call materializes the full join; later calls apply the two
+        delta terms only. Returns the (left, right) versions the view
+        now reflects, or None if nothing new."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        left, right = self._sides()
+        l2, r2 = left.latest_version(), right.latest_version()
+        table = self._view_table()
+        out_cols = self._out_cols(left, right)
+
+        if table is None:
+            state = left.read(l2).join(right.read(r2), self.on).select(
+                *out_cols
+            )
+            VersionedTable.create(
+                self.spark,
+                self.view_root,
+                state,
+                summary={"left_version": l2, "right_version": r2},
+            )
+            return (l2, r2)
+
+        marks = self.last_refreshed_versions()
+        if marks is None:
+            raise NoSuchVersionError(
+                f"{self.view_root}: no version marks in history"
+            )
+        l1, r1 = marks
+        if l2 <= l1 and r2 <= r1:
+            return None  # idempotent: nothing new
+        view_version = table.latest_version()
+
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        pieces: list[DataFrame] = []
+        if l2 > l1:
+            dl = left.changes(l1, l2).withColumn("__s", sign)
+            pieces.append(
+                dl.join(right.read(r1), self.on).select(*out_cols, "__s")
+            )
+        if r2 > r1:
+            dr = right.changes(r1, r2).withColumn("__s", sign)
+            pieces.append(
+                left.read(l2).join(dr, self.on).select(*out_cols, "__s")
+            )
+        delta = pieces[0]
+        for p in pieces[1:]:
+            delta = delta.unionByName(p)
+        nets = (
+            delta.groupBy(*out_cols)
+            .agg(F.sum("__s").alias("__net"))
+            .filter(F.col("__net") != 0)
+        )
+        pks = [self.left_pk, self.right_pk]
+        ups = nets.filter(F.col("__net") > 0).drop("__net").withColumn(
+            "__is_delete", F.lit(False)
+        )
+        dels = (
+            nets.filter(F.col("__net") < 0)
+            .drop("__net")
+            .join(ups.select(*pks), pks, "left_anti")
+            .withColumn("__is_delete", F.lit(True))
+        )
+        try:
+            table.merge(
+                ups.unionByName(dels),
+                pks,
+                delete_col="__is_delete",
+                summary={"left_version": l2, "right_version": r2},
+                expected_version=view_version,
+            )
+        except ConcurrentCommitError:
+            if max_retries <= 0:
+                raise
+            return self.refresh(max_retries=max_retries - 1)
+        return (l2, r2)

@@ -524,3 +524,129 @@ def test_view_over_hidden_partitioned_and_bucketed_source(spark, roots):
     t.delete_where(F.col("grp") == "c")
     view.refresh()
     assert _view_state(view) == _recompute(t)
+
+
+class TestIncrementalJoinView:
+    def _mk(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalJoinView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l = VersionedTable.create(
+            spark,
+            str(tmp_path / "l"),
+            spark.createDataFrame(
+                [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0), (4, 30, 4.0)],
+                "k bigint, ck bigint, price double",
+            ),
+        )
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / "r"),
+            spark.createDataFrame(
+                [(10, "a"), (20, "b"), (40, "d")],
+                "ck bigint, seg string",
+            ),
+        )
+        v = IncrementalJoinView(
+            spark,
+            l.root,
+            r.root,
+            str(tmp_path / "v"),
+            on=["ck"],
+            left_pk="k",
+            right_pk="ck",
+        )
+        return l, r, v
+
+    def _full(self, l, r):
+        from collections import Counter
+
+        return Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck").collect()
+        )
+
+    def _view(self, v):
+        from collections import Counter
+
+        return Counter(
+            (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+        )
+
+    def test_join_view_tracks_full_recompute(self, spark, tmp_path):
+        """The delta algebra equals the full recompute after EVERY
+        mutation round: left inserts/deletes/updates, right updates
+        and deletes (removing a customer drops all its join rows),
+        both sides changing in one refresh, and a pure payload update
+        (delete+insert same pk pair) landing as an update."""
+        import pyspark.sql.functions as F
+
+        l, r, v = self._mk(spark, tmp_path)
+        assert v.refresh() == (1, 1)  # initial materialize
+        assert self._view(v) == self._full(l, r)
+
+        # round 1: left-only churn — update, delete, insert
+        l.update_where(F.col("k") == 1, {"price": F.lit(99.0)})
+        l.delete_where([("k", "=", 2)])
+        l.append(
+            spark.createDataFrame(
+                [(5, 20, 5.0), (6, 40, 6.0)],
+                "k bigint, ck bigint, price double",
+            )
+        )
+        assert v.refresh() == (4, 1)
+        assert self._view(v) == self._full(l, r)
+
+        # round 2: right-only churn — payload update + customer delete
+        r.update_where(F.col("ck") == 10, {"seg": F.lit("A2")})
+        r.delete_where([("ck", "=", 20)])
+        assert v.refresh() == (4, 3)
+        assert self._view(v) == self._full(l, r)
+
+        # round 3: BOTH sides in one refresh, incl. same-key churn
+        l.update_where(F.col("ck") == 40, {"price": F.lit(0.5)})
+        l.append(
+            spark.createDataFrame(
+                [(7, 10, 7.0)], "k bigint, ck bigint, price double"
+            )
+        )
+        r.update_where(F.col("ck") == 40, {"seg": F.lit("D2")})
+        r.append(
+            spark.createDataFrame([(20, "b2")], "ck bigint, seg string")
+        )
+        assert v.refresh() == (6, 5)
+        assert self._view(v) == self._full(l, r)
+
+        # idempotent: nothing new
+        assert v.refresh() is None
+        # marks recorded
+        assert v.last_refreshed_versions() == (6, 5)
+
+    def test_join_view_refuses_colliding_columns(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalJoinView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l = VersionedTable.create(
+            spark,
+            str(tmp_path / "cl"),
+            spark.createDataFrame([(1, 10, "x")], "k bigint, ck bigint, seg string"),
+        )
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / "cr"),
+            spark.createDataFrame([(10, "y")], "ck bigint, seg string"),
+        )
+        v = IncrementalJoinView(
+            spark, l.root, r.root, str(tmp_path / "cv"),
+            on=["ck"], left_pk="k", right_pk="ck",
+        )
+        with pytest.raises(ValueError, match="rename"):
+            v.refresh()
