@@ -625,3 +625,48 @@ class IncrementalJoinView:
                 raise
             return self.refresh(max_retries=max_retries - 1)
         return (l2, r2)
+
+    def start_continuous_refresh(
+        self,
+        checkpoint_dir: str,
+        processing_time: str = "0 seconds",
+    ) -> tuple:
+        """Keep the join view fresh CONTINUOUSLY: each side's change
+        stream (versions as offsets) triggers one idempotent
+        `refresh()` per micro-batch — same trigger-not-data posture as
+        :meth:`IncrementalAggView.start_continuous_refresh` (the marks,
+        not the stream offsets, are the source of truth, so replayed or
+        coalesced micro-batches can never double-apply; a refresh fired
+        by one side simply also drains the other). Returns both
+        StreamingQuery handles."""
+        import os as _os
+
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        queries = []
+        for tag, root in (
+            ("l", self.left_root),
+            ("r", self.right_root),
+        ):
+            feed = (
+                self.spark.readStream.format("versioned_changes")
+                .option("table_root", root)
+                .load()
+            )
+
+            def _on_batch(batch_df, batch_id: int) -> None:
+                self.refresh()
+
+            queries.append(
+                feed.writeStream.foreachBatch(_on_batch)
+                .trigger(processingTime=processing_time)
+                .option(
+                    "checkpointLocation",
+                    _os.path.join(checkpoint_dir, tag),
+                )
+                .start()
+            )
+        return tuple(queries)

@@ -36,6 +36,10 @@ Supported statements (one per call):
 - ``MERGE INTO <t> USING <view> ON t.k = s.k ... UPDATE SET * /
   INSERT * [/ flag-guarded DELETE]`` → :meth:`VersionedTable.merge`
   (see :func:`execute_merge` for the exact subset).
+- ``EXPLAIN [FORMATTED|EXTENDED] <SELECT ...>`` → one-row plan-text
+  DataFrame (:func:`execute_explain`) — the resolved Spark plan of the
+  front-door SELECT, time travel/branches/TVF included; non-SELECT
+  bodies refuse (engine statements are not Spark plans).
 - ``DESCRIBE HISTORY <t> [LIMIT n]`` / ``DESCRIBE DETAIL <t>`` →
   metadata DataFrames (:func:`execute_describe`), Delta's
   introspection statements over the manifest — never touch data.
@@ -1196,6 +1200,42 @@ def execute_describe(
     )
 
 
+_EXPLAIN_RE = re.compile(
+    r"^EXPLAIN(?:\s+(?P<mode>FORMATTED|EXTENDED))?\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute_explain(
+    spark: SparkSession, statement: str, tables: dict
+) -> DataFrame:
+    """`EXPLAIN [FORMATTED|EXTENDED] <SELECT ...>`: resolve the SELECT
+    through the front door (time travel, branches, tags, table_changes
+    all engage) and return the Spark plan text as a one-row DataFrame —
+    the plan-inspection UX for statement users. Non-SELECT bodies
+    refuse: UPDATE/MERGE/ALTER route to engine operations, not a single
+    Spark plan, so an "explained" DML would be an invented answer."""
+    m = _EXPLAIN_RE.match(_strip(statement))
+    if m is None:
+        raise UnsupportedStatementError(
+            "EXPLAIN [FORMATTED|EXTENDED] <SELECT|WITH ...>"
+        )
+    rest = m.group("rest").strip()
+    if not re.match(r"^(SELECT|WITH)\b", rest, re.IGNORECASE):
+        raise UnsupportedStatementError(
+            "EXPLAIN covers SELECT/WITH statements only — DML routes "
+            "to engine operations, not a single Spark plan; got "
+            f"{rest[:40]!r}"
+        )
+    df = execute_select(spark, rest, tables)
+    mode = (m.group("mode") or "simple").lower()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: E501
+        mode
+    )
+    txt = df._jdf.queryExecution().explainString(jmode)
+    return spark.createDataFrame([(txt,)], "plan string")
+
+
 def execute_sql(
     spark: SparkSession, statement: str, tables: dict
 ) -> DataFrame | int:
@@ -1207,6 +1247,8 @@ def execute_sql(
     sql = _strip(statement)
     if re.match(r"^(SELECT|WITH)\b", sql, re.IGNORECASE):
         return execute_select(spark, sql, tables)
+    if re.match(r"^EXPLAIN\b", sql, re.IGNORECASE):
+        return execute_explain(spark, sql, tables)
     if re.match(r"^DESC(RIBE)?\b", sql, re.IGNORECASE):
         return execute_describe(spark, sql, tables)
     return execute_dml(spark, sql, tables)

@@ -650,3 +650,63 @@ class TestIncrementalJoinView:
         )
         with pytest.raises(ValueError, match="rename"):
             v.refresh()
+
+
+def test_join_view_continuous_refresh(spark, tmp_path):
+    """Both sides' change streams trigger idempotent refreshes; DML on
+    EITHER side converges the view without a manual refresh call."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from collections import Counter
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalJoinView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "sl"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0)], "k bigint, ck bigint, price double"
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "sr"),
+        spark.createDataFrame([(10, "a"), (20, "b")], "ck bigint, seg string"),
+    )
+    v = IncrementalJoinView(
+        spark, l.root, r.root, str(tmp_path / "sv"),
+        on=["ck"], left_pk="k", right_pk="ck",
+    )
+    v.refresh()
+    qs = v.start_continuous_refresh(str(tmp_path / "ck"))
+    try:
+        l.append(
+            spark.createDataFrame(
+                [(3, 10, 3.0)], "k bigint, ck bigint, price double"
+            )
+        )
+        r.update_where(F.col("ck") == 20, {"seg": F.lit("B2")})
+        expected = Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck").collect()
+        )
+        deadline = time.time() + 90
+        got = None
+        while time.time() < deadline:
+            got = Counter(
+                (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+            )
+            if got == expected:
+                break
+            time.sleep(2)
+        assert got == expected
+    finally:
+        for q in qs:
+            q.stop()

@@ -251,6 +251,15 @@ CASES = [
      lambda r, tb: r.count() == 1),
     ("describe_detail", None, "DESCRIBE DETAIL t", "ok",
      lambda r, tb: r.collect()[0].num_entries >= 1),
+    # --- EXPLAIN
+    ("explain_select", None, "EXPLAIN SELECT k FROM t WHERE k = 1", "ok",
+     lambda r, tb: "Physical Plan" in r.collect()[0].plan),
+    ("explain_formatted_time_travel", _setup_v2,
+     "EXPLAIN FORMATTED SELECT v FROM t VERSION AS OF 1", "ok",
+     lambda r, tb: "(1) Scan" in r.collect()[0].plan
+     or "Physical Plan" in r.collect()[0].plan),
+    ("refuse_explain_dml", None, "EXPLAIN UPDATE t SET v = 1.0",
+     UnsupportedStatementError, None),
     # --- documented refusals (refuse-never-reinterpret: the exception
     #     fires AND the table does not move — checked for every case)
     ("refuse_unknown_statement", None, "TRUNCATE TABLE t",
