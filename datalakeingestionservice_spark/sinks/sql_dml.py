@@ -1252,3 +1252,69 @@ def execute_sql(
     if re.match(r"^DESC(RIBE)?\b", sql, re.IGNORECASE):
         return execute_describe(spark, sql, tables)
     return execute_dml(spark, sql, tables)
+
+
+class _ScriptTables:
+    """Mapping view of a staged catalog transaction for the statement
+    router: membership/iteration come from the catalog's pin map,
+    lookups hand out the transaction's per-table STAGED branch handles
+    (so every statement in the script reads and writes the staged
+    world). Table-set evolution is blocked — a script is a group of
+    table reads/writes, not a catalog schema change."""
+
+    def __init__(self, catalog, txn):
+        self._catalog = catalog
+        self._txn = txn
+
+    def _names(self):
+        return self._catalog.pins(self._txn._base).keys()
+
+    def __contains__(self, name) -> bool:
+        return name in self._names()
+
+    def __iter__(self):
+        return iter(sorted(self._names()))
+
+    def __len__(self) -> int:
+        return len(self._names())
+
+    def __getitem__(self, name):
+        return self._txn[name]
+
+
+def execute_script(
+    spark: SparkSession, statements: list[str], catalog
+) -> list:
+    """Run a SCRIPT of statements as ONE atomic unit — the
+    multi-statement form `execute_sql` refuses, made safe: the whole
+    script runs inside a catalog staged transaction
+    (write-audit-publish), so every DML lands on per-transaction table
+    branches, later statements read earlier statements' staged writes,
+    and ANY error (parse refusal, constraint violation, audit assert)
+    rolls the entire script back with nothing left on any table main.
+    One pin swap publishes everything together on success.
+
+    Returns one result per statement: the staged-branch commit version
+    for DML, MATERIALIZED rows (list[Row]) for SELECT/DESCRIBE/EXPLAIN
+    — materialized because the staged branches are reclaimed after
+    publish, so a lazy DataFrame would dangle. CREATE TABLE / DROP
+    TABLE refuse up front: table-set evolution is a catalog commit of
+    its own (`add_table`/`remove_table`), not a table write, and a
+    half-created table directory could not be rolled back."""
+    for stmt in statements:
+        s = _strip(stmt)
+        if _CREATE_TABLE_RE.match(s) or _DROP_TABLE_RE.match(s):
+            raise UnsupportedStatementError(
+                "CREATE TABLE / DROP TABLE are table-set evolution — "
+                "use catalog.add_table/remove_table outside a script; "
+                f"got: {s[:60]!r}"
+            )
+    results: list = []
+    with catalog.staged_transaction() as txn:
+        wrapped = _ScriptTables(catalog, txn)
+        for stmt in statements:
+            r = execute_sql(spark, stmt, wrapped)
+            results.append(
+                r.collect() if isinstance(r, DataFrame) else r
+            )
+    return results

@@ -833,3 +833,82 @@ def test_catalog_branch_fuzz_direct_write_and_publish_races(
                 for r in cat.read(n, catalog_version=cv).collect()
             )
             assert got == history[cv][n], (cv, n, seed)
+
+
+class TestExecuteScript:
+    def test_script_atomic_and_reads_staged(self, spark, cat):
+        """A statement script is ONE atomic unit: DML stages on
+        per-txn branches, a later SELECT sees earlier statements'
+        staged writes, and one pin swap publishes everything."""
+        from datalakeingestionservice_spark.sinks.sql_dml import (
+            execute_script,
+        )
+
+        v0 = cat.latest_version()
+        res = execute_script(
+            spark,
+            [
+                "INSERT INTO a VALUES (100, 1.5)",
+                "UPDATE b SET v = 9.0 WHERE k = 0",
+                "SELECT count(*) AS n FROM a WHERE k = 100",
+                "SELECT v FROM b WHERE k = 0",
+            ],
+            cat,
+        )
+        assert res[2][0].n == 1  # staged write visible mid-script
+        assert res[3][0].v == 9.0
+        assert cat.latest_version() == v0 + 1  # ONE catalog commit
+        assert {r.k for r in cat.read("a").collect()} >= {100}
+        assert cat.read("b").collect()[0].v == 9.0
+
+    def test_script_failure_rolls_back_everything(self, spark, cat):
+        from datalakeingestionservice_spark.sinks.sql_dml import (
+            UnsupportedStatementError,
+            execute_script,
+        )
+
+        v0 = cat.latest_version()
+        heads = {
+            n: cat.pins()[n]["version"] for n in ("a", "b")
+        }
+        with pytest.raises(UnsupportedStatementError):
+            execute_script(
+                spark,
+                [
+                    "INSERT INTO a VALUES (200, 2.5)",
+                    "TRUNCATE TABLE b",  # refused mid-script
+                ],
+                cat,
+            )
+        assert cat.latest_version() == v0
+        assert {n: cat.pins()[n]["version"] for n in ("a", "b")} == heads
+        assert 200 not in {r.k for r in cat.read("a").collect()}
+        # staged branches reclaimed: no table branch residue
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        for n in ("a", "b"):
+            t = VersionedTable(spark, cat.pins()[n]["root"])
+            assert t.list_branches() == {}
+
+    def test_script_refuses_table_set_evolution(self, spark, cat, tmp_path):
+        from datalakeingestionservice_spark.sinks.sql_dml import (
+            UnsupportedStatementError,
+            execute_script,
+        )
+
+        v0 = cat.latest_version()
+        with pytest.raises(UnsupportedStatementError, match="evolution"):
+            execute_script(
+                spark,
+                [
+                    "INSERT INTO a VALUES (300, 3.5)",
+                    f"CREATE TABLE x USING VERSIONED LOCATION "
+                    f"'{tmp_path / 'x'}' AS SELECT 1 AS a",
+                ],
+                cat,
+            )
+        # refused BEFORE any statement ran: no commit, no insert
+        assert cat.latest_version() == v0
+        assert 300 not in {r.k for r in cat.read("a").collect()}
