@@ -3670,3 +3670,104 @@ def q175_incremental_join_view(
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — incrementally-maintained LEFT OUTER join view (E105): the outer
+# extension of q175 — unmatched orders ride null-padded, and the padded set
+# TRANSITIONS as deltas land (deleting a customer pads all its orders;
+# inserting an order with an unknown customer pads it immediately). The
+# oracle recomputes the mutated LEFT JOIN from raw tables.
+# ---------------------------------------------------------------------------
+@register(
+    "q176_incremental_left_join_view",
+    tags=("lake", "incremental-view", "join", "outer", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck, price FROM l0 WHERE k % 10 <> 1
+  UNION ALL
+  SELECT k + 2000000000 AS k, -1 AS ck, 0.5 AS price
+  FROM l0 WHERE k % 10 = 3
+),
+r0 AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+r1 AS (SELECT ck, seg FROM r0 WHERE ck % 11 <> 3),
+j AS (
+  SELECT l1.k, l1.ck, l1.price, r1.seg
+  FROM l1 LEFT JOIN r1 ON l1.ck = r1.ck
+)
+SELECT coalesce(seg, '(unmatched)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price,
+       min(k) AS min_k, max(k) AS max_k
+FROM j GROUP BY coalesce(seg, '(unmatched)') ORDER BY seg
+""",
+)
+def q176_incremental_left_join_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders LEFT OUTER customer as an incrementally-maintained view:
+    materialize, then delete orders (k%10=1), insert orders pointing at
+    a NONEXISTENT customer (padded immediately), and delete customers
+    (ck%11=3) — padding every order they leave behind. One incremental
+    refresh applies the inner delta AND both padded-set transitions;
+    the aggregate reads from the view state (inner ∪ null-extended
+    padded)."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalLeftJoinView,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ljview_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "l"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "r"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    view = IncrementalLeftJoinView(
+        spark, l.root, r.root, os.path.join(base, "v"),
+        on=["ck"], left_pk="k", right_pk="ck",
+    )
+    assert view.refresh() == (1, 1)
+
+    orphans = l.read(1).filter(F.col("k") % 10 == 3).select(
+        (F.col("k") + 2_000_000_000).alias("k"),
+        F.lit(-1).cast("long").alias("ck"),
+        F.lit(0.5).alias("price"),
+    )
+    l.delete_where(F.col("k") % 10 == 1)
+    l.append(orphans)
+    r.delete_where(F.col("ck") % 11 == 3)
+    marks = view.refresh()
+    assert marks == (3, 2), marks
+    assert view.refresh() is None
+
+    return (
+        view.read()
+        .groupBy(F.coalesce(F.col("seg"), F.lit("(unmatched)")).alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("seg")
+    )

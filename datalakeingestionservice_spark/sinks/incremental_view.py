@@ -670,3 +670,164 @@ class IncrementalJoinView:
                 .start()
             )
         return tuple(queries)
+
+
+class IncrementalLeftJoinView(IncrementalJoinView):
+    """LEFT OUTER incrementally-maintained join view — the outer-join
+    IVM extension on top of :class:`IncrementalJoinView`: unmatched
+    left rows appear null-padded, and the padded set TRANSITIONS as
+    deltas land (a right delete that removes a left row's last match
+    must INSERT the padded row; a first match must DELETE it).
+
+    State is TWO versioned tables under `view_root`: `inner/` is
+    exactly the inner-join view (same delta algebra), `padded/` holds
+    the LEFT columns of currently-unmatched live left rows. The padded
+    maintenance is delta-scoped: only lefts touched by ΔL or whose join
+    key appears in ΔR are re-examined (their match status comes from a
+    semi-join of the refreshed inner state), never a left-table rescan.
+    Each table stamps its own (left_version, right_version) marks, so a
+    crash between the two merges repairs itself: the lagging table
+    re-derives its delta from the change feeds (deterministic) while
+    the current one is a no-op."""
+
+    def __init__(self, spark, left_root, right_root, view_root, on,
+                 left_pk, right_pk):
+        import os as _os
+
+        super().__init__(
+            spark, left_root, right_root,
+            _os.path.join(view_root, "inner"),
+            on, left_pk, right_pk,
+        )
+        self.outer_root = view_root
+        self.padded_root = _os.path.join(view_root, "padded")
+
+    def _padded_table(self) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, self.padded_root)
+        except NoSuchVersionError:
+            return None
+
+    def _padded_marks(self) -> tuple[int, int] | None:
+        t = self._padded_table()
+        if t is None:
+            return None
+        for m in reversed(t.versions()):
+            if "left_version" in m.summary:
+                return (
+                    m.summary["left_version"],
+                    m.summary["right_version"],
+                )
+        return None
+
+    def read(self) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        inner = super().read()
+        padded = self._padded_table()
+        if padded is None:
+            raise NoSuchVersionError(
+                f"{self.outer_root}: view not materialized; call refresh()"
+            )
+        _, right = self._sides()
+        rtypes = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(right.manifest().schema_ddl).fields
+        }
+        rcols = [c for c in rtypes if c not in self.on]
+        ext = padded.read().select(
+            "*",
+            *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+        )
+        return inner.unionByName(ext.select(*inner.columns))
+
+    def refresh(self, max_retries: int = 3) -> tuple[int, int] | None:
+        left, right = self._sides()
+        l2, r2 = left.latest_version(), right.latest_version()
+
+        if self._view_table() is None:
+            inner_marks = super().refresh()  # materializes inner
+            inner = self._view_table()
+            lefts = inner.read().select(self.left_pk).distinct()
+            pad0 = left.read(inner_marks[0]).join(
+                lefts, self.left_pk, "left_anti"
+            )
+            VersionedTable.create(
+                self.spark,
+                self.padded_root,
+                pad0,
+                summary={
+                    "left_version": inner_marks[0],
+                    "right_version": inner_marks[1],
+                },
+            )
+            return inner_marks
+
+    # inner first (its marks drive the padded repair window)
+        inner_res = super().refresh(max_retries=max_retries)
+        pm = self._padded_marks()
+        if pm is None:
+            raise NoSuchVersionError(
+                f"{self.padded_root}: no version marks in history"
+            )
+        pl1, pr1 = pm
+        if l2 <= pl1 and r2 <= pr1:
+            return inner_res  # padded already current
+        self._apply_padded(left, right, pl1, pr1, l2, r2)
+        return (l2, r2)
+
+    def _apply_padded(self, left, right, pl1, pr1, l2, r2) -> None:
+        """Re-derive padded membership for every AFFECTED left row:
+        those in ΔL plus those whose join key appears in ΔR."""
+        L2 = left.read(l2)
+        pieces = []
+        if l2 > pl1:
+            pieces.append(
+                left.changes(pl1, l2).select(self.left_pk).distinct()
+            )
+        if r2 > pr1:
+            dr_keys = (
+                right.changes(pr1, r2).select(*self.on).distinct()
+            )
+            pieces.append(
+                L2.join(dr_keys, self.on).select(self.left_pk).distinct()
+            )
+        affected = pieces[0]
+        for p in pieces[1:]:
+            affected = affected.unionByName(p)
+        affected = affected.distinct()
+
+        live_aff = L2.join(affected, self.left_pk, "leftsemi")
+        matched = (
+            self._view_table()
+            .read()
+            .join(affected, self.left_pk, "leftsemi")
+            .select(self.left_pk)
+            .distinct()
+        )
+        pad_rows = live_aff.join(matched, self.left_pk, "left_anti")
+        dels = (
+            affected.join(
+                pad_rows.select(self.left_pk), self.left_pk, "left_anti"
+            )
+        )
+        # delete-flagged rows only contribute their key to the merge;
+        # pad their payload columns with typed NULLs
+        lcols = [f for f in L2.schema.fields]
+        dels_full = dels.select(
+            *[
+                F.col(self.left_pk).alias(f.name)
+                if f.name == self.left_pk
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in lcols
+            ]
+        )
+        updates = pad_rows.withColumn(
+            "__is_delete", F.lit(False)
+        ).unionByName(dels_full.withColumn("__is_delete", F.lit(True)))
+        self._padded_table().merge(
+            updates,
+            [self.left_pk],
+            delete_col="__is_delete",
+            summary={"left_version": l2, "right_version": r2},
+        )

@@ -710,3 +710,86 @@ def test_join_view_continuous_refresh(spark, tmp_path):
     finally:
         for q in qs:
             q.stop()
+
+
+class TestIncrementalLeftJoinView:
+    def _mk(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalLeftJoinView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l = VersionedTable.create(
+            spark,
+            str(tmp_path / "ol"),
+            spark.createDataFrame(
+                [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0)],  # 99: no match
+                "k bigint, ck bigint, price double",
+            ),
+        )
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / "or"),
+            spark.createDataFrame(
+                [(10, "a"), (20, "b")], "ck bigint, seg string"
+            ),
+        )
+        v = IncrementalLeftJoinView(
+            spark, l.root, r.root, str(tmp_path / "ov"),
+            on=["ck"], left_pk="k", right_pk="ck",
+        )
+        return l, r, v
+
+    def _full(self, l, r):
+        from collections import Counter
+
+        return Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "left").collect()
+        )
+
+    def _view(self, v):
+        from collections import Counter
+
+        return Counter(
+            (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+        )
+
+    def test_outer_view_tracks_full_recompute(self, spark, tmp_path):
+        """Padded-set TRANSITIONS both directions: a right delete that
+        removes a left row's last match INSERTS the padded row; a
+        first match DELETES it; plus plain churn on both sides."""
+        import pyspark.sql.functions as F
+
+        l, r, v = self._mk(spark, tmp_path)
+        assert v.refresh() == (1, 1)
+        assert self._view(v) == self._full(l, r)  # k=3 padded
+
+        # 0 -> matched: customer 99 appears; matched -> 0: customer 10 dies
+        r.append(
+            spark.createDataFrame([(99, "z")], "ck bigint, seg string")
+        )
+        r.delete_where([("ck", "=", 10)])
+        assert v.refresh() == (1, 3)
+        assert self._view(v) == self._full(l, r)
+
+        # left churn: new unmatched left, delete a padded left,
+        # update a matched left's payload
+        l.append(
+            spark.createDataFrame(
+                [(4, 77, 4.0)], "k bigint, ck bigint, price double"
+            )
+        )
+        l.delete_where([("k", "=", 1)])  # was padded after ck10 died
+        l.update_where(F.col("k") == 2, {"price": F.lit(22.0)})
+        assert v.refresh() == (4, 3)
+        assert self._view(v) == self._full(l, r)
+
+        # key REPOINT: left row 4 moves from unmatched 77 to matched 20
+        l.update_where(F.col("k") == 4, {"ck": F.lit(20)})
+        assert v.refresh() == (5, 3)
+        assert self._view(v) == self._full(l, r)
+
+        assert v.refresh() is None  # idempotent
