@@ -1283,7 +1283,7 @@ class _ScriptTables:
 
 
 def execute_script(
-    spark: SparkSession, statements: list[str], catalog
+    spark: SparkSession, statements: list[str], catalog, audit=None
 ) -> list:
     """Run a SCRIPT of statements as ONE atomic unit — the
     multi-statement form `execute_sql` refuses, made safe: the whole
@@ -1292,7 +1292,11 @@ def execute_script(
     branches, later statements read earlier statements' staged writes,
     and ANY error (parse refusal, constraint violation, audit assert)
     rolls the entire script back with nothing left on any table main.
-    One pin swap publishes everything together on success.
+    One pin swap publishes everything together on success. An
+    optional `audit` callback runs LAST, still inside the transaction,
+    with the staged txn handle (`audit(txn)` — use `txn.sql(...)` to
+    query the staged cross-table world); raising vetoes the whole
+    script, same as a failing statement.
 
     Returns one result per statement: the staged-branch commit version
     for DML, MATERIALIZED rows (list[Row]) for SELECT/DESCRIBE/EXPLAIN
@@ -1317,4 +1321,6 @@ def execute_script(
             results.append(
                 r.collect() if isinstance(r, DataFrame) else r
             )
+        if audit is not None:
+            audit(txn)
     return results

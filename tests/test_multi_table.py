@@ -912,3 +912,36 @@ class TestExecuteScript:
         # refused BEFORE any statement ran: no commit, no insert
         assert cat.latest_version() == v0
         assert 300 not in {r.k for r in cat.read("a").collect()}
+
+
+def test_execute_script_audit_veto_and_pass(spark, cat):
+    """The script's WAP audit: the callback sees the staged cross-table
+    world and a raise vetoes everything; a passing audit publishes."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        execute_script,
+    )
+
+    v0 = cat.latest_version()
+
+    def too_many(txn):
+        n = txn.sql("SELECT count(*) AS n FROM a").collect()[0].n
+        if n > 3:
+            raise ValueError("audit: table a grew past 3 rows")
+
+    with pytest.raises(ValueError, match="audit"):
+        execute_script(
+            spark,
+            ["INSERT INTO a VALUES (400, 4.5)"],  # a has 10 rows: veto
+            cat,
+            audit=too_many,
+        )
+    assert cat.latest_version() == v0
+    assert 400 not in {r.k for r in cat.read("a").collect()}
+
+    def fine(txn):
+        assert txn.sql("SELECT count(*) AS n FROM b").collect()[0].n >= 1
+
+    execute_script(
+        spark, ["INSERT INTO b VALUES (401, 4.5)"], cat, audit=fine
+    )
+    assert 401 in {r.k for r in cat.read("b").collect()}
