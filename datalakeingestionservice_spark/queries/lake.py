@@ -3771,3 +3771,95 @@ def q176_incremental_left_join_view(
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — incrementally-maintained AGGREGATE OVER A JOIN (E106): the classic
+# select-project-join-aggregate IVM composition — per-segment order totals
+# (SELECT seg, count(*), sum(price) FROM orders JOIN customer GROUP BY seg)
+# maintained from BOTH change feeds in one refresh, the join itself never
+# materialized. Oracle recomputes the mutated join+aggregate from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q177_incremental_join_agg_view",
+    tags=("lake", "incremental-view", "join", "agg", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price
+  FROM l0 WHERE k % 10 <> 1
+),
+r0 AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+r1 AS (
+  SELECT ck, CASE WHEN ck % 7 = 0 THEN 'MOVED' ELSE seg END AS seg
+  FROM r0 WHERE ck % 11 <> 3
+),
+j AS (SELECT l1.k, l1.price, r1.seg FROM l1 JOIN r1 USING (ck))
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price
+FROM j GROUP BY seg ORDER BY seg
+""",
+)
+def q177_incremental_join_agg_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment totals over orders ⋈ customer as ONE incrementally-
+    maintained view: the netted join delta feeds the signed counting
+    aggregate directly (never materializing the join), groups empty
+    out and reappear as mutations land, and the returned result reads
+    FROM THE GROUP-STATE TABLE after one incremental refresh covering
+    mutations on BOTH sides."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalJoinAggView,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_jaggview_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "l"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "r"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    view = IncrementalJoinAggView(
+        spark, l.root, r.root, os.path.join(base, "v"),
+        on=["ck"], left_pk="k", right_pk="ck",
+        group_keys=["seg"], sums={"total_price": "price"},
+    )
+    assert view.refresh() == (1, 1)
+
+    l.update_where(F.col("k") % 10 == 0, {"price": F.col("price") + 5})
+    l.delete_where(F.col("k") % 10 == 1)
+    r.update_where(F.col("ck") % 7 == 0, {"seg": F.lit("MOVED")})
+    r.delete_where(F.col("ck") % 11 == 3)
+    assert view.refresh() == (3, 3)
+    assert view.refresh() is None
+
+    return (
+        view.read()
+        .select(
+            "seg",
+            F.col("_n").alias("n_rows"),
+            F.round(F.col("total_price"), 2).alias("total_price"),
+        )
+        .orderBy("seg")
+    )

@@ -544,6 +544,36 @@ class IncrementalJoinView:
             )
         return lcols + [c for c in rcols if c not in self.on]
 
+    def _net_delta(
+        self, left, right, l1, r1, l2, r2, out_cols
+    ) -> DataFrame:
+        """The join delta as netted signed FULL ROWS (__net ≠ 0):
+        ΔJ = ΔL⋈R@r1 ∪ L@l2⋈ΔR with insert=+1/delete=−1, grouped by
+        every output column so update churn cancels exactly. Shared by
+        the join view apply and the aggregate-over-join composition."""
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        pieces: list[DataFrame] = []
+        if l2 > l1:
+            dl = left.changes(l1, l2).withColumn("__s", sign)
+            pieces.append(
+                dl.join(right.read(r1), self.on).select(*out_cols, "__s")
+            )
+        if r2 > r1:
+            dr = right.changes(r1, r2).withColumn("__s", sign)
+            pieces.append(
+                left.read(l2).join(dr, self.on).select(*out_cols, "__s")
+            )
+        delta = pieces[0]
+        for p in pieces[1:]:
+            delta = delta.unionByName(p)
+        return (
+            delta.groupBy(*out_cols)
+            .agg(F.sum("__s").alias("__net"))
+            .filter(F.col("__net") != 0)
+        )
+
     def refresh(self, max_retries: int = 3) -> tuple[int, int] | None:
         """Bring the view up to both sources' latest versions. First
         call materializes the full join; later calls apply the two
@@ -580,28 +610,7 @@ class IncrementalJoinView:
             return None  # idempotent: nothing new
         view_version = table.latest_version()
 
-        sign = F.when(
-            F.col("_change_type") == "insert", F.lit(1)
-        ).otherwise(F.lit(-1))
-        pieces: list[DataFrame] = []
-        if l2 > l1:
-            dl = left.changes(l1, l2).withColumn("__s", sign)
-            pieces.append(
-                dl.join(right.read(r1), self.on).select(*out_cols, "__s")
-            )
-        if r2 > r1:
-            dr = right.changes(r1, r2).withColumn("__s", sign)
-            pieces.append(
-                left.read(l2).join(dr, self.on).select(*out_cols, "__s")
-            )
-        delta = pieces[0]
-        for p in pieces[1:]:
-            delta = delta.unionByName(p)
-        nets = (
-            delta.groupBy(*out_cols)
-            .agg(F.sum("__s").alias("__net"))
-            .filter(F.col("__net") != 0)
-        )
+        nets = self._net_delta(left, right, l1, r1, l2, r2, out_cols)
         pks = [self.left_pk, self.right_pk]
         ups = nets.filter(F.col("__net") > 0).drop("__net").withColumn(
             "__is_delete", F.lit(False)
@@ -831,3 +840,152 @@ class IncrementalLeftJoinView(IncrementalJoinView):
             delete_col="__is_delete",
             summary={"left_version": l2, "right_version": r2},
         )
+
+
+class IncrementalJoinAggView(IncrementalJoinView):
+    """Aggregate OVER a join, incrementally maintained — the classic
+    select-project-join-aggregate IVM composition: E102's join delta
+    rules feed E13's counting algorithm in ONE refresh, maintaining
+
+        SELECT group_keys, count(*), sum(expr)… FROM L JOIN R GROUP BY …
+
+    without materializing the join itself. The netted signed join rows
+    (:meth:`IncrementalJoinView._net_delta`) aggregate with their signs
+    into per-group deltas (one shuffle over CHANGED join rows), which
+    merge into the group-state table exactly like the single-table agg
+    view: counts add, NULL-free sum accumulators ride per-sum non-null
+    counters, groups hitting count 0 leave. Extremes (min/max) need the
+    partial-rebuild machinery and a materialized join to rescan — use
+    :class:`IncrementalAggView` over an :class:`IncrementalJoinView`
+    for those; this class keeps the join un-materialized, the right
+    trade when the aggregate is the only consumer."""
+
+    def __init__(self, spark, left_root, right_root, view_root, on,
+                 left_pk, right_pk, group_keys, sums=None):
+        super().__init__(
+            spark, left_root, right_root, view_root, on, left_pk, right_pk
+        )
+        self.group_keys = list(group_keys)
+        self.sums = dict(sums or {})
+        reserved = {_COUNT_COL} | {f"_nn_{c}" for c in self.sums}
+        if reserved & (set(self.sums) | set(self.group_keys)):
+            raise ValueError(f"reserved column names: {sorted(reserved)}")
+
+    def _agg(self, rows: DataFrame, sign=None) -> DataFrame:
+        weight = sign if sign is not None else F.lit(1)
+        aggs = [F.sum(weight).alias(_COUNT_COL)]
+        for out, expr in self.sums.items():
+            e = F.expr(expr)
+            aggs.append(
+                F.coalesce(F.sum(e * weight), F.lit(0)).alias(out)
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(e.isNotNull().cast("long") * weight), F.lit(0)
+                ).alias(f"_nn_{out}")
+            )
+        return rows.groupBy(*self.group_keys).agg(*aggs)
+
+    def read(self) -> DataFrame:
+        table = self._view_table()
+        if table is None:
+            raise NoSuchVersionError(
+                f"{self.view_root}: view not materialized; call refresh()"
+            )
+        state = table.read()
+        types = {f.name: f.dataType for f in state.schema.fields}
+        return state.select(
+            *self.group_keys,
+            F.col(_COUNT_COL),
+            *[
+                F.when(
+                    F.col(f"_nn_{c}") == 0, F.lit(None).cast(types[c])
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in self.sums
+            ],
+        )
+
+    def refresh(self, max_retries: int = 3) -> tuple[int, int] | None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        left, right = self._sides()
+        l2, r2 = left.latest_version(), right.latest_version()
+        table = self._view_table()
+        out_cols = self._out_cols(left, right)
+
+        if table is None:
+            state = self._agg(
+                left.read(l2).join(right.read(r2), self.on).select(
+                    *out_cols
+                )
+            )
+            VersionedTable.create(
+                self.spark,
+                self.view_root,
+                state,
+                summary={"left_version": l2, "right_version": r2},
+            )
+            return (l2, r2)
+
+        marks = self.last_refreshed_versions()
+        if marks is None:
+            raise NoSuchVersionError(
+                f"{self.view_root}: no version marks in history"
+            )
+        l1, r1 = marks
+        if l2 <= l1 and r2 <= r1:
+            return None
+        view_version = table.latest_version()
+
+        nets = self._net_delta(left, right, l1, r1, l2, r2, out_cols)
+        delta = self._agg(nets, sign=F.col("__net"))
+
+        state = table.read(view_version)
+        accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]
+        d = delta.select(
+            *self.group_keys,
+            F.col(_COUNT_COL).alias("__d_n"),
+            *[F.col(c).alias(f"__d_{c}") for c in accs],
+        )
+        combined = d.join(state, self.group_keys, "left").select(
+            *self.group_keys,
+            (
+                F.coalesce(F.col(_COUNT_COL), F.lit(0)) + F.col("__d_n")
+            ).alias(_COUNT_COL),
+            *[
+                (
+                    F.coalesce(F.col(c), F.lit(0))
+                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+                ).alias(c)
+                for c in accs
+            ],
+        )
+        state_types = {f.name: f.dataType for f in state.schema.fields}
+        combined = combined.select(
+            *[
+                F.col(c.name).cast(state_types[c.name]).alias(c.name)
+                if c.dataType != state_types[c.name]
+                else F.col(c.name)
+                for c in combined.schema.fields
+            ]
+        )
+        upserts = combined.withColumn(
+            "__is_delete", F.col(_COUNT_COL) == 0
+        )
+        try:
+            table.merge(
+                upserts,
+                self.group_keys,
+                delete_col="__is_delete",
+                summary={"left_version": l2, "right_version": r2},
+                expected_version=view_version,
+            )
+        except ConcurrentCommitError:
+            if max_retries <= 0:
+                raise
+            return self.refresh(max_retries=max_retries - 1)
+        return (l2, r2)

@@ -793,3 +793,81 @@ class TestIncrementalLeftJoinView:
         assert self._view(v) == self._full(l, r)
 
         assert v.refresh() is None  # idempotent
+
+
+def test_join_agg_view_tracks_full_recompute(spark, tmp_path):
+    """Aggregate-over-join IVM: the composed delta (join nets -> signed
+    counting aggregate) equals a full join+aggregate recompute after
+    every mutation round, including groups that appear, empty out, and
+    come back; NULL sum inputs ride the non-null counters."""
+    import pyspark.sql.functions as F
+
+    from collections import Counter
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalJoinAggView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "jl"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 10, None), (3, 20, 3.0)],
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "jr"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b")], "ck bigint, seg string"
+        ),
+    )
+    v = IncrementalJoinAggView(
+        spark, l.root, r.root, str(tmp_path / "jv"),
+        on=["ck"], left_pk="k", right_pk="ck",
+        group_keys=["seg"], sums={"total": "price"},
+    )
+
+    def full():
+        rows = (
+            l.read().join(r.read(), "ck")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("price").alias("total"),
+            )
+            .collect()
+        )
+        return Counter((x.seg, x._n, x.total) for x in rows)
+
+    def view():
+        return Counter((x.seg, x._n, x.total) for x in v.read().collect())
+
+    assert v.refresh() == (1, 1)
+    assert view() == full()
+
+    # group 'b' empties out (delete its only join row)
+    l.delete_where([("k", "=", 3)])
+    # 'a' gains a real value where a NULL lived, plus churn
+    l.update_where(F.col("k") == 2, {"price": F.lit(2.0)})
+    assert v.refresh() == (3, 1)
+    assert view() == full()
+
+    # 'b' comes back via the right side; both sides in one refresh
+    l.append(
+        spark.createDataFrame(
+            [(4, 20, 4.0), (5, 30, None)],
+            "k bigint, ck bigint, price double",
+        )
+    )
+    r.append(spark.createDataFrame([(30, "c")], "ck bigint, seg string"))
+    assert v.refresh() == (4, 2)
+    assert view() == full()
+    # group 'c' exists with an all-NULL sum -> total must read as NULL
+    assert [x for x in view() if x[0] == "c"][0][2] is None
+
+    assert v.refresh() is None
