@@ -3863,3 +3863,107 @@ def q177_incremental_join_agg_view(
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — incrementally-maintained FULL OUTER join view (E107): both padded
+# sets live — customers whose orders all vanish become right-padded rows,
+# orphan orders (unknown customer) ride left-padded — and both transition
+# from the change feeds. Oracle recomputes the mutated FULL JOIN from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q178_incremental_full_join_view",
+    tags=("lake", "incremental-view", "join", "outer", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck, price FROM l0 WHERE ck % 5 <> 2
+  UNION ALL
+  SELECT k + 2000000000 AS k, -1 AS ck, 0.5 AS price
+  FROM l0 WHERE k % 10 = 3
+),
+r0 AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+r1 AS (SELECT ck, seg FROM r0 WHERE ck % 11 <> 3),
+j AS (
+  SELECT l1.k, l1.price, r1.seg
+  FROM l1 FULL JOIN r1 ON l1.ck = r1.ck
+)
+SELECT coalesce(seg, '(unmatched)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS n_orders,
+       round(coalesce(sum(price), 0.0), 2) AS total_price
+FROM j GROUP BY coalesce(seg, '(unmatched)') ORDER BY seg
+""",
+)
+def q178_incremental_full_join_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders FULL OUTER customer, incrementally maintained: deleting
+    EVERY order of ck%5=2 customers re-pads those customers on the
+    right; inserting orders pointing at a nonexistent customer pads
+    them on the left; deleting ck%11=3 customers pads their surviving
+    orders. One incremental refresh applies the inner delta plus BOTH
+    padded-set transitions; the aggregate reads the three-table view
+    state (n_orders counts only real order rows — right-padded rows
+    carry NULL keys, exactly like the recompute)."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalFullJoinView,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_fjview_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "l"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "r"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    view = IncrementalFullJoinView(
+        spark, l.root, r.root, os.path.join(base, "v"),
+        on=["ck"], left_pk="k", right_pk="ck",
+    )
+    assert view.refresh() == (1, 1)
+
+    orphans = l.read(1).filter(F.col("k") % 10 == 3).select(
+        (F.col("k") + 2_000_000_000).alias("k"),
+        F.lit(-1).cast("long").alias("ck"),
+        F.lit(0.5).alias("price"),
+    )
+    l.delete_where(F.col("ck") % 5 == 2)
+    l.append(orphans)
+    r.delete_where(F.col("ck") % 11 == 3)
+    marks = view.refresh()
+    assert marks == (3, 2), marks
+    assert view.refresh() is None
+
+    return (
+        view.read()
+        .groupBy(
+            F.coalesce(F.col("seg"), F.lit("(unmatched)")).alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_orders"),
+            F.round(F.coalesce(F.sum("price"), F.lit(0.0)), 2).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("seg")
+    )

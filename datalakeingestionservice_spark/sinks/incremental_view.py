@@ -989,3 +989,144 @@ class IncrementalJoinAggView(IncrementalJoinView):
                 raise
             return self.refresh(max_retries=max_retries - 1)
         return (l2, r2)
+
+
+class IncrementalFullJoinView(IncrementalLeftJoinView):
+    """FULL OUTER incrementally-maintained join view: E105's padded
+    machinery on BOTH sides — unmatched left rows ride with null right
+    columns AND unmatched right rows ride with null left columns, each
+    padded set transitioning as deltas land. State adds a third table
+    (`rpadded/`, right columns of unmatched live rights) whose
+    maintenance mirrors the left one symmetrically: affected rights =
+    ΔR ∪ rights whose key ∈ ΔL, match status from one semi-join of the
+    refreshed inner state. All three tables stamp marks; a crash
+    between merges self-repairs (each lagging table re-derives from
+    the deterministic change feeds)."""
+
+    def __init__(self, spark, left_root, right_root, view_root, on,
+                 left_pk, right_pk):
+        import os as _os
+
+        super().__init__(
+            spark, left_root, right_root, view_root, on, left_pk, right_pk
+        )
+        self.rpadded_root = _os.path.join(view_root, "rpadded")
+
+    def _rpadded_table(self) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, self.rpadded_root)
+        except NoSuchVersionError:
+            return None
+
+    def _rpadded_marks(self) -> tuple[int, int] | None:
+        t = self._rpadded_table()
+        if t is None:
+            return None
+        for m in reversed(t.versions()):
+            if "left_version" in m.summary:
+                return (
+                    m.summary["left_version"],
+                    m.summary["right_version"],
+                )
+        return None
+
+    def read(self) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        both = super().read()  # inner ∪ left-padded
+        rpadded = self._rpadded_table()
+        if rpadded is None:
+            raise NoSuchVersionError(
+                f"{self.outer_root}: view not materialized; call refresh()"
+            )
+        left, _ = self._sides()
+        ltypes = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(left.manifest().schema_ddl).fields
+        }
+        lcols = [c for c in ltypes if c not in self.on]
+        ext = rpadded.read().select(
+            "*",
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        )
+        return both.unionByName(ext.select(*both.columns))
+
+    def refresh(self, max_retries: int = 3) -> tuple[int, int] | None:
+        left, right = self._sides()
+        l2, r2 = left.latest_version(), right.latest_version()
+        first = self._view_table() is None
+        res = super().refresh(max_retries=max_retries)
+        if first:
+            inner = self._view_table()
+            rights = inner.read().select(self.right_pk).distinct()
+            rpad0 = right.read(res[1]).join(
+                rights, self.right_pk, "left_anti"
+            )
+            VersionedTable.create(
+                self.spark,
+                self.rpadded_root,
+                rpad0,
+                summary={
+                    "left_version": res[0],
+                    "right_version": res[1],
+                },
+            )
+            return res
+        rm = self._rpadded_marks()
+        if rm is None:
+            raise NoSuchVersionError(
+                f"{self.rpadded_root}: no version marks in history"
+            )
+        rl1, rr1 = rm
+        if l2 <= rl1 and r2 <= rr1:
+            return res
+        self._apply_rpadded(left, right, rl1, rr1, l2, r2)
+        return (l2, r2)
+
+    def _apply_rpadded(self, left, right, pl1, pr1, l2, r2) -> None:
+        R2 = right.read(r2)
+        pieces = []
+        if r2 > pr1:
+            pieces.append(
+                right.changes(pr1, r2).select(self.right_pk).distinct()
+            )
+        if l2 > pl1:
+            dl_keys = left.changes(pl1, l2).select(*self.on).distinct()
+            pieces.append(
+                R2.join(dl_keys, self.on).select(self.right_pk).distinct()
+            )
+        affected = pieces[0]
+        for p in pieces[1:]:
+            affected = affected.unionByName(p)
+        affected = affected.distinct()
+
+        live_aff = R2.join(affected, self.right_pk, "leftsemi")
+        matched = (
+            self._view_table()
+            .read()
+            .join(affected, self.right_pk, "leftsemi")
+            .select(self.right_pk)
+            .distinct()
+        )
+        pad_rows = live_aff.join(matched, self.right_pk, "left_anti")
+        dels = affected.join(
+            pad_rows.select(self.right_pk), self.right_pk, "left_anti"
+        )
+        rcols = [f for f in R2.schema.fields]
+        dels_full = dels.select(
+            *[
+                F.col(self.right_pk).alias(f.name)
+                if f.name == self.right_pk
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in rcols
+            ]
+        )
+        updates = pad_rows.withColumn(
+            "__is_delete", F.lit(False)
+        ).unionByName(dels_full.withColumn("__is_delete", F.lit(True)))
+        self._rpadded_table().merge(
+            updates,
+            [self.right_pk],
+            delete_col="__is_delete",
+            summary={"left_version": l2, "right_version": r2},
+        )

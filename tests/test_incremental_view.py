@@ -871,3 +871,75 @@ def test_join_agg_view_tracks_full_recompute(spark, tmp_path):
     assert [x for x in view() if x[0] == "c"][0][2] is None
 
     assert v.refresh() is None
+
+
+def test_full_outer_join_view_tracks_full_recompute(spark, tmp_path):
+    """FULL OUTER IVM: both padded sets transition independently —
+    unmatched customers appear right-padded, gaining their first order
+    unpads them, losing their last order re-pads them; symmetric for
+    unmatched orders."""
+    import pyspark.sql.functions as F
+
+    from collections import Counter
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalFullJoinView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "fl"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 99, 2.0)],  # 99: no customer
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "fr"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b")],  # 20: no orders yet
+            "ck bigint, seg string",
+        ),
+    )
+    v = IncrementalFullJoinView(
+        spark, l.root, r.root, str(tmp_path / "fv"),
+        on=["ck"], left_pk="k", right_pk="ck",
+    )
+
+    def full():
+        return Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "full").collect()
+        )
+
+    def view():
+        return Counter(
+            (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+        )
+
+    assert v.refresh() == (1, 1)
+    assert view() == full()  # k=2 left-padded, ck=20 right-padded
+
+    # ck=20 gains its first order (unpads right); customer 99 appears
+    # (unpads left); customer 10 dies (its order 1 becomes left-padded,
+    # and 10 must NOT reappear right-padded — it's gone)
+    l.append(
+        spark.createDataFrame(
+            [(3, 20, 3.0)], "k bigint, ck bigint, price double"
+        )
+    )
+    r.append(spark.createDataFrame([(99, "z")], "ck bigint, seg string"))
+    r.delete_where([("ck", "=", 10)])
+    assert v.refresh() == (2, 3)
+    assert view() == full()
+
+    # ck=20 loses its only order -> right-pads again
+    l.delete_where([("k", "=", 3)])
+    assert v.refresh() == (3, 3)
+    assert view() == full()
+
+    assert v.refresh() is None
