@@ -352,18 +352,29 @@ _NORM_TOKEN_EXPR = (
     "transform({col}, t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '')))"
 )
 
-#: The corpus-sized gram-hash table each exact-substring call persists
-#: (MEMORY_AND_DISK). At most one is registered at a time — a new call
-#: releases the previous cache first — so repeated invocations can't
-#: accumulate executor storage across a session.
+#: The corpus-sized gram-hash tables exact-substring calls persist
+#: (MEMORY_AND_DISK). Bounded to a small FIFO: a composed pipeline
+#: (decontaminate -> scrub in ONE plan, q179) legitimately holds a few
+#: live gram caches at once — evicting a cache before its plan ever
+#: materializes forces the tokenize+hash subtree to recompute per
+#: consumer (the 2.2x regression the r9 probe measured) — while the
+#: bound still prevents unbounded executor-storage growth across a
+#: session (the ADVICE r9 finding).
 _GRAM_CACHES: list = []
+_MAX_GRAM_CACHES = 4
+
+
+def _register_gram_cache(df) -> None:
+    _GRAM_CACHES.append(df)
+    while len(_GRAM_CACHES) > _MAX_GRAM_CACHES:
+        _GRAM_CACHES.pop(0).unpersist()
 
 
 def release_exact_substring_caches() -> None:
-    """Unpersist any gram-hash table cached by a previous
-    exact_substring_spans / scrub / keep_first call. Safe while lazy
-    results from that call are still alive: they recompute without the
-    cache instead of failing."""
+    """Unpersist every gram-hash table cached by previous
+    exact_substring_spans / scrub / keep_first / decontaminate calls.
+    Safe while lazy results from those calls are still alive: they
+    recompute without the cache instead of failing."""
     while _GRAM_CACHES:
         _GRAM_CACHES.pop().unpersist()
 
@@ -423,15 +434,12 @@ def _dup_gram_occurrences(
     )
     from pyspark import StorageLevel
 
-    # Bound cached storage to ONE gram table per session: release the
-    # previous call's cache before persisting this one (persist is a
-    # performance hint — an older lazy result that re-executes after
-    # its cache is dropped just recomputes, it never gets wrong). A
-    # caller done with results can drop the last cache explicitly via
-    # :func:`release_exact_substring_caches`.
-    release_exact_substring_caches()
+    # Bounded cache registry (persist is a performance hint — an older
+    # lazy result that re-executes after its cache is evicted just
+    # recomputes, it never gets wrong). A caller done with results can
+    # drop everything via :func:`release_exact_substring_caches`.
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    _GRAM_CACHES.append(grams)
+    _register_gram_cache(grams)
     dup_h = (
         grams.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -679,11 +687,10 @@ def exact_substring_decontaminate_spans(
     L = int(min_len)
     ctoks, cg = _gram_tables(corpus, id_col, text_col, L, normalize)
     htoks, hg = _gram_tables(heldout, id_col, text_col, L, normalize)
-    # Same single-cache discipline as `_dup_gram_occurrences`: the
+    # Same bounded-cache discipline as `_dup_gram_occurrences`: the
     # corpus gram table feeds the semi-join AND the candidate rejoin.
-    release_exact_substring_caches()
     cg = cg.persist(StorageLevel.MEMORY_AND_DISK)
-    _GRAM_CACHES.append(cg)
+    _register_gram_cache(cg)
     held_hashes = hg.select("__h").distinct()
     cand = cg.join(held_hashes, "__h", "semi")
     cand_txt = cand.join(ctoks, id_col).select(

@@ -380,3 +380,297 @@ def q169_curation_pipeline_scrubbed(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — the capstone v3 (round-11 candidate #2, landed early): the FULL
+# curation ladder a pretraining-data team runs — content-hash split ->
+# quality -> exact dedup -> DECONTAMINATE vs the held-out split (E99) ->
+# exact-substring scrub within the corpus (E87) -> hollow-doc cut ->
+# fuzzy Jaccard over the cleaned text -> survivors -> per-language stats —
+# as ONE lazy plan whose DuckDB oracle recomputes every stage from raw
+# text, including both gram passes and the recursive component closure.
+# ---------------------------------------------------------------------------
+_Q179_L = 20
+_Q179_MIN_CLEAN = 10
+
+
+@register(
+    "q179_curation_pipeline_decontaminated",
+    tags=("capstone", "dedup", "exact-substring", "decontamination",
+          "quality", "text"),
+    oracle=f"""
+WITH RECURSIVE
+assigned AS (
+  SELECT doc_id, text, lang,
+         strpos('0123456789abcdef', substr(sha256(lower(trim(text))), 1, 1)) - 1
+           AS b16
+  FROM documents
+),
+train AS (SELECT doc_id, text, lang FROM assigned WHERE b16 < 14),
+held AS (SELECT doc_id, text FROM assigned WHERE b16 >= 14),
+feats AS (
+  SELECT doc_id, text, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS diversity
+  FROM train
+),
+quality AS (
+  SELECT doc_id, text, lang, n_tokens FROM feats
+  WHERE n_tokens >= 20 AND diversity >= 0.25
+),
+fp AS (
+  SELECT doc_id, text, lang, n_tokens,
+         sha256(lower(trim(text))) AS fingerprint
+  FROM quality
+),
+exact_kept AS (
+  SELECT doc_id, text, lang, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+),
+words0 AS (
+  SELECT doc_id, lang, n_tokens, string_split(text, ' ') AS w
+  FROM exact_kept
+),
+cg0 AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q179_L - 1}], ' ') AS g
+  FROM words0
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q179_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q179_L}
+),
+hw AS (SELECT doc_id, string_split(text, ' ') AS w FROM held),
+hg0 AS (
+  SELECT DISTINCT array_to_string(w[u.i:u.i + {_Q179_L - 1}], ' ') AS g
+  FROM hw
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q179_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q179_L}
+),
+hits0 AS (SELECT doc_id, pos FROM cg0 JOIN hg0 USING (g)),
+cover0 AS (
+  SELECT DISTINCT doc_id, h.pos + v.o AS p
+  FROM hits0 h
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {_Q179_L - 1})) AS o
+  ) v
+),
+toks0 AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words0
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept0 AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks0 t ANTI JOIN cover0 c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg0 AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY p), ' ') AS t1,
+         count(*) AS n1
+  FROM kept0 GROUP BY doc_id
+),
+decon AS (
+  SELECT w.doc_id, w.lang,
+         coalesce(a.t1, '') AS t1, coalesce(a.n1, 0) AS n1
+  FROM words0 w LEFT JOIN agg0 a USING (doc_id)
+),
+words1 AS (
+  SELECT doc_id, string_split(t1, ' ') AS w FROM decon WHERE n1 >= 1
+),
+cg1 AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q179_L - 1}], ' ') AS g
+  FROM words1
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q179_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q179_L}
+),
+dup1 AS (SELECT g FROM cg1 GROUP BY g HAVING count(*) >= 2),
+hits1 AS (SELECT doc_id, pos FROM cg1 JOIN dup1 USING (g)),
+cover1 AS (
+  SELECT DISTINCT doc_id, h.pos + v.o AS p
+  FROM hits1 h
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {_Q179_L - 1})) AS o
+  ) v
+),
+toks1 AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words1
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept1 AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks1 t ANTI JOIN cover1 c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg1 AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY p), ' ') AS t2,
+         count(*) AS n2
+  FROM kept1 GROUP BY doc_id
+),
+scrubbed AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN d.n1 = 0 THEN '' ELSE coalesce(s.t2, '') END AS t2,
+         CASE WHEN d.n1 = 0 THEN 0 ELSE coalesce(s.n2, 0) END AS n2
+  FROM decon d LEFT JOIN agg1 s USING (doc_id)
+  WHERE (CASE WHEN d.n1 = 0 THEN 0 ELSE coalesce(s.n2, 0) END)
+        >= {_Q179_MIN_CLEAN}
+),
+cw AS (SELECT doc_id, string_split(t2, ' ') AS w FROM scrubbed),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM cw WHERE len(w) >= 3
+  )
+),
+sh_freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+pruned AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN sh_freq f USING (shingle) WHERE f.df <= 20
+),
+doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pair_common p
+  JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+  JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+losers AS (SELECT node FROM labels WHERE node <> component),
+final AS (
+  SELECT * FROM scrubbed WHERE doc_id NOT IN (SELECT node FROM losers)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n2) AS BIGINT) AS total_tokens,
+       round(avg(n2), 2) AS avg_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM final
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q179_curation_pipeline_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full ladder: content-hash split (train vs held-out test) ->
+    quality filter -> fingerprint exact dedup -> exact-substring
+    DECONTAMINATION against the held-out split (verbatim eval leakage
+    cut, E99) -> exact-substring scrub within the corpus (E87) ->
+    hollow-doc cut -> Jaccard clustering over the cleaned text ->
+    survivors -> per-language stats. Two gram passes (cross-corpus,
+    then within-corpus over the decontaminated text), both
+    no-pairwise; three persisted shared subtrees (exact_kept, decon,
+    scrubbed — MEMORY_AND_DISK)."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_decontaminate,
+        exact_substring_scrub,
+    )
+
+    env = Env(spark, sf_dir)
+    b16 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 1),
+        )
+        - 1
+    )
+    docs = env.t("documents").select("doc_id", "text", "lang").withColumn(
+        "__b", b16
+    )
+    train = docs.filter(F.col("__b") < 14).drop("__b")
+    held = docs.filter(F.col("__b") >= 14).select("doc_id", "text")
+
+    quality = (
+        train.withColumn("n_tokens", n_tokens("text"))
+        .withColumn("diversity", lexical_diversity("text"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("diversity") >= 0.25))
+        .drop("diversity")
+    )
+    exact_kept = (
+        exact_dedup(
+            fingerprint(quality, "text"),
+            keys=["fingerprint"],
+            tiebreaker="doc_id",
+        )
+        .drop("fingerprint")
+        .persist()
+    )
+    decon = (
+        exact_substring_decontaminate(
+            exact_kept.select("doc_id", "text"),
+            held,
+            min_len=_Q179_L,
+            out_col="t1",
+        )
+        .join(exact_kept.select("doc_id", "lang", "n_tokens"), "doc_id")
+        .withColumn(
+            "n1",
+            (F.col("n_tokens") - F.col("n_removed_tokens")).cast("long"),
+        )
+        .select("doc_id", "lang", "t1", "n1")
+        .persist()
+    )
+    scrubbed = (
+        exact_substring_scrub(
+            decon.select("doc_id", F.col("t1").alias("text")),
+            min_len=_Q179_L,
+            out_col="t2",
+        )
+        .join(decon, "doc_id")
+        .withColumn(
+            "n2",
+            (F.col("n1") - F.col("n_removed_tokens")).cast("long"),
+        )
+        .filter(F.col("n2") >= _Q179_MIN_CLEAN)
+        .select("doc_id", "lang", "t2", "n2")
+        .persist()
+    )
+    shingles = word_shingles(
+        scrubbed, "doc_id", "t2", n=3, max_shingle_freq=20
+    )
+    pairs = jaccard_pairs(
+        shingles, id_col="doc_id", threshold=0.4, persist=True
+    ).select("doc_a", "doc_b")
+    final = dedup_survivors(scrubbed, pairs)
+
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n2").alias("total_tokens"),
+            F.round(F.avg("n2"), 2).alias("avg_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

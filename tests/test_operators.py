@@ -773,10 +773,12 @@ def test_bm25f_field_weights_shift_ranking(spark):
 
 def test_exact_substring_gram_cache_bounded(spark):
     """ADVICE r9 low: each exact-substring call persists a corpus-sized
-    gram table; repeated calls must not accumulate cached RDDs — at
-    most ONE registered cache at a time, releasable explicitly, and an
-    older lazy result still computes correctly after its cache drops
-    (persist is a hint, never a correctness dependency)."""
+    gram table; repeated calls must not accumulate cached RDDs — the
+    registry is a bounded FIFO (small enough to cap storage, big
+    enough that a composed pipeline's few live caches survive until
+    they materialize), releasable explicitly, and an older lazy result
+    still computes correctly after its cache is evicted (persist is a
+    hint, never a correctness dependency)."""
     from pyspark import StorageLevel
 
     from datalakeingestionservice_spark.operators import dedup
@@ -790,12 +792,13 @@ def test_exact_substring_gram_cache_bounded(spark):
     n1 = r1.count()
     assert len(dedup._GRAM_CACHES) == 1
     first_cache = dedup._GRAM_CACHES[0]
-    # different params -> a DIFFERENT gram plan (an identical plan
-    # would re-hit the same CacheManager entry and prove nothing)
-    r2 = dedup.exact_substring_scrub(df, min_len=6)
-    r2.count()
-    # the new call released the previous cache before registering its own
-    assert len(dedup._GRAM_CACHES) == 1
+    # different params each time -> DIFFERENT gram plans (an identical
+    # plan would re-hit the same CacheManager entry and prove nothing)
+    for L in (6, 7, 8, 9):
+        dedup.exact_substring_spans(df, min_len=L).count()
+    # bounded: the registry never exceeds the cap, and the OLDEST
+    # cache was evicted (its storage actually released)
+    assert len(dedup._GRAM_CACHES) == dedup._MAX_GRAM_CACHES
     assert first_cache.storageLevel == StorageLevel.NONE
     # stale lazy result recomputes identically without its cache
     assert r1.count() == n1
