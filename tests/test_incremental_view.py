@@ -943,3 +943,64 @@ def test_full_outer_join_view_tracks_full_recompute(spark, tmp_path):
     assert view() == full()
 
     assert v.refresh() is None
+
+
+def test_left_outer_view_continuous_refresh(spark, tmp_path):
+    """The outer views inherit start_continuous_refresh: the overridden
+    refresh() maintains the padded set too, so a right delete that
+    orphans a left row converges to a null-padded row with no manual
+    refresh call."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from collections import Counter
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalLeftJoinView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "cl"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0)],
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "cr"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b")], "ck bigint, seg string"
+        ),
+    )
+    v = IncrementalLeftJoinView(
+        spark, l.root, r.root, str(tmp_path / "cv"),
+        on=["ck"], left_pk="k", right_pk="ck",
+    )
+    v.refresh()
+    qs = v.start_continuous_refresh(str(tmp_path / "ck"))
+    try:
+        r.delete_where([("ck", "=", 10)])  # orphans order k=1
+        expected = Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "left").collect()
+        )
+        deadline = time.time() + 90
+        got = None
+        while time.time() < deadline:
+            got = Counter(
+                (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+            )
+            if got == expected:
+                break
+            time.sleep(2)
+        assert got == expected
+        assert (1, 10, 1.0, None) in got  # the padded transition landed
+    finally:
+        for q in qs:
+            q.stop()
