@@ -1004,3 +1004,92 @@ def test_left_outer_view_continuous_refresh(spark, tmp_path):
     finally:
         for q in qs:
             q.stop()
+
+
+def test_agg_view_over_join_view_minmax(spark, tmp_path):
+    """The documented route for extremes over a join (E106 points
+    here): an IncrementalAggView whose SOURCE is an
+    IncrementalJoinView's state table — the join view's merges
+    materialize change files, so the agg view's counting/endangered
+    machinery maintains min/max through a delete AT the extreme with
+    only the endangered group rescanned (from the view, not the
+    sources). Chain refresh: join first, then agg."""
+    import pyspark.sql.functions as F
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalAggView,
+        IncrementalJoinView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "ml"),
+        spark.createDataFrame(
+            [(1, 10, 5.0), (2, 10, 9.0), (3, 20, 3.0)],
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "mr"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b")], "ck bigint, seg string"
+        ),
+    )
+    jv = IncrementalJoinView(
+        spark, l.root, r.root, str(tmp_path / "mj"),
+        on=["ck"], left_pk="k", right_pk="ck",
+    )
+    jv.refresh()
+    av = IncrementalAggView(
+        spark,
+        source_root=str(tmp_path / "mj"),
+        view_root=str(tmp_path / "ma"),
+        keys=["seg"],
+        sums={"total": "price"},
+        mins={"min_price": "price"},
+        maxs={"max_price": "price"},
+    )
+    av.refresh()
+
+    def expect():
+        return {
+            x.seg: (x._n, x.total, x.min_price, x.max_price)
+            for x in l.read()
+            .join(r.read(), "ck")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("price").alias("total"),
+                F.min("price").alias("min_price"),
+                F.max("price").alias("max_price"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            x.seg: (x._n, x.total, x.min_price, x.max_price)
+            for x in av.read().collect()
+        }
+
+    assert got() == expect()
+    # delete AT the max of group 'a' (the endangered path) and churn 'b'
+    l.delete_where([("k", "=", 2)])
+    l.append(
+        spark.createDataFrame(
+            [(4, 20, 1.0)], "k bigint, ck bigint, price double"
+        )
+    )
+    jv.refresh()
+    av.refresh()
+    assert got() == expect()
+    # group empties entirely: delete b's rows -> group leaves the view
+    l.delete_where(F.col("ck") == 20)
+    jv.refresh()
+    av.refresh()
+    assert got() == expect()
+    assert set(got()) == {"a"}
