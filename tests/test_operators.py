@@ -783,6 +783,7 @@ def test_exact_substring_gram_cache_bounded(spark):
 
     from datalakeingestionservice_spark.operators import dedup
 
+    dedup.release_exact_substring_caches()  # other tests may have filled it
     base = "the quick brown fox jumps over the lazy dog today"
     df = spark.createDataFrame(
         [("a", base + " alpha"), ("b", base + " beta"), ("c", "unique words only here")],
