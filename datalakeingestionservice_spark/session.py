@@ -55,6 +55,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # Python DataSource readers implementing pushFilters error out unless
     # pushdown is explicitly enabled (sources/python_datasource.py).
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Deeply-composed pipelines (q179: two gram passes + fuzzy +
+    # components in ONE plan) have plan TREES whose default rendering
+    # (maxPlanStringLength ~2^31) materializes a multi-hundred-MB string
+    # inside explainString — enough to OOM an externally-owned 1 GB
+    # driver heap during plain execution (the SQL-execution event
+    # renders the plan). 1 MiB keeps every diagnostic readable and
+    # bounds the rendering cost; execution is unaffected.
+    "spark.sql.maxPlanStringLength": "1048576",
 }
 
 
