@@ -193,6 +193,13 @@ def synth_embeddings(out_dir: str, mult: int, rng) -> None:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale/sf1"
+    if out_dir.startswith("-"):
+        # A typo'd flag once produced a committed 154 MB `--help/` dir;
+        # refuse option-like output paths outright.
+        raise SystemExit(
+            f"refusing option-like output path {out_dir!r}; "
+            "pass a real directory (e.g. /tmp/sfscale/sf1)"
+        )
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(42)
