@@ -364,6 +364,7 @@ def lsh_multiprobe_topk(
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
     round_dp: int = 6,
+    query_id_col: str | None = None,
 ) -> DataFrame:
     """Multi-probe sign-LSH top-k (Lv et al. 2007's multi-probe idea on
     the sign-random-projection family): instead of growing table count
@@ -375,6 +376,13 @@ def lsh_multiprobe_topk(
     to `round_dp`, ties on id (engine-reproducible, like
     :func:`ivf_recall`).
 
+    Query contract: without `query_id_col` the query frame must hold
+    EXACTLY ONE row (enforced) — a global top-k over several queries'
+    mixed candidates would silently answer none of them. For a query
+    BATCH pass `query_id_col`: ranking becomes per-query (row_number
+    partitioned by the id, same cos-desc/id-asc order), and the output
+    leads with the query id column.
+
     Scale shape: bucket ids are JVM sign-bit arithmetic; the probe set
     (1 + n_planes choose <=n_flip buckets) broadcasts; candidates come
     from a bucket equi-join — never a corpus scan per query, never
@@ -383,6 +391,11 @@ def lsh_multiprobe_topk(
     better tool there)."""
     if n_flip not in (0, 1):
         raise ValueError("n_flip must be 0 or 1")
+    if query_id_col is None and query.limit(2).count() != 1:
+        raise ValueError(
+            "query frame must hold exactly one row; pass query_id_col "
+            "to rank a query batch per-query"
+        )
     n = len(planes)
     bucketed = lsh_bucket(emb, planes, vec_col=vec_col)
     qb = lsh_bucket(
@@ -396,19 +409,30 @@ def lsh_multiprobe_topk(
         if n_flip >= 1
         else []
     )
+    qcols = [query_id_col] if query_id_col else []
     probes = qb.select(
+        *qcols,
         query_vec_col,
         F.explode(F.array(*flips)).alias("bucket"),
     )
     cand = bucketed.join(F.broadcast(probes), "bucket")
+    scored = cand.select(
+        *qcols,
+        id_col,
+        "bucket",
+        F.round(cosine(vec_col, query_vec_col), round_dp).alias(
+            "cos_sim"
+        ),
+    )
+    if query_id_col is None:
+        return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
     return (
-        cand.select(
-            id_col,
-            "bucket",
-            F.round(cosine(vec_col, query_vec_col), round_dp).alias(
-                "cos_sim"
-            ),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -697,7 +697,12 @@ class IncrementalLeftJoinView(IncrementalJoinView):
     Each table stamps its own (left_version, right_version) marks, so a
     crash between the two merges repairs itself: the lagging table
     re-derives its delta from the change feeds (deterministic) while
-    the current one is a no-op."""
+    the current one is a no-op. First materialization is crash-safe
+    too — a death between the inner create and the padded create is
+    repaired by the next refresh finishing the padded bootstrap. The
+    padded merge pins its expected version and retries on concurrent
+    commits, so two racing refreshes (e.g. the two continuous-refresh
+    streams) serialize instead of killing a micro-batch."""
 
     def __init__(self, spark, left_root, right_root, view_root, on,
                  left_pk, right_pk):
@@ -750,44 +755,85 @@ class IncrementalLeftJoinView(IncrementalJoinView):
         )
         return inner.unionByName(ext.select(*inner.columns))
 
+    def _bootstrap_padded(self, left) -> tuple[int, int]:
+        """Initial padded derivation at the INNER view's current marks:
+        live lefts left-anti the inner state's left pks. Called on first
+        materialization AND as the crash-repair path — a death between
+        the inner create and the padded create leaves the inner present
+        without a padded twin, and every refresh must be able to finish
+        the job rather than raise forever."""
+        im = self.last_refreshed_versions()
+        lefts = self._view_table().read().select(self.left_pk).distinct()
+        pad0 = left.read(im[0]).join(lefts, self.left_pk, "left_anti")
+        VersionedTable.create(
+            self.spark,
+            self.padded_root,
+            pad0,
+            summary={"left_version": im[0], "right_version": im[1]},
+        )
+        return im
+
     def refresh(self, max_retries: int = 3) -> tuple[int, int] | None:
         left, right = self._sides()
         l2, r2 = left.latest_version(), right.latest_version()
 
         if self._view_table() is None:
             inner_marks = super().refresh()  # materializes inner
-            inner = self._view_table()
-            lefts = inner.read().select(self.left_pk).distinct()
-            pad0 = left.read(inner_marks[0]).join(
-                lefts, self.left_pk, "left_anti"
-            )
-            VersionedTable.create(
-                self.spark,
-                self.padded_root,
-                pad0,
-                summary={
-                    "left_version": inner_marks[0],
-                    "right_version": inner_marks[1],
-                },
-            )
+            self._bootstrap_padded(left)
             return inner_marks
 
-    # inner first (its marks drive the padded repair window)
+        # inner first (its marks drive the padded repair window)
         inner_res = super().refresh(max_retries=max_retries)
+        if self._padded_table() is None:
+            # crash repair: inner landed, padded create never did
+            return self._bootstrap_padded(left)
         pm = self._padded_marks()
-        if pm is None:
-            raise NoSuchVersionError(
-                f"{self.padded_root}: no version marks in history"
-            )
-        pl1, pr1 = pm
-        if l2 <= pl1 and r2 <= pr1:
+        if pm is not None and l2 <= pm[0] and r2 <= pm[1]:
             return inner_res  # padded already current
-        self._apply_padded(left, right, pl1, pr1, l2, r2)
+        self._refresh_padded(left, right, l2, r2, max_retries)
         return (l2, r2)
 
-    def _apply_padded(self, left, right, pl1, pr1, l2, r2) -> None:
+    def _refresh_padded(
+        self, left, right, l2, r2, max_retries: int
+    ) -> None:
+        """Bring the padded table to (l2, r2), retrying on concurrent
+        commits: the merge pins the padded version the delta was
+        computed against, so a racing refresh (e.g. the two independent
+        continuous-refresh streams) makes the loser re-read the marks —
+        where it normally finds the winner already covered the window."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        for _ in range(max_retries + 1):
+            pv = self._padded_table().latest_version()
+            pm = self._padded_marks()
+            if pm is None:
+                raise NoSuchVersionError(
+                    f"{self.padded_root}: no version marks in history"
+                )
+            pl1, pr1 = pm
+            if l2 <= pl1 and r2 <= pr1:
+                return  # padded already current
+            try:
+                self._apply_padded(left, right, pl1, pr1, l2, r2, pv)
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"{self.padded_root}: padded merge lost {max_retries + 1} "
+            "consecutive version races"
+        )
+
+    def _apply_padded(
+        self, left, right, pl1, pr1, l2, r2, expected_version: int
+    ) -> None:
         """Re-derive padded membership for every AFFECTED left row:
-        those in ΔL plus those whose join key appears in ΔR."""
+        those in ΔL plus those whose join key appears in ΔR. The merge
+        pins the padded version the caller read its marks at — a
+        concurrent padded merge raises ConcurrentCommitError to the
+        caller's retry loop instead of silently interleaving."""
+        padded = self._padded_table()
         L2 = left.read(l2)
         pieces = []
         if l2 > pl1:
@@ -834,11 +880,12 @@ class IncrementalLeftJoinView(IncrementalJoinView):
         updates = pad_rows.withColumn(
             "__is_delete", F.lit(False)
         ).unionByName(dels_full.withColumn("__is_delete", F.lit(True)))
-        self._padded_table().merge(
+        padded.merge(
             updates,
             [self.left_pk],
             delete_col="__is_delete",
             summary={"left_version": l2, "right_version": r2},
+            expected_version=expected_version,
         )
 
 
@@ -1051,39 +1098,67 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
         )
         return both.unionByName(ext.select(*both.columns))
 
+    def _bootstrap_rpadded(self, right) -> tuple[int, int]:
+        """Initial right-padded derivation at the inner view's current
+        marks — first materialization and crash repair (death between
+        the left-padded create and this one), mirroring
+        :meth:`IncrementalLeftJoinView._bootstrap_padded`."""
+        im = self.last_refreshed_versions()
+        rights = self._view_table().read().select(self.right_pk).distinct()
+        rpad0 = right.read(im[1]).join(rights, self.right_pk, "left_anti")
+        VersionedTable.create(
+            self.spark,
+            self.rpadded_root,
+            rpad0,
+            summary={"left_version": im[0], "right_version": im[1]},
+        )
+        return im
+
     def refresh(self, max_retries: int = 3) -> tuple[int, int] | None:
         left, right = self._sides()
         l2, r2 = left.latest_version(), right.latest_version()
         first = self._view_table() is None
         res = super().refresh(max_retries=max_retries)
-        if first:
-            inner = self._view_table()
-            rights = inner.read().select(self.right_pk).distinct()
-            rpad0 = right.read(res[1]).join(
-                rights, self.right_pk, "left_anti"
-            )
-            VersionedTable.create(
-                self.spark,
-                self.rpadded_root,
-                rpad0,
-                summary={
-                    "left_version": res[0],
-                    "right_version": res[1],
-                },
-            )
-            return res
+        if first or self._rpadded_table() is None:
+            self._bootstrap_rpadded(right)
+            return res if first else self.last_refreshed_versions()
         rm = self._rpadded_marks()
-        if rm is None:
-            raise NoSuchVersionError(
-                f"{self.rpadded_root}: no version marks in history"
-            )
-        rl1, rr1 = rm
-        if l2 <= rl1 and r2 <= rr1:
-            return res
-        self._apply_rpadded(left, right, rl1, rr1, l2, r2)
+        if rm is not None and l2 <= rm[0] and r2 <= rm[1]:
+            return res  # rpadded already current
+        self._refresh_rpadded(left, right, l2, r2, max_retries)
         return (l2, r2)
 
-    def _apply_rpadded(self, left, right, pl1, pr1, l2, r2) -> None:
+    def _refresh_rpadded(
+        self, left, right, l2, r2, max_retries: int
+    ) -> None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        for _ in range(max_retries + 1):
+            rv = self._rpadded_table().latest_version()
+            rm = self._rpadded_marks()
+            if rm is None:
+                raise NoSuchVersionError(
+                    f"{self.rpadded_root}: no version marks in history"
+                )
+            rl1, rr1 = rm
+            if l2 <= rl1 and r2 <= rr1:
+                return
+            try:
+                self._apply_rpadded(left, right, rl1, rr1, l2, r2, rv)
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"{self.rpadded_root}: rpadded merge lost {max_retries + 1} "
+            "consecutive version races"
+        )
+
+    def _apply_rpadded(
+        self, left, right, pl1, pr1, l2, r2, expected_version: int
+    ) -> None:
+        rpadded = self._rpadded_table()
         R2 = right.read(r2)
         pieces = []
         if r2 > pr1:
@@ -1124,9 +1199,10 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
         updates = pad_rows.withColumn(
             "__is_delete", F.lit(False)
         ).unionByName(dels_full.withColumn("__is_delete", F.lit(True)))
-        self._rpadded_table().merge(
+        rpadded.merge(
             updates,
             [self.right_pk],
             delete_col="__is_delete",
             summary={"left_version": l2, "right_version": r2},
+            expected_version=expected_version,
         )

@@ -1283,7 +1283,11 @@ class _ScriptTables:
 
 
 def execute_script(
-    spark: SparkSession, statements: list[str], catalog, audit=None
+    spark: SparkSession,
+    statements: list[str],
+    catalog,
+    audit=None,
+    max_result_rows: int = 100_000,
 ) -> list:
     """Run a SCRIPT of statements as ONE atomic unit — the
     multi-statement form `execute_sql` refuses, made safe: the whole
@@ -1301,10 +1305,15 @@ def execute_script(
     Returns one result per statement: the staged-branch commit version
     for DML, MATERIALIZED rows (list[Row]) for SELECT/DESCRIBE/EXPLAIN
     — materialized because the staged branches are reclaimed after
-    publish, so a lazy DataFrame would dangle. CREATE TABLE / DROP
-    TABLE refuse up front: table-set evolution is a catalog commit of
-    its own (`add_table`/`remove_table`), not a table write, and a
-    half-created table directory could not be rolled back."""
+    publish, so a lazy DataFrame would dangle. Because that
+    materialization is driver-side, result sets are capped at
+    `max_result_rows` per statement: a script `SELECT * FROM
+    huge_table` REFUSES (rolling the script back) instead of OOMing
+    the driver — run large reads through `execute_select` outside a
+    script, where the result stays a lazy DataFrame. CREATE TABLE /
+    DROP TABLE refuse up front: table-set evolution is a catalog
+    commit of its own (`add_table`/`remove_table`), not a table write,
+    and a half-created table directory could not be rolled back."""
     for stmt in statements:
         s = _strip(stmt)
         if _CREATE_TABLE_RE.match(s) or _DROP_TABLE_RE.match(s):
@@ -1318,9 +1327,19 @@ def execute_script(
         wrapped = _ScriptTables(catalog, txn)
         for stmt in statements:
             r = execute_sql(spark, stmt, wrapped)
-            results.append(
-                r.collect() if isinstance(r, DataFrame) else r
-            )
+            if isinstance(r, DataFrame):
+                # the cap probe fetches max+1 rows, never the table
+                rows = r.limit(max_result_rows + 1).collect()
+                if len(rows) > max_result_rows:
+                    raise UnsupportedStatementError(
+                        f"script statement returned more than "
+                        f"{max_result_rows} rows (driver-side "
+                        "materialization cap); read large results via "
+                        f"execute_select outside a script: {stmt[:60]!r}"
+                    )
+                results.append(rows)
+            else:
+                results.append(r)
         if audit is not None:
             audit(txn)
     return results

@@ -92,8 +92,17 @@ def stream_interval_join(
             <= F.col(f"{la}.{left_time}") + F.expr(f"INTERVAL {upper}")
         )
     )
+    # Join keys coalesce across the two aliases: under right/full outer
+    # a right-only row carries its keys on the RIGHT alias only (the
+    # left alias is all-NULL) — taking keys from the left side alone
+    # would silently serve NULL keys for those rows.
     return l.join(r, cond, join_type).select(
-        *[F.col(f"{la}.{c}") for c in left.columns],
+        *[
+            F.coalesce(F.col(f"{la}.{c}"), F.col(f"{ra}.{c}")).alias(c)
+            if c in keys
+            else F.col(f"{la}.{c}")
+            for c in left.columns
+        ],
         *[
             F.col(f"{ra}.{c}")
             for c in right.columns

@@ -1093,3 +1093,216 @@ def test_agg_view_over_join_view_minmax(spark, tmp_path):
     av.refresh()
     assert got() == expect()
     assert set(got()) == {"a"}
+
+
+def _mk_outer_pair(spark, tmp_path, prefix):
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / f"{prefix}l"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0)],  # 99: no match
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / f"{prefix}r"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b"), (77, "w")],  # 77: no orders
+            "ck bigint, seg string",
+        ),
+    )
+    return l, r
+
+
+class TestOuterViewCrashRepair:
+    """First-materialization crash windows: a death AFTER the inner
+    create but BEFORE a padded/rpadded create must be repaired by the
+    next refresh (bootstrap the missing table at the inner's marks),
+    never raise forever."""
+
+    def test_left_view_repairs_missing_padded_table(self, spark, tmp_path):
+        from collections import Counter
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalJoinView,
+            IncrementalLeftJoinView,
+        )
+
+        l, r = _mk_outer_pair(spark, tmp_path, "lp")
+        root = str(tmp_path / "lpv")
+        # simulate the crash: ONLY the inner view exists under the root
+        import os
+
+        IncrementalJoinView(
+            spark, l.root, r.root, os.path.join(root, "inner"),
+            on=["ck"], left_pk="k", right_pk="ck",
+        ).refresh()
+        # sources move on before the repairing refresh
+        l.append(
+            spark.createDataFrame(
+                [(4, 55, 4.0)], "k bigint, ck bigint, price double"
+            )
+        )
+        v = IncrementalLeftJoinView(
+            spark, l.root, r.root, root,
+            on=["ck"], left_pk="k", right_pk="ck",
+        )
+        assert v.refresh() == (2, 1)  # repaired AND caught up
+        got = Counter(
+            (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+        )
+        expected = Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "left").collect()
+        )
+        assert got == expected
+        assert (4, 55, 4.0, None) in got  # post-crash row padded too
+
+    def test_full_view_repairs_missing_rpadded_table(self, spark, tmp_path):
+        from collections import Counter
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalFullJoinView,
+            IncrementalLeftJoinView,
+        )
+
+        l, r = _mk_outer_pair(spark, tmp_path, "fp")
+        root = str(tmp_path / "fpv")
+        # crash window: inner + left-padded landed, rpadded never did
+        IncrementalLeftJoinView(
+            spark, l.root, r.root, root,
+            on=["ck"], left_pk="k", right_pk="ck",
+        ).refresh()
+        v = IncrementalFullJoinView(
+            spark, l.root, r.root, root,
+            on=["ck"], left_pk="k", right_pk="ck",
+        )
+        assert v.refresh() == (1, 1)
+        got = Counter(
+            (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+        )
+        expected = Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "full").collect()
+        )
+        assert got == expected
+        assert (None, 77, None, "w") in got  # rpadded repaired
+
+
+class TestOuterViewConcurrentPadded:
+    """The padded/rpadded merges pin their expected version and RETRY
+    on concurrent commits — a racing refresh (the two continuous
+    streams both firing) serializes instead of raising out of a
+    micro-batch."""
+
+    def test_padded_merge_retries_on_concurrent_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from collections import Counter
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalLeftJoinView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l, r = _mk_outer_pair(spark, tmp_path, "rp")
+        root = str(tmp_path / "rpv")
+        mk = lambda: IncrementalLeftJoinView(  # noqa: E731
+            spark, l.root, r.root, root,
+            on=["ck"], left_pk="k", right_pk="ck",
+        )
+        v, v2 = mk(), mk()
+        v.refresh()
+        r.delete_where([("ck", "=", 10)])  # orphans k=1: padded delta
+
+        orig = IncrementalLeftJoinView._apply_padded
+        calls = {"n": 0}
+
+        def racing(self, left, right, pl1, pr1, l2, r2, expected_version):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                v2.refresh()  # the race WINNER lands first
+            return orig(
+                self, left, right, pl1, pr1, l2, r2, expected_version
+            )
+
+        monkeypatch.setattr(
+            IncrementalLeftJoinView, "_apply_padded", racing
+        )
+        pv_before = VersionedTable(spark, v.padded_root).latest_version()
+        assert v.refresh() == (1, 2)  # loser retried, found it current
+        assert calls["n"] == 2  # loser's attempt + winner's apply
+        # exactly ONE padded commit landed (no double-apply)
+        assert (
+            VersionedTable(spark, v.padded_root).latest_version()
+            == pv_before + 1
+        )
+        got = Counter(
+            (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+        )
+        expected = Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "left").collect()
+        )
+        assert got == expected
+        assert (1, 10, 1.0, None) in got
+
+    def test_rpadded_merge_retries_on_concurrent_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from collections import Counter
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalFullJoinView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l, r = _mk_outer_pair(spark, tmp_path, "rq")
+        root = str(tmp_path / "rqv")
+        mk = lambda: IncrementalFullJoinView(  # noqa: E731
+            spark, l.root, r.root, root,
+            on=["ck"], left_pk="k", right_pk="ck",
+        )
+        v, v2 = mk(), mk()
+        v.refresh()
+        l.delete_where([("k", "=", 2)])  # ck=20 loses its only order
+
+        orig = IncrementalFullJoinView._apply_rpadded
+        calls = {"n": 0}
+
+        def racing(self, left, right, pl1, pr1, l2, r2, expected_version):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                v2.refresh()
+            return orig(
+                self, left, right, pl1, pr1, l2, r2, expected_version
+            )
+
+        monkeypatch.setattr(
+            IncrementalFullJoinView, "_apply_rpadded", racing
+        )
+        rv_before = VersionedTable(spark, v.rpadded_root).latest_version()
+        assert v.refresh() == (2, 1)
+        assert calls["n"] == 2
+        assert (
+            VersionedTable(spark, v.rpadded_root).latest_version()
+            == rv_before + 1
+        )
+        got = Counter(
+            (x.k, x.ck, x.price, x.seg) for x in v.read().collect()
+        )
+        expected = Counter(
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "full").collect()
+        )
+        assert got == expected
+        assert (None, 20, None, "b") in got  # re-padded right row

@@ -945,3 +945,36 @@ def test_execute_script_audit_veto_and_pass(spark, cat):
         spark, ["INSERT INTO b VALUES (401, 4.5)"], cat, audit=fine
     )
     assert 401 in {r.k for r in cat.read("b").collect()}
+
+
+def test_execute_script_select_row_cap(spark, cat):
+    """The driver-side materialization cap (foot-gun guard): a script
+    SELECT past `max_result_rows` refuses AND rolls the whole script
+    back (no table moved, no catalog commit); at or under the cap the
+    rows come through; the probe never collects more than cap+1 rows."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        UnsupportedStatementError,
+        execute_script,
+    )
+
+    v0 = cat.latest_version()
+    with pytest.raises(UnsupportedStatementError, match="max_result_rows|rows"):
+        execute_script(
+            spark,
+            [
+                "INSERT INTO a VALUES (500, 5.0)",
+                "SELECT * FROM a",  # a holds >3 rows
+            ],
+            cat,
+            max_result_rows=3,
+        )
+    assert cat.latest_version() == v0  # total rollback
+    assert 500 not in {r.k for r in cat.read("a").collect()}
+
+    res = execute_script(
+        spark,
+        ["SELECT k FROM a ORDER BY k LIMIT 3"],
+        cat,
+        max_result_rows=3,
+    )
+    assert len(res[0]) == 3

@@ -948,3 +948,43 @@ def test_lsh_multiprobe_superset_and_recall(spark, sf_dir):
     assert len(multi) >= len(single)
     with pytest.raises(ValueError, match="n_flip"):
         lsh_multiprobe_topk(corpus, q, _hyperplanes(), n_flip=2)
+
+
+def test_lsh_multiprobe_query_batch_contract(spark, sf_dir):
+    """Query-frame contract: multiple query rows without a query id
+    REFUSE (a global top-k over mixed candidates answers no query);
+    with `query_id_col` the ranking is per-query — each query's rows
+    equal the single-query call's rows."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+    from datalakeingestionservice_spark.queries.vectors import (
+        _hyperplanes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") > 1)
+    batch = emb.filter(F.col("vec_id") <= 1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    with pytest.raises(ValueError, match="exactly one row"):
+        lsh_multiprobe_topk(corpus, batch, _hyperplanes(), k=5)
+
+    got = lsh_multiprobe_topk(
+        corpus, batch, _hyperplanes(), k=5, query_id_col="qid"
+    ).collect()
+    assert got and got[0].__fields__[0] == "qid"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, set()).add((r.vec_id, r.cos_sim))
+    for qid in (0, 1):
+        solo = {
+            (r.vec_id, r.cos_sim)
+            for r in lsh_multiprobe_topk(
+                corpus,
+                batch.filter(F.col("qid") == qid).drop("qid"),
+                _hyperplanes(),
+                k=5,
+            ).collect()
+        }
+        assert by_q[qid] == solo, qid

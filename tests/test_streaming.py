@@ -481,3 +481,188 @@ def test_stream_interval_join_left_outer_parity(
             ).collect()
         }
         assert {p for _, p, _ in missing} <= tail_ids, missing
+
+
+def _interval_join_sides(spark, events_dir, sf_dir, streaming: bool):
+    from datalakeingestionservice_spark.catalog import Env
+    from pyspark.sql import functions as F
+
+    def reader():
+        if streaming:
+            return read_events_stream(spark, events_dir)
+        return Env(spark, sf_dir).t("events")
+
+    p = reader().filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = reader().filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return p, c
+
+
+def test_stream_interval_join_right_outer_parity(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """RIGHT OUTER stream-stream interval join, mirroring the
+    left-outer parity test from the other side: unmatched CLICKS emit
+    with NULL purchase columns once the LEFT watermark passes their
+    interval. Also pins the key-coalesce contract — right-only rows
+    must carry their user_id (under a left-alias-only key projection
+    they would silently serve NULL keys)."""
+    from datalakeingestionservice_spark.streaming import (
+        stream_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    args = (
+        ["user_id"], "p_ts", "c_ts", "-30 minutes", "0 seconds",
+    )
+    sp, sc = _interval_join_sides(spark, events_dir, sf_dir, True)
+    joined = stream_interval_join(
+        sp, sc, *args,
+        left_delay="10 minutes", right_delay="40 minutes",
+        join_type="right_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_router_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ij-router"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ij_router_test").collect()
+    }
+    bp, bc = _interval_join_sides(spark, events_dir, sf_dir, False)
+    expected = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in stream_interval_join(
+            bp, bc, *args, join_type="right_outer"
+        ).collect()
+    }
+    assert any(p is None for _, p, _ in expected)  # unmatched exist
+    # the coalesce fix: right-only rows keep their join key
+    assert all(u is not None for u, _, _ in expected)
+    assert all(u is not None for u, _, _ in got)
+    assert got <= expected
+    matched_e = {x for x in expected if x[1] is not None}
+    assert {x for x in got if x[1] is not None} == matched_e
+    missing = expected - got
+    assert all(p is None for _, p, _ in missing), missing
+    if missing:
+        # A right row is declared unmatched only when the GLOBAL
+        # watermark — min(max p_ts - left_delay, max c_ts -
+        # right_delay), Spark's multiple-watermark policy — passes the
+        # end of its match interval (c_ts + 30 minutes, since p in
+        # [c_ts, c_ts+30m]); clicks at or after that horizon
+        # legitimately stay in state.
+        maxp = bp.agg(F.max("p_ts").alias("mx")).collect()[0].mx
+        maxc = bc.agg(F.max("c_ts").alias("mx")).collect()[0].mx
+        import datetime as _dt
+
+        global_wm = min(
+            maxp - _dt.timedelta(minutes=10),
+            maxc - _dt.timedelta(minutes=40),
+        )
+        tail_ids = {
+            r.click_id
+            for r in bc.filter(
+                F.col("c_ts")
+                >= F.lit(global_wm) - F.expr("INTERVAL 30 minutes")
+            ).collect()
+        }
+        assert {c for _, _, c in missing} <= tail_ids, missing
+
+
+def test_stream_interval_join_full_outer_parity(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """FULL OUTER stream-stream interval join: both sides' unmatched
+    rows emit null-padded, each gated by the OTHER side's watermark
+    horizon — the union of the left-outer and right-outer boundary
+    models, with keys coalesced across sides."""
+    from datalakeingestionservice_spark.streaming import (
+        stream_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    args = (
+        ["user_id"], "p_ts", "c_ts", "-30 minutes", "0 seconds",
+    )
+    sp, sc = _interval_join_sides(spark, events_dir, sf_dir, True)
+    joined = stream_interval_join(
+        sp, sc, *args,
+        left_delay="10 minutes", right_delay="40 minutes",
+        join_type="full_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_fouter_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ij-fouter"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ij_fouter_test").collect()
+    }
+    bp, bc = _interval_join_sides(spark, events_dir, sf_dir, False)
+    expected = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in stream_interval_join(
+            bp, bc, *args, join_type="full_outer"
+        ).collect()
+    }
+    assert any(p is None for _, p, _ in expected)
+    assert any(c is None for _, _, c in expected)
+    assert all(u is not None for u, _, _ in expected | got)
+    assert got <= expected
+    matched_e = {
+        x for x in expected if x[1] is not None and x[2] is not None
+    }
+    assert {
+        x for x in got if x[1] is not None and x[2] is not None
+    } == matched_e
+    missing = expected - got
+    assert all(p is None or c is None for _, p, c in missing), missing
+    if missing:
+        # Same global-watermark model as the one-sided tests: a left
+        # row's interval ends at p_ts (upper = 0s), a right row's at
+        # c_ts + 30 minutes; either side's null result is withheld
+        # while the global watermark hasn't passed that end.
+        maxc = bc.agg(F.max("c_ts").alias("mx")).collect()[0].mx
+        maxp = bp.agg(F.max("p_ts").alias("mx")).collect()[0].mx
+        import datetime as _dt
+
+        global_wm = min(
+            maxp - _dt.timedelta(minutes=10),
+            maxc - _dt.timedelta(minutes=40),
+        )
+        tail_p = {
+            r.purchase_id
+            for r in bp.filter(
+                F.col("p_ts") >= F.lit(global_wm)
+            ).collect()
+        }
+        tail_c = {
+            r.click_id
+            for r in bc.filter(
+                F.col("c_ts")
+                >= F.lit(global_wm) - F.expr("INTERVAL 30 minutes")
+            ).collect()
+        }
+        for _, p, c in missing:
+            if c is None:
+                assert p in tail_p, (p, c)
+            else:
+                assert c in tail_c, (p, c)
