@@ -3967,3 +3967,233 @@ def q178_incremental_full_join_view(
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — AGGREGATE OVER A LEFT OUTER JOIN, incrementally maintained (E109):
+# the last rung of the IVM ladder — per-segment totals over
+# orders LEFT OUTER customer where padded-set TRANSITIONS change a group's
+# contribution (a customer delete moves its orders into the NULL-segment
+# group; a customer insert moves them back out). The group state consumes
+# the outer view's own state-table change feeds, so pad/unpad arrives as
+# natural CDC delete+insert pairs. Oracle recomputes the mutated
+# outer-join aggregate from raw tables.
+# ---------------------------------------------------------------------------
+@register(
+    "q180_incremental_left_join_agg_view",
+    tags=("lake", "incremental-view", "join", "outer", "agg", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck, price FROM l0 WHERE k % 10 <> 1
+  UNION ALL
+  SELECT k + 2000000000 AS k, -1 AS ck, 0.5 AS price
+  FROM l0 WHERE k % 10 = 3
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 11 <> 3
+),
+j AS (
+  SELECT l1.price, r1.seg, r1.bal
+  FROM l1 LEFT JOIN r1 ON l1.ck = r1.ck
+)
+SELECT coalesce(seg, '(unmatched)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price,
+       round(sum(bal), 2) AS total_bal
+FROM j GROUP BY coalesce(seg, '(unmatched)') ORDER BY seg
+""",
+)
+def q180_incremental_left_join_agg_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment count/sum over orders LEFT OUTER customer as ONE
+    incrementally-maintained group state. The customer table starts
+    MISSING every ck%13=5 customer (their orders born padded into the
+    NULL group); mutations then pad AND unpad: delete orders, insert
+    orphan orders (padded immediately), re-insert the ck%13=5
+    customers (their orders UNPAD — the NULL group shrinks), delete
+    ck%11=3 customers (their orders pad). One refresh drains all of
+    it; the result reads FROM THE GROUP-STATE TABLE. total_bal sums a
+    RIGHT column, so the padded-only group renders SQL NULL exactly
+    like the recompute."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalLeftJoinAggView,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ljagg_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    cust = env.t("customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "l"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "r"),
+        cust.filter(F.col("ck") % 13 != 5),
+    )
+    view = IncrementalLeftJoinAggView(
+        spark, l.root, r.root, os.path.join(base, "v"),
+        on=["ck"], left_pk="k", right_pk="ck",
+        group_keys=["seg"],
+        sums={"total_price": "price", "total_bal": "bal"},
+    )
+    assert view.refresh() == (1, 1)
+
+    orphans = l.read(1).filter(F.col("k") % 10 == 3).select(
+        (F.col("k") + 2_000_000_000).alias("k"),
+        F.lit(-1).cast("long").alias("ck"),
+        F.lit(0.5).alias("price"),
+    )
+    l.delete_where(F.col("k") % 10 == 1)
+    l.append(orphans)
+    r.append(cust.filter(F.col("ck") % 13 == 5))  # UNPAD their orders
+    r.delete_where(F.col("ck") % 11 == 3)  # pad their orders
+    marks = view.refresh()
+    assert marks == (3, 3), marks
+    assert view.refresh() is None
+
+    return (
+        view.read()
+        .select(
+            F.coalesce(F.col("seg"), F.lit("(unmatched)")).alias("seg"),
+            F.col("_n").alias("n_rows"),
+            F.round(F.col("total_price"), 2).alias("total_price"),
+            F.round(F.col("total_bal"), 2).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — AGGREGATE OVER A FULL OUTER JOIN, incrementally maintained (E109):
+# both sides' pad/unpad transitions flow into the group state — customers
+# whose orders all vanish keep their group alive as right-padded rows
+# (count rises, order sums go NULL), orphan orders ride the NULL-segment
+# group. Oracle recomputes the mutated FULL JOIN aggregate from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q181_incremental_full_join_agg_view",
+    tags=("lake", "incremental-view", "join", "outer", "agg", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck, price FROM l0 WHERE ck % 5 <> 2
+  UNION ALL
+  SELECT k + 2000000000 AS k, -1 AS ck, 0.5 AS price
+  FROM l0 WHERE k % 10 = 3
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 11 <> 3
+),
+j AS (
+  SELECT l1.k, l1.price, r1.seg, r1.bal
+  FROM l1 FULL JOIN r1 ON l1.ck = r1.ck
+)
+SELECT coalesce(seg, '(unmatched)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS total_price,
+       round(sum(bal), 2) AS total_bal
+FROM j GROUP BY coalesce(seg, '(unmatched)') ORDER BY seg
+""",
+)
+def q181_incremental_full_join_agg_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment count/sum over orders FULL OUTER customer from all
+    three state-table feeds. Deleting EVERY order of ck%5=2 customers
+    re-pads those customers on the right (their groups keep counting
+    them, order sums excluded); orphan orders pad left into the NULL
+    group; the ck%13=5 customers arrive mid-stream and unpad their
+    orders. n_orders counts only real order rows (a sum over
+    `k IS NOT NULL`), exactly like the recompute's count(k)."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalFullJoinAggView,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_fjagg_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    cust = env.t("customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "l"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "r"),
+        cust.filter(F.col("ck") % 13 != 5),
+    )
+    view = IncrementalFullJoinAggView(
+        spark, l.root, r.root, os.path.join(base, "v"),
+        on=["ck"], left_pk="k", right_pk="ck",
+        group_keys=["seg"],
+        sums={
+            "total_price": "price",
+            "total_bal": "bal",
+            "n_orders": "CAST((k IS NOT NULL) AS INT)",
+        },
+    )
+    assert view.refresh() == (1, 1)
+
+    orphans = l.read(1).filter(F.col("k") % 10 == 3).select(
+        (F.col("k") + 2_000_000_000).alias("k"),
+        F.lit(-1).cast("long").alias("ck"),
+        F.lit(0.5).alias("price"),
+    )
+    l.delete_where(F.col("ck") % 5 == 2)  # re-pads those customers
+    l.append(orphans)
+    r.append(cust.filter(F.col("ck") % 13 == 5))
+    r.delete_where(F.col("ck") % 11 == 3)
+    marks = view.refresh()
+    assert marks == (3, 3), marks
+    assert view.refresh() is None
+
+    return (
+        view.read()
+        .select(
+            F.coalesce(F.col("seg"), F.lit("(unmatched)")).alias("seg"),
+            F.col("_n").alias("n_rows"),
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.round(F.col("total_price"), 2).alias("total_price"),
+            F.round(F.col("total_bal"), 2).alias("total_bal"),
+        )
+        .orderBy("seg")
+    )

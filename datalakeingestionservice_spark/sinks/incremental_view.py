@@ -1206,3 +1206,295 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
             summary={"left_version": l2, "right_version": r2},
             expected_version=expected_version,
         )
+
+
+class _OuterJoinAggMixin:
+    """Aggregate IVM over an OUTER join — count/sum per group over the
+    outer view's ROWS (inner matches ∪ null-padded unmatched rows),
+    maintained incrementally: the group state consumes the change feeds
+    of the outer view's OWN state tables (inner / padded / rpadded),
+    so a padded-set TRANSITION (a row moving between matched and
+    null-padded) reaches the aggregate as its natural delete+insert
+    pair of signed rows — exactly the pad/unpad signed emissions the
+    outer-join delta rules require, with no extra algebra: the state
+    tables' merges already materialize full-row CDC.
+
+    NULL group keys are first-class (the padded rows' natural group
+    when grouping by the other side's columns): SQL-MERGE key equality
+    can't match NULLs, so the group state is keyed by ``__gid`` — the
+    JSON encoding of the group-key struct with null fields kept —
+    while the real key columns ride as payload. count/sum only (avg =
+    sum/count at read time); extremes need endangered-group rescans of
+    the outer result — materialize the outer view and recompute
+    extremes over it, or keep them on the inner via
+    :class:`IncrementalAggView` over the join view's state table.
+
+    Refresh cost: ∝ |state-table changes| (one shuffle over changed
+    rows) + |touched groups| merge — never an outer-join rescan.
+    Crash-safe like the rest of the family: the agg table stamps the
+    state-table versions it reflects; a death before the agg merge is
+    repaired by the next refresh draining the same feeds."""
+
+    def _init_agg(self, view_root, group_keys, sums) -> None:
+        import os as _os
+
+        self.agg_root = _os.path.join(view_root, "agg")
+        self.group_keys = list(group_keys)
+        self.sums = dict(sums or {})
+        reserved = (
+            {_COUNT_COL, "__gid", "__s"}
+            | {f"_nn_{c}" for c in self.sums}
+        )
+        if reserved & (set(self.sums) | set(self.group_keys)):
+            raise ValueError(f"reserved column names: {sorted(reserved)}")
+
+    def _agg_table(self) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, self.agg_root)
+        except NoSuchVersionError:
+            return None
+
+    def _outer_parts(self):
+        """[(mark_name, VersionedTable, padder)] — one entry per state
+        table of the outer view; padder(df, extra) projects the table's
+        rows to the outer row shape (typed NULLs for the missing
+        side), carrying `extra` columns through."""
+        from pyspark.sql.types import StructType
+
+        left, right = self._sides()
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(left.manifest().schema_ddl).fields
+        }
+        types.update(
+            (f.name, f.dataType)
+            for f in StructType.fromDDL(right.manifest().schema_ddl).fields
+        )
+        out_cols = self._out_cols(left, right)
+
+        def padder(df: DataFrame, extra: tuple = ()) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c)
+                    if c in df.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in out_cols
+                ],
+                *extra,
+            )
+
+        missing = set(self.group_keys) - set(out_cols)
+        if missing:
+            raise ValueError(
+                f"group keys {sorted(missing)} not in the outer join's "
+                f"output columns {out_cols}"
+            )
+        parts = [
+            ("inner", self._view_table(), padder),
+            ("padded", self._padded_table(), padder),
+        ]
+        if hasattr(self, "_rpadded_table"):
+            parts.append(("rpadded", self._rpadded_table(), padder))
+        return parts
+
+    def _agg_rows(self, rows: DataFrame, sign=None) -> DataFrame:
+        weight = sign if sign is not None else F.lit(1)
+        aggs = [F.sum(weight).alias(_COUNT_COL)]
+        for out, expr in self.sums.items():
+            e = F.expr(expr)
+            aggs.append(
+                F.coalesce(F.sum(e * weight), F.lit(0)).alias(out)
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(e.isNotNull().cast("long") * weight), F.lit(0)
+                ).alias(f"_nn_{out}")
+            )
+        return (
+            rows.groupBy(*self.group_keys)
+            .agg(*aggs)
+            .withColumn(
+                "__gid",
+                F.to_json(
+                    F.struct(*[F.col(k) for k in self.group_keys]),
+                    {"ignoreNullFields": "false"},
+                ),
+            )
+        )
+
+    def _agg_marks(self) -> dict | None:
+        t = self._agg_table()
+        if t is None:
+            return None
+        for m in reversed(t.versions()):
+            if "inner_version" in m.summary:
+                return {
+                    k: v
+                    for k, v in m.summary.items()
+                    if k.endswith("_version")
+                }
+        return None
+
+    def refresh(self, max_retries: int = 3):
+        res = super().refresh(max_retries=max_retries)
+        self._refresh_agg(max_retries)
+        return res
+
+    def _refresh_agg(self, max_retries: int) -> None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        parts = self._outer_parts()
+        latest = {name: t.latest_version() for name, t, _ in parts}
+        marks_new = {f"{n}_version": v for n, v in latest.items()}
+        at = self._agg_table()
+        if at is None:
+            snap = None
+            for name, t, padder in parts:
+                piece = padder(t.read(latest[name]))
+                snap = piece if snap is None else snap.unionByName(piece)
+            VersionedTable.create(
+                self.spark,
+                self.agg_root,
+                self._agg_rows(snap),
+                summary=marks_new,
+            )
+            return
+
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]
+        for _ in range(max_retries + 1):
+            av = at.latest_version()
+            marks = self._agg_marks()
+            if marks is None:
+                raise NoSuchVersionError(
+                    f"{self.agg_root}: no version marks in history"
+                )
+            feeds = None
+            for name, t, padder in parts:
+                m = marks.get(f"{name}_version", 0)
+                if latest[name] > m:
+                    ch = padder(
+                        t.changes(m, latest[name]).withColumn("__s", sign),
+                        extra=("__s",),
+                    )
+                    feeds = ch if feeds is None else feeds.unionByName(ch)
+            if feeds is None:
+                return  # agg already current
+            delta = self._agg_rows(feeds, sign=F.col("__s"))
+
+            state = at.read(av)
+            d = delta.select(
+                "__gid",
+                *self.group_keys,
+                F.col(_COUNT_COL).alias("__d_n"),
+                *[F.col(c).alias(f"__d_{c}") for c in accs],
+            )
+            s = state.select("__gid", _COUNT_COL, *accs)
+            combined = d.join(s, "__gid", "left").select(
+                "__gid",
+                *self.group_keys,
+                (
+                    F.coalesce(F.col(_COUNT_COL), F.lit(0))
+                    + F.col("__d_n")
+                ).alias(_COUNT_COL),
+                *[
+                    (
+                        F.coalesce(F.col(c), F.lit(0))
+                        + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in accs
+                ],
+            )
+            state_types = {
+                f.name: f.dataType for f in state.schema.fields
+            }
+            combined = combined.select(
+                *[
+                    F.col(c.name).cast(state_types[c.name]).alias(c.name)
+                    if c.dataType != state_types[c.name]
+                    else F.col(c.name)
+                    for c in combined.schema.fields
+                ]
+            )
+            upserts = combined.withColumn(
+                "__is_delete", F.col(_COUNT_COL) == 0
+            )
+            try:
+                at.merge(
+                    upserts,
+                    ["__gid"],
+                    delete_col="__is_delete",
+                    summary=marks_new,
+                    expected_version=av,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"{self.agg_root}: agg merge lost {max_retries + 1} "
+            "consecutive version races"
+        )
+
+    def read(self) -> DataFrame:
+        """The maintained aggregate: group keys (NULL group included),
+        per-group count, per-group sums (NULL when every contributing
+        input was NULL, exactly like a full recompute)."""
+        table = self._agg_table()
+        if table is None:
+            raise NoSuchVersionError(
+                f"{self.agg_root}: view not materialized; call refresh()"
+            )
+        state = table.read()
+        types = {f.name: f.dataType for f in state.schema.fields}
+        return state.select(
+            *self.group_keys,
+            F.col(_COUNT_COL),
+            *[
+                F.when(F.col(f"_nn_{c}") == 0, F.lit(None).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in self.sums
+            ],
+        )
+
+    def read_join(self) -> DataFrame:
+        """The underlying outer-join rows (the parent view's read)."""
+        return super().read()
+
+
+class IncrementalLeftJoinAggView(
+    _OuterJoinAggMixin, IncrementalLeftJoinView
+):
+    """count/sum GROUP BY over ``L LEFT OUTER JOIN R``, incrementally
+    maintained — E106's composition extended to the outer join: padded
+    transitions (a row moving between matched and null-padded changes
+    its group's contribution) reach the aggregate as the padded state
+    table's own CDC delete+insert pairs. See :class:`_OuterJoinAggMixin`
+    for the algebra and the NULL-group key encoding."""
+
+    def __init__(self, spark, left_root, right_root, view_root, on,
+                 left_pk, right_pk, group_keys, sums=None):
+        super().__init__(
+            spark, left_root, right_root, view_root, on, left_pk, right_pk
+        )
+        self._init_agg(view_root, group_keys, sums)
+
+
+class IncrementalFullJoinAggView(
+    _OuterJoinAggMixin, IncrementalFullJoinView
+):
+    """count/sum GROUP BY over ``L FULL OUTER JOIN R``, incrementally
+    maintained from all three state-table feeds (inner, padded,
+    rpadded) — both sides' pad/unpad transitions flow into the group
+    state as signed rows."""
+
+    def __init__(self, spark, left_root, right_root, view_root, on,
+                 left_pk, right_pk, group_keys, sums=None):
+        super().__init__(
+            spark, left_root, right_root, view_root, on, left_pk, right_pk
+        )
+        self._init_agg(view_root, group_keys, sums)

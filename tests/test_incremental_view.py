@@ -1306,3 +1306,226 @@ class TestOuterViewConcurrentPadded:
         )
         assert got == expected
         assert (None, 20, None, "b") in got  # re-padded right row
+
+
+class TestOuterJoinAggViews:
+    """Aggregate IVM over OUTER joins: the group state must equal a
+    full outer-join + aggregate recompute after every mutation round —
+    including pad/unpad transitions changing a group's contribution,
+    a group whose ONLY rows are padded (NULL key group), and a sum
+    over the padded side rendering NULL like the recompute."""
+
+    def _mk(self, spark, tmp_path, prefix):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l = VersionedTable.create(
+            spark,
+            str(tmp_path / f"{prefix}l"),
+            spark.createDataFrame(
+                # ck=99 matches no customer: its group is padded-only
+                [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0), (4, 10, 4.0)],
+                "k bigint, ck bigint, price double",
+            ),
+        )
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / f"{prefix}r"),
+            spark.createDataFrame(
+                # ck=77 has no orders (right-padded under full outer)
+                [(10, "a", 5.0), (20, "b", 6.0), (77, "w", 7.0)],
+                "ck bigint, seg string, bal double",
+            ),
+        )
+        return l, r
+
+    def _mutation_rounds(self, spark, l, r):
+        import pyspark.sql.functions as F
+
+        yield  # round 0: initial state
+        # pad: customer 10 dies (orders 1 and 4 move to the NULL group)
+        r.delete_where([("ck", "=", 10)])
+        yield
+        # unpad: customer 99 appears (order 3 leaves the NULL group);
+        # plus left churn into and out of groups
+        r.append(
+            spark.createDataFrame(
+                [(99, "z", 8.0)], "ck bigint, seg string, bal double"
+            )
+        )
+        l.update_where(F.col("k") == 2, {"price": F.lit(22.0)})
+        l.append(
+            spark.createDataFrame(
+                [(5, 77, 5.0), (6, 404, 6.0)],
+                "k bigint, ck bigint, price double",
+            )
+        )
+        yield
+        # delete a padded-only group's last row; repoint a key
+        l.delete_where([("k", "=", 6)])
+        l.update_where(F.col("k") == 3, {"ck": F.lit(20)})
+        yield
+
+    def test_left_join_agg_view_tracks_recompute(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalLeftJoinAggView,
+        )
+
+        l, r = self._mk(spark, tmp_path, "la")
+        v = IncrementalLeftJoinAggView(
+            spark, l.root, r.root, str(tmp_path / "lav"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys=["seg"],
+            sums={"total_price": "price", "total_bal": "bal"},
+        )
+
+        def expect():
+            return {
+                (x.seg): (x._n, x.total_price, x.total_bal)
+                for x in l.read()
+                .join(r.read(), "ck", "left")
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("price").alias("total_price"),
+                    F.sum("bal").alias("total_bal"),
+                )
+                .collect()
+            }
+
+        def got():
+            return {
+                (x.seg): (x._n, x.total_price, x.total_bal)
+                for x in v.read().collect()
+            }
+
+        for _ in self._mutation_rounds(spark, l, r):
+            v.refresh()
+            e = expect()
+            assert got() == e
+        # the NULL group existed during the run and total_bal rendered
+        # NULL there (every contributing bal was a padded NULL)
+        assert None in got()
+        assert got()[None][2] is None
+        assert v.refresh() is not None or True  # idempotent smoke
+        assert got() == expect()
+
+    def test_full_join_agg_view_tracks_recompute(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalFullJoinAggView,
+        )
+
+        l, r = self._mk(spark, tmp_path, "fa")
+        v = IncrementalFullJoinAggView(
+            spark, l.root, r.root, str(tmp_path / "fav"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys=["seg"],
+            sums={"total_price": "price", "total_bal": "bal"},
+        )
+
+        def expect():
+            return {
+                (x.seg): (x._n, x.total_price, x.total_bal)
+                for x in l.read()
+                .join(r.read(), "ck", "full")
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("price").alias("total_price"),
+                    F.sum("bal").alias("total_bal"),
+                )
+                .collect()
+            }
+
+        def got():
+            return {
+                (x.seg): (x._n, x.total_price, x.total_bal)
+                for x in v.read().collect()
+            }
+
+        for _ in self._mutation_rounds(spark, l, r):
+            v.refresh()
+            assert got() == expect()
+        # right-padded-only group: customer 'w' (ck=77) gains orders
+        # mid-run; at the start it must appear with NULL price sum
+        assert got() == expect()
+
+    def test_full_join_agg_right_padded_group_transitions(
+        self, spark, tmp_path
+    ):
+        """A right-padded-only group's full lifecycle: present with
+        count 1 and NULL left sum, unpads when an order arrives, pads
+        back when the order dies."""
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalFullJoinAggView,
+        )
+
+        l, r = self._mk(spark, tmp_path, "rt")
+        v = IncrementalFullJoinAggView(
+            spark, l.root, r.root, str(tmp_path / "rtv"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys=["seg"], sums={"total_price": "price"},
+        )
+        v.refresh()
+        got = {x.seg: (x._n, x.total_price) for x in v.read().collect()}
+        assert got["w"] == (1, None)  # right-padded only
+
+        l.append(
+            spark.createDataFrame(
+                [(9, 77, 9.5)], "k bigint, ck bigint, price double"
+            )
+        )
+        v.refresh()
+        got = {x.seg: (x._n, x.total_price) for x in v.read().collect()}
+        assert got["w"] == (1, 9.5)  # unpadded: matched row replaces pad
+
+        l.delete_where([("k", "=", 9)])
+        v.refresh()
+        got = {x.seg: (x._n, x.total_price) for x in v.read().collect()}
+        assert got["w"] == (1, None)  # padded back
+
+    def test_agg_crash_repair_missing_agg_table(self, spark, tmp_path):
+        """A death between the outer-state creates and the agg create
+        is repaired by the next refresh (bootstrap from the current
+        state snapshots)."""
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalLeftJoinAggView,
+            IncrementalLeftJoinView,
+        )
+
+        l, r = self._mk(spark, tmp_path, "cr")
+        root = str(tmp_path / "crv")
+        # simulate: the outer view landed, the agg table never did
+        IncrementalLeftJoinView(
+            spark, l.root, r.root, root,
+            on=["ck"], left_pk="k", right_pk="ck",
+        ).refresh()
+        v = IncrementalLeftJoinAggView(
+            spark, l.root, r.root, root,
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys=["seg"], sums={"total_price": "price"},
+        )
+        v.refresh()
+        expect = {
+            x.seg: (x._n, x.total_price)
+            for x in l.read()
+            .join(r.read(), "ck", "left")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("price").alias("total_price"),
+            )
+            .collect()
+        }
+        assert {
+            x.seg: (x._n, x.total_price) for x in v.read().collect()
+        } == expect
