@@ -976,3 +976,109 @@ def q174_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multiprobe_topk(
         emb.filter(F.col("vec_id") != 0), q, _hyperplanes(), k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — INCREMENTALLY-MAINTAINED IVF INDEX from the change feed (E110): the
+# composition a mutating vector corpus needs — the (vec_id, cid) assignment
+# table is a CDC-maintained view of ivf_assign (deletes remove, updates
+# reassign, inserts assign against broadcast centroids; refresh ∝ |Δ|, never
+# a corpus rescan), and the probe search runs over the MAINTAINED index.
+# The oracle recomputes the mutated corpus's assignment + probe search from
+# scratch, so the whole maintenance-then-serve path sits behind the value
+# check.
+# ---------------------------------------------------------------------------
+@register(
+    "q182_incremental_ivf_index",
+    tags=("vectors", "ann", "ivf", "incremental-view", "cdf"),
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+emb1 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 11 = 4
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 7 <> 3
+  UNION ALL
+  SELECT vec_id + 1000000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 13 = 6
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe_cells AS (
+  SELECT cid FROM centroids CROSS JOIN q
+  ORDER BY {_duck_cosine('cv', 'qv')} DESC, cid
+  LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                                       c.cid) AS rn
+    FROM emb1 e CROSS JOIN centroids c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_id, a.cid AS cell,
+       round({_duck_cosine('a.embedding', 'q.qv')}, 4) AS cos_sim
+FROM assigned a
+JOIN probe_cells p ON a.cid = p.cid
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""",
+)
+def q182_incremental_ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF index maintained from DML, then served: copy embeddings
+    into a versioned table, bootstrap the index, mutate the corpus
+    (negate every %11=4 vector — forcing reassignments; delete %7=3;
+    insert %13=6 twins under new ids), ONE incremental refresh (cost
+    ∝ |Δ| — pinned by tests/test_ivf_index.py's no-source-snapshot
+    spy), and probe-search the MAINTAINED index with q89's query path.
+    Centroids stay the original vec_id<8 vectors (fixed training, like
+    a FAISS index — retraining is a rebuild)."""
+    import os
+    import tempfile
+    import uuid
+
+    from datalakeingestionservice_spark.sinks.ivf_index import (
+        IncrementalIVFIndex,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ivfidx_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    src = VersionedTable.create(spark, os.path.join(base, "emb"), emb)
+    idx = IncrementalIVFIndex(
+        spark, src.root, os.path.join(base, "idx"), centroids
+    )
+    assert idx.refresh() == 1  # bootstrap at v1
+
+    twins = emb.filter(F.col("vec_id") % 13 == 6).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+    )
+    src.update_where(
+        F.col("vec_id") % 11 == 4,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.delete_where(F.col("vec_id") % 7 == 3)
+    src.append(twins)
+    assert idx.refresh() == 4  # ONE incremental refresh drains all 3
+    assert idx.refresh() is None  # idempotent
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return idx.topk(q, k=5, n_probe=2, exclude_ids=[0])
