@@ -4197,3 +4197,97 @@ def q181_incremental_full_join_agg_view(
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — MATERIALIZED VIEW statements (E111): the IVM family behind the SQL
+# front door — CREATE MATERIALIZED VIEW parses a restricted SELECT onto the
+# incremental-view classes, DML mutates the SOURCES through the same front
+# door, REFRESH runs one incremental maintenance pass, and the final SELECT
+# reads the maintained state by name. Oracle recomputes the mutated
+# outer-join aggregate from raw tables.
+# ---------------------------------------------------------------------------
+@register(
+    "q183_materialized_view_sql",
+    tags=("lake", "sql", "incremental-view", "matview", "outer", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price
+  FROM l0 WHERE k % 10 <> 1
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 11 <> 3
+),
+j AS (
+  SELECT l1.price, r1.seg FROM l1 LEFT JOIN r1 ON l1.ck = r1.ck
+)
+SELECT coalesce(seg, '(unmatched)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price
+FROM j GROUP BY coalesce(seg, '(unmatched)') ORDER BY seg
+""",
+)
+def q183_materialized_view_sql(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The whole materialized-view statement loop at the front door:
+    CREATE MATERIALIZED VIEW (left-outer join aggregate — the E109
+    class behind SQL text), three DML statements on the sources
+    (update prices, delete orders, delete customers — padding their
+    surviving orders into the NULL group), REFRESH MATERIALIZED VIEW
+    (one incremental pass over both change feeds), and a SELECT that
+    reads the maintained group state BY NAME through the same door."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_mv_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": l, "customer": r}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_totals LOCATION "
+        f"'{os.path.join(base, 'mv')}' PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n_rows, SUM(price) AS total_price "
+        "FROM orders LEFT JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 11 = 3", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_totals", tables)
+    return execute_sql(
+        spark,
+        "SELECT coalesce(seg, '(unmatched)') AS seg, n_rows, "
+        "round(total_price, 2) AS total_price "
+        "FROM seg_totals ORDER BY seg",
+        tables,
+    )

@@ -1,0 +1,400 @@
+"""SQL-defined incremental MATERIALIZED VIEWs — the statement front
+door for the IVM family (`sinks/incremental_view.py`):
+
+    CREATE MATERIALIZED VIEW mv LOCATION '/lake/mv'
+      AS SELECT seg, COUNT(*) AS n, SUM(price) AS total
+         FROM orders JOIN customer USING (ck) GROUP BY seg
+    REFRESH MATERIALIZED VIEW mv
+    SELECT * FROM mv                      -- reads the maintained state
+    DROP MATERIALIZED VIEW mv             -- deregisters (data stays)
+
+The AS body is a RESTRICTED grammar that maps 1:1 onto the maintained
+view classes — refuse-never-reinterpret, exactly like the rest of the
+statement surface (`sinks/sql_dml.py`):
+
+- ``SELECT keys…, COUNT(*) AS a, SUM(e) AS b, MIN(e) AS c, MAX(e) AS d
+  FROM t GROUP BY keys…`` → :class:`IncrementalAggView` (counting
+  algorithm; min/max with endangered-group partial rebuild).
+- ``SELECT * FROM l [INNER|LEFT|FULL [OUTER]] JOIN r USING (k…)``
+  with ``PRIMARY KEY (lpk, rpk)`` → :class:`IncrementalJoinView` /
+  :class:`IncrementalLeftJoinView` / :class:`IncrementalFullJoinView`
+  (join rows are identified by the two pks — the statement must name
+  them because no SQL text can infer uniqueness).
+- ``SELECT keys…, COUNT(*)/SUM(…)… FROM l [LEFT|FULL] JOIN r
+  USING (k…) GROUP BY keys…`` with ``PRIMARY KEY`` →
+  :class:`IncrementalJoinAggView` / the E109 outer-agg classes.
+  MIN/MAX over a join refuses with the documented composition
+  (IncrementalAggView over a join view's state table).
+
+The definition persists as ``_mv.json`` at the view LOCATION (source
+table ROOTS, parsed spec, original SQL), so
+:meth:`MaterializedView.open` rebuilds the view in a fresh session and
+``REFRESH`` works without the CREATE statement's context. JOIN USING
+(not ON) is the accepted form because the maintained join classes
+equate SAME-NAMED columns; WHERE clauses refuse (filtered views are a
+different delta algebra).
+
+Reference anchor: the reference re-runs its extraction queries from
+scratch on every cron fire (`src/Worker/Services/
+JobSchedulingService.cs:24-75`); a materialized view with incremental
+refresh is the lake-native replacement for that whole recompute loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.sinks.incremental_view import (
+    IncrementalAggView,
+    IncrementalFullJoinAggView,
+    IncrementalFullJoinView,
+    IncrementalJoinAggView,
+    IncrementalJoinView,
+    IncrementalLeftJoinAggView,
+    IncrementalLeftJoinView,
+)
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+_SPEC_FILE = "_mv.json"
+
+_BODY_RE = re.compile(
+    r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t1>[A-Za-z_]\w*)"
+    r"(?:\s+(?P<jt>INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?"
+    r"JOIN\s+(?P<t2>[A-Za-z_]\w*)\s+USING\s*\((?P<using>[^)]+)\))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_ITEM_RE = re.compile(
+    r"^(?P<fn>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<arg>.+?)\s*\)\s+"
+    r"AS\s+(?P<alias>[A-Za-z_]\w*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+class MaterializedViewError(ValueError):
+    """Statement outside the materialized-view grammar."""
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas outside parentheses/quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
+    """Parse the AS body into a spec dict (kind + class parameters).
+    Refuses anything outside the grammar with a targeted message."""
+    sql = body.strip().rstrip(";").strip()
+    if re.search(r"\bWHERE\b", sql, re.IGNORECASE):
+        raise MaterializedViewError(
+            "WHERE clauses are not maintainable by this view family "
+            "(filtered views are a different delta algebra); "
+            "materialize the filter into a source table first"
+        )
+    if re.search(r"\bJOIN\b.+\bON\b", sql, re.IGNORECASE | re.DOTALL):
+        raise MaterializedViewError(
+            "join views equate SAME-NAMED columns: use "
+            "JOIN <t2> USING (col[, ...]), not ON"
+        )
+    m = _BODY_RE.match(sql)
+    if not m:
+        raise MaterializedViewError(
+            "materialized-view body must be SELECT <items> FROM <t> "
+            "[<jointype> JOIN <t2> USING (cols)] [GROUP BY keys]; "
+            f"got {sql[:80]!r}"
+        )
+    items = _split_top_level(m.group("items"))
+    is_join = m.group("t2") is not None
+    gb = (
+        [c.strip().strip("`") for c in _split_top_level(m.group("gb"))]
+        if m.group("gb")
+        else None
+    )
+
+    keys: list[str] = []
+    count_alias: str | None = None
+    sums: dict[str, str] = {}
+    mins: dict[str, str] = {}
+    maxs: dict[str, str] = {}
+    star = False
+    for item in items:
+        if item == "*":
+            star = True
+            continue
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").upper()
+            arg, alias = am.group("arg").strip(), am.group("alias")
+            if fn == "COUNT":
+                if arg != "*":
+                    raise MaterializedViewError(
+                        "only COUNT(*) is maintainable (COUNT(col) = "
+                        "SUM(CAST(col IS NOT NULL AS INT)))"
+                    )
+                if count_alias is not None:
+                    raise MaterializedViewError("duplicate COUNT(*)")
+                count_alias = alias
+            else:
+                dst = {"SUM": sums, "MIN": mins, "MAX": maxs}[fn]
+                if alias in sums or alias in mins or alias in maxs:
+                    raise MaterializedViewError(
+                        f"duplicate output alias {alias!r}"
+                    )
+                dst[alias] = arg
+            continue
+        if _IDENT_RE.match(item.strip("`")):
+            keys.append(item.strip("`"))
+            continue
+        raise MaterializedViewError(
+            f"select item {item!r} outside the grammar: plain column, "
+            "COUNT(*) AS a, SUM/MIN/MAX(expr) AS a, or * (join views)"
+        )
+
+    has_agg = bool(count_alias or sums or mins or maxs)
+    if star and (has_agg or keys or gb):
+        raise MaterializedViewError(
+            "SELECT * is the whole-row join-view form; it cannot mix "
+            "with aggregates or GROUP BY"
+        )
+    if has_agg:
+        if gb is None:
+            raise MaterializedViewError(
+                "aggregate views need GROUP BY (whole-table scalars "
+                "are a one-group GROUP BY away)"
+            )
+        if sorted(gb) != sorted(keys):
+            raise MaterializedViewError(
+                f"GROUP BY columns {gb} must equal the plain select "
+                f"columns {keys}"
+            )
+    elif gb is not None:
+        raise MaterializedViewError("GROUP BY without aggregates")
+
+    if not is_join:
+        if star or not has_agg:
+            raise MaterializedViewError(
+                "single-table views must aggregate (a non-aggregating "
+                "copy is a plain table — use CREATE TABLE ... AS)"
+            )
+        if primary_key is not None:
+            raise MaterializedViewError(
+                "PRIMARY KEY applies to join views only (single-table "
+                "aggregates are keyed by their GROUP BY columns)"
+            )
+        return {
+            "kind": "agg",
+            "source": m.group("t1"),
+            "keys": keys,
+            "count_alias": count_alias,
+            "sums": sums,
+            "mins": mins,
+            "maxs": maxs,
+        }
+
+    jt_raw = (m.group("jt") or "INNER").strip().upper().split()[0]
+    join_type = {"INNER": "inner", "LEFT": "left", "FULL": "full"}[jt_raw]
+    if primary_key is None:
+        raise MaterializedViewError(
+            "join views need PRIMARY KEY (<left_pk>, <right_pk>) — "
+            "join rows are identified by the two sides' unique keys, "
+            "which SQL text cannot infer"
+        )
+    on = [c.strip().strip("`") for c in m.group("using").split(",")]
+    spec = {
+        "left": m.group("t1"),
+        "right": m.group("t2"),
+        "on": on,
+        "join_type": join_type,
+        "left_pk": primary_key[0],
+        "right_pk": primary_key[1],
+    }
+    if not has_agg:
+        if not star:
+            raise MaterializedViewError(
+                "non-aggregating join views must be SELECT * (the "
+                "maintained state is the full join row)"
+            )
+        return {"kind": "join", **spec}
+    if mins or maxs:
+        raise MaterializedViewError(
+            "MIN/MAX over a join is not maintainable un-materialized "
+            "(a delete at the extreme needs a join rescan); create a "
+            "join view and an aggregate view over its state table"
+        )
+    return {
+        "kind": "join_agg",
+        **spec,
+        "group_keys": keys,
+        "count_alias": count_alias,
+        "sums": sums,
+    }
+
+
+class MaterializedView:
+    """A persisted, incrementally-refreshed view. Construct via
+    :meth:`create` (parses + materializes + writes `_mv.json`) or
+    :meth:`open` (rebuilds from the persisted spec)."""
+
+    def __init__(self, spark: SparkSession, root: str, spec: dict):
+        self.spark = spark
+        self.root = root
+        self.spec = spec
+        self._view = self._build()
+
+    # -- lifecycle -----------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        body: str,
+        sources: dict[str, str],
+        primary_key: tuple[str, str] | None = None,
+        name: str | None = None,
+    ) -> "MaterializedView":
+        """Parse `body`, resolve source names to table ROOTS via
+        `sources`, materialize once, persist the spec."""
+        if os.path.exists(os.path.join(root, _SPEC_FILE)):
+            raise MaterializedViewError(
+                f"{root}: already holds a materialized view; "
+                "open() or REFRESH it instead"
+            )
+        spec = parse_mv_body(body, primary_key)
+        for key in ("source", "left", "right"):
+            if key in spec:
+                src = spec[key]
+                if src not in sources:
+                    raise MaterializedViewError(
+                        f"unknown source table {src!r} "
+                        f"(registered: {sorted(sources)})"
+                    )
+                t = sources[src]
+                spec[f"{key}_root"] = (
+                    t.root if isinstance(t, VersionedTable) else str(t)
+                )
+        spec["sql"] = body.strip()
+        if name:
+            spec["name"] = name
+        mv = cls(spark, root, spec)
+        mv.refresh()
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, _SPEC_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(spec, f, indent=1)
+        os.replace(tmp, os.path.join(root, _SPEC_FILE))
+        return mv
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "MaterializedView":
+        path = os.path.join(root, _SPEC_FILE)
+        if not os.path.exists(path):
+            raise MaterializedViewError(
+                f"{root}: no materialized view here ({_SPEC_FILE} missing)"
+            )
+        with open(path) as f:
+            return cls(spark, root, json.load(f))
+
+    @staticmethod
+    def exists(root) -> bool:
+        return isinstance(root, str) and os.path.exists(
+            os.path.join(root, _SPEC_FILE)
+        )
+
+    def _build(self):
+        s = self.spec
+        state = os.path.join(self.root, "state")
+        if s["kind"] == "agg":
+            return IncrementalAggView(
+                self.spark, s["source_root"], state,
+                keys=s["keys"], sums=s["sums"],
+                mins=s["mins"], maxs=s["maxs"],
+            )
+        args = (
+            self.spark, s["left_root"], s["right_root"], state,
+        )
+        kw = dict(
+            on=s["on"], left_pk=s["left_pk"], right_pk=s["right_pk"]
+        )
+        if s["kind"] == "join":
+            cls = {
+                "inner": IncrementalJoinView,
+                "left": IncrementalLeftJoinView,
+                "full": IncrementalFullJoinView,
+            }[s["join_type"]]
+            return cls(*args, **kw)
+        cls = {
+            "inner": IncrementalJoinAggView,
+            "left": IncrementalLeftJoinAggView,
+            "full": IncrementalFullJoinAggView,
+        }[s["join_type"]]
+        return cls(*args, **kw, group_keys=s["group_keys"], sums=s["sums"])
+
+    # -- operations ----------------------------------------------------------
+    def refresh(self) -> int:
+        """One incremental refresh; returns the view's state version."""
+        self._view.refresh()
+        return self.state_version()
+
+    def state_version(self) -> int:
+        s = self.spec
+        sub = {
+            "agg": "state",
+            "join": "state",
+            "join_agg": "state",
+        }[s["kind"]]
+        root = os.path.join(self.root, sub)
+        if s["kind"] == "join" and s["join_type"] != "inner":
+            root = os.path.join(root, "inner")
+        elif s["kind"] == "join_agg" and s["join_type"] != "inner":
+            root = os.path.join(root, "agg")
+        return VersionedTable(self.spark, root).latest_version()
+
+    def read(self) -> DataFrame:
+        """The view in its SQL-visible shape: GROUP BY keys + aliased
+        aggregates (internal `_n` renamed to the COUNT(*) alias and
+        dropped if the SELECT didn't ask for it), or the whole join
+        rows for SELECT * views."""
+        s = self.spec
+        df = self._view.read()
+        if s["kind"] == "join":
+            return df
+        keys = s["keys"] if s["kind"] == "agg" else s["group_keys"]
+        cols = [F.col(k) for k in keys]
+        if s["count_alias"]:
+            cols.append(F.col("_n").alias(s["count_alias"]))
+        cols += [F.col(c) for c in s["sums"]]
+        if s["kind"] == "agg":
+            cols += [F.col(c) for c in s["mins"]]
+            cols += [F.col(c) for c in s["maxs"]]
+        return df.select(*cols)
+
+    def start_continuous_refresh(self, checkpoint_dir: str, **kw):
+        return self._view.start_continuous_refresh(checkpoint_dir, **kw)

@@ -135,9 +135,14 @@ def _resolve(
             f"unknown table {name!r} (registered: {sorted(tables)})"
         )
     t = tables[name]
-    return t if isinstance(t, VersionedTable) else VersionedTable(
-        spark, t
-    )
+    if isinstance(t, VersionedTable):
+        return t
+    if _is_mv(t):
+        raise UnsupportedStatementError(
+            f"{name!r} is a materialized view — read-only through the "
+            "front door; DML its SOURCE tables and REFRESH"
+        )
+    return VersionedTable(spark, t)
 
 
 def _where_triples(where: str, t: VersionedTable) -> list | None:
@@ -306,6 +311,53 @@ _CREATE_TABLE_RE = re.compile(
 _DROP_TABLE_RE = re.compile(
     r"^DROP\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
 )
+_CREATE_MV_RE = re.compile(
+    r"^CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"LOCATION\s+'(?P<loc>[^']+)'"
+    r"(?:\s+PRIMARY\s+KEY\s*\(\s*(?P<lpk>[A-Za-z_]\w*)\s*,\s*"
+    r"(?P<rpk>[A-Za-z_]\w*)\s*\))?"
+    r"\s+AS\s+(?P<rest>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_DROP_MV_RE = re.compile(
+    r"^DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_MV_STMT_RES = (_CREATE_MV_RE, _REFRESH_MV_RE, _DROP_MV_RE)
+
+
+def _is_mv(value) -> bool:
+    from datalakeingestionservice_spark.sinks.matview import (
+        MaterializedView,
+    )
+
+    return isinstance(value, MaterializedView) or MaterializedView.exists(
+        value
+    )
+
+
+def _resolve_mv(spark: SparkSession, name: str, tables: dict):
+    from datalakeingestionservice_spark.sinks.matview import (
+        MaterializedView,
+    )
+
+    if name not in tables:
+        raise UnsupportedStatementError(
+            f"unknown materialized view {name!r} "
+            f"(registered: {sorted(tables)})"
+        )
+    v = tables[name]
+    if isinstance(v, MaterializedView):
+        return v
+    if MaterializedView.exists(v):
+        return MaterializedView.open(spark, v)
+    raise UnsupportedStatementError(
+        f"{name!r} is a table, not a materialized view"
+    )
 _RESTORE_RE = re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
@@ -474,6 +526,47 @@ def execute_dml(
     `tables` maps statement-visible names to VersionedTable instances or
     table roots. Returns the committed version number."""
     sql = _strip(statement)
+    mmv = _CREATE_MV_RE.match(sql)
+    if mmv:
+        # CREATE MATERIALIZED VIEW: the restricted AS body maps onto
+        # the incremental-view family (sinks/matview.py's grammar);
+        # sources resolve through the registered tables, the spec
+        # persists at LOCATION, and the name registers into the
+        # caller's dict — later SELECTs read the maintained state.
+        from datalakeingestionservice_spark.sinks.matview import (
+            MaterializedView,
+        )
+
+        name = mmv.group("name")
+        if name in tables:
+            raise UnsupportedStatementError(
+                f"{name!r} is already registered; DROP it first"
+            )
+        pk = (
+            (mmv.group("lpk"), mmv.group("rpk"))
+            if mmv.group("lpk")
+            else None
+        )
+        mv = MaterializedView.create(
+            spark,
+            mmv.group("loc"),
+            mmv.group("rest"),
+            tables,
+            primary_key=pk,
+            name=name,
+        )
+        tables[name] = mv
+        return mv.state_version()
+    mrf = _REFRESH_MV_RE.match(sql)
+    if mrf:
+        return _resolve_mv(spark, mrf.group("name"), tables).refresh()
+    mdv = _DROP_MV_RE.match(sql)
+    if mdv:
+        # Deregistration only, like DROP TABLE — state stays on disk.
+        name = mdv.group("name")
+        v = _resolve_mv(spark, name, tables).state_version()
+        del tables[name]
+        return v
     mc = _CREATE_TABLE_RE.match(sql)
     if mc:
         # CTAS: the SELECT resolves through execute_select, so it can
@@ -1033,6 +1126,24 @@ def execute_select(
         br: str | None = None,
         tag: str | None = None,
     ) -> str:
+        if name in tables and _is_mv(tables[name]):
+            # A materialized view serves its CURRENT maintained state
+            # in the SQL-visible shape; pins refuse — the state tables
+            # under <root>/state are versioned and registrable for
+            # time travel when the history is wanted.
+            if v is not None or ts is not None or br or tag:
+                raise UnsupportedStatementError(
+                    f"materialized view {name!r} serves current state "
+                    "only; register its state table for time travel"
+                )
+            key = (None, name, -1)
+            if key not in resolved:
+                view = f"__mv_{name}_{_uuid.uuid4().hex[:8]}"
+                _resolve_mv(spark, name, tables).read(
+                ).createOrReplaceTempView(view)
+                resolved[key] = view
+                views.append(view)
+            return resolved[key]
         t = _resolve(spark, name, tables)
         if br is not None:
             # `t BRANCH 'b'` reads the named ref's chain — the WAP
@@ -1321,6 +1432,12 @@ def execute_script(
                 "CREATE TABLE / DROP TABLE are table-set evolution — "
                 "use catalog.add_table/remove_table outside a script; "
                 f"got: {s[:60]!r}"
+            )
+        if any(rx.match(s) for rx in _MV_STMT_RES):
+            raise UnsupportedStatementError(
+                "materialized-view statements commit to their own "
+                "state tables outside the script's staged transaction "
+                f"— run them outside scripts; got: {s[:60]!r}"
             )
     results: list = []
     with catalog.staged_transaction() as txn:

@@ -1,0 +1,292 @@
+"""SQL materialized views (sinks/matview.py + the sql_dml statements):
+grammar acceptance/refusals, lifecycle (create/refresh/drop/reopen),
+model equivalence vs a full recompute per kind, and front-door SELECT
+integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.sinks.matview import (
+    MaterializedView,
+    MaterializedViewError,
+    parse_mv_body,
+)
+from datalakeingestionservice_spark.sinks.sql_dml import (
+    UnsupportedStatementError,
+    execute_sql,
+)
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "orders"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0), (4, 10, 4.0)],
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "cust"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b"), (77, "w")], "ck bigint, seg string"
+        ),
+    )
+    return l, r, {"orders": l, "customer": r}
+
+
+class TestGrammar:
+    def test_parse_kinds(self):
+        s = parse_mv_body(
+            "SELECT ck, COUNT(*) AS n, SUM(price) AS t, MIN(price) AS lo,"
+            " MAX(price) AS hi FROM orders GROUP BY ck",
+            None,
+        )
+        assert s["kind"] == "agg" and s["keys"] == ["ck"]
+        assert s["sums"] == {"t": "price"} and s["mins"] == {"lo": "price"}
+
+        s = parse_mv_body(
+            "SELECT * FROM orders LEFT OUTER JOIN customer USING (ck)",
+            ("k", "ck"),
+        )
+        assert s["kind"] == "join" and s["join_type"] == "left"
+
+        s = parse_mv_body(
+            "SELECT seg, COUNT(*) AS n FROM orders FULL JOIN customer"
+            " USING (ck) GROUP BY seg",
+            ("k", "ck"),
+        )
+        assert s["kind"] == "join_agg" and s["join_type"] == "full"
+
+    @pytest.mark.parametrize(
+        "body,pk,msg",
+        [
+            ("SELECT ck, COUNT(*) AS n FROM orders", None, "GROUP BY"),
+            (
+                "SELECT ck FROM orders GROUP BY ck",
+                None,
+                "without aggregates",
+            ),
+            (
+                "SELECT ck, COUNT(k) AS n FROM orders GROUP BY ck",
+                None,
+                "COUNT",
+            ),
+            (
+                "SELECT ck, COUNT(*) AS n FROM orders WHERE ck > 1"
+                " GROUP BY ck",
+                None,
+                "WHERE",
+            ),
+            (
+                "SELECT * FROM orders JOIN customer ON orders.ck ="
+                " customer.ck",
+                ("k", "ck"),
+                "USING",
+            ),
+            (
+                "SELECT * FROM orders JOIN customer USING (ck)",
+                None,
+                "PRIMARY KEY",
+            ),
+            (
+                "SELECT k FROM orders JOIN customer USING (ck)",
+                ("k", "ck"),
+                "SELECT \\*",
+            ),
+            (
+                "SELECT seg, MIN(price) AS lo FROM orders JOIN customer"
+                " USING (ck) GROUP BY seg",
+                ("k", "ck"),
+                "MIN/MAX over a join",
+            ),
+            (
+                "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
+                ("k", "ck"),
+                "PRIMARY KEY applies to join",
+            ),
+            (
+                "SELECT seg, COUNT(*) AS n FROM orders GROUP BY ck",
+                None,
+                "must equal",
+            ),
+        ],
+    )
+    def test_refusals(self, body, pk, msg):
+        with pytest.raises(MaterializedViewError, match=msg):
+            parse_mv_body(body, pk)
+
+
+class TestLifecycle:
+    def test_agg_mv_tracks_recompute_and_reopens(self, spark, tmp_path, env):
+        l, r, tables = env
+        root = str(tmp_path / "mv_agg")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW by_ck LOCATION '{root}' AS "
+            "SELECT ck, COUNT(*) AS n, SUM(price) AS total, "
+            "MIN(price) AS lo, MAX(price) AS hi FROM orders GROUP BY ck",
+            tables,
+        )
+
+        def expect():
+            return {
+                (x.ck, x.n, x.total, x.lo, x.hi)
+                for x in l.read()
+                .groupBy("ck")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("price").alias("total"),
+                    F.min("price").alias("lo"),
+                    F.max("price").alias("hi"),
+                )
+                .collect()
+            }
+
+        def got(ts):
+            return {
+                tuple(x)
+                for x in execute_sql(
+                    spark, "SELECT * FROM by_ck", ts
+                ).collect()
+            }
+
+        assert got(tables) == expect()
+        # DML at the statement surface, incl. a delete AT an extreme
+        execute_sql(spark, "DELETE FROM orders WHERE k = 4", tables)
+        execute_sql(spark, "INSERT INTO orders VALUES (5, 20, 0.5)", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW by_ck", tables)
+        assert got(tables) == expect()
+        # reopen from disk in a fresh registration (root, not instance)
+        t2 = {"orders": l, "by_ck": root}
+        execute_sql(spark, "UPDATE orders SET price = price + 1", t2)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW by_ck", t2)
+        assert got(t2) == expect()
+        # drop deregisters only; the state survives re-registration
+        execute_sql(spark, "DROP MATERIALIZED VIEW by_ck", t2)
+        assert "by_ck" not in t2
+        assert MaterializedView.exists(root)
+
+    def test_outer_join_agg_mv_and_select_join(self, spark, tmp_path, env):
+        l, r, tables = env
+        root = str(tmp_path / "mv_oagg")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW seg_totals LOCATION '{root}' "
+            "PRIMARY KEY (k, ck) AS "
+            "SELECT seg, COUNT(*) AS n, SUM(price) AS total "
+            "FROM orders LEFT JOIN customer USING (ck) GROUP BY seg",
+            tables,
+        )
+        execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_totals", tables)
+        expect = {
+            (x.seg, x.n, x.total)
+            for x in l.read()
+            .join(r.read(), "ck", "left")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").alias("total"),
+            )
+            .collect()
+        }
+        got = {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM seg_totals", tables
+            ).collect()
+        }
+        assert got == expect
+        assert any(s is None for s, _, _ in got)  # padded group present
+        # the MV joins a SOURCE table in one front-door SELECT
+        joined = execute_sql(
+            spark,
+            "SELECT c.seg AS seg, v.n AS n FROM customer c "
+            "JOIN seg_totals v ON c.seg = v.seg",
+            tables,
+        ).collect()
+        assert {(x.seg, x.n) for x in joined} == {
+            (s, n) for s, n, _ in got if s is not None
+        }
+
+    def test_join_view_mv(self, spark, tmp_path, env):
+        l, r, tables = env
+        root = str(tmp_path / "mv_join")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW oj LOCATION '{root}' "
+            "PRIMARY KEY (k, ck) AS "
+            "SELECT * FROM orders FULL JOIN customer USING (ck)",
+            tables,
+        )
+        execute_sql(spark, "DELETE FROM orders WHERE ck = 10", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW oj", tables)
+        expect = {
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", "full").collect()
+        }
+        got = {
+            (x.k, x.ck, x.price, x.seg)
+            for x in execute_sql(
+                spark, "SELECT * FROM oj", tables
+            ).collect()
+        }
+        assert got == expect
+        assert (None, 10, None, "a") in got  # re-padded right row
+
+    def test_statement_refusals(self, spark, tmp_path, env):
+        l, r, tables = env
+        root = str(tmp_path / "mv_ref")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW m LOCATION '{root}' AS "
+            "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
+            tables,
+        )
+        with pytest.raises(UnsupportedStatementError, match="read-only"):
+            execute_sql(spark, "UPDATE m SET n = 1", tables)
+        with pytest.raises(UnsupportedStatementError, match="current state"):
+            execute_sql(spark, "SELECT * FROM m VERSION AS OF 1", tables)
+        with pytest.raises(
+            UnsupportedStatementError, match="already registered"
+        ):
+            execute_sql(
+                spark,
+                f"CREATE MATERIALIZED VIEW m LOCATION '{root}2' AS "
+                "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
+                tables,
+            )
+        with pytest.raises(
+            UnsupportedStatementError, match="not a materialized view"
+        ):
+            execute_sql(
+                spark, "REFRESH MATERIALIZED VIEW orders", tables
+            )
+        with pytest.raises(MaterializedViewError, match="already holds"):
+            execute_sql(
+                spark,
+                f"CREATE MATERIALIZED VIEW m2 LOCATION '{root}' AS "
+                "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
+                tables,
+            )
+
+
+def test_mv_statements_refuse_in_scripts(spark, tmp_path, env):
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_script
+
+    class _FakeCatalog:
+        def staged_transaction(self):
+            raise AssertionError("must refuse before opening a txn")
+
+    for stmt in (
+        "CREATE MATERIALIZED VIEW v LOCATION '/x' AS SELECT ck,"
+        " COUNT(*) AS n FROM orders GROUP BY ck",
+        "REFRESH MATERIALIZED VIEW v",
+        "DROP MATERIALIZED VIEW v",
+    ):
+        with pytest.raises(UnsupportedStatementError, match="script"):
+            execute_script(spark, [stmt], _FakeCatalog())
