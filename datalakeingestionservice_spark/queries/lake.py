@@ -4291,3 +4291,97 @@ def q183_materialized_view_sql(
         "FROM seg_totals ORDER BY seg",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — FILTERED materialized view (E112): WHERE composes with the IVM
+# delta algebra where selection commutes — the view is the aggregate of
+# σ_pred(source), maintenance filters the snapshot, the change feed, and
+# the endangered min/max rescans with the SAME predicate. The mutation set
+# makes rows CROSS the predicate boundary via UPDATE (entering/leaving the
+# view without an insert/delete) and deletes AT a filtered extreme (an
+# unfiltered rescan would resurrect a sub-threshold value). Oracle
+# recomputes filter-then-aggregate from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q184_filtered_materialized_view",
+    tags=("lake", "sql", "incremental-view", "matview", "filter", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price * 0.001
+              WHEN k % 10 = 5 THEN price + 100000
+              ELSE price END AS price
+  FROM l0 WHERE k % 10 <> 1
+)
+SELECT ck,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS total_price,
+       round(max(price), 2) AS max_price
+FROM l1 WHERE price >= 1000
+GROUP BY ck
+HAVING count(*) >= 3
+ORDER BY ck
+""",
+)
+def q184_filtered_materialized_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered single-table aggregate MV at the statement surface:
+    CREATE ... AS SELECT ck, COUNT(*), SUM(price), MAX(price) FROM
+    orders WHERE price >= 1000 GROUP BY ck — then mutations push rows
+    ACROSS the 1000 boundary both ways (k%10=0 prices shrink 1000×,
+    leaving the view; k%10=5 prices jump +100000, entering it and
+    becoming per-group maxima) and delete k%10=1 rows (some AT the
+    filtered max — the endangered rescan applies the same WHERE). The
+    HAVING in the final read is plain post-filtering of the maintained
+    state."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_fmv_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    tables = {"orders": l}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW big_orders LOCATION "
+        f"'{os.path.join(base, 'mv')}' AS "
+        "SELECT ck, COUNT(*) AS n_orders, SUM(price) AS total_price, "
+        "MAX(price) AS max_price "
+        "FROM orders WHERE price >= 1000 GROUP BY ck",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price * 0.001 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 100000 WHERE k % 10 = 5",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW big_orders", tables)
+    return execute_sql(
+        spark,
+        "SELECT ck, n_orders, round(total_price, 2) AS total_price, "
+        "round(max_price, 2) AS max_price "
+        "FROM big_orders WHERE n_orders >= 3 ORDER BY ck",
+        tables,
+    )

@@ -79,12 +79,21 @@ class IncrementalAggView:
         sums: dict[str, str] | None = None,
         mins: dict[str, str] | None = None,
         maxs: dict[str, str] | None = None,
+        filter: str | None = None,
     ):
         self.spark = spark
         self.source_root = source_root
         self.view_root = view_root
         self.keys = list(keys)
         self.sums = dict(sums or {})
+        #: optional SQL predicate over source columns — the view is
+        #: the aggregate of σ_filter(source). Selection commutes with
+        #: the counting delta algebra (a changed row affects the view
+        #: iff it satisfies the predicate), so maintenance just filters
+        #: the snapshot, the change feed, and the endangered rescans
+        #: with the SAME deterministic predicate. SQL semantics: only
+        #: TRUE rows pass (NULL excluded, like WHERE).
+        self.filter = filter
         #: output col -> ("min" | "max", source expression)
         self._minmax: dict[str, tuple[str, str]] = {
             **{c: ("min", e) for c, e in (mins or {}).items()},
@@ -152,6 +161,16 @@ class IncrementalAggView:
         )
 
     # -- maintenance --------------------------------------------------------
+    def _sigma(self, rows: DataFrame) -> DataFrame:
+        """Apply the view's selection predicate (WHERE semantics: TRUE
+        rows only) — identically to snapshots, change feeds, and
+        rescans, which is what makes σ commute with the deltas."""
+        if self.filter is None:
+            return rows
+        return rows.filter(
+            F.coalesce(F.expr(self.filter), F.lit(False))
+        )
+
     def _aggregate(self, rows: DataFrame, sign=None) -> DataFrame:
         """Group `rows` into view STATE shape; with `sign` (+1/-1 column)
         the aggregates become signed deltas.
@@ -214,7 +233,7 @@ class IncrementalAggView:
         table = self._view_table()
 
         if table is None:
-            state = self._aggregate(source.read(latest))
+            state = self._aggregate(self._sigma(source.read(latest)))
             VersionedTable.create(
                 self.spark,
                 self.view_root,
@@ -232,7 +251,7 @@ class IncrementalAggView:
             return None  # idempotent: nothing new (crash-replay safe)
         view_version = table.latest_version()
 
-        feed = source.changes(last, latest)
+        feed = self._sigma(source.changes(last, latest))
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
@@ -377,7 +396,7 @@ class IncrementalAggView:
             ek_rows, combined.select(*self.keys).schema
         )
         rescan = (
-            source.read(latest, predicates=bounds or None)
+            self._sigma(source.read(latest, predicates=bounds or None))
             .join(F.broadcast(keys_df), self.keys, "leftsemi")
             .groupBy(*self.keys)
             .agg(
@@ -480,6 +499,7 @@ class IncrementalJoinView:
         on: list[str],
         left_pk: str,
         right_pk: str,
+        filter: str | None = None,
     ):
         self.spark = spark
         self.left_root = left_root
@@ -488,6 +508,17 @@ class IncrementalJoinView:
         self.on = list(on)
         self.left_pk = left_pk
         self.right_pk = right_pk
+        #: optional SQL predicate over the JOINED row (any output
+        #: column): the view is σ_filter(L ⋈ R). Selection commutes
+        #: with the signed join delta (σ(ΔJ) = Δ(σJ) for a
+        #: row-deterministic predicate), so maintenance filters the
+        #: bootstrap join and each delta term identically. Inner joins
+        #: only — the OUTER variants refuse a filter, because SQL
+        #: applies WHERE after null-padding (a left row whose matches
+        #: all fail the predicate yields NO row, not a padded row) and
+        #: padded membership here is derived from the FILTERED inner
+        #: state, which can no longer tell those cases apart.
+        self.filter = filter
 
     def _sides(self) -> tuple[VersionedTable, VersionedTable]:
         return (
@@ -544,6 +575,15 @@ class IncrementalJoinView:
             )
         return lcols + [c for c in rcols if c not in self.on]
 
+    def _sigma(self, rows: DataFrame) -> DataFrame:
+        """Apply the view's selection predicate (WHERE semantics) —
+        identically to the bootstrap join and every delta term."""
+        if self.filter is None:
+            return rows
+        return rows.filter(
+            F.coalesce(F.expr(self.filter), F.lit(False))
+        )
+
     def _net_delta(
         self, left, right, l1, r1, l2, r2, out_cols
     ) -> DataFrame:
@@ -558,12 +598,16 @@ class IncrementalJoinView:
         if l2 > l1:
             dl = left.changes(l1, l2).withColumn("__s", sign)
             pieces.append(
-                dl.join(right.read(r1), self.on).select(*out_cols, "__s")
+                self._sigma(
+                    dl.join(right.read(r1), self.on)
+                ).select(*out_cols, "__s")
             )
         if r2 > r1:
             dr = right.changes(r1, r2).withColumn("__s", sign)
             pieces.append(
-                left.read(l2).join(dr, self.on).select(*out_cols, "__s")
+                self._sigma(
+                    left.read(l2).join(dr, self.on)
+                ).select(*out_cols, "__s")
             )
         delta = pieces[0]
         for p in pieces[1:]:
@@ -589,9 +633,9 @@ class IncrementalJoinView:
         out_cols = self._out_cols(left, right)
 
         if table is None:
-            state = left.read(l2).join(right.read(r2), self.on).select(
-                *out_cols
-            )
+            state = self._sigma(
+                left.read(l2).join(right.read(r2), self.on)
+            ).select(*out_cols)
             VersionedTable.create(
                 self.spark,
                 self.view_root,
@@ -908,9 +952,10 @@ class IncrementalJoinAggView(IncrementalJoinView):
     trade when the aggregate is the only consumer."""
 
     def __init__(self, spark, left_root, right_root, view_root, on,
-                 left_pk, right_pk, group_keys, sums=None):
+                 left_pk, right_pk, group_keys, sums=None, filter=None):
         super().__init__(
-            spark, left_root, right_root, view_root, on, left_pk, right_pk
+            spark, left_root, right_root, view_root, on, left_pk,
+            right_pk, filter=filter,
         )
         self.group_keys = list(group_keys)
         self.sums = dict(sums or {})
@@ -966,9 +1011,9 @@ class IncrementalJoinAggView(IncrementalJoinView):
 
         if table is None:
             state = self._agg(
-                left.read(l2).join(right.read(r2), self.on).select(
-                    *out_cols
-                )
+                self._sigma(
+                    left.read(l2).join(right.read(r2), self.on)
+                ).select(*out_cols)
             )
             VersionedTable.create(
                 self.spark,

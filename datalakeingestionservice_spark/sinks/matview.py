@@ -31,8 +31,12 @@ table ROOTS, parsed spec, original SQL), so
 :meth:`MaterializedView.open` rebuilds the view in a fresh session and
 ``REFRESH`` works without the CREATE statement's context. JOIN USING
 (not ON) is the accepted form because the maintained join classes
-equate SAME-NAMED columns; WHERE clauses refuse (filtered views are a
-different delta algebra).
+equate SAME-NAMED columns. WHERE is supported where selection commutes
+with the delta algebra — single-table aggregates and INNER joins
+(σ(ΔJ) = Δ(σJ) for a row-deterministic predicate); WHERE over an
+OUTER join refuses, because SQL applies the predicate after
+null-padding and padded membership derives from the filtered inner
+state.
 
 Reference anchor: the reference re-runs its extraction queries from
 scratch on every cron fire (`src/Worker/Services/
@@ -66,6 +70,7 @@ _BODY_RE = re.compile(
     r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t1>[A-Za-z_]\w*)"
     r"(?:\s+(?P<jt>INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?"
     r"JOIN\s+(?P<t2>[A-Za-z_]\w*)\s+USING\s*\((?P<using>[^)]+)\))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -113,12 +118,6 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     """Parse the AS body into a spec dict (kind + class parameters).
     Refuses anything outside the grammar with a targeted message."""
     sql = body.strip().rstrip(";").strip()
-    if re.search(r"\bWHERE\b", sql, re.IGNORECASE):
-        raise MaterializedViewError(
-            "WHERE clauses are not maintainable by this view family "
-            "(filtered views are a different delta algebra); "
-            "materialize the filter into a source table first"
-        )
     if re.search(r"\bJOIN\b.+\bON\b", sql, re.IGNORECASE | re.DOTALL):
         raise MaterializedViewError(
             "join views equate SAME-NAMED columns: use "
@@ -133,6 +132,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
         )
     items = _split_top_level(m.group("items"))
     is_join = m.group("t2") is not None
+    where = m.group("where").strip() if m.group("where") else None
     gb = (
         [c.strip().strip("`") for c in _split_top_level(m.group("gb"))]
         if m.group("gb")
@@ -217,10 +217,19 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "sums": sums,
             "mins": mins,
             "maxs": maxs,
+            "filter": where,
         }
 
     jt_raw = (m.group("jt") or "INNER").strip().upper().split()[0]
     join_type = {"INNER": "inner", "LEFT": "left", "FULL": "full"}[jt_raw]
+    if where is not None and join_type != "inner":
+        raise MaterializedViewError(
+            "WHERE over an OUTER join is not maintainable: SQL applies "
+            "the predicate AFTER null-padding (a row whose matches all "
+            "fail it yields NO row, not a padded row), and padded "
+            "membership here derives from the filtered inner state — "
+            "use an inner join, or filter at read time"
+        )
     if primary_key is None:
         raise MaterializedViewError(
             "join views need PRIMARY KEY (<left_pk>, <right_pk>) — "
@@ -235,6 +244,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
         "join_type": join_type,
         "left_pk": primary_key[0],
         "right_pk": primary_key[1],
+        "filter": where,
     }
     if not has_agg:
         if not star:
@@ -331,11 +341,12 @@ class MaterializedView:
     def _build(self):
         s = self.spec
         state = os.path.join(self.root, "state")
+        flt = s.get("filter")
         if s["kind"] == "agg":
             return IncrementalAggView(
                 self.spark, s["source_root"], state,
                 keys=s["keys"], sums=s["sums"],
-                mins=s["mins"], maxs=s["maxs"],
+                mins=s["mins"], maxs=s["maxs"], filter=flt,
             )
         args = (
             self.spark, s["left_root"], s["right_root"], state,
@@ -343,6 +354,8 @@ class MaterializedView:
         kw = dict(
             on=s["on"], left_pk=s["left_pk"], right_pk=s["right_pk"]
         )
+        if flt is not None:
+            kw["filter"] = flt  # inner only — the parser enforces it
         if s["kind"] == "join":
             cls = {
                 "inner": IncrementalJoinView,

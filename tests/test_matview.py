@@ -76,10 +76,10 @@ class TestGrammar:
                 "COUNT",
             ),
             (
-                "SELECT ck, COUNT(*) AS n FROM orders WHERE ck > 1"
-                " GROUP BY ck",
-                None,
-                "WHERE",
+                "SELECT seg, COUNT(*) AS n FROM orders LEFT JOIN"
+                " customer USING (ck) WHERE price > 1 GROUP BY seg",
+                ("k", "ck"),
+                "OUTER join is not maintainable",
             ),
             (
                 "SELECT * FROM orders JOIN customer ON orders.ck ="
@@ -290,3 +290,161 @@ def test_mv_statements_refuse_in_scripts(spark, tmp_path, env):
     ):
         with pytest.raises(UnsupportedStatementError, match="script"):
             execute_script(spark, [stmt], _FakeCatalog())
+
+
+class TestFilteredViews:
+    """WHERE where selection commutes with the deltas: the filtered
+    view equals a filter-then-aggregate recompute after every mutation
+    round — including rows CROSSING the predicate boundary via UPDATE
+    (enter/leave the view without insert/delete), NULL predicate rows
+    (excluded, SQL WHERE semantics), and a filtered min/max rescan."""
+
+    def test_filtered_agg_view_tracks_recompute(self, spark, tmp_path, env):
+        l, r, tables = env
+        root = str(tmp_path / "mv_filt")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW big LOCATION '{root}' AS "
+            "SELECT ck, COUNT(*) AS n, SUM(price) AS total, "
+            "MAX(price) AS hi FROM orders WHERE price >= 2 GROUP BY ck",
+            tables,
+        )
+
+        def expect():
+            return {
+                (x.ck, x.n, x.total, x.hi)
+                for x in l.read()
+                .filter(F.col("price") >= 2)
+                .groupBy("ck")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("price").alias("total"),
+                    F.max("price").alias("hi"),
+                )
+                .collect()
+            }
+
+        def got():
+            return {
+                tuple(x)
+                for x in execute_sql(
+                    spark, "SELECT * FROM big", tables
+                ).collect()
+            }
+
+        assert got() == expect()
+        # k=1 (price 1.0) ENTERS the view via update; k=4 (price 4.0,
+        # the ck=10 max) LEAVES it the same way — no insert/delete
+        execute_sql(
+            spark, "UPDATE orders SET price = 9.0 WHERE k = 1", tables
+        )
+        execute_sql(
+            spark, "UPDATE orders SET price = 0.5 WHERE k = 4", tables
+        )
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW big", tables)
+        assert got() == expect()
+        # delete AT the filtered max: the endangered rescan must apply
+        # the same predicate (an unfiltered rescan would resurrect a
+        # sub-threshold price as the new max)
+        execute_sql(spark, "DELETE FROM orders WHERE k = 1", tables)
+        execute_sql(
+            spark, "INSERT INTO orders VALUES (6, 10, 1.5)", tables
+        )
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW big", tables)
+        assert got() == expect()
+
+    def test_filtered_join_agg_view_tracks_recompute(
+        self, spark, tmp_path, env
+    ):
+        l, r, tables = env
+        root = str(tmp_path / "mv_fja")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW segbig LOCATION '{root}' "
+            "PRIMARY KEY (k, ck) AS "
+            "SELECT seg, COUNT(*) AS n, SUM(price) AS total "
+            "FROM orders JOIN customer USING (ck) "
+            "WHERE price >= 2 GROUP BY seg",
+            tables,
+        )
+
+        def expect():
+            return {
+                (x.seg, x.n, x.total)
+                for x in l.read()
+                .join(r.read(), "ck")
+                .filter(F.col("price") >= 2)
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("price").alias("total"),
+                )
+                .collect()
+            }
+
+        def got():
+            return {
+                tuple(x)
+                for x in execute_sql(
+                    spark, "SELECT * FROM segbig", tables
+                ).collect()
+            }
+
+        assert got() == expect()
+        # boundary crossings from BOTH feeds + a group emptying out
+        execute_sql(
+            spark, "UPDATE orders SET price = 0.1 WHERE ck = 20", tables
+        )
+        execute_sql(
+            spark, "UPDATE orders SET price = 8.0 WHERE k = 1", tables
+        )
+        execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW segbig", tables)
+        assert got() == expect()
+
+    def test_filtered_join_view_null_predicate_rows(
+        self, spark, tmp_path, env
+    ):
+        """NULL predicate rows are excluded (WHERE semantics), and the
+        filtered SELECT * join view tracks the recompute."""
+        l, r, tables = env
+        execute_sql(
+            spark,
+            "INSERT INTO orders VALUES (7, 20, NULL)",
+            tables,
+        )
+        root = str(tmp_path / "mv_fj")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW fj LOCATION '{root}' "
+            "PRIMARY KEY (k, ck) AS "
+            "SELECT * FROM orders JOIN customer USING (ck) "
+            "WHERE price < 3",
+            tables,
+        )
+
+        def expect():
+            return {
+                (x.k, x.ck, x.price, x.seg)
+                for x in l.read()
+                .join(r.read(), "ck")
+                .filter(F.col("price") < 3)
+                .collect()
+            }
+
+        def got():
+            return {
+                (x.k, x.ck, x.price, x.seg)
+                for x in execute_sql(
+                    spark, "SELECT * FROM fj", tables
+                ).collect()
+            }
+
+        assert got() == expect()
+        assert all(k != 7 for k, _, _, _ in got())  # NULL price out
+        execute_sql(
+            spark, "UPDATE orders SET price = 2.5 WHERE k = 7", tables
+        )
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW fj", tables)
+        assert got() == expect()
+        assert any(k == 7 for k, _, _, _ in got())  # entered the view
