@@ -189,6 +189,38 @@ class IncrementalIVFIndex:
             return self.refresh(max_retries=max_retries - 1)
         return latest
 
+    def start_continuous_refresh(
+        self,
+        checkpoint_dir: str,
+        processing_time: str = "0 seconds",
+    ):
+        """Keep the index fresh CONTINUOUSLY: the source's change
+        stream (versions as offsets) triggers one idempotent
+        `refresh()` per micro-batch — the same trigger-not-data posture
+        as the incremental view family (the high-water mark, not the
+        stream offset, is the source of truth, so replayed or coalesced
+        micro-batches can never double-apply)."""
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        feed = (
+            self.spark.readStream.format("versioned_changes")
+            .option("table_root", self.source_root)
+            .load()
+        )
+
+        def _on_batch(batch_df, batch_id: int) -> None:
+            self.refresh()
+
+        return (
+            feed.writeStream.foreachBatch(_on_batch)
+            .trigger(processingTime=processing_time)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
     # -- serving ------------------------------------------------------------
     def topk(
         self,

@@ -1266,11 +1266,44 @@ def execute_describe(
       cost is independent of table size.
     """
     sql = _strip(statement)
+    mdv = re.match(
+        r"^DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",
+        sql,
+        re.IGNORECASE,
+    )
+    if mdv:
+        # The persisted definition + freshness, metadata-only.
+        import json as _json
+
+        mv = _resolve_mv(spark, mdv.group("name"), tables)
+        s = mv.spec
+        row = (
+            s.get("name", mdv.group("name")),
+            s["kind"],
+            s.get("join_type"),
+            s.get("filter"),
+            s["sql"],
+            mv.root,
+            mv.state_version(),
+            _json.dumps(
+                {
+                    k: s[k]
+                    for k in ("source_root", "left_root", "right_root")
+                    if k in s
+                }
+            ),
+        )
+        return spark.createDataFrame(
+            [row],
+            "name string, kind string, join_type string, "
+            "filter string, sql string, location string, "
+            "state_version int, sources string",
+        )
     m = _DESCRIBE_RE.match(sql)
     if not m:
         raise UnsupportedStatementError(
-            f"execute_describe handles DESCRIBE HISTORY|DETAIL; got "
-            f"{sql[:40]!r}"
+            f"execute_describe handles DESCRIBE HISTORY|DETAIL|"
+            f"MATERIALIZED VIEW; got {sql[:40]!r}"
         )
     t = _resolve(spark, m.group("name"), tables)
     what = m.group("what").upper()

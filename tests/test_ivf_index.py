@@ -166,3 +166,34 @@ def test_probe_search_matches_recompute_path(spark, tmp_path, corpus):
     ]
     assert got == expected
     assert len(got) == 5
+
+
+def test_index_continuous_refresh(spark, tmp_path, corpus):
+    """The source's change stream keeps the index fresh with no manual
+    refresh: DML converges the assignment table automatically."""
+    import time
+
+    src, centroids = corpus
+    idx = IncrementalIVFIndex(
+        spark, src.root, str(tmp_path / "idx4"), centroids
+    )
+    idx.refresh()
+    q = idx.start_continuous_refresh(str(tmp_path / "ck4"))
+    try:
+        src.delete_where(F.col("vec_id") % 9 == 4)
+        src.append(
+            spark.createDataFrame(
+                [(300, _vec(33))], "vec_id bigint, embedding array<float>"
+            )
+        )
+        expected = _snap(ivf_assign(src.read(), centroids))
+        deadline = time.time() + 90
+        got = None
+        while time.time() < deadline:
+            got = _snap(idx.read())
+            if got == expected:
+                break
+            time.sleep(2)
+        assert got == expected
+    finally:
+        q.stop()

@@ -448,3 +448,25 @@ class TestFilteredViews:
         execute_sql(spark, "REFRESH MATERIALIZED VIEW fj", tables)
         assert got() == expect()
         assert any(k == 7 for k, _, _, _ in got())  # entered the view
+
+
+def test_describe_materialized_view(spark, tmp_path, env):
+    l, r, tables = env
+    root = str(tmp_path / "mv_desc")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW d LOCATION '{root}' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n FROM orders JOIN customer "
+        "USING (ck) WHERE price >= 2 GROUP BY seg",
+        tables,
+    )
+    row = execute_sql(
+        spark, "DESCRIBE MATERIALIZED VIEW d", tables
+    ).collect()[0]
+    assert row.kind == "join_agg" and row.join_type == "inner"
+    assert row.filter == "price >= 2"
+    assert row.location == root and row.state_version >= 1
+    assert "left_root" in row.sources
+    with pytest.raises(UnsupportedStatementError):
+        execute_sql(spark, "DESCRIBE MATERIALIZED VIEW orders", tables)
