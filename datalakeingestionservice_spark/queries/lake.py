@@ -4385,3 +4385,86 @@ def q184_filtered_materialized_view(
         "FROM big_orders WHERE n_orders >= 3 ORDER BY ck",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — COUNT(DISTINCT) materialized view (E113): the textbook
+# not-self-maintainable aggregate, maintained via auxiliary (keys, value)
+# multiplicity state — a delete alone can't tell whether it removed the
+# LAST occurrence of a value, so the side table tracks multiplicities with
+# the counting algorithm and the distinct count is a read-time aggregate
+# over it. The mutation set collapses distinct values via UPDATE (many
+# priorities become one) and deletes occurrences both redundant and final.
+# ---------------------------------------------------------------------------
+@register(
+    "q185_count_distinct_materialized_view",
+    tags=("lake", "sql", "incremental-view", "matview", "distinct", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck, price,
+         CASE WHEN k % 3 = 0 THEN '9-SAME' ELSE prio END AS prio
+  FROM l0 WHERE k % 10 <> 1
+)
+SELECT ck,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT prio) AS BIGINT) AS n_prios,
+       round(sum(price), 2) AS total_price
+FROM l1 GROUP BY ck ORDER BY ck
+""",
+)
+def q185_count_distinct_materialized_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-customer order stats with COUNT(DISTINCT priority) as ONE
+    maintained view: the UPDATE collapses every k%3=0 order's priority
+    to a single value (multiplicities churn — distinct counts must
+    drop only when a group's last occurrence of a priority leaves),
+    then deletes remove k%10=1 orders (some the final occurrence of
+    their priority in the group, some redundant). One REFRESH drains
+    the main state and the (ck, prio) multiplicity side state."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_cdmv_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        ),
+    )
+    tables = {"orders": l}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW per_cust LOCATION "
+        f"'{os.path.join(base, 'mv')}' AS "
+        "SELECT ck, COUNT(*) AS n_orders, "
+        "COUNT(DISTINCT prio) AS n_prios, SUM(price) AS total_price "
+        "FROM orders GROUP BY ck",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET prio = '9-SAME' WHERE k % 3 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW per_cust", tables)
+    return execute_sql(
+        spark,
+        "SELECT ck, n_orders, n_prios, "
+        "round(total_price, 2) AS total_price "
+        "FROM per_cust ORDER BY ck",
+        tables,
+    )

@@ -80,12 +80,23 @@ class IncrementalAggView:
         mins: dict[str, str] | None = None,
         maxs: dict[str, str] | None = None,
         filter: str | None = None,
+        distincts: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.source_root = source_root
         self.view_root = view_root
         self.keys = list(keys)
         self.sums = dict(sums or {})
+        #: {output_column: source_expression} counted DISTINCT per
+        #: group. COUNT(DISTINCT e) is the textbook not-self-
+        #: maintainable aggregate — a delete alone can't tell whether
+        #: it removed the LAST occurrence of a value — so each entry
+        #: keeps AUXILIARY STATE: a side table at (keys, value) grain
+        #: whose _n is the value's multiplicity, maintained by the same
+        #: counting algorithm; the distinct count is a read-time
+        #: aggregate over that state (bounded by #distinct values, not
+        #: table size). NULL values are ignored, exactly like SQL.
+        self.distincts = dict(distincts or {})
         #: optional SQL predicate over source columns — the view is
         #: the aggregate of σ_filter(source). Selection commutes with
         #: the counting delta algebra (a changed row affects the view
@@ -103,10 +114,15 @@ class IncrementalAggView:
             *self.sums,
             *(mins or {}),
             *(maxs or {}),
+            *self.distincts,
         ]
         if len(set(outputs)) != len(outputs):
-            raise ValueError("sum/min/max output columns must be distinct")
-        reserved = {_COUNT_COL} | {f"_nn_{c}" for c in self.sums}
+            raise ValueError(
+                "sum/min/max/distinct output columns must be distinct"
+            )
+        reserved = {_COUNT_COL, "__val"} | {
+            f"_nn_{c}" for c in self.sums
+        }
         if reserved & (set(outputs) | set(self.keys)):
             raise ValueError(
                 f"reserved column names: {sorted(reserved)} (count and "
@@ -131,12 +147,18 @@ class IncrementalAggView:
                 return m.summary["source_version"]
         return None
 
+    def _distinct_root(self, col: str) -> str:
+        return f"{self.view_root.rstrip('/')}__distinct_{col}"
+
     def read(self) -> DataFrame:
-        """Current view state: keys, per-group count, per-group sums.
+        """Current view state: keys, per-group count, per-group sums,
+        min/max, distinct counts.
 
         Sums whose non-null counter is zero render as SQL NULL (exactly
         what a full `sum()` recompute yields for an all-NULL group); the
-        internal `_nn_*` counters are not exposed."""
+        internal `_nn_*` counters are not exposed. Distinct counts are
+        a read-time aggregate over the (keys, value) side state —
+        groups whose values are all NULL read 0, like COUNT(DISTINCT)."""
         table = self._view_table()
         if table is None:
             raise NoSuchVersionError(
@@ -144,7 +166,7 @@ class IncrementalAggView:
             )
         state = table.read()
         types = {f.name: f.dataType for f in state.schema.fields}
-        return state.select(
+        out = state.select(
             *self.keys,
             F.col(_COUNT_COL),
             *[
@@ -159,6 +181,17 @@ class IncrementalAggView:
             # extreme) — no counter needed.
             *[F.col(c) for c in self._minmax],
         )
+        for col in self.distincts:
+            counts = (
+                VersionedTable(self.spark, self._distinct_root(col))
+                .read()
+                .groupBy(*self.keys)
+                .agg(F.count(F.lit(1)).cast("long").alias(col))
+            )
+            out = out.join(counts, self.keys, "left").withColumn(
+                col, F.coalesce(F.col(col), F.lit(0).cast("long"))
+            )
+        return out
 
     # -- maintenance --------------------------------------------------------
     def _sigma(self, rows: DataFrame) -> DataFrame:
@@ -240,6 +273,7 @@ class IncrementalAggView:
                 state,
                 summary={"source_version": latest},
             )
+            self._refresh_distincts(source, latest, max_retries)
             return latest
 
         last = self.last_refreshed_version()
@@ -248,7 +282,11 @@ class IncrementalAggView:
                 f"{self.view_root}: no source_version mark in history"
             )
         if latest <= last:
-            return None  # idempotent: nothing new (crash-replay safe)
+            # Idempotent: nothing new for the MAIN state — but a crash
+            # between the main merge and a distinct side merge leaves
+            # the side lagging, so drain those unconditionally.
+            self._refresh_distincts(source, latest, max_retries)
+            return None
         view_version = table.latest_version()
 
         feed = self._sigma(source.changes(last, latest))
@@ -349,7 +387,96 @@ class IncrementalAggView:
             # Another refresh advanced the view while this one computed
             # its delta; recompute from the NEW mark (usually a no-op).
             return self.refresh(max_retries=max_retries - 1)
+        self._refresh_distincts(source, latest, max_retries)
         return latest
+
+    def _refresh_distincts(
+        self, source: VersionedTable, latest: int, max_retries: int
+    ) -> None:
+        """Bring each COUNT(DISTINCT) side table to `latest`: the
+        counting algorithm at (keys, value) grain. Each side table
+        stamps its own high-water mark, so a crash between the main
+        merge and a side merge self-repairs (the lagging table drains
+        its own window next refresh); concurrent merges pin the side
+        version and retry."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        for col, expr in self.distincts.items():
+            root = self._distinct_root(col)
+            try:
+                t = VersionedTable(self.spark, root)
+            except NoSuchVersionError:
+                t = None
+            if t is None:
+                snap = self._sigma(source.read(latest))
+                state = (
+                    snap.withColumn("__val", F.expr(expr))
+                    .filter(F.col("__val").isNotNull())
+                    .groupBy(*self.keys, "__val")
+                    .agg(F.count(F.lit(1)).alias(_COUNT_COL))
+                )
+                VersionedTable.create(
+                    self.spark,
+                    root,
+                    state,
+                    summary={"source_version": latest},
+                )
+                continue
+            for _ in range(max_retries + 1):
+                tv = t.latest_version()
+                last = None
+                for mm in reversed(t.versions()):
+                    if "source_version" in mm.summary:
+                        last = mm.summary["source_version"]
+                        break
+                if last is None:
+                    raise NoSuchVersionError(
+                        f"{root}: no source_version mark in history"
+                    )
+                if latest <= last:
+                    break  # side table already current
+                mk = [*self.keys, "__val"]
+                delta = (
+                    self._sigma(source.changes(last, latest))
+                    .withColumn("__val", F.expr(expr))
+                    .filter(F.col("__val").isNotNull())
+                    .groupBy(*mk)
+                    .agg(F.sum(sign).alias("__d"))
+                )
+                state = t.read(tv).select(*mk, _COUNT_COL)
+                combined = delta.join(state, mk, "left").select(
+                    *mk,
+                    (
+                        F.coalesce(F.col(_COUNT_COL), F.lit(0))
+                        + F.col("__d")
+                    )
+                    .cast("long")
+                    .alias(_COUNT_COL),
+                )
+                upserts = combined.withColumn(
+                    "__is_delete", F.col(_COUNT_COL) == 0
+                )
+                try:
+                    t.merge(
+                        upserts,
+                        mk,
+                        delete_col="__is_delete",
+                        summary={"source_version": latest},
+                        expected_version=tv,
+                    )
+                    break
+                except ConcurrentCommitError:
+                    continue
+            else:
+                raise ConcurrentCommitError(
+                    f"{root}: distinct merge lost {max_retries + 1} "
+                    "consecutive version races"
+                )
 
     def _patch_endangered(
         self,

@@ -144,6 +144,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     sums: dict[str, str] = {}
     mins: dict[str, str] = {}
     maxs: dict[str, str] = {}
+    distincts: dict[str, str] = {}
     star = False
     for item in items:
         if item == "*":
@@ -154,9 +155,18 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             fn = am.group("fn").upper()
             arg, alias = am.group("arg").strip(), am.group("alias")
             if fn == "COUNT":
+                dm = re.match(r"^DISTINCT\s+(.+)$", arg, re.IGNORECASE)
+                if dm:
+                    if alias in distincts:
+                        raise MaterializedViewError(
+                            f"duplicate output alias {alias!r}"
+                        )
+                    distincts[alias] = dm.group(1).strip()
+                    continue
                 if arg != "*":
                     raise MaterializedViewError(
-                        "only COUNT(*) is maintainable (COUNT(col) = "
+                        "only COUNT(*) and COUNT(DISTINCT expr) are "
+                        "maintainable (COUNT(col) = "
                         "SUM(CAST(col IS NOT NULL AS INT)))"
                     )
                 if count_alias is not None:
@@ -178,7 +188,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "COUNT(*) AS a, SUM/MIN/MAX(expr) AS a, or * (join views)"
         )
 
-    has_agg = bool(count_alias or sums or mins or maxs)
+    has_agg = bool(count_alias or sums or mins or maxs or distincts)
     if star and (has_agg or keys or gb):
         raise MaterializedViewError(
             "SELECT * is the whole-row join-view form; it cannot mix "
@@ -217,6 +227,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "sums": sums,
             "mins": mins,
             "maxs": maxs,
+            "distincts": distincts,
             "filter": where,
         }
 
@@ -253,11 +264,11 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
                 "maintained state is the full join row)"
             )
         return {"kind": "join", **spec}
-    if mins or maxs:
+    if mins or maxs or distincts:
         raise MaterializedViewError(
-            "MIN/MAX over a join is not maintainable un-materialized "
-            "(a delete at the extreme needs a join rescan); create a "
-            "join view and an aggregate view over its state table"
+            "MIN/MAX and COUNT(DISTINCT) over a join are not "
+            "maintainable un-materialized; create a join view and an "
+            "aggregate view over its state table (which supports both)"
         )
     return {
         "kind": "join_agg",
@@ -347,6 +358,7 @@ class MaterializedView:
                 self.spark, s["source_root"], state,
                 keys=s["keys"], sums=s["sums"],
                 mins=s["mins"], maxs=s["maxs"], filter=flt,
+                distincts=s.get("distincts") or {},
             )
         args = (
             self.spark, s["left_root"], s["right_root"], state,
@@ -407,6 +419,7 @@ class MaterializedView:
         if s["kind"] == "agg":
             cols += [F.col(c) for c in s["mins"]]
             cols += [F.col(c) for c in s["maxs"]]
+            cols += [F.col(c) for c in s.get("distincts") or {}]
         return df.select(*cols)
 
     def start_continuous_refresh(self, checkpoint_dir: str, **kw):

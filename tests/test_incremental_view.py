@@ -1529,3 +1529,150 @@ class TestOuterJoinAggViews:
         assert {
             x.seg: (x._n, x.total_price) for x in v.read().collect()
         } == expect
+
+
+class TestDistinctCounts:
+    """COUNT(DISTINCT) via auxiliary (keys, value) multiplicity state:
+    the view equals a full recompute after churn that exercises the
+    cases plain counting gets wrong — deleting ONE of two occurrences
+    (distinct count must hold), deleting the LAST occurrence (must
+    drop), NULL values ignored, and values moving between groups."""
+
+    def test_distinct_view_tracks_recompute(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalAggView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        src = VersionedTable.create(
+            spark,
+            str(tmp_path / "dsrc"),
+            spark.createDataFrame(
+                [
+                    (1, "a", "x"),
+                    (2, "a", "x"),  # x twice in group a
+                    (3, "a", "y"),
+                    (4, "b", "x"),
+                    (5, "b", None),  # NULL ignored by COUNT(DISTINCT)
+                ],
+                "id bigint, grp string, val string",
+            ),
+        )
+        v = IncrementalAggView(
+            spark,
+            src.root,
+            str(tmp_path / "dview"),
+            keys=["grp"],
+            distincts={"n_vals": "val"},
+        )
+
+        def expect():
+            return {
+                (x.grp, x._n, x.n_vals)
+                for x in src.read()
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.countDistinct("val").alias("n_vals"),
+                )
+                .collect()
+            }
+
+        def got():
+            return {
+                (x.grp, x._n, x.n_vals) for x in v.read().collect()
+            }
+
+        v.refresh()
+        assert got() == expect()
+        assert ("b", 2, 1) in got()  # NULL ignored
+
+        # delete ONE of two x's in a: distinct count must NOT move
+        src.delete_where([("id", "=", 2)])
+        v.refresh()
+        assert got() == expect()
+        assert ("a", 2, 2) in got()
+
+        # delete the LAST x in a: now it must move
+        src.delete_where([("id", "=", 1)])
+        v.refresh()
+        assert got() == expect()
+        assert ("a", 1, 1) in got()
+
+        # a value MOVES groups via update; a NULL becomes a value
+        src.update_where(F.col("id") == 4, {"grp": F.lit("a")})
+        src.update_where(F.col("id") == 5, {"val": F.lit("z")})
+        v.refresh()
+        assert got() == expect()
+
+        # group emptying removes it from the view entirely
+        src.delete_where(F.col("grp") == "a")
+        v.refresh()
+        assert got() == expect()
+        assert {g for g, _, _ in got()} == {"b"}
+        assert v.refresh() is None  # idempotent
+
+    def test_distinct_with_filter_and_sums(self, spark, tmp_path):
+        """distincts compose with filter= and sums= in one view; the
+        side table sees only predicate-passing rows."""
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalAggView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        src = VersionedTable.create(
+            spark,
+            str(tmp_path / "fsrc"),
+            spark.createDataFrame(
+                [
+                    (1, "a", "x", 5.0),
+                    (2, "a", "y", 1.0),  # filtered out
+                    (3, "b", "x", 9.0),
+                ],
+                "id bigint, grp string, val string, amt double",
+            ),
+        )
+        v = IncrementalAggView(
+            spark,
+            src.root,
+            str(tmp_path / "fview"),
+            keys=["grp"],
+            sums={"total": "amt"},
+            distincts={"n_vals": "val"},
+            filter="amt >= 2",
+        )
+
+        def expect():
+            return {
+                (x.grp, x.n_vals, x.total)
+                for x in src.read()
+                .filter(F.col("amt") >= 2)
+                .groupBy("grp")
+                .agg(
+                    F.countDistinct("val").alias("n_vals"),
+                    F.sum("amt").alias("total"),
+                )
+                .collect()
+            }
+
+        def got():
+            return {
+                (x.grp, x.n_vals, x.total) for x in v.read().collect()
+            }
+
+        v.refresh()
+        assert got() == expect()
+        assert ("a", 1, 5.0) in got()  # y filtered out of the count
+        # y crosses the boundary INTO the view
+        src.update_where(F.col("id") == 2, {"amt": F.lit(3.0)})
+        v.refresh()
+        assert got() == expect()
+        assert ("a", 2, 8.0) in got()

@@ -470,3 +470,50 @@ def test_describe_materialized_view(spark, tmp_path, env):
     assert "left_root" in row.sources
     with pytest.raises(UnsupportedStatementError):
         execute_sql(spark, "DESCRIBE MATERIALIZED VIEW orders", tables)
+
+
+def test_count_distinct_mv(spark, tmp_path, env):
+    """COUNT(DISTINCT expr) at the statement surface: maintained via
+    the (keys, value) side state; refuses over joins with the
+    composition pointer."""
+    l, r, tables = env
+    root = str(tmp_path / "mv_dist")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW per_cust LOCATION '{root}' AS "
+        "SELECT ck, COUNT(*) AS n, COUNT(DISTINCT price) AS n_prices "
+        "FROM orders GROUP BY ck",
+        tables,
+    )
+    execute_sql(spark, "INSERT INTO orders VALUES (8, 10, 1.0)", tables)
+    execute_sql(spark, "INSERT INTO orders VALUES (9, 10, 6.0)", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW per_cust", tables)
+    expect = {
+        (x.ck, x.n, x.n_prices)
+        for x in l.read()
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("price").alias("n_prices"),
+        )
+        .collect()
+    }
+    got = {
+        tuple(x)
+        for x in execute_sql(
+            spark, "SELECT * FROM per_cust", tables
+        ).collect()
+    }
+    assert got == expect
+    assert (10, 4, 3) in got  # prices 1.0(x2), 4.0, 6.0
+    with pytest.raises(
+        MaterializedViewError, match="COUNT\\(DISTINCT\\) over a join"
+    ):
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW x LOCATION '{root}2' "
+            "PRIMARY KEY (k, ck) AS "
+            "SELECT seg, COUNT(DISTINCT price) AS np FROM orders "
+            "JOIN customer USING (ck) GROUP BY seg",
+            tables,
+        )
