@@ -4468,3 +4468,87 @@ def q185_count_distinct_materialized_view(
         "FROM per_cust ORDER BY ck",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — AVG / STDDEV / VARIANCE materialized view (E114): the moment
+# aggregates maintained through their sufficient statistics (Σx, Σx²,
+# non-null count ride the sum machinery; the ratio renders at read time,
+# NULL below minimum support). Oracle recomputes avg/stddev_samp/var_samp
+# from the mutated raw table; outputs round to 2dp, well inside the
+# sufficient-statistics FP envelope at these scales.
+# ---------------------------------------------------------------------------
+@register(
+    "q186_moment_aggregates_materialized_view",
+    tags=("lake", "sql", "incremental-view", "matview", "stats", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck, prio,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price
+  FROM l0 WHERE k % 10 <> 1
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(price), 2) AS avg_price,
+       round(stddev_samp(price), 2) AS std_price,
+       round(var_samp(price) / 1000000, 4) AS var_price_m
+FROM l1 GROUP BY prio ORDER BY prio
+""",
+)
+def q186_moment_aggregates_materialized_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority price moments as ONE maintained view at the
+    statement surface: AVG, STDDEV, and VARIANCE ride hidden Σx/Σx²
+    accumulators with per-sum non-null counters (self-maintainable —
+    no rescans, unlike min/max), mutations update and delete through
+    the change feed, one REFRESH, read by name. Variance reported in
+    millions to keep the hash comparison inside the shared FP envelope
+    of the two evaluation orders."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_momv_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        ),
+    )
+    tables = {"orders": l}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW prio_stats LOCATION "
+        f"'{os.path.join(base, 'mv')}' AS "
+        "SELECT prio, COUNT(*) AS n_orders, AVG(price) AS avg_price, "
+        "STDDEV(price) AS std_price, VARIANCE(price) AS var_price "
+        "FROM orders GROUP BY prio",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW prio_stats", tables)
+    return execute_sql(
+        spark,
+        "SELECT prio, n_orders, round(avg_price, 2) AS avg_price, "
+        "round(std_price, 2) AS std_price, "
+        "round(var_price / 1000000, 4) AS var_price_m "
+        "FROM prio_stats ORDER BY prio",
+        tables,
+    )

@@ -81,12 +81,36 @@ class IncrementalAggView:
         maxs: dict[str, str] | None = None,
         filter: str | None = None,
         distincts: dict[str, str] | None = None,
+        avgs: dict[str, str] | None = None,
+        stddevs: dict[str, str] | None = None,
+        variances: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.source_root = source_root
         self.view_root = view_root
         self.keys = list(keys)
         self.sums = dict(sums or {})
+        #: AVG / sample VARIANCE / sample STDDEV are self-maintainable
+        #: through their sufficient statistics: avg = Σx / n_nonnull,
+        #: var = (Σx² − (Σx)²/n) / (n−1), std = sqrt(var). Each entry
+        #: rides HIDDEN sum accumulators (`__ac_*` / `__vs_*`+`__vq_*`)
+        #: maintained exactly like user sums (per-sum non-null
+        #: counters included) and renders the ratio at read time —
+        #: NULL below the minimum support (n=0 for avg, n<2 for
+        #: var/std), like the SQL aggregates. The Σx² path carries the
+        #: textbook subtractive-cancellation caveat for enormous means;
+        #: at parity-check precision (rounded output) it matches a full
+        #: recompute.
+        self._avgs = dict(avgs or {})
+        self._variances: dict[str, tuple[str, str]] = {
+            **{c: ("var", e) for c, e in (variances or {}).items()},
+            **{c: ("std", e) for c, e in (stddevs or {}).items()},
+        }
+        for out, e in self._avgs.items():
+            self.sums[f"__ac_{out}"] = e
+        for out, (_, e) in self._variances.items():
+            self.sums[f"__vs_{out}"] = e
+            self.sums[f"__vq_{out}"] = f"({e}) * ({e})"
         #: {output_column: source_expression} counted DISTINCT per
         #: group. COUNT(DISTINCT e) is the textbook not-self-
         #: maintainable aggregate — a delete alone can't tell whether
@@ -110,20 +134,27 @@ class IncrementalAggView:
             **{c: ("min", e) for c, e in (mins or {}).items()},
             **{c: ("max", e) for c, e in (maxs or {}).items()},
         }
-        outputs = [
-            *self.sums,
+        user_outputs = [
+            *(sums or {}),
             *(mins or {}),
             *(maxs or {}),
             *self.distincts,
+            *self._avgs,
+            *self._variances,
         ]
-        if len(set(outputs)) != len(outputs):
+        if len(set(user_outputs)) != len(user_outputs):
             raise ValueError(
-                "sum/min/max/distinct output columns must be distinct"
+                "aggregate output columns must be distinct"
+            )
+        if any(c.startswith("__") for c in user_outputs):
+            raise ValueError(
+                "output names starting with '__' are reserved for "
+                "internal accumulators"
             )
         reserved = {_COUNT_COL, "__val"} | {
             f"_nn_{c}" for c in self.sums
         }
-        if reserved & (set(outputs) | set(self.keys)):
+        if reserved & (set(user_outputs) | set(self.keys)):
             raise ValueError(
                 f"reserved column names: {sorted(reserved)} (count and "
                 "per-sum non-null counters)"
@@ -166,6 +197,31 @@ class IncrementalAggView:
             )
         state = table.read()
         types = {f.name: f.dataType for f in state.schema.fields}
+
+        def avg_render(out_name: str):
+            acc, nn = f"__ac_{out_name}", f"_nn___ac_{out_name}"
+            return (
+                F.when(F.col(nn) == 0, F.lit(None).cast("double"))
+                .otherwise(F.col(acc).cast("double") / F.col(nn))
+                .alias(out_name)
+            )
+
+        def var_render(out_name: str, fn: str):
+            s, q = f"__vs_{out_name}", f"__vq_{out_name}"
+            nn = f"_nn___vs_{out_name}"
+            var = (
+                F.col(q).cast("double")
+                - F.col(s).cast("double") * F.col(s).cast("double")
+                / F.col(nn)
+            ) / (F.col(nn) - 1)
+            var = F.greatest(var, F.lit(0.0))  # FP guard at var ~ 0
+            expr = F.sqrt(var) if fn == "std" else var
+            return (
+                F.when(F.col(nn) < 2, F.lit(None).cast("double"))
+                .otherwise(expr)
+                .alias(out_name)
+            )
+
         out = state.select(
             *self.keys,
             F.col(_COUNT_COL),
@@ -176,10 +232,13 @@ class IncrementalAggView:
                 .otherwise(F.col(c))
                 .alias(c)
                 for c in self.sums
+                if not c.startswith("__")
             ],
             # min/max carry SQL NULL naturally (all-NULL group => NULL
             # extreme) — no counter needed.
             *[F.col(c) for c in self._minmax],
+            *[avg_render(c) for c in self._avgs],
+            *[var_render(c, fn) for c, (fn, _) in self._variances.items()],
         )
         for col in self.distincts:
             counts = (

@@ -75,7 +75,8 @@ _BODY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<arg>.+?)\s*\)\s+"
+    r"^(?P<fn>COUNT|SUM|MIN|MAX|AVG|STDDEV_SAMP|STDDEV|VAR_SAMP|"
+    r"VARIANCE)\s*\(\s*(?P<arg>.+?)\s*\)\s+"
     r"AS\s+(?P<alias>[A-Za-z_]\w*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -145,6 +146,9 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     mins: dict[str, str] = {}
     maxs: dict[str, str] = {}
     distincts: dict[str, str] = {}
+    avgs: dict[str, str] = {}
+    stddevs: dict[str, str] = {}
+    variances: dict[str, str] = {}
     star = False
     for item in items:
         if item == "*":
@@ -173,8 +177,21 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
                     raise MaterializedViewError("duplicate COUNT(*)")
                 count_alias = alias
             else:
-                dst = {"SUM": sums, "MIN": mins, "MAX": maxs}[fn]
-                if alias in sums or alias in mins or alias in maxs:
+                dst = {
+                    "SUM": sums,
+                    "MIN": mins,
+                    "MAX": maxs,
+                    "AVG": avgs,
+                    "STDDEV": stddevs,
+                    "STDDEV_SAMP": stddevs,
+                    "VARIANCE": variances,
+                    "VAR_SAMP": variances,
+                }[fn]
+                taken = (
+                    set(sums) | set(mins) | set(maxs) | set(avgs)
+                    | set(stddevs) | set(variances)
+                )
+                if alias in taken:
                     raise MaterializedViewError(
                         f"duplicate output alias {alias!r}"
                     )
@@ -188,7 +205,10 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "COUNT(*) AS a, SUM/MIN/MAX(expr) AS a, or * (join views)"
         )
 
-    has_agg = bool(count_alias or sums or mins or maxs or distincts)
+    has_agg = bool(
+        count_alias or sums or mins or maxs or distincts or avgs
+        or stddevs or variances
+    )
     if star and (has_agg or keys or gb):
         raise MaterializedViewError(
             "SELECT * is the whole-row join-view form; it cannot mix "
@@ -228,6 +248,9 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "mins": mins,
             "maxs": maxs,
             "distincts": distincts,
+            "avgs": avgs,
+            "stddevs": stddevs,
+            "variances": variances,
             "filter": where,
         }
 
@@ -264,11 +287,12 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
                 "maintained state is the full join row)"
             )
         return {"kind": "join", **spec}
-    if mins or maxs or distincts:
+    if mins or maxs or distincts or avgs or stddevs or variances:
         raise MaterializedViewError(
-            "MIN/MAX and COUNT(DISTINCT) over a join are not "
-            "maintainable un-materialized; create a join view and an "
-            "aggregate view over its state table (which supports both)"
+            "MIN/MAX, COUNT(DISTINCT), AVG, and VARIANCE/STDDEV over a "
+            "join are not maintainable un-materialized here; create a "
+            "join view and an aggregate view over its state table "
+            "(which supports them all)"
         )
     return {
         "kind": "join_agg",
@@ -359,6 +383,9 @@ class MaterializedView:
                 keys=s["keys"], sums=s["sums"],
                 mins=s["mins"], maxs=s["maxs"], filter=flt,
                 distincts=s.get("distincts") or {},
+                avgs=s.get("avgs") or {},
+                stddevs=s.get("stddevs") or {},
+                variances=s.get("variances") or {},
             )
         args = (
             self.spark, s["left_root"], s["right_root"], state,
@@ -420,6 +447,9 @@ class MaterializedView:
             cols += [F.col(c) for c in s["mins"]]
             cols += [F.col(c) for c in s["maxs"]]
             cols += [F.col(c) for c in s.get("distincts") or {}]
+            cols += [F.col(c) for c in s.get("avgs") or {}]
+            cols += [F.col(c) for c in s.get("stddevs") or {}]
+            cols += [F.col(c) for c in s.get("variances") or {}]
         return df.select(*cols)
 
     def start_continuous_refresh(self, checkpoint_dir: str, **kw):

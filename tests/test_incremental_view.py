@@ -1676,3 +1676,97 @@ class TestDistinctCounts:
         v.refresh()
         assert got() == expect()
         assert ("a", 2, 8.0) in got()
+
+
+def test_avg_stddev_variance_view_tracks_recompute(spark, tmp_path):
+    """AVG / sample VARIANCE / sample STDDEV maintained through their
+    sufficient statistics (Σx, Σx², non-null counts): equal to a full
+    recompute (within FP tolerance) after churn, NULL below minimum
+    support (avg: n=0, var/std: n<2), NULL inputs excluded."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalAggView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    src = VersionedTable.create(
+        spark,
+        str(tmp_path / "vsrc"),
+        spark.createDataFrame(
+            [
+                (1, "a", 1.0),
+                (2, "a", 3.0),
+                (3, "a", None),  # NULL excluded from all three
+                (4, "b", 7.0),  # single row: var/std NULL, avg 7.0
+            ],
+            "id bigint, grp string, x double",
+        ),
+    )
+    v = IncrementalAggView(
+        spark,
+        src.root,
+        str(tmp_path / "vview"),
+        keys=["grp"],
+        avgs={"avg_x": "x"},
+        stddevs={"std_x": "x"},
+        variances={"var_x": "x"},
+    )
+
+    def expect():
+        return {
+            x.grp: (x.avg_x, x.std_x, x.var_x)
+            for x in src.read()
+            .groupBy("grp")
+            .agg(
+                F.avg("x").alias("avg_x"),
+                F.stddev_samp("x").alias("std_x"),
+                F.var_samp("x").alias("var_x"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            x.grp: (x.avg_x, x.std_x, x.var_x)
+            for x in v.read().collect()
+        }
+
+    def close(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+    def assert_matches():
+        g, e = got(), expect()
+        assert set(g) == set(e)
+        for k in e:
+            assert all(close(x, y) for x, y in zip(g[k], e[k])), (
+                k, g[k], e[k],
+            )
+
+    v.refresh()
+    assert_matches()
+    assert got()["b"] == (7.0, None, None)  # below var support
+
+    # churn: b gains support; a loses a value then gains NULLs
+    src.append(
+        spark.createDataFrame(
+            [(5, "b", 9.0), (6, "b", 11.0), (7, "a", None)],
+            "id bigint, grp string, x double",
+        )
+    )
+    src.delete_where([("id", "=", 1)])
+    v.refresh()
+    assert_matches()
+    assert got()["a"] == (3.0, None, None)  # back to single support
+
+    # update moves a value (delete+insert through the feed)
+    src.update_where(F.col("id") == 4, {"x": F.lit(100.0)})
+    v.refresh()
+    assert_matches()
+    assert v.refresh() is None

@@ -517,3 +517,63 @@ def test_count_distinct_mv(spark, tmp_path, env):
             "JOIN customer USING (ck) GROUP BY seg",
             tables,
         )
+
+
+def test_mv_chain_min_over_join_via_sql(spark, tmp_path, env):
+    """The documented composition for extremes over a join, entirely at
+    the statement surface: a SELECT * join MV materializes the join;
+    its state table registers as a source; a second MV maintains
+    MIN/MAX over it. DML on the base tables propagates through both
+    REFRESHes."""
+    l, r, tables = env
+    jroot = str(tmp_path / "mvc_join")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW oj LOCATION '{jroot}' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT * FROM orders JOIN customer USING (ck)",
+        tables,
+    )
+    # the join MV's state table is a versioned table — register it
+    import os
+
+    tables["oj_state"] = os.path.join(jroot, "state")
+    aroot = str(tmp_path / "mvc_agg")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_extremes LOCATION '{aroot}' AS "
+        "SELECT seg, COUNT(*) AS n, MIN(price) AS lo, MAX(price) AS hi "
+        "FROM oj_state GROUP BY seg",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.seg, x.n, x.lo, x.hi)
+            for x in l.read()
+            .join(r.read(), "ck")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("price").alias("lo"),
+                F.max("price").alias("hi"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM seg_extremes", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    # delete AT the max of segment 'a' (k=4, price 4.0) — propagates
+    # through the join MV's change feed into the agg MV's endangered
+    # rescan (which reads the join STATE, not the base tables)
+    execute_sql(spark, "DELETE FROM orders WHERE k = 4", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW oj", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_extremes", tables)
+    assert got() == expect()
