@@ -4552,3 +4552,98 @@ def q186_moment_aggregates_materialized_view(
         "FROM prio_stats ORDER BY prio",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — INCREMENTAL TOP-K PER GROUP (E115, the leaderboard view): min/max's
+# endangered-group idea extended k-deep — state holds each group's current
+# top-k rows; inserts fold in with NO source read (re-rank of stored ∪ new),
+# a delete inside the stored top-k rescans THAT group only, a delete below
+# the stored k-th is provably free. Oracle recomputes row_number()<=k over
+# the mutated table.
+# ---------------------------------------------------------------------------
+@register(
+    "q187_incremental_topk_view",
+    tags=("lake", "incremental-view", "topk", "window", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, prio,
+         CASE WHEN k % 1000 = 7 THEN price + 1000000 ELSE price END
+           AS price
+  FROM l0 WHERE k % 10 <> 1
+  UNION ALL
+  SELECT k + 3000000000 AS k, '0-INJECTED' AS prio, 9999999.0 AS price
+  FROM l0 WHERE k % 5000 = 11
+),
+ranked AS (
+  SELECT k, prio, price,
+         row_number() OVER (PARTITION BY prio
+                            ORDER BY price DESC, k) AS rk
+  FROM l1
+)
+SELECT prio, rk, k, round(price, 2) AS price
+FROM ranked WHERE rk <= 5 ORDER BY prio, rk
+""",
+)
+def q187_incremental_topk_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 priciest orders per priority as a maintained leaderboard:
+    mutations hit every delta case — k%10=1 deletes remove rows both
+    inside and below the stored top-5 (endangered rescans of only the
+    groups whose leaders died), k%1000=7 price bumps vault rows INTO
+    leaderboards through the feed's delete+insert, and a brand-new
+    '0-INJECTED' priority group is born from inserts alone (fold-in,
+    no rescan). Result reads the view state re-ranked for display."""
+    from pyspark.sql import Window
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalTopKView,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_topk_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    view = IncrementalTopKView(
+        spark, l.root, os.path.join(base, "v"),
+        keys=["prio"], order_col="price", k=5, pk="k",
+    )
+    assert view.refresh() == 1
+
+    injected = l.read(1).filter(F.col("k") % 5000 == 11).select(
+        (F.col("k") + 3_000_000_000).alias("k"),
+        F.lit("0-INJECTED").alias("prio"),
+        F.lit(9_999_999.0).alias("price"),
+    )
+    l.delete_where(F.col("k") % 10 == 1)
+    l.update_where(
+        F.col("k") % 1000 == 7, {"price": F.col("price") + 1_000_000}
+    )
+    l.append(injected)
+    assert view.refresh() == 4
+    assert view.refresh() is None
+
+    w = Window.partitionBy("prio").orderBy(
+        F.col("price").desc(), F.col("k").asc()
+    )
+    return (
+        view.read()
+        .withColumn("rk", F.row_number().over(w))
+        .select("prio", "rk", "k", F.round("price", 2).alias("price"))
+        .orderBy("prio", "rk")
+    )

@@ -1729,3 +1729,226 @@ class IncrementalFullJoinAggView(
             spark, left_root, right_root, view_root, on, left_pk, right_pk
         )
         self._init_agg(view_root, group_keys, sums)
+
+
+class IncrementalTopKView:
+    """Top-k rows PER GROUP (the leaderboard view), incrementally
+    maintained — min/max's partial-rebuild idea extended k-deep: the
+    state holds each group's current top-k rows (ranked by
+    ``order_col`` with pk tie-break, descending by default), and a
+    refresh recomputes ONLY the groups the change feed touched.
+
+    Delta rules per touched group:
+
+    - inserts alone fold in WITHOUT a source read: the new top-k is a
+      re-rank of (stored top-k ∪ inserted rows) — correct because a
+      row outside the old top-k can't enter the new one when nothing
+      left;
+    - any delete of a row INSIDE the stored top-k ENDANGERS the group
+      (its k+1-th row was never stored) → that group alone rescans
+      from the source via a broadcast semi-join on the endangered
+      keys; a delete below the stored k-th is provably irrelevant and
+      costs nothing;
+    - updates ride the feed as delete+insert and land in whichever
+      case their old row was in.
+
+    Refresh cost: ∝ |Δ| + (endangered groups' source rows); never a
+    table rescan, never a global sort — the per-group rank is a
+    window over touched groups only. Rows are identified by ``pk``
+    (unique per source row) for the state merge; marks/idempotency/
+    concurrency follow the family contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_root: str,
+        view_root: str,
+        keys: list[str],
+        order_col: str,
+        k: int,
+        pk: str,
+        ascending: bool = False,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.spark = spark
+        self.source_root = source_root
+        self.view_root = view_root
+        self.keys = list(keys)
+        self.order_col = order_col
+        self.k = int(k)
+        self.pk = pk
+        self.ascending = ascending
+
+    # -- state access -------------------------------------------------------
+    def _view_table(self) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, self.view_root)
+        except NoSuchVersionError:
+            return None
+
+    def last_refreshed_version(self) -> int | None:
+        t = self._view_table()
+        if t is None:
+            return None
+        for m in reversed(t.versions()):
+            if "source_version" in m.summary:
+                return m.summary["source_version"]
+        return None
+
+    def read(self) -> DataFrame:
+        t = self._view_table()
+        if t is None:
+            raise NoSuchVersionError(
+                f"{self.view_root}: view not materialized; call refresh()"
+            )
+        return t.read()
+
+    # -- maintenance --------------------------------------------------------
+    def _order(self):
+        c = F.col(self.order_col)
+        return [
+            c.asc() if self.ascending else c.desc(),
+            F.col(self.pk).asc(),
+        ]
+
+    def _topk(self, rows: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.keys).orderBy(*self._order())
+        return (
+            rows.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= self.k)
+            .drop("__rk")
+        )
+
+    def refresh(self, max_retries: int = 3) -> int | None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        source = VersionedTable(self.spark, self.source_root)
+        latest = source.latest_version()
+        t = self._view_table()
+        if t is None:
+            VersionedTable.create(
+                self.spark,
+                self.view_root,
+                self._topk(source.read(latest)),
+                summary={"source_version": latest},
+            )
+            return latest
+
+        last = self.last_refreshed_version()
+        if last is None:
+            raise NoSuchVersionError(
+                f"{self.view_root}: no source_version mark in history"
+            )
+        if latest <= last:
+            return None  # idempotent
+        view_version = t.latest_version()
+        state = t.read(view_version)
+
+        feed = source.changes(last, latest)
+        ins = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+        del_pks = feed.filter(F.col("_change_type") == "delete").select(
+            self.pk, *self.keys
+        )
+        # endangered groups: a delete hit a row currently IN the state
+        endangered = (
+            del_pks.join(
+                state.select(self.pk), self.pk, "leftsemi"
+            )
+            .select(*self.keys)
+            .distinct()
+        )
+        # fold-in groups: touched by inserts, NOT endangered
+        ins_groups = ins.select(*self.keys).distinct()
+        fold_groups = ins_groups.join(
+            endangered, self.keys, "left_anti"
+        )
+
+        # endangered groups rescan from source — those groups only,
+        # via a broadcast semi-join on the exact keys (collected:
+        # bounded by groups-with-deletes-in-topk, delta-scale)
+        e_rows = endangered.collect()
+        pieces = []
+        if e_rows:
+            keys_df = self.spark.createDataFrame(
+                e_rows, endangered.schema
+            )
+            rescan = source.read(latest).join(
+                F.broadcast(keys_df), self.keys, "leftsemi"
+            )
+            pieces.append(self._topk(rescan))
+        # fold-in: re-rank stored state ∪ inserts of those groups
+        folded = (
+            state.join(fold_groups, self.keys, "leftsemi")
+            .unionByName(
+                ins.join(fold_groups, self.keys, "leftsemi").select(
+                    *state.columns
+                )
+            )
+        )
+        pieces.append(self._topk(folded))
+        new_top = pieces[0]
+        for p in pieces[1:]:
+            new_top = new_top.unionByName(p)
+
+        touched = endangered.unionByName(fold_groups).distinct()
+        # rows of touched groups that fell out of (or left) the top-k
+        dels = (
+            state.join(touched, self.keys, "leftsemi")
+            .join(new_top.select(self.pk), self.pk, "left_anti")
+            .select(self.pk, *[c for c in state.columns if c != self.pk])
+        )
+        pk_cols = [self.pk]
+        updates = new_top.withColumn(
+            "__is_delete", F.lit(False)
+        ).unionByName(dels.withColumn("__is_delete", F.lit(True)))
+        try:
+            t.merge(
+                updates,
+                pk_cols,
+                delete_col="__is_delete",
+                summary={
+                    "source_version": latest,
+                    "topk_rescan_groups": len(e_rows),
+                },
+                expected_version=view_version,
+            )
+        except ConcurrentCommitError:
+            if max_retries <= 0:
+                raise
+            return self.refresh(max_retries=max_retries - 1)
+        return latest
+
+    def start_continuous_refresh(
+        self,
+        checkpoint_dir: str,
+        processing_time: str = "0 seconds",
+    ):
+        """Change-stream trigger, marks are the source of truth —
+        family contract (see IncrementalAggView)."""
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        feed = (
+            self.spark.readStream.format("versioned_changes")
+            .option("table_root", self.source_root)
+            .load()
+        )
+
+        def _on_batch(batch_df, batch_id: int) -> None:
+            self.refresh()
+
+        return (
+            feed.writeStream.foreachBatch(_on_batch)
+            .trigger(processingTime=processing_time)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )

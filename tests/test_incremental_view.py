@@ -1770,3 +1770,177 @@ def test_avg_stddev_variance_view_tracks_recompute(spark, tmp_path):
     v.refresh()
     assert_matches()
     assert v.refresh() is None
+
+
+class TestTopKView:
+    """Top-k per group: model equivalence vs a row_number recompute
+    across the three delta cases — insert-only fold-in (NO source
+    rescan, pinned via the commit summary), a delete inside the stored
+    top-k (endangered rescan of that group only), and a delete below
+    the stored k-th (provably irrelevant)."""
+
+    def _mk(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalTopKView,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        rows = [
+            (i, "a" if i % 2 == 0 else "b", float(i))
+            for i in range(1, 13)
+        ]
+        src = VersionedTable.create(
+            spark,
+            str(tmp_path / "tsrc"),
+            spark.createDataFrame(rows, "id bigint, grp string, score double"),
+        )
+        v = IncrementalTopKView(
+            spark,
+            src.root,
+            str(tmp_path / "tview"),
+            keys=["grp"],
+            order_col="score",
+            k=3,
+            pk="id",
+        )
+        return src, v
+
+    def _expect(self, src, k=3):
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        w = Window.partitionBy("grp").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return {
+            (x.id, x.grp, x.score)
+            for x in src.read()
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+            .collect()
+        }
+
+    def _got(self, v):
+        return {(x.id, x.grp, x.score) for x in v.read().collect()}
+
+    def _last_rescans(self, v):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        t = VersionedTable(v.spark, v.view_root)
+        return t.versions()[-1].summary.get("topk_rescan_groups")
+
+    def test_topk_view_tracks_recompute(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        src, v = self._mk(spark, tmp_path)
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+
+        # insert-only: one row enters a's top-3, one lands below —
+        # fold-in path, ZERO rescans
+        src.append(
+            spark.createDataFrame(
+                [(100, "a", 11.5), (101, "a", 0.5)],
+                "id bigint, grp string, score double",
+            )
+        )
+        assert v.refresh() == 2
+        assert self._got(v) == self._expect(src)
+        assert self._last_rescans(v) == 0
+        assert (100, "a", 11.5) in self._got(v)
+
+        # delete INSIDE a's stored top-3: endangered, exactly 1 group
+        # rescans; b untouched
+        src.delete_where([("id", "=", 12)])  # a's max
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+        assert self._last_rescans(v) == 1
+
+        # delete BELOW the stored k-th: irrelevant, zero rescans
+        src.delete_where([("id", "=", 101)])  # a's floor row
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+        assert self._last_rescans(v) == 0
+
+        # update moves a row's score (delete+insert through the feed):
+        # old row was in b's top-3 -> endangered rescan of b
+        src.update_where(F.col("id") == 11, {"score": F.lit(0.1)})
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+
+        # key repoint: b's current top row moves to group a
+        src.update_where(F.col("id") == 9, {"grp": F.lit("a")})
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+        assert v.refresh() is None  # idempotent
+
+    def test_topk_group_smaller_than_k_and_death(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        src, v = self._mk(spark, tmp_path)
+        v.refresh()
+        # shrink group b below k, then empty it entirely
+        src.delete_where(
+            (F.col("grp") == "b") & (F.col("score") < 9)
+        )
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+        src.delete_where(F.col("grp") == "b")
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+        assert all(g == "a" for _, g, _ in self._got(v))
+        # rebirth
+        src.append(
+            spark.createDataFrame(
+                [(200, "b", 5.0)], "id bigint, grp string, score double"
+            )
+        )
+        v.refresh()
+        assert self._got(v) == self._expect(src)
+        assert (200, "b", 5.0) in self._got(v)
+
+    def test_topk_ascending(self, spark, tmp_path):
+        """ascending=True maintains the BOTTOM-k (cheapest-k shape)."""
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalTopKView,
+        )
+
+        src, _ = self._mk(spark, tmp_path)
+        v = IncrementalTopKView(
+            spark,
+            src.root,
+            str(tmp_path / "tview_asc"),
+            keys=["grp"],
+            order_col="score",
+            k=2,
+            pk="id",
+            ascending=True,
+        )
+        v.refresh()
+        src.delete_where([("id", "=", 1)])  # b's min
+        src.append(
+            spark.createDataFrame(
+                [(300, "a", -1.0)], "id bigint, grp string, score double"
+            )
+        )
+        v.refresh()
+        w = Window.partitionBy("grp").orderBy(
+            F.col("score").asc(), F.col("id").asc()
+        )
+        expect = {
+            (x.id, x.grp, x.score)
+            for x in src.read()
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= 2)
+            .drop("__rk")
+            .collect()
+        }
+        assert self._got(v) == expect
