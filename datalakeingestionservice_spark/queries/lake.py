@@ -4647,3 +4647,92 @@ def q187_incremental_topk_view(
         .select("prio", "rk", "k", F.round("price", 2).alias("price"))
         .orderBy("prio", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — TIME-BUCKETED ROLLUP materialized view (E116, computed group keys):
+# the month bucket is an EXPRESSION key ({alias: expr}), projected onto the
+# snapshot, the change feed, and the rescans alike — so a dt UPDATE that
+# moves an order BETWEEN months maintains both buckets, which a plain
+# column key can't express. Oracle recomputes the mutated monthly rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q188_monthly_rollup_materialized_view",
+    tags=("lake", "sql", "incremental-view", "matview", "rollup", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_orderdate AS dt,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k,
+         CASE WHEN k % 97 = 3 THEN dt + INTERVAL 40 DAY ELSE dt END
+           AS dt,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price
+  FROM l0 WHERE k % 10 <> 1
+)
+SELECT substr(CAST(dt AS VARCHAR), 1, 7) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS revenue,
+       round(max(price), 2) AS max_price
+FROM l1 GROUP BY substr(CAST(dt AS VARCHAR), 1, 7) ORDER BY month
+""",
+)
+def q188_monthly_rollup_materialized_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly revenue rollup maintained through bucket churn: the
+    k%97=3 orders shift 40 days (many cross a month boundary — their
+    old bucket decrements and their new one increments through the
+    feed's delete+insert pair), prices update (endangering
+    month maxima — the computed-key rescan path), rows delete. One
+    REFRESH, read by name, ordered by month. (No AVG in the oracle
+    output: an average's true value can land exactly on a rounding
+    boundary — a 12-row month at sf0.001 did — making the comparison a
+    coin flip between the two engines' FP orders; sums and extremes of
+    2-decimal prices cannot hit boundaries.)"""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_roll_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("dt"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    tables = {"orders": l}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW monthly LOCATION "
+        f"'{os.path.join(base, 'mv')}' AS "
+        "SELECT substring(cast(dt as string), 1, 7) AS month, "
+        "COUNT(*) AS n_orders, SUM(price) AS revenue, "
+        "MAX(price) AS max_price FROM orders GROUP BY month",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET dt = date_add(dt, 40) WHERE k % 97 = 3",
+        tables,
+    )
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW monthly", tables)
+    return execute_sql(
+        spark,
+        "SELECT month, n_orders, round(revenue, 2) AS revenue, "
+        "round(max_price, 2) AS max_price "
+        "FROM monthly ORDER BY month",
+        tables,
+    )

@@ -75,7 +75,7 @@ class IncrementalAggView:
         spark: SparkSession,
         source_root: str,
         view_root: str,
-        keys: list[str],
+        keys: list[str] | dict[str, str],
         sums: dict[str, str] | None = None,
         mins: dict[str, str] | None = None,
         maxs: dict[str, str] | None = None,
@@ -88,7 +88,21 @@ class IncrementalAggView:
         self.spark = spark
         self.source_root = source_root
         self.view_root = view_root
-        self.keys = list(keys)
+        #: keys: a list of source COLUMN names, or {alias: expr} for
+        #: COMPUTED group keys (the time-bucketed-rollup shape:
+        #: {"day": "date_trunc('day', ts)"}). A computed key is a
+        #: deterministic row expression, so it distributes over the
+        #: change feed exactly like a column — maintenance projects the
+        #: alias onto the snapshot, the feed, and the rescans before
+        #: grouping. Stats-pruned endangered rescans engage only for
+        #: plain-column keys (a computed value can't bound a source
+        #: column); computed-key rescans fall back to the exact
+        #: semi-join alone.
+        if isinstance(keys, dict):
+            self._key_exprs = dict(keys)
+        else:
+            self._key_exprs = {k: k for k in keys}
+        self.keys = list(self._key_exprs)
         self.sums = dict(sums or {})
         #: AVG / sample VARIANCE / sample STDDEV are self-maintainable
         #: through their sufficient statistics: avg = Σx / n_nonnull,
@@ -255,13 +269,17 @@ class IncrementalAggView:
     # -- maintenance --------------------------------------------------------
     def _sigma(self, rows: DataFrame) -> DataFrame:
         """Apply the view's selection predicate (WHERE semantics: TRUE
-        rows only) — identically to snapshots, change feeds, and
-        rescans, which is what makes σ commute with the deltas."""
-        if self.filter is None:
-            return rows
-        return rows.filter(
-            F.coalesce(F.expr(self.filter), F.lit(False))
-        )
+        rows only) AND project computed group-key aliases — identically
+        to snapshots, change feeds, and rescans, which is what makes
+        both commute with the deltas."""
+        if self.filter is not None:
+            rows = rows.filter(
+                F.coalesce(F.expr(self.filter), F.lit(False))
+            )
+        for alias, expr in self._key_exprs.items():
+            if alias != expr:
+                rows = rows.withColumn(alias, F.expr(expr))
+        return rows
 
     def _aggregate(self, rows: DataFrame, sign=None) -> DataFrame:
         """Group `rows` into view STATE shape; with `sign` (+1/-1 column)
@@ -568,6 +586,8 @@ class IncrementalAggView:
 
         bounds: list[tuple] = []
         for i, k in enumerate(self.keys):
+            if self._key_exprs[k] != k:
+                continue  # computed key: no source column to bound
             vals = [r[i] for r in ek_rows if r[i] is not None]
             if len(vals) == len(ek_rows):
                 try:

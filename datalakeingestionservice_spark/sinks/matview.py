@@ -141,6 +141,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     )
 
     keys: list[str] = []
+    key_exprs: dict[str, str] = {}
     count_alias: str | None = None
     sums: dict[str, str] = {}
     mins: dict[str, str] = {}
@@ -199,10 +200,37 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             continue
         if _IDENT_RE.match(item.strip("`")):
             keys.append(item.strip("`"))
+            key_exprs[item.strip("`")] = item.strip("`")
+            continue
+        km = re.match(
+            r"^(?P<expr>.+?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if km:
+            # computed group key (e.g. date_trunc('day', ts) AS day) —
+            # must be aggregate-free (a malformed aggregate item would
+            # otherwise be silently reinterpreted as a key expression)
+            if re.search(
+                r"\b(COUNT|SUM|MIN|MAX|AVG|STDDEV|STDDEV_SAMP|VAR_SAMP"
+                r"|VARIANCE)\s*\(",
+                km.group("expr"),
+                re.IGNORECASE,
+            ):
+                raise MaterializedViewError(
+                    f"select item {item!r}: aggregate expressions "
+                    "outside the supported forms refuse rather than "
+                    "becoming group keys"
+                )
+            alias = km.group("alias")
+            keys.append(alias)
+            key_exprs[alias] = km.group("expr").strip()
             continue
         raise MaterializedViewError(
             f"select item {item!r} outside the grammar: plain column, "
-            "COUNT(*) AS a, SUM/MIN/MAX(expr) AS a, or * (join views)"
+            "<expr> AS key, COUNT(*) AS a, SUM/MIN/MAX/AVG/STDDEV/"
+            "VARIANCE(expr) AS a, COUNT(DISTINCT e) AS a, or * "
+            "(join views)"
         )
 
     has_agg = bool(
@@ -220,13 +248,24 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
                 "aggregate views need GROUP BY (whole-table scalars "
                 "are a one-group GROUP BY away)"
             )
-        if sorted(gb) != sorted(keys):
+        # GROUP BY entries may be the key alias OR the verbatim
+        # expression (both are valid SQL); match either per key.
+        norm = {
+            k: key_exprs[k].replace(" ", "").lower() for k in keys
+        }
+        gb_norm = sorted(
+            g if _IDENT_RE.match(g) else g.replace(" ", "").lower()
+            for g in gb
+        )
+        ok = gb_norm == sorted(keys) or gb_norm == sorted(norm.values())
+        if not ok and sorted(gb) != sorted(keys):
             raise MaterializedViewError(
-                f"GROUP BY columns {gb} must equal the plain select "
-                f"columns {keys}"
+                f"GROUP BY columns {gb} must equal the select's key "
+                f"columns/aliases {keys}"
             )
     elif gb is not None:
         raise MaterializedViewError("GROUP BY without aggregates")
+    computed = any(key_exprs[k] != k for k in keys)
 
     if not is_join:
         if star or not has_agg:
@@ -242,7 +281,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
         return {
             "kind": "agg",
             "source": m.group("t1"),
-            "keys": keys,
+            "keys": key_exprs if computed else keys,
             "count_alias": count_alias,
             "sums": sums,
             "mins": mins,
@@ -256,6 +295,11 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
 
     jt_raw = (m.group("jt") or "INNER").strip().upper().split()[0]
     join_type = {"INNER": "inner", "LEFT": "left", "FULL": "full"}[jt_raw]
+    if computed:
+        raise MaterializedViewError(
+            "computed group keys are single-table only; materialize "
+            "the join first, or key by plain columns"
+        )
     if where is not None and join_type != "inner":
         raise MaterializedViewError(
             "WHERE over an OUTER join is not maintainable: SQL applies "

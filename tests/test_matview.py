@@ -577,3 +577,94 @@ def test_mv_chain_min_over_join_via_sql(spark, tmp_path, env):
     execute_sql(spark, "REFRESH MATERIALIZED VIEW oj", tables)
     execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_extremes", tables)
     assert got() == expect()
+
+
+def test_computed_group_key_mv(spark, tmp_path):
+    """Computed group keys (the time-bucketed-rollup shape): the alias
+    expression projects onto snapshot, feed, and rescans alike, so an
+    UPDATE that moves a row BETWEEN buckets maintains both groups; the
+    endangered min/max rescan works without stats bounds (no source
+    column to bound)."""
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    src = VersionedTable.create(
+        spark,
+        str(tmp_path / "ksrc"),
+        spark.createDataFrame(
+            [
+                (1, "2024-01-03", 10.0),
+                (2, "2024-01-20", 20.0),
+                (3, "2024-02-07", 30.0),
+                (4, "2024-02-28", 40.0),
+            ],
+            "id bigint, dt string, amt double",
+        ),
+    )
+    tables = {"t": src}
+    root = str(tmp_path / "kmv")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW monthly LOCATION '{root}' AS "
+        "SELECT substring(dt, 1, 7) AS month, COUNT(*) AS n, "
+        "SUM(amt) AS total, MAX(amt) AS hi FROM t GROUP BY month",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.month, x.n, x.total, x.hi)
+            for x in src.read()
+            .groupBy(F.substring("dt", 1, 7).alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amt").alias("total"),
+                F.max("amt").alias("hi"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM monthly", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    assert ("2024-01", 2, 30.0, 20.0) in got()
+    # a row MOVES buckets; a bucket's max dies (endangered rescan with
+    # a computed key — semi-join only, no stats bounds)
+    execute_sql(
+        spark, "UPDATE t SET dt = '2024-02-15' WHERE id = 2", tables
+    )
+    execute_sql(spark, "DELETE FROM t WHERE id = 4", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW monthly", tables)
+    assert got() == expect()
+    assert ("2024-01", 1, 10.0, 10.0) in got()
+    assert ("2024-02", 2, 50.0, 30.0) in got()
+    # GROUP BY may also name the verbatim expression
+    from datalakeingestionservice_spark.sinks.matview import parse_mv_body
+
+    s = parse_mv_body(
+        "SELECT substring(dt, 1, 7) AS month, COUNT(*) AS n FROM t "
+        "GROUP BY substring(dt, 1, 7)",
+        None,
+    )
+    assert s["keys"] == {"month": "substring(dt, 1, 7)"}
+    # computed keys refuse over joins
+    with pytest.raises(MaterializedViewError, match="single-table"):
+        parse_mv_body(
+            "SELECT substring(dt, 1, 7) AS month, COUNT(*) AS n "
+            "FROM t JOIN u USING (id) GROUP BY month",
+            ("id", "id"),
+        )
+    # a malformed aggregate cannot be reinterpreted as a key
+    with pytest.raises(MaterializedViewError, match="refuse"):
+        parse_mv_body(
+            "SELECT SUM(amt) blah AS t2, COUNT(*) AS n FROM t "
+            "GROUP BY t2",
+            None,
+        )
