@@ -1,0 +1,292 @@
+"""Property fuzz for the materialized-view family: RANDOM view
+definitions (kind × aggregates × filter × computed keys × join type)
+driven through RANDOM DML sequences, with the maintained state checked
+against a full recompute after EVERY refresh. This is the interaction
+gate for the round-11 IVM surface — a single deterministic test can't
+cover filter×distinct×computed-key×outer-pad combinations; seeded
+randomness does.
+
+Determinism: every seed fully determines the definition, the data, and
+the DML — failures replay exactly.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.sinks.incremental_view import (
+    IncrementalAggView,
+    IncrementalFullJoinAggView,
+    IncrementalFullJoinView,
+    IncrementalJoinAggView,
+    IncrementalJoinView,
+    IncrementalLeftJoinAggView,
+    IncrementalLeftJoinView,
+)
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+GRPS = ["a", "b", "c", "d"]
+VALS = ["x", "y", "z", None]
+DATES = ["2024-01-05", "2024-02-11", "2024-03-20", "2024-03-29"]
+
+
+def _row(rng, rid):
+    return (
+        rid,
+        rng.choice(GRPS),
+        rng.choice(VALS),
+        round(rng.uniform(-50, 150), 2) if rng.random() > 0.1 else None,
+        rng.choice(DATES),
+    )
+
+
+L_SCHEMA = "id bigint, grp string, val string, x double, dt string"
+R_SCHEMA = "grp string, seg string, w double"
+
+
+def _mk_left(spark, tmp_path, rng, n=30):
+    rows = [_row(rng, i) for i in range(n)]
+    return (
+        VersionedTable.create(
+            spark, str(tmp_path / "fl"),
+            spark.createDataFrame(rows, L_SCHEMA),
+        ),
+        n,
+    )
+
+
+def _mk_right(spark, tmp_path, rng):
+    # one row per group, one group intentionally missing (pads)
+    rows = [
+        (g, rng.choice(["s1", "s2"]), round(rng.uniform(0, 9), 2))
+        for g in GRPS[:-1]
+    ]
+    return VersionedTable.create(
+        spark, str(tmp_path / "fr"),
+        spark.createDataFrame(rows, R_SCHEMA),
+    )
+
+
+def _mutate_left(spark, l, rng, next_id):
+    op = rng.choice(["ins", "del", "upd_x", "upd_grp", "upd_dt", "mix"])
+    if op in ("ins", "mix"):
+        rows = [_row(rng, next_id + i) for i in range(rng.randint(1, 4))]
+        l.append(spark.createDataFrame(rows, L_SCHEMA))
+        next_id += len(rows)
+    if op in ("del", "mix"):
+        m = rng.randint(2, 7)
+        r = rng.randint(0, m - 1)
+        l.delete_where(F.col("id") % m == r)
+    if op == "upd_x":
+        m = rng.randint(2, 5)
+        l.update_where(
+            F.col("id") % m == 0,
+            {"x": F.col("x") + F.lit(float(rng.randint(-20, 20)))},
+        )
+    if op == "upd_grp":
+        l.update_where(
+            F.col("id") % 3 == rng.randint(0, 2),
+            {"grp": F.lit(rng.choice(GRPS))},
+        )
+    if op == "upd_dt":
+        l.update_where(
+            F.col("id") % 4 == rng.randint(0, 3),
+            {"dt": F.lit(rng.choice(DATES))},
+        )
+    return next_id
+
+
+def _mutate_right(r, rng, spark):
+    op = rng.choice(["del", "upd", "ins"])
+    if op == "del":
+        r.delete_where([("grp", "=", rng.choice(GRPS))])
+    elif op == "upd":
+        r.update_where(
+            F.col("grp") == rng.choice(GRPS),
+            {"seg": F.lit(rng.choice(["s1", "s2", "s3"]))},
+        )
+    else:
+        g = rng.choice(GRPS)
+        # re-insert only if absent (right pk is unique by contract)
+        if r.read().filter(F.col("grp") == g).count() == 0:
+            r.append(
+                spark.createDataFrame(
+                    [(g, "s9", 1.0)], R_SCHEMA
+                )
+            )
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def _rows_match(got, exp):
+    if len(got) != len(exp):
+        return False
+    key = lambda t: tuple(  # noqa: E731
+        (x is None, x) for x in t
+    )
+    for g, e in zip(sorted(got, key=key), sorted(exp, key=key)):
+        if len(g) != len(e) or not all(_close(a, b) for a, b in zip(g, e)):
+            return False
+    return True
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_fuzz_single_table_agg_views(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    l, next_id = _mk_left(spark, tmp_path, rng)
+
+    # random definition
+    use_filter = rng.random() < 0.5
+    computed = rng.random() < 0.5
+    keys = (
+        {"mon": "substring(dt, 1, 7)"} if computed else ["grp"]
+    )
+    flt = "x >= 0" if use_filter else None
+    v = IncrementalAggView(
+        spark, l.root, str(tmp_path / "fv"),
+        keys=keys,
+        sums={"sx": "x"},
+        mins={"lo": "x"},
+        maxs={"hi": "x"},
+        avgs={"ax": "x"},
+        variances={"vx": "x"},
+        distincts={"nv": "val"},
+        filter=flt,
+    )
+    key_col = "mon" if computed else "grp"
+
+    def recompute():
+        df = l.read()
+        if flt:
+            df = df.filter(F.coalesce(F.expr(flt), F.lit(False)))
+        if computed:
+            df = df.withColumn("mon", F.expr("substring(dt, 1, 7)"))
+        return [
+            tuple(x)
+            for x in df.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("x").alias("sx"),
+                F.min("x").alias("lo"),
+                F.max("x").alias("hi"),
+                F.avg("x").alias("ax"),
+                F.var_samp("x").alias("vx"),
+                F.countDistinct("val").alias("nv"),
+            )
+            .collect()
+        ]
+
+    def got():
+        return [
+            tuple(x)
+            for x in v.read()
+            .select(key_col, "_n", "sx", "lo", "hi", "ax", "vx", "nv")
+            .collect()
+        ]
+
+    v.refresh()
+    assert _rows_match(got(), recompute()), (seed, 0)
+    for rnd in range(1, 6):
+        next_id = _mutate_left(spark, l, rng, next_id)
+        v.refresh()
+        assert _rows_match(got(), recompute()), (seed, rnd)
+    v.refresh()
+    assert _rows_match(got(), recompute())
+
+
+@pytest.mark.parametrize("seed", [11, 43])
+def test_fuzz_join_views(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    l, next_id = _mk_left(spark, tmp_path, rng, n=24)
+    r = _mk_right(spark, tmp_path, rng)
+    jt = rng.choice(["inner", "left", "full"])
+    cls = {
+        "inner": IncrementalJoinView,
+        "left": IncrementalLeftJoinView,
+        "full": IncrementalFullJoinView,
+    }[jt]
+    kw = dict(on=["grp"], left_pk="id", right_pk="grp")
+    if jt == "inner" and rng.random() < 0.5:
+        kw["filter"] = "x >= 10"
+    v = cls(spark, l.root, r.root, str(tmp_path / "fjv"), **kw)
+    how = {"inner": "inner", "left": "left", "full": "full"}[jt]
+
+    def recompute():
+        df = l.read().join(r.read(), "grp", how)
+        if kw.get("filter"):
+            df = df.filter(
+                F.coalesce(F.expr(kw["filter"]), F.lit(False))
+            )
+        return [
+            (x.grp, x.id, x.val, x.x, x.dt, x.seg, x.w)
+            for x in df.collect()
+        ]
+
+    def got():
+        return [
+            (x.grp, x.id, x.val, x.x, x.dt, x.seg, x.w)
+            for x in v.read().collect()
+        ]
+
+    v.refresh()
+    assert _rows_match(got(), recompute()), (seed, 0, jt)
+    for rnd in range(1, 6):
+        next_id = _mutate_left(spark, l, rng, next_id)
+        _mutate_right(r, rng, spark)
+        v.refresh()
+        assert _rows_match(got(), recompute()), (seed, rnd, jt)
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_fuzz_join_agg_views(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    l, next_id = _mk_left(spark, tmp_path, rng, n=24)
+    r = _mk_right(spark, tmp_path, rng)
+    jt = rng.choice(["inner", "left", "full"])
+    cls = {
+        "inner": IncrementalJoinAggView,
+        "left": IncrementalLeftJoinAggView,
+        "full": IncrementalFullJoinAggView,
+    }[jt]
+    v = cls(
+        spark, l.root, r.root, str(tmp_path / "fjav"),
+        on=["grp"], left_pk="id", right_pk="grp",
+        group_keys=["seg"], sums={"sx": "x", "sw": "w"},
+    )
+    how = {"inner": "inner", "left": "left", "full": "full"}[jt]
+
+    def recompute():
+        return [
+            tuple(x)
+            for x in l.read()
+            .join(r.read(), "grp", how)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("x").alias("sx"),
+                F.sum("w").alias("sw"),
+            )
+            .collect()
+        ]
+
+    def got():
+        return [
+            tuple(x)
+            for x in v.read().select("seg", "_n", "sx", "sw").collect()
+        ]
+
+    v.refresh()
+    assert _rows_match(got(), recompute()), (seed, 0, jt)
+    for rnd in range(1, 6):
+        next_id = _mutate_left(spark, l, rng, next_id)
+        _mutate_right(r, rng, spark)
+        v.refresh()
+        assert _rows_match(got(), recompute()), (seed, rnd, jt)
