@@ -162,6 +162,86 @@ def probe_join_family(spark, sf_dir: str, results: dict) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_new_agg_views(spark, sf_dir: str, results: dict) -> None:
+    """Round-11 single-table view classes at fixed delta: distinct
+    counts (side-table maintenance), computed-key rollups (bucket
+    churn), and the top-k leaderboard (fold-in + endangered rescans)."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalAggView,
+        IncrementalTopKView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    okeys = [
+        r.k
+        for r in orders.select(F.col("o_orderkey").alias("k"))
+        .orderBy("k")
+        .limit(1560)
+        .collect()
+    ]
+
+    def mk_src(tag):
+        return VersionedTable.create(
+            spark,
+            os.path.join(
+                tempfile.gettempdir(), f"ivmprobe_{uuid.uuid4().hex}", tag
+            ),
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey").alias("ck"),
+                F.col("o_orderdate").alias("dt"),
+                F.col("o_orderpriority").alias("prio"),
+                F.col("o_totalprice").cast("double").alias("price"),
+            ),
+        )
+
+    variants = {
+        "distinct_agg_view_E113": lambda s, sr, vr: IncrementalAggView(
+            s, sr, vr, keys=["ck"],
+            sums={"total": "price"}, distincts={"np": "prio"},
+        ),
+        "computed_key_rollup_E116": lambda s, sr, vr: IncrementalAggView(
+            s, sr, vr,
+            keys={"mon": "substring(cast(dt as string), 1, 7)"},
+            sums={"total": "price"}, maxs={"hi": "price"},
+        ),
+        "topk_view_E115": lambda s, sr, vr: IncrementalTopKView(
+            s, sr, vr, keys=["prio"], order_col="price", k=5, pk="k",
+        ),
+    }
+    for name, mk in variants.items():
+        src = mk_src(name)
+        view = mk(spark, src.root, src.root + "_v")
+        t0 = time.monotonic()
+        view.refresh()
+        boot = time.monotonic() - t0
+        times = []
+        for i in range(3):
+            upd = okeys[i * 500 : (i + 1) * 500]
+            dels = okeys[1500 + i * 20 : 1500 + (i + 1) * 20]
+            src.update_where(
+                F.col("k").isin(upd),
+                {"price": F.col("price") + 1.0},
+            )
+            src.delete_where(F.col("k").isin(dels))
+            t0 = time.monotonic()
+            view.refresh()
+            times.append(round(time.monotonic() - t0, 3))
+        results[name] = {
+            "bootstrap_s": round(boot, 3),
+            "refresh_s": times,
+            "refresh_min_s": min(times),
+            "refresh_med_s": round(statistics.median(times), 3),
+        }
+        print(name, results[name], flush=True)
+        shutil.rmtree(os.path.dirname(src.root), ignore_errors=True)
+
+
 def probe_ivf_index(spark, sf_dir: str, results: dict) -> None:
     from pyspark.sql import functions as F
 
@@ -223,8 +303,12 @@ def main() -> None:
             raise SystemExit(f"refusing option-like path {sf_dir!r}")
         spark = build_session()
         res: dict = {}
-        probe_join_family(spark, sf_dir, res)
-        probe_ivf_index(spark, sf_dir, res)
+        only_new = os.environ.get("PROBE_ONLY_NEW") == "1"
+        if not only_new:
+            probe_join_family(spark, sf_dir, res)
+        probe_new_agg_views(spark, sf_dir, res)
+        if not only_new:
+            probe_ivf_index(spark, sf_dir, res)
         out[sf_dir] = res
         spark.stop()
     print(json.dumps(out))
