@@ -4736,3 +4736,114 @@ def q188_monthly_rollup_materialized_view(
         "FROM monthly ORDER BY month",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — FILTERED OUTER-JOIN materialized view (E117): WHERE over a FULL
+# OUTER join with SQL's WHERE-after-padding semantics, incrementally
+# maintained — padded membership derives from the raw other side's join
+# keys (the σ-filtered inner state can no longer witness matched-ness) and
+# the predicate applies to the null-padded render: an unmatched order
+# survives only if price passes, an order-less customer only if seg does.
+# The aggregate composes over the filtered outer view's state CDC.
+# ---------------------------------------------------------------------------
+@register(
+    "q189_filtered_outer_matview",
+    tags=("lake", "sql", "incremental-view", "matview", "outer",
+          "filter", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price * 0.001
+              WHEN k % 10 = 5 THEN price + 500000
+              ELSE price END AS price
+  FROM l0 WHERE k % 10 <> 1
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 7 <> 2
+),
+j AS (
+  SELECT l1.price, r1.seg
+  FROM l1 FULL JOIN r1 ON l1.ck = r1.ck
+  WHERE l1.price >= 2000 OR r1.seg = 'BUILDING'
+)
+SELECT coalesce(seg, '(unmatched)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price
+FROM j GROUP BY coalesce(seg, '(unmatched)') ORDER BY seg
+""",
+)
+def q189_filtered_outer_matview(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered FULL OUTER join aggregate MV at the statement surface:
+    CREATE ... AS SELECT seg, COUNT(*), SUM(price) FROM orders FULL
+    JOIN customer USING (ck) WHERE price >= 2000 OR seg = 'BUILDING'
+    GROUP BY seg. Mutations cross the boundary both ways while padded
+    and matched (k%10=0 prices shrink 1000x — their padded rows leave
+    unless the seg arm holds; k%10=5 jump +500000), delete orders
+    (customers becoming right-padded survive only via seg='BUILDING')
+    and delete customers (their orders pad into the NULL group only if
+    price passes). One REFRESH drains both feeds; the SELECT reads the
+    maintained group state by name."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_fomv_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": l, "customer": r}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_filtered LOCATION "
+        f"'{os.path.join(base, 'mv')}' PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n_rows, SUM(price) AS total_price "
+        "FROM orders FULL JOIN customer USING (ck) "
+        "WHERE price >= 2000 OR seg = 'BUILDING' GROUP BY seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price * 0.001 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 500000 WHERE k % 10 = 5",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 7 = 2", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW seg_filtered", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT coalesce(seg, '(unmatched)') AS seg, n_rows, "
+        "round(total_price, 2) AS total_price "
+        "FROM seg_filtered ORDER BY seg",
+        tables,
+    )

@@ -718,12 +718,14 @@ class IncrementalJoinView:
         #: column): the view is σ_filter(L ⋈ R). Selection commutes
         #: with the signed join delta (σ(ΔJ) = Δ(σJ) for a
         #: row-deterministic predicate), so maintenance filters the
-        #: bootstrap join and each delta term identically. Inner joins
-        #: only — the OUTER variants refuse a filter, because SQL
-        #: applies WHERE after null-padding (a left row whose matches
-        #: all fail the predicate yields NO row, not a padded row) and
-        #: padded membership here is derived from the FILTERED inner
-        #: state, which can no longer tell those cases apart.
+        #: bootstrap join and each delta term identically. The OUTER
+        #: variants support it too, with the SQL posture (WHERE applies
+        #: AFTER null-padding): their padded membership cannot come
+        #: from the filtered inner state (a left row whose matches all
+        #: fail the predicate yields NO row, not a padded row), so with
+        #: a filter set they derive matched-ness from the raw other
+        #: side's join keys and apply σ to the null-padded render —
+        #: see :meth:`IncrementalLeftJoinView._sigma_padded`.
         self.filter = filter
 
     def _sides(self) -> tuple[VersionedTable, VersionedTable]:
@@ -943,7 +945,11 @@ class IncrementalLeftJoinView(IncrementalJoinView):
     the LEFT columns of currently-unmatched live left rows. The padded
     maintenance is delta-scoped: only lefts touched by ΔL or whose join
     key appears in ΔR are re-examined (their match status comes from a
-    semi-join of the refreshed inner state), never a left-table rescan.
+    semi-join of the refreshed inner state — or, when a ``filter`` is
+    set, from the raw right side's join keys, because the inner state
+    is then σ-filtered and can no longer witness matched-ness; the
+    predicate applies to the null-padded render, which is SQL's
+    WHERE-after-padding), never a left-table rescan.
     Each table stamps its own (left_version, right_version) marks, so a
     crash between the two merges repairs itself: the lagging table
     re-derives its delta from the change feeds (deterministic) while
@@ -955,16 +961,38 @@ class IncrementalLeftJoinView(IncrementalJoinView):
     streams) serialize instead of killing a micro-batch."""
 
     def __init__(self, spark, left_root, right_root, view_root, on,
-                 left_pk, right_pk):
+                 left_pk, right_pk, filter=None):
         import os as _os
 
         super().__init__(
             spark, left_root, right_root,
             _os.path.join(view_root, "inner"),
-            on, left_pk, right_pk,
+            on, left_pk, right_pk, filter=filter,
         )
         self.outer_root = view_root
         self.padded_root = _os.path.join(view_root, "padded")
+
+    def _sigma_padded(self, rows: DataFrame, other) -> DataFrame:
+        """σ_filter over the null-padded render of unmatched rows —
+        SQL applies WHERE AFTER padding, so an unmatched row belongs
+        to the padded state only if the predicate holds with the
+        `other` side's non-key columns NULL (a predicate that needs
+        the other side excludes every padded row, exactly like a full
+        recompute). Input carries one side's columns; output is the
+        pred-passing subset, same shape."""
+        if self.filter is None:
+            return rows
+        from pyspark.sql.types import StructType
+
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(other.manifest().schema_ddl).fields
+        }
+        cols = [c for c in types if c not in self.on]
+        ext = rows.select(
+            "*", *[F.lit(None).cast(types[c]).alias(c) for c in cols]
+        )
+        return self._sigma(ext).select(*rows.columns)
 
     def _padded_table(self) -> VersionedTable | None:
         try:
@@ -1013,8 +1041,20 @@ class IncrementalLeftJoinView(IncrementalJoinView):
         without a padded twin, and every refresh must be able to finish
         the job rather than raise forever."""
         im = self.last_refreshed_versions()
-        lefts = self._view_table().read().select(self.left_pk).distinct()
-        pad0 = left.read(im[0]).join(lefts, self.left_pk, "left_anti")
+        if self.filter is None:
+            lefts = (
+                self._view_table().read().select(self.left_pk).distinct()
+            )
+            pad0 = left.read(im[0]).join(lefts, self.left_pk, "left_anti")
+        else:
+            # the inner state is σ-filtered — matched-ness must come
+            # from the raw right side's join keys, and the predicate
+            # applies to the null-padded render (WHERE-after-padding)
+            _, right = self._sides()
+            rkeys = right.read(im[1]).select(*self.on).distinct()
+            pad0 = self._sigma_padded(
+                left.read(im[0]).join(rkeys, self.on, "left_anti"), right
+            )
         VersionedTable.create(
             self.spark,
             self.padded_root,
@@ -1103,14 +1143,25 @@ class IncrementalLeftJoinView(IncrementalJoinView):
         affected = affected.distinct()
 
         live_aff = L2.join(affected, self.left_pk, "leftsemi")
-        matched = (
-            self._view_table()
-            .read()
-            .join(affected, self.left_pk, "leftsemi")
-            .select(self.left_pk)
-            .distinct()
-        )
-        pad_rows = live_aff.join(matched, self.left_pk, "left_anti")
+        if self.filter is None:
+            matched = (
+                self._view_table()
+                .read()
+                .join(affected, self.left_pk, "leftsemi")
+                .select(self.left_pk)
+                .distinct()
+            )
+            pad_rows = live_aff.join(matched, self.left_pk, "left_anti")
+        else:
+            # filtered view: the inner state can't witness matched-ness
+            # (rows failing σ are absent from it) — test against the
+            # raw right keys, then σ over the null-padded render; an
+            # unmatched row failing σ-on-padded drops out of pad_rows
+            # and therefore lands in dels below
+            rkeys = right.read(r2).select(*self.on).distinct()
+            pad_rows = self._sigma_padded(
+                live_aff.join(rkeys, self.on, "left_anti"), right
+            )
         dels = (
             affected.join(
                 pad_rows.select(self.left_pk), self.left_pk, "left_anti"
@@ -1302,11 +1353,12 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
     the deterministic change feeds)."""
 
     def __init__(self, spark, left_root, right_root, view_root, on,
-                 left_pk, right_pk):
+                 left_pk, right_pk, filter=None):
         import os as _os
 
         super().__init__(
-            spark, left_root, right_root, view_root, on, left_pk, right_pk
+            spark, left_root, right_root, view_root, on, left_pk,
+            right_pk, filter=filter,
         )
         self.rpadded_root = _os.path.join(view_root, "rpadded")
 
@@ -1355,8 +1407,19 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
         the left-padded create and this one), mirroring
         :meth:`IncrementalLeftJoinView._bootstrap_padded`."""
         im = self.last_refreshed_versions()
-        rights = self._view_table().read().select(self.right_pk).distinct()
-        rpad0 = right.read(im[1]).join(rights, self.right_pk, "left_anti")
+        if self.filter is None:
+            rights = (
+                self._view_table().read().select(self.right_pk).distinct()
+            )
+            rpad0 = right.read(im[1]).join(
+                rights, self.right_pk, "left_anti"
+            )
+        else:
+            left, _ = self._sides()
+            lkeys = left.read(im[0]).select(*self.on).distinct()
+            rpad0 = self._sigma_padded(
+                right.read(im[1]).join(lkeys, self.on, "left_anti"), left
+            )
         VersionedTable.create(
             self.spark,
             self.rpadded_root,
@@ -1427,14 +1490,20 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
         affected = affected.distinct()
 
         live_aff = R2.join(affected, self.right_pk, "leftsemi")
-        matched = (
-            self._view_table()
-            .read()
-            .join(affected, self.right_pk, "leftsemi")
-            .select(self.right_pk)
-            .distinct()
-        )
-        pad_rows = live_aff.join(matched, self.right_pk, "left_anti")
+        if self.filter is None:
+            matched = (
+                self._view_table()
+                .read()
+                .join(affected, self.right_pk, "leftsemi")
+                .select(self.right_pk)
+                .distinct()
+            )
+            pad_rows = live_aff.join(matched, self.right_pk, "left_anti")
+        else:
+            lkeys = left.read(l2).select(*self.on).distinct()
+            pad_rows = self._sigma_padded(
+                live_aff.join(lkeys, self.on, "left_anti"), left
+            )
         dels = affected.join(
             pad_rows.select(self.right_pk), self.right_pk, "left_anti"
         )
@@ -1728,9 +1797,10 @@ class IncrementalLeftJoinAggView(
     for the algebra and the NULL-group key encoding."""
 
     def __init__(self, spark, left_root, right_root, view_root, on,
-                 left_pk, right_pk, group_keys, sums=None):
+                 left_pk, right_pk, group_keys, sums=None, filter=None):
         super().__init__(
-            spark, left_root, right_root, view_root, on, left_pk, right_pk
+            spark, left_root, right_root, view_root, on, left_pk,
+            right_pk, filter=filter,
         )
         self._init_agg(view_root, group_keys, sums)
 
@@ -1744,9 +1814,10 @@ class IncrementalFullJoinAggView(
     state as signed rows."""
 
     def __init__(self, spark, left_root, right_root, view_root, on,
-                 left_pk, right_pk, group_keys, sums=None):
+                 left_pk, right_pk, group_keys, sums=None, filter=None):
         super().__init__(
-            spark, left_root, right_root, view_root, on, left_pk, right_pk
+            spark, left_root, right_root, view_root, on, left_pk,
+            right_pk, filter=filter,
         )
         self._init_agg(view_root, group_keys, sums)
 

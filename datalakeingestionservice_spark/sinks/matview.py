@@ -31,12 +31,14 @@ table ROOTS, parsed spec, original SQL), so
 :meth:`MaterializedView.open` rebuilds the view in a fresh session and
 ``REFRESH`` works without the CREATE statement's context. JOIN USING
 (not ON) is the accepted form because the maintained join classes
-equate SAME-NAMED columns. WHERE is supported where selection commutes
-with the delta algebra — single-table aggregates and INNER joins
-(σ(ΔJ) = Δ(σJ) for a row-deterministic predicate); WHERE over an
-OUTER join refuses, because SQL applies the predicate after
-null-padding and padded membership derives from the filtered inner
-state.
+equate SAME-NAMED columns. WHERE is supported everywhere the delta
+algebra can carry it: single-table aggregates and INNER joins filter
+every term identically (σ(ΔJ) = Δ(σJ) for a row-deterministic
+predicate); OUTER joins honor SQL's WHERE-after-padding — the padded
+sets derive matched-ness from the raw other side's join keys and
+apply the predicate to the null-padded render (a predicate needing
+the other side's columns excludes all padded rows, exactly like a
+full recompute).
 
 Reference anchor: the reference re-runs its extraction queries from
 scratch on every cron fire (`src/Worker/Services/
@@ -300,14 +302,6 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "computed group keys are single-table only; materialize "
             "the join first, or key by plain columns"
         )
-    if where is not None and join_type != "inner":
-        raise MaterializedViewError(
-            "WHERE over an OUTER join is not maintainable: SQL applies "
-            "the predicate AFTER null-padding (a row whose matches all "
-            "fail it yields NO row, not a padded row), and padded "
-            "membership here derives from the filtered inner state — "
-            "use an inner join, or filter at read time"
-        )
     if primary_key is None:
         raise MaterializedViewError(
             "join views need PRIMARY KEY (<left_pk>, <right_pk>) — "
@@ -438,7 +432,9 @@ class MaterializedView:
             on=s["on"], left_pk=s["left_pk"], right_pk=s["right_pk"]
         )
         if flt is not None:
-            kw["filter"] = flt  # inner only — the parser enforces it
+            # all join types: outer variants derive padded membership
+            # from the raw other side and apply σ to the padded render
+            kw["filter"] = flt
         if s["kind"] == "join":
             cls = {
                 "inner": IncrementalJoinView,

@@ -1944,3 +1944,174 @@ class TestTopKView:
             .collect()
         }
         assert self._got(v) == expect
+
+
+class TestFilteredOuterJoinViews:
+    """σ over OUTER joins with SQL's WHERE-after-padding semantics:
+    the filtered view equals filter(outer-join recompute) after every
+    mutation round — including rows CROSSING the predicate boundary
+    via UPDATE while padded, pad/unpad transitions, and unmatched rows
+    whose padded render FAILS the predicate (they must vanish, not
+    pad: the filtered inner state can't witness matched-ness, so the
+    padded machinery tests against the raw other side)."""
+
+    PRED = "price >= 2.0 OR seg = 'w'"
+
+    def _mk(self, spark, tmp_path, prefix):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l = VersionedTable.create(
+            spark,
+            str(tmp_path / f"{prefix}l"),
+            spark.createDataFrame(
+                # k=1: matched, fails pred; k=3: unmatched, passes on
+                # the padded render; k=4: matched, passes
+                [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0), (4, 10, 4.0)],
+                "k bigint, ck bigint, price double",
+            ),
+        )
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / f"{prefix}r"),
+            spark.createDataFrame(
+                # ck=77 'w': unmatched right whose padded render PASSES
+                # (price NULL but seg='w'); ck=20 'b' would FAIL padded
+                [(10, "a", 5.0), (20, "b", 6.0), (77, "w", 7.0)],
+                "ck bigint, seg string, bal double",
+            ),
+        )
+        return l, r
+
+    def _mutations(self, spark, l, r):
+        import pyspark.sql.functions as F
+
+        yield  # round 0: bootstrap (incl. σ on both padded renders)
+        # customer 10 dies: order 1 (price 1.0) pads but FAILS σ on the
+        # padded render -> vanishes; order 4 (4.0) pads and stays
+        r.delete_where([("ck", "=", 10)])
+        yield
+        # boundary crossing WHILE padded: k=1 climbs over 2.0 (appears
+        # as a padded row with no pad/unpad transition), k=4 drops
+        # under it (padded row leaves)
+        l.update_where(F.col("k") == 1, {"price": F.lit(2.5)})
+        l.update_where(F.col("k") == 4, {"price": F.lit(0.5)})
+        yield
+        # unpad via seg='w' (passes σ regardless of price): order 3
+        # moves from left-padded to matched; right side churns
+        r.append(
+            spark.createDataFrame(
+                [(99, "w", 8.0)], "ck bigint, seg string, bal double"
+            )
+        )
+        yield
+        # matched row deleted; right row whose padded render fails σ
+        # becomes unmatched (full-outer must drop it, not pad it)
+        l.delete_where([("k", "=", 2)])
+        yield
+
+    def _expect(self, l, r, how):
+        from collections import Counter
+
+        import pyspark.sql.functions as F
+
+        return Counter(
+            (x.k, x.ck, x.price, x.seg, x.bal)
+            for x in l.read()
+            .join(r.read(), "ck", how)
+            .filter(F.coalesce(F.expr(self.PRED), F.lit(False)))
+            .collect()
+        )
+
+    def _got(self, v):
+        from collections import Counter
+
+        return Counter(
+            (x.k, x.ck, x.price, x.seg, x.bal)
+            for x in v.read().collect()
+        )
+
+    def test_filtered_left_outer_tracks_recompute(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalLeftJoinView,
+        )
+
+        l, r = self._mk(spark, tmp_path, "fl")
+        v = IncrementalLeftJoinView(
+            spark, l.root, r.root, str(tmp_path / "flv"),
+            on=["ck"], left_pk="k", right_pk="ck", filter=self.PRED,
+        )
+        saw_padded = False
+        for _ in self._mutations(spark, l, r):
+            v.refresh()
+            got = self._got(v)
+            assert got == self._expect(l, r, "left")
+            saw_padded = saw_padded or any(
+                seg is None for (_, _, _, seg, _) in got
+            )
+        assert saw_padded  # σ-passing padded rows actually occurred
+        assert v.refresh() is None  # idempotent
+
+    def test_filtered_full_outer_tracks_recompute(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalFullJoinView,
+        )
+
+        l, r = self._mk(spark, tmp_path, "ff")
+        v = IncrementalFullJoinView(
+            spark, l.root, r.root, str(tmp_path / "ffv"),
+            on=["ck"], left_pk="k", right_pk="ck", filter=self.PRED,
+        )
+        saw_rpad = False
+        for _ in self._mutations(spark, l, r):
+            v.refresh()
+            got = self._got(v)
+            assert got == self._expect(l, r, "full")
+            saw_rpad = saw_rpad or any(
+                k is None for (k, _, _, _, _) in got
+            )
+        # ck=77 'w' rode as a σ-passing right-padded row; ck=20 'b'
+        # became unmatched in the last round and must NOT have padded
+        assert saw_rpad
+        final = self._got(v)
+        assert not any(seg == "b" for (_, _, _, seg, _) in final)
+
+    def test_filtered_left_join_agg_tracks_recompute(self, spark, tmp_path):
+        """The agg-over-outer composition inherits the filter through
+        the state tables' own CDC — group totals equal a filtered
+        outer-join + aggregate recompute every round."""
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalLeftJoinAggView,
+        )
+
+        l, r = self._mk(spark, tmp_path, "fa")
+        v = IncrementalLeftJoinAggView(
+            spark, l.root, r.root, str(tmp_path / "fav"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys=["seg"], sums={"total_price": "price"},
+            filter=self.PRED,
+        )
+
+        def expect():
+            return {
+                x.seg: (x._n, x.total_price)
+                for x in l.read()
+                .join(r.read(), "ck", "left")
+                .filter(F.coalesce(F.expr(self.PRED), F.lit(False)))
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("price").alias("total_price"),
+                )
+                .collect()
+            }
+
+        for _ in self._mutations(spark, l, r):
+            v.refresh()
+            assert {
+                x.seg: (x._n, x.total_price)
+                for x in v.read().collect()
+            } == expect()

@@ -76,12 +76,6 @@ class TestGrammar:
                 "COUNT",
             ),
             (
-                "SELECT seg, COUNT(*) AS n FROM orders LEFT JOIN"
-                " customer USING (ck) WHERE price > 1 GROUP BY seg",
-                ("k", "ck"),
-                "OUTER join is not maintainable",
-            ),
-            (
                 "SELECT * FROM orders JOIN customer ON orders.ck ="
                 " customer.ck",
                 ("k", "ck"),
@@ -118,6 +112,27 @@ class TestGrammar:
     def test_refusals(self, body, pk, msg):
         with pytest.raises(MaterializedViewError, match=msg):
             parse_mv_body(body, pk)
+
+    def test_where_over_outer_join_parses(self):
+        """WHERE over an OUTER join is maintainable (r11): padded
+        membership derives from the raw other side and the predicate
+        applies to the null-padded render."""
+        s = parse_mv_body(
+            "SELECT seg, COUNT(*) AS n FROM orders LEFT JOIN"
+            " customer USING (ck) WHERE price > 1 GROUP BY seg",
+            ("k", "ck"),
+        )
+        assert s["kind"] == "join_agg"
+        assert s["join_type"] == "left"
+        assert s["filter"] == "price > 1"
+        s2 = parse_mv_body(
+            "SELECT * FROM orders FULL JOIN customer USING (ck) "
+            "WHERE price > 1",
+            ("k", "ck"),
+        )
+        assert s2["kind"] == "join"
+        assert s2["join_type"] == "full"
+        assert s2["filter"] == "price > 1"
 
 
 class TestLifecycle:
@@ -401,6 +416,58 @@ class TestFilteredViews:
         execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
         execute_sql(spark, "REFRESH MATERIALIZED VIEW segbig", tables)
         assert got() == expect()
+
+    def test_filtered_outer_join_view_tracks_recompute(
+        self, spark, tmp_path, env
+    ):
+        """WHERE over a LEFT OUTER join at the statement surface (r11):
+        SQL applies the predicate AFTER null-padding — an unmatched
+        order passes only if its padded render does (seg IS NULL
+        there), and a matched order whose row fails σ yields nothing,
+        not a padded row."""
+        l, r, tables = env
+        root = str(tmp_path / "mv_fo")
+        pred = "price >= 2 OR seg = 'w'"
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW fo LOCATION '{root}' "
+            "PRIMARY KEY (k, ck) AS "
+            "SELECT * FROM orders LEFT JOIN customer USING (ck) "
+            f"WHERE {pred}",
+            tables,
+        )
+
+        def expect():
+            return {
+                (x.k, x.ck, x.price, x.seg)
+                for x in l.read()
+                .join(r.read(), "ck", "left")
+                .filter(F.coalesce(F.expr(pred), F.lit(False)))
+                .collect()
+            }
+
+        def got():
+            return {
+                tuple(x)
+                for x in execute_sql(
+                    spark, "SELECT * FROM fo", tables
+                ).collect()
+            }
+
+        assert got() == expect()
+        # customer 10 dies: order 1 (1.0) pads but fails σ — vanishes;
+        # order 4 (4.0) pads and stays; then order 1 crosses the
+        # boundary WHILE padded and must appear as a padded row
+        execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW fo", tables)
+        assert got() == expect()
+        execute_sql(
+            spark, "UPDATE orders SET price = 2.5 WHERE k = 1", tables
+        )
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW fo", tables)
+        g = got()
+        assert g == expect()
+        assert (1, 10, 2.5, None) in g  # σ-passing padded row
 
     def test_filtered_join_view_null_predicate_rows(
         self, spark, tmp_path, env

@@ -202,20 +202,32 @@ def test_fuzz_single_table_agg_views(spark, tmp_path, seed):
     assert _rows_match(got(), recompute())
 
 
-@pytest.mark.parametrize("seed", [11, 43])
-def test_fuzz_join_views(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,jt,use_filter",
+    [
+        (11, "left", False),
+        (43, "full", False),
+        (17, "inner", True),
+        (29, "left", True),
+        (53, "full", True),
+    ],
+)
+def test_fuzz_join_views(spark, tmp_path, seed, jt, use_filter):
     rng = random.Random(seed)
     l, next_id = _mk_left(spark, tmp_path, rng, n=24)
     r = _mk_right(spark, tmp_path, rng)
-    jt = rng.choice(["inner", "left", "full"])
     cls = {
         "inner": IncrementalJoinView,
         "left": IncrementalLeftJoinView,
         "full": IncrementalFullJoinView,
     }[jt]
     kw = dict(on=["grp"], left_pk="id", right_pk="grp")
-    if jt == "inner" and rng.random() < 0.5:
-        kw["filter"] = "x >= 10"
+    if use_filter:
+        # both-sides predicate: padded renders (one side NULL) decide
+        # on the surviving side's term — WHERE-after-padding semantics
+        kw["filter"] = (
+            "x >= 10" if jt == "inner" else "x >= 10 OR seg = 's1'"
+        )
     v = cls(spark, l.root, r.root, str(tmp_path / "fjv"), **kw)
     how = {"inner": "inner", "left": "left", "full": "full"}[jt]
 
@@ -245,30 +257,40 @@ def test_fuzz_join_views(spark, tmp_path, seed):
         assert _rows_match(got(), recompute()), (seed, rnd, jt)
 
 
-@pytest.mark.parametrize("seed", [5, 31])
-def test_fuzz_join_agg_views(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,jt,use_filter",
+    [
+        (5, "left", False),
+        (31, "full", False),
+        (19, "left", True),
+        (47, "full", True),
+    ],
+)
+def test_fuzz_join_agg_views(spark, tmp_path, seed, jt, use_filter):
     rng = random.Random(seed)
     l, next_id = _mk_left(spark, tmp_path, rng, n=24)
     r = _mk_right(spark, tmp_path, rng)
-    jt = rng.choice(["inner", "left", "full"])
     cls = {
         "inner": IncrementalJoinAggView,
         "left": IncrementalLeftJoinAggView,
         "full": IncrementalFullJoinAggView,
     }[jt]
+    flt = "x >= 10 OR seg = 's1'" if use_filter else None
     v = cls(
         spark, l.root, r.root, str(tmp_path / "fjav"),
         on=["grp"], left_pk="id", right_pk="grp",
         group_keys=["seg"], sums={"sx": "x", "sw": "w"},
+        filter=flt,
     )
     how = {"inner": "inner", "left": "left", "full": "full"}[jt]
 
     def recompute():
+        df = l.read().join(r.read(), "grp", how)
+        if flt:
+            df = df.filter(F.coalesce(F.expr(flt), F.lit(False)))
         return [
             tuple(x)
-            for x in l.read()
-            .join(r.read(), "grp", how)
-            .groupBy("seg")
+            for x in df.groupBy("seg")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.sum("x").alias("sx"),
