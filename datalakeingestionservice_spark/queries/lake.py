@@ -4847,3 +4847,102 @@ def q189_filtered_outer_matview(
         "FROM seg_filtered ORDER BY seg",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — MV-over-MV CASCADE (E118): the aggregate MV's FROM names the join
+# MV directly (its state table resolves as the source; the dependency
+# persists in _mv.json), and ONE `REFRESH MATERIALIZED VIEW ... CASCADE`
+# statement drains base tables → join view → aggregate view in topo order.
+# This is how MIN/MAX over a join become incrementally maintainable: the
+# endangered-extreme rescan reads the join MV's state table, never the raw
+# sources. Oracle recomputes the mutated join + extremes from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q190_mv_cascade",
+    tags=("lake", "sql", "incremental-view", "matview", "cascade", "cdf"),
+    oracle="""
+WITH l1 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + 5
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders WHERE o_orderkey % 10 <> 1
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 11 <> 3
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS total_price,
+       round(min(price), 2) AS lo,
+       round(max(price), 2) AS hi
+FROM l1 JOIN r1 ON l1.ck = r1.ck
+GROUP BY seg ORDER BY seg
+""",
+)
+def q190_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV dependency chain end-to-end at the front door: CREATE a
+    SELECT * inner-join MV, CREATE an aggregate MV whose FROM names it
+    (COUNT/SUM/MIN/MAX — extremes over a join, maintainable only
+    through the chain), mutate BOTH base tables (updates at group
+    extremes, deletes of ~10% of orders including per-segment minima,
+    customer deletions that evict their orders from the join), then
+    ONE REFRESH ... CASCADE and a SELECT of the maintained state."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_casc_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": l, "customer": r}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW oj LOCATION "
+        f"'{os.path.join(base, 'join_mv')}' PRIMARY KEY (k, ck) AS "
+        "SELECT * FROM orders JOIN customer USING (ck)",
+        tables,
+    )
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_stats LOCATION "
+        f"'{os.path.join(base, 'agg_mv')}' AS "
+        "SELECT seg, COUNT(*) AS n_orders, SUM(price) AS total_price, "
+        "MIN(price) AS lo, MAX(price) AS hi FROM oj GROUP BY seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 11 = 3", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW seg_stats CASCADE", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT seg, n_orders, round(total_price, 2) AS total_price, "
+        "round(lo, 2) AS lo, round(hi, 2) AS hi "
+        "FROM seg_stats ORDER BY seg",
+        tables,
+    )

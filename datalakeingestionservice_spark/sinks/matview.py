@@ -364,7 +364,17 @@ class MaterializedView:
         name: str | None = None,
     ) -> "MaterializedView":
         """Parse `body`, resolve source names to table ROOTS via
-        `sources`, materialize once, persist the spec."""
+        `sources`, materialize once, persist the spec.
+
+        A source may itself be a MATERIALIZED VIEW (an MV-over-MV
+        cascade): INNER join views only — their state table IS the
+        SQL-visible rows, so the downstream view consumes its change
+        feed like any table's (this is how MIN/MAX/COUNT(DISTINCT)/
+        moments over a join become maintainable: join view below,
+        aggregate view above). Aggregate and OUTER views keep internal
+        encodings (hidden accumulators; padded rows in side tables)
+        and refuse as upstreams. The dependency persists in the spec,
+        and ``refresh(cascade=True)`` refreshes upstreams first."""
         if os.path.exists(os.path.join(root, _SPEC_FILE)):
             raise MaterializedViewError(
                 f"{root}: already holds a materialized view; "
@@ -380,9 +390,35 @@ class MaterializedView:
                         f"(registered: {sorted(sources)})"
                     )
                 t = sources[src]
-                spec[f"{key}_root"] = (
-                    t.root if isinstance(t, VersionedTable) else str(t)
-                )
+                if isinstance(t, MaterializedView) or (
+                    not isinstance(t, VersionedTable)
+                    and MaterializedView.exists(t)
+                ):
+                    up = (
+                        t
+                        if isinstance(t, MaterializedView)
+                        else MaterializedView.open(spark, str(t))
+                    )
+                    if (
+                        up.spec["kind"] != "join"
+                        or up.spec.get("join_type") != "inner"
+                    ):
+                        raise MaterializedViewError(
+                            f"source {src!r} is a materialized view of "
+                            f"kind {up.spec['kind']}"
+                            f"/{up.spec.get('join_type')}; only INNER "
+                            "join views can feed another view (their "
+                            "state table IS the visible rows — "
+                            "aggregate views keep internal accumulator "
+                            "encodings, and outer views spread across "
+                            "padded side tables)"
+                        )
+                    spec[f"{key}_root"] = os.path.join(up.root, "state")
+                    spec.setdefault("deps", {})[src] = up.root
+                else:
+                    spec[f"{key}_root"] = (
+                        t.root if isinstance(t, VersionedTable) else str(t)
+                    )
         spec["sql"] = body.strip()
         if name:
             spec["name"] = name
@@ -450,8 +486,27 @@ class MaterializedView:
         return cls(*args, **kw, group_keys=s["group_keys"], sums=s["sums"])
 
     # -- operations ----------------------------------------------------------
-    def refresh(self) -> int:
-        """One incremental refresh; returns the view's state version."""
+    def refresh(self, cascade: bool = False, _seen: set | None = None) -> int:
+        """One incremental refresh; returns the view's state version.
+
+        ``cascade=True`` refreshes upstream materialized views first
+        (depth-first over the persisted ``deps``, each upstream opened
+        from its own ``_mv.json``), so a chain
+        ``base tables → join view → aggregate view`` drains end-to-end
+        in ONE statement. A visited set keyed by realpath guards
+        diamond dependencies — each view refreshes at most once per
+        cascade."""
+        if cascade and self.spec.get("deps"):
+            seen = _seen if _seen is not None else set()
+            seen.add(os.path.realpath(self.root))
+            for dep_root in self.spec["deps"].values():
+                rp = os.path.realpath(dep_root)
+                if rp in seen:
+                    continue
+                seen.add(rp)
+                MaterializedView.open(self.spark, dep_root).refresh(
+                    cascade=True, _seen=seen
+                )
         self._view.refresh()
         return self.state_version()
 

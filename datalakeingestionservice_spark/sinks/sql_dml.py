@@ -320,7 +320,8 @@ _CREATE_MV_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _REFRESH_MV_RE = re.compile(
-    r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",
+    r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+(?P<cascade>CASCADE))?$",
     re.IGNORECASE,
 )
 _DROP_MV_RE = re.compile(
@@ -559,7 +560,11 @@ def execute_dml(
         return mv.state_version()
     mrf = _REFRESH_MV_RE.match(sql)
     if mrf:
-        return _resolve_mv(spark, mrf.group("name"), tables).refresh()
+        # CASCADE refreshes upstream MVs first (persisted deps, topo
+        # order) — one statement drains base → join view → agg view.
+        return _resolve_mv(spark, mrf.group("name"), tables).refresh(
+            cascade=mrf.group("cascade") is not None
+        )
     mdv = _DROP_MV_RE.match(sql)
     if mdv:
         # Deregistration only, like DROP TABLE — state stays on disk.
@@ -1292,12 +1297,13 @@ def execute_describe(
                     if k in s
                 }
             ),
+            _json.dumps(s.get("deps") or {}),
         )
         return spark.createDataFrame(
             [row],
             "name string, kind string, join_type string, "
             "filter string, sql string, location string, "
-            "state_version int, sources string",
+            "state_version int, sources string, depends_on string",
         )
     m = _DESCRIBE_RE.match(sql)
     if not m:

@@ -735,3 +735,112 @@ def test_computed_group_key_mv(spark, tmp_path):
             "GROUP BY t2",
             None,
         )
+
+
+def test_mv_over_mv_cascade(spark, tmp_path, env):
+    """MV-over-MV as a FIRST-CLASS source (r11): the aggregate MV's
+    FROM names the join MV directly — its state table resolves as the
+    source, the dependency persists in _mv.json, and one
+    REFRESH ... CASCADE statement drains base → join view → agg view.
+    MIN over a join is maintainable through the chain."""
+    import os
+
+    l, r, tables = env
+    jroot, aroot = str(tmp_path / "cj"), str(tmp_path / "ca")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW oj LOCATION '{jroot}' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT * FROM orders JOIN customer USING (ck)",
+        tables,
+    )
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_lo LOCATION '{aroot}' AS "
+        "SELECT seg, COUNT(*) AS n, MIN(price) AS lo FROM oj "
+        "GROUP BY seg",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.seg, x.n, x.lo)
+            for x in l.read()
+            .join(r.read(), "ck")
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("price").alias("lo"))
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM seg_lo", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    row = execute_sql(
+        spark, "DESCRIBE MATERIALIZED VIEW seg_lo", tables
+    ).collect()[0]
+    assert "oj" in row.depends_on and jroot in row.depends_on
+
+    # DML on both bases; a PLAIN refresh must NOT see it (the upstream
+    # state table hasn't moved), CASCADE must drain the whole chain —
+    # including a delete AT a group's min (endangered rescan reads the
+    # join MV's state, not the raw sources)
+    stale = got()
+    execute_sql(
+        spark, "UPDATE orders SET price = 0.5 WHERE k = 2", tables
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k = 4", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck = 20", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_lo", tables)
+    assert got() == stale
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW seg_lo CASCADE", tables
+    )
+    assert got() == expect()
+
+    # reopen from disk in a fresh context: the persisted deps carry
+    # the upstream roots, so CASCADE works with nothing registered
+    execute_sql(
+        spark, "INSERT INTO orders VALUES (9, 10, 0.25)", tables
+    )
+    mv = MaterializedView.open(spark, aroot)
+    mv.refresh(cascade=True)
+    assert got() == expect()
+    assert ("a", 2, 0.25) in got()  # k=1 (1.0) + new k=9 (0.25)
+
+
+def test_mv_over_mv_refuses_non_inner_upstreams(spark, tmp_path, env):
+    """Aggregate and OUTER views refuse as upstreams — their state is
+    internally encoded (hidden accumulators; padded side tables), not
+    the SQL-visible rows."""
+    l, r, tables = env
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW agg_up LOCATION "
+        f"'{tmp_path / 'au'}' AS "
+        "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
+        tables,
+    )
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW outer_up LOCATION "
+        f"'{tmp_path / 'ou'}' PRIMARY KEY (k, ck) AS "
+        "SELECT * FROM orders LEFT JOIN customer USING (ck)",
+        tables,
+    )
+    for up in ("agg_up", "outer_up"):
+        with pytest.raises(
+            MaterializedViewError, match="only INNER join views"
+        ):
+            execute_sql(
+                spark,
+                f"CREATE MATERIALIZED VIEW x LOCATION "
+                f"'{tmp_path / ('x_' + up)}' AS "
+                f"SELECT k, COUNT(*) AS n FROM {up} GROUP BY k",
+                tables,
+            )
