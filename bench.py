@@ -98,6 +98,10 @@ def main() -> None:
         result["lake"] = lake_slice(spark, sf_dir)
     except Exception as exc:
         errors["lake"] = f"{type(exc).__name__}: {exc}"[:300]
+    try:
+        result["ivm"] = ivm_slice(spark, sf_dir)
+    except Exception as exc:
+        errors["ivm"] = f"{type(exc).__name__}: {exc}"[:300]
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
@@ -246,6 +250,71 @@ def lake_slice(spark, sf_dir: str) -> dict:
             .save()
         )
         out["datasource_writer_append"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def ivm_slice(spark, sf_dir: str) -> dict:
+    """Incremental-view maintenance timings (E102/E106/E111): aggregate-
+    over-join MV bootstrap, ONE incremental refresh for a fixed-size
+    delta (~1% of orders updated + ~1% deleted), and the full
+    join+aggregate recompute for contrast. Kept OUTSIDE the headline
+    total like lake_slice. At bench SFs the recompute is small enough
+    that fixed per-refresh costs (two merge commits) can dominate — the
+    scale argument (refresh ∝ |delta|, near-flat at 10× table volume
+    while recompute grows linearly) is measured in
+    tools/probe_ivm_sf1.py and sealed in PERF.md."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalJoinAggView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="dlis-ivm-bench-")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        l = VersionedTable.create(spark, os.path.join(tmp, "o"), orders)
+        r = VersionedTable.create(spark, os.path.join(tmp, "c"), cust)
+        v = IncrementalJoinAggView(
+            spark, l.root, r.root, os.path.join(tmp, "v"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys=["seg"], sums={"total": "price"},
+        )
+        t0 = time.perf_counter()
+        v.refresh()
+        out["join_agg_mv_bootstrap"] = round(time.perf_counter() - t0, 3)
+
+        l.update_where(
+            F.col("k") % 149 == 0, {"price": F.col("price") + 1.0}
+        )
+        l.delete_where(F.col("k") % 151 == 0)
+        t0 = time.perf_counter()
+        v.refresh()
+        out["join_agg_mv_refresh_fixed_delta"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+        t0 = time.perf_counter()
+        l.read().join(r.read(), "ck").groupBy("seg").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("price").alias("total")
+        ).collect()
+        out["join_agg_full_recompute"] = round(
             time.perf_counter() - t0, 3
         )
     finally:

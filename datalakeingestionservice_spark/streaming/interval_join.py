@@ -16,6 +16,21 @@ operator owns that contract.
 The SAME function works on batch frames (watermarks skipped, identical
 join semantics), so the streaming twin is batch-parity-testable against
 the DuckDB-verified q173 — the E17 pattern.
+
+Terminal flush (investigated, round 11): under OUTER join types the
+null-padded result for an unmatched row is emitted only once the GLOBAL
+watermark (min over both sides) passes the row's match horizon. Spark's
+watermark is max(event time) − delay and there is no end-of-stream
+punctuation in OSS Structured Streaming (SPARK-24634 class of asks) —
+`Trigger.AvailableNow` drains the data and runs a final no-data batch
+(watermark advances to max − delay), but rows inside the last horizon
+stay withheld by design, exactly as they would mid-stream. So a bounded
+replay that must emit the complete outer result has two sanctioned
+paths: (a) append one sentinel row per side with event time ≥ max +
+delay + span before the run (pushes the watermark past every real row),
+or (b) run the batch twin over the same frames — this module is the
+same function either way. The streaming parity tests model the withheld
+tail explicitly with the global-watermark boundary.
 """
 
 from __future__ import annotations

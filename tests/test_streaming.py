@@ -666,3 +666,68 @@ def test_stream_interval_join_full_outer_parity(
                 assert p in tail_p, (p, c)
             else:
                 assert c in tail_c, (p, c)
+
+
+def test_stream_interval_join_sentinel_flush_drains_tail(spark, tmp_path):
+    """The documented terminal-flush recipe (interval_join.py module
+    docstring): OSS Spark has no end-of-stream punctuation, so a
+    bounded replay that needs the COMPLETE outer result appends one
+    sentinel row per side with event time past max + delay + span —
+    the global watermark then passes every real row and the withheld
+    outer tail drains. Full-outer output over the real rows equals the
+    batch twin EXACTLY (the other parity tests model the tail as
+    withheld; this one proves the recipe that drains it)."""
+    import datetime as dt
+
+    from datalakeingestionservice_spark.streaming import (
+        stream_interval_join,
+    )
+
+    def T(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # p2: unmatched purchase near the stream END (inside the final
+    # horizon — withheld without the sentinel); c2: unmatched click
+    lrows = [(1, T(10, 0), "p1"), (2, T(11, 59), "p2")]
+    rrows = [(1, T(9, 50), "c1"), (3, T(10, 5), "c2")]
+    sent_l = (999, T(23, 0), "sentinel_l")
+    sent_r = (998, T(23, 0), "sentinel_r")
+    lschema = "user_id bigint, p_ts timestamp, purchase_id string"
+    rschema = "user_id bigint, c_ts timestamp, click_id string"
+    ldir, rdir = str(tmp_path / "ijl"), str(tmp_path / "ijr")
+    spark.createDataFrame(lrows + [sent_l], lschema).write.parquet(ldir)
+    spark.createDataFrame(rrows + [sent_r], rschema).write.parquet(rdir)
+
+    joined = stream_interval_join(
+        spark.readStream.schema(lschema).parquet(ldir),
+        spark.readStream.schema(rschema).parquet(rdir),
+        ["user_id"], "p_ts", "c_ts", "-30 minutes", "0 seconds",
+        left_delay="10 minutes", right_delay="40 minutes",
+        join_type="full_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_sentinel")
+        .option("checkpointLocation", str(tmp_path / "ck-ij-sent"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ij_sentinel").collect()
+        if r.user_id not in (998, 999)  # sentinels excluded
+    }
+    expected = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in stream_interval_join(
+            spark.createDataFrame(lrows, lschema),
+            spark.createDataFrame(rrows, rschema),
+            ["user_id"], "p_ts", "c_ts",
+            "-30 minutes", "0 seconds", join_type="full_outer",
+        ).collect()
+    }
+    assert got == expected  # EXACT parity — nothing withheld
+    assert (2, "p2", None) in got  # the tail row actually drained
+    assert (3, None, "c2") in got
