@@ -864,6 +864,123 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_contamination_pairs(
+    corpus: DataFrame,
+    held_out: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_sim: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus FUZZY contamination pairs: (corpus doc, held-out
+    doc) whose exact n-gram Jaccard >= `min_sim`, candidates found by
+    the engine's seeded MinHash LSH banding family. This is the
+    GPT-3/Pile-style decontamination primitive complementing E99:
+    `exact_substring_decontaminate` removes VERBATIM eval leakage,
+    this finds NEAR-DUPLICATE leakage (reworded or lightly edited
+    eval documents) that no exact-substring pass can see.
+
+    Scale shape: the held-out side is an eval set — orders of
+    magnitude smaller than the corpus — so its banded signatures and
+    shingle sets BROADCAST. The corpus pays one shingle projection and
+    one signature aggregate (the only corpus-sized shuffle); candidate
+    pairs come from the broadcast band equi-join (never all-pairs), and
+    exact-Jaccard verification builds corpus shingle SETS only for
+    candidate docs (semi-join before the collect_set).
+
+    Returns (id_col, heldout_id, jaccard_sim). Hash family is the
+    portable sha256-derived one with embedded (a_k, b_k) literals, so
+    a SQL oracle recomputes signatures, bands, candidates, and Jaccard
+    EXACTLY (q191 is hash-checked, not rows-only)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows = num_hashes // bands
+    c_sh = word_shingles(corpus, id_col, text_col, n=n)
+    h_sh = word_shingles(held_out, id_col, text_col, n=n)
+
+    def banded(sig: DataFrame, out: str) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(bd).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{bd * rows + j}").cast("string")
+                            for j in range(rows)
+                        ],
+                    ).alias("sig"),
+                )
+                for bd in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(out), F.explode(band_structs).alias("bs")
+        ).select(out, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cb = banded(minhash_signatures(c_sh, id_col, num_hashes, seed), "__cid")
+    hb = banded(minhash_signatures(h_sh, id_col, num_hashes, seed), "__hid")
+    cand = (
+        cb.join(F.broadcast(hb), ["band", "sig"])
+        .select("__cid", "__hid")
+        .distinct()
+    )
+    cand_ids = cand.select(F.col("__cid").alias(id_col)).distinct()
+    c_sets = (
+        c_sh.join(cand_ids, id_col, "leftsemi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__csh"))
+        .select(F.col(id_col).alias("__cid"), "__csh")
+    )
+    h_sets = (
+        h_sh.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__hsh"))
+        .select(F.col(id_col).alias("__hid"), "__hsh")
+    )
+    inter = F.size(F.array_intersect(F.col("__csh"), F.col("__hsh")))
+    jac = inter.cast("double") / (
+        F.size("__csh") + F.size("__hsh") - inter
+    )
+    return (
+        cand.join(c_sets, "__cid")
+        .join(F.broadcast(h_sets), "__hid")
+        .select(
+            F.col("__cid").alias(id_col),
+            F.col("__hid").alias("heldout_id"),
+            jac.alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= min_sim)
+    )
+
+
+def minhash_decontaminate(
+    corpus: DataFrame,
+    held_out: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Corpus with fuzzy-contaminated documents REMOVED: every doc
+    whose n-gram Jaccard against ANY held-out doc reaches `min_sim`
+    (see :func:`minhash_contamination_pairs`) is dropped whole —
+    doc-level removal is the published posture for near-dup eval
+    leakage (unlike verbatim spans, a paraphrased document can't be
+    surgically cut). One broadcast anti-join over the corpus."""
+    bad = (
+        minhash_contamination_pairs(
+            corpus, held_out, id_col=id_col, text_col=text_col, **kw
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

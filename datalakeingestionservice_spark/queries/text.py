@@ -1478,3 +1478,143 @@ def q172_exact_substring_decontamination(
     return exact_substring_decontaminate_spans(
         corpus, heldout, min_len=_Q172_L
     ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# q191 — FUZZY decontamination vs the held-out split (E119): the near-dup
+# complement of q172's verbatim pass — corpus docs whose n-gram Jaccard
+# against ANY held-out doc reaches the threshold, candidates via the seeded
+# MinHash LSH banding family (engine-portable sha256-derived hashes, the
+# q46 machinery applied CROSS-corpus). Reworded eval leakage that no
+# exact-substring scan can see. Oracle recomputes split, shingles,
+# signatures, bands, candidates, and exact Jaccard from raw text.
+# ---------------------------------------------------------------------------
+_Q191_SIM = 0.4
+
+@register(
+    "q191_minhash_decontamination",
+    tags=("text", "dedup", "lsh", "decontamination", "curation"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         strpos('0123456789abcdef', substr(sha256(lower(trim(text))), 1, 1)) - 1
+           AS bucket16
+  FROM documents
+),
+cwords AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM assigned
+  WHERE bucket16 < 14
+),
+hwords AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM assigned
+  WHERE bucket16 >= 14
+),
+cshingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM cwords WHERE len(w) >= 3
+  )
+),
+hshingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM hwords WHERE len(w) >= 3
+  )
+),
+chashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+           i -> (strpos('0123456789abcdef', substr(sha256(shingle), i, 1)) - 1)
+                * (1::BIGINT << ((8 - i) * 4)))) AS BIGINT)
+           % {_MINHASH_P} AS h
+  FROM cshingles
+),
+hhashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+           i -> (strpos('0123456789abcdef', substr(sha256(shingle), i, 1)) - 1)
+                * (1::BIGINT << ((8 - i) * 4)))) AS BIGINT)
+           % {_MINHASH_P} AS h
+  FROM hshingles
+),
+csigs AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM chashed GROUP BY doc_id
+),
+hsigs AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM hhashed GROUP BY doc_id
+),
+cbands AS (
+  {_MH_BAND_SELECTS.replace("FROM sigs", "FROM csigs")}
+),
+hbands AS (
+  {_MH_BAND_SELECTS.replace("FROM sigs", "FROM hsigs")}
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, h.doc_id AS hid
+  FROM cbands c JOIN hbands h
+    ON c.band = h.band AND c.sig = h.sig
+),
+csizes AS (SELECT doc_id, count(*) AS n_sh FROM cshingles GROUP BY doc_id),
+hsizes AS (SELECT doc_id, count(*) AS n_sh FROM hshingles GROUP BY doc_id),
+pair_common AS (
+  SELECT p.cid, p.hid, count(*) AS n_common
+  FROM cand p
+  JOIN cshingles a ON a.doc_id = p.cid
+  JOIN hshingles b ON b.doc_id = p.hid AND b.shingle = a.shingle
+  GROUP BY p.cid, p.hid
+)
+SELECT cid AS doc_id, hid AS heldout_id,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
+         AS jaccard_sim
+FROM pair_common p
+JOIN csizes sa ON p.cid = sa.doc_id
+JOIN hsizes sb ON p.hid = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+      >= {_Q191_SIM}
+ORDER BY doc_id, heldout_id
+""",
+)
+def q191_minhash_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy contamination pairs across the q95 content-hash split:
+    corpus (buckets 0-13) docs near-duplicating held-out (14-15) docs
+    at 3-gram Jaccard >= 0.4, found by cross-corpus MinHash LSH. The
+    held-out side broadcasts (banded signatures AND shingle sets); the
+    corpus pays one shingle projection + one signature aggregate, and
+    exact-Jaccard verification touches candidate docs only. The
+    doc-level scrub (`minhash_decontaminate`) anti-joins these ids;
+    its survivor-count invariant is pinned in pytest."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        minhash_contamination_pairs,
+    )
+
+    env = Env(spark, sf_dir)
+    b16 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 1),
+        )
+        - 1
+    )
+    docs = env.t("documents").select("doc_id", "text").withColumn(
+        "__b", b16
+    )
+    corpus = docs.filter(F.col("__b") < 14).drop("__b")
+    heldout = docs.filter(F.col("__b") >= 14).drop("__b")
+    pairs = minhash_contamination_pairs(
+        corpus, heldout, n=3, num_hashes=_MH_K, bands=_MH_BANDS,
+        min_sim=_Q191_SIM, seed=_MH_SEED,
+    )
+    return pairs.select(
+        "doc_id", "heldout_id",
+        F.round("jaccard_sim", 4).alias("jaccard_sim"),
+    ).orderBy("doc_id", "heldout_id")

@@ -988,3 +988,51 @@ def test_lsh_multiprobe_query_batch_contract(spark, sf_dir):
             ).collect()
         }
         assert by_q[qid] == solo, qid
+
+
+def test_minhash_decontaminate_scrubs_near_dup_leakage(spark, sf_dir):
+    """Fuzzy decontamination (E119): a held-out document injected
+    VERBATIM into the corpus under a new id must be caught (jaccard
+    1.0) and scrubbed; survivors = corpus minus exactly the distinct
+    contaminated ids; no contaminated id survives."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.operators.dedup import (
+        minhash_contamination_pairs,
+        minhash_decontaminate,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    b16 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 1),
+        )
+        - 1
+    )
+    d = docs.withColumn("__b", b16)
+    corpus = d.filter(F.col("__b") < 14).drop("__b")
+    held = d.filter(F.col("__b") >= 14).drop("__b")
+    # verbatim leak: one held-out doc re-enters the corpus as a new id
+    leak = (
+        held.orderBy("doc_id")
+        .limit(1)
+        .select(F.lit(-999).cast("long").alias("doc_id"), "text")
+    )
+    corpus = corpus.unionByName(leak)
+
+    pairs = minhash_contamination_pairs(corpus, held, min_sim=0.4)
+    got = {
+        (r.doc_id, round(r.jaccard_sim, 4)) for r in pairs.collect()
+    }
+    assert (-999, 1.0) in got
+
+    bad_ids = {r.doc_id for r in pairs.select("doc_id").distinct().collect()}
+    survivors = minhash_decontaminate(corpus, held, min_sim=0.4)
+    assert survivors.count() == corpus.count() - len(bad_ids)
+    assert (
+        survivors.filter(F.col("doc_id").isin(list(bad_ids))).count() == 0
+    )
