@@ -4946,3 +4946,219 @@ def q190_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM seg_stats ORDER BY seg",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — computed group keys over a JOIN aggregate view (E120): the
+# time-bucketed-rollup shape over CDC-joined tables — GROUP BY a key
+# EXPRESSION (month bucket over the left side) plus a plain right-side key,
+# over a LEFT OUTER join, maintained incrementally. The key expression
+# projects onto the bootstrap join, every netted delta, and every padded
+# render before grouping: bucket-crossing date updates maintain both
+# buckets, and customer deletions pad their orders into the NULL-seg group.
+# Oracle recomputes the mutated outer join + bucketed rollup from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q192_monthly_rollup_over_join",
+    tags=("lake", "sql", "incremental-view", "matview", "outer",
+          "computed-keys", "cdf"),
+    oracle="""
+WITH l1 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CASE WHEN o_orderkey % 97 = 3
+              THEN o_orderdate + INTERVAL 40 DAY
+              ELSE o_orderdate END AS dt,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + 5
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders WHERE o_orderkey % 10 <> 1
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 11 <> 3
+)
+SELECT substr(CAST(dt AS VARCHAR), 1, 7) AS month,
+       coalesce(seg, '(none)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS revenue
+FROM l1 LEFT JOIN r1 ON l1.ck = r1.ck
+GROUP BY substr(CAST(dt AS VARCHAR), 1, 7), coalesce(seg, '(none)')
+ORDER BY month, seg
+""",
+)
+def q192_monthly_rollup_over_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly revenue rollup per market segment over orders LEFT JOIN
+    customer, maintained as ONE materialized view with a computed month
+    key: CREATE ... AS SELECT substring(cast(dt as string), 1, 7) AS
+    month, seg, COUNT(*), SUM(price) FROM orders LEFT JOIN customer
+    USING (ck) GROUP BY month, seg. Mutations shift ~1% of order dates
+    across month boundaries (both buckets maintained), bump prices,
+    delete orders, and delete customers (their surviving orders pad
+    into the NULL-seg group). One REFRESH drains both feeds."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_rollup_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").alias("dt"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": l, "customer": r}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW monthly_seg LOCATION "
+        f"'{os.path.join(base, 'mv')}' PRIMARY KEY (k, ck) AS "
+        "SELECT substring(cast(dt as string), 1, 7) AS month, seg, "
+        "COUNT(*) AS n_orders, SUM(price) AS revenue "
+        "FROM orders LEFT JOIN customer USING (ck) "
+        "GROUP BY month, seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET dt = date_add(dt, 40) WHERE k % 97 = 3",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 11 = 3", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW monthly_seg", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT month, coalesce(seg, '(none)') AS seg, n_orders, "
+        "round(revenue, 2) AS revenue "
+        "FROM monthly_seg ORDER BY month, seg",
+        tables,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — extremes + distinct counts over a JOIN in ONE statement (E121):
+# the grammar's last refusal family removed — MIN/MAX/COUNT(DISTINCT) over
+# an inner join auto-compose (IncrementalComposedJoinAggView): the join
+# materializes under the view root, the aggregate view consumes its state
+# feed, endangered-extreme rescans and multiplicity side state read the
+# join STATE table, never the raw sources. DML hits per-group extremes and
+# collapses distinct priorities; oracle recomputes from mutated raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q193_composed_extremes_over_join",
+    tags=("lake", "sql", "incremental-view", "matview", "composed", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS pri
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price,
+         CASE WHEN k % 5 = 0 THEN '1-URGENT' ELSE pri END AS pri
+  FROM l0 WHERE k % 10 <> 1
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 11 <> 3
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS total_price,
+       round(min(price), 2) AS lo,
+       round(max(price), 2) AS hi,
+       CAST(count(DISTINCT pri) AS BIGINT) AS n_priorities
+FROM l1 JOIN r1 ON l1.ck = r1.ck
+GROUP BY seg ORDER BY seg
+""",
+)
+def q193_composed_extremes_over_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX/SUM/COUNT(DISTINCT) over orders JOIN customer as ONE
+    materialized view — the statement the grammar used to refuse with
+    composition instructions now auto-composes. Mutations: price bumps
+    at per-group extremes, deletion of ~10% of orders (some AT group
+    minima — the rescan reads the materialized join state), priority
+    collapse (distinct count drops), customer evictions. One REFRESH
+    drains base → join state → aggregate."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_comp_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("pri"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": l, "customer": r}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_profile LOCATION "
+        f"'{os.path.join(base, 'mv')}' PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n_orders, SUM(price) AS total_price, "
+        "MIN(price) AS lo, MAX(price) AS hi, "
+        "COUNT(DISTINCT pri) AS n_priorities "
+        "FROM orders JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET pri = '1-URGENT' WHERE k % 5 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 11 = 3", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW seg_profile", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT seg, n_orders, round(total_price, 2) AS total_price, "
+        "round(lo, 2) AS lo, round(hi, 2) AS hi, n_priorities "
+        "FROM seg_profile ORDER BY seg",
+        tables,
+    )

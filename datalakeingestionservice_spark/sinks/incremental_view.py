@@ -1214,13 +1214,34 @@ class IncrementalJoinAggView(IncrementalJoinView):
             spark, left_root, right_root, view_root, on, left_pk,
             right_pk, filter=filter,
         )
-        self.group_keys = list(group_keys)
+        #: group_keys: join-output COLUMN names, or {alias: expr} for
+        #: COMPUTED group keys (time-bucketed rollups over a join:
+        #: {"mon": "substring(dt, 1, 7)"}). A computed key is a
+        #: deterministic expression over the joined row, so it
+        #: distributes over the signed join delta exactly like a
+        #: column — the aggregation step projects the alias onto the
+        #: bootstrap join and every netted delta before grouping.
+        if isinstance(group_keys, dict):
+            self._gk_exprs = dict(group_keys)
+        else:
+            self._gk_exprs = {k: k for k in group_keys}
+        self.group_keys = list(self._gk_exprs)
         self.sums = dict(sums or {})
         reserved = {_COUNT_COL} | {f"_nn_{c}" for c in self.sums}
         if reserved & (set(self.sums) | set(self.group_keys)):
             raise ValueError(f"reserved column names: {sorted(reserved)}")
 
+    def _project_group_keys(self, rows: DataFrame) -> DataFrame:
+        """Project computed group-key aliases onto joined rows —
+        identically for the bootstrap join and every delta term, which
+        is what makes the computed key commute with the delta algebra."""
+        for alias, expr in self._gk_exprs.items():
+            if alias != expr:
+                rows = rows.withColumn(alias, F.expr(expr))
+        return rows
+
     def _agg(self, rows: DataFrame, sign=None) -> DataFrame:
+        rows = self._project_group_keys(rows)
         weight = sign if sign is not None else F.lit(1)
         aggs = [F.sum(weight).alias(_COUNT_COL)]
         for out, expr in self.sums.items():
@@ -1559,7 +1580,15 @@ class _OuterJoinAggMixin:
         import os as _os
 
         self.agg_root = _os.path.join(view_root, "agg")
-        self.group_keys = list(group_keys)
+        # list of join-output columns, or {alias: expr} computed keys
+        # (projected onto every padded render before grouping — a key
+        # expression over the missing side's columns lands in the NULL
+        # group, exactly like the recompute)
+        if isinstance(group_keys, dict):
+            self._gk_exprs = dict(group_keys)
+        else:
+            self._gk_exprs = {k: k for k in group_keys}
+        self.group_keys = list(self._gk_exprs)
         self.sums = dict(sums or {})
         reserved = (
             {_COUNT_COL, "__gid", "__s"}
@@ -1603,7 +1632,9 @@ class _OuterJoinAggMixin:
                 *extra,
             )
 
-        missing = set(self.group_keys) - set(out_cols)
+        missing = {
+            k for k in self.group_keys if self._gk_exprs[k] == k
+        } - set(out_cols)
         if missing:
             raise ValueError(
                 f"group keys {sorted(missing)} not in the outer join's "
@@ -1618,6 +1649,9 @@ class _OuterJoinAggMixin:
         return parts
 
     def _agg_rows(self, rows: DataFrame, sign=None) -> DataFrame:
+        for alias, expr in self._gk_exprs.items():
+            if alias != expr:
+                rows = rows.withColumn(alias, F.expr(expr))
         weight = sign if sign is not None else F.lit(1)
         aggs = [F.sum(weight).alias(_COUNT_COL)]
         for out, expr in self.sums.items():
@@ -1820,6 +1854,104 @@ class IncrementalFullJoinAggView(
             right_pk, filter=filter,
         )
         self._init_agg(view_root, group_keys, sums)
+
+
+class IncrementalComposedJoinAggView:
+    """MIN/MAX/COUNT(DISTINCT)/AVG/VARIANCE over an INNER join,
+    maintained by AUTO-COMPOSING the two existing halves: an
+    :class:`IncrementalJoinView` materializes the join rows under
+    ``view_root/join`` (its state table IS the joined relation), and an
+    :class:`IncrementalAggView` — which supports extremes, distinct
+    counts, and moments natively — maintains the aggregate over that
+    state table's change feed under ``view_root/state``. One refresh
+    drains both in order; endangered-extreme rescans read the join
+    STATE table, never the raw sources.
+
+    This is the documented composition for aggregates that aren't
+    self-maintainable over an un-materialized join (a deleted per-group
+    minimum needs the surviving join rows to rescan), made a single
+    object so the MV statement surface can accept ``MIN(price)`` over a
+    join directly instead of refusing with instructions. The honest
+    cost vs :class:`IncrementalJoinAggView` (count/sum only, join never
+    materialized): state includes the full join rows — which is exactly
+    what the rescan requires.
+
+    Computed group keys and a WHERE filter compose through: the filter
+    rides the join view (σ before materialization), the key expressions
+    ride the agg view (projected onto the state feed before grouping)."""
+
+    def __init__(self, spark, left_root, right_root, view_root, on,
+                 left_pk, right_pk, group_keys, sums=None, mins=None,
+                 maxs=None, distincts=None, avgs=None, stddevs=None,
+                 variances=None, filter=None):
+        import os as _os
+
+        self.spark = spark
+        self.view_root = view_root
+        self.join = IncrementalJoinView(
+            spark, left_root, right_root,
+            _os.path.join(view_root, "join"),
+            on, left_pk, right_pk, filter=filter,
+        )
+        self.agg = IncrementalAggView(
+            spark,
+            self.join.view_root,
+            _os.path.join(view_root, "state"),
+            keys=group_keys,
+            sums=sums, mins=mins, maxs=maxs,
+            distincts=distincts, avgs=avgs,
+            stddevs=stddevs, variances=variances,
+        )
+
+    def refresh(self, max_retries: int = 3):
+        """Drain base tables → join state → aggregate state."""
+        res = self.join.refresh(max_retries=max_retries)
+        self.agg.refresh(max_retries=max_retries)
+        return res
+
+    def read(self) -> DataFrame:
+        return self.agg.read()
+
+    def read_join(self) -> DataFrame:
+        """The materialized join rows (the inner half's state)."""
+        return self.join.read()
+
+    def start_continuous_refresh(self, checkpoint_dir: str, **kw):
+        """Both base feeds trigger the composed refresh (the marks are
+        the truth, so coalesced or replayed batches can't double-apply)."""
+        import os as _os
+
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        queries = []
+        for tag, root in (
+            ("l", self.join.left_root),
+            ("r", self.join.right_root),
+        ):
+            feed = (
+                self.spark.readStream.format("versioned_changes")
+                .option("table_root", root)
+                .load()
+            )
+
+            def _on_batch(batch_df, batch_id: int) -> None:
+                self.refresh()
+
+            queries.append(
+                feed.writeStream.foreachBatch(_on_batch)
+                .trigger(
+                    processingTime=kw.get("processing_time", "0 seconds")
+                )
+                .option(
+                    "checkpointLocation",
+                    _os.path.join(checkpoint_dir, tag),
+                )
+                .start()
+            )
+        return tuple(queries)
 
 
 class IncrementalTopKView:

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from datalakeingestionservice_spark.sinks.incremental_view import (
     IncrementalAggView,
+    IncrementalComposedJoinAggView,
     IncrementalFullJoinAggView,
     IncrementalFullJoinView,
     IncrementalJoinAggView,
@@ -297,10 +298,10 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
 
     jt_raw = (m.group("jt") or "INNER").strip().upper().split()[0]
     join_type = {"INNER": "inner", "LEFT": "left", "FULL": "full"}[jt_raw]
-    if computed:
+    if computed and not has_agg:
         raise MaterializedViewError(
-            "computed group keys are single-table only; materialize "
-            "the join first, or key by plain columns"
+            "computed keys need aggregates (a non-aggregating join "
+            "view is SELECT * — project at read time instead)"
         )
     if primary_key is None:
         raise MaterializedViewError(
@@ -325,19 +326,32 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
                 "maintained state is the full join row)"
             )
         return {"kind": "join", **spec}
-    if mins or maxs or distincts or avgs or stddevs or variances:
+    needs_join_state = bool(
+        mins or maxs or distincts or avgs or stddevs or variances
+    )
+    if needs_join_state and join_type != "inner":
         raise MaterializedViewError(
-            "MIN/MAX, COUNT(DISTINCT), AVG, and VARIANCE/STDDEV over a "
-            "join are not maintainable un-materialized here; create a "
-            "join view and an aggregate view over its state table "
-            "(which supports them all)"
+            "MIN/MAX, COUNT(DISTINCT), AVG, and VARIANCE/STDDEV over "
+            "an OUTER join are not maintainable (their rescans/side "
+            "state need one inner state table; an outer join's rows "
+            "spread across padded side tables) — use an inner join, "
+            "or materialize the outer view and aggregate it separately"
         )
     return {
         "kind": "join_agg",
         **spec,
-        "group_keys": keys,
+        "group_keys": key_exprs if computed else keys,
         "count_alias": count_alias,
         "sums": sums,
+        "mins": mins,
+        "maxs": maxs,
+        "distincts": distincts,
+        "avgs": avgs,
+        "stddevs": stddevs,
+        "variances": variances,
+        # extremes/distincts/moments need the join MATERIALIZED (the
+        # composed class); count/sum alone keep it un-materialized
+        "materialize_join": needs_join_state,
     }
 
 
@@ -478,6 +492,20 @@ class MaterializedView:
                 "full": IncrementalFullJoinView,
             }[s["join_type"]]
             return cls(*args, **kw)
+        if s.get("materialize_join"):
+            # extremes/distincts/moments over the join: the composed
+            # class materializes the join under <root>/state/join and
+            # aggregates its state feed (rescans read the join state,
+            # never the raw sources)
+            return IncrementalComposedJoinAggView(
+                *args, **kw,
+                group_keys=s["group_keys"], sums=s["sums"],
+                mins=s.get("mins") or {}, maxs=s.get("maxs") or {},
+                distincts=s.get("distincts") or {},
+                avgs=s.get("avgs") or {},
+                stddevs=s.get("stddevs") or {},
+                variances=s.get("variances") or {},
+            )
         cls = {
             "inner": IncrementalJoinAggView,
             "left": IncrementalLeftJoinAggView,
@@ -522,6 +550,8 @@ class MaterializedView:
             root = os.path.join(root, "inner")
         elif s["kind"] == "join_agg" and s["join_type"] != "inner":
             root = os.path.join(root, "agg")
+        elif s["kind"] == "join_agg" and s.get("materialize_join"):
+            root = os.path.join(root, "state")  # composed: agg state
         return VersionedTable(self.spark, root).latest_version()
 
     def read(self) -> DataFrame:
@@ -538,7 +568,7 @@ class MaterializedView:
         if s["count_alias"]:
             cols.append(F.col("_n").alias(s["count_alias"]))
         cols += [F.col(c) for c in s["sums"]]
-        if s["kind"] == "agg":
+        if s["kind"] == "agg" or s.get("materialize_join"):
             cols += [F.col(c) for c in s["mins"]]
             cols += [F.col(c) for c in s["maxs"]]
             cols += [F.col(c) for c in s.get("distincts") or {}]

@@ -2115,3 +2115,137 @@ class TestFilteredOuterJoinViews:
                 x.seg: (x._n, x.total_price)
                 for x in v.read().collect()
             } == expect()
+
+
+class TestComputedKeysOverJoins:
+    """Computed group keys over JOIN aggregate views (r11): the key
+    expression projects onto the bootstrap join, every netted delta,
+    and every padded render before grouping — bucket-crossing updates
+    maintain both buckets, and a key expression over the missing side
+    of an outer join lands padded rows in the NULL bucket, exactly
+    like the recompute."""
+
+    def _mk(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l = VersionedTable.create(
+            spark,
+            str(tmp_path / "ckl"),
+            spark.createDataFrame(
+                [
+                    (1, 10, "2024-01-03", 10.0),
+                    (2, 20, "2024-01-20", 20.0),
+                    (3, 99, "2024-02-07", 30.0),  # unmatched
+                    (4, 10, "2024-02-28", 40.0),
+                ],
+                "k bigint, ck bigint, dt string, price double",
+            ),
+        )
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / "ckr"),
+            spark.createDataFrame(
+                [(10, "a"), (20, "b")], "ck bigint, seg string"
+            ),
+        )
+        return l, r
+
+    def _mutate(self, spark, l, r):
+        import pyspark.sql.functions as F
+
+        yield
+        # bucket crossing: k=2 moves 2024-01 -> 2024-02
+        l.update_where(F.col("k") == 2, {"dt": F.lit("2024-02-15")})
+        yield
+        # pad/unpad churn: customer 10 dies (k=1, k=4 pad), 99 appears
+        r.delete_where([("ck", "=", 10)])
+        r.append(
+            spark.createDataFrame([(99, "z")], "ck bigint, seg string")
+        )
+        yield
+        l.delete_where([("k", "=", 4)])
+        yield
+
+    def test_inner_join_agg_computed_key_tracks_recompute(
+        self, spark, tmp_path
+    ):
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalJoinAggView,
+        )
+
+        l, r = self._mk(spark, tmp_path)
+        v = IncrementalJoinAggView(
+            spark, l.root, r.root, str(tmp_path / "ckv"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys={"mon": "substring(dt, 1, 7)", "seg": "seg"},
+            sums={"total": "price"},
+        )
+
+        def expect():
+            return {
+                (x.mon, x.seg, x._n, x.total)
+                for x in l.read()
+                .join(r.read(), "ck")
+                .groupBy(
+                    F.substring("dt", 1, 7).alias("mon"), "seg"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("price").alias("total"),
+                )
+                .collect()
+            }
+
+        for _ in self._mutate(spark, l, r):
+            v.refresh()
+            got = {
+                (x.mon, x.seg, x._n, x.total)
+                for x in v.read().collect()
+            }
+            assert got == expect()
+
+    def test_left_outer_agg_computed_key_on_right_column(
+        self, spark, tmp_path
+    ):
+        """Key expression over the RIGHT side: padded rows bucket
+        under NULL (upper(NULL) is NULL), transitioning with pad/unpad."""
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalLeftJoinAggView,
+        )
+
+        l, r = self._mk(spark, tmp_path)
+        v = IncrementalLeftJoinAggView(
+            spark, l.root, r.root, str(tmp_path / "ckov"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys={"seg_u": "upper(seg)"},
+            sums={"total": "price"},
+        )
+        saw_null_bucket = False
+        for _ in self._mutate(spark, l, r):
+            v.refresh()
+            got = {
+                (x.seg_u, x._n, x.total)
+                for x in v.read().collect()
+            }
+            expect = {
+                (x.seg_u, x._n, x.total)
+                for x in l.read()
+                .join(r.read(), "ck", "left")
+                .groupBy(F.upper("seg").alias("seg_u"))
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("price").alias("total"),
+                )
+                .collect()
+            }
+            assert got == expect
+            saw_null_bucket = saw_null_bucket or any(
+                s is None for s, _, _ in got
+            )
+        assert saw_null_bucket  # padded rows actually hit NULL bucket

@@ -92,10 +92,10 @@ class TestGrammar:
                 "SELECT \\*",
             ),
             (
-                "SELECT seg, MIN(price) AS lo FROM orders JOIN customer"
-                " USING (ck) GROUP BY seg",
+                "SELECT seg, MIN(price) AS lo FROM orders LEFT JOIN"
+                " customer USING (ck) GROUP BY seg",
                 ("k", "ck"),
-                "over a join are not",
+                "over an OUTER join are not",
             ),
             (
                 "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
@@ -112,6 +112,20 @@ class TestGrammar:
     def test_refusals(self, body, pk, msg):
         with pytest.raises(MaterializedViewError, match=msg):
             parse_mv_body(body, pk)
+
+    def test_extremes_over_inner_join_parse_to_composed(self):
+        """MIN/MAX/COUNT(DISTINCT)/AVG over an INNER join parse to the
+        composed (materialize-the-join) spec instead of refusing (r11)."""
+        s = parse_mv_body(
+            "SELECT seg, COUNT(*) AS n, MIN(price) AS lo, "
+            "AVG(price) AS ap, COUNT(DISTINCT price) AS np "
+            "FROM orders JOIN customer USING (ck) GROUP BY seg",
+            ("k", "ck"),
+        )
+        assert s["kind"] == "join_agg" and s["materialize_join"]
+        assert s["mins"] == {"lo": "price"}
+        assert s["avgs"] == {"ap": "price"}
+        assert s["distincts"] == {"np": "price"}
 
     def test_where_over_outer_join_parses(self):
         """WHERE over an OUTER join is maintainable (r11): padded
@@ -573,17 +587,32 @@ def test_count_distinct_mv(spark, tmp_path, env):
     }
     assert got == expect
     assert (10, 4, 3) in got  # prices 1.0(x2), 4.0, 6.0
-    with pytest.raises(
-        MaterializedViewError, match="over a join are not"
-    ):
-        execute_sql(
-            spark,
-            f"CREATE MATERIALIZED VIEW x LOCATION '{root}2' "
-            "PRIMARY KEY (k, ck) AS "
-            "SELECT seg, COUNT(DISTINCT price) AS np FROM orders "
-            "JOIN customer USING (ck) GROUP BY seg",
-            tables,
-        )
+    # COUNT(DISTINCT) over an INNER join auto-composes (r11): the join
+    # materializes under the view root and the multiplicity side state
+    # consumes its change feed
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW xj LOCATION '{root}2' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(DISTINCT price) AS np FROM orders "
+        "JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k = 8", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW xj", tables)
+    expect_j = {
+        (x.seg, x.np)
+        for x in l.read()
+        .join(r.read(), "ck")
+        .groupBy("seg")
+        .agg(F.countDistinct("price").alias("np"))
+        .collect()
+    }
+    got_j = {
+        tuple(x)
+        for x in execute_sql(spark, "SELECT * FROM xj", tables).collect()
+    }
+    assert got_j == expect_j
 
 
 def test_mv_chain_min_over_join_via_sql(spark, tmp_path, env):
@@ -721,13 +750,14 @@ def test_computed_group_key_mv(spark, tmp_path):
         None,
     )
     assert s["keys"] == {"month": "substring(dt, 1, 7)"}
-    # computed keys refuse over joins
-    with pytest.raises(MaterializedViewError, match="single-table"):
-        parse_mv_body(
-            "SELECT substring(dt, 1, 7) AS month, COUNT(*) AS n "
-            "FROM t JOIN u USING (id) GROUP BY month",
-            ("id", "id"),
-        )
+    # computed keys over joins parse to a key-expr dict (r11)
+    sj = parse_mv_body(
+        "SELECT substring(dt, 1, 7) AS month, COUNT(*) AS n "
+        "FROM t JOIN u USING (id) GROUP BY month",
+        ("id", "id"),
+    )
+    assert sj["kind"] == "join_agg"
+    assert sj["group_keys"] == {"month": "substring(dt, 1, 7)"}
     # a malformed aggregate cannot be reinterpreted as a key
     with pytest.raises(MaterializedViewError, match="refuse"):
         parse_mv_body(
@@ -844,3 +874,63 @@ def test_mv_over_mv_refuses_non_inner_upstreams(spark, tmp_path, env):
                 f"SELECT k, COUNT(*) AS n FROM {up} GROUP BY k",
                 tables,
             )
+
+
+def test_composed_extremes_over_join_mv(spark, tmp_path, env):
+    """Extremes + moments over an INNER join in ONE statement (r11):
+    the composed class materializes the join under the view root and
+    an aggregate view maintains MIN/MAX/AVG over its state feed —
+    deletes AT a group extreme rescan the join STATE table, never the
+    raw sources; reopen-from-disk refreshes the whole composition."""
+    l, r, tables = env
+    root = str(tmp_path / "mv_comp")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_x LOCATION '{root}' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n, SUM(price) AS total, "
+        "MIN(price) AS lo, MAX(price) AS hi, AVG(price) AS ap "
+        "FROM orders JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.seg, x.n, x.total, x.lo, x.hi, round(x.ap, 6))
+            for x in l.read()
+            .join(r.read(), "ck")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").alias("total"),
+                F.min("price").alias("lo"),
+                F.max("price").alias("hi"),
+                F.avg("price").alias("ap"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (x.seg, x.n, x.total, x.lo, x.hi, round(x.ap, 6))
+            for x in execute_sql(
+                spark, "SELECT * FROM seg_x", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    # delete AT the 'a' group's max (k=4, price 4.0) and move its min
+    execute_sql(spark, "DELETE FROM orders WHERE k = 4", tables)
+    execute_sql(
+        spark, "UPDATE orders SET price = 9.5 WHERE k = 1", tables
+    )
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_x", tables)
+    assert got() == expect()
+    assert ("a", 1, 9.5, 9.5, 9.5, 9.5) in got()
+
+    # reopen from disk: the persisted spec rebuilds the composition
+    execute_sql(spark, "INSERT INTO orders VALUES (6, 20, 0.5)", tables)
+    mv = MaterializedView.open(spark, root)
+    mv.refresh()
+    assert got() == expect()
+    assert ("b", 2, 2.5, 0.5, 2.0, 1.25) in got()
