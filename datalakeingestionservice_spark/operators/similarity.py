@@ -436,3 +436,89 @@ def lsh_multiprobe_topk(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    held_out: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC contamination: (corpus id, held-out id)
+    pairs whose embedding cosine reaches `min_cos` — the third member
+    of the decontamination family (verbatim exact-substring, fuzzy
+    lexical MinHash, and this: rephrasings that share no n-grams but
+    embed next to the eval document).
+
+    Scale shape: the held-out side is an eval set — tiny next to the
+    corpus — so it BROADCASTS whole; the corpus is scanned once, each
+    row scoring |held_out| dot products inside whole-stage codegen
+    (zip_with + aggregate, no Python). This is the EXACT baseline; at
+    corpus sizes where |held_out| per-row scoring is too hot, block
+    both sides with :func:`ivf_assign` on shared centroids and join on
+    cell first (see :func:`semantic_decontaminate`'s `centroids`).
+
+    Returns (id_col, heldout_id, cos_sim)."""
+    h = held_out.select(
+        F.col(id_col).alias("heldout_id"), F.col(vec_col).alias("__hv")
+    )
+    c = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    cos = cosine(F.col("__cv"), F.col("__hv"))
+    return (
+        c.crossJoin(F.broadcast(h))
+        .select(id_col, "heldout_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    held_out: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+    centroids: DataFrame | None = None,
+    emb_corpus: DataFrame | None = None,
+    emb_held_out: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus rows whose embedding cosine against ANY held-out row
+    reaches `min_cos` are REMOVED (doc-level, like the fuzzy lexical
+    scrub — an embedding-near document has no verbatim span to cut).
+
+    `corpus`/`held_out` carry the embeddings by default; pass
+    `emb_corpus`/`emb_held_out` when the payload table is separate
+    from the embedding table (joined on `id_col`). With `centroids`
+    (shared k-means centers, broadcast), both sides block through
+    :func:`ivf_assign` and only same-cell pairs score — the ANN scale
+    path, trading recall at cell boundaries exactly like `ivf_topk`."""
+    ce = emb_corpus if emb_corpus is not None else corpus
+    he = emb_held_out if emb_held_out is not None else held_out
+    if centroids is not None:
+        # ivf_assign carries (id, vec, cid): block both sides on the
+        # shared cells, then score same-cell pairs only
+        ca = ivf_assign(ce, centroids, id_col=id_col, vec_col=vec_col)
+        ha = ivf_assign(he, centroids, id_col=id_col, vec_col=vec_col)
+        h = ha.select(
+            F.col(id_col).alias("heldout_id"),
+            F.col(vec_col).alias("__hv"),
+            "cid",
+        )
+        c = ca.select(id_col, F.col(vec_col).alias("__cv"), "cid")
+        cos = cosine(F.col("__cv"), F.col("__hv"))
+        bad = (
+            c.join(F.broadcast(h), "cid")
+            .select(id_col, cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= min_cos)
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        bad = (
+            semantic_contamination_pairs(
+                ce, he, id_col=id_col, vec_col=vec_col, min_cos=min_cos
+            )
+            .select(id_col)
+            .distinct()
+        )
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")

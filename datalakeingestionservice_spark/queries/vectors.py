@@ -1082,3 +1082,58 @@ def q182_incremental_ivf_index(
         F.col("embedding").alias("qv")
     )
     return idx.topk(q, k=5, n_probe=2, exclude_ids=[0])
+
+
+# ---------------------------------------------------------------------------
+# q194 — SEMANTIC decontamination vs a held-out split (E122): the third
+# member of the decontamination family — verbatim (q172, exact-substring),
+# fuzzy lexical (q191, MinHash), and this: corpus vectors whose embedding
+# cosine against ANY held-out vector reaches the threshold. Rephrasings
+# that share no n-grams but embed next to an eval document. The held-out
+# side broadcasts whole; the corpus is scanned once, dot products inside
+# whole-stage codegen. Oracle recomputes the split and every cosine in
+# DuckDB with the same sequential double fold.
+# ---------------------------------------------------------------------------
+_Q194_TAU = 0.4
+
+@register(
+    "q194_semantic_decontamination",
+    tags=("vectors", "similarity", "decontamination", "curation"),
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 8 <> 0
+),
+held AS (
+  SELECT vec_id AS heldout_id, embedding AS hv
+  FROM embeddings WHERE vec_id % 8 = 0
+)
+SELECT c.vec_id AS vec_id, h.heldout_id AS heldout_id,
+       round({_duck_cosine('c.embedding', 'h.hv')}, 4) AS cos_sim
+FROM corpus c CROSS JOIN held h
+WHERE {_duck_cosine('c.embedding', 'h.hv')} >= {_Q194_TAU}
+ORDER BY vec_id, heldout_id
+""",
+)
+def q194_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic contamination pairs across a held-out split (vec_id %
+    8 == 0 is the eval side): corpus embeddings scoring cosine >= 0.4
+    against any held-out embedding. The doc-level scrub
+    (`semantic_decontaminate`) anti-joins these ids — its survivor
+    invariant and the IVF-blocked scale path are pinned in pytest."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_contamination_pairs,
+    )
+
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings")
+    corpus = emb.filter(F.col("vec_id") % 8 != 0)
+    held = emb.filter(F.col("vec_id") % 8 == 0)
+    pairs = semantic_contamination_pairs(
+        corpus, held, min_cos=_Q194_TAU
+    )
+    return pairs.select(
+        "vec_id", "heldout_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+    ).orderBy("vec_id", "heldout_id")

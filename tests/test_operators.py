@@ -1036,3 +1036,67 @@ def test_minhash_decontaminate_scrubs_near_dup_leakage(spark, sf_dir):
     assert (
         survivors.filter(F.col("doc_id").isin(list(bad_ids))).count() == 0
     )
+
+
+def test_semantic_decontaminate_scrubs_embedding_neighbors(spark, sf_dir):
+    """Semantic decontamination (E122): a held-out embedding
+    re-injected verbatim under a new id is caught at cosine 1.0 and
+    scrubbed; survivors = corpus minus exactly the distinct
+    contaminated ids; the IVF-blocked scale path finds a SUBSET of the
+    exact pairs (cell-boundary recall), and with a single cell it
+    equals the exact path."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 8 != 0)
+    held = emb.filter(F.col("vec_id") % 8 == 0)
+    leak = (
+        held.orderBy("vec_id")
+        .limit(1)
+        .select(F.lit(-999).cast("long").alias("vec_id"), "embedding")
+    )
+    corpus = corpus.unionByName(leak)
+
+    pairs = semantic_contamination_pairs(corpus, held, min_cos=0.4)
+    got = {(r.vec_id, round(r.cos_sim, 4)) for r in pairs.collect()}
+    assert (-999, 1.0) in got
+
+    bad = {r.vec_id for r in pairs.select("vec_id").distinct().collect()}
+    survivors = semantic_decontaminate(corpus, held, min_cos=0.4)
+    assert survivors.count() == corpus.count() - len(bad)
+    assert survivors.filter(F.col("vec_id").isin(list(bad))).count() == 0
+
+    # IVF-blocked path: one cell == exact; several cells == subset
+    dim = len(emb.select("embedding").first()[0])
+    one = spark.createDataFrame(
+        [(0, [0.1] * dim)], "cid bigint, cv array<float>"
+    )
+    surv_one = semantic_decontaminate(
+        corpus, held, min_cos=0.4, centroids=one
+    )
+    assert {r.vec_id for r in surv_one.collect()} == {
+        r.vec_id for r in survivors.collect()
+    }
+    cents = spark.createDataFrame(
+        [
+            (i, [(1.0 if j % 4 == i else -0.5) for j in range(dim)])
+            for i in range(4)
+        ],
+        "cid bigint, cv array<float>",
+    )
+    surv_blocked = semantic_decontaminate(
+        corpus, held, min_cos=0.4, centroids=cents
+    )
+    # blocked removes a SUBSET of what exact removes -> survivors are
+    # a SUPERSET of the exact survivors
+    exact_surv = {r.vec_id for r in survivors.collect()}
+    blocked_surv = {r.vec_id for r in surv_blocked.collect()}
+    assert exact_surv <= blocked_surv
+    assert -999 not in blocked_surv  # the verbatim leak shares a cell
