@@ -296,6 +296,125 @@ def probe_ivf_index(spark, sf_dir: str, results: dict) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_round11b(spark, sf_dir: str, results: dict) -> None:
+    """Late round-11 view classes at fixed delta: filtered outer views
+    (σ on padded renders + raw-side matched-ness), the computed-key
+    rollup over a join, and the composed extremes-over-join (join
+    materialized + agg over its state feed)."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalComposedJoinAggView,
+        IncrementalJoinAggView,
+        IncrementalLeftJoinAggView,
+        IncrementalLeftJoinView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    )
+    okeys = [
+        r.k
+        for r in orders.select(F.col("o_orderkey").alias("k"))
+        .orderBy("k")
+        .limit(1500)
+        .collect()
+    ]
+    ckeys = [
+        r.ck
+        for r in customer.select(F.col("c_custkey").alias("ck"))
+        .orderBy("ck")
+        .limit(260)
+        .collect()
+    ]
+
+    variants = {
+        "filtered_left_outer_view_E117": lambda s, lr, rr, vr: (
+            IncrementalLeftJoinView(
+                s, lr, rr, vr, on=["ck"], left_pk="k", right_pk="ck",
+                filter="price >= 1000 OR seg = 'BUILDING'",
+            )
+        ),
+        "filtered_left_join_agg_E117": lambda s, lr, rr, vr: (
+            IncrementalLeftJoinAggView(
+                s, lr, rr, vr, on=["ck"], left_pk="k", right_pk="ck",
+                group_keys=["seg"], sums={"total_price": "price"},
+                filter="price >= 1000 OR seg = 'BUILDING'",
+            )
+        ),
+        "computed_key_join_rollup_E120": lambda s, lr, rr, vr: (
+            IncrementalJoinAggView(
+                s, lr, rr, vr, on=["ck"], left_pk="k", right_pk="ck",
+                group_keys={
+                    "mon": "substring(cast(dt as string), 1, 7)",
+                    "seg": "seg",
+                },
+                sums={"total_price": "price"},
+            )
+        ),
+        "composed_extremes_over_join_E121": lambda s, lr, rr, vr: (
+            IncrementalComposedJoinAggView(
+                s, lr, rr, vr, on=["ck"], left_pk="k", right_pk="ck",
+                group_keys=["seg"], sums={"total_price": "price"},
+                mins={"lo": "price"}, maxs={"hi": "price"},
+            )
+        ),
+    }
+    for name, mk in variants.items():
+        base = os.path.join(
+            tempfile.gettempdir(), f"ivmprobe_{uuid.uuid4().hex}"
+        )
+        l = VersionedTable.create(
+            spark,
+            os.path.join(base, "l"),
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey").alias("ck"),
+                F.col("o_orderdate").alias("dt"),
+                F.col("o_totalprice").cast("double").alias("price"),
+            ),
+        )
+        r = VersionedTable.create(
+            spark,
+            os.path.join(base, "r"),
+            customer.select(
+                F.col("c_custkey").alias("ck"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+        )
+        view = mk(spark, l.root, r.root, os.path.join(base, "v"))
+        t0 = time.monotonic()
+        view.refresh()
+        boot = time.monotonic() - t0
+        times = []
+        for i in range(3):
+            osl = okeys[i * 500 : (i + 1) * 500]
+            cupd = ckeys[i * 50 : i * 50 + 50]
+            cdel = ckeys[150 + i * 20 : 150 + (i + 1) * 20]
+            l.update_where(
+                F.col("k").isin(osl), {"price": F.col("price") + 1.0}
+            )
+            r.update_where(
+                F.col("ck").isin(cupd), {"seg": F.lit(f"X{i}")}
+            )
+            r.delete_where(F.col("ck").isin(cdel))
+            t0 = time.monotonic()
+            view.refresh()
+            times.append(round(time.monotonic() - t0, 3))
+        results[name] = {
+            "bootstrap_s": round(boot, 3),
+            "refresh_s": times,
+            "refresh_min_s": min(times),
+            "refresh_med_s": round(statistics.median(times), 3),
+        }
+        print(name, results[name], flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     out: dict = {}
     for sf_dir in sys.argv[1:]:
@@ -304,11 +423,16 @@ def main() -> None:
         spark = build_session()
         res: dict = {}
         only_new = os.environ.get("PROBE_ONLY_NEW") == "1"
-        if not only_new:
-            probe_join_family(spark, sf_dir, res)
-        probe_new_agg_views(spark, sf_dir, res)
-        if not only_new:
-            probe_ivf_index(spark, sf_dir, res)
+        only_11b = os.environ.get("PROBE_ONLY_11B") == "1"
+        if only_11b:
+            probe_round11b(spark, sf_dir, res)
+        else:
+            if not only_new:
+                probe_join_family(spark, sf_dir, res)
+            probe_new_agg_views(spark, sf_dir, res)
+            if not only_new:
+                probe_ivf_index(spark, sf_dir, res)
+            probe_round11b(spark, sf_dir, res)
         out[sf_dir] = res
         spark.stop()
     print(json.dumps(out))
