@@ -674,3 +674,403 @@ def q179_curation_pipeline_decontaminated(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — the capstone v4: the COMPLETE decontamination family composed into
+# the curation ladder — v3's verbatim pass (exact-substring spans vs the
+# held-out split) plus the FUZZY pass (E119: MinHash-LSH doc-level removal
+# of near-duplicates of held-out docs that the verbatim cut can't see,
+# running over the SCRUBBED text). One lazy plan; the DuckDB oracle
+# recomputes every stage from raw text including both gram passes, the
+# seeded MinHash signatures/bands/candidates, and the recursive closure.
+# ---------------------------------------------------------------------------
+_Q195_L = 20
+_Q195_MIN_CLEAN = 10
+_Q195_SIM = 0.4
+
+
+def _q195_oracle() -> str:
+    from datalakeingestionservice_spark.operators.dedup import _MINHASH_P
+    from datalakeingestionservice_spark.queries.text import (
+        _MH_BAND_SELECTS,
+        _MH_SIG_COLS,
+    )
+
+    hash_expr = (
+        "CAST(list_sum(list_transform(range(1, 9),\n"
+        "  i -> (strpos('0123456789abcdef', substr(sha256(shingle), i, 1)) - 1)\n"
+        "       * (1::BIGINT << ((8 - i) * 4)))) AS BIGINT)\n"
+        f"  % {_MINHASH_P} AS h"
+    )
+    return f"""
+WITH RECURSIVE
+assigned AS (
+  SELECT doc_id, text, lang,
+         strpos('0123456789abcdef', substr(sha256(lower(trim(text))), 1, 1)) - 1
+           AS b16
+  FROM documents
+),
+train AS (SELECT doc_id, text, lang FROM assigned WHERE b16 < 14),
+held AS (SELECT doc_id, text FROM assigned WHERE b16 >= 14),
+feats AS (
+  SELECT doc_id, text, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS diversity
+  FROM train
+),
+quality AS (
+  SELECT doc_id, text, lang, n_tokens FROM feats
+  WHERE n_tokens >= 20 AND diversity >= 0.25
+),
+fp AS (
+  SELECT doc_id, text, lang, n_tokens,
+         sha256(lower(trim(text))) AS fingerprint
+  FROM quality
+),
+exact_kept AS MATERIALIZED (
+  SELECT doc_id, text, lang, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+),
+words0 AS (
+  SELECT doc_id, lang, n_tokens, string_split(text, ' ') AS w
+  FROM exact_kept
+),
+cg0 AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q195_L - 1}], ' ') AS g
+  FROM words0
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q195_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q195_L}
+),
+hwv AS (SELECT doc_id, string_split(text, ' ') AS w FROM held),
+hg0 AS (
+  SELECT DISTINCT array_to_string(w[u.i:u.i + {_Q195_L - 1}], ' ') AS g
+  FROM hwv
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q195_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q195_L}
+),
+hits0 AS (SELECT doc_id, pos FROM cg0 JOIN hg0 USING (g)),
+cover0 AS (
+  SELECT DISTINCT doc_id, h.pos + v.o AS p
+  FROM hits0 h
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {_Q195_L - 1})) AS o
+  ) v
+),
+toks0 AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words0
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept0 AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks0 t ANTI JOIN cover0 c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg0 AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY p), ' ') AS t1,
+         count(*) AS n1
+  FROM kept0 GROUP BY doc_id
+),
+decon AS MATERIALIZED (
+  SELECT w.doc_id, w.lang,
+         coalesce(a.t1, '') AS t1, coalesce(a.n1, 0) AS n1
+  FROM words0 w LEFT JOIN agg0 a USING (doc_id)
+),
+words1 AS (
+  SELECT doc_id, string_split(t1, ' ') AS w FROM decon WHERE n1 >= 1
+),
+cg1 AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i:u.i + {_Q195_L - 1}], ' ') AS g
+  FROM words1
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {_Q195_L - 1})) AS i
+  ) u
+  WHERE len(w) >= {_Q195_L}
+),
+dup1 AS (SELECT g FROM cg1 GROUP BY g HAVING count(*) >= 2),
+hits1 AS (SELECT doc_id, pos FROM cg1 JOIN dup1 USING (g)),
+cover1 AS (
+  SELECT DISTINCT doc_id, h.pos + v.o AS p
+  FROM hits1 h
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, {_Q195_L - 1})) AS o
+  ) v
+),
+toks1 AS (
+  SELECT doc_id, u.i AS p, w[u.i] AS tok
+  FROM words1
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) u
+),
+kept1 AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks1 t ANTI JOIN cover1 c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg1 AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY p), ' ') AS t2,
+         count(*) AS n2
+  FROM kept1 GROUP BY doc_id
+),
+scrubbed AS MATERIALIZED (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN d.n1 = 0 THEN '' ELSE coalesce(s.t2, '') END AS t2,
+         CASE WHEN d.n1 = 0 THEN 0 ELSE coalesce(s.n2, 0) END AS n2
+  FROM decon d LEFT JOIN agg1 s USING (doc_id)
+  WHERE (CASE WHEN d.n1 = 0 THEN 0 ELSE coalesce(s.n2, 0) END)
+        >= {_Q195_MIN_CLEAN}
+),
+cws AS (SELECT doc_id, string_split(t2, ' ') AS w FROM scrubbed),
+csh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM cws WHERE len(w) >= 3
+  )
+),
+hsh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM hwv WHERE len(w) >= 3
+  )
+),
+chashed AS (SELECT doc_id, {hash_expr} FROM csh),
+hhashed AS (SELECT doc_id, {hash_expr} FROM hsh),
+csigs AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM chashed GROUP BY doc_id
+),
+hsigs AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM hhashed GROUP BY doc_id
+),
+cbands AS (
+  {_MH_BAND_SELECTS.replace("FROM sigs", "FROM csigs")}
+),
+hbands AS (
+  {_MH_BAND_SELECTS.replace("FROM sigs", "FROM hsigs")}
+),
+fcand AS (
+  SELECT DISTINCT c.doc_id AS cid, h.doc_id AS hid
+  FROM cbands c JOIN hbands h ON c.band = h.band AND c.sig = h.sig
+),
+fsz_c AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+fsz_h AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
+fpc AS (
+  SELECT p.cid, p.hid, count(*) AS n_common
+  FROM fcand p
+  JOIN csh a ON a.doc_id = p.cid
+  JOIN hsh b ON b.doc_id = p.hid AND b.shingle = a.shingle
+  GROUP BY p.cid, p.hid
+),
+contaminated AS (
+  SELECT DISTINCT cid AS doc_id
+  FROM fpc p
+  JOIN fsz_c sa ON p.cid = sa.doc_id
+  JOIN fsz_h sb ON p.hid = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {_Q195_SIM}
+),
+fclean AS MATERIALIZED (
+  SELECT * FROM scrubbed
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+cwf AS (SELECT doc_id, string_split(t2, ' ') AS w FROM fclean),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM cwf WHERE len(w) >= 3
+  )
+),
+sh_freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+pruned AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN sh_freq f USING (shingle) WHERE f.df <= 20
+),
+doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pair_common p
+  JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+  JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {_Q195_SIM}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+losers AS (SELECT node FROM labels WHERE node <> component),
+final AS (
+  SELECT * FROM fclean WHERE doc_id NOT IN (SELECT node FROM losers)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n2) AS BIGINT) AS total_tokens,
+       round(avg(n2), 2) AS avg_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM final
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q195_curation_pipeline_full_decontamination",
+    tags=("capstone", "dedup", "exact-substring", "lsh",
+          "decontamination", "quality", "text"),
+    oracle=_q195_oracle(),
+)
+def q195_curation_pipeline_full_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capstone v4 — the complete decontamination family in one ladder:
+    content-hash split -> quality -> fingerprint exact dedup ->
+    exact-substring DECONTAMINATION vs held-out (verbatim leakage cut)
+    -> exact-substring scrub within the corpus -> hollow-doc cut ->
+    FUZZY MinHash decontamination vs held-out over the scrubbed text
+    (near-duplicate leakage the verbatim pass can't see, doc-level) ->
+    Jaccard clustering -> survivors -> per-language stats. Three gram
+    passes, all no-pairwise (two exact-substring, one banded MinHash
+    with the held-out side broadcast); four persisted shared subtrees."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        exact_substring_decontaminate,
+        exact_substring_scrub,
+        minhash_decontaminate,
+    )
+    from datalakeingestionservice_spark.queries.text import (
+        _MH_BANDS,
+        _MH_K,
+        _MH_SEED,
+    )
+
+    env = Env(spark, sf_dir)
+    b16 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 1),
+        )
+        - 1
+    )
+    docs = env.t("documents").select("doc_id", "text", "lang").withColumn(
+        "__b", b16
+    )
+    train = docs.filter(F.col("__b") < 14).drop("__b")
+    held = docs.filter(F.col("__b") >= 14).select("doc_id", "text")
+
+    quality = (
+        train.withColumn("n_tokens", n_tokens("text"))
+        .withColumn("diversity", lexical_diversity("text"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("diversity") >= 0.25))
+        .drop("diversity")
+    )
+    exact_kept = (
+        exact_dedup(
+            fingerprint(quality, "text"),
+            keys=["fingerprint"],
+            tiebreaker="doc_id",
+        )
+        .drop("fingerprint")
+        .persist()
+    )
+    decon = (
+        exact_substring_decontaminate(
+            exact_kept.select("doc_id", "text"),
+            held,
+            min_len=_Q195_L,
+            out_col="t1",
+        )
+        .join(exact_kept.select("doc_id", "lang", "n_tokens"), "doc_id")
+        .withColumn(
+            "n1",
+            (F.col("n_tokens") - F.col("n_removed_tokens")).cast("long"),
+        )
+        .select("doc_id", "lang", "t1", "n1")
+        .persist()
+    )
+    scrubbed = (
+        exact_substring_scrub(
+            decon.select("doc_id", F.col("t1").alias("text")),
+            min_len=_Q195_L,
+            out_col="t2",
+        )
+        .join(decon, "doc_id")
+        .withColumn(
+            "n2",
+            (F.col("n1") - F.col("n_removed_tokens")).cast("long"),
+        )
+        .filter(F.col("n2") >= _Q195_MIN_CLEAN)
+        .select("doc_id", "lang", "t2", "n2")
+        # localCheckpoint, not persist: the fuzzy stage references this
+        # tier through 8 banded union branches plus the verify sets, and
+        # the jaccard stage through two more — on the two-gram-pass
+        # LINEAGE that makes a ~23M-char logical plan. Caching alone
+        # does not help (substitution happens after ANALYSIS, and
+        # re-analyzing the giant tree per action cost ~70 s of the 86 s
+        # at sf0.01); checkpointing truncates the plan to the stored
+        # partitions (86 s -> ~14 s, same results). At 100 TB this is
+        # the standard stage boundary — a real ladder materializes the
+        # scrubbed corpus between major phases anyway.
+        .localCheckpoint()
+    )
+    fuzzy_survivor_ids = minhash_decontaminate(
+        scrubbed.select("doc_id", F.col("t2").alias("text")),
+        held,
+        n=3,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        min_sim=_Q195_SIM,
+        seed=_MH_SEED,
+    ).select("doc_id")
+    fclean = scrubbed.join(
+        fuzzy_survivor_ids, "doc_id", "leftsemi"
+    ).localCheckpoint()  # same lineage cut for the clustering tier
+    shingles = word_shingles(
+        fclean, "doc_id", "t2", n=3, max_shingle_freq=20
+    )
+    pairs = jaccard_pairs(
+        shingles, id_col="doc_id", threshold=_Q195_SIM, persist=True
+    ).select("doc_a", "doc_b")
+    final = dedup_survivors(fclean, pairs)
+
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n2").alias("total_tokens"),
+            F.round(F.avg("n2"), 2).alias("avg_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
