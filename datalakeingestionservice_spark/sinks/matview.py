@@ -74,7 +74,8 @@ _BODY_RE = re.compile(
     r"(?:\s+(?P<jt>INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?"
     r"JOIN\s+(?P<t2>[A-Za-z_]\w*)\s+USING\s*\((?P<using>[^)]+)\))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
@@ -137,6 +138,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     items = _split_top_level(m.group("items"))
     is_join = m.group("t2") is not None
     where = m.group("where").strip() if m.group("where") else None
+    having = m.group("having").strip() if m.group("having") else None
     gb = (
         [c.strip().strip("`") for c in _split_top_level(m.group("gb"))]
         if m.group("gb")
@@ -268,6 +270,10 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             )
     elif gb is not None:
         raise MaterializedViewError("GROUP BY without aggregates")
+    if having is not None and not has_agg:
+        raise MaterializedViewError(
+            "HAVING needs aggregates (for a row predicate use WHERE)"
+        )
     computed = any(key_exprs[k] != k for k in keys)
 
     if not is_join:
@@ -283,6 +289,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             )
         return {
             "kind": "agg",
+            "having": having,
             "source": m.group("t1"),
             "keys": key_exprs if computed else keys,
             "count_alias": count_alias,
@@ -340,6 +347,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     return {
         "kind": "join_agg",
         **spec,
+        "having": having,
         "group_keys": key_exprs if computed else keys,
         "count_alias": count_alias,
         "sums": sums,
@@ -575,7 +583,16 @@ class MaterializedView:
             cols += [F.col(c) for c in s.get("avgs") or {}]
             cols += [F.col(c) for c in s.get("stddevs") or {}]
             cols += [F.col(c) for c in s.get("variances") or {}]
-        return df.select(*cols)
+        out = df.select(*cols)
+        if s.get("having"):
+            # HAVING is a read-time filter over the MAINTAINED groups
+            # (the state keeps every group; a group crossing the HAVING
+            # boundary appears/disappears without state churn). It
+            # references the SELECT's output aliases, SQL NULL->excluded.
+            out = out.filter(
+                F.coalesce(F.expr(s["having"]), F.lit(False))
+            )
+        return out
 
     def start_continuous_refresh(self, checkpoint_dir: str, **kw):
         return self._view.start_continuous_refresh(checkpoint_dir, **kw)

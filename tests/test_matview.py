@@ -934,3 +934,62 @@ def test_composed_extremes_over_join_mv(spark, tmp_path, env):
     mv.refresh()
     assert got() == expect()
     assert ("b", 2, 2.5, 0.5, 2.0, 1.25) in got()
+
+
+def test_having_in_mv_definition(spark, tmp_path, env):
+    """HAVING in the MV body (r11): a read-time filter over the
+    MAINTAINED groups referencing the SELECT's output aliases — state
+    keeps every group, so a group crossing the HAVING boundary
+    appears/disappears with zero state churn."""
+    l, r, tables = env
+    root = str(tmp_path / "mv_hav")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW busy LOCATION '{root}' AS "
+        "SELECT ck, COUNT(*) AS n, SUM(price) AS total "
+        "FROM orders GROUP BY ck HAVING n >= 2",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.ck, x.n, x.total)
+            for x in l.read()
+            .groupBy("ck")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("price").alias("total"))
+            .filter(F.col("n") >= 2)
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM busy", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    assert got() == {(10, 2, 5.0)}  # only ck=10 has >= 2 orders
+    # cross the boundary both ways: ck=20 climbs to 2, ck=10 drops to 1
+    execute_sql(spark, "INSERT INTO orders VALUES (7, 20, 9.0)", tables)
+    execute_sql(spark, "DELETE FROM orders WHERE k = 4", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW busy", tables)
+    assert got() == expect()
+    assert got() == {(20, 2, 11.0)}
+    # reopen from disk keeps the HAVING
+    mv = MaterializedView.open(spark, root)
+    assert {tuple(x) for x in mv.read().collect()} == expect()
+    # HAVING without aggregates refuses
+    with pytest.raises(MaterializedViewError, match="HAVING needs"):
+        parse_mv_body(
+            "SELECT * FROM orders JOIN customer USING (ck) HAVING ck > 1",
+            ("k", "ck"),
+        )
+    # HAVING over a join aggregate parses and carries into the spec
+    sj = parse_mv_body(
+        "SELECT seg, COUNT(*) AS n FROM orders JOIN customer "
+        "USING (ck) WHERE price >= 2 GROUP BY seg HAVING n >= 3",
+        ("k", "ck"),
+    )
+    assert sj["having"] == "n >= 3" and sj["filter"] == "price >= 2"

@@ -312,3 +312,59 @@ def test_fuzz_join_agg_views(spark, tmp_path, seed, jt, use_filter):
         _mutate_right(r, rng, spark)
         v.refresh()
         assert _rows_match(got(), recompute()), (seed, rnd, jt)
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_fuzz_composed_extremes_over_join(spark, tmp_path, seed):
+    """The composed class (join materialized + agg over its state
+    feed) through random DML: extremes, distinct counts, and moments
+    over an inner join must equal a full recompute after every
+    refresh — deletes at stored extremes, value collapses, group
+    churn, and both-feed mutations included by construction."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalComposedJoinAggView,
+    )
+
+    rng = random.Random(seed)
+    l, next_id = _mk_left(spark, tmp_path, rng, n=24)
+    r = _mk_right(spark, tmp_path, rng)
+    v = IncrementalComposedJoinAggView(
+        spark, l.root, r.root, str(tmp_path / "fcv"),
+        on=["grp"], left_pk="id", right_pk="grp",
+        group_keys=["seg"], sums={"sx": "x"},
+        mins={"lo": "x"}, maxs={"hi": "x"},
+        distincts={"nv": "val"}, avgs={"ax": "x"},
+    )
+
+    def recompute():
+        return [
+            tuple(x)
+            for x in l.read()
+            .join(r.read(), "grp")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("x").alias("sx"),
+                F.min("x").alias("lo"),
+                F.max("x").alias("hi"),
+                F.countDistinct("val").alias("nv"),
+                F.avg("x").alias("ax"),
+            )
+            .collect()
+        ]
+
+    def got():
+        return [
+            tuple(x)
+            for x in v.read()
+            .select("seg", "_n", "sx", "lo", "hi", "nv", "ax")
+            .collect()
+        ]
+
+    v.refresh()
+    assert _rows_match(got(), recompute()), (seed, 0)
+    for rnd in range(1, 6):
+        next_id = _mutate_left(spark, l, rng, next_id)
+        _mutate_right(r, rng, spark)
+        v.refresh()
+        assert _rows_match(got(), recompute()), (seed, rnd)
