@@ -444,6 +444,7 @@ def semantic_contamination_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos: float = 0.9,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus SEMANTIC contamination: (corpus id, held-out id)
     pairs whose embedding cosine reaches `min_cos` — the third member
@@ -459,7 +460,31 @@ def semantic_contamination_pairs(
     both sides with :func:`ivf_assign` on shared centroids and join on
     cell first (see :func:`semantic_decontaminate`'s `centroids`).
 
+    With `centroids` (shared k-means centers, broadcast), both sides
+    block through :func:`ivf_assign` and only SAME-CELL pairs score —
+    the ANN scale path, trading recall at cell boundaries exactly like
+    `ivf_topk` (a contaminated pair whose members quantize to
+    different cells is missed; the verbatim/near-identical leaks that
+    matter most always share a cell).
+
     Returns (id_col, heldout_id, cos_sim)."""
+    if centroids is not None:
+        ca = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        ha = ivf_assign(
+            held_out, centroids, id_col=id_col, vec_col=vec_col
+        )
+        h = ha.select(
+            F.col(id_col).alias("heldout_id"),
+            F.col(vec_col).alias("__hv"),
+            "cid",
+        )
+        c = ca.select(id_col, F.col(vec_col).alias("__cv"), "cid")
+        cos = cosine(F.col("__cv"), F.col("__hv"))
+        return (
+            c.join(F.broadcast(h), "cid")
+            .select(id_col, "heldout_id", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= min_cos)
+        )
     h = held_out.select(
         F.col(id_col).alias("heldout_id"), F.col(vec_col).alias("__hv")
     )
@@ -494,31 +519,12 @@ def semantic_decontaminate(
     path, trading recall at cell boundaries exactly like `ivf_topk`."""
     ce = emb_corpus if emb_corpus is not None else corpus
     he = emb_held_out if emb_held_out is not None else held_out
-    if centroids is not None:
-        # ivf_assign carries (id, vec, cid): block both sides on the
-        # shared cells, then score same-cell pairs only
-        ca = ivf_assign(ce, centroids, id_col=id_col, vec_col=vec_col)
-        ha = ivf_assign(he, centroids, id_col=id_col, vec_col=vec_col)
-        h = ha.select(
-            F.col(id_col).alias("heldout_id"),
-            F.col(vec_col).alias("__hv"),
-            "cid",
+    bad = (
+        semantic_contamination_pairs(
+            ce, he, id_col=id_col, vec_col=vec_col, min_cos=min_cos,
+            centroids=centroids,
         )
-        c = ca.select(id_col, F.col(vec_col).alias("__cv"), "cid")
-        cos = cosine(F.col("__cv"), F.col("__hv"))
-        bad = (
-            c.join(F.broadcast(h), "cid")
-            .select(id_col, cos.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= min_cos)
-            .select(id_col)
-            .distinct()
-        )
-    else:
-        bad = (
-            semantic_contamination_pairs(
-                ce, he, id_col=id_col, vec_col=vec_col, min_cos=min_cos
-            )
-            .select(id_col)
-            .distinct()
-        )
+        .select(id_col)
+        .distinct()
+    )
     return corpus.join(F.broadcast(bad), id_col, "left_anti")

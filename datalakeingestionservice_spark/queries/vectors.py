@@ -1137,3 +1137,87 @@ def q194_semantic_decontamination(
         "vec_id", "heldout_id",
         F.round("cos_sim", 4).alias("cos_sim"),
     ).orderBy("vec_id", "heldout_id")
+
+
+# ---------------------------------------------------------------------------
+# q196 — IVF-BLOCKED semantic decontamination (E122's scale path, value-
+# checked): both sides quantize to shared centroids (argmax cosine, cid
+# tie-break) and only SAME-CELL pairs score — the DuckDB oracle recomputes
+# the cell assignment with the identical ordering and the same sequential
+# double folds, so the blocked candidate set and every surviving cosine
+# hash-match. The recall trade vs the exact q194 is the IVF contract.
+# ---------------------------------------------------------------------------
+@register(
+    "q196_semantic_decontamination_ivf",
+    tags=("vectors", "similarity", "decontamination", "ivf", "curation"),
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id >= 8 AND vec_id % 8 <> 0
+),
+held AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id >= 8 AND vec_id % 8 = 0
+),
+cassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT c.vec_id, k.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_duck_cosine('c.embedding', 'k.cv')} DESC, k.cid
+           ) AS rn
+    FROM corpus c CROSS JOIN cents k
+  ) WHERE rn = 1
+),
+hassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT h.vec_id, k.cid,
+           row_number() OVER (
+             PARTITION BY h.vec_id
+             ORDER BY {_duck_cosine('h.embedding', 'k.cv')} DESC, k.cid
+           ) AS rn
+    FROM held h CROSS JOIN cents k
+  ) WHERE rn = 1
+)
+SELECT c.vec_id AS vec_id, h.vec_id AS heldout_id,
+       round({_duck_cosine('c.embedding', 'h.embedding')}, 4) AS cos_sim
+FROM cassign ca
+JOIN hassign ha ON ca.cid = ha.cid
+JOIN corpus c ON c.vec_id = ca.vec_id
+JOIN held h ON h.vec_id = ha.vec_id
+WHERE {_duck_cosine('c.embedding', 'h.embedding')} >= {_Q194_TAU}
+ORDER BY vec_id, heldout_id
+""",
+)
+def q196_semantic_decontamination_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The blocked scale path of semantic decontamination as a
+    value-checked query: 8 shared centroids (the first 8 vectors),
+    both sides assigned by broadcast argmax-cosine (cid tie-break,
+    one map-side-combined aggregate per side), candidates from the
+    same-cell equi-join only — never corpus × held-out. Pairs at
+    cosine >= 0.4; a subset of q194's exact pairs by construction
+    (the IVF recall trade, pinned in pytest)."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_contamination_pairs,
+    )
+
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    rest = emb.filter(F.col("vec_id") >= 8)
+    corpus = rest.filter(F.col("vec_id") % 8 != 0)
+    held = rest.filter(F.col("vec_id") % 8 == 0)
+    pairs = semantic_contamination_pairs(
+        corpus, held, min_cos=_Q194_TAU, centroids=cents
+    )
+    return pairs.select(
+        "vec_id", "heldout_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+    ).orderBy("vec_id", "heldout_id")
