@@ -5162,3 +5162,112 @@ def q193_composed_extremes_over_join(
         "FROM seg_profile ORDER BY seg",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — extremes + distinct counts over an OUTER join in ONE statement
+# (E126, the rendered composition): the outer view's state tables merge
+# into one RENDERED relation (__rk = the pk pair with nulls kept), and a
+# null-safe aggregate view maintains MIN/MAX/COUNT(DISTINCT) over its
+# change feed — padded rows group under the NULL segment key, pad/unpad
+# transitions move group extremes, endangered rescans read the rendered
+# rows. DML pads whole customer segments at their extremes; oracle
+# recomputes the mutated LEFT JOIN + aggregate from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q197_composed_extremes_over_outer_join",
+    tags=("lake", "sql", "incremental-view", "matview", "outer",
+          "composed", "cdf"),
+    oracle="""
+WITH l0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS pri
+  FROM orders
+),
+l1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price,
+         CASE WHEN k % 5 = 0 THEN '1-URGENT' ELSE pri END AS pri
+  FROM l0 WHERE k % 10 <> 1
+),
+r1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 7 <> 2
+)
+SELECT coalesce(seg, '(unmatched)') AS seg,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(price), 2) AS lo,
+       round(max(price), 2) AS hi,
+       CAST(count(DISTINCT pri) AS BIGINT) AS n_priorities
+FROM l1 LEFT JOIN r1 ON l1.ck = r1.ck
+GROUP BY coalesce(seg, '(unmatched)') ORDER BY seg
+""",
+)
+def q197_composed_extremes_over_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX/COUNT(DISTINCT) over orders LEFT JOIN customer as ONE
+    materialized view — the statement form of the rendered-outer
+    composition. Mutations: price bumps at per-group extremes,
+    priority collapse (distinct counts drop), deletion of ~10% of
+    orders (some AT group minima — rescans read the rendered outer
+    relation), and deletion of 1/7 of customers (their surviving
+    orders pad into the NULL group, MOVING its extremes). One REFRESH
+    drains base → outer state → rendered → aggregate."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_oxt_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    l = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("pri"),
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": l, "customer": r}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_outer_profile LOCATION "
+        f"'{os.path.join(base, 'mv')}' PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n_orders, MIN(price) AS lo, "
+        "MAX(price) AS hi, COUNT(DISTINCT pri) AS n_priorities "
+        "FROM orders LEFT JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET pri = '1-URGENT' WHERE k % 5 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 7 = 2", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW seg_outer_profile", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT coalesce(seg, '(unmatched)') AS seg, n_orders, "
+        "round(lo, 2) AS lo, round(hi, 2) AS hi, n_priorities "
+        "FROM seg_outer_profile ORDER BY seg",
+        tables,
+    )

@@ -84,10 +84,22 @@ class IncrementalAggView:
         avgs: dict[str, str] | None = None,
         stddevs: dict[str, str] | None = None,
         variances: dict[str, str] | None = None,
+        null_safe_keys: bool = False,
     ):
         self.spark = spark
         self.source_root = source_root
         self.view_root = view_root
+        #: NULL group keys are a contract violation under the default
+        #: keying (SQL-MERGE equality never matches NULL — a NULL group
+        #: would duplicate instead of combining). `null_safe_keys=True`
+        #: keys the state by a hidden ``__gid`` column — the JSON
+        #: encoding of the group-key struct with null fields KEPT (the
+        #: outer-agg mixin's encoding) — while the real keys ride as
+        #: payload; delta/state joins, the endangered-rescan semi-join,
+        #: and the distinct side tables all key by gid. Needed when the
+        #: source is an OUTER join's rendered rows (padded rows group
+        #: under NULL keys); costs one string column of state.
+        self._null_safe = bool(null_safe_keys)
         #: keys: a list of source COLUMN names, or {alias: expr} for
         #: COMPUTED group keys (the time-bucketed-rollup shape:
         #: {"day": "date_trunc('day', ts)"}). A computed key is a
@@ -165,7 +177,7 @@ class IncrementalAggView:
                 "output names starting with '__' are reserved for "
                 "internal accumulators"
             )
-        reserved = {_COUNT_COL, "__val"} | {
+        reserved = {_COUNT_COL, "__val", "__gid"} | {
             f"_nn_{c}" for c in self.sums
         }
         if reserved & (set(user_outputs) | set(self.keys)):
@@ -173,6 +185,17 @@ class IncrementalAggView:
                 f"reserved column names: {sorted(reserved)} (count and "
                 "per-sum non-null counters)"
             )
+
+    def _gid(self, df: DataFrame) -> DataFrame:
+        """Attach the null-safe group id (JSON of the key struct with
+        null fields kept) — only meaningful under `null_safe_keys`."""
+        return df.withColumn(
+            "__gid",
+            F.to_json(
+                F.struct(*[F.col(k) for k in self.keys]),
+                {"ignoreNullFields": "false"},
+            ),
+        )
 
     # -- state access -------------------------------------------------------
     def _view_table(self) -> VersionedTable | None:
@@ -255,13 +278,28 @@ class IncrementalAggView:
             *[var_render(c, fn) for c, (fn, _) in self._variances.items()],
         )
         for col in self.distincts:
-            counts = (
-                VersionedTable(self.spark, self._distinct_root(col))
-                .read()
-                .groupBy(*self.keys)
-                .agg(F.count(F.lit(1)).cast("long").alias(col))
-            )
-            out = out.join(counts, self.keys, "left").withColumn(
+            side = VersionedTable(
+                self.spark, self._distinct_root(col)
+            ).read()
+            if self._null_safe:
+                # join the per-group counts on the group gid (NULL keys
+                # never equality-match) — recomputed on both sides
+                counts = (
+                    self._gid(side)
+                    .groupBy("__gid")
+                    .agg(F.count(F.lit(1)).cast("long").alias(col))
+                )
+                out = (
+                    self._gid(out)
+                    .join(counts, "__gid", "left")
+                    .drop("__gid")
+                )
+            else:
+                counts = side.groupBy(*self.keys).agg(
+                    F.count(F.lit(1)).cast("long").alias(col)
+                )
+                out = out.join(counts, self.keys, "left")
+            out = out.withColumn(
                 col, F.coalesce(F.col(col), F.lit(0).cast("long"))
             )
         return out
@@ -318,7 +356,8 @@ class IncrementalAggView:
                 aggs.append(
                     getattr(F, fn)(F.when(~is_ins, e)).alias(f"__del_{out}")
                 )
-        return rows.groupBy(*self.keys).agg(*aggs)
+        out = rows.groupBy(*self.keys).agg(*aggs)
+        return self._gid(out) if self._null_safe else out
 
     def refresh(self, max_retries: int = 3) -> int | None:
         """Bring the view up to the source's latest version.
@@ -374,8 +413,10 @@ class IncrementalAggView:
 
         state = table.read(view_version)
         accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]
+        mk = ["__gid"] if self._null_safe else self.keys
         d = delta.select(
             *self.keys,
+            *(["__gid"] if self._null_safe else []),
             F.col(_COUNT_COL).alias("__d_n"),
             *[F.col(c).alias(f"__d_{c}") for c in accs],
             *[
@@ -406,9 +447,15 @@ class IncrementalAggView:
         for c, (fn, _) in self._minmax.items():
             danger = danger | endangered(c, fn)
         # Affected keys only: delta drives the join, state supplies the
-        # old totals (left join keeps brand-new groups).
-        combined = d.join(state, self.keys, "left").select(
+        # old totals (left join keeps brand-new groups). Null-safe mode
+        # joins on the gid (NULL keys never equality-match) and takes
+        # the state's columns WITHOUT its key payload (d carries them).
+        state_j = (
+            state.drop(*self.keys) if self._null_safe else state
+        )
+        combined = d.join(state_j, mk, "left").select(
             *self.keys,
+            *(["__gid"] if self._null_safe else []),
             (
                 F.coalesce(F.col(_COUNT_COL), F.lit(0)) + F.col("__d_n")
             ).alias(_COUNT_COL),
@@ -453,7 +500,7 @@ class IncrementalAggView:
         try:
             table.merge(
                 upserts,
-                self.keys,
+                mk,
                 delete_col="__is_delete",
                 summary={"source_version": latest, **rescan_summary},
                 expected_version=view_version,
@@ -483,6 +530,20 @@ class IncrementalAggView:
         sign = F.when(
             F.col("_change_type") == "insert", F.lit(1)
         ).otherwise(F.lit(-1))
+
+        def dgid(df: DataFrame) -> DataFrame:
+            # null-safe merge key for the side state: JSON over the
+            # group keys AND the value (keys may be NULL; __val is not)
+            return df.withColumn(
+                "__gid",
+                F.to_json(
+                    F.struct(
+                        *[F.col(k) for k in self.keys], F.col("__val")
+                    ),
+                    {"ignoreNullFields": "false"},
+                ),
+            )
+
         for col, expr in self.distincts.items():
             root = self._distinct_root(col)
             try:
@@ -497,6 +558,8 @@ class IncrementalAggView:
                     .groupBy(*self.keys, "__val")
                     .agg(F.count(F.lit(1)).alias(_COUNT_COL))
                 )
+                if self._null_safe:
+                    state = dgid(state)
                 VersionedTable.create(
                     self.spark,
                     root,
@@ -517,17 +580,23 @@ class IncrementalAggView:
                     )
                 if latest <= last:
                     break  # side table already current
-                mk = [*self.keys, "__val"]
+                cols = [*self.keys, "__val"]
+                mk = ["__gid"] if self._null_safe else cols
                 delta = (
                     self._sigma(source.changes(last, latest))
                     .withColumn("__val", F.expr(expr))
                     .filter(F.col("__val").isNotNull())
-                    .groupBy(*mk)
+                    .groupBy(*cols)
                     .agg(F.sum(sign).alias("__d"))
                 )
-                state = t.read(tv).select(*mk, _COUNT_COL)
+                if self._null_safe:
+                    delta = dgid(delta)
+                    state = t.read(tv).select("__gid", _COUNT_COL)
+                else:
+                    state = t.read(tv).select(*cols, _COUNT_COL)
                 combined = delta.join(state, mk, "left").select(
-                    *mk,
+                    *cols,
+                    *(["__gid"] if self._null_safe else []),
                     (
                         F.coalesce(F.col(_COUNT_COL), F.lit(0))
                         + F.col("__d")
@@ -601,20 +670,40 @@ class IncrementalAggView:
         keys_df = self.spark.createDataFrame(
             ek_rows, combined.select(*self.keys).schema
         )
-        rescan = (
-            self._sigma(source.read(latest, predicates=bounds or None))
-            .join(F.broadcast(keys_df), self.keys, "leftsemi")
-            .groupBy(*self.keys)
-            .agg(
-                *[
-                    getattr(F, fn)(F.expr(expr)).alias(f"__rs_{c}")
-                    for c, (fn, expr) in self._minmax.items()
-                ]
-            )
+        src_rows = self._sigma(
+            source.read(latest, predicates=bounds or None)
         )
+        rs_aggs = [
+            getattr(F, fn)(F.expr(expr)).alias(f"__rs_{c}")
+            for c, (fn, expr) in self._minmax.items()
+        ]
+        if self._null_safe:
+            # NULL keys never equality-match: semi-join and group on the
+            # gid computed over the SOURCE rows (endangered NULL groups
+            # must rescan too)
+            rescan = (
+                self._gid(src_rows)
+                .join(
+                    F.broadcast(
+                        self._gid(keys_df).select("__gid").distinct()
+                    ),
+                    "__gid",
+                    "leftsemi",
+                )
+                .groupBy("__gid")
+                .agg(*rs_aggs)
+            )
+            join_on = ["__gid"]
+        else:
+            rescan = (
+                src_rows.join(F.broadcast(keys_df), self.keys, "leftsemi")
+                .groupBy(*self.keys)
+                .agg(*rs_aggs)
+            )
+            join_on = self.keys
         # A count-0 group has no rescan row (nothing left to aggregate);
         # its NULL patch is irrelevant — the merge deletes the group.
-        patched = combined.join(rescan, self.keys, "left").select(
+        patched = combined.join(rescan, join_on, "left").select(
             *[
                 c
                 for c in combined.columns
@@ -1930,6 +2019,258 @@ class IncrementalComposedJoinAggView:
         for tag, root in (
             ("l", self.join.left_root),
             ("r", self.join.right_root),
+        ):
+            feed = (
+                self.spark.readStream.format("versioned_changes")
+                .option("table_root", root)
+                .load()
+            )
+
+            def _on_batch(batch_df, batch_id: int) -> None:
+                self.refresh()
+
+            queries.append(
+                feed.writeStream.foreachBatch(_on_batch)
+                .trigger(
+                    processingTime=kw.get("processing_time", "0 seconds")
+                )
+                .option(
+                    "checkpointLocation",
+                    _os.path.join(checkpoint_dir, tag),
+                )
+                .start()
+            )
+        return tuple(queries)
+
+
+class IncrementalComposedOuterJoinAggView:
+    """MIN/MAX/COUNT(DISTINCT)/AVG/VARIANCE over an OUTER join — the
+    composition that closes the family: the outer view's SQL-visible
+    rows live across two-three state tables (inner + padded renders),
+    so this class maintains a RENDERED table — every outer row as one
+    versioned relation, keyed by ``__rk`` (JSON of the (left_pk,
+    right_pk) pair with nulls kept: inner rows are (l, r), left-padded
+    (l, null), right-padded (null, r) — unique across all three parts
+    by construction) — merged from the state tables' own CDC exactly
+    like the outer-agg mixin consumes them, then an
+    :class:`IncrementalAggView` with ``null_safe_keys=True`` (padded
+    rows group under NULL keys) maintains the aggregate over the
+    rendered table's change feed. Pad/unpad transitions arrive as the
+    natural delete+insert pair (the two rows differ in ``__rk``).
+
+    One refresh drains base tables → outer state tables → rendered →
+    aggregate. Endangered-extreme rescans read the RENDERED table (the
+    outer join's rows), never the raw sources. Refresh cost: outer
+    maintenance + |state-table changes| netted into one ``__rk`` merge
+    + the agg's delta — never an outer-join rescan. The honest cost vs
+    the count/sum-only outer agg (E109, no materialization): the
+    rendered rows — exactly what the rescans need."""
+
+    def __init__(self, spark, left_root, right_root, view_root, on,
+                 left_pk, right_pk, group_keys, join_type="left",
+                 sums=None, mins=None, maxs=None, distincts=None,
+                 avgs=None, stddevs=None, variances=None, filter=None):
+        import os as _os
+
+        self.spark = spark
+        self.view_root = view_root
+        cls = {
+            "left": IncrementalLeftJoinView,
+            "full": IncrementalFullJoinView,
+        }[join_type]
+        self.outer = cls(
+            spark, left_root, right_root,
+            _os.path.join(view_root, "outer"),
+            on, left_pk, right_pk, filter=filter,
+        )
+        self.rendered_root = _os.path.join(view_root, "rendered")
+        self.agg = IncrementalAggView(
+            spark,
+            self.rendered_root,
+            _os.path.join(view_root, "state"),
+            keys=group_keys,
+            sums=sums, mins=mins, maxs=maxs,
+            distincts=distincts, avgs=avgs,
+            stddevs=stddevs, variances=variances,
+            null_safe_keys=True,
+        )
+
+    # -- rendered-table maintenance ------------------------------------------
+    def _parts(self):
+        """[(mark name, state table, padder)] — the outer view's state
+        tables with a projector to the full outer row shape (typed
+        NULLs for the missing side), the outer-agg mixin's recipe."""
+        from pyspark.sql.types import StructType
+
+        v = self.outer
+        left, right = v._sides()
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(left.manifest().schema_ddl).fields
+        }
+        types.update(
+            (f.name, f.dataType)
+            for f in StructType.fromDDL(right.manifest().schema_ddl).fields
+        )
+        out_cols = v._out_cols(left, right)
+
+        def padder(df: DataFrame, extra: tuple = ()) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c)
+                    if c in df.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in out_cols
+                ],
+                *extra,
+            )
+
+        parts = [
+            ("inner", v._view_table(), padder),
+            ("padded", v._padded_table(), padder),
+        ]
+        if hasattr(v, "_rpadded_table"):
+            parts.append(("rpadded", v._rpadded_table(), padder))
+        return parts, out_cols
+
+    def _rk(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__rk",
+            F.to_json(
+                F.struct(
+                    F.col(self.outer.left_pk), F.col(self.outer.right_pk)
+                ),
+                {"ignoreNullFields": "false"},
+            ),
+        )
+
+    def _rendered_table(self) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, self.rendered_root)
+        except NoSuchVersionError:
+            return None
+
+    def _rendered_marks(self) -> dict | None:
+        t = self._rendered_table()
+        if t is None:
+            return None
+        for m in reversed(t.versions()):
+            if "inner_version" in m.summary:
+                return {
+                    k: v
+                    for k, v in m.summary.items()
+                    if k.endswith("_version")
+                }
+        return None
+
+    def _refresh_rendered(self, max_retries: int) -> None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        parts, out_cols = self._parts()
+        latest = {name: t.latest_version() for name, t, _ in parts}
+        marks_new = {f"{n}_version": v for n, v in latest.items()}
+        rt = self._rendered_table()
+        if rt is None:
+            snap = None
+            for name, t, padder in parts:
+                piece = padder(t.read(latest[name]))
+                snap = piece if snap is None else snap.unionByName(piece)
+            VersionedTable.create(
+                self.spark,
+                self.rendered_root,
+                self._rk(snap),
+                summary=marks_new,
+            )
+            return
+
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        for _ in range(max_retries + 1):
+            rv = rt.latest_version()
+            marks = self._rendered_marks()
+            if marks is None:
+                raise NoSuchVersionError(
+                    f"{self.rendered_root}: no version marks in history"
+                )
+            feeds = None
+            for name, t, padder in parts:
+                m = marks.get(f"{name}_version", 0)
+                if latest[name] > m:
+                    ch = padder(
+                        t.changes(m, latest[name]).withColumn("__s", sign),
+                        extra=("__s",),
+                    )
+                    feeds = ch if feeds is None else feeds.unionByName(ch)
+            if feeds is None:
+                return  # rendered already current
+            nets = (
+                self._rk(feeds)
+                .groupBy(*out_cols, "__rk")
+                .agg(F.sum("__s").alias("__net"))
+                .filter(F.col("__net") != 0)
+            )
+            ups = (
+                nets.filter(F.col("__net") > 0)
+                .drop("__net")
+                .withColumn("__is_delete", F.lit(False))
+            )
+            dels = (
+                nets.filter(F.col("__net") < 0)
+                .drop("__net")
+                .join(ups.select("__rk"), ["__rk"], "left_anti")
+                .withColumn("__is_delete", F.lit(True))
+            )
+            try:
+                rt.merge(
+                    ups.unionByName(dels),
+                    ["__rk"],
+                    delete_col="__is_delete",
+                    summary=marks_new,
+                    expected_version=rv,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"{self.rendered_root}: rendered merge lost "
+            f"{max_retries + 1} consecutive version races"
+        )
+
+    # -- operations ------------------------------------------------------------
+    def refresh(self, max_retries: int = 3):
+        """Drain base tables → outer state → rendered rows → aggregate."""
+        res = self.outer.refresh(max_retries=max_retries)
+        self._refresh_rendered(max_retries)
+        self.agg.refresh(max_retries=max_retries)
+        return res
+
+    def read(self) -> DataFrame:
+        return self.agg.read()
+
+    def read_join(self) -> DataFrame:
+        """The rendered outer rows (one relation, __rk hidden)."""
+        t = self._rendered_table()
+        if t is None:
+            raise NoSuchVersionError(
+                f"{self.rendered_root}: not materialized; call refresh()"
+            )
+        return t.read().drop("__rk")
+
+    def start_continuous_refresh(self, checkpoint_dir: str, **kw):
+        import os as _os
+
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        queries = []
+        for tag, root in (
+            ("l", self.outer.left_root),
+            ("r", self.outer.right_root),
         ):
             feed = (
                 self.spark.readStream.format("versioned_changes")

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from datalakeingestionservice_spark.sinks.incremental_view import (
     IncrementalAggView,
     IncrementalComposedJoinAggView,
+    IncrementalComposedOuterJoinAggView,
     IncrementalFullJoinAggView,
     IncrementalFullJoinView,
     IncrementalJoinAggView,
@@ -336,14 +337,6 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     needs_join_state = bool(
         mins or maxs or distincts or avgs or stddevs or variances
     )
-    if needs_join_state and join_type != "inner":
-        raise MaterializedViewError(
-            "MIN/MAX, COUNT(DISTINCT), AVG, and VARIANCE/STDDEV over "
-            "an OUTER join are not maintainable (their rescans/side "
-            "state need one inner state table; an outer join's rows "
-            "spread across padded side tables) — use an inner join, "
-            "or materialize the outer view and aggregate it separately"
-        )
     return {
         "kind": "join_agg",
         **spec,
@@ -502,17 +495,26 @@ class MaterializedView:
             return cls(*args, **kw)
         if s.get("materialize_join"):
             # extremes/distincts/moments over the join: the composed
-            # class materializes the join under <root>/state/join and
-            # aggregates its state feed (rescans read the join state,
-            # never the raw sources)
-            return IncrementalComposedJoinAggView(
-                *args, **kw,
+            # classes materialize the joined rows under the view root
+            # (inner: the join state table; outer: the RENDERED outer
+            # relation merged from the state tables' CDC, aggregated
+            # null-safely — padded rows group under NULL keys) and an
+            # aggregate view maintains over that feed; rescans read the
+            # materialized rows, never the raw sources
+            extra = dict(
                 group_keys=s["group_keys"], sums=s["sums"],
                 mins=s.get("mins") or {}, maxs=s.get("maxs") or {},
                 distincts=s.get("distincts") or {},
                 avgs=s.get("avgs") or {},
                 stddevs=s.get("stddevs") or {},
                 variances=s.get("variances") or {},
+            )
+            if s["join_type"] == "inner":
+                return IncrementalComposedJoinAggView(
+                    *args, **kw, **extra
+                )
+            return IncrementalComposedOuterJoinAggView(
+                *args, **kw, **extra, join_type=s["join_type"]
             )
         cls = {
             "inner": IncrementalJoinAggView,
@@ -556,10 +558,10 @@ class MaterializedView:
         root = os.path.join(self.root, sub)
         if s["kind"] == "join" and s["join_type"] != "inner":
             root = os.path.join(root, "inner")
-        elif s["kind"] == "join_agg" and s["join_type"] != "inner":
-            root = os.path.join(root, "agg")
         elif s["kind"] == "join_agg" and s.get("materialize_join"):
             root = os.path.join(root, "state")  # composed: agg state
+        elif s["kind"] == "join_agg" and s["join_type"] != "inner":
+            root = os.path.join(root, "agg")
         return VersionedTable(self.spark, root).latest_version()
 
     def read(self) -> DataFrame:

@@ -2249,3 +2249,223 @@ class TestComputedKeysOverJoins:
                 s is None for s, _, _ in got
             )
         assert saw_null_bucket  # padded rows actually hit NULL bucket
+
+
+class TestNullSafeKeyedAggView:
+    """`null_safe_keys=True`: NULL group keys are first-class — state
+    keyed by the hidden __gid, delta/state joins and the endangered
+    rescans gid-based, distinct side tables gid-merged. The NULL group
+    must behave exactly like any other through every aggregate kind."""
+
+    def _mk(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        return VersionedTable.create(
+            spark,
+            str(tmp_path / "nssrc"),
+            spark.createDataFrame(
+                [
+                    (1, "a", "x", 5.0),
+                    (2, "a", "y", 1.0),
+                    (3, None, "x", 7.0),   # NULL group
+                    (4, None, "y", 3.0),
+                    (5, "b", None, 2.0),
+                ],
+                "id bigint, grp string, val string, x double",
+            ),
+        )
+
+    def test_null_group_tracks_recompute_all_aggregates(
+        self, spark, tmp_path
+    ):
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalAggView,
+        )
+
+        src = self._mk(spark, tmp_path)
+        v = IncrementalAggView(
+            spark, src.root, str(tmp_path / "nsv"),
+            keys=["grp"],
+            sums={"sx": "x"}, mins={"lo": "x"}, maxs={"hi": "x"},
+            distincts={"nv": "val"}, avgs={"ax": "x"},
+            null_safe_keys=True,
+        )
+
+        def expect():
+            return {
+                x.grp: (x._n, x.sx, x.lo, x.hi, x.nv,
+                        None if x.ax is None else round(x.ax, 9))
+                for x in src.read()
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("x").alias("sx"),
+                    F.min("x").alias("lo"),
+                    F.max("x").alias("hi"),
+                    F.countDistinct("val").alias("nv"),
+                    F.avg("x").alias("ax"),
+                )
+                .collect()
+            }
+
+        def got():
+            return {
+                x.grp: (x._n, x.sx, x.lo, x.hi, x.nv,
+                        None if x.ax is None else round(x.ax, 9))
+                for x in v.read()
+                .select("grp", "_n", "sx", "lo", "hi", "nv", "ax")
+                .collect()
+            }
+
+        v.refresh()
+        assert got() == expect()
+        assert None in got()  # the NULL group exists and is singular
+
+        # delete AT the NULL group's max (7.0) — its endangered rescan
+        # must find the group despite NULL never equality-matching
+        src.delete_where([("id", "=", 3)])
+        v.refresh()
+        assert got() == expect()
+        assert got()[None] == (1, 3.0, 3.0, 3.0, 1, 3.0)
+
+        # distinct churn inside the NULL group + more rows joining it
+        src.append(
+            spark.createDataFrame(
+                [(6, None, "y", 9.0), (7, None, "z", 0.5)],
+                "id bigint, grp string, val string, x double",
+            )
+        )
+        v.refresh()
+        assert got() == expect()
+        assert got()[None][4] == 2  # distinct vals y, z
+
+        # the NULL group dies entirely, then is reborn
+        src.delete_where(F.col("grp").isNull())
+        v.refresh()
+        assert got() == expect()
+        assert None not in got()
+        src.append(
+            spark.createDataFrame(
+                [(8, None, "w", 4.0)],
+                "id bigint, grp string, val string, x double",
+            )
+        )
+        v.refresh()
+        assert got() == expect()
+        assert got()[None] == (1, 4.0, 4.0, 4.0, 1, 4.0)
+
+
+class TestComposedOuterJoinAggView:
+    """Extremes/distinct/moments over OUTER joins via the rendered
+    composition: outer state tables -> one rendered relation (__rk
+    keyed) -> null-safe aggregate. Must equal a full outer-join +
+    aggregate recompute after every round — pad/unpad transitions AT
+    group extremes, NULL groups (padded rows), and both padded sides
+    under full outer."""
+
+    def _mk(self, spark, tmp_path, prefix):
+        from datalakeingestionservice_spark.sinks.versioned import (
+            VersionedTable,
+        )
+
+        l = VersionedTable.create(
+            spark,
+            str(tmp_path / f"{prefix}l"),
+            spark.createDataFrame(
+                [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0), (4, 10, 4.0)],
+                "k bigint, ck bigint, price double",
+            ),
+        )
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / f"{prefix}r"),
+            spark.createDataFrame(
+                [(10, "a"), (20, "b"), (77, "w")], "ck bigint, seg string"
+            ),
+        )
+        return l, r
+
+    def _mutations(self, spark, l, r):
+        import pyspark.sql.functions as F
+
+        yield  # bootstrap: k=3 left-padded; ck=77 right-padded (full)
+        # pad AT the 'a' group's extremes: customer 10 dies — orders
+        # 1 and 4 (the group's min and max) move to the NULL group
+        r.delete_where([("ck", "=", 10)])
+        yield
+        # unpad: 99 appears (order 3 joins 'z'); delete at an extreme
+        r.append(
+            spark.createDataFrame([(99, "z")], "ck bigint, seg string")
+        )
+        l.delete_where([("k", "=", 4)])  # NULL group's max dies
+        yield
+        # update moves a value across its group's extreme; key repoint
+        l.update_where(F.col("k") == 2, {"price": F.lit(0.5)})
+        l.update_where(F.col("k") == 1, {"ck": F.lit(20)})
+        yield
+
+    def _check(self, spark, tmp_path, join_type, how, prefix):
+        import pyspark.sql.functions as F
+
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            IncrementalComposedOuterJoinAggView,
+        )
+
+        l, r = self._mk(spark, tmp_path, prefix)
+        v = IncrementalComposedOuterJoinAggView(
+            spark, l.root, r.root, str(tmp_path / f"{prefix}v"),
+            on=["ck"], left_pk="k", right_pk="ck",
+            group_keys=["seg"], join_type=join_type,
+            sums={"total": "price"}, mins={"lo": "price"},
+            maxs={"hi": "price"}, distincts={"nk": "k"},
+            avgs={"ap": "price"},
+        )
+        saw_null_group = False
+        for _ in self._mutations(spark, l, r):
+            v.refresh()
+            got = {
+                x.seg: (x._n, x.total, x.lo, x.hi, x.nk,
+                        None if x.ap is None else round(x.ap, 9))
+                for x in v.read()
+                .select("seg", "_n", "total", "lo", "hi", "nk", "ap")
+                .collect()
+            }
+            expect = {
+                x.seg: (x._n, x.total, x.lo, x.hi, x.nk,
+                        None if x.ap is None else round(x.ap, 9))
+                for x in l.read()
+                .join(r.read(), "ck", how)
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("price").alias("total"),
+                    F.min("price").alias("lo"),
+                    F.max("price").alias("hi"),
+                    F.countDistinct("k").alias("nk"),
+                    F.avg("price").alias("ap"),
+                )
+                .collect()
+            }
+            assert got == expect, (join_type, got, expect)
+            saw_null_group = saw_null_group or None in got
+        assert saw_null_group  # padded rows actually grouped under NULL
+        # rendered relation equals the outer join itself
+        got_rows = {
+            (x.k, x.ck, x.price, x.seg)
+            for x in v.read_join().collect()
+        }
+        exp_rows = {
+            (x.k, x.ck, x.price, x.seg)
+            for x in l.read().join(r.read(), "ck", how).collect()
+        }
+        assert got_rows == exp_rows
+
+    def test_left_outer_extremes_track_recompute(self, spark, tmp_path):
+        self._check(spark, tmp_path, "left", "left", "col")
+
+    def test_full_outer_extremes_track_recompute(self, spark, tmp_path):
+        self._check(spark, tmp_path, "full", "full", "cof")

@@ -92,12 +92,6 @@ class TestGrammar:
                 "SELECT \\*",
             ),
             (
-                "SELECT seg, MIN(price) AS lo FROM orders LEFT JOIN"
-                " customer USING (ck) GROUP BY seg",
-                ("k", "ck"),
-                "over an OUTER join are not",
-            ),
-            (
                 "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
                 ("k", "ck"),
                 "PRIMARY KEY applies to join",
@@ -126,6 +120,14 @@ class TestGrammar:
         assert s["mins"] == {"lo": "price"}
         assert s["avgs"] == {"ap": "price"}
         assert s["distincts"] == {"np": "price"}
+        # ... and over OUTER joins too (rendered composition, r11)
+        so = parse_mv_body(
+            "SELECT seg, MIN(price) AS lo FROM orders LEFT JOIN"
+            " customer USING (ck) GROUP BY seg",
+            ("k", "ck"),
+        )
+        assert so["kind"] == "join_agg" and so["materialize_join"]
+        assert so["join_type"] == "left"
 
     def test_where_over_outer_join_parses(self):
         """WHERE over an OUTER join is maintainable (r11): padded
@@ -993,3 +995,61 @@ def test_having_in_mv_definition(spark, tmp_path, env):
         ("k", "ck"),
     )
     assert sj["having"] == "n >= 3" and sj["filter"] == "price >= 2"
+
+
+def test_composed_extremes_over_outer_join_mv(spark, tmp_path, env):
+    """Extremes over a LEFT OUTER join in ONE statement (r11): the
+    rendered-outer composition behind the grammar — padded rows group
+    under the NULL seg key, pad transitions move a group's extremes,
+    and the endangered rescans read the rendered relation."""
+    l, r, tables = env
+    root = str(tmp_path / "mv_ox")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_ox LOCATION '{root}' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n, MIN(price) AS lo, MAX(price) AS hi "
+        "FROM orders LEFT JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.seg, x.n, x.lo, x.hi)
+            for x in l.read()
+            .join(r.read(), "ck", "left")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("price").alias("lo"),
+                F.max("price").alias("hi"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM seg_ox", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    assert (None, 1, 3.0, 3.0) in got()  # k=3 padded -> NULL group
+    # customer 10 dies: the 'a' group's min AND max (1.0, 4.0) pad
+    # into the NULL group; then delete at the NULL group's new max
+    execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_ox", tables)
+    assert got() == expect()
+    assert (None, 3, 1.0, 4.0) in got()
+    execute_sql(spark, "DELETE FROM orders WHERE k = 4", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW seg_ox", tables)
+    assert got() == expect()
+    assert (None, 2, 1.0, 3.0) in got()
+    # reopen from disk rebuilds the whole composition
+    mv = MaterializedView.open(spark, root)
+    execute_sql(spark, "INSERT INTO orders VALUES (9, 20, 0.25)", tables)
+    mv.refresh()
+    assert got() == expect()
+    assert ("b", 2, 0.25, 2.0) in got()
