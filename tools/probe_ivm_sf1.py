@@ -305,6 +305,7 @@ def probe_round11b(spark, sf_dir: str, results: dict) -> None:
 
     from datalakeingestionservice_spark.sinks.incremental_view import (
         IncrementalComposedJoinAggView,
+        IncrementalComposedOuterJoinAggView,
         IncrementalJoinAggView,
         IncrementalLeftJoinAggView,
         IncrementalLeftJoinView,
@@ -360,6 +361,14 @@ def probe_round11b(spark, sf_dir: str, results: dict) -> None:
             IncrementalComposedJoinAggView(
                 s, lr, rr, vr, on=["ck"], left_pk="k", right_pk="ck",
                 group_keys=["seg"], sums={"total_price": "price"},
+                mins={"lo": "price"}, maxs={"hi": "price"},
+            )
+        ),
+        "composed_outer_extremes_E126": lambda s, lr, rr, vr: (
+            IncrementalComposedOuterJoinAggView(
+                s, lr, rr, vr, on=["ck"], left_pk="k", right_pk="ck",
+                group_keys=["seg"], join_type="left",
+                sums={"total_price": "price"},
                 mins={"lo": "price"}, maxs={"hi": "price"},
             )
         ),
