@@ -1053,3 +1053,60 @@ def test_composed_extremes_over_outer_join_mv(spark, tmp_path, env):
     mv.refresh()
     assert got() == expect()
     assert ("b", 2, 0.25, 2.0) in got()
+
+
+def test_where_plus_extremes_over_outer_join_mv(spark, tmp_path, env):
+    """WHERE + MIN/MAX over a LEFT OUTER join in ONE statement: E117's
+    filtered padded machinery feeds E126's rendered relation — the
+    rendered rows are σ(outer join), so the aggregate is the filtered
+    outer-join aggregate. Boundary crossings while padded included."""
+    l, r, tables = env
+    root = str(tmp_path / "mv_fox")
+    pred = "price >= 2 OR seg = 'w'"
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW fox LOCATION '{root}' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n, MIN(price) AS lo, MAX(price) AS hi "
+        f"FROM orders LEFT JOIN customer USING (ck) WHERE {pred} "
+        "GROUP BY seg",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.seg, x.n, x.lo, x.hi)
+            for x in l.read()
+            .join(r.read(), "ck", "left")
+            .filter(F.coalesce(F.expr(pred), F.lit(False)))
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("price").alias("lo"),
+                F.max("price").alias("hi"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM fox", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    # customer 10 dies: order 1 (1.0) pads but FAILS the predicate —
+    # vanishes; order 4 (4.0) pads into the NULL group as its extreme;
+    # then order 1 crosses the boundary WHILE padded (appears)
+    execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW fox", tables)
+    assert got() == expect()
+    assert (None, 2, 3.0, 4.0) in got()  # k=3, k=4; k=1 filtered out
+    execute_sql(
+        spark, "UPDATE orders SET price = 2.5 WHERE k = 1", tables
+    )
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW fox", tables)
+    assert got() == expect()
+    assert (None, 3, 2.5, 4.0) in got()  # k=1 entered, new NULL-min
