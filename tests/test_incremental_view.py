@@ -2469,3 +2469,86 @@ class TestComposedOuterJoinAggView:
 
     def test_full_outer_extremes_track_recompute(self, spark, tmp_path):
         self._check(spark, tmp_path, "full", "full", "cof")
+
+
+def test_composed_outer_continuous_refresh(spark, tmp_path):
+    """Continuous refresh for the rendered-outer composition: both
+    base feeds trigger the three-stage refresh (outer state → rendered
+    → null-safe agg); pad transitions and extreme churn converge to
+    the recompute without a manual refresh."""
+    import time
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalComposedOuterJoinAggView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "crl"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0)],
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "crr"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b")], "ck bigint, seg string"
+        ),
+    )
+    v = IncrementalComposedOuterJoinAggView(
+        spark, l.root, r.root, str(tmp_path / "crv"),
+        on=["ck"], left_pk="k", right_pk="ck",
+        group_keys=["seg"], join_type="left",
+        mins={"lo": "price"}, maxs={"hi": "price"},
+    )
+    v.refresh()
+    qs = v.start_continuous_refresh(str(tmp_path / "crck"))
+    try:
+        # pad AT the 'a' extremes + new unmatched row, via the FEEDS
+        r.delete_where([("ck", "=", 10)])
+        l.append(
+            spark.createDataFrame(
+                [(4, 77, 0.5)], "k bigint, ck bigint, price double"
+            )
+        )
+
+        def expect():
+            return {
+                x.seg: (x._n, x.lo, x.hi)
+                for x in l.read()
+                .join(r.read(), "ck", "left")
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.min("price").alias("lo"),
+                    F.max("price").alias("hi"),
+                )
+                .collect()
+            }
+
+        deadline = time.time() + 120
+        got = None
+        while time.time() < deadline:
+            try:
+                got = {
+                    x.seg: (x._n, x.lo, x.hi)
+                    for x in v.read()
+                    .select("seg", "_n", "lo", "hi")
+                    .collect()
+                }
+            except Exception:
+                got = None
+            if got == expect():
+                break
+            time.sleep(2)
+        assert got == expect()
+        assert got[None] == (3, 0.5, 3.0)  # k=1,3,4 padded
+    finally:
+        for q in qs:
+            q.stop()

@@ -368,3 +368,60 @@ def test_fuzz_composed_extremes_over_join(spark, tmp_path, seed):
         _mutate_right(r, rng, spark)
         v.refresh()
         assert _rows_match(got(), recompute()), (seed, rnd)
+
+
+@pytest.mark.parametrize("seed,jt", [(17, "left"), (41, "full")])
+def test_fuzz_composed_outer_extremes(spark, tmp_path, seed, jt):
+    """The rendered-outer composition through random DML: extremes,
+    distinct counts, and moments over LEFT/FULL OUTER joins must equal
+    a full recompute after every refresh — pad/unpad transitions at
+    extremes and NULL-group churn arise by construction from the
+    random right-side deletes/reinserts."""
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalComposedOuterJoinAggView,
+    )
+
+    rng = random.Random(seed)
+    l, next_id = _mk_left(spark, tmp_path, rng, n=24)
+    r = _mk_right(spark, tmp_path, rng)
+    v = IncrementalComposedOuterJoinAggView(
+        spark, l.root, r.root, str(tmp_path / "fov"),
+        on=["grp"], left_pk="id", right_pk="grp",
+        group_keys=["seg"], join_type=jt,
+        sums={"sx": "x"}, mins={"lo": "x"}, maxs={"hi": "x"},
+        distincts={"nv": "val"}, avgs={"ax": "x"},
+    )
+    how = jt
+
+    def recompute():
+        return [
+            tuple(x)
+            for x in l.read()
+            .join(r.read(), "grp", how)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("x").alias("sx"),
+                F.min("x").alias("lo"),
+                F.max("x").alias("hi"),
+                F.countDistinct("val").alias("nv"),
+                F.avg("x").alias("ax"),
+            )
+            .collect()
+        ]
+
+    def got():
+        return [
+            tuple(x)
+            for x in v.read()
+            .select("seg", "_n", "sx", "lo", "hi", "nv", "ax")
+            .collect()
+        ]
+
+    v.refresh()
+    assert _rows_match(got(), recompute()), (seed, 0, jt)
+    for rnd in range(1, 5):
+        next_id = _mutate_left(spark, l, rng, next_id)
+        _mutate_right(r, rng, spark)
+        v.refresh()
+        assert _rows_match(got(), recompute()), (seed, rnd, jt)
