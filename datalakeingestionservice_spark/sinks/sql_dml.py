@@ -328,7 +328,28 @@ _DROP_MV_RE = re.compile(
     r"^DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",
     re.IGNORECASE,
 )
-_MV_STMT_RES = (_CREATE_MV_RE, _REFRESH_MV_RE, _DROP_MV_RE)
+_START_CR_RE = re.compile(
+    r"^ALTER\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"START\s+CONTINUOUS\s+REFRESH\s+CHECKPOINT\s+'(?P<ck>[^']+)'$",
+    re.IGNORECASE,
+)
+_STOP_CR_RE = re.compile(
+    r"^ALTER\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"STOP\s+CONTINUOUS\s+REFRESH$",
+    re.IGNORECASE,
+)
+_MV_STMT_RES = (
+    _CREATE_MV_RE, _REFRESH_MV_RE, _DROP_MV_RE, _START_CR_RE, _STOP_CR_RE
+)
+
+#: Live continuous-refresh handles, keyed by the view root's realpath.
+#: Streaming query handles are PROCESS state — they cannot persist in
+#: `_mv.json` (a handle is not serializable and dies with the session),
+#: so START/STOP are per-process statements: START refuses if the view
+#: already runs here, STOP refuses if it doesn't. After a process
+#: restart the checkpoints make a new START resume exactly (the marks,
+#: not the stream offsets, are the truth — see the view classes).
+_CR_REGISTRY: dict = {}
 
 
 def _is_mv(value) -> bool:
@@ -568,10 +589,47 @@ def execute_dml(
     mdv = _DROP_MV_RE.match(sql)
     if mdv:
         # Deregistration only, like DROP TABLE — state stays on disk.
+        # A view still running continuous refresh must STOP first (a
+        # deregistered name with live streams would be unstoppable
+        # through the front door).
         name = mdv.group("name")
-        v = _resolve_mv(spark, name, tables).state_version()
+        mv = _resolve_mv(spark, name, tables)
+        if os.path.realpath(mv.root) in _CR_REGISTRY:
+            raise UnsupportedStatementError(
+                f"materialized view {name!r} is running continuous "
+                "refresh; ALTER MATERIALIZED VIEW ... STOP CONTINUOUS "
+                "REFRESH first"
+            )
+        v = mv.state_version()
         del tables[name]
         return v
+    mcr = _START_CR_RE.match(sql)
+    if mcr:
+        # Streaming handles are process state (see _CR_REGISTRY note):
+        # start both source-feed streams, remember them by view root.
+        mv = _resolve_mv(spark, mcr.group("name"), tables)
+        rp = os.path.realpath(mv.root)
+        if rp in _CR_REGISTRY:
+            raise UnsupportedStatementError(
+                f"{mcr.group('name')!r} already runs continuous "
+                "refresh in this process; STOP it first"
+            )
+        qs = mv.start_continuous_refresh(mcr.group("ck"))
+        _CR_REGISTRY[rp] = qs if isinstance(qs, tuple) else (qs,)
+        return len(_CR_REGISTRY[rp])
+    mcs = _STOP_CR_RE.match(sql)
+    if mcs:
+        mv = _resolve_mv(spark, mcs.group("name"), tables)
+        rp = os.path.realpath(mv.root)
+        qs = _CR_REGISTRY.pop(rp, None)
+        if qs is None:
+            raise UnsupportedStatementError(
+                f"{mcs.group('name')!r} is not running continuous "
+                "refresh in this process"
+            )
+        for q in qs:
+            q.stop()
+        return len(qs)
     mc = _CREATE_TABLE_RE.match(sql)
     if mc:
         # CTAS: the SELECT resolves through execute_select, so it can

@@ -318,6 +318,9 @@ def test_mv_statements_refuse_in_scripts(spark, tmp_path, env):
         " COUNT(*) AS n FROM orders GROUP BY ck",
         "REFRESH MATERIALIZED VIEW v",
         "DROP MATERIALIZED VIEW v",
+        "ALTER MATERIALIZED VIEW v START CONTINUOUS REFRESH "
+        "CHECKPOINT '/x/ck'",
+        "ALTER MATERIALIZED VIEW v STOP CONTINUOUS REFRESH",
     ):
         with pytest.raises(UnsupportedStatementError, match="script"):
             execute_script(spark, [stmt], _FakeCatalog())
@@ -1110,3 +1113,96 @@ def test_where_plus_extremes_over_outer_join_mv(spark, tmp_path, env):
     execute_sql(spark, "REFRESH MATERIALIZED VIEW fox", tables)
     assert got() == expect()
     assert (None, 3, 2.5, 4.0) in got()  # k=1 entered, new NULL-min
+
+
+def test_continuous_refresh_statements(spark, tmp_path, env):
+    """ALTER MATERIALIZED VIEW ... START/STOP CONTINUOUS REFRESH (r11):
+    streaming handles are PROCESS state (a handle dies with the
+    session — checkpoints make a later START resume), so the
+    statements manage a per-process registry: START begins both
+    source-feed streams and refuses a double start; STOP stops them
+    and refuses when nothing runs; DROP refuses while streams run."""
+    import time
+
+    l, r, tables = env
+    root = str(tmp_path / "mv_cr")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW live LOCATION '{root}' "
+        "PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n, SUM(price) AS total "
+        "FROM orders LEFT JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+    n = execute_sql(
+        spark,
+        f"ALTER MATERIALIZED VIEW live START CONTINUOUS REFRESH "
+        f"CHECKPOINT '{tmp_path / 'crck'}'",
+        tables,
+    )
+    assert n == 2  # both source feeds
+    try:
+        with pytest.raises(UnsupportedStatementError, match="already"):
+            execute_sql(
+                spark,
+                f"ALTER MATERIALIZED VIEW live START CONTINUOUS "
+                f"REFRESH CHECKPOINT '{tmp_path / 'crck2'}'",
+                tables,
+            )
+        with pytest.raises(UnsupportedStatementError, match="STOP"):
+            execute_sql(
+                spark, "DROP MATERIALIZED VIEW live", tables
+            )
+        # DML through the front door converges WITHOUT a REFRESH
+        execute_sql(
+            spark, "DELETE FROM customer WHERE ck = 10", tables
+        )
+        execute_sql(
+            spark, "INSERT INTO orders VALUES (6, 20, 7.0)", tables
+        )
+
+        def expect():
+            return {
+                (x.seg, x.n, x.total)
+                for x in l.read()
+                .join(r.read(), "ck", "left")
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("price").alias("total"),
+                )
+                .collect()
+            }
+
+        deadline = time.time() + 120
+        got = None
+        while time.time() < deadline:
+            got = {
+                tuple(x)
+                for x in execute_sql(
+                    spark, "SELECT * FROM live", tables
+                ).collect()
+            }
+            if got == expect():
+                break
+            time.sleep(2)
+        assert got == expect()
+        assert (None, 3, 8.0) in got  # k=1, k=4 joined k=3 padded
+    finally:
+        assert (
+            execute_sql(
+                spark,
+                "ALTER MATERIALIZED VIEW live STOP CONTINUOUS REFRESH",
+                tables,
+            )
+            == 2
+        )
+    with pytest.raises(UnsupportedStatementError, match="not running"):
+        execute_sql(
+            spark,
+            "ALTER MATERIALIZED VIEW live STOP CONTINUOUS REFRESH",
+            tables,
+        )
+    # with the streams stopped, DROP works
+    execute_sql(spark, "DROP MATERIALIZED VIEW live", tables)
+    assert "live" not in tables
