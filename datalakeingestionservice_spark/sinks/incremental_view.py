@@ -47,6 +47,20 @@ from datalakeingestionservice_spark.sinks.versioned import (
 
 _COUNT_COL = "_n"
 
+# Options for every to_json-rendered merge key (__gid / __rk). The render
+# must be session-independent: to_json formats timestamps using
+# spark.sql.session.timeZone by default, so a refresh run from a session
+# configured with a different timezone would render a DIFFERENT gid for
+# the same group and silently strand/duplicate state rows. Pinning the
+# timezone and timestamp format makes the encoding stable across sessions
+# (state persists on disk and MaterializedView.open supports fresh
+# sessions).
+_GID_JSON_OPTS = {
+    "ignoreNullFields": "false",
+    "timeZone": "UTC",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+}
+
 
 class IncrementalAggView:
     """A count/sum GROUP BY view over a source :class:`VersionedTable`,
@@ -193,7 +207,7 @@ class IncrementalAggView:
             "__gid",
             F.to_json(
                 F.struct(*[F.col(k) for k in self.keys]),
-                {"ignoreNullFields": "false"},
+                _GID_JSON_OPTS,
             ),
         )
 
@@ -540,7 +554,7 @@ class IncrementalAggView:
                     F.struct(
                         *[F.col(k) for k in self.keys], F.col("__val")
                     ),
-                    {"ignoreNullFields": "false"},
+                    _GID_JSON_OPTS,
                 ),
             )
 
@@ -792,7 +806,7 @@ class IncrementalJoinView:
         right_root: str,
         view_root: str,
         on: list[str],
-        left_pk: str,
+        left_pk: str | list[str],
         right_pk: str,
         filter: str | None = None,
     ):
@@ -802,6 +816,16 @@ class IncrementalJoinView:
         self.view_root = view_root
         self.on = list(on)
         self.left_pk = left_pk
+        #: the left side may be identified by a COMPOSITE key (a list):
+        #: that's how chained joins cascade — the intermediate join
+        #: view's rows are identified by the accumulated pk columns of
+        #: every table joined so far, so the next stage treats that
+        #: state table as a source whose "pk" is the whole tuple. The
+        #: OUTER variants require a single left pk (their padded-set
+        #: bookkeeping selects it as one column).
+        self._left_pks = (
+            [left_pk] if isinstance(left_pk, str) else list(left_pk)
+        )
         self.right_pk = right_pk
         #: optional SQL predicate over the JOINED row (any output
         #: column): the view is σ_filter(L ⋈ R). Selection commutes
@@ -952,7 +976,7 @@ class IncrementalJoinView:
         view_version = table.latest_version()
 
         nets = self._net_delta(left, right, l1, r1, l2, r2, out_cols)
-        pks = [self.left_pk, self.right_pk]
+        pks = list(dict.fromkeys([*self._left_pks, self.right_pk]))
         ups = nets.filter(F.col("__net") > 0).drop("__net").withColumn(
             "__is_delete", F.lit(False)
         )
@@ -1053,6 +1077,12 @@ class IncrementalLeftJoinView(IncrementalJoinView):
                  left_pk, right_pk, filter=None):
         import os as _os
 
+        if not isinstance(left_pk, str):
+            raise ValueError(
+                "outer join views need a SINGLE left pk column (the "
+                "padded-set bookkeeping selects it); composite pks are "
+                "an inner-chain feature"
+            )
         super().__init__(
             spark, left_root, right_root,
             _os.path.join(view_root, "inner"),
@@ -1246,8 +1276,18 @@ class IncrementalLeftJoinView(IncrementalJoinView):
             # (rows failing σ are absent from it) — test against the
             # raw right keys, then σ over the null-padded render; an
             # unmatched row failing σ-on-padded drops out of pad_rows
-            # and therefore lands in dels below
-            rkeys = right.read(r2).select(*self.on).distinct()
+            # and therefore lands in dels below. The raw key read is
+            # BOUNDED to the affected keys (semi-join, delta-scoped —
+            # ADVICE r11): only keys the affected left rows carry can
+            # change matched-ness, so the distinct shuffle moves
+            # O(affected) keys, never the whole right side.
+            aff_on = live_aff.select(*self.on).distinct()
+            rkeys = (
+                right.read(r2)
+                .select(*self.on)
+                .join(aff_on, self.on, "leftsemi")
+                .distinct()
+            )
             pad_rows = self._sigma_padded(
                 live_aff.join(rkeys, self.on, "left_anti"), right
             )
@@ -1610,7 +1650,14 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
             )
             pad_rows = live_aff.join(matched, self.right_pk, "left_anti")
         else:
-            lkeys = left.read(l2).select(*self.on).distinct()
+            # bounded as in _apply_padded: only affected-row keys matter
+            aff_on = live_aff.select(*self.on).distinct()
+            lkeys = (
+                left.read(l2)
+                .select(*self.on)
+                .join(aff_on, self.on, "leftsemi")
+                .distinct()
+            )
             pad_rows = self._sigma_padded(
                 live_aff.join(lkeys, self.on, "left_anti"), left
             )
@@ -1760,7 +1807,7 @@ class _OuterJoinAggMixin:
                 "__gid",
                 F.to_json(
                     F.struct(*[F.col(k) for k in self.group_keys]),
-                    {"ignoreNullFields": "false"},
+                    _GID_JSON_OPTS,
                 ),
             )
         )
@@ -2140,7 +2187,7 @@ class IncrementalComposedOuterJoinAggView:
                 F.struct(
                     F.col(self.outer.left_pk), F.col(self.outer.right_pk)
                 ),
-                {"ignoreNullFields": "false"},
+                _GID_JSON_OPTS,
             ),
         )
 

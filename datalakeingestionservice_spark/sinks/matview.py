@@ -79,6 +79,28 @@ _BODY_RE = re.compile(
     r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: chained (3+ table) joins — the star-schema rollup in ONE statement:
+#: ``FROM t1 JOIN t2 USING (a) JOIN t3 USING (b) …``. INNER only: the
+#: chain compiles onto a cascade of maintained INNER join views (each
+#: intermediate's state table feeds the next stage's change feed —
+#: the same mechanism as MV-over-MV, with the intermediates
+#: auto-materialized under the view root), and only INNER state tables
+#: ARE their SQL-visible rows. OUTER members refuse with the
+#: composition recipe.
+_CHAIN_BODY_RE = re.compile(
+    r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t1>[A-Za-z_]\w*)"
+    r"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+[A-Za-z_]\w*"
+    r"\s+USING\s*\([^)]+\)){2,})"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CHAIN_JOIN_RE = re.compile(
+    r"\s+(?:INNER\s+)?JOIN\s+(?P<t>[A-Za-z_]\w*)"
+    r"\s+USING\s*\((?P<using>[^)]+)\)",
+    re.IGNORECASE,
+)
 _AGG_ITEM_RE = re.compile(
     r"^(?P<fn>COUNT|SUM|MIN|MAX|AVG|STDDEV_SAMP|STDDEV|VAR_SAMP|"
     r"VARIANCE)\s*\(\s*(?P<arg>.+?)\s*\)\s+"
@@ -120,6 +142,51 @@ def _split_top_level(text: str) -> list[str]:
     return [p for p in parts if p]
 
 
+_HAVING_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "between", "like", "rlike",
+    "true", "false", "case", "when", "then", "else", "end", "distinct",
+    "escape", "div", "interval", "date", "timestamp",
+}
+_AGG_FN_NAMES = {
+    "count", "sum", "min", "max", "avg", "mean", "stddev", "stddev_samp",
+    "stddev_pop", "variance", "var_samp", "var_pop", "collect_list",
+    "collect_set", "first", "last", "any_value", "approx_count_distinct",
+    "percentile", "percentile_approx", "median",
+}
+
+
+def _validate_having(having: str, out_cols: set[str]) -> None:
+    """Parse-time check that HAVING references only the SELECT's output
+    aliases / group keys. HAVING is applied at read() as F.expr over the
+    view's output schema, so an aggregate call (`HAVING count(*) > 1`
+    with no COUNT(*) alias) or an unknown column would let CREATE and
+    REFRESH succeed and then raise AnalysisException on EVERY read —
+    fail loudly at CREATE instead (ADVICE r11)."""
+    no_str = re.sub(r"'(?:[^']|'')*'", "''", having)
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", no_str):
+        tok = m.group(0)
+        low = tok.lower()
+        is_call = no_str[m.end():].lstrip().startswith("(")
+        if is_call:
+            if low in _AGG_FN_NAMES:
+                raise MaterializedViewError(
+                    f"HAVING references the aggregate {tok}(...): HAVING "
+                    "is evaluated over the view's OUTPUT columns — alias "
+                    "the aggregate in the SELECT list (e.g. COUNT(*) AS "
+                    "n) and reference the alias"
+                )
+            continue  # scalar functions over output columns are fine
+        if low in _HAVING_KEYWORDS:
+            continue
+        if tok not in out_cols:
+            raise MaterializedViewError(
+                f"HAVING references {tok!r}, which is not a SELECT "
+                f"output alias or group key {sorted(out_cols)}; alias "
+                "the expression in the SELECT list and reference the "
+                "alias"
+            )
+
+
 def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     """Parse the AS body into a spec dict (kind + class parameters).
     Refuses anything outside the grammar with a targeted message."""
@@ -130,19 +197,36 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "JOIN <t2> USING (col[, ...]), not ON"
         )
     m = _BODY_RE.match(sql)
+    cm = None
     if not m:
+        cm = _CHAIN_BODY_RE.match(sql)
+    if not m and not cm:
+        if len(re.findall(r"\bJOIN\b", sql, re.IGNORECASE)) >= 2 and (
+            re.search(
+                r"\b(LEFT|FULL)\s+(OUTER\s+)?JOIN\b", sql, re.IGNORECASE
+            )
+        ):
+            raise MaterializedViewError(
+                "chained (3+ table) joins are INNER-only (each "
+                "intermediate's state table IS its visible rows, which "
+                "is what lets the next stage consume its change feed); "
+                "put the OUTER join in its own materialized view and "
+                "compose (MV-over-MV)"
+            )
         raise MaterializedViewError(
             "materialized-view body must be SELECT <items> FROM <t> "
-            "[<jointype> JOIN <t2> USING (cols)] [GROUP BY keys]; "
+            "[<jointype> JOIN <t2> USING (cols) [JOIN <t3> USING "
+            "(cols) ...]] [GROUP BY keys]; "
             f"got {sql[:80]!r}"
         )
-    items = _split_top_level(m.group("items"))
-    is_join = m.group("t2") is not None
-    where = m.group("where").strip() if m.group("where") else None
-    having = m.group("having").strip() if m.group("having") else None
+    src = m or cm
+    items = _split_top_level(src.group("items"))
+    is_join = cm is not None or m.group("t2") is not None
+    where = src.group("where").strip() if src.group("where") else None
+    having = src.group("having").strip() if src.group("having") else None
     gb = (
-        [c.strip().strip("`") for c in _split_top_level(m.group("gb"))]
-        if m.group("gb")
+        [c.strip().strip("`") for c in _split_top_level(src.group("gb"))]
+        if src.group("gb")
         else None
     )
 
@@ -275,6 +359,14 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
         raise MaterializedViewError(
             "HAVING needs aggregates (for a row predicate use WHERE)"
         )
+    if having is not None:
+        out_cols = (
+            set(keys) | set(sums) | set(mins) | set(maxs)
+            | set(distincts) | set(avgs) | set(stddevs) | set(variances)
+        )
+        if count_alias:
+            out_cols.add(count_alias)
+        _validate_having(having, out_cols)
     computed = any(key_exprs[k] != k for k in keys)
 
     if not is_join:
@@ -304,18 +396,69 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "filter": where,
         }
 
-    jt_raw = (m.group("jt") or "INNER").strip().upper().split()[0]
-    join_type = {"INNER": "inner", "LEFT": "left", "FULL": "full"}[jt_raw]
     if computed and not has_agg:
         raise MaterializedViewError(
             "computed keys need aggregates (a non-aggregating join "
             "view is SELECT * — project at read time instead)"
         )
+    if cm is not None:
+        # chained (3+ table) INNER joins: one pk per table, FROM order
+        tables = [cm.group("t1")]
+        ons: list[list[str]] = []
+        for jm in _CHAIN_JOIN_RE.finditer(cm.group("joins")):
+            tables.append(jm.group("t"))
+            ons.append(
+                [c.strip().strip("`") for c in jm.group("using").split(",")]
+            )
+        if primary_key is None or len(primary_key) != len(tables):
+            raise MaterializedViewError(
+                f"a {len(tables)}-table join view needs PRIMARY KEY "
+                f"with ONE pk per table in FROM order "
+                f"({len(tables)} columns) — join rows are identified "
+                "by the tuple of every side's unique key"
+            )
+        base = {
+            "tables": tables,
+            "ons": ons,
+            "pks": list(primary_key),
+            "filter": where,
+        }
+        if not has_agg:
+            if not star:
+                raise MaterializedViewError(
+                    "non-aggregating join views must be SELECT * (the "
+                    "maintained state is the full join row)"
+                )
+            return {"kind": "join_chain", **base}
+        return {
+            "kind": "join_chain_agg",
+            **base,
+            "having": having,
+            "group_keys": key_exprs if computed else keys,
+            "count_alias": count_alias,
+            "sums": sums,
+            "mins": mins,
+            "maxs": maxs,
+            "distincts": distincts,
+            "avgs": avgs,
+            "stddevs": stddevs,
+            "variances": variances,
+            "materialize_join": bool(
+                mins or maxs or distincts or avgs or stddevs or variances
+            ),
+        }
+    jt_raw = (m.group("jt") or "INNER").strip().upper().split()[0]
+    join_type = {"INNER": "inner", "LEFT": "left", "FULL": "full"}[jt_raw]
     if primary_key is None:
         raise MaterializedViewError(
             "join views need PRIMARY KEY (<left_pk>, <right_pk>) — "
             "join rows are identified by the two sides' unique keys, "
             "which SQL text cannot infer"
+        )
+    if len(primary_key) != 2:
+        raise MaterializedViewError(
+            "a two-table join view needs PRIMARY KEY with exactly two "
+            f"columns (got {len(primary_key)})"
         )
     on = [c.strip().strip("`") for c in m.group("using").split(",")]
     spec = {

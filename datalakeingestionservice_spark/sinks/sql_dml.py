@@ -352,6 +352,21 @@ _MV_STMT_RES = (
 _CR_REGISTRY: dict = {}
 
 
+def _cr_running(rp: str) -> bool:
+    """True iff the view at realpath `rp` has LIVE continuous-refresh
+    streams. A query that died on its own (exception in foreachBatch)
+    leaves a stale registry entry; treating it as running would block
+    DROP and a re-START with 'already runs' for streams that no longer
+    exist (ADVICE r11) — prune dead entries on consultation instead."""
+    qs = _CR_REGISTRY.get(rp)
+    if qs is None:
+        return False
+    if any(q.isActive for q in qs):
+        return True
+    _CR_REGISTRY.pop(rp, None)
+    return False
+
+
 def _is_mv(value) -> bool:
     from datalakeingestionservice_spark.sinks.matview import (
         MaterializedView,
@@ -594,7 +609,7 @@ def execute_dml(
         # through the front door).
         name = mdv.group("name")
         mv = _resolve_mv(spark, name, tables)
-        if os.path.realpath(mv.root) in _CR_REGISTRY:
+        if _cr_running(os.path.realpath(mv.root)):
             raise UnsupportedStatementError(
                 f"materialized view {name!r} is running continuous "
                 "refresh; ALTER MATERIALIZED VIEW ... STOP CONTINUOUS "
@@ -609,7 +624,7 @@ def execute_dml(
         # start both source-feed streams, remember them by view root.
         mv = _resolve_mv(spark, mcr.group("name"), tables)
         rp = os.path.realpath(mv.root)
-        if rp in _CR_REGISTRY:
+        if _cr_running(rp):
             raise UnsupportedStatementError(
                 f"{mcr.group('name')!r} already runs continuous "
                 "refresh in this process; STOP it first"

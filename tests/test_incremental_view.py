@@ -2552,3 +2552,66 @@ def test_composed_outer_continuous_refresh(spark, tmp_path):
     finally:
         for q in qs:
             q.stop()
+
+
+def test_gid_encoding_is_session_timezone_independent(spark, tmp_path):
+    """ADVICE r11 (medium): __gid is a to_json render of the group-key
+    struct, and to_json formats TIMESTAMP keys using
+    spark.sql.session.timeZone unless pinned — a refresh run from a
+    session configured with a different timezone must merge into the
+    SAME groups, never strand/duplicate state rows (state persists on
+    disk and MaterializedView.open supports fresh sessions)."""
+    import datetime
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalAggView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    utc = datetime.timezone.utc
+    ts1 = datetime.datetime(2026, 3, 1, 12, 30, tzinfo=utc)
+    ts2 = datetime.datetime(2026, 6, 1, 0, 0, tzinfo=utc)
+    src = VersionedTable.create(
+        spark, str(tmp_path / "tzsrc"),
+        spark.createDataFrame(
+            [(1, ts1, 2.0), (2, ts1, 3.0), (3, ts2, 5.0)],
+            "id bigint, ts timestamp, x double",
+        ),
+    )
+    v = IncrementalAggView(
+        spark, src.root, str(tmp_path / "tzv"),
+        keys=["ts"], sums={"sx": "x"}, null_safe_keys=True,
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        v.refresh()
+        # the second refresh runs under a DIFFERENT session timezone;
+        # its delta hits the ts1 group already in state — the gid
+        # render must be identical or the merge silently duplicates
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/Los_Angeles"
+        )
+        src.append(
+            spark.createDataFrame(
+                [(4, ts1, 10.0)], "id bigint, ts timestamp, x double"
+            )
+        )
+        v.refresh()
+        got = sorted(
+            (x.ts.replace(tzinfo=None), x._n, x.sx)
+            for x in v.read().collect()
+        )
+        exp = sorted(
+            (x.ts.replace(tzinfo=None), x._n, x.sx)
+            for x in src.read()
+            .groupBy("ts")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("x").alias("sx"))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert got == exp
+    assert len(got) == 2  # ts1 merged into ONE group, not stranded

@@ -101,6 +101,27 @@ class TestGrammar:
                 None,
                 "must equal",
             ),
+            # HAVING resolves against SELECT output aliases at parse
+            # time (ADVICE r11): an un-aliased aggregate or unknown
+            # column must fail CREATE, not every later read().
+            (
+                "SELECT ck, SUM(price) AS t FROM orders GROUP BY ck "
+                "HAVING count(*) > 1",
+                None,
+                "alias the aggregate",
+            ),
+            (
+                "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck "
+                "HAVING m > 1",
+                None,
+                "not a SELECT",
+            ),
+            (
+                "SELECT seg, COUNT(*) AS n FROM orders JOIN customer "
+                "USING (ck) GROUP BY seg HAVING sum(price) > 3",
+                ("k", "ck"),
+                "alias the aggregate",
+            ),
         ],
     )
     def test_refusals(self, body, pk, msg):
@@ -998,6 +1019,14 @@ def test_having_in_mv_definition(spark, tmp_path, env):
         ("k", "ck"),
     )
     assert sj["having"] == "n >= 3" and sj["filter"] == "price >= 2"
+    # scalar functions over output aliases stay legal in HAVING; only
+    # aggregate calls (evaluated pre-alias) are refused at parse time
+    ok = parse_mv_body(
+        "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck "
+        "HAVING abs(n) > 1 AND n IS NOT NULL",
+        None,
+    )
+    assert ok["having"].startswith("abs(n)")
 
 
 def test_composed_extremes_over_outer_join_mv(spark, tmp_path, env):
@@ -1206,3 +1235,49 @@ def test_continuous_refresh_statements(spark, tmp_path, env):
     # with the streams stopped, DROP works
     execute_sql(spark, "DROP MATERIALIZED VIEW live", tables)
     assert "live" not in tables
+
+
+def test_cr_registry_prunes_dead_handles(spark, tmp_path, env):
+    """ADVICE r11: a continuous-refresh stream that terminated on its
+    own (exception in foreachBatch) leaves a stale registry entry;
+    START and DROP must treat all-dead handles as not-running (prune
+    on consultation), not block behind a STOP for streams that no
+    longer exist."""
+    import os
+
+    from datalakeingestionservice_spark.sinks import sql_dml
+
+    l, r, tables = env
+    root = str(tmp_path / "mv_dead")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW zomb LOCATION '{root}' AS "
+        "SELECT ck, COUNT(*) AS n FROM orders GROUP BY ck",
+        tables,
+    )
+
+    class _Dead:
+        isActive = False
+
+    rp = os.path.realpath(root)
+    sql_dml._CR_REGISTRY[rp] = (_Dead(), _Dead())
+    # START prunes the dead entry and begins fresh streams
+    n = execute_sql(
+        spark,
+        f"ALTER MATERIALIZED VIEW zomb START CONTINUOUS REFRESH "
+        f"CHECKPOINT '{tmp_path / 'zck'}'",
+        tables,
+    )
+    assert n >= 1
+    # live streams still block DROP (unchanged behavior)
+    with pytest.raises(UnsupportedStatementError, match="STOP"):
+        execute_sql(spark, "DROP MATERIALIZED VIEW zomb", tables)
+    execute_sql(
+        spark,
+        "ALTER MATERIALIZED VIEW zomb STOP CONTINUOUS REFRESH",
+        tables,
+    )
+    # DROP with only a dead entry proceeds and clears the registry
+    sql_dml._CR_REGISTRY[rp] = (_Dead(),)
+    execute_sql(spark, "DROP MATERIALIZED VIEW zomb", tables)
+    assert rp not in sql_dml._CR_REGISTRY
