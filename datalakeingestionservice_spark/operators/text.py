@@ -17,6 +17,15 @@ def words(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def bm25_tokens(col) -> Column:
+    """The BM25 normalization shared by :func:`bm25_rank` and the
+    incremental index (`sinks/bm25_index.py`): lowercase, split on
+    non-letters, drop empties. ONE definition so the maintained index
+    and the full-recompute ranker can never tokenize differently."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "[^a-z]+"), lambda t: t != "")
+
+
 def n_tokens(text_col: str = "text") -> Column:
     return F.size(words(text_col))
 
@@ -153,12 +162,7 @@ def bm25_rank(
     terms = list(dict.fromkeys(query_terms))  # dedup: no double-counting
     field_specs = list(fields) if fields else [(text_col, 1.0)]
 
-    def toks(col: str):
-        return F.filter(
-            F.split(F.lower(F.col(col)), "[^a-z]+"), lambda t: t != ""
-        )
-
-    tok_arrs = [toks(c) for c, _ in field_specs]
+    tok_arrs = [bm25_tokens(c) for c, _ in field_specs]
     dl = None
     for arr, (_, w) in zip(tok_arrs, field_specs):
         piece = F.lit(w) * F.size(arr)

@@ -5271,3 +5271,124 @@ def q197_composed_extremes_over_outer_join(
         "FROM seg_outer_profile ORDER BY seg",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — the star-schema rollup as ONE maintained statement: a 3-table
+# chained-join MATERIALIZED VIEW (fact ⋈ dim ⋈ dim), the round-12
+# extension of the MV grammar. The chain compiles onto cascaded INNER
+# join views — the intermediate (orders⋈customer) state table is itself
+# a versioned table whose change feed the final join-agg stage consumes
+# (the E118 MV-over-MV mechanism with the intermediate auto-
+# materialized), so DML on ANY of the three feeds flows through as
+# deltas: each stage's refresh cost is ∝ its own delta, never a rescan.
+# Mutations hit all three tables, incl. a MIDDLE-table delete that must
+# cascade both ways (orders lose their rollup rows; nation counts
+# drop). Oracle recomputes the mutated 3-way join aggregate from raw.
+# Reference parity: the sp_GetDailyTrades-style fact⋈dim⋈dim shape the
+# reference delegates to its RDBMS per cron fire
+# (src/Worker/Services/JobSchedulingService.cs:24-75), maintained
+# incrementally instead.
+# ---------------------------------------------------------------------------
+@register(
+    "q198_three_table_chain_matview",
+    tags=("lake", "sql", "incremental-view", "matview", "chain", "cdf"),
+    oracle="""
+WITH o0 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+o1 AS (
+  SELECT k, ck,
+         CASE WHEN k % 10 = 0 THEN price + 7 ELSE price END AS price
+  FROM o0 WHERE k % 10 <> 1
+),
+c1 AS (
+  SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 13 <> 3
+),
+n1 AS (
+  SELECT n_nationkey AS nk,
+         CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_R'
+              ELSE n_name END AS nname
+  FROM nation
+)
+SELECT nname, seg, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS total
+FROM o1 JOIN c1 USING (ck) JOIN n1 USING (nk)
+GROUP BY nname, seg ORDER BY nname, seg
+""",
+)
+def q198_three_table_chain_matview(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders ⋈ customer ⋈ nation per (nation, segment) as ONE
+    CREATE MATERIALIZED VIEW statement with chained USING joins and a
+    3-column PRIMARY KEY (one pk per table in FROM order). DML on all
+    three feeds — order price bumps + deletions, a customer (middle
+    table) deletion cascading both ways, a nation rename moving whole
+    groups — then ONE REFRESH drains the cascade."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ch3_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    o = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    c = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    n = VersionedTable.create(
+        spark,
+        os.path.join(base, "nation"),
+        env.t("nation").select(
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_name").alias("nname"),
+        ),
+    )
+    tables = {"orders": o, "customer": c, "nation": n}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW nation_seg_rollup LOCATION "
+        f"'{os.path.join(base, 'mv')}' PRIMARY KEY (k, ck, nk) AS "
+        "SELECT nname, seg, COUNT(*) AS n_orders, SUM(price) AS total "
+        "FROM orders JOIN customer USING (ck) JOIN nation USING (nk) "
+        "GROUP BY nname, seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 7 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 13 = 3", tables)
+    execute_sql(
+        spark,
+        "UPDATE nation SET nname = concat(nname, '_R') WHERE nk % 5 = 0",
+        tables,
+    )
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW nation_seg_rollup", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT nname, seg, n_orders, round(total, 2) AS total "
+        "FROM nation_seg_rollup ORDER BY nname, seg",
+        tables,
+    )

@@ -1618,3 +1618,119 @@ def q191_minhash_decontamination(
         "doc_id", "heldout_id",
         F.round("jaccard_sim", 4).alias("jaccard_sim"),
     ).orderBy("doc_id", "heldout_id")
+
+
+# ---------------------------------------------------------------------------
+# q199 — INCREMENTALLY-MAINTAINED BM25 INDEX from the change feed (E128,
+# r12): the text twin of the IVF index (q182). bm25_rank recomputes
+# corpus statistics per query — the right shape ad-hoc, the wrong one
+# for a 100 TB corpus under streaming ingest. Here per-term document
+# frequencies, per-(term,doc) term frequencies (+ denormalized doc
+# lengths), and the corpus scalars are MAINTAINED versioned state fed
+# by the documents table's CDC: updates unwind their OLD text's
+# postings (the feed carries it — no index lookup), df hits zero drop
+# the term row, zero-token docs still count in N. ONE incremental
+# refresh (∝ |Δ|, no corpus rescan — spy-pinned in
+# tests/test_bm25_index.py) then serving reads ONLY term-pruned
+# postings. The oracle recomputes BM25 over the mutated corpus from
+# scratch in DuckDB.
+# ---------------------------------------------------------------------------
+@register(
+    "q199_incremental_bm25_index",
+    tags=("text", "search", "bm25", "incremental-view", "cdf"),
+    oracle="""
+WITH docs1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN 'spark streams quickly ' || text
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 1
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text || ' vector vector' AS text
+  FROM documents WHERE doc_id % 10 = 2
+),
+tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM docs1
+  ) WHERE t <> ''
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS dl
+  FROM docs1
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'vector', 'stream')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ) AS s
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM sc
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20
+""",
+)
+def q199_incremental_bm25_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25 index maintained from DML, then served: copy documents
+    into a versioned table, bootstrap the index, mutate the corpus
+    (prefix every %10=0 text with query terms — tf/dl/df all move;
+    delete %10=1 — dfs decrement, terms can die; insert %10=2 clones
+    under new ids with extra 'vector' tokens), ONE incremental
+    refresh, and rank {spark, vector, stream} from the MAINTAINED
+    postings — same formula, same 4dp-then-rank ordering as the
+    bm25_rank recompute (q118)."""
+    import os
+    import tempfile
+    import uuid
+
+    from datalakeingestionservice_spark.sinks.bm25_index import (
+        IncrementalBM25Index,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_bm25idx_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    src = VersionedTable.create(spark, os.path.join(base, "docs"), docs)
+    idx = IncrementalBM25Index(
+        spark, src.root, os.path.join(base, "idx")
+    )
+    assert idx.refresh() == 1  # bootstrap at v1
+
+    clones = docs.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" vector vector")).alias("text"),
+    )
+    src.update_where(
+        F.col("doc_id") % 10 == 0,
+        {"text": F.concat(F.lit("spark streams quickly "), F.col("text"))},
+    )
+    src.delete_where(F.col("doc_id") % 10 == 1)
+    src.append(clones)
+    assert idx.refresh() == 4  # ONE incremental refresh drains all 3
+    assert idx.refresh() is None  # idempotent
+
+    return idx.rank(["spark", "vector", "stream"], top_k=20)

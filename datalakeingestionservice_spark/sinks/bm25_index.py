@@ -1,0 +1,457 @@
+"""Incrementally-maintained BM25 full-text index over a versioned
+documents table's change feed — the text twin of the IVF vector index
+(`sinks/bm25_index.py` ↔ `sinks/ivf_index.py`): `bm25_rank`
+(operators/text.py) recomputes corpus statistics per query, which is
+the right shape for ad-hoc bags of terms but not for a 100 TB corpus
+under streaming ingest — there, per-term document frequencies and
+per-doc lengths must be MAINTAINED state, refreshed ∝ |Δ|.
+
+Three versioned state tables under the index root:
+
+- ``postings/`` — one row per (term, doc_id): term frequency plus the
+  doc's token length DENORMALIZED onto every posting (an update
+  rewrites all of a doc's postings anyway, and carrying dl here means
+  query-time scoring needs NO doc-length join — the only shuffle a
+  query pays is the per-doc score aggregation over candidate rows).
+- ``terms/`` — one row per term: document frequency, maintained by the
+  counting algorithm (df hits 0 → the term row leaves).
+- ``stats/`` — ONE row: corpus doc count and summed token length
+  (avgdl = sum_dl / n_docs at read time; zero-token docs count in N
+  and contribute dl=0, exactly like the full recompute's AVG).
+
+Refresh nets the change feed per (doc_id, text) — an update's
+delete+insert pair survives as one −1 row (the OLD text) and one +1
+row (the NEW text), so the old text needs no index lookup: the feed
+itself carries it. New postings come from tokenizing net inserts; stale
+postings are the old text's terms anti-joined against the new ones;
+df deltas are the signed DISTINCT (term, doc) contributions summed per
+term; corpus stats deltas are two scalar sums. Every piece is ∝ the
+changed docs — the refresh never reads the source snapshot after
+bootstrap (spy-pinned in tests/test_bm25_index.py) and never rescans
+postings (the df merge joins the delta's terms only).
+
+Each state table stamps its OWN ``source_version`` mark, so a crash
+between the three merges self-repairs: the rerun recomputes each
+table's delta from that table's own window (same staged-marks contract
+as the outer-join view family in `incremental_view.py`).
+
+Tokenization is :func:`operators.text.bm25_tokens` — the SAME
+expression `bm25_rank` uses, so maintained-index ranking and the
+full-recompute ranker can never diverge on normalization.
+
+Reference anchor: the reference re-extracts whole result sets per
+scheduled run (`src/Worker/Services/JobSchedulingService.cs:24-75`);
+this is the full-text-search twin of that pipeline made incremental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.operators.text import bm25_tokens
+from datalakeingestionservice_spark.sinks.versioned import (
+    NoSuchVersionError,
+    VersionedTable,
+)
+
+
+class IncrementalBM25Index:
+    """Maintained postings + term stats + corpus stats for Okapi BM25
+    serving over `source_root`'s change feed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_root: str,
+        index_root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        import os
+
+        self.spark = spark
+        self.source_root = source_root
+        self.index_root = index_root
+        self.id_col = id_col
+        self.text_col = text_col
+        self.postings_root = os.path.join(index_root, "postings")
+        self.terms_root = os.path.join(index_root, "terms")
+        self.stats_root = os.path.join(index_root, "stats")
+
+    # -- state access -------------------------------------------------------
+    def _table(self, root: str) -> VersionedTable | None:
+        try:
+            return VersionedTable(self.spark, root)
+        except NoSuchVersionError:
+            return None
+
+    @staticmethod
+    def _mark(t: VersionedTable | None) -> int | None:
+        if t is None:
+            return None
+        for m in reversed(t.versions()):
+            if "source_version" in m.summary:
+                return m.summary["source_version"]
+        return None
+
+    def last_refreshed_version(self) -> int | None:
+        """The source version ALL THREE state tables reflect (the min
+        of the per-table marks), or None before the first refresh."""
+        marks = [
+            self._mark(self._table(r))
+            for r in (self.postings_root, self.terms_root, self.stats_root)
+        ]
+        if any(m is None for m in marks):
+            return None
+        return min(marks)
+
+    def read_postings(self) -> DataFrame:
+        t = self._table(self.postings_root)
+        if t is None:
+            raise NoSuchVersionError(
+                f"{self.postings_root}: index not materialized; "
+                "call refresh()"
+            )
+        return t.read()
+
+    # -- tokenized projections ------------------------------------------------
+    def _doc_terms(self, docs: DataFrame) -> DataFrame:
+        """(term, doc_id, tf, dl) per distinct term of each doc. One
+        explode + one (term, doc)-keyed aggregation over CHANGED docs
+        only; docs with zero tokens yield no rows (explode drops empty
+        arrays), exactly as they hold no postings."""
+        toks = bm25_tokens(self.text_col)
+        return (
+            docs.select(
+                F.col(self.id_col),
+                F.size(toks).alias("dl"),
+                F.explode(toks).alias("term"),
+            )
+            .groupBy("term", self.id_col)
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.max("dl").alias("dl"),
+            )
+        )
+
+    def _doc_scalars(self, docs: DataFrame, sign) -> DataFrame:
+        """Signed (n, dl) contributions per changed doc row."""
+        return docs.select(
+            sign.alias("__s"),
+            (sign * F.size(bm25_tokens(self.text_col))).alias("__sdl"),
+        )
+
+    # -- maintenance ----------------------------------------------------------
+    def refresh(self, max_retries: int = 3) -> int | None:
+        """Bring all three state tables to the source's latest version.
+        Returns that version, or None if nothing new anywhere."""
+        source = VersionedTable(self.spark, self.source_root)
+        latest = source.latest_version()
+        done = self.last_refreshed_version()
+        if done is not None and latest <= done:
+            return None  # idempotent
+        self._refresh_postings(source, latest, max_retries)
+        self._refresh_terms(source, latest, max_retries)
+        self._refresh_stats(source, latest, max_retries)
+        return latest
+
+    def _nets(self, source: VersionedTable, a: int, b: int) -> DataFrame:
+        """Signed net per (doc_id, text): +1 rows are current texts to
+        index, −1 rows are OLD texts whose postings/df must unwind —
+        update churn at the same text cancels to nothing."""
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        return (
+            source.changes(a, b)
+            .select(self.id_col, self.text_col, sign.alias("__s"))
+            .groupBy(self.id_col, self.text_col)
+            .agg(F.sum("__s").alias("__net"))
+            .filter(F.col("__net") != 0)
+        )
+
+    def _refresh_postings(self, source, latest, max_retries) -> None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        t = self._table(self.postings_root)
+        if t is None:
+            VersionedTable.create(
+                self.spark,
+                self.postings_root,
+                self._doc_terms(source.read(latest)),
+                summary={"source_version": latest},
+            )
+            return
+        for _ in range(max_retries + 1):
+            last = self._mark(t)
+            if last is None:
+                raise NoSuchVersionError(
+                    f"{self.postings_root}: no source_version mark"
+                )
+            if latest <= last:
+                return
+            v = t.latest_version()
+            nets = self._nets(source, last, latest)
+            ups = self._doc_terms(
+                nets.filter(F.col("__net") > 0).select(
+                    self.id_col, self.text_col
+                )
+            ).withColumn("__is_delete", F.lit(False))
+            old = self._doc_terms(
+                nets.filter(F.col("__net") < 0).select(
+                    self.id_col, self.text_col
+                )
+            ).select("term", self.id_col)
+            dels = (
+                old.join(
+                    ups.select("term", self.id_col),
+                    ["term", self.id_col],
+                    "left_anti",
+                )
+                .withColumn("tf", F.lit(None).cast("long"))
+                .withColumn("dl", F.lit(None).cast("long"))
+                .withColumn("__is_delete", F.lit(True))
+            )
+            try:
+                t.merge(
+                    ups.unionByName(dels),
+                    ["term", self.id_col],
+                    delete_col="__is_delete",
+                    summary={"source_version": latest},
+                    expected_version=v,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"{self.postings_root}: merge lost {max_retries + 1} races"
+        )
+
+    def _refresh_terms(self, source, latest, max_retries) -> None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        t = self._table(self.terms_root)
+        if t is None:
+            # bootstrap from the postings just materialized: df = how
+            # many postings rows carry the term (postings are distinct
+            # per (term, doc) by construction)
+            VersionedTable.create(
+                self.spark,
+                self.terms_root,
+                self.read_postings()
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df")),
+                summary={"source_version": self._mark(
+                    self._table(self.postings_root)
+                )},
+            )
+            return
+        for _ in range(max_retries + 1):
+            last = self._mark(t)
+            if last is None:
+                raise NoSuchVersionError(
+                    f"{self.terms_root}: no source_version mark"
+                )
+            if latest <= last:
+                return
+            v = t.latest_version()
+            nets = self._nets(source, last, latest)
+            contrib = None
+            for s, pred in ((1, F.col("__net") > 0), (-1, F.col("__net") < 0)):
+                piece = (
+                    self._doc_terms(
+                        nets.filter(pred).select(self.id_col, self.text_col)
+                    )
+                    .select("term", self.id_col)
+                    .withColumn("__s", F.lit(s))
+                )
+                contrib = piece if contrib is None else contrib.unionByName(
+                    piece
+                )
+            ddf = (
+                contrib.groupBy("term")
+                .agg(F.sum("__s").alias("__d"))
+                .filter(F.col("__d") != 0)
+            )
+            state = t.read(v)
+            combined = (
+                ddf.join(state, "term", "left")
+                .select(
+                    "term",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0)) + F.col("__d")
+                    ).alias("df"),
+                )
+                .withColumn("__is_delete", F.col("df") == 0)
+            )
+            try:
+                t.merge(
+                    combined,
+                    ["term"],
+                    delete_col="__is_delete",
+                    summary={"source_version": latest},
+                    expected_version=v,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"{self.terms_root}: merge lost {max_retries + 1} races"
+        )
+
+    def _refresh_stats(self, source, latest, max_retries) -> None:
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+        )
+
+        t = self._table(self.stats_root)
+        if t is None:
+            snap = source.read(latest)
+            VersionedTable.create(
+                self.spark,
+                self.stats_root,
+                snap.agg(
+                    F.lit(0).alias("__k"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(
+                        F.sum(F.size(bm25_tokens(self.text_col))), F.lit(0)
+                    ).alias("sum_dl"),
+                ).select("__k", "n_docs", "sum_dl"),
+                summary={"source_version": latest},
+            )
+            return
+        for _ in range(max_retries + 1):
+            last = self._mark(t)
+            if last is None:
+                raise NoSuchVersionError(
+                    f"{self.stats_root}: no source_version mark"
+                )
+            if latest <= last:
+                return
+            v = t.latest_version()
+            nets = self._nets(source, last, latest)
+            delta = nets.agg(
+                F.coalesce(F.sum("__net"), F.lit(0)).alias("__dn"),
+                F.coalesce(
+                    F.sum(
+                        F.col("__net")
+                        * F.size(bm25_tokens(self.text_col))
+                    ),
+                    F.lit(0),
+                ).alias("__ddl"),
+            )
+            state = t.read(v)
+            combined = state.crossJoin(F.broadcast(delta)).select(
+                "__k",
+                (F.col("n_docs") + F.col("__dn")).alias("n_docs"),
+                (F.col("sum_dl") + F.col("__ddl")).alias("sum_dl"),
+            )
+            try:
+                t.merge(
+                    combined,
+                    ["__k"],
+                    summary={"source_version": latest},
+                    expected_version=v,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"{self.stats_root}: merge lost {max_retries + 1} races"
+        )
+
+    def start_continuous_refresh(
+        self,
+        checkpoint_dir: str,
+        processing_time: str = "0 seconds",
+    ):
+        """The source's change stream triggers one idempotent
+        `refresh()` per micro-batch (marks are the truth — replayed or
+        coalesced batches can never double-apply)."""
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        feed = (
+            self.spark.readStream.format("versioned_changes")
+            .option("table_root", self.source_root)
+            .load()
+        )
+
+        def _on_batch(batch_df, batch_id: int) -> None:
+            self.refresh()
+
+        return (
+            feed.writeStream.foreachBatch(_on_batch)
+            .trigger(processingTime=processing_time)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    # -- serving --------------------------------------------------------------
+    def rank(
+        self,
+        query_terms: list[str],
+        k1: float = 1.2,
+        b: float = 0.75,
+        top_k: int = 20,
+        require_all: bool = False,
+    ) -> DataFrame:
+        """Okapi BM25 ranking served from the MAINTAINED state —
+        same formula, same Lucene idf, same 4dp-then-rank ordering as
+        :func:`operators.text.bm25_rank`, but the corpus statistics
+        come from the index: the only corpus-shaped work is the
+        postings scan FILTERED to the query terms (term-pruned at the
+        source) and one per-doc aggregation over candidate rows.
+        Returns (id, score) like the recompute path."""
+        terms = list(dict.fromkeys(query_terms))
+        tstats = (
+            VersionedTable(self.spark, self.terms_root)
+            .read()
+            .filter(F.col("term").isin(terms))
+        )
+        stats1 = (
+            VersionedTable(self.spark, self.stats_root)
+            .read()
+            .select(
+                F.col("n_docs"),
+                (
+                    F.col("sum_dl").cast("double") / F.col("n_docs")
+                ).alias("avgdl"),
+            )
+        )
+        cand = self.read_postings().filter(F.col("term").isin(terms))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        tf = F.col("tf").cast("double")
+        score_t = idf * (
+            (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        scored = (
+            cand.join(F.broadcast(tstats), "term")
+            .crossJoin(F.broadcast(stats1))
+            .select(F.col(self.id_col), score_t.alias("__st"))
+        )
+        agg = scored.groupBy(self.id_col).agg(
+            F.sum("__st").alias("__raw"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+        if require_all:
+            agg = agg.filter(F.col("__nt") == len(terms))
+        return (
+            agg.select(
+                F.col(self.id_col),
+                F.round(F.col("__raw"), 4).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col(self.id_col))
+            .limit(top_k)
+        )

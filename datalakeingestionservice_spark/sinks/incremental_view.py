@@ -47,6 +47,19 @@ from datalakeingestionservice_spark.sinks.versioned import (
 
 _COUNT_COL = "_n"
 
+
+class SchemaDriftError(RuntimeError):
+    """A source table's schema evolved under an active FULL-ROW join
+    view (columns added/removed/retyped since the state materialized).
+    Aggregate-state views CONVERGE through source evolution (their
+    deltas project only the referenced expressions, and widened inputs
+    fold through the state-type cast — pinned by tests), but a join
+    view's state IS the row set: silently dropping a new column would
+    diverge from a recompute, and silently evolving the state would
+    change the view's schema under readers. Refuse with the recipe
+    instead."""
+
+
 # Options for every to_json-rendered merge key (__gid / __rk). The render
 # must be session-independent: to_json formats timestamps using
 # spark.sql.session.timeZone by default, so a refresh run from a session
@@ -905,6 +918,44 @@ class IncrementalJoinView:
             F.coalesce(F.expr(self.filter), F.lit(False))
         )
 
+    def _check_schema_drift(
+        self, table: VersionedTable, out_cols: list[str], left, right
+    ) -> None:
+        """Refuse a refresh whose source schemas no longer match the
+        materialized state (VERDICT r11 #4): added columns, removed
+        columns, or retyped columns since the view materialized. The
+        recipe is in the message; aggregate-state views skip this
+        (their refresh only projects the referenced expressions)."""
+        from pyspark.sql.types import StructType
+
+        state = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(table.manifest().schema_ddl).fields
+        }
+        src = {}
+        for side in (left, right):
+            for f in StructType.fromDDL(
+                side.manifest().schema_ddl
+            ).fields:
+                src.setdefault(f.name, f.dataType.simpleString())
+        added = sorted(c for c in out_cols if c not in state)
+        removed = sorted(c for c in state if c not in out_cols)
+        retyped = sorted(
+            c
+            for c in out_cols
+            if c in state and src.get(c) != state[c]
+        )
+        if added or removed or retyped:
+            raise SchemaDriftError(
+                f"{self.view_root}: source schema evolved under this "
+                f"join view (added={added}, removed={removed}, "
+                f"retyped={retyped}). A full-row join view cannot "
+                "silently converge: rebuild it (drop the view root and "
+                "refresh — one bootstrap join), or keep writing the "
+                "sources with the view-era schema. Aggregate views "
+                "over these sources converge without a rebuild."
+            )
+
     def _net_delta(
         self, left, right, l1, r1, l2, r2, out_cols
     ) -> DataFrame:
@@ -973,6 +1024,7 @@ class IncrementalJoinView:
         l1, r1 = marks
         if l2 <= l1 and r2 <= r1:
             return None  # idempotent: nothing new
+        self._check_schema_drift(table, out_cols, left, right)
         view_version = table.latest_version()
 
         nets = self._net_delta(left, right, l1, r1, l2, r2, out_cols)

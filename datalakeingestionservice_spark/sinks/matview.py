@@ -25,6 +25,13 @@ statement surface (`sinks/sql_dml.py`):
   :class:`IncrementalJoinAggView` / the E109 outer-agg classes.
   MIN/MAX over a join refuses with the documented composition
   (IncrementalAggView over a join view's state table).
+- ``FROM t1 JOIN t2 USING (a) JOIN t3 USING (b) …`` — CHAINED (3+
+  table) INNER joins, the star-schema rollup in one statement
+  (``PRIMARY KEY`` takes one pk per table in FROM order) →
+  :class:`_JoinChain`: cascaded INNER join views with the
+  intermediates auto-materialized under the view root, the final
+  stage any of the inner forms (SELECT * / count-sum agg / composed
+  extremes). OUTER members refuse with the MV-over-MV recipe.
 
 The definition persists as ``_mv.json`` at the view LOCATION (source
 table ROOTS, parsed spec, original SQL), so
@@ -499,6 +506,74 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
     }
 
 
+class _JoinChain:
+    """A cascade of maintained join stages compiled from ONE chained-
+    JOIN statement (``FROM t1 JOIN t2 USING … JOIN t3 USING …``): each
+    intermediate INNER join view's STATE table is the next stage's
+    left source — the MV-over-MV mechanism (E118) with the
+    intermediates auto-materialized under the view root (``j1/``,
+    ``j2/``, …; the final stage at ``state/``). Refresh drains
+    left-to-right, so each stage consumes exactly the state versions
+    the previous stage just committed: one pass brings the whole chain
+    current, and each stage's cost stays ∝ its own delta (a one-row
+    base change flows through k−1 delta joins, never a rescan).
+
+    The intermediate rows are identified by the TUPLE of every joined
+    table's pk so far (composite left pks), which is why the statement
+    requires PRIMARY KEY with one column per table in FROM order."""
+
+    def __init__(self, spark, base_roots: list[str], stages: list):
+        self.spark = spark
+        self.base_roots = list(base_roots)
+        self.stages = list(stages)
+
+    def refresh(self, max_retries: int = 3):
+        res = None
+        for v in self.stages:
+            r = v.refresh(max_retries=max_retries)
+            res = r if r is not None else res
+        return res
+
+    def read(self) -> DataFrame:
+        return self.stages[-1].read()
+
+    def read_join(self) -> DataFrame:
+        last = self.stages[-1]
+        return last.read_join() if hasattr(last, "read_join") else last.read()
+
+    def start_continuous_refresh(
+        self, checkpoint_dir: str, processing_time: str = "0 seconds"
+    ) -> tuple:
+        """One change stream per BASE table; any side's commit triggers
+        a full chain drain (idempotent — the marks are the truth)."""
+        from datalakeingestionservice_spark.sources.versioned_changes import (
+            register,
+        )
+
+        register(self.spark)
+        queries = []
+        for i, root in enumerate(self.base_roots):
+            feed = (
+                self.spark.readStream.format("versioned_changes")
+                .option("table_root", root)
+                .load()
+            )
+
+            def _on_batch(batch_df, batch_id: int) -> None:
+                self.refresh()
+
+            queries.append(
+                feed.writeStream.foreachBatch(_on_batch)
+                .trigger(processingTime=processing_time)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(checkpoint_dir, f"t{i}"),
+                )
+                .start()
+            )
+        return tuple(queries)
+
+
 class MaterializedView:
     """A persisted, incrementally-refreshed view. Construct via
     :meth:`create` (parses + materializes + writes `_mv.json`) or
@@ -539,44 +614,48 @@ class MaterializedView:
                 "open() or REFRESH it instead"
             )
         spec = parse_mv_body(body, primary_key)
+
+        def _resolve(src: str) -> str:
+            if src not in sources:
+                raise MaterializedViewError(
+                    f"unknown source table {src!r} "
+                    f"(registered: {sorted(sources)})"
+                )
+            t = sources[src]
+            if isinstance(t, MaterializedView) or (
+                not isinstance(t, VersionedTable)
+                and MaterializedView.exists(t)
+            ):
+                up = (
+                    t
+                    if isinstance(t, MaterializedView)
+                    else MaterializedView.open(spark, str(t))
+                )
+                # join_chain qualifies on the same grounds as an inner
+                # join view: its final state table IS its visible rows
+                if up.spec["kind"] != "join_chain" and (
+                    up.spec["kind"] != "join"
+                    or up.spec.get("join_type") != "inner"
+                ):
+                    raise MaterializedViewError(
+                        f"source {src!r} is a materialized view of "
+                        f"kind {up.spec['kind']}"
+                        f"/{up.spec.get('join_type')}; only INNER "
+                        "join views can feed another view (their "
+                        "state table IS the visible rows — "
+                        "aggregate views keep internal accumulator "
+                        "encodings, and outer views spread across "
+                        "padded side tables)"
+                    )
+                spec.setdefault("deps", {})[src] = up.root
+                return os.path.join(up.root, "state")
+            return t.root if isinstance(t, VersionedTable) else str(t)
+
         for key in ("source", "left", "right"):
             if key in spec:
-                src = spec[key]
-                if src not in sources:
-                    raise MaterializedViewError(
-                        f"unknown source table {src!r} "
-                        f"(registered: {sorted(sources)})"
-                    )
-                t = sources[src]
-                if isinstance(t, MaterializedView) or (
-                    not isinstance(t, VersionedTable)
-                    and MaterializedView.exists(t)
-                ):
-                    up = (
-                        t
-                        if isinstance(t, MaterializedView)
-                        else MaterializedView.open(spark, str(t))
-                    )
-                    if (
-                        up.spec["kind"] != "join"
-                        or up.spec.get("join_type") != "inner"
-                    ):
-                        raise MaterializedViewError(
-                            f"source {src!r} is a materialized view of "
-                            f"kind {up.spec['kind']}"
-                            f"/{up.spec.get('join_type')}; only INNER "
-                            "join views can feed another view (their "
-                            "state table IS the visible rows — "
-                            "aggregate views keep internal accumulator "
-                            "encodings, and outer views spread across "
-                            "padded side tables)"
-                        )
-                    spec[f"{key}_root"] = os.path.join(up.root, "state")
-                    spec.setdefault("deps", {})[src] = up.root
-                else:
-                    spec[f"{key}_root"] = (
-                        t.root if isinstance(t, VersionedTable) else str(t)
-                    )
+                spec[f"{key}_root"] = _resolve(spec[key])
+        if "tables" in spec:
+            spec["table_roots"] = [_resolve(s) for s in spec["tables"]]
         spec["sql"] = body.strip()
         if name:
             spec["name"] = name
@@ -619,6 +698,8 @@ class MaterializedView:
                 stddevs=s.get("stddevs") or {},
                 variances=s.get("variances") or {},
             )
+        if s["kind"] in ("join_chain", "join_chain_agg"):
+            return self._build_chain(s, state, flt)
         args = (
             self.spark, s["left_root"], s["right_root"], state,
         )
@@ -666,6 +747,60 @@ class MaterializedView:
         }[s["join_type"]]
         return cls(*args, **kw, group_keys=s["group_keys"], sums=s["sums"])
 
+    def _build_chain(self, s: dict, state: str, flt):
+        """Compile a chained-JOIN spec onto cascaded INNER join views:
+        stages ``j1 … j(k-1)`` materialize intermediates under the view
+        root, the final stage (plain join / join-agg / composed
+        join-agg) lands at ``state/``. The WHERE predicate applies at
+        the FINAL stage only — σ over the complete joined row, correct
+        for INNER chains because selection commutes with every signed
+        delta term (the intermediates deliberately keep σ-failing rows:
+        a row entering the predicate later must still find its join
+        partners)."""
+        roots, ons, pks = s["table_roots"], s["ons"], s["pks"]
+        stages: list = []
+        left_root, left_pks = roots[0], [pks[0]]
+        n = len(roots)
+        for i in range(1, n):
+            on, right_root, rpk = ons[i - 1], roots[i], pks[i]
+            if i < n - 1:
+                j = IncrementalJoinView(
+                    self.spark, left_root, right_root,
+                    os.path.join(self.root, f"j{i}"),
+                    on=on, left_pk=list(left_pks), right_pk=rpk,
+                )
+                stages.append(j)
+                left_root = j.view_root
+                left_pks = list(dict.fromkeys([*left_pks, rpk]))
+                continue
+            args = (self.spark, left_root, right_root, state)
+            kw = dict(on=on, left_pk=list(left_pks), right_pk=rpk)
+            if flt is not None:
+                kw["filter"] = flt
+            if s["kind"] == "join_chain":
+                stages.append(IncrementalJoinView(*args, **kw))
+            elif s.get("materialize_join"):
+                stages.append(
+                    IncrementalComposedJoinAggView(
+                        *args, **kw,
+                        group_keys=s["group_keys"], sums=s["sums"],
+                        mins=s.get("mins") or {},
+                        maxs=s.get("maxs") or {},
+                        distincts=s.get("distincts") or {},
+                        avgs=s.get("avgs") or {},
+                        stddevs=s.get("stddevs") or {},
+                        variances=s.get("variances") or {},
+                    )
+                )
+            else:
+                stages.append(
+                    IncrementalJoinAggView(
+                        *args, **kw,
+                        group_keys=s["group_keys"], sums=s["sums"],
+                    )
+                )
+        return _JoinChain(self.spark, roots, stages)
+
     # -- operations ----------------------------------------------------------
     def refresh(self, cascade: bool = False, _seen: set | None = None) -> int:
         """One incremental refresh; returns the view's state version.
@@ -697,11 +832,13 @@ class MaterializedView:
             "agg": "state",
             "join": "state",
             "join_agg": "state",
+            "join_chain": "state",
+            "join_chain_agg": "state",
         }[s["kind"]]
         root = os.path.join(self.root, sub)
         if s["kind"] == "join" and s["join_type"] != "inner":
             root = os.path.join(root, "inner")
-        elif s["kind"] == "join_agg" and s.get("materialize_join"):
+        elif s["kind"].endswith("agg") and s.get("materialize_join"):
             root = os.path.join(root, "state")  # composed: agg state
         elif s["kind"] == "join_agg" and s["join_type"] != "inner":
             root = os.path.join(root, "agg")
@@ -714,7 +851,7 @@ class MaterializedView:
         rows for SELECT * views."""
         s = self.spec
         df = self._view.read()
-        if s["kind"] == "join":
+        if s["kind"] in ("join", "join_chain"):
             return df
         keys = s["keys"] if s["kind"] == "agg" else s["group_keys"]
         cols = [F.col(k) for k in keys]

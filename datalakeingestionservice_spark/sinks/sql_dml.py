@@ -314,8 +314,8 @@ _DROP_TABLE_RE = re.compile(
 _CREATE_MV_RE = re.compile(
     r"^CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"LOCATION\s+'(?P<loc>[^']+)'"
-    r"(?:\s+PRIMARY\s+KEY\s*\(\s*(?P<lpk>[A-Za-z_]\w*)\s*,\s*"
-    r"(?P<rpk>[A-Za-z_]\w*)\s*\))?"
+    r"(?:\s+PRIMARY\s+KEY\s*\(\s*(?P<pks>[A-Za-z_]\w*"
+    r"(?:\s*,\s*[A-Za-z_]\w*)+)\s*\))?"
     r"\s+AS\s+(?P<rest>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -579,9 +579,13 @@ def execute_dml(
             raise UnsupportedStatementError(
                 f"{name!r} is already registered; DROP it first"
             )
+        # one pk per table in FROM order: 2 for a single join, n for
+        # a chained (3+ table) join — the grammar validates the arity
         pk = (
-            (mmv.group("lpk"), mmv.group("rpk"))
-            if mmv.group("lpk")
+            tuple(
+                c.strip() for c in mmv.group("pks").split(",")
+            )
+            if mmv.group("pks")
             else None
         )
         mv = MaterializedView.create(
@@ -1366,7 +1370,10 @@ def execute_describe(
             _json.dumps(
                 {
                     k: s[k]
-                    for k in ("source_root", "left_root", "right_root")
+                    for k in (
+                        "source_root", "left_root", "right_root",
+                        "table_roots",
+                    )
                     if k in s
                 }
             ),

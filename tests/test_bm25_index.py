@@ -1,0 +1,211 @@
+"""Incremental BM25 index (sinks/bm25_index.py): maintained-index
+ranking must equal the full-recompute ranker through inserts, updates
+(term sets changing), deletes, and crash-interrupted refreshes — and
+an incremental refresh must never read the source snapshot (only its
+change feed), so cost is ∝ |Δ|, never corpus size."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.operators.text import (
+    bm25_rank,
+    bm25_tokens,
+)
+from datalakeingestionservice_spark.sinks.bm25_index import (
+    IncrementalBM25Index,
+)
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick brown dog"),
+    (3, "lazy rivers and lazy days in the sun"),
+    (4, "FOX! Fox? fox... and more Fox"),
+    (5, ""),  # zero-token doc: counts in N, holds no postings
+    (6, "completely unrelated words about spark engines"),
+    (7, "dogs and foxes are not the same as dog and fox"),
+]
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / "docs"),
+        spark.createDataFrame(DOCS, "doc_id bigint, text string"),
+    )
+
+
+def _rank_pairs(df):
+    return [(r.doc_id, r.score) for r in df.collect()]
+
+
+def _assert_matches_recompute(idx, src, terms, **kw):
+    got = _rank_pairs(idx.rank(terms, **kw))
+    exp = _rank_pairs(bm25_rank(src.read(), terms, **kw))
+    assert got == exp, (terms, kw, got, exp)
+
+
+def test_bootstrap_matches_recompute(spark, tmp_path, corpus):
+    idx = IncrementalBM25Index(
+        spark, corpus.root, str(tmp_path / "idx")
+    )
+    assert idx.refresh() == 1
+    for terms in (["fox"], ["quick", "fox"], ["lazy", "dog", "spark"]):
+        _assert_matches_recompute(idx, corpus, terms)
+    _assert_matches_recompute(
+        idx, corpus, ["lazy", "dog"], require_all=True
+    )
+    # absent term contributes nothing, exactly like the recompute
+    _assert_matches_recompute(idx, corpus, ["fox", "zebra"])
+    assert idx.rank(["zebra"]).count() == 0
+
+
+def test_dml_tracks_recompute(spark, tmp_path, corpus):
+    idx = IncrementalBM25Index(
+        spark, corpus.root, str(tmp_path / "idx")
+    )
+    idx.refresh()
+    # insert (new terms + df bumps), update REPLACING the term set
+    # (old postings must unwind from the old text carried by the
+    # feed), update to EMPTY (dl -> 0, all postings leave, N stays),
+    # delete (df decrements; terms hitting df=0 leave)
+    corpus.append(
+        spark.createDataFrame(
+            [(8, "fox and dog together again")],
+            "doc_id bigint, text string",
+        )
+    )
+    corpus.update_where(
+        F.col("doc_id") == 3, {"text": F.lit("lazy fox everywhere")}
+    )
+    corpus.update_where(F.col("doc_id") == 4, {"text": F.lit("")})
+    corpus.delete_where(F.col("doc_id") == 6)
+    assert idx.refresh() == corpus.latest_version()
+    for terms in (
+        ["quick", "fox"],
+        ["lazy", "dog", "spark"],
+        ["engines"],  # only doc 6 had it: df hit 0
+        ["fox", "dog"],
+    ):
+        _assert_matches_recompute(idx, corpus, terms)
+    _assert_matches_recompute(
+        idx, corpus, ["fox", "dog"], require_all=True
+    )
+    # maintained term stats == recompute
+    got = sorted(
+        (r.term, r.df)
+        for r in VersionedTable(spark, idx.terms_root).read().collect()
+    )
+    exp = sorted(
+        (r.term, r.df)
+        for r in corpus.read()
+        .select(
+            F.explode(F.array_distinct(bm25_tokens("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    assert got == exp
+    # maintained corpus stats == recompute (zero-token docs in N)
+    st = VersionedTable(spark, idx.stats_root).read().collect()[0]
+    assert st.n_docs == corpus.read().count()
+    assert st.sum_dl == (
+        corpus.read()
+        .agg(F.coalesce(F.sum(F.size(bm25_tokens("text"))), F.lit(0)))
+        .collect()[0][0]
+    )
+    # idempotent: nothing new -> no-op
+    assert idx.refresh() is None
+
+
+def test_refresh_never_reads_source_snapshot(
+    spark, tmp_path, corpus, monkeypatch
+):
+    """The spy pin (E110's pattern): after bootstrap, refresh()
+    consumes ONLY the change feed — VersionedTable.read on the source
+    root would mean a corpus rescan at 100 TB."""
+    idx = IncrementalBM25Index(
+        spark, corpus.root, str(tmp_path / "idx")
+    )
+    idx.refresh()
+    corpus.append(
+        spark.createDataFrame(
+            [(9, "brand new fox text")], "doc_id bigint, text string"
+        )
+    )
+    corpus.delete_where(F.col("doc_id") == 2)
+
+    reads: list[str] = []
+    orig = VersionedTable.read
+
+    def spying_read(self, *a, **kw):
+        reads.append(self.root)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "read", spying_read)
+    assert idx.refresh() == 3
+    assert corpus.root not in reads, reads
+    monkeypatch.undo()
+    _assert_matches_recompute(idx, corpus, ["fox", "quick"])
+
+
+def test_crash_between_merges_self_repairs(spark, tmp_path, corpus):
+    """Each state table stamps its OWN source_version mark: a crash
+    after the postings merge but before terms/stats leaves a rerun
+    that re-derives ONLY the missing tables' windows."""
+    idx = IncrementalBM25Index(
+        spark, corpus.root, str(tmp_path / "idx")
+    )
+    idx.refresh()
+    corpus.update_where(
+        F.col("doc_id") == 1, {"text": F.lit("entirely new words")}
+    )
+    corpus.append(
+        spark.createDataFrame(
+            [(10, "more fox content")], "doc_id bigint, text string"
+        )
+    )
+    latest = corpus.latest_version()
+
+    # simulate the crash: postings advance, terms/stats do not
+    source = VersionedTable(spark, corpus.root)
+    idx._refresh_postings(source, latest, 3)
+    assert idx._mark(idx._table(idx.postings_root)) == latest
+    assert idx._mark(idx._table(idx.terms_root)) < latest
+    assert idx.last_refreshed_version() < latest
+
+    # the rerun repairs the stale tables and converges
+    assert idx.refresh() == latest
+    assert idx.last_refreshed_version() == latest
+    for terms in (["fox"], ["entirely", "words"], ["quick", "dog"]):
+        _assert_matches_recompute(idx, corpus, terms)
+
+
+def test_continuous_refresh_converges(spark, tmp_path, corpus):
+    import time
+
+    idx = IncrementalBM25Index(
+        spark, corpus.root, str(tmp_path / "idx")
+    )
+    idx.refresh()
+    q = idx.start_continuous_refresh(str(tmp_path / "ck"))
+    try:
+        corpus.append(
+            spark.createDataFrame(
+                [(11, "streaming fox arrives")],
+                "doc_id bigint, text string",
+            )
+        )
+        corpus.delete_where(F.col("doc_id") == 3)
+        deadline = time.time() + 120
+        target = corpus.latest_version()
+        while time.time() < deadline:
+            if idx.last_refreshed_version() == target:
+                break
+            time.sleep(2)
+        assert idx.last_refreshed_version() == target
+        _assert_matches_recompute(idx, corpus, ["fox", "lazy"])
+    finally:
+        q.stop()

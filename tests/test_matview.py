@@ -1281,3 +1281,340 @@ def test_cr_registry_prunes_dead_handles(spark, tmp_path, env):
     sql_dml._CR_REGISTRY[rp] = (_Dead(),)
     execute_sql(spark, "DROP MATERIALIZED VIEW zomb", tables)
     assert rp not in sql_dml._CR_REGISTRY
+
+
+@pytest.fixture()
+def env3(spark, tmp_path):
+    """Three-table star: orders (fact) -> customer -> nation."""
+    o = VersionedTable.create(
+        spark,
+        str(tmp_path / "orders3"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0), (4, 10, 4.0),
+             (5, 30, 5.0)],
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    c = VersionedTable.create(
+        spark,
+        str(tmp_path / "cust3"),
+        spark.createDataFrame(
+            [(10, "a", 100), (20, "b", 200), (30, "a", 200),
+             (77, "w", 100)],
+            "ck bigint, seg string, nk bigint",
+        ),
+    )
+    n = VersionedTable.create(
+        spark,
+        str(tmp_path / "nation3"),
+        spark.createDataFrame(
+            [(100, "US"), (200, "DE")], "nk bigint, nname string"
+        ),
+    )
+    return o, c, n, {"orders": o, "customer": c, "nation": n}
+
+
+class TestJoinChain:
+    """Chained (3+ table) join MVs (r12): cascaded INNER join views —
+    the intermediate state tables feed the next stage's change feed."""
+
+    def test_chain_parses(self):
+        s = parse_mv_body(
+            "SELECT nname, seg, COUNT(*) AS n, SUM(price) AS t "
+            "FROM orders JOIN customer USING (ck) "
+            "JOIN nation USING (nk) GROUP BY nname, seg",
+            ("k", "ck", "nk"),
+        )
+        assert s["kind"] == "join_chain_agg"
+        assert s["tables"] == ["orders", "customer", "nation"]
+        assert s["ons"] == [["ck"], ["nk"]]
+        assert s["pks"] == ["k", "ck", "nk"]
+        s2 = parse_mv_body(
+            "SELECT * FROM orders JOIN customer USING (ck) "
+            "JOIN nation USING (nk)",
+            ("k", "ck", "nk"),
+        )
+        assert s2["kind"] == "join_chain"
+        # extremes over the chain -> composed final stage
+        s3 = parse_mv_body(
+            "SELECT nname, MIN(price) AS lo FROM orders "
+            "JOIN customer USING (ck) JOIN nation USING (nk) "
+            "GROUP BY nname",
+            ("k", "ck", "nk"),
+        )
+        assert s3["kind"] == "join_chain_agg" and s3["materialize_join"]
+
+    @pytest.mark.parametrize(
+        "body,pk,msg",
+        [
+            (
+                "SELECT * FROM orders LEFT JOIN customer USING (ck) "
+                "JOIN nation USING (nk)",
+                ("k", "ck", "nk"),
+                "INNER-only",
+            ),
+            (
+                "SELECT * FROM orders JOIN customer USING (ck) "
+                "JOIN nation USING (nk)",
+                ("k", "ck"),
+                "ONE pk per table",
+            ),
+            (
+                "SELECT * FROM orders JOIN customer USING (ck) "
+                "JOIN nation USING (nk)",
+                None,
+                "ONE pk per table",
+            ),
+            (
+                "SELECT nname FROM orders JOIN customer USING (ck) "
+                "JOIN nation USING (nk)",
+                ("k", "ck", "nk"),
+                "SELECT \\*",
+            ),
+            # a single join given 3 pks must refuse, not ignore one
+            (
+                "SELECT * FROM orders JOIN customer USING (ck)",
+                ("k", "ck", "nk"),
+                "exactly two",
+            ),
+        ],
+    )
+    def test_chain_refusals(self, body, pk, msg):
+        with pytest.raises(MaterializedViewError, match=msg):
+            parse_mv_body(body, pk)
+
+    def _expect(self, o, c, n):
+        return sorted(
+            (x.nname, x.seg, x.n, x.total)
+            for x in o.read()
+            .join(c.read(), "ck")
+            .join(n.read(), "nk")
+            .groupBy("nname", "seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").alias("total"),
+            )
+            .collect()
+        )
+
+    def test_chain_agg_tracks_recompute_all_feeds(
+        self, spark, tmp_path, env3
+    ):
+        o, c, n, tables = env3
+        root = str(tmp_path / "mv_chain")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW rollup LOCATION '{root}' "
+            "PRIMARY KEY (k, ck, nk) AS "
+            "SELECT nname, seg, COUNT(*) AS n, SUM(price) AS total "
+            "FROM orders JOIN customer USING (ck) "
+            "JOIN nation USING (nk) GROUP BY nname, seg",
+            tables,
+        )
+
+        def got():
+            return sorted(
+                tuple(x)
+                for x in execute_sql(
+                    spark, "SELECT * FROM rollup", tables
+                ).collect()
+            )
+
+        assert got() == self._expect(o, c, n)
+        # DML on EVERY feed, one statement each:
+        # fact insert + delete, MIDDLE-table delete (cascades both
+        # ways: orders of ck=10 leave AND nation US count drops),
+        # dim rename (moves whole groups to a new key)
+        execute_sql(spark, "INSERT INTO orders VALUES (6, 30, 9.0)", tables)
+        execute_sql(spark, "DELETE FROM orders WHERE k = 2", tables)
+        execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
+        execute_sql(
+            spark,
+            "UPDATE nation SET nname = 'DE2' WHERE nk = 200",
+            tables,
+        )
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW rollup", tables)
+        assert got() == self._expect(o, c, n)
+        assert all(x[0] != "US" or x[1] != "a" for x in got())
+        # reopen from disk rebuilds the whole cascade
+        mv = MaterializedView.open(spark, root)
+        assert (
+            sorted(tuple(x) for x in mv.read().collect())
+            == self._expect(o, c, n)
+        )
+        # DESCRIBE surfaces the chain roots
+        d = execute_sql(
+            spark, "DESCRIBE MATERIALIZED VIEW rollup", tables
+        ).collect()[0]
+        assert d.kind == "join_chain_agg"
+        assert "table_roots" in d.sources
+
+    def test_chain_select_star_and_where(self, spark, tmp_path, env3):
+        o, c, n, tables = env3
+        root = str(tmp_path / "mv_chainw")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW wide LOCATION '{root}' "
+            "PRIMARY KEY (k, ck, nk) AS "
+            "SELECT * FROM orders JOIN customer USING (ck) "
+            "JOIN nation USING (nk) WHERE price > 1.5",
+            tables,
+        )
+
+        def expect():
+            out = (
+                o.read()
+                .join(c.read(), "ck")
+                .join(n.read(), "nk")
+                .filter(F.col("price") > 1.5)
+            )
+            return sorted(map(tuple, out.select(
+                "k", "ck", "nk", "price", "seg", "nname"
+            ).collect()))
+
+        def got():
+            return sorted(
+                tuple(x)
+                for x in execute_sql(
+                    spark,
+                    "SELECT k, ck, nk, price, seg, nname FROM wide",
+                    tables,
+                ).collect()
+            )
+
+        assert got() == expect()
+        # a row crossing the σ boundary via UPDATE (1.0 -> 2.0)
+        execute_sql(
+            spark, "UPDATE orders SET price = 2.0 WHERE k = 1", tables
+        )
+        execute_sql(spark, "DELETE FROM nation WHERE nk = 200", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW wide", tables)
+        assert got() == expect()
+
+    def test_chain_extremes_composed_final_stage(
+        self, spark, tmp_path, env3
+    ):
+        o, c, n, tables = env3
+        root = str(tmp_path / "mv_chainx")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW ext LOCATION '{root}' "
+            "PRIMARY KEY (k, ck, nk) AS "
+            "SELECT nname, MIN(price) AS lo, MAX(price) AS hi, "
+            "COUNT(DISTINCT seg) AS ns FROM orders "
+            "JOIN customer USING (ck) JOIN nation USING (nk) "
+            "GROUP BY nname",
+            tables,
+        )
+
+        def expect():
+            return sorted(
+                (x.nname, x.lo, x.hi, x.ns)
+                for x in o.read()
+                .join(c.read(), "ck")
+                .join(n.read(), "nk")
+                .groupBy("nname")
+                .agg(
+                    F.min("price").alias("lo"),
+                    F.max("price").alias("hi"),
+                    F.countDistinct("seg").alias("ns"),
+                )
+                .collect()
+            )
+
+        def got():
+            return sorted(
+                tuple(x)
+                for x in execute_sql(
+                    spark, "SELECT * FROM ext", tables
+                ).collect()
+            )
+
+        assert got() == expect()
+        # delete AT the US minimum (k=1, 1.0) -> endangered rescan
+        # reads the materialized chain join, never the raw bases
+        execute_sql(spark, "DELETE FROM orders WHERE k = 1", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW ext", tables)
+        assert got() == expect()
+
+    def test_four_table_chain(self, spark, tmp_path, env3):
+        o, c, n, tables = env3
+        r = VersionedTable.create(
+            spark,
+            str(tmp_path / "region3"),
+            spark.createDataFrame(
+                [(100, "AMER"), (200, "EMEA")], "nk bigint, rname string"
+            ),
+        )
+        # region keyed by nk here purely to exercise a 3-hop chain
+        tables = dict(tables, region=r)
+        root = str(tmp_path / "mv_chain4")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW four LOCATION '{root}' "
+            "PRIMARY KEY (k, ck, nk, nk) AS "
+            "SELECT rname, COUNT(*) AS n FROM orders "
+            "JOIN customer USING (ck) JOIN nation USING (nk) "
+            "JOIN region USING (nk) GROUP BY rname",
+            tables,
+        )
+        execute_sql(spark, "DELETE FROM customer WHERE ck = 20", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW four", tables)
+        got = sorted(
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM four", tables
+            ).collect()
+        )
+        exp = sorted(
+            (x.rname, x.n)
+            for x in o.read()
+            .join(c.read(), "ck")
+            .join(n.read(), "nk")
+            .join(r.read(), "nk")
+            .groupBy("rname")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert got == exp
+
+    def test_chain_as_mv_upstream(self, spark, tmp_path, env3):
+        """A SELECT * chain view qualifies as an MV-over-MV upstream
+        (its final state table IS its visible rows)."""
+        o, c, n, tables = env3
+        root = str(tmp_path / "mv_chainup")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW wide3 LOCATION '{root}' "
+            "PRIMARY KEY (k, ck, nk) AS "
+            "SELECT * FROM orders JOIN customer USING (ck) "
+            "JOIN nation USING (nk)",
+            tables,
+        )
+        root2 = str(tmp_path / "mv_over_chain")
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW per_nation LOCATION '{root2}' AS "
+            "SELECT nname, MIN(price) AS lo FROM wide3 GROUP BY nname",
+            tables,
+        )
+        execute_sql(spark, "DELETE FROM orders WHERE k = 1", tables)
+        execute_sql(
+            spark, "REFRESH MATERIALIZED VIEW per_nation CASCADE", tables
+        )
+        got = sorted(
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM per_nation", tables
+            ).collect()
+        )
+        exp = sorted(
+            (x.nname, x.lo)
+            for x in o.read()
+            .join(c.read(), "ck")
+            .join(n.read(), "nk")
+            .groupBy("nname")
+            .agg(F.min("price").alias("lo"))
+            .collect()
+        )
+        assert got == exp
