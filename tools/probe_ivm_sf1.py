@@ -424,6 +424,118 @@ def probe_round11b(spark, sf_dir: str, results: dict) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_round12(spark, sf_dir: str, results: dict) -> None:
+    """Round-12 state machines at fixed delta: the 3-table chained-join
+    MV (E128 — one refresh drains the cascade) and the BM25 index
+    (E129 — postings/df/stats merges from the docs feed)."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestionservice_spark.sinks.bm25_index import (
+        IncrementalBM25Index,
+    )
+    from datalakeingestionservice_spark.sinks.matview import (
+        MaterializedView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"r12probe_{uuid.uuid4().hex}"
+    )
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    customer = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    nation = spark.read.parquet(
+        os.path.join(sf_dir, "nation.parquet")
+    ).select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nname")
+    )
+    okeys = [
+        r.k for r in orders.select("k").orderBy("k").limit(1600).collect()
+    ]
+    o = VersionedTable.create(spark, os.path.join(base, "o"), orders)
+    c = VersionedTable.create(spark, os.path.join(base, "c"), customer)
+    n = VersionedTable.create(spark, os.path.join(base, "n"), nation)
+    tables = {"orders": o, "customer": c, "nation": n}
+    t0 = time.monotonic()
+    mv = MaterializedView.create(
+        spark,
+        os.path.join(base, "mv"),
+        "SELECT nname, seg, COUNT(*) AS n_orders, SUM(price) AS total "
+        "FROM orders JOIN customer USING (ck) JOIN nation USING (nk) "
+        "GROUP BY nname, seg",
+        tables,
+        primary_key=("k", "ck", "nk"),
+    )
+    boot = time.monotonic() - t0
+    times = []
+    for i in range(3):
+        upd = okeys[i * 500 : (i + 1) * 500]
+        o.update_where(
+            F.col("k").isin(upd), {"price": F.col("price") + 1.0}
+        )
+        t0 = time.monotonic()
+        mv.refresh()
+        times.append(round(time.monotonic() - t0, 3))
+    results["chain_mv_3table_E128"] = {
+        "bootstrap_s": round(boot, 3),
+        "refresh_s": times,
+        "refresh_min_s": min(times),
+        "refresh_med_s": round(statistics.median(times), 3),
+    }
+    print(
+        "chain_mv_3table_E128", results["chain_mv_3table_E128"], flush=True
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    dkeys = [
+        r.doc_id
+        for r in docs.select("doc_id").orderBy("doc_id").limit(700).collect()
+    ]
+    dsrc = VersionedTable.create(spark, os.path.join(base, "docs"), docs)
+    idx = IncrementalBM25Index(
+        spark, dsrc.root, os.path.join(base, "bm25")
+    )
+    t0 = time.monotonic()
+    idx.refresh()
+    boot = time.monotonic() - t0
+    times = []
+    for i in range(3):
+        upd = dkeys[i * 200 : i * 200 + 200]
+        dels = dkeys[600 + i * 30 : 600 + (i + 1) * 30]
+        dsrc.update_where(
+            F.col("doc_id").isin(upd),
+            {"text": F.concat(F.lit("probe delta tokens "), F.col("text"))},
+        )
+        dsrc.delete_where(F.col("doc_id").isin(dels))
+        t0 = time.monotonic()
+        idx.refresh()
+        times.append(round(time.monotonic() - t0, 3))
+    results["bm25_index_E129"] = {
+        "bootstrap_s": round(boot, 3),
+        "refresh_s": times,
+        "refresh_min_s": min(times),
+        "refresh_med_s": round(statistics.median(times), 3),
+        "n_docs": dsrc.read().count(),
+    }
+    print("bm25_index_E129", results["bm25_index_E129"], flush=True)
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     out: dict = {}
     for sf_dir in sys.argv[1:]:
@@ -433,8 +545,14 @@ def main() -> None:
         res: dict = {}
         only_new = os.environ.get("PROBE_ONLY_NEW") == "1"
         only_11b = os.environ.get("PROBE_ONLY_11B") == "1"
+        only_ivf = os.environ.get("PROBE_ONLY_IVF") == "1"
+        only_12 = os.environ.get("PROBE_ONLY_12") == "1"
         if only_11b:
             probe_round11b(spark, sf_dir, res)
+        elif only_ivf:
+            probe_ivf_index(spark, sf_dir, res)
+        elif only_12:
+            probe_round12(spark, sf_dir, res)
         else:
             if not only_new:
                 probe_join_family(spark, sf_dir, res)
@@ -442,6 +560,7 @@ def main() -> None:
             if not only_new:
                 probe_ivf_index(spark, sf_dir, res)
             probe_round11b(spark, sf_dir, res)
+            probe_round12(spark, sf_dir, res)
         out[sf_dir] = res
         spark.stop()
     print(json.dumps(out))
