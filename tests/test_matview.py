@@ -1618,3 +1618,78 @@ class TestJoinChain:
             .collect()
         )
         assert got == exp
+
+
+def test_chain_having_and_continuous_refresh(spark, tmp_path, env3):
+    """HAVING over a chain aggregate (read-time group filter) and the
+    chain's continuous refresh: one stream per BASE feed, any commit
+    drains the whole cascade without a REFRESH statement."""
+    import time
+
+    o, c, n, tables = env3
+    root = str(tmp_path / "mv_chaincr")
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW busy3 LOCATION '{root}' "
+        "PRIMARY KEY (k, ck, nk) AS "
+        "SELECT nname, COUNT(*) AS cnt, SUM(price) AS total "
+        "FROM orders JOIN customer USING (ck) "
+        "JOIN nation USING (nk) GROUP BY nname HAVING cnt >= 2",
+        tables,
+    )
+
+    def expect():
+        return {
+            (x.nname, x.cnt, x.total)
+            for x in o.read()
+            .join(c.read(), "ck")
+            .join(n.read(), "nk")
+            .groupBy("nname")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("price").alias("total"),
+            )
+            .filter(F.col("cnt") >= 2)
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(x)
+            for x in execute_sql(
+                spark, "SELECT * FROM busy3", tables
+            ).collect()
+        }
+
+    assert got() == expect()
+    nstreams = execute_sql(
+        spark,
+        f"ALTER MATERIALIZED VIEW busy3 START CONTINUOUS REFRESH "
+        f"CHECKPOINT '{tmp_path / 'crk3'}'",
+        tables,
+    )
+    assert nstreams == 3  # one per base feed
+    try:
+        # DML on the middle and last feeds only — the chain must still
+        # drain end-to-end from those triggers
+        execute_sql(spark, "DELETE FROM customer WHERE ck = 20", tables)
+        execute_sql(
+            spark,
+            "UPDATE nation SET nname = 'US2' WHERE nk = 100",
+            tables,
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if got() == expect():
+                break
+            time.sleep(2)
+        assert got() == expect()
+    finally:
+        assert (
+            execute_sql(
+                spark,
+                "ALTER MATERIALIZED VIEW busy3 STOP CONTINUOUS REFRESH",
+                tables,
+            )
+            == 3
+        )

@@ -425,3 +425,124 @@ def test_fuzz_composed_outer_extremes(spark, tmp_path, seed, jt):
         _mutate_right(r, rng, spark)
         v.refresh()
         assert _rows_match(got(), recompute()), (seed, rnd, jt)
+
+
+T3_SCHEMA = "seg string, region string, b double"
+SEGS = ["s1", "s2", "s3", "s9"]
+
+
+def _mk_third(spark, tmp_path, rng):
+    rows = [
+        (s, rng.choice(["amer", "emea"]), round(rng.uniform(0, 5), 2))
+        for s in SEGS[:-1]  # one seg intentionally missing
+    ]
+    return VersionedTable.create(
+        spark, str(tmp_path / "ft3"),
+        spark.createDataFrame(rows, T3_SCHEMA),
+    )
+
+
+def _mutate_third(t, rng, spark):
+    op = rng.choice(["del", "upd", "ins"])
+    if op == "del":
+        t.delete_where([("seg", "=", rng.choice(SEGS))])
+    elif op == "upd":
+        t.update_where(
+            F.col("seg") == rng.choice(SEGS),
+            {"region": F.lit(rng.choice(["amer", "emea", "apac"]))},
+        )
+    else:
+        s = rng.choice(SEGS)
+        if t.read().filter(F.col("seg") == s).count() == 0:
+            t.append(
+                spark.createDataFrame([(s, "apac", 2.0)], T3_SCHEMA)
+            )
+
+
+@pytest.mark.parametrize(
+    "seed,kind,use_filter",
+    [
+        (11, "star", False),
+        (29, "star", True),
+        (43, "agg", False),
+        (59, "agg", True),
+        (73, "ext", False),
+    ],
+)
+def test_fuzz_chain_matviews(spark, tmp_path, seed, kind, use_filter):
+    """Chained 3-table join MVs (E128) under random DML on ALL THREE
+    feeds, through the STATEMENT surface (CREATE/REFRESH), checked
+    against a full 3-way recompute after every refresh."""
+    from datalakeingestionservice_spark.sinks.matview import (
+        MaterializedView,
+    )
+
+    rng = random.Random(seed)
+    l, next_id = _mk_left(spark, tmp_path, rng, n=24)
+    r = _mk_right(spark, tmp_path, rng)
+    t3 = _mk_third(spark, tmp_path, rng)
+    tables = {"fact": l, "dim1": r, "dim2": t3}
+    where = " WHERE x >= 0" if use_filter else ""
+    body = {
+        "star": (
+            "SELECT * FROM fact JOIN dim1 USING (grp) "
+            f"JOIN dim2 USING (seg){where}"
+        ),
+        "agg": (
+            "SELECT region, COUNT(*) AS n, SUM(x) AS sx FROM fact "
+            "JOIN dim1 USING (grp) JOIN dim2 USING (seg)"
+            f"{where} GROUP BY region"
+        ),
+        "ext": (
+            "SELECT region, MIN(x) AS lo, MAX(x) AS hi, "
+            "COUNT(DISTINCT val) AS nv FROM fact JOIN dim1 USING (grp) "
+            f"JOIN dim2 USING (seg){where} GROUP BY region"
+        ),
+    }[kind]
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "fchain"), body, tables,
+        primary_key=("id", "grp", "seg"),
+    )
+
+    def recompute():
+        df = l.read().join(r.read(), "grp").join(t3.read(), "seg")
+        if use_filter:
+            df = df.filter(
+                F.coalesce(F.expr("x >= 0"), F.lit(False))
+            )
+        if kind == "star":
+            return [
+                (x.id, x.grp, x.seg, x.val, x.x, x.dt, x.w, x.region, x.b)
+                for x in df.collect()
+            ]
+        if kind == "agg":
+            return [
+                (x.region, x.n, x.sx)
+                for x in df.groupBy("region").agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+                ).collect()
+            ]
+        return [
+            (x.region, x.lo, x.hi, x.nv)
+            for x in df.groupBy("region").agg(
+                F.min("x").alias("lo"), F.max("x").alias("hi"),
+                F.countDistinct("val").alias("nv"),
+            ).collect()
+        ]
+
+    def got():
+        df = mv.read()
+        if kind == "star":
+            return [
+                (x.id, x.grp, x.seg, x.val, x.x, x.dt, x.w, x.region, x.b)
+                for x in df.collect()
+            ]
+        return [tuple(x) for x in df.collect()]
+
+    assert _rows_match(got(), recompute()), (seed, 0, kind)
+    for rnd in range(1, 5):
+        next_id = _mutate_left(spark, l, rng, next_id)
+        _mutate_right(r, rng, spark)
+        _mutate_third(t3, rng, spark)
+        mv.refresh()
+        assert _rows_match(got(), recompute()), (seed, rnd, kind)
