@@ -5392,3 +5392,111 @@ def q198_three_table_chain_matview(
         "FROM nation_seg_rollup ORDER BY nname, seg",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — OUTER-FINAL chained-join MV (r12, the chain surface completed):
+# fact ⋈ dim1 ⟕ dim2 in ONE statement — the star shape where the last
+# dim may be missing rows. The INNER prefix cascades as in q198; the
+# last intermediate synthesizes a single pk (__lk, the JSON render of
+# its pk tuple) so the outer padded machinery has a row identity, and
+# unmatched (order, customer) rows null-pad the nation side, grouping
+# under the NULL name. DML hits all three feeds incl. pad->match and
+# match->pad transitions on the LAST dim; oracle recomputes the
+# mutated (orders ⋈ customer) LEFT JOIN nation aggregate from raw.
+# ---------------------------------------------------------------------------
+@register(
+    "q200_outer_final_chain_matview",
+    tags=("lake", "sql", "incremental-view", "matview", "chain",
+          "outer", "cdf"),
+    oracle="""
+WITH o1 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + 3
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders WHERE o_orderkey % 10 <> 1
+),
+c1 AS (
+  SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg
+  FROM customer
+),
+n1 AS (
+  SELECT n_nationkey AS nk, n_name AS nname
+  FROM nation WHERE n_nationkey % 5 <> 2 AND n_nationkey % 7 <> 3
+)
+SELECT coalesce(nname, '(no nation)') AS nname,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS total
+FROM o1 JOIN c1 USING (ck) LEFT JOIN n1 USING (nk)
+GROUP BY coalesce(nname, '(no nation)') ORDER BY nname
+""",
+)
+def q200_outer_final_chain_matview(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders ⋈ customer ⟕ nation per nation name, maintained: nations
+    %5==2 are deleted BEFORE the view exists (their orders bootstrap
+    padded), then DML bumps/deletes orders and deletes nations %7==3
+    (whole groups transition match->pad into the NULL-name group), one
+    REFRESH drains the cascade."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ofc_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    o = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    c = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    n = VersionedTable.create(
+        spark,
+        os.path.join(base, "nation"),
+        env.t("nation").select(
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_name").alias("nname"),
+        ),
+    )
+    tables = {"orders": o, "customer": c, "nation": n}
+    # bootstrap-time padding: some nations never exist for this view
+    execute_sql(spark, "DELETE FROM nation WHERE nk % 5 = 2", tables)
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW nation_rollup LOCATION "
+        f"'{os.path.join(base, 'mv')}' PRIMARY KEY (k, ck, nk) AS "
+        "SELECT nname, COUNT(*) AS n_orders, SUM(price) AS total "
+        "FROM orders JOIN customer USING (ck) "
+        "LEFT JOIN nation USING (nk) GROUP BY nname",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 3 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 10 = 1", tables)
+    execute_sql(spark, "DELETE FROM nation WHERE nk % 7 = 3", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW nation_rollup", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT coalesce(nname, '(no nation)') AS nname, n_orders, "
+        "round(total, 2) AS total FROM nation_rollup ORDER BY nname",
+        tables,
+    )

@@ -822,6 +822,7 @@ class IncrementalJoinView:
         left_pk: str | list[str],
         right_pk: str,
         filter: str | None = None,
+        synth_pk: str | None = None,
     ):
         self.spark = spark
         self.left_root = left_root
@@ -829,6 +830,13 @@ class IncrementalJoinView:
         self.view_root = view_root
         self.on = list(on)
         self.left_pk = left_pk
+        #: when set, the state carries an EXTRA column `synth_pk` — the
+        #: timezone-pinned JSON render of the row's pk tuple — giving
+        #: downstream consumers that need a SINGLE pk column (the outer
+        #: padded machinery) a stable identity for composite-pk rows.
+        #: Purely derived (a projection of the pk columns), computed
+        #: identically on the bootstrap and every delta upsert.
+        self.synth_pk = synth_pk
         #: the left side may be identified by a COMPOSITE key (a list):
         #: that's how chained joins cascade — the intermediate join
         #: view's rows are identified by the accumulated pk columns of
@@ -907,7 +915,23 @@ class IncrementalJoinView:
                 f"non-key columns {sorted(overlap)} exist on both "
                 "sides; rename before constructing the view"
             )
+        if self.synth_pk and self.synth_pk in set(lcols) | set(rcols):
+            raise ValueError(
+                f"synth_pk {self.synth_pk!r} collides with a source "
+                "column"
+            )
         return lcols + [c for c in rcols if c not in self.on]
+
+    def _synth(self, rows: DataFrame) -> DataFrame:
+        if not self.synth_pk:
+            return rows
+        pks = list(dict.fromkeys([*self._left_pks, self.right_pk]))
+        return rows.withColumn(
+            self.synth_pk,
+            F.to_json(
+                F.struct(*[F.col(c) for c in pks]), _GID_JSON_OPTS
+            ),
+        )
 
     def _sigma(self, rows: DataFrame) -> DataFrame:
         """Apply the view's selection predicate (WHERE semantics) —
@@ -939,7 +963,11 @@ class IncrementalJoinView:
             ).fields:
                 src.setdefault(f.name, f.dataType.simpleString())
         added = sorted(c for c in out_cols if c not in state)
-        removed = sorted(c for c in state if c not in out_cols)
+        removed = sorted(
+            c
+            for c in state
+            if c not in out_cols and c != self.synth_pk
+        )
         retyped = sorted(
             c
             for c in out_cols
@@ -1005,9 +1033,11 @@ class IncrementalJoinView:
         out_cols = self._out_cols(left, right)
 
         if table is None:
-            state = self._sigma(
-                left.read(l2).join(right.read(r2), self.on)
-            ).select(*out_cols)
+            state = self._synth(
+                self._sigma(
+                    left.read(l2).join(right.read(r2), self.on)
+                ).select(*out_cols)
+            )
             VersionedTable.create(
                 self.spark,
                 self.view_root,
@@ -1027,7 +1057,9 @@ class IncrementalJoinView:
         self._check_schema_drift(table, out_cols, left, right)
         view_version = table.latest_version()
 
-        nets = self._net_delta(left, right, l1, r1, l2, r2, out_cols)
+        nets = self._synth(
+            self._net_delta(left, right, l1, r1, l2, r2, out_cols)
+        )
         pks = list(dict.fromkeys([*self._left_pks, self.right_pk]))
         ups = nets.filter(F.col("__net") > 0).drop("__net").withColumn(
             "__is_delete", F.lit(False)

@@ -96,7 +96,8 @@ _BODY_RE = re.compile(
 #: composition recipe.
 _CHAIN_BODY_RE = re.compile(
     r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t1>[A-Za-z_]\w*)"
-    r"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+[A-Za-z_]\w*"
+    r"(?P<joins>(?:\s+(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|"
+    r"FULL\s+(?:OUTER\s+)?)?JOIN\s+[A-Za-z_]\w*"
     r"\s+USING\s*\([^)]+\)){2,})"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?"
@@ -104,7 +105,8 @@ _CHAIN_BODY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CHAIN_JOIN_RE = re.compile(
-    r"\s+(?:INNER\s+)?JOIN\s+(?P<t>[A-Za-z_]\w*)"
+    r"\s+(?P<jt>INNER\s+|LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?"
+    r"JOIN\s+(?P<t>[A-Za-z_]\w*)"
     r"\s+USING\s*\((?P<using>[^)]+)\)",
     re.IGNORECASE,
 )
@@ -409,13 +411,30 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "view is SELECT * — project at read time instead)"
         )
     if cm is not None:
-        # chained (3+ table) INNER joins: one pk per table, FROM order
+        # chained (3+ table) joins: one pk per table in FROM order.
+        # The prefix must be INNER (each intermediate's state table IS
+        # its visible rows — the cascade mechanism); only the FINAL
+        # join may be LEFT/FULL OUTER (its left side is the last
+        # intermediate, identified by a synthesized single pk).
         tables = [cm.group("t1")]
         ons: list[list[str]] = []
+        jts: list[str] = []
         for jm in _CHAIN_JOIN_RE.finditer(cm.group("joins")):
             tables.append(jm.group("t"))
             ons.append(
                 [c.strip().strip("`") for c in jm.group("using").split(",")]
+            )
+            raw = (jm.group("jt") or "INNER").strip().upper().split()[0]
+            jts.append(
+                {"INNER": "inner", "LEFT": "left", "FULL": "full"}[raw]
+            )
+        if any(jt != "inner" for jt in jts[:-1]):
+            raise MaterializedViewError(
+                "only the FINAL join of a chain may be OUTER (an "
+                "intermediate outer would spread its rows across "
+                "padded side tables, which cannot feed the next "
+                "stage); put the outer join last, or in its own "
+                "materialized view and compose (MV-over-MV)"
             )
         if primary_key is None or len(primary_key) != len(tables):
             raise MaterializedViewError(
@@ -428,6 +447,7 @@ def parse_mv_body(body: str, primary_key: tuple[str, str] | None) -> dict:
             "tables": tables,
             "ons": ons,
             "pks": list(primary_key),
+            "last_join_type": jts[-1],
             "filter": where,
         }
         if not has_agg:
@@ -631,9 +651,14 @@ class MaterializedView:
                     if isinstance(t, MaterializedView)
                     else MaterializedView.open(spark, str(t))
                 )
-                # join_chain qualifies on the same grounds as an inner
-                # join view: its final state table IS its visible rows
-                if up.spec["kind"] != "join_chain" and (
+                # an all-INNER join_chain qualifies on the same grounds
+                # as an inner join view: its final state table IS its
+                # visible rows (an outer-final chain spreads across
+                # padded side tables like any outer view)
+                chain_ok = up.spec["kind"] == "join_chain" and (
+                    up.spec.get("last_join_type", "inner") == "inner"
+                )
+                if not chain_ok and (
                     up.spec["kind"] != "join"
                     or up.spec.get("join_type") != "inner"
                 ):
@@ -758,43 +783,73 @@ class MaterializedView:
         a row entering the predicate later must still find its join
         partners)."""
         roots, ons, pks = s["table_roots"], s["ons"], s["pks"]
+        last_jt = s.get("last_join_type", "inner")
         stages: list = []
         left_root, left_pks = roots[0], [pks[0]]
         n = len(roots)
         for i in range(1, n):
             on, right_root, rpk = ons[i - 1], roots[i], pks[i]
             if i < n - 1:
+                # an OUTER final stage needs a SINGLE left pk: the last
+                # intermediate synthesizes one (__lk, the JSON render of
+                # its pk tuple — dropped from the visible read)
+                synth = (
+                    "__lk" if i == n - 2 and last_jt != "inner" else None
+                )
                 j = IncrementalJoinView(
                     self.spark, left_root, right_root,
                     os.path.join(self.root, f"j{i}"),
                     on=on, left_pk=list(left_pks), right_pk=rpk,
+                    synth_pk=synth,
                 )
                 stages.append(j)
                 left_root = j.view_root
                 left_pks = list(dict.fromkeys([*left_pks, rpk]))
                 continue
             args = (self.spark, left_root, right_root, state)
-            kw = dict(on=on, left_pk=list(left_pks), right_pk=rpk)
+            if last_jt == "inner":
+                kw = dict(on=on, left_pk=list(left_pks), right_pk=rpk)
+            else:
+                kw = dict(on=on, left_pk="__lk", right_pk=rpk)
             if flt is not None:
                 kw["filter"] = flt
             if s["kind"] == "join_chain":
-                stages.append(IncrementalJoinView(*args, **kw))
+                cls = {
+                    "inner": IncrementalJoinView,
+                    "left": IncrementalLeftJoinView,
+                    "full": IncrementalFullJoinView,
+                }[last_jt]
+                stages.append(cls(*args, **kw))
             elif s.get("materialize_join"):
-                stages.append(
-                    IncrementalComposedJoinAggView(
-                        *args, **kw,
-                        group_keys=s["group_keys"], sums=s["sums"],
-                        mins=s.get("mins") or {},
-                        maxs=s.get("maxs") or {},
-                        distincts=s.get("distincts") or {},
-                        avgs=s.get("avgs") or {},
-                        stddevs=s.get("stddevs") or {},
-                        variances=s.get("variances") or {},
-                    )
+                extra = dict(
+                    group_keys=s["group_keys"], sums=s["sums"],
+                    mins=s.get("mins") or {},
+                    maxs=s.get("maxs") or {},
+                    distincts=s.get("distincts") or {},
+                    avgs=s.get("avgs") or {},
+                    stddevs=s.get("stddevs") or {},
+                    variances=s.get("variances") or {},
                 )
+                if last_jt == "inner":
+                    stages.append(
+                        IncrementalComposedJoinAggView(
+                            *args, **kw, **extra
+                        )
+                    )
+                else:
+                    stages.append(
+                        IncrementalComposedOuterJoinAggView(
+                            *args, **kw, **extra, join_type=last_jt
+                        )
+                    )
             else:
+                cls = {
+                    "inner": IncrementalJoinAggView,
+                    "left": IncrementalLeftJoinAggView,
+                    "full": IncrementalFullJoinAggView,
+                }[last_jt]
                 stages.append(
-                    IncrementalJoinAggView(
+                    cls(
                         *args, **kw,
                         group_keys=s["group_keys"], sums=s["sums"],
                     )
@@ -836,11 +891,16 @@ class MaterializedView:
             "join_chain_agg": "state",
         }[s["kind"]]
         root = os.path.join(self.root, sub)
-        if s["kind"] == "join" and s["join_type"] != "inner":
+        jt = (
+            s.get("last_join_type", "inner")
+            if s["kind"].startswith("join_chain")
+            else s.get("join_type")
+        )
+        if s["kind"] in ("join", "join_chain") and jt != "inner":
             root = os.path.join(root, "inner")
         elif s["kind"].endswith("agg") and s.get("materialize_join"):
             root = os.path.join(root, "state")  # composed: agg state
-        elif s["kind"] == "join_agg" and s["join_type"] != "inner":
+        elif s["kind"] in ("join_agg", "join_chain_agg") and jt != "inner":
             root = os.path.join(root, "agg")
         return VersionedTable(self.spark, root).latest_version()
 
@@ -852,7 +912,9 @@ class MaterializedView:
         s = self.spec
         df = self._view.read()
         if s["kind"] in ("join", "join_chain"):
-            return df
+            # __lk is the synthesized intermediate pk behind an
+            # outer-final chain — internal, not a SQL-visible column
+            return df.drop("__lk") if "__lk" in df.columns else df
         keys = s["keys"] if s["kind"] == "agg" else s["group_keys"]
         cols = [F.col(k) for k in keys]
         if s["count_alias"]:

@@ -1351,7 +1351,13 @@ class TestJoinChain:
                 "SELECT * FROM orders LEFT JOIN customer USING (ck) "
                 "JOIN nation USING (nk)",
                 ("k", "ck", "nk"),
-                "INNER-only",
+                "FINAL join",
+            ),
+            (
+                "SELECT * FROM orders JOIN customer USING (ck) "
+                "FULL JOIN nation USING (nk) JOIN region USING (rk)",
+                ("k", "ck", "nk", "rk"),
+                "FINAL join",
             ),
             (
                 "SELECT * FROM orders JOIN customer USING (ck) "
@@ -1693,3 +1699,207 @@ def test_chain_having_and_continuous_refresh(spark, tmp_path, env3):
             )
             == 3
         )
+
+
+class TestOuterFinalChain:
+    """Chains whose FINAL join is OUTER (r12): the last intermediate
+    synthesizes a single pk (__lk) so the outer padded machinery has a
+    row identity; unmatched intermediate rows null-pad the last dim."""
+
+    def test_parse(self):
+        s = parse_mv_body(
+            "SELECT * FROM orders JOIN customer USING (ck) "
+            "LEFT JOIN nation USING (nk)",
+            ("k", "ck", "nk"),
+        )
+        assert s["kind"] == "join_chain"
+        assert s["last_join_type"] == "left"
+        s2 = parse_mv_body(
+            "SELECT nname, COUNT(*) AS n FROM orders "
+            "JOIN customer USING (ck) FULL OUTER JOIN nation "
+            "USING (nk) GROUP BY nname",
+            ("k", "ck", "nk"),
+        )
+        assert s2["kind"] == "join_chain_agg"
+        assert s2["last_join_type"] == "full"
+
+    def _env(self, spark, tmp_path):
+        o = VersionedTable.create(
+            spark, str(tmp_path / "o_of"),
+            spark.createDataFrame(
+                [(1, 10, 1.0), (2, 20, 2.0), (3, 10, 3.0), (4, 30, 4.0)],
+                "k bigint, ck bigint, price double",
+            ),
+        )
+        c = VersionedTable.create(
+            spark, str(tmp_path / "c_of"),
+            spark.createDataFrame(
+                # nk=300 has NO nation row -> those joined rows pad
+                [(10, "a", 100), (20, "b", 200), (30, "c", 300)],
+                "ck bigint, seg string, nk bigint",
+            ),
+        )
+        n = VersionedTable.create(
+            spark, str(tmp_path / "n_of"),
+            spark.createDataFrame(
+                [(100, "US"), (200, "DE"), (999, "XX")],
+                "nk bigint, nname string",
+            ),
+        )
+        return o, c, n, {"orders": o, "customer": c, "nation": n}
+
+    def test_left_final_select_star_tracks_recompute(
+        self, spark, tmp_path
+    ):
+        o, c, n, tables = self._env(spark, tmp_path)
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW wof LOCATION "
+            f"'{tmp_path / 'mv_of'}' PRIMARY KEY (k, ck, nk) AS "
+            "SELECT * FROM orders JOIN customer USING (ck) "
+            "LEFT JOIN nation USING (nk)",
+            tables,
+        )
+
+        def expect():
+            df = (
+                o.read()
+                .join(c.read(), "ck")
+                .join(n.read(), "nk", "left")
+            )
+            return sorted(
+                map(tuple, df.select(
+                    "k", "ck", "nk", "price", "seg", "nname"
+                ).collect())
+            )
+
+        def got():
+            out = execute_sql(spark, "SELECT * FROM wof", tables)
+            assert "__lk" not in out.columns  # internal pk stays hidden
+            return sorted(
+                tuple(x)
+                for x in out.select(
+                    "k", "ck", "nk", "price", "seg", "nname"
+                ).collect()
+            )
+
+        assert got() == expect()
+        assert any(x[5] is None for x in got())  # nk=300 padded
+        # transitions on every feed: pad->match (nation 300 appears),
+        # match->pad (nation 100 dies), fact + middle-table churn
+        execute_sql(spark, "INSERT INTO nation VALUES (300, 'BR')", tables)
+        execute_sql(spark, "DELETE FROM nation WHERE nk = 100", tables)
+        execute_sql(spark, "INSERT INTO orders VALUES (5, 20, 9.0)", tables)
+        execute_sql(spark, "DELETE FROM customer WHERE ck = 20", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW wof", tables)
+        assert got() == expect()
+
+    def test_full_final_agg_tracks_recompute(self, spark, tmp_path):
+        o, c, n, tables = self._env(spark, tmp_path)
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW fof LOCATION "
+            f"'{tmp_path / 'mv_ff'}' PRIMARY KEY (k, ck, nk) AS "
+            "SELECT nname, COUNT(*) AS n, SUM(price) AS total "
+            "FROM orders JOIN customer USING (ck) "
+            "FULL JOIN nation USING (nk) GROUP BY nname",
+            tables,
+        )
+
+        def expect():
+            return sorted(
+                ((x.nname or "~"), x.n, x.total)
+                for x in o.read()
+                .join(c.read(), "ck")
+                .join(n.read(), "nk", "full")
+                .groupBy("nname")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("price").alias("total"),
+                )
+                .collect()
+            )
+
+        def got():
+            return sorted(
+                ((x.nname or "~"), x.n, x.total)
+                for x in execute_sql(
+                    spark, "SELECT * FROM fof", tables
+                ).collect()
+            )
+
+        assert got() == expect()
+        # XX (999) rides as a right-padded group; NULL group holds the
+        # nk=300 rows. Mutate all three feeds and both padded sets.
+        execute_sql(spark, "DELETE FROM nation WHERE nk = 999", tables)
+        execute_sql(spark, "INSERT INTO nation VALUES (300, 'BR')", tables)
+        execute_sql(
+            spark, "UPDATE orders SET price = 7.5 WHERE k = 1", tables
+        )
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW fof", tables)
+        assert got() == expect()
+
+    def test_left_final_extremes_composed(self, spark, tmp_path):
+        o, c, n, tables = self._env(spark, tmp_path)
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW xof LOCATION "
+            f"'{tmp_path / 'mv_xf'}' PRIMARY KEY (k, ck, nk) AS "
+            "SELECT nname, MIN(price) AS lo, MAX(price) AS hi "
+            "FROM orders JOIN customer USING (ck) "
+            "LEFT JOIN nation USING (nk) GROUP BY nname",
+            tables,
+        )
+
+        def expect():
+            return sorted(
+                ((x.nname or "~"), x.lo, x.hi)
+                for x in o.read()
+                .join(c.read(), "ck")
+                .join(n.read(), "nk", "left")
+                .groupBy("nname")
+                .agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+                .collect()
+            )
+
+        def got():
+            return sorted(
+                ((x.nname or "~"), x.lo, x.hi)
+                for x in execute_sql(
+                    spark, "SELECT * FROM xof", tables
+                ).collect()
+            )
+
+        assert got() == expect()
+        # delete AT the NULL group's extreme (k=4 is its only row:
+        # group death), and AT the US minimum (k=1) -> endangered rescan
+        execute_sql(spark, "DELETE FROM orders WHERE k = 4", tables)
+        execute_sql(spark, "DELETE FROM orders WHERE k = 1", tables)
+        execute_sql(spark, "REFRESH MATERIALIZED VIEW xof", tables)
+        assert got() == expect()
+        # reopen from disk rebuilds the synth-pk cascade
+        mv = MaterializedView.open(spark, str(tmp_path / "mv_xf"))
+        assert sorted(
+            ((x.nname or "~"), x.lo, x.hi) for x in mv.read().collect()
+        ) == expect()
+
+    def test_outer_final_chain_refuses_as_upstream(
+        self, spark, tmp_path
+    ):
+        o, c, n, tables = self._env(spark, tmp_path)
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW upof LOCATION "
+            f"'{tmp_path / 'mv_up'}' PRIMARY KEY (k, ck, nk) AS "
+            "SELECT * FROM orders JOIN customer USING (ck) "
+            "LEFT JOIN nation USING (nk)",
+            tables,
+        )
+        with pytest.raises(MaterializedViewError, match="padded side"):
+            execute_sql(
+                spark,
+                f"CREATE MATERIALIZED VIEW over LOCATION "
+                f"'{tmp_path / 'mv_over'}' AS "
+                "SELECT seg, COUNT(*) AS n FROM upof GROUP BY seg",
+                tables,
+            )
