@@ -1734,3 +1734,108 @@ def q199_incremental_bm25_index(
     assert idx.refresh() is None  # idempotent
 
     return idx.rank(["spark", "vector", "stream"], top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# q201 — the SEARCH INDEX statement surface (r12): the E129 maintained
+# BM25 index driven entirely through SQL text — CREATE SEARCH INDEX
+# bootstraps + persists _bm25.json, DML statements mutate the corpus,
+# ONE REFRESH SEARCH INDEX drains the feed, and SEARCH ... FOR ...
+# REQUIRE ALL serves AND-semantics ranking from the maintained
+# postings. Oracle recomputes AND-filtered BM25 over the mutated
+# corpus in DuckDB.
+# ---------------------------------------------------------------------------
+@register(
+    "q201_search_index_statements",
+    tags=("text", "search", "bm25", "sql", "incremental-view", "cdf"),
+    oracle="""
+WITH docs1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' shared spark stream'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 9 <> 4
+),
+tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM docs1
+  ) WHERE t <> ''
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS dl
+  FROM docs1
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'stream')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ) AS s,
+         count(*) AS nt
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM sc WHERE nt = 2
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 15
+""",
+)
+def q201_search_index_statements(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CREATE SEARCH INDEX -> UPDATE/DELETE statements -> REFRESH
+    SEARCH INDEX -> SEARCH ... FOR 'spark stream' TOP 15 REQUIRE ALL,
+    all through execute_sql."""
+    import os
+    import tempfile
+    import uuid
+
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_sidx_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    src = VersionedTable.create(
+        spark,
+        os.path.join(base, "docs"),
+        env.t("documents").select("doc_id", "text"),
+    )
+    tables = {"docs": src}
+    execute_sql(
+        spark,
+        f"CREATE SEARCH INDEX docs_fts ON docs (doc_id, text) "
+        f"LOCATION '{os.path.join(base, 'idx')}'",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE docs SET text = concat(text, ' shared spark stream') "
+        "WHERE doc_id % 7 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM docs WHERE doc_id % 9 = 4", tables)
+    execute_sql(spark, "REFRESH SEARCH INDEX docs_fts", tables)
+    return execute_sql(
+        spark,
+        "SEARCH docs_fts FOR 'spark stream' TOP 15 REQUIRE ALL",
+        tables,
+    )

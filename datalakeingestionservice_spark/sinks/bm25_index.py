@@ -56,9 +56,17 @@ from datalakeingestionservice_spark.sinks.versioned import (
 )
 
 
+_SPEC_FILE = "_bm25.json"
+
+
 class IncrementalBM25Index:
     """Maintained postings + term stats + corpus stats for Okapi BM25
-    serving over `source_root`'s change feed."""
+    serving over `source_root`'s change feed.
+
+    Phrase queries are NOT servable from the index (positions are not
+    maintained — postings carry tf only); use
+    :func:`operators.text.bm25_rank`'s recompute path for `phrase=`.
+    """
 
     def __init__(
         self,
@@ -78,6 +86,78 @@ class IncrementalBM25Index:
         self.postings_root = os.path.join(index_root, "postings")
         self.terms_root = os.path.join(index_root, "terms")
         self.stats_root = os.path.join(index_root, "stats")
+
+    # -- lifecycle -----------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        index_root: str,
+        source_root: str,
+        id_col: str,
+        text_col: str,
+        name: str | None = None,
+    ) -> "IncrementalBM25Index":
+        """Bootstrap the index and persist its spec (`_bm25.json`) at
+        the index root, so :meth:`open` rebuilds it in a fresh session
+        — the same reopen contract as MaterializedView."""
+        import json
+        import os
+
+        if os.path.exists(os.path.join(index_root, _SPEC_FILE)):
+            raise ValueError(
+                f"{index_root}: already holds a search index; open() "
+                "or REFRESH it instead"
+            )
+        idx = cls(
+            spark, source_root, index_root,
+            id_col=id_col, text_col=text_col,
+        )
+        idx.refresh()
+        os.makedirs(index_root, exist_ok=True)
+        spec = {
+            "source_root": source_root,
+            "id_col": id_col,
+            "text_col": text_col,
+        }
+        if name:
+            spec["name"] = name
+        tmp = os.path.join(index_root, _SPEC_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(spec, f, indent=1)
+        os.replace(tmp, os.path.join(index_root, _SPEC_FILE))
+        return idx
+
+    @classmethod
+    def open(
+        cls, spark: SparkSession, index_root: str
+    ) -> "IncrementalBM25Index":
+        import json
+        import os
+
+        path = os.path.join(index_root, _SPEC_FILE)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"{index_root}: no search index here "
+                f"({_SPEC_FILE} missing)"
+            )
+        with open(path) as f:
+            spec = json.load(f)
+        return cls(
+            spark,
+            spec["source_root"],
+            index_root,
+            id_col=spec["id_col"],
+            text_col=spec["text_col"],
+        )
+
+    @staticmethod
+    def exists(root) -> bool:
+        import os
+
+        return isinstance(root, str) and os.path.exists(
+            os.path.join(root, _SPEC_FILE)
+        )
 
     # -- state access -------------------------------------------------------
     def _table(self, root: str) -> VersionedTable | None:

@@ -338,8 +338,44 @@ _STOP_CR_RE = re.compile(
     r"STOP\s+CONTINUOUS\s+REFRESH$",
     re.IGNORECASE,
 )
+#: SEARCH INDEX statements (E129 at the statement surface): a
+#: maintained BM25 index over a registered table's change feed —
+#: CREATE bootstraps + persists `_bm25.json` at LOCATION, REFRESH
+#: drains the feed, SEARCH ranks from the maintained postings (phrase
+#: queries are NOT servable — positions are not maintained; the
+#: statement refuses quoted multi-word phrases only if the caller
+#: writes one, since terms are whitespace-split), DROP deregisters
+#: (state stays), ALTER ... START/STOP CONTINUOUS REFRESH manages the
+#: per-process stream registry exactly like the MV form.
+_CREATE_SIDX_RE = re.compile(
+    r"^CREATE\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)\s+ON\s+"
+    r"(?P<table>[A-Za-z_]\w*)\s*\(\s*(?P<id>[A-Za-z_]\w*)\s*,\s*"
+    r"(?P<text>[A-Za-z_]\w*)\s*\)\s+LOCATION\s+'(?P<loc>[^']+)'$",
+    re.IGNORECASE,
+)
+_REFRESH_SIDX_RE = re.compile(
+    r"^REFRESH\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_DROP_SIDX_RE = re.compile(
+    r"^DROP\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_SIDX_CR_RE = re.compile(
+    r"^ALTER\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?P<verb>START|STOP)\s+CONTINUOUS\s+REFRESH"
+    r"(?:\s+CHECKPOINT\s+'(?P<ck>[^']+)')?$",
+    re.IGNORECASE,
+)
+_SEARCH_RE = re.compile(
+    r"^SEARCH\s+(?P<name>[A-Za-z_]\w*)\s+FOR\s+'(?P<q>[^']*)'"
+    r"(?:\s+TOP\s+(?P<k>\d+))?(?:\s+(?P<all>REQUIRE\s+ALL))?$",
+    re.IGNORECASE,
+)
+
 _MV_STMT_RES = (
-    _CREATE_MV_RE, _REFRESH_MV_RE, _DROP_MV_RE, _START_CR_RE, _STOP_CR_RE
+    _CREATE_MV_RE, _REFRESH_MV_RE, _DROP_MV_RE, _START_CR_RE, _STOP_CR_RE,
+    _CREATE_SIDX_RE, _REFRESH_SIDX_RE, _DROP_SIDX_RE, _SIDX_CR_RE,
 )
 
 #: Live continuous-refresh handles, keyed by the view root's realpath.
@@ -394,6 +430,26 @@ def _resolve_mv(spark: SparkSession, name: str, tables: dict):
         return MaterializedView.open(spark, v)
     raise UnsupportedStatementError(
         f"{name!r} is a table, not a materialized view"
+    )
+
+
+def _resolve_sidx(spark: SparkSession, name: str, tables: dict):
+    from datalakeingestionservice_spark.sinks.bm25_index import (
+        IncrementalBM25Index,
+    )
+
+    if name not in tables:
+        raise UnsupportedStatementError(
+            f"unknown search index {name!r} "
+            f"(registered: {sorted(tables)})"
+        )
+    v = tables[name]
+    if isinstance(v, IncrementalBM25Index):
+        return v
+    if IncrementalBM25Index.exists(v):
+        return IncrementalBM25Index.open(spark, str(v))
+    raise UnsupportedStatementError(
+        f"{name!r} is not a search index"
     )
 _RESTORE_RE = re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+"
@@ -644,6 +700,80 @@ def execute_dml(
         if qs is None:
             raise UnsupportedStatementError(
                 f"{mcs.group('name')!r} is not running continuous "
+                "refresh in this process"
+            )
+        for q in qs:
+            q.stop()
+        return len(qs)
+    msi = _CREATE_SIDX_RE.match(sql)
+    if msi:
+        from datalakeingestionservice_spark.sinks.bm25_index import (
+            IncrementalBM25Index,
+        )
+
+        name = msi.group("name")
+        if name in tables:
+            raise UnsupportedStatementError(
+                f"{name!r} is already registered; DROP it first"
+            )
+        src_name = msi.group("table")
+        if src_name not in tables:
+            raise UnsupportedStatementError(
+                f"unknown source table {src_name!r} "
+                f"(registered: {sorted(tables)})"
+            )
+        t = tables[src_name]
+        src_root = t.root if isinstance(t, VersionedTable) else str(t)
+        idx = IncrementalBM25Index.create(
+            spark,
+            msi.group("loc"),
+            src_root,
+            id_col=msi.group("id"),
+            text_col=msi.group("text"),
+            name=name,
+        )
+        tables[name] = idx
+        return idx.last_refreshed_version()
+    msr = _REFRESH_SIDX_RE.match(sql)
+    if msr:
+        idx = _resolve_sidx(spark, msr.group("name"), tables)
+        v = idx.refresh()
+        return v if v is not None else idx.last_refreshed_version()
+    msd = _DROP_SIDX_RE.match(sql)
+    if msd:
+        # deregistration only — index state stays on disk
+        name = msd.group("name")
+        idx = _resolve_sidx(spark, name, tables)
+        if _cr_running(os.path.realpath(idx.index_root)):
+            raise UnsupportedStatementError(
+                f"search index {name!r} is running continuous "
+                "refresh; ALTER SEARCH INDEX ... STOP CONTINUOUS "
+                "REFRESH first"
+            )
+        v = idx.last_refreshed_version()
+        del tables[name]
+        return v
+    msc = _SIDX_CR_RE.match(sql)
+    if msc:
+        idx = _resolve_sidx(spark, msc.group("name"), tables)
+        rp = os.path.realpath(idx.index_root)
+        if msc.group("verb").upper() == "START":
+            if not msc.group("ck"):
+                raise UnsupportedStatementError(
+                    "START CONTINUOUS REFRESH needs CHECKPOINT '<path>'"
+                )
+            if _cr_running(rp):
+                raise UnsupportedStatementError(
+                    f"{msc.group('name')!r} already runs continuous "
+                    "refresh in this process; STOP it first"
+                )
+            q = idx.start_continuous_refresh(msc.group("ck"))
+            _CR_REGISTRY[rp] = (q,)
+            return 1
+        qs = _CR_REGISTRY.pop(rp, None)
+        if qs is None:
+            raise UnsupportedStatementError(
+                f"{msc.group('name')!r} is not running continuous "
                 "refresh in this process"
             )
         for q in qs:
@@ -1475,6 +1605,24 @@ def execute_sql(
     (:func:`execute_describe`); everything else routes to
     :func:`execute_dml` and returns the committed version."""
     sql = _strip(statement)
+    ms = _SEARCH_RE.match(sql)
+    if ms:
+        # SEARCH <idx> FOR '<terms>' [TOP k] [REQUIRE ALL] — BM25
+        # ranking served from the MAINTAINED index state (term-pruned
+        # postings scan; df + corpus scalars broadcast). Terms are
+        # whitespace-split; ordering is score DESC then id, 4dp like
+        # the bm25_rank recompute path.
+        idx = _resolve_sidx(spark, ms.group("name"), tables)
+        terms = ms.group("q").split()
+        if not terms:
+            raise UnsupportedStatementError(
+                "SEARCH needs at least one term"
+            )
+        return idx.rank(
+            terms,
+            top_k=int(ms.group("k")) if ms.group("k") else 20,
+            require_all=ms.group("all") is not None,
+        )
     if re.match(r"^(SELECT|WITH)\b", sql, re.IGNORECASE):
         return execute_select(spark, sql, tables)
     if re.match(r"^EXPLAIN\b", sql, re.IGNORECASE):
@@ -1552,11 +1700,12 @@ def execute_script(
                 "use catalog.add_table/remove_table outside a script; "
                 f"got: {s[:60]!r}"
             )
-        if any(rx.match(s) for rx in _MV_STMT_RES):
+        if any(rx.match(s) for rx in _MV_STMT_RES) or _SEARCH_RE.match(s):
             raise UnsupportedStatementError(
-                "materialized-view statements commit to their own "
-                "state tables outside the script's staged transaction "
-                f"— run them outside scripts; got: {s[:60]!r}"
+                "materialized-view / search-index statements commit to "
+                "(or read) their own state tables outside the script's "
+                "staged transaction — run them outside scripts; "
+                f"got: {s[:60]!r}"
             )
     results: list = []
     with catalog.staged_transaction() as txn:

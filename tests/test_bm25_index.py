@@ -209,3 +209,87 @@ def test_continuous_refresh_converges(spark, tmp_path, corpus):
         _assert_matches_recompute(idx, corpus, ["fox", "lazy"])
     finally:
         q.stop()
+
+
+def test_search_index_statements(spark, tmp_path, corpus):
+    """The statement surface (r12): CREATE/REFRESH/DROP SEARCH INDEX,
+    SEARCH ... FOR ... [TOP k] [REQUIRE ALL], ALTER ... START/STOP
+    CONTINUOUS REFRESH — refuse-never-reinterpret like the MV family,
+    with reopen-by-path via the persisted _bm25.json."""
+    from datalakeingestionservice_spark.sinks.sql_dml import (
+        UnsupportedStatementError,
+        execute_sql,
+    )
+
+    tables = {"docs": corpus}
+    root = str(tmp_path / "sidx")
+    execute_sql(
+        spark,
+        f"CREATE SEARCH INDEX dix ON docs (doc_id, text) "
+        f"LOCATION '{root}'",
+        tables,
+    )
+    got = _rank_pairs(execute_sql(spark, "SEARCH dix FOR 'fox dog' TOP 5", tables))
+    assert got == _rank_pairs(bm25_rank(corpus.read(), ["fox", "dog"], top_k=5))
+    # DML through the front door, one REFRESH statement
+    execute_sql(
+        spark, "INSERT INTO docs VALUES (30, 'fox fox dog')", tables
+    )
+    execute_sql(spark, "DELETE FROM docs WHERE doc_id = 2", tables)
+    execute_sql(spark, "REFRESH SEARCH INDEX dix", tables)
+    got = _rank_pairs(
+        execute_sql(
+            spark, "SEARCH dix FOR 'fox dog' TOP 5 REQUIRE ALL", tables
+        )
+    )
+    assert got == _rank_pairs(
+        bm25_rank(corpus.read(), ["fox", "dog"], top_k=5, require_all=True)
+    )
+    # reopen from disk in a fresh registration (path, not object)
+    t2 = {"docs": corpus, "dix": root}
+    got2 = _rank_pairs(execute_sql(spark, "SEARCH dix FOR 'lazy'", t2))
+    assert got2 == _rank_pairs(bm25_rank(corpus.read(), ["lazy"]))
+    # refusal matrix
+    with pytest.raises(UnsupportedStatementError, match="at least one"):
+        execute_sql(spark, "SEARCH dix FOR ''", tables)
+    with pytest.raises(UnsupportedStatementError, match="already"):
+        execute_sql(
+            spark,
+            f"CREATE SEARCH INDEX dix ON docs (doc_id, text) "
+            f"LOCATION '{tmp_path / 'other'}'",
+            tables,
+        )
+    with pytest.raises(UnsupportedStatementError, match="unknown search"):
+        execute_sql(spark, "SEARCH nope FOR 'a'", tables)
+    with pytest.raises(UnsupportedStatementError, match="not a search"):
+        execute_sql(spark, "SEARCH docs FOR 'a'", tables)
+    with pytest.raises(UnsupportedStatementError, match="CHECKPOINT"):
+        execute_sql(
+            spark, "ALTER SEARCH INDEX dix START CONTINUOUS REFRESH",
+            tables,
+        )
+    # CR lifecycle: START blocks DROP, STOP releases it
+    execute_sql(
+        spark,
+        f"ALTER SEARCH INDEX dix START CONTINUOUS REFRESH "
+        f"CHECKPOINT '{tmp_path / 'sck'}'",
+        tables,
+    )
+    with pytest.raises(UnsupportedStatementError, match="STOP"):
+        execute_sql(spark, "DROP SEARCH INDEX dix", tables)
+    with pytest.raises(UnsupportedStatementError, match="already runs"):
+        execute_sql(
+            spark,
+            f"ALTER SEARCH INDEX dix START CONTINUOUS REFRESH "
+            f"CHECKPOINT '{tmp_path / 'sck2'}'",
+            tables,
+        )
+    execute_sql(
+        spark, "ALTER SEARCH INDEX dix STOP CONTINUOUS REFRESH", tables
+    )
+    execute_sql(spark, "DROP SEARCH INDEX dix", tables)
+    assert "dix" not in tables
+    with pytest.raises(UnsupportedStatementError, match="not running"):
+        execute_sql(
+            spark, "ALTER SEARCH INDEX dix STOP CONTINUOUS REFRESH", t2
+        )
