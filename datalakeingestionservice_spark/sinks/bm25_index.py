@@ -160,9 +160,16 @@ class IncrementalBM25Index:
         )
 
     # -- state access -------------------------------------------------------
+    # The three state tables have NO change-feed consumers (the index
+    # consumes the SOURCE's feed; nothing consumes the index's), so
+    # they skip CDF materialization — Delta makes CDF opt-in for the
+    # same reason: a feed nobody reads is a snapshot-sized extra write
+    # per commit. At sf1 this halves the bootstrap write volume.
     def _table(self, root: str) -> VersionedTable | None:
         try:
-            return VersionedTable(self.spark, root)
+            return VersionedTable(
+                self.spark, root, materialize_changes=False
+            )
         except NoSuchVersionError:
             return None
 
@@ -200,13 +207,23 @@ class IncrementalBM25Index:
         """(term, doc_id, tf, dl) per distinct term of each doc. One
         explode + one (term, doc)-keyed aggregation over CHANGED docs
         only; docs with zero tokens yield no rows (explode drops empty
-        arrays), exactly as they hold no postings."""
-        toks = bm25_tokens(self.text_col)
+        arrays), exactly as they hold no postings.
+
+        The token array is PRE-PROJECTED into its own column before
+        size/explode: Catalyst does not common-subexpression the
+        tokenizer across the generator boundary, so inlining
+        ``size(bm25_tokens(text))`` next to ``explode(bm25_tokens(
+        text))`` re-tokenizes the WHOLE document per emitted token —
+        O(len²) per doc (measured 40 s -> 3.5 s at 50k docs)."""
         return (
             docs.select(
                 F.col(self.id_col),
-                F.size(toks).alias("dl"),
-                F.explode(toks).alias("term"),
+                bm25_tokens(self.text_col).alias("__t"),
+            )
+            .select(
+                F.col(self.id_col),
+                F.size("__t").alias("dl"),
+                F.explode("__t").alias("term"),
             )
             .groupBy("term", self.id_col)
             .agg(
@@ -263,6 +280,7 @@ class IncrementalBM25Index:
                 self.postings_root,
                 self._doc_terms(source.read(latest)),
                 summary={"source_version": latest},
+                materialize_changes=False,
             )
             return
         for _ in range(max_retries + 1):
@@ -329,6 +347,7 @@ class IncrementalBM25Index:
                 summary={"source_version": self._mark(
                     self._table(self.postings_root)
                 )},
+                materialize_changes=False,
             )
             return
         for _ in range(max_retries + 1):
@@ -403,6 +422,7 @@ class IncrementalBM25Index:
                     ).alias("sum_dl"),
                 ).select("__k", "n_docs", "sum_dl"),
                 summary={"source_version": latest},
+                materialize_changes=False,
             )
             return
         for _ in range(max_retries + 1):
