@@ -46,6 +46,12 @@ Supported statements (one per call):
 - ``RESTORE [TABLE] <t> TO VERSION AS OF n | TIMESTAMP AS OF '<iso>'``
   → :meth:`VersionedTable.restore` (a new commit of the pinned
   snapshot; the undone versions stay time-travelable).
+- ``CREATE SEARCH INDEX <n> ON <t> (<id>, <text>) LOCATION '...'`` /
+  ``REFRESH SEARCH INDEX`` / ``DROP SEARCH INDEX`` /
+  ``SEARCH <n> FOR '<terms>' [TOP k] [REQUIRE ALL]`` /
+  ``ALTER SEARCH INDEX <n> START|STOP CONTINUOUS REFRESH`` → the
+  incrementally-maintained BM25 index (`sinks/bm25_index.py`), served
+  from maintained postings/df/corpus stats.
 - ``ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN c |
   ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name`` →
   the metadata-only column-mapping / constraint commits.
@@ -1478,6 +1484,36 @@ def execute_describe(
       cost is independent of table size.
     """
     sql = _strip(statement)
+    msx = re.match(
+        r"^DESC(?:RIBE)?\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)$",
+        sql,
+        re.IGNORECASE,
+    )
+    if msx:
+        # The persisted definition + freshness + vocabulary/corpus
+        # sizes from the maintained stats — no postings scan.
+        idx = _resolve_sidx(spark, msx.group("name"), tables)
+        terms_t = VersionedTable(spark, idx.terms_root)
+        stats = (
+            VersionedTable(spark, idx.stats_root).read().collect()[0]
+        )
+        row = (
+            msx.group("name"),
+            idx.source_root,
+            idx.id_col,
+            idx.text_col,
+            idx.index_root,
+            idx.last_refreshed_version(),
+            int(terms_t.read().count()),
+            int(stats.n_docs),
+            int(stats.sum_dl),
+        )
+        return spark.createDataFrame(
+            [row],
+            "name string, source_root string, id_col string, "
+            "text_col string, location string, source_version int, "
+            "n_terms bigint, n_docs bigint, sum_dl bigint",
+        )
     mdv = re.match(
         r"^DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",
         sql,

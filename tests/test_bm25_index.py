@@ -293,3 +293,27 @@ def test_search_index_statements(spark, tmp_path, corpus):
         execute_sql(
             spark, "ALTER SEARCH INDEX dix STOP CONTINUOUS REFRESH", t2
         )
+
+
+def test_describe_search_index(spark, tmp_path, corpus):
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    tables = {"docs": corpus}
+    root = str(tmp_path / "dsidx")
+    execute_sql(
+        spark,
+        f"CREATE SEARCH INDEX dix ON docs (doc_id, text) "
+        f"LOCATION '{root}'",
+        tables,
+    )
+    d = execute_sql(spark, "DESCRIBE SEARCH INDEX dix", tables).collect()[0]
+    assert d.name == "dix" and d.location == root
+    assert (d.id_col, d.text_col) == ("doc_id", "text")
+    assert d.source_version == 1
+    assert d.n_docs == len(DOCS)
+    exp_terms = (
+        corpus.read()
+        .select(F.explode(F.array_distinct(bm25_tokens("text"))).alias("t"))
+        .select("t").distinct().count()
+    )
+    assert d.n_terms == exp_terms
