@@ -97,6 +97,39 @@ def _setup_merge_views(spark, tables, tmp_path):
     ).createOrReplaceTempView("mdel")
 
 
+def _setup_star(spark, tables, tmp_path):
+    tables["f"] = VersionedTable.create(
+        spark,
+        str(tmp_path / "gf"),
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 10)], "fk bigint, ck bigint"
+        ),
+    )
+    tables["customer"] = VersionedTable.create(
+        spark,
+        str(tmp_path / "gc"),
+        spark.createDataFrame(
+            [(10, 100), (20, 200)], "ck bigint, nk bigint"
+        ),
+    )
+    tables["nation"] = VersionedTable.create(
+        spark,
+        str(tmp_path / "gn"),
+        spark.createDataFrame(
+            [(100, "US"), (200, "DE")], "nk bigint, nname string"
+        ),
+    )
+
+
+def _setup_sidx(spark, tables, tmp_path):
+    execute_sql(
+        spark,
+        f"CREATE SEARCH INDEX six ON t (k, s) "
+        f"LOCATION '{tmp_path / 'gsix'}'",
+        tables,
+    )
+
+
 # -- the matrix -------------------------------------------------------------
 # (id, setup, sql, expect, check) — expect: "ok" | exception class;
 # check(result, tables) runs for ok-cases.
@@ -323,6 +356,49 @@ CASES = [
     ("refuse_restore_missing_asof", None, "RESTORE t TO VERSION 3",
      UnsupportedStatementError, None),
     ("refuse_vacuum_bad_retain", None, "VACUUM t RETAIN five VERSIONS",
+     UnsupportedStatementError, None),
+    # --- chained-join MV family (r12)
+    ("create_chain_mv", _setup_star,
+     lambda tmp, tb: f"CREATE MATERIALIZED VIEW rollx LOCATION "
+     f"'{tmp / 'rollx'}' PRIMARY KEY (fk, ck, nk) AS "
+     "SELECT nname, COUNT(*) AS n FROM f JOIN customer USING (ck) "
+     "JOIN nation USING (nk) GROUP BY nname", "ok",
+     lambda r, tb: {(x.nname, x.n) for x in tb["rollx"].read().collect()}
+     == {("US", 2), ("DE", 1)}),
+    ("create_chain_mv_outer_final", _setup_star,
+     lambda tmp, tb: f"CREATE MATERIALIZED VIEW rollof LOCATION "
+     f"'{tmp / 'rollof'}' PRIMARY KEY (fk, ck, nk) AS "
+     "SELECT * FROM f JOIN customer USING (ck) "
+     "LEFT JOIN nation USING (nk)", "ok", None),
+    ("refuse_chain_nonfinal_outer", _setup_star,
+     lambda tmp, tb: f"CREATE MATERIALIZED VIEW bad LOCATION "
+     f"'{tmp / 'bad'}' PRIMARY KEY (fk, ck, nk) AS "
+     "SELECT * FROM f LEFT JOIN customer USING (ck) "
+     "JOIN nation USING (nk)", ValueError, None),
+    ("refuse_chain_pk_arity", _setup_star,
+     lambda tmp, tb: f"CREATE MATERIALIZED VIEW bad LOCATION "
+     f"'{tmp / 'bad'}' PRIMARY KEY (fk, ck) AS "
+     "SELECT * FROM f JOIN customer USING (ck) "
+     "JOIN nation USING (nk)", ValueError, None),
+    # --- SEARCH INDEX family (r12)
+    ("search_statement", _setup_sidx, "SEARCH six FOR 'b c' TOP 5",
+     "ok",
+     lambda r, tb: {x.k for x in r.collect()} == {2, 3}),
+    ("search_require_all", _setup_sidx,
+     "SEARCH six FOR 'b c' TOP 5 REQUIRE ALL", "ok",
+     lambda r, tb: r.count() == 0),
+    ("describe_search_index", _setup_sidx,
+     "DESCRIBE SEARCH INDEX six", "ok",
+     lambda r, tb: r.collect()[0].n_docs == 3),
+    ("refresh_search_index", _setup_sidx, "REFRESH SEARCH INDEX six",
+     "ok", None),
+    ("drop_search_index", _setup_sidx, "DROP SEARCH INDEX six", "ok",
+     lambda r, tb: "six" not in tb),
+    ("refuse_search_no_terms", _setup_sidx, "SEARCH six FOR ''",
+     UnsupportedStatementError, None),
+    ("refuse_search_unknown", None, "SEARCH nope FOR 'a'",
+     UnsupportedStatementError, None),
+    ("refuse_search_on_table", None, "SEARCH t FOR 'a'",
      UnsupportedStatementError, None),
 ]
 
