@@ -1839,3 +1839,126 @@ def q201_search_index_statements(
         "SEARCH docs_fts FOR 'spark stream' TOP 15 REQUIRE ALL",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — MAINTAINED BM25 INDEX SERVES LIKE AN INDEX (r13): the serving
+# half of E129 under the plan audit. postings/ and terms/ are laid out
+# `bucket(16, term)` (hidden partitioning), and rank() plans its scan
+# through `read(predicates=[("term", "in", terms)])` — so a SEARCH
+# derives LEAF pruning from its term list and scans ~|terms|/16 of the
+# index instead of all of it, the query-side twin of refresh ∝ |Δ|.
+# The ranking itself sits behind the oracle (DuckDB recomputes BM25
+# over the mutated corpus); the pruning facts ride as boolean columns
+# computed from the SAME prune_info the planner uses (the q129/q137
+# pattern — the oracle can't hash buckets, so it pins TRUE):
+#   search_pruned_ok  — more postings leaves skipped than scanned
+#   scan_minority_ok  — a 3-term SEARCH plans a strict-minority scan
+# ---------------------------------------------------------------------------
+@register(
+    "q202_bm25_index_serving_prune",
+    tags=("text", "search", "bm25", "lake", "data-skipping"),
+    oracle="""
+WITH docs1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN 'spark streams quickly ' || text
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 1
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text || ' vector vector' AS text
+  FROM documents WHERE doc_id % 10 = 2
+),
+tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM docs1
+  ) WHERE t <> ''
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS dl
+  FROM docs1
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'vector', 'stream')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ) AS s
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score,
+       TRUE AS search_pruned_ok, TRUE AS scan_minority_ok
+FROM sc
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT 20
+""",
+)
+def q202_bm25_index_serving_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q199's maintain-then-serve pipeline with the serving PLAN under
+    test: bootstrap the bucketed index, mutate the corpus (update /
+    delete / insert), ONE incremental refresh, then rank {spark,
+    vector, stream} — and pin, from the same prune_info the pruned
+    read plans with, that the SEARCH skipped more postings leaves than
+    it scanned and scanned a strict minority of the index."""
+    import os
+    import tempfile
+    import uuid
+
+    from datalakeingestionservice_spark.sinks.bm25_index import (
+        IncrementalBM25Index,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_bm25prune_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    docs = env.t("documents").select("doc_id", "text")
+    src = VersionedTable.create(spark, os.path.join(base, "docs"), docs)
+    idx = IncrementalBM25Index(
+        spark, src.root, os.path.join(base, "idx"), buckets=16
+    )
+    idx.refresh()
+
+    clones = docs.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" vector vector")).alias("text"),
+    )
+    src.update_where(
+        F.col("doc_id") % 10 == 0,
+        {"text": F.concat(F.lit("spark streams quickly "), F.col("text"))},
+    )
+    src.delete_where(F.col("doc_id") % 10 == 1)
+    src.append(clones)
+    idx.refresh()
+
+    terms = ["spark", "vector", "stream"]
+    info = idx.serving_prune_info(terms)
+    total = info["n_scanned"] + info["n_skipped"]
+    return idx.rank(terms, top_k=20).select(
+        "doc_id",
+        "score",
+        F.lit(
+            info["n_skipped"] > info["n_scanned"] > 0
+        ).alias("search_pruned_ok"),
+        F.lit(info["n_scanned"] * 2 < total).alias("scan_minority_ok"),
+    )

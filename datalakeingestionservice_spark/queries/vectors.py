@@ -1221,3 +1221,121 @@ def q196_semantic_decontamination_ivf(
         "vec_id", "heldout_id",
         F.round("cos_sim", 4).alias("cos_sim"),
     ).orderBy("vec_id", "heldout_id")
+
+
+# ---------------------------------------------------------------------------
+# q203 — MAINTAINED IVF INDEX SERVES LIKE AN INDEX (r13): the serving
+# half of E110 under the plan audit. The assignment table is
+# identity-partitioned by cell, and topk() plans its scan through
+# `read(predicates=[(cid, "in", probed_cells)])` — an n_probe=2 search
+# derives LEAF pruning from its probed cells and scans only those
+# cells' dirs, never the whole assignment. Ranking sits behind the
+# oracle (DuckDB recomputes assignment + probe over the mutated
+# corpus); the pruning facts ride as booleans from the SAME prune_info
+# the planner uses (q129/q137 pattern):
+#   probe_pruned_ok   — more assignment leaves skipped than scanned
+#   scan_minority_ok  — 2 probed cells of 8 plan a strict-minority scan
+# ---------------------------------------------------------------------------
+@register(
+    "q203_ivf_index_serving_prune",
+    tags=("vectors", "ann", "ivf", "lake", "data-skipping"),
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+emb1 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 11 = 4
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 7 <> 3
+  UNION ALL
+  SELECT vec_id + 1000000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 13 = 6
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe_cells AS (
+  SELECT cid FROM centroids CROSS JOIN q
+  ORDER BY {_duck_cosine('cv', 'qv')} DESC, cid
+  LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cosine('e.embedding', 'c.cv')} DESC,
+                                       c.cid) AS rn
+    FROM emb1 e CROSS JOIN centroids c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_id, a.cid AS cell,
+       round({_duck_cosine('a.embedding', 'q.qv')}, 4) AS cos_sim,
+       TRUE AS probe_pruned_ok, TRUE AS scan_minority_ok
+FROM assigned a
+JOIN probe_cells p ON a.cid = p.cid
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""",
+)
+def q203_ivf_index_serving_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q182's maintain-then-serve pipeline with the serving PLAN under
+    test: bootstrap the cell-partitioned index, mutate the corpus
+    (reassigning updates / deletes / inserts), ONE incremental
+    refresh, then probe-search with n_probe=2 — and pin, from the same
+    prune_info the pruned read plans with, that the probe skipped more
+    assignment leaves than it scanned and scanned a strict minority of
+    the index."""
+    import os
+    import tempfile
+    import uuid
+
+    from datalakeingestionservice_spark.sinks.ivf_index import (
+        IncrementalIVFIndex,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_ivfprune_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    emb = env.t("embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    src = VersionedTable.create(spark, os.path.join(base, "emb"), emb)
+    idx = IncrementalIVFIndex(
+        spark, src.root, os.path.join(base, "idx"), centroids
+    )
+    idx.refresh()
+
+    twins = emb.filter(F.col("vec_id") % 13 == 6).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+    )
+    src.update_where(
+        F.col("vec_id") % 11 == 4,
+        {"embedding": F.transform(F.col("embedding"), lambda x: -x)},
+    )
+    src.delete_where(F.col("vec_id") % 7 == 3)
+    src.append(twins)
+    idx.refresh()
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    info = idx.serving_prune_info(q, n_probe=2)
+    total = info["n_scanned"] + info["n_skipped"]
+    return idx.topk(q, k=5, n_probe=2, exclude_ids=[0]).select(
+        "vec_id",
+        "cell",
+        "cos_sim",
+        F.lit(
+            info["n_skipped"] > info["n_scanned"] > 0
+        ).alias("probe_pruned_ok"),
+        F.lit(info["n_scanned"] * 2 < total).alias("scan_minority_ok"),
+    )

@@ -75,6 +75,7 @@ class IncrementalBM25Index:
         index_root: str,
         id_col: str = "doc_id",
         text_col: str = "text",
+        buckets: int = 16,
     ):
         import os
 
@@ -83,9 +84,19 @@ class IncrementalBM25Index:
         self.index_root = index_root
         self.id_col = id_col
         self.text_col = text_col
+        #: postings/ and terms/ are laid out `bucket(buckets, term)`
+        #: (hidden partitioning): a SEARCH derives leaf pruning from its
+        #: term list, so serving scans ~len(terms)/buckets of the index
+        #: instead of all of it. 0 = unpartitioned (legacy indexes).
+        self.buckets = buckets
         self.postings_root = os.path.join(index_root, "postings")
         self.terms_root = os.path.join(index_root, "terms")
         self.stats_root = os.path.join(index_root, "stats")
+
+    def _term_spec(self) -> list[str] | None:
+        return (
+            [f"bucket({self.buckets}, term)"] if self.buckets else None
+        )
 
     # -- lifecycle -----------------------------------------------------------
     @classmethod
@@ -97,6 +108,7 @@ class IncrementalBM25Index:
         id_col: str,
         text_col: str,
         name: str | None = None,
+        buckets: int = 16,
     ) -> "IncrementalBM25Index":
         """Bootstrap the index and persist its spec (`_bm25.json`) at
         the index root, so :meth:`open` rebuilds it in a fresh session
@@ -109,9 +121,11 @@ class IncrementalBM25Index:
                 f"{index_root}: already holds a search index; open() "
                 "or REFRESH it instead"
             )
+        if buckets < 0:
+            raise ValueError("buckets must be >= 0 (0 = unpartitioned)")
         idx = cls(
             spark, source_root, index_root,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, buckets=buckets,
         )
         idx.refresh()
         os.makedirs(index_root, exist_ok=True)
@@ -119,6 +133,7 @@ class IncrementalBM25Index:
             "source_root": source_root,
             "id_col": id_col,
             "text_col": text_col,
+            "buckets": buckets,
         }
         if name:
             spec["name"] = name
@@ -149,6 +164,10 @@ class IncrementalBM25Index:
             index_root,
             id_col=spec["id_col"],
             text_col=spec["text_col"],
+            # legacy spec files (pre-bucketing) opened unpartitioned:
+            # their state tables were created without a spec, and the
+            # layout is fixed at bootstrap
+            buckets=spec.get("buckets", 0),
         )
 
     @staticmethod
@@ -281,6 +300,11 @@ class IncrementalBM25Index:
                 self._doc_terms(source.read(latest)),
                 summary={"source_version": latest},
                 materialize_changes=False,
+                # serving-side pruning: SEARCH term equality derives
+                # leaf pruning from the bucket dirs (hidden
+                # partitioning), so a query scans ~|terms|/buckets of
+                # the postings instead of the whole index
+                partition_by=self._term_spec(),
             )
             return
         for _ in range(max_retries + 1):
@@ -348,6 +372,7 @@ class IncrementalBM25Index:
                     self._table(self.postings_root)
                 )},
                 materialize_changes=False,
+                partition_by=self._term_spec(),
             )
             return
         for _ in range(max_retries + 1):
@@ -509,12 +534,19 @@ class IncrementalBM25Index:
         come from the index: the only corpus-shaped work is the
         postings scan FILTERED to the query terms (term-pruned at the
         source) and one per-doc aggregation over candidate rows.
-        Returns (id, score) like the recompute path."""
+        Returns (id, score) like the recompute path.
+
+        The postings/terms reads go through `read(predicates=[("term",
+        "in", terms)])`: on a bucketed index the term list derives
+        bucket-dir pruning at PLAN time (plus bloom/footer-stat file
+        pruning), so the scan is ~|terms|/buckets of the index — the
+        query-side twin of refresh ∝ |Δ|. `read(predicates=)` also
+        applies the same row filter, so results are identical to the
+        unpruned read + isin."""
         terms = list(dict.fromkeys(query_terms))
-        tstats = (
-            VersionedTable(self.spark, self.terms_root)
-            .read()
-            .filter(F.col("term").isin(terms))
+        preds = [("term", "in", terms)]
+        tstats = VersionedTable(self.spark, self.terms_root).read(
+            predicates=preds
         )
         stats1 = (
             VersionedTable(self.spark, self.stats_root)
@@ -526,7 +558,13 @@ class IncrementalBM25Index:
                 ).alias("avgdl"),
             )
         )
-        cand = self.read_postings().filter(F.col("term").isin(terms))
+        t = self._table(self.postings_root)
+        if t is None:
+            raise NoSuchVersionError(
+                f"{self.postings_root}: index not materialized; "
+                "call refresh()"
+            )
+        cand = t.read(predicates=preds)
         idf = F.log(
             F.lit(1.0)
             + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -554,4 +592,19 @@ class IncrementalBM25Index:
             )
             .orderBy(F.col("score").desc(), F.col(self.id_col))
             .limit(top_k)
+        )
+
+    def serving_prune_info(self, query_terms: list[str]) -> dict:
+        """What a `rank(query_terms)` would scan vs skip in the
+        postings table — the plan-time evidence that serving prunes
+        (`VersionedTable.prune_info` over the same predicate `rank`
+        plans with)."""
+        t = self._table(self.postings_root)
+        if t is None:
+            raise NoSuchVersionError(
+                f"{self.postings_root}: index not materialized; "
+                "call refresh()"
+            )
+        return t.prune_info(
+            [("term", "in", list(dict.fromkeys(query_terms)))]
         )

@@ -129,6 +129,11 @@ class IncrementalIVFIndex:
                 self.index_root,
                 self._assign(source.read(latest)),
                 summary={"source_version": latest},
+                # identity-partition by cell: a probe search prunes to
+                # its n_probe leaf dirs at PLAN time instead of
+                # scanning every assignment file (cells ≈ sqrt(corpus),
+                # so leaves stay coarse enough to not fragment writes)
+                partition_by=[self.centroid_id_col],
             )
             return latest
 
@@ -222,6 +227,45 @@ class IncrementalIVFIndex:
         )
 
     # -- serving ------------------------------------------------------------
+    def _probe_cells(
+        self, query: DataFrame, n_probe: int, query_vec_col: str
+    ) -> list:
+        """The n_probe cell ids nearest the query — ranked over the
+        caller's fixed small centroid frame (ties on cid)."""
+        return [
+            r[0]
+            for r in (
+                self.centroids.crossJoin(F.broadcast(query))
+                .orderBy(
+                    F.desc(cosine(self.centroid_vec_col, query_vec_col)),
+                    F.asc(self.centroid_id_col),
+                )
+                .limit(n_probe)
+                .select(self.centroid_id_col)
+                .collect()
+            )
+        ]
+
+    def serving_prune_info(
+        self,
+        query: DataFrame,
+        n_probe: int = 2,
+        query_vec_col: str = "qv",
+    ) -> dict:
+        """What a `topk(query, n_probe=...)` would scan vs skip in the
+        assignment table — plan-time evidence that a probe search
+        prunes to its cells' leaves."""
+        t = self._index_table()
+        if t is None:
+            raise NoSuchVersionError(
+                f"{self.index_root}: index not materialized; "
+                "call refresh()"
+            )
+        cells = self._probe_cells(query, n_probe, query_vec_col)
+        return t.prune_info(
+            [(self.centroid_id_col, "in", cells)]
+        )
+
     def topk(
         self,
         query: DataFrame,
@@ -236,18 +280,21 @@ class IncrementalIVFIndex:
         (single-row, broadcast) query, equi-join the top `n_probe`
         cells of the index, exact-rank within. Returns
         (id, cell, cos_sim) — cosine rounded to `round_dp`, ties on id.
-        Cost ∝ rows in the probed cells, never corpus size."""
-        probe_cells = (
-            self.centroids.crossJoin(F.broadcast(query))
-            .orderBy(
-                F.desc(cosine(self.centroid_vec_col, query_vec_col)),
-                F.asc(self.centroid_id_col),
+        Cost ∝ rows in the probed cells, never corpus size: the probed
+        cell ids (an n_probe-sized list from the always-small centroid
+        frame — a constant-size collect, never data-sized) drive a
+        `read(predicates=[(cid, "in", cells)])`, so the cid-partitioned
+        index prunes to the probed LEAF DIRS at plan time instead of
+        filtering a full scan."""
+        cells = self._probe_cells(query, n_probe, query_vec_col)
+        t = self._index_table()
+        if t is None:
+            raise NoSuchVersionError(
+                f"{self.index_root}: index not materialized; "
+                "call refresh()"
             )
-            .limit(n_probe)
-            .select(self.centroid_id_col)
-        )
-        cand = self.read().join(
-            F.broadcast(probe_cells), self.centroid_id_col
+        cand = t.read(
+            predicates=[(self.centroid_id_col, "in", cells)]
         )
         if exclude_ids:
             cand = cand.filter(~F.col(self.id_col).isin(exclude_ids))

@@ -356,7 +356,8 @@ _STOP_CR_RE = re.compile(
 _CREATE_SIDX_RE = re.compile(
     r"^CREATE\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)\s+ON\s+"
     r"(?P<table>[A-Za-z_]\w*)\s*\(\s*(?P<id>[A-Za-z_]\w*)\s*,\s*"
-    r"(?P<text>[A-Za-z_]\w*)\s*\)\s+LOCATION\s+'(?P<loc>[^']+)'$",
+    r"(?P<text>[A-Za-z_]\w*)\s*\)\s+LOCATION\s+'(?P<loc>[^']+)'"
+    r"(?:\s+BUCKETS\s+(?P<buckets>\d+))?$",
     re.IGNORECASE,
 )
 _REFRESH_SIDX_RE = re.compile(
@@ -737,6 +738,13 @@ def execute_dml(
             id_col=msi.group("id"),
             text_col=msi.group("text"),
             name=name,
+            # postings/terms layout: bucket(N, term) hidden
+            # partitioning so SEARCH prunes to its terms' leaves
+            **(
+                {"buckets": int(msi.group("buckets"))}
+                if msi.group("buckets")
+                else {}
+            ),
         )
         tables[name] = idx
         return idx.last_refreshed_version()
@@ -1507,12 +1515,14 @@ def execute_describe(
             int(terms_t.read().count()),
             int(stats.n_docs),
             int(stats.sum_dl),
+            int(idx.buckets),
         )
         return spark.createDataFrame(
             [row],
             "name string, source_root string, id_col string, "
             "text_col string, location string, source_version int, "
-            "n_terms bigint, n_docs bigint, sum_dl bigint",
+            "n_terms bigint, n_docs bigint, sum_dl bigint, "
+            "buckets int",
         )
     mdv = re.match(
         r"^DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",

@@ -281,7 +281,7 @@ def _collect_dir_stats(abs_dir: str) -> dict:
     return {"rows": rows, "columns": columns, "files": files}
 
 
-_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 # -- bloom-filter data skipping ---------------------------------------------
@@ -856,6 +856,20 @@ def _derive_transform_preds(
         for c, op, v in preds:
             if c != pcol or v is None:
                 continue
+            if op == "in":
+                # Equality-class: derives for every transform (bucket
+                # included) — each value maps through the transform and
+                # the alias keeps IN semantics (dir value ∈ mapped set).
+                if not isinstance(v, (list, tuple, set)):
+                    continue
+                fvs = [
+                    _transform_py(fn, param, x, schema_types.get(col, ""))
+                    for x in v
+                    if x is not None
+                ]
+                if fvs and all(fv is not None for fv in fvs):
+                    extra.append((alias, "in", fvs))
+                continue
             fv = _transform_py(fn, param, v, schema_types.get(col, ""))
             if fv is None:
                 continue
@@ -1027,6 +1041,16 @@ def _parts_refute(
     for col, op, val in predicates:
         if col not in part_values or op not in _PRUNE_OPS:
             continue
+        if op == "in":
+            # Disjunction of equalities: the entry is refuted iff EVERY
+            # value is refuted individually (empty list = IN () matches
+            # no row, so vacuous all() correctly refutes).
+            if isinstance(val, (list, tuple, set)) and all(
+                _parts_refute(part_values, part_types, [(col, "=", v)])
+                for v in val
+            ):
+                return True
+            continue
         raw = part_values[col]
         if raw is None:
             return True
@@ -1052,6 +1076,29 @@ def _entry_may_match(
     blooms = stats.get("bloom")
     if blooms:
         for col, op, val in predicates:
+            if (
+                op == "in"
+                and col in blooms
+                and isinstance(val, (list, tuple, set))
+                and val
+                and all(
+                    isinstance(v, (int, str)) and not isinstance(v, bool)
+                    for v in val
+                )
+            ):
+                # Disjunction of equalities: refuted iff the filter
+                # proves absent for EVERY value.
+                meta = blooms[col]
+                try:
+                    if all(
+                        not _bloom_may_contain(
+                            meta["b64"], v, meta["m"], meta["k"]
+                        )
+                        for v in val
+                    ):
+                        return False
+                except (KeyError, ValueError, TypeError):
+                    continue  # malformed filter: can't prove, keep
             if (
                 op == "="
                 and col in blooms
@@ -1102,6 +1149,15 @@ def _dir_may_match(dir_stats: dict, predicates: list[tuple]) -> bool:
     if dir_stats.get("rows") == 0:
         return False  # provably empty: nothing to match
     for col, op, val in predicates:
+        if op == "in":
+            # Disjunction of equalities: the dir is refuted iff its
+            # stats refute EVERY value (empty IN () matches no row).
+            if isinstance(val, (list, tuple, set)) and all(
+                not _dir_may_match(dir_stats, [(col, "=", v)])
+                for v in val
+            ):
+                return False
+            continue
         cs = dir_stats.get("columns", {}).get(col)
         if cs is None:
             continue
@@ -1228,6 +1284,9 @@ def _predicates_to_column(predicates: list[tuple]) -> Column:
     }
     cond = F.lit(True)
     for col, op, val in predicates:
+        if op == "in":
+            cond = cond & F.col(col).isin(list(val))
+            continue
         if op not in ops:
             raise ValueError(f"unsupported op {op!r}; one of {_PRUNE_OPS}")
         cond = cond & ops[op](F.col(col), F.lit(val))
@@ -2497,7 +2556,9 @@ class VersionedTable:
         predicates: list[tuple] | None = None,
     ) -> DataFrame:
         """Read a snapshot. With `predicates` — a conjunction of
-        (column, op, literal) triples, op in =,<,<=,>,>= — data dirs (and,
+        (column, op, literal) triples, op in =,<,<=,>,>=,in (`in` takes
+        a list of literals: a disjunction of equalities, pruning an
+        entry only when EVERY value is refuted) — data dirs (and,
         within surviving dirs, individual FILES via the manifest's
         per-file stats) that the stats prove empty for the predicate are
         skipped BEFORE Spark plans the scan, and the same predicate is
