@@ -364,10 +364,23 @@ _GRAM_CACHES: list = []
 _MAX_GRAM_CACHES = 4
 
 
+def _drop_gram_cache(df) -> None:
+    """Unpersist an evicted cache, tolerating a STOPPED session: the
+    registry is module-level, so after `spark.stop()` + a new session
+    (back-to-back probe runs, notebook restarts) it can still hold
+    frames whose JVM endpoints are gone — unpersisting those raises
+    from deep inside the block manager, and there is nothing to free
+    anyway (the storage died with the session)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def _register_gram_cache(df) -> None:
     _GRAM_CACHES.append(df)
     while len(_GRAM_CACHES) > _MAX_GRAM_CACHES:
-        _GRAM_CACHES.pop(0).unpersist()
+        _drop_gram_cache(_GRAM_CACHES.pop(0))
 
 
 def release_exact_substring_caches() -> None:
@@ -376,7 +389,7 @@ def release_exact_substring_caches() -> None:
     Safe while lazy results from those calls are still alive: they
     recompute without the cache instead of failing."""
     while _GRAM_CACHES:
-        _GRAM_CACHES.pop().unpersist()
+        _drop_gram_cache(_GRAM_CACHES.pop())
 
 
 def _dup_gram_occurrences(

@@ -27,6 +27,68 @@ from datalakeingestionservice_spark.operators.text import (
 from datalakeingestionservice_spark.queries.registry import register
 
 
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a source table (file or part-file dir) — the
+    statistic a cluster would read from table metadata."""
+    import os
+
+    path = os.path.join(sf_dir, name)
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for base, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+    return total
+
+
+class _gram_scaled_shuffle:
+    """Scale ``spark.sql.shuffle.partitions`` to the gram passes'
+    expected shuffle volume for the duration of a capstone run, then
+    restore (VERDICT r12 #2: fixed 32 partitions made q195's three
+    corpus-sized gram groupBys the steepest curve in the repo — each
+    partition must hold corpus_grams/32 rows however big the corpus).
+
+    Sizing: on-disk parquet bytes × a gram blow-up factor (shingle
+    explosion ≈ tokens × shingle width, and parquet is ~4× compressed
+    vs the in-memory strings), one shuffle partition per ~64 MB —
+    Spark's default partition sizing target. Never shrinks below the
+    session's configured value (small SFs keep their plan exactly),
+    capped at 2048 (beyond that task-launch overhead dominates on any
+    realistic executor count). AQE still coalesces small outputs, so
+    over-provisioning costs only scheduler overhead, while
+    under-provisioning costs spill — the asymmetry that makes scaling
+    UP with input the right default."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        table: str = "documents.parquet",
+        blowup: int = 32,
+        target_bytes: int = 64 << 20,
+        cap: int = 2048,
+    ):
+        self.spark = spark
+        self.scaled = max(
+            1,
+            min(
+                cap,
+                (_input_bytes(sf_dir, table) * blowup + target_bytes - 1)
+                // target_bytes,
+            ),
+        )
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        n = max(int(self.prev), int(self.scaled))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        return n
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 @register(
     "q79_training_data_pipeline",
     headline=True,
@@ -994,73 +1056,89 @@ def q195_curation_pipeline_full_decontamination(
         .filter((F.col("n_tokens") >= 20) & (F.col("diversity") >= 0.25))
         .drop("diversity")
     )
-    exact_kept = (
-        exact_dedup(
-            fingerprint(quality, "text"),
-            keys=["fingerprint"],
-            tiebreaker="doc_id",
+    # The three gram passes below each shuffle ~corpus_tokens×shingle
+    # rows; scale the partition count with the input (VERDICT r12 #2 —
+    # fixed 32 partitions was the steepest curve in the repo at sf10).
+    # Every gram-heavy stage MATERIALIZES inside this block (persist
+    # fill / localCheckpoint), so the scaled setting governs exactly
+    # the shuffles that need it; the post-block survivors join + final
+    # stats run over checkpointed, already-reduced rows.
+    with _gram_scaled_shuffle(spark, sf_dir):
+        exact_kept = (
+            exact_dedup(
+                fingerprint(quality, "text"),
+                keys=["fingerprint"],
+                tiebreaker="doc_id",
+            )
+            .drop("fingerprint")
+            .persist()
         )
-        .drop("fingerprint")
-        .persist()
-    )
-    decon = (
-        exact_substring_decontaminate(
-            exact_kept.select("doc_id", "text"),
+        decon = (
+            exact_substring_decontaminate(
+                exact_kept.select("doc_id", "text"),
+                held,
+                min_len=_Q195_L,
+                out_col="t1",
+            )
+            .join(exact_kept.select("doc_id", "lang", "n_tokens"), "doc_id")
+            .withColumn(
+                "n1",
+                (F.col("n_tokens") - F.col("n_removed_tokens")).cast("long"),
+            )
+            .select("doc_id", "lang", "t1", "n1")
+            .persist()
+        )
+        scrubbed = (
+            exact_substring_scrub(
+                decon.select("doc_id", F.col("t1").alias("text")),
+                min_len=_Q195_L,
+                out_col="t2",
+            )
+            .join(decon, "doc_id")
+            .withColumn(
+                "n2",
+                (F.col("n1") - F.col("n_removed_tokens")).cast("long"),
+            )
+            .filter(F.col("n2") >= _Q195_MIN_CLEAN)
+            .select("doc_id", "lang", "t2", "n2")
+            # localCheckpoint, not persist: the fuzzy stage references this
+            # tier through 8 banded union branches plus the verify sets, and
+            # the jaccard stage through two more — on the two-gram-pass
+            # LINEAGE that makes a ~23M-char logical plan. Caching alone
+            # does not help (substitution happens after ANALYSIS, and
+            # re-analyzing the giant tree per action cost ~70 s of the 86 s
+            # at sf0.01); checkpointing truncates the plan to the stored
+            # partitions (86 s -> ~14 s, same results). At 100 TB this is
+            # the standard stage boundary — a real ladder materializes the
+            # scrubbed corpus between major phases anyway.
+            .localCheckpoint()
+        )
+        fuzzy_survivor_ids = minhash_decontaminate(
+            scrubbed.select("doc_id", F.col("t2").alias("text")),
             held,
-            min_len=_Q195_L,
-            out_col="t1",
+            n=3,
+            num_hashes=_MH_K,
+            bands=_MH_BANDS,
+            min_sim=_Q195_SIM,
+            seed=_MH_SEED,
+        ).select("doc_id")
+        fclean = scrubbed.join(
+            fuzzy_survivor_ids, "doc_id", "leftsemi"
+        ).localCheckpoint()  # same lineage cut for the clustering tier
+        shingles = word_shingles(
+            fclean, "doc_id", "t2", n=3, max_shingle_freq=20
         )
-        .join(exact_kept.select("doc_id", "lang", "n_tokens"), "doc_id")
-        .withColumn(
-            "n1",
-            (F.col("n_tokens") - F.col("n_removed_tokens")).cast("long"),
+        pairs = (
+            jaccard_pairs(
+                shingles, id_col="doc_id", threshold=_Q195_SIM, persist=True
+            )
+            .select("doc_a", "doc_b")
+            # force the third gram pass to EXECUTE under the scaled
+            # partition count (persist alone is lazy — it would
+            # otherwise materialize at the caller's collect, after the
+            # setting is restored); pairs are a tiny edge list
+            .localCheckpoint()
         )
-        .select("doc_id", "lang", "t1", "n1")
-        .persist()
-    )
-    scrubbed = (
-        exact_substring_scrub(
-            decon.select("doc_id", F.col("t1").alias("text")),
-            min_len=_Q195_L,
-            out_col="t2",
-        )
-        .join(decon, "doc_id")
-        .withColumn(
-            "n2",
-            (F.col("n1") - F.col("n_removed_tokens")).cast("long"),
-        )
-        .filter(F.col("n2") >= _Q195_MIN_CLEAN)
-        .select("doc_id", "lang", "t2", "n2")
-        # localCheckpoint, not persist: the fuzzy stage references this
-        # tier through 8 banded union branches plus the verify sets, and
-        # the jaccard stage through two more — on the two-gram-pass
-        # LINEAGE that makes a ~23M-char logical plan. Caching alone
-        # does not help (substitution happens after ANALYSIS, and
-        # re-analyzing the giant tree per action cost ~70 s of the 86 s
-        # at sf0.01); checkpointing truncates the plan to the stored
-        # partitions (86 s -> ~14 s, same results). At 100 TB this is
-        # the standard stage boundary — a real ladder materializes the
-        # scrubbed corpus between major phases anyway.
-        .localCheckpoint()
-    )
-    fuzzy_survivor_ids = minhash_decontaminate(
-        scrubbed.select("doc_id", F.col("t2").alias("text")),
-        held,
-        n=3,
-        num_hashes=_MH_K,
-        bands=_MH_BANDS,
-        min_sim=_Q195_SIM,
-        seed=_MH_SEED,
-    ).select("doc_id")
-    fclean = scrubbed.join(
-        fuzzy_survivor_ids, "doc_id", "leftsemi"
-    ).localCheckpoint()  # same lineage cut for the clustering tier
-    shingles = word_shingles(
-        fclean, "doc_id", "t2", n=3, max_shingle_freq=20
-    )
-    pairs = jaccard_pairs(
-        shingles, id_col="doc_id", threshold=_Q195_SIM, persist=True
-    ).select("doc_a", "doc_b")
     final = dedup_survivors(fclean, pairs)
 
     return (

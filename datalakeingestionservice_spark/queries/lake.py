@@ -5500,3 +5500,104 @@ def q200_outer_final_chain_matview(
         "round(total, 2) AS total FROM nation_rollup ORDER BY nname",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — ROLLUP PYRAMID: an aggregate MV feeding another aggregate MV
+# (r13, E130). An aggregate view's STATE table keeps hidden
+# accumulators (`_n`, `_nn_*`) and applies HAVING/aliases at read, so
+# it could not feed a downstream view — now its RENDERED projection
+# (`rendered/` under the view root, exactly the SQL-visible rows,
+# maintained from the agg state's CDC: affected groups re-rendered,
+# vanished / HAVING-crossing groups merge-deleted) is a versioned
+# table whose change feed the monthly view consumes like any table's.
+# DML on the base flows base → daily (∝ |Δ| counting algebra) →
+# rendered (∝ affected groups) → monthly (∝ |Δdaily|) under ONE
+# REFRESH ... CASCADE. The daily HAVING forces a real two-level
+# recompute in the oracle (monthly sums only qualifying days — a
+# single GROUP BY month cannot reproduce it), and the day moved across
+# months exercises a group LEAVING one rollup bucket and ENTERING
+# another at both levels.
+# ---------------------------------------------------------------------------
+@register(
+    "q204_rollup_pyramid_matview",
+    tags=("lake", "sql", "incremental-view", "matview", "rollup", "cdf"),
+    oracle="""
+WITH o0 AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS VARCHAR) AS d,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+o1 AS (
+  SELECT k,
+         CASE WHEN k % 11 = 5 THEN '1995-01-15' ELSE d END AS d,
+         CASE WHEN k % 10 = 0 THEN price + 5 ELSE price END AS price
+  FROM o0 WHERE k % 7 <> 3
+),
+daily AS (
+  SELECT d, count(*) AS n, sum(price) AS total
+  FROM o1 GROUP BY d HAVING count(*) >= 2
+)
+SELECT substr(d, 1, 7) AS month,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       round(sum(total), 2) AS total
+FROM daily GROUP BY substr(d, 1, 7) ORDER BY month
+""",
+)
+def q204_rollup_pyramid_matview(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CREATE daily (COUNT/SUM per day, HAVING n >= 2) -> CREATE
+    monthly over DAILY (SUM of the daily aggregates per month) -> DML
+    on the base (price bumps, deletes, a day moved across months) ->
+    ONE REFRESH monthly CASCADE -> read the top of the pyramid."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_pyr_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    o = VersionedTable.create(
+        spark,
+        os.path.join(base, "ord"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").cast("string").alias("d"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    tables = {"ord": o}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW daily LOCATION "
+        f"'{os.path.join(base, 'daily')}' AS "
+        "SELECT d, COUNT(*) AS n, SUM(price) AS total FROM ord "
+        "GROUP BY d HAVING n >= 2",
+        tables,
+    )
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW monthly LOCATION "
+        f"'{os.path.join(base, 'monthly')}' AS "
+        "SELECT substr(d, 1, 7) AS month, SUM(n) AS n_orders, "
+        "SUM(total) AS total FROM daily GROUP BY month",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE ord SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE ord SET d = '1995-01-15' WHERE k % 11 = 5",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM ord WHERE k % 7 = 3", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW monthly CASCADE", tables)
+    return execute_sql(
+        spark,
+        "SELECT month, n_orders, round(total, 2) AS total "
+        "FROM monthly ORDER BY month",
+        tables,
+    )

@@ -1962,3 +1962,119 @@ def q202_bm25_index_serving_prune(
         ).alias("search_pruned_ok"),
         F.lit(info["n_scanned"] * 2 < total).alias("scan_minority_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — SEARCH composes with SQL in ONE statement (r13): the
+# `search_index('<idx>', '<terms>' [, k])` table function in FROM
+# position — the hits table (doc_id, score) of the MAINTAINED BM25
+# index joins straight back to its documents and filters, where the
+# standalone SEARCH statement needed a second step. The full life
+# cycle stays statement-shaped: CREATE SEARCH INDEX (bucketed) → DML
+# on the corpus → REFRESH → one SELECT joining the top-k hits to the
+# mutated documents with a WHERE over the joined row. Oracle
+# recomputes BM25 over the mutated corpus, cuts the SAME top-25 (4dp
+# score, doc_id ties), then joins + filters identically.
+# ---------------------------------------------------------------------------
+@register(
+    "q205_search_index_tvf_join",
+    tags=("text", "search", "bm25", "sql", "incremental-view"),
+    oracle="""
+WITH docs1 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 6 = 0
+              THEN text || ' shared spark stream'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 9 <> 5
+),
+tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM docs1
+  ) WHERE t <> ''
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '')) AS dl
+  FROM docs1
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'stream')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ) AS s
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+),
+hits AS (
+  SELECT doc_id, round(s, 4) AS score FROM sc
+  ORDER BY round(s, 4) DESC, doc_id
+  LIMIT 25
+)
+SELECT h.doc_id AS doc_id, d.lang AS lang, h.score AS score
+FROM hits h JOIN docs1 d USING (doc_id)
+WHERE d.lang <> 'de'
+ORDER BY h.score DESC, h.doc_id
+""",
+)
+def q205_search_index_tvf_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CREATE SEARCH INDEX ... BUCKETS 8 -> DML -> REFRESH -> ONE
+    SELECT: FROM search_index('fts', 'spark stream', 25) h JOIN docs d
+    ON h.doc_id = d.doc_id WHERE d.lang <> 'de'."""
+    import os
+    import tempfile
+    import uuid
+
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_tvf_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    src = VersionedTable.create(
+        spark,
+        os.path.join(base, "docs"),
+        env.t("documents").select("doc_id", "text", "lang"),
+    )
+    tables = {"docs": src}
+    execute_sql(
+        spark,
+        f"CREATE SEARCH INDEX fts ON docs (doc_id, text) "
+        f"LOCATION '{os.path.join(base, 'idx')}' BUCKETS 8",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE docs SET text = concat(text, ' shared spark stream') "
+        "WHERE doc_id % 6 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM docs WHERE doc_id % 9 = 5", tables)
+    execute_sql(spark, "REFRESH SEARCH INDEX fts", tables)
+    return execute_sql(
+        spark,
+        "SELECT d.doc_id AS doc_id, d.lang AS lang, h.score AS score "
+        "FROM search_index('fts', 'spark stream', 25) h "
+        "JOIN docs d ON h.doc_id = d.doc_id "
+        "WHERE d.lang <> 'de' "
+        "ORDER BY h.score DESC, h.doc_id",
+        tables,
+    )

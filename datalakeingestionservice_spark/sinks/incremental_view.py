@@ -444,7 +444,7 @@ class IncrementalAggView:
         d = delta.select(
             *self.keys,
             *(["__gid"] if self._null_safe else []),
-            F.col(_COUNT_COL).alias("__d_n"),
+            F.col(_COUNT_COL).alias(f"__d_{_COUNT_COL}"),
             *[F.col(c).alias(f"__d_{c}") for c in accs],
             *[
                 F.col(f"__{side}_{c}")
@@ -484,7 +484,7 @@ class IncrementalAggView:
             *self.keys,
             *(["__gid"] if self._null_safe else []),
             (
-                F.coalesce(F.col(_COUNT_COL), F.lit(0)) + F.col("__d_n")
+                F.coalesce(F.col(_COUNT_COL), F.lit(0)) + F.col(f"__d_{_COUNT_COL}")
             ).alias(_COUNT_COL),
             *[
                 (
@@ -1531,13 +1531,13 @@ class IncrementalJoinAggView(IncrementalJoinView):
         accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]
         d = delta.select(
             *self.group_keys,
-            F.col(_COUNT_COL).alias("__d_n"),
+            F.col(_COUNT_COL).alias(f"__d_{_COUNT_COL}"),
             *[F.col(c).alias(f"__d_{c}") for c in accs],
         )
         combined = d.join(state, self.group_keys, "left").select(
             *self.group_keys,
             (
-                F.coalesce(F.col(_COUNT_COL), F.lit(0)) + F.col("__d_n")
+                F.coalesce(F.col(_COUNT_COL), F.lit(0)) + F.col(f"__d_{_COUNT_COL}")
             ).alias(_COUNT_COL),
             *[
                 (
@@ -1964,7 +1964,7 @@ class _OuterJoinAggMixin:
             d = delta.select(
                 "__gid",
                 *self.group_keys,
-                F.col(_COUNT_COL).alias("__d_n"),
+                F.col(_COUNT_COL).alias(f"__d_{_COUNT_COL}"),
                 *[F.col(c).alias(f"__d_{c}") for c in accs],
             )
             s = state.select("__gid", _COUNT_COL, *accs)
@@ -1973,7 +1973,7 @@ class _OuterJoinAggMixin:
                 *self.group_keys,
                 (
                     F.coalesce(F.col(_COUNT_COL), F.lit(0))
-                    + F.col("__d_n")
+                    + F.col(f"__d_{_COUNT_COL}")
                 ).alias(_COUNT_COL),
                 *[
                     (

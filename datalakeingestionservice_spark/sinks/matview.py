@@ -655,25 +655,41 @@ class MaterializedView:
                 # as an inner join view: its final state table IS its
                 # visible rows (an outer-final chain spreads across
                 # padded side tables like any outer view)
-                chain_ok = up.spec["kind"] == "join_chain" and (
-                    up.spec.get("last_join_type", "inner") == "inner"
+                up_jt = (
+                    up.spec.get("last_join_type", "inner")
+                    if up.spec["kind"].startswith("join_chain")
+                    else up.spec.get("join_type", "inner")
                 )
-                if not chain_ok and (
-                    up.spec["kind"] != "join"
-                    or up.spec.get("join_type") != "inner"
+                chain_ok = (
+                    up.spec["kind"] == "join_chain" and up_jt == "inner"
+                )
+                if chain_ok or (
+                    up.spec["kind"] == "join" and up_jt == "inner"
                 ):
-                    raise MaterializedViewError(
-                        f"source {src!r} is a materialized view of "
-                        f"kind {up.spec['kind']}"
-                        f"/{up.spec.get('join_type')}; only INNER "
-                        "join views can feed another view (their "
-                        "state table IS the visible rows — "
-                        "aggregate views keep internal accumulator "
-                        "encodings, and outer views spread across "
-                        "padded side tables)"
-                    )
-                spec.setdefault("deps", {})[src] = up.root
-                return os.path.join(up.root, "state")
+                    spec.setdefault("deps", {})[src] = up.root
+                    return os.path.join(up.root, "state")
+                if up.spec["kind"] == "agg" or (
+                    up.spec["kind"] in ("join_agg", "join_chain_agg")
+                    and up_jt == "inner"
+                ):
+                    # aggregate upstream: the state table keeps hidden
+                    # accumulators, so the downstream consumes the
+                    # RENDERED visible-rows projection instead — a
+                    # versioned table maintained from the agg state's
+                    # CDC (the rollup-pyramid mechanism: daily agg MV
+                    # feeds monthly agg MV)
+                    spec.setdefault("deps", {})[src] = up.root
+                    return up.ensure_rendered()
+                raise MaterializedViewError(
+                    f"source {src!r} is a materialized view of "
+                    f"kind {up.spec['kind']}/{up_jt}; INNER join "
+                    "views feed downstream views from their state "
+                    "table, aggregate views (single-table or INNER "
+                    "join) from their rendered projection — OUTER "
+                    "views refuse (padded rows spread across side "
+                    "tables and group under NULL keys); aggregate "
+                    "the outer join directly in ONE view instead"
+                )
             return t.root if isinstance(t, VersionedTable) else str(t)
 
         for key in ("source", "left", "right"):
@@ -879,9 +895,17 @@ class MaterializedView:
                     cascade=True, _seen=seen
                 )
         self._view.refresh()
+        if self.spec.get("rendered"):
+            # a downstream view consumes rendered/'s change feed — keep
+            # it lockstep with the state it projects
+            self.refresh_rendered()
         return self.state_version()
 
-    def state_version(self) -> int:
+    def _main_state_root(self) -> str:
+        """The versioned table holding the view's MAIN maintained state
+        (the one whose commit marks define freshness — and whose change
+        feed identifies the groups a rendered-projection refresh must
+        re-render)."""
         s = self.spec
         sub = {
             "agg": "state",
@@ -902,7 +926,151 @@ class MaterializedView:
             root = os.path.join(root, "state")  # composed: agg state
         elif s["kind"] in ("join_agg", "join_chain_agg") and jt != "inner":
             root = os.path.join(root, "agg")
-        return VersionedTable(self.spark, root).latest_version()
+        return root
+
+    def state_version(self) -> int:
+        return VersionedTable(
+            self.spark, self._main_state_root()
+        ).latest_version()
+
+    # -- rendered projection (aggregate views as MV upstreams) ---------------
+    #
+    # An aggregate view's STATE table is NOT its SQL-visible rows (hidden
+    # `_n`/`_nn_*`/`__ac_*` accumulators; HAVING applied at read; COUNT
+    # alias renames), so its change feed cannot feed a downstream view
+    # directly. The RENDERED projection closes that gap: `rendered/`
+    # under the view root is a versioned table holding EXACTLY the
+    # view's visible rows (read()'s output — aliases applied, internals
+    # dropped, HAVING honored), keyed by the group-key columns and
+    # maintained from the agg state table's CDC. A downstream
+    # `CREATE MATERIALIZED VIEW monthly AS SELECT ... FROM daily ...`
+    # then consumes rendered/'s change feed like any table's — the
+    # rollup-pyramid composition (daily → monthly → ...).
+    #
+    # Refresh is delta-scoped: the state feed names the affected groups
+    # (∝ |Δ|), read() re-renders ONLY those groups (leftsemi on the
+    # keys), and groups with no surviving visible row (count hit zero,
+    # or the group crossed the HAVING boundary) leave via merge deletes.
+    # The one state-sized term is read()'s scan — the same envelope the
+    # agg refresh itself pays for its delta-state join. Group keys must
+    # be NON-NULL, the same contract the underlying view's merge already
+    # imposes (SQL-MERGE equality never matches NULL); that is why the
+    # rendered upstream form is limited to aggregate kinds whose group
+    # keys obey it (single-table aggregates and INNER join aggregates).
+    def rendered_root(self) -> str:
+        return os.path.join(self.root, "rendered")
+
+    def _rendered_keys(self) -> list[str]:
+        s = self.spec
+        if s["kind"] == "agg":
+            ks = s["keys"]
+        else:
+            ks = s["group_keys"]
+        return list(ks) if not isinstance(ks, dict) else list(ks)
+
+    def _persist_spec(self) -> None:
+        tmp = os.path.join(self.root, _SPEC_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.spec, f, indent=1)
+        os.replace(tmp, os.path.join(self.root, _SPEC_FILE))
+
+    def ensure_rendered(self) -> str:
+        """Enable + bring current the rendered projection; returns its
+        root. Persists ``"rendered": true`` into `_mv.json`, so EVERY
+        later refresh of this view — from any session or handle — also
+        refreshes rendered/ (a downstream view's freshness must not
+        depend on which handle refreshed its upstream)."""
+        s = self.spec
+        jt = (
+            s.get("last_join_type", "inner")
+            if s["kind"].startswith("join_chain")
+            else s.get("join_type", "inner")
+        )
+        if not (
+            s["kind"] == "agg"
+            or (s["kind"] in ("join_agg", "join_chain_agg") and jt == "inner")
+        ):
+            raise MaterializedViewError(
+                f"rendered projection supports aggregate views with "
+                f"INNER sources only (kind {s['kind']}/{jt}): outer "
+                "padded rows group under NULL keys, which the rendered "
+                "merge cannot key; aggregate the outer join directly "
+                "in ONE view instead"
+            )
+        if not self.spec.get("rendered"):
+            self.spec["rendered"] = True
+            if os.path.exists(os.path.join(self.root, _SPEC_FILE)):
+                self._persist_spec()
+        self.refresh_rendered()
+        return self.rendered_root()
+
+    def refresh_rendered(self) -> None:
+        """Bring rendered/ to the main state table's latest version.
+        Idempotent (the `state_version` mark in the rendered table's
+        commit summary is the truth); concurrent-safe the same way the
+        view family is (expected_version + retry)."""
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+            NoSuchVersionError,
+        )
+
+        st = VersionedTable(self.spark, self._main_state_root())
+        sv = st.latest_version()
+        keys = self._rendered_keys()
+        try:
+            rend = VersionedTable(self.spark, self.rendered_root())
+        except NoSuchVersionError:
+            VersionedTable.create(
+                self.spark,
+                self.rendered_root(),
+                self.read(),
+                summary={"state_version": sv},
+            )
+            return
+        last = None
+        for m in reversed(rend.versions()):
+            if "state_version" in m.summary:
+                last = m.summary["state_version"]
+                break
+        if last is None:
+            raise NoSuchVersionError(
+                f"{self.rendered_root()}: no state_version mark"
+            )
+        for _ in range(4):
+            if sv <= last:
+                return
+            rv = rend.latest_version()
+            affected = st.changes(last, sv).select(*keys).distinct()
+            new = self.read().join(affected, keys, "leftsemi")
+            types = {f.name: f.dataType for f in new.schema.fields}
+            gone = affected.join(new.select(*keys), keys, "left_anti")
+            dels = gone.select(
+                *[
+                    F.col(c).alias(c)
+                    if c in keys
+                    else F.lit(None).cast(t).alias(c)
+                    for c, t in types.items()
+                ]
+            ).withColumn("__is_delete", F.lit(True))
+            ups = new.withColumn("__is_delete", F.lit(False))
+            try:
+                rend.merge(
+                    ups.unionByName(dels),
+                    keys,
+                    delete_col="__is_delete",
+                    summary={"state_version": sv},
+                    expected_version=rv,
+                )
+                return
+            except ConcurrentCommitError:
+                for m in reversed(rend.versions()):
+                    if "state_version" in m.summary:
+                        last = m.summary["state_version"]
+                        break
+                continue
+        raise ConcurrentCommitError(
+            f"{self.rendered_root()}: merge lost every retry"
+        )
 
     def read(self) -> DataFrame:
         """The view in its SQL-visible shape: GROUP BY keys + aliased

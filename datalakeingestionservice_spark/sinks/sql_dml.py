@@ -1259,6 +1259,23 @@ _TVF_CHANGES_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: `search_index('<index>', '<terms>' [, k])` in FROM/JOIN position —
+#: full-text retrieval COMPOSABLE with SQL (r13): the hits table
+#: (<id_col>, score) of the maintained BM25 index, rankable/joinable/
+#: filterable in one statement (`FROM search_index('fts', 'spark
+#: stream', 50) h JOIN documents d ON h.doc_id = d.doc_id ...`),
+#: where the standalone SEARCH statement needed a second step to get
+#: at the documents. Terms are whitespace-split exactly like SEARCH;
+#: the quoted interiors are literal-masked, recovered by span.
+_TVF_SEARCH_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+SEARCH_INDEX\s*\(\s*"
+    r"'(?P<name>[^']*)'\s*,\s*'(?P<q>[^']*)'\s*"
+    r"(?:,\s*(?P<k>\d+)\s*)?\)"
+    rf"(?:\s+AS\s+(?P<alias1>[A-Za-z_]\w*)"
+    rf"|\s+(?!(?:{_POST_REF_KEYWORDS})\b)(?P<alias2>[A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
 
 def _select_ref_re(names: list[str]) -> re.Pattern:
     """One regex matching a registered-table reference in FROM/JOIN
@@ -1447,6 +1464,48 @@ def execute_select(
                 "single-quoted name and integer version literals — "
                 "other argument forms refuse rather than reaching "
                 "Spark as an unresolvable function"
+            )
+
+        # Pass 1b: search_index TVF references — retrieval in FROM
+        # position, served from the maintained BM25 index's pruned
+        # postings (same rank() as the SEARCH statement).
+        parts = []
+        last = 0
+        for m in _TVF_SEARCH_RE.finditer(masked):
+            s, e = m.span("name")
+            idx = _resolve_sidx(spark, sql[s:e], tables)
+            s, e = m.span("q")
+            terms = sql[s:e].split()
+            if not terms:
+                raise UnsupportedStatementError(
+                    "search_index needs at least one term"
+                )
+            k = grp(m, "k")
+            df = idx.rank(terms, top_k=int(k) if k else 20)
+            view = f"__vts_{_uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            views.append(view)
+            alias = grp(m, "alias1") or grp(m, "alias2")
+            parts.append(sql[last : m.start()])
+            parts.append(
+                f"{grp(m, 'kw')} {view}"
+                + (f" AS {alias}" if alias else "")
+            )
+            last = m.end()
+        parts.append(sql[last:])
+        sql = "".join(parts)
+        masked = _mask_literals(sql)
+        if re.search(
+            r"\b(?:FROM|JOIN)\s+SEARCH_INDEX\s*\(",
+            masked,
+            re.IGNORECASE,
+        ):
+            raise UnsupportedStatementError(
+                "search_index subset: search_index('<index-name>', "
+                "'<terms>'[, <top_k>]) with single-quoted literals "
+                "and an integer k — other argument forms refuse "
+                "rather than reaching Spark as an unresolvable "
+                "function"
             )
 
         # Pass 2: plain registered-table references with time travel.

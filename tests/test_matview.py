@@ -870,10 +870,12 @@ def test_mv_over_mv_cascade(spark, tmp_path, env):
     assert ("a", 2, 0.25) in got()  # k=1 (1.0) + new k=9 (0.25)
 
 
-def test_mv_over_mv_refuses_non_inner_upstreams(spark, tmp_path, env):
-    """Aggregate and OUTER views refuse as upstreams — their state is
-    internally encoded (hidden accumulators; padded side tables), not
-    the SQL-visible rows."""
+def test_mv_over_mv_upstream_kinds(spark, tmp_path, env):
+    """OUTER views refuse as upstreams (padded rows spread across side
+    tables and group under NULL keys); aggregate views NOW feed
+    downstream views through their rendered projection (r13 — the
+    rollup-pyramid mechanism, model-equivalence in
+    tests/test_matview_rollup.py)."""
     l, r, tables = env
     execute_sql(
         spark,
@@ -889,17 +891,39 @@ def test_mv_over_mv_refuses_non_inner_upstreams(spark, tmp_path, env):
         "SELECT * FROM orders LEFT JOIN customer USING (ck)",
         tables,
     )
-    for up in ("agg_up", "outer_up"):
-        with pytest.raises(
-            MaterializedViewError, match="only INNER join views"
-        ):
-            execute_sql(
-                spark,
-                f"CREATE MATERIALIZED VIEW x LOCATION "
-                f"'{tmp_path / ('x_' + up)}' AS "
-                f"SELECT k, COUNT(*) AS n FROM {up} GROUP BY k",
-                tables,
-            )
+    with pytest.raises(
+        MaterializedViewError, match="OUTER views refuse"
+    ):
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW x LOCATION "
+            f"'{tmp_path / 'x_outer'}' AS "
+            "SELECT k, COUNT(*) AS n FROM outer_up GROUP BY k",
+            tables,
+        )
+    # aggregate upstream: accepted, served from rendered/
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW over_agg LOCATION "
+        f"'{tmp_path / 'x_agg'}' AS "
+        "SELECT COUNT(*) AS customers, SUM(n) AS orders, ck "
+        "FROM agg_up GROUP BY ck",
+        tables,
+    )
+    got = {
+        (x.ck, x.customers, x.orders)
+        for x in execute_sql(
+            spark, "SELECT * FROM over_agg", tables
+        ).collect()
+    }
+    exp = {
+        (x.ck, 1, x.n)
+        for x in l.read()
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
 
 
 def test_composed_extremes_over_join_mv(spark, tmp_path, env):
@@ -1895,7 +1919,9 @@ class TestOuterFinalChain:
             "LEFT JOIN nation USING (nk)",
             tables,
         )
-        with pytest.raises(MaterializedViewError, match="padded side"):
+        with pytest.raises(
+            MaterializedViewError, match="OUTER views refuse"
+        ):
             execute_sql(
                 spark,
                 f"CREATE MATERIALIZED VIEW over LOCATION "

@@ -1,0 +1,366 @@
+"""Aggregate views as MV-over-MV upstreams (rollup pyramids, r13):
+an aggregate view's STATE table keeps hidden accumulators (`_n`,
+`_nn_*`, `__ac_*`) and applies HAVING/aliases at read — so a
+downstream view consumes the RENDERED projection instead: `rendered/`
+under the upstream root holds exactly the upstream's SQL-visible rows,
+maintained from the agg state's CDC (affected groups re-rendered,
+vanished / HAVING-crossing groups merge-deleted). Every level of a
+`base → daily → monthly → yearly` pyramid must equal the full
+recompute through arbitrary DML with ONE cascade refresh, and the
+upstream's internals (`_nn_*`, `__gid`, `__d_*`) must never leak into
+the rendered table or the downstream's read."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestionservice_spark.sinks.matview import (
+    MaterializedView,
+    MaterializedViewError,
+)
+from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+
+ROWS = [
+    (f"2024-{m:02d}-{d:02d}", i, float((i * 3) % 11), f"g{i % 3}")
+    for i, (m, d) in enumerate(
+        [(mm, dd) for mm in (1, 2, 3) for dd in (1, 2, 15, 28)] * 3
+    )
+]
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            ROWS, "day string, id bigint, amt double, grp string"
+        ),
+    )
+
+
+def _mk_pyramid(spark, tmp_path, src, having=None):
+    daily = MaterializedView.create(
+        spark,
+        str(tmp_path / "daily"),
+        "SELECT day, COUNT(*) AS n, SUM(amt) AS total FROM t GROUP BY day"
+        + (f" HAVING {having}" if having else ""),
+        {"t": src},
+    )
+    monthly = MaterializedView.create(
+        spark,
+        str(tmp_path / "monthly"),
+        "SELECT substr(day, 1, 7) AS month, SUM(n) AS n, "
+        "SUM(total) AS total FROM daily GROUP BY month",
+        {"daily": daily},
+    )
+    return daily, monthly
+
+
+def _monthly_expect(src, having=None):
+    day = (
+        src.read()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total"))
+    )
+    if having:
+        day = day.filter(F.expr(having))
+    return sorted(
+        (r.month, r.n, r.total)
+        for r in day.groupBy(F.substring("day", 1, 7).alias("month"))
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .collect()
+    )
+
+
+def _monthly_got(monthly):
+    return sorted(
+        (r.month, r.n, r.total) for r in monthly.read().collect()
+    )
+
+
+def test_pyramid_tracks_recompute_through_dml(spark, tmp_path, src):
+    daily, monthly = _mk_pyramid(spark, tmp_path, src)
+    assert _monthly_got(monthly) == _monthly_expect(src)
+    # insert a new month, update amounts, delete a day, then a GROUP
+    # CROSSING MONTHS: move a row's day from March to January
+    src.append(
+        spark.createDataFrame(
+            [("2024-04-01", 999, 5.0, "g0")],
+            "day string, id bigint, amt double, grp string",
+        )
+    )
+    src.update_where(F.col("id") % 5 == 0, {"amt": F.col("amt") + 10.0})
+    src.delete_where(F.col("day") == "2024-02-15")
+    src.update_where(
+        F.col("day") == "2024-03-28", {"day": F.lit("2024-01-28")}
+    )
+    monthly.refresh(cascade=True)
+    assert _monthly_got(monthly) == _monthly_expect(src)
+    # a whole month leaves both levels
+    src.delete_where(F.substring("day", 1, 7) == "2024-04")
+    monthly.refresh(cascade=True)
+    assert _monthly_got(monthly) == _monthly_expect(src)
+
+
+def test_no_internal_columns_leak(spark, tmp_path, src):
+    daily, monthly = _mk_pyramid(spark, tmp_path, src)
+    src.update_where(F.col("id") == 1, {"amt": F.lit(100.0)})
+    monthly.refresh(cascade=True)
+    rendered = VersionedTable(spark, daily.rendered_root()).read()
+    for cols in (rendered.columns, monthly.read().columns):
+        bad = [
+            c for c in cols if c.startswith("_nn_") or c.startswith("__")
+            or c == "_n"
+        ]
+        assert not bad, cols
+    # rendered rows ARE the upstream's visible rows
+    assert sorted(map(tuple, rendered.collect())) == sorted(
+        map(tuple, daily.read().collect())
+    )
+
+
+def test_having_boundary_crossing_propagates(spark, tmp_path, src):
+    daily, monthly = _mk_pyramid(spark, tmp_path, src, having="n >= 3")
+    assert _monthly_got(monthly) == _monthly_expect(src, having="n >= 3")
+    # push a day ACROSS the HAVING boundary both ways
+    src.append(
+        spark.createDataFrame(
+            [("2024-01-01", 500 + i, 1.0, "g1") for i in range(2)],
+            "day string, id bigint, amt double, grp string",
+        )
+    )
+    src.delete_where(
+        (F.col("day") == "2024-02-01") & (F.col("id") % 2 == 0)
+    )
+    monthly.refresh(cascade=True)
+    assert _monthly_got(monthly) == _monthly_expect(src, having="n >= 3")
+
+
+def test_three_level_pyramid_one_cascade(spark, tmp_path, src):
+    daily, monthly = _mk_pyramid(spark, tmp_path, src)
+    yearly = MaterializedView.create(
+        spark,
+        str(tmp_path / "yearly"),
+        "SELECT substr(month, 1, 4) AS year, SUM(n) AS n, "
+        "SUM(total) AS total FROM monthly GROUP BY year",
+        {"monthly": monthly},
+    )
+    src.update_where(F.col("id") % 4 == 1, {"amt": F.lit(50.0)})
+    src.append(
+        spark.createDataFrame(
+            [("2025-01-01", 777, 2.5, "g2")],
+            "day string, id bigint, amt double, grp string",
+        )
+    )
+    yearly.refresh(cascade=True)
+    exp = sorted(
+        (r.year, r.n, r.total)
+        for r in src.read()
+        .groupBy(F.substring("day", 1, 4).alias("year"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total"))
+        .collect()
+    )
+    got = sorted(
+        (r.year, r.n, r.total) for r in yearly.read().collect()
+    )
+    assert got == exp
+
+
+def test_refresh_through_reopened_handle_keeps_rendered_fresh(
+    spark, tmp_path, src
+):
+    daily, monthly = _mk_pyramid(spark, tmp_path, src)
+    src.update_where(F.col("id") == 2, {"amt": F.lit(99.0)})
+    # refresh the UPSTREAM through a handle opened from disk — the
+    # persisted "rendered" flag must keep rendered/ lockstep
+    MaterializedView.open(spark, daily.root).refresh()
+    monthly.refresh()  # downstream only; upstream already refreshed
+    assert _monthly_got(monthly) == _monthly_expect(src)
+
+
+def test_min_max_avg_distinct_upstream_renders(spark, tmp_path, src):
+    daily = MaterializedView.create(
+        spark,
+        str(tmp_path / "daily"),
+        "SELECT day, COUNT(*) AS n, MIN(amt) AS lo, MAX(amt) AS hi, "
+        "AVG(amt) AS mean, COUNT(DISTINCT grp) AS groups "
+        "FROM t GROUP BY day",
+        {"t": src},
+    )
+    monthly = MaterializedView.create(
+        spark,
+        str(tmp_path / "monthly"),
+        "SELECT substr(day, 1, 7) AS month, MIN(lo) AS lo, "
+        "MAX(hi) AS hi, SUM(n) AS n FROM daily GROUP BY month",
+        {"daily": daily},
+    )
+    # deletes at stored extremes (endangered rescans) + distinct churn
+    src.delete_where(F.col("amt") == 0.0)
+    src.update_where(F.col("id") % 6 == 2, {"grp": F.lit("g9")})
+    monthly.refresh(cascade=True)
+    exp_day = (
+        src.read()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("amt").alias("lo"),
+            F.max("amt").alias("hi"),
+            F.avg("amt").alias("mean"),
+            F.countDistinct("grp").alias("groups"),
+        )
+    )
+    rendered = VersionedTable(spark, daily.rendered_root()).read()
+    assert sorted(
+        (r.day, r.n, r.lo, r.hi, r.mean, r.groups)
+        for r in rendered.collect()
+    ) == sorted(
+        (r.day, r.n, r.lo, r.hi, r.mean, r.groups)
+        for r in exp_day.collect()
+    )
+    exp = sorted(
+        (r.month, r.lo, r.hi, r.n)
+        for r in exp_day.groupBy(
+            F.substring("day", 1, 7).alias("month")
+        )
+        .agg(
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum("n").alias("n"),
+        )
+        .collect()
+    )
+    got = sorted(
+        (r.month, r.lo, r.hi, r.n) for r in monthly.read().collect()
+    )
+    assert got == exp
+
+
+def test_inner_join_agg_upstream(spark, tmp_path, spark_tmp_factory=None):
+    left = VersionedTable.create(
+        spark,
+        str(tmp_path / "l"),
+        spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(40)],
+            "lid bigint, k bigint, v double",
+        ),
+    )
+    right = VersionedTable.create(
+        spark,
+        str(tmp_path / "r"),
+        spark.createDataFrame(
+            [(100 + k, k, f"seg{k % 2}") for k in range(4)],
+            "rid bigint, k bigint, seg string",
+        ),
+    )
+    per_seg = MaterializedView.create(
+        spark,
+        str(tmp_path / "per_seg"),
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS sv "
+        "FROM l JOIN r USING (k) GROUP BY seg",
+        {"l": left, "r": right},
+        primary_key=("lid", "rid"),
+    )
+    rollup = MaterializedView.create(
+        spark,
+        str(tmp_path / "rollup"),
+        "SELECT seg, COUNT(*) AS segs, SUM(sv) AS sv FROM per_seg "
+        "GROUP BY seg",
+        {"per_seg": per_seg},
+    )
+    left.update_where(F.col("lid") % 3 == 0, {"v": F.col("v") + 5.0})
+    right.delete_where(F.col("k") == 3)
+    rollup.refresh(cascade=True)
+    exp_seg = (
+        left.read()
+        .join(right.read(), "k")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    got = sorted(
+        (r.seg, r.segs, r.sv) for r in rollup.read().collect()
+    )
+    exp = sorted((r.seg, 1, r.sv) for r in exp_seg.collect())
+    assert got == exp
+
+
+def test_outer_upstream_still_refuses_with_recipe(spark, tmp_path, src):
+    other = VersionedTable.create(
+        spark,
+        str(tmp_path / "o"),
+        spark.createDataFrame(
+            [("2024-01-01", 1)], "day string, flag bigint"
+        ),
+    )
+    outer = MaterializedView.create(
+        spark,
+        str(tmp_path / "outer"),
+        "SELECT * FROM t LEFT JOIN o USING (day)",
+        {"t": src, "o": other},
+        primary_key=("id", "flag"),
+    )
+    with pytest.raises(MaterializedViewError, match="OUTER views refuse"):
+        MaterializedView.create(
+            spark,
+            str(tmp_path / "bad"),
+            "SELECT day, COUNT(*) AS n FROM outer GROUP BY day",
+            {"outer": outer},
+        )
+
+
+def test_sum_alias_named_n_maintains(spark, tmp_path, src):
+    # regression for the count-delta alias collision: a user sum alias
+    # literally named "n" used to collide with the internal "__d_n"
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        "SELECT grp, SUM(id) AS n FROM t GROUP BY grp",
+        {"t": src},
+    )
+    src.update_where(F.col("id") % 2 == 0, {"id": F.col("id") + 1000})
+    mv.refresh()
+    exp = sorted(
+        (r.grp, r.n)
+        for r in src.read()
+        .groupBy("grp")
+        .agg(F.sum("id").alias("n"))
+        .collect()
+    )
+    assert sorted((r.grp, r.n) for r in mv.read().collect()) == exp
+
+
+def test_pyramid_through_sql_statements(spark, tmp_path, src):
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    tables = {"t": src}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW daily LOCATION "
+        f"'{tmp_path / 'daily'}' AS SELECT day, COUNT(*) AS n, "
+        f"SUM(amt) AS total FROM t GROUP BY day",
+        tables,
+    )
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW monthly LOCATION "
+        f"'{tmp_path / 'monthly'}' AS SELECT substr(day, 1, 7) AS "
+        f"month, SUM(n) AS n, SUM(total) AS total FROM daily "
+        f"GROUP BY month",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE t SET amt = amt + 3.0 WHERE id % 4 = 2",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM t WHERE day = '2024-03-15'", tables)
+    execute_sql(spark, "REFRESH MATERIALIZED VIEW monthly CASCADE", tables)
+    got = sorted(
+        (r.month, r.n, r.total)
+        for r in execute_sql(
+            spark, "SELECT * FROM monthly", tables
+        ).collect()
+    )
+    assert got == _monthly_expect(src)

@@ -400,6 +400,28 @@ CASES = [
      UnsupportedStatementError, None),
     ("refuse_search_on_table", None, "SEARCH t FOR 'a'",
      UnsupportedStatementError, None),
+    # --- search_index TVF + BUCKETS clause (r13)
+    ("create_sidx_buckets",
+     None,
+     lambda tmp, tb: f"CREATE SEARCH INDEX sb ON t (k, s) "
+     f"LOCATION '{tmp / 'gsb'}' BUCKETS 4", "ok",
+     lambda r, tb: tb["sb"].buckets == 4),
+    ("search_index_tvf", _setup_sidx,
+     "SELECT t.k, t.s, h.score FROM search_index('six', 'b c', 5) h "
+     "JOIN t ON h.k = t.k ORDER BY t.k", "ok",
+     lambda r, tb: {x.k for x in r.collect()} == {2, 3}),
+    ("search_index_tvf_where", _setup_sidx,
+     "SELECT k FROM search_index('six', 'b c') WHERE score > 100",
+     "ok", lambda r, tb: r.count() == 0),
+    ("refuse_search_index_tvf_expr_arg", _setup_sidx,
+     "SELECT * FROM search_index('six', concat('a', 'b'))",
+     UnsupportedStatementError, None),
+    ("refuse_search_index_tvf_no_terms", _setup_sidx,
+     "SELECT * FROM search_index('six', '')",
+     UnsupportedStatementError, None),
+    ("refuse_search_index_tvf_unknown", None,
+     "SELECT * FROM search_index('nope', 'a')",
+     UnsupportedStatementError, None),
 ]
 
 
