@@ -64,10 +64,14 @@ class _gram_scaled_shuffle:
         spark: SparkSession,
         sf_dir: str,
         table: str = "documents.parquet",
-        blowup: int = 32,
+        blowup: int | None = None,
         target_bytes: int = 64 << 20,
         cap: int = 2048,
     ):
+        import os
+
+        if blowup is None:
+            blowup = int(os.environ.get("SPARK_GRAFT_GRAM_BLOWUP", "32"))
         self.spark = spark
         self.scaled = max(
             1,

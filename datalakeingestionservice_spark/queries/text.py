@@ -2078,3 +2078,112 @@ def q205_search_index_tvf_join(
         "ORDER BY h.score DESC, h.doc_id",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — PHRASE SEARCH FROM THE MAINTAINED INDEX (r13): positional
+# postings (CREATE ... WITH POSITIONS) make `SEARCH idx FOR '"exact
+# phrase"'` index-servable — each posting keeps the term's sorted
+# token offsets, and adjacency is the classic positional-index check
+# (fold array_intersect over offsets shifted by phrase position).
+# Scoring stays per-term BM25, exactly `bm25_rank(phrase=)`. DML
+# plants the phrase in some docs ("shared spark stream" suffix) and
+# removes others before ONE refresh. Oracle recomputes per-term BM25
+# over the mutated corpus and applies the phrase constraint on the
+# same normalized token stream (space-padded substring match).
+# ---------------------------------------------------------------------------
+@register(
+    "q206_phrase_search_positional_index",
+    tags=("text", "search", "bm25", "phrase", "sql", "incremental-view"),
+    oracle="""
+WITH docs1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' shared spark stream'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 9 <> 4
+),
+norm AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM docs1
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM norm
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM norm),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'stream')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+phrased AS (
+  SELECT doc_id FROM norm
+  WHERE ' ' || array_to_string(toks, ' ') || ' '
+        LIKE '% spark stream %'
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ) AS s
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT sc.doc_id AS doc_id, round(s, 4) AS score
+FROM sc JOIN phrased USING (doc_id)
+ORDER BY round(s, 4) DESC, sc.doc_id
+LIMIT 15
+""",
+)
+def q206_phrase_search_positional_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CREATE SEARCH INDEX ... WITH POSITIONS -> DML -> REFRESH ->
+    SEARCH idx FOR '"spark stream"' TOP 15, all through execute_sql."""
+    import os
+    import tempfile
+    import uuid
+
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_phr_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    src = VersionedTable.create(
+        spark,
+        os.path.join(base, "docs"),
+        env.t("documents").select("doc_id", "text"),
+    )
+    tables = {"docs": src}
+    execute_sql(
+        spark,
+        f"CREATE SEARCH INDEX pfts ON docs (doc_id, text) "
+        f"LOCATION '{os.path.join(base, 'idx')}' BUCKETS 8 "
+        f"WITH POSITIONS",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE docs SET text = concat(text, ' shared spark stream') "
+        "WHERE doc_id % 7 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM docs WHERE doc_id % 9 = 4", tables)
+    execute_sql(spark, "REFRESH SEARCH INDEX pfts", tables)
+    return execute_sql(
+        spark,
+        "SEARCH pfts FOR '\"spark stream\"' TOP 15",
+        tables,
+    )

@@ -63,9 +63,12 @@ class IncrementalBM25Index:
     """Maintained postings + term stats + corpus stats for Okapi BM25
     serving over `source_root`'s change feed.
 
-    Phrase queries are NOT servable from the index (positions are not
-    maintained — postings carry tf only); use
-    :func:`operators.text.bm25_rank`'s recompute path for `phrase=`.
+    Phrase queries are servable only from an index built with
+    ``positions=True`` (postings then carry each term's sorted token
+    offsets; adjacency = intersecting shifted offset arrays — the
+    classic positional-postings phrase check). An index built without
+    positions refuses `phrase=` with the recipe; the
+    :func:`operators.text.bm25_rank` recompute path always serves it.
     """
 
     def __init__(
@@ -76,6 +79,7 @@ class IncrementalBM25Index:
         id_col: str = "doc_id",
         text_col: str = "text",
         buckets: int = 16,
+        positions: bool = False,
     ):
         import os
 
@@ -84,6 +88,12 @@ class IncrementalBM25Index:
         self.index_root = index_root
         self.id_col = id_col
         self.text_col = text_col
+        #: opt-in POSITIONAL postings: each (term, doc) row also keeps
+        #: the sorted token offsets of the term, making phrase queries
+        #: index-servable (adjacency = intersect of shifted position
+        #: arrays). Off by default — positions multiply postings bytes
+        #: by ~the average tf and most corpora never phrase-search.
+        self.positions = bool(positions)
         #: postings/ and terms/ are laid out `bucket(buckets, term)`
         #: (hidden partitioning): a SEARCH derives leaf pruning from its
         #: term list, so serving scans ~len(terms)/buckets of the index
@@ -109,6 +119,7 @@ class IncrementalBM25Index:
         text_col: str,
         name: str | None = None,
         buckets: int = 16,
+        positions: bool = False,
     ) -> "IncrementalBM25Index":
         """Bootstrap the index and persist its spec (`_bm25.json`) at
         the index root, so :meth:`open` rebuilds it in a fresh session
@@ -126,6 +137,7 @@ class IncrementalBM25Index:
         idx = cls(
             spark, source_root, index_root,
             id_col=id_col, text_col=text_col, buckets=buckets,
+            positions=positions,
         )
         idx.refresh()
         os.makedirs(index_root, exist_ok=True)
@@ -134,6 +146,7 @@ class IncrementalBM25Index:
             "id_col": id_col,
             "text_col": text_col,
             "buckets": buckets,
+            "positions": bool(positions),
         }
         if name:
             spec["name"] = name
@@ -168,6 +181,7 @@ class IncrementalBM25Index:
             # their state tables were created without a spec, and the
             # layout is fixed at bootstrap
             buckets=spec.get("buckets", 0),
+            positions=spec.get("positions", False),
         )
 
     @staticmethod
@@ -233,13 +247,31 @@ class IncrementalBM25Index:
         tokenizer across the generator boundary, so inlining
         ``size(bm25_tokens(text))`` next to ``explode(bm25_tokens(
         text))`` re-tokenizes the WHOLE document per emitted token —
-        O(len²) per doc (measured 40 s -> 3.5 s at 50k docs)."""
-        return (
-            docs.select(
-                F.col(self.id_col),
-                bm25_tokens(self.text_col).alias("__t"),
+        O(len²) per doc (measured 40 s -> 3.5 s at 50k docs).
+
+        With positions enabled, posexplode carries each token's offset
+        in the normalized stream and the posting keeps the SORTED
+        offset array — the adjacency evidence phrase serving needs."""
+        base = docs.select(
+            F.col(self.id_col),
+            bm25_tokens(self.text_col).alias("__t"),
+        )
+        if self.positions:
+            return (
+                base.select(
+                    F.col(self.id_col),
+                    F.size("__t").alias("dl"),
+                    F.posexplode("__t").alias("__p", "term"),
+                )
+                .groupBy("term", self.id_col)
+                .agg(
+                    F.count(F.lit(1)).alias("tf"),
+                    F.max("dl").alias("dl"),
+                    F.sort_array(F.collect_list("__p")).alias("pos"),
+                )
             )
-            .select(
+        return (
+            base.select(
                 F.col(self.id_col),
                 F.size("__t").alias("dl"),
                 F.explode("__t").alias("term"),
@@ -337,6 +369,10 @@ class IncrementalBM25Index:
                 .withColumn("dl", F.lit(None).cast("long"))
                 .withColumn("__is_delete", F.lit(True))
             )
+            if self.positions:
+                dels = dels.withColumn(
+                    "pos", F.lit(None).cast("array<int>")
+                ).select(*ups.columns)
             try:
                 t.merge(
                     ups.unionByName(dels),
@@ -527,6 +563,7 @@ class IncrementalBM25Index:
         b: float = 0.75,
         top_k: int = 20,
         require_all: bool = False,
+        phrase: list[str] | None = None,
     ) -> DataFrame:
         """Okapi BM25 ranking served from the MAINTAINED state —
         same formula, same Lucene idf, same 4dp-then-rank ordering as
@@ -542,9 +579,26 @@ class IncrementalBM25Index:
         pruning), so the scan is ~|terms|/buckets of the index — the
         query-side twin of refresh ∝ |Δ|. `read(predicates=)` also
         applies the same row filter, so results are identical to the
-        unpruned read + isin."""
+        unpruned read + isin.
+
+        `phrase=[t1, t2, ...]` (positional indexes only) constrains
+        hits to docs containing the terms CONSECUTIVELY in the
+        normalized token stream — scoring stays per-term BM25 exactly
+        like `bm25_rank(phrase=)`. Adjacency is position algebra over
+        the maintained offsets: fold array_intersect over each phrase
+        term's offsets shifted left by its phrase position; a
+        non-empty result IS a phrase occurrence. The phrase terms join
+        the pruned read, so the extra cost is ∝ their postings."""
         terms = list(dict.fromkeys(query_terms))
-        preds = [("term", "in", terms)]
+        if phrase and not self.positions:
+            raise ValueError(
+                "this index was built without positions — phrase "
+                "queries are not index-servable; CREATE the index "
+                "WITH POSITIONS (rebuild) or use the bm25_rank "
+                "recompute path"
+            )
+        read_terms = list(dict.fromkeys([*terms, *(phrase or [])]))
+        preds = [("term", "in", read_terms)]
         tstats = VersionedTable(self.spark, self.terms_root).read(
             predicates=preds
         )
@@ -564,7 +618,11 @@ class IncrementalBM25Index:
                 f"{self.postings_root}: index not materialized; "
                 "call refresh()"
             )
-        cand = t.read(predicates=preds)
+        pruned = t.read(predicates=preds)
+        # scoring uses the QUERY terms only (tstats carries the same
+        # pruned superset, so restrict both sides identically)
+        cand = pruned.filter(F.col("term").isin(terms))
+        tstats = tstats.filter(F.col("term").isin(terms))
         idf = F.log(
             F.lit(1.0)
             + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -585,6 +643,39 @@ class IncrementalBM25Index:
         )
         if require_all:
             agg = agg.filter(F.col("__nt") == len(terms))
+        if phrase:
+            # positional phrase check: per doc, map term -> offsets of
+            # the phrase terms; occurrence positions = fold of
+            # array_intersect(pm[t_j] shifted left by j). A phrase term
+            # absent from the doc yields a NULL map entry, the fold
+            # goes NULL, size(NULL) > 0 is false — exactly "no match".
+            pterms = list(dict.fromkeys(phrase))
+            pm = (
+                pruned.filter(F.col("term").isin(pterms))
+                .groupBy(self.id_col)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("term", "pos"))
+                    ).alias("__pm")
+                )
+            )
+            def _shifted(tm: str, j: int):
+                # NB single-arg lambda only: a second (defaulted)
+                # parameter makes PySpark pick transform's
+                # (element, index) variant — the bm25_rank gotcha.
+                # Closing over the helper's own j binding is safe.
+                return F.transform(
+                    F.col("__pm")[tm], lambda x: x - F.lit(j)
+                )
+
+            occ = None
+            for j, tm in enumerate(phrase):
+                shifted = _shifted(tm, j)
+                occ = shifted if occ is None else F.array_intersect(
+                    occ, shifted
+                )
+            phrase_docs = pm.filter(F.size(occ) > 0).select(self.id_col)
+            agg = agg.join(phrase_docs, self.id_col, "leftsemi")
         return (
             agg.select(
                 F.col(self.id_col),

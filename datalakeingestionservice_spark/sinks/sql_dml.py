@@ -346,18 +346,20 @@ _STOP_CR_RE = re.compile(
 )
 #: SEARCH INDEX statements (E129 at the statement surface): a
 #: maintained BM25 index over a registered table's change feed —
-#: CREATE bootstraps + persists `_bm25.json` at LOCATION, REFRESH
-#: drains the feed, SEARCH ranks from the maintained postings (phrase
-#: queries are NOT servable — positions are not maintained; the
-#: statement refuses quoted multi-word phrases only if the caller
-#: writes one, since terms are whitespace-split), DROP deregisters
-#: (state stays), ALTER ... START/STOP CONTINUOUS REFRESH manages the
-#: per-process stream registry exactly like the MV form.
+#: CREATE [BUCKETS n] [WITH POSITIONS] bootstraps + persists
+#: `_bm25.json` at LOCATION, REFRESH drains the feed, SEARCH ranks
+#: from the maintained postings (`SEARCH idx FOR '"exact phrase"'`
+#: serves phrase queries from a WITH POSITIONS index — adjacency over
+#: the maintained offsets; an index without positions refuses with
+#: the rebuild recipe), DROP deregisters (state stays), ALTER ...
+#: START/STOP CONTINUOUS REFRESH manages the per-process stream
+#: registry exactly like the MV form.
 _CREATE_SIDX_RE = re.compile(
     r"^CREATE\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)\s+ON\s+"
     r"(?P<table>[A-Za-z_]\w*)\s*\(\s*(?P<id>[A-Za-z_]\w*)\s*,\s*"
     r"(?P<text>[A-Za-z_]\w*)\s*\)\s+LOCATION\s+'(?P<loc>[^']+)'"
-    r"(?:\s+BUCKETS\s+(?P<buckets>\d+))?$",
+    r"(?:\s+BUCKETS\s+(?P<buckets>\d+))?"
+    r"(?:\s+(?P<pos>WITH\s+POSITIONS))?$",
     re.IGNORECASE,
 )
 _REFRESH_SIDX_RE = re.compile(
@@ -745,6 +747,8 @@ def execute_dml(
                 if msi.group("buckets")
                 else {}
             ),
+            # WITH POSITIONS: positional postings, phrase-servable
+            positions=msi.group("pos") is not None,
         )
         tables[name] = idx
         return idx.last_refreshed_version()
@@ -1575,13 +1579,14 @@ def execute_describe(
             int(stats.n_docs),
             int(stats.sum_dl),
             int(idx.buckets),
+            bool(idx.positions),
         )
         return spark.createDataFrame(
             [row],
             "name string, source_root string, id_col string, "
             "text_col string, location string, source_version int, "
             "n_terms bigint, n_docs bigint, sum_dl bigint, "
-            "buckets int",
+            "buckets int, positions boolean",
         )
     mdv = re.match(
         r"^DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)$",
@@ -1718,7 +1723,28 @@ def execute_sql(
         # whitespace-split; ordering is score DESC then id, 4dp like
         # the bm25_rank recompute path.
         idx = _resolve_sidx(spark, ms.group("name"), tables)
-        terms = ms.group("q").split()
+        q = ms.group("q").strip()
+        phrase = None
+        if '"' in q:
+            # `SEARCH idx FOR '"exact phrase"'` — the whole query must
+            # be ONE double-quoted phrase (mixed bag+phrase forms
+            # refuse rather than guessing which words are the phrase);
+            # serving needs a WITH POSITIONS index.
+            if not (
+                len(q) >= 2
+                and q.startswith('"')
+                and q.endswith('"')
+                and '"' not in q[1:-1]
+            ):
+                raise UnsupportedStatementError(
+                    "SEARCH phrase subset: the query must be a single "
+                    "double-quoted phrase ('\"...\"') or a plain "
+                    "whitespace bag of terms — mixed forms refuse"
+                )
+            phrase = q[1:-1].split()
+            terms = list(dict.fromkeys(phrase))
+        else:
+            terms = q.split()
         if not terms:
             raise UnsupportedStatementError(
                 "SEARCH needs at least one term"
@@ -1727,6 +1753,7 @@ def execute_sql(
             terms,
             top_k=int(ms.group("k")) if ms.group("k") else 20,
             require_all=ms.group("all") is not None,
+            phrase=phrase,
         )
     if re.match(r"^(SELECT|WITH)\b", sql, re.IGNORECASE):
         return execute_select(spark, sql, tables)

@@ -317,3 +317,134 @@ def test_describe_search_index(spark, tmp_path, corpus):
         .select("t").distinct().count()
     )
     assert d.n_terms == exp_terms
+
+
+class TestPositionalPhrase:
+    """r13: positional postings make phrase queries index-servable.
+    Parity target is bm25_rank(phrase=) — scoring stays per-term BM25,
+    the phrase is a consecutive-tokens constraint over the normalized
+    stream — through inserts/updates/deletes; an index built WITHOUT
+    positions refuses with the rebuild recipe."""
+
+    PDOCS = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "brown quick the: fox! sleeps"),       # terms, no phrase
+        (3, "I saw a quick brown fox and a quick brown cat"),
+        (4, "quick... brown? fox — punctuation can't break adjacency"),
+        (5, "quick brown"),                        # prefix only
+        (6, "brown fox quick brown fox"),          # repeats
+    ]
+
+    def _mk(self, spark, tmp_path, positions=True):
+        src = VersionedTable.create(
+            spark,
+            str(tmp_path / "pdocs"),
+            spark.createDataFrame(self.PDOCS, "doc_id bigint, text string"),
+        )
+        idx = IncrementalBM25Index(
+            spark, src.root, str(tmp_path / "pidx"), positions=positions
+        )
+        idx.refresh()
+        return src, idx
+
+    def _parity(self, idx, src, phrase):
+        got = [
+            (r.doc_id, r.score)
+            for r in idx.rank(
+                list(dict.fromkeys(phrase)), phrase=phrase
+            ).collect()
+        ]
+        exp = [
+            (r.doc_id, r.score)
+            for r in bm25_rank(
+                src.read(), list(dict.fromkeys(phrase)), phrase=phrase
+            ).collect()
+        ]
+        assert got == exp, (phrase, got, exp)
+        return got
+
+    def test_phrase_matches_recompute(self, spark, tmp_path):
+        src, idx = self._mk(spark, tmp_path)
+        hits = self._parity(idx, src, ["quick", "brown", "fox"])
+        # doc 6's tail "... quick brown fox" matches too
+        assert {d for d, _ in hits} == {1, 3, 4, 6}
+        self._parity(idx, src, ["brown", "fox"])
+        self._parity(idx, src, ["lazy", "dog"])
+        # phrase with a repeated term
+        self._parity(idx, src, ["brown", "fox", "quick"])
+        # absent phrase -> empty, absent term -> empty
+        assert idx.rank(
+            ["fox", "sleeps"], phrase=["fox", "sleeps"]
+        ).count() == 1  # doc 2: "fox! sleeps" normalizes adjacent
+        assert idx.rank(["zebra"], phrase=["zebra"]).count() == 0
+
+    def test_phrase_tracks_dml(self, spark, tmp_path):
+        src, idx = self._mk(spark, tmp_path)
+        src.append(
+            spark.createDataFrame(
+                [(7, "a brand new quick brown fox appears")],
+                "doc_id bigint, text string",
+            )
+        )
+        src.update_where(
+            F.col("doc_id") == 1,
+            {"text": F.lit("the fox is quick but not brown")},
+        )
+        src.delete_where(F.col("doc_id") == 3)
+        idx.refresh()
+        hits = self._parity(idx, src, ["quick", "brown", "fox"])
+        assert {d for d, _ in hits} == {4, 6, 7}
+
+    def test_without_positions_refuses(self, spark, tmp_path):
+        src, idx = self._mk(spark, tmp_path, positions=False)
+        with pytest.raises(ValueError, match="WITH POSITIONS"):
+            idx.rank(["quick", "brown"], phrase=["quick", "brown"])
+
+    def test_statement_surface_phrase(self, spark, tmp_path):
+        from datalakeingestionservice_spark.sinks.sql_dml import (
+            UnsupportedStatementError,
+            execute_sql,
+        )
+
+        src = VersionedTable.create(
+            spark,
+            str(tmp_path / "sdocs"),
+            spark.createDataFrame(self.PDOCS, "doc_id bigint, text string"),
+        )
+        tables = {"docs": src}
+        execute_sql(
+            spark,
+            f"CREATE SEARCH INDEX pf ON docs (doc_id, text) LOCATION "
+            f"'{tmp_path / 'pf'}' BUCKETS 8 WITH POSITIONS",
+            tables,
+        )
+        got = [
+            (r.doc_id, r.score)
+            for r in execute_sql(
+                spark, "SEARCH pf FOR '\"quick brown fox\"' TOP 10", tables
+            ).collect()
+        ]
+        exp = [
+            (r.doc_id, r.score)
+            for r in bm25_rank(
+                src.read(),
+                ["quick", "brown", "fox"],
+                phrase=["quick", "brown", "fox"],
+                top_k=10,
+            ).collect()
+        ]
+        assert got == exp
+        desc = execute_sql(spark, "DESCRIBE SEARCH INDEX pf", tables)
+        assert desc.collect()[0].positions is True
+        # mixed bag+phrase refuses; phrase on a positionless index
+        # refuses with the recipe
+        with pytest.raises(UnsupportedStatementError, match="mixed"):
+            execute_sql(spark, "SEARCH pf FOR 'fox \"quick brown\"'", tables)
+        execute_sql(
+            spark,
+            f"CREATE SEARCH INDEX np ON docs (doc_id, text) LOCATION "
+            f"'{tmp_path / 'np'}'",
+            tables,
+        )
+        with pytest.raises(ValueError, match="WITH POSITIONS"):
+            execute_sql(spark, "SEARCH np FOR '\"quick brown\"'", tables)

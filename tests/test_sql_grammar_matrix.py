@@ -422,6 +422,31 @@ CASES = [
     ("refuse_search_index_tvf_unknown", None,
      "SELECT * FROM search_index('nope', 'a')",
      UnsupportedStatementError, None),
+    # --- positional phrase search (r13)
+    ("create_sidx_positions",
+     None,
+     lambda tmp, tb: f"CREATE SEARCH INDEX sp ON t (k, s) "
+     f"LOCATION '{tmp / 'gsp'}' BUCKETS 4 WITH POSITIONS", "ok",
+     lambda r, tb: tb["sp"].positions is True),
+    ("search_phrase_statement",
+     lambda spark, tb, tmp: execute_sql(
+         spark,
+         f"CREATE SEARCH INDEX sp ON t (k, s) "
+         f"LOCATION '{tmp / 'gsp2'}' WITH POSITIONS",
+         tb,
+     ),
+     "SEARCH sp FOR '\"b\"' TOP 5", "ok",
+     lambda r, tb: {x.k for x in r.collect()} == {2}),
+    ("refuse_phrase_without_positions", _setup_sidx,
+     "SEARCH six FOR '\"b c\"'", ValueError, None),
+    ("refuse_mixed_bag_and_phrase",
+     lambda spark, tb, tmp: execute_sql(
+         spark,
+         f"CREATE SEARCH INDEX sp ON t (k, s) "
+         f"LOCATION '{tmp / 'gsp3'}' WITH POSITIONS",
+         tb,
+     ),
+     "SEARCH sp FOR 'a \"b c\"'", UnsupportedStatementError, None),
 ]
 
 
