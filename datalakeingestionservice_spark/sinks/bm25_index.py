@@ -335,8 +335,12 @@ class IncrementalBM25Index:
                 # serving-side pruning: SEARCH term equality derives
                 # leaf pruning from the bucket dirs (hidden
                 # partitioning), so a query scans ~|terms|/buckets of
-                # the postings instead of the whole index
+                # the postings instead of the whole index; optimized
+                # write keeps it ONE file per bucket per commit (a
+                # 32-task write would otherwise fragment 32× and the
+                # per-file opens eat the pruning win)
                 partition_by=self._term_spec(),
+                optimize_write=bool(self.buckets),
             )
             return
         for _ in range(max_retries + 1):
@@ -409,6 +413,7 @@ class IncrementalBM25Index:
                 )},
                 materialize_changes=False,
                 partition_by=self._term_spec(),
+                optimize_write=bool(self.buckets),
             )
             return
         for _ in range(max_retries + 1):

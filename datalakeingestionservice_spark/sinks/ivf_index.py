@@ -134,6 +134,9 @@ class IncrementalIVFIndex:
                 # scanning every assignment file (cells ≈ sqrt(corpus),
                 # so leaves stay coarse enough to not fragment writes)
                 partition_by=[self.centroid_id_col],
+                # one file per cell per commit (optimized write) — the
+                # pruned probe read pays per-file opens otherwise
+                optimize_write=True,
             )
             return latest
 

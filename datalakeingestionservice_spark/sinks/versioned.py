@@ -1350,6 +1350,15 @@ class Manifest:
     #: Orthogonal to `column_defaults` (which backfills history at
     #: read); both may exist on one column with different literals.
     write_defaults: dict = field(default_factory=dict)
+    #: Optimized write (Delta's optimizeWrite shape, opt-in at
+    #: create()): partitioned commits repartition by the partition dir
+    #: columns before writing, so each leaf gets ONE file per commit
+    #: instead of one per shuffle task — without it a 32-task write
+    #: into N leaves fragments into 32×N small files, and a pruned
+    #: read's per-file open cost eats the pruning win. Off by default:
+    #: the shuffle it adds is wasted on unpartitioned tables, and a
+    #: huge single-leaf bootstrap would serialize into one task.
+    optimize_write: bool = False
 
     def to_json(self) -> str:
         return json.dumps(
@@ -1369,6 +1378,7 @@ class Manifest:
                 "past_specs": [list(sp) for sp in self.past_specs],
                 "column_defaults": self.column_defaults,
                 "write_defaults": self.write_defaults,
+                "optimize_write": self.optimize_write,
             },
             indent=2,
             sort_keys=True,
@@ -1453,6 +1463,11 @@ class Manifest:
                 self.write_defaults,
                 parent.write_defaults,
             ),
+            (
+                "optimize_write",
+                self.optimize_write,
+                parent.optimize_write,
+            ),
         ):
             if mine != theirs:
                 d[key] = mine
@@ -1478,6 +1493,7 @@ class Manifest:
             ),
             column_defaults=d.get("column_defaults", {}),
             write_defaults=d.get("write_defaults", {}),
+            optimize_write=d.get("optimize_write", False),
         )
 
     @staticmethod
@@ -1717,6 +1733,7 @@ def _apply_delta(parent: Manifest, d: dict) -> Manifest:
             if "write_defaults" in d
             else parent.write_defaults
         ),
+        optimize_write=d.get("optimize_write", parent.optimize_write),
     )
 
 
@@ -1928,6 +1945,7 @@ class VersionedTable:
         check_constraints: dict[str, str] | None = None,
         not_null: list[str] | None = None,
         bloom_columns: list[str] | None = None,
+        optimize_write: bool = False,
     ) -> "VersionedTable":
         """With `partition_by`, data is laid out hive-style
         (`col=value/` leaf dirs, one manifest entry each) and reads prune
@@ -1974,7 +1992,9 @@ class VersionedTable:
             materialize_changes=materialize_changes,
         )
         _enforce_constraints(df, constraints)
-        entries = table._write_data_entries(df, pb, bloom_columns=bc)
+        entries = table._write_data_entries(
+            df, pb, bloom_columns=bc, optimize_write=optimize_write
+        )
         table._commit(
             operation="create",
             files=tuple(entries),
@@ -1985,6 +2005,7 @@ class VersionedTable:
             partition_by=pb,
             constraints=constraints,
             bloom_columns=bc,
+            optimize_write=bool(optimize_write),
         )
         return table
 
@@ -6236,6 +6257,7 @@ class VersionedTable:
         df: DataFrame,
         partition_by: tuple[str, ...],
         bloom_columns: tuple[str, ...] | None = None,
+        optimize_write: bool | None = None,
     ) -> dict[str, dict]:
         """Write one commit's data; return {manifest entry rel: stats}.
 
@@ -6302,6 +6324,32 @@ class VersionedTable:
                 )
                 dir_cols.append(alias)
         partition_by = tuple(dir_cols)
+        if optimize_write is None:
+            optimize_write = latest.optimize_write if latest else False
+        if optimize_write and dir_cols:
+            # Optimized write (Delta optimizeWrite shape): cluster the
+            # commit's rows by their leaf key so each leaf receives a
+            # BOUNDED number of files instead of one per shuffle task —
+            # a 32-task write into N leaves otherwise fragments into
+            # 32×N small files, and every pruned read pays the opens.
+            # Pure one-file-per-leaf over-consolidates the other way: a
+            # pruned probe of k leaves then reads with only k-way
+            # parallelism (sub-128MB files don't split), so a small
+            # SALT keeps each leaf at ≤ salt_n files — pruned reads
+            # keep multi-way parallelism, fragmentation stays bounded.
+            # One extra shuffle, ∝ the commit (for the index state
+            # tables that opt in, that is the delta, never the table).
+            n_shuf = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            salt_n = max(1, min(8, n_shuf // 8))
+            hashable = [
+                F.col(f.name)
+                for f in df.schema.fields
+                if not f.dataType.typeName().startswith("map")
+            ] or [F.lit(0)]
+            salt = F.pmod(F.hash(*hashable), F.lit(salt_n))
+            df = df.repartition(*[F.col(c) for c in dir_cols], salt)
         conf_key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
@@ -6458,6 +6506,7 @@ class VersionedTable:
         past_specs: tuple | None = None,
         column_defaults: dict | None = None,
         write_defaults: dict | None = None,
+        optimize_write: bool | None = None,
     ) -> int:
         """Atomically claim version expected_parent+1 via the table's
         commit protocol (hard-link on POSIX, conditional PUT on object
@@ -6498,6 +6547,9 @@ class VersionedTable:
                 column_defaults = dict(pm2.column_defaults) if pm2 else {}
             if write_defaults is None:
                 write_defaults = dict(pm2.write_defaults) if pm2 else {}
+        if optimize_write is None:
+            pm3 = self.manifest(expected_parent) if expected_parent else None
+            optimize_write = pm3.optimize_write if pm3 else False
         # Retire predicates that no longer touch any surviving entry
         # (every entry they scoped was rewritten — the rewrite read
         # through the filter, materializing the deletion).
@@ -6527,6 +6579,7 @@ class VersionedTable:
             past_specs=past_specs,
             column_defaults=column_defaults,
             write_defaults=write_defaults,
+            optimize_write=optimize_write,
         )
         final = os.path.join(self._mdir, _manifest_name(version))
         # Delta-encode vs the parent (commit metadata ∝ the CHANGE, not
