@@ -5601,3 +5601,108 @@ def q204_rollup_pyramid_matview(
         "FROM monthly ORDER BY month",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — OUTER-AGG ROLLUP PYRAMID (r13, E131 completed): an OUTER-join
+# aggregate MV feeding a downstream aggregate MV. The upstream's
+# rendered projection carries the padded NULL-segment group, so it
+# keys by the hidden null-safe __gid and the downstream single-table
+# aggregate is built null-safe (NULL groups combine instead of
+# duplicating — SQL-MERGE equality never matches NULL). DML drives
+# pad↔match transitions (a dim row arrives claiming previously-padded
+# facts; a dim deletion pads a whole segment) through base → outer agg
+# → rollup under ONE REFRESH ... CASCADE. Oracle recomputes the
+# two-level aggregate over the mutated LEFT JOIN, NULL bucket included.
+# ---------------------------------------------------------------------------
+@register(
+    "q207_outer_agg_rollup_pyramid",
+    tags=("lake", "sql", "incremental-view", "matview", "rollup",
+          "outer-join", "cdf"),
+    oracle="""
+WITH o1 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE)
+           + CASE WHEN o_orderkey % 10 = 0 THEN 5 ELSE 0 END AS price
+  FROM orders WHERE o_orderkey % 7 <> 3
+),
+c1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 5 <> 2
+),
+seg_agg AS (
+  SELECT seg, count(*) AS n, sum(price) AS total
+  FROM o1 LEFT JOIN c1 USING (ck)
+  GROUP BY seg
+)
+SELECT substr(seg, 1, 1) AS s1,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       round(sum(total), 2) AS total
+FROM seg_agg GROUP BY substr(seg, 1, 1)
+ORDER BY s1 NULLS FIRST
+""",
+)
+def q207_outer_agg_rollup_pyramid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CREATE seg_profile (COUNT/SUM per segment over orders LEFT JOIN
+    customer — unmatched orders group under NULL) -> CREATE rollup
+    over SEG_PROFILE (per first letter) -> DML on both bases (price
+    bumps, order deletes, customer deletes padding whole segments) ->
+    ONE REFRESH rollup CASCADE."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_oap_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    o = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    c = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": o, "customer": c}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_profile LOCATION "
+        f"'{os.path.join(base, 'up')}' PRIMARY KEY (k, ck) AS "
+        "SELECT seg, COUNT(*) AS n, SUM(price) AS total "
+        "FROM orders LEFT JOIN customer USING (ck) GROUP BY seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_rollup LOCATION "
+        f"'{os.path.join(base, 'down')}' AS "
+        "SELECT substr(seg, 1, 1) AS s1, SUM(n) AS n_orders, "
+        "SUM(total) AS total FROM seg_profile GROUP BY s1",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 5 WHERE k % 10 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 7 = 3", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 5 = 2", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW seg_rollup CASCADE", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT s1, n_orders, round(total, 2) AS total "
+        "FROM seg_rollup ORDER BY s1 NULLS FIRST",
+        tables,
+    )

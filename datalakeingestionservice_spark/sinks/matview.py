@@ -668,27 +668,40 @@ class MaterializedView:
                 ):
                     spec.setdefault("deps", {})[src] = up.root
                     return os.path.join(up.root, "state")
-                if up.spec["kind"] == "agg" or (
-                    up.spec["kind"] in ("join_agg", "join_chain_agg")
-                    and up_jt == "inner"
-                ):
-                    # aggregate upstream: the state table keeps hidden
-                    # accumulators, so the downstream consumes the
-                    # RENDERED visible-rows projection instead — a
-                    # versioned table maintained from the agg state's
-                    # CDC (the rollup-pyramid mechanism: daily agg MV
-                    # feeds monthly agg MV)
+                if up.spec["kind"] in ("agg", "join_agg", "join_chain_agg"):
+                    # aggregate upstream (ANY join type): the state
+                    # table keeps hidden accumulators, so the
+                    # downstream consumes the RENDERED visible-rows
+                    # projection instead — a versioned table maintained
+                    # from the agg state's CDC (the rollup-pyramid
+                    # mechanism: daily agg MV feeds monthly agg MV). An
+                    # OUTER-agg upstream's rendered rows carry NULL
+                    # group keys (the padded groups), so the DOWNSTREAM
+                    # single-table aggregate keys null-safely — without
+                    # it, SQL-MERGE equality would silently duplicate
+                    # the NULL groups.
                     spec.setdefault("deps", {})[src] = up.root
+                    if up._rendered_null_safe():
+                        if spec["kind"] != "agg":
+                            raise MaterializedViewError(
+                                f"source {src!r} is an OUTER-join "
+                                "aggregate: its rendered rows carry "
+                                "NULL group keys, which only a "
+                                "single-table aggregate downstream "
+                                "can key (null-safe); join views "
+                                "need non-NULL PRIMARY KEYs"
+                            )
+                        spec["null_safe_source"] = True
                     return up.ensure_rendered()
                 raise MaterializedViewError(
                     f"source {src!r} is a materialized view of "
                     f"kind {up.spec['kind']}/{up_jt}; INNER join "
                     "views feed downstream views from their state "
-                    "table, aggregate views (single-table or INNER "
-                    "join) from their rendered projection — OUTER "
+                    "table, aggregate views (any join type) from "
+                    "their rendered projection — SELECT * OUTER "
                     "views refuse (padded rows spread across side "
-                    "tables and group under NULL keys); aggregate "
-                    "the outer join directly in ONE view instead"
+                    "tables); aggregate the outer join directly, "
+                    "then roll THAT view up"
                 )
             return t.root if isinstance(t, VersionedTable) else str(t)
 
@@ -738,6 +751,9 @@ class MaterializedView:
                 avgs=s.get("avgs") or {},
                 stddevs=s.get("stddevs") or {},
                 variances=s.get("variances") or {},
+                # set when the source is an OUTER-agg upstream's
+                # rendered projection: its rows group under NULL keys
+                null_safe_keys=s.get("null_safe_source", False),
             )
         if s["kind"] in ("join_chain", "join_chain_agg"):
             return self._build_chain(s, state, flt)
@@ -968,6 +984,36 @@ class MaterializedView:
             ks = s["group_keys"]
         return list(ks) if not isinstance(ks, dict) else list(ks)
 
+    def _rendered_null_safe(self) -> bool:
+        """OUTER-join aggregates group padded rows under NULL keys, so
+        the rendered projection keys by the hidden ``__gid`` (the
+        null-safe JSON group id the agg STATE already stores) instead
+        of the key columns (SQL-MERGE equality never matches NULL)."""
+        s = self.spec
+        if s["kind"] == "agg":
+            return False
+        jt = (
+            s.get("last_join_type", "inner")
+            if s["kind"].startswith("join_chain")
+            else s.get("join_type", "inner")
+        )
+        return jt != "inner"
+
+    def _rendered_gid(self, df: DataFrame) -> DataFrame:
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            _GID_JSON_OPTS,
+        )
+
+        return df.withColumn(
+            "__gid",
+            F.to_json(
+                F.struct(
+                    *[F.col(k) for k in self._rendered_keys()]
+                ),
+                _GID_JSON_OPTS,
+            ),
+        )
+
     def _persist_spec(self) -> None:
         tmp = os.path.join(self.root, _SPEC_FILE + ".tmp")
         with open(tmp, "w") as f:
@@ -981,21 +1027,12 @@ class MaterializedView:
         refreshes rendered/ (a downstream view's freshness must not
         depend on which handle refreshed its upstream)."""
         s = self.spec
-        jt = (
-            s.get("last_join_type", "inner")
-            if s["kind"].startswith("join_chain")
-            else s.get("join_type", "inner")
-        )
-        if not (
-            s["kind"] == "agg"
-            or (s["kind"] in ("join_agg", "join_chain_agg") and jt == "inner")
-        ):
+        if s["kind"] not in ("agg", "join_agg", "join_chain_agg"):
             raise MaterializedViewError(
-                f"rendered projection supports aggregate views with "
-                f"INNER sources only (kind {s['kind']}/{jt}): outer "
-                "padded rows group under NULL keys, which the rendered "
-                "merge cannot key; aggregate the outer join directly "
-                "in ONE view instead"
+                f"rendered projection supports AGGREGATE views only "
+                f"(kind {s['kind']}): a SELECT * outer join's visible "
+                "rows spread across padded side tables; aggregate it, "
+                "or put the outer join in the downstream view"
             )
         if not self.spec.get("rendered"):
             self.spec["rendered"] = True
@@ -1016,14 +1053,23 @@ class MaterializedView:
 
         st = VersionedTable(self.spark, self._main_state_root())
         sv = st.latest_version()
-        keys = self._rendered_keys()
+        null_safe = self._rendered_null_safe()
+        keys = ["__gid"] if null_safe else self._rendered_keys()
+
+        def _vis(df: DataFrame) -> DataFrame:
+            # null-safe kinds carry the hidden __gid merge key in the
+            # rendered table (the agg STATE stores the same encoding,
+            # so the feed's gids and the re-rendered rows' gids match
+            # byte-for-byte); inner kinds stay pure visible rows.
+            return self._rendered_gid(df) if null_safe else df
+
         try:
             rend = VersionedTable(self.spark, self.rendered_root())
         except NoSuchVersionError:
             VersionedTable.create(
                 self.spark,
                 self.rendered_root(),
-                self.read(),
+                _vis(self.read()),
                 summary={"state_version": sv},
             )
             return
@@ -1041,7 +1087,7 @@ class MaterializedView:
                 return
             rv = rend.latest_version()
             affected = st.changes(last, sv).select(*keys).distinct()
-            new = self.read().join(affected, keys, "leftsemi")
+            new = _vis(self.read()).join(affected, keys, "leftsemi")
             types = {f.name: f.dataType for f in new.schema.fields}
             gone = affected.join(new.select(*keys), keys, "left_anti")
             dels = gone.select(

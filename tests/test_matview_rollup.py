@@ -364,3 +364,158 @@ def test_pyramid_through_sql_statements(spark, tmp_path, src):
         ).collect()
     )
     assert got == _monthly_expect(src)
+
+
+class TestOuterAggUpstream:
+    """r13 completion: OUTER-join AGGREGATE views feed downstream views
+    too — their rendered projection keys by the hidden null-safe
+    ``__gid`` (padded rows group under NULL keys), and the downstream
+    single-table aggregate is built null-safe so NULL groups combine
+    instead of duplicating. SELECT * outer views still refuse; a JOIN
+    downstream over an outer-agg upstream refuses (NULL pks)."""
+
+    def _env(self, spark, tmp_path):
+        o = VersionedTable.create(
+            spark,
+            str(tmp_path / "o"),
+            spark.createDataFrame(
+                [(k, 10 * (k % 4), float(k)) for k in range(1, 21)],
+                "k bigint, ck bigint, price double",
+            ),
+        )
+        c = VersionedTable.create(
+            spark,
+            str(tmp_path / "c"),
+            spark.createDataFrame(
+                [(10, "alpha"), (20, "beta")], "ck bigint, seg string"
+            ),
+        )
+        return o, c
+
+    def _expect(self, o, c):
+        j = o.read().join(c.read(), "ck", "left")
+        d = (
+            j.groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").alias("total"),
+            )
+            .groupBy(F.substring("seg", 1, 1).alias("s1"))
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        )
+        return sorted(
+            ((r.s1 or "~"), r.n, r.total) for r in d.collect()
+        )
+
+    def test_outer_agg_rollup_through_pad_transitions(
+        self, spark, tmp_path
+    ):
+        o, c = self._env(spark, tmp_path)
+        up = MaterializedView.create(
+            spark,
+            str(tmp_path / "up"),
+            "SELECT seg, COUNT(*) AS n, SUM(price) AS total "
+            "FROM o LEFT JOIN c USING (ck) GROUP BY seg",
+            {"o": o, "c": c},
+            primary_key=("k", "ck"),
+        )
+        down = MaterializedView.create(
+            spark,
+            str(tmp_path / "down"),
+            "SELECT substr(seg, 1, 1) AS s1, SUM(n) AS n, "
+            "SUM(total) AS total FROM up GROUP BY s1",
+            {"up": up},
+        )
+
+        def got():
+            return sorted(
+                ((r.s1 or "~"), r.n, r.total)
+                for r in down.read().collect()
+            )
+
+        assert got() == self._expect(o, c)
+        # pad->match (new dim row claims the ck=0 padded group),
+        # match->pad (dim deletion pads a whole segment), value churn
+        c.append(
+            spark.createDataFrame([(0, "gamma")], "ck bigint, seg string")
+        )
+        c.delete_where(F.col("ck") == 20)
+        o.update_where(
+            F.col("k") % 3 == 0, {"price": F.col("price") + 100.0}
+        )
+        down.refresh(cascade=True)
+        assert got() == self._expect(o, c)
+        # the NULL group flows as its own rollup bucket; the rendered
+        # table carries ONLY the documented __gid merge key beyond the
+        # visible rows, and nothing internal reaches the downstream read
+        assert "~" in {x[0] for x in got()}
+        rend_cols = set(
+            VersionedTable(spark, up.rendered_root()).read().columns
+        )
+        assert rend_cols == {"seg", "n", "total", "__gid"}, rend_cols
+        assert set(down.read().columns) == {"s1", "n", "total"}
+
+    def test_composed_outer_extremes_upstream(self, spark, tmp_path):
+        o, c = self._env(spark, tmp_path)
+        up = MaterializedView.create(
+            spark,
+            str(tmp_path / "up"),
+            "SELECT seg, MIN(price) AS lo, MAX(price) AS hi "
+            "FROM o LEFT JOIN c USING (ck) GROUP BY seg",
+            {"o": o, "c": c},
+            primary_key=("k", "ck"),
+        )
+        down = MaterializedView.create(
+            spark,
+            str(tmp_path / "down"),
+            "SELECT COUNT(*) AS segs, MIN(lo) AS lo, MAX(hi) AS hi, "
+            "seg FROM up GROUP BY seg",
+            {"up": up},
+        )
+        # delete AT the padded group's max (endangered rescan upstream)
+        o.delete_where(F.col("price") == 19.0)
+        o.update_where(F.col("k") == 2, {"price": F.lit(0.5)})
+        down.refresh(cascade=True)
+        exp = sorted(
+            ((r.seg or "~"), 1, r.lo, r.hi)
+            for r in o.read()
+            .join(c.read(), "ck", "left")
+            .groupBy("seg")
+            .agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+            .collect()
+        )
+        got = sorted(
+            ((r.seg or "~"), r.segs, r.lo, r.hi)
+            for r in down.read().collect()
+        )
+        assert got == exp
+
+    def test_join_downstream_over_outer_agg_refuses(
+        self, spark, tmp_path
+    ):
+        o, c = self._env(spark, tmp_path)
+        up = MaterializedView.create(
+            spark,
+            str(tmp_path / "up"),
+            "SELECT seg, COUNT(*) AS n FROM o LEFT JOIN c USING (ck) "
+            "GROUP BY seg",
+            {"o": o, "c": c},
+            primary_key=("k", "ck"),
+        )
+        dim = VersionedTable.create(
+            spark,
+            str(tmp_path / "dim"),
+            spark.createDataFrame(
+                [("alpha", 1)], "seg string, rank bigint"
+            ),
+        )
+        with pytest.raises(
+            MaterializedViewError, match="NULL group keys"
+        ):
+            MaterializedView.create(
+                spark,
+                str(tmp_path / "bad"),
+                "SELECT * FROM up JOIN dim USING (seg)",
+                {"up": up, "dim": dim},
+                primary_key=("seg", "rank"),
+            )
