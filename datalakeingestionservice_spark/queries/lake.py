@@ -5706,3 +5706,100 @@ def q207_outer_agg_rollup_pyramid(
         "FROM seg_rollup ORDER BY s1 NULLS FIRST",
         tables,
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — SELECT * OUTER VIEW AS AN MV UPSTREAM (r13; the LAST upstream
+# refusal removed): a maintained LEFT-JOIN row view feeds a downstream
+# aggregate through its rendered join-row projection — one versioned
+# table of every visible (padded) join row keyed by the null-safe
+# pk-pair __gid, maintained from the inner AND padded state tables'
+# own change feeds (a pad↔match transition arrives as a padded-table
+# delete + an inner-table insert naming the same gid). The downstream
+# aggregate is built null-safe (padded rows group under NULL keys).
+# DML drives both transition directions plus row churn; oracle
+# recomputes the aggregate over the mutated LEFT JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "q208_outer_star_view_upstream",
+    tags=("lake", "sql", "incremental-view", "matview", "outer-join",
+          "cdf"),
+    oracle="""
+WITH o1 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE)
+           + CASE WHEN o_orderkey % 8 = 0 THEN 3 ELSE 0 END AS price
+  FROM orders WHERE o_orderkey % 11 <> 6
+),
+c1 AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 4 <> 1
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total
+FROM o1 LEFT JOIN c1 USING (ck)
+GROUP BY seg ORDER BY seg NULLS FIRST
+""",
+)
+def q208_outer_star_view_upstream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CREATE order_rows (SELECT * FROM orders LEFT JOIN customer) ->
+    CREATE seg_stats over ORDER_ROWS (COUNT/SUM per segment) -> DML on
+    both bases (price bumps, order deletes, customer deletes padding
+    whole segments) -> ONE REFRESH seg_stats CASCADE."""
+    from datalakeingestionservice_spark.sinks.sql_dml import execute_sql
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dlis_osu_{uuid.uuid4().hex}"
+    )
+    env = Env(spark, sf_dir)
+    o = VersionedTable.create(
+        spark,
+        os.path.join(base, "orders"),
+        env.t("orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+    )
+    c = VersionedTable.create(
+        spark,
+        os.path.join(base, "customer"),
+        env.t("customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+    )
+    tables = {"orders": o, "customer": c}
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW order_rows LOCATION "
+        f"'{os.path.join(base, 'up')}' PRIMARY KEY (k, ck) AS "
+        "SELECT * FROM orders LEFT JOIN customer USING (ck)",
+        tables,
+    )
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW seg_stats LOCATION "
+        f"'{os.path.join(base, 'down')}' AS "
+        "SELECT seg, COUNT(*) AS n_rows, SUM(price) AS total "
+        "FROM order_rows GROUP BY seg",
+        tables,
+    )
+    execute_sql(
+        spark,
+        "UPDATE orders SET price = price + 3 WHERE k % 8 = 0",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM orders WHERE k % 11 = 6", tables)
+    execute_sql(spark, "DELETE FROM customer WHERE ck % 4 = 1", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW seg_stats CASCADE", tables
+    )
+    return execute_sql(
+        spark,
+        "SELECT seg, n_rows, round(total, 2) AS total "
+        "FROM seg_stats ORDER BY seg NULLS FIRST",
+        tables,
+    )

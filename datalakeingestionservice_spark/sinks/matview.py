@@ -693,15 +693,30 @@ class MaterializedView:
                             )
                         spec["null_safe_source"] = True
                     return up.ensure_rendered()
+                # SELECT * OUTER views (incl. outer-final chains): the
+                # visible relation spans padded side tables, so the
+                # downstream consumes the RENDERED join-row projection
+                # (pk-pair __gid keyed). Padded rows carry NULLs in the
+                # missing side's columns, so only a null-safe aggregate
+                # downstream can consume it.
+                if up.spec["kind"] in ("join", "join_chain"):
+                    if spec["kind"] != "agg":
+                        raise MaterializedViewError(
+                            f"source {src!r} is an OUTER join view: "
+                            "its rendered rows carry NULLs in the "
+                            "padded side (incl. potential pk "
+                            "columns), which only a single-table "
+                            "aggregate downstream can key "
+                            "(null-safe); join it upstream instead — "
+                            "chains accept an OUTER FINAL join"
+                        )
+                    spec.setdefault("deps", {})[src] = up.root
+                    spec["null_safe_source"] = True
+                    return up.ensure_rendered()
                 raise MaterializedViewError(
                     f"source {src!r} is a materialized view of "
-                    f"kind {up.spec['kind']}/{up_jt}; INNER join "
-                    "views feed downstream views from their state "
-                    "table, aggregate views (any join type) from "
-                    "their rendered projection — SELECT * OUTER "
-                    "views refuse (padded rows spread across side "
-                    "tables); aggregate the outer join directly, "
-                    "then roll THAT view up"
+                    f"kind {up.spec['kind']}/{up_jt} outside the "
+                    "upstream matrix"
                 )
             return t.root if isinstance(t, VersionedTable) else str(t)
 
@@ -1014,6 +1029,154 @@ class MaterializedView:
             ),
         )
 
+    # -- rendered projection for SELECT * OUTER views -------------------------
+    def _outer_parts(self) -> dict[str, str]:
+        """name -> state-table root whose change feed identifies
+        affected visible rows of a SELECT * OUTER view (the visible
+        relation spans 2-3 state tables)."""
+        s = self.spec
+        state = os.path.join(self.root, "state")
+        jt = (
+            s.get("last_join_type", "inner")
+            if s["kind"].startswith("join_chain")
+            else s.get("join_type", "inner")
+        )
+        parts = {
+            "inner": os.path.join(state, "inner"),
+            "padded": os.path.join(state, "padded"),
+        }
+        if jt == "full":
+            parts["rpadded"] = os.path.join(state, "rpadded")
+        return parts
+
+    def _rendered_pks(self) -> list[str]:
+        """The pk pair identifying a visible outer row: (left_pk,
+        right_pk) for two-table views; (__lk, last_pk) for outer-final
+        chains (the synthesized intermediate pk — an internal column,
+        so chain rendered rows carry it)."""
+        s = self.spec
+        if s["kind"] == "join":
+            return [s["left_pk"], s["right_pk"]]
+        return ["__lk", s["pks"][-1]]
+
+    def _outer_raw_rows(self) -> DataFrame:
+        """The view's visible rows WITH the pk columns rendered
+        projection needs — for outer-final chains that means keeping
+        the internal __lk the user-facing read() drops."""
+        return self._view.read()
+
+    def _refresh_rendered_outer(self) -> None:
+        """Rendered projection of a SELECT * OUTER view: one versioned
+        table holding every visible (padded) join row, keyed by the
+        null-safe __gid of the pk pair, maintained from the 2-3 state
+        tables' OWN change feeds (a pad↔match transition arrives as a
+        padded-table delete + an inner-table insert; both name the
+        affected gid). Marks: a per-state-table version dict in the
+        rendered commit summary."""
+        from datalakeingestionservice_spark.sinks.incremental_view import (
+            _GID_JSON_OPTS,
+        )
+        from datalakeingestionservice_spark.sinks.versioned import (
+            ConcurrentCommitError,
+            NoSuchVersionError,
+        )
+
+        parts = {
+            n: VersionedTable(self.spark, r)
+            for n, r in self._outer_parts().items()
+        }
+        latests = {n: t.latest_version() for n, t in parts.items()}
+        pks = self._rendered_pks()
+        base = self._outer_raw_rows()
+        pk_types = {
+            f.name: f.dataType
+            for f in base.schema.fields
+            if f.name in pks
+        }
+
+        def gid(df: DataFrame) -> DataFrame:
+            # feed rows may lack a pk column (the padded table stores
+            # one side's rows): NULL-fill with the visible type so the
+            # encoding matches the base rows' byte-for-byte
+            fields = [
+                (
+                    F.col(k).cast(pk_types[k])
+                    if k in df.columns
+                    else F.lit(None).cast(pk_types[k])
+                ).alias(k)
+                for k in pks
+            ]
+            return df.withColumn(
+                "__gid", F.to_json(F.struct(*fields), _GID_JSON_OPTS)
+            )
+
+        try:
+            rend = VersionedTable(self.spark, self.rendered_root())
+        except NoSuchVersionError:
+            VersionedTable.create(
+                self.spark,
+                self.rendered_root(),
+                gid(base),
+                summary={"state_versions": latests},
+            )
+            return
+        last = None
+        for m in reversed(rend.versions()):
+            if "state_versions" in m.summary:
+                last = m.summary["state_versions"]
+                break
+        if last is None:
+            raise NoSuchVersionError(
+                f"{self.rendered_root()}: no state_versions mark"
+            )
+        for _ in range(4):
+            if all(latests[n] <= last.get(n, 0) for n in parts):
+                return
+            rv = rend.latest_version()
+            affected = None
+            for n, t in parts.items():
+                a, b = last.get(n, 0), latests[n]
+                if b <= a:
+                    continue
+                piece = gid(t.changes(a, b)).select("__gid").distinct()
+                affected = (
+                    piece
+                    if affected is None
+                    else affected.unionByName(piece).distinct()
+                )
+            new = gid(base).join(affected, "__gid", "leftsemi")
+            types = {f.name: f.dataType for f in new.schema.fields}
+            gone = affected.join(
+                new.select("__gid"), "__gid", "left_anti"
+            )
+            dels = gone.select(
+                *[
+                    F.col(c).alias(c)
+                    if c == "__gid"
+                    else F.lit(None).cast(t).alias(c)
+                    for c, t in types.items()
+                ]
+            ).withColumn("__is_delete", F.lit(True))
+            ups = new.withColumn("__is_delete", F.lit(False))
+            try:
+                rend.merge(
+                    ups.unionByName(dels),
+                    ["__gid"],
+                    delete_col="__is_delete",
+                    summary={"state_versions": latests},
+                    expected_version=rv,
+                )
+                return
+            except ConcurrentCommitError:
+                for m in reversed(rend.versions()):
+                    if "state_versions" in m.summary:
+                        last = m.summary["state_versions"]
+                        break
+                continue
+        raise ConcurrentCommitError(
+            f"{self.rendered_root()}: merge lost every retry"
+        )
+
     def _persist_spec(self) -> None:
         tmp = os.path.join(self.root, _SPEC_FILE + ".tmp")
         with open(tmp, "w") as f:
@@ -1027,12 +1190,18 @@ class MaterializedView:
         refreshes rendered/ (a downstream view's freshness must not
         depend on which handle refreshed its upstream)."""
         s = self.spec
-        if s["kind"] not in ("agg", "join_agg", "join_chain_agg"):
+        agg_kinds = ("agg", "join_agg", "join_chain_agg")
+        outer_star = s["kind"] in ("join", "join_chain") and (
+            s.get("last_join_type", "inner")
+            if s["kind"].startswith("join_chain")
+            else s.get("join_type", "inner")
+        ) != "inner"
+        if s["kind"] not in agg_kinds and not outer_star:
             raise MaterializedViewError(
-                f"rendered projection supports AGGREGATE views only "
-                f"(kind {s['kind']}): a SELECT * outer join's visible "
-                "rows spread across padded side tables; aggregate it, "
-                "or put the outer join in the downstream view"
+                f"rendered projection applies to aggregate views and "
+                f"SELECT * OUTER views (kind {s['kind']}): INNER join "
+                "views feed downstream views from their state table "
+                "directly"
             )
         if not self.spec.get("rendered"):
             self.spec["rendered"] = True
@@ -1051,6 +1220,9 @@ class MaterializedView:
             NoSuchVersionError,
         )
 
+        if self.spec["kind"] in ("join", "join_chain"):
+            # SELECT * OUTER views: 2-3 state-table feeds, pk-pair gid
+            return self._refresh_rendered_outer()
         st = VersionedTable(self.spark, self._main_state_root())
         sv = st.latest_version()
         null_safe = self._rendered_null_safe()

@@ -891,14 +891,41 @@ def test_mv_over_mv_upstream_kinds(spark, tmp_path, env):
         "SELECT * FROM orders LEFT JOIN customer USING (ck)",
         tables,
     )
-    with pytest.raises(
-        MaterializedViewError, match="OUTER views refuse"
-    ):
+    # SELECT * OUTER upstream: an AGGREGATE downstream is served from
+    # the null-safe rendered join-row projection (r13 completion)
+    execute_sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW over_outer LOCATION "
+        f"'{tmp_path / 'x_outer'}' AS "
+        "SELECT seg, COUNT(*) AS n FROM outer_up GROUP BY seg",
+        tables,
+    )
+    execute_sql(spark, "DELETE FROM customer WHERE ck = 10", tables)
+    execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW over_outer CASCADE", tables
+    )
+    got_o = sorted(
+        ((x.seg or "~"), x.n)
+        for x in execute_sql(
+            spark, "SELECT * FROM over_outer", tables
+        ).collect()
+    )
+    exp_o = sorted(
+        ((x.seg or "~"), x.n)
+        for x in l.read()
+        .join(r.read(), "ck", "left")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got_o == exp_o
+    # ... but a JOIN downstream over one refuses (NULL-able pks)
+    with pytest.raises(MaterializedViewError, match="null-safe"):
         execute_sql(
             spark,
-            f"CREATE MATERIALIZED VIEW x LOCATION "
-            f"'{tmp_path / 'x_outer'}' AS "
-            "SELECT k, COUNT(*) AS n FROM outer_up GROUP BY k",
+            f"CREATE MATERIALIZED VIEW xj LOCATION "
+            f"'{tmp_path / 'xj'}' PRIMARY KEY (k, ck) AS "
+            "SELECT * FROM outer_up JOIN customer USING (ck)",
             tables,
         )
     # aggregate upstream: accepted, served from rendered/
@@ -1907,9 +1934,11 @@ class TestOuterFinalChain:
             ((x.nname or "~"), x.lo, x.hi) for x in mv.read().collect()
         ) == expect()
 
-    def test_outer_final_chain_refuses_as_upstream(
-        self, spark, tmp_path
-    ):
+    def test_outer_final_chain_as_upstream(self, spark, tmp_path):
+        """r13 completion: an outer-final chain feeds a downstream
+        aggregate through its rendered join-row projection (keyed by
+        the synthesized __lk + last pk); the padded NULL-dim rows roll
+        up as their own group."""
         o, c, n, tables = self._env(spark, tmp_path)
         execute_sql(
             spark,
@@ -1919,13 +1948,30 @@ class TestOuterFinalChain:
             "LEFT JOIN nation USING (nk)",
             tables,
         )
-        with pytest.raises(
-            MaterializedViewError, match="OUTER views refuse"
-        ):
-            execute_sql(
-                spark,
-                f"CREATE MATERIALIZED VIEW over LOCATION "
-                f"'{tmp_path / 'mv_over'}' AS "
-                "SELECT seg, COUNT(*) AS n FROM upof GROUP BY seg",
-                tables,
-            )
+        execute_sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW over LOCATION "
+            f"'{tmp_path / 'mv_over'}' AS "
+            "SELECT nname, COUNT(*) AS n FROM upof GROUP BY nname",
+            tables,
+        )
+        execute_sql(spark, "DELETE FROM nation WHERE nk = 100", tables)
+        execute_sql(
+            spark, "REFRESH MATERIALIZED VIEW over CASCADE", tables
+        )
+        got = sorted(
+            ((x.nname or "~"), x.n)
+            for x in execute_sql(
+                spark, "SELECT * FROM over", tables
+            ).collect()
+        )
+        exp = sorted(
+            ((x.nname or "~"), x.n)
+            for x in o.read()
+            .join(c.read(), "ck")
+            .join(n.read(), "nk", "left")
+            .groupBy("nname")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert got == exp

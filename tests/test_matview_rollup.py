@@ -286,7 +286,9 @@ def test_inner_join_agg_upstream(spark, tmp_path, spark_tmp_factory=None):
     assert got == exp
 
 
-def test_outer_upstream_still_refuses_with_recipe(spark, tmp_path, src):
+def test_outer_star_upstream_serves_agg_refuses_join(
+    spark, tmp_path, src
+):
     other = VersionedTable.create(
         spark,
         str(tmp_path / "o"),
@@ -301,12 +303,36 @@ def test_outer_upstream_still_refuses_with_recipe(spark, tmp_path, src):
         {"t": src, "o": other},
         primary_key=("id", "flag"),
     )
-    with pytest.raises(MaterializedViewError, match="OUTER views refuse"):
+    # aggregate downstream: served from the rendered join-row table
+    down = MaterializedView.create(
+        spark,
+        str(tmp_path / "down"),
+        "SELECT flag, COUNT(*) AS n FROM outer GROUP BY flag",
+        {"outer": outer},
+    )
+    src.delete_where(F.col("day") == "2024-01-01")
+    down.refresh(cascade=True)
+    exp = sorted(
+        ((r.flag if r.flag is not None else -1), r.n)
+        for r in src.read()
+        .join(other.read(), "day", "left")
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = sorted(
+        ((r.flag if r.flag is not None else -1), r.n)
+        for r in down.read().collect()
+    )
+    assert got == exp
+    # a JOIN downstream over one refuses (padded NULL-able pks)
+    with pytest.raises(MaterializedViewError, match="null-safe"):
         MaterializedView.create(
             spark,
             str(tmp_path / "bad"),
-            "SELECT day, COUNT(*) AS n FROM outer GROUP BY day",
-            {"outer": outer},
+            "SELECT * FROM outer JOIN o USING (day)",
+            {"outer": outer, "o": other},
+            primary_key=("id", "flag"),
         )
 
 
