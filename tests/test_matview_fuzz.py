@@ -546,3 +546,186 @@ def test_fuzz_chain_matviews(spark, tmp_path, seed, kind, use_filter):
         _mutate_third(t3, rng, spark)
         mv.refresh()
         assert _rows_match(got(), recompute()), (seed, rnd, kind)
+
+
+@pytest.mark.parametrize(
+    "seed,upstream",
+    [
+        (71, "agg_having"),
+        (83, "outer_agg"),
+        (97, "outer_star"),
+        (101, "agg_computed"),
+    ],
+)
+def test_fuzz_rendered_upstream_pyramids(spark, tmp_path, seed, upstream):
+    """r13 rendered-projection fuzz: a random upstream MV (single-table
+    agg with HAVING / computed keys, OUTER-join agg, SELECT * outer
+    row view) feeds a downstream aggregate; random DML on the bases +
+    one CASCADE per round must equal the two-level recompute — incl.
+    groups crossing the HAVING boundary, pad↔match transitions, and
+    NULL rollup buckets."""
+    from datalakeingestionservice_spark.sinks.matview import (
+        MaterializedView,
+    )
+
+    rng = random.Random(seed)
+    l, next_id = _mk_left(spark, tmp_path, rng)
+    r = _mk_right(spark, tmp_path, rng)
+    up_root = str(tmp_path / "fup")
+    down_root = str(tmp_path / "fdown")
+
+    if upstream == "agg_having":
+        up = MaterializedView.create(
+            spark, up_root,
+            "SELECT grp, COUNT(*) AS n, SUM(x) AS sx FROM l "
+            "GROUP BY grp HAVING n >= 2",
+            {"l": l},
+        )
+        down = MaterializedView.create(
+            spark, down_root,
+            "SELECT COUNT(*) AS grps, SUM(sx) AS sx, SUM(n) AS n, "
+            "substring(grp, 1, 1) AS g1 FROM up GROUP BY g1",
+            {"up": up},
+        )
+
+        def recompute():
+            d = (
+                l.read().groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+                .filter(F.col("n") >= 2)
+            )
+            return [
+                tuple(x)
+                for x in d.groupBy(
+                    F.substring("grp", 1, 1).alias("g1")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("grps"),
+                    F.sum("sx").alias("sx"),
+                    F.sum("n").alias("n"),
+                )
+                .select("g1", "grps", "sx", "n")
+                .collect()
+            ]
+
+        def got():
+            return [
+                tuple(x)
+                for x in down.read()
+                .select("g1", "grps", "sx", "n")
+                .collect()
+            ]
+
+    elif upstream == "agg_computed":
+        up = MaterializedView.create(
+            spark, up_root,
+            "SELECT substring(dt, 1, 7) AS mon, COUNT(*) AS n, "
+            "SUM(x) AS sx FROM l GROUP BY mon",
+            {"l": l},
+        )
+        down = MaterializedView.create(
+            spark, down_root,
+            "SELECT substring(mon, 1, 4) AS yr, SUM(n) AS n, "
+            "SUM(sx) AS sx FROM up GROUP BY yr",
+            {"up": up},
+        )
+
+        def recompute():
+            d = (
+                l.read()
+                .groupBy(F.substring("dt", 1, 7).alias("mon"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+            )
+            return [
+                tuple(x)
+                for x in d.groupBy(
+                    F.substring("mon", 1, 4).alias("yr")
+                )
+                .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"))
+                .select("yr", "n", "sx")
+                .collect()
+            ]
+
+        def got():
+            return [
+                tuple(x)
+                for x in down.read().select("yr", "n", "sx").collect()
+            ]
+
+    elif upstream == "outer_agg":
+        up = MaterializedView.create(
+            spark, up_root,
+            "SELECT seg, COUNT(*) AS n, SUM(x) AS sx "
+            "FROM l LEFT JOIN r USING (grp) GROUP BY seg",
+            {"l": l, "r": r},
+            primary_key=("id", "grp"),
+        )
+        down = MaterializedView.create(
+            spark, down_root,
+            "SELECT seg, SUM(n) AS n, SUM(sx) AS sx FROM up "
+            "GROUP BY seg",
+            {"up": up},
+        )
+
+        def recompute():
+            d = (
+                l.read().join(r.read(), "grp", "left")
+                .groupBy("seg")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+            )
+            return [
+                tuple(x) for x in d.select("seg", "n", "sx").collect()
+            ]
+
+        def got():
+            return [
+                tuple(x)
+                for x in down.read().select("seg", "n", "sx").collect()
+            ]
+
+    else:  # outer_star
+        up = MaterializedView.create(
+            spark, up_root,
+            "SELECT * FROM l LEFT JOIN r USING (grp)",
+            {"l": l, "r": r},
+            primary_key=("id", "grp"),
+        )
+        down = MaterializedView.create(
+            spark, down_root,
+            "SELECT seg, COUNT(*) AS n, SUM(x) AS sx, "
+            "SUM(w) AS sw FROM up GROUP BY seg",
+            {"up": up},
+        )
+
+        def recompute():
+            d = (
+                l.read().join(r.read(), "grp", "left")
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("x").alias("sx"),
+                    F.sum("w").alias("sw"),
+                )
+            )
+            return [
+                tuple(x)
+                for x in d.select("seg", "n", "sx", "sw").collect()
+            ]
+
+        def got():
+            return [
+                tuple(x)
+                for x in down.read()
+                .select("seg", "n", "sx", "sw")
+                .collect()
+            ]
+
+    assert _rows_match(got(), recompute()), (seed, 0)
+    for rnd in range(1, 5):
+        next_id = _mutate_left(spark, l, rng, next_id)
+        if upstream in ("outer_agg", "outer_star") and rng.random() < 0.6:
+            _mutate_right(r, rng, spark)
+        down.refresh(cascade=True)
+        assert _rows_match(got(), recompute()), (seed, rnd)
+    down.refresh(cascade=True)
+    assert _rows_match(got(), recompute()), (seed, "final")
