@@ -84,7 +84,11 @@ class _gram_scaled_shuffle:
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        n = max(int(self.prev), int(self.scaled))
+        try:
+            prev_n = int(self.prev)
+        except ValueError:  # e.g. conf set to 'auto' on some hosts
+            prev_n = int(self.scaled)
+        n = max(prev_n, int(self.scaled))
         self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
         return n
 

@@ -192,6 +192,104 @@ class IncrementalBM25Index:
             os.path.join(root, _SPEC_FILE)
         )
 
+    def rebuild(
+        self,
+        buckets: int | None = None,
+        positions: bool | None = None,
+    ) -> int:
+        """Re-bootstrap the index into a (new) physical layout and swap
+        it in — the migration path for legacy indexes created before
+        term-bucketing (r13) or without positions: they serve with a
+        corpus-sized scan / refuse phrases until re-laid-out, and the
+        only alternative used to be DROP + CREATE (losing the high-water
+        mark and the registered spec).
+
+        `buckets=None` keeps the current layout EXCEPT a legacy
+        `buckets=0` index, which migrates to the default 16 (migrating
+        is the statement's point); `positions=None` keeps the current
+        setting. The new state tables bootstrap from the source AT THE
+        INDEX'S CURRENT HIGH-WATER MARK (`source.read(mark)`), so the
+        rebuilt index reflects exactly what the old one did and the
+        next refresh() drains from the same place — REBUILD is a
+        layout change, never a freshness change.
+
+        Refuses when the three state tables' marks disagree (a refresh
+        is mid-flight or crashed between merges — refresh() first to
+        converge). Single-writer like compact: the swap is three
+        directory renames + a spec rewrite; a crash mid-swap leaves
+        each table internally consistent at the same mark (reads are
+        manifest-driven, pruning is layout-derived per table), and
+        re-running REBUILD completes the migration. Returns the
+        preserved high-water mark."""
+        import json
+        import os
+        import shutil
+
+        roots = (self.postings_root, self.terms_root, self.stats_root)
+        marks = [self._mark(self._table(r)) for r in roots]
+        if any(m is None for m in marks):
+            raise ValueError(
+                f"{self.index_root}: index not materialized; "
+                "refresh() first"
+            )
+        if len(set(marks)) != 1:
+            raise ValueError(
+                f"{self.index_root}: state tables disagree on their "
+                f"source_version marks {marks} — a refresh is "
+                "mid-flight (or crashed between merges); REFRESH "
+                "first, then REBUILD"
+            )
+        hv = marks[0]
+        new_buckets = (
+            (self.buckets or 16) if buckets is None else buckets
+        )
+        if new_buckets < 0:
+            raise ValueError("buckets must be >= 0 (0 = unpartitioned)")
+        new_positions = (
+            self.positions if positions is None else bool(positions)
+        )
+        stage_root = os.path.join(self.index_root, ".rebuild")
+        shutil.rmtree(stage_root, ignore_errors=True)  # crashed prior
+        staged = IncrementalBM25Index(
+            self.spark,
+            self.source_root,
+            stage_root,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            buckets=new_buckets,
+            positions=new_positions,
+        )
+        source = VersionedTable(self.spark, self.source_root)
+        # bootstrap pinned at hv — NOT latest — so the mark survives
+        staged._refresh_postings(source, hv, 0)
+        staged._refresh_terms(source, hv, 0)
+        staged._refresh_stats(source, hv, 0)
+        old_root = os.path.join(self.index_root, ".rebuild-old")
+        shutil.rmtree(old_root, ignore_errors=True)
+        os.makedirs(old_root)
+        for cur, new in (
+            (self.postings_root, staged.postings_root),
+            (self.terms_root, staged.terms_root),
+            (self.stats_root, staged.stats_root),
+        ):
+            os.rename(cur, os.path.join(old_root, os.path.basename(cur)))
+            os.rename(new, cur)
+        self.buckets = new_buckets
+        self.positions = new_positions
+        spec_path = os.path.join(self.index_root, _SPEC_FILE)
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                spec = json.load(f)
+            spec["buckets"] = new_buckets
+            spec["positions"] = new_positions
+            tmp = spec_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(spec, f, indent=1)
+            os.replace(tmp, spec_path)
+        shutil.rmtree(old_root, ignore_errors=True)
+        shutil.rmtree(stage_root, ignore_errors=True)
+        return hv
+
     # -- state access -------------------------------------------------------
     # The three state tables have NO change-feed consumers (the index
     # consumes the SOURCE's feed; nothing consumes the index's), so

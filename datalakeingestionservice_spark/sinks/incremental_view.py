@@ -415,6 +415,7 @@ class IncrementalAggView:
                 self.view_root,
                 state,
                 summary={"source_version": latest},
+                optimize_write=True,
             )
             self._refresh_distincts(source, latest, max_retries)
             return latest
@@ -592,6 +593,7 @@ class IncrementalAggView:
                     root,
                     state,
                     summary={"source_version": latest},
+                    optimize_write=True,
                 )
                 continue
             for _ in range(max_retries + 1):
@@ -1043,6 +1045,7 @@ class IncrementalJoinView:
                 self.view_root,
                 state,
                 summary={"left_version": l2, "right_version": r2},
+                optimize_write=True,
             )
             return (l2, r2)
 
@@ -1263,6 +1266,7 @@ class IncrementalLeftJoinView(IncrementalJoinView):
             self.padded_root,
             pad0,
             summary={"left_version": im[0], "right_version": im[1]},
+            optimize_write=True,
         )
         return im
 
@@ -1511,6 +1515,7 @@ class IncrementalJoinAggView(IncrementalJoinView):
                 self.view_root,
                 state,
                 summary={"left_version": l2, "right_version": r2},
+                optimize_write=True,
             )
             return (l2, r2)
 
@@ -1659,6 +1664,7 @@ class IncrementalFullJoinView(IncrementalLeftJoinView):
             self.rpadded_root,
             rpad0,
             summary={"left_version": im[0], "right_version": im[1]},
+            optimize_write=True,
         )
         return im
 
@@ -1933,6 +1939,7 @@ class _OuterJoinAggMixin:
                 self.agg_root,
                 self._agg_rows(snap),
                 summary=marks_new,
+                optimize_write=True,
             )
             return
 
@@ -2313,6 +2320,7 @@ class IncrementalComposedOuterJoinAggView:
                 self.rendered_root,
                 self._rk(snap),
                 summary=marks_new,
+                optimize_write=True,
             )
             return
 
@@ -2531,6 +2539,7 @@ class IncrementalTopKView:
                 self.view_root,
                 self._topk(source.read(latest)),
                 summary={"source_version": latest},
+                optimize_write=True,
             )
             return latest
 

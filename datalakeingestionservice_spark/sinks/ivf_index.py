@@ -197,6 +197,54 @@ class IncrementalIVFIndex:
             return self.refresh(max_retries=max_retries - 1)
         return latest
 
+    def rebuild(self) -> int:
+        """Re-bootstrap the assignment table into the current physical
+        layout (cell-identity partitioning + optimized write) and swap
+        it in — the migration path for legacy indexes created before
+        cell partitioning (r13), which serve probe reads with a
+        corpus-sized scan until re-laid-out. The BM25 twin is
+        :meth:`IncrementalBM25Index.rebuild`.
+
+        Re-assigns the source snapshot AT THE INDEX'S CURRENT
+        HIGH-WATER MARK (`source.read(mark)`) against the same
+        broadcast centroids, so the rebuilt index reflects exactly
+        what the old one did and the next refresh() drains from the
+        same place — a layout change, never a freshness change (and
+        never a centroid change: new centroids mean a new index root,
+        per the class contract). Single-writer like compact; the swap
+        is two directory renames, and a crashed swap re-runs to
+        completion. Returns the preserved high-water mark."""
+        import os
+        import shutil
+
+        if self._index_table() is None:
+            raise NoSuchVersionError(
+                f"{self.index_root}: index not materialized; "
+                "call refresh()"
+            )
+        hv = self.last_refreshed_version()
+        if hv is None:
+            raise NoSuchVersionError(
+                f"{self.index_root}: no source_version mark in history"
+            )
+        source = VersionedTable(self.spark, self.source_root)
+        stage = self.index_root.rstrip("/") + ".rebuild"
+        shutil.rmtree(stage, ignore_errors=True)  # crashed prior run
+        VersionedTable.create(
+            self.spark,
+            stage,
+            self._assign(source.read(hv)),
+            summary={"source_version": hv},
+            partition_by=[self.centroid_id_col],
+            optimize_write=True,
+        )
+        old = self.index_root.rstrip("/") + ".rebuild-old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.index_root, old)
+        os.rename(stage, self.index_root)
+        shutil.rmtree(old, ignore_errors=True)
+        return hv
+
     def start_continuous_refresh(
         self,
         checkpoint_dir: str,

@@ -997,7 +997,10 @@ class MaterializedView:
             ks = s["keys"]
         else:
             ks = s["group_keys"]
-        return list(ks) if not isinstance(ks, dict) else list(ks)
+        # dict-form computed keys iterate as their aliases, which is
+        # exactly the rendered table's column names — list() covers
+        # both the list and dict spec shapes.
+        return list(ks)
 
     def _rendered_null_safe(self) -> bool:
         """OUTER-join aggregates group padded rows under NULL keys, so
@@ -1072,7 +1075,23 @@ class MaterializedView:
         tables' OWN change feeds (a pad↔match transition arrives as a
         padded-table delete + an inner-table insert; both name the
         affected gid). Marks: a per-state-table version dict in the
-        rendered commit summary."""
+        rendered commit summary.
+
+        Scale contract: after bootstrap, a refresh derives its merge
+        input from the CHANGE ROWS ALONE — SELECT * deltas carry the
+        full visible payload, so the replacement rows are the final
+        image per gid of each feed (one window over O(|Δ|) rows), and
+        NO state table is re-read (spy-pinned in
+        tests/test_matview_rollup.py). A gid's visible row lives in
+        exactly one state table (the NULL-pattern of the pk pair picks
+        the table), so per-table final images compose without
+        cross-table reconciliation. Because the feeds are
+        version-bounded at the recorded marks, the merged rows are
+        exactly the state at `latests` — the outer path has no
+        unpinned-read race."""
+        from pyspark.sql.types import StructType
+        from pyspark.sql.window import Window
+
         from datalakeingestionservice_spark.sinks.incremental_view import (
             _GID_JSON_OPTS,
         )
@@ -1087,11 +1106,15 @@ class MaterializedView:
         }
         latests = {n: t.latest_version() for n, t in parts.items()}
         pks = self._rendered_pks()
-        base = self._outer_raw_rows()
+        # Visible schema == the INNER state table's schema (padded
+        # sides render as NULL-extensions of it) — read from the
+        # manifest so the incremental path never constructs a
+        # state-table scan.
+        vis_fields = StructType.fromDDL(
+            parts["inner"].manifest().schema_ddl
+        ).fields
         pk_types = {
-            f.name: f.dataType
-            for f in base.schema.fields
-            if f.name in pks
+            f.name: f.dataType for f in vis_fields if f.name in pks
         }
 
         def gid(df: DataFrame) -> DataFrame:
@@ -1110,14 +1133,37 @@ class MaterializedView:
                 "__gid", F.to_json(F.struct(*fields), _GID_JSON_OPTS)
             )
 
+        def to_visible(df: DataFrame) -> DataFrame:
+            # Conform a state table's (change) rows to the visible
+            # schema: padded feeds lack the other side's non-join
+            # columns — NULL-extend with the visible types, exactly as
+            # read() renders them. CDF bookkeeping columns ride along.
+            keep = [
+                c
+                for c in ("_change_type", "_commit_version")
+                if c in df.columns
+            ]
+            return df.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in vis_fields
+                ],
+                *keep,
+            )
+
         try:
             rend = VersionedTable(self.spark, self.rendered_root())
         except NoSuchVersionError:
             VersionedTable.create(
                 self.spark,
                 self.rendered_root(),
-                gid(base),
+                gid(to_visible(self._outer_raw_rows())),
                 summary={"state_versions": latests},
+                optimize_write=True,
             )
             return
         last = None
@@ -1134,17 +1180,40 @@ class MaterializedView:
                 return
             rv = rend.latest_version()
             affected = None
+            live = None
             for n, t in parts.items():
                 a, b = last.get(n, 0), latests[n]
                 if b <= a:
                     continue
-                piece = gid(t.changes(a, b)).select("__gid").distinct()
+                ch = gid(to_visible(t.changes(a, b)))
+                piece = ch.select("__gid").distinct()
                 affected = (
                     piece
                     if affected is None
                     else affected.unionByName(piece).distinct()
                 )
-            new = gid(base).join(affected, "__gid", "leftsemi")
+                # Final image per gid within this feed: latest commit
+                # wins; within one commit an update's insert (new
+                # image) outranks its delete (old image). The gid is
+                # live iff its final event is an insert.
+                w = Window.partitionBy("__gid").orderBy(
+                    F.col("_commit_version").desc(),
+                    F.when(
+                        F.col("_change_type") == "insert", 0
+                    ).otherwise(1),
+                )
+                img = (
+                    ch.withColumn("__rn", F.row_number().over(w))
+                    .where(
+                        (F.col("__rn") == 1)
+                        & (F.col("_change_type") == "insert")
+                    )
+                    .drop("__rn", "_change_type", "_commit_version")
+                )
+                live = (
+                    img if live is None else live.unionByName(img)
+                )
+            new = live
             types = {f.name: f.dataType for f in new.schema.fields}
             gone = affected.join(
                 new.select("__gid"), "__gid", "left_anti"
@@ -1214,7 +1283,28 @@ class MaterializedView:
         """Bring rendered/ to the main state table's latest version.
         Idempotent (the `state_version` mark in the rendered table's
         commit summary is the truth); concurrent-safe the same way the
-        view family is (expected_version + retry)."""
+        view family is (expected_version + retry).
+
+        Scale audit (aggregate kinds): the refresh re-renders affected
+        groups from `self.read()` — a scan of the AGG STATE table,
+        which holds one row per group. That is the one state-sized
+        term in the pyramid's refresh, and it is groups-sized by
+        construction (bounded by key cardinality, not corpus rows), so
+        it does NOT invert the CDC promise the way a row-sized scan
+        would: at 100x corpus volume the agg state grows only with
+        distinct keys. SELECT * OUTER row views — where the state IS
+        row-sized — take `_refresh_rendered_outer`, which builds the
+        merge input from the change rows alone and never re-reads a
+        state table.
+
+        Unpinned-read race (agg path): `self.read()` is evaluated at
+        merge time against the LATEST state, while the mark records
+        `sv` captured at entry. A concurrent upstream refresh between
+        the two can leave rendered rows newer than the mark. The loop
+        below re-checks the state version after a successful merge and
+        immediately re-refreshes when it moved, so the mixed window
+        closes within this call instead of waiting for the next
+        refresh; the final commit's rows and mark always agree."""
         from datalakeingestionservice_spark.sinks.versioned import (
             ConcurrentCommitError,
             NoSuchVersionError,
@@ -1243,6 +1333,7 @@ class MaterializedView:
                 self.rendered_root(),
                 _vis(self.read()),
                 summary={"state_version": sv},
+                optimize_write=True,
             )
             return
         last = None
@@ -1279,7 +1370,17 @@ class MaterializedView:
                     summary={"state_version": sv},
                     expected_version=rv,
                 )
-                return
+                # read() evaluated against latest state during the
+                # merge; if the state moved past sv meanwhile, the
+                # committed rows may already reflect the newer state
+                # while the mark says sv — re-refresh NOW so rows and
+                # mark agree before this call returns (docstring:
+                # unpinned-read race).
+                sv2 = st.latest_version()
+                if sv2 <= sv:
+                    return
+                last, sv = sv, sv2
+                continue
             except ConcurrentCommitError:
                 for m in reversed(rend.versions()):
                     if "state_version" in m.summary:

@@ -49,9 +49,12 @@ Supported statements (one per call):
 - ``CREATE SEARCH INDEX <n> ON <t> (<id>, <text>) LOCATION '...'`` /
   ``REFRESH SEARCH INDEX`` / ``DROP SEARCH INDEX`` /
   ``SEARCH <n> FOR '<terms>' [TOP k] [REQUIRE ALL]`` /
-  ``ALTER SEARCH INDEX <n> START|STOP CONTINUOUS REFRESH`` → the
-  incrementally-maintained BM25 index (`sinks/bm25_index.py`), served
-  from maintained postings/df/corpus stats.
+  ``ALTER SEARCH INDEX <n> START|STOP CONTINUOUS REFRESH`` /
+  ``ALTER SEARCH INDEX <n> REBUILD [BUCKETS n] [WITH POSITIONS]``
+  (legacy-layout migration: re-bootstrap at the preserved high-water
+  mark, atomic swap) → the incrementally-maintained BM25 index
+  (`sinks/bm25_index.py`), served from maintained postings/df/corpus
+  stats.
 - ``ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN c |
   ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name`` →
   the metadata-only column-mapping / constraint commits.
@@ -376,6 +379,18 @@ _SIDX_CR_RE = re.compile(
     r"(?:\s+CHECKPOINT\s+'(?P<ck>[^']+)')?$",
     re.IGNORECASE,
 )
+#: `ALTER SEARCH INDEX <n> REBUILD [BUCKETS n] [WITH POSITIONS]` —
+#: migrate a legacy-layout index (pre-bucketing, or positionless)
+#: into the pruned-serving layout in place: re-bootstrap at the
+#: index's current high-water mark, atomic swap, spec + mark
+#: preserved. Refuses while the index runs continuous refresh in
+#: this process (stream merges would race the swap).
+_SIDX_REBUILD_RE = re.compile(
+    r"^ALTER\s+SEARCH\s+INDEX\s+(?P<name>[A-Za-z_]\w*)\s+REBUILD"
+    r"(?:\s+BUCKETS\s+(?P<buckets>\d+))?"
+    r"(?:\s+(?P<pos>WITH\s+POSITIONS))?$",
+    re.IGNORECASE,
+)
 _SEARCH_RE = re.compile(
     r"^SEARCH\s+(?P<name>[A-Za-z_]\w*)\s+FOR\s+'(?P<q>[^']*)'"
     r"(?:\s+TOP\s+(?P<k>\d+))?(?:\s+(?P<all>REQUIRE\s+ALL))?$",
@@ -385,6 +400,7 @@ _SEARCH_RE = re.compile(
 _MV_STMT_RES = (
     _CREATE_MV_RE, _REFRESH_MV_RE, _DROP_MV_RE, _START_CR_RE, _STOP_CR_RE,
     _CREATE_SIDX_RE, _REFRESH_SIDX_RE, _DROP_SIDX_RE, _SIDX_CR_RE,
+    _SIDX_REBUILD_RE,
 )
 
 #: Live continuous-refresh handles, keyed by the view root's realpath.
@@ -797,6 +813,23 @@ def execute_dml(
         for q in qs:
             q.stop()
         return len(qs)
+    msb = _SIDX_REBUILD_RE.match(sql)
+    if msb:
+        idx = _resolve_sidx(spark, msb.group("name"), tables)
+        if _cr_running(os.path.realpath(idx.index_root)):
+            raise UnsupportedStatementError(
+                f"search index {msb.group('name')!r} is running "
+                "continuous refresh; ALTER SEARCH INDEX ... STOP "
+                "CONTINUOUS REFRESH first, then REBUILD"
+            )
+        return idx.rebuild(
+            buckets=(
+                int(msb.group("buckets"))
+                if msb.group("buckets")
+                else None
+            ),
+            positions=True if msb.group("pos") else None,
+        )
     mc = _CREATE_TABLE_RE.match(sql)
     if mc:
         # CTAS: the SELECT resolves through execute_select, so it can

@@ -936,6 +936,21 @@ def _entry_derived_preds(
     return cache[key]
 
 
+def _type_contains_map(dt) -> bool:
+    """True iff the type is, or nests anywhere, a MapType. F.hash()
+    raises AnalysisException on maps at ANY depth (struct field,
+    array element), so the optimize_write salt must exclude a column
+    whose type merely *contains* a map, not only top-level maps."""
+    name = dt.typeName()
+    if name == "map":
+        return True
+    if name == "array":
+        return _type_contains_map(dt.elementType)
+    if name == "struct":
+        return any(_type_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def _typed_part_value(raw: str | None, type_simple: str):
     """Parse a raw partition-dir string into the column's Python value.
 
@@ -1285,6 +1300,15 @@ def _predicates_to_column(predicates: list[tuple]) -> Column:
     cond = F.lit(True)
     for col, op, val in predicates:
         if op == "in":
+            # Match the _parts_refute guard: a scalar here would
+            # list()-explode a string into characters while the
+            # pruning layers silently skip it — the row filter and the
+            # prune stack must agree on what an `in` predicate means.
+            if not isinstance(val, (list, tuple, set)):
+                raise ValueError(
+                    "'in' predicate value must be a list/tuple/set, "
+                    f"got {type(val).__name__}"
+                )
             cond = cond & F.col(col).isin(list(val))
             continue
         if op not in ops:
@@ -6346,10 +6370,22 @@ class VersionedTable:
             hashable = [
                 F.col(f.name)
                 for f in df.schema.fields
-                if not f.dataType.typeName().startswith("map")
+                if not _type_contains_map(f.dataType)
             ] or [F.lit(0)]
             salt = F.pmod(F.hash(*hashable), F.lit(salt_n))
             df = df.repartition(*[F.col(c) for c in dir_cols], salt)
+        elif optimize_write:
+            # Unpartitioned optimized write (r14 — the view family's
+            # state tables opt in): AQE REBALANCE sizes the write to
+            # the DATA, not the task count — a tiny merge delta
+            # coalesces to one file instead of one per shuffle task
+            # (a 32-task refresh otherwise lands 32 tiny files per
+            # commit and the maintained-view read pays the opens),
+            # while a table-sized bootstrap still fans out to
+            # ~advisory-sized files with full parallelism. Exactly
+            # Delta's optimizeWrite bin-packing, expressed as the
+            # built-in AQE rebalance stage; no-op when AQE is off.
+            df = df.hint("rebalance")
         conf_key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")

@@ -225,3 +225,119 @@ class TestBM25IndexEvolution:
         # whatever the layer, the failure must NAME the missing column
         # rather than silently serving a stale index
         assert "text" in str(ei.value)
+
+
+class TestRenderedEvolution:
+    """r14 (VERDICT r13 #4): evolve the upstream under an ACTIVE
+    rollup pyramid. The rendered projection inherits its view's
+    posture exactly — aggregate upstreams CONVERGE through an
+    unrelated ADD COLUMN (the agg deltas project only referenced
+    expressions, and rendered re-renders from the converged state),
+    SELECT*-OUTER row-view upstreams REFUSE LOUDLY (full-row state),
+    with neither the state nor rendered/ moving on refusal."""
+
+    def test_agg_upstream_add_column_converges_rendered(
+        self, spark, tmp_path
+    ):
+        t = VersionedTable.create(
+            spark,
+            str(tmp_path / "t"),
+            spark.createDataFrame(
+                [("d1", 1.0), ("d1", 2.0), ("d2", 3.0)],
+                "day string, amt double",
+            ),
+        )
+        daily = MaterializedView.create(
+            spark,
+            str(tmp_path / "daily"),
+            "SELECT day, COUNT(*) AS n, SUM(amt) AS total "
+            "FROM t GROUP BY day",
+            {"t": t},
+        )
+        monthly = MaterializedView.create(
+            spark,
+            str(tmp_path / "monthly"),
+            "SELECT substr(day, 1, 1) AS bucket, SUM(n) AS n, "
+            "SUM(total) AS total FROM daily GROUP BY bucket",
+            {"daily": daily},
+        )
+        # unrelated column lands on the base table under the pyramid
+        t.add_column("note", "string")
+        t.append(
+            spark.createDataFrame(
+                [("d2", 4.0, "x"), ("d3", 5.0, None)],
+                "day string, amt double, note string",
+            )
+        )
+        monthly.refresh(cascade=True)  # must converge end-to-end
+        rendered = VersionedTable(spark, daily.rendered_root()).read()
+        assert sorted(map(tuple, rendered.collect())) == sorted(
+            map(tuple, daily.read().collect())
+        )
+        row = monthly.read().collect()[0]
+        assert (row.bucket, row.n, row.total) == ("d", 5, 15.0)
+
+    def test_row_view_upstream_evolution_refuses_state_pinned(
+        self, spark, tmp_path
+    ):
+        left = VersionedTable.create(
+            spark,
+            str(tmp_path / "l"),
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, "b", 2.0), (3, "zz", 3.0)],
+                "lid bigint, dk string, v double",
+            ),
+        )
+        right = VersionedTable.create(
+            spark,
+            str(tmp_path / "r"),
+            spark.createDataFrame(
+                [(10, "a"), (20, "b")], "rid bigint, dk string"
+            ),
+        )
+        outer = MaterializedView.create(
+            spark,
+            str(tmp_path / "outer"),
+            "SELECT * FROM l LEFT JOIN r USING (dk)",
+            {"l": left, "r": right},
+            primary_key=("lid", "rid"),
+        )
+        down = MaterializedView.create(
+            spark,
+            str(tmp_path / "down"),
+            "SELECT dk, COUNT(*) AS n, SUM(v) AS sv FROM outer "
+            "GROUP BY dk",
+            {"outer": outer},
+        )
+        before_rend = sorted(
+            map(
+                tuple,
+                VersionedTable(spark, outer.rendered_root())
+                .read()
+                .collect(),
+            )
+        )
+        before_down = sorted(map(tuple, down.read().collect()))
+        left.add_column("extra", "string")
+        left.append(
+            spark.createDataFrame(
+                [(4, "a", 4.0, "e")],
+                "lid bigint, dk string, v double, extra string",
+            )
+        )
+        with pytest.raises(SchemaDriftError, match="rebuild"):
+            down.refresh(cascade=True)
+        # refuse-never-reinterpret: neither rendered/ nor the
+        # downstream moved
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    VersionedTable(spark, outer.rendered_root())
+                    .read()
+                    .collect(),
+                )
+            )
+            == before_rend
+        )
+        assert sorted(map(tuple, down.read().collect())) == before_down

@@ -545,3 +545,155 @@ class TestOuterAggUpstream:
                 {"up": up, "dim": dim},
                 primary_key=("seg", "rank"),
             )
+
+
+class TestRenderedScanBound:
+    """r14: the rendered projection's refresh must be O(affected), not
+    O(view). For SELECT * OUTER row-view upstreams the incremental
+    path builds the merge input from the state tables' CHANGE ROWS
+    alone (SELECT * deltas carry the full visible payload) — a 1-row
+    DML refresh performs ZERO VersionedTable.read() calls; only
+    version-bounded changes() windows. For aggregate upstreams the
+    read() scan is the agg STATE (groups-sized, bounded by key
+    cardinality) — acceptable by construction, docstring-audited."""
+
+    def _outer_env(self, spark, tmp_path):
+        left = VersionedTable.create(
+            spark,
+            str(tmp_path / "l"),
+            spark.createDataFrame(
+                [(i, f"d{i % 4}", float(i)) for i in range(40)],
+                "lid bigint, dk string, v double",
+            ),
+        )
+        right = VersionedTable.create(
+            spark,
+            str(tmp_path / "r"),
+            spark.createDataFrame(
+                [(j, f"d{j}") for j in range(3)],
+                "rid bigint, dk string",
+            ),
+        )
+        outer = MaterializedView.create(
+            spark,
+            str(tmp_path / "outer"),
+            "SELECT * FROM l LEFT JOIN r USING (dk)",
+            {"l": left, "r": right},
+            primary_key=("lid", "rid"),
+        )
+        outer.ensure_rendered()
+        return left, right, outer
+
+    def _expect(self, left, right):
+        return sorted(
+            map(
+                tuple,
+                left.read()
+                .join(right.read(), "dk", "left")
+                .select("dk", "lid", "v", "rid")
+                .collect(),
+            )
+        )
+
+    def _got(self, spark, outer):
+        return sorted(
+            map(
+                tuple,
+                VersionedTable(spark, outer.rendered_root())
+                .read()
+                .select("dk", "lid", "v", "rid")
+                .collect(),
+            )
+        )
+
+    def test_one_row_dml_reads_no_state_table(
+        self, spark, tmp_path, monkeypatch
+    ):
+        left, right, outer = self._outer_env(spark, tmp_path)
+        left.append(
+            spark.createDataFrame(
+                [(999, "d1", 9.5)], "lid bigint, dk string, v double"
+            )
+        )
+        outer._view.refresh()  # state tables current; rendered stale
+
+        reads: list[str] = []
+        changes: list[str] = []
+        orig_read = VersionedTable.read
+        orig_changes = VersionedTable.changes
+
+        def spy_read(self, *a, **kw):
+            reads.append(self.root)
+            return orig_read(self, *a, **kw)
+
+        def spy_changes(self, *a, **kw):
+            changes.append(self.root)
+            return orig_changes(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "read", spy_read)
+        monkeypatch.setattr(VersionedTable, "changes", spy_changes)
+        outer.refresh_rendered()
+        monkeypatch.undo()
+
+        # ZERO full reads anywhere — not the state tables, not the
+        # base tables, not the rendered table itself (merge is MoR)
+        assert reads == [], reads
+        # the input really was the change feeds
+        assert changes, "incremental path must consume changes()"
+        assert self._got(spark, outer) == self._expect(left, right)
+
+    def test_pad_match_transition_through_change_rows(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """pad→match and match→pad transitions arrive as cross-table
+        delete+insert pairs; the change-rows-only path must render
+        both directions without a state scan."""
+        left, right, outer = self._outer_env(spark, tmp_path)
+        # d3 rows are padded (no right match): give them a match
+        right.append(
+            spark.createDataFrame([(7, "d3")], "rid bigint, dk string")
+        )
+        # and un-match d0 rows: drop their right row
+        right.delete_where(F.col("rid") == 0)
+        outer._view.refresh()
+
+        reads: list[str] = []
+        orig_read = VersionedTable.read
+
+        def spy_read(self, *a, **kw):
+            reads.append(self.root)
+            return orig_read(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "read", spy_read)
+        outer.refresh_rendered()
+        monkeypatch.undo()
+
+        assert reads == [], reads
+        assert self._got(spark, outer) == self._expect(left, right)
+
+    def test_update_in_place_final_image_wins(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """an UPDATE is delete(old)+insert(new) in ONE commit with the
+        same gid — the per-feed final image must pick the new image,
+        and repeated updates across commits must pick the latest."""
+        left, right, outer = self._outer_env(spark, tmp_path)
+        left.update_where(F.col("lid") == 5, {"v": F.lit(50.0)})
+        left.update_where(F.col("lid") == 5, {"v": F.lit(500.0)})
+        outer._view.refresh()
+
+        reads: list[str] = []
+        orig_read = VersionedTable.read
+
+        def spy_read(self, *a, **kw):
+            reads.append(self.root)
+            return orig_read(self, *a, **kw)
+
+        monkeypatch.setattr(VersionedTable, "read", spy_read)
+        outer.refresh_rendered()
+        monkeypatch.undo()
+
+        assert reads == [], reads
+        got = self._got(spark, outer)
+        assert got == self._expect(left, right)
+        assert [t for t in got if t[1] == 5][0][2] == 500.0

@@ -447,6 +447,25 @@ CASES = [
          tb,
      ),
      "SEARCH sp FOR 'a \"b c\"'", UnsupportedStatementError, None),
+    # --- ALTER SEARCH INDEX ... REBUILD (r14: legacy-layout migration)
+    ("alter_sidx_rebuild_buckets", _setup_sidx,
+     "ALTER SEARCH INDEX six REBUILD BUCKETS 8", "ok",
+     lambda r, tb: tb["six"].buckets == 8),
+    ("alter_sidx_rebuild_adds_positions", _setup_sidx,
+     "ALTER SEARCH INDEX six REBUILD WITH POSITIONS", "ok",
+     lambda r, tb: tb["six"].positions is True),
+    ("search_after_rebuild",
+     lambda spark, tb, tmp: (
+         _setup_sidx(spark, tb, tmp),
+         execute_sql(
+             spark, "ALTER SEARCH INDEX six REBUILD BUCKETS 8", tb
+         ),
+     ),
+     "SEARCH six FOR 'b c' TOP 5", "ok",
+     lambda r, tb: {x.k for x in r.collect()} == {2, 3}),
+    ("refuse_rebuild_unknown_index", None,
+     "ALTER SEARCH INDEX nope REBUILD", UnsupportedStatementError,
+     None),
 ]
 
 
