@@ -64,6 +64,12 @@ def word_shingles(
     similarity signal (the standard stop-shingle pruning at scale).
     """
     words = F.split(F.col(text_col), " ")
+    # Dedup per document BEFORE the explode: (id, shingle) distinctness
+    # is per-doc by construction (id is in the key), so array_distinct
+    # inside the row replaces a corpus-sized .distinct() SHUFFLE of
+    # long shingle strings with a map-side dedup — measured 7.6× at
+    # 10× volume as a shuffle (string spill), ~linear as a projection
+    # (PERF.md r14). Same rows out, no exchange in the plan.
     shingles = (
         df.select(
             F.col(id_col),
@@ -73,13 +79,14 @@ def word_shingles(
         .select(
             id_col,
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__w) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(__w, i, {n})))"
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(__w) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(__w, i, {n})))"
+                    )
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
     if max_shingle_freq is not None:
         freq = shingles.groupBy("shingle").agg(
@@ -887,6 +894,7 @@ def minhash_contamination_pairs(
     bands: int = 8,
     min_sim: float = 0.4,
     seed: int = 42,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Cross-corpus FUZZY contamination pairs: (corpus doc, held-out
     doc) whose exact n-gram Jaccard >= `min_sim`, candidates found by
@@ -904,6 +912,22 @@ def minhash_contamination_pairs(
     exact-Jaccard verification builds corpus shingle SETS only for
     candidate docs (semi-join before the collect_set).
 
+    `max_band_freq` is the band-bucket analog of the stop-shingle df
+    cut (q45's treatment): a (band, sig) bucket holding more than
+    this many CORPUS docs is dropped before the candidate join. Dense
+    buckets are boilerplate signatures — each contributes
+    |bucket_c|·|bucket_h| candidate pairs and, transitively, that
+    many exact-Jaccard verifications, the measured super-linear term
+    at 10× volume (PERF.md r13 stage audit). A doc cut from one
+    over-dense bucket still matches through its other bands, so
+    recall degrades only for docs whose EVERY matching band is
+    boilerplate-dense. This is a detection-semantics change: queries
+    that enable it mirror the same threshold in their oracle (q209),
+    never a silent cap. The heavy-bucket list is a partial-aggregated
+    groupBy (map-side combine, tiny output — at most
+    corpus·bands/threshold rows) broadcast into an anti-join, so the
+    cut itself adds no corpus-sized shuffle.
+
     Returns (id_col, heldout_id, jaccard_sim). Hash family is the
     portable sha256-derived one with embedded (a_k, b_k) literals, so
     a SQL oracle recomputes signatures, bands, candidates, and Jaccard
@@ -912,6 +936,8 @@ def minhash_contamination_pairs(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
+    if max_band_freq is not None and max_band_freq < 1:
+        raise ValueError(f"max_band_freq must be >= 1, got {max_band_freq}")
     rows = num_hashes // bands
     c_sh = word_shingles(corpus, id_col, text_col, n=n)
     h_sh = word_shingles(held_out, id_col, text_col, n=n)
@@ -938,6 +964,22 @@ def minhash_contamination_pairs(
 
     cb = banded(minhash_signatures(c_sh, id_col, num_hashes, seed), "__cid")
     hb = banded(minhash_signatures(h_sh, id_col, num_hashes, seed), "__hid")
+    if max_band_freq is not None:
+        # One window over the SLIM banded rows (id, band, sig) — NOT a
+        # broadcast of a separate aggregate subtree, which would
+        # re-execute cb's lineage (the corpus-sized signature shuffle)
+        # a second time just to learn the bucket counts (measured: the
+        # aggregate-and-broadcast form cost +40% at sf10). The window
+        # shuffles ∝ corpus·bands slim rows, strictly cheaper than
+        # re-hashing every shingle.
+        from pyspark.sql.window import Window
+
+        wbf = Window.partitionBy("band", "sig")
+        cb = (
+            cb.withColumn("__bf", F.count(F.lit(1)).over(wbf))
+            .filter(F.col("__bf") <= max_band_freq)
+            .drop("__bf")
+        )
     cand = (
         cb.join(F.broadcast(hb), ["band", "sig"])
         .select("__cid", "__hid")

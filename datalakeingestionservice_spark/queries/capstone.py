@@ -758,6 +758,17 @@ def q179_curation_pipeline_decontaminated(
 _Q195_L = 20
 _Q195_MIN_CLEAN = 10
 _Q195_SIM = 0.4
+#: stop-bucket cut for the fuzzy stage (r14, VERDICT r13 #2): corpus
+#: band buckets denser than this are dropped before the candidate
+#: join — the band analog of q45's df<=20 stop-shingle cut, MIRRORED
+#: in the oracle below (cheavy/ckept CTEs). Scale-tuned: toy-SF
+#: buckets top out at 2-15 docs (cut never engages; oracle equality
+#: is with the cut expressed on both sides), while sf1/sf10 band
+#: density reaches 340/1903 docs per bucket and Σcount² — the
+#: verification pair mass — drops ~5× under the cut (PERF.md r14).
+#: q209 pins the same mirror with a threshold low enough to bite at
+#: oracle scale.
+_Q195_MAXBF = 16
 
 
 def _q195_oracle() -> str:
@@ -938,9 +949,19 @@ cbands AS (
 hbands AS (
   {_MH_BAND_SELECTS.replace("FROM sigs", "FROM hsigs")}
 ),
+cheavy AS (
+  SELECT band, sig FROM cbands
+  GROUP BY band, sig HAVING count(*) > {_Q195_MAXBF}
+),
+ckept AS (
+  SELECT c.* FROM cbands c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cheavy x WHERE x.band = c.band AND x.sig = c.sig
+  )
+),
 fcand AS (
   SELECT DISTINCT c.doc_id AS cid, h.doc_id AS hid
-  FROM cbands c JOIN hbands h ON c.band = h.band AND c.sig = h.sig
+  FROM ckept c JOIN hbands h ON c.band = h.band AND c.sig = h.sig
 ),
 fsz_c AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
 fsz_h AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
@@ -1129,6 +1150,10 @@ def q195_curation_pipeline_full_decontamination(
             bands=_MH_BANDS,
             min_sim=_Q195_SIM,
             seed=_MH_SEED,
+            # stop-bucket cut (oracle-mirrored in cheavy/ckept): dense
+            # band buckets are the measured super-linear verification
+            # term at 10x volume; see _Q195_MAXBF
+            max_band_freq=_Q195_MAXBF,
         ).select("doc_id")
         fclean = scrubbed.join(
             fuzzy_survivor_ids, "doc_id", "leftsemi"

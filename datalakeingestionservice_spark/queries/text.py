@@ -1621,6 +1621,168 @@ def q191_minhash_decontamination(
 
 
 # ---------------------------------------------------------------------------
+# q209 — fuzzy decontamination with the STOP-BUCKET cut (r14, VERDICT r13
+# #2): q191's cross-corpus MinHash banding with over-dense (band, sig)
+# buckets dropped before the candidate join — the band-bucket analog of
+# q45's stop-shingle df cut. Dense buckets are boilerplate signatures;
+# each contributes |bucket|² candidate verifications, the measured
+# super-linear term in q195's fuzzy stage at 10× volume. Cutting them is
+# a DETECTION-SEMANTICS change (a doc whose every matching band is
+# boilerplate-dense escapes), so the threshold lives in the oracle too:
+# DuckDB recomputes bands, the heavy-bucket set (HAVING count > K), the
+# cut, candidates, and exact Jaccard. The threshold here is deliberately
+# LOW (1) so the cut ENGAGES at oracle scale — proving the mirror bites,
+# not just parses; q195 runs the same code path with the scale-tuned
+# threshold (16, where toy-SF buckets never reach it and density at
+# sf1/sf10 does — PERF.md r14).
+# ---------------------------------------------------------------------------
+_Q209_MAXBF = 1
+
+@register(
+    "q209_minhash_decontamination_stop_buckets",
+    tags=("text", "dedup", "lsh", "decontamination", "curation"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         strpos('0123456789abcdef', substr(sha256(lower(trim(text))), 1, 1)) - 1
+           AS bucket16
+  FROM documents
+),
+cwords AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM assigned
+  WHERE bucket16 < 14
+),
+hwords AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM assigned
+  WHERE bucket16 >= 14
+),
+cshingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM cwords WHERE len(w) >= 3
+  )
+),
+hshingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM hwords WHERE len(w) >= 3
+  )
+),
+chashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+           i -> (strpos('0123456789abcdef', substr(sha256(shingle), i, 1)) - 1)
+                * (1::BIGINT << ((8 - i) * 4)))) AS BIGINT)
+           % {{_MINHASH_P}} AS h
+  FROM cshingles
+),
+hhashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+           i -> (strpos('0123456789abcdef', substr(sha256(shingle), i, 1)) - 1)
+                * (1::BIGINT << ((8 - i) * 4)))) AS BIGINT)
+           % {{_MINHASH_P}} AS h
+  FROM hshingles
+),
+csigs AS (
+  SELECT doc_id,
+         {{_MH_SIG_COLS}}
+  FROM chashed GROUP BY doc_id
+),
+hsigs AS (
+  SELECT doc_id,
+         {{_MH_SIG_COLS}}
+  FROM hhashed GROUP BY doc_id
+),
+cbands AS (
+  {{_MH_BAND_SELECTS_C}}
+),
+hbands AS (
+  {{_MH_BAND_SELECTS_H}}
+),
+cheavy AS (
+  SELECT band, sig FROM cbands
+  GROUP BY band, sig HAVING count(*) > {_Q209_MAXBF}
+),
+ckept AS (
+  SELECT c.* FROM cbands c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cheavy x WHERE x.band = c.band AND x.sig = c.sig
+  )
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, h.doc_id AS hid
+  FROM ckept c JOIN hbands h
+    ON c.band = h.band AND c.sig = h.sig
+),
+csizes AS (SELECT doc_id, count(*) AS n_sh FROM cshingles GROUP BY doc_id),
+hsizes AS (SELECT doc_id, count(*) AS n_sh FROM hshingles GROUP BY doc_id),
+pair_common AS (
+  SELECT p.cid, p.hid, count(*) AS n_common
+  FROM cand p
+  JOIN cshingles a ON a.doc_id = p.cid
+  JOIN hshingles b ON b.doc_id = p.hid AND b.shingle = a.shingle
+  GROUP BY p.cid, p.hid
+)
+SELECT cid AS doc_id, hid AS heldout_id,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
+         AS jaccard_sim
+FROM pair_common p
+JOIN csizes sa ON p.cid = sa.doc_id
+JOIN hsizes sb ON p.hid = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+      >= {{_Q191_SIM}}
+ORDER BY doc_id, heldout_id
+""".format(
+        _MINHASH_P=_MINHASH_P,
+        _MH_SIG_COLS=_MH_SIG_COLS,
+        _MH_BAND_SELECTS_C=_MH_BAND_SELECTS.replace("FROM sigs", "FROM csigs"),
+        _MH_BAND_SELECTS_H=_MH_BAND_SELECTS.replace("FROM sigs", "FROM hsigs"),
+        _Q191_SIM=_Q191_SIM,
+    ),
+)
+def q209_minhash_decontamination_stop_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q191's fuzzy contamination pairs with over-dense corpus band
+    buckets cut (`max_band_freq=1` — low on purpose, so the cut
+    engages at oracle scale and the mirrored HAVING threshold is
+    PROVEN, not assumed). Plan shape unchanged: the heavy-bucket list
+    is a map-side-combined groupBy broadcast into an anti-join —
+    no new corpus-sized shuffle; candidate verification then pays
+    only surviving buckets' pairs."""
+    from datalakeingestionservice_spark.operators.dedup import (
+        minhash_contamination_pairs,
+    )
+
+    env = Env(spark, sf_dir)
+    b16 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 1),
+        )
+        - 1
+    )
+    docs = env.t("documents").select("doc_id", "text").withColumn(
+        "__b", b16
+    )
+    corpus = docs.filter(F.col("__b") < 14).drop("__b")
+    heldout = docs.filter(F.col("__b") >= 14).drop("__b")
+    pairs = minhash_contamination_pairs(
+        corpus, heldout, n=3, num_hashes=_MH_K, bands=_MH_BANDS,
+        min_sim=_Q191_SIM, seed=_MH_SEED, max_band_freq=_Q209_MAXBF,
+    )
+    return pairs.select(
+        "doc_id", "heldout_id",
+        F.round("jaccard_sim", 4).alias("jaccard_sim"),
+    ).orderBy("doc_id", "heldout_id")
+
+
+# ---------------------------------------------------------------------------
 # q199 — INCREMENTALLY-MAINTAINED BM25 INDEX from the change feed (E128,
 # r12): the text twin of the IVF index (q182). bm25_rank recomputes
 # corpus statistics per query — the right shape ad-hoc, the wrong one
