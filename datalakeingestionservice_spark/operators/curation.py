@@ -57,10 +57,14 @@ def decontaminate(
     semi-join never shuffles the corpus; the final anti-join shuffles ids
     only, never text payloads.
     """
-    t_sh = word_shingles(train, id_col, text_col, n=n)
-    b_sh = word_shingles(benchmark, id_col, text_col, n=n).select(
-        "shingle"
-    ).distinct()
+    # per_doc_dedup: each side feeds exactly one consumer (the
+    # semi-join / the broadcast set) — no exchange to amortize
+    t_sh = word_shingles(
+        train, id_col, text_col, n=n, per_doc_dedup=True
+    )
+    b_sh = word_shingles(
+        benchmark, id_col, text_col, n=n, per_doc_dedup=True
+    ).select("shingle").distinct()
     if broadcast_benchmark:
         b_sh = F.broadcast(b_sh)
     contaminated = (

@@ -56,38 +56,49 @@ def word_shingles(
     text_col: str,
     n: int = 3,
     max_shingle_freq: int | None = None,
+    per_doc_dedup: bool = False,
 ) -> DataFrame:
     """Distinct n-word shingles per document: (id, shingle) posting list.
 
     `max_shingle_freq` drops shingles appearing in more than that many docs —
     they contribute candidate pairs quadratically while carrying almost no
     similarity signal (the standard stop-shingle pruning at scale).
+
+    `per_doc_dedup` picks the physical dedup strategy — both produce
+    IDENTICAL rows, because (id, shingle) distinctness is per-doc by
+    construction (id is in the key):
+
+    - ``False`` (default): explode then global ``.distinct()`` — one
+      corpus-sized exchange whose output Spark REUSES across multiple
+      consumers (the inverted-index self-join's two aliases, the df
+      table, the sizes table). The right shape when the posting list
+      feeds several operators: q45 at bench scale measured 1.19 s
+      with the reusable exchange vs 2.05 s recomputing the explode
+      per consumer.
+    - ``True``: ``array_distinct`` inside the row before the explode —
+      ZERO exchange. The right shape when the posting list feeds ONE
+      aggregate (the MinHash signature fold): the global distinct was
+      the measured 7.6×-at-10×-volume term in the decontamination
+      path (long-string shuffle spill, PERF.md r14), and there is no
+      second consumer to amortize it.
     """
     words = F.split(F.col(text_col), " ")
-    # Dedup per document BEFORE the explode: (id, shingle) distinctness
-    # is per-doc by construction (id is in the key), so array_distinct
-    # inside the row replaces a corpus-sized .distinct() SHUFFLE of
-    # long shingle strings with a map-side dedup — measured 7.6× at
-    # 10× volume as a shuffle (string spill), ~linear as a projection
-    # (PERF.md r14). Same rows out, no exchange in the plan.
-    shingles = (
-        df.select(
-            F.col(id_col),
-            words.alias("__w"),
-        )
-        .filter(F.size("__w") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, size(__w) - {n - 1}),"
-                        f" i -> concat_ws(' ', slice(__w, i, {n})))"
-                    )
-                )
-            ).alias("shingle"),
-        )
+    base = df.select(F.col(id_col), words.alias("__w")).filter(
+        F.size("__w") >= n
     )
+    gram = (
+        f"transform(sequence(1, size(__w) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__w, i, {n})))"
+    )
+    if per_doc_dedup:
+        shingles = base.select(
+            id_col,
+            F.explode(F.array_distinct(F.expr(gram))).alias("shingle"),
+        )
+    else:
+        shingles = base.select(
+            id_col, F.explode(F.expr(gram)).alias("shingle")
+        ).distinct()
     if max_shingle_freq is not None:
         freq = shingles.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("__df")
@@ -939,8 +950,15 @@ def minhash_contamination_pairs(
     if max_band_freq is not None and max_band_freq < 1:
         raise ValueError(f"max_band_freq must be >= 1, got {max_band_freq}")
     rows = num_hashes // bands
-    c_sh = word_shingles(corpus, id_col, text_col, n=n)
-    h_sh = word_shingles(held_out, id_col, text_col, n=n)
+    # per_doc_dedup: the signature fold is the dominant consumer and a
+    # single aggregate — the global distinct's exchange was the
+    # measured 7.6× super-linear term here (PERF.md r14)
+    c_sh = word_shingles(
+        corpus, id_col, text_col, n=n, per_doc_dedup=True
+    )
+    h_sh = word_shingles(
+        held_out, id_col, text_col, n=n, per_doc_dedup=True
+    )
 
     def banded(sig: DataFrame, out: str) -> DataFrame:
         band_structs = F.array(

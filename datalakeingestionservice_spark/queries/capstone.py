@@ -1159,7 +1159,14 @@ def q195_curation_pipeline_full_decontamination(
             fuzzy_survivor_ids, "doc_id", "leftsemi"
         ).localCheckpoint()  # same lineage cut for the clustering tier
         shingles = word_shingles(
-            fclean, "doc_id", "t2", n=3, max_shingle_freq=20
+            fclean, "doc_id", "t2", n=3, max_shingle_freq=20,
+            # row-side dedup measured faster for THIS tier at sf10
+            # (26.1 s vs 33.9 r13 with the global distinct): fclean is
+            # a checkpointed, already-reduced corpus, and the scaled
+            # shuffle width makes the recomputed explode cheaper than
+            # the exchange. q45's bench-scale measurement went the
+            # other way — per-site choice, not a global default.
+            per_doc_dedup=True,
         )
         pairs = (
             jaccard_pairs(

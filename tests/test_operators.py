@@ -48,6 +48,26 @@ def test_word_shingles_and_pruning(spark):
     assert "a b c" not in {r.shingle for r in pruned.collect()}
 
 
+def test_word_shingles_dedup_modes_same_rows_different_plans(spark):
+    """r14 (E139): per_doc_dedup=True must emit IDENTICAL rows with
+    ZERO exchange (array_distinct is in-row; id is in the dedup key),
+    while the default keeps the global distinct whose exchange is
+    reusable across consumers. Repeated shingles within a doc are the
+    discriminating input."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b c")], ["doc_id", "text"]
+    )
+    legacy = word_shingles(df, "doc_id", "text", n=2)
+    rowmode = word_shingles(df, "doc_id", "text", n=2, per_doc_dedup=True)
+    key = lambda d: sorted((r.doc_id, r.shingle) for r in d.collect())
+    assert key(legacy) == key(rowmode)
+    assert "Exchange" in legacy._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "Exchange"
+        not in rowmode._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_stop_shingle_pruning_recall(spark, sf_dir):
     """Stop-shingle pruning safety condition: `max_shingle_freq` must exceed
     the largest duplicate-cluster size. Shingles shared by a whole k-doc dup

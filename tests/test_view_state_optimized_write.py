@@ -106,3 +106,50 @@ def test_outer_join_view_state_and_rendered_commits_stay_small(
         assert all(
             n <= MAX_FILES_PER_SMALL_COMMIT for n in added
         ), (sub, added)
+
+
+def test_optimized_write_salts_around_nested_maps(spark, tmp_path):
+    """ADVICE r13: F.hash() refuses MapType at ANY depth (struct
+    field, array element) — the partitioned optimized write's salt
+    must skip columns that merely CONTAIN a map, not only top-level
+    maps, or create(optimize_write=True) explodes at write time."""
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", {"k": i}, [{"m": i}], ({"x": i}, i))
+         for i in range(50)],
+        "id bigint, grp string, m map<string,bigint>, "
+        "am array<map<string,bigint>>, "
+        "sm struct<f: map<string,bigint>, g: bigint>",
+    )
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df,
+        partition_by=["grp"],
+        optimize_write=True,
+    )
+    assert t.read().count() == 50
+    # merge path (inherits the property) also survives
+    t.merge(
+        spark.createDataFrame(
+            [(99, "g0", {"k": 9}, [{"m": 9}], ({"x": 9}, 9))],
+            df.schema,
+        ),
+        ["id"],
+    )
+    assert t.read().count() == 51
+
+
+def test_in_predicate_rejects_scalar_value(spark, tmp_path):
+    """ADVICE r13: a scalar 'in' value would list()-explode a string
+    into characters in the row filter while the pruning layers skip
+    it — the two must agree, so the row filter now refuses."""
+    t = VersionedTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a")], "id bigint, k string"),
+    )
+    with pytest.raises(ValueError, match="list/tuple/set"):
+        t.read(predicates=[("k", "in", "abc")]).collect()
+    # the legitimate forms still work
+    assert t.read(predicates=[("k", "in", ["a", "b"])]).count() == 1
+    assert t.read(predicates=[("k", "in", ("a",))]).count() == 1
