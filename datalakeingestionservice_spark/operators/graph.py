@@ -76,7 +76,16 @@ def _components_driver(
     schema = pairs.select(
         pairs[src_col].alias("node"), pairs[src_col].alias("component")
     ).schema
-    return spark.createDataFrame(rows, schema=schema)
+    # Broadcast hint: this path only runs when the edge list fit on the
+    # driver (≤ driver_threshold edges ⇒ ≤ 2× that many nodes, a few MB
+    # of (id, id) rows), but a driver-created DataFrame carries UNKNOWN
+    # size statistics, so the downstream survivor anti-join otherwise
+    # plans a full sort-merge join — two exchanges + sorts to drop a
+    # tiny set of ids. The hint makes the join strategy match what the
+    # size argument already proved (guide §3.1: explicit broadcast when
+    # the estimate is known-wrong). The distributed path below keeps
+    # runtime-sized shuffle results and is left to AQE.
+    return spark.createDataFrame(rows, schema=schema).hint("broadcast")
 
 
 def _components_distributed(

@@ -3637,15 +3637,18 @@ class VersionedTable:
             "n_dirs_untouched": len(untouched),
             "n_files_untouched": n_files_untouched,
         }
-        if self._materialize_changes:
-            cdf_summary["cdf"] = self._write_cdf(
-                target.filter(cond)
-                .withColumn("_change_type", F.lit("delete"))
-                .unionByName(
-                    df.withColumn("_change_type", F.lit("insert"))
-                )
-            )
-        entries = self._write_data_entries(merged, self.partition_by)
+        cdf_df = (
+            target.filter(cond)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(df.withColumn("_change_type", F.lit("insert")))
+            if self._materialize_changes
+            else None
+        )
+        cdf_rel, entries = self._write_cdf_and_data(
+            cdf_df, merged, self.partition_by
+        )
+        if cdf_rel is not None:
+            cdf_summary["cdf"] = cdf_rel
         return self._commit(
             operation="overwrite_where",
             files=tuple(untouched)
@@ -3779,6 +3782,7 @@ class VersionedTable:
             "n_dirs_untouched": len(untouched),
             "n_partitions_replaced": len(new_parts),
         }
+        cdf_df = None
         if self._materialize_changes:
             old = self._scan_entries(
                 [(rel, None) for rel in replaced_rels], pm
@@ -3789,12 +3793,16 @@ class VersionedTable:
                 else None
             )
             ins = df.withColumn("_change_type", F.lit("insert"))
-            cdf_summary["cdf"] = self._write_cdf(
+            cdf_df = (
                 old_piece.unionByName(ins)
                 if old_piece is not None
                 else ins
             )
-        entries = self._write_data_entries(df, self.partition_by)
+        cdf_rel, entries = self._write_cdf_and_data(
+            cdf_df, df, self.partition_by
+        )
+        if cdf_rel is not None:
+            cdf_summary["cdf"] = cdf_rel
         return self._commit(
             operation="overwrite_partitions",
             files=tuple(untouched) + tuple(entries),
@@ -3995,6 +4003,7 @@ class VersionedTable:
         # exceptAll diff used to cancel those) — replay semantics are
         # identical, row counts per commit can differ for no-op updates.
         cdf_summary = {}
+        cdf_df = None
         if self._materialize_changes:
             match_keys = upserts.select(*key_cols)
             if delete_keys is not None:
@@ -4003,15 +4012,17 @@ class VersionedTable:
             # target row at most once, so a key present as both upsert
             # and delete can't double-emit its old row.
             removed = target.join(match_keys, key_cols, "leftsemi")
-            cdf_summary["cdf"] = self._write_cdf(
-                removed.withColumn(
-                    "_change_type", F.lit("delete")
-                ).unionByName(
-                    upserts.withColumn("_change_type", F.lit("insert"))
-                )
+            cdf_df = removed.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(
+                upserts.withColumn("_change_type", F.lit("insert"))
             )
 
-        entries = self._write_data_entries(merged, pm.partition_by)
+        cdf_rel, entries = self._write_cdf_and_data(
+            cdf_df, merged, pm.partition_by
+        )
+        if cdf_rel is not None:
+            cdf_summary["cdf"] = cdf_rel
         # Untouched dirs ride along with their existing stats; the evolved
         # flag must survive when heterogeneous old dirs remain (a full
         # rewrite — untouched empty — homogenizes and may drop it), and
@@ -4134,13 +4145,18 @@ class VersionedTable:
                 "n_dirs_untouched": len(untouched),
                 "n_files_untouched": n_files_untouched,
             }
-            if self._materialize_changes:
-                cdf_summary["cdf"] = self._write_cdf(
-                    target.filter(cond).withColumn(
-                        "_change_type", F.lit("delete")
-                    )
+            cdf_df = (
+                target.filter(cond).withColumn(
+                    "_change_type", F.lit("delete")
                 )
-            entries = self._write_data_entries(kept, self.partition_by)
+                if self._materialize_changes
+                else None
+            )
+            cdf_rel, entries = self._write_cdf_and_data(
+                cdf_df, kept, self.partition_by
+            )
+            if cdf_rel is not None:
+                cdf_summary["cdf"] = cdf_rel
             return self._commit(
                 operation="delete",
                 files=tuple(untouched)
@@ -4162,16 +4178,21 @@ class VersionedTable:
         snapshot = self.read(parent)
         kept = snapshot.filter(~predicate)
         cdf_summary = {}
-        if self._materialize_changes:
-            # Exact complement of `kept`: rows where the predicate is NULL
-            # are dropped by filter(~pred) too, so they must appear as
-            # deletes — filter(pred) alone would lose them from the feed.
-            cdf_summary["cdf"] = self._write_cdf(
-                snapshot.filter(
-                    F.coalesce(predicate, F.lit(True))
-                ).withColumn("_change_type", F.lit("delete"))
-            )
-        entries = self._write_data_entries(kept, self.partition_by)
+        # Exact complement of `kept`: rows where the predicate is NULL
+        # are dropped by filter(~pred) too, so they must appear as
+        # deletes — filter(pred) alone would lose them from the feed.
+        cdf_df = (
+            snapshot.filter(
+                F.coalesce(predicate, F.lit(True))
+            ).withColumn("_change_type", F.lit("delete"))
+            if self._materialize_changes
+            else None
+        )
+        cdf_rel, entries = self._write_cdf_and_data(
+            cdf_df, kept, self.partition_by
+        )
+        if cdf_rel is not None:
+            cdf_summary["cdf"] = cdf_rel
         return self._commit(
             operation="delete",
             files=tuple(entries),
@@ -4273,6 +4294,7 @@ class VersionedTable:
             "n_dirs_untouched": len(untouched),
             "n_files_untouched": n_files_untouched,
         }
+        cdf_df = None
         if self._materialize_changes:
             pre = (
                 marked.filter("__upd_match")
@@ -4284,8 +4306,12 @@ class VersionedTable:
                 .drop("__upd_match")
                 .withColumn("_change_type", F.lit("insert"))
             )
-            cdf_summary["cdf"] = self._write_cdf(pre.unionByName(post))
-        entries = self._write_data_entries(updated, self.partition_by)
+            cdf_df = pre.unionByName(post)
+        cdf_rel, entries = self._write_cdf_and_data(
+            cdf_df, updated, self.partition_by
+        )
+        if cdf_rel is not None:
+            cdf_summary["cdf"] = cdf_rel
         return self._commit(
             operation="update",
             files=tuple(untouched)
@@ -4461,19 +4487,24 @@ class VersionedTable:
         rel_del, n_del = self._write_position_deletes(matched)
         if n_del == 0:
             return parent  # no matched rows: no-op, no commit
-        entries = self._write_data_entries(post, self.partition_by)
+        cdf_df = None
+        if self._materialize_changes:
+            pre = matched.select(*data_cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            ins = post.withColumn("_change_type", F.lit("insert"))
+            cdf_df = pre.unionByName(ins)
+        cdf_rel, entries = self._write_cdf_and_data(
+            cdf_df, post, self.partition_by
+        )
         summary: dict = {
             "pos_deletes": rel_del,
             "n_position_deletes": n_del,
             "n_dirs_untouched": len(untouched),
             "n_files_untouched": n_files_untouched,
         }
-        if self._materialize_changes:
-            pre = matched.select(*data_cols).withColumn(
-                "_change_type", F.lit("delete")
-            )
-            ins = post.withColumn("_change_type", F.lit("insert"))
-            summary["cdf"] = self._write_cdf(pre.unionByName(ins))
+        if cdf_rel is not None:
+            summary["cdf"] = cdf_rel
         if pm.summary.get("schema_evolved"):
             summary["schema_evolved"] = True
         return self._commit(
@@ -4555,14 +4586,7 @@ class VersionedTable:
         if target is not None:
             matched = target.join(match_keys, key_cols, "leftsemi")
             rel_del, n_del = self._write_position_deletes(matched)
-        entries = self._write_data_entries(upserts, self.partition_by)
-        summary: dict = {
-            "n_position_deletes": n_del,
-            "n_dirs_untouched": len(untouched),
-            "n_files_untouched": n_files_untouched,
-        }
-        if rel_del is not None and n_del:
-            summary["pos_deletes"] = rel_del
+        cdf_df = None
         if self._materialize_changes:
             data_cols = [
                 c
@@ -4575,7 +4599,19 @@ class VersionedTable:
                 else self.spark.createDataFrame([], pm.schema_ddl)
             ).withColumn("_change_type", F.lit("delete"))
             ins = upserts.withColumn("_change_type", F.lit("insert"))
-            summary["cdf"] = self._write_cdf(pre.unionByName(ins))
+            cdf_df = pre.unionByName(ins)
+        cdf_rel, entries = self._write_cdf_and_data(
+            cdf_df, upserts, self.partition_by
+        )
+        summary: dict = {
+            "n_position_deletes": n_del,
+            "n_dirs_untouched": len(untouched),
+            "n_files_untouched": n_files_untouched,
+        }
+        if rel_del is not None and n_del:
+            summary["pos_deletes"] = rel_del
+        if cdf_rel is not None:
+            summary["cdf"] = cdf_rel
         if pm.summary.get("schema_evolved"):
             summary["schema_evolved"] = True
         extra_pred = (
@@ -6275,6 +6311,57 @@ class VersionedTable:
         rel = os.path.join(_CDF_DIR, uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
         return rel
+
+    def _write_cdf_and_data(
+        self,
+        cdf_df: DataFrame | None,
+        data_df: DataFrame,
+        partition_by: tuple[str, ...],
+        bloom_columns: tuple[str, ...] | None = None,
+        optimize_write: bool | None = None,
+    ) -> tuple[str | None, dict[str, dict]]:
+        """Run a commit's change-feed write and data write as TWO
+        CONCURRENT Spark jobs instead of back-to-back actions.
+
+        The two writes are independent (both consume the already-
+        materialized update set plus a read-only scan of the parent
+        version's files; neither result feeds the other — only the
+        manifest commit, which happens after both), so the only thing
+        sequential execution buys is idle cores while each job's tail
+        finishes. Submitting the CDF write from a second driver thread
+        lets the scheduler back-fill — wall-clock becomes
+        max(cdf, data) instead of cdf + data, and every COW commit on
+        the DML/merge/refresh path pays that twice per statement.
+        Failure semantics are unchanged: either exception propagates
+        before the manifest commit, and orphaned files from the other
+        write stay invisible (same atomicity story as any failed
+        write). Returns (cdf rel or None, data entries)."""
+        if cdf_df is None:
+            return None, self._write_data_entries(
+                data_df, partition_by, bloom_columns, optimize_write
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Pin the parquet timestamp type around BOTH writes: the session
+        # conf is shared across driver threads, and _write_data_entries'
+        # own set/restore would otherwise race the concurrent CDF write
+        # into a nondeterministic encoding. With the outer pin, the
+        # inner set/restore reads and restores the same value — and CDF
+        # files gain the footer-prunable MICROS encoding data files
+        # already use.
+        conf_key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(conf_key)
+        self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+        try:
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                cdf_fut = ex.submit(self._write_cdf, cdf_df)
+                entries = self._write_data_entries(
+                    data_df, partition_by, bloom_columns, optimize_write
+                )
+                rel = cdf_fut.result()
+        finally:
+            self.spark.conf.set(conf_key, prev)
+        return rel, entries
 
     def _write_data_entries(
         self,
