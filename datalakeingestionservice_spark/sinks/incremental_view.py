@@ -986,13 +986,14 @@ class IncrementalJoinView:
                 "over these sources converge without a rebuild."
             )
 
-    def _net_delta(
+    def _signed_delta(
         self, left, right, l1, r1, l2, r2, out_cols
     ) -> DataFrame:
-        """The join delta as netted signed FULL ROWS (__net ≠ 0):
-        ΔJ = ΔL⋈R@r1 ∪ L@l2⋈ΔR with insert=+1/delete=−1, grouped by
-        every output column so update churn cancels exactly. Shared by
-        the join view apply and the aggregate-over-join composition."""
+        """The join delta as raw signed FULL ROWS:
+        ΔJ = ΔL⋈R@r1 ∪ L@l2⋈ΔR with __s = insert=+1/delete=−1, NOT yet
+        netted — consumers that are linear in the sign (the aggregate-
+        over-join composition) fold the signs directly without paying
+        the net step's full-width shuffle."""
         sign = F.when(
             F.col("_change_type") == "insert", F.lit(1)
         ).otherwise(F.lit(-1))
@@ -1014,8 +1015,18 @@ class IncrementalJoinView:
         delta = pieces[0]
         for p in pieces[1:]:
             delta = delta.unionByName(p)
+        return delta
+
+    def _net_delta(
+        self, left, right, l1, r1, l2, r2, out_cols
+    ) -> DataFrame:
+        """The join delta as netted signed FULL ROWS (__net ≠ 0):
+        :meth:`_signed_delta` grouped by every output column so update
+        churn cancels exactly — the form the row-level join-view apply
+        needs (it must know WHICH rows change)."""
         return (
-            delta.groupBy(*out_cols)
+            self._signed_delta(left, right, l1, r1, l2, r2, out_cols)
+            .groupBy(*out_cols)
             .agg(F.sum("__s").alias("__net"))
             .filter(F.col("__net") != 0)
         )
@@ -1434,9 +1445,12 @@ class IncrementalJoinAggView(IncrementalJoinView):
 
         SELECT group_keys, count(*), sum(expr)… FROM L JOIN R GROUP BY …
 
-    without materializing the join itself. The netted signed join rows
-    (:meth:`IncrementalJoinView._net_delta`) aggregate with their signs
-    into per-group deltas (one shuffle over CHANGED join rows), which
+    without materializing the join itself. The raw signed join rows
+    (:meth:`IncrementalJoinView._signed_delta`) aggregate with their
+    signs into per-group deltas (one shuffle over CHANGED join rows —
+    the aggregation is linear in the sign, so the netting groupBy the
+    row-level view needs would be a second, full-width shuffle whose
+    only consumer is this sum), which
     merge into the group-state table exactly like the single-table agg
     view: counts add, NULL-free sum accumulators ride per-sum non-null
     counters, groups hitting count 0 leave. Extremes (min/max) need the
@@ -1549,8 +1563,14 @@ class IncrementalJoinAggView(IncrementalJoinView):
             return None
         view_version = table.latest_version()
 
-        nets = self._net_delta(left, right, l1, r1, l2, r2, out_cols)
-        delta = self._agg(nets, sign=F.col("__net"))
+        # The aggregation is LINEAR in the row sign, so it folds the raw
+        # signed delta directly: netting first (groupBy over every output
+        # column) would add a full-width exchange whose only consumer is
+        # this sum — sum(e·__s) over raw rows == sum(e·__net) over netted
+        # rows. One shuffle (by group keys, map-side partial agg) instead
+        # of two.
+        signed = self._signed_delta(left, right, l1, r1, l2, r2, out_cols)
+        delta = self._agg(signed, sign=F.col("__s"))
 
         state = table.read(view_version)
         accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]

@@ -873,6 +873,79 @@ def test_join_agg_view_tracks_full_recompute(spark, tmp_path):
     assert v.refresh() is None
 
 
+def test_join_agg_delta_aggregates_signed_rows_one_exchange(
+    spark, tmp_path
+):
+    """r14 §4 pin: the join-agg refresh folds the RAW signed delta
+    (±1 rows) straight into the group aggregation — the full-width
+    netting groupBy (one extra exchange over every join output column)
+    must not reappear, and a pure-churn update (row rewritten with
+    identical values, whose signed rows cancel) must still refresh to
+    the recompute."""
+    import pyspark.sql.functions as F
+
+    from datalakeingestionservice_spark.sinks.incremental_view import (
+        IncrementalJoinAggView,
+    )
+    from datalakeingestionservice_spark.sinks.versioned import (
+        VersionedTable,
+    )
+
+    l = VersionedTable.create(
+        spark,
+        str(tmp_path / "sl"),
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0)],
+            "k bigint, ck bigint, price double",
+        ),
+    )
+    r = VersionedTable.create(
+        spark,
+        str(tmp_path / "sr"),
+        spark.createDataFrame(
+            [(10, "a"), (20, "b")], "ck bigint, seg string"
+        ),
+    )
+    v = IncrementalJoinAggView(
+        spark, l.root, r.root, str(tmp_path / "sv"),
+        on=["ck"], left_pk="k", right_pk="ck",
+        group_keys=["seg"], sums={"total": "price"},
+    )
+    v.refresh()
+    # pure churn (k=1 rewritten identically) + a real change (k=3)
+    l.update_where(F.col("k") == 1, {"price": F.lit(1.0)})
+    l.update_where(F.col("k") == 3, {"price": F.lit(30.0)})
+
+    left, right = v._sides()
+    l1, r1 = v.last_refreshed_versions()
+    l2, r2 = left.latest_version(), right.latest_version()
+    out_cols = v._out_cols(left, right)
+    signed = v._signed_delta(left, right, l1, r1, l2, r2, out_cols)
+    delta = v._agg(signed, sign=F.col("__s"))
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 1, f"expected ONE group-key exchange:\n{plan}"
+    assert "__net" not in plan  # the netting step must be gone
+
+    v.refresh()
+    got = {
+        (x.seg, x._n, x.total)
+        for x in v.read().select("seg", "_n", "total").collect()
+    }
+    want = {
+        (x.seg, x._n, x.total)
+        for x in l.read()
+        .join(r.read(), "ck")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("price").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_full_outer_join_view_tracks_full_recompute(spark, tmp_path):
     """FULL OUTER IVM: both padded sets transition independently —
     unmatched customers appear right-padded, gaining their first order
