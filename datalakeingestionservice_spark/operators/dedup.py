@@ -125,7 +125,7 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
     Only pairs sharing at least one shingle are ever considered.
 
-    Two physical strategies, same result set:
+    Three physical strategies, same result set:
 
     - ``"join"`` (default): inverted-index self-join on shingle with
       doc_a < doc_b. Robust to shingle skew — a ubiquitous shingle's pairs
@@ -142,6 +142,22 @@ def jaccard_pairs(
       + pair transform exceed the saved shuffle) — treat grouped as the
       escape hatch for when the posting subtree is the dominant cost, and
       measure before switching.
+    - ``"fused"`` (optimization r14): one doc-keyed window attaches n_sh to
+      every posting row, the self-join adds the PPJoin LENGTH FILTER
+      (least(na,nb)/greatest(na,nb) >= threshold — a necessary condition of
+      jaccard >= threshold, written as the same correctly-rounded double
+      division as the final filter so float rounding can never drop a
+      surviving pair), and the pair groupBy carries first(n_sh) per side —
+      the sizes aggregation and BOTH pair-sized size joins vanish from the
+      plan. Non-viable pairs die before the pair exchange instead of after
+      two joins. Measured (tools/probe_jaccard_variants.py, q195 tier
+      profile, idle host): sf0.1 3.64→2.55 s, sf1 17.4→12.6 s (−28%),
+      sf10 136.0→125.7 s, identical pair sets at all three scales. A
+      PPJoin PREFIX filter (global df-order prefixes + array verify) was
+      prototyped in the same probe and LOST at every scale (sf1 21.0 s vs
+      17.4 baseline) — the df join, per-doc rank window, and full-set
+      verify joins cost more than the candidate cut saves at these
+      densities; not adopted.
 
     The per-doc size table joins back onto the candidate pairs WITHOUT a
     forced broadcast hint: sizes has one row per surviving document, which
@@ -154,8 +170,43 @@ def jaccard_pairs(
     barrier (cached plans also bypass AQE); flip it on when the shingle
     explode dominates (large corpora, wide shingles).
     """
-    if strategy not in ("join", "grouped"):
+    if strategy not in ("join", "grouped", "fused"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "fused":
+        from pyspark.sql import Window
+
+        sh = shingles.withColumn(
+            "__n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        if persist:
+            sh = sh.persist()
+        a, b = sh.alias("a"), sh.alias("b")
+        na, nb = F.col("a.__n_sh"), F.col("b.__n_sh")
+        jac = F.col("n_common").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_common")
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (
+                    F.least(na, nb).cast("double") / F.greatest(na, nb)
+                    >= threshold
+                ),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.first(na).alias("na"),
+                F.first(nb).alias("nb"),
+            )
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+        )
     if persist:
         shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

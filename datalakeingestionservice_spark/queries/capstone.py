@@ -1169,6 +1169,14 @@ def q195_curation_pipeline_full_decontamination(
             per_doc_dedup=True,
         )
         pairs = (
+            # strategy stays "join": the fused variant (length filter +
+            # folded sizes) won its STANDALONE probe on raw documents
+            # (−28% at sf1, probe_jaccard_variants) but LOST in-pipeline
+            # here (full q195 same-host A/B: sf1 13.8→15.0, sf10
+            # 72.7→79.3) — the scrubbed corpus is shorter and uniformly
+            # sized, so the length filter removes little while the
+            # window's doc-keyed exchange+sort is a new corpus-sized
+            # cost under the scaled partition count. Measured, rejected.
             jaccard_pairs(
                 shingles, id_col="doc_id", threshold=_Q195_SIM, persist=True
             )

@@ -293,8 +293,15 @@ def q45_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an extra aggregate + anti-join per consumer — measured 2.2x
     # (sf0.1) / 2.6x (sf1 probe) faster cached. MEMORY_AND_DISK, so a
     # huge posting list spills rather than OOMs at scale.
+    # strategy="fused" (optimization r14): the PPJoin length filter +
+    # folded sizes drop both pair-sized size joins from the plan —
+    # alternating warm A/B on THIS shape (tools/probe_q45_fused.py):
+    # sf0.1 3.10 -> 2.49 s (−20%), sf1 a statistical wash (join
+    # 14.59/14.95 min/med vs fused 14.01/15.42 over 4 rounds);
+    # identical rows asserted in the probe and pinned in pytest.
     pairs = jaccard_pairs(
-        shingles, id_col="doc_id", threshold=0.5, persist=True
+        shingles, id_col="doc_id", threshold=0.5, persist=True,
+        strategy="fused",
     )
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")

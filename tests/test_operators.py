@@ -183,6 +183,60 @@ def test_jaccard_pairs_no_forced_broadcast(spark):
     assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan
 
 
+def test_jaccard_fused_matches_join(spark, sf_dir):
+    """strategy='fused' (optimization r14) must return the IDENTICAL
+    (doc_a, doc_b, jaccard) set as the canonical join strategy — the
+    length filter is a necessary condition of jaccard >= t, written as
+    the same correctly-rounded double division as the final filter so
+    rounding can never disagree between the two."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    sh = word_shingles(
+        docs, "doc_id", "text", n=3, max_shingle_freq=20, per_doc_dedup=True
+    )
+    for threshold in (0.4, 0.8):
+        ref = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in jaccard_pairs(sh, threshold=threshold).collect()
+        }
+        fused = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in jaccard_pairs(
+                sh, threshold=threshold, strategy="fused"
+            ).collect()
+        }
+        assert fused == ref, f"threshold {threshold}"
+    assert ref, "anchor must be non-empty"
+
+
+def test_jaccard_fused_plan_shape(spark):
+    """fused plan pins: exactly ONE join (the shingle self-join carrying
+    the length filter) — the sizes aggregation and both pair-sized size
+    joins are gone — and no forced broadcast anywhere (auto threshold
+    off, so any surviving broadcast would be a hint)."""
+    import re as _re
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g") for i in range(6)], ["doc_id", "text"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = word_shingles(df, "doc_id", "text", n=3)
+        fused = jaccard_pairs(sh, threshold=0.4, strategy="fused")
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    joins = _re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, joins
+    assert "BroadcastHashJoin" not in joins
+    assert "least" in plan and "greatest" in plan, (
+        "length filter left the join condition"
+    )
+
+
 def test_jaccard_pairs_exact_value(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
