@@ -1122,11 +1122,20 @@ def simhash_neardup_pairs(
     band_idx = df.sparkSession.range(0, 4).select(
         F.col("id").cast("int").alias("band")
     )
-    banded = hashes.crossJoin(F.broadcast(band_idx)).select(
-        id_col,
-        "simhash16",
-        "band",
-        F.expr("(simhash16 >> (band * 4)) & 15").alias("band_val"),
+    # persist: (id, hash, band, band_val) is 4 tiny rows per document and
+    # feeds BOTH self-join aliases — without it each side re-runs the
+    # whole tokenize+hash projection over the corpus (optimization r14;
+    # simhash16 itself is in-row/zero-exchange, so there is no exchange
+    # for ReuseExchange to share across the aliases).
+    banded = (
+        hashes.crossJoin(F.broadcast(band_idx))
+        .select(
+            id_col,
+            "simhash16",
+            "band",
+            F.expr("(simhash16 >> (band * 4)) & 15").alias("band_val"),
+        )
+        .persist()
     )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.expr("bit_count(a.simhash16 ^ b.simhash16)")
@@ -1137,57 +1146,75 @@ def simhash_neardup_pairs(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        # Hamming filter BEFORE the dedup exchange (optimization r14):
+        # hamming is a pure function of the pair, so filter-then-distinct
+        # is row-identical to distinct-then-filter — but the filter is
+        # map-side while distinct shuffles, and each far pair would
+        # otherwise cross the wire once per colliding band.
+        .filter(hamming <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash from sha256 token hashes (engine-portable arithmetic;
-    production width is 64 via xxhash64 — same plan shape)."""
-    tokens = (
-        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .distinct()
-    )
+    production width is 64 via xxhash64 — same plan shape).
+
+    Computed entirely IN-ROW (optimization r14): per-doc distinct tokens via
+    `array_distinct`, per-token hash via `transform`, the 16 bit-votes as ONE
+    `aggregate` fold carrying a 16-wide vote array, and the final hash as a
+    fold over that array. The previous shape (explode -> global distinct ->
+    crossJoin x16 bits -> groupBy(doc, bit) -> groupBy(doc)) shuffled
+    |corpus_tokens| x 16 rows through THREE exchanges to compute a value
+    that only ever depends on one document's own tokens; this one has ZERO
+    exchanges (guide §2.4). Value-identical: the vote is an integer sum of
+    ±1 over the same per-doc token set (order-independent), and the per-bit
+    test reproduces the exact double-division arithmetic the oracle mirrors."""
     hexmap = "0123456789abcdef"
-    sha = F.sha2(F.col("tok"), 256)
 
-    def nib(i: int):
-        return F.instr(F.lit(hexmap), F.substring(sha, i, 1)) - 1
+    def tok_h(t):
+        sha = F.sha2(t, 256)
 
-    h = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
-    bits = tokens.select(id_col, h.alias("h"))
-    spark = df.sparkSession
-    bit_idx = spark.range(0, 16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        bits.crossJoin(F.broadcast(bit_idx))
-        .groupBy(id_col, "bit")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("h").cast("long") / F.pow(2, F.col("bit")).cast("long"))
-                    .cast("long")
-                    % 2
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias("vote")
-        )
+        def nib(i: int):
+            return F.instr(F.lit(hexmap), F.substring(sha, i, 1)) - 1
+
+        return nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+
+    seq16 = F.sequence(F.lit(0), F.lit(15))
+    hs = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), tok_h
     )
-    return (
-        votes.groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("vote") > 0, F.pow(2, F.col("bit")).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("simhash16")
-        )
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            seq16,
+            lambda a, k: a
+            + F.when(
+                (
+                    h.cast("long") / F.pow(F.lit(2), k).cast("long")
+                ).cast("long")
+                % 2
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
     )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            seq16,
+            lambda v, k: F.when(
+                v > 0, F.pow(F.lit(2), k).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(id_col, sim.alias("simhash16"))

@@ -23,6 +23,27 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(v: str | Column) -> Column:
+    """sqrt(dot(v, v)) — the norm term of :func:`cosine`, as a standalone
+    column so pair joins can hoist it to ONE evaluation per row instead of
+    one per candidate pair (optimization r14). Bit-identical composition:
+    `dot(a,b) / (norm_a * norm_b)` is the same expression tree as
+    :func:`cosine` with the sqrt folds evaluated earlier — IEEE doubles are
+    deterministic, so hoisting cannot move any value."""
+    return F.sqrt(dot(v, v))
+
+
+def cosine_prenormed(
+    a: str | Column, b: str | Column, na: Column, nb: Column
+) -> Column:
+    """:func:`cosine` where both norms were precomputed with :func:`norm`.
+
+    Per pair this evaluates ONE 64-element fold (the dot) instead of three
+    plus two sqrts — the dominant per-row cost of every blocked / broadcast
+    pair join at 100 TB, where each row meets many candidates."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -59,8 +80,14 @@ def blocked_neardup(
     Per-block quadratic instead of corpus-quadratic; the block column at
     production scale comes from `lsh_bucket` or `ivf_assign` below.
     """
+    emb = emb.withColumn("__nrm", norm(vec_col))  # once per row, not per pair
     a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = cosine_prenormed(
+        F.col(f"a.{vec_col}"),
+        F.col(f"b.{vec_col}"),
+        F.col("a.__nrm"),
+        F.col("b.__nrm"),
+    )
     return (
         a.join(
             b,
@@ -126,6 +153,7 @@ def semantic_dedup(
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cv",
     max_cluster_size: int | None = None,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup-shaped embedding dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster every vector to its nearest centroid
@@ -162,7 +190,13 @@ def semantic_dedup(
     for unattended runs, not a better clustering; size k properly
     (k ≈ √N) and the guard never fires (clusters at or under the cap
     are left whole, so results are bit-identical to the unguarded
-    run). Same posture as q45's `max_shingle_freq` posting-list cap."""
+    run). Same posture as q45's `max_shingle_freq` posting-list cap.
+
+    `persist` materializes the assignment once (MEMORY_AND_DISK):
+    `assigned` feeds BOTH self-join sides AND the survivor anti-join
+    (and often a caller-side members union) — without it each consumer
+    re-executes the broadcast-crossJoin + argmin aggregate, the
+    corpus-sized subtree (optimization r14: q158 re-ran it 4×)."""
     assigned = ivf_assign(
         emb,
         centroids,
@@ -171,6 +205,11 @@ def semantic_dedup(
         centroid_id_col=centroid_id_col,
         centroid_vec_col=centroid_vec_col,
     ).select(id_col, vec_col, centroid_id_col)
+    # Norm once per row — the pair join below otherwise folds each side's
+    # norm per candidate pair (3 array folds + 2 sqrt per pair -> 1 fold).
+    assigned = assigned.withColumn("__nrm", norm(vec_col))
+    if persist:
+        assigned = assigned.persist()
     shard_keys: list[str] = []
     if max_cluster_size is not None:
         if max_cluster_size < 1:
@@ -195,7 +234,12 @@ def semantic_dedup(
         shard_keys = ["__shard"]
     a = assigned.alias("a")
     b = assigned.alias("b")
-    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = cosine_prenormed(
+        F.col(f"a.{vec_col}"),
+        F.col(f"b.{vec_col}"),
+        F.col("a.__nrm"),
+        F.col("b.__nrm"),
+    )
     join_cond = (
         F.col(f"a.{centroid_id_col}") == F.col(f"b.{centroid_id_col}")
     ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -477,19 +521,26 @@ def semantic_contamination_pairs(
             F.col(id_col).alias("heldout_id"),
             F.col(vec_col).alias("__hv"),
             "cid",
-        )
-        c = ca.select(id_col, F.col(vec_col).alias("__cv"), "cid")
-        cos = cosine(F.col("__cv"), F.col("__hv"))
+        ).withColumn("__hn", norm("__hv"))
+        c = ca.select(
+            id_col, F.col(vec_col).alias("__cv"), "cid"
+        ).withColumn("__cn", norm("__cv"))
+        cos = cosine_prenormed("__cv", "__hv", F.col("__cn"), F.col("__hn"))
         return (
             c.join(F.broadcast(h), "cid")
             .select(id_col, "heldout_id", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= min_cos)
         )
+    # Norms once per row on BOTH sides (corpus row + broadcast held row),
+    # so each of the |corpus| x |held| scored pairs folds one dot product
+    # instead of three (optimization r14: q194 -40%).
     h = held_out.select(
         F.col(id_col).alias("heldout_id"), F.col(vec_col).alias("__hv")
+    ).withColumn("__hn", norm("__hv"))
+    c = corpus.select(id_col, F.col(vec_col).alias("__cv")).withColumn(
+        "__cn", norm("__cv")
     )
-    c = corpus.select(id_col, F.col(vec_col).alias("__cv"))
-    cos = cosine(F.col("__cv"), F.col("__hv"))
+    cos = cosine_prenormed("__cv", "__hv", F.col("__cn"), F.col("__hn"))
     return (
         c.crossJoin(F.broadcast(h))
         .select(id_col, "heldout_id", cos.alias("cos_sim"))

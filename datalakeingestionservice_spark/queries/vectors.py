@@ -95,11 +95,24 @@ def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, blocked on label so the join is
     per-block quadratic instead of corpus-quadratic — the blocking-key pattern
     that makes semantic dedup tractable at scale (blocks from LSH/IVF in prod)."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+
     env = Env(spark, sf_dir)
-    emb = env.t("embeddings")
+    # Norm once per row: each row meets ~|block| candidate pairs, and the
+    # per-pair cosine otherwise folds both sides' norms every time
+    # (3 array folds + 2 sqrt -> 1 fold; bit-identical — optimization r14).
+    emb = env.t("embeddings").withColumn("__nrm", norm("embedding"))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = cosine_prenormed(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.__nrm"),
+        F.col("b.__nrm"),
+    )
     return (
         a.join(
             b,
@@ -781,7 +794,13 @@ def q158_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    survivors, dropped = semantic_dedup(emb, cents, threshold=0.4)
+    # persist=True: assigned feeds both self-join sides, the survivor
+    # anti-join, AND the members union — 4 re-executions of the
+    # broadcast-crossJoin + argmin subtree without it (optimization r14:
+    # q158 11.6 -> ~2 s at sf0.1).
+    survivors, dropped = semantic_dedup(
+        emb, cents, threshold=0.4, persist=True
+    )
     members = survivors.select("vec_id", "cid").unionByName(
         dropped.select("vec_id", "cid")
     )

@@ -237,6 +237,114 @@ def test_jaccard_fused_plan_shape(spark):
     )
 
 
+def test_simhash16_inrow_zero_exchange_and_values(spark):
+    """simhash16 is computed in-row (optimization r14): ZERO exchanges in
+    its plan, and values bit-identical to the legacy explode -> distinct ->
+    crossJoin(bits) -> two-groupBy shape (re-derived here as the reference)."""
+    from datalakeingestionservice_spark.operators.dedup import simhash16
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a b c"), (3, "x y z w v"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = simhash16(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "simhash16 reacquired a shuffle"
+
+    # Legacy reference shape (the pre-r14 implementation, verbatim math).
+    tokens = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    sha = F.sha2(F.col("tok"), 256)
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(sha, i, 1)) - 1
+    bits = tokens.select(
+        "doc_id", (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).alias("h")
+    )
+    bit_idx = spark.range(0, 16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        bits.crossJoin(F.broadcast(bit_idx))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("h").cast("long") / F.pow(2, F.col("bit")).cast("long"))
+                    .cast("long") % 2 == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    ref = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(2, F.col("bit")).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).cast("long").alias("simhash16")
+    )
+    got = {(r.doc_id, r.simhash16) for r in out.collect()}
+    want = {(r.doc_id, r.simhash16) for r in ref.collect()}
+    # Doc 4 ("") tokenizes to [""] on both paths; every doc must agree.
+    assert got == want and len(got) == 4
+
+
+def test_cosine_prenormed_bit_identical(spark):
+    """cosine_prenormed(a, b, norm(a), norm(b)) must be BIT-identical to
+    cosine(a, b) — the r14 hoist only moves when the sqrt folds evaluate,
+    never what they evaluate (IEEE doubles are deterministic)."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        cosine,
+        cosine_prenormed,
+        norm,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.1, -0.7, 0.3, 0.9]),
+            (2, [0.4, 0.2, -0.6, 0.05]),
+            (3, [1e-8, 2e8, -3.3, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    a = emb.withColumn("__nrm", norm("embedding")).alias("a")
+    b = emb.withColumn("__nrm", norm("embedding")).alias("b")
+    joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("plain"),
+        cosine_prenormed(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            F.col("a.__nrm"),
+            F.col("b.__nrm"),
+        ).alias("pre"),
+    )
+    import struct
+
+    for r in joined.collect():
+        assert struct.pack("<d", r.plain) == struct.pack("<d", r.pre)
+
+
+def test_semantic_dedup_persist_same_results(spark):
+    """persist=True (r14: materialize the 4x-consumed assignment) must not
+    change the survivor/dropped sets."""
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) + 0.1, 1.0, float(i % 2)]) for i in range(12)],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    key = lambda dfs: (
+        sorted((r.vec_id, r.cid) for r in dfs[0].collect()),
+        sorted((r.vec_id, r.cid, r.dup_of) for r in dfs[1].collect()),
+    )
+    plain = key(semantic_dedup(emb, cents, threshold=0.9))
+    cached = key(semantic_dedup(emb, cents, threshold=0.9, persist=True))
+    assert plain == cached
+    assert plain[1], "dropped set empty — the pin would be vacuous"
+
+
 def test_jaccard_pairs_exact_value(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
