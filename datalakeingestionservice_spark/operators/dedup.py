@@ -421,8 +421,10 @@ _NORM_TOKEN_EXPR = (
     "transform({col}, t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '')))"
 )
 
-#: The corpus-sized gram-hash tables exact-substring calls persist
-#: (MEMORY_AND_DISK). Bounded to a small FIFO: a composed pipeline
+#: The corpus-sized caches operators persist for multi-consumer reuse
+#: (exact-substring gram-hash tables, simhash banded projections,
+#: semantic-dedup assignments — all MEMORY_AND_DISK or default).
+#: Bounded to a small FIFO: a composed pipeline
 #: (decontaminate -> scrub in ONE plan, q179) legitimately holds a few
 #: live gram caches at once — evicting a cache before its plan ever
 #: materializes forces the tokenize+hash subtree to recompute per
@@ -1110,6 +1112,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded sub-quadratically.
 
@@ -1117,6 +1120,10 @@ def simhash_neardup_pairs(
     Hamming distance 3 shares at least one intact band, so candidates come
     from an equi-join on (band_idx, band_value) — the bitwise analog of
     MinHash banding. Exact Hamming (popcount of XOR) filters candidates.
+
+    ``persist=False`` opts out of caching the banded projection (symmetry
+    with jaccard_pairs/semantic_dedup) for callers managing cache lifetime
+    themselves; the projection then recomputes once per self-join side.
     """
     hashes = simhash16(df, id_col, text_col)
     band_idx = df.sparkSession.range(0, 4).select(
@@ -1127,16 +1134,15 @@ def simhash_neardup_pairs(
     # whole tokenize+hash projection over the corpus (optimization r14;
     # simhash16 itself is in-row/zero-exchange, so there is no exchange
     # for ReuseExchange to share across the aliases).
-    banded = (
-        hashes.crossJoin(F.broadcast(band_idx))
-        .select(
-            id_col,
-            "simhash16",
-            "band",
-            F.expr("(simhash16 >> (band * 4)) & 15").alias("band_val"),
-        )
-        .persist()
+    banded = hashes.crossJoin(F.broadcast(band_idx)).select(
+        id_col,
+        "simhash16",
+        "band",
+        F.expr("(simhash16 >> (band * 4)) & 15").alias("band_val"),
     )
+    if persist:
+        banded = banded.persist()
+        _register_gram_cache(banded)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.expr("bit_count(a.simhash16 ^ b.simhash16)")
     return (
@@ -1164,6 +1170,13 @@ def simhash_neardup_pairs(
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash from sha256 token hashes (engine-portable arithmetic;
     production width is 64 via xxhash64 — same plan shape).
+
+    Edge rows under the in-row rewrite: a NULL ``text_col`` yields a row
+    with NULL ``simhash16`` (the legacy explode path dropped it), and
+    duplicate ids are no longer collapsed — one output row per input row.
+    ``simhash_neardup_pairs`` is unaffected (a NULL band_val never
+    equi-joins); direct consumers that need the legacy row set should
+    filter NULL text / distinct ids themselves.
 
     Computed entirely IN-ROW (optimization r14): per-doc distinct tokens via
     `array_distinct`, per-token hash via `transform`, the 16 bit-votes as ONE

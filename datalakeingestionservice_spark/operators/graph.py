@@ -85,7 +85,13 @@ def _components_driver(
     # size argument already proved (guide §3.1: explicit broadcast when
     # the estimate is known-wrong). The distributed path below keeps
     # runtime-sized shuffle results and is left to AQE.
-    return spark.createDataFrame(rows, schema=schema).hint("broadcast")
+    # DLIS_CC_BROADCAST_HINT=0 drops the hint (A/B measurement only).
+    import os as _os
+
+    out = spark.createDataFrame(rows, schema=schema)
+    if _os.environ.get("DLIS_CC_BROADCAST_HINT", "1") == "0":
+        return out
+    return out.hint("broadcast")
 
 
 def _components_distributed(

@@ -209,7 +209,12 @@ def semantic_dedup(
     # norm per candidate pair (3 array folds + 2 sqrt per pair -> 1 fold).
     assigned = assigned.withColumn("__nrm", norm(vec_col))
     if persist:
+        from datalakeingestionservice_spark.operators.dedup import (
+            _register_gram_cache,
+        )
+
         assigned = assigned.persist()
+        _register_gram_cache(assigned)
     shard_keys: list[str] = []
     if max_cluster_size is not None:
         if max_cluster_size < 1:

@@ -48,6 +48,31 @@ from datalakeingestionservice_spark.sinks.versioned import (
 _COUNT_COL = "_n"
 
 
+def _materialize_delta(df: DataFrame) -> DataFrame:
+    """Collapse a multi-consumer delta-sized plan with an eager
+    localCheckpoint (guide §3.3/§5) — or pass it through untouched when
+    ``DLIS_IVM_CHECKPOINT_DELTAS=0``.
+
+    The checkpoint trades ONE extra up-front job (materialize |Δ| rows
+    to executor-local storage) for every later consumer reading rows
+    instead of re-running the delta subtree (change-feed scans + base-
+    side joins). At cluster scale the subtree dominates and the
+    checkpoint wins; on a latency-bound local run with a tiny Δ the
+    extra job round-trip can exceed the recompute (the r14→r15
+    cold-protocol A/B measures exactly this). The env knob keeps the
+    setting parameterised instead of tuned to either environment.
+
+    Durability: localCheckpoint blocks live on executor-local storage —
+    an executor loss mid-refresh fails the statement (retry, never
+    wrongness; commits are atomic and refreshes idempotent from marks).
+    """
+    import os as _os
+
+    if _os.environ.get("DLIS_IVM_CHECKPOINT_DELTAS", "1") == "0":
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 class SchemaDriftError(RuntimeError):
     """A source table's schema evolved under an active FULL-ROW join
     view (columns added/removed/retyped since the state materialized).
@@ -1078,9 +1103,12 @@ class IncrementalJoinView:
         # scanned 3× in one action before this). The set is O(|Δ|), so one
         # bounded localCheckpoint collapses the updates plan to trivial
         # filters over a checkpointed input (guide §3.3).
-        nets = self._synth(
-            self._net_delta(left, right, l1, r1, l2, r2, out_cols)
-        ).localCheckpoint(eager=True)
+        # Durability + cost trade documented at _materialize_delta.
+        nets = _materialize_delta(
+            self._synth(
+                self._net_delta(left, right, l1, r1, l2, r2, out_cols)
+            )
+        )
         pks = list(dict.fromkeys([*self._left_pks, self.right_pk]))
         ups = nets.filter(F.col("__net") > 0).drop("__net").withColumn(
             "__is_delete", F.lit(False)
@@ -1376,8 +1404,9 @@ class IncrementalLeftJoinView(IncrementalJoinView):
         # the localCheckpoint costs one bounded write each and the
         # updates plan collapses to a union of two checkpointed inputs;
         # the left table is scanned twice per padded refresh (once per
-        # checkpoint), never per-reference.
-        affected = affected.distinct().localCheckpoint(eager=True)
+        # checkpoint), never per-reference. Cost trade + durability:
+        # see _materialize_delta.
+        affected = _materialize_delta(affected.distinct())
 
         live_aff = L2.join(affected, self.left_pk, "leftsemi")
         if self.filter is None:
@@ -1409,7 +1438,7 @@ class IncrementalLeftJoinView(IncrementalJoinView):
             pad_rows = self._sigma_padded(
                 live_aff.join(rkeys, self.on, "left_anti"), right
             )
-        pad_rows = pad_rows.localCheckpoint(eager=True)
+        pad_rows = _materialize_delta(pad_rows)
         dels = (
             affected.join(
                 pad_rows.select(self.left_pk), self.left_pk, "left_anti"
@@ -1568,9 +1597,20 @@ class IncrementalJoinAggView(IncrementalJoinView):
         # column) would add a full-width exchange whose only consumer is
         # this sum — sum(e·__s) over raw rows == sum(e·__net) over netted
         # rows. One shuffle (by group keys, map-side partial agg) instead
-        # of two.
-        signed = self._signed_delta(left, right, l1, r1, l2, r2, out_cols)
-        delta = self._agg(signed, sign=F.col("__s"))
+        # of two. DLIS_IVM_SIGNED_DELTA=0 restores the netted form for
+        # A/B measurement (value-identical by linearity).
+        import os as _os
+
+        if _os.environ.get("DLIS_IVM_SIGNED_DELTA", "1") == "0":
+            netted = self._net_delta(
+                left, right, l1, r1, l2, r2, out_cols
+            )
+            delta = self._agg(netted, sign=F.col("__net"))
+        else:
+            signed = self._signed_delta(
+                left, right, l1, r1, l2, r2, out_cols
+            )
+            delta = self._agg(signed, sign=F.col("__s"))
 
         state = table.read(view_version)
         accs = list(self.sums) + [f"_nn_{c}" for c in self.sums]

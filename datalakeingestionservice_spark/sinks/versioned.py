@@ -6340,6 +6340,23 @@ class VersionedTable:
             return None, self._write_data_entries(
                 data_df, partition_by, bloom_columns, optimize_write
             )
+        # DLIS_COW_OVERLAP_CDF=0 runs the two writes sequentially (the
+        # pre-r14 shape) for A/B measurement: overlap wins when both
+        # jobs have enough tasks to back-fill each other's tails; on a
+        # latency-bound local commit the second driver thread can be
+        # pure overhead.
+        if os.environ.get("DLIS_COW_OVERLAP_CDF", "1") == "0":
+            conf_key = "spark.sql.parquet.outputTimestampType"
+            prev = self.spark.conf.get(conf_key)
+            self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+            try:
+                rel = self._write_cdf(cdf_df)
+                entries = self._write_data_entries(
+                    data_df, partition_by, bloom_columns, optimize_write
+                )
+            finally:
+                self.spark.conf.set(conf_key, prev)
+            return rel, entries
         from concurrent.futures import ThreadPoolExecutor
 
         # Pin the parquet timestamp type around BOTH writes: the session
@@ -6461,18 +6478,53 @@ class VersionedTable:
             ] or [F.lit(0)]
             salt = F.pmod(F.hash(*hashable), F.lit(salt_n))
             df = df.repartition(*[F.col(c) for c in dir_cols], salt)
-        elif optimize_write:
+        elif optimize_write and os.environ.get(
+            "DLIS_OPTIMIZE_WRITE", "1"
+        ) != "0":
             # Unpartitioned optimized write (r14 — the view family's
-            # state tables opt in): AQE REBALANCE sizes the write to
-            # the DATA, not the task count — a tiny merge delta
-            # coalesces to one file instead of one per shuffle task
-            # (a 32-task refresh otherwise lands 32 tiny files per
-            # commit and the maintained-view read pays the opens),
-            # while a table-sized bootstrap still fans out to
-            # ~advisory-sized files with full parallelism. Exactly
-            # Delta's optimizeWrite bin-packing, expressed as the
-            # built-in AQE rebalance stage; no-op when AQE is off.
-            df = df.hint("rebalance")
+            # state tables opt in): size the write to the DATA, not the
+            # task count, so a refresh commit never fans a tiny delta
+            # out to one file per shuffle task (32 tiny files per
+            # commit = pure open-cost for every maintained-view read).
+            # Scale-gated mechanism (optimization r15, cold-protocol
+            # A/B over 6 rotated fresh-JVM rounds): the AQE REBALANCE
+            # hint is one extra exchange of the full merged output per
+            # commit — data-proportional and worth it at scale, but on
+            # the latency-bound small-table commits that dominate the
+            # MV statement loop it measured ~40% of q183's wall
+            # (12.1 s median with vs 7.5 s without, both mechanisms
+            # tried; a shuffle-free coalesce(1) was no better — it
+            # collapses the whole final stage to one task). So:
+            # - CREATE (no parent manifest): keep the rebalance — a
+            #   bootstrap's size is unknown and its plan may end
+            #   WITHOUT an exchange (broadcast joins), fanning out to
+            #   input partitioning; one rebalance per table lifetime
+            #   is the cheap side of the trade (the A/B's bootstrap
+            #   metric showed no arm difference);
+            # - commits onto a parent whose manifest proves ≤
+            #   DLIS_OPTIMIZE_WRITE_MIN_ROWS total rows (default 2M):
+            #   skip — a small table's per-version file count is
+            #   bounded by its scoped COW rewrites, never accumulates,
+            #   and the open cost is measurably cheaper than the
+            #   per-commit exchange;
+            # - everything bigger or of unknown size: REBALANCE —
+            #   Delta's optimizeWrite bin-packing as the built-in AQE
+            #   rebalance stage, full write parallelism.
+            # DLIS_OPTIMIZE_WRITE=0 disables outright (A/B hook).
+            min_rows = int(
+                os.environ.get("DLIS_OPTIMIZE_WRITE_MIN_ROWS", "2000000")
+            )
+            if latest is not None and all(
+                "rows" in latest.stats.get(rel, {})
+                for rel in latest.files
+            ):
+                parent_rows = sum(
+                    latest.stats[rel]["rows"] for rel in latest.files
+                )
+            else:
+                parent_rows = None  # unknown size
+            if parent_rows is None or parent_rows > min_rows:
+                df = df.hint("rebalance")
         conf_key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(conf_key)
         self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")

@@ -207,8 +207,8 @@ def test_jaccard_fused_matches_join(spark, sf_dir):
                 sh, threshold=threshold, strategy="fused"
             ).collect()
         }
+        assert ref, f"threshold {threshold}: anchor must be non-empty"
         assert fused == ref, f"threshold {threshold}"
-    assert ref, "anchor must be non-empty"
 
 
 def test_jaccard_fused_plan_shape(spark):

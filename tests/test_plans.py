@@ -206,7 +206,7 @@ def test_capstone_self_join_is_not_broadcast(spark, sf_dir, plans):
     # ExistingRDD (bounded), never a parquet- or cache-backed subtree.
     for m in re.finditer(r"\(\d+\) BroadcastExchange", final):
         tail = final[m.end() : m.end() + 400]
-        assert "ExistingRDD" in final, tail
+        assert "ExistingRDD" in tail, tail
     assert "SortMergeJoin" not in final, (
         "q79 final plan reacquired a sort-merge join on the bounded CC output"
     )
