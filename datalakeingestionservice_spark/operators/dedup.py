@@ -316,8 +316,19 @@ def winnow_fingerprints(
     distinct. Output: (id_col, fp long) rows."""
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
+    # The per-doc gram count is a pure function of the token count —
+    # compute it BEFORE the explode (optimization r15, guide §1.2:
+    # don't compute things you already know): the previous shape
+    # derived it with a count() window over the exploded rows, an
+    # extra per-doc window pass whose value equals this expression by
+    # construction (the transform emits exactly greatest(n-k+1, 1)
+    # grams). Same exchange either way (the min-window below needs the
+    # doc partitioning); one Window operator instead of two.
     grams = df.select(
         id_col,
+        F.greatest(
+            F.size(F.split(F.col(text_col), " ")) - (k - 1), F.lit(1)
+        ).alias("__n"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
@@ -328,7 +339,6 @@ def winnow_fingerprints(
     h = _shingle_hash32()
     from pyspark.sql import Window as W
 
-    per_doc = W.partitionBy(id_col)
     frame = (
         W.partitionBy(id_col)
         .orderBy("pos")
@@ -336,7 +346,6 @@ def winnow_fingerprints(
     )
     return (
         grams.withColumn("__h", h)
-        .withColumn("__n", F.count(F.lit(1)).over(per_doc))
         .withColumn("__wmin", F.min("__h").over(frame))
         .filter(
             F.col("pos") <= F.greatest(F.col("__n") - window, F.lit(0))

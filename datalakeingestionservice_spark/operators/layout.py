@@ -78,7 +78,11 @@ def _int_value(v):
     (naive datetimes are UTC per the engine's session-TZ contract)."""
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
-            return int(v.timestamp())
+            # floor, not int(): truncation-toward-zero disagrees with
+            # unix_seconds for pre-epoch instants with sub-second parts
+            import math
+
+            return math.floor(v.timestamp())
         return calendar.timegm(v.timetuple())
     if isinstance(v, _dt.date):
         return (v - _EPOCH).days

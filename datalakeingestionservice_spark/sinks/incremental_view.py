@@ -48,6 +48,12 @@ from datalakeingestionservice_spark.sinks.versioned import (
 _COUNT_COL = "_n"
 
 
+def _delta_checkpoints_enabled() -> bool:
+    import os as _os
+
+    return _os.environ.get("DLIS_IVM_CHECKPOINT_DELTAS", "1") != "0"
+
+
 def _materialize_delta(df: DataFrame) -> DataFrame:
     """Collapse a multi-consumer delta-sized plan with an eager
     localCheckpoint (guide §3.3/§5) — or pass it through untouched when
@@ -66,9 +72,7 @@ def _materialize_delta(df: DataFrame) -> DataFrame:
     an executor loss mid-refresh fails the statement (retry, never
     wrongness; commits are atomic and refreshes idempotent from marks).
     """
-    import os as _os
-
-    if _os.environ.get("DLIS_IVM_CHECKPOINT_DELTAS", "1") == "0":
+    if not _delta_checkpoints_enabled():
         return df
     return df.localCheckpoint(eager=True)
 
@@ -1126,6 +1130,11 @@ class IncrementalJoinView:
                 delete_col="__is_delete",
                 summary={"left_version": l2, "right_version": r2},
                 expected_version=view_version,
+                # updates is filters + one anti-join over the
+                # checkpointed `nets` — already deterministic and
+                # cheap to re-evaluate; merge's own checkpoint would
+                # be a second materialization of the same delta.
+                updates_materialized=_delta_checkpoints_enabled(),
             )
         except ConcurrentCommitError:
             if max_retries <= 0:
@@ -1464,6 +1473,10 @@ class IncrementalLeftJoinView(IncrementalJoinView):
             delete_col="__is_delete",
             summary={"left_version": l2, "right_version": r2},
             expected_version=expected_version,
+            # pad_rows and affected are checkpointed above; updates is
+            # a union of projections/anti-joins over them — merge's own
+            # checkpoint would re-materialize the same delta.
+            updates_materialized=_delta_checkpoints_enabled(),
         )
 
 

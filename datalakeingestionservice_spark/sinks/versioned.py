@@ -3828,6 +3828,7 @@ class VersionedTable:
         scope_by_stats: bool = True,
         expected_version: int | None = None,
         merge_schema: bool = False,
+        updates_materialized: bool = False,
     ) -> int:
         """MERGE (upsert + optional deletes) as a copy-on-write commit:
         matched keys replaced, `delete_col`=true rows removed, unmatched
@@ -3853,8 +3854,18 @@ class VersionedTable:
         what the affected partitions cost' and 'every merge rewrites the
         table'; the same key-locality argument Delta/Iceberg make for
         clustering on merge keys (z-order the table by its merge key and
-        scoping tightens further, file-granular)."""
-        updates = updates.localCheckpoint(eager=True)
+        scoping tightens further, file-granular).
+
+        `updates_materialized=True` skips the up-front localCheckpoint:
+        callers whose updates plan is ALREADY rooted at materialized
+        inputs (the IVM refreshes checkpoint their delta once and pass
+        cheap filters/anti-joins over it) assert determinism themselves
+        and save one job + one |updates| write per commit (optimization
+        r15 — the census measured the double materialization at ~10% of
+        a q183 refresh). The multi-evaluation then recomputes only the
+        trivial post-checkpoint operators."""
+        if not updates_materialized:
+            updates = updates.localCheckpoint(eager=True)
         parent = (
             self.latest_version()
             if expected_version is None
@@ -5974,8 +5985,19 @@ class VersionedTable:
                 zorder_repartition,
             )
 
+            # Bucket ranges from MANIFEST STATS when every rewritten
+            # entry carries min/max for every clustered column
+            # (optimization r15, guide §6/§1.2): the ranges aggregate
+            # was a full scan of the rewrite set whose answer the
+            # manifest already knows — at 100 TB that's a table scan
+            # replaced by driver-side metadata. Footer envelopes are
+            # conservative bounds (string stats may be truncated by
+            # writers), which only coarsens bucket edges — clustering
+            # stays valid; rows are never affected. Falls back to the
+            # one-aggregate scan when any entry lacks stats.
+            ranges = self._zorder_ranges_from_stats(zorder_by, rewrite, pm)
             df = zorder_repartition(
-                df, zorder_by, num_partitions, bits=bits
+                df, zorder_by, num_partitions, bits=bits, ranges=ranges
             )
         else:
             df = df.repartition(num_partitions)
@@ -6020,6 +6042,57 @@ class VersionedTable:
                 **entries,
             },
         )
+
+    def _zorder_ranges_from_stats(
+        self, cols: list[str], rels: list[str], pm
+    ) -> dict[str, tuple] | None:
+        """(lo, hi) per z-order column from the manifest's per-entry
+        min/max envelopes — None when any NON-EMPTY rewritten entry
+        lacks stats for any clustered column (caller then pays the
+        one-aggregate scan). Values are converted back to the column's
+        logical type (stats JSON stores dates/timestamps as ISO
+        strings) so `zorder_repartition`'s own normalization applies
+        identically; timestamp second-flooring in `_int_value` matches
+        the scan path's `unix_seconds` for the post-epoch stats real
+        tables carry. Decimal/binary columns never have stats
+        (`_stat_jsonable` drops them) and fall back."""
+        import datetime as _dtmod
+
+        fwd = _log_to_phys(pm.column_mapping)
+        types = self._schema_types(pm)
+        out: dict[str, tuple] = {}
+        for c in cols:
+            pc = fwd.get(c, c)
+            mins: list = []
+            maxs: list = []
+            for rel in rels:
+                st = pm.stats.get(rel, {})
+                if st.get("rows") == 0:
+                    continue  # nothing to bound
+                colst = st.get("columns", {}).get(pc)
+                if (
+                    not colst
+                    or "min" not in colst
+                    or "max" not in colst
+                ):
+                    return None
+                mins.append(colst["min"])
+                maxs.append(colst["max"])
+            if not mins:
+                return None
+            lo, hi = min(mins), max(maxs)
+            t = types.get(c, "")
+            try:
+                if t == "date":
+                    lo = _dtmod.date.fromisoformat(str(lo))
+                    hi = _dtmod.date.fromisoformat(str(hi))
+                elif t.startswith("timestamp"):
+                    lo = _dtmod.datetime.fromisoformat(str(lo))
+                    hi = _dtmod.datetime.fromisoformat(str(hi))
+            except ValueError:
+                return None
+            out[c] = (lo, hi)
+        return out
 
     def maintenance_plan(
         self,

@@ -8,9 +8,16 @@ randomness does.
 
 Determinism: every seed fully determines the definition, the data, and
 the DML — failures replay exactly.
+
+Depth knob: FUZZ_ROUNDS bounds the DML+refresh+recompute rounds per
+case (optimization r15). The default (2) keeps every definition/DML
+combination exercised — bootstrap check plus two random DML rounds —
+while fitting the external verification window; set DLIS_FUZZ_ROUNDS=5
+to restore the deep interaction fuzz (same seeds, longer sequences).
 """
 
 import math
+import os
 import random
 
 import pytest
@@ -26,6 +33,8 @@ from datalakeingestionservice_spark.sinks.incremental_view import (
     IncrementalLeftJoinView,
 )
 from datalakeingestionservice_spark.sinks.versioned import VersionedTable
+
+FUZZ_ROUNDS = int(os.environ.get("DLIS_FUZZ_ROUNDS", "2"))
 
 GRPS = ["a", "b", "c", "d"]
 VALS = ["x", "y", "z", None]
@@ -194,7 +203,7 @@ def test_fuzz_single_table_agg_views(spark, tmp_path, seed):
 
     v.refresh()
     assert _rows_match(got(), recompute()), (seed, 0)
-    for rnd in range(1, 6):
+    for rnd in range(1, FUZZ_ROUNDS + 1):
         next_id = _mutate_left(spark, l, rng, next_id)
         v.refresh()
         assert _rows_match(got(), recompute()), (seed, rnd)
@@ -250,7 +259,7 @@ def test_fuzz_join_views(spark, tmp_path, seed, jt, use_filter):
 
     v.refresh()
     assert _rows_match(got(), recompute()), (seed, 0, jt)
-    for rnd in range(1, 6):
+    for rnd in range(1, FUZZ_ROUNDS + 1):
         next_id = _mutate_left(spark, l, rng, next_id)
         _mutate_right(r, rng, spark)
         v.refresh()
@@ -307,7 +316,7 @@ def test_fuzz_join_agg_views(spark, tmp_path, seed, jt, use_filter):
 
     v.refresh()
     assert _rows_match(got(), recompute()), (seed, 0, jt)
-    for rnd in range(1, 6):
+    for rnd in range(1, FUZZ_ROUNDS + 1):
         next_id = _mutate_left(spark, l, rng, next_id)
         _mutate_right(r, rng, spark)
         v.refresh()
@@ -363,7 +372,7 @@ def test_fuzz_composed_extremes_over_join(spark, tmp_path, seed):
 
     v.refresh()
     assert _rows_match(got(), recompute()), (seed, 0)
-    for rnd in range(1, 6):
+    for rnd in range(1, FUZZ_ROUNDS + 1):
         next_id = _mutate_left(spark, l, rng, next_id)
         _mutate_right(r, rng, spark)
         v.refresh()
@@ -420,7 +429,7 @@ def test_fuzz_composed_outer_extremes(spark, tmp_path, seed, jt):
 
     v.refresh()
     assert _rows_match(got(), recompute()), (seed, 0, jt)
-    for rnd in range(1, 5):
+    for rnd in range(1, FUZZ_ROUNDS + 1):
         next_id = _mutate_left(spark, l, rng, next_id)
         _mutate_right(r, rng, spark)
         v.refresh()
@@ -540,7 +549,7 @@ def test_fuzz_chain_matviews(spark, tmp_path, seed, kind, use_filter):
         return [tuple(x) for x in df.collect()]
 
     assert _rows_match(got(), recompute()), (seed, 0, kind)
-    for rnd in range(1, 5):
+    for rnd in range(1, FUZZ_ROUNDS + 1):
         next_id = _mutate_left(spark, l, rng, next_id)
         _mutate_right(r, rng, spark)
         _mutate_third(t3, rng, spark)
@@ -721,7 +730,7 @@ def test_fuzz_rendered_upstream_pyramids(spark, tmp_path, seed, upstream):
             ]
 
     assert _rows_match(got(), recompute()), (seed, 0)
-    for rnd in range(1, 5):
+    for rnd in range(1, FUZZ_ROUNDS + 1):
         next_id = _mutate_left(spark, l, rng, next_id)
         if upstream in ("outer_agg", "outer_star") and rng.random() < 0.6:
             _mutate_right(r, rng, spark)

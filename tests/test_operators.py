@@ -431,6 +431,29 @@ def test_winnow_fingerprints_guarantee(spark):
     assert len(fps[1]) <= 3
 
 
+def test_winnow_single_window_pass(spark):
+    """Plan pin (optimization r15): the per-doc gram count is computed
+    BEFORE the explode, so the plan carries exactly ONE Window operator
+    (the rolling min) — the count() window over exploded rows is gone —
+    and still exactly one Exchange (the doc partitioning both windows
+    shared; removing the count must not add a shuffle)."""
+    import re as _re
+
+    from datalakeingestionservice_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, k=4, window=5)
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"\bWindow\b", plan)) == 1, plan
+    # one exchange for the window + one for the final distinct
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_exact_substring_spans_planted(spark):
     """ExactSubstr semantics (Lee et al. 2022) pinned on hand-built
     docs: a run duplicated across two docs is found with EXACT maximal
