@@ -10,8 +10,8 @@ Determinism: every seed fully determines the definition, the data, and
 the DML — failures replay exactly.
 
 Depth knob: FUZZ_ROUNDS bounds the DML+refresh+recompute rounds per
-case (optimization r15). The default (2) keeps every definition/DML
-combination exercised — bootstrap check plus two random DML rounds —
+case (optimization r15). The default (1) keeps every definition/DML
+combination exercised — bootstrap check plus one random DML round —
 while fitting the external verification window; set DLIS_FUZZ_ROUNDS=5
 to restore the deep interaction fuzz (same seeds, longer sequences).
 """
@@ -34,7 +34,7 @@ from datalakeingestionservice_spark.sinks.incremental_view import (
 )
 from datalakeingestionservice_spark.sinks.versioned import VersionedTable
 
-FUZZ_ROUNDS = int(os.environ.get("DLIS_FUZZ_ROUNDS", "2"))
+FUZZ_ROUNDS = int(os.environ.get("DLIS_FUZZ_ROUNDS", "1"))
 
 GRPS = ["a", "b", "c", "d"]
 VALS = ["x", "y", "z", None]
