@@ -345,6 +345,37 @@ def test_semantic_dedup_persist_same_results(spark):
     assert plain[1], "dropped set empty — the pin would be vacuous"
 
 
+def test_operator_persists_stay_bounded(spark):
+    """Cache-registry pin (VERDICT r14 #8): repeated invocations of the
+    persisting operators (simhash banding, semantic-dedup assignment)
+    must not grow executor storage unboundedly — every persist routes
+    through the bounded FIFO registry, so the live set stays at its cap
+    no matter how many calls a long-lived session makes."""
+    from datalakeingestionservice_spark.operators import dedup as ddp
+    from datalakeingestionservice_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+    from datalakeingestionservice_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words here") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    cents = emb.limit(1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    for _ in range(4):
+        simhash_neardup_pairs(docs).count()
+        semantic_dedup(emb, cents, persist=True)[0].count()
+    assert len(ddp._GRAM_CACHES) <= ddp._MAX_GRAM_CACHES
+
+
 def test_jaccard_pairs_exact_value(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
